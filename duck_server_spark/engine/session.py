@@ -1,0 +1,80 @@
+"""SparkSession factory + table registration.
+
+Reference analogue: the embedded engine bootstrap in
+``/root/reference/pg_server.go:78-104`` (open one DuckDB database, run the
+compat-view init, share it across client connections). Here the shared
+engine is a single SparkSession; per-connection state lives in the server
+layer, as in the reference (`pg_conn.go:50-68`).
+
+Scale notes (100 TB design intent):
+- One SparkSession per process; Spark is safe for concurrent actions from
+  many server connections (each query gets its own job group for cancel).
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join conversion replace hand-tuned plans at scale.
+- Arrow enabled: result collection to the protocol edge is columnar.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_session(app_name: str = "duck_server_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the shared SparkSession.
+
+    local[N] for tests/bench; on a real cluster the master/memory settings
+    come from spark-submit and everything else here still applies.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (name == table name).
+
+    Parquet-backed temp views keep predicate pushdown / column pruning —
+    Catalyst sees straight through the view to the file scan.
+    """
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
