@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = (
     "tpch",
+    "relational",
+    "aggregates",
+    "windows",
 )
 
 

@@ -1,0 +1,357 @@
+"""Aggregation surface: GROUP BY, DISTINCT, FILTER, ROLLUP/CUBE/GROUPING
+SETS, count-distinct (exact + approx HLL), arg_max/min, list/string agg,
+median/quantile, statistical moments.
+
+Reference parity: SURVEY.md §2B "Aggregation" — the full DuckDB-1.0 agg
+surface reachable through the delegation points.
+
+Cross-engine determinism notes:
+- stddev/var/corr over doubles are NOT deterministic across engines (both
+  use pairwise/partial merging in different orders). We compute the moments
+  (Σx, Σx², Σxy) as exact DECIMAL sums and derive the statistic in double —
+  identical on both engines AND parallel-safe at 100 TB (the decimal sums
+  are associative; one shuffle, map-side partials do the heavy lifting).
+- approx_count_distinct: Spark HLL++ ≠ DuckDB HLL sketches → rows-only
+  check (no oracle), with an exact count-distinct twin that does get one.
+- collect_list/string_agg need deterministic ordering: we aggregate sorted
+  (array_sort / ORDER BY inside the aggregate) so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duck_server_spark.engine.session import load_table
+from duck_server_spark.operators.common import sql_op
+
+
+def agg_filter_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE …) aggregates + exact DISTINCT counts per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_quantity") > 25.0, 1)).alias("n_bigqty"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey", "l_suppkey").alias("n_partsupp"),
+        )
+    )
+
+
+AGG_FILTER_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       count(*) FILTER (WHERE l_quantity > 25.0) AS n_bigqty,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT (l_partkey, l_suppkey)) AS n_partsupp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_minmax_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max + arg_max/arg_min (Spark max_by/min_by ≙ DuckDB arg_max).
+
+    arg_max with tied extremes is engine-arbitrary in BOTH engines, so the
+    ordering key is a zero-padded (price, orderkey) string — totally
+    ordered, hence deterministic everywhere (and DuckDB 1.0's arg_max
+    doesn't take struct keys)."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.format_string("%015.2f|%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.expr("max_by(o_orderkey, format_string('%015.2f|%012d', o_totalprice, o_orderkey))").alias("max_price_orderkey"),
+            F.expr("min_by(o_orderkey, format_string('%015.2f|%012d', o_totalprice, o_orderkey))").alias("min_price_orderkey"),
+        )
+    )
+
+
+AGG_MINMAX_ARGMAX_ORACLE = """
+SELECT o_orderpriority,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       arg_max(o_orderkey, printf('%015.2f|%012d', o_totalprice, o_orderkey)) AS max_price_orderkey,
+       arg_min(o_orderkey, printf('%015.2f|%012d', o_totalprice, o_orderkey)) AS min_price_orderkey
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+AGG_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping() marker columns."""
+    return sql_op(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )(spark, sf_dir)
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list()/string_agg parity with deterministic ordering."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("names"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
+        )
+    )
+
+
+AGG_COLLECT_SORTED_ORACLE = """
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS names,
+       list_aggregate(list_sort(list(n_name)), 'string_agg', ',') AS names_csv
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous quantiles (both engines interpolate
+    linearly over the sorted values; inputs are .01-granular doubles so
+    interpolation is FP-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        )
+    )
+
+
+AGG_MEDIAN_QUANTILE_ORACLE = """
+SELECT l_linestatus,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/covar/corr via exact integer-cents moment sums.
+
+    Why cents (scale-0 decimals) and not DECIMAL(38,4): converting a
+    scaled decimal to double is TWO roundings in DuckDB (int128→double,
+    then ÷10^scale) but one in Spark (BigDecimal→double), so last bits
+    differ. A scale-0 decimal converts in a single correctly-rounded step
+    in both engines; all remaining arithmetic is identical IEEE double
+    ops, so results are bit-equal. Still parallel-safe at 100 TB: the
+    integer sums are associative, one shuffle, map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+    yc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(xc).cast("double")
+    sy = F.sum(yc).cast("double")
+    sxx = F.sum((xc * xc).cast("decimal(38,0)")).cast("double")
+    syy = F.sum((yc * yc).cast("decimal(38,0)")).cast("double")
+    sxy = F.sum((xc * yc).cast("decimal(38,0)")).cast("double")
+    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.sqrt(var_x) / F.lit(100.0)).alias("stddev_qty"),
+            (var_y / F.lit(10000.0)).alias("var_price"),
+            (cov / F.lit(10000.0)).alias("covar_qty_price"),
+            (cov / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        )
+    )
+
+
+AGG_STATS_MOMENTS_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS xc,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS yc
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(xc) AS DOUBLE) AS sx,
+         CAST(sum(yc) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       sqrt((sxx - sx * sx / n) / (n - 1.0)) / 100.0 AS stddev_qty,
+       ((syy - sy * sy / n) / (n - 1.0)) / 10000.0 AS var_price,
+       ((sxy - sx * sy / n) / (n - 1.0)) / 10000.0 AS covar_qty_price,
+       ((sxy - sx * sy / n) / (n - 1.0)) / sqrt(((sxx - sx * sx / n) / (n - 1.0)) * ((syy - sy * sy / n) / (n - 1.0))) AS corr_qty_price
+FROM m
+"""
+
+
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketches differ across engines →
+    rows-only driver check; the exact twin is agg_filter_distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+def agg_bool_any_every(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or + any_value-style determinized pick."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("bool_and(o_totalprice > 1000.0)").alias("all_over_1k"),
+            F.expr("bool_or(o_totalprice > 400000.0)").alias("any_over_400k"),
+            F.min("o_orderpriority").alias("first_priority"),
+        )
+    )
+
+
+AGG_BOOL_ANY_EVERY_ORACLE = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+       bool_or(o_totalprice > 400000.0) AS any_over_400k,
+       min(o_orderpriority) AS first_priority
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: lineitem quantity by returnflag × linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+PIVOT_STATUS_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def unpivot_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long) over part price/size measures."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        F.col("p_size").cast("double").alias("size_d"),
+    )
+    return wide.unpivot("p_partkey", ["retail", "size_d"], "measure", "val")
+
+
+UNPIVOT_PRICES_ORACLE = """
+SELECT p_partkey, measure, val FROM (
+  SELECT p_partkey, 'retail' AS measure, p_retailprice AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'size_d' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+) t
+"""
+
+
+def agg_count_star_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no GROUP BY) multi-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+AGG_COUNT_STAR_GLOBAL_ORACLE = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "agg_filter_distinct": agg_filter_distinct,
+    "agg_minmax_argmax": agg_minmax_argmax,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_collect_sorted": agg_collect_sorted,
+    "agg_median_quantile": agg_median_quantile,
+    "agg_stats_moments": agg_stats_moments,
+    "agg_approx_count_distinct": agg_approx_count_distinct,
+    "agg_bool_any_every": agg_bool_any_every,
+    "pivot_status": pivot_status,
+    "unpivot_prices": unpivot_prices,
+    "agg_count_star_global": agg_count_star_global,
+}
+
+ORACLE = {
+    "agg_filter_distinct": AGG_FILTER_DISTINCT_ORACLE,
+    "agg_minmax_argmax": AGG_MINMAX_ARGMAX_ORACLE,
+    "agg_rollup": AGG_ROLLUP_ORACLE,
+    "agg_cube": AGG_CUBE_ORACLE,
+    "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
+    "agg_collect_sorted": AGG_COLLECT_SORTED_ORACLE,
+    "agg_median_quantile": AGG_MEDIAN_QUANTILE_ORACLE,
+    "agg_stats_moments": AGG_STATS_MOMENTS_ORACLE,
+    "agg_bool_any_every": AGG_BOOL_ANY_EVERY_ORACLE,
+    "pivot_status": PIVOT_STATUS_ORACLE,
+    "unpivot_prices": UNPIVOT_PRICES_ORACLE,
+    "agg_count_star_global": AGG_COUNT_STAR_GLOBAL_ORACLE,
+}

@@ -1,0 +1,45 @@
+"""Shared helpers for operator modules.
+
+The reference engine's surface is SQL-in → rows-out (every client query
+reaches DuckDB as text through `c.conn.Prepare(query)`,
+/root/reference/pg_conn.go:314). Our Spark-first equivalents are written
+either as DataFrame builders or as Spark-SQL over registered temp views —
+both produce the same Catalyst plan; we use whichever is the clearer
+expression of the operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duck_server_spark.engine.session import register_views
+
+
+def sql_op(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a Spark-SQL string as a (spark, sf_dir) -> DataFrame builder.
+
+    Re-registers the fixture temp views on each call (cheap: view
+    registration is metadata-only; the parquet scan stays lazy and keeps
+    pushdown/pruning through the view).
+    """
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return build
+
+
+def dec2(col) -> F.Column:
+    """Cast to DECIMAL(18,2) — the exact-arithmetic carrier for money math
+    (see operators/tpch.py docstring for why this guarantees cross-engine
+    bit-identical aggregates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+# SQL fragment twins of dec2 for oracle strings.
+DEC = "DECIMAL(18,2)"

@@ -1,0 +1,521 @@
+"""Core relational operators: joins (every type), set ops, sort/limit/
+offset, distinct, subqueries, CTEs, and the DuckDB-idiom rewrites
+(DISTINCT ON, QUALIFY, SAMPLE).
+
+Reference parity: SURVEY.md §2B "Joins", "Set ops", "Subqueries / CTEs",
+"Sort / limit / top-k", "Sampling / misc relational" — all reachable
+through the reference's delegation points (/root/reference/pg_conn.go:314,
+ch_server.go:181) and in scope per its README.md:26.
+
+Scale notes:
+- Dim joins (region/nation/customer/supplier/part) are broadcast — no
+  shuffle of the fact side. At 100 TB the fact⋈fact joins (lineitem⋈orders)
+  shuffle on the join key; AQE handles skew splitting.
+- Semi/anti joins use Spark's left_semi/left_anti (no payload shuffle of
+  the probe side's non-key columns on the build side).
+- Top-k = orderBy().limit(): Catalyst plans TakeOrderedAndProject — each
+  partition keeps k rows, driver merges; no global sort at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from duck_server_spark.engine.session import load_table
+from duck_server_spark.operators.common import sql_op
+
+# ---------------------------------------------------------------- joins
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join customer⋈nation (dim⋈dim, broadcast)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name")
+    )
+
+
+JOIN_INNER_ORACLE = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, order revenue if any (NULL kept)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    agg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("big_orders"))
+    return (
+        cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+        .select("c_custkey", "c_mktsegment", "big_orders")
+    )
+
+
+JOIN_LEFT_ORACLE = """
+SELECT c_custkey, c_mktsegment, big_orders
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS big_orders
+  FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey
+) t ON c_custkey = o_custkey
+"""
+
+
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (orders right-joined from a filtered customer set)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "right")
+        .select("o_orderkey", "o_custkey", "c_name")
+    )
+
+
+JOIN_RIGHT_ORACLE = """
+SELECT o_orderkey, o_custkey, c_name
+FROM (SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY') c
+RIGHT JOIN orders ON c.c_custkey = orders.o_custkey
+"""
+
+
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two disjoint-ish aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("urgent_cnt"))
+    )
+    lo = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("low_cnt"))
+    )
+    return (
+        hi.withColumnRenamed("o_custkey", "custkey")
+        .join(lo.withColumnRenamed("o_custkey", "custkey2"), F.col("custkey") == F.col("custkey2"), "full")
+        .select(
+            F.coalesce("custkey", "custkey2").alias("custkey"),
+            "urgent_cnt",
+            "low_cnt",
+        )
+    )
+
+
+JOIN_FULL_ORACLE = """
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey, urgent_cnt, low_cnt
+FROM (SELECT o_custkey, count(*) AS urgent_cnt FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) a
+FULL JOIN (SELECT o_custkey, count(*) AS low_cnt FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey) b
+  ON a.o_custkey = b.o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one urgent order (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of the two smallest dims."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+JOIN_CROSS_ORACLE = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: count part pairs where p1 is strictly
+    smaller but pricier. Broadcast-nested-loop on the broadcast side —
+    at 100 TB a pure theta join needs one side small; Catalyst enforces
+    that by requiring a broadcastable side (else cartesian)."""
+    part = load_table(spark, sf_dir, "part")
+    p1 = part.select(F.col("p_partkey").alias("k1"), F.col("p_size").alias("s1"), F.col("p_retailprice").alias("r1"))
+    p2 = part.select(F.col("p_partkey").alias("k2"), F.col("p_size").alias("s2"), F.col("p_retailprice").alias("r2"))
+    return (
+        p1.join(F.broadcast(p2), (F.col("s1") < F.col("s2")) & (F.col("r1") > F.col("r2")))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+JOIN_THETA_ORACLE = """
+SELECT count(*) AS pair_cnt
+FROM part p1 JOIN part p2 ON p1.p_size < p2.p_size AND p1.p_retailprice > p2.p_retailprice
+"""
+
+
+def join_using_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING-style join (single shared column, no duplicate output col)."""
+    return sql_op(
+        """
+        SELECT n_nationkey, n_name, r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n
+        JOIN region USING (r_regionkey)
+        """
+    )(spark, sf_dir)
+
+
+JOIN_USING_ORACLE = """
+SELECT n_nationkey, n_name, r_name
+FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n
+JOIN region USING (r_regionkey)
+"""
+
+# ------------------------------------------------------------- set ops
+
+
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 9000.0).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b)
+
+
+SETOP_UNION_ALL_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 9000.0).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct()
+
+
+SETOP_UNION_DISTINCT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.intersect(b)
+
+
+SETOP_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+SETOP_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+# ------------------------------------------- sort / limit / offset / topk
+
+
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … NULLS handling + LIMIT/OFFSET pagination.
+
+    Also covers the reference's CH `LIMIT n,m → LIMIT m OFFSET n` rewrite
+    target semantics (/root/reference/ch_server.go:155,164)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(20)
+    )
+
+
+SORT_LIMIT_OFFSET_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 10
+"""
+
+
+def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST/LAST ordering over a computed nullable column."""
+    return sql_op(
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS np
+        FROM orders
+        ORDER BY np ASC NULLS FIRST, o_orderkey
+        LIMIT 50
+        """
+    )(spark, sf_dir)
+
+
+SORT_NULLS_FIRST_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS np
+FROM orders
+ORDER BY np ASC NULLS FIRST, o_orderkey
+LIMIT 50
+"""
+
+# ------------------------------------------------- subqueries and CTEs
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate."""
+    return sql_op(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT CAST(avg(o_totalprice) AS DECIMAL(18,2)) * 2 FROM orders)
+        """
+    )(spark, sf_dir)
+
+
+SUBQUERY_SCALAR_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT CAST(avg(o_totalprice) AS DECIMAL(18,2)) * 2 FROM orders)
+"""
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (rewritten by Catalyst to a left-semi join)."""
+    return sql_op(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """
+    )(spark, sf_dir)
+
+
+SUBQUERY_IN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+"""
+
+
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into a join).
+
+    DuckDB's flagship decorrelation case ("Unnesting Arbitrary Queries" —
+    see PAPERS.md); Spark's RewriteCorrelatedScalarSubquery covers it."""
+    return sql_op(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o_totalprice > (
+          SELECT CAST(coalesce(CAST(avg(o2.o_totalprice) AS DECIMAL(18,2)), 0) AS DOUBLE) * 1.5
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )(spark, sf_dir)
+
+
+SUBQUERY_CORRELATED_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE o_totalprice > (
+  SELECT CAST(coalesce(CAST(avg(o2.o_totalprice) AS DECIMAL(18,2)), 0) AS DOUBLE) * 1.5
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH chain feeding a join."""
+    return sql_op(
+        """
+        WITH big AS (
+          SELECT o_custkey, count(*) AS n FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey
+        ),
+        seg AS (
+          SELECT c_custkey, c_mktsegment FROM customer
+        )
+        SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS big_orders
+        FROM big JOIN seg ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )(spark, sf_dir)
+
+
+CTE_CHAIN_ORACLE = """
+WITH big AS (
+  SELECT o_custkey, count(*) AS n FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey
+),
+seg AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+)
+SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS big_orders
+FROM big JOIN seg ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+# ----------------------------------------------------- DuckDB idioms
+
+
+def distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `SELECT DISTINCT ON (key) …` → row_number()=1 window idiom.
+
+    At scale: the window shuffles once on the partition key — same cost
+    as DISTINCT ON's hash partitioning; no extra pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+DISTINCT_ON_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t WHERE rn = 1
+"""
+
+
+def qualify_idiom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB QUALIFY → filter over a windowed column (top-3 per segment)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+QUALIFY_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) t WHERE rnk <= 3
+"""
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% 'sample' via key modulus (portable across
+    engines, unlike TABLESAMPLE whose RNG is engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") % 10) == 0).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+SAMPLE_DETERMINISTIC_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 10 = 0
+"""
+
+
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True random sampling (`USING SAMPLE` parity) — seeded Spark-side;
+    engine RNGs differ so this is a rows-only check (no oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES list (reference README.md:74 insert/select path)."""
+    return sql_op(
+        """
+        SELECT id, name FROM VALUES (1, 'duck'), (2, 'spark'), (3, NULL) AS t(id, name)
+        """
+    )(spark, sf_dir)
+
+
+VALUES_INLINE_ORACLE = """
+SELECT id, name FROM (VALUES (1, 'duck'), (2, 'spark'), (3, NULL)) t(id, name)
+"""
+
+
+QUERIES = {
+    "join_inner": join_inner,
+    "join_left": join_left,
+    "join_right": join_right,
+    "join_full": join_full,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_cross": join_cross,
+    "join_theta": join_theta,
+    "join_using": join_using_natural,
+    "setop_union_all": setop_union_all,
+    "setop_union_distinct": setop_union_distinct,
+    "setop_intersect": setop_intersect,
+    "setop_except_all": setop_except_all,
+    "sort_limit_offset": sort_limit_offset,
+    "sort_nulls_first": sort_nulls_first,
+    "subquery_scalar": subquery_scalar,
+    "subquery_in": subquery_in,
+    "subquery_correlated": subquery_correlated,
+    "cte_chain": cte_chain,
+    "distinct_on": distinct_on,
+    "qualify": qualify_idiom,
+    "sample_deterministic": sample_deterministic,
+    "sample_bernoulli": sample_bernoulli,
+    "values_inline": values_inline,
+}
+
+ORACLE = {
+    "join_inner": JOIN_INNER_ORACLE,
+    "join_left": JOIN_LEFT_ORACLE,
+    "join_right": JOIN_RIGHT_ORACLE,
+    "join_full": JOIN_FULL_ORACLE,
+    "join_semi": JOIN_SEMI_ORACLE,
+    "join_anti": JOIN_ANTI_ORACLE,
+    "join_cross": JOIN_CROSS_ORACLE,
+    "join_theta": JOIN_THETA_ORACLE,
+    "join_using": JOIN_USING_ORACLE,
+    "setop_union_all": SETOP_UNION_ALL_ORACLE,
+    "setop_union_distinct": SETOP_UNION_DISTINCT_ORACLE,
+    "setop_intersect": SETOP_INTERSECT_ORACLE,
+    "setop_except_all": SETOP_EXCEPT_ALL_ORACLE,
+    "sort_limit_offset": SORT_LIMIT_OFFSET_ORACLE,
+    "sort_nulls_first": SORT_NULLS_FIRST_ORACLE,
+    "subquery_scalar": SUBQUERY_SCALAR_ORACLE,
+    "subquery_in": SUBQUERY_IN_ORACLE,
+    "subquery_correlated": SUBQUERY_CORRELATED_ORACLE,
+    "cte_chain": CTE_CHAIN_ORACLE,
+    "distinct_on": DISTINCT_ON_ORACLE,
+    "qualify": QUALIFY_ORACLE,
+    "sample_deterministic": SAMPLE_DETERMINISTIC_ORACLE,
+    "values_inline": VALUES_INLINE_ORACLE,
+}

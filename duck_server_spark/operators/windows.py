@@ -1,0 +1,173 @@
+"""Window functions: ranking, offset (lag/lead), value (first/last/nth),
+and aggregates over ROWS/RANGE frames.
+
+Reference parity: SURVEY.md §2B "Window functions" (DuckDB-1.0 window
+surface reachable through delegation).
+
+Scale notes: a window = one shuffle on the PARTITION BY key + per-partition
+sort. Keys here (suppkey, custkey, mktsegment) are high-cardinality or
+low-skew; at 100 TB the same plans hold — the thing to avoid is an empty
+PARTITION BY (single-partition global window), which we only use on
+pre-aggregated small inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from duck_server_spark.engine.session import load_table
+
+
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile / percent_rank / cume_dist
+    over a deterministic total order."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+WINDOW_RANKING_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults over per-customer order history."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price_def"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w)).alias("delta_prev"),
+    )
+
+
+WINDOW_LAG_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1, -1.0) OVER w AS next_price_def,
+       o_totalprice - lag(o_totalprice, 1, 0.0) OVER w AS delta_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def window_frames_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over ROWS frames: running totals + sliding 3-row mean.
+
+    Running sums carried in DECIMAL so both engines accumulate exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(qty).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias("running_qty"),
+        (
+            F.sum(qty).over(w.rowsBetween(-2, 0)).cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-2, 0))
+        ).alias("sliding_avg3"),
+        F.count(F.lit(1)).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("part_n"),
+    )
+
+
+WINDOW_FRAMES_ROWS_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_avg3,
+       count(*) OVER (PARTITION BY l_suppkey) AS part_n
+FROM lineitem
+"""
+
+
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over a full-partition frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+WINDOW_FIRST_LAST_NTH_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_ok,
+       last_value(o_orderkey) OVER w AS last_ok,
+       nth_value(o_orderkey, 2) OVER w AS second_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering column (peers by value)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_custkey").asc())
+        .rangeBetween(-5, 0)
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.count(F.lit(1)).over(w).alias("near_cnt"),
+    )
+
+
+WINDOW_RANGE_FRAME_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey ASC
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near_cnt
+FROM customer
+"""
+
+
+QUERIES = {
+    "window_ranking": window_ranking,
+    "window_lag_lead": window_lag_lead,
+    "window_frames_rows": window_frames_rows,
+    "window_first_last_nth": window_first_last_nth,
+    "window_range_frame": window_range_frame,
+}
+
+ORACLE = {
+    "window_ranking": WINDOW_RANKING_ORACLE,
+    "window_lag_lead": WINDOW_LAG_LEAD_ORACLE,
+    "window_frames_rows": WINDOW_FRAMES_ROWS_ORACLE,
+    "window_first_last_nth": WINDOW_FIRST_LAST_NTH_ORACLE,
+    "window_range_frame": WINDOW_RANGE_FRAME_ORACLE,
+}

@@ -1,0 +1,21 @@
+"""Differential tests for the relational / aggregate / window operator
+modules (each QUERIES entry vs its ORACLE twin; oracle-less entries just
+smoke-run)."""
+
+import pytest
+
+from duck_server_spark.operators import aggregates, relational, windows
+from tests.conftest import assert_matches_oracle
+
+MODULES = {"relational": relational, "aggregates": aggregates, "windows": windows}
+CASES = [(mname, q) for mname, mod in sorted(MODULES.items()) for q in sorted(mod.QUERIES)]
+
+
+@pytest.mark.parametrize("mname,name", CASES)
+def test_operator(spark, duck, sf_dir, mname, name):
+    mod = MODULES[mname]
+    if name in mod.ORACLE:
+        assert_matches_oracle(spark, duck, mod.QUERIES[name], mod.ORACLE[name], sf_dir)
+    else:
+        df = mod.QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0
