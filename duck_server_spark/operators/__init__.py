@@ -17,6 +17,8 @@ _MODULES = (
     "relational",
     "aggregates",
     "windows",
+    "scalars",
+    "events_time",
 )
 
 

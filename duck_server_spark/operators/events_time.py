@@ -1,0 +1,152 @@
+"""Time-series operators over the events stream table: AS-OF join,
+tumbling-window bucketing, gap-based sessionization.
+
+Reference parity: DuckDB 1.0 exposes ASOF JOIN and time bucketing through
+the delegation surface (SURVEY.md §2B "Joins"). Spark has no ASOF
+primitive → we implement the scalable idiom documented in SURVEY.md §2B:
+union the two streams, carry the last build-side value forward with a
+window — ONE shuffle on (user_id), no range-explosion join. At 100 TB
+this beats the naive `a⋈b ON key AND b.ts <= a.ts` + argmax (which is
+quadratic per key) and is exactly how production as-of joins are done on
+Spark.
+
+Determinism: ties at identical timestamps are broken (view-before-click,
+then event_id) so the oracle's argmax-with-composite-key picks the same
+row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from duck_server_spark.engine.session import load_table
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'click' event: the value of the latest 'view' event by the
+    same user at-or-before the click (inclusive AS-OF semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+
+    tagged = clicks.select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_click"), F.lit(None).cast("double").alias("view_value")
+    ).unionByName(
+        views.select(
+            "user_id", "ts", "event_id", F.lit(0).alias("is_click"), F.col("value").alias("view_value")
+        )
+    )
+    # views sort before clicks at equal ts (inclusive as-of); among equal-ts
+    # views the largest event_id wins — mirrored in the oracle's argmax key.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts", "last_view_value")
+    )
+
+
+ASOF_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id, c.ts,
+       (SELECT arg_max(v.value, printf('%020d|%012d', epoch_us(v.ts), v.event_id))
+        FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts) AS last_view_value
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
+def time_bucket_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows (batch twin of the streaming operator;
+    Spark `window()` ≙ DuckDB `time_bucket`)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
+TIME_BUCKET_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity ends a session):
+    classic lag → new-session flag → running sum → session_id, then
+    per-session stats. One shuffle on user_id; the cumulative sum is
+    per-user-partition — the standard scalable sessionization on Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)).alias("duration_s"),
+        )
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM g
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM f
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_s
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "asof_join": asof_join,
+    "time_bucket_tumbling": time_bucket_tumbling,
+    "sessionize": sessionize,
+}
+
+ORACLE = {
+    "asof_join": ASOF_JOIN_ORACLE,
+    "time_bucket_tumbling": TIME_BUCKET_TUMBLING_ORACLE,
+    "sessionize": SESSIONIZE_ORACLE,
+}

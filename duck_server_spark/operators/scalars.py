@@ -1,0 +1,306 @@
+"""Scalar function families: string / date-time / math / conditional /
+cast / array (incl. higher-order) / JSON / struct+map.
+
+Reference parity: SURVEY.md §2B "Scalar function families" — pass-through
+surface of the embedded engine, exercised here with cross-engine-exact
+semantics. Dialect gaps handled (and worth knowing at any scale):
+
+- DuckDB `date_trunc` returns DATE for coarse units; Spark returns
+  TIMESTAMP → we use Spark `trunc()`/`to_date` or cast to align.
+- DuckDB CAST(double AS INT) *rounds*, Spark *truncates* → never cast
+  float→int directly; use floor/ceil/round explicitly.
+- DuckDB `dayofweek` is 0=Sunday, Spark `dayofweek` 1=Sunday → offset.
+- `list_distinct` (DuckDB) has unspecified order → always sort after.
+- Everything stays in built-in functions (JVM codegen, no Python UDFs):
+  the whole module is WholeStageCodegen-able and scale-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duck_server_spark.engine.session import load_table
+
+
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.length("c_name").alias("len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("joined"),
+        F.lpad("c_mktsegment", 12, ".").alias("pad"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("renum"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.col("c_name").like("%1%").alias("has1"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.instr("c_name", "1").alias("pos1"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.col("c_name").startswith("Customer").alias("sw"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr"),
+    )
+
+
+STR_FUNCS_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lower(c_mktsegment) AS lo,
+       substring(c_name, 1, 8) AS sub,
+       length(c_name) AS len,
+       concat_ws('-', c_mktsegment, c_name) AS joined,
+       lpad(c_mktsegment, 12, '.') AS pad,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS renum,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       c_name LIKE '%1%' AS has1,
+       reverse(c_mktsegment) AS rev,
+       trim('  x  ') AS trimmed,
+       instr(c_name, '1') AS pos1,
+       repeat('ab', 3) AS rep,
+       starts_with(c_name, 'Customer') AS sw,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr
+FROM customer
+"""
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").cast("timestamp").alias("month_start"),
+        F.date_trunc("hour", "o_orderdate").alias("hour_ts"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("plus30"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).cast("timestamp").alias("plus2mo"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("eom"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
+        F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).cast("timestamp").alias("year_start"),
+    )
+
+
+DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       quarter(o_orderdate) AS q,
+       dayofweek(o_orderdate) AS dow_sun0,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       date_trunc('hour', o_orderdate) AS hour_ts,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+       CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP) AS plus2mo,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso,
+       CAST(make_date(CAST(year(o_orderdate) AS BIGINT), 1, 1) AS TIMESTAMP) AS year_start
+FROM orders
+"""
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("absdev"),
+        F.round(F.col("p_retailprice") / 7.0, 2).alias("rounded"),
+        F.floor(F.col("p_retailprice") / 100.0).cast("long").alias("floored"),
+        F.ceil(F.col("p_retailprice") / 100.0).cast("long").alias("ceiled"),
+        F.sqrt(F.col("p_retailprice")).alias("root"),
+        (F.col("p_size") % 7).alias("mod7"),
+        F.signum(F.col("p_size") - 25).cast("double").alias("sgn"),
+        (F.col("p_retailprice") * F.col("p_retailprice")).alias("sq"),
+        F.greatest("p_size", F.lit(10)).alias("gmax"),
+        F.least("p_size", F.lit(10)).alias("gmin"),
+    )
+
+
+MATH_FUNCS_ORACLE = """
+SELECT p_partkey,
+       abs(p_size - 25) AS absdev,
+       round(p_retailprice / 7.0, 2) AS rounded,
+       CAST(floor(p_retailprice / 100.0) AS BIGINT) AS floored,
+       CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS ceiled,
+       sqrt(p_retailprice) AS root,
+       p_size % 7 AS mod7,
+       CAST(sign(p_size - 25) AS DOUBLE) AS sgn,
+       p_retailprice * p_retailprice AS sq,
+       greatest(p_size, 10) AS gmax,
+       least(p_size, 10) AS gmin
+FROM part
+"""
+
+
+def cond_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif / if + explicit casts (incl. the
+    truncate-vs-round double→int trap, handled with floor)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000.0, "big")
+        .when(F.col("o_totalprice") > 100000.0, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_x"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("as_date"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+    )
+
+
+COND_CAST_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+            WHEN o_totalprice > 100000.0 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS as_date,
+       CAST(o_orderstatus = 'F' AS INTEGER) AS is_f
+FROM orders
+"""
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_el"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_contains("embedding", F.lit(0.0)).alias("has_zero"),
+        F.array(F.lit(1), F.lit(2), F.lit(3)).alias("lit_arr"),
+        F.sequence(F.lit(1), F.col("label").cast("bigint") + 1).alias("seq"),
+        F.array_sort(F.slice("embedding", 1, 4)).alias("sorted4"),
+        F.flatten(F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2))).alias("flat4"),
+    )
+
+
+ARRAY_FUNCS_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_el,
+       list_slice(embedding, 1, 3) AS head3,
+       list_contains(embedding, 0.0) AS has_zero,
+       [1, 2, 3] AS lit_arr,
+       generate_series(1, CAST(label AS BIGINT) + 1) AS seq,
+       list_sort(list_slice(embedding, 1, 4)) AS sorted4,
+       flatten([list_slice(embedding, 1, 2), list_slice(embedding, 3, 4)]) AS flat4
+FROM embeddings
+"""
+
+
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambdas: transform/filter/aggregate (≙ DuckDB
+    list_transform/list_filter/list_reduce). The F.aggregate dot-product
+    pattern here is the scale path for embedding math — stays in codegen,
+    no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.transform(v, lambda x: x * F.lit(2.0)).alias("doubled"),
+        F.filter(v, lambda x: x > 0).alias("positives"),
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double")).alias("el_sum"),
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        ).alias("self_dot"),
+        F.exists(v, lambda x: x > 2.0).alias("any_gt2"),
+    )
+
+
+ARRAY_HIGHER_ORDER_ORACLE = """
+SELECT vec_id,
+       list_transform(embedding, x -> x * 2.0) AS doubled,
+       list_filter(embedding, x -> x > 0) AS positives,
+       list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS el_sum,
+       list_reduce(list_prepend(0.0, list_transform(list_transform(embedding, x -> x * x), x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS self_dot,
+       len(list_filter(embedding, x -> x > 2.0)) > 0 AS any_gt2
+FROM embeddings
+"""
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over events.props (get_json_object ≙
+    json_extract_string)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+JSON_FUNCS_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       json_extract_string(props, '$.missing') AS absent
+FROM events
+"""
+
+
+def struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction + field access and MAP build + lookup, with
+    flattened (scalar) outputs so the comparison is representation-free."""
+    nation = load_table(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk"))
+    m = F.create_map(F.lit("a"), F.col("n_nationkey"), F.lit("b"), F.col("n_regionkey"))
+    return nation.select(
+        "n_nationkey",
+        s.getField("name").alias("s_name"),
+        s.getField("rk").alias("s_rk"),
+        F.element_at(m, F.lit("a")).alias("m_a"),
+        F.element_at(m, F.lit("b")).alias("m_b"),
+        F.array_sort(F.map_keys(m)).alias("mkeys"),
+    )
+
+
+STRUCT_MAP_FUNCS_ORACLE = """
+SELECT n_nationkey,
+       struct_extract({'name': n_name, 'rk': n_regionkey}, 'name') AS s_name,
+       struct_extract({'name': n_name, 'rk': n_regionkey}, 'rk') AS s_rk,
+       map_extract(map(['a','b'], [n_nationkey, n_regionkey]), 'a')[1] AS m_a,
+       map_extract(map(['a','b'], [n_nationkey, n_regionkey]), 'b')[1] AS m_b,
+       list_sort(map_keys(map(['a','b'], [n_nationkey, n_regionkey]))) AS mkeys
+FROM nation
+"""
+
+
+QUERIES = {
+    "scalar_string": str_funcs,
+    "scalar_date": date_funcs,
+    "scalar_math": math_funcs,
+    "scalar_cond_cast": cond_cast_funcs,
+    "scalar_array": array_funcs,
+    "scalar_array_higher_order": array_higher_order,
+    "scalar_json": json_funcs,
+    "scalar_struct_map": struct_map_funcs,
+}
+
+ORACLE = {
+    "scalar_string": STR_FUNCS_ORACLE,
+    "scalar_date": DATE_FUNCS_ORACLE,
+    "scalar_math": MATH_FUNCS_ORACLE,
+    "scalar_cond_cast": COND_CAST_FUNCS_ORACLE,
+    "scalar_array": ARRAY_FUNCS_ORACLE,
+    "scalar_array_higher_order": ARRAY_HIGHER_ORDER_ORACLE,
+    "scalar_json": JSON_FUNCS_ORACLE,
+    "scalar_struct_map": STRUCT_MAP_FUNCS_ORACLE,
+}

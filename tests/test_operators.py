@@ -4,10 +4,16 @@ smoke-run)."""
 
 import pytest
 
-from duck_server_spark.operators import aggregates, relational, windows
+from duck_server_spark.operators import aggregates, events_time, relational, scalars, windows
 from tests.conftest import assert_matches_oracle
 
-MODULES = {"relational": relational, "aggregates": aggregates, "windows": windows}
+MODULES = {
+    "relational": relational,
+    "aggregates": aggregates,
+    "windows": windows,
+    "scalars": scalars,
+    "events_time": events_time,
+}
 CASES = [(mname, q) for mname, mod in sorted(MODULES.items()) for q in sorted(mod.QUERIES)]
 
 
