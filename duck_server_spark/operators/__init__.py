@@ -19,6 +19,9 @@ _MODULES = (
     "windows",
     "scalars",
     "events_time",
+    "llm_text",
+    "dedup",
+    "similarity",
 )
 
 

@@ -1,0 +1,196 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+These are north-star extensions beyond the reference's own surface
+(BASELINE.json "north_star"): the operations a 100 TB pretraining-data
+pipeline runs over a `documents` corpus. Design rules:
+
+- Pure built-in expressions (split/regexp/higher-order lambdas) — the
+  whole module is JVM-codegen'd, no Python in the hot path, trivially
+  data-parallel: per-row map functions with NO shuffle at all. At 100 TB
+  these run at scan speed.
+- Every score is derived with the identical arithmetic expression on the
+  oracle side so results are bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duck_server_spark.engine.session import load_table
+
+# Tokens: lowercase whitespace split. Both engines: regex split on \s+.
+_TOKS = r"split(trim(text), '\\s+')"
+_TOKS_DUCK = r"regexp_split_to_array(trim(text), '\s+')"
+
+_STOPWORDS = "('the','a','an','of','and','or','in','on','to','is')"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex token count
+    (letter runs / digit runs / single punctuation, the GPT-2-style
+    pre-tokenizer shape) + distinct-token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_ws_tokens",
+        "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS n_bpe_tokens",
+        f"size(array_distinct({_TOKS})) AS n_distinct_tokens",
+        "length(text) AS n_chars_measured",
+        "n_chars",
+    )
+
+
+TOKEN_STATS_ORACLE = rf"""
+SELECT doc_id,
+       len({_TOKS_DUCK}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct({_TOKS_DUCK})) AS n_distinct_tokens,
+       length(text) AS n_chars_measured,
+       n_chars
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length saturation, stopword ratio,
+    type-token ratio, mean word length — the standard cheap pre-filters
+    (C4/Gopher-style) before expensive model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"size({_TOKS}) AS n_tokens",
+        f"CAST(size(filter({_TOKS}, t -> t IN {_STOPWORDS})) AS DOUBLE) / size({_TOKS}) AS stopword_ratio",
+        f"CAST(size(array_distinct({_TOKS})) AS DOUBLE) / size({_TOKS}) AS type_token_ratio",
+        f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / size({_TOKS}) AS mean_word_len",
+        f"""
+        0.4 * least(1.0, CAST(size({_TOKS}) AS DOUBLE) / 100.0)
+        + 0.3 * (CAST(size(filter({_TOKS}, t -> t IN {_STOPWORDS})) AS DOUBLE) / size({_TOKS}))
+        + 0.3 * (CAST(size(array_distinct({_TOKS})) AS DOUBLE) / size({_TOKS}))
+        AS quality
+        """,
+    )
+
+
+QUALITY_SCORE_ORACLE = f"""
+SELECT doc_id,
+       len({_TOKS_DUCK}) AS n_tokens,
+       CAST(len(list_filter({_TOKS_DUCK}, t -> t IN {_STOPWORDS})) AS DOUBLE) / len({_TOKS_DUCK}) AS stopword_ratio,
+       CAST(len(list_distinct({_TOKS_DUCK})) AS DOUBLE) / len({_TOKS_DUCK}) AS type_token_ratio,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKS_DUCK}) AS mean_word_len,
+       0.4 * least(1.0, CAST(len({_TOKS_DUCK}) AS DOUBLE) / 100.0)
+       + 0.3 * (CAST(len(list_filter({_TOKS_DUCK}, t -> t IN {_STOPWORDS})) AS DOUBLE) / len({_TOKS_DUCK}))
+       + 0.3 * (CAST(len(list_distinct({_TOKS_DUCK})) AS DOUBLE) / len({_TOKS_DUCK}))
+       AS quality
+FROM documents
+"""
+
+# Marker-word tables for the n-gram language-ID heuristic. (The fixture
+# text is synthetic English-ish vocab, so predictions skew 'en' — the
+# operator mechanics, not the model, are under test.)
+_MARKERS = {
+    "en": "('the','a','and','of','is')",
+    "es": "('el','la','de','y','es')",
+    "fr": "('le','la','et','de','est')",
+    "de": "('der','die','und','von','ist')",
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax tiebreak
+    (en > es > fr > de > unknown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        lang: f"size(filter({_TOKS}, t -> t IN {words}))" for lang, words in _MARKERS.items()
+    }
+    pred = f"""
+      CASE
+        WHEN {counts['en']} >= {counts['es']} AND {counts['en']} >= {counts['fr']}
+             AND {counts['en']} >= {counts['de']} AND {counts['en']} > 0 THEN 'en'
+        WHEN {counts['es']} >= {counts['fr']} AND {counts['es']} >= {counts['de']}
+             AND {counts['es']} > 0 THEN 'es'
+        WHEN {counts['fr']} >= {counts['de']} AND {counts['fr']} > 0 THEN 'fr'
+        WHEN {counts['de']} > 0 THEN 'de'
+        ELSE 'unknown'
+      END
+    """
+    return docs.selectExpr(
+        "doc_id",
+        "lang AS lang_labeled",
+        *[f"{expr} AS hits_{lang}" for lang, expr in counts.items()],
+        f"{pred} AS lang_pred",
+    )
+
+
+def _duck_counts():
+    return {
+        lang: f"len(list_filter({_TOKS_DUCK}, t -> t IN {words}))"
+        for lang, words in _MARKERS.items()
+    }
+
+
+_DC = _duck_counts()
+LANG_ID_ORACLE = f"""
+SELECT doc_id,
+       lang AS lang_labeled,
+       {_DC['en']} AS hits_en,
+       {_DC['es']} AS hits_es,
+       {_DC['fr']} AS hits_fr,
+       {_DC['de']} AS hits_de,
+       CASE
+         WHEN {_DC['en']} >= {_DC['es']} AND {_DC['en']} >= {_DC['fr']}
+              AND {_DC['en']} >= {_DC['de']} AND {_DC['en']} > 0 THEN 'en'
+         WHEN {_DC['es']} >= {_DC['fr']} AND {_DC['es']} >= {_DC['de']}
+              AND {_DC['es']} > 0 THEN 'es'
+         WHEN {_DC['fr']} >= {_DC['de']} AND {_DC['fr']} > 0 THEN 'fr'
+         WHEN {_DC['de']} > 0 THEN 'de'
+         ELSE 'unknown'
+       END AS lang_pred
+FROM documents
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 content hash, polynomial rolling hash
+    (mod 1e9+7, left-to-right — identical fold order in both engines),
+    and a min-shingle fingerprint (the 1-hash MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "md5(text) AS content_md5",
+        """
+        aggregate(split(text, ''), 0L,
+                  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007L) AS rolling_hash
+        """,
+        f"""
+        array_min(transform(sequence(1, greatest(size({_TOKS}) - 2, 1)),
+                  i -> md5(concat_ws(' ', slice({_TOKS}, i, 3))))) AS min_shingle_md5
+        """,
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(str_split(text, ''), c -> ascii(c))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
+       list_min(list_transform(generate_series(1, greatest(len({_TOKS_DUCK}) - 2, 1)),
+                i -> md5(concat_ws(' ', {_TOKS_DUCK}[i], {_TOKS_DUCK}[i+1], {_TOKS_DUCK}[i+2])))) AS min_shingle_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_score": quality_score,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": TOKEN_STATS_ORACLE,
+    "text_quality_score": QUALITY_SCORE_ORACLE,
+    "text_lang_id": LANG_ID_ORACLE,
+    "text_fingerprint": FINGERPRINT_ORACLE,
+}

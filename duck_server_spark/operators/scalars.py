@@ -212,7 +212,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding")
     return emb.select(
         "vec_id",
-        F.transform(v, lambda x: x * F.lit(2.0)).alias("doubled"),
+        F.transform(v, lambda x: x.cast("double") * F.lit(2.0)).alias("doubled"),
         F.filter(v, lambda x: x > 0).alias("positives"),
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double")).alias("el_sum"),
         F.aggregate(
@@ -226,7 +226,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_HIGHER_ORDER_ORACLE = """
 SELECT vec_id,
-       list_transform(embedding, x -> x * 2.0) AS doubled,
+       list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled,
        list_filter(embedding, x -> x > 0) AS positives,
        list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS el_sum,
        list_reduce(list_prepend(0.0, list_transform(list_transform(embedding, x -> x * x), x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS self_dot,

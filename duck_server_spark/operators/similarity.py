@@ -1,0 +1,129 @@
+"""Similarity search over the embeddings table: brute-force cosine top-k
+(the exactness baseline) and a sign-LSH bucketed ANN variant (the scale
+path).
+
+North-star extension (BASELINE.json). Scale design:
+- Brute force: queries × corpus is a broadcast-nested-loop with the
+  (small) query set broadcast; per-query top-k via window row_number.
+  Exact, O(Q·N) — the baseline you verify ANN recall against. At 100 TB
+  the corpus side stays partition-parallel: each task scores its
+  partition against the broadcast queries and emits local top-k; only
+  Q·k rows shuffle to finalize. (Catalyst gets this shape from
+  broadcast-join + window.)
+- Sign-LSH ANN: bucket = sign bits of the first B dimensions
+  (axis-aligned random-hyperplane LSH — deterministic and portable).
+  Probe only the query's bucket: the join becomes an equi-join on
+  bucket id → one shuffle, no Q×N blowup. Recall is tunable via B and
+  multi-probe; the oracle twin computes the identical buckets so
+  results match exactly.
+- Cosines are computed in double via left-to-right folds — bit-identical
+  across engines (see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duck_server_spark.engine.session import register_views
+
+_DOT_S = "aggregate(zip_with(q.embedding, c.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+_NRM_S = "aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+_DOT_D = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.embedding)), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)"
+_NRM_D = "list_reduce(list_prepend(0.0, list_transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
+
+_COS_S = f"{_DOT_S} / (sqrt({_NRM_S.format('q')}) * sqrt({_NRM_S.format('c')}))"
+_COS_D = f"{_DOT_D} / (sqrt({_NRM_D.format('q')}) * sqrt({_NRM_D.format('c')}))"
+
+# 8-bit sign-LSH bucket over the first 8 dimensions.
+_BUCKET_BITS = 8
+_BUCKET_S = " + ".join(
+    f"(CASE WHEN element_at({{0}}.embedding, {j + 1}) > 0 THEN {2**j} ELSE 0 END)"
+    for j in range(_BUCKET_BITS)
+)
+_BUCKET_D = " + ".join(
+    f"(CASE WHEN {{0}}.embedding[{j + 1}] > 0 THEN {2**j} ELSE 0 END)"
+    for j in range(_BUCKET_BITS)
+)
+
+SIM_BRUTE_SPARK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_S} AS cosine
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 10
+"""
+
+SIM_BRUTE_DUCK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_D} AS cosine
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 10
+"""
+
+SIM_LSH_SPARK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_S.format('embeddings')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.bucket AS bucket, {_COS_S} AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, bucket, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, bucket, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+SIM_LSH_DUCK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_D.format('b0')} AS bucket
+  FROM embeddings b0
+),
+q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.bucket AS bucket, {_COS_D} AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, bucket, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, bucket, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def _sql(spark_sql: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return build
+
+
+QUERIES = {
+    "similarity_topk_bruteforce": _sql(SIM_BRUTE_SPARK),
+    "similarity_ann_lsh": _sql(SIM_LSH_SPARK),
+}
+
+ORACLE = {
+    "similarity_topk_bruteforce": SIM_BRUTE_DUCK,
+    "similarity_ann_lsh": SIM_LSH_DUCK,
+}

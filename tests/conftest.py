@@ -99,6 +99,17 @@ def assert_matches_oracle(spark, duck, fn, sql, sf_dir=SF_DIR, float_tol=0.0):
     assert len(spark_pdf) == len(duck_pdf), (
         f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
+    # the driver's value hash is string-based — dtype differences (e.g.
+    # float32 vs float64 arrays) change rendering even when values match,
+    # so compare the string form too.
+    scols = sorted(spark_pdf.columns)
+    s_str = sorted(spark_pdf[scols].astype(str).itertuples(index=False, name=None))
+    d_str = sorted(duck_pdf[scols].astype(str).itertuples(index=False, name=None))
+    if not float_tol:
+        assert s_str == d_str, (
+            "string-render mismatch (dtype or formatting): "
+            + repr([(a, b) for a, b in zip(s_str, d_str) if a != b][:3])
+        )
     srows, drows = rows_of(spark_pdf), rows_of(duck_pdf)
     mismatches = []
     for i, (a, b) in enumerate(zip(srows, drows)):

@@ -4,7 +4,16 @@ smoke-run)."""
 
 import pytest
 
-from duck_server_spark.operators import aggregates, events_time, relational, scalars, windows
+from duck_server_spark.operators import (
+    aggregates,
+    dedup,
+    events_time,
+    llm_text,
+    relational,
+    scalars,
+    similarity,
+    windows,
+)
 from tests.conftest import assert_matches_oracle
 
 MODULES = {
@@ -13,6 +22,9 @@ MODULES = {
     "windows": windows,
     "scalars": scalars,
     "events_time": events_time,
+    "llm_text": llm_text,
+    "dedup": dedup,
+    "similarity": similarity,
 }
 CASES = [(mname, q) for mname, mod in sorted(MODULES.items()) for q in sorted(mod.QUERIES)]
 
