@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Timing excludes SparkSession startup (a fixed ~15 s JVM cost that is
+amortized to zero on a long-running server — the reference's comparable
+cost is its process start) but includes full query execution and result
+collection. One warmup query runs first so JIT/codegen of the very first
+job isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the TPC-H-shaped flagships + one representative of each
+# heavy operator family (windows, as-of, sessionization, dedup/LSH,
+# similarity). Names match __spark_entry__.queries().
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "agg_filter_distinct",
+    "window_frames_rows",
+    "asof_join",
+    "sessionize",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+]
+
+
+def main() -> None:
+    from duck_server_spark.engine.session import get_session
+    from duck_server_spark.operators import all_queries
+
+    spark = get_session("duck_server_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warmup: touch each fixture file's footer + JIT the scan/agg path.
+    queries["tpch_q1_pricing_summary"](spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

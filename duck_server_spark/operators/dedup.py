@@ -15,12 +15,23 @@ Scale design (the part that matters at 100 TB):
   shuffle on band buckets, then candidate verification only within
   buckets. This is THE standard web-scale near-dedup (Broder; used by
   C4/RefinedWeb/FineWeb pipelines).
-- SimHash: 64-bit signature per doc as a map; near-dup = small Hamming
-  distance; banding over 4×16-bit chunks makes it equi-joinable the same
-  way.
+- SimHash: 32-bit signature per doc as a map; near-dup = small Hamming
+  distance; banding over 2×16-bit chunks makes candidates equi-joinable;
+  the hamming filter on the full signature stays exact.
 - portable hashing: every hash is md5-based (hex-string compare), NOT
   engine hash() — both engines agree bit-for-bit, and md5 is uniform
   enough that bucket skew is bounded.
+
+Performance note (measured, sf0.1): Spark's higher-order lambdas run
+interpreted (outside WholeStageCodegen) with NO common-subexpression
+elimination across references — inlining the tokenize+shingle expression
+into each of 8 min-hash columns made the pipeline ~30× slower. Every
+query below therefore STAGES expensive arrays (tokens → shingles →
+per-token hashes) as projected columns; Catalyst's CollapseProject keeps
+a multiply-referenced non-cheap alias materialized, so each stage is
+computed once per row. Candidate pairs are deduplicated on (id1, id2)
+BEFORE re-joining the shingle arrays, and Jaccard/cosine are computed
+once in a staged column, not re-evaluated in the WHERE clause.
 """
 
 from __future__ import annotations
@@ -30,12 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from duck_server_spark.engine.session import register_views
 
 # ---------------------------------------------------------------------------
-# Shared SQL fragments (Spark dialect + DuckDB dialect twins)
+# Shared staged fragments (Spark dialect + DuckDB dialect twins)
 # ---------------------------------------------------------------------------
 
 # documents ∪ mutated copies: every 25th doc re-appears with its first
 # word dropped (near-dup), every 50th verbatim (exact dup).
-_CORPUS_SPARK = """
+_CORPUS = """
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
@@ -44,21 +55,31 @@ _CORPUS_SPARK = """
   FROM documents WHERE doc_id % 25 = 0
 """
 
-_CORPUS_DUCK = """
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
-         CASE WHEN doc_id % 50 = 0 THEN text
-              ELSE substring(text, instr(text, ' ') + 1) END AS text
-  FROM documents WHERE doc_id % 25 = 0
-"""
+# corpus → toks → sh (word-3-gram shingles), each stage a materialized
+# projection so downstream lambdas reference a column, not a recomputation.
+_STAGED_SHINGLES_S = f"""
+corpus AS ({_CORPUS}),
+tok AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM corpus
+),
+shing AS (
+  SELECT doc_id,
+         transform(sequence(1, greatest(size(toks) - 2, 1)),
+                   i -> concat_ws(' ', slice(toks, i, 3))) AS sh
+  FROM tok
+)"""
 
-_TOKS_S = r"split(trim(text), '\\s+')"
-_TOKS_D = r"regexp_split_to_array(trim(text), '\s+')"
-
-# word-3-gram shingles
-_SHINGLES_S = f"transform(sequence(1, greatest(size({_TOKS_S}) - 2, 1)), i -> concat_ws(' ', slice({_TOKS_S}, i, 3)))"
-_SHINGLES_D = f"list_transform(generate_series(1, greatest(len({_TOKS_D}) - 2, 1)), i -> concat_ws(' ', {_TOKS_D}[i], {_TOKS_D}[i+1], {_TOKS_D}[i+2]))"
+_STAGED_SHINGLES_D = rf"""
+corpus AS ({_CORPUS}),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus
+),
+shing AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+  FROM tok
+)"""
 
 
 def _sql_pair(spark_sql: str, duck_sql: str):
@@ -74,7 +95,7 @@ def _sql_pair(spark_sql: str, duck_sql: str):
 # ---------------------------------------------------------------------------
 
 DEDUP_EXACT_SPARK = f"""
-WITH corpus AS ({_CORPUS_SPARK}),
+WITH corpus AS ({_CORPUS}),
 hashed AS (SELECT doc_id, md5(text) AS h FROM corpus)
 SELECT h, min(doc_id) AS keeper, count(*) AS n_copies,
        sort_array(collect_list(doc_id)) AS members
@@ -82,7 +103,7 @@ FROM hashed GROUP BY h HAVING count(*) > 1
 """
 
 DEDUP_EXACT_DUCK = f"""
-WITH corpus AS ({_CORPUS_DUCK}),
+WITH corpus AS ({_CORPUS}),
 hashed AS (SELECT doc_id, md5(text) AS h FROM corpus)
 SELECT h, min(doc_id) AS keeper, count(*) AS n_copies,
        list_sort(list(doc_id)) AS members
@@ -92,129 +113,130 @@ FROM hashed GROUP BY h HAVING count(*) > 1
 # ---------------------------------------------------------------------------
 # 2. MinHash + LSH banding
 # ---------------------------------------------------------------------------
-# 8 md5-based min-hashes, 2 bands × 4 rows. Bucket-join on (band, sig),
-# verify candidates with exact shingle-set Jaccard ≥ 0.5.
+# 8 md5-based min-hashes over the staged shingle column, 2 bands × 4 rows.
+# Bucket-join on (band, sig) over id-only rows, re-join arrays for the
+# exact-Jaccard verification of the (few) candidates.
 
 _NUM_HASHES = 8
-_BAND_ROWS = 4
 
 
-def _minhash_cols(shingles: str, concat_fn: str, minfn: str, tfm: str) -> list[str]:
-    return [
-        f"{minfn}({tfm}({shingles}, s -> md5({concat_fn}('{j}|', s)))) AS mh{j}"
+def _minhash_cols(minfn: str, tfm: str) -> str:
+    return ",\n         ".join(
+        f"{minfn}({tfm}(sh, s -> md5(concat('{j}|', s)))) AS mh{j}"
         for j in range(_NUM_HASHES)
-    ]
+    )
 
 
-_MH_S = ",\n       ".join(_minhash_cols(_SHINGLES_S, "concat", "array_min", "transform"))
-_MH_D = ",\n       ".join(_minhash_cols(_SHINGLES_D, "concat", "list_min", "list_transform"))
-
-_BANDS = [
-    ("band0", ["mh0", "mh1", "mh2", "mh3"]),
-    ("band1", ["mh4", "mh5", "mh6", "mh7"]),
-]
+_BANDS = [("band0", ["mh0", "mh1", "mh2", "mh3"]), ("band1", ["mh4", "mh5", "mh6", "mh7"])]
 _BAND_SEL = ", ".join(f"concat({', '.join(cols)}) AS {name}" for name, cols in _BANDS)
 
 DEDUP_MINHASH_SPARK = f"""
-WITH corpus AS ({_CORPUS_SPARK}),
+WITH {_STAGED_SHINGLES_S},
 sigs AS (
-  SELECT doc_id, {_SHINGLES_S} AS sh,
-       {_MH_S}
-  FROM corpus
+  SELECT doc_id,
+         {_minhash_cols("array_min", "transform")}
+  FROM shing
 ),
 banded AS (
-  SELECT doc_id, sh, {_BAND_SEL} FROM sigs
+  SELECT doc_id, {_BAND_SEL} FROM sigs
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
 ),
 pairs AS (
-  SELECT a.doc_id AS id1, b2.doc_id AS id2, a.sh AS sh1, b2.sh AS sh2
-  FROM (
-    SELECT doc_id, sh, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
-  ) a
-  JOIN (
-    SELECT doc_id, sh, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
-  ) b2
-  ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 ),
-cand AS (
-  SELECT DISTINCT id1, id2, sh1, sh2 FROM pairs
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+),
+jac AS (
+  SELECT id1, id2,
+         CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
+  FROM joined
 )
-SELECT id1, id2,
-       CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
-         / size(array_union(sh1, sh2)) AS jaccard
-FROM cand
-WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
-        / size(array_union(sh1, sh2)) >= 0.5
+SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 DEDUP_MINHASH_DUCK = f"""
-WITH corpus AS ({_CORPUS_DUCK}),
+WITH {_STAGED_SHINGLES_D},
 sigs AS (
-  SELECT doc_id, {_SHINGLES_D} AS sh,
-       {_MH_D}
-  FROM corpus
+  SELECT doc_id,
+         {_minhash_cols("list_min", "list_transform")}
+  FROM shing
 ),
 banded AS (
-  SELECT doc_id, sh, {_BAND_SEL} FROM sigs
+  SELECT doc_id, {_BAND_SEL} FROM sigs
 ),
 long AS (
-  SELECT doc_id, sh, 0 AS b, band0 AS sig FROM banded
+  SELECT doc_id, 0 AS bnd, band0 AS sig FROM banded
   UNION ALL
-  SELECT doc_id, sh, 1 AS b, band1 AS sig FROM banded
+  SELECT doc_id, 1 AS bnd, band1 AS sig FROM banded
 ),
 pairs AS (
-  SELECT a.doc_id AS id1, c.doc_id AS id2, a.sh AS sh1, c.sh AS sh2
-  FROM long a JOIN long c
-  ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 ),
-cand AS (
-  SELECT DISTINCT id1, id2, sh1, sh2 FROM pairs
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+),
+jac AS (
+  SELECT id1, id2,
+         CAST(len(list_intersect(list_distinct(sh1), list_distinct(sh2))) AS DOUBLE)
+           / len(list_distinct(list_concat(sh1, sh2))) AS jaccard
+  FROM joined
 )
-SELECT id1, id2,
-       CAST(len(list_intersect(list_distinct(sh1), list_distinct(sh2))) AS DOUBLE)
-         / len(list_distinct(list_concat(sh1, sh2))) AS jaccard
-FROM cand
-WHERE CAST(len(list_intersect(list_distinct(sh1), list_distinct(sh2))) AS DOUBLE)
-        / len(list_distinct(list_concat(sh1, sh2))) >= 0.5
+SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 # ---------------------------------------------------------------------------
 # 3. SimHash (32-bit, md5-derived per-token hashes)
 # ---------------------------------------------------------------------------
-# bit_j(simhash) = 1 iff Σ_tokens (bit_j(md5_32(token)) ? 1 : -1) > 0.
-# Computed as: for each bit j, count tokens with bit set vs total.
+# bit_j(simhash) = 1 iff the majority of tokens have bit j set in their
+# 32-bit md5-derived hash. Per-token hashes staged once per row; the 32
+# per-bit counts are staged as columns so the signature sum references
+# counts, not 32 re-filters of a recomputed array.
 
 _SIMHASH_BITS = 32
 
-
-def _simhash_expr(toks: str, tfm: str, filt: str, hex2int: str) -> str:
-    # per-token 32-bit hash from first 8 md5 hex chars
-    tok_hashes = f"{tfm}({toks}, t -> {hex2int})"
-    bits = []
-    for j in range(_SIMHASH_BITS):
-        # bit j set in majority of tokens → contribute 2^j
-        bits.append(
-            f"(CASE WHEN 2 * size({filt}({tok_hashes}, h -> (h div {2**j}) % 2 = 1)) > size({tok_hashes}) THEN {2**j} ELSE 0 END)"
-        )
-    return " + ".join(bits)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN 2 * n{j} > n THEN {2**j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+)
 
 
-def _simhash_expr_duck(toks: str) -> str:
-    tok_hashes = f"list_transform({toks}, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)"
-    bits = []
-    for j in range(_SIMHASH_BITS):
-        bits.append(
-            f"(CASE WHEN 2 * len(list_filter({tok_hashes}, h -> (h // {2**j}) % 2 = 1)) > len({tok_hashes}) THEN {2**j} ELSE 0 END)"
-        )
-    return " + ".join(bits)
+def _bitcounts_spark() -> str:
+    return ",\n         ".join(
+        f"size(filter(th, h -> (h div {2**j}) % 2 = 1)) AS n{j}" for j in range(_SIMHASH_BITS)
+    )
 
 
-_H2I_S = "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"
+def _bitcounts_duck() -> str:
+    return ",\n         ".join(
+        f"len(list_filter(th, h -> (h // {2**j}) % 2 = 1)) AS n{j}" for j in range(_SIMHASH_BITS)
+    )
+
 
 DEDUP_SIMHASH_SPARK = f"""
-WITH corpus AS ({_CORPUS_SPARK}),
+WITH corpus AS ({_CORPUS}),
+tok AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM corpus
+),
+th AS (
+  SELECT doc_id, transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)) AS th,
+         size(toks) AS n
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, n,
+         {_bitcounts_spark()}
+  FROM th
+),
 sigs AS (
-  SELECT doc_id, {_simhash_expr(_TOKS_S, "transform", "filter", _H2I_S)} AS simhash
-  FROM corpus
+  SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM bits
 ),
 chunks AS (
   SELECT doc_id, simhash, stack(2, 0, simhash % 65536, 1, simhash div 65536) AS (cid, cval)
@@ -225,17 +247,28 @@ pairs AS (
   FROM chunks a JOIN chunks b
     ON a.cid = b.cid AND a.cval = b.cval AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT id1, id2,
-       bit_count(sh1 ^ sh2) AS hamming
+SELECT DISTINCT id1, id2, bit_count(sh1 ^ sh2) AS hamming
 FROM pairs
 WHERE bit_count(sh1 ^ sh2) <= 3
 """
 
-DEDUP_SIMHASH_DUCK = f"""
-WITH corpus AS ({_CORPUS_DUCK}),
+DEDUP_SIMHASH_DUCK = rf"""
+WITH corpus AS ({_CORPUS}),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus
+),
+th AS (
+  SELECT doc_id, list_transform(toks, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT) AS th,
+         len(toks) AS n
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, n,
+         {_bitcounts_duck()}
+  FROM th
+),
 sigs AS (
-  SELECT doc_id, {_simhash_expr_duck(_TOKS_D)} AS simhash
-  FROM corpus
+  SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM bits
 ),
 chunks AS (
   SELECT doc_id, simhash, 0 AS cid, simhash % 65536 AS cval FROM sigs
@@ -247,8 +280,7 @@ pairs AS (
   FROM chunks a JOIN chunks b
     ON a.cid = b.cid AND a.cval = b.cval AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT id1, id2,
-       bit_count(xor(sh1, sh2)) AS hamming
+SELECT DISTINCT id1, id2, bit_count(xor(sh1, sh2)) AS hamming
 FROM pairs
 WHERE bit_count(xor(sh1, sh2)) <= 3
 """
@@ -256,60 +288,59 @@ WHERE bit_count(xor(sh1, sh2)) <= 3
 # ---------------------------------------------------------------------------
 # 4. N-gram Jaccard (blocked pairwise)
 # ---------------------------------------------------------------------------
-# Exact Jaccard over word-3-gram sets, blocked by (first shingle's md5
-# prefix) to bound the pair count — the verification stage of LSH run
+# Exact Jaccard over word-3-gram sets, blocked by the md5 prefix of the
+# lexicographically-first shingle — the verification stage of LSH run
 # standalone with a cheaper blocking key.
 
 DEDUP_NGRAM_JACCARD_SPARK = f"""
-WITH corpus AS ({_CORPUS_SPARK}),
-sh AS (
-  SELECT doc_id, array_distinct({_SHINGLES_S}) AS sh,
-         substring(md5(element_at(sort_array({_SHINGLES_S}), 1)), 1, 2) AS blk
-  FROM corpus
+WITH {_STAGED_SHINGLES_S},
+blocked AS (
+  SELECT doc_id, array_distinct(sh) AS dsh,
+         substring(md5(array_min(sh)), 1, 2) AS blk
+  FROM shing
 ),
 pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
-  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.dsh AS sh1, b.dsh AS sh2
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT id1, id2,
+         CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
+  FROM pairs
 )
-SELECT id1, id2,
-       CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
-FROM pairs
-WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.3
+SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.3
 """
 
 DEDUP_NGRAM_JACCARD_DUCK = f"""
-WITH corpus AS ({_CORPUS_DUCK}),
-sh AS (
-  SELECT doc_id, list_distinct({_SHINGLES_D}) AS sh,
-         substring(md5(list_sort({_SHINGLES_D})[1]), 1, 2) AS blk
-  FROM corpus
+WITH {_STAGED_SHINGLES_D},
+blocked AS (
+  SELECT doc_id, list_distinct(sh) AS dsh,
+         substring(md5(list_min(sh)), 1, 2) AS blk
+  FROM shing
 ),
 pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
-  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.dsh AS sh1, b.dsh AS sh2
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT id1, id2,
+         CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+           / len(list_distinct(list_concat(sh1, sh2))) AS jaccard
+  FROM pairs
 )
-SELECT id1, id2,
-       CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / len(list_distinct(list_concat(sh1, sh2))) AS jaccard
-FROM pairs
-WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / len(list_distinct(list_concat(sh1, sh2))) >= 0.3
+SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.3
 """
 
 # ---------------------------------------------------------------------------
 # 5. Embedding-cosine near-dup (label-blocked)
 # ---------------------------------------------------------------------------
-# Cosine in double via left-to-right fold (bit-identical both engines,
-# see operators/scalars.py). Blocking on label bounds pairs; at 100 TB
-# the blocking key would be an LSH/IVF bucket (see similarity.py).
+# Cosine in double via left-to-right fold (bit-identical both engines).
+# Norms are staged per-vector BEFORE the pair join (computed n times, not
+# n² times); only the dot product runs per pair. Blocking on label bounds
+# pairs; at 100 TB the blocking key would be an LSH/IVF bucket (see
+# similarity.py).
 
-_DOT_S = "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
-_NRM_S = "aggregate(transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
-
-_DOT_D = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)"
-_NRM_D = "list_reduce(list_prepend(0.0, list_transform({0}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
-
-# embeddings ∪ perturbed copies (first component -> 0.5) so the fixture
-# has true near-dup pairs; cos(orig, copy) ≈ 0.9 for unit-norm vectors.
-_EMB_CORPUS_SPARK = """
+_EMB_CORPUS_S = """
   SELECT vec_id, label, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, label,
@@ -317,7 +348,7 @@ _EMB_CORPUS_SPARK = """
   FROM embeddings WHERE vec_id % 10 = 0
 """
 
-_EMB_CORPUS_DUCK = """
+_EMB_CORPUS_D = """
   SELECT vec_id, label, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, label,
@@ -325,22 +356,37 @@ _EMB_CORPUS_DUCK = """
   FROM embeddings WHERE vec_id % 10 = 0
 """
 
+_DOT_S = "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+_DOT_D = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
 DEDUP_EMBEDDING_SPARK = f"""
-WITH emb AS ({_EMB_CORPUS_SPARK})
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-       {_DOT_S} / (sqrt({_NRM_S.format('a')}) * sqrt({_NRM_S.format('b')})) AS cosine
-FROM emb a JOIN emb b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_DOT_S} / (sqrt({_NRM_S.format('a')}) * sqrt({_NRM_S.format('b')})) >= 0.85
+WITH raw AS ({_EMB_CORPUS_S}),
+emb AS (
+  SELECT vec_id, label, embedding,
+         sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)) AS nrm
+  FROM raw
+),
+scored AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         {_DOT_S} / (a.nrm * b.nrm) AS cosine
+  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.85
 """
 
 DEDUP_EMBEDDING_DUCK = f"""
-WITH emb AS ({_EMB_CORPUS_DUCK})
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-       {_DOT_D} / (sqrt({_NRM_D.format('a')}) * sqrt({_NRM_D.format('b')})) AS cosine
-FROM emb a JOIN emb b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_DOT_D} / (sqrt({_NRM_D.format('a')}) * sqrt({_NRM_D.format('b')})) >= 0.85
+WITH raw AS ({_EMB_CORPUS_D}),
+emb AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)) AS nrm
+  FROM raw
+),
+scored AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         {_DOT_D} / (a.nrm * b.nrm) AS cosine
+  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.85
 """
 
 
