@@ -1,0 +1,119 @@
+"""Front-end SQL dialect shims: the textual compatibility rewrites the
+reference applies before delegating to its engine (SURVEY.md §4.1), plus
+the DuckDB/PG → Spark dialect gaps we close the same way.
+
+Reference parity (file:line in /root/reference):
+- `LIMIT n,m` → `LIMIT m OFFSET n`          ch_server.go:155,164
+- `version()` → literal                     ch_server.go:160
+- `select table` keyword quoting            ch_server.go:161
+- newline flattening for CH queries         ch_server.go:163
+- `show transaction_read_only` → `select 0` pg_conn.go:305,444
+- `SET extra_float_digits/application_name` → no-op  pg_conn.go:448-453
+- `$n` → `null` for describe probes         pg_conn.go:652-656
+Additional DuckDB→Spark gaps (SURVEY.md §7 "Dialect gap"):
+- `x::type` casts → `CAST(x AS type)`
+- `QUALIFY` → subquery filter idiom is NOT auto-rewritten (documented
+  limitation; the DataFrame idiom exists in operators/relational.py)
+"""
+
+from __future__ import annotations
+
+import re
+
+VERSION_STRING = "23.3.1.2823"  # ch_server.go:160 literal
+SERVER_VERSION = "16.0-sparksql-4.1"  # pg_conn.go:22 pattern
+
+_LIMIT_NM = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
+_VERSION = re.compile(r"\bversion\(\)", re.IGNORECASE)
+_SELECT_TABLE = re.compile(r"^(\s*select\s+)table\b", re.IGNORECASE)
+_SHOW_TXN_RO = re.compile(r"^\s*show\s+transaction_read_only\s*;?\s*$", re.IGNORECASE)
+_SET_NOOP = re.compile(
+    r"^\s*set\s+(extra_float_digits|application_name|search_path|statement_timeout|client_encoding|datestyle|timezone)\b",
+    re.IGNORECASE,
+)
+_PARAM = re.compile(r"\$(\d+)")
+_PG_CAST = re.compile(r"::\s*([A-Za-z_][A-Za-z0-9_ ]*(\(\s*\d+(\s*,\s*\d+)?\s*\))?)")
+_CURRENT_SCHEMA = re.compile(r"\bcurrent_schema\(\)", re.IGNORECASE)
+
+_DUCK_TO_SPARK_TYPES = {
+    "hugeint": "decimal(38,0)",
+    "varchar": "string",
+    "text": "string",
+    "ubigint": "decimal(20,0)",
+    "uinteger": "bigint",
+    "blob": "binary",
+    "real": "float",
+    "int4": "int",
+    "int8": "bigint",
+    "int2": "smallint",
+    "float4": "float",
+    "float8": "double",
+    "bool": "boolean",
+}
+
+
+def normalize_type(name: str) -> str:
+    return _DUCK_TO_SPARK_TYPES.get(name.strip().lower(), name)
+
+
+def rewrite_ch_query(q: str) -> str:
+    """ClickHouse-HTTP-path rewrites (ch_server.go:155-164 order)."""
+    q = q.replace("\r\n", " ").replace("\n", " ")  # ch_server.go:163
+    q = _VERSION.sub(f"'{VERSION_STRING}'", q)  # ch_server.go:160
+    q = _SELECT_TABLE.sub(r"\1`table`", q)  # ch_server.go:161, backtick-quoted
+    q = _LIMIT_NM.sub(r"LIMIT \2 OFFSET \1", q)  # ch_server.go:155,164
+    return rewrite_common(q)
+
+
+def rewrite_pg_query(q: str) -> str:
+    """PG-path rewrites (pg_conn.go:444-453 intercept list)."""
+    if _SHOW_TXN_RO.match(q) or q.strip().lower().startswith("show transaction_read_only"):
+        return "SELECT 0 AS transaction_read_only"
+    if _SET_NOOP.match(q):
+        return "SELECT 1 LIMIT 0"  # pg_conn.go:448-453 ack shape
+    return rewrite_common(q)
+
+
+def rewrite_common(q: str) -> str:
+    """Dialect-gap rewrites applied on every path."""
+    # x::type → CAST-free Spark double-colon is actually supported in
+    # Spark 3.4+ (`expr::type`), but duck-specific type NAMES are not.
+    def _cast_type(m: re.Match) -> str:
+        return "::" + normalize_type(m.group(1))
+
+    q = _PG_CAST.sub(_cast_type, q)
+    q = _CURRENT_SCHEMA.sub("current_database()", q)
+    return q
+
+
+def substitute_params(q: str, params: list) -> str:
+    """$n placeholders → escaped literals. The reference always falls back
+    to textual inlining beyond 20 params (pg_conn.go:716-766) because of
+    per-param cgo cost; our py4j boundary has the same shape, so we always
+    inline — one JVM call per query."""
+
+    def repl(m: re.Match) -> str:
+        idx = int(m.group(1)) - 1
+        if idx < 0 or idx >= len(params):
+            return "NULL"
+        return render_literal(params[idx])
+
+    return _PARAM.sub(repl, q)
+
+
+def params_to_null(q: str) -> str:
+    """$n → null for describe probes (pg_conn.go:652-656)."""
+    return _PARAM.sub("null", q)
+
+
+def render_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, bytes):
+        return "X'" + v.hex() + "'"
+    s = str(v).replace("'", "''")  # pg_conn.go:753 escaping
+    return f"'{s}'"

@@ -1,0 +1,227 @@
+"""ClickHouse-compatible HTTP server over the Spark engine.
+
+Reference parity: /root/reference/ch_server.go —
+- A18 dispatcher (ServeHTTP :80-150): GET → ?query (+body concat); POST →
+  body classified SELECT / INSERT…FORMAT / other via the same regexes
+  (:39-41, :152).
+- A19 SELECT path (:157-224): rewrites, FORMAT suffix extraction
+  (default TabSeparated), chunked transfer, x-clickhouse-format +
+  content-type headers.
+- A20 INSERT…FORMAT path (:236-343): parseTablesAndColumns (:345-362),
+  schema from catalog (their LIMIT-0 probe ≙ our spark.table(t).schema),
+  format reader → batched append; column-subset inserts fill NULL.
+- A21 generic exec (:226-234): everything else → engine execute, 200.
+- A22 basic auth (:49-104): HTTP basic or ?user=&password= against the
+  SCRAM verifier store, 60 s cache — keyed by USERNAME (the reference
+  caches under the literal string "user", quirk Q2; fixed here).
+
+Scale: results stream through the format writer from toLocalIterator —
+O(partition) server memory; ingest batches rows and appends through one
+DataFrame write per request (the Appender analogue, README.md:32).
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from duck_server_spark.engine.executor import Engine, verify_password
+from duck_server_spark.sources.formats import READERS, WRITERS, write_all
+
+# ch_server.go:39-41,152 classification regexes
+_INSERT_FORMAT = re.compile(r"(?i)^\s*insert\s+into\s+([\w.]+)\s*(\(([^)]*)\))?\s*format\s+(\w+)\s*", re.DOTALL)
+_INSERT_VALUES = re.compile(r"(?i)^\s*insert\s+into\s+.+values", re.DOTALL)
+_SELECT = re.compile(r"(?i)^\s*(select|with|show|describe|values)\b")
+_FORMAT_SUFFIX = re.compile(r"(?i)\s+format\s+(\w+)\s*;?\s*$")
+
+AUTH_CACHE_TTL = 60.0  # ch_server.go:24
+
+
+class ChRequestHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    engine: Engine = None  # type: ignore[assignment]
+    auth_cache: dict[str, tuple[str, float]] = {}
+    auth_lock = threading.Lock()
+    require_auth = False
+
+    # silence per-request stderr logging
+    def log_message(self, fmt: str, *args) -> None:
+        pass
+
+    # ----------------------------------------------------------- helpers
+
+    def _auth_ok(self) -> bool:
+        if not self.require_auth:
+            return True
+        user = password = None
+        hdr = self.headers.get("Authorization", "")
+        if hdr.startswith("Basic "):
+            import base64
+
+            try:
+                user, password = base64.b64decode(hdr[6:]).decode().split(":", 1)
+            except Exception:
+                return False
+        else:
+            qs = urllib.parse.urlparse(self.path).query
+            params = urllib.parse.parse_qs(qs)
+            user = (params.get("user") or [None])[0]
+            password = (params.get("password") or [None])[0]
+        if not user or password is None:
+            return False
+        now = time.monotonic()
+        with self.auth_lock:
+            hit = self.auth_cache.get(user)  # keyed by username (fixes Q2)
+            if hit and hit[0] == password and now - hit[1] < AUTH_CACHE_TTL:
+                return True
+        verifier = self.engine.get_verifier(user)
+        if verifier is None or not verify_password(password, verifier):
+            return False
+        with self.auth_lock:
+            self.auth_cache[user] = (password, now)
+        return True
+
+    def _send_text(self, code: int, body: str) -> None:
+        data = body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(length) if length else b""
+
+    # ------------------------------------------------------------ routes
+
+    def do_GET(self) -> None:  # noqa: N802  (stdlib API)
+        if not self._auth_ok():
+            self._send_text(401, "unauthorized\n")
+            return
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path == "/ping":
+            self._send_text(200, "Ok.\n")
+            return
+        params = urllib.parse.parse_qs(parsed.query)
+        query = (params.get("query") or [""])[0]
+        body = self._read_body().decode()
+        if body:
+            query = f"{query} {body}" if query else body  # ch_server.go:105-111
+        if not query.strip():
+            self._send_text(200, "Ok.\n")
+            return
+        self._dispatch(query)
+
+    def do_POST(self) -> None:  # noqa: N802
+        if not self._auth_ok():
+            self._send_text(401, "unauthorized\n")
+            return
+        parsed = urllib.parse.urlparse(self.path)
+        params = urllib.parse.parse_qs(parsed.query)
+        url_query = (params.get("query") or [""])[0]
+        body = self._read_body()
+        m = _INSERT_FORMAT.match(url_query) if url_query else None
+        if m:  # INSERT statement in URL, data in body
+            self._insert_format(m, body)
+            return
+        text = body.decode(errors="replace")
+        full = f"{url_query} {text}".strip() if url_query else text
+        m = _INSERT_FORMAT.match(full)
+        if m:
+            self._insert_format(m, full[m.end():].encode())
+            return
+        self._dispatch(full)
+
+    def _dispatch(self, query: str) -> None:
+        if _SELECT.match(query):
+            self._select(query)
+        else:
+            try:
+                tag = self.engine.execute(query, dialect="ch")
+                self._send_text(200, "")
+                _ = tag
+            except Exception as e:  # noqa: BLE001 — error → HTTP 500 (ch_server.go:231)
+                self._send_text(500, f"{e}\n")
+
+    def _select(self, query: str) -> None:
+        fmt = "TabSeparated"  # ch_server.go:170-174 default
+        m = _FORMAT_SUFFIX.search(query)
+        if m:
+            fmt = m.group(1)
+            query = query[: m.start()]
+        writer_factory = WRITERS.get(fmt)
+        if writer_factory is None:
+            self._send_text(400, f"unknown format {fmt}\n")
+            return
+        try:
+            schema, rows = self.engine.stream(query, dialect="ch")
+        except Exception as e:  # noqa: BLE001 — ch_server.go:183-185
+            self._send_text(500, f"{e}\n")
+            return
+        writer = writer_factory(schema)
+        self.send_response(200)
+        self.send_header("Content-Type", writer.content_type)
+        self.send_header("x-clickhouse-format", fmt)  # ch_server.go:202-204
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
+            for chunk in write_all(writer, rows):
+                self._write_chunk(chunk)
+            self._write_chunk(b"")
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+    def _write_chunk(self, data: bytes) -> None:
+        self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+    def _insert_format(self, m: re.Match, payload: bytes) -> None:
+        table = m.group(1)
+        cols = [c.strip().strip('`"') for c in (m.group(3) or "").split(",") if c.strip()]
+        fmt = m.group(4)
+        reader_factory = READERS.get(fmt)
+        if reader_factory is None:
+            self._send_text(400, f"unknown format {fmt}\n")
+            return
+        try:
+            full_schema = self.engine.spark.table(table).schema  # LIMIT-0 probe analogue
+        except Exception as e:  # noqa: BLE001
+            self._send_text(500, f"{e}\n")
+            return
+        if cols:
+            from pyspark.sql import types as T
+
+            subset = T.StructType([f for f in full_schema.fields if f.name in cols])
+            reader = reader_factory(subset)
+        else:
+            reader = reader_factory(full_schema)
+        try:
+            rows = list(reader.read(payload))
+            if rows:
+                df = self.engine.spark.createDataFrame(rows, reader.schema)
+                if cols:  # column-subset insert: missing columns → NULL (A20)
+                    from pyspark.sql import functions as F
+
+                    for f in full_schema.fields:
+                        if f.name not in cols:
+                            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    df = df.select(*[f.name for f in full_schema.fields])
+                df.write.mode("append").saveAsTable(table)
+            self._send_text(200, "")
+        except Exception as e:  # noqa: BLE001
+            self._send_text(500, f"{e}\n")
+
+
+def serve(engine: Engine, host: str = "127.0.0.1", port: int = 8123, require_auth: bool = False) -> ThreadingHTTPServer:
+    handler = type(
+        "BoundChHandler",
+        (ChRequestHandler,),
+        {"engine": engine, "require_auth": require_auth, "auth_cache": {}},
+    )
+    server = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

@@ -1,0 +1,546 @@
+"""PostgreSQL wire-protocol v3 server over the Spark engine.
+
+Reference parity (/root/reference, SURVEY.md §2A):
+- A1/A2 accept loop + startup negotiation: SSLRequest refused with 'N'
+  (wire.go:53-58), CancelRequest routed (wire.go:35-61), protocol 3.0
+  startup params parsed (message.go:79-144).
+- A3 framing: type byte + int32 length (wire.go:10-16).
+- A4 simple query ('Q'): intercept list (CREATE USER pg_conn.go:282,
+  empty → EmptyQueryResponse :295, DISCARD ALL :299, COPY FROM STDIN
+  :302, show transaction_read_only :305) then execute + stream
+  RowDescription/DataRow/CommandComplete (pg_conn.go:215-272). The
+  reference's CommandComplete tag is literally "(N row)"
+  (pg_conn.go:271) — replicated.
+- A5-A9 extended protocol: Parse/Bind/Describe/Execute/Sync state
+  machine with error-skip-until-Sync (pg_conn.go:133-208); text params
+  coerced int→float→string (message.go:430-438); params always inlined
+  as literals (the reference does this past 20 params to dodge per-param
+  cgo cost, pg_conn.go:213,716-766 — our py4j boundary has the same
+  shape so we always inline).
+- A10/A11 RowDescription derived from df.schema (better than the
+  reference's first-row sniffing, and gives zero-row describes for free).
+  OID quirks Q3/Q4 deliberately fixed (int4=23, timestamps=1114).
+- A12 COPY FROM STDIN csv: CopyInResponse → CopyData stream → batch
+  append → "COPY n" tag (pg_conn.go:545-621).
+- A14 cancel: BackendKeyData key registered and CancelRequest actually
+  cancels the job group — the reference never stores its backends
+  (quirk Q1) so its cancel is a no-op; ours works.
+- A15 SCRAM-SHA-256 SASL auth + localhost bypass (pg_auth.go:18-110).
+- A28 ParameterStatus bookkeeping (pg_conn.go:20-24,109-127).
+- A29 ErrorResponse with severity/code/message (pg_conn.go:385-397).
+
+Concurrency: asyncio sockets; every Spark action runs in a worker thread
+(run_in_executor) so one slow query never blocks other connections.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import csv
+import hashlib
+import hmac
+import io
+import re
+import secrets
+import struct
+from dataclasses import dataclass, field
+
+from duck_server_spark.engine.executor import Engine, parse_verifier
+from duck_server_spark.engine.types import (
+    coerce_text_param,
+    parse_csv_cell,
+    render_pg_text,
+    spark_type_to_pg_oid,
+)
+from duck_server_spark.plans import rewrites
+
+PROTO_V3 = 196608
+SSL_REQUEST = 80877103
+CANCEL_REQUEST = 80877102
+
+_COPY_IN = re.compile(
+    r"^\s*copy\s+([\w.]+)\s*(\(([^)]*)\))?\s+from\s+stdin\s*(with\s*)?(\(?\s*(format\s+)?csv[^)]*\)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_USER = re.compile(
+    r"^\s*create\s+user\s+(\w+)\s+with\s+password\s+'([^']*)'\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
+_DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+_WRITE_VERB = re.compile(
+    r"^\s*(insert|update|delete|create|drop|alter|truncate|set|copy|grant|vacuum|analyze)\b",
+    re.IGNORECASE,
+)
+
+PARAMETER_STATUS = {  # pg_conn.go:20-24
+    "client_encoding": "UTF8",
+    "server_version": rewrites.SERVER_VERSION,
+    "standard_conforming_strings": "on",
+}
+
+
+@dataclass
+class StmtDesc:
+    query: str
+    num_params: int
+
+
+@dataclass
+class Portal:
+    stmt: StmtDesc
+    params: list = field(default_factory=list)
+
+
+class PgConnection:
+    def __init__(self, server: "PgServer", reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self.server = server
+        self.engine = server.engine
+        self.reader = reader
+        self.writer = writer
+        self.stmts: dict[str, StmtDesc] = {}
+        self.portals: dict[str, Portal] = {}
+        self.in_error = False
+        self.backend_pid = secrets.randbelow(1 << 31)
+        self.secret_key = secrets.randbelow(1 << 31)
+        self.job_group = f"pg-{self.backend_pid}"
+
+    # ------------------------------------------------------------ frames
+
+    def _send(self, msg_type: bytes, payload: bytes = b"") -> None:
+        self.writer.write(msg_type + struct.pack(">i", len(payload) + 4) + payload)
+
+    def send_error(self, message: str, code: str = "SQL-0000") -> None:
+        # pg_conn.go:385-397 field layout
+        payload = b"SERROR\x00" + b"C" + code.encode() + b"\x00M" + message.encode() + b"\x00\x00"
+        self._send(b"E", payload)
+        self.in_error = True
+
+    def send_ready(self) -> None:
+        self._send(b"Z", b"I")  # always idle (reference never exposes txns)
+        self.in_error = False
+
+    def send_row_description(self, schema) -> None:
+        buf = struct.pack(">h", len(schema.fields))
+        for f in schema.fields:
+            oid = spark_type_to_pg_oid(f.dataType)
+            buf += f.name.encode() + b"\x00"
+            buf += struct.pack(">ihihih", 0, 0, oid, -1, -1, 0)  # text format
+        self._send(b"T", buf)
+
+    def send_data_row(self, row: tuple) -> None:
+        buf = struct.pack(">h", len(row))
+        for v in row:
+            s = render_pg_text(v)
+            if s is None:
+                buf += struct.pack(">i", -1)  # NULL (pg_conn.go:403-405)
+            else:
+                b = s.encode()
+                buf += struct.pack(">i", len(b)) + b
+        self._send(b"D", buf)
+
+    def send_command_complete(self, tag: str) -> None:
+        self._send(b"C", tag.encode() + b"\x00")
+
+    # ----------------------------------------------------------- startup
+
+    async def run(self) -> None:
+        try:
+            if not await self._startup():
+                return
+            await self._message_loop()
+        except (asyncio.IncompleteReadError, ConnectionResetError, BrokenPipeError):
+            pass
+        finally:
+            self.server.backends.pop(self.backend_pid, None)
+            self.writer.close()
+
+    async def _startup(self) -> bool:
+        while True:
+            raw = await self.reader.readexactly(4)
+            (length,) = struct.unpack(">i", raw)
+            payload = await self.reader.readexactly(length - 4)
+            (code,) = struct.unpack(">i", payload[:4])
+            if code == SSL_REQUEST:
+                self.writer.write(b"N")  # wire.go:53-58 refusal
+                await self.writer.drain()
+                continue
+            if code == CANCEL_REQUEST:
+                pid, key = struct.unpack(">ii", payload[4:12])
+                self.server.handle_cancel(pid, key)
+                return False
+            if code == PROTO_V3:
+                params = self._parse_startup_params(payload[4:])
+                break
+            self.send_error(f"unsupported protocol {code}")
+            return False
+        user = params.get("user", "")
+        if not await self._auth(user):
+            return False
+        self.server.backends[self.backend_pid] = (self.secret_key, self.job_group)
+        self._send(b"K", struct.pack(">ii", self.backend_pid, self.secret_key))
+        for k, v in PARAMETER_STATUS.items():
+            self._send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
+        self.send_ready()
+        await self.writer.drain()
+        return True
+
+    @staticmethod
+    def _parse_startup_params(data: bytes) -> dict[str, str]:
+        parts = data.split(b"\x00")
+        out = {}
+        for i in range(0, len(parts) - 1, 2):
+            if parts[i]:
+                out[parts[i].decode()] = parts[i + 1].decode()
+        return out
+
+    # -------------------------------------------------------------- auth
+
+    async def _auth(self, user: str) -> bool:
+        peer = self.writer.get_extra_info("peername") or ("",)
+        verifier = self.engine.get_verifier(user)
+        localhost = peer[0] in ("127.0.0.1", "::1", "")
+        if verifier is None or (localhost and not self.server.require_auth):
+            self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk (bypass, pg_auth.go:18-27)
+            await self.writer.drain()
+            return True
+        return await self._scram(user, verifier)
+
+    async def _scram(self, user: str, verifier: str) -> bool:
+        """Server-side SCRAM-SHA-256 (RFC 5802), same flow as
+        pg_auth.go:29-110."""
+        iters, salt, stored_key, server_key = parse_verifier(verifier)
+        self._send(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00")
+        await self.writer.drain()
+        t, payload = await self._read_message()
+        if t != b"p":
+            self.send_error("expected SASLInitialResponse")
+            return False
+        idx = payload.index(b"\x00")
+        (resp_len,) = struct.unpack(">i", payload[idx + 1 : idx + 5])
+        client_first = payload[idx + 5 : idx + 5 + resp_len].decode()
+        bare = client_first.split(",", 2)[2]  # strip gs2 header
+        attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+        client_nonce = attrs["r"]
+        server_nonce = client_nonce + base64.b64encode(secrets.token_bytes(18)).decode()
+        server_first = f"r={server_nonce},s={base64.b64encode(salt).decode()},i={iters}"
+        self._send(b"R", struct.pack(">i", 11) + server_first.encode())
+        await self.writer.drain()
+        t, payload = await self._read_message()
+        if t != b"p":
+            self.send_error("expected SASLResponse")
+            return False
+        client_final = payload.decode()
+        fattrs = dict(kv.split("=", 1) for kv in client_final.split(","))
+        client_proof = base64.b64decode(fattrs["p"])
+        final_without_proof = client_final[: client_final.rindex(",p=")]
+        auth_message = f"{bare},{server_first},{final_without_proof}".encode()
+        client_sig = hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+        client_key = bytes(a ^ b for a, b in zip(client_proof, client_sig))
+        if hashlib.sha256(client_key).digest() != stored_key:
+            self.send_error(f'password authentication failed for user "{user}"', "28P01")
+            await self.writer.drain()
+            return False
+        server_sig = hmac.new(server_key, auth_message, hashlib.sha256).digest()
+        final = b"v=" + base64.b64encode(server_sig)
+        self._send(b"R", struct.pack(">i", 12) + final)
+        self._send(b"R", struct.pack(">i", 0))
+        await self.writer.drain()
+        return True
+
+    # ------------------------------------------------------ message loop
+
+    async def _read_message(self) -> tuple[bytes, bytes]:
+        t = await self.reader.readexactly(1)
+        (length,) = struct.unpack(">i", await self.reader.readexactly(4))
+        payload = await self.reader.readexactly(length - 4)
+        return t, payload
+
+    async def _message_loop(self) -> None:
+        while True:
+            t, payload = await self._read_message()
+            if t == b"X":  # Terminate
+                return
+            if t == b"S":  # Sync — always processed (pg_conn.go:199)
+                self.send_ready()
+                await self.writer.drain()
+                continue
+            if t == b"H":  # Flush
+                await self.writer.drain()
+                continue
+            if self.in_error and t in (b"P", b"B", b"D", b"E", b"C"):
+                continue  # error-skip until Sync (pg_conn.go:148-201)
+            try:
+                if t == b"Q":
+                    await self._simple_query(payload[:-1].decode())
+                elif t == b"P":
+                    self._parse_msg(payload)
+                elif t == b"B":
+                    self._bind_msg(payload)
+                elif t == b"D":
+                    await self._describe_msg(payload)
+                elif t == b"E":
+                    await self._execute_msg(payload)
+                elif t == b"C":
+                    self._close_msg(payload)
+                # unknown types silently skipped (message.go lazy skip)
+            except Exception as e:  # noqa: BLE001 — engine errors → ErrorResponse
+                self.send_error(str(e).split("\n")[0][:500])
+                if t == b"Q":
+                    self.send_ready()
+            await self.writer.drain()
+
+    # ------------------------------------------------------ simple query
+
+    async def _simple_query(self, query: str) -> None:
+        q = query.strip()
+        if not q:  # pg_conn.go:295-298
+            self._send(b"I")  # EmptyQueryResponse
+            self.send_ready()
+            return
+        m = _CREATE_USER.match(q)
+        if m:
+            self.engine.create_user(m.group(1), m.group(2))
+            self.send_command_complete("CREATE USER")  # pg_conn.go:291
+            self.send_ready()
+            return
+        if _DISCARD.match(q):
+            self.stmts.clear()
+            self.portals.clear()
+            self.send_command_complete("DISCARD ALL")
+            self.send_ready()
+            return
+        m = _COPY_IN.match(q)
+        if m:
+            await self._copy_in(m.group(1), m.group(3))
+            return
+        if _SHOW_TXN.match(q):
+            await self._run_query("SELECT 0 AS transaction_read_only", send_row_desc=True)
+            self.send_ready()
+            return
+        if _WRITE_VERB.match(q) and not q.lower().startswith(("select", "with")):
+            tag = await asyncio.get_running_loop().run_in_executor(
+                None, self.engine.execute, q, "pg"
+            )
+            self.send_command_complete(tag)
+            self.send_ready()
+            return
+        await self._run_query(q, send_row_desc=True)
+        self.send_ready()
+
+    async def _run_query(self, q: str, send_row_desc: bool) -> None:
+        loop = asyncio.get_running_loop()
+        schema, rows = await loop.run_in_executor(
+            None, lambda: self.engine.stream(q, "pg", self.job_group)
+        )
+        if send_row_desc:
+            self.send_row_description(schema)
+        n = 0
+        while True:
+            batch = await loop.run_in_executor(None, lambda: _take(rows, 1000))
+            for row in batch:
+                self.send_data_row(row)
+                n += 1
+            await self.writer.drain()
+            if len(batch) < 1000:
+                break
+        self.send_command_complete(f"({n} row)")  # pg_conn.go:271 literal tag
+
+    # ------------------------------------------------------ COPY FROM STDIN
+
+    async def _copy_in(self, table: str, cols_csv: str | None) -> None:
+        spark = self.engine.spark
+        full_schema = spark.table(table).schema
+        cols = [c.strip().strip('"') for c in cols_csv.split(",")] if cols_csv else None
+        schema = (
+            full_schema
+            if cols is None
+            else type(full_schema)([f for f in full_schema.fields if f.name in cols])
+        )
+        ncols = len(schema.fields)
+        # CopyInResponse: text format, per-column format codes 0
+        self._send(b"G", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols)
+        await self.writer.drain()
+        chunks: list[bytes] = []
+        while True:
+            t, payload = await self._read_message()
+            if t == b"d":
+                chunks.append(payload)
+            elif t == b"c":  # CopyDone
+                break
+            elif t == b"f":  # CopyFail
+                self.send_error("COPY cancelled: " + payload.rstrip(b"\x00").decode())
+                self.send_ready()
+                return
+            else:  # ignore Flush/Sync during copy
+                continue
+        text = b"".join(chunks).decode()
+        rows = []
+        for cells in csv.reader(io.StringIO(text)):
+            if not cells:
+                continue
+            rows.append(tuple(parse_csv_cell(c, f.dataType) for c, f in zip(cells, schema.fields)))
+        loop = asyncio.get_running_loop()
+
+        def _append() -> None:
+            if not rows:
+                return
+            df = spark.createDataFrame(rows, schema)
+            if cols is not None:
+                from pyspark.sql import functions as F
+
+                for f in full_schema.fields:
+                    if f.name not in cols:
+                        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                df = df.select(*[f.name for f in full_schema.fields])
+            df.write.mode("append").saveAsTable(table)
+
+        await loop.run_in_executor(None, _append)
+        self.send_command_complete(f"COPY {len(rows)}")  # pg_conn.go:620
+        self.send_ready()
+
+    # -------------------------------------------------- extended protocol
+
+    def _parse_msg(self, payload: bytes) -> None:
+        raw_name, rest = _read_cstr(payload)
+        query, rest = _read_cstr(rest)
+        name = raw_name.decode()
+        if name and name in self.stmts:
+            raise ValueError(f'prepared statement "{name}" already exists')  # pg_conn.go:456
+        q = query.decode()
+        nparams = len(set(re.findall(r"\$(\d+)", q)))
+        self.stmts[name] = StmtDesc(q, nparams)
+        self._send(b"1")  # ParseComplete
+
+    def _bind_msg(self, payload: bytes) -> None:
+        portal, rest = _read_cstr(payload)
+        stmt_name, rest = _read_cstr(rest)
+        stmt = self.stmts.get(stmt_name.decode())
+        if stmt is None:
+            raise ValueError(f'prepared statement "{stmt_name.decode()}" does not exist')
+        (nfmt,) = struct.unpack(">h", rest[:2])
+        rest = rest[2 + 2 * nfmt:]  # binary formats parsed-then-ignored (message.go:449-455)
+        (nparams,) = struct.unpack(">h", rest[:2])
+        rest = rest[2:]
+        params = []
+        for _ in range(nparams):
+            (plen,) = struct.unpack(">i", rest[:4])
+            rest = rest[4:]
+            if plen == -1:
+                params.append(None)
+            else:
+                params.append(coerce_text_param(rest[:plen].decode()))
+                rest = rest[plen:]
+        self.portals[portal.decode()] = Portal(stmt, params)
+        self._send(b"2")  # BindComplete
+
+    async def _describe_msg(self, payload: bytes) -> None:
+        kind, rest = payload[:1], payload[1:]
+        name, _ = _read_cstr(rest)
+        loop = asyncio.get_running_loop()
+        if kind == b"S":
+            stmt = self.stmts.get(name.decode())
+            if stmt is None:
+                raise ValueError(f'prepared statement "{name.decode()}" does not exist')
+            # ParameterDescription: all OIDs 0 = unknown (pg_conn.go:334)
+            self._send(b"t", struct.pack(">h", stmt.num_params) + b"\x00\x00\x00\x00" * stmt.num_params)
+            probe = rewrites.params_to_null(stmt.query)  # pg_conn.go:652-656
+            schema = await loop.run_in_executor(None, lambda: self.engine.query(probe, "pg").schema)
+            self.send_row_description(schema)
+        else:
+            portal = self.portals.get(name.decode())
+            if portal is None:
+                raise ValueError(f'portal "{name.decode()}" does not exist')
+            q = rewrites.substitute_params(portal.stmt.query, portal.params)
+            schema = await loop.run_in_executor(None, lambda: self.engine.query(q, "pg").schema)
+            self.send_row_description(schema)
+
+    async def _execute_msg(self, payload: bytes) -> None:
+        name, rest = _read_cstr(payload)
+        portal = self.portals.get(name.decode())
+        if portal is None:
+            raise ValueError(f'portal "{name.decode()}" does not exist')
+        q = rewrites.substitute_params(portal.stmt.query, portal.params)
+        if _WRITE_VERB.match(q) and not q.strip().lower().startswith(("select", "with")):
+            tag = await asyncio.get_running_loop().run_in_executor(
+                None, self.engine.execute, q, "pg"
+            )
+            self.send_command_complete(tag)
+            return
+        # Execute sends data rows only — RowDescription came from Describe
+        # (pg_conn.go:509-532; maxRows/PortalSuspended unsupported, quirk Q5
+        # preserved deliberately: the whole result always streams)
+        await self._run_query(q, send_row_desc=False)
+
+    def _close_msg(self, payload: bytes) -> None:
+        kind, rest = payload[:1], payload[1:]
+        name, _ = _read_cstr(rest)
+        if kind == b"S":
+            self.stmts.pop(name.decode(), None)
+        else:
+            self.portals.pop(name.decode(), None)
+        self._send(b"3")  # CloseComplete
+
+
+class PgServer:
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 5433, require_auth: bool = False):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self.require_auth = require_auth
+        self.backends: dict[int, tuple[int, str]] = {}  # pid → (secret, job_group)
+        self._server: asyncio.AbstractServer | None = None
+
+    def handle_cancel(self, pid: int, key: int) -> None:
+        """CancelRequest → job-group cancel (done correctly; quirk Q1)."""
+        entry = self.backends.get(pid)
+        if entry and entry[0] == key:
+            self.engine.cancel(entry[1])
+
+    async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter) -> None:
+        await PgConnection(self, reader, writer).run()
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(self._client, self.host, self.port)
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.close()
+
+
+def _read_cstr(data: bytes) -> tuple[bytes, bytes]:
+    idx = data.index(b"\x00")
+    return data[:idx], data[idx + 1:]
+
+
+def _take(it, n: int) -> list:
+    out = []
+    for _ in range(n):
+        try:
+            out.append(next(it))
+        except StopIteration:
+            break
+    return out
+
+
+def run_threaded(engine: Engine, host: str = "127.0.0.1", port: int = 5433, require_auth: bool = False):
+    """Start the asyncio server on a daemon thread (for tests / embedding
+    alongside the CH server)."""
+    import threading
+
+    server = PgServer(engine, host, port, require_auth)
+    loop = asyncio.new_event_loop()
+
+    def _run() -> None:
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.serve_forever())
+
+    thread = threading.Thread(target=_run, daemon=True)
+    thread.start()
+    return server, loop

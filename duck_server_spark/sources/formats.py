@@ -1,0 +1,197 @@
+"""ClickHouse I/O format codecs: JSONEachRow, CSV(WithNames),
+TabSeparated(WithNames[AndTypes]).
+
+Reference parity: /root/reference/ch_format.go (readers :86-146, writers
+:148-226, registries :228-264). Same registry names, same content types,
+same header semantics (names row, then CH type names row for
+*AndTypes), `\\N` nulls, 1/0 booleans.
+
+Writers/readers operate on iterables of row tuples + a Spark schema —
+the server layer streams Arrow-collected batches through them, so the
+codec itself never materializes a full result (O(batch) memory, matching
+the reference's row-at-a-time relay, ch_server.go:211-222).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from collections.abc import Iterable, Iterator
+from typing import Any, Callable
+
+from pyspark.sql import types as T
+
+from duck_server_spark.engine.types import (
+    parse_csv_cell,
+    render_ch_text,
+    render_json_value,
+    spark_type_to_ch_name,
+)
+
+# ---------------------------------------------------------------- writers
+
+
+class FormatWriter:
+    """Base: stream rows → bytes chunks."""
+
+    content_type = "text/plain; charset=utf-8"
+
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+
+    def header(self) -> bytes:
+        return b""
+
+    def write_row(self, row: tuple) -> bytes:
+        raise NotImplementedError
+
+
+class _SVWriter(FormatWriter):
+    delimiter = "\t"
+    with_names = False
+    with_types = False
+    content_type = "text/tab-separated-values; charset=utf-8"
+
+    def header(self) -> bytes:
+        out = []
+        if self.with_names:
+            out.append(self.delimiter.join(f.name for f in self.schema.fields))
+        if self.with_types:
+            out.append(self.delimiter.join(spark_type_to_ch_name(f.dataType) for f in self.schema.fields))
+        return ("".join(x + "\n" for x in out)).encode()
+
+    def write_row(self, row: tuple) -> bytes:
+        if self.delimiter == ",":
+            buf = io.StringIO()
+            csv.writer(buf, lineterminator="\n").writerow(
+                [render_ch_text(v) for v in row]
+            )
+            return buf.getvalue().encode()
+        # TSV: escape embedded backslashes/tabs/newlines in VALUES, then
+        # emit the \N marker verbatim for NULLs (duckdb_types.go:88).
+        cells = [
+            "\\N"
+            if v is None
+            else render_ch_text(v).replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+            for v in row
+        ]
+        return ("\t".join(cells) + "\n").encode()
+
+
+class TabSeparatedWriter(_SVWriter):
+    pass
+
+
+class TabSeparatedWithNamesWriter(_SVWriter):
+    with_names = True
+
+
+class TabSeparatedWithNamesAndTypesWriter(_SVWriter):
+    with_names = True
+    with_types = True
+
+
+class CSVWriter(_SVWriter):
+    delimiter = ","
+    content_type = "text/csv; charset=utf-8"
+
+
+class CSVWithNamesWriter(CSVWriter):
+    with_names = True
+
+
+class JSONEachRowWriter(FormatWriter):
+    content_type = "application/x-ndjson; charset=utf-8"
+
+    def write_row(self, row: tuple) -> bytes:
+        obj = {f.name: render_json_value(v) for f, v in zip(self.schema.fields, row)}
+        return (json.dumps(obj, separators=(",", ":")) + "\n").encode()
+
+
+# ---------------------------------------------------------------- readers
+
+
+class FormatReader:
+    """Base: payload bytes → iterator of typed row tuples."""
+
+    skip_header_rows = 0
+
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+
+    def read(self, payload: bytes) -> Iterator[tuple]:
+        raise NotImplementedError
+
+
+class _SVReader(FormatReader):
+    delimiter = "\t"
+
+    def read(self, payload: bytes) -> Iterator[tuple]:
+        text = payload.decode()
+        reader = csv.reader(io.StringIO(text), delimiter=self.delimiter)
+        for i, cells in enumerate(reader):
+            if i < self.skip_header_rows or not cells:
+                continue
+            yield tuple(
+                parse_csv_cell(c, f.dataType) for c, f in zip(cells, self.schema.fields)
+            )
+
+
+class TabSeparatedReader(_SVReader):
+    pass
+
+
+class TabSeparatedWithNamesReader(_SVReader):
+    skip_header_rows = 1
+
+
+class CSVReader(_SVReader):
+    delimiter = ","
+
+
+class CSVWithNamesReader(CSVReader):
+    skip_header_rows = 1
+
+
+class JSONEachRowReader(FormatReader):
+    def read(self, payload: bytes) -> Iterator[tuple]:
+        names = [f.name for f in self.schema.fields]
+        for line in payload.decode().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            yield tuple(obj.get(n) for n in names)
+
+
+# --------------------------------------------------------------- registry
+# Same names as ch_format.go:228-264 (TabSeparatedWithNamesAndTypes is
+# output-only there too).
+
+WRITERS: dict[str, Callable[[T.StructType], FormatWriter]] = {
+    "TabSeparated": TabSeparatedWriter,
+    "TSV": TabSeparatedWriter,
+    "TabSeparatedWithNames": TabSeparatedWithNamesWriter,
+    "TabSeparatedWithNamesAndTypes": TabSeparatedWithNamesAndTypesWriter,
+    "CSV": CSVWriter,
+    "CSVWithNames": CSVWithNamesWriter,
+    "JSONEachRow": JSONEachRowWriter,
+}
+
+READERS: dict[str, Callable[[T.StructType], FormatReader]] = {
+    "TabSeparated": TabSeparatedReader,
+    "TSV": TabSeparatedReader,
+    "TabSeparatedWithNames": TabSeparatedWithNamesReader,
+    "CSV": CSVReader,
+    "CSVWithNames": CSVWithNamesReader,
+    "JSONEachRow": JSONEachRowReader,
+}
+
+
+def write_all(writer: FormatWriter, rows: Iterable[tuple]) -> Iterator[bytes]:
+    h = writer.header()
+    if h:
+        yield h
+    for row in rows:
+        yield writer.write_row(row)

@@ -1,0 +1,169 @@
+"""Protocol-level golden tests for the ClickHouse HTTP server (SURVEY.md
+§5.2 item 2: mirrors the reference README's curl examples)."""
+
+import json
+import socket
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from duck_server_spark.engine.executor import Engine
+from duck_server_spark.server.ch.http_server import serve
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def ch(spark, sf_dir):
+    import shutil
+
+    engine = Engine(spark)
+    port = _free_port()
+    server = serve(engine, port=port)
+    base = f"http://127.0.0.1:{port}"
+    # the in-memory catalog forgets tables across sessions but warehouse
+    # directories survive — clear both so CREATE TABLE is reproducible
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for i in range(1, 9):
+        spark.sql(f"DROP TABLE IF EXISTS ch_t{i}")
+        shutil.rmtree(f"{warehouse}/ch_t{i}", ignore_errors=True)
+    yield base, engine
+    server.shutdown()
+
+
+def _get(base: str, query: str) -> tuple[int, str, dict]:
+    url = f"{base}/?{urllib.parse.urlencode({'query': query})}"
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, r.read().decode(), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode(), dict(e.headers)
+
+
+def _post(base: str, body: str, query: str | None = None) -> tuple[int, str]:
+    url = base + "/" + (f"?{urllib.parse.urlencode({'query': query})}" if query else "")
+    req = urllib.request.Request(url, data=body.encode(), method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_ping(ch):
+    base, _ = ch
+    status, body, _ = _get(base, "")
+    assert status == 200
+
+
+def test_select_tsv_default(ch):
+    base, _ = ch
+    status, body, headers = _get(base, "SELECT 1 AS a, 'x' AS b, NULL AS c")
+    assert status == 200
+    assert body == "1\tx\t\\N\n"
+    assert headers.get("x-clickhouse-format") == "TabSeparated"
+
+
+def test_select_format_json_each_row(ch):
+    base, _ = ch
+    status, body, _ = _get(base, "SELECT 2 AS n, true AS f FORMAT JSONEachRow")
+    assert status == 200
+    assert json.loads(body.strip()) == {"n": 2, "f": True}
+
+
+def test_select_with_names_and_types(ch):
+    base, _ = ch
+    status, body, _ = _get(
+        base, "SELECT CAST(1 AS INT) AS id, 'a' AS s FORMAT TabSeparatedWithNamesAndTypes"
+    )
+    lines = body.splitlines()
+    assert lines[0] == "id\ts"
+    assert lines[1] == "Int32\tString"
+    assert lines[2] == "1\ta"
+
+
+def test_limit_nm_rewrite(ch):
+    base, _ = ch
+    status, body, _ = _get(
+        base, "SELECT id FROM VALUES (1),(2),(3),(4) AS t(id) ORDER BY id LIMIT 1,2"
+    )
+    assert status == 200
+    assert body == "2\n3\n"
+
+
+def test_version_rewrite(ch):
+    base, _ = ch
+    status, body, _ = _get(base, "SELECT version()")
+    assert body.strip() == "23.3.1.2823"
+
+
+def test_ddl_insert_select_roundtrip(ch):
+    base, _ = ch
+    status, _ = _post(base, "CREATE TABLE ch_t1 (id BIGINT, name STRING) USING parquet")
+    assert status == 200
+    status, _ = _post(base, "INSERT INTO ch_t1 VALUES (1, 'duck'), (2, 'spark')")
+    assert status == 200
+    status, body, _ = _get(base, "SELECT * FROM ch_t1 ORDER BY id FORMAT CSV")
+    assert status == 200
+    assert body == "1,duck\n2,spark\n"
+
+
+def test_insert_format_tsv(ch):
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t2")
+    _post(base, "CREATE TABLE ch_t2 (id BIGINT, v DOUBLE) USING parquet")
+    status, body = _post(base, "INSERT INTO ch_t2 FORMAT TabSeparated\n10\t1.5\n11\t2.5\n")
+    assert status == 200, body
+    _, body, _ = _get(base, "SELECT count(*) AS n, sum(v) AS s FROM ch_t2")
+    n, s = body.strip().split("\t")
+    assert n == "2" and float(s) == 4.0
+
+
+def test_insert_format_csv_subset_columns(ch):
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t3")
+    _post(base, "CREATE TABLE ch_t3 (id BIGINT, a STRING, b DOUBLE) USING parquet")
+    status, body = _post(base, "INSERT INTO ch_t3 (id, a) FORMAT CSV\n5,hello\n6,world\n")
+    assert status == 200, body
+    _, body, _ = _get(base, "SELECT id, a, b FROM ch_t3 ORDER BY id FORMAT TabSeparated")
+    assert body == "5\thello\t\\N\n6\tworld\t\\N\n"
+
+
+def test_update_delete_copy_on_write(ch):
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t4")
+    _post(base, "CREATE TABLE ch_t4 (id BIGINT, v DOUBLE) USING parquet")
+    _post(base, "INSERT INTO ch_t4 VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    status, _ = _post(base, "UPDATE ch_t4 SET v = v * 2 WHERE id <= 2")
+    assert status == 200
+    _, body, _ = _get(base, "SELECT v FROM ch_t4 ORDER BY id")
+    assert body == "20.0\n40.0\n30.0\n"
+    status, _ = _post(base, "DELETE FROM ch_t4 WHERE id = 2")
+    assert status == 200
+    _, body, _ = _get(base, "SELECT count(*) AS n FROM ch_t4")
+    assert body.strip() == "2"
+
+
+def test_error_returns_500(ch):
+    base, _ = ch
+    status, body, _ = _get(base, "SELECT * FROM no_such_table_xyz")
+    assert status == 500
+    assert "no_such_table_xyz" in body or "TABLE_OR_VIEW_NOT_FOUND" in body
+
+
+def test_query_from_fixture_tables(ch, spark, sf_dir):
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    base, _ = ch
+    status, body, _ = _get(base, "SELECT count(*) AS n FROM lineitem")
+    assert status == 200
+    assert int(body.strip()) > 0
