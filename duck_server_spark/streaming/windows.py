@@ -1,0 +1,140 @@
+"""Structured Streaming extensions over the events table.
+
+The reference is strictly batch request/response (SURVEY.md §1.1: its
+only stream-ish behaviors are chunked HTTP relay and COPY/Appender
+ingest), so nothing here is required for parity — these are the
+north-star streaming operators (BASELINE.json) expressed the idiomatic
+Spark way: readStream → event-time transformations with watermarks →
+writeStream.
+
+Each builder takes a *streaming* DataFrame of the events schema
+(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+value DOUBLE, props STRING) and returns the transformed streaming frame;
+the batch twins in operators/events_time.py compute the same answers on
+bounded data (that equivalence is what tests/test_streaming.py checks
+via availableNow-triggered runs against the parquet fixture).
+
+Scale notes:
+- Watermarks bound state: a 10-minute watermark on a 5-minute window
+  keeps at most ~3 windows of state per (window, event_type) group —
+  state size is O(active keys), independent of stream length.
+- Windowed aggregation shuffles once on the (window, key) pair, same as
+  the batch groupBy; AQE does not apply to streaming, so
+  spark.sql.shuffle.partitions is the state-store partition count — set
+  it once before the first run (state re-partitioning needs a new
+  checkpoint).
+- The sessionization operator uses session_window (gap-based, built-in
+  since Spark 3.2) — the streaming twin of the batch lag+cumsum idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over the fixture parquet (one file per
+    micro-batch; in production this is Kafka/object-store paths)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(f"{sf_dir}")
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """5-minute tumbling windows per event_type. Rows later than the
+    watermark are dropped and state is pruned; pass a watermark wider
+    than the replay span for exact bounded-replay equivalence."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_rates(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """10-minute windows sliding every 5 minutes — each event lands in 2
+    windows; watermark still bounds total state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows (30-minute inactivity gap) per user —
+    the streaming twin of operators/events_time.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "session_start",
+            "session_end",
+            ((F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start"))) / F.lit(1_000_000)).alias("duration_s"),
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum carried across micro-batches.
+
+    This is the pattern for operators Spark's built-ins can't express
+    (reference-free custom state machines). State is one small tuple per
+    user; timeouts would evict idle users in production."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Drive a streaming frame to completion with availableNow (bounded
+    replay of all currently-available input) into an in-memory table —
+    the test/verification harness."""
+    query = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,91 @@
+"""Structured Streaming tests: each streaming operator replayed over the
+bounded fixture (availableNow trigger) must agree with its batch twin."""
+
+import pytest
+
+from duck_server_spark.streaming import windows as sw
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stage the events fixture as a streaming input directory (file
+    source needs a directory; also converts the nanos timestamps via the
+    batch loader so the stream schema is a clean TIMESTAMP)."""
+    from duck_server_spark.engine.session import load_table
+
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture()
+def events_stream(spark, events_dir):
+    return sw.read_events_stream(spark, events_dir)
+
+
+def test_tumbling_counts_matches_batch(spark, sf_dir, events_stream):
+    from duck_server_spark.operators.events_time import time_bucket_tumbling
+
+    out = sw.run_to_memory_sink(spark, sw.tumbling_counts(events_stream, watermark="60 days"), "t_tumbling", output_mode="complete")
+    got = {(r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in out.collect()}
+    expect = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in time_bucket_tumbling(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_sliding_rates_total(spark, sf_dir, events_stream):
+    out = sw.run_to_memory_sink(spark, sw.sliding_rates(events_stream, watermark="60 days"), "t_sliding", output_mode="complete")
+    rows = out.collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # every event falls in exactly 2 sliding windows
+    assert sum(r["n"] for r in rows) == 2 * n_events
+    for r in rows:
+        assert (r["win_end"] - r["win_start"]).total_seconds() == 600
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_dir, events_stream):
+    from duck_server_spark.operators.events_time import sessionize
+
+    out = sw.run_to_memory_sink(spark, sw.session_windows(events_stream, watermark="60 days"), "t_sessions", output_mode="complete")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["duration_s"])
+        for r in out.collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"]): (r["n_events"], float(r["duration_s"]))
+        for r in sessionize(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_stateful_running_totals(spark, sf_dir, events_stream):
+    out = sw.run_to_memory_sink(
+        spark, sw.running_user_totals(events_stream), "t_state", output_mode="update"
+    )
+    import pyspark.sql.functions as F
+
+    # last update per user carries the final totals
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n")).orderBy("user_id")
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .orderBy("user_id")
+    )
+    got = {r["user_id"]: r["n"] for r in final.collect()}
+    expect = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert got == expect
+
+
+def test_watermark_drops_late_rows(spark, events_dir):
+    """With a tight watermark and out-of-order micro-batches, late rows
+    are dropped — strictly fewer rows than the 60-day replay."""
+    stream = sw.read_events_stream(spark, events_dir)
+    out = sw.run_to_memory_sink(spark, sw.tumbling_counts(stream, watermark="10 minutes"), "t_wm")
+    dropped_total = sum(r["n"] for r in out.collect())
+    full = spark.read.parquet(events_dir).count()
+    assert dropped_total < full
