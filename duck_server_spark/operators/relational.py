@@ -519,3 +519,97 @@ ORACLE = {
     "sample_deterministic": SAMPLE_DETERMINISTIC_ORACLE,
     "values_inline": VALUES_INLINE_ORACLE,
 }
+
+
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0+ WITH RECURSIVE; DuckDB 1.0 native):
+    integer series driving a mod-bucket aggregation over orders."""
+    return sql_op(
+        """
+        WITH RECURSIVE buckets(b) AS (
+          SELECT 0
+          UNION ALL
+          SELECT b + 1 FROM buckets WHERE b < 9
+        )
+        SELECT b, count(o_orderkey) AS n
+        FROM buckets LEFT JOIN orders ON o_orderkey % 10 = b
+        GROUP BY b
+        """
+    )(spark, sf_dir)
+
+
+RECURSIVE_CTE_ORACLE = """
+WITH RECURSIVE buckets(b) AS (
+  SELECT 0
+  UNION ALL
+  SELECT b + 1 FROM buckets WHERE b < 9
+)
+SELECT b, count(o_orderkey) AS n
+FROM buckets LEFT JOIN orders ON o_orderkey % 10 = b
+GROUP BY b
+"""
+
+
+def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL derived-table join (correlated values per outer row)."""
+    return sql_op(
+        """
+        SELECT c_custkey, seg_upper, bal2
+        FROM customer,
+        LATERAL (SELECT upper(c_mktsegment) AS seg_upper, c_acctbal * 2 AS bal2)
+        """
+    )(spark, sf_dir)
+
+
+LATERAL_JOIN_ORACLE = """
+SELECT c_custkey, seg_upper, bal2
+FROM customer,
+LATERAL (SELECT upper(c_mktsegment) AS seg_upper, c_acctbal * 2 AS bal2) t
+"""
+
+
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION BY NAME (column-matching union; DF API unionByName)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_totalprice").limit(0).union(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return a.unionByName(b)
+
+
+UNION_BY_NAME_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+UNION ALL BY NAME
+SELECT o_totalprice, o_orderkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(b)
+
+
+SETOP_INTERSECT_ALL_ORACLE = """
+SELECT l_suppkey FROM lineitem
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+QUERIES.update({
+    "recursive_cte": recursive_cte,
+    "lateral_join": lateral_join,
+    "union_by_name": union_by_name,
+    "setop_intersect_all": setop_intersect_all,
+})
+
+ORACLE.update({
+    "recursive_cte": RECURSIVE_CTE_ORACLE,
+    "lateral_join": LATERAL_JOIN_ORACLE,
+    "union_by_name": UNION_BY_NAME_ORACLE,
+    "setop_intersect_all": SETOP_INTERSECT_ALL_ORACLE,
+})
