@@ -1,0 +1,106 @@
+"""Physical-plan audit: assert the headline queries get the plans you'd
+want at 100 TB — filters pushed into parquet scans, column pruning,
+broadcast joins for dims, TakeOrderedAndProject for top-k, whole-stage
+codegen on the hot paths.
+
+Run: python tools/explain_audit.py   (prints a PASS/FAIL table + plans
+for failures; exit 1 on any failure)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+CHECKS = {
+    # query_name: [(description, regex that must match the formatted plan)]
+    "tpch_q1_pricing_summary": [
+        ("filter pushed to parquet scan", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+        ("column pruning (no returnflag-only scan of all 11 cols)", r"ReadSchema: [^\n]*l_quantity"),
+        ("partial aggregation (map-side combine)", r"HashAggregate"),
+        ("whole-stage codegen", r"WholeStageCodegen"),
+    ],
+    "tpch_q3_shipping_priority": [
+        ("customer dim broadcast", r"BroadcastHashJoin"),
+        ("top-k via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("date filters pushed", r"PushedFilters: \[.*GreaterThan\(l_shipdate"),
+    ],
+    "tpch_q5_local_supplier_volume": [
+        ("broadcast chain for dims", r"BroadcastHashJoin"),
+        ("filter pushdown on orders dates", r"PushedFilters: \[.*o_orderdate"),
+    ],
+    "join_semi": [
+        ("semi join strategy", r"(BroadcastHashJoin.*LeftSemi|LeftSemi.*BroadcastHashJoin|SortMergeJoin.*LeftSemi)"),
+    ],
+    "join_anti": [
+        ("anti join strategy", r"LeftAnti"),
+    ],
+    "sort_limit_offset": [
+        ("global top-k not full sort", r"TakeOrderedAndProject"),
+    ],
+    "window_ranking": [
+        ("single window shuffle", r"Window"),
+    ],
+    "dedup_exact": [
+        ("hash aggregate on md5 key", r"HashAggregate"),
+    ],
+    "dedup_minhash_lsh": [
+        ("equi-join on band buckets (no cartesian)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "similarity_topk_bruteforce": [
+        ("broadcast of the small query side", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ],
+    "asof_join": [
+        ("single shuffle window (no range join explosion)", r"Window"),
+    ],
+}
+
+FORBIDDEN = {
+    "dedup_minhash_lsh": [("no cartesian product", r"CartesianProduct")],
+    "tpch_q5_local_supplier_volume": [("no cartesian product", r"CartesianProduct")],
+}
+
+
+def main() -> None:
+    from duck_server_spark.engine.session import get_session
+    from duck_server_spark.operators import all_queries
+
+    spark = get_session("explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    failures = []
+    for name, checks in CHECKS.items():
+        df = queries[name](spark, SF)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+            df.explain("codegen")  # "Found N WholeStageCodegen subtrees"
+        plan = buf.getvalue()
+        for desc, pattern in checks:
+            ok = re.search(pattern, plan, re.DOTALL) is not None
+            print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
+            if not ok:
+                failures.append((name, desc, plan))
+        for desc, pattern in FORBIDDEN.get(name, []):
+            ok = re.search(pattern, plan, re.DOTALL) is None
+            print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
+            if not ok:
+                failures.append((name, desc, plan))
+    if failures:
+        print(f"\n{len(failures)} FAILURES; first plan:\n")
+        print(failures[0][2][:4000])
+        sys.exit(1)
+    print("\nall plan checks passed")
+
+
+if __name__ == "__main__":
+    main()
