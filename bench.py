@@ -33,7 +33,7 @@ HEADLINE = [
     "window_frames_rows",
     "asof_join",
     "sessionize",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "similarity_topk_bruteforce",
 ]
 
@@ -46,14 +46,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warmup: touch each fixture file's footer + JIT the scan/agg path.
-    queries["tpch_q1_pricing_summary"](spark, SF_DIR).collect()
+    def run(df) -> None:
+        # noop sink: executes the full plan distributed, no driver-side
+        # row materialization — measures the engine, not the collect pipe
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warmup: touch the fixture footers + JIT the scan/agg path.
+    run(queries["tpch_q1_pricing_summary"](spark, SF_DIR))
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
+        run(fn(spark, SF_DIR))
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -411,3 +411,57 @@ ORACLE = {
     "dedup_ngram_jaccard": _jaccard_o,
     "dedup_embedding_cosine": _emb_o,
 }
+
+
+# ---------------------------------------------------------------------------
+# 2b. MinHash + LSH, production hash path
+# ---------------------------------------------------------------------------
+# Same pipeline as dedup_minhash_lsh but hashed with Spark's built-in
+# xxhash64 (JVM codegen, ~10× cheaper than md5-in-interpreted-lambda).
+# xxhash64 is engine-specific, so this variant has no DuckDB oracle —
+# the md5 twin above is the cross-engine-verified version; this is the
+# one you run at 100 TB.
+
+def _minhash_fast_cols() -> str:
+    return ",\n         ".join(
+        f"array_min(transform(sh, s -> xxhash64({j}, s))) AS mh{j}"
+        for j in range(_NUM_HASHES)
+    )
+
+
+DEDUP_MINHASH_FAST_SPARK = f"""
+WITH {_STAGED_SHINGLES_S},
+sigs AS (
+  SELECT doc_id,
+         {_minhash_fast_cols()}
+  FROM shing
+),
+banded AS (
+  SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
+                 concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
+  FROM sigs
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+),
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+),
+jac AS (
+  SELECT id1, id2,
+         CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
+  FROM joined
+)
+SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+_minhash_fast_q, _ = _sql_pair(DEDUP_MINHASH_FAST_SPARK, "")
+
+QUERIES["dedup_minhash_lsh_fast"] = _minhash_fast_q
+# intentionally no ORACLE entry: engine-specific hash → rows-only check
