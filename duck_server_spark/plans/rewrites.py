@@ -83,7 +83,9 @@ def rewrite_common(q: str) -> str:
 
     q = _PG_CAST.sub(_cast_type, q)
     q = _CURRENT_SCHEMA.sub("current_database()", q)
-    return q
+    from duck_server_spark.sources.files import rewrite_file_functions
+
+    return rewrite_file_functions(q)
 
 
 def substitute_params(q: str, params: list) -> str:

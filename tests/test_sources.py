@@ -1,0 +1,59 @@
+"""File source/sink round-trips + the read_* table-function rewrite."""
+
+import pytest
+
+from duck_server_spark.sources import files as fsrc
+
+
+@pytest.fixture(scope="module")
+def small_df(spark, sf_dir):
+    from duck_server_spark.engine.session import load_table
+
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_parquet_roundtrip(spark, small_df, tmp_path):
+    p = str(tmp_path / "nation_pq")
+    fsrc.copy_to(small_df, p, fmt="parquet")
+    back = fsrc.read_parquet(spark, p)
+    assert back.count() == small_df.count()
+    assert set(back.columns) == set(small_df.columns)
+
+
+def test_csv_roundtrip_with_header(spark, small_df, tmp_path):
+    p = str(tmp_path / "nation_csv")
+    fsrc.copy_to(small_df, p, fmt="csv", single_file=True)
+    back = fsrc.read_csv(spark, p)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in small_df.collect()
+    )
+
+
+def test_json_roundtrip(spark, small_df, tmp_path):
+    p = str(tmp_path / "nation_json")
+    fsrc.copy_to(small_df, p, fmt="json")
+    back = fsrc.read_json(spark, p)
+    assert back.count() == small_df.count()
+
+
+def test_partitioned_write_layout(spark, small_df, tmp_path):
+    import os
+
+    p = str(tmp_path / "nation_part")
+    fsrc.copy_to(small_df, p, fmt="parquet", partition_by=["n_regionkey"])
+    subdirs = [d for d in os.listdir(p) if d.startswith("n_regionkey=")]
+    assert len(subdirs) == 5  # one directory per region key
+    assert fsrc.read_parquet(spark, p).count() == small_df.count()
+
+
+def test_read_function_rewrite(spark, sf_dir):
+    q = fsrc.rewrite_file_functions(
+        f"SELECT count(*) AS n FROM read_parquet('{sf_dir}/region.parquet')"
+    )
+    assert "parquet.`" in q
+    assert spark.sql(q).collect()[0]["n"] == 5
+
+
+def test_read_csv_auto_rewrite():
+    q = fsrc.rewrite_file_functions("SELECT * FROM read_csv_auto('/tmp/x.csv')")
+    assert q == "SELECT * FROM csv.`/tmp/x.csv`"
