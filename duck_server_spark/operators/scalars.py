@@ -304,3 +304,32 @@ ORACLE = {
     "scalar_json": JSON_FUNCS_ORACLE,
     "scalar_struct_map": STRUCT_MAP_FUNCS_ORACLE,
 }
+
+
+def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (&, |, xor, shifts, bit_count) over integer keys."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        (F.col("p_partkey").bitwiseAND(F.lit(255))).alias("and255"),
+        (F.col("p_partkey").bitwiseOR(F.lit(4096))).alias("or4096"),
+        (F.col("p_partkey").bitwiseXOR(F.col("p_size"))).alias("xor_size"),
+        F.shiftleft(F.col("p_size"), 3).alias("shl3"),
+        F.shiftright(F.col("p_partkey"), 2).alias("shr2"),
+        F.bit_count(F.col("p_partkey")).alias("popcount"),
+    )
+
+
+BIT_FUNCS_ORACLE = """
+SELECT p_partkey,
+       p_partkey & 255 AS and255,
+       p_partkey | 4096 AS or4096,
+       xor(p_partkey, CAST(p_size AS BIGINT)) AS xor_size,
+       CAST(p_size AS INTEGER) << 3 AS shl3,
+       p_partkey >> 2 AS shr2,
+       bit_count(p_partkey) AS popcount
+FROM part
+"""
+
+QUERIES["scalar_bits"] = bit_funcs
+ORACLE["scalar_bits"] = BIT_FUNCS_ORACLE

@@ -12,8 +12,10 @@ Reference parity (file:line in /root/reference):
 - `$n` → `null` for describe probes         pg_conn.go:652-656
 Additional DuckDB→Spark gaps (SURVEY.md §7 "Dialect gap"):
 - `x::type` casts → `CAST(x AS type)`
-- `QUALIFY` → subquery filter idiom is NOT auto-rewritten (documented
-  limitation; the DataFrame idiom exists in operators/relational.py)
+- `QUALIFY <pred>` → auto-rewritten to a post-window filter subquery
+  (rewrite_qualify; the DataFrame idiom also exists in
+  operators/relational.py)
+- `read_csv/read_parquet/read_json('path')` → Spark path relations
 """
 
 from __future__ import annotations
@@ -83,9 +85,46 @@ def rewrite_common(q: str) -> str:
 
     q = _PG_CAST.sub(_cast_type, q)
     q = _CURRENT_SCHEMA.sub("current_database()", q)
+    q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
 
     return rewrite_file_functions(q)
+
+
+_QUALIFY = re.compile(r"\bqualify\b", re.IGNORECASE)
+_TAIL = re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
+
+
+def rewrite_qualify(q: str) -> str:
+    """DuckDB `QUALIFY <pred>` → post-window filter subquery:
+
+        SELECT * EXCEPT (__q)
+        FROM (SELECT *, (<pred>) AS __q FROM (<query sans QUALIFY>))
+        WHERE __q  [ORDER BY/LIMIT tail]
+
+    Window functions in <pred> evaluate over the wrapped query's output —
+    equivalent whenever the select list keeps the columns the predicate
+    references (the common case; the reference's engine handles the rest
+    natively and we document the gap, SURVEY.md §7)."""
+    m = _QUALIFY.search(q)
+    if not m:
+        return q
+    before, after = q[: m.start()], q[m.end():]
+    # find ORDER BY / LIMIT only at paren depth 0 (not inside OVER (...))
+    split_at = None
+    depth = 0
+    for tm in _TAIL.finditer(after):
+        depth = after[: tm.start()].count("(") - after[: tm.start()].count(")")
+        if depth == 0:
+            split_at = tm.start()
+            break
+    pred = after[:split_at] if split_at is not None else after
+    tail = after[split_at:] if split_at is not None else ""
+    pred = pred.strip().rstrip(";")
+    return (
+        f"SELECT * EXCEPT (__q) FROM (SELECT *, ({pred}) AS __q FROM ({before.strip()}) "
+        f"__qualify_in) __qualify_out WHERE __q {tail}"
+    )
 
 
 def substitute_params(q: str, params: list) -> str:

@@ -57,3 +57,18 @@ def test_read_function_rewrite(spark, sf_dir):
 def test_read_csv_auto_rewrite():
     q = fsrc.rewrite_file_functions("SELECT * FROM read_csv_auto('/tmp/x.csv')")
     assert q == "SELECT * FROM csv.`/tmp/x.csv`"
+
+
+def test_qualify_rewrite(spark, sf_dir):
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans.rewrites import rewrite_qualify
+
+    register_views(spark, sf_dir)
+    q = rewrite_qualify(
+        "SELECT c_mktsegment, c_custkey, c_acctbal FROM customer "
+        "QUALIFY row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) <= 2 "
+        "ORDER BY c_mktsegment, c_acctbal DESC"
+    )
+    rows = spark.sql(q).collect()
+    assert len(rows) == 10  # 5 segments x top-2
+    assert set(rows[0].asDict()) == {"c_mktsegment", "c_custkey", "c_acctbal"}
