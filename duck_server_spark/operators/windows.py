@@ -80,7 +80,16 @@ def window_frames_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Running sums carried in DECIMAL so both engines accumulate exactly."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture (118k dup
+    # pairs at sf0.1) — extend the order with the value columns so it is
+    # total up to full-duplicate rows (which are order-invariant for sums)
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_shipdate").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_quantity").asc(),
+        F.col("l_extendedprice").asc(),
+    )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     return li.select(
         "l_suppkey",
@@ -97,9 +106,9 @@ def window_frames_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_FRAMES_ROWS_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-         / count(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_avg3,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC, l_extendedprice ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC, l_extendedprice ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC, l_extendedprice ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_avg3,
        count(*) OVER (PARTITION BY l_suppkey) AS part_n
 FROM lineitem
 """

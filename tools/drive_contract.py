@@ -11,7 +11,7 @@ import duckdb
 import __spark_entry__ as e
 from duck_server_spark.engine.session import get_session
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 spark = get_session("drive")
 
 # t1 smoke
