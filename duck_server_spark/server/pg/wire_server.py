@@ -510,7 +510,14 @@ class PgServer:
             await self._server.serve_forever()
 
     def close(self) -> None:
-        if self._server is not None:
+        if self._server is None:
+            return
+        loop = self._server.get_loop()
+        if loop.is_running():
+            # asyncio servers are not thread-safe: schedule the close on
+            # the loop's own thread
+            loop.call_soon_threadsafe(self._server.close)
+        else:
             self._server.close()
 
 
