@@ -422,19 +422,31 @@ ORACLE = {
 # the md5 twin above is the cross-engine-verified version; this is the
 # one you run at 100 TB.
 
+# universal-hash permutations over ONE base hash: h_j(x) = (a_j*x + b_j) mod p.
+# The shingle string is hashed once (xxhash64); the 8 min-hashes are cheap
+# integer transforms of that array — 1 string hash + 8 arithmetic passes
+# instead of 8 string hashes. p = 2^31-1 (Mersenne); (x%p) < 2^31 and
+# a_j < 2^31 keep the product under 2^62: no bigint overflow under ANSI.
+_MINHASH_P = 2**31 - 1
+_MINHASH_AB = [(2 * j + 1, 7919 * (j + 1)) for j in range(_NUM_HASHES)]
+
+
 def _minhash_fast_cols() -> str:
     return ",\n         ".join(
-        f"array_min(transform(sh, s -> xxhash64({j}, s))) AS mh{j}"
-        for j in range(_NUM_HASHES)
+        f"array_min(transform(hs, x -> (pmod(x, {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P})) AS mh{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
     )
 
 
 DEDUP_MINHASH_FAST_SPARK = f"""
 WITH {_STAGED_SHINGLES_S},
+hashed AS (
+  SELECT doc_id, sh, transform(sh, s -> xxhash64(s)) AS hs FROM shing
+),
 sigs AS (
   SELECT doc_id,
          {_minhash_fast_cols()}
-  FROM shing
+  FROM hashed
 ),
 banded AS (
   SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
