@@ -59,13 +59,34 @@ def get_session(app_name: str = "duck_server_spark", cpus: int | None = None) ->
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and convert in load_table (values are micro-granular).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture files are single ~2-10 MB parquets; the 128 MB default
+        # gives 1-task scans. 4 MB splits the big tables across cores
+        # (row-group granularity). On a real cluster with TB inputs the
+        # default is right — this is the local[N] small-file knob.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized per (session, dir, table): repeated builders reuse the
+    analyzed relation instead of re-listing files and re-reading footers
+    (~100-200 ms per call). The fixture dirs are immutable."""
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # nanosAsLong gives ts as epoch-nanos BIGINT; restore a proper
