@@ -477,3 +477,83 @@ _minhash_fast_q, _ = _sql_pair(DEDUP_MINHASH_FAST_SPARK, "")
 
 QUERIES["dedup_minhash_lsh_fast"] = _minhash_fast_q
 # intentionally no ORACLE entry: engine-specific hash → rows-only check
+
+
+# ---------------------------------------------------------------------------
+# 6. Near-dup clustering: connected components over the candidate-pair graph
+# ---------------------------------------------------------------------------
+# After pair generation, production dedup keeps ONE doc per connected
+# component. Components are computed with iterative min-label propagation
+# (the standard Spark pattern for iterative graph algorithms without
+# GraphFrames: a driver loop of joins, each iteration one shuffle, until
+# fixpoint — converges in O(graph diameter) rounds; our dup clusters are
+# tiny stars so 2-3 rounds). The oracle is a recursive-CTE reachability
+# closure — same answer, different (single-node) algorithm.
+
+_PAIRS_SQL = f"""
+WITH corpus AS ({_CORPUS}),
+hashed AS (SELECT doc_id, md5(text) AS h FROM corpus)
+SELECT a.doc_id AS id1, b.doc_id AS id2
+FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(_PAIRS_SQL)
+    edges = pairs.selectExpr("id1 AS src", "id2 AS dst").unionAll(
+        pairs.selectExpr("id2 AS src", "id1 AS dst")
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    while True:
+        # one propagation round: label(v) <- min(label(v), min label of neighbors)
+        lab_by_dst = labels.selectExpr("src AS d", "label AS dlabel")
+        neighbor_min = (
+            edges.join(lab_by_dst, edges.dst == lab_by_dst.d)
+            .groupBy(F.col("src").alias("n"))
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.src == neighbor_min.n, "left")
+            .select(
+                F.col("src"),
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.selectExpr("src AS s", "label AS nl")
+            .join(labels, F.col("s") == labels.src)
+            .filter(F.col("nl") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list("src")).alias("members"))
+        .select(F.col("label").alias("component_id"), "cluster_size", "members")
+    )
+
+
+DEDUP_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT component_id, count(*) AS cluster_size, list_sort(list(src)) AS members
+FROM (SELECT src, min(dst) AS component_id FROM reach GROUP BY src) t
+GROUP BY component_id
+"""
+
+QUERIES["dedup_connected_components"] = dedup_connected_components
+ORACLE["dedup_connected_components"] = DEDUP_CC_ORACLE
