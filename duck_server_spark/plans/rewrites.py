@@ -34,10 +34,17 @@ _SET_NOOP = re.compile(
     re.IGNORECASE,
 )
 _PARAM = re.compile(r"\$(\d+)")
-_PG_CAST = re.compile(r"::\s*([A-Za-z_][A-Za-z0-9_ ]*(\(\s*\d+(\s*,\s*\d+)?\s*\))?)")
+_PG_CAST = re.compile(
+    r"::\s*(double\s+precision|timestamp\s+with(?:out)?\s+time\s+zone"
+    r"|[A-Za-z_][A-Za-z0-9_]*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+    re.IGNORECASE,
+)
 _CURRENT_SCHEMA = re.compile(r"\bcurrent_schema\(\)", re.IGNORECASE)
 
 _DUCK_TO_SPARK_TYPES = {
+    "double precision": "double",
+    "timestamp with time zone": "timestamp",
+    "timestamp without time zone": "timestamp_ntz",
     "hugeint": "decimal(38,0)",
     "varchar": "string",
     "text": "string",
@@ -55,7 +62,8 @@ _DUCK_TO_SPARK_TYPES = {
 
 
 def normalize_type(name: str) -> str:
-    return _DUCK_TO_SPARK_TYPES.get(name.strip().lower(), name)
+    key = re.sub(r"\s+", " ", name.strip().lower())
+    return _DUCK_TO_SPARK_TYPES.get(key, name)
 
 
 def rewrite_ch_query(q: str) -> str:

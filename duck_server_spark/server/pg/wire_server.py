@@ -285,7 +285,7 @@ class PgConnection:
                     self._close_msg(payload)
                 # unknown types silently skipped (message.go lazy skip)
             except Exception as e:  # noqa: BLE001 — engine errors → ErrorResponse
-                self.send_error(str(e).split("\n")[0][:500])
+                self.send_error(str(e).strip().split("\n")[0][:500])
                 if t == b"Q":
                     self.send_ready()
             await self.writer.drain()
