@@ -87,6 +87,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Self-sufficient against sessions we didn't build (the driver
+        # constructs its own): both confs are runtime-settable SQLConfs.
+        # nanosAsLong lets the TIMESTAMP(NANOS) file load; UTC keeps the
+        # reconstructed (session-TZ-sensitive) timestamp values aligned
+        # with the DuckDB oracle's naive timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # nanosAsLong gives ts as epoch-nanos BIGINT; restore a proper
