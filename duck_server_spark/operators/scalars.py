@@ -333,3 +333,31 @@ FROM part
 
 QUERIES["scalar_bits"] = bit_funcs
 ORACLE["scalar_bits"] = BIT_FUNCS_ORACLE
+
+
+def binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOB/BINARY handling (stretch type, SURVEY.md §1.3): hex/unhex
+    round-trips, binary length, md5-of-binary. Outputs are hex STRINGS —
+    pandas renders bytes differently per engine, hex is representation-
+    free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.hex(F.unhex(F.md5("text"))).alias("md5_roundtrip_hex"),
+        F.length(F.unhex(F.md5("text"))).alias("bin_len"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("prefix_hex"),
+        F.base64(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("prefix_b64"),
+    )
+
+
+BINARY_FUNCS_ORACLE = """
+SELECT doc_id,
+       upper(hex(unhex(md5(text)))) AS md5_roundtrip_hex,
+       CAST(octet_length(unhex(md5(text))) AS INTEGER) AS bin_len,
+       upper(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
+       to_base64(encode(substring(text, 1, 8))) AS prefix_b64
+FROM documents
+"""
+
+QUERIES["scalar_binary"] = binary_funcs
+ORACLE["scalar_binary"] = BINARY_FUNCS_ORACLE

@@ -138,3 +138,11 @@ def run_to_memory_sink(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming deduplication: dropDuplicates on event_id bounded by the
+    event-time watermark — exactly-once-per-key emission with O(keys in
+    the watermark window) state, the ingest-dedup front of a streaming
+    pipeline."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

@@ -89,3 +89,19 @@ def test_watermark_drops_late_rows(spark, events_dir):
     dropped_total = sum(r["n"] for r in out.collect())
     full = spark.read.parquet(events_dir).count()
     assert dropped_total < full
+
+
+def test_stream_dedup_removes_replays(spark, events_dir, tmp_path):
+    """Replay the stream with duplicated input files — dedup emits each
+    event_id once."""
+    import shutil, os
+    dup_dir = str(tmp_path / "dup_events")
+    shutil.copytree(events_dir, dup_dir)
+    for f in os.listdir(events_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{events_dir}/{f}", f"{dup_dir}/copy_{f}")
+    stream = sw.read_events_stream(spark, dup_dir)
+    out = sw.run_to_memory_sink(spark, sw.stream_dedup(stream, watermark="60 days"), "t_dedup")
+    n_unique = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
