@@ -87,14 +87,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient against sessions we didn't build (the verification
+    # driver constructs its own): UTC pins every session-TZ-sensitive
+    # expression (timestamp literals in filters, date→timestamp casts) to
+    # the oracle's naive-timestamp semantics. Runtime-settable SQLConf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Self-sufficient against sessions we didn't build (the driver
-        # constructs its own): both confs are runtime-settable SQLConfs.
-        # nanosAsLong lets the TIMESTAMP(NANOS) file load; UTC keeps the
-        # reconstructed (session-TZ-sensitive) timestamp values aligned
-        # with the DuckDB oracle's naive timestamps.
+        # nanosAsLong lets the TIMESTAMP(NANOS) file load (as BIGINT).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # nanosAsLong gives ts as epoch-nanos BIGINT; restore a proper
