@@ -557,3 +557,78 @@ GROUP BY component_id
 
 QUERIES["dedup_connected_components"] = dedup_connected_components
 ORACLE["dedup_connected_components"] = DEDUP_CC_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# 2c. MinHash + LSH, Arrow-vectorized signature stage
+# ---------------------------------------------------------------------------
+# The signature computation (tokenize -> shingle -> k min-hashes) is the
+# hot loop; interpreted SQL lambdas pay per-element dispatch. This variant
+# computes signatures in one mapInPandas pass (zlib.crc32 per shingle —
+# C-speed, deterministic everywhere — then 8 numpy universal-hash
+# permutations + mins per doc). Banding/candidate-join/exact-Jaccard
+# verification stay in Spark SQL. Rows-only check (crc32 path has no
+# DuckDB twin); recall-guarded by sharing the verify stage with the md5
+# oracle version.
+
+def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    register_views(spark, sf_dir)
+    corpus = spark.sql(_CORPUS)
+    P = 2**31 - 1
+    AB = [(2 * j + 1, 7919 * (j + 1)) for j in range(_NUM_HASHES)]
+
+    def sigs(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            mins = [[] for _ in range(_NUM_HASHES)]
+            for text in pdf["text"]:
+                toks = text.strip().split()
+                n = max(len(toks) - 2, 1)
+                hs = np.fromiter(
+                    (zlib.crc32(" ".join(toks[i : i + 3]).encode()) for i in range(n)),
+                    dtype=np.int64,
+                    count=n,
+                )
+                hp = hs % P
+                for j, (a, b) in enumerate(AB):
+                    mins[j].append(int(((hp * a + b) % P).min()))
+            for j in range(_NUM_HASHES):
+                out[f"mh{j}"] = mins[j]
+            yield pd.DataFrame(out)
+
+    sig_schema = "doc_id BIGINT, " + ", ".join(f"mh{j} BIGINT" for j in range(_NUM_HASHES))
+    corpus.mapInPandas(sigs, sig_schema).createOrReplaceTempView("minhash_vec_sigs")
+    return spark.sql(f"""
+WITH {_STAGED_SHINGLES_S},
+banded AS (
+  SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
+                 concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
+  FROM minhash_vec_sigs
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+),
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+),
+jac AS (
+  SELECT id1, id2,
+         CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
+  FROM joined
+)
+SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
+""")
+
+
+QUERIES["dedup_minhash_vectorized"] = dedup_minhash_vectorized
+# rows-only: crc32/numpy path has no cross-engine twin
