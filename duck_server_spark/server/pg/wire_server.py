@@ -286,29 +286,41 @@ class PgConnection:
                 # unknown types silently skipped (message.go lazy skip)
             except Exception as e:  # noqa: BLE001 — engine errors → ErrorResponse
                 self.send_error(str(e).strip().split("\n")[0][:500])
-                if t == b"Q":
-                    self.send_ready()
             await self.writer.drain()
 
     # ------------------------------------------------------ simple query
 
     async def _simple_query(self, query: str) -> None:
-        q = query.strip()
-        if not q:  # pg_conn.go:295-298
+        """Simple-query message: may carry MULTIPLE ';'-separated
+        statements (psql scripts do); each gets its own result set, one
+        ReadyForQuery at the end, first error aborts the rest — standard
+        PG simple-protocol semantics. (The reference hands the whole
+        string to its engine, which handles multi-statements natively.)"""
+        stmts = _split_statements(query)
+        if not stmts:  # pg_conn.go:295-298
             self._send(b"I")  # EmptyQueryResponse
             self.send_ready()
             return
+        try:
+            for q in stmts:
+                try:
+                    await self._exec_one(q)
+                except Exception as e:  # noqa: BLE001 — abort remaining stmts
+                    self.send_error(str(e).strip().split("\n")[0][:500])
+                    break
+        finally:
+            self.send_ready()
+
+    async def _exec_one(self, q: str) -> None:
         m = _CREATE_USER.match(q)
         if m:
             self.engine.create_user(m.group(1), m.group(2))
             self.send_command_complete("CREATE USER")  # pg_conn.go:291
-            self.send_ready()
             return
         if _DISCARD.match(q):
             self.stmts.clear()
             self.portals.clear()
             self.send_command_complete("DISCARD ALL")
-            self.send_ready()
             return
         m = _COPY_IN.match(q)
         if m:
@@ -316,17 +328,14 @@ class PgConnection:
             return
         if _SHOW_TXN.match(q):
             await self._run_query("SELECT 0 AS transaction_read_only", send_row_desc=True)
-            self.send_ready()
             return
         if _WRITE_VERB.match(q) and not q.lower().startswith(("select", "with")):
             tag = await asyncio.get_running_loop().run_in_executor(
                 None, self.engine.execute, q, "pg"
             )
             self.send_command_complete(tag)
-            self.send_ready()
             return
         await self._run_query(q, send_row_desc=True)
-        self.send_ready()
 
     async def _run_query(self, q: str, send_row_desc: bool) -> None:
         loop = asyncio.get_running_loop()
@@ -370,7 +379,6 @@ class PgConnection:
                 break
             elif t == b"f":  # CopyFail
                 self.send_error("COPY cancelled: " + payload.rstrip(b"\x00").decode())
-                self.send_ready()
                 return
             else:  # ignore Flush/Sync during copy
                 continue
@@ -397,7 +405,6 @@ class PgConnection:
 
         await loop.run_in_executor(None, _append)
         self.send_command_complete(f"COPY {len(rows)}")  # pg_conn.go:620
-        self.send_ready()
 
     # -------------------------------------------------- extended protocol
 
@@ -519,6 +526,34 @@ class PgServer:
             loop.call_soon_threadsafe(self._server.close)
         else:
             self._server.close()
+
+
+def _split_statements(query: str) -> list[str]:
+    """Split a simple-query payload on top-level semicolons (quote-aware:
+    '…' and "…" protected)."""
+    out: list[str] = []
+    cur: list[str] = []
+    quote: str | None = None
+    for ch in query:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+    stmt = "".join(cur).strip()
+    if stmt:
+        out.append(stmt)
+    return out
 
 
 def _read_cstr(data: bytes) -> tuple[bytes, bytes]:

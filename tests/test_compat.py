@@ -82,3 +82,31 @@ def test_null_handling_over_wire(pgc):
     _, rows, _ = c.simple_query("SELECT NULL AS a, coalesce(NULL, 'x') AS b")
     assert rows == [(None, "x")]
     c.terminate()
+
+
+def test_multi_statement_simple_query(pgc):
+    """psql-style 'stmt1; stmt2;' in one message: two result sets, one
+    ReadyForQuery."""
+    c = PgClient(*pgc)
+    c._send(b"Q", b"SELECT 1 AS a; SELECT 'x;y' AS b;\x00")
+    seen_tags, rows = [], []
+    while True:
+        t, data = c.recv_message()
+        if t == b"C":
+            seen_tags.append(data.rstrip(b"\x00").decode())
+        elif t == b"D":
+            rows.append(c._parse_data_row(data))
+        elif t == b"Z":
+            break
+    assert seen_tags == ["(1 row)", "(1 row)"]
+    assert rows == [("1",), ("x;y",)]
+    c.terminate()
+
+
+def test_multi_statement_error_aborts_rest(pgc):
+    c = PgClient(*pgc)
+    with pytest.raises(RuntimeError):
+        c.simple_query("SELECT 1 AS a; SELECT * FROM nope_xyz; SELECT 2 AS c")
+    _, rows, _ = c.simple_query("SELECT 3 AS ok")
+    assert rows == [("3",)]
+    c.terminate()
