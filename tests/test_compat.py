@@ -110,3 +110,17 @@ def test_multi_statement_error_aborts_rest(pgc):
     _, rows, _ = c.simple_query("SELECT 3 AS ok")
     assert rows == [("3",)]
     c.terminate()
+
+
+def test_explain_and_show_passthrough(pgc, spark, sf_dir):
+    """EXPLAIN and SHOW TABLES run natively through the wire (clients use
+    both for introspection)."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query("EXPLAIN SELECT count(*) FROM lineitem")
+    assert any("Scan" in r[0] or "Physical" in r[0] for r in rows)
+    _, rows, _ = c.simple_query("SHOW TABLES")
+    assert any("lineitem" in r for row in rows for r in row if r)
+    c.terminate()
