@@ -194,3 +194,30 @@ ORACLE = {
     "text_lang_id": LANG_ID_ORACLE,
     "text_fingerprint": FINGERPRINT_ORACLE,
 }
+
+
+def char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-set Jaccard similarity against a reference phrase
+    (DuckDB's built-in `jaccard` ≙ |chars∩|/|chars∪| — re-expressed with
+    array ops in Spark). Cheap first-pass similarity for short strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = "the quick brown fox jumps over the lazy dog"
+    return docs.selectExpr(
+        "doc_id",
+        f"""
+        CAST(size(array_intersect(array_distinct(split(text, '')),
+                                  array_distinct(split('{ref}', '')))) AS DOUBLE)
+        / size(array_union(array_distinct(split(text, '')),
+                           array_distinct(split('{ref}', '')))) AS char_jaccard
+        """,
+    )
+
+
+CHAR_JACCARD_ORACLE = """
+SELECT doc_id,
+       jaccard(text, 'the quick brown fox jumps over the lazy dog') AS char_jaccard
+FROM documents
+"""
+
+QUERIES["text_char_jaccard"] = char_jaccard
+ORACLE["text_char_jaccard"] = CHAR_JACCARD_ORACLE
