@@ -277,3 +277,74 @@ QUERIES["tpch_q6_forecast_revenue"] = q6_forecast_revenue
 QUERIES["tpch_q14_promo_effect"] = q14_promo_effect
 ORACLE["tpch_q6_forecast_revenue"] = Q6_ORACLE
 ORACLE["tpch_q14_promo_effect"] = Q14_ORACLE
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-like: EXISTS-correlated count by priority (semi join)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48.0)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48.0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-like: HAVING-filtered subquery feeding a join-agg
+    (customers whose single orders exceed a quantity threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(25)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, count(*) AS n_big_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120
+)
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 25
+"""
+
+QUERIES["tpch_q4_order_priority"] = q4_order_priority
+QUERIES["tpch_q18_large_volume"] = q18_large_volume_customers
+ORACLE["tpch_q4_order_priority"] = Q4_ORACLE
+ORACLE["tpch_q18_large_volume"] = Q18_ORACLE
