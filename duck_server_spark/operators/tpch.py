@@ -447,3 +447,106 @@ QUERIES["tpch_q19_discounted_revenue"] = q19_discounted_revenue
 ORACLE["tpch_q7_volume_shipping"] = Q7_ORACLE
 ORACLE["tpch_q16_supplier_parts"] = Q16_ORACLE
 ORACLE["tpch_q19_discounted_revenue"] = Q19_ORACLE
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-like: customers-per-order-count histogram (left outer
+    join with filtered ON condition, then double aggregation)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-like: rows under 50%% of their part's average quantity
+    (correlated-avg scalar subquery → decorrelated join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap"))
+        .agg((F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)) * 0.5).alias("half_avg"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 0.5
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-like: above-average-balance customers with no orders
+    (global avg scalar subquery + anti join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_ORACLE = """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["tpch_q13_customer_distribution"] = q13_customer_distribution
+QUERIES["tpch_q17_small_qty_revenue"] = q17_small_quantity_revenue
+QUERIES["tpch_q22_sales_opportunity"] = q22_global_sales_opportunity
+ORACLE["tpch_q13_customer_distribution"] = Q13_ORACLE
+ORACLE["tpch_q17_small_qty_revenue"] = Q17_ORACLE
+ORACLE["tpch_q22_sales_opportunity"] = Q22_ORACLE
