@@ -550,3 +550,131 @@ QUERIES["tpch_q22_sales_opportunity"] = q22_global_sales_opportunity
 ORACLE["tpch_q13_customer_distribution"] = Q13_ORACLE
 ORACLE["tpch_q17_small_qty_revenue"] = Q17_ORACLE
 ORACLE["tpch_q22_sales_opportunity"] = Q22_ORACLE
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-like: per-part value share above a global-threshold
+    scalar (GROUP BY … HAVING vs uncorrelated subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "CHINA")
+    val = _dec("l_extendedprice") * _dec("l_quantity")
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    total = base.agg((F.sum(val).cast("double") * 0.001).alias("thresh"))
+    return (
+        base.groupBy("l_partkey")
+        .agg(F.sum(val).cast("double").alias("part_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("thresh"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+Q11_ORACLE = """
+WITH base AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'CHINA'
+)
+SELECT l_partkey, CAST(sum(val) AS DOUBLE) AS part_value
+FROM base
+GROUP BY l_partkey
+HAVING CAST(sum(val) AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM base)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-like: supplier(s) with max quarterly revenue
+    (CTE revenue view + max-of-sum equality join)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).cast("double").alias("total_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-like: suppliers whose lineitems are the ONLY late ones
+    in multi-supplier orders (EXISTS + NOT EXISTS pair → semi + anti)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+    # orders served by >1 supplier
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("mk"))
+        .agg(F.countDistinct("l_suppkey").alias("nsupp"))
+        .filter(F.col("nsupp") > 1)
+        .select("mk")
+    )
+    # late rows whose order has another supplier also late
+    other_late = (
+        late.groupBy(F.col("l_orderkey").alias("ok2"))
+        .agg(F.countDistinct("l_suppkey").alias("nlate"))
+        .filter(F.col("nlate") > 1)
+        .select("ok2")
+    )
+    return (
+        late.join(multi, late.l_orderkey == multi.mk, "left_semi")
+        .join(other_late, late.l_orderkey == other_late.ok2, "left_anti")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey").asc())
+    )
+
+
+Q21_ORACLE = """
+WITH late AS (
+  SELECT * FROM lineitem WHERE l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT l_suppkey, count(*) AS numwait
+FROM late l1
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey ASC
+"""
+
+QUERIES["tpch_q11_important_stock"] = q11_important_stock
+QUERIES["tpch_q15_top_supplier"] = q15_top_supplier
+QUERIES["tpch_q21_waiting_suppliers"] = q21_waiting_suppliers
+ORACLE["tpch_q11_important_stock"] = Q11_ORACLE
+ORACLE["tpch_q15_top_supplier"] = Q15_ORACLE
+ORACLE["tpch_q21_waiting_suppliers"] = Q21_ORACLE
