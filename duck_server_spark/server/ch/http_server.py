@@ -30,6 +30,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from duck_server_spark.engine.executor import Engine, verify_password
 from duck_server_spark.sources.formats import READERS, WRITERS, write_all
+from duck_server_spark.sources.ingest import BatchAppender
 
 # ch_server.go:39-41,152 classification regexes
 _INSERT_FORMAT = re.compile(r"(?i)^\s*insert\s+into\s+([\w.]+)\s*(\(([^)]*)\))?\s*format\s+(\w+)\s*", re.DOTALL)
@@ -96,6 +97,16 @@ class ChRequestHandler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length") or 0)
         return self.rfile.read(length) if length else b""
 
+    def _body_chunks(self, chunk_size: int = 1 << 20):
+        """Yield the request body in ≤1 MiB chunks (bounded ingest memory)."""
+        remaining = int(self.headers.get("Content-Length") or 0)
+        while remaining > 0:
+            chunk = self.rfile.read(min(chunk_size, remaining))
+            if not chunk:
+                break
+            remaining -= len(chunk)
+            yield chunk
+
     # ------------------------------------------------------------ routes
 
     def do_GET(self) -> None:  # noqa: N802  (stdlib API)
@@ -123,16 +134,16 @@ class ChRequestHandler(BaseHTTPRequestHandler):
         parsed = urllib.parse.urlparse(self.path)
         params = urllib.parse.parse_qs(parsed.query)
         url_query = (params.get("query") or [""])[0]
-        body = self._read_body()
         m = _INSERT_FORMAT.match(url_query) if url_query else None
-        if m:  # INSERT statement in URL, data in body
-            self._insert_format(m, body)
+        if m:  # INSERT statement in URL, data in body → stream it
+            self._insert_format(m, self._body_chunks())
             return
+        body = self._read_body()
         text = body.decode(errors="replace")
         full = f"{url_query} {text}".strip() if url_query else text
         m = _INSERT_FORMAT.match(full)
         if m:
-            self._insert_format(m, full[m.end():].encode())
+            self._insert_format(m, [full[m.end():].encode()])
             return
         self._dispatch(full)
 
@@ -178,7 +189,15 @@ class ChRequestHandler(BaseHTTPRequestHandler):
     def _write_chunk(self, data: bytes) -> None:
         self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
 
-    def _insert_format(self, m: re.Match, payload: bytes) -> None:
+    def _insert_format(self, m: re.Match, chunks) -> None:
+        """INSERT…FORMAT ingest from an iterable of body chunks.
+
+        The subset schema is built in the CLIENT's column-list order and
+        unknown columns 400 (ch_server.go:345-362 parity — table-order
+        filtering silently swaps same-typed columns). Rows append in
+        micro-batches (sources/ingest.BatchAppender), so a multi-MB
+        payload keeps O(batch) server memory.
+        """
         table = m.group(1)
         cols = [c.strip().strip('`"') for c in (m.group(3) or "").split(",") if c.strip()]
         fmt = m.group(4)
@@ -191,25 +210,21 @@ class ChRequestHandler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001
             self._send_text(500, f"{e}\n")
             return
-        if cols:
-            from pyspark.sql import types as T
-
-            subset = T.StructType([f for f in full_schema.fields if f.name in cols])
-            reader = reader_factory(subset)
-        else:
-            reader = reader_factory(full_schema)
         try:
-            rows = list(reader.read(payload))
-            if rows:
-                df = self.engine.spark.createDataFrame(rows, reader.schema)
-                if cols:  # column-subset insert: missing columns → NULL (A20)
-                    from pyspark.sql import functions as F
-
-                    for f in full_schema.fields:
-                        if f.name not in cols:
-                            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-                    df = df.select(*[f.name for f in full_schema.fields])
-                df.write.mode("append").saveAsTable(table)
+            appender = BatchAppender(self.engine.spark, table, full_schema, cols or None)
+        except ValueError as e:  # unknown column in list
+            self._send_text(400, f"{e}\n")
+            return
+        reader = reader_factory(appender.schema)
+        try:
+            for chunk in chunks:
+                for row in reader.feed(chunk):
+                    if appender.add(row):
+                        appender.flush()
+            for row in reader.finish():
+                if appender.add(row):
+                    appender.flush()
+            appender.flush()
             self._send_text(200, "")
         except Exception as e:  # noqa: BLE001
             self._send_text(500, f"{e}\n")

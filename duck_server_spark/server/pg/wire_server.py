@@ -54,6 +54,7 @@ from duck_server_spark.engine.types import (
     spark_type_to_pg_oid,
 )
 from duck_server_spark.plans import rewrites
+from duck_server_spark.sources.ingest import BatchAppender, CsvChunkSplitter
 
 PROTO_V3 = 196608
 SSL_REQUEST = 80877103
@@ -198,12 +199,18 @@ class PgConnection:
 
     async def _auth(self, user: str) -> bool:
         peer = self.writer.get_extra_info("peername") or ("",)
-        verifier = self.engine.get_verifier(user)
         localhost = peer[0] in ("127.0.0.1", "::1", "")
-        if verifier is None or (localhost and not self.server.require_auth):
+        if localhost and not self.server.require_auth:
             self._send(b"R", struct.pack(">i", 0))  # AuthenticationOk (bypass, pg_auth.go:18-27)
             await self.writer.drain()
             return True
+        verifier = self.engine.get_verifier(user)
+        if verifier is None:
+            # unknown user must NOT bypass auth (reference runs SCRAM for
+            # every non-localhost user and rejects unknowns, pg_auth.go)
+            self.send_error(f'password authentication failed for user "{user}"', "28P01")
+            await self.writer.drain()
+            return False
         return await self._scram(user, verifier)
 
     async def _scram(self, user: str, verifier: str) -> bool:
@@ -358,23 +365,44 @@ class PgConnection:
     # ------------------------------------------------------ COPY FROM STDIN
 
     async def _copy_in(self, table: str, cols_csv: str | None) -> None:
+        """COPY t [(cols)] FROM STDIN WITH csv.
+
+        The subset schema is built in the CLIENT's column-list order and
+        unknown columns error (pg_conn.go:545-556 semantics) — zipping
+        cells against table-order fields silently swaps same-typed
+        columns. CopyData chunks are parsed incrementally (record-safe
+        splitter) and appended in micro-batches, so a multi-GB COPY
+        never materializes in driver memory (Appender analogue,
+        pg_conn.go:557-619).
+        """
         spark = self.engine.spark
         full_schema = spark.table(table).schema
         cols = [c.strip().strip('"') for c in cols_csv.split(",")] if cols_csv else None
-        schema = (
-            full_schema
-            if cols is None
-            else type(full_schema)([f for f in full_schema.fields if f.name in cols])
-        )
+        appender = BatchAppender(spark, table, full_schema, cols)
+        schema = appender.schema
         ncols = len(schema.fields)
         # CopyInResponse: text format, per-column format codes 0
         self._send(b"G", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols)
         await self.writer.drain()
-        chunks: list[bytes] = []
+        loop = asyncio.get_running_loop()
+        splitter = CsvChunkSplitter()
+
+        def _parse_into(text: str) -> bool:
+            full = False
+            for cells in csv.reader(io.StringIO(text)):
+                if not cells:
+                    continue
+                row = tuple(
+                    parse_csv_cell(c, f.dataType) for c, f in zip(cells, schema.fields)
+                )
+                full = appender.add(row) or full
+            return full
+
         while True:
             t, payload = await self._read_message()
             if t == b"d":
-                chunks.append(payload)
+                if _parse_into(splitter.feed(payload)):
+                    await loop.run_in_executor(None, appender.flush)
             elif t == b"c":  # CopyDone
                 break
             elif t == b"f":  # CopyFail
@@ -382,29 +410,9 @@ class PgConnection:
                 return
             else:  # ignore Flush/Sync during copy
                 continue
-        text = b"".join(chunks).decode()
-        rows = []
-        for cells in csv.reader(io.StringIO(text)):
-            if not cells:
-                continue
-            rows.append(tuple(parse_csv_cell(c, f.dataType) for c, f in zip(cells, schema.fields)))
-        loop = asyncio.get_running_loop()
-
-        def _append() -> None:
-            if not rows:
-                return
-            df = spark.createDataFrame(rows, schema)
-            if cols is not None:
-                from pyspark.sql import functions as F
-
-                for f in full_schema.fields:
-                    if f.name not in cols:
-                        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-                df = df.select(*[f.name for f in full_schema.fields])
-            df.write.mode("append").saveAsTable(table)
-
-        await loop.run_in_executor(None, _append)
-        self.send_command_complete(f"COPY {len(rows)}")  # pg_conn.go:620
+        _parse_into(splitter.finish())
+        await loop.run_in_executor(None, appender.flush)
+        self.send_command_complete(f"COPY {appender.total}")  # pg_conn.go:620
 
     # -------------------------------------------------- extended protocol
 

@@ -28,6 +28,7 @@ from duck_server_spark.engine.types import (
     render_json_value,
     spark_type_to_ch_name,
 )
+from duck_server_spark.sources.ingest import CsvChunkSplitter
 
 # ---------------------------------------------------------------- writers
 
@@ -113,29 +114,55 @@ class JSONEachRowWriter(FormatWriter):
 
 
 class FormatReader:
-    """Base: payload bytes → iterator of typed row tuples."""
+    """Base: payload bytes → typed row tuples. Two APIs:
+
+    - push: ``feed(chunk)`` yields rows completed by that chunk,
+      ``finish()`` yields the tail — lets the server parse multi-MB
+      ingests incrementally with O(chunk) memory;
+    - pull: ``read(payload)`` = feed + finish for one-shot payloads.
+    """
 
     skip_header_rows = 0
 
     def __init__(self, schema: T.StructType):
         self.schema = schema
 
-    def read(self, payload: bytes) -> Iterator[tuple]:
+    def feed(self, chunk: bytes) -> Iterator[tuple]:
         raise NotImplementedError
+
+    def finish(self) -> Iterator[tuple]:
+        raise NotImplementedError
+
+    def read(self, payload: bytes) -> Iterator[tuple]:
+        yield from self.feed(payload)
+        yield from self.finish()
 
 
 class _SVReader(FormatReader):
     delimiter = "\t"
 
-    def read(self, payload: bytes) -> Iterator[tuple]:
-        text = payload.decode()
+    def __init__(self, schema: T.StructType):
+        super().__init__(schema)
+        self._splitter = CsvChunkSplitter()
+        self._seen = 0  # records parsed so far (for header skipping)
+
+    def _parse(self, text: str) -> Iterator[tuple]:
+        if not text:
+            return
         reader = csv.reader(io.StringIO(text), delimiter=self.delimiter)
-        for i, cells in enumerate(reader):
-            if i < self.skip_header_rows or not cells:
+        for cells in reader:
+            self._seen += 1
+            if self._seen <= self.skip_header_rows or not cells:
                 continue
             yield tuple(
                 parse_csv_cell(c, f.dataType) for c, f in zip(cells, self.schema.fields)
             )
+
+    def feed(self, chunk: bytes) -> Iterator[tuple]:
+        yield from self._parse(self._splitter.feed(chunk))
+
+    def finish(self) -> Iterator[tuple]:
+        yield from self._parse(self._splitter.finish())
 
 
 class TabSeparatedReader(_SVReader):
@@ -154,15 +181,60 @@ class CSVWithNamesReader(CSVReader):
     skip_header_rows = 1
 
 
+def _coerce_json(v: Any, dt: T.DataType) -> Any:
+    """JSON value → Spark-ingestible value for the field type. JSON
+    carries date/timestamp/decimal as strings (and sometimes ints as
+    floats); createDataFrame rejects those raw, so coerce per-type
+    (the SV readers get this via parse_csv_cell — same table)."""
+    if v is None:
+        return None
+    if isinstance(v, str) and not isinstance(dt, T.StringType):
+        return parse_csv_cell(v, dt)
+    if isinstance(dt, T.DecimalType) and isinstance(v, (int, float)):
+        import decimal
+
+        return decimal.Decimal(str(v))
+    if isinstance(dt, (T.FloatType, T.DoubleType)) and isinstance(v, int):
+        return float(v)
+    if (
+        isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        and isinstance(v, float)
+        and v.is_integer()
+    ):
+        return int(v)
+    if isinstance(dt, T.BooleanType) and isinstance(v, int):
+        return bool(v)
+    if isinstance(dt, T.ArrayType) and isinstance(v, list):
+        return [_coerce_json(x, dt.elementType) for x in v]
+    return v
+
+
 class JSONEachRowReader(FormatReader):
-    def read(self, payload: bytes) -> Iterator[tuple]:
-        names = [f.name for f in self.schema.fields]
-        for line in payload.decode().splitlines():
+    def __init__(self, schema: T.StructType):
+        super().__init__(schema)
+        self._buf = ""
+
+    def _parse(self, text: str) -> Iterator[tuple]:
+        fields = self.schema.fields
+        for line in text.splitlines():
             line = line.strip()
             if not line:
                 continue
             obj = json.loads(line)
-            yield tuple(obj.get(n) for n in names)
+            yield tuple(_coerce_json(obj.get(f.name), f.dataType) for f in fields)
+
+    def feed(self, chunk: bytes) -> Iterator[tuple]:
+        # JSON strings escape newlines, so a raw '\n' always ends a record
+        self._buf += chunk.decode()
+        pos = self._buf.rfind("\n")
+        if pos == -1:
+            return
+        text, self._buf = self._buf[: pos + 1], self._buf[pos + 1 :]
+        yield from self._parse(text)
+
+    def finish(self) -> Iterator[tuple]:
+        text, self._buf = self._buf, ""
+        yield from self._parse(text)
 
 
 # --------------------------------------------------------------- registry

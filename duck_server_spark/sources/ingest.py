@@ -1,0 +1,147 @@
+"""Shared bulk-ingest helpers for the PG COPY and CH INSERT…FORMAT paths.
+
+Reference parity: the reference's Appender fast path
+(/root/reference/pg_conn.go:545-621, /root/reference/ch_server.go:236-343)
+streams client rows into the engine without materializing the payload.
+Our analogue is micro-batched DataFrame appends: rows accumulate to
+``batch_size`` then append through one ``createDataFrame().write`` per
+batch, so peak driver memory is O(batch), not O(payload).
+
+Column-subset semantics (pg_conn.go:545-556, ch_server.go:345-362):
+- the subset schema is built in the CLIENT's column-list order (a
+  ``COPY t (b, a)`` binds csv cell 1 → b, cell 2 → a);
+- unknown columns raise (the reference 400s/errors them);
+- columns absent from the list are filled with NULL on append.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_BATCH_ROWS = 50_000
+
+
+def subset_schema(full_schema: T.StructType, cols: list[str] | None) -> T.StructType:
+    """Schema for an explicit column list, in the CLIENT's order.
+
+    Raises ValueError for columns not present in the table — silently
+    dropping (or table-order zipping) would bind cells to wrong columns.
+    """
+    if not cols:
+        return full_schema
+    by_name = {f.name: f for f in full_schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(
+            "unknown column(s) " + ", ".join(repr(c) for c in missing) + " in column list"
+        )
+    return T.StructType([by_name[c] for c in cols])
+
+
+class BatchAppender:
+    """Accumulate row tuples and append to a managed table in micro-batches.
+
+    The write itself is one JVM call per batch (the py4j analogue of the
+    reference's per-chunk Appender flush, pg_conn.go:557-619).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        full_schema: T.StructType,
+        cols: list[str] | None,
+        batch_size: int = DEFAULT_BATCH_ROWS,
+    ):
+        self.spark = spark
+        self.table = table
+        self.full_schema = full_schema
+        self.cols = cols
+        self.schema = subset_schema(full_schema, cols)
+        self.batch_size = batch_size
+        self.total = 0
+        self._buf: list[tuple] = []
+
+    def add(self, row: tuple) -> bool:
+        """Buffer one row; returns True when the batch is full (caller
+        should flush — kept explicit so async callers can flush off-loop)."""
+        self._buf.append(row)
+        return len(self._buf) >= self.batch_size
+
+    def add_many(self, rows: Iterable[tuple]) -> Iterator[None]:
+        """Buffer rows, yielding once per full batch (caller flushes)."""
+        for row in rows:
+            if self.add(row):
+                yield None
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        batch, self._buf = self._buf, []
+        df = self.spark.createDataFrame(batch, self.schema)
+        if self.cols:
+            # column-subset insert: missing columns → NULL, table order
+            for f in self.full_schema.fields:
+                if f.name not in self.cols:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*[f.name for f in self.full_schema.fields])
+        df.write.mode("append").saveAsTable(self.table)
+        self.total += len(batch)
+
+
+class CsvChunkSplitter:
+    """Incremental splitter: feed byte chunks, get back decoded text that
+    ends on a record boundary (so a csv.reader can parse it standalone).
+
+    Records may contain embedded newlines only inside quoted fields; in
+    RFC-4180 CSV every quote character is either a field delimiter or a
+    doubled escape, so the count of '"' before any outside-a-field
+    newline is even — we split at the last such newline.
+    """
+
+    def __init__(self, quote: str | None = '"'):
+        self.quote = quote
+        self._text = ""
+        self._pending = b""
+
+    def feed(self, chunk: bytes) -> str:
+        data = self._pending + chunk
+        # don't decode a partial UTF-8 sequence at the chunk edge
+        try:
+            text = data.decode()
+            self._pending = b""
+        except UnicodeDecodeError:
+            for back in range(1, 5):
+                try:
+                    text = data[:-back].decode()
+                    self._pending = data[-back:]
+                    break
+                except UnicodeDecodeError:
+                    continue
+            else:
+                raise
+        self._text += text
+        cut = self._safe_cut(self._text)
+        if cut <= 0:
+            return ""
+        out, self._text = self._text[:cut], self._text[cut:]
+        return out
+
+    def finish(self) -> str:
+        out, self._text = self._text, ""
+        return out
+
+    def _safe_cut(self, s: str) -> int:
+        """Index just past the last newline that lies outside quotes."""
+        pos = s.rfind("\n")
+        if self.quote is None:
+            return pos + 1
+        while pos != -1:
+            if s.count(self.quote, 0, pos) % 2 == 0:
+                return pos + 1
+            pos = s.rfind("\n", 0, pos)
+        return 0

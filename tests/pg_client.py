@@ -168,11 +168,14 @@ class PgClient:
         self._send(b"S")
         return self._collect_result()
 
-    def copy_in(self, sql: str, data: str):
+    def copy_in(self, sql: str, data):
+        """data: one str payload or a list of str chunks (each becomes a
+        CopyData message — chunk boundaries may split csv records)."""
         self._send(b"Q", sql.encode() + b"\x00")
         t, payload = self.recv_message()
         assert t == b"G", (t, payload)  # CopyInResponse
-        self._send(b"d", data.encode())
+        for chunk in [data] if isinstance(data, str) else data:
+            self._send(b"d", chunk.encode())
         self._send(b"c")
         return self._collect_result()
 

@@ -137,6 +137,64 @@ def test_insert_format_csv_subset_columns(ch):
     assert body == "5\thello\t\\N\n6\tworld\t\\N\n"
 
 
+def test_insert_format_reordered_columns(ch):
+    """INSERT INTO t (a, id): cells bind in CLIENT column order
+    (ch_server.go:345-362) — round-1 silent-swap bug."""
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t5")
+    _post(base, "CREATE TABLE ch_t5 (id BIGINT, a STRING, b STRING) USING parquet")
+    status, body = _post(base, "INSERT INTO ch_t5 (b, a) FORMAT CSV\nbee,ay\n")
+    assert status == 200, body
+    _, body, _ = _get(base, "SELECT id, a, b FROM ch_t5 FORMAT TabSeparated")
+    assert body == "\\N\tay\tbee\n"
+
+
+def test_insert_format_unknown_column_400(ch):
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t6")
+    _post(base, "CREATE TABLE ch_t6 (id BIGINT) USING parquet")
+    status, body = _post(base, "INSERT INTO ch_t6 (nope) FORMAT CSV\n1\n")
+    assert status == 400
+    assert "unknown column" in body
+
+
+def test_insert_json_each_row_typed_columns(ch):
+    """ADVICE fix: JSONEachRow values coerce per schema type (dates,
+    timestamps, decimals arrive as JSON strings)."""
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t7")
+    _post(
+        base,
+        "CREATE TABLE ch_t7 (id BIGINT, d DATE, ts TIMESTAMP, x DECIMAL(10,2)) USING parquet",
+    )
+    payload = (
+        "INSERT INTO ch_t7 FORMAT JSONEachRow\n"
+        '{"id":1,"d":"2024-01-02","ts":"2024-01-02 03:04:05","x":"12.34"}\n'
+        '{"id":2,"d":"2024-02-03","ts":"2024-02-03 04:05:06","x":56.7}\n'
+    )
+    status, body = _post(base, payload)
+    assert status == 200, body
+    _, body, _ = _get(base, "SELECT id, d, ts, x FROM ch_t7 ORDER BY id FORMAT TabSeparated")
+    lines = body.splitlines()
+    assert lines[0] == "1\t2024-01-02\t2024-01-02 03:04:05\t12.34"
+    assert lines[1] == "2\t2024-02-03\t2024-02-03 04:05:06\t56.70"
+
+
+def test_insert_format_streamed_body_microbatched(ch):
+    """INSERT statement in the URL, multi-MB CSV body streamed through
+    the micro-batch appender (bounded server memory)."""
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t8")
+    _post(base, "CREATE TABLE ch_t8 (id BIGINT, s STRING) USING parquet")
+    n = 120_000  # > 2 micro-batches at 50k
+    body = "".join(f"{i},row{i}\n" for i in range(n))
+    status, resp = _post(base, body, query="INSERT INTO ch_t8 FORMAT CSV")
+    assert status == 200, resp
+    _, out, _ = _get(base, "SELECT count(*) AS n, sum(id) AS s FROM ch_t8")
+    cnt, s = out.strip().split("\t")
+    assert int(cnt) == n and int(s) == n * (n - 1) // 2
+
+
 def test_update_delete_copy_on_write(ch):
     base, _ = ch
     _post(base, "DROP TABLE IF EXISTS ch_t4")

@@ -161,6 +161,61 @@ def test_copy_from_stdin(pg, spark):
     c.terminate()
 
 
+def test_copy_reordered_columns(pg, spark):
+    """COPY t (b, a): cells bind in the CLIENT's column-list order, not
+    table order (pg_conn.go:545-556) — same-typed columns must not be
+    silently swapped (round-1 wrong-answer bug)."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS pg_copy2")
+    c.simple_query("CREATE TABLE pg_copy2 (a STRING, b STRING, v DOUBLE) USING parquet")
+    _, _, tag = c.copy_in(
+        "COPY pg_copy2 (b, a) FROM STDIN WITH (FORMAT csv)", "bee1,ay1\nbee2,ay2\n"
+    )
+    assert tag == "COPY 2"
+    _, rows, _ = c.simple_query("SELECT a, b, v FROM pg_copy2 ORDER BY a")
+    assert rows == [("ay1", "bee1", None), ("ay2", "bee2", None)]
+    c.terminate()
+
+
+def test_copy_unknown_column_errors(pg):
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS pg_copy3")
+    c.simple_query("CREATE TABLE pg_copy3 (id BIGINT) USING parquet")
+    with pytest.raises(RuntimeError, match="unknown column"):
+        c.simple_query("COPY pg_copy3 (nope) FROM STDIN WITH (FORMAT csv)")
+    c.terminate()
+
+
+def test_copy_chunked_records_split_across_messages(pg):
+    """CopyData chunk boundaries mid-record (and inside a quoted field
+    containing a newline) must not corrupt parsing — exercises the
+    incremental record-safe splitter."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS pg_copy4")
+    c.simple_query("CREATE TABLE pg_copy4 (id BIGINT, s STRING) USING parquet")
+    chunks = ['1,"he', 'llo\nwor', 'ld"\n2,pla', "in\n3,tail\n"]
+    _, _, tag = c.copy_in("COPY pg_copy4 FROM STDIN WITH (FORMAT csv)", chunks)
+    assert tag == "COPY 3"
+    _, rows, _ = c.simple_query("SELECT s FROM pg_copy4 ORDER BY id")
+    assert rows == [("hello\nworld",), ("plain",), ("tail",)]
+    c.terminate()
+
+
+def test_unknown_user_rejected_when_auth_required(spark):
+    """ADVICE fix: an unknown user must NOT get AuthenticationOk when
+    require_auth is set — reference rejects unknown users."""
+    engine = Engine(spark)
+    port = _free_port()
+    server, _ = run_threaded(engine, port=port, require_auth=True)
+    time.sleep(0.5)
+    with pytest.raises((RuntimeError, ConnectionError)):
+        PgClient("127.0.0.1", port, user="nobody_here", password="x")
+    server.close()
+
+
 def test_create_user_and_scram_auth(pg):
     (host, port), engine = pg
     c = PgClient(host, port)
