@@ -510,10 +510,14 @@ WHERE p_brand = 'Brand#1'
 
 
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-like: above-average-balance customers with no orders
-    (global avg scalar subquery + anti join)."""
+    """TPC-H Q22-like: above-average-balance customers with no URGENT
+    orders (global avg scalar subquery + anti join). The anti side is
+    urgent orders only — every fixture customer has *some* order, so the
+    original no-orders predicate was vacuously empty (round-1 red flag)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab"))
@@ -539,7 +543,7 @@ WHERE c_acctbal > (
     SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
     FROM customer c2 WHERE c2.c_acctbal > 0.0
   )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
@@ -557,7 +561,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar (GROUP BY … HAVING vs uncorrelated subquery)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "CHINA")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     val = _dec("l_extendedprice") * _dec("l_quantity")
     base = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -580,7 +584,7 @@ WITH base AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'CHINA'
+  WHERE n_name = 'NATION_2'
 )
 SELECT l_partkey, CAST(sum(val) AS DOUBLE) AS part_value
 FROM base
@@ -678,3 +682,301 @@ QUERIES["tpch_q21_waiting_suppliers"] = q21_waiting_suppliers
 ORACLE["tpch_q11_important_stock"] = Q11_ORACLE
 ORACLE["tpch_q15_top_supplier"] = Q15_ORACLE
 ORACLE["tpch_q21_waiting_suppliers"] = Q21_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round 2: the five remaining TPC-H shapes (Q2, Q8, Q9, Q12, Q20), adapted to
+# the fixture star schema (no partsupp / shipmode / commit-receipt dates —
+# FIXTURES.md): the lineitem-derived (partkey, suppkey) catalog stands in for
+# partsupp, l_shipdate>o_orderdate for the commit/receipt predicate, and
+# l_linestatus for shipmode. Shapes (correlated min over a 5-way join,
+# case-weighted market share, per-nation profit rollup, two-way case counts,
+# nested-IN with correlated threshold) are the reference's delegated surface
+# (/root/reference/README.md:26).
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-like: for each qualifying part, the regional supplier(s)
+    offering the minimum price (correlated min over a 5-way join).
+
+    Scale: the "catalog" aggregation shuffles once on (partkey, suppkey);
+    the per-part min reuses that output (no second lineitem scan);
+    nation/region broadcast.  min() is order-insensitive so doubles are
+    oracle-exact without decimal staging.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 15) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    regional = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    min_cost = regional.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        regional.join(F.broadcast(part), regional.ps_partkey == part.p_partkey)
+        .join(
+            min_cost,
+            (regional.ps_partkey == min_cost.mk)
+            & (regional.ps_supplycost == min_cost.min_cost),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM ps
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON ps_partkey = p_partkey
+WHERE p_size < 15 AND p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-like: one supplier-nation's share of regional order volume
+    per year (7-way join + case-weighted aggregate ratio).
+
+    Scale: lineitem⋈orders is the only fact-fact join (sort-merge under
+    AQE); part/customer/supplier/nation/region are dim joins. Decimal
+    volume sums, one final double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM base
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-like: profit by supplier nation and order year (the
+    part-cost term uses p_retailprice since the fixture has no
+    ps_supplycost). Two exact decimal sums combined in one deterministic
+    double expression — see module docstring.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(disc_price).cast("double") - F.lit(0.5) * F.sum(cost).cast("double")
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         - 0.5 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%e%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-like: high/low-priority order counts per line status
+    (two CASE-sum counters; l_linestatus stands in for l_shipmode and
+    l_shipdate>o_orderdate for the commit/receipt-date predicate)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-like: suppliers who shipped more than 30% of a part's
+    period volume (nested IN with a correlated per-part threshold →
+    decorrelated as agg + join + semi joins).
+
+    Scale: one shuffle for the (part, supp) agg, one map-side-combinable
+    rollup to per-part totals, then semi joins (no row explosion).
+    l_quantity is integral so double sums are exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%o%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    perpart = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    totals = perpart.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    excess = (
+        perpart.join(totals, perpart.l_partkey == totals.tk)
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+WITH perpart AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%o%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM perpart p1
+    WHERE qty > 0.3 * (SELECT sum(qty) FROM perpart p2 WHERE p2.l_partkey = p1.l_partkey)
+  )
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+ORDER BY s_suppkey
+"""
+
+
+QUERIES["tpch_q2_min_cost_supplier"] = q2_min_cost_supplier
+QUERIES["tpch_q8_market_share"] = q8_market_share
+QUERIES["tpch_q9_product_profit"] = q9_product_profit
+QUERIES["tpch_q12_priority_lines"] = q12_priority_line_counts
+QUERIES["tpch_q20_excess_suppliers"] = q20_excess_suppliers
+ORACLE["tpch_q2_min_cost_supplier"] = Q2_ORACLE
+ORACLE["tpch_q8_market_share"] = Q8_ORACLE
+ORACLE["tpch_q9_product_profit"] = Q9_ORACLE
+ORACLE["tpch_q12_priority_lines"] = Q12_ORACLE
+ORACLE["tpch_q20_excess_suppliers"] = Q20_ORACLE
