@@ -499,15 +499,30 @@ FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation with scale-safe iteration state:
+
+    - ``edges`` and each ``labels`` generation are persisted (each round
+      reads them twice: propagation join + convergence count);
+    - every 3rd generation is ``localCheckpoint``ed to truncate lineage —
+      without it round N's plan contains all N-1 prior join chains and
+      re-executes them (the classic iterative-Spark failure at scale);
+    - the previous generation is unpersisted once the new one is
+      materialized; iterations are capped with a loud failure;
+    - the convergence check rides the SAME pass as the propagation join
+      (a ``_changed`` flag column), not a second self-join.
+    """
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir)
     pairs = spark.sql(_PAIRS_SQL)
-    edges = pairs.selectExpr("id1 AS src", "id2 AS dst").unionAll(
-        pairs.selectExpr("id2 AS src", "id1 AS dst")
+    edges = (
+        pairs.selectExpr("id1 AS src", "id2 AS dst")
+        .unionAll(pairs.selectExpr("id2 AS src", "id1 AS dst"))
+        .persist()
     )
-    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
-    while True:
+    labels = edges.select("src").distinct().withColumn("label", F.col("src")).persist()
+    max_rounds = 50  # label propagation converges in O(graph diameter)
+    for rnd in range(max_rounds):
         # one propagation round: label(v) <- min(label(v), min label of neighbors)
         lab_by_dst = labels.selectExpr("src AS d", "label AS dlabel")
         neighbor_min = (
@@ -515,24 +530,28 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("n"))
             .agg(F.min("dlabel").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.src == neighbor_min.n, "left")
-            .select(
-                F.col("src"),
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-            )
+        new_gen = labels.join(neighbor_min, labels.src == neighbor_min.n, "left").select(
+            F.col("src"),
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            (F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))).alias("_changed"),
         )
-        changed = (
-            new_labels.selectExpr("src AS s", "label AS nl")
-            .join(labels, F.col("s") == labels.src)
-            .filter(F.col("nl") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        if rnd % 3 == 2:
+            new_gen = new_gen.localCheckpoint(eager=True)  # truncate lineage
+        else:
+            new_gen = new_gen.persist()
+        changed = new_gen.filter(F.col("_changed")).count()  # materializes new_gen
+        labels.unpersist()
+        labels = new_gen.drop("_changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+    # detach the result from the loop lineage so callers see a flat plan
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
     return (
-        labels.groupBy("label")
+        final.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list("src")).alias("members"))
         .select(F.col("label").alias("component_id"), "cluster_size", "members")
     )

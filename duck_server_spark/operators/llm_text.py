@@ -11,6 +11,11 @@ pipeline runs over a `documents` corpus. Design rules:
   these run at scan speed.
 - Every score is derived with the identical arithmetic expression on the
   oracle side so results are bit-equal.
+- Expensive arrays are STAGED once per row as projected columns (toks,
+  per-language hit counts) and referenced downstream — Spark's
+  higher-order lambdas run interpreted with no CSE across references, so
+  inlining `split()` into every consumer re-tokenizes the document 8-20×
+  (the trap dedup.py measured at ~8.7-30×; same fix here).
 """
 
 from __future__ import annotations
@@ -32,11 +37,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (letter runs / digit runs / single punctuation, the GPT-2-style
     pre-tokenizer shape) + distinct-token count."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
+    return docs.selectExpr("doc_id", "text", "n_chars", f"{_TOKS} AS toks").selectExpr(
         "doc_id",
-        f"size({_TOKS}) AS n_ws_tokens",
+        "size(toks) AS n_ws_tokens",
         "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS n_bpe_tokens",
-        f"size(array_distinct({_TOKS})) AS n_distinct_tokens",
+        "size(array_distinct(toks)) AS n_distinct_tokens",
         "length(text) AS n_chars_measured",
         "n_chars",
     )
@@ -58,18 +63,31 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio, mean word length — the standard cheap pre-filters
     (C4/Gopher-style) before expensive model-based scoring."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "doc_id",
-        f"size({_TOKS}) AS n_tokens",
-        f"CAST(size(filter({_TOKS}, t -> t IN {_STOPWORDS})) AS DOUBLE) / size({_TOKS}) AS stopword_ratio",
-        f"CAST(size(array_distinct({_TOKS})) AS DOUBLE) / size({_TOKS}) AS type_token_ratio",
-        f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / size({_TOKS}) AS mean_word_len",
-        f"""
-        0.4 * least(1.0, CAST(size({_TOKS}) AS DOUBLE) / 100.0)
-        + 0.3 * (CAST(size(filter({_TOKS}, t -> t IN {_STOPWORDS})) AS DOUBLE) / size({_TOKS}))
-        + 0.3 * (CAST(size(array_distinct({_TOKS})) AS DOUBLE) / size({_TOKS}))
-        AS quality
-        """,
+    # stage 1: tokenize once; stage 2: the three counts, each once;
+    # stage 3: ratios/score reference the counts. Identical arithmetic
+    # to the oracle — only the evaluation count differs.
+    return (
+        docs.selectExpr("doc_id", "text", f"{_TOKS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "text",
+            "size(toks) AS n_tokens",
+            f"size(filter(toks, t -> t IN {_STOPWORDS})) AS stop_hits",
+            "size(array_distinct(toks)) AS n_distinct",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio",
+            "CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio",
+            "CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens AS mean_word_len",
+            """
+            0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+            + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+            + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+            AS quality
+            """,
+        )
     )
 
 
@@ -101,25 +119,38 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID with deterministic argmax tiebreak
     (en > es > fr > de > unknown)."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = {
-        lang: f"size(filter({_TOKS}, t -> t IN {words}))" for lang, words in _MARKERS.items()
-    }
-    pred = f"""
-      CASE
-        WHEN {counts['en']} >= {counts['es']} AND {counts['en']} >= {counts['fr']}
-             AND {counts['en']} >= {counts['de']} AND {counts['en']} > 0 THEN 'en'
-        WHEN {counts['es']} >= {counts['fr']} AND {counts['es']} >= {counts['de']}
-             AND {counts['es']} > 0 THEN 'es'
-        WHEN {counts['fr']} >= {counts['de']} AND {counts['fr']} > 0 THEN 'fr'
-        WHEN {counts['de']} > 0 THEN 'de'
-        ELSE 'unknown'
-      END
-    """
-    return docs.selectExpr(
-        "doc_id",
-        "lang AS lang_labeled",
-        *[f"{expr} AS hits_{lang}" for lang, expr in counts.items()],
-        f"{pred} AS lang_pred",
+    # toks staged once; each hits_* filter evaluated once; the argmax
+    # CASE references the staged counts (was: 4 filters × up to 5
+    # re-evaluations each inside the CASE).
+    return (
+        docs.selectExpr("doc_id", "lang", f"{_TOKS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "lang AS lang_labeled",
+            *[
+                f"size(filter(toks, t -> t IN {words})) AS hits_{lang}"
+                for lang, words in _MARKERS.items()
+            ],
+        )
+        .selectExpr(
+            "doc_id",
+            "lang_labeled",
+            "hits_en",
+            "hits_es",
+            "hits_fr",
+            "hits_de",
+            """
+            CASE
+              WHEN hits_en >= hits_es AND hits_en >= hits_fr
+                   AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+              WHEN hits_es >= hits_fr AND hits_es >= hits_de
+                   AND hits_es > 0 THEN 'es'
+              WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+              WHEN hits_de > 0 THEN 'de'
+              ELSE 'unknown'
+            END AS lang_pred
+            """,
+        )
     )
 
 
@@ -156,16 +187,16 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mod 1e9+7, left-to-right — identical fold order in both engines),
     and a min-shingle fingerprint (the 1-hash MinHash)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
+    return docs.selectExpr("doc_id", "text", f"{_TOKS} AS toks").selectExpr(
         "doc_id",
         "md5(text) AS content_md5",
         """
         aggregate(split(text, ''), 0L,
                   (acc, c) -> (acc * 31 + ascii(c)) % 1000000007L) AS rolling_hash
         """,
-        f"""
-        array_min(transform(sequence(1, greatest(size({_TOKS}) - 2, 1)),
-                  i -> md5(concat_ws(' ', slice({_TOKS}, i, 3))))) AS min_shingle_md5
+        """
+        array_min(transform(sequence(1, greatest(size(toks) - 2, 1)),
+                  i -> md5(concat_ws(' ', slice(toks, i, 3))))) AS min_shingle_md5
         """,
     )
 

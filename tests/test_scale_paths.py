@@ -42,6 +42,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert n == li.count()
 
 
+def test_connected_components_plan_is_flat(spark, sf_dir):
+    """The iterative label-propagation loop must not leak its per-round
+    join lineage into the returned plan: each generation is persisted,
+    every 3rd localCheckpoint()ed, and the final frame is checkpointed —
+    so the caller's physical plan has NO joins at all (VERDICT round-1
+    scale fix)."""
+    from duck_server_spark.operators.dedup import dedup_connected_components
+
+    df = dedup_connected_components(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    rows = df.collect()
+    assert rows and all(r["cluster_size"] >= 2 for r in rows)
+
+
 def test_salted_join_correctness(spark, sf_dir):
     from duck_server_spark.engine.session import load_table
 
