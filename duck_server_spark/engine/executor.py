@@ -55,7 +55,7 @@ _DISCARD_ALL = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns)|pg_catalog\.pg_type|pg_type|pg_matviews)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage)|pg_catalog\.pg_type|pg_type|pg_matviews)\b",
     re.IGNORECASE,
 )
 
@@ -154,9 +154,18 @@ class Engine:
         )
         pg_type.createOrReplaceTempView("pg_type")
         spark.createDataFrame([], "schemaname string, matviewname string").createOrReplaceTempView("pg_matviews")
+        # JDBC/DataGrip metadata probes query this at connect time — the
+        # reference creates it empty at bootstrap (pg_server.go:46-47)
+        spark.createDataFrame(
+            [],
+            "constraint_catalog string, constraint_schema string, constraint_name string, "
+            "table_catalog string, table_schema string, table_name string, column_name string",
+        ).createOrReplaceTempView("constraint_column_usage")
         for name, body in (
             ("array_positions", "(a ARRAY<STRING>, b STRING) RETURNS INT RETURN 0"),
-            ("duck_timezone", "(x TIMESTAMP) RETURNS STRING RETURN 'UTC'"),
+            # registered under the REFERENCE's spelling (pg_server.go:41) —
+            # round 1 shipped it as duck_timezone, which no client sends
+            ("timezone", "(x TIMESTAMP) RETURNS STRING RETURN 'UTC'"),
             ("currentDatabase", "() RETURNS STRING RETURN current_database()"),
         ):
             try:
@@ -200,6 +209,7 @@ class Engine:
                 "information_schema.schemata": "system_databases",
                 "information_schema.tables": "system_tables",
                 "information_schema.columns": "system_columns",
+                "information_schema.constraint_column_usage": "constraint_column_usage",
                 "pg_catalog.pg_type": "pg_type",
             }
             return mapping.get(name, m.group(0))
@@ -265,7 +275,12 @@ class Engine:
         """UPDATE t SET a=e1, b=e2 WHERE p → full-table rewrite:
         SELECT with CASE WHEN p THEN e ELSE a END per assigned column.
         At scale this is the standard parquet-table strategy (Delta/
-        Iceberg do file-granular versions of the same rewrite)."""
+        Iceberg do file-granular versions of the same rewrite).
+
+        One pass total: the affected-row count rides the rewrite job as
+        an Observation metric (no separate pre-count), and the result is
+        staged + renamed — never collected to the driver.
+        """
         spark = self.spark
         df = spark.table(table)
         assigns: dict[str, str] = {}
@@ -273,7 +288,6 @@ class Engine:
             col, expr = part.split("=", 1)
             assigns[col.strip().strip("`\"")] = expr.strip()
         pred = where or "TRUE"
-        n = spark.table(table).filter(F.expr(pred)).count()
         select_exprs = []
         for field in df.schema.fields:
             if field.name in assigns:
@@ -282,32 +296,58 @@ class Engine:
                 )
             else:
                 select_exprs.append(f"`{field.name}`")
-        new_df = df.selectExpr(*select_exprs)
-        self._overwrite_table(table, new_df)
-        return n
+        hit = F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias("n")
+        return self._overwrite_table(table, df, lambda d: d.selectExpr(*select_exprs), hit)
 
     def _copy_on_write_delete(self, table: str, where: str | None) -> int:
-        spark = self.spark
+        df = self.spark.table(table)
         if where is None:
-            n = spark.table(table).count()
-            self._overwrite_table(table, spark.table(table).limit(0))
+            # truncate: count() is metadata-only on parquet, then one
+            # empty overwrite — no staging needed, nothing to preserve
+            n = df.count()
+            self.spark.createDataFrame([], df.schema).write.mode("overwrite").saveAsTable(table)
             return n
-        n = spark.table(table).filter(F.expr(where)).count()
-        new_df = spark.table(table).filter(~F.expr(where))
-        self._overwrite_table(table, new_df)
-        return n
+        hit = F.sum(F.when(F.expr(where), 1).otherwise(0)).cast("long").alias("n")
+        return self._overwrite_table(table, df, lambda d: d.filter(~F.expr(where)), hit)
 
-    def _overwrite_table(self, table: str, df: DataFrame) -> None:
-        # materialize before truncating the source (same-table read+write)
-        tmp = [tuple(r) for r in df.collect()] if df.count() < 1_000_000 else None
-        if tmp is not None:
-            new = self.spark.createDataFrame(tmp, df.schema) if tmp else self.spark.createDataFrame([], df.schema)
-            new.write.mode("overwrite").saveAsTable(table)
-        else:  # large: stage through a temp table to stay out of driver memory
-            staging = f"{table}__cow_staging"
-            df.write.mode("overwrite").saveAsTable(staging)
-            self.spark.table(staging).write.mode("overwrite").saveAsTable(table)
-            self.spark.sql(f"DROP TABLE {staging}")
+    def _overwrite_table(self, table: str, source: DataFrame, transform, metric) -> int:
+        """Stage-then-swap rewrite, never through the driver:
+
+        1. transform(source) → staging table: the ONLY pass that computes
+           the rewrite, executor-parallel; ``metric`` (the affected-row
+           count) is observed during this same job — no separate count().
+        2. target overwritten by re-reading the staged parquet (a plain
+           file copy, no recompute), staging dropped.
+
+        Durability: the original is untouched until step 2 begins, and
+        staging holds the complete new contents throughout step 2 — a
+        crash leaves recoverable state at every point, though the final
+        overwrite itself is not atomic (vanilla parquet tables have no
+        commit protocol; Delta/Iceberg's atomic swap is the production
+        answer — documented non-goal, ADVICE r1).
+        (Not DROP+RENAME: Spark's in-memory catalog renames a managed
+        table without moving its location, which orphans the staging
+        path for the next rewrite.)"""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        staging = f"{table}__cow_staging"
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        if not self.spark.catalog.tableExists(staging):
+            # a crashed prior rewrite (or a fresh session over an old
+            # warehouse) can leave an orphaned staging directory that no
+            # catalog entry owns — saveAsTable refuses the location then
+            import shutil
+
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(
+                os.path.join(warehouse, staging.rsplit(".", 1)[-1]), ignore_errors=True
+            )
+        transform(source.observe(obs, metric)).write.mode("overwrite").saveAsTable(staging)
+        n = int(obs.get["n"] or 0)
+        self.spark.table(staging).write.mode("overwrite").saveAsTable(table)
+        self.spark.sql(f"DROP TABLE {staging}")
+        return n
 
     # ------------------------------------------------------------ cancel
 

@@ -31,7 +31,7 @@ def pg(spark, sf_dir):
     server, loop = run_threaded(engine, port=port)
     time.sleep(0.5)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("pg_t1", "pg_copy1"):
+    for t in ("pg_t1", "pg_copy1", "pg_copy2", "pg_copy3", "pg_copy4"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     yield ("127.0.0.1", port), engine
