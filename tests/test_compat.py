@@ -53,6 +53,28 @@ def test_system_tables_probe(pgc, spark, sf_dir):
     c.terminate()
 
 
+def test_constraint_column_usage_probe(pgc):
+    """JDBC metadata probe (reference bootstraps this view empty,
+    pg_server.go:46-47) — must return zero rows, not an error."""
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query(
+        "SELECT table_name, column_name FROM information_schema.constraint_column_usage "
+        "WHERE table_schema = 'main'"
+    )
+    assert rows == []
+    assert [n for n, _ in cols] == ["table_name", "column_name"]
+    c.terminate()
+
+
+def test_timezone_macro_reference_name(pgc):
+    """timezone() registered under the reference's spelling
+    (pg_server.go:41), not a renamed variant."""
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query("SELECT timezone(TIMESTAMP '2024-01-01 00:00:00') AS tz")
+    assert rows == [("UTC",)]
+    c.terminate()
+
+
 def test_complex_type_rendering(pgc):
     """Arrays → PG array literals, maps → JSON, decimal/timestamp text."""
     c = PgClient(*pgc)
