@@ -229,17 +229,46 @@ class Engine:
         return self.spark.sql(self._prepare_sql(q, dialect))
 
     def stream(self, q: str, dialect: str = "pg", job_group: str | None = None):
-        """→ (schema, iterator of row tuples). Partition-at-a-time pull."""
+        """→ (schema, iterator of row tuples). Partition-at-a-time pull.
+
+        The job group is set INSIDE the iterator — i.e. on whichever
+        thread actually consumes the rows and therefore launches the
+        Spark jobs (job groups are thread-local; setting it on the
+        calling thread is a no-op if consumption happens elsewhere —
+        ADVICE r1). Single-threaded consumers (the CH handler thread)
+        get correct cancel semantics this way; multi-threaded consumers
+        should use stream_batches() instead."""
         df = self.query(q, dialect)
         schema = df.schema
-        if job_group:
-            self.spark.sparkContext.setJobGroup(job_group, q[:100], interruptOnCancel=True)
+        sc = self.spark.sparkContext
 
         def rows() -> Iterator[tuple]:
-            for row in df.toLocalIterator(prefetchPartitions=True):
-                yield tuple(row)
+            if job_group:
+                sc.setJobGroup(job_group, q[:100], interruptOnCancel=True)
+            try:
+                for row in df.toLocalIterator(prefetchPartitions=True):
+                    yield tuple(row)
+            finally:
+                if job_group:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
 
         return schema, rows()
+
+    def stream_batches(
+        self, q: str, dialect: str = "pg", job_group: str | None = None, batch_size: int = 1000
+    ) -> tuple:
+        """→ (schema, batch stream) for async servers.
+
+        ALL Spark actions run on ONE dedicated producer thread that sets
+        the job group before iterating — so cancel(job_group) reliably
+        interrupts this query and only this query, regardless of which
+        event-loop worker thread awaits the batches (the asyncio
+        run_in_executor pool hands work to arbitrary threads, where a
+        thread-local job group would be lost — ADVICE r1). A bounded
+        queue gives backpressure: the producer stalls after 4 batches if
+        the socket is slow, so server memory stays O(batch)."""
+        df = self.query(q, dialect)
+        return df.schema, _BatchStream(self.spark, df, q, job_group, batch_size)
 
     def execute(self, q: str, dialect: str = "pg") -> str:
         """DDL/DML path → command tag. Intercepts the statements vanilla
@@ -354,6 +383,78 @@ class Engine:
     def cancel(self, job_group: str) -> None:
         with self._cancel_lock:
             self.spark.sparkContext.cancelJobGroup(job_group)
+
+
+class _BatchStream:
+    """One dedicated producer thread pulls toLocalIterator and feeds a
+    bounded queue; consumers call next_batch() from any thread."""
+
+    _QUEUE_DEPTH = 4
+
+    def __init__(self, spark, df, desc: str, job_group: str | None, batch_size: int):
+        import queue
+
+        self._spark = spark
+        self._job_group = job_group
+        self._queue: "queue.Queue" = queue.Queue(maxsize=self._QUEUE_DEPTH)
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._produce, args=(df, desc, batch_size), daemon=True
+        )
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        """put() that gives up once the stream is closed — a producer
+        must never block forever on a full queue after the consumer left."""
+        import queue
+
+        while not self._closed:
+            try:
+                self._queue.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _produce(self, df, desc: str, batch_size: int) -> None:
+        sc = self._spark.sparkContext
+        if self._job_group:
+            sc.setJobGroup(self._job_group, desc[:100], interruptOnCancel=True)
+        try:
+            buf: list[tuple] = []
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                buf.append(tuple(row))
+                if len(buf) >= batch_size:
+                    if not self._put(buf):
+                        return
+                    buf = []
+            self._put(buf)
+            self._put(None)  # EOF
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            self._put(e)
+        finally:
+            if self._job_group:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def next_batch(self) -> list[tuple] | None:
+        """Blocking: → batch of row tuples, or None at EOF. Re-raises
+        producer exceptions (incl. job-group cancellation)."""
+        item = self._queue.get()
+        if isinstance(item, BaseException):
+            raise item
+        if item is None:
+            self._finished = True
+        return item
+
+    def close(self) -> None:
+        """Idempotent cleanup: cancel the running job (only if the
+        producer hasn't already finished — connections reuse their job
+        group for subsequent queries) and unblock the producer."""
+        if self._closed:
+            return
+        self._closed = True
+        if self._job_group and not getattr(self, "_finished", False):
+            self._spark.sparkContext.cancelJobGroup(self._job_group)
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:

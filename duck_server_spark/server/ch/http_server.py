@@ -168,8 +168,15 @@ class ChRequestHandler(BaseHTTPRequestHandler):
         if writer_factory is None:
             self._send_text(400, f"unknown format {fmt}\n")
             return
+        # per-request job group: the handler thread both sets the group
+        # (inside the stream iterator) and launches the jobs, so a
+        # disconnect can cancel exactly this request's work — parity with
+        # the reference's per-request context (ch_server.go:316-324)
+        import secrets
+
+        job_group = f"ch-{secrets.token_hex(8)}"
         try:
-            schema, rows = self.engine.stream(query, dialect="ch")
+            schema, rows = self.engine.stream(query, dialect="ch", job_group=job_group)
         except Exception as e:  # noqa: BLE001 — ch_server.go:183-185
             self._send_text(500, f"{e}\n")
             return
@@ -184,7 +191,9 @@ class ChRequestHandler(BaseHTTPRequestHandler):
                 self._write_chunk(chunk)
             self._write_chunk(b"")
         except (BrokenPipeError, ConnectionResetError):
-            pass
+            # client hung up mid-stream → stop the engine-side query
+            self.engine.cancel(job_group)
+            self.close_connection = True
 
     def _write_chunk(self, data: bytes) -> None:
         self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")

@@ -345,21 +345,31 @@ class PgConnection:
         await self._run_query(q, send_row_desc=True)
 
     async def _run_query(self, q: str, send_row_desc: bool) -> None:
+        """Stream a query through a dedicated-thread batch stream: the
+        producer thread owns the job group (so CancelRequest interrupts
+        exactly this query — run_in_executor pool threads would lose the
+        thread-local group), the event loop only drains a queue."""
         loop = asyncio.get_running_loop()
-        schema, rows = await loop.run_in_executor(
-            None, lambda: self.engine.stream(q, "pg", self.job_group)
+        schema, stream = await loop.run_in_executor(
+            None, lambda: self.engine.stream_batches(q, "pg", self.job_group)
         )
         if send_row_desc:
             self.send_row_description(schema)
         n = 0
-        while True:
-            batch = await loop.run_in_executor(None, lambda: _take(rows, 1000))
-            for row in batch:
-                self.send_data_row(row)
-                n += 1
-            await self.writer.drain()
-            if len(batch) < 1000:
-                break
+        try:
+            while True:
+                batch = await loop.run_in_executor(None, stream.next_batch)
+                if batch is None:
+                    break
+                for row in batch:
+                    self.send_data_row(row)
+                    n += 1
+                await self.writer.drain()
+        except (ConnectionResetError, BrokenPipeError, asyncio.CancelledError):
+            stream.close()  # client went away mid-stream → cancel the job
+            raise
+        finally:
+            stream.close()
         self.send_command_complete(f"({n} row)")  # pg_conn.go:271 literal tag
 
     # ------------------------------------------------------ COPY FROM STDIN
@@ -567,16 +577,6 @@ def _split_statements(query: str) -> list[str]:
 def _read_cstr(data: bytes) -> tuple[bytes, bytes]:
     idx = data.index(b"\x00")
     return data[:idx], data[idx + 1:]
-
-
-def _take(it, n: int) -> list:
-    out = []
-    for _ in range(n):
-        try:
-            out.append(next(it))
-        except StopIteration:
-            break
-    return out
 
 
 def run_threaded(engine: Engine, host: str = "127.0.0.1", port: int = 5433, require_auth: bool = False):

@@ -210,6 +210,34 @@ def test_update_delete_copy_on_write(ch):
     assert body.strip() == "2"
 
 
+def test_disconnect_cancels_job_group(ch):
+    """Parity with ch_server.go:316-324: closing the connection
+    mid-stream cancels the engine-side query's job group."""
+    import socket as socketlib
+    import time
+    import urllib.parse
+
+    base, engine = ch
+    host, port = base.removeprefix("http://").split(":")
+    cancelled = []
+    orig_cancel = engine.cancel
+    engine.cancel = lambda jg: (cancelled.append(jg), orig_cancel(jg))  # type: ignore[method-assign]
+    try:
+        q = urllib.parse.quote(
+            "SELECT id, repeat('x', 100) AS pad FROM range(50000000)"
+        )
+        s = socketlib.create_connection((host, int(port)), timeout=30)
+        s.sendall(f"GET /?query={q} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+        s.recv(1024)  # headers + first chunk(s) — streaming has begun
+        s.close()  # hang up mid-stream
+        deadline = time.time() + 120
+        while not cancelled and time.time() < deadline:
+            time.sleep(0.2)
+        assert cancelled and cancelled[0].startswith("ch-")
+    finally:
+        engine.cancel = orig_cancel  # type: ignore[method-assign]
+
+
 def test_error_returns_500(ch):
     base, _ = ch
     status, body, _ = _get(base, "SELECT * FROM no_such_table_xyz")

@@ -266,6 +266,34 @@ def test_backend_key_registered_for_cancel(pg):
     c.terminate()
 
 
+def test_cancel_interrupts_running_query(pg):
+    """CancelRequest from a second connection interrupts the victim's
+    in-flight query (the dedicated producer thread owns the job group,
+    so the cancel lands on the right jobs — ADVICE r1 thread fix)."""
+    import threading
+
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    result: dict = {}
+
+    def victim():
+        try:
+            result["rows"] = c.simple_query(
+                "SELECT sum(a.id * b.id) AS s FROM range(100000) a CROSS JOIN range(200000) b"
+            )
+        except RuntimeError as e:
+            result["error"] = str(e)
+
+    t = threading.Thread(target=victim)
+    t.start()
+    time.sleep(2.0)  # let the job start
+    c.cancel_backend(host, port)
+    t.join(timeout=60)
+    assert not t.is_alive(), "query was not interrupted within 60s"
+    assert "error" in result, f"query completed instead of cancelling: {result}"
+    c.terminate()
+
+
 def test_fixture_query_over_wire(pg, spark, sf_dir):
     from duck_server_spark.engine.session import register_views
 
