@@ -594,6 +594,19 @@ ORACLE["dedup_connected_components"] = DEDUP_CC_ORACLE
 # verification stay in Spark SQL. Rows-only check (crc32 path has no
 # DuckDB twin); recall-guarded by sharing the verify stage with the md5
 # oracle version.
+#
+# Scale path — exact-duplicate collapse BEFORE the expensive stages.
+# Web-scale corpora contain mega-clusters of byte-identical boilerplate;
+# without collapse, a cluster of m copies costs m signature computations
+# and O(m^2) full shingle-array verifications (measured: the 10x
+# replicated fixture made this query 22x slower, everything else ~2x).
+# Instead: group by xxhash64(text), run minhash/banding/verification on
+# one representative per group, then expand combinatorially — intra-group
+# pairs are provably jaccard=1.0 (identical text), and a verified rep
+# pair (A,B) expands to members(A) x members(B) with the same jaccard
+# (jaccard depends only on content). Output is identical to the naive
+# pairing; the quadratic verify work drops from O(sum m_i^2) candidate
+# pairs to O(distinct-rep candidate pairs).
 
 def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -604,6 +617,18 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spark.sql(_CORPUS)
     P = 2**31 - 1
     AB = [(2 * j + 1, 7919 * (j + 1)) for j in range(_NUM_HASHES)]
+
+    corpus.createOrReplaceTempView("mhv_corpus")
+    # doc -> content-hash group; one shuffle on a uniform 64-bit key
+    spark.sql(
+        "SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus"
+    ).createOrReplaceTempView("mhv_groups")
+    reps = spark.sql("""
+        SELECT r.chash, c.doc_id, c.text
+        FROM (SELECT chash, min(doc_id) AS doc_id FROM mhv_groups GROUP BY chash) r
+        JOIN mhv_corpus c USING (doc_id)
+    """)
+    reps.createOrReplaceTempView("mhv_reps")
 
     def sigs(batches):
         for pdf in batches:
@@ -625,9 +650,21 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     sig_schema = "doc_id BIGINT, " + ", ".join(f"mh{j} BIGINT" for j in range(_NUM_HASHES))
-    corpus.mapInPandas(sigs, sig_schema).createOrReplaceTempView("minhash_vec_sigs")
-    return spark.sql(f"""
-WITH {_STAGED_SHINGLES_S},
+    # signatures over representatives only — dup-heavy corpora send a
+    # fraction of the rows through the Python/Arrow stage
+    reps.select("doc_id", "text").mapInPandas(sigs, sig_schema).createOrReplaceTempView(
+        "minhash_vec_sigs"
+    )
+    return spark.sql("""
+WITH rep_tok AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM mhv_reps
+),
+shing AS (
+  SELECT doc_id,
+         transform(sequence(1, greatest(size(toks) - 2, 1)),
+                   i -> concat_ws(' ', slice(toks, i, 3))) AS sh
+  FROM rep_tok
+),
 banded AS (
   SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
                  concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
@@ -636,21 +673,44 @@ banded AS (
 long AS (
   SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
 ),
-pairs AS (
+rep_pairs AS (
   SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
   FROM long a JOIN long b2
     ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 ),
 joined AS (
   SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
-  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+  FROM rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
 ),
-jac AS (
+rep_verified AS (
   SELECT id1, id2,
          CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
   FROM joined
+  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
+),
+-- verified rep pair -> group-hash pair
+hash_pairs AS (
+  SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
+  FROM rep_verified v
+  JOIN mhv_reps r1 ON r1.doc_id = v.id1
+  JOIN mhv_reps r2 ON r2.doc_id = v.id2
+),
+-- expand: members(A) x members(B), same jaccard as the reps
+cross_pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2, hp.jaccard
+  FROM hash_pairs hp
+  JOIN mhv_groups a ON a.chash = hp.h1
+  JOIN mhv_groups b ON b.chash = hp.h2
+),
+-- identical text: jaccard is 1.0 by construction, no verification needed
+intra_pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM mhv_groups a JOIN mhv_groups b
+    ON a.chash = b.chash AND a.doc_id < b.doc_id
 )
-SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
+SELECT id1, id2, jaccard FROM cross_pairs
+UNION ALL
+SELECT id1, id2, jaccard FROM intra_pairs
 """)
 
 
