@@ -22,6 +22,7 @@ _MODULES = (
     "llm_text",
     "dedup",
     "similarity",
+    "pipeline",
 )
 
 
@@ -38,6 +39,12 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    "pipeline_corpus_clean",
+    "sample_stratified",
+    "topk_per_domain",
+    "text_edit_distance",
+    "window_distribution",
+    "similarity_ann_ivf",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

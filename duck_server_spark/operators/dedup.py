@@ -116,6 +116,19 @@ FROM hashed GROUP BY h HAVING count(*) > 1
 # 8 md5-based min-hashes over the staged shingle column, 2 bands × 4 rows.
 # Bucket-join on (band, sig) over id-only rows, re-join arrays for the
 # exact-Jaccard verification of the (few) candidates.
+#
+# Spark side runs with exact-duplicate collapse (see the vectorized
+# variant's header for the full rationale): signatures, banding, and the
+# quadratic verify run on ONE representative per md5(text) group; the
+# pair set is then expanded combinatorially — intra-group pairs are
+# jaccard=1.0 by construction (d/d with d>0 is exactly 1.0 in IEEE
+# doubles, matching what the naive formula computes on identical
+# arrays), and a verified rep pair (A,B) carries its jaccard to
+# members(A)×members(B). Output is IDENTICAL to the naive pairing, so
+# the DuckDB oracle below stays the direct formulation — the oracle
+# defines the answer, not the algorithm. md5 (128-bit) as the group key
+# keeps collision odds negligible at corpus scale (xxhash64's 64 bits
+# hit the birthday bound near 4B docs).
 
 _NUM_HASHES = 8
 
@@ -130,35 +143,76 @@ def _minhash_cols(minfn: str, tfm: str) -> str:
 _BANDS = [("band0", ["mh0", "mh1", "mh2", "mh3"]), ("band1", ["mh4", "mh5", "mh6", "mh7"])]
 _BAND_SEL = ", ".join(f"concat({', '.join(cols)}) AS {name}" for name, cols in _BANDS)
 
-DEDUP_MINHASH_SPARK = f"""
-WITH {_STAGED_SHINGLES_S},
-sigs AS (
-  SELECT doc_id,
-         {_minhash_cols("array_min", "transform")}
-  FROM shing
+
+def _collapsed_minhash_spark(sigs_cte: str, band_sel: str = _BAND_SEL) -> str:
+    """Exact-dup-collapsed minhash pipeline; `sigs_cte` computes CTE
+    `sigs(doc_id, mh0..mh7)` from `shing(doc_id, sh)` (rep docs only)."""
+    return f"""
+WITH corpus AS ({_CORPUS}),
+grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
+rep_text AS (
+  SELECT r.chash, c.doc_id, c.text
+  FROM (SELECT chash, min(doc_id) AS doc_id FROM grp GROUP BY chash) r
+  JOIN corpus c ON c.doc_id = r.doc_id
 ),
+tok AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM rep_text
+),
+shing AS (
+  SELECT doc_id,
+         transform(sequence(1, greatest(size(toks) - 2, 1)),
+                   i -> concat_ws(' ', slice(toks, i, 3))) AS sh
+  FROM tok
+),
+{sigs_cte},
 banded AS (
-  SELECT doc_id, {_BAND_SEL} FROM sigs
+  SELECT doc_id, {band_sel} FROM sigs
 ),
 long AS (
   SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
 ),
-pairs AS (
+rep_pairs AS (
   SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
   FROM long a JOIN long b2
     ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 ),
 joined AS (
   SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
-  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+  FROM rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
 ),
-jac AS (
+rep_verified AS (
   SELECT id1, id2,
          CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
   FROM joined
+  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
+),
+hash_pairs AS (
+  SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
+  FROM rep_verified v
+  JOIN rep_text r1 ON r1.doc_id = v.id1
+  JOIN rep_text r2 ON r2.doc_id = v.id2
+),
+cross_pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2, hp.jaccard
+  FROM hash_pairs hp
+  JOIN grp a ON a.chash = hp.h1
+  JOIN grp b ON b.chash = hp.h2
+),
+intra_pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM grp a JOIN grp b ON a.chash = b.chash AND a.doc_id < b.doc_id
 )
-SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
+SELECT id1, id2, jaccard FROM cross_pairs
+UNION ALL
+SELECT id1, id2, jaccard FROM intra_pairs
 """
+
+
+DEDUP_MINHASH_SPARK = _collapsed_minhash_spark(f"""sigs AS (
+  SELECT doc_id,
+         {_minhash_cols("array_min", "transform")}
+  FROM shing
+)""")
 
 DEDUP_MINHASH_DUCK = f"""
 WITH {_STAGED_SHINGLES_D},
@@ -364,19 +418,53 @@ _EMB_CORPUS_D = """
 _DOT_S = "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
 _DOT_D = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (acc, v) -> acc + v)"
 
+# Spark side collapses exact-duplicate vectors first (GROUP BY the
+# array itself — exact, no hash-collision risk): the O(block²) scoring
+# runs on one representative per (label, embedding) group, then expands.
+# Intra-group cosine is NOT emitted as literal 1.0 — the naive formula
+# on an identical pair computes sq/(sqrt(sq)*sqrt(sq)), which is a hair
+# off 1.0 in IEEE doubles, so the collapse stages `sq` (the pre-sqrt
+# norm fold, bit-equal to the zip_with dot of a vector with itself) and
+# emits sq/(nrm*nrm) — matching the oracle's value bit-for-bit.
 DEDUP_EMBEDDING_SPARK = f"""
 WITH raw AS ({_EMB_CORPUS_S}),
+reps AS (
+  SELECT label, embedding, min(vec_id) AS rep_id
+  FROM raw GROUP BY label, embedding
+),
+members AS (
+  SELECT r.rep_id, raw.vec_id
+  FROM raw JOIN reps r ON raw.label = r.label AND raw.embedding = r.embedding
+),
 emb AS (
-  SELECT vec_id, label, embedding,
+  SELECT rep_id AS vec_id, label, embedding,
+         aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v) AS sq,
          sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)) AS nrm
-  FROM raw
+  FROM reps
 ),
 scored AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          {_DOT_S} / (a.nrm * b.nrm) AS cosine
   FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+rep_pairs AS (SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.85),
+cross_pairs AS (
+  SELECT least(ma.vec_id, mb.vec_id) AS id1, greatest(ma.vec_id, mb.vec_id) AS id2, p.cosine
+  FROM rep_pairs p
+  JOIN members ma ON ma.rep_id = p.id1
+  JOIN members mb ON mb.rep_id = p.id2
+),
+self_cos AS (SELECT vec_id, sq / (nrm * nrm) AS cosine FROM emb),
+intra_pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, sc.cosine
+  FROM members a
+  JOIN members b ON a.rep_id = b.rep_id AND a.vec_id < b.vec_id
+  JOIN self_cos sc ON sc.vec_id = a.rep_id
+  WHERE sc.cosine >= 0.85
 )
-SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.85
+SELECT id1, id2, cosine FROM cross_pairs
+UNION ALL
+SELECT id1, id2, cosine FROM intra_pairs
 """
 
 DEDUP_EMBEDDING_DUCK = f"""
@@ -443,40 +531,20 @@ def _minhash_fast_cols() -> str:
     )
 
 
-DEDUP_MINHASH_FAST_SPARK = f"""
-WITH {_STAGED_SHINGLES_S},
-hashed AS (
+# Same exact-dup collapse as the md5 variant — only the signature
+# arithmetic differs (xxhash64 + integer universal-hash permutations).
+DEDUP_MINHASH_FAST_SPARK = _collapsed_minhash_spark(
+    f"""hashed AS (
   SELECT doc_id, sh, transform(sh, s -> xxhash64(s)) AS hs FROM shing
 ),
 sigs AS (
   SELECT doc_id,
          {_minhash_fast_cols()}
   FROM hashed
-),
-banded AS (
-  SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
-                 concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
-  FROM sigs
-),
-long AS (
-  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-  FROM long a JOIN long b2
-    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
-),
-joined AS (
-  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
-  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
-),
-jac AS (
-  SELECT id1, id2,
-         CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
-  FROM joined
+)""",
+    band_sel="concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0, "
+    "concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1",
 )
-SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
-"""
 
 _minhash_fast_q, _ = _sql_pair(DEDUP_MINHASH_FAST_SPARK, "")
 

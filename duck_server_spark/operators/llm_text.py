@@ -252,3 +252,45 @@ FROM documents
 
 QUERIES["text_char_jaccard"] = char_jaccard
 ORACLE["text_char_jaccard"] = CHAR_JACCARD_ORACLE
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between each doc and its near-dup
+    mutation (first word dropped — the dedup fixtures' mutation rule).
+    Per-pair, no shuffle beyond the id equi-join; the O(len²) DP runs
+    JVM-side (built-in levenshtein). Cost is bounded by truncating to
+    the first 120 chars — at corpus scale you run edit distance only on
+    candidate pairs from a blocking stage, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter((F.col("doc_id") % 25) == 0).selectExpr(
+        "doc_id", "substring(text, 1, 120) AS t1"
+    )
+    b = docs.filter((F.col("doc_id") % 25) == 0).selectExpr(
+        "doc_id", "substring(substring(text, instr(text, ' ') + 1), 1, 120) AS t2"
+    )
+    return (
+        a.join(b, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "levenshtein(t1, t2) AS edit_dist",
+            "CAST(1.0 - levenshtein(t1, t2) / CAST(greatest(length(t1), length(t2)) AS DOUBLE) AS DOUBLE) AS edit_sim",
+        )
+    )
+
+
+EDIT_DISTANCE_ORACLE = """
+WITH a AS (
+  SELECT doc_id, substring(text, 1, 120) AS t1 FROM documents WHERE doc_id % 25 = 0
+),
+b AS (
+  SELECT doc_id, substring(substring(text, instr(text, ' ') + 1), 1, 120) AS t2
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT a.doc_id,
+       levenshtein(t1, t2) AS edit_dist,
+       CAST(1.0 - levenshtein(t1, t2) / CAST(greatest(length(t1), length(t2)) AS DOUBLE) AS DOUBLE) AS edit_sim
+FROM a JOIN b ON a.doc_id = b.doc_id
+"""
+
+QUERIES["text_edit_distance"] = edit_distance_pairs
+ORACLE["text_edit_distance"] = EDIT_DISTANCE_ORACLE

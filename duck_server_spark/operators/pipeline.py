@@ -1,0 +1,225 @@
+"""Composite training-data pipeline operators: the end-to-end corpus
+cleaning pass (quality filter → exact dedup → near-dup removal) and the
+training-mix sampling ops (stratified sampling, per-domain top-k).
+
+North-star extensions (BASELINE.json): these compose the primitive
+operators in `llm_text.py` / `dedup.py` into the passes a 100 TB
+pretraining pipeline actually runs. Design rules match the rest of the
+operator library:
+
+- Pure Spark SQL over staged projections — JVM-codegen'd end to end, no
+  Python in the hot path; the DuckDB oracle twin computes the identical
+  arithmetic so results are bit-equal.
+- Scale shape: the cleaning pass is (scan → map quality flags) + (one
+  shuffle on md5(text) for exact groups) + (the banded minhash
+  equi-join from dedup.py, never all-pairs) + (small left joins to
+  assemble per-doc status). Near-dup candidate generation runs only on
+  quality-passing exact-group keepers, so the expensive stage sees the
+  already-shrunk corpus — the same ordering (cheap filters first) that
+  production pipelines use.
+- Near-dup removal here is the greedy pair rule (drop the higher doc_id
+  of every verified pair): deterministic and single-pass. Transitive
+  cluster resolution is `dedup_connected_components` in dedup.py; the
+  greedy rule is what one-shot cleaning passes use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duck_server_spark.engine.session import register_views
+from duck_server_spark.operators.dedup import _BAND_SEL, _CORPUS, _minhash_cols
+
+# ---------------------------------------------------------------------------
+# 1. pipeline_corpus_clean — per-doc keep/drop status with reason
+# ---------------------------------------------------------------------------
+# Quality gate: >=20 whitespace tokens and 3..15 chars/token (C4-style
+# cheap pre-filters). Exact stage: md5(text) groups, keep min doc_id.
+# Near-dup stage: md5 minhash (2 bands x 4 rows, dedup.py's exact
+# fragments) among survivors, verified jaccard >= 0.5, drop greater id.
+
+_CLEAN_COMMON = """
+quality AS (
+  SELECT doc_id, text,
+         (n_tokens >= 20 AND chars_per_token >= 3.0 AND chars_per_token <= 15.0) AS q_pass
+  FROM metrics
+),
+hashed AS (
+  SELECT doc_id, text, md5(text) AS h FROM quality WHERE q_pass
+),
+exact_keep AS (
+  SELECT doc_id, text,
+         (doc_id = min(doc_id) OVER (PARTITION BY h)) AS e_keep
+  FROM hashed
+),
+survivors AS (SELECT doc_id, text FROM exact_keep WHERE e_keep)
+"""
+
+_CLEAN_VERDICT = """
+SELECT c.doc_id,
+       CASE WHEN NOT q.q_pass THEN 'quality'
+            WHEN NOT e.e_keep THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM corpus c
+JOIN quality q ON q.doc_id = c.doc_id
+LEFT JOIN exact_keep e ON e.doc_id = c.doc_id
+LEFT JOIN near_drop nd ON nd.doc_id = c.doc_id
+"""
+
+PIPELINE_CLEAN_SPARK = f"""
+WITH corpus AS ({_CORPUS}),
+tok AS (
+  SELECT doc_id, text, split(trim(text), '\\\\s+') AS toks FROM corpus
+),
+metrics AS (
+  SELECT doc_id, text, size(toks) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / size(toks) AS chars_per_token
+  FROM tok
+),
+{_CLEAN_COMMON},
+stok AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM survivors
+),
+shing AS (
+  SELECT doc_id,
+         transform(sequence(1, greatest(size(toks) - 2, 1)),
+                   i -> concat_ws(' ', slice(toks, i, 3))) AS sh
+  FROM stok
+),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_cols("array_min", "transform")}
+  FROM shing
+),
+banded AS (
+  SELECT doc_id, {_BAND_SEL} FROM sigs
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+),
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+),
+near_drop AS (
+  SELECT DISTINCT id2 AS doc_id FROM joined
+  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
+)
+{_CLEAN_VERDICT}
+"""
+
+PIPELINE_CLEAN_DUCK = f"""
+WITH corpus AS ({_CORPUS}),
+tok AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus
+),
+metrics AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token
+  FROM tok
+),
+{_CLEAN_COMMON},
+stok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM survivors
+),
+shing AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+  FROM stok
+),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_cols("list_min", "list_transform")}
+  FROM shing
+),
+banded AS (
+  SELECT doc_id, {_BAND_SEL} FROM sigs
+),
+long AS (
+  SELECT doc_id, 0 AS bnd, band0 AS sig FROM banded
+  UNION ALL
+  SELECT doc_id, 1 AS bnd, band1 AS sig FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+),
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+),
+near_drop AS (
+  SELECT DISTINCT id2 AS doc_id FROM joined
+  WHERE CAST(len(list_intersect(list_distinct(sh1), list_distinct(sh2))) AS DOUBLE)
+          / len(list_distinct(list_concat(sh1, sh2))) >= 0.5
+)
+{_CLEAN_VERDICT}
+"""
+
+# ---------------------------------------------------------------------------
+# 2. sample_stratified — per-source training-mix rates, deterministic
+# ---------------------------------------------------------------------------
+# Knuth multiplicative hash of doc_id mod a prime coprime with the
+# source cycle (doc_id % 20 IS the source in the fixture, so doc_id
+# residues must not leak into the threshold — 97 is coprime with 20).
+# Portable integer arithmetic: both engines compute bit-equal BIGINTs.
+# At 100 TB: a scan-time filter, no shuffle, exact per-stratum rates in
+# expectation with zero coordination — the standard hash-mod sampler.
+
+_STRAT_RATE = """CASE WHEN source IN ('src0','src1','src2','src3') THEN 97
+     WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 48
+     WHEN source IN ('src10','src11','src12','src13','src14') THEN 24
+     ELSE 10 END"""
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 97 < {_STRAT_RATE}
+"""
+
+# ---------------------------------------------------------------------------
+# 3. topk_per_domain — best-k docs per source by a cheap quality proxy
+# ---------------------------------------------------------------------------
+# The "select the best documents per domain" mixing op: window top-k,
+# one shuffle on source, TakeOrdered within groups. Tie-broken by
+# doc_id so both engines rank identically.
+
+TOPK_PER_DOMAIN_SPARK = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rnk FROM ranked WHERE rnk <= 3
+"""
+
+TOPK_PER_DOMAIN_DUCK = TOPK_PER_DOMAIN_SPARK
+
+
+def _sql(spark_sql: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return build
+
+
+QUERIES = {
+    "pipeline_corpus_clean": _sql(PIPELINE_CLEAN_SPARK),
+    "sample_stratified": _sql(SAMPLE_STRATIFIED_SQL),
+    "topk_per_domain": _sql(TOPK_PER_DOMAIN_SPARK),
+}
+
+ORACLE = {
+    "pipeline_corpus_clean": PIPELINE_CLEAN_DUCK,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "topk_per_domain": TOPK_PER_DOMAIN_DUCK,
+}

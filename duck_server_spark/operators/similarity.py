@@ -127,3 +127,98 @@ ORACLE = {
     "similarity_topk_bruteforce": SIM_BRUTE_DUCK,
     "similarity_ann_lsh": SIM_LSH_DUCK,
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+# Classic IVF shape (the Faiss IVFFlat layout, built from Spark
+# primitives): (1) train K coarse centroids driver-side on a small
+# deterministic sample (Lloyd iterations in numpy — the train set is
+# tiny; production would sample ~1M vectors of the 100 TB corpus the
+# same way); (2) assign every corpus vector to its nearest centroid via
+# a broadcast join (N x K comparisons, each task scores its partition
+# against the broadcast centroid table — no shuffle of the corpus);
+# (3) queries probe their nprobe nearest centroid lists only, turning
+# the search into an equi-join on centroid_id → one shuffle sized by
+# the probed lists, never Q x N. Recall is tuned by K/nprobe.
+# Rows-only check: the k-means trainer is not SQL-expressible; recall
+# vs the exact brute-force twin is asserted in tests.
+
+_IVF_K = 16
+_IVF_NPROBE = 4
+_IVF_TOPK = 5
+
+
+def _train_ivf_centroids(spark: SparkSession):
+    import numpy as np
+
+    sample = (
+        spark.sql(
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0 "
+            "ORDER BY vec_id LIMIT 256"
+        ).collect()
+    )
+    X = np.array([r.embedding for r in sample], dtype=np.float64)
+    C = X[: _IVF_K].copy()  # deterministic init: first K sampled vectors
+    for _ in range(10):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(_IVF_K):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return [(int(j), [float(v) for v in C[j]]) for j in range(_IVF_K)]
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cents = _train_ivf_centroids(spark)
+    cdf = spark.createDataFrame(cents, "centroid_id INT, centroid ARRAY<DOUBLE>")
+    cdf.createOrReplaceTempView("ivf_centroids")
+    dist = (
+        "aggregate(zip_with(e.embedding, t.centroid, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+    return spark.sql(f"""
+WITH corpus_scored AS (
+  SELECT e.vec_id, t.centroid_id, {dist} AS d2
+  FROM embeddings e CROSS JOIN ivf_centroids t
+),
+-- assignment as an aggregation, not a window: the broadcast cross join
+-- scores N x K inside each task and the partial min_by collapses to one
+-- row per vector BEFORE the shuffle (a window here would shuffle N x K)
+assign AS (
+  SELECT vec_id, min_by(centroid_id, struct(d2, centroid_id)) AS centroid_id
+  FROM corpus_scored GROUP BY vec_id
+),
+lists AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+),
+-- the query side is tiny: filter first, then the window is over Q x K rows
+qprobe AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, t.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, t.centroid_id ASC) AS crnk
+    FROM embeddings e CROSS JOIN ivf_centroids t
+    WHERE e.vec_id < 5
+  ) WHERE crnk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_S} AS cosine
+  FROM qprobe q JOIN lists c
+    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_IVF_TOPK}
+""")
+
+
+QUERIES["similarity_ann_ivf"] = similarity_ann_ivf
+# rows-only: driver-side k-means trainer has no SQL twin; recall vs the
+# brute-force oracle is asserted in tests/test_operators.py

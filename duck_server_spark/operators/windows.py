@@ -180,3 +180,35 @@ ORACLE = {
     "window_first_last_nth": WINDOW_FIRST_LAST_NTH_ORACLE,
     "window_range_frame": WINDOW_RANGE_FRAME_ORACLE,
 }
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+    The ORDER BY includes the unique key (o_orderkey) so tile assignment
+    at ties is identical across engines (ntile depends on row order, not
+    rank — an engine-specific tie order would hash-mismatch)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT o_orderpriority, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WHERE o_orderkey % 7 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+QUERIES["window_distribution"] = window_distribution
+ORACLE["window_distribution"] = WINDOW_DISTRIBUTION_ORACLE
