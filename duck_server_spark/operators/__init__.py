@@ -45,6 +45,7 @@ _PRIORITY = [
     "text_edit_distance",
     "window_distribution",
     "similarity_ann_ivf",
+    "attributed_purchases",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

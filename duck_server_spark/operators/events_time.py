@@ -150,3 +150,60 @@ ORACLE = {
     "time_bucket_tumbling": TIME_BUCKET_TUMBLING_ORACLE,
     "sessionize": SESSIONIZE_ORACLE,
 }
+
+
+def attributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to a same-user click within the preceding
+    hour (the batch twin of streaming.windows.click_purchase_join).
+    Equi-join on user_id with an interval residual — Catalyst plans the
+    hash join on the key and filters the time band, never a range
+    explosion; the 1-hour band keeps the pair set bounded at every
+    SF."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.col("amount").cast("decimal(18,2)").cast("double").alias("amount"),
+        )
+    )
+
+
+ATTRIBUTED_PURCHASES_ORACLE = """
+WITH ev AS (SELECT * FROM events),
+c AS (
+  SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+  FROM ev WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS p_user, ts AS purchase_ts, event_id AS purchase_id, value AS amount
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT c_user AS user_id, click_id, purchase_id,
+       CAST(CAST(amount AS DECIMAL(18,2)) AS DOUBLE) AS amount
+FROM c JOIN p
+  ON c_user = p_user
+ AND purchase_ts >= click_ts
+ AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+"""
+
+QUERIES["attributed_purchases"] = attributed_purchases
+ORACLE["attributed_purchases"] = ATTRIBUTED_PURCHASES_ORACLE

@@ -40,6 +40,15 @@ _PG_CAST = re.compile(
     re.IGNORECASE,
 )
 _CURRENT_SCHEMA = re.compile(r"\bcurrent_schema\(\)", re.IGNORECASE)
+# DuckDB star modifier `* EXCLUDE (a, b)` / `* EXCLUDE a` → Spark's
+# `* EXCEPT (a, b)` (same semantics, different keyword). GROUP BY ALL /
+# ORDER BY ALL / `* EXCEPT` need no shim — Spark 4 supports them natively.
+_EXCLUDE_PARENS = re.compile(
+    r"(?<=\*\s)\s*EXCLUDE\s*\(([^)]*)\)", re.IGNORECASE
+)
+_EXCLUDE_BARE = re.compile(
+    r"(?<=\*\s)\s*EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE
+)
 
 _DUCK_TO_SPARK_TYPES = {
     "double precision": "double",
@@ -93,6 +102,12 @@ def rewrite_common(q: str) -> str:
 
     q = _PG_CAST.sub(_cast_type, q)
     q = _CURRENT_SCHEMA.sub("current_database()", q)
+    q = _sub_outside_literals(
+        q,
+        lambda seg: _EXCLUDE_BARE.sub(
+            r"EXCEPT (\1)", _EXCLUDE_PARENS.sub(r"EXCEPT (\1)", seg)
+        ),
+    )
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
 
@@ -135,11 +150,37 @@ def rewrite_qualify(q: str) -> str:
     )
 
 
+# Single-quoted SQL string literal, with '' as the escaped quote.
+_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_literals(q: str, fn) -> str:
+    """Apply `fn(segment) -> segment` only to the parts of `q` that are
+    NOT inside single-quoted string literals, so a literal '$1' is never
+    treated as a parameter placeholder."""
+    out = []
+    pos = 0
+    for m in _STR_LIT.finditer(q):
+        out.append(fn(q[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fn(q[pos:]))
+    return "".join(out)
+
+
+def count_params(q: str) -> int:
+    """Number of distinct $n placeholders outside string literals."""
+    found: set = set()
+    _sub_outside_literals(q, lambda seg: (found.update(_PARAM.findall(seg)), seg)[1])
+    return len(found)
+
+
 def substitute_params(q: str, params: list) -> str:
     """$n placeholders → escaped literals. The reference always falls back
     to textual inlining beyond 20 params (pg_conn.go:716-766) because of
     per-param cgo cost; our py4j boundary has the same shape, so we always
-    inline — one JVM call per query."""
+    inline — one JVM call per query. Placeholders inside string literals
+    are left alone (they are data, not parameters)."""
 
     def repl(m: re.Match) -> str:
         idx = int(m.group(1)) - 1
@@ -147,12 +188,12 @@ def substitute_params(q: str, params: list) -> str:
             return "NULL"
         return render_literal(params[idx])
 
-    return _PARAM.sub(repl, q)
+    return _sub_outside_literals(q, lambda seg: _PARAM.sub(repl, seg))
 
 
 def params_to_null(q: str) -> str:
     """$n → null for describe probes (pg_conn.go:652-656)."""
-    return _PARAM.sub("null", q)
+    return _sub_outside_literals(q, lambda seg: _PARAM.sub("null", seg))
 
 
 def render_literal(v) -> str:

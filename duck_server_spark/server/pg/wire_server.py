@@ -433,7 +433,7 @@ class PgConnection:
         if name and name in self.stmts:
             raise ValueError(f'prepared statement "{name}" already exists')  # pg_conn.go:456
         q = query.decode()
-        nparams = len(set(re.findall(r"\$(\d+)", q)))
+        nparams = rewrites.count_params(q)
         self.stmts[name] = StmtDesc(q, nparams)
         self._send(b"1")  # ParseComplete
 

@@ -146,3 +146,39 @@ def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     the watermark window) state, the ingest-dedup front of a streaming
     pipeline."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a click by
+    the same user within the preceding hour. Both sides carry
+    watermarks and the join condition bounds event time on both ends,
+    so Spark can prune join state (unbounded stream-stream joins never
+    release state — the interval bound is what makes this runnable
+    forever). One shuffle on user_id; state is O(events per user-hour).
+    Batch twin: events_time.attributed_purchases."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "amount",
+    )

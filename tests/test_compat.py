@@ -146,3 +146,36 @@ def test_explain_and_show_passthrough(pgc, spark, sf_dir):
     _, rows, _ = c.simple_query("SHOW TABLES")
     assert any("lineitem" in r for row in rows for r in row if r)
     c.terminate()
+
+
+def test_duckdb_dialect_shims_over_wire(pgc):
+    """DuckDB signature syntax through the PG path: GROUP BY ALL /
+    ORDER BY ALL (Spark-native) and star EXCLUDE (rewritten to EXCEPT)."""
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT g, sum(v) AS s FROM (VALUES ('a', 1), ('a', 2), ('b', 5)) t(g, v) "
+        "GROUP BY ALL ORDER BY ALL"
+    )
+    assert rows == [("a", "3"), ("b", "5")]
+    cols, rows, _ = c.simple_query(
+        "SELECT * EXCLUDE (v) FROM (VALUES ('a', 1)) t(g, v)"
+    )
+    assert [col[0] for col in cols] == ["g"] and rows == [("a",)]
+    c.terminate()
+
+
+def test_dollar_literal_not_a_param(pgc):
+    """A literal '$1' inside a string is data, not a parameter: Describe
+    must report 0 params and Execute must not substitute it."""
+    c = PgClient(*pgc)
+    c.parse("s1", "SELECT '$1 off coupon' AS deal")
+    c.bind("", "s1", [])
+    c.execute("")
+    _, rows, _ = c.sync_collect()
+    assert rows == [("$1 off coupon",)]
+    c.parse("s2", "SELECT '$2: ' || $1 AS msg")
+    c.bind("", "s2", ["hi"])
+    c.execute("")
+    _, rows, _ = c.sync_collect()
+    assert rows == [("$2: hi",)]
+    c.terminate()

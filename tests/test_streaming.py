@@ -105,3 +105,25 @@ def test_stream_dedup_removes_replays(spark, events_dir, tmp_path):
     n_unique = spark.read.parquet(events_dir).select("event_id").distinct().count()
     assert out.count() == n_unique
     assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (click→purchase attribution within an
+    hour) replayed over the bounded fixture must agree with the batch
+    twin."""
+    from pyspark.sql import functions as F
+
+    from duck_server_spark.operators.events_time import attributed_purchases
+
+    ev = sw.read_events_stream(spark, events_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = sw.click_purchase_join(clicks, purchases, watermark="60 days")
+    out = sw.run_to_memory_sink(spark, joined, "t_ssjoin", output_mode="append")
+    got = {(r["user_id"], r["click_id"], r["purchase_id"]) for r in out.collect()}
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in attributed_purchases(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
