@@ -23,6 +23,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "pipeline",
+    "multimodal_ops",
 )
 
 
@@ -46,6 +47,7 @@ _PRIORITY = [
     "window_distribution",
     "similarity_ann_ivf",
     "attributed_purchases",
+    "multimodal_decode_stats",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

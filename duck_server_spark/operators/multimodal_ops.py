@@ -1,0 +1,53 @@
+"""Multimodal decode pipeline as an oracle-gated query.
+
+Wires functions/multimodal.py's REAL Spark plumbing (BINARY payload +
+typed metadata struct → Arrow-batched mapInPandas decode) into the
+driver contract. The corpus is derived from the documents fixture
+(payload = UTF-8 bytes of the text), so the deterministic md5 decode
+stub has an exact DuckDB twin: byte i of md5(payload) ==
+int(substr(md5(text), 2i+1, 2) as hex) because the payload IS the utf8
+text. A real deployment swaps `_fake_decode_stats` for Pillow and drops
+the oracle (codecs aren't SQL); everything else — schema, batching,
+filter-before-UDF — is exactly what runs here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duck_server_spark.engine.session import load_table
+from duck_server_spark.functions.multimodal import decode_images
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return decode_images(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b", "sharpness"
+    )
+
+
+MULTIMODAL_DECODE_ORACLE = """
+SELECT doc_id AS media_id,
+       640 AS width,
+       480 AS height,
+       CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0 AS mean_r,
+       CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 255.0 AS mean_g,
+       CAST(('0x' || substr(md5(text), 5, 2)) AS INT) / 255.0 AS mean_b,
+       CAST(('0x' || substr(md5(text), 7, 2)) AS INT) / 255.0 AS sharpness
+FROM documents
+"""
+
+QUERIES = {"multimodal_decode_stats": multimodal_decode_stats}
+ORACLE = {"multimodal_decode_stats": MULTIMODAL_DECODE_ORACLE}

@@ -9,6 +9,7 @@ from duck_server_spark.operators import (
     dedup,
     events_time,
     llm_text,
+    multimodal_ops,
     pipeline,
     relational,
     scalars,
@@ -27,6 +28,7 @@ MODULES = {
     "dedup": dedup,
     "similarity": similarity,
     "pipeline": pipeline,
+    "multimodal_ops": multimodal_ops,
 }
 CASES = [(mname, q) for mname, mod in sorted(MODULES.items()) for q in sorted(mod.QUERIES)]
 

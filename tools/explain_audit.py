@@ -59,11 +59,30 @@ CHECKS = {
     "asof_join": [
         ("single shuffle window (no range join explosion)", r"Window"),
     ],
+    "pipeline_corpus_clean": [
+        ("exact stage is one hash aggregate on md5 groups", r"HashAggregate"),
+        ("near-dup candidates via equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "similarity_ann_ivf": [
+        ("centroid table broadcast for assignment", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("assignment collapsed by aggregation (min_by), not a full window",
+         r"(?=.*min_by)(?=.*(HashAggregate|ObjectHashAggregate|SortAggregate))"),
+    ],
+    "attributed_purchases": [
+        ("interval join planned as equi-join on user with time residual",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("event_type filters pushed to scan", r"PushedFilters: \[.*event_type"),
+    ],
+    "sample_stratified": [
+        ("sampler is a scan-level filter (no shuffle/exchange)", r"Scan parquet"),
+    ],
 }
 
 FORBIDDEN = {
     "dedup_minhash_lsh": [("no cartesian product", r"CartesianProduct")],
     "tpch_q5_local_supplier_volume": [("no cartesian product", r"CartesianProduct")],
+    "attributed_purchases": [("no cartesian/BNLJ time-range explosion", r"CartesianProduct")],
+    "sample_stratified": [("no exchange in the sampler", r"Exchange")],
 }
 
 

@@ -28,6 +28,10 @@ EXPECTED_SUPERLINEAR = {
     # space, no equi-key to hash on. The scale paths for inequality
     # shapes are asof_join (window idiom) and banded range joins.
     "join_theta",
+    # exact top-k scores every corpus vector per query BY DEFINITION
+    # (O(Q*N) — it is the recall baseline the ANN variants are measured
+    # against). The scale paths are similarity_ann_lsh / similarity_ann_ivf.
+    "similarity_topk_bruteforce",
 }
 
 
