@@ -35,6 +35,9 @@ HEADLINE = [
     "sessionize",
     "dedup_minhash_vectorized",
     "similarity_topk_bruteforce",
+    # round-2 flagships: the composite cleaning pass and the IVF ANN
+    "pipeline_corpus_clean",
+    "similarity_ann_ivf",
 ]
 
 

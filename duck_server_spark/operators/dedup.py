@@ -180,12 +180,12 @@ joined AS (
   SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
   FROM rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
 ),
-rep_verified AS (
+jac AS (
   SELECT id1, id2,
          CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
   FROM joined
-  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
 ),
+rep_verified AS (SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5),
 hash_pairs AS (
   SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
   FROM rep_verified v
@@ -570,6 +570,22 @@ SELECT a.doc_id AS id1, b.doc_id AS id2
 FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
 """
 
+# Spark-side edge list: STAR topology per duplicate group (every member
+# connects to the group minimum) instead of the all-pairs clique. Same
+# connected components — a star spans exactly the clique's node set —
+# but m-1 edges per m-member group instead of m(m-1)/2; the 10x
+# replicated fixture's 10-member mega-groups made the clique edge list
+# the CC bottleneck. The oracle keeps the clique formulation (output is
+# identical; the oracle defines the answer, not the edge encoding).
+_STAR_EDGES_SQL = f"""
+WITH corpus AS ({_CORPUS}),
+hashed AS (SELECT doc_id, md5(text) AS h FROM corpus),
+grouped AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS min_doc FROM hashed
+)
+SELECT min_doc AS id1, doc_id AS id2 FROM grouped WHERE doc_id <> min_doc
+"""
+
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation with scale-safe iteration state:
@@ -587,7 +603,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir)
-    pairs = spark.sql(_PAIRS_SQL)
+    pairs = spark.sql(_STAR_EDGES_SQL)
     edges = (
         pairs.selectExpr("id1 AS src", "id2 AS dst")
         .unionAll(pairs.selectExpr("id2 AS src", "id1 AS dst"))
@@ -750,12 +766,12 @@ joined AS (
   SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
   FROM rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
 ),
-rep_verified AS (
+jac AS (
   SELECT id1, id2,
          CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
   FROM joined
-  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
 ),
+rep_verified AS (SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5),
 -- verified rep pair -> group-hash pair
 hash_pairs AS (
   SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
