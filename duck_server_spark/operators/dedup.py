@@ -144,9 +144,12 @@ _BANDS = [("band0", ["mh0", "mh1", "mh2", "mh3"]), ("band1", ["mh4", "mh5", "mh6
 _BAND_SEL = ", ".join(f"concat({', '.join(cols)}) AS {name}" for name, cols in _BANDS)
 
 
-def _collapsed_minhash_spark(sigs_cte: str, band_sel: str = _BAND_SEL) -> str:
-    """Exact-dup-collapsed minhash pipeline; `sigs_cte` computes CTE
-    `sigs(doc_id, mh0..mh7)` from `shing(doc_id, sh)` (rep docs only)."""
+def _collapsed_pairwise_spark(candidate_ctes: str, threshold: float = 0.5) -> str:
+    """Exact-dup-collapsed pairwise-jaccard pipeline. `candidate_ctes`
+    is a WITH-chain fragment that, given `shing(doc_id, sh)` over
+    representative docs, ends by defining `rep_pairs(id1, id2)` — the
+    candidate pairs to verify (banded LSH, min-shingle blocking, ...).
+    Verification, group expansion, and intra-group emission are shared."""
     return f"""
 WITH corpus AS ({_CORPUS}),
 grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
@@ -164,18 +167,7 @@ shing AS (
                    i -> concat_ws(' ', slice(toks, i, 3))) AS sh
   FROM tok
 ),
-{sigs_cte},
-banded AS (
-  SELECT doc_id, {band_sel} FROM sigs
-),
-long AS (
-  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
-),
-rep_pairs AS (
-  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-  FROM long a JOIN long b2
-    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
-),
+{candidate_ctes},
 joined AS (
   SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
   FROM rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
@@ -185,7 +177,7 @@ jac AS (
          CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
   FROM joined
 ),
-rep_verified AS (SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5),
+rep_verified AS (SELECT id1, id2, jaccard FROM jac WHERE jaccard >= {threshold}),
 hash_pairs AS (
   SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
   FROM rep_verified v
@@ -208,11 +200,29 @@ SELECT id1, id2, jaccard FROM intra_pairs
 """
 
 
-DEDUP_MINHASH_SPARK = _collapsed_minhash_spark(f"""sigs AS (
+def _banded_candidates(sigs_cte: str, band_sel: str = _BAND_SEL) -> str:
+    """Candidate fragment: minhash signatures → 2 banded buckets →
+    DISTINCT equi-join pairs. `sigs_cte` computes sigs(doc_id, mh0..mh7)
+    from `shing`."""
+    return f"""{sigs_cte},
+banded AS (
+  SELECT doc_id, {band_sel} FROM sigs
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+),
+rep_pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+)"""
+
+
+DEDUP_MINHASH_SPARK = _collapsed_pairwise_spark(_banded_candidates(f"""sigs AS (
   SELECT doc_id,
          {_minhash_cols("array_min", "transform")}
   FROM shing
-)""")
+)"""))
 
 DEDUP_MINHASH_DUCK = f"""
 WITH {_STAGED_SHINGLES_D},
@@ -351,24 +361,19 @@ WHERE bit_count(xor(sh1, sh2)) <= 3
 # pair when they share their minimum shingle, which near-duplicates at
 # jaccard>=0.3 overwhelmingly do.
 
-DEDUP_NGRAM_JACCARD_SPARK = f"""
-WITH {_STAGED_SHINGLES_S},
-blocked AS (
-  SELECT doc_id, array_distinct(sh) AS dsh,
-         substring(md5(array_min(sh)), 1, 8) AS blk
+# Spark side: same exact-dup collapse as the minhash family, with the
+# min-shingle block key generating candidates among representatives.
+DEDUP_NGRAM_JACCARD_SPARK = _collapsed_pairwise_spark(
+    """blocked AS (
+  SELECT doc_id, substring(md5(array_min(sh)), 1, 8) AS blk
   FROM shing
 ),
-pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, a.dsh AS sh1, b.dsh AS sh2
+rep_pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
   FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-),
-jac AS (
-  SELECT id1, id2,
-         CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
-  FROM pairs
+)""",
+    threshold=0.3,
 )
-SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.3
-"""
 
 DEDUP_NGRAM_JACCARD_DUCK = f"""
 WITH {_STAGED_SHINGLES_D},
@@ -533,8 +538,9 @@ def _minhash_fast_cols() -> str:
 
 # Same exact-dup collapse as the md5 variant — only the signature
 # arithmetic differs (xxhash64 + integer universal-hash permutations).
-DEDUP_MINHASH_FAST_SPARK = _collapsed_minhash_spark(
-    f"""hashed AS (
+DEDUP_MINHASH_FAST_SPARK = _collapsed_pairwise_spark(
+    _banded_candidates(
+        f"""hashed AS (
   SELECT doc_id, sh, transform(sh, s -> xxhash64(s)) AS hs FROM shing
 ),
 sigs AS (
@@ -542,8 +548,9 @@ sigs AS (
          {_minhash_fast_cols()}
   FROM hashed
 )""",
-    band_sel="concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0, "
-    "concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1",
+        band_sel="concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0, "
+        "concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1",
+    )
 )
 
 _minhash_fast_q, _ = _sql_pair(DEDUP_MINHASH_FAST_SPARK, "")
