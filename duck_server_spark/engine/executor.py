@@ -52,6 +52,7 @@ _DELETE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DISCARD_ALL = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+_SUMMARIZE = re.compile(r"^\s*summarize\s+(.+?);?\s*$", re.IGNORECASE | re.DOTALL)
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
@@ -226,7 +227,79 @@ class Engine:
         return q
 
     def query(self, q: str, dialect: str = "pg") -> DataFrame:
+        m = _SUMMARIZE.match(q)
+        if m:
+            return self._summarize(m.group(1), dialect)
         return self.spark.sql(self._prepare_sql(q, dialect))
+
+    def _summarize(self, target: str, dialect: str) -> DataFrame:
+        """DuckDB's SUMMARIZE statement (`SUMMARIZE tbl` / `SUMMARIZE
+        SELECT ...`): per-column min/max/approx-distinct/avg/std/
+        quartiles/count/null%. Computed in ONE wide aggregation job (all
+        columns' stats are partial-aggregatable expressions), then
+        unpivoted driver-side — output is len(columns) rows, never data-
+        sized. Numeric-only stats are NULL for other types, matching
+        DuckDB's shape."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        inner = target.strip()
+        if not inner.lower().startswith(("select", "with", "values", "from")):
+            inner = f"SELECT * FROM {inner}"
+        df = self.spark.sql(self._prepare_sql(inner, dialect))
+        aggs = []
+        numeric = set()
+        for f in df.schema.fields:
+            c = f.name
+            is_num = isinstance(f.dataType, T.NumericType)
+            if is_num:
+                numeric.add(c)
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+                F.approx_count_distinct(c).alias(f"{c}__uniq"),
+                (F.avg(c) if is_num else F.lit(None).cast("double")).alias(f"{c}__avg"),
+                (F.stddev(c) if is_num else F.lit(None).cast("double")).alias(f"{c}__std"),
+                (
+                    F.percentile_approx(c, [0.25, 0.5, 0.75])
+                    if is_num
+                    else F.lit(None).cast("array<double>")
+                ).alias(f"{c}__q"),
+                F.count(c).alias(f"{c}__cnt"),
+                F.count(F.lit(1)).alias(f"{c}__tot"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        out = []
+        for f in df.schema.fields:
+            c = f.name
+            qs = row[f"{c}__q"] or [None, None, None]
+            tot = row[f"{c}__tot"]
+            nullpct = (
+                round(100.0 * (tot - row[f"{c}__cnt"]) / tot, 2) if tot else 0.0
+            )
+            fl = lambda v: None if v is None else float(v)  # noqa: E731
+            out.append(
+                (
+                    c,
+                    f.dataType.simpleString(),
+                    row[f"{c}__min"],
+                    row[f"{c}__max"],
+                    row[f"{c}__uniq"],
+                    fl(row[f"{c}__avg"]),
+                    fl(row[f"{c}__std"]),
+                    fl(qs[0]),
+                    fl(qs[1]),
+                    fl(qs[2]),
+                    tot,
+                    nullpct,
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, column_type string, min string, max string, "
+            "approx_unique bigint, avg double, std double, q25 double, "
+            "q50 double, q75 double, count bigint, null_percentage double",
+        )
 
     def stream(self, q: str, dialect: str = "pg", job_group: str | None = None):
         """→ (schema, iterator of row tuples). Partition-at-a-time pull.

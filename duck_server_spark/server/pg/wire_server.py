@@ -69,6 +69,21 @@ _CREATE_USER = re.compile(
 )
 _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+# Transaction-control statements are acked as no-ops with their proper
+# command tags: the engine is always auto-commit (Spark parquet tables
+# have no transaction protocol — SURVEY.md "What's hard" #1), but psql -1
+# and JDBC autocommit=false wrap every batch in BEGIN/COMMIT and would
+# otherwise error out. The reference gets real transactions for free
+# from embedded DuckDB; the visible wire behavior (tag acks) matches.
+_TXN_CTL = re.compile(
+    r"^\s*(begin|start\s+transaction|commit|end|rollback|abort)\b[^;]*;?\s*$",
+    re.IGNORECASE,
+)
+_TXN_TAGS = {
+    "begin": "BEGIN", "start": "BEGIN",
+    "commit": "COMMIT", "end": "COMMIT",
+    "rollback": "ROLLBACK", "abort": "ROLLBACK",
+}
 _WRITE_VERB = re.compile(
     r"^\s*(insert|update|delete|create|drop|alter|truncate|set|copy|grant|vacuum|analyze)\b",
     re.IGNORECASE,
@@ -328,6 +343,10 @@ class PgConnection:
             self.stmts.clear()
             self.portals.clear()
             self.send_command_complete("DISCARD ALL")
+            return
+        m = _TXN_CTL.match(q)
+        if m:
+            self.send_command_complete(_TXN_TAGS[m.group(1).split()[0].lower()])
             return
         m = _COPY_IN.match(q)
         if m:

@@ -179,3 +179,42 @@ def test_dollar_literal_not_a_param(pgc):
     _, rows, _ = c.sync_collect()
     assert rows == [("$2: hi",)]
     c.terminate()
+
+
+def test_transaction_control_noop_acks(pgc):
+    """BEGIN/COMMIT/ROLLBACK are acked with their PG command tags (the
+    engine is always auto-commit; psql -1 and JDBC autocommit=false need
+    the acks to proceed)."""
+    c = PgClient(*pgc)
+    for sql, tag in [
+        ("BEGIN", "BEGIN"),
+        ("START TRANSACTION ISOLATION LEVEL READ COMMITTED", "BEGIN"),
+        ("COMMIT", "COMMIT"),
+        ("END", "COMMIT"),
+        ("ROLLBACK", "ROLLBACK"),
+        ("ABORT", "ROLLBACK"),
+    ]:
+        _, _, got = c.simple_query(sql)
+        assert got == tag, (sql, got)
+    # a BEGIN...query...COMMIT script works end to end
+    _, rows, _ = c.simple_query("BEGIN; SELECT 1 AS x; COMMIT")
+    assert rows == [("1",)]
+    c.terminate()
+
+
+def test_summarize_statement(pgc, spark, sf_dir):
+    """DuckDB's SUMMARIZE over the wire: per-column stats, one wide
+    aggregation pass, len(columns) output rows."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query("SUMMARIZE region")
+    names = [col[0] for col in cols]
+    assert names[:4] == ["column_name", "column_type", "min", "max"]
+    assert {"r_regionkey", "r_name"} <= {r[0] for r in rows}
+    key_row = next(r for r in rows if r[0] == "r_regionkey")
+    assert key_row[2] == "0" and key_row[3] == "4"  # min/max
+    cols, rows, _ = c.simple_query("SUMMARIZE SELECT n_nationkey FROM nation")
+    assert len(rows) == 1 and rows[0][0] == "n_nationkey"
+    c.terminate()
