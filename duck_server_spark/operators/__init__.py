@@ -48,6 +48,8 @@ _PRIORITY = [
     "similarity_ann_ivf",
     "attributed_purchases",
     "multimodal_decode_stats",
+    "text_top_terms",
+    "events_funnel",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -284,10 +284,21 @@ def _bitcounts_duck() -> str:
     )
 
 
+# Spark side: exact-dup collapse (same shape as the minhash family) —
+# per-token hashing, 32 bit-count columns, and chunk-join candidates run
+# on one representative per md5(text) group; intra-group pairs have
+# hamming 0 by construction (identical text → identical signature) and
+# cross pairs carry the reps' hamming.
 DEDUP_SIMHASH_SPARK = f"""
 WITH corpus AS ({_CORPUS}),
+grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
+rep_text AS (
+  SELECT r.chash, c.doc_id, c.text
+  FROM (SELECT chash, min(doc_id) AS doc_id FROM grp GROUP BY chash) r
+  JOIN corpus c ON c.doc_id = r.doc_id
+),
 tok AS (
-  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM corpus
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM rep_text
 ),
 th AS (
   SELECT doc_id, transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)) AS th,
@@ -306,14 +317,32 @@ chunks AS (
   SELECT doc_id, simhash, stack(2, 0, simhash % 65536, 1, simhash div 65536) AS (cid, cval)
   FROM sigs
 ),
-pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS sh1, b.simhash AS sh2
+rep_pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         bit_count(a.simhash ^ b.simhash) AS hamming
   FROM chunks a JOIN chunks b
     ON a.cid = b.cid AND a.cval = b.cval AND a.doc_id < b.doc_id
+),
+rep_verified AS (SELECT id1, id2, hamming FROM rep_pairs WHERE hamming <= 3),
+hash_pairs AS (
+  SELECT r1.chash AS h1, r2.chash AS h2, v.hamming
+  FROM rep_verified v
+  JOIN rep_text r1 ON r1.doc_id = v.id1
+  JOIN rep_text r2 ON r2.doc_id = v.id2
+),
+cross_pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2, hp.hamming
+  FROM hash_pairs hp
+  JOIN grp a ON a.chash = hp.h1
+  JOIN grp b ON b.chash = hp.h2
+),
+intra_pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INT) AS hamming
+  FROM grp a JOIN grp b ON a.chash = b.chash AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT id1, id2, bit_count(sh1 ^ sh2) AS hamming
-FROM pairs
-WHERE bit_count(sh1 ^ sh2) <= 3
+SELECT id1, id2, hamming FROM cross_pairs
+UNION ALL
+SELECT id1, id2, hamming FROM intra_pairs
 """
 
 DEDUP_SIMHASH_DUCK = rf"""

@@ -207,3 +207,44 @@ FROM c JOIN p
 
 QUERIES["attributed_purchases"] = attributed_purchases
 ORACLE["attributed_purchases"] = ATTRIBUTED_PURCHASES_ORACLE
+
+
+_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t_signup
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'signup' AS step, (SELECT count(*) FROM s) AS users
+UNION ALL
+SELECT 2 AS stage, 'click_after_signup' AS step, (SELECT count(*) FROM c) AS users
+UNION ALL
+SELECT 3 AS stage, 'purchase_after_click' AS step, (SELECT count(*) FROM p) AS users
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): each stage is the
+    users whose stage event strictly follows their previous stage's
+    first event. Product-analytics staple. Scale shape: three
+    hash-aggregates on user_id (same shuffle key reused — Spark AQE
+    co-partitions the chain), never a per-user sort or array collect."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FUNNEL_SQL)
+
+
+QUERIES["events_funnel"] = events_funnel
+ORACLE["events_funnel"] = _FUNNEL_SQL

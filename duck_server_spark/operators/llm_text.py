@@ -294,3 +294,31 @@ FROM a JOIN b ON a.doc_id = b.doc_id
 
 QUERIES["text_edit_distance"] = edit_distance_pairs
 ORACLE["text_edit_distance"] = EDIT_DISTANCE_ORACLE
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-50 terms by document frequency —
+    the wordcount shape at corpus scale. explode → map-side partial
+    count → ONE shuffle on term → TakeOrderedAndProject top-k; at
+    100 TB the partial aggregation collapses each partition to its
+    distinct terms before anything moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(f"explode({_TOKS.replace('text', 'lower(text)')}) AS term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+TOP_TERMS_ORACLE = rf"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents)
+GROUP BY term
+ORDER BY freq DESC, term ASC
+LIMIT 50
+"""
+
+QUERIES["text_top_terms"] = top_terms
+ORACLE["text_top_terms"] = TOP_TERMS_ORACLE
