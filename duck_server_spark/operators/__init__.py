@@ -50,6 +50,7 @@ _PRIORITY = [
     "multimodal_decode_stats",
     "text_top_terms",
     "events_funnel",
+    "embedding_centroids",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

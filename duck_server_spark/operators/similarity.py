@@ -222,3 +222,50 @@ SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_IVF_TOPK}
 QUERIES["similarity_ann_ivf"] = similarity_ann_ivf
 # rows-only: driver-side k-means trainer has no SQL twin; recall vs the
 # brute-force oracle is asserted in tests/test_operators.py
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids — element-wise array aggregation
+# ---------------------------------------------------------------------------
+# The embedding-pipeline aggregation shape (class centroids, cluster
+# means, prototype vectors): positions explode to (label, pos, val)
+# rows, ONE shuffle on (label, pos) with map-side partial sums, and the
+# centroid reassembles via a sorted collect of 64 elements per label.
+# Float addition is not associative, so partition-parallel double sums
+# would differ from the sequential oracle in last bits; components are
+# summed in fixed-point (floor(val * 1e6) as BIGINT — exact, organized
+# like the integer-cents moments in aggregates.py) and divided once at
+# the end, giving bit-equal results at any parallelism.
+
+SIM_CENTROIDS_SPARK = """
+WITH expl AS (
+  SELECT label, i, floor(CAST(element_at(embedding, i) AS DOUBLE) * 1000000) AS v
+  FROM embeddings LATERAL VIEW explode(sequence(1, 64)) t AS i
+),
+comp AS (
+  SELECT label, i, sum(v) AS sv, count(*) AS n
+  FROM expl GROUP BY label, i
+)
+SELECT label, max(n) AS n_vectors,
+       transform(sort_array(collect_list(struct(i, sv, n))),
+                 x -> CAST(x.sv AS DOUBLE) / (1000000.0 * x.n)) AS centroid
+FROM comp GROUP BY label
+"""
+
+SIM_CENTROIDS_DUCK = """
+WITH expl AS (
+  SELECT label, i, floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS v
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+comp AS (
+  SELECT label, i, sum(v) AS sv, count(*) AS n
+  FROM expl GROUP BY label, i
+)
+SELECT label, max(n) AS n_vectors,
+       list_transform(list_sort(list((i, sv, n))),
+                      x -> CAST(x[2] AS DOUBLE) / (1000000.0 * x[3])) AS centroid
+FROM comp GROUP BY label
+"""
+
+QUERIES["embedding_centroids"] = _sql(SIM_CENTROIDS_SPARK)
+ORACLE["embedding_centroids"] = SIM_CENTROIDS_DUCK
