@@ -40,6 +40,14 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    "events_outliers",
+    "inverted_index",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_tfidf_salience",
+    "contamination_check",
+    "events_streaks",
+    "histogram_prices",
     "pipeline_corpus_clean",
     "sample_stratified",
     "topk_per_domain",

@@ -355,3 +355,44 @@ ORACLE = {
     "unpivot_prices": UNPIVOT_PRICES_ORACLE,
     "agg_count_star_global": AGG_COUNT_STAR_GLOBAL_ORACLE,
 }
+
+
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram over l_extendedprice (5000-wide
+    bins): count, exact decimal revenue sum, and bin bounds. The
+    binning expression is a decimal division + floor — exact on both
+    engines (prices have 2 decimals; a quotient can only approach an
+    integer boundary from 0.01 away, far outside double rounding
+    error). One map-side-combined shuffle on ~20 bin keys; avg derived
+    from the decimal sum with a single final cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            "CAST(floor(l_extendedprice / 5000.0) AS INT) AS bin",
+            "l_extendedprice",
+            "l_quantity",
+        )
+        .groupBy("bin")
+        .agg(
+            F.expr("CAST(bin * 5000 AS DOUBLE)").alias("bin_lo"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("CAST(sum(l_extendedprice) AS DOUBLE)").alias("sum_price"),
+            F.expr("CAST(sum(l_quantity) AS DOUBLE)").alias("sum_qty"),
+            F.expr("CAST(CAST(sum(l_extendedprice) AS DOUBLE) / count(*) AS DOUBLE)").alias("avg_price"),
+        )
+    )
+
+
+HISTOGRAM_PRICES_ORACLE = """
+SELECT CAST(floor(l_extendedprice / 5000.0) AS INT) AS bin,
+       CAST(CAST(floor(l_extendedprice / 5000.0) AS INT) * 5000 AS DOUBLE) AS bin_lo,
+       count(*) AS n_items,
+       CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(l_extendedprice) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price
+FROM lineitem
+GROUP BY 1
+"""
+
+QUERIES["histogram_prices"] = histogram_prices
+ORACLE["histogram_prices"] = HISTOGRAM_PRICES_ORACLE

@@ -248,3 +248,129 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_funnel"] = events_funnel
 ORACLE["events_funnel"] = _FUNNEL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks (the classic gaps-and-islands shape):
+    distinct active days, number of maximal consecutive-day runs, and
+    the longest run. Island key = day_number - row_number, computed as
+    pure integer arithmetic from a fixed epoch so both engines agree
+    without dialect-specific date math.
+
+    Scale shape: one shuffle on user_id covers the distinct, the window
+    numbering, and the island aggregation (same key reused end-to-end);
+    no self-join, no per-user array collect."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+numbered AS (
+  SELECT user_id, d,
+         datediff(d, DATE '2024-01-01') AS dn,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+islands AS (
+  SELECT user_id, dn - rn AS grp, count(*) AS streak_len
+  FROM numbered GROUP BY user_id, dn - rn
+)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak
+FROM islands GROUP BY user_id
+""")
+
+
+EVENTS_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+numbered AS (
+  SELECT user_id, d,
+         datediff('day', DATE '2024-01-01', d) AS dn,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+islands AS (
+  SELECT user_id, dn - rn AS grp, count(*) AS streak_len
+  FROM numbered GROUP BY user_id, dn - rn
+)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak
+FROM islands GROUP BY user_id
+"""
+
+QUERIES["events_streaks"] = events_streaks
+ORACLE["events_streaks"] = EVENTS_STREAKS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection over event values
+# ---------------------------------------------------------------------------
+
+def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type z-score outliers (|z| > 2): the metric-anomaly
+    pass over an event stream. Moments are accumulated as exact
+    fixed-point integers (floor(value·1e6) — one correctly-rounded IEEE
+    multiply then an exact floor on both engines) so the mean/std, and
+    therefore every z-score, are bit-equal at any parallelism; see
+    aggregates.agg_stats_moments for why scale-0 decimal sums are the
+    only cross-engine-safe formulation.
+
+    Scale shape: one map-side-combined shuffle onto ~4 event_type keys
+    for the moments, then a broadcast join back onto the stream — the
+    fact table is scanned twice but never shuffled."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(floor(value * 1000000) AS BIGINT) AS DECIMAL(18,0)) AS fv
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(fv) AS DOUBLE) AS s,
+         CAST(sum(CAST(fv * fv AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM ev GROUP BY event_type
+)
+SELECT event_id, ev.event_type, value,
+       (CAST(fv AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1.0)) AS zscore
+FROM ev JOIN m ON ev.event_type = m.event_type
+WHERE abs((CAST(fv AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1.0))) > 2.0
+""")
+
+
+EVENTS_OUTLIERS_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(floor(value * 1000000) AS BIGINT) AS DECIMAL(18,0)) AS fv
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(fv) AS DOUBLE) AS s,
+         CAST(sum(CAST(fv * fv AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM ev GROUP BY event_type
+)
+SELECT event_id, ev.event_type, value,
+       (CAST(fv AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1.0)) AS zscore
+FROM ev JOIN m ON ev.event_type = m.event_type
+WHERE abs((CAST(fv AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1.0))) > 2.0
+"""
+
+QUERIES["events_outliers"] = events_outliers
+ORACLE["events_outliers"] = EVENTS_OUTLIERS_ORACLE

@@ -322,3 +322,308 @@ LIMIT 50
 
 QUERIES["text_top_terms"] = top_terms
 ORACLE["text_top_terms"] = TOP_TERMS_ORACLE
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition filters (the Gopher/FineWeb rules adapted
+    to single-line docs): fraction of tokens covered by the most common
+    bigram, and fraction of trigram occurrences that are duplicates.
+
+    Scale shape: the trigram-dup signal is pure per-row array math (scan
+    speed, no shuffle). The top-bigram count goes through explode →
+    map-side partial count → ONE shuffle keyed (doc_id, bigram) → max per
+    doc — O(doc length) per doc, unlike the per-row
+    distinct×filter formulation which is O(len²) and dies on 10k-token
+    web documents. All fractions are single integer divisions — exact on
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.selectExpr("doc_id", f"{_TOKS} AS toks").selectExpr(
+        "doc_id",
+        "toks",
+        "size(toks) AS n",
+        """CASE WHEN size(toks) >= 3 THEN
+             transform(sequence(1, size(toks) - 2),
+                       i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+                                   element_at(toks, i + 2)))
+           ELSE array() END AS trigrams""",
+    )
+    tri = staged.selectExpr(
+        "doc_id",
+        "n",
+        "size(trigrams) AS n_tri",
+        "size(trigrams) - size(array_distinct(trigrams)) AS dup_tri",
+    )
+    bigram_top = (
+        staged.selectExpr(
+            "doc_id",
+            "explode(CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            " ELSE array() END) AS bigram",
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return tri.join(bigram_top, "doc_id").selectExpr(
+        "doc_id",
+        "n AS n_tokens",
+        "top_bigram_count",
+        "CAST(2 * top_bigram_count AS DOUBLE) / n AS top_bigram_frac",
+        "CAST(dup_tri AS DOUBLE) / n_tri AS dup_trigram_frac",
+    )
+
+
+REPETITION_ORACLE = rf"""
+WITH staged AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+tri AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS trigrams
+  FROM staged
+),
+tris AS (
+  SELECT doc_id, n, len(trigrams) AS n_tri,
+         len(trigrams) - len(list_distinct(trigrams)) AS dup_tri
+  FROM tri
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM staged
+),
+bigtop AS (
+  SELECT doc_id, max(c) AS top_bigram_count
+  FROM (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n AS n_tokens, b.top_bigram_count,
+       CAST(2 * b.top_bigram_count AS DOUBLE) / t.n AS top_bigram_frac,
+       CAST(t.dup_tri AS DOUBLE) / t.n_tri AS dup_trigram_frac
+FROM tris t JOIN bigtop b ON t.doc_id = b.doc_id
+"""
+
+QUERIES["text_repetition"] = repetition_signals
+ORACLE["text_repetition"] = REPETITION_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style term salience (exact-rational scoring, no float log)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document, scored tf * N / df — the TF-IDF
+    ranking with a rational rarity weight instead of log(N/df) so the
+    score is one exact integer product and ONE final division (log
+    implementations differ between libm and the JVM in last bits, which
+    would break cross-engine hash equality without changing any ranking).
+
+    Shuffle budget: explode → (doc_id, term) count [1], term → df [2,
+    reuses the term hash partitioning], broadcast scalar N, then a
+    row_number window on doc_id [3]. df-per-term is tiny (vocabulary ≪
+    corpus) so the tf⋈df join broadcasts at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.selectExpr("doc_id", f"explode({_TOKS}) AS term")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .selectExpr("doc_id", "term", "tf", "df", "CAST(tf * n_docs AS DOUBLE) / df AS salience")
+    )
+    w = "ORDER BY salience DESC, term ASC"
+    return (
+        scored.selectExpr(
+            "doc_id", "term", "tf", "df", "salience",
+            f"row_number() OVER (PARTITION BY doc_id {w}) AS rnk",
+        )
+        .where("rnk <= 3")
+        .drop("rnk")
+    )
+
+
+TFIDF_ORACLE = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS salience
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, salience
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY salience DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+QUERIES["text_tfidf_salience"] = tfidf_salience
+ORACLE["text_tfidf_salience"] = TFIDF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_EVAL_SOURCE = "src0"
+_CONTAM_N = 3  # token n-gram order; 13 in production, 3 for the tiny fixture
+_CONTAM_MIN = 2  # min shared distinct n-grams to report a pair
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: which training documents share ≥K
+    distinct token n-grams with any eval-split document (the 13-gram
+    decontamination pass every pretraining pipeline runs; n=3 here so
+    the synthetic fixture has hits).
+
+    Scale shape: each side explodes to its DISTINCT n-grams, the pair
+    candidates come from ONE equi-join keyed on the n-gram string — never
+    a doc×doc comparison — and overlap counting is a grouped count on the
+    (train, eval) pair. The eval side (a benchmark suite) is tiny, so
+    the join broadcasts; stop-gram blocking (drop n-grams appearing in
+    >0.1% of train docs) caps key skew at corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.selectExpr("doc_id", "source", f"{_TOKS} AS toks").selectExpr(
+        "doc_id",
+        "source",
+        f"""explode(array_distinct(CASE WHEN size(toks) >= {_CONTAM_N} THEN
+              transform(sequence(1, size(toks) - {_CONTAM_N - 1}),
+                        i -> concat_ws(' ', {', '.join(f'element_at(toks, i + {j})' for j in range(_CONTAM_N))}))
+            ELSE array() END)) AS gram""",
+    )
+    train = grams.where(f"source <> '{_EVAL_SOURCE}'").selectExpr("doc_id AS train_doc", "gram")
+    ev = grams.where(f"source = '{_EVAL_SOURCE}'").selectExpr("doc_id AS eval_doc", "gram")
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(f"shared_ngrams >= {_CONTAM_MIN}")
+    )
+
+
+CONTAM_ORACLE = rf"""
+WITH grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len({_TOKS_DUCK}) - {_CONTAM_N - 2}, 1)),
+             i -> {" || ' ' || ".join(f'{_TOKS_DUCK}[i + {j}]' for j in range(_CONTAM_N))}))) AS gram
+  FROM documents
+)
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS shared_ngrams
+FROM grams t JOIN grams e ON t.gram = e.gram
+WHERE t.source <> '{_EVAL_SOURCE}' AND e.source = '{_EVAL_SOURCE}'
+GROUP BY t.doc_id, e.doc_id
+HAVING count(*) >= {_CONTAM_MIN}
+"""
+
+QUERIES["contamination_check"] = contamination_check
+ORACLE["contamination_check"] = CONTAM_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (term → sorted postings)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index: term → document frequency + sorted posting
+    list — the retrieval-side primitive for the search/RAG half of a
+    data platform. Per-doc DISTINCT terms explode, then ONE shuffle on
+    term builds each posting list; df comes from the same aggregate. At
+    100 TB the head terms' postings get long — production shards them
+    by (term, doc_id range) and delta-encodes; the fixture keeps a flat
+    sorted array, which is also what the oracle can express."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"explode(array_distinct({_TOKS})) AS term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+
+
+INVERTED_INDEX_ORACLE = rf"""
+SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+FROM (SELECT doc_id, unnest(list_distinct({_TOKS_DUCK})) AS term FROM documents)
+GROUP BY term
+"""
+
+QUERIES["inverted_index"] = inverted_index
+ORACLE["inverted_index"] = INVERTED_INDEX_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookarounds) so Spark and DuckDB match identically.
+# Spark SQL string literals process backslash escapes, DuckDB's don't —
+# same regex, two spellings.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = r"\\+1-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE_DUCK = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE_DUCK = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: strip emails and phone numbers from documents.
+    The fixture corpus is synthetic and PII-free, so each doc is first
+    salted with a DETERMINISTIC email + phone derived from doc_id (the
+    operator mechanics — match counting and global replacement — are
+    under test, not the fixture). Pure per-row regex at scan speed, no
+    shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "concat(text, ' reach user', CAST(doc_id AS STRING), '@example.com or +1-555-', "
+            "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now ', text) AS salted",
+        )
+        .selectExpr(
+            "doc_id",
+            f"size(regexp_extract_all(salted, '{_EMAIL_RE}', 0)) AS n_emails",
+            f"size(regexp_extract_all(salted, '{_PHONE_RE}', 0)) AS n_phones",
+            f"md5(regexp_replace(regexp_replace(salted, '{_EMAIL_RE}', '<EMAIL>'), "
+            f"'{_PHONE_RE}', '<PHONE>')) AS scrubbed_md5",
+            f"length(salted) - length(regexp_replace(regexp_replace(salted, '{_EMAIL_RE}', ''), "
+            f"'{_PHONE_RE}', '')) AS pii_chars",
+        )
+    )
+
+
+PII_SCRUB_ORACLE = rf"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now ' || text AS salted
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(salted, '{_EMAIL_RE_DUCK}')) AS n_emails,
+       len(regexp_extract_all(salted, '{_PHONE_RE_DUCK}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(salted, '{_EMAIL_RE_DUCK}', '<EMAIL>', 'g'),
+           '{_PHONE_RE_DUCK}', '<PHONE>', 'g')) AS scrubbed_md5,
+       length(salted) - length(regexp_replace(regexp_replace(salted, '{_EMAIL_RE_DUCK}', '', 'g'),
+           '{_PHONE_RE_DUCK}', '', 'g')) AS pii_chars
+FROM salted
+"""
+
+QUERIES["text_pii_scrub"] = pii_scrub
+ORACLE["text_pii_scrub"] = PII_SCRUB_ORACLE

@@ -76,9 +76,32 @@ CHECKS = {
     "sample_stratified": [
         ("sampler is a scan-level filter (no shuffle/exchange)", r"Scan parquet"),
     ],
+    "contamination_check": [
+        ("pair candidates via n-gram equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("map-side partial agg on pair counts", r"HashAggregate"),
+    ],
+    "text_tfidf_salience": [
+        ("df table broadcast onto tf", r"BroadcastHashJoin"),
+        ("top-k per doc via window", r"Window"),
+    ],
+    "events_outliers": [
+        ("tiny moments table broadcast back onto the stream", r"BroadcastHashJoin"),
+        ("moment sums map-side combined", r"HashAggregate"),
+    ],
+    "text_repetition": [
+        ("bigram top count via aggregation, not per-row O(len²)", r"HashAggregate"),
+    ],
+    "histogram_prices": [
+        ("single hash aggregate onto bin keys", r"HashAggregate"),
+        ("price column pruned scan", r"ReadSchema: [^\n]*l_extendedprice"),
+    ],
+    "events_streaks": [
+        ("islands via window then aggregate (no self-join)", r"Window"),
+    ],
 }
 
 FORBIDDEN = {
+    "contamination_check": [("no doc×doc cartesian", r"CartesianProduct")],
     "dedup_minhash_lsh": [("no cartesian product", r"CartesianProduct")],
     "tpch_q5_local_supplier_volume": [("no cartesian product", r"CartesianProduct")],
     "attributed_purchases": [("no cartesian/BNLJ time-range explosion", r"CartesianProduct")],
