@@ -50,6 +50,36 @@ _EXCLUDE_BARE = re.compile(
     r"(?<=\*\s)\s*EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE
 )
 
+# DuckDB function spellings whose Spark twin has IDENTICAL argument
+# order and semantics — pure name aliasing, applied outside string
+# literals only. Spellings with different arg conventions (strftime,
+# list_aggregate, len) are intentionally NOT mapped.
+_DUCK_FN_ALIASES = {
+    "list_distinct": "array_distinct",
+    "list_sort": "sort_array",
+    "list_contains": "array_contains",
+    "list_value": "array",
+    "string_split": "split",
+    "str_split": "split",
+    "string_split_regex": "split",
+    "regexp_matches": "regexp_like",
+    "strlen": "length",
+    "epoch_ms": "unix_millis",
+    "list_concat": "concat",
+    "list_append": "array_append",
+    # NOT list_position: DuckDB yields NULL for a missing element,
+    # Spark's array_position yields 0 — silent semantic drift.
+}
+_DUCK_FN_RE = re.compile(
+    r"\b(" + "|".join(sorted(_DUCK_FN_ALIASES, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+# PG regex-match operator `expr ~ 'pat'` → RLIKE (DuckDB accepts `~`,
+# pg_conn.go delegates it; Spark's `~` is bitwise NOT so the form
+# `~ '<literal>'` is unambiguous). Applied per non-literal segment, so
+# the pattern anchors on the segment end ($) where the literal begins.
+_PG_REGEX_OP = re.compile(r"\s~\s*(?='|$)")
+
 _DUCK_TO_SPARK_TYPES = {
     "double precision": "double",
     "timestamp with time zone": "timestamp",
@@ -106,6 +136,13 @@ def rewrite_common(q: str) -> str:
         q,
         lambda seg: _EXCLUDE_BARE.sub(
             r"EXCEPT (\1)", _EXCLUDE_PARENS.sub(r"EXCEPT (\1)", seg)
+        ),
+    )
+    q = _sub_outside_literals(
+        q,
+        lambda seg: _PG_REGEX_OP.sub(
+            " RLIKE ",
+            _DUCK_FN_RE.sub(lambda m: _DUCK_FN_ALIASES[m.group(1).lower()] + "(", seg),
         ),
     )
     q = rewrite_qualify(q)

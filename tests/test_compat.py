@@ -218,3 +218,26 @@ def test_summarize_statement(pgc, spark, sf_dir):
     cols, rows, _ = c.simple_query("SUMMARIZE SELECT n_nationkey FROM nation")
     assert len(rows) == 1 and rows[0][0] == "n_nationkey"
     c.terminate()
+
+
+def test_duckdb_function_aliases_over_wire(pgc):
+    """DuckDB function spellings (list_*/string_split/regexp_matches/
+    epoch_ms) and the PG `~` regex operator run through the alias
+    rewrite (rewrites._DUCK_FN_ALIASES) on the PG path."""
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT list_sort(list_distinct(string_split('b a b', ' '))) AS l"
+    )
+    assert rows == [("{a,b}",)]
+    _, rows, _ = c.simple_query(
+        "SELECT list_contains(list_value(1, 2), 2) AS hit, strlen('abc') AS n"
+    )
+    assert rows == [("t", "3")]
+    _, rows, _ = c.simple_query(
+        "SELECT regexp_matches('abc123', '[0-9]+') AS m1, 'abc123' ~ '[a-z]+[0-9]+' AS m2"
+    )
+    assert rows == [("t", "t")]
+    # a literal containing ' ~ '' stays untouched (outside-literal sub)
+    _, rows, _ = c.simple_query("SELECT 'x ~ y' AS s")
+    assert rows == [("x ~ y",)]
+    c.terminate()
