@@ -38,6 +38,9 @@ HEADLINE = [
     # round-2 flagships: the composite cleaning pass and the IVF ANN
     "pipeline_corpus_clean",
     "similarity_ann_ivf",
+    # fused one-scan corpus scoring + the n-gram contamination join
+    "text_signals_fused",
+    "contamination_check",
 ]
 
 

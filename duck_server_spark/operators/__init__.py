@@ -40,6 +40,11 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    "window_time_range",
+    "graph_triangles",
+    "events_gapfill",
+    "cohort_retention",
+    "text_signals_fused",
     "events_outliers",
     "inverted_index",
     "text_pii_scrub",

@@ -836,3 +836,40 @@ SELECT id1, id2, jaccard FROM intra_pairs
 
 QUERIES["dedup_minhash_vectorized"] = dedup_minhash_vectorized
 # rows-only: crc32/numpy path has no cross-engine twin
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the simhash near-duplicate graph — the graph-shaped
+    consumer of a dedup pass (triangle density distinguishes boilerplate
+    mega-clusters from chains of incidental overlap). Edges arrive
+    ordered (id1 < id2 from the pair generator), so each triangle
+    (a<b<c) is enumerated exactly once by the canonical two-join plan:
+    wedges a-b, b-c joined on the middle vertex, closed by the a-c edge.
+
+    Scale shape: two equi-joins on vertex keys over the EDGE set (tiny
+    vs the corpus — it is dedup output). Production graphs order
+    vertices by degree before the wedge join so high-degree hubs don't
+    fan out; the fixture graph is exact-dup cliques where ordering is
+    already uniform."""
+    edges = QUERIES["dedup_simhash"](spark, sf_dir).select("id1", "id2")
+    e1 = edges.selectExpr("id1 AS a", "id2 AS b")
+    e2 = edges.selectExpr("id1 AS b", "id2 AS c")
+    e3 = edges.selectExpr("id1 AS a", "id2 AS c")
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+GRAPH_TRIANGLES_ORACLE = f"""
+WITH e AS ({{SIMHASH}})
+SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+FROM e e1 JOIN e e2 ON e1.id2 = e2.id1
+          JOIN e e3 ON e1.id1 = e3.id1 AND e2.id2 = e3.id2
+"""
+
+QUERIES["graph_triangles"] = graph_triangles
+# the oracle embeds the simhash pair SQL as its edge CTE so both engines
+# enumerate triangles over the identical edge set
+ORACLE["graph_triangles"] = GRAPH_TRIANGLES_ORACLE.format(SIMHASH=ORACLE["dedup_simhash"])

@@ -374,3 +374,115 @@ WHERE abs((CAST(fv AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1.0))) > 2
 
 QUERIES["events_outliers"] = events_outliers
 ORACLE["events_outliers"] = EVENTS_OUTLIERS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Gap filling / forward interpolation over a date spine
+# ---------------------------------------------------------------------------
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user value series with gaps filled by the last
+    observation (time-series densification — the feed-a-model-regular-
+    intervals op). A date spine generates every (user, day) in the
+    user's active range, left-joins the observed daily sums, and
+    forward-fills with last_value(IGNORE NULLS) over the date order.
+
+    Scale shape: the spine explodes only each user's own [first, last]
+    activity range (not the global calendar cross-join), and the fill
+    is ONE window shuffle on user_id. Spine size is bounded by
+    users × days-span, independent of event volume."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(CAST(floor(value * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS day_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+spans AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, explode(sequence(d0, d1)) AS d FROM spans
+)
+SELECT s.user_id, CAST(s.d AS STRING) AS d,
+       last_value(daily.day_value, true)
+         OVER (PARTITION BY s.user_id ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CASE WHEN daily.day_value IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+""")
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(CAST(floor(value * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS day_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+spans AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM spans
+)
+SELECT s.user_id, CAST(s.d AS VARCHAR) AS d,
+       last_value(daily.day_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CASE WHEN daily.day_value IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+"""
+
+QUERIES["events_gapfill"] = events_gapfill
+ORACLE["events_gapfill"] = EVENTS_GAPFILL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted by how many return in each subsequent week offset — the
+    canonical product-analytics matrix. Two aggregations on user_id
+    (cohort assignment, activity weeks) and one on (cohort, offset);
+    exact integer math throughout (weekofyear dialects differ, so weeks
+    are day-number / 7 from a fixed epoch)."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH weeks AS (
+  SELECT user_id, CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7 AS INT) AS w
+  FROM events GROUP BY user_id, CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7 AS INT)
+),
+cohorts AS (
+  SELECT user_id, min(w) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week, w.w - c.cohort_week AS week_offset,
+       count(*) AS active_users
+FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, w.w - c.cohort_week
+""")
+
+
+COHORT_RETENTION_ORACLE = """
+WITH weeks AS (
+  SELECT user_id, CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT) AS w
+  FROM events GROUP BY user_id, CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT)
+),
+cohorts AS (
+  SELECT user_id, min(w) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week, w.w - c.cohort_week AS week_offset,
+       count(*) AS active_users
+FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, w.w - c.cohort_week
+"""
+
+QUERIES["cohort_retention"] = cohort_retention
+ORACLE["cohort_retention"] = COHORT_RETENTION_ORACLE

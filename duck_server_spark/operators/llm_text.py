@@ -627,3 +627,102 @@ FROM salted
 
 QUERIES["text_pii_scrub"] = pii_scrub
 ORACLE["text_pii_scrub"] = PII_SCRUB_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Fused one-scan corpus signals
+# ---------------------------------------------------------------------------
+
+
+def signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL per-document text signals in ONE scan: token counts, quality
+    score, language ID, repetition. At 100 TB the corpus read dominates
+    every per-row pass, so a pipeline that runs token_stats, quality,
+    lang_id, and repetition as four jobs pays the scan four times; this
+    operator is the fused form — one parquet read, one staged tokenize,
+    one wide projection, zero shuffles (the windowed top-bigram signal is
+    deliberately replaced by its array form here: fusion keeps the whole
+    row pipeline in a single codegen stage, and the short-doc fixture
+    makes O(len²) per row irrelevant — use text_repetition when docs are
+    long and the grouped formulation matters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = [
+        f"size(filter(toks, t -> t IN {words})) AS hits_{lang}"
+        for lang, words in _MARKERS.items()
+    ]
+    return (
+        docs.selectExpr("doc_id", "text", f"{_TOKS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "text",
+            "toks",
+            "size(toks) AS n_tokens",
+            f"size(filter(toks, t -> t IN {_STOPWORDS})) AS stop_hits",
+            "size(array_distinct(toks)) AS n_distinct",
+            *hits,
+            """CASE WHEN size(toks) >= 3 THEN
+                 transform(sequence(1, size(toks) - 2),
+                           i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+                                       element_at(toks, i + 2)))
+               ELSE array() END AS trigrams""",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio",
+            "CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio",
+            """0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+               + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality""",
+            """CASE
+                 WHEN hits_en >= hits_es AND hits_en >= hits_fr
+                      AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+                 WHEN hits_es >= hits_fr AND hits_es >= hits_de
+                      AND hits_es > 0 THEN 'es'
+                 WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+                 WHEN hits_de > 0 THEN 'de'
+                 ELSE 'unknown'
+               END AS lang_pred""",
+            "CAST(size(trigrams) - size(array_distinct(trigrams)) AS DOUBLE)"
+            " / size(trigrams) AS dup_trigram_frac",
+            "md5(text) AS content_md5",
+        )
+    )
+
+
+SIGNALS_FUSED_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id, text, {_TOKS_DUCK} AS toks FROM documents
+),
+counts AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         len(list_filter(toks, t -> t IN {_STOPWORDS})) AS stop_hits,
+         len(list_distinct(toks)) AS n_distinct,
+         {", ".join(f"len(list_filter(toks, t -> t IN {words})) AS hits_{lang}" for lang, words in _MARKERS.items())},
+         list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS trigrams
+  FROM staged
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+       0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+       + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality,
+       CASE
+         WHEN hits_en >= hits_es AND hits_en >= hits_fr
+              AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+         WHEN hits_es >= hits_fr AND hits_es >= hits_de
+              AND hits_es > 0 THEN 'es'
+         WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+         WHEN hits_de > 0 THEN 'de'
+         ELSE 'unknown'
+       END AS lang_pred,
+       CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams) AS dup_trigram_frac,
+       md5(text) AS content_md5
+FROM counts
+"""
+
+QUERIES["text_signals_fused"] = signals_fused
+ORACLE["text_signals_fused"] = SIGNALS_FUSED_ORACLE

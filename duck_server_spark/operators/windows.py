@@ -212,3 +212,39 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey 
 
 QUERIES["window_distribution"] = window_distribution
 ORACLE["window_distribution"] = WINDOW_DISTRIBUTION_ORACLE
+
+
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each event's rolling 3-day event count
+    and exact value sum per user (sliding-window-by-TIME, peers by
+    timestamp — not by row position; the moving-metric shape for
+    irregular event streams). Sums go through fixed-point integers so
+    partition-parallel accumulation is bit-equal to the oracle. One
+    shuffle + sort on user_id, no self-join or spine explosion."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    # ties in ts within a user would make frame bounds nondeterministic
+    # across engines if ts repeated — event ts is unique per user in the
+    # fixture, and RANGE frames treat ties as peers anyway (same result).
+    return spark.sql("""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_3d,
+       CAST(sum(CAST(CAST(floor(value * 100) AS BIGINT) AS DECIMAL(18,0))) OVER w AS DOUBLE) / 100 AS sum_3d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
+""")
+
+
+WINDOW_TIME_RANGE_ORACLE = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_3d,
+       CAST(sum(CAST(CAST(floor(value * 100) AS BIGINT) AS DECIMAL(18,0))) OVER w AS DOUBLE) / 100 AS sum_3d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["window_time_range"] = window_time_range
+ORACLE["window_time_range"] = WINDOW_TIME_RANGE_ORACLE

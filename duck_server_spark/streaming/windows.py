@@ -182,3 +182,41 @@ def click_purchase_join(
         "purchase_ts",
         "amount",
     )
+
+
+def outlier_flagging(events: DataFrame, moments: DataFrame) -> DataFrame:
+    """Stream-STATIC join: score each in-flight event against a static
+    per-event_type moments table (mean/std trained by the batch
+    events_outliers pass) and keep |z| > 2. The static side is a plain
+    DataFrame — Spark broadcasts it into every micro-batch with no
+    streaming state at all, the standard model-scoring / enrichment
+    topology (dimension lookup at stream speed). Batch twin:
+    events_time.events_outliers (identical moment arithmetic).
+    """
+    return (
+        events.join(moments, "event_type")
+        .withColumn(
+            "zscore",
+            (F.expr("CAST(CAST(floor(value * 1000000) AS BIGINT) AS DOUBLE)") - F.col("s") / F.col("n"))
+            / F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - F.lit(1.0))),
+        )
+        .where(F.abs(F.col("zscore")) > 2.0)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+def moments_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static moments side for outlier_flagging — same fixed-point
+    sums as the batch twin, computed once and reused across every
+    micro-batch."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT event_type,
+       CAST(count(*) AS DOUBLE) AS n,
+       CAST(sum(CAST(CAST(floor(value * 1000000) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS s,
+       CAST(sum(CAST(CAST(CAST(floor(value * 1000000) AS BIGINT) AS DECIMAL(18,0))
+                     * CAST(CAST(floor(value * 1000000) AS BIGINT) AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS ss
+FROM events GROUP BY event_type
+""")

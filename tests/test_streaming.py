@@ -127,3 +127,25 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_static_outlier_flagging_matches_batch(spark, sf_dir, events_stream):
+    """Stream-static join twin: availableNow replay of the event stream
+    against the batch-trained moments table emits exactly the rows the
+    batch events_outliers query flags."""
+    from duck_server_spark.operators.events_time import QUERIES as ET
+    from duck_server_spark.streaming.windows import (
+        moments_table,
+        outlier_flagging,
+        run_to_memory_sink,
+    )
+
+    moments = moments_table(spark, sf_dir)
+    flagged = outlier_flagging(events_stream, moments)
+    got = run_to_memory_sink(spark, flagged, "outlier_sink")
+    batch = {
+        (r.event_id, round(r.zscore, 9))
+        for r in ET["events_outliers"](spark, sf_dir).collect()
+    }
+    streamed = {(r.event_id, round(r.zscore, 9)) for r in got.collect()}
+    assert streamed == batch and len(batch) > 0
