@@ -40,6 +40,7 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    "spearman_corr",
     "window_time_range",
     "graph_triangles",
     "events_gapfill",

@@ -396,3 +396,71 @@ GROUP BY 1
 
 QUERIES["histogram_prices"] = histogram_prices
 ORACLE["histogram_prices"] = HISTOGRAM_PRICES_ORACLE
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag: rank both variables (average-rank ties via rank+count), then
+    Pearson over the INTEGER ranks — every moment is exact integer
+    arithmetic (scaled by 2 to keep average ranks integral), so the
+    coefficient is bit-equal across engines with no fixed-point staging.
+
+    Scale shape: two window rankings over the same (flag) partition —
+    one shuffle, two sorts — then a map-side-combined aggregate. The
+    rank-based formulation is the robust-correlation tool when values
+    are heavy-tailed (corr of raw doubles is in agg_stats_moments)."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    # avg tie rank = rank() + (count_of_ties - 1)/2; doubled → integer
+    return spark.sql("""
+WITH ranked AS (
+  SELECT l_returnflag,
+         2 * rank()  OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+         2 * rank()  OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(rx2 AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ry2 AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(rx2 AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(ry2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CAST(rx2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS spearman_qty_price
+FROM m
+""")
+
+
+SPEARMAN_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         2 * rank()  OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+         2 * rank()  OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(rx2 AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ry2 AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(rx2 AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(ry2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CAST(rx2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS spearman_qty_price
+FROM m
+"""
+
+QUERIES["spearman_corr"] = spearman_corr
+ORACLE["spearman_corr"] = SPEARMAN_ORACLE
