@@ -212,8 +212,103 @@ def _sql(spark_sql: str):
     return build
 
 
+# Staged execution for the cleaning pass: the one-big-SQL form (kept
+# above as the oracle twin) makes Catalyst recompute the tokenize →
+# shingle chain three times (sigs + both sides of the verify join) —
+# CTEs inline, there is no CSE across references. Persisting the two
+# small intermediates (per-doc flags; survivor shingle arrays) computes
+# each once; identical arithmetic, so the oracle hash is unchanged.
+# Measured 5.0 s → ~2 s on the sf0.1 bench.
+
+_CLEAN_ANN_SPARK = f"""
+WITH corpus AS ({_CORPUS}),
+tok AS (
+  SELECT doc_id, text, split(trim(text), '\\\\s+') AS toks FROM corpus
+),
+metrics AS (
+  SELECT doc_id, text, size(toks) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / size(toks) AS chars_per_token
+  FROM tok
+),
+quality AS (
+  SELECT doc_id, text,
+         (n_tokens >= 20 AND chars_per_token >= 3.0 AND chars_per_token <= 15.0) AS q_pass
+  FROM metrics
+),
+exact_keep AS (
+  SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS e_keep
+  FROM quality WHERE q_pass
+)
+SELECT q.doc_id, q.text, q.q_pass, e.e_keep
+FROM quality q LEFT JOIN exact_keep e ON e.doc_id = q.doc_id
+"""
+
+_CLEAN_SHING_SPARK = """
+WITH stok AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks
+  FROM __clean_ann WHERE q_pass AND e_keep
+)
+SELECT doc_id,
+       transform(sequence(1, greatest(size(toks) - 2, 1)),
+                 i -> concat_ws(' ', slice(toks, i, 3))) AS sh
+FROM stok
+"""
+
+_CLEAN_TAIL_SPARK = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {_minhash_cols("array_min", "transform")}
+  FROM __clean_shing
+),
+banded AS (
+  SELECT doc_id, {_BAND_SEL} FROM sigs
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+),
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN __clean_shing s1 ON s1.doc_id = id1
+             JOIN __clean_shing s2 ON s2.doc_id = id2
+),
+near_drop AS (
+  SELECT DISTINCT id2 AS doc_id FROM joined
+  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
+)
+SELECT a.doc_id,
+       CASE WHEN NOT a.q_pass THEN 'quality'
+            WHEN NOT a.e_keep THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM __clean_ann a
+LEFT JOIN near_drop nd ON nd.doc_id = a.doc_id
+"""
+
+_clean_cached: list = []
+
+
+def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_corpus_clean with the shared stages persisted (see note
+    above). The previous call's caches are released first so repeated
+    invocations (bench loops, test reruns) hold at most one generation."""
+    register_views(spark, sf_dir)
+    while _clean_cached:
+        _clean_cached.pop().unpersist()
+    ann = spark.sql(_CLEAN_ANN_SPARK).persist()
+    ann.createOrReplaceTempView("__clean_ann")
+    shing = spark.sql(_CLEAN_SHING_SPARK).persist()
+    shing.createOrReplaceTempView("__clean_shing")
+    _clean_cached.extend([ann, shing])
+    return spark.sql(_CLEAN_TAIL_SPARK)
+
+
 QUERIES = {
-    "pipeline_corpus_clean": _sql(PIPELINE_CLEAN_SPARK),
+    "pipeline_corpus_clean": corpus_clean_staged,
     "sample_stratified": _sql(SAMPLE_STRATIFIED_SQL),
     "topk_per_domain": _sql(TOPK_PER_DOMAIN_SPARK),
 }
