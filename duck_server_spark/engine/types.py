@@ -230,9 +230,14 @@ def coerce_text_param(s: str) -> Any:
 
 def parse_csv_cell(s: str, dt: T.DataType) -> Any:
     """String cell → typed value for ingest (duckdb_types.go:39-71
-    converter table)."""
-    if s == "" or s == "\\N":
+    converter table). `\\N` is the NULL marker; an empty cell is the
+    empty STRING for string columns (the reference's VARCHAR converter
+    returns the input verbatim, duckdb_types.go:44-46) and NULL for
+    every other type (where the reference would error on '')."""
+    if s == "\\N":
         return None
+    if s == "":
+        return "" if isinstance(dt, T.StringType) else None
     if isinstance(dt, T.BooleanType):
         return s.lower() in ("t", "true", "1")
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):

@@ -242,5 +242,9 @@ def render_literal(v) -> str:
         return repr(v)
     if isinstance(v, bytes):
         return "X'" + v.hex() + "'"
-    s = str(v).replace("'", "''")  # pg_conn.go:753 escaping
+    # pg_conn.go:753 doubles quotes only (DuckDB literals are ANSI); Spark
+    # literals ALSO process backslash escapes by default, so a backslash
+    # must be doubled too or a trailing `\` escapes the closing quote
+    # (breaking out of the literal) and `\n` silently becomes a newline.
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"

@@ -64,17 +64,27 @@ class _SVWriter(FormatWriter):
 
     def write_row(self, row: tuple) -> bytes:
         if self.delimiter == ",":
-            buf = io.StringIO()
-            csv.writer(buf, lineterminator="\n").writerow(
-                [render_ch_text(v) for v in row]
-            )
-            return buf.getvalue().encode()
+            # manual RFC-4180 quoting mirroring Go's csv.Writer (the
+            # reference): quote when the field contains delimiter, quote,
+            # \r or \n — Python's csv.writer leaves a bare \r unquoted,
+            # which its own reader then rejects.
+            cells = []
+            for v in row:
+                s = render_ch_text(v)
+                if any(ch in s for ch in (",", '"', "\n", "\r")):
+                    s = '"' + s.replace('"', '""') + '"'
+                cells.append(s)
+            return (",".join(cells) + "\n").encode()
         # TSV: escape embedded backslashes/tabs/newlines in VALUES, then
         # emit the \N marker verbatim for NULLs (duckdb_types.go:88).
         cells = [
             "\\N"
             if v is None
-            else render_ch_text(v).replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+            else render_ch_text(v)
+            .replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
             for v in row
         ]
         return ("\t".join(cells) + "\n").encode()
@@ -138,6 +148,28 @@ class FormatReader:
         yield from self.finish()
 
 
+def _tsv_unescape(s: str) -> str:
+    """Reverse the TSV writer's escaping (left-to-right scan — chained
+    str.replace would corrupt a literal backslash-t)."""
+    if "\\" not in s:
+        return s
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            sub = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt)
+            if sub is not None:
+                out.append(sub)
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class _SVReader(FormatReader):
     delimiter = "\t"
 
@@ -148,6 +180,23 @@ class _SVReader(FormatReader):
 
     def _parse(self, text: str) -> Iterator[tuple]:
         if not text:
+            return
+        if self.delimiter == "\t":
+            # TSV is escape-based, not quote-based: split raw lines/tabs
+            # (embedded \t/\n are escaped by the writer), unescape each
+            # cell, with the exact marker `\N` as NULL *before* unescape.
+            for line in text.split("\n"):
+                line = line.removesuffix("\r")
+                if line == "":
+                    continue
+                self._seen += 1
+                if self._seen <= self.skip_header_rows:
+                    continue
+                cells = line.split("\t")
+                yield tuple(
+                    None if c == "\\N" else parse_csv_cell(_tsv_unescape(c), f.dataType)
+                    for c, f in zip(cells, self.schema.fields)
+                )
             return
         reader = csv.reader(io.StringIO(text), delimiter=self.delimiter)
         for cells in reader:

@@ -241,3 +241,25 @@ def test_duckdb_function_aliases_over_wire(pgc):
     _, rows, _ = c.simple_query("SELECT 'x ~ y' AS s")
     assert rows == [("x ~ y",)]
     c.terminate()
+
+
+def test_param_literal_escaping_hostile_strings(pgc, spark):
+    """Inlined text params must round-trip byte-exactly for hostile
+    content: trailing backslashes, quote runs, backslash-escape lookalikes
+    (\\n, \\t), and mixed unicode — the injection-adjacent path
+    (rewrites.render_literal; reference escaping at pg_conn.go:753 plus
+    Spark's backslash-escape literal rules)."""
+    from duck_server_spark.plans.rewrites import substitute_params
+
+    hostile = [
+        "x\\",             # trailing backslash — used to escape the quote
+        "a\\nb",           # literal backslash-n, must NOT become newline
+        "it's ''quoted''",
+        "\\'; DROP TABLE t; --",
+        "mixed \\\\ 深度 \t tab",
+        "",
+    ]
+    for v in hostile:
+        q = substitute_params("SELECT $1 AS v", [v])
+        got = spark.sql(q).collect()[0].v
+        assert got == v, f"param round-trip broke: {v!r} -> {got!r}"
