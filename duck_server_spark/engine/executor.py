@@ -168,6 +168,16 @@ class Engine:
             # round 1 shipped it as duck_timezone, which no client sends
             ("timezone", "(x TIMESTAMP) RETURNS STRING RETURN 'UTC'"),
             ("currentDatabase", "() RETURNS STRING RETURN current_database()"),
+            # DuckDB's strftime with the common %-codes mapped to Spark's
+            # date_format patterns (the format arg folds to a constant
+            # after macro inlining, which date_format requires). %M is
+            # minutes and %m months — replace() is case-sensitive.
+            (
+                "strftime",
+                "(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN date_format(ts, "
+                "replace(replace(replace(replace(replace(replace(fmt,"
+                "'%Y','yyyy'),'%m','MM'),'%d','dd'),'%H','HH'),'%M','mm'),'%S','ss'))",
+            ),
         ):
             try:
                 spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")

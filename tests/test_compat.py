@@ -263,3 +263,15 @@ def test_param_literal_escaping_hostile_strings(pgc, spark):
         q = substitute_params("SELECT $1 AS v", [v])
         got = spark.sql(q).collect()[0].v
         assert got == v, f"param round-trip broke: {v!r} -> {got!r}"
+
+
+def test_strftime_macro(pgc):
+    """DuckDB strftime %-codes through the compat macro
+    (executor._bootstrap): month vs minute case sensitivity included."""
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT strftime(TIMESTAMP '2024-03-09 07:08:09', '%Y-%m-%d %H:%M:%S') AS a, "
+        "strftime(TIMESTAMP '2024-03-09 07:08:09', '%d/%m/%Y') AS b"
+    )
+    assert rows == [("2024-03-09 07:08:09", "09/03/2024")]
+    c.terminate()
