@@ -98,9 +98,17 @@ CHECKS = {
     "events_streaks": [
         ("islands via window then aggregate (no self-join)", r"Window"),
     ],
+    "text_signals_fused": [
+        ("single codegen'd scan stage", r"WholeStageCodegen"),
+    ],
+    "text_pii_scrub": [
+        ("scan-speed regex pass under codegen", r"WholeStageCodegen"),
+    ],
 }
 
 FORBIDDEN = {
+    "text_signals_fused": [("one scan, ZERO shuffles", r"Exchange")],
+    "text_pii_scrub": [("zero shuffles", r"Exchange")],
     "contamination_check": [("no doc×doc cartesian", r"CartesianProduct")],
     "dedup_minhash_lsh": [("no cartesian product", r"CartesianProduct")],
     "tpch_q5_local_supplier_volume": [("no cartesian product", r"CartesianProduct")],
