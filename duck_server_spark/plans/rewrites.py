@@ -74,6 +74,29 @@ _DUCK_FN_RE = re.compile(
     r"\b(" + "|".join(sorted(_DUCK_FN_ALIASES, key=len, reverse=True)) + r")\s*\(",
     re.IGNORECASE,
 )
+# EXTRACT(EPOCH FROM x) → unix_timestamp(x): PG/DuckDB idiom Spark's
+# EXTRACT doesn't accept (it has no EPOCH field). Needs a balanced-paren
+# scan because x can contain calls.
+_EXTRACT_EPOCH = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)
+
+
+def _rewrite_extract_epoch(q: str) -> str:
+    while True:
+        m = _EXTRACT_EPOCH.search(q)
+        if not m:
+            return q
+        depth = 1
+        i = m.end()
+        while i < len(q) and depth:
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+            i += 1
+        inner = q[m.end() : i - 1]
+        q = q[: m.start()] + f"unix_timestamp({inner.strip()})" + q[i:]
+
+
 # PG regex-match operator `expr ~ 'pat'` → RLIKE (DuckDB accepts `~`,
 # pg_conn.go delegates it; Spark's `~` is bitwise NOT so the form
 # `~ '<literal>'` is unambiguous). Applied per non-literal segment, so
@@ -145,6 +168,7 @@ def rewrite_common(q: str) -> str:
             _DUCK_FN_RE.sub(lambda m: _DUCK_FN_ALIASES[m.group(1).lower()] + "(", seg),
         ),
     )
+    q = _rewrite_extract_epoch(q)
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
 

@@ -275,3 +275,15 @@ def test_strftime_macro(pgc):
     )
     assert rows == [("2024-03-09 07:08:09", "09/03/2024")]
     c.terminate()
+
+
+def test_extract_epoch_rewrite(pgc):
+    """EXTRACT(EPOCH FROM x) (PG/DuckDB idiom, no EPOCH field in Spark's
+    EXTRACT) rewrites to unix_timestamp — including nested calls."""
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT EXTRACT(EPOCH FROM coalesce(TIMESTAMP '1970-01-01 00:01:40', now())) AS e, "
+        "extract(year FROM TIMESTAMP '2024-05-01 00:00:00') AS y"
+    )
+    assert rows == [("100", "2024")]
+    c.terminate()
