@@ -67,3 +67,30 @@ def test_salted_join_correctness(spark, sf_dir):
         li.withColumnRenamed("l_suppkey", "k"), supp.withColumnRenamed("s_suppkey", "k"), "k"
     ).count()
     assert salted == plain
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style date-partitioned layout: a month filter on the
+    partition column must plan as partition pruning (PartitionFilters,
+    few files listed), not a full scan + row filter — the 100 TB lever
+    for time-series tables."""
+    from duck_server_spark.engine.session import load_table
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    ev.write.partitionBy("d").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).where("d = DATE '2024-01-05'")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    # row counts agree with the unpartitioned path
+    direct = ev.where("d = DATE '2024-01-05'").count()
+    assert back.count() == direct and direct > 0
