@@ -398,44 +398,124 @@ QUERIES["histogram_prices"] = histogram_prices
 ORACLE["histogram_prices"] = HISTOGRAM_PRICES_ORACLE
 
 
+_RANK_BUCKETS = 256  # execution knob only — result is bucket-invariant
+
+
+def _doubled_avg_ranks(values: DataFrame, valcol: str, outcol: str) -> DataFrame:
+    """Exact doubled average rank per distinct value, computed as a
+    two-level distributed prefix sum instead of a row-level window.
+
+    `values` = (l_returnflag, <valcol>, c) where c = # rows carrying that
+    value. A naive rank() window would PARTITION BY l_returnflag — 3
+    partitions holding the whole table, the classic single-sorter scale
+    ceiling. Here every step is either a parallel hash aggregate or a
+    window over (flag, bucket) — parallelism = #buckets — plus one
+    window over the tiny (flag, bucket) totals table (3×256 rows):
+
+      1. range-bucket each distinct value (min/max per flag, broadcast);
+      2. per-bucket row totals → exclusive prefix over buckets (tiny);
+      3. exclusive prefix WITHIN each bucket (ordered by value, values
+         are distinct per (flag, valcol) so the order is total);
+      4. doubled avg rank rx2 = 2*(rows before v) + c(v) + 1, identical
+         to 2*rank() + tiecount - 1 of the window formulation.
+
+    Bucket assignment only routes execution — any value-monotone
+    bucketing yields the same ranks, so double rounding is harmless."""
+    from pyspark.sql import Window
+
+    stats = values.groupBy("l_returnflag").agg(
+        F.min(valcol).cast("double").alias("_lo"), F.max(valcol).cast("double").alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo")
+    bkt = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(_RANK_BUCKETS - 1),
+            F.floor((F.col(valcol).cast("double") - F.col("_lo")) / span * _RANK_BUCKETS).cast("int"),
+        )
+    )
+    bucketed = values.join(F.broadcast(stats), "l_returnflag").withColumn("_bkt", bkt)
+    totals = bucketed.groupBy("l_returnflag", "_bkt").agg(F.sum("c").alias("_bc"))
+    w_bkt = (
+        Window.partitionBy("l_returnflag").orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_bc").over(w_bkt), F.lit(0)))
+    w_in = (
+        Window.partitionBy("l_returnflag", "_bkt").orderBy(valcol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets.select("l_returnflag", "_bkt", "_off")), ["l_returnflag", "_bkt"])
+        .withColumn("_within", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+        .select(
+            "l_returnflag",
+            F.col(valcol),
+            (2 * (F.col("_off") + F.col("_within")) + F.col("c") + 1).alias(outcol),
+        )
+    )
+
+
 def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between quantity and price per return
-    flag: rank both variables (average-rank ties via rank+count), then
-    Pearson over the INTEGER ranks — every moment is exact integer
-    arithmetic (scaled by 2 to keep average ranks integral), so the
-    coefficient is bit-equal across engines with no fixed-point staging.
+    flag: rank both variables (average-rank ties, doubled so ranks stay
+    integral), then Pearson over the INTEGER ranks — every moment is
+    exact integer arithmetic, so the coefficient is bit-equal across
+    engines with no fixed-point staging.
 
-    Scale shape: two window rankings over the same (flag) partition —
-    one shuffle, two sorts — then a map-side-combined aggregate. The
-    rank-based formulation is the robust-correlation tool when values
-    are heavy-tailed (corr of raw doubles is in agg_stats_moments)."""
+    Scale shape (rewritten after the 10× sweep flagged the original):
+    ranks come from `_doubled_avg_ranks` — distributed two-level prefix
+    sums over the DISTINCT-value tables, never a rank() window
+    partitioned by the 3-value flag column (whose per-partition sort is
+    the single-machine bottleneck a 100 TB corpus cannot fit). Moments
+    are then Σ over the joint (qty, price) histogram: c·rx2, c·rx2², …
+    — one hash-agg shuffle; the qty-rank side is broadcast (≤ 3×50
+    rows), the price-rank join keys on the high-cardinality price.
+
+    The rank-based formulation is the robust-correlation tool when
+    values are heavy-tailed (corr of raw doubles is agg_stats_moments)."""
     from duck_server_spark.engine.session import register_views
 
     register_views(spark, sf_dir)
-    # avg tie rank = rank() + (count_of_ties - 1)/2; doubled → integer
-    return spark.sql("""
-WITH ranked AS (
-  SELECT l_returnflag,
-         2 * rank()  OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-           + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
-         2 * rank()  OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-           + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
-  FROM lineitem
-),
-m AS (
-  SELECT l_returnflag,
-         CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(rx2 AS DECIMAL(18,0))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(ry2 AS DECIMAL(18,0))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(CAST(rx2 AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(CAST(ry2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-         CAST(sum(CAST(CAST(rx2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
-  FROM ranked GROUP BY l_returnflag
-)
-SELECT l_returnflag,
-       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS spearman_qty_price
-FROM m
-""")
+    li = spark.table("lineitem").select(
+        "l_returnflag", F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    joint = li.groupBy("l_returnflag", "x", "y").agg(F.count("*").alias("c"))
+    # separate single-column scans: map-side-combined count per distinct
+    # value straight off the (pruned) parquet scan — cheaper than routing
+    # the tuple-level `joint` histogram through a second shuffle
+    vx = li.groupBy("l_returnflag", "x").agg(F.count("*").alias("c"))
+    vy = li.groupBy("l_returnflag", "y").agg(F.count("*").alias("c"))
+    rx = _doubled_avg_ranks(vx, "x", "rx2")
+    ry = _doubled_avg_ranks(vy, "y", "ry2")
+    dec = "decimal(38,0)"
+    ranked = (
+        joint.join(F.broadcast(rx), ["l_returnflag", "x"])
+        .join(ry, ["l_returnflag", "y"])
+        .select(
+            "l_returnflag",
+            F.col("c").cast(dec).alias("c"),
+            F.col("rx2").cast(dec).alias("rx2"),
+            F.col("ry2").cast(dec).alias("ry2"),
+        )
+    )
+    m = ranked.groupBy("l_returnflag").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(F.col("c") * F.col("rx2")).cast("double").alias("sx"),
+        F.sum(F.col("c") * F.col("ry2")).cast("double").alias("sy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("rx2")).cast("double").alias("sxx"),
+        F.sum(F.col("c") * F.col("ry2") * F.col("ry2")).cast("double").alias("syy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("ry2")).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            )
+        ).alias("spearman_qty_price"),
+    )
 
 
 SPEARMAN_ORACLE = """

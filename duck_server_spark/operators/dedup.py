@@ -851,11 +851,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges a-b, b-c joined on the middle vertex, closed by the a-c edge.
 
     Scale shape: two equi-joins on vertex keys over the EDGE set (tiny
-    vs the corpus — it is dedup output). Production graphs order
-    vertices by degree before the wedge join so high-degree hubs don't
-    fan out; the fixture graph is exact-dup cliques where ordering is
-    already uniform."""
-    edges = QUERIES["dedup_simhash"](spark, sf_dir).select("id1", "id2")
+    vs the corpus — it is dedup output). The edge set is materialized
+    ONCE via localCheckpoint before the three-way self-join: without it
+    each join branch re-executes the entire simhash pipeline (the 10×
+    sweep measured the 3× recompute). Enumeration cost after that is
+    Θ(#wedges) ≈ Θ(#triangles) — inherent to exact listing, and output
+    grows cubically with clique size, so the sweep lists this op as
+    expected-superlinear. Production graphs additionally order vertices
+    by degree before the wedge join so high-degree hubs don't fan out;
+    the fixture graph is exact-dup cliques where ordering is uniform."""
+    edges = (
+        QUERIES["dedup_simhash"](spark, sf_dir).select("id1", "id2").localCheckpoint(eager=True)
+    )
     e1 = edges.selectExpr("id1 AS a", "id2 AS b")
     e2 = edges.selectExpr("id1 AS b", "id2 AS c")
     e3 = edges.selectExpr("id1 AS a", "id2 AS c")

@@ -32,6 +32,11 @@ EXPECTED_SUPERLINEAR = {
     # (O(Q*N) — it is the recall baseline the ANN variants are measured
     # against). The scale paths are similarity_ann_lsh / similarity_ann_ivf.
     "similarity_topk_bruteforce",
+    # exact triangle LISTING is Θ(output); the K× fixture replicates
+    # documents verbatim, so every near-dup clique grows K× and its
+    # triangle count grows K³ — the op's output itself is super-linear
+    # in the input (sweep measured 26x runtime against ~1000x output).
+    "graph_triangles",
 }
 
 
