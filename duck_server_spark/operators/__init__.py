@@ -40,6 +40,9 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    "sequence_packing",
+    "train_valid_test_split",
+    "embedding_quantization",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

@@ -307,14 +307,134 @@ def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CLEAN_TAIL_SPARK)
 
 
+# ---------------------------------------------------------------------------
+# 4. sequence_packing — next-fit packing of docs into context windows
+# ---------------------------------------------------------------------------
+# The training-batch construction op: concatenate documents into
+# fixed-capacity token windows (here 96 tokens; overlong docs truncate
+# to one full window). Packing is a capped running sum — bin breaks
+# when the fill would overflow — which no plain window function
+# expresses (the reset depends on the running value itself).
+#
+# Scale design: packing is deterministic and embarrassingly parallel
+# per (source, shard) where shard = doc_id % N_SHARDS — the unit a real
+# pipeline writes out as one training file. Token counts are computed
+# JVM-side in the scan projection, so the Arrow-batched pandas stage
+# sees only four narrow integer/string columns and runs an O(rows)
+# cursor per group; parallelism = #sources × #shards, independent of
+# corpus size per group ordering. The DuckDB oracle twin is the same
+# recursion expressed as a recursive CTE stepping row_number + 1.
+
+_PACK_CAPACITY = 96
+_PACK_SHARDS = 4
+
+_PACK_BASE_SPARK = f"""
+SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+       CAST(least(size(split(trim(text), '\\\\s+')), {_PACK_CAPACITY}) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+SEQUENCE_PACKING_DUCK = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+         least(len(regexp_split_to_array(trim(text), '\\s+')), {_PACK_CAPACITY}) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, source, shard, n_tokens,
+         row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+  FROM tok
+),
+rec AS (
+  SELECT doc_id, source, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.source, s.shard, s.n_tokens, s.rn,
+         CASE WHEN r.fill + s.n_tokens > {_PACK_CAPACITY} THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.fill + s.n_tokens > {_PACK_CAPACITY} THEN s.n_tokens ELSE r.fill + s.n_tokens END
+  FROM rec r JOIN seq s ON s.source = r.source AND s.shard = r.shard AND s.rn = r.rn + 1
+)
+SELECT doc_id, source, shard, bin_id, n_tokens FROM rec
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing of documents into fixed token windows, per
+    (source, shard). See module note above for the scale rationale;
+    parity target is the reference's training-data preparation tier
+    (operators beyond duck_server's SQL surface, per SURVEY.md north
+    stars)."""
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+    base = spark.sql(_PACK_BASE_SPARK)
+    cap = _PACK_CAPACITY
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        first = True
+        for t in pdf["n_tokens"]:
+            if first:
+                first = False
+                fill = t
+            elif fill + t > cap:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[["doc_id", "source", "shard", "bin_id", "n_tokens"]]
+
+    return base.groupBy("source", "shard").applyInPandas(
+        _pack,
+        "doc_id bigint, source string, shard bigint, bin_id bigint, n_tokens bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. train_valid_test_split — deterministic hash split report
+# ---------------------------------------------------------------------------
+# Knuth multiplicative hash mod 97 (same prime rationale as
+# sample_stratified: the fixture's source IS doc_id % 20, and
+# gcd(20·K, 97) = 1, so within every source the hash sweeps all 97
+# residues uniformly — a mod-100 split would quantize per-source
+# fractions to multiples of 20%). Thresholds 78/88 ≈ 80/10/10. Pure
+# integer arithmetic → bit-equal across engines; at 100 TB this is a
+# scan-time projection + one partial-agg shuffle of |sources|×3 rows,
+# and the same predicate applied at write time routes each doc to its
+# split with zero coordination.
+
+TRAIN_VALID_TEST_SQL = """
+WITH assign AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN (doc_id * 2654435761) % 97 < 78 THEN 'train'
+              WHEN (doc_id * 2654435761) % 97 < 88 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM assign
+GROUP BY source, split
+"""
+
+
 QUERIES = {
     "pipeline_corpus_clean": corpus_clean_staged,
     "sample_stratified": _sql(SAMPLE_STRATIFIED_SQL),
     "topk_per_domain": _sql(TOPK_PER_DOMAIN_SPARK),
+    "sequence_packing": sequence_packing,
+    "train_valid_test_split": _sql(TRAIN_VALID_TEST_SQL),
 }
 
 ORACLE = {
     "pipeline_corpus_clean": PIPELINE_CLEAN_DUCK,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "topk_per_domain": TOPK_PER_DOMAIN_DUCK,
+    "sequence_packing": SEQUENCE_PACKING_DUCK,
+    "train_valid_test_split": TRAIN_VALID_TEST_SQL,
 }

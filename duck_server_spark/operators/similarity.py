@@ -269,3 +269,99 @@ FROM comp GROUP BY label
 
 QUERIES["embedding_centroids"] = _sql(SIM_CENTROIDS_SPARK)
 ORACLE["embedding_centroids"] = SIM_CENTROIDS_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 embedding quantization — per-label error report
+# ---------------------------------------------------------------------------
+# The vector-store compression pass: q_i = round(x_i · 127 / max|x|)
+# clamped to ±127, scale recorded per vector. Report per label:
+# max / mean of the per-vector worst reconstruction error, mean scale,
+# and the fraction of elements that quantize to zero (sparsity — the
+# signal for whether int8 is losslessly droppable to int4).
+#
+# Scale shape: ONE scan, all per-element work in JVM higher-order
+# functions over the 64-dim arrays (O(d) per row, no explode — the
+# (row × dim) explode of the centroid op is unnecessary here because
+# nothing aggregates across positions), then a single map-side-combined
+# hash agg of 4 integer columns per label. Rounding uses
+# floor(x + 0.5), whose double semantics both engines share (round()
+# half-even vs half-up differs between engines); error/scale moments
+# cross the shuffle as fixed-point BIGINTs (floor(x·1e9)) — exact
+# integer sums at any parallelism, one cast to double at the end
+# (same discipline as embedding_centroids above).
+
+_QUANT_COMMON_HEAD = """
+  SELECT vec_id, label,
+         {tf}(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+"""
+
+EMBED_QUANT_SPARK = f"""
+WITH prep AS ({_QUANT_COMMON_HEAD.format(tf="transform")}),
+scaled AS (
+  SELECT vec_id, label, v,
+         array_max(transform(v, x -> abs(x))) AS maxabs
+  FROM prep
+),
+quant AS (
+  SELECT vec_id, label, v, maxabs,
+         CASE WHEN maxabs = 0.0 THEN transform(v, x -> CAST(0 AS BIGINT))
+              ELSE transform(v, x -> CAST(greatest(-127.0,
+                     least(127.0, floor(x * 127.0 / maxabs + 0.5))) AS BIGINT))
+         END AS q
+  FROM scaled
+),
+err AS (
+  SELECT label,
+         CAST(floor(array_max(transform(sequence(1, 64),
+                i -> abs(element_at(v, i) - element_at(q, i) * maxabs / 127.0)))
+              * 1000000000) AS BIGINT) AS err_fp,
+         CAST(floor(maxabs * 1000000000) AS BIGINT) AS scale_fp,
+         CAST(size(filter(q, x -> x = 0)) AS BIGINT) AS n_zero
+  FROM quant
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(max(err_fp) AS DOUBLE) / 1000000000.0 AS max_abs_err,
+       CAST(sum(err_fp) AS DOUBLE) / (1000000000.0 * count(*)) AS mean_max_err,
+       CAST(sum(scale_fp) AS DOUBLE) / (1000000000.0 * count(*)) AS mean_scale,
+       CAST(sum(n_zero) AS DOUBLE) / (64.0 * count(*)) AS zero_frac
+FROM err
+GROUP BY label
+"""
+
+EMBED_QUANT_DUCK = f"""
+WITH prep AS ({_QUANT_COMMON_HEAD.format(tf="list_transform")}),
+scaled AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM prep
+),
+quant AS (
+  SELECT vec_id, label, v, maxabs,
+         CASE WHEN maxabs = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(greatest(-127.0,
+                     least(127.0, floor(x * 127.0 / maxabs + 0.5))) AS BIGINT))
+         END AS q
+  FROM scaled
+),
+err AS (
+  SELECT label,
+         CAST(floor(list_max(list_transform(generate_series(1, 64),
+                i -> abs(v[i] - q[i] * maxabs / 127.0)))
+              * 1000000000) AS BIGINT) AS err_fp,
+         CAST(floor(maxabs * 1000000000) AS BIGINT) AS scale_fp,
+         CAST(len(list_filter(q, x -> x = 0)) AS BIGINT) AS n_zero
+  FROM quant
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(max(err_fp) AS DOUBLE) / 1000000000.0 AS max_abs_err,
+       CAST(sum(err_fp) AS DOUBLE) / (1000000000.0 * count(*)) AS mean_max_err,
+       CAST(sum(scale_fp) AS DOUBLE) / (1000000000.0 * count(*)) AS mean_scale,
+       CAST(sum(n_zero) AS DOUBLE) / (64.0 * count(*)) AS zero_frac
+FROM err
+GROUP BY label
+"""
+
+QUERIES["embedding_quantization"] = _sql(EMBED_QUANT_SPARK)
+ORACLE["embedding_quantization"] = EMBED_QUANT_DUCK

@@ -66,6 +66,55 @@ def test_stratified_rates(spark, sf_dir):
     assert got.get("src0", 0) > 3 * max(got.get("src15", 0), 1)
 
 
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing must never overflow a bin, must keep bins contiguous from
+    0 within each (source, shard), and must cover every document."""
+    from duck_server_spark.operators.pipeline import _PACK_CAPACITY
+
+    rows = pipeline.QUERIES["sequence_packing"](spark, sf_dir).collect()
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == total_docs
+    fills: dict = {}
+    for r in rows:
+        key = (r.source, r.shard, r.bin_id)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+    assert all(v <= _PACK_CAPACITY for v in fills.values()), "bin overflow"
+    by_group: dict = {}
+    for s, sh, b in fills:
+        by_group.setdefault((s, sh), set()).add(b)
+    for bins in by_group.values():
+        assert bins == set(range(len(bins))), "bins must be 0..k contiguous"
+    # packing must actually pack (multiple docs per bin somewhere)
+    assert len(fills) < total_docs
+
+
+def test_train_valid_test_fractions(spark, sf_dir):
+    """Global split fractions must track 78/10/9 (out of 97)."""
+    rows = pipeline.QUERIES["train_valid_test_split"](spark, sf_dir).collect()
+    tot: dict = {}
+    for r in rows:
+        tot[r.split] = tot.get(r.split, 0) + r.n_docs
+    n = sum(tot.values())
+    assert 0.70 < tot["train"] / n < 0.90
+    assert 0.04 < tot["valid"] / n < 0.18
+    assert 0.03 < tot["test"] / n < 0.17
+
+
+def test_embedding_quantization_error_bound(spark, sf_dir):
+    """Symmetric int8 reconstruction error is bounded by half a
+    quantization step: max_abs_err <= mean-free bound scale/254."""
+    rows = similarity.QUERIES["embedding_quantization"](spark, sf_dir).collect()
+    assert rows, "must produce per-label stats"
+    for r in rows:
+        assert r.n_vectors > 0
+        # worst-case per-label error vs the largest possible step/2 for
+        # that label: mean_scale underestimates the max scale, so bound
+        # via max_abs_err < (max plausible scale)/254 + slack using the
+        # reported mean_scale*3 as a generous ceiling
+        assert r.max_abs_err <= r.mean_scale * 3 / 254 + 1e-9
+        assert 0.0 <= r.zero_frac < 1.0
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF ANN must find a substantial share of the true top-5 (recall is
     tunable via K/nprobe; the floor guards against a broken bucketer)."""

@@ -104,6 +104,18 @@ CHECKS = {
     "text_pii_scrub": [
         ("scan-speed regex pass under codegen", r"WholeStageCodegen"),
     ],
+    "sequence_packing": [
+        ("Arrow-grouped pandas packer (not row-at-a-time)", r"FlatMapGroupsInPandas"),
+        ("one shuffle keyed on the (source, shard) packing unit",
+         r"hashpartitioning\(source[^\n]*shard"),
+    ],
+    "train_valid_test_split": [
+        ("split report is one map-side-combined aggregate", r"HashAggregate"),
+        ("split assignment under whole-stage codegen", r"WholeStageCodegen"),
+    ],
+    "embedding_quantization": [
+        ("per-label agg map-side combined", r"HashAggregate"),
+    ],
 }
 
 FORBIDDEN = {
@@ -114,6 +126,7 @@ FORBIDDEN = {
     "tpch_q5_local_supplier_volume": [("no cartesian product", r"CartesianProduct")],
     "attributed_purchases": [("no cartesian/BNLJ time-range explosion", r"CartesianProduct")],
     "sample_stratified": [("no exchange in the sampler", r"Exchange")],
+    "embedding_quantization": [("no (row x dim) explode", r"Generate")],
 }
 
 
