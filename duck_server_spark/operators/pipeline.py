@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from duck_server_spark.engine.session import register_views
-from duck_server_spark.operators.dedup import _BAND_SEL, _CORPUS, _minhash_cols
+from duck_server_spark.operators.dedup import _CORPUS
 
 # ---------------------------------------------------------------------------
 # 1. pipeline_corpus_clean — per-doc keep/drop status with reason
@@ -67,52 +67,42 @@ LEFT JOIN exact_keep e ON e.doc_id = c.doc_id
 LEFT JOIN near_drop nd ON nd.doc_id = c.doc_id
 """
 
-PIPELINE_CLEAN_SPARK = f"""
-WITH corpus AS ({_CORPUS}),
-tok AS (
-  SELECT doc_id, text, split(trim(text), '\\\\s+') AS toks FROM corpus
-),
-metrics AS (
-  SELECT doc_id, text, size(toks) AS n_tokens,
-         CAST(length(text) AS DOUBLE) / size(toks) AS chars_per_token
-  FROM tok
-),
-{_CLEAN_COMMON},
-stok AS (
-  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM survivors
-),
-shing AS (
-  SELECT doc_id,
-         transform(sequence(1, greatest(size(toks) - 2, 1)),
-                   i -> concat_ws(' ', slice(toks, i, 3))) AS sh
-  FROM stok
-),
-sigs AS (
-  SELECT doc_id,
-         {_minhash_cols("array_min", "transform")}
-  FROM shing
-),
-banded AS (
-  SELECT doc_id, {_BAND_SEL} FROM sigs
-),
-long AS (
-  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-  FROM long a JOIN long b2
-    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
-),
-joined AS (
-  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
-  FROM pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
-),
-near_drop AS (
-  SELECT DISTINCT id2 AS doc_id FROM joined
-  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
+# Minhash signatures: ONE md5 per shingle bridged to BIGINT (Spark
+# conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT — the same cross-engine
+# bridge dedup_simhash uses), then 8 universal-hash permutations
+# (a·h + b) mod 2^31-1 in pure integer arithmetic. Identical minima in
+# both engines, and 4× cheaper than hashing every shingle 8 times
+# (measured 1.98 s → 0.56 s for the signature stage at sf0.1). Bands
+# are 4-row concat_ws buckets; verification is exact jaccard within
+# candidate buckets only.
+
+# (a, b) pairs: a < 2^31 so a·h stays under 2^63 for 32-bit h — Spark
+# longs would wrap silently on overflow while DuckDB raises, so the
+# bound is what keeps the two engines bit-identical.
+_PERMS = [
+    (1103515245, 12345),
+    (1299709, 7919),
+    (179424673, 32452843),
+    (15485863, 49979687),
+    (722480717, 982451653),
+    (286486049, 179426549),
+    (536870909, 179424691),
+    (402653189, 715827883),
+]
+_MERSENNE31 = 2147483647
+
+
+def _perm_sigs(minfn: str, tfm: str) -> str:
+    return ",\n         ".join(
+        f"{minfn}({tfm}(hv, h -> ({a} * h + {b}) % {_MERSENNE31})) AS mh{j}"
+        for j, (a, b) in enumerate(_PERMS)
+    )
+
+
+_INT_BAND_SEL = (
+    "concat_ws('|', mh0, mh1, mh2, mh3) AS band0, "
+    "concat_ws('|', mh4, mh5, mh6, mh7) AS band1"
 )
-{_CLEAN_VERDICT}
-"""
 
 PIPELINE_CLEAN_DUCK = f"""
 WITH corpus AS ({_CORPUS}),
@@ -134,13 +124,17 @@ shing AS (
                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
   FROM stok
 ),
-sigs AS (
-  SELECT doc_id,
-         {_minhash_cols("list_min", "list_transform")}
+hs AS (
+  SELECT doc_id, list_transform(sh, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hv
   FROM shing
 ),
+sigs AS (
+  SELECT doc_id,
+         {_perm_sigs("list_min", "list_transform")}
+  FROM hs
+),
 banded AS (
-  SELECT doc_id, {_BAND_SEL} FROM sigs
+  SELECT doc_id, {_INT_BAND_SEL} FROM sigs
 ),
 long AS (
   SELECT doc_id, 0 AS bnd, band0 AS sig FROM banded
@@ -212,13 +206,18 @@ def _sql(spark_sql: str):
     return build
 
 
-# Staged execution for the cleaning pass: the one-big-SQL form (kept
-# above as the oracle twin) makes Catalyst recompute the tokenize →
-# shingle chain three times (sigs + both sides of the verify join) —
-# CTEs inline, there is no CSE across references. Persisting the two
-# small intermediates (per-doc flags; survivor shingle arrays) computes
-# each once; identical arithmetic, so the oracle hash is unchanged.
-# Measured 5.0 s → ~2 s on the sf0.1 bench.
+# Staged execution for the cleaning pass: the one-big-SQL oracle twin
+# makes its engine recompute the tokenize → shingle chain three times
+# (sigs + both sides of the verify join) — CTEs inline, there is no CSE
+# across references. Persisting the two small intermediates (per-doc
+# flags; survivor shingle arrays) computes each once; identical
+# arithmetic, so the oracle hash is unchanged. The shingle table is
+# repartitioned to the session's full parallelism before persisting:
+# the fixture parquet scans as 2 input splits, and without the spread
+# every downstream md5 runs on 2 of 32 cores (at production scale the
+# input arrives in thousands of splits and the repartition of the
+# already-collapsed survivor set stays cheap relative to the hashing it
+# parallelizes).
 
 _CLEAN_ANN_SPARK = f"""
 WITH corpus AS ({_CORPUS}),
@@ -255,13 +254,17 @@ FROM stok
 """
 
 _CLEAN_TAIL_SPARK = f"""
-WITH sigs AS (
-  SELECT doc_id,
-         {_minhash_cols("array_min", "transform")}
+WITH hs AS (
+  SELECT doc_id, transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)) AS hv
   FROM __clean_shing
 ),
+sigs AS (
+  SELECT doc_id,
+         {_perm_sigs("array_min", "transform")}
+  FROM hs
+),
 banded AS (
-  SELECT doc_id, {_BAND_SEL} FROM sigs
+  SELECT doc_id, {_INT_BAND_SEL} FROM sigs
 ),
 long AS (
   SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
@@ -299,9 +302,10 @@ def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     while _clean_cached:
         _clean_cached.pop().unpersist()
+    par = spark.sparkContext.defaultParallelism
     ann = spark.sql(_CLEAN_ANN_SPARK).persist()
     ann.createOrReplaceTempView("__clean_ann")
-    shing = spark.sql(_CLEAN_SHING_SPARK).persist()
+    shing = spark.sql(_CLEAN_SHING_SPARK).repartition(par, "doc_id").persist()
     shing.createOrReplaceTempView("__clean_shing")
     _clean_cached.extend([ann, shing])
     return spark.sql(_CLEAN_TAIL_SPARK)
