@@ -43,6 +43,8 @@ _PRIORITY = [
     "sequence_packing",
     "train_valid_test_split",
     "embedding_quantization",
+    "doc_chunking",
+    "text_oov_rate",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

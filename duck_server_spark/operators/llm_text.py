@@ -726,3 +726,137 @@ FROM counts
 
 QUERIES["text_signals_fused"] = signals_fused
 ORACLE["text_signals_fused"] = SIGNALS_FUSED_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — overlapping token windows for embedding/RAG prep
+# ---------------------------------------------------------------------------
+# Split every document into 40-token chunks with a 10-token overlap
+# (stride 30): the pass that feeds an embedding model whose context is
+# shorter than the document. Scale shape: per-row arithmetic decides the
+# chunk starts (no join, no shuffle), explode multiplies rows by
+# ~n_tokens/stride, and each chunk row carries only its own slice — at
+# 100 TB this runs at scan speed and the output is written straight to
+# the embedding queue. Both engines compute identical chunk bounds in
+# integer arithmetic; the chunk text is the same concat_ws join.
+
+_CHUNK_LEN = 40
+_CHUNK_STRIDE = 30
+
+DOC_CHUNKING_SPARK = f"""
+WITH tok AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM documents
+),
+spans AS (
+  SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS n,
+         sequence(CAST(0 AS BIGINT),
+                  greatest(CAST(ceil((size(toks) - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0) AS BIGINT), CAST(0 AS BIGINT))) AS cids
+  FROM tok
+),
+expl AS (
+  SELECT doc_id, toks, n, explode(cids) AS chunk_idx FROM spans
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {_CHUNK_STRIDE} + 1 AS chunk_start,
+       least(CAST({_CHUNK_LEN} AS BIGINT), n - chunk_idx * {_CHUNK_STRIDE}) AS chunk_len,
+       concat_ws(' ', slice(toks, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_LEN})) AS chunk_text
+FROM expl
+"""
+
+DOC_CHUNKING_DUCK = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+spans AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         generate_series(CAST(0 AS BIGINT),
+                         greatest(CAST(ceil((len(toks) - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0) AS BIGINT), CAST(0 AS BIGINT))) AS cids
+  FROM tok
+),
+expl AS (
+  SELECT doc_id, toks, n, unnest(cids) AS chunk_idx FROM spans
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {_CHUNK_STRIDE} + 1 AS chunk_start,
+       least(CAST({_CHUNK_LEN} AS BIGINT), n - chunk_idx * {_CHUNK_STRIDE}) AS chunk_len,
+       array_to_string(toks[(chunk_idx * {_CHUNK_STRIDE} + 1):(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN})], ' ') AS chunk_text
+FROM expl
+"""
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(DOC_CHUNKING_SPARK)
+
+
+QUERIES["doc_chunking"] = doc_chunking
+ORACLE["doc_chunking"] = DOC_CHUNKING_DUCK
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs corpus vocabulary — tokenizer-coverage metric
+# ---------------------------------------------------------------------------
+# Fraction of each document's tokens outside the corpus top-30 vocab:
+# the coverage statistic that sizes a tokenizer's vocabulary (and flags
+# documents that are mostly rare/garbage tokens). Scale shape: the
+# vocab is a full partial-agg reduction to 30 rows, carried to every
+# row as a single collected array on a one-row CROSS JOIN (Catalyst
+# broadcasts it) — the corpus itself is NEVER exploded or shuffled; the
+# per-doc score is a filter() over the already-staged token array at
+# scan speed. Vocab selection is tie-broken by term so both engines
+# pick the same 30.
+
+TEXT_OOV_SPARK = """
+WITH tok AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS toks FROM documents
+),
+vocab AS (
+  SELECT term, count(*) AS freq
+  FROM (SELECT explode(toks) AS term FROM tok)
+  GROUP BY term
+  ORDER BY freq DESC, term ASC
+  LIMIT 30
+),
+vocab_arr AS (
+  SELECT collect_list(term) AS varr FROM vocab
+)
+SELECT doc_id,
+       CAST(size(toks) AS BIGINT) AS n_toks,
+       CAST(size(filter(toks, t -> NOT array_contains(varr, t))) AS BIGINT) AS n_oov,
+       CAST(size(filter(toks, t -> NOT array_contains(varr, t))) AS DOUBLE) / size(toks) AS oov_rate
+FROM tok CROSS JOIN vocab_arr
+"""
+
+TEXT_OOV_DUCK = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+),
+vocab AS (
+  SELECT term, count(*) AS freq
+  FROM (SELECT unnest(toks) AS term FROM tok)
+  GROUP BY term
+  ORDER BY freq DESC, term ASC
+  LIMIT 30
+),
+vocab_arr AS (
+  SELECT list(term) AS varr FROM vocab
+)
+SELECT doc_id,
+       len(toks) AS n_toks,
+       len(list_filter(toks, t -> NOT list_contains(varr, t))) AS n_oov,
+       CAST(len(list_filter(toks, t -> NOT list_contains(varr, t))) AS DOUBLE) / len(toks) AS oov_rate
+FROM tok CROSS JOIN vocab_arr
+"""
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TEXT_OOV_SPARK)
+
+
+QUERIES["text_oov_rate"] = text_oov_rate
+ORACLE["text_oov_rate"] = TEXT_OOV_DUCK

@@ -115,6 +115,38 @@ def test_embedding_quantization_error_bound(spark, sf_dir):
         assert 0.0 <= r.zero_frac < 1.0
 
 
+def test_doc_chunking_coverage(spark, sf_dir):
+    """Chunks must tile every document: first chunk starts at 1, strides
+    are 30, the last chunk reaches the final token, and no chunk
+    exceeds 40 tokens."""
+    rows = llm_text.QUERIES["doc_chunking"](spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    multi = 0
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_start == 1
+        for c in chunks:
+            assert 1 <= c.chunk_len <= 40
+            assert c.chunk_start == c.chunk_idx * 30 + 1
+            assert len(c.chunk_text.split()) == c.chunk_len
+        multi += len(chunks) > 1
+    assert multi > 0, "fixture has >40-token docs; chunking must split them"
+
+
+def test_oov_rate_bounds(spark, sf_dir):
+    """OOV fraction is a proper rate and the top-30 vocab must actually
+    cover some tokens (rate < 1 somewhere) without covering everything
+    (rate > 0 somewhere)."""
+    rows = llm_text.QUERIES["text_oov_rate"](spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.oov_rate <= 1.0 for r in rows)
+    assert any(r.oov_rate > 0 for r in rows)
+    assert any(r.oov_rate < 1 for r in rows)
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF ANN must find a substantial share of the true top-5 (recall is
     tunable via K/nprobe; the floor guards against a broken bucketer)."""

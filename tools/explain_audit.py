@@ -116,6 +116,14 @@ CHECKS = {
     "embedding_quantization": [
         ("per-label agg map-side combined", r"HashAggregate"),
     ],
+    "doc_chunking": [
+        ("chunk spans derive per-row under codegen", r"WholeStageCodegen"),
+        ("explode stays narrow (Generate, no join)", r"Generate"),
+    ],
+    "text_oov_rate": [
+        ("one-row vocab array broadcast onto the corpus",
+         r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ],
 }
 
 FORBIDDEN = {
@@ -127,6 +135,8 @@ FORBIDDEN = {
     "attributed_purchases": [("no cartesian/BNLJ time-range explosion", r"CartesianProduct")],
     "sample_stratified": [("no exchange in the sampler", r"Exchange")],
     "embedding_quantization": [("no (row x dim) explode", r"Generate")],
+    "doc_chunking": [("no shuffle anywhere", r"Exchange"), ("no join", r"Join")],
+    "text_oov_rate": [("corpus side never shuffles on doc_id", r"hashpartitioning\(doc_id")],
 }
 
 
