@@ -41,6 +41,8 @@ HEADLINE = [
     # fused one-scan corpus scoring + the n-gram contamination join
     "text_signals_fused",
     "contamination_check",
+    # round-2 additions: Arrow-grouped context-window packing
+    "sequence_packing",
 ]
 
 
