@@ -708,6 +708,8 @@ ORACLE["dedup_connected_components"] = DEDUP_CC_ORACLE
 # ---------------------------------------------------------------------------
 # The signature computation (tokenize -> shingle -> k min-hashes) is the
 # hot loop; interpreted SQL lambdas pay per-element dispatch. This variant
+_mhv_cached: list = []
+
 # computes signatures in one mapInPandas pass (zlib.crc32 per shingle —
 # C-speed, deterministic everywhere — then 8 numpy universal-hash
 # permutations + mins per doc). Banding/candidate-join/exact-Jaccard
@@ -739,16 +741,24 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     AB = [(2 * j + 1, 7919 * (j + 1)) for j in range(_NUM_HASHES)]
 
     corpus.createOrReplaceTempView("mhv_corpus")
-    # doc -> content-hash group; one shuffle on a uniform 64-bit key
-    spark.sql(
-        "SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus"
-    ).createOrReplaceTempView("mhv_groups")
+    while _mhv_cached:
+        _mhv_cached.pop().unpersist()
+    # doc -> content-hash group; one shuffle on a uniform 64-bit key.
+    # groups is referenced ~6x downstream (rep derivation, pair
+    # expansion a/b, intra-group emission a/b) and reps ~4x (shingle
+    # source, both sides of the hash_pairs join, the Arrow signature
+    # stage) — temp views are lazy SQL, so without persisting each
+    # reference would redo the scan (groups) and the group-by + join
+    # shuffles (reps).
+    groups = spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus").persist()
+    groups.createOrReplaceTempView("mhv_groups")
     reps = spark.sql("""
         SELECT r.chash, c.doc_id, c.text
         FROM (SELECT chash, min(doc_id) AS doc_id FROM mhv_groups GROUP BY chash) r
         JOIN mhv_corpus c USING (doc_id)
-    """)
+    """).persist()
     reps.createOrReplaceTempView("mhv_reps")
+    _mhv_cached.extend([groups, reps])
 
     def sigs(batches):
         for pdf in batches:
