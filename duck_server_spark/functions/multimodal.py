@@ -155,7 +155,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, decode_stub: str = 
                     ids.append(mid)
                     idxs.append(k)
                     tss.append(k * every_ms)
-                    frames.append(hashlib.sha256(payload + k.to_bytes(4, "big")).digest())
+                    # stub frame = sha256(payload ':' k) — string-safe
+                    # framing so the SQL oracle twin (sha256(VARCHAR))
+                    # can compute the identical digest from utf8 payloads
+                    frames.append(hashlib.sha256(payload + b":" + str(k).encode()).digest())
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
             )

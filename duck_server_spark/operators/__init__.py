@@ -45,6 +45,7 @@ _PRIORITY = [
     "embedding_quantization",
     "doc_chunking",
     "text_oov_rate",
+    "multimodal_frame_sample",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

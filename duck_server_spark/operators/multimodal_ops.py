@@ -51,3 +51,53 @@ FROM documents
 
 QUERIES = {"multimodal_decode_stats": multimodal_decode_stats}
 ORACLE = {"multimodal_decode_stats": MULTIMODAL_DECODE_ORACLE}
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the REAL mapInPandas plumbing
+    (functions/multimodal.py sample_video_frames — the ffmpeg seam):
+    one row per sampled frame, frame payload = deterministic sha256
+    stub. duration_ms is synthesized per doc (1-5 s) so row explosion
+    is exercised; the utf8-payload trick gives the stub an exact
+    DuckDB twin. Scale shape: metadata filter BEFORE the UDF, Arrow
+    batches, per-row explosion inside the batch — no shuffle at all."""
+    from duck_server_spark.functions.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(1000) + (F.col("doc_id") % 5) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_video_frames(media, every_ms=1000).select(
+        F.col("media_id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+        F.lower(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
+MULTIMODAL_FRAME_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id, text,
+         1000 + (doc_id % 5) * 1000 AS duration_ms
+  FROM documents
+),
+frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(CAST(0 AS BIGINT), duration_ms // 1000 - 1)) AS frame_idx
+  FROM media
+)
+SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms,
+       sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hex
+FROM frames
+"""
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+ORACLE["multimodal_frame_sample"] = MULTIMODAL_FRAME_ORACLE
