@@ -46,6 +46,7 @@ _PRIORITY = [
     "doc_chunking",
     "text_oov_rate",
     "multimodal_frame_sample",
+    "dedup_source_matrix",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

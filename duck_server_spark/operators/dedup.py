@@ -890,3 +890,66 @@ QUERIES["graph_triangles"] = graph_triangles
 # the oracle embeds the simhash pair SQL as its edge CTE so both engines
 # enumerate triangles over the identical edge set
 ORACLE["graph_triangles"] = GRAPH_TRIANGLES_ORACLE.format(SIMHASH=ORACLE["dedup_simhash"])
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — pipeline observability
+# ---------------------------------------------------------------------------
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources share (near-)duplicate content: the simhash pair
+    set joined back to each side's source, aggregated to a
+    source-pair count + mean hamming. The report that decides which
+    crawl/feed overlaps which before a training mix is finalized.
+
+    Scale shape: the pair set is dedup output (tiny vs corpus) and is
+    localCheckpointed once (same rationale as graph_triangles — two
+    downstream joins must not re-run the simhash pipeline twice); the
+    source lookup is a (doc_id, source) projection joined twice, then
+    one hash-agg onto at most |sources|² keys. Source pairs are
+    canonicalized (least/greatest) so the matrix is upper-triangular."""
+    pairs = (
+        QUERIES["dedup_simhash"](spark, sf_dir)
+        .select("id1", "id2", "hamming")
+        .localCheckpoint(eager=True)
+    )
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    pairs.createOrReplaceTempView("dsm_pairs")
+    return spark.sql("""
+WITH src AS (SELECT doc_id, source FROM documents),
+tagged AS (
+  SELECT least(a.source, b.source) AS source1,
+         greatest(a.source, b.source) AS source2,
+         p.hamming
+  FROM dsm_pairs p
+  JOIN src a ON a.doc_id = p.id1
+  JOIN src b ON b.doc_id = p.id2
+)
+SELECT source1, source2, count(*) AS n_pairs,
+       CAST(sum(hamming) AS BIGINT) AS total_hamming
+FROM tagged
+GROUP BY source1, source2
+""")
+
+
+DEDUP_SOURCE_MATRIX_DUCK = f"""
+WITH sim_pairs AS ({DEDUP_SIMHASH_DUCK}),
+src AS (SELECT doc_id, source FROM documents),
+tagged AS (
+  SELECT least(a.source, b.source) AS source1,
+         greatest(a.source, b.source) AS source2,
+         p.hamming
+  FROM sim_pairs p
+  JOIN src a ON a.doc_id = p.id1
+  JOIN src b ON b.doc_id = p.id2
+)
+SELECT source1, source2, count(*) AS n_pairs,
+       CAST(sum(hamming) AS BIGINT) AS total_hamming
+FROM tagged
+GROUP BY source1, source2
+"""
+
+QUERIES["dedup_source_matrix"] = dedup_source_matrix
+ORACLE["dedup_source_matrix"] = DEDUP_SOURCE_MATRIX_DUCK
