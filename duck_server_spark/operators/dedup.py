@@ -708,8 +708,6 @@ ORACLE["dedup_connected_components"] = DEDUP_CC_ORACLE
 # ---------------------------------------------------------------------------
 # The signature computation (tokenize -> shingle -> k min-hashes) is the
 # hot loop; interpreted SQL lambdas pay per-element dispatch. This variant
-_mhv_cached: list = []
-
 # computes signatures in one mapInPandas pass (zlib.crc32 per shingle —
 # C-speed, deterministic everywhere — then 8 numpy universal-hash
 # permutations + mins per doc). Banding/candidate-join/exact-Jaccard
@@ -729,6 +727,9 @@ _mhv_cached: list = []
 # (jaccard depends only on content). Output is identical to the naive
 # pairing; the quadratic verify work drops from O(sum m_i^2) candidate
 # pairs to O(distinct-rep candidate pairs).
+
+_mhv_cached: list = []
+
 
 def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -907,7 +908,10 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream joins must not re-run the simhash pipeline twice); the
     source lookup is a (doc_id, source) projection joined twice, then
     one hash-agg onto at most |sources|² keys. Source pairs are
-    canonicalized (least/greatest) so the matrix is upper-triangular."""
+    canonicalized (least/greatest) so the matrix is upper-triangular.
+    Injected duplicate ids (base + 1,000,000, see _CORPUS) are mapped
+    back to their base doc's source before the lookup — an inner join
+    on the raw id would silently drop exactly the planted duplicates."""
     pairs = (
         QUERIES["dedup_simhash"](spark, sf_dir)
         .select("id1", "id2", "hamming")
@@ -924,8 +928,8 @@ tagged AS (
          greatest(a.source, b.source) AS source2,
          p.hamming
   FROM dsm_pairs p
-  JOIN src a ON a.doc_id = p.id1
-  JOIN src b ON b.doc_id = p.id2
+  JOIN src a ON a.doc_id = p.id1 % 1000000
+  JOIN src b ON b.doc_id = p.id2 % 1000000
 )
 SELECT source1, source2, count(*) AS n_pairs,
        CAST(sum(hamming) AS BIGINT) AS total_hamming
@@ -942,8 +946,8 @@ tagged AS (
          greatest(a.source, b.source) AS source2,
          p.hamming
   FROM sim_pairs p
-  JOIN src a ON a.doc_id = p.id1
-  JOIN src b ON b.doc_id = p.id2
+  JOIN src a ON a.doc_id = p.id1 % 1000000
+  JOIN src b ON b.doc_id = p.id2 % 1000000
 )
 SELECT source1, source2, count(*) AS n_pairs,
        CAST(sum(hamming) AS BIGINT) AS total_hamming

@@ -746,6 +746,7 @@ _CHUNK_STRIDE = 30
 DOC_CHUNKING_SPARK = f"""
 WITH tok AS (
   SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM documents
+  WHERE trim(text) <> ''
 ),
 spans AS (
   SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS n,
@@ -766,6 +767,7 @@ FROM expl
 DOC_CHUNKING_DUCK = rf"""
 WITH tok AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  WHERE trim(text) <> ''
 ),
 spans AS (
   SELECT doc_id, toks, len(toks) AS n,

@@ -91,7 +91,9 @@ WITH media AS (
 ),
 frames AS (
   SELECT media_id, text,
-         unnest(generate_series(CAST(0 AS BIGINT), duration_ms // 1000 - 1)) AS frame_idx
+         -- clamp to >= 1 frame, matching sample_video_frames'
+         -- max(dur // every_ms, 1) for sub-second media
+         unnest(generate_series(CAST(0 AS BIGINT), greatest(duration_ms // 1000, 1) - 1)) AS frame_idx
   FROM media
 )
 SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms,

@@ -173,10 +173,15 @@ _STRAT_RATE = """CASE WHEN source IN ('src0','src1','src2','src3') THEN 97
      WHEN source IN ('src10','src11','src12','src13','src14') THEN 24
      ELSE 10 END"""
 
+# doc_id is reduced mod 2^31-1 BEFORE the multiply: the raw product
+# overflows int64 at doc_id ≈ 3.47e9 (a real id range at 100 TB), where
+# Spark longs wrap to a negative residue (everything samples/routes
+# low) while DuckDB raises — the pre-reduction keeps the product under
+# 2^62 and the two engines bit-identical at any id.
 SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, source, lang, n_chars
 FROM documents
-WHERE (doc_id * 2654435761) % 97 < {_STRAT_RATE}
+WHERE ((doc_id % 2147483647) * 2654435761) % 97 < {_STRAT_RATE}
 """
 
 # ---------------------------------------------------------------------------
@@ -407,16 +412,18 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gcd(20·K, 97) = 1, so within every source the hash sweeps all 97
 # residues uniformly — a mod-100 split would quantize per-source
 # fractions to multiples of 20%). Thresholds 78/88 ≈ 80/10/10. Pure
-# integer arithmetic → bit-equal across engines; at 100 TB this is a
-# scan-time projection + one partial-agg shuffle of |sources|×3 rows,
-# and the same predicate applied at write time routes each doc to its
-# split with zero coordination.
+# integer arithmetic → bit-equal across engines (doc_id pre-reduced
+# mod 2^31-1 so the product never overflows int64 — see the
+# sample_stratified note); at 100 TB this is a scan-time projection +
+# one partial-agg shuffle of |sources|×3 rows, and the same predicate
+# applied at write time routes each doc to its split with zero
+# coordination.
 
 TRAIN_VALID_TEST_SQL = """
 WITH assign AS (
   SELECT doc_id, source, n_chars,
-         CASE WHEN (doc_id * 2654435761) % 97 < 78 THEN 'train'
-              WHEN (doc_id * 2654435761) % 97 < 88 THEN 'valid'
+         CASE WHEN ((doc_id % 2147483647) * 2654435761) % 97 < 78 THEN 'train'
+              WHEN ((doc_id % 2147483647) * 2654435761) % 97 < 88 THEN 'valid'
               ELSE 'test' END AS split
   FROM documents
 )

@@ -102,16 +102,19 @@ def test_train_valid_test_fractions(spark, sf_dir):
 
 def test_embedding_quantization_error_bound(spark, sf_dir):
     """Symmetric int8 reconstruction error is bounded by half a
-    quantization step: max_abs_err <= mean-free bound scale/254."""
+    quantization step: per-vector max err <= scale/254, so every
+    label's max_abs_err <= (global max scale)/254."""
     rows = similarity.QUERIES["embedding_quantization"](spark, sf_dir).collect()
     assert rows, "must produce per-label stats"
+    global_max_scale = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr("max(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS m")
+        .collect()[0]["m"]
+    )
     for r in rows:
         assert r.n_vectors > 0
-        # worst-case per-label error vs the largest possible step/2 for
-        # that label: mean_scale underestimates the max scale, so bound
-        # via max_abs_err < (max plausible scale)/254 + slack using the
-        # reported mean_scale*3 as a generous ceiling
-        assert r.max_abs_err <= r.mean_scale * 3 / 254 + 1e-9
+        assert r.max_abs_err <= global_max_scale / 254 + 1e-9
+        assert r.mean_max_err <= r.max_abs_err + 1e-12
         assert 0.0 <= r.zero_frac < 1.0
 
 

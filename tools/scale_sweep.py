@@ -35,7 +35,8 @@ EXPECTED_SUPERLINEAR = {
     # exact triangle LISTING is Θ(output); the K× fixture replicates
     # documents verbatim, so every near-dup clique grows K× and its
     # triangle count grows K³ — the op's output itself is super-linear
-    # in the input (sweep measured 26x runtime against ~1000x output).
+    # in the input (sweeps measure 26-41x runtime, run-to-run noisy
+    # because output-dominated, against ~1000x triangle output).
     "graph_triangles",
 }
 
