@@ -47,6 +47,7 @@ _PRIORITY = [
     "text_oov_rate",
     "multimodal_frame_sample",
     "dedup_source_matrix",
+    "token_quantiles_per_source",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

@@ -862,3 +862,66 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_oov_rate"] = text_oov_rate
 ORACLE["text_oov_rate"] = TEXT_OOV_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Exact token-count quantiles per source — histogram cumsum
+# ---------------------------------------------------------------------------
+# p50/p90/p99 of per-doc token counts for every source: the length
+# profile that drives context-window and packing decisions. EXACT
+# quantiles without sorting the corpus: token counts live in a small
+# integer domain, so the corpus collapses to a (source, n_tokens)
+# histogram with ONE map-side-combined shuffle; the cumulative window
+# and the quantile picks run over the histogram (≤ |sources|·|distinct
+# counts| rows — thousands, not billions). The same discrete-quantile
+# definition (smallest value whose cumulative count reaches ceil(p·n))
+# is computed by both engines in integer arithmetic. For continuous
+# high-cardinality domains this histogram trick does not apply — that
+# is what sketches (t-digest / approx_percentile, engine-specific) are
+# for; token counts are the canonical low-cardinality case.
+
+_TOKEN_QUANTILES_BODY = """
+hist AS (
+  SELECT source, n, count(*) AS c FROM tok GROUP BY source, n
+),
+cum AS (
+  SELECT source, n, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n) AS cume,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM hist
+)
+SELECT source,
+       CAST(max(tot) AS BIGINT) AS n_docs,
+       min(CASE WHEN cume >= CAST(ceil(0.5 * tot) AS BIGINT) THEN n END) AS p50_tokens,
+       min(CASE WHEN cume >= CAST(ceil(0.9 * tot) AS BIGINT) THEN n END) AS p90_tokens,
+       min(CASE WHEN cume >= CAST(ceil(0.99 * tot) AS BIGINT) THEN n END) AS p99_tokens,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens
+FROM cum
+GROUP BY source
+"""
+
+TOKEN_QUANTILES_SPARK = f"""
+WITH tok AS (
+  SELECT source, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n FROM documents
+),
+{_TOKEN_QUANTILES_BODY}
+"""
+
+TOKEN_QUANTILES_DUCK = rf"""
+WITH tok AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents
+),
+{_TOKEN_QUANTILES_BODY}
+"""
+
+
+def token_quantiles_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TOKEN_QUANTILES_SPARK)
+
+
+QUERIES["token_quantiles_per_source"] = token_quantiles_per_source
+ORACLE["token_quantiles_per_source"] = TOKEN_QUANTILES_DUCK
