@@ -220,3 +220,80 @@ SELECT event_type,
                      * CAST(CAST(floor(value * 1000000) AS BIGINT) AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS ss
 FROM events GROUP BY event_type
 """)
+
+
+DOCUMENTS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def read_documents_stream(spark: SparkSession, docs_path: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over the documents fixture parquet."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(docs_path)
+    )
+
+
+def streaming_sequence_packing(
+    docs: DataFrame, capacity: int = 96, shards: int = 4
+) -> DataFrame:
+    """Streaming twin of operators/pipeline.py sequence_packing: next-fit
+    context-window packing where each (source, shard) carries its open
+    bin (id + fill) across micro-batches via applyInPandasWithState —
+    a continuously-arriving corpus packs into training windows without
+    ever re-reading finished bins.
+
+    Semantics note: streaming packing is ARRIVAL-order next-fit (docs
+    are packed as they arrive, sorted within each micro-batch); on an
+    availableNow replay of a single input file the whole corpus is one
+    batch, so the output coincides exactly with the batch operator —
+    that equivalence is the test. Token counts are computed JVM-side in
+    the projection; the Python state fn sees four narrow columns and
+    keeps 3 scalars per group."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"doc_id % {shards} AS shard",
+        f"CAST(least(size(split(trim(text), '\\\\s+')), {capacity}) AS BIGINT) AS n_tokens",
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        bin_id, fill, started = state.get if state.exists else (0, 0, False)
+        ids, bins, toks = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id")
+            for did, t in zip(pdf["doc_id"], pdf["n_tokens"]):
+                t = int(t)
+                if not started:
+                    started = True
+                    fill = t
+                elif fill + t > capacity:
+                    bin_id += 1
+                    fill = t
+                else:
+                    fill += t
+                ids.append(int(did))
+                bins.append(bin_id)
+                toks.append(t)
+        state.update((bin_id, fill, started))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": [key[0]] * len(ids),
+                "shard": [key[1]] * len(ids),
+                "bin_id": bins,
+                "n_tokens": toks,
+            }
+        )
+
+    return base.groupBy("source", "shard").applyInPandasWithState(
+        update,
+        outputStructType="doc_id BIGINT, source STRING, shard BIGINT, bin_id BIGINT, n_tokens BIGINT",
+        stateStructType="bin_id BIGINT, fill BIGINT, started BOOLEAN",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

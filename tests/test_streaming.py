@@ -149,3 +149,67 @@ def test_stream_static_outlier_flagging_matches_batch(spark, sf_dir, events_stre
     }
     streamed = {(r.event_id, round(r.zscore, 9)) for r in got.collect()}
     assert streamed == batch and len(batch) > 0
+
+
+@pytest.fixture(scope="module")
+def docs_dir_single(spark, sf_dir, tmp_path_factory):
+    """Documents staged as ONE parquet file: the availableNow replay is
+    a single micro-batch, so streaming arrival order == doc_id order."""
+    path = str(tmp_path_factory.mktemp("docs_stream_1"))
+    spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def docs_dir_multi(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs_stream_4"))
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_streaming_sequence_packing_matches_batch(spark, sf_dir, docs_dir_single):
+    """Single-batch availableNow replay must pack identically to the
+    batch sequence_packing operator."""
+    from duck_server_spark.operators.pipeline import sequence_packing
+
+    docs = sw.read_documents_stream(spark, docs_dir_single)
+    out = sw.run_to_memory_sink(
+        spark, sw.streaming_sequence_packing(docs), "t_seq_pack", output_mode="append"
+    )
+    got = {
+        (r.doc_id, r.source, r.shard, r.bin_id, r.n_tokens) for r in out.collect()
+    }
+    expect = {
+        (r.doc_id, r.source, r.shard, r.bin_id, r.n_tokens)
+        for r in sequence_packing(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_streaming_sequence_packing_state_across_batches(spark, docs_dir_multi):
+    """4 micro-batches: arrival order differs from doc_id order, but the
+    carried (bin_id, fill) state must still yield valid packing — every
+    doc packed once, no bin overflow, bins contiguous per group."""
+    from duck_server_spark.operators.pipeline import _PACK_CAPACITY
+
+    docs = sw.read_documents_stream(spark, docs_dir_multi)
+    out = sw.run_to_memory_sink(
+        spark, sw.streaming_sequence_packing(docs), "t_seq_pack_mb", output_mode="append"
+    )
+    rows = out.collect()
+    assert len(rows) == len({r.doc_id for r in rows})  # each doc once
+    fills: dict = {}
+    for r in rows:
+        fills[(r.source, r.shard, r.bin_id)] = (
+            fills.get((r.source, r.shard, r.bin_id), 0) + r.n_tokens
+        )
+    assert all(v <= _PACK_CAPACITY for v in fills.values())
+    groups: dict = {}
+    for s, sh, b in fills:
+        groups.setdefault((s, sh), set()).add(b)
+    for bins in groups.values():
+        assert bins == set(range(len(bins)))
