@@ -48,6 +48,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "dedup_source_matrix",
     "token_quantiles_per_source",
+    "agg_kmv_distinct",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

@@ -544,3 +544,44 @@ FROM m
 
 QUERIES["spearman_corr"] = spearman_corr
 ORACLE["spearman_corr"] = SPEARMAN_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch — a PORTABLE approximate count-distinct
+# ---------------------------------------------------------------------------
+# approx_count_distinct is rows-only gated because Spark's HLL++ and
+# DuckDB's HLL are different sketches. KMV (k minimum hash values,
+# Bar-Yossef et al.) is deterministic GIVEN the hash function, and the
+# md5→BIGINT bridge is portable — so the ESTIMATE itself is
+# oracle-gated: est = (k-1) / fraction(kth smallest distinct hash).
+#
+# Scale shape: the sketch is mergeable — each partition keeps its k
+# smallest distinct hashes (partial distinct + partial top-k run
+# map-side; Spark plans TakeOrdered over the partial aggregate), only
+# k values per partition move. This is how count-distinct dashboards
+# run at 100 TB when the exact distinct shuffle is too big; the exact
+# twin rides along here to expose the relative error.
+
+_KMV_K = 64
+_KMV_HASH_S = "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+_KMV_HASH_D = "('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def _kmv_sql(hash_expr: str) -> str:
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {hash_expr} AS h FROM lineitem
+),
+sketch AS (
+  SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K}
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       max(h) AS kth_hash,
+       CAST({_KMV_K} - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 4294967296.0) AS est_distinct,
+       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+FROM sketch
+"""
+
+
+QUERIES["agg_kmv_distinct"] = sql_op(_kmv_sql(_KMV_HASH_S))
+ORACLE["agg_kmv_distinct"] = _kmv_sql(_KMV_HASH_D)

@@ -150,6 +150,15 @@ def test_oov_rate_bounds(spark, sf_dir):
     assert any(r.oov_rate < 1 for r in rows)
 
 
+def test_kmv_estimate_tracks_exact(spark, sf_dir):
+    """KMV estimate must land within the k=64 error envelope of the
+    exact distinct count (std ~ 1/sqrt(k) = 12.5%; 3-sigma bound)."""
+    r = aggregates.QUERIES["agg_kmv_distinct"](spark, sf_dir).collect()[0]
+    assert r.exact_distinct > r.k, "estimator needs distinct > k"
+    rel_err = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+    assert rel_err < 0.375, f"KMV rel err {rel_err:.3f} out of envelope"
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF ANN must find a substantial share of the true top-5 (recall is
     tunable via K/nprobe; the floor guards against a broken bucketer)."""
