@@ -124,6 +124,10 @@ CHECKS = {
         ("one-row vocab array broadcast onto the corpus",
          r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
     ],
+    "agg_kmv_distinct": [
+        ("map-side partial distinct before the shuffle", r"HashAggregate"),
+        ("sketch is a global top-k, not a full sort", r"TakeOrderedAndProject"),
+    ],
 }
 
 FORBIDDEN = {
