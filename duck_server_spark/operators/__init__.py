@@ -49,6 +49,7 @@ _PRIORITY = [
     "dedup_source_matrix",
     "token_quantiles_per_source",
     "agg_kmv_distinct",
+    "sample_quality_weighted",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

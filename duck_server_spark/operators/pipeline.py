@@ -449,3 +449,34 @@ ORACLE = {
     "sequence_packing": SEQUENCE_PACKING_DUCK,
     "train_valid_test_split": TRAIN_VALID_TEST_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# 6. sample_quality_weighted — importance sampling with HT weights
+# ---------------------------------------------------------------------------
+# Keep each doc with probability proportional to a cheap quality proxy
+# (length saturation), and emit the Horvitz-Thompson weight 1/p so any
+# downstream aggregate over the sample stays unbiased — the standard
+# way to shrink a corpus toward high-quality docs without biasing
+# statistics. Deterministic: the acceptance uniform is the same
+# overflow-safe multiplicative hash as the split/stratified ops
+# (pre-reduced mod 2^31-1), so both engines keep the identical rows
+# and the weights are pure rationals of integers. Scale: a scan-level
+# filter + projection, no shuffle.
+
+SAMPLE_QUALITY_WEIGHTED_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS p_keep,
+         (((doc_id % 2147483647) * 2654435761) % 9973) / 9973.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, n_chars, p_keep,
+       1.0 / p_keep AS ht_weight
+FROM scored
+WHERE u < p_keep
+"""
+
+
+QUERIES["sample_quality_weighted"] = _sql(SAMPLE_QUALITY_WEIGHTED_SQL)
+ORACLE["sample_quality_weighted"] = SAMPLE_QUALITY_WEIGHTED_SQL

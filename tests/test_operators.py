@@ -150,6 +150,18 @@ def test_oov_rate_bounds(spark, sf_dir):
     assert any(r.oov_rate < 1 for r in rows)
 
 
+def test_quality_weighted_ht_unbiased(spark, sf_dir):
+    """Horvitz-Thompson weights over the quality-weighted sample must
+    estimate the full corpus size (one deterministic draw; envelope a
+    few sigma wide)."""
+    rows = pipeline.QUERIES["sample_quality_weighted"](spark, sf_dir).collect()
+    assert rows
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) < total, "sampling must drop something"
+    est = sum(r.ht_weight for r in rows)
+    assert abs(est - total) / total < 0.15, f"HT estimate {est} vs {total}"
+
+
 def test_kmv_estimate_tracks_exact(spark, sf_dir):
     """KMV estimate must land within the k=64 error envelope of the
     exact distinct count (std ~ 1/sqrt(k) = 12.5%; 3-sigma bound)."""
