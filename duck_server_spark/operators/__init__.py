@@ -50,6 +50,7 @@ _PRIORITY = [
     "token_quantiles_per_source",
     "agg_kmv_distinct",
     "sample_quality_weighted",
+    "agg_regression",
     "spearman_corr",
     "window_time_range",
     "graph_triangles",

@@ -585,3 +585,48 @@ FROM sketch
 
 QUERIES["agg_kmv_distinct"] = sql_op(_kmv_sql(_KMV_HASH_S))
 ORACLE["agg_kmv_distinct"] = _kmv_sql(_KMV_HASH_D)
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregates — regr_slope / intercept / r²
+# ---------------------------------------------------------------------------
+# The regr_* family (price-vs-quantity line per return flag) from the
+# same exact integer-cents moments as agg_stats_moments: decimal sums
+# are associative (parallel-safe, map-side partials), one cast to
+# double at the end, every remaining op identical IEEE arithmetic —
+# so the fitted line is bit-equal across engines without using either
+# engine's built-in regr_* (whose internal merge orders differ). The
+# SQL is dialect-neutral and serves as its own oracle.
+
+AGG_REGRESSION_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS xc,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS yc
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(xc) AS DOUBLE) AS sx,
+         CAST(sum(yc) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM c GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n, sx, sy,
+         n * sxx - sx * sx AS dxx,
+         n * syy - sy * sy AS dyy,
+         n * sxy - sx * sy AS dxy
+  FROM m
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       dxy / dxx AS regr_slope,
+       ((sy - (dxy / dxx) * sx) / n) / 100.0 AS regr_intercept,
+       (dxy * dxy) / (dxx * dyy) AS r2
+FROM d
+"""
+
+QUERIES["agg_regression"] = sql_op(AGG_REGRESSION_SQL)
+ORACLE["agg_regression"] = AGG_REGRESSION_SQL
