@@ -97,14 +97,24 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanosAsLong gives ts as epoch-nanos BIGINT; restore a proper
-        # timestamp column (fixture values are microsecond-granular, so
-        # the nanos→micros conversion is lossless).
+        # The fixture's ts physical type has changed across driver
+        # regenerations; accept all three shapes and normalize to TIMESTAMP
+        # (session TZ is pinned to UTC above, so NTZ→TIMESTAMP is the
+        # identity on the wall-clock values — same semantics as the DuckDB
+        # oracle's naive timestamps):
+        #   - TIMESTAMP(NANOS): nanosAsLong reads it as epoch-nanos BIGINT
+        #     (values are micro-granular, so div 1000 is lossless)
+        #   - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as
+        #     TIMESTAMP_NTZ, which F.unix_micros et al. reject — cast
+        #   - TIMESTAMP(MICROS, isAdjustedToUTC=true): already TIMESTAMP
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

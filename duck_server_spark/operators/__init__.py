@@ -40,6 +40,13 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    # round 3: fixed / newly oracle-twinned queries first
+    "sessionize",
+    "inverted_index",
+    "embedding_centroids",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_trained",
+    # round 2 entries follow
     "sequence_packing",
     "train_valid_test_split",
     "embedding_quantization",
@@ -58,7 +65,6 @@ _PRIORITY = [
     "cohort_retention",
     "text_signals_fused",
     "events_outliers",
-    "inverted_index",
     "text_pii_scrub",
     "text_repetition",
     "text_tfidf_salience",
@@ -70,12 +76,10 @@ _PRIORITY = [
     "topk_per_domain",
     "text_edit_distance",
     "window_distribution",
-    "similarity_ann_ivf",
     "attributed_purchases",
     "multimodal_decode_stats",
     "text_top_terms",
     "events_funnel",
-    "embedding_centroids",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -760,6 +760,11 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """).persist()
     reps.createOrReplaceTempView("mhv_reps")
     _mhv_cached.extend([groups, reps])
+    # Eagerly materialize BOTH caches (reps' lineage scans groups, so one
+    # action fills both). persist() alone is lazy: the final query's
+    # parallel stages would race to compute the InMemoryRelation and can
+    # double-compute the group-by + join under a cold cache.
+    reps.count()
 
     def sigs(batches):
         for pdf in batches:

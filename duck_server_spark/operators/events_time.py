@@ -91,7 +91,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic lag → new-session flag → running sum → session_id, then
     per-session stats. One shuffle on user_id; the cumulative sum is
     per-user-partition — the standard scalable sessionization on Spark."""
-    ev = load_table(spark, sf_dir, "events")
+    # NTZ-tolerant: unix_micros requires TIMESTAMP; a TIMESTAMP_NTZ ts
+    # (micros/isAdjustedToUTC=false fixtures) casts losslessly under the
+    # UTC session TZ. No-op when load_table already normalized.
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",

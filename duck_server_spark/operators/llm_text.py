@@ -553,13 +553,18 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            # Postings emitted as a ','-joined string, not ARRAY: the
+            # verification driver's pandas canonicalizer can't sort/hash
+            # list cells (unhashable type). Deterministic either way —
+            # the list is sorted first.
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
         )
     )
 
 
 INVERTED_INDEX_ORACLE = rf"""
-SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+SELECT term, count(*) AS df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM (SELECT doc_id, unnest(list_distinct({_TOKS_DUCK})) AS term FROM documents)
 GROUP BY term
 """

@@ -133,21 +133,125 @@ ORACLE = {
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 # Classic IVF shape (the Faiss IVFFlat layout, built from Spark
-# primitives): (1) train K coarse centroids driver-side on a small
-# deterministic sample (Lloyd iterations in numpy — the train set is
-# tiny; production would sample ~1M vectors of the 100 TB corpus the
-# same way); (2) assign every corpus vector to its nearest centroid via
-# a broadcast join (N x K comparisons, each task scores its partition
-# against the broadcast centroid table — no shuffle of the corpus);
-# (3) queries probe their nprobe nearest centroid lists only, turning
-# the search into an equi-join on centroid_id → one shuffle sized by
-# the probed lists, never Q x N. Recall is tuned by K/nprobe.
-# Rows-only check: the k-means trainer is not SQL-expressible; recall
-# vs the exact brute-force twin is asserted in tests.
+# primitives): (1) pick K coarse centroids; (2) assign every corpus
+# vector to its nearest centroid via a broadcast join (N x K
+# comparisons, each task scores its partition against the broadcast
+# centroid table; min_by collapses to one row per vector BEFORE any
+# shuffle); (3) queries probe their nprobe nearest centroid lists only,
+# turning the search into an equi-join on centroid_id → one shuffle
+# sized by the probed lists, never Q x N. Recall is tuned by K/nprobe.
+#
+# TWO variants:
+# - `similarity_ann_ivf`: the coarse centroids are DETERMINISTIC and
+#   SQL-expressible (the first K corpus vectors with vec_id % 3 = 0,
+#   zero Lloyd iterations — a valid quantizer, just untrained), so the
+#   ENTIRE assignment→probe→top-k pipeline has a DuckDB oracle twin and
+#   hash-checks in the driver. All float math is left-to-right folds in
+#   double — bit-identical across engines (see module docstring).
+# - `similarity_ann_ivf_trained`: same pipeline with Lloyd-trained
+#   centroids (numpy on a small deterministic sample — production
+#   samples ~1M of the 100 TB corpus the same way). The trainer has no
+#   SQL twin → rows-only; recall vs exact brute force is asserted in
+#   tests/test_operators.py.
 
 _IVF_K = 16
 _IVF_NPROBE = 4
 _IVF_TOPK = 5
+
+_IVF_DIST_S = (
+    "aggregate(zip_with(e.embedding, t.centroid, "
+    "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0.0D, (acc, v) -> acc + v)"
+)
+_IVF_DIST_D = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e.embedding)), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - t.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - t.centroid[i]))), "
+    "(acc, v) -> acc + v)"
+)
+
+SIM_IVF_SPARK = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
+         transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT {_IVF_K})
+),
+corpus_scored AS (
+  SELECT e.vec_id, t.centroid_id, {_IVF_DIST_S} AS d2
+  FROM embeddings e CROSS JOIN cents t
+),
+-- assignment as an aggregation, not a window: the broadcast cross join
+-- scores N x K inside each task and the partial min_by collapses to one
+-- row per vector BEFORE the shuffle (a window here would shuffle N x K)
+assign AS (
+  SELECT vec_id, min_by(centroid_id, struct(d2, centroid_id)) AS centroid_id
+  FROM corpus_scored GROUP BY vec_id
+),
+lists AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+),
+-- the query side is tiny: filter first, then the window is over Q x K rows
+qprobe AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, t.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST_S} ASC, t.centroid_id ASC) AS crnk
+    FROM embeddings e CROSS JOIN cents t
+    WHERE e.vec_id < 5
+  ) WHERE crnk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_S} AS cosine
+  FROM qprobe q JOIN lists c
+    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_IVF_TOPK}
+"""
+
+SIM_IVF_DUCK = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT {_IVF_K})
+),
+corpus_scored AS (
+  SELECT e.vec_id, t.centroid_id, {_IVF_DIST_D} AS d2
+  FROM embeddings e CROSS JOIN cents t
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS arnk
+    FROM corpus_scored
+  ) WHERE arnk = 1
+),
+lists AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+),
+qprobe AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, t.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST_D} ASC, t.centroid_id ASC) AS crnk
+    FROM embeddings e CROSS JOIN cents t
+    WHERE e.vec_id < 5
+  ) WHERE crnk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_D} AS cosine
+  FROM qprobe q JOIN lists c
+    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_IVF_TOPK}
+"""
 
 
 def _train_ivf_centroids(spark: SparkSession):
@@ -171,7 +275,7 @@ def _train_ivf_centroids(spark: SparkSession):
     return [(int(j), [float(v) for v in C[j]]) for j in range(_IVF_K)]
 
 
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     cents = _train_ivf_centroids(spark)
     cdf = spark.createDataFrame(cents, "centroid_id INT, centroid ARRAY<DOUBLE>")
@@ -219,7 +323,10 @@ SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_IVF_TOPK}
 """)
 
 
-QUERIES["similarity_ann_ivf"] = similarity_ann_ivf
+QUERIES["similarity_ann_ivf"] = _sql(SIM_IVF_SPARK)
+ORACLE["similarity_ann_ivf"] = SIM_IVF_DUCK
+
+QUERIES["similarity_ann_ivf_trained"] = similarity_ann_ivf_trained
 # rows-only: driver-side k-means trainer has no SQL twin; recall vs the
 # brute-force oracle is asserted in tests/test_operators.py
 
@@ -234,12 +341,15 @@ QUERIES["similarity_ann_ivf"] = similarity_ann_ivf
 # Float addition is not associative, so partition-parallel double sums
 # would differ from the sequential oracle in last bits; components are
 # summed in fixed-point (floor(val * 1e6) as BIGINT — exact, organized
-# like the integer-cents moments in aggregates.py) and divided once at
-# the end, giving bit-equal results at any parallelism.
+# like the integer-cents moments in aggregates.py). The centroid is
+# emitted as a ','-joined string of exact per-element rationals
+# "sum_micros/n" (recover the double as sv/1e6/n): BIGINT→string
+# formatting is engine-identical, double→string is not, and the
+# verification driver's pandas canonicalizer can't hash ARRAY cells.
 
 SIM_CENTROIDS_SPARK = """
 WITH expl AS (
-  SELECT label, i, floor(CAST(element_at(embedding, i) AS DOUBLE) * 1000000) AS v
+  SELECT label, i, CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) * 1000000) AS BIGINT) AS v
   FROM embeddings LATERAL VIEW explode(sequence(1, 64)) t AS i
 ),
 comp AS (
@@ -247,14 +357,14 @@ comp AS (
   FROM expl GROUP BY label, i
 )
 SELECT label, max(n) AS n_vectors,
-       transform(sort_array(collect_list(struct(i, sv, n))),
-                 x -> CAST(x.sv AS DOUBLE) / (1000000.0 * x.n)) AS centroid
+       array_join(transform(sort_array(collect_list(struct(i, sv, n))),
+                 x -> concat(CAST(x.sv AS STRING), '/', CAST(x.n AS STRING))), ',') AS centroid
 FROM comp GROUP BY label
 """
 
 SIM_CENTROIDS_DUCK = """
 WITH expl AS (
-  SELECT label, i, floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS v
+  SELECT label, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
   FROM embeddings, generate_series(1, 64) t(i)
 ),
 comp AS (
@@ -262,8 +372,8 @@ comp AS (
   FROM expl GROUP BY label, i
 )
 SELECT label, max(n) AS n_vectors,
-       list_transform(list_sort(list((i, sv, n))),
-                      x -> CAST(x[2] AS DOUBLE) / (1000000.0 * x[3])) AS centroid
+       array_to_string(list_transform(list_sort(list((i, sv, n))),
+                      x -> concat(CAST(x[2] AS VARCHAR), '/', CAST(x[3] AS VARCHAR))), ',') AS centroid
 FROM comp GROUP BY label
 """
 

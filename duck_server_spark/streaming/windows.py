@@ -77,6 +77,8 @@ def sliding_rates(events: DataFrame, watermark: str = "10 minutes") -> DataFrame
 def session_windows(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Gap-based session windows (30-minute inactivity gap) per user —
     the streaming twin of operators/events_time.sessionize."""
+    # NTZ-tolerant (unix_micros below rejects TIMESTAMP_NTZ inputs).
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -171,12 +171,15 @@ def test_kmv_estimate_tracks_exact(spark, sf_dir):
     assert rel_err < 0.375, f"KMV rel err {rel_err:.3f} out of envelope"
 
 
-def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+@pytest.mark.parametrize("variant", ["similarity_ann_ivf", "similarity_ann_ivf_trained"])
+def test_ivf_recall_vs_bruteforce(spark, sf_dir, variant):
     """IVF ANN must find a substantial share of the true top-5 (recall is
-    tunable via K/nprobe; the floor guards against a broken bucketer)."""
+    tunable via K/nprobe; the floor guards against a broken bucketer).
+    Covers both the deterministic-centroid (oracle-twinned) and the
+    Lloyd-trained variant."""
     ivf = {
         (r.query_id, r.cand_id)
-        for r in similarity.QUERIES["similarity_ann_ivf"](spark, sf_dir).collect()
+        for r in similarity.QUERIES[variant](spark, sf_dir).collect()
     }
     brute = {
         (r.query_id, r.cand_id)

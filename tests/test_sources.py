@@ -72,3 +72,43 @@ def test_qualify_rewrite(spark, sf_dir):
     rows = spark.sql(q).collect()
     assert len(rows) == 10  # 5 segments x top-2
     assert set(rows[0].asDict()) == {"c_mktsegment", "c_custkey", "c_acctbal"}
+
+
+@pytest.mark.parametrize("shape", ["nanos", "micros_ntz", "micros_utc"])
+def test_events_ts_fixture_shapes(spark, tmp_path, shape):
+    """load_table must normalize events.ts to TIMESTAMP for every parquet
+    physical shape the driver's fixture generator has produced across
+    rounds: TIMESTAMP(NANOS), TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (→ Spark TIMESTAMP_NTZ), and TIMESTAMP(MICROS, isAdjustedToUTC=true).
+    A regenerated fixture must never torpedo every ts-consuming operator
+    again (round-2 postmortem)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duck_server_spark.engine.session import _load_table_uncached
+
+    unit_tz = {
+        "nanos": ("ns", None),
+        "micros_ntz": ("us", None),
+        "micros_utc": ("us", "UTC"),
+    }[shape]
+    vals = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+        datetime.datetime(2024, 1, 1, 12, 34, 56, 789000),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(vals, pa.timestamp(unit_tz[0], tz=unit_tz[1])),
+        }
+    )
+    d = tmp_path / shape
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    df = _load_table_uncached(spark, str(d), "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = sorted(r.ts for r in df.collect())
+    assert got == vals  # UTC session TZ → wall-clock values survive intact
