@@ -742,29 +742,36 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     AB = [(2 * j + 1, 7919 * (j + 1)) for j in range(_NUM_HASHES)]
 
     corpus.createOrReplaceTempView("mhv_corpus")
-    while _mhv_cached:
-        _mhv_cached.pop().unpersist()
-    # doc -> content-hash group; one shuffle on a uniform 64-bit key.
-    # groups is referenced ~6x downstream (rep derivation, pair
-    # expansion a/b, intra-group emission a/b) and reps ~4x (shingle
-    # source, both sides of the hash_pairs join, the Arrow signature
-    # stage) — temp views are lazy SQL, so without persisting each
-    # reference would redo the scan (groups) and the group-by + join
-    # shuffles (reps).
-    groups = spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus").persist()
+    # Drop references to the previous call's checkpointed RDDs so the
+    # ContextCleaner can release their block-manager storage.
+    _mhv_cached.clear()
+    # ONE corpus scan: base carries (doc_id, text, chash). Everything
+    # downstream derives from its stored partitions. localCheckpoint
+    # (eager) rather than persist(): it TRUNCATES the lineage, so every
+    # downstream reference physically scans the stored partitions —
+    # persist() relies on cache-plan matching, which was observed to
+    # silently miss for these multi-referenced MapInPandas lineages and
+    # recompute the whole pipeline per reference. (On a cluster,
+    # checkpoint to reliable storage for fault tolerance.)
+    base = spark.sql(
+        "SELECT doc_id, text, xxhash64(text) AS chash FROM mhv_corpus"
+    ).localCheckpoint()
+    base.createOrReplaceTempView("mhv_base")
+    # Slim doc_id->chash table for the expansion joins (referenced ~6x:
+    # pair expansion a/b, intra-group emission a/b, rep->hash mapping
+    # r1/r2). Checkpointed separately so those scans don't re-read text;
+    # derives from base storage, not a second corpus scan.
+    groups = spark.sql("SELECT doc_id, chash FROM mhv_base").localCheckpoint()
     groups.createOrReplaceTempView("mhv_groups")
+    # reps (one representative doc per content hash) stays LAZY: it is
+    # consumed exactly once, as the signature stage's input inside the
+    # rep_pairs job below (one min_by group-by shuffle from base
+    # storage). Candidate text for the verify stage comes from base.
     reps = spark.sql("""
-        SELECT r.chash, c.doc_id, c.text
-        FROM (SELECT chash, min(doc_id) AS doc_id FROM mhv_groups GROUP BY chash) r
-        JOIN mhv_corpus c USING (doc_id)
-    """).persist()
+        SELECT chash, min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+        FROM mhv_base GROUP BY chash
+    """)
     reps.createOrReplaceTempView("mhv_reps")
-    _mhv_cached.extend([groups, reps])
-    # Eagerly materialize BOTH caches (reps' lineage scans groups, so one
-    # action fills both). persist() alone is lazy: the final query's
-    # parallel stages would race to compute the InMemoryRelation and can
-    # double-compute the group-by + join under a cold cache.
-    reps.count()
 
     def sigs(batches):
         for pdf in batches:
@@ -791,9 +798,36 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps.select("doc_id", "text").mapInPandas(sigs, sig_schema).createOrReplaceTempView(
         "minhash_vec_sigs"
     )
+    # Banding + candidate self-join materialized eagerly (tiny: one row
+    # per colliding rep pair). Two reasons: (a) the verify stage below
+    # references the candidate set three times (s1 ids, s2 ids, the pair
+    # join itself) — without materialization each reference would rerun
+    # the Python/Arrow signature stage; (b) shingle arrays are then
+    # computed ONLY for docs that appear in some candidate pair, not for
+    # every rep — at 100 TB the verify stage reads just the candidates'
+    # text.
+    rep_pairs = spark.sql("""
+WITH banded AS (
+  SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
+                 concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
+  FROM minhash_vec_sigs
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+)
+SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+FROM long a JOIN long b2
+  ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+""").localCheckpoint()
+    rep_pairs.createOrReplaceTempView("mhv_rep_pairs")
+    _mhv_cached.extend([base, groups, rep_pairs])
     return spark.sql("""
-WITH rep_tok AS (
-  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM mhv_reps
+WITH cand_ids AS (
+  SELECT id1 AS doc_id FROM mhv_rep_pairs UNION SELECT id2 FROM mhv_rep_pairs
+),
+rep_tok AS (
+  SELECT b.doc_id, split(trim(b.text), '\\\\s+') AS toks
+  FROM mhv_base b JOIN cand_ids USING (doc_id)
 ),
 shing AS (
   SELECT doc_id,
@@ -801,22 +835,9 @@ shing AS (
                    i -> concat_ws(' ', slice(toks, i, 3))) AS sh
   FROM rep_tok
 ),
-banded AS (
-  SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
-                 concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
-  FROM minhash_vec_sigs
-),
-long AS (
-  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
-),
-rep_pairs AS (
-  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-  FROM long a JOIN long b2
-    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
-),
 joined AS (
   SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
-  FROM rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+  FROM mhv_rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
 ),
 jac AS (
   SELECT id1, id2,
@@ -825,11 +846,13 @@ jac AS (
 ),
 rep_verified AS (SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5),
 -- verified rep pair -> group-hash pair
+-- rep doc_id -> content hash via the slim groups table (a rep's
+-- (doc_id, chash) row is in groups like any member's)
 hash_pairs AS (
   SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
   FROM rep_verified v
-  JOIN mhv_reps r1 ON r1.doc_id = v.id1
-  JOIN mhv_reps r2 ON r2.doc_id = v.id2
+  JOIN mhv_groups r1 ON r1.doc_id = v.id1
+  JOIN mhv_groups r2 ON r2.doc_id = v.id2
 ),
 -- expand: members(A) x members(B), same jaccard as the reps
 cross_pairs AS (
