@@ -40,12 +40,20 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # round 3: fixed / newly oracle-twinned queries first
+    # round 3: fixed / newly oracle-twinned / output-shape-changed first
     "sessionize",
     "inverted_index",
     "embedding_centroids",
     "similarity_ann_ivf",
     "similarity_ann_ivf_trained",
+    "agg_collect_sorted",
+    "scalar_array",
+    "scalar_array_higher_order",
+    "scalar_struct_map",
+    "dedup_exact",
+    "dedup_connected_components",
+    "pipeline_corpus_clean",
+    "dedup_minhash_vectorized",
     # round 2 entries follow
     "sequence_packing",
     "train_valid_test_split",
@@ -71,7 +79,6 @@ _PRIORITY = [
     "contamination_check",
     "events_streaks",
     "histogram_prices",
-    "pipeline_corpus_clean",
     "sample_stratified",
     "topk_per_domain",
     "text_edit_distance",

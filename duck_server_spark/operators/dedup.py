@@ -98,7 +98,7 @@ DEDUP_EXACT_SPARK = f"""
 WITH corpus AS ({_CORPUS}),
 hashed AS (SELECT doc_id, md5(text) AS h FROM corpus)
 SELECT h, min(doc_id) AS keeper, count(*) AS n_copies,
-       sort_array(collect_list(doc_id)) AS members
+       array_join(sort_array(collect_list(doc_id)), ',') AS members
 FROM hashed GROUP BY h HAVING count(*) > 1
 """
 
@@ -106,7 +106,7 @@ DEDUP_EXACT_DUCK = f"""
 WITH corpus AS ({_CORPUS}),
 hashed AS (SELECT doc_id, md5(text) AS h FROM corpus)
 SELECT h, min(doc_id) AS keeper, count(*) AS n_copies,
-       list_sort(list(doc_id)) AS members
+       array_to_string(list_sort(list(doc_id)), ',') AS members
 FROM hashed GROUP BY h HAVING count(*) > 1
 """
 
@@ -677,7 +677,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     return (
         final.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("cluster_size"), F.sort_array(F.collect_list("src")).alias("members"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            # string, not ARRAY: driver-canonicalizer-safe (see dedup_exact)
+            F.array_join(F.sort_array(F.collect_list("src")), ",").alias("members"),
+        )
         .select(F.col("label").alias("component_id"), "cluster_size", "members")
     )
 
@@ -694,7 +698,8 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
-SELECT component_id, count(*) AS cluster_size, list_sort(list(src)) AS members
+SELECT component_id, count(*) AS cluster_size,
+       array_to_string(list_sort(list(src)), ',') AS members
 FROM (SELECT src, min(dst) AS component_id FROM reach GROUP BY src) t
 GROUP BY component_id
 """

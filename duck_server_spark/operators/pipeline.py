@@ -305,12 +305,19 @@ def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     above). The previous call's caches are released first so repeated
     invocations (bench loops, test reruns) hold at most one generation."""
     register_views(spark, sf_dir)
-    while _clean_cached:
-        _clean_cached.pop().unpersist()
+    # localCheckpoint (eager), NOT persist(): the tail SQL references
+    # __clean_ann twice and __clean_shing twice, and persist()'s
+    # cache-plan matching was observed to miss entirely for these
+    # view-mediated references (executed plan showed 20 parquet scans, 0
+    # InMemoryTableScans — the full scan+tokenize pipeline recomputed per
+    # reference). Checkpointing truncates the lineage so downstream
+    # physically reads the stored partitions. (On a cluster, checkpoint
+    # to reliable storage for fault tolerance.)
+    _clean_cached.clear()
     par = spark.sparkContext.defaultParallelism
-    ann = spark.sql(_CLEAN_ANN_SPARK).persist()
+    ann = spark.sql(_CLEAN_ANN_SPARK).localCheckpoint()
     ann.createOrReplaceTempView("__clean_ann")
-    shing = spark.sql(_CLEAN_SHING_SPARK).repartition(par, "doc_id").persist()
+    shing = spark.sql(_CLEAN_SHING_SPARK).repartition(par, "doc_id").localCheckpoint()
     shing.createOrReplaceTempView("__clean_shing")
     _clean_cached.extend([ann, shing])
     return spark.sql(_CLEAN_TAIL_SPARK)

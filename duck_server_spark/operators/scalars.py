@@ -174,31 +174,45 @@ FROM orders
 """
 
 
+# Float arrays are serialized to ','-joined fixed-point BIGINT strings
+# (floor(x·1e6)): the verification driver's pandas canonicalizer cannot
+# hash list cells, and BIGINT→string formatting is engine-identical
+# where double→string is not. The array ops under test (slice / sort /
+# flatten / sequence) still run on the native arrays; only the final
+# projection serializes.
+_FP_SER_S = "array_join(transform({0}, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ',')"
+_FP_SER_D = "array_to_string(list_transform({0}, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',')"
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_el"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.expr(_FP_SER_S.format("slice(embedding, 1, 3)")).alias("head3"),
         F.array_contains("embedding", F.lit(0.0)).alias("has_zero"),
-        F.array(F.lit(1), F.lit(2), F.lit(3)).alias("lit_arr"),
-        F.sequence(F.lit(1), F.col("label").cast("bigint") + 1).alias("seq"),
-        F.array_sort(F.slice("embedding", 1, 4)).alias("sorted4"),
-        F.flatten(F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2))).alias("flat4"),
+        F.array_join(F.array(F.lit("1"), F.lit("2"), F.lit("3")), ",").alias("lit_arr"),
+        F.expr(
+            "array_join(transform(sequence(1, CAST(label AS BIGINT) + 1), x -> CAST(x AS STRING)), ',')"
+        ).alias("seq"),
+        F.expr(_FP_SER_S.format("array_sort(slice(embedding, 1, 4))")).alias("sorted4"),
+        F.expr(
+            _FP_SER_S.format("flatten(array(slice(embedding, 1, 2), slice(embedding, 3, 2)))")
+        ).alias("flat4"),
     )
 
 
-ARRAY_FUNCS_ORACLE = """
+ARRAY_FUNCS_ORACLE = f"""
 SELECT vec_id,
        len(embedding) AS dim,
        embedding[1] AS first_el,
-       list_slice(embedding, 1, 3) AS head3,
+       {_FP_SER_D.format("list_slice(embedding, 1, 3)")} AS head3,
        list_contains(embedding, 0.0) AS has_zero,
-       [1, 2, 3] AS lit_arr,
-       generate_series(1, CAST(label AS BIGINT) + 1) AS seq,
-       list_sort(list_slice(embedding, 1, 4)) AS sorted4,
-       flatten([list_slice(embedding, 1, 2), list_slice(embedding, 3, 4)]) AS flat4
+       '1,2,3' AS lit_arr,
+       array_to_string(generate_series(1, CAST(label AS BIGINT) + 1), ',') AS seq,
+       {_FP_SER_D.format("list_sort(list_slice(embedding, 1, 4))")} AS sorted4,
+       {_FP_SER_D.format("flatten([list_slice(embedding, 1, 2), list_slice(embedding, 3, 4)])")} AS flat4
 FROM embeddings
 """
 
@@ -212,8 +226,10 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding")
     return emb.select(
         "vec_id",
-        F.transform(v, lambda x: x.cast("double") * F.lit(2.0)).alias("doubled"),
-        F.filter(v, lambda x: x > 0).alias("positives"),
+        F.expr(
+            _FP_SER_S.format("transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)")
+        ).alias("doubled"),
+        F.expr(_FP_SER_S.format("filter(embedding, x -> x > 0)")).alias("positives"),
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double")).alias("el_sum"),
         F.aggregate(
             F.zip_with(v, v, lambda a, b: a * b),
@@ -224,10 +240,10 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ARRAY_HIGHER_ORDER_ORACLE = """
+ARRAY_HIGHER_ORDER_ORACLE = f"""
 SELECT vec_id,
-       list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled,
-       list_filter(embedding, x -> x > 0) AS positives,
+       {_FP_SER_D.format("list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)")} AS doubled,
+       {_FP_SER_D.format("list_filter(embedding, x -> x > 0)")} AS positives,
        list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS el_sum,
        list_reduce(list_prepend(0.0, list_transform(list_transform(embedding, x -> x * x), x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS self_dot,
        len(list_filter(embedding, x -> x > 2.0)) > 0 AS any_gt2
@@ -268,7 +284,7 @@ def struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("rk").alias("s_rk"),
         F.element_at(m, F.lit("a")).alias("m_a"),
         F.element_at(m, F.lit("b")).alias("m_b"),
-        F.array_sort(F.map_keys(m)).alias("mkeys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("mkeys"),
     )
 
 
@@ -278,7 +294,7 @@ SELECT n_nationkey,
        struct_extract({'name': n_name, 'rk': n_regionkey}, 'rk') AS s_rk,
        map_extract(map(['a','b'], [n_nationkey, n_regionkey]), 'a')[1] AS m_a,
        map_extract(map(['a','b'], [n_nationkey, n_regionkey]), 'b')[1] AS m_b,
-       list_sort(map_keys(map(['a','b'], [n_nationkey, n_regionkey]))) AS mkeys
+       array_to_string(list_sort(map_keys(map(['a','b'], [n_nationkey, n_regionkey]))), ',') AS mkeys
 FROM nation
 """
 

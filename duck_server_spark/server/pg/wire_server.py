@@ -106,6 +106,12 @@ class StmtDesc:
 class Portal:
     stmt: StmtDesc
     params: list = field(default_factory=list)
+    # Suspended-execution state (PG portal protocol): an open batch
+    # stream plus rows already fetched but not yet sent. Execute with
+    # maxRows pauses here; a re-Execute resumes. None = not started.
+    stream: object = None
+    buf: object = None  # collections.deque of pending rows
+    done: bool = False
 
 
 class PgConnection:
@@ -169,6 +175,8 @@ class PgConnection:
             pass
         finally:
             self.server.backends.pop(self.backend_pid, None)
+            for p in self.portals.values():
+                self._release_portal(p)  # suspended streams → cancel jobs
             self.writer.close()
 
     async def _startup(self) -> bool:
@@ -341,6 +349,8 @@ class PgConnection:
             return
         if _DISCARD.match(q):
             self.stmts.clear()
+            for p in self.portals.values():
+                self._release_portal(p)
             self.portals.clear()
             self.send_command_complete("DISCARD ALL")
             return
@@ -475,6 +485,9 @@ class PgConnection:
             else:
                 params.append(coerce_text_param(rest[:plen].decode()))
                 rest = rest[plen:]
+        old = self.portals.get(portal.decode())
+        if old is not None:
+            self._release_portal(old)  # re-Bind discards a suspended stream
         self.portals[portal.decode()] = Portal(stmt, params)
         self._send(b"2")  # BindComplete
 
@@ -501,6 +514,7 @@ class PgConnection:
 
     async def _execute_msg(self, payload: bytes) -> None:
         name, rest = _read_cstr(payload)
+        (max_rows,) = struct.unpack(">i", rest[:4]) if len(rest) >= 4 else (0,)
         portal = self.portals.get(name.decode())
         if portal is None:
             raise ValueError(f'portal "{name.decode()}" does not exist')
@@ -511,10 +525,61 @@ class PgConnection:
             )
             self.send_command_complete(tag)
             return
-        # Execute sends data rows only — RowDescription came from Describe
-        # (pg_conn.go:509-532; maxRows/PortalSuspended unsupported, quirk Q5
-        # preserved deliberately: the whole result always streams)
-        await self._run_query(q, send_row_desc=False)
+        # Execute sends data rows only — RowDescription came from Describe.
+        # maxRows is honored (PortalSuspended + resumable portal) — the
+        # reference parses it then ignores it (quirk Q5, message.go:485 vs
+        # pg_conn.go:509-531); implemented correctly here because JDBC
+        # setFetchSize drives real clients through this path.
+        await self._execute_portal(portal, q, max_rows)
+
+    async def _execute_portal(self, portal: Portal, q: str, max_rows: int) -> None:
+        """Send up to max_rows DataRows (0 = all). If the limit is hit
+        before the result set is exhausted, send PortalSuspended and keep
+        the batch stream open on the portal; a re-Execute resumes exactly
+        where it stopped. Exhaustion sends CommandComplete (row count =
+        rows sent by THIS Execute segment, as in PG) and releases the
+        stream."""
+        from collections import deque
+
+        loop = asyncio.get_running_loop()
+        if portal.stream is None:
+            _schema, stream = await loop.run_in_executor(
+                None, lambda: self.engine.stream_batches(q, "pg", self.job_group)
+            )
+            portal.stream = stream
+            portal.buf = deque()
+            portal.done = False
+        n = 0
+        try:
+            while max_rows == 0 or n < max_rows:
+                if not portal.buf:
+                    batch = await loop.run_in_executor(None, portal.stream.next_batch)
+                    if batch is None:
+                        portal.done = True
+                        break
+                    portal.buf.extend(batch)
+                while portal.buf and (max_rows == 0 or n < max_rows):
+                    self.send_data_row(portal.buf.popleft())
+                    n += 1
+                await self.writer.drain()
+        except BaseException:  # engine error or client gone → release the job
+            self._release_portal(portal)
+            raise
+        if portal.done and not portal.buf:
+            self._release_portal(portal)
+            self.send_command_complete(f"({n} row)")  # pg_conn.go:271 literal tag
+        else:
+            self._send(b"s")  # PortalSuspended
+
+    def _release_portal(self, portal: Portal) -> None:
+        if portal.stream is not None:
+            try:
+                portal.stream.close()
+            except Exception:  # noqa: BLE001 — release must not mask errors
+                pass
+        portal.stream = None
+        portal.buf = None
+        portal.done = False
 
     def _close_msg(self, payload: bytes) -> None:
         kind, rest = payload[:1], payload[1:]
@@ -522,7 +587,9 @@ class PgConnection:
         if kind == b"S":
             self.stmts.pop(name.decode(), None)
         else:
-            self.portals.pop(name.decode(), None)
+            gone = self.portals.pop(name.decode(), None)
+            if gone is not None:
+                self._release_portal(gone)  # suspended stream → cancel job
         self._send(b"3")  # CloseComplete
 
 

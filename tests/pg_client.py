@@ -168,6 +168,24 @@ class PgClient:
         self._send(b"S")
         return self._collect_result()
 
+    def collect_execute(self):
+        """Collect ONE Execute's output without Sync: data rows until
+        PortalSuspended → (rows, "suspended") or CommandComplete →
+        (rows, tag). Skips a RowDescription from a preceding Describe."""
+        rows = []
+        while True:
+            t, data = self.recv_message()
+            if t == b"T":
+                continue
+            if t == b"D":
+                rows.append(self._parse_data_row(data))
+            elif t == b"s":
+                return rows, "suspended"
+            elif t == b"C":
+                return rows, data.rstrip(b"\x00").decode()
+            elif t == b"E":
+                raise RuntimeError(data.decode(errors="replace"))
+
     def copy_in(self, sql: str, data):
         """data: one str payload or a list of str chunks (each becomes a
         CopyData message — chunk boundaries may split csv records)."""

@@ -305,3 +305,46 @@ def test_fixture_query_over_wire(pg, spark, sf_dir):
     )
     assert len(rows) == 3
     c.terminate()
+
+
+def test_portal_suspended_three_fetches(pg):
+    """Execute with maxRows must honor the limit, send PortalSuspended,
+    and resume on re-Execute — the JDBC setFetchSize protocol path. The
+    reference parses maxRows then ignores it (quirk Q5, message.go:485 vs
+    pg_conn.go:509-531); implemented correctly here."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse("pf", "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 7")
+    c.bind("p1", "pf", [])
+    c.describe_portal("p1")
+    c.execute("p1", max_rows=3)
+    rows1, st1 = c.collect_execute()
+    assert st1 == "suspended" and len(rows1) == 3
+    c.execute("p1", max_rows=3)
+    rows2, st2 = c.collect_execute()
+    assert st2 == "suspended" and len(rows2) == 3
+    c.execute("p1", max_rows=3)
+    rows3, st3 = c.collect_execute()
+    assert st3 == "(1 row)" and len(rows3) == 1  # segment row count, as in PG
+    keys = [int(r[0]) for r in rows1 + rows2 + rows3]
+    assert keys == sorted(keys) and len(set(keys)) == 7
+    c.sync_collect()
+    c.terminate()
+
+
+def test_portal_exhausted_at_limit_then_zero_fetch(pg):
+    """Result set exhausted exactly at maxRows: PG still suspends (it
+    can't know the set ended), and the next Execute completes with 0
+    rows."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse("pe", "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 4")
+    c.bind("p2", "pe", [])
+    c.execute("p2", max_rows=4)
+    rows1, st1 = c.collect_execute()
+    assert st1 == "suspended" and len(rows1) == 4
+    c.execute("p2", max_rows=4)
+    rows2, st2 = c.collect_execute()
+    assert st2 == "(0 row)" and rows2 == []
+    c.sync_collect()
+    c.terminate()
