@@ -40,7 +40,12 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # round 3: fixed / newly oracle-twinned / output-shape-changed first
+    # round 3: new operators + fixed / newly oracle-twinned /
+    # output-shape-changed queries first
+    "text_unigram_score",
+    "text_cooccurrence_lift",
+    "text_winnowing_fingerprints",
+    "mixture_sampling_quotas",
     "sessionize",
     "inverted_index",
     "embedding_centroids",

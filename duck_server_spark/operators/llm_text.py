@@ -930,3 +930,234 @@ def token_quantiles_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["token_quantiles_per_source"] = token_quantiles_per_source
 ORACLE["token_quantiles_per_source"] = TOKEN_QUANTILES_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Unigram corpus-frequency scoring (LM-free quality signal)
+# ---------------------------------------------------------------------------
+# Per-doc fluency proxy from the corpus's own unigram distribution: mean
+# and min token frequency, plus the fraction of rare (df<=2) tokens —
+# the cheap stand-in for LM perplexity filtering when no model is
+# available (high rare-fraction docs are misspelled/garbled/foreign).
+#
+# Scale shape: ONE explode + ONE shuffle builds the unigram table; the
+# per-doc score joins tokens to it (at 100 TB: broadcast the top-K
+# vocabulary and floor everything else to an OOV bucket — the join
+# becomes map-side; the fixture keeps the full join, which is the same
+# plan Catalyst broadcasts here because the vocab is small).
+# Determinism: all scores are exact integer arithmetic — fixed-point
+# token probability floor(n_term * 1e12 / N) summed as BIGINT, one
+# division at the end — because distributed double sums are
+# order-sensitive and ln() is not guaranteed bit-identical across
+# engines (no log anywhere).
+
+_UNIGRAM_BODY = """
+vocab AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM vocab),
+scored AS (
+  -- fixed-point probability via explicit double arithmetic + floor:
+  -- integer '/' semantics differ across engines (DuckDB promotes
+  -- BIGINT sums to HUGEINT), IEEE double ops do not
+  SELECT t.doc_id,
+         CAST(floor(CAST(v.n AS DOUBLE) * 1000000000000.0
+                    / CAST(tot.big_n AS DOUBLE)) AS BIGINT) AS p_fp,
+         CASE WHEN v.n <= 2 THEN 1 ELSE 0 END AS is_rare
+  FROM toks t JOIN vocab v ON t.term = v.term CROSS JOIN tot
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(p_fp) AS DOUBLE) / (1000000000000.0 * count(*)) AS mean_tok_freq,
+       CAST(min(p_fp) AS DOUBLE) / 1000000000000.0 AS min_tok_freq,
+       CAST(sum(is_rare) AS DOUBLE) / count(*) AS rare_frac
+FROM scored
+GROUP BY doc_id
+"""
+
+TEXT_UNIGRAM_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, explode({_TOKS}) AS term FROM documents
+),
+{_UNIGRAM_BODY}
+"""
+
+TEXT_UNIGRAM_DUCK = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+{_UNIGRAM_BODY}
+"""
+
+
+def text_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TEXT_UNIGRAM_SPARK)
+
+
+QUERIES["text_unigram_score"] = text_unigram_score
+ORACLE["text_unigram_score"] = TEXT_UNIGRAM_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence lift (PMI-style association mining)
+# ---------------------------------------------------------------------------
+# Top term pairs by lift = P(a,b)/(P(a)P(b)) over documents — the
+# association-mining pass behind topic discovery and boilerplate-template
+# detection. Log-free PMI: lift is an exact rational of counts
+# (c_ab * D / (c_a * c_b)); the single double division of two exact
+# BIGINTs rounds identically in both engines.
+#
+# Scale shape: the pair space is BLOCKED, not quadratic-in-corpus:
+# only mid-frequency content terms participate (df bounds strip
+# stopwords and hapax noise), and per-doc terms are capped to the first
+# 12 alphabetically (deterministic cap -> each doc contributes <= 66
+# pairs regardless of length). One shuffle on (a, b); top-k via
+# TakeOrderedAndProject. df bounds are corpus-relative at 100 TB.
+
+_COOC_DF_LO = 10
+_COOC_DF_HI = 400
+_COOC_CAP = 12
+_COOC_TOPK = 40
+
+_COOC_BODY = f"""
+df AS (
+  SELECT term, count(*) AS c FROM dterms GROUP BY term
+),
+keep AS (
+  SELECT term, c FROM df WHERE c >= {_COOC_DF_LO} AND c <= {_COOC_DF_HI}
+),
+ranked AS (
+  SELECT d.doc_id, d.term, k.c,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY d.term) AS rk
+  FROM dterms d JOIN keep k ON d.term = k.term
+),
+capped AS (SELECT doc_id, term, c FROM ranked WHERE rk <= {_COOC_CAP}),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         max(a.c) AS c_a, max(b.c) AS c_b, count(*) AS c_ab
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+tot AS (SELECT count(*) AS d_docs FROM documents)
+SELECT term_a, term_b, c_a, c_b, c_ab,
+       CAST(c_ab * d_docs AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+FROM pairs CROSS JOIN tot
+WHERE c_ab >= 3
+ORDER BY lift DESC, term_a ASC, term_b ASC
+LIMIT {_COOC_TOPK}
+"""
+
+TEXT_COOC_SPARK = f"""
+WITH dterms AS (
+  SELECT doc_id, explode(array_distinct({_TOKS})) AS term FROM documents
+),
+{_COOC_BODY}
+"""
+
+TEXT_COOC_DUCK = rf"""
+WITH dterms AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_DUCK})) AS term FROM documents
+),
+{_COOC_BODY}
+"""
+
+
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TEXT_COOC_SPARK)
+
+
+QUERIES["text_cooccurrence_lift"] = text_cooccurrence_lift
+ORACLE["text_cooccurrence_lift"] = TEXT_COOC_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style local document fingerprinting)
+# ---------------------------------------------------------------------------
+# k-gram hash sequence -> sliding window of w -> keep each window's
+# minimum hash (ties: leftmost position) -> distinct selected
+# fingerprints. Guarantees any shared substring of length >= w+k-1 shares
+# a fingerprint — the plagiarism/near-dup primitive with POSITIONAL
+# guarantees that MinHash (whole-doc) lacks.
+#
+# Scale shape: per-doc window min is a plain window frame over the
+# exploded (doc_id, pos, hash) rows partitioned by doc_id — high-key-
+# cardinality windows, no global sort; fingerprint count aggregates map-
+# side. Hash = first 8 hex chars of md5 (portable across engines, same
+# trick as the dedup module's shingle hashes).
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+_WINNOW_BODY = f"""
+hashed AS (
+  SELECT doc_id, pos,
+         CAST({{conv}} AS BIGINT) AS h
+  FROM grams
+),
+winmin AS (
+  SELECT doc_id, pos, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+  FROM hashed
+),
+selected AS (
+  SELECT DISTINCT doc_id, wmin AS fp
+  FROM winmin WHERE pos >= {_WINNOW_W}
+)
+SELECT doc_id,
+       count(*) AS n_fingerprints,
+       min(fp) AS min_fp,
+       CAST(count(*) AS DOUBLE) / max(n_grams) AS density
+FROM selected JOIN gcount USING (doc_id)
+GROUP BY doc_id
+"""
+
+WINNOW_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, concat_ws(' ', slice(t, i, {_WINNOW_K})) AS g
+  FROM toks LATERAL VIEW explode(sequence(1, greatest(size(t) - {_WINNOW_K - 1}, 1))) x AS i
+),
+gcount AS (
+  SELECT doc_id, CAST(greatest(size(t) - {_WINNOW_K - 1}, 1) AS BIGINT) AS n_grams FROM toks
+),
+{_WINNOW_BODY.format(conv=f"conv(substring(md5(g), 1, 8), 16, 10)")}
+"""
+
+WINNOW_DUCK = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+),
+grams AS (
+  -- zipped unnests (same-length lists align positionally in DuckDB;
+  -- lateral generate_series over a column is not supported)
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(t) - {_WINNOW_K - 1}, 1))) AS pos,
+         unnest(list_transform(generate_series(1, greatest(len(t) - {_WINNOW_K - 1}, 1)),
+                               i -> array_to_string(t[i:i+{_WINNOW_K - 1}], ' '))) AS g
+  FROM toks
+),
+gcount AS (
+  SELECT doc_id, CAST(greatest(len(t) - {_WINNOW_K - 1}, 1) AS BIGINT) AS n_grams FROM toks
+),
+{_WINNOW_BODY.format(conv="('0x' || substring(md5(g), 1, 8))::BIGINT")}
+"""
+
+
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(WINNOW_SPARK)
+
+
+QUERIES["text_winnowing_fingerprints"] = text_winnowing_fingerprints
+ORACLE["text_winnowing_fingerprints"] = WINNOW_DUCK

@@ -487,3 +487,43 @@ WHERE u < p_keep
 
 QUERIES["sample_quality_weighted"] = _sql(SAMPLE_QUALITY_WEIGHTED_SQL)
 ORACLE["sample_quality_weighted"] = SAMPLE_QUALITY_WEIGHTED_SQL
+
+
+# ---------------------------------------------------------------------------
+# 6. mixture_sampling_quotas — temperature-based source mixing
+# ---------------------------------------------------------------------------
+# The data-mixing op that decides how many documents each source
+# contributes to a training run: upsample small high-quality sources,
+# downsample the crawl. Temperature alpha=0.5 -> weight_s proportional to
+# sqrt(n_s) (sqrt is IEEE-correctly-rounded in every engine, unlike
+# pow(x, 0.7) which may differ in the last ulp); quotas are integer
+# arithmetic over fixed-point sqrt values so both engines produce
+# bit-identical allocations at any parallelism.
+#
+# Scale shape: one map-side-combined count per (source), a tiny
+# (n_sources-row) aggregate, and pure per-row arithmetic — the whole op
+# is one shuffle of n_sources rows regardless of corpus size.
+
+_MIX_BUDGET = 1000
+
+MIXTURE_QUOTAS_SQL = f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_fp
+  FROM per_source
+),
+tot AS (SELECT sum(sqrt_fp) AS tot_fp, count(*) AS n_sources FROM w)
+SELECT w.source, w.n_docs,
+       CAST(w.sqrt_fp AS DOUBLE) / tot.tot_fp AS mix_weight,
+       CAST(w.sqrt_fp * {_MIX_BUDGET} / tot.tot_fp AS BIGINT) AS quota_docs,
+       CAST(CAST(w.sqrt_fp * {_MIX_BUDGET} / tot.tot_fp AS BIGINT) AS DOUBLE)
+         / w.n_docs AS epochs_over_source
+FROM w CROSS JOIN tot
+"""
+
+
+QUERIES["mixture_sampling_quotas"] = _sql(MIXTURE_QUOTAS_SQL)
+ORACLE["mixture_sampling_quotas"] = MIXTURE_QUOTAS_SQL

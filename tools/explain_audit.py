@@ -128,6 +128,22 @@ CHECKS = {
         ("map-side partial distinct before the shuffle", r"HashAggregate"),
         ("sketch is a global top-k, not a full sort", r"TakeOrderedAndProject"),
     ],
+    "text_unigram_score": [
+        ("vocab table broadcast onto the token stream", r"BroadcastHashJoin"),
+        ("unigram counts map-side combined", r"HashAggregate"),
+    ],
+    "text_cooccurrence_lift": [
+        ("pair generation via doc_id equi-join (blocked, never corpus²)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("global top-k by lift via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ],
+    "text_winnowing_fingerprints": [
+        ("window min partitioned per doc (high-cardinality keys)", r"Window"),
+        ("fingerprint counts map-side combined", r"HashAggregate"),
+    ],
+    "mixture_sampling_quotas": [
+        ("per-source counts map-side combined", r"HashAggregate"),
+    ],
 }
 
 FORBIDDEN = {
@@ -141,6 +157,7 @@ FORBIDDEN = {
     "embedding_quantization": [("no (row x dim) explode", r"Generate")],
     "doc_chunking": [("no shuffle anywhere", r"Exchange"), ("no join", r"Join")],
     "text_oov_rate": [("corpus side never shuffles on doc_id", r"hashpartitioning\(doc_id")],
+    "text_cooccurrence_lift": [("no cartesian pair explosion", r"CartesianProduct")],
 }
 
 
