@@ -64,6 +64,14 @@ _COPY_IN = re.compile(
     r"^\s*copy\s+([\w.]+)\s*(\(([^)]*)\))?\s+from\s+stdin\s*(with\s*)?(\(?\s*(format\s+)?csv[^)]*\)?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# COPY <table>[(cols)] | (<query>) TO STDOUT [WITH (FORMAT csv [, HEADER])]
+# — the reference's own unchecked TODO (README.md:102); implemented here
+# because psql \copy-to and JDBC CopyManager.copyOut drive it.
+_COPY_OUT = re.compile(
+    r"^\s*copy\s+(?:\(\s*(?P<query>.+?)\s*\)|(?P<table>[\w.]+)(?:\s*\((?P<cols>[^)]*)\))?)"
+    r"\s+to\s+stdout(?P<opts>[^;]*);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_USER = re.compile(
     r"^\s*create\s+user\s+(\w+)\s+with\s+password\s+'([^']*)'\s*;?\s*$", re.IGNORECASE
 )
@@ -362,6 +370,10 @@ class PgConnection:
         if m:
             await self._copy_in(m.group(1), m.group(3))
             return
+        m = _COPY_OUT.match(q)
+        if m:
+            await self._copy_out(m)
+            return
         if _SHOW_TXN.match(q):
             await self._run_query("SELECT 0 AS transaction_read_only", send_row_desc=True)
             return
@@ -452,6 +464,84 @@ class PgConnection:
         _parse_into(splitter.finish())
         await loop.run_in_executor(None, appender.flush)
         self.send_command_complete(f"COPY {appender.total}")  # pg_conn.go:620
+
+    async def _copy_out(self, m: "re.Match[str]") -> None:
+        """COPY ... TO STDOUT: CopyOutResponse, one CopyData per batch,
+        CopyDone, COPY-n tag. Streams through the same batch pipeline as
+        SELECT (dedicated producer thread owns the job group, driver
+        never holds the full result). Formats: PG text (default — tab
+        separators, \\N nulls, backslash escapes) and CSV (optional
+        HEADER), matching what psql \\copy and JDBC CopyManager expect."""
+        q = m.group("query")
+        if q is None:
+            cols = m.group("cols")
+            collist = (
+                ", ".join(c.strip() for c in cols.split(",")) if cols else "*"
+            )
+            q = f"SELECT {collist} FROM {m.group('table')}"
+        opts = (m.group("opts") or "").lower()
+        as_csv = "csv" in opts
+        with_header = "header" in opts
+
+        loop = asyncio.get_running_loop()
+        schema, stream = await loop.run_in_executor(
+            None, lambda: self.engine.stream_batches(q, "pg", self.job_group)
+        )
+        ncols = len(schema.fields)
+        self._send(b"H", struct.pack(">bh", 0, ncols) + b"\x00\x00" * ncols)
+        await self.writer.drain()
+
+        def _render_text_row(row: tuple) -> str:
+            # PG COPY text format: \N for NULL; escape \, tab, LF, CR
+            out = []
+            for v in row:
+                s = render_pg_text(v)
+                if s is None:
+                    out.append("\\N")
+                else:
+                    out.append(
+                        s.replace("\\", "\\\\")
+                        .replace("\t", "\\t")
+                        .replace("\n", "\\n")
+                        .replace("\r", "\\r")
+                    )
+            return "\t".join(out)
+
+        def _csv_chunk(rows: list[tuple], header: list[str] | None) -> bytes:
+            buf = io.StringIO()
+            w = csv.writer(buf, lineterminator="\n")
+            if header is not None:
+                w.writerow(header)
+            for row in rows:
+                w.writerow(["" if render_pg_text(v) is None else render_pg_text(v) for v in row])
+            return buf.getvalue().encode()
+
+        n = 0
+        first = True
+        try:
+            while True:
+                batch = await loop.run_in_executor(None, stream.next_batch)
+                if batch is None:
+                    break
+                if as_csv:
+                    hdr = [f.name for f in schema.fields] if (with_header and first) else None
+                    self._send(b"d", _csv_chunk(batch, hdr))
+                else:
+                    chunk = "".join(_render_text_row(r) + "\n" for r in batch)
+                    self._send(b"d", chunk.encode())
+                first = False
+                n += len(batch)
+                await self.writer.drain()
+        except (ConnectionResetError, BrokenPipeError, asyncio.CancelledError):
+            stream.close()
+            raise
+        finally:
+            stream.close()
+        if as_csv and with_header and first:
+            # zero-row result still emits the header line
+            self._send(b"d", _csv_chunk([], [f.name for f in schema.fields]))
+        self._send(b"c")  # CopyDone
+        self.send_command_complete(f"COPY {n}")
 
     # -------------------------------------------------- extended protocol
 

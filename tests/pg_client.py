@@ -197,6 +197,26 @@ class PgClient:
         self._send(b"c")
         return self._collect_result()
 
+    def copy_out(self, sql: str):
+        """COPY ... TO STDOUT → (payload_str, tag). Collects CopyData
+        chunks between CopyOutResponse and CopyDone."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        t, payload = self.recv_message()
+        assert t == b"H", (t, payload)  # CopyOutResponse
+        chunks, tag = [], None
+        while True:
+            t, data = self.recv_message()
+            if t == b"d":
+                chunks.append(data)
+            elif t == b"c":
+                continue
+            elif t == b"C":
+                tag = data.rstrip(b"\x00").decode()
+            elif t == b"E":
+                raise RuntimeError(data.decode(errors="replace"))
+            elif t == b"Z":
+                return b"".join(chunks).decode(), tag
+
     def cancel_backend(self, host: str, port: int) -> None:
         s = socket.create_connection((host, port), timeout=10)
         payload = struct.pack(">iii", 80877102, self.backend_pid, self.secret_key)

@@ -348,3 +348,43 @@ def test_portal_exhausted_at_limit_then_zero_fetch(pg):
     assert st2 == "(0 row)" and rows2 == []
     c.sync_collect()
     c.terminate()
+
+
+def test_copy_to_stdout_text_format(pg):
+    """COPY (query) TO STDOUT in PG text format: tab separators, \\N
+    nulls, COPY-n tag. The reference leaves this as an unchecked TODO
+    (README.md:102); real clients (psql \\copy, JDBC CopyManager) use it."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    body, tag = c.copy_out(
+        "COPY (SELECT n_nationkey, n_name, NULL AS x FROM nation "
+        "WHERE n_nationkey < 3 ORDER BY n_nationkey) TO STDOUT"
+    )
+    lines = body.rstrip("\n").split("\n")
+    assert tag == "COPY 3" and len(lines) == 3
+    first = lines[0].split("\t")
+    assert first[0] == "0" and first[2] == "\\N"
+    c.terminate()
+
+
+def test_copy_to_stdout_csv_header(pg):
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    body, tag = c.copy_out(
+        "COPY (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 2 "
+        "ORDER BY n_nationkey) TO STDOUT WITH (FORMAT csv, HEADER)"
+    )
+    lines = body.rstrip("\n").split("\n")
+    assert tag == "COPY 2"
+    assert lines[0] == "n_nationkey,n_name"
+    assert lines[1].startswith("0,")
+    c.terminate()
+
+
+def test_copy_table_to_stdout(pg):
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    body, tag = c.copy_out("COPY region (r_regionkey) TO STDOUT WITH (FORMAT csv)")
+    assert tag == "COPY 5"
+    assert sorted(body.split()) == ["0", "1", "2", "3", "4"]
+    c.terminate()
