@@ -43,6 +43,12 @@ HEADLINE = [
     "contamination_check",
     # round-2 additions: Arrow-grouped context-window packing
     "sequence_packing",
+    # round-3 additions: unigram fluency scoring, PMI-style pair mining,
+    # MOSS winnowing, temperature mixing quotas
+    "text_unigram_score",
+    "text_cooccurrence_lift",
+    "text_winnowing_fingerprints",
+    "mixture_sampling_quotas",
 ]
 
 
