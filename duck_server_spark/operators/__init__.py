@@ -46,6 +46,8 @@ _PRIORITY = [
     "text_cooccurrence_lift",
     "text_winnowing_fingerprints",
     "mixture_sampling_quotas",
+    "agg_incremental_merge",
+    "zorder_layout",
     "sessionize",
     "inverted_index",
     "embedding_centroids",

@@ -633,3 +633,58 @@ FROM d
 
 QUERIES["agg_regression"] = sql_op(AGG_REGRESSION_SQL)
 ORACLE["agg_regression"] = AGG_REGRESSION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate-state merge (materialized-view maintenance)
+# ---------------------------------------------------------------------------
+# THE operational pattern at 100 TB: never recompute history. Partial
+# aggregate states are computed per time slice (here: events before /
+# after a split date — in production, per daily partition), stored, and
+# MERGED by summing the commutative state columns. The oracle computes
+# the same aggregate over the full table in one pass — the hash-match
+# PROVES state mergeability (count/sum/min/max states merge exactly;
+# value sums ride fixed-point BIGINTs so partial sums are associative).
+# One shuffle per slice + one tiny merge shuffle; the full-recompute
+# alternative re-reads all history every refresh.
+
+AGG_INCREMENTAL_MERGE_SQL = """
+WITH slice1 AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sv_cents,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY user_id
+),
+slice2 AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sv_cents,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY user_id
+),
+merged AS (
+  SELECT user_id, sum(n) AS n_events,
+         sum(sv_cents) AS sv_cents,
+         min(first_ts) AS first_ts, max(last_ts) AS last_ts
+  FROM (SELECT * FROM slice1 UNION ALL SELECT * FROM slice2)
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(sv_cents AS DOUBLE) / 100.0 AS total_value,
+       first_ts, last_ts
+FROM merged
+"""
+
+# Oracle: the full single-pass aggregate — hash equality proves the
+# merged partial states reconstruct it exactly.
+AGG_INCREMENTAL_MERGE_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["agg_incremental_merge"] = sql_op(AGG_INCREMENTAL_MERGE_SQL)
+ORACLE["agg_incremental_merge"] = AGG_INCREMENTAL_MERGE_ORACLE

@@ -527,3 +527,71 @@ FROM w CROSS JOIN tot
 
 QUERIES["mixture_sampling_quotas"] = _sql(MIXTURE_QUOTAS_SQL)
 ORACLE["mixture_sampling_quotas"] = MIXTURE_QUOTAS_SQL
+
+
+# ---------------------------------------------------------------------------
+# 7. zorder_layout — space-filling-curve clustering profile
+# ---------------------------------------------------------------------------
+# The 100 TB data-LAYOUT op: interleave the bits of two co-accessed key
+# columns into a Z-value, write files sorted by it, and multi-column
+# range predicates prune row groups on BOTH dimensions (the Delta/
+# Iceberg OPTIMIZE ZORDER idea, built from plain integer expressions).
+# This operator emits the per-Z-bucket bounding-box profile — count +
+# min/max of each dimension — which is exactly the row-group min/max
+# metadata a scan would prune against; small boxes = good locality.
+# Pure integer bit arithmetic (shift/and) -> bit-identical across
+# engines; one map-side-combined aggregate, no extra shuffle beyond it.
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit Z-value
+
+
+def _z_expr_spark(bx: str, by: str) -> str:
+    terms = []
+    for j in range(_ZBITS):
+        terms.append(f"shiftleft(shiftright({bx}, {j}) & 1, {2 * j + 1})")
+        terms.append(f"shiftleft(shiftright({by}, {j}) & 1, {2 * j})")
+    return " + ".join(terms)
+
+
+def _z_expr_duck(bx: str, by: str) -> str:
+    terms = []
+    for j in range(_ZBITS):
+        terms.append(f"((({bx} >> {j}) & 1) << {2 * j + 1})")
+        terms.append(f"((({by} >> {j}) & 1) << {2 * j})")
+    return " + ".join(terms)
+
+
+_ZORDER_TAIL = """
+SELECT zb AS z_bucket,
+       count(*) AS n_rows,
+       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+       CAST((max(l_partkey) - min(l_partkey) + 1) AS BIGINT)
+         * CAST((max(l_suppkey) - min(l_suppkey) + 1) AS BIGINT) AS bbox_area
+FROM z
+GROUP BY zb
+"""
+
+
+def _zorder_sql(zexpr: str) -> str:
+    return f"""
+WITH b AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(l_partkey % 256 AS BIGINT) AS bx,
+         CAST(l_suppkey % 256 AS BIGINT) AS by
+  FROM lineitem
+),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(CAST({zexpr} AS DOUBLE) / 1024.0) AS BIGINT) AS zb
+  FROM b
+)
+{_ZORDER_TAIL}
+"""
+
+
+ZORDER_SPARK = _zorder_sql(_z_expr_spark("bx", "by"))
+ZORDER_DUCK = _zorder_sql(_z_expr_duck("bx", "by"))
+
+QUERIES["zorder_layout"] = _sql(ZORDER_SPARK)
+ORACLE["zorder_layout"] = ZORDER_DUCK

@@ -144,6 +144,14 @@ CHECKS = {
     "mixture_sampling_quotas": [
         ("per-source counts map-side combined", r"HashAggregate"),
     ],
+    "agg_incremental_merge": [
+        ("per-slice partial states map-side combined", r"HashAggregate"),
+        ("slice date filters pushed to the parquet scan", r"PushedFilters: \[.*ts"),
+    ],
+    "zorder_layout": [
+        ("z-bucket profile is one map-side-combined aggregate", r"HashAggregate"),
+        ("bit-interleave under whole-stage codegen", r"WholeStageCodegen"),
+    ],
 }
 
 FORBIDDEN = {
