@@ -24,6 +24,7 @@ _MODULES = (
     "similarity",
     "pipeline",
     "multimodal_ops",
+    "streaming_ops",
 )
 
 
@@ -48,6 +49,8 @@ _PRIORITY = [
     "mixture_sampling_quotas",
     "agg_incremental_merge",
     "zorder_layout",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
     "sessionize",
     "inverted_index",
     "embedding_centroids",

@@ -1,0 +1,118 @@
+"""Oracle-gated STREAMING operators: each entry stages the events fixture
+as a file-source stream, replays it bounded (availableNow trigger) through
+the Structured Streaming builder in ``streaming/windows.py`` into a memory
+sink, and returns the result as a batch DataFrame — so the driver's
+DuckDB oracle comparison applies to the STREAMING execution path, not
+just its batch twin.
+
+Why this matters: streaming operators are usually the weakest-verified
+part of an engine (rows-only smoke checks). Here the watermark is set
+wider than the fixture's replay span, so bounded-replay semantics are
+exactly the batch semantics and the full row-count + schema + value-hash
+gate applies to the stateful streaming operators themselves (windowed
+aggregation state, session-window state merging).
+
+Scale notes: availableNow is also the production backfill mode — the
+same watermarks/state stores process an object-store backlog in bounded
+batches. The memory sink exists only for the verification harness; a
+production job writes to parquet/Kafka.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duck_server_spark.engine.session import load_table
+from duck_server_spark.streaming import windows as sw
+
+# One staged stream-source directory per (session, sf_dir): the file
+# source needs a directory, and staging through load_table normalizes
+# the ts column to TIMESTAMP regardless of fixture parquet shape.
+_STAGED: dict[tuple[int, str], str] = {}
+_SINK_SEQ = [0]
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (id(spark), sf_dir)
+    hit = _STAGED.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    path = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    _STAGED[key] = path
+    return path
+
+
+def _replay(spark: SparkSession, sf_dir: str, builder, output_mode: str) -> DataFrame:
+    stream = sw.read_events_stream(spark, _events_stream_dir(spark, sf_dir))
+    _SINK_SEQ[0] += 1
+    name = f"__stream_oracle_sink_{_SINK_SEQ[0]}"
+    return sw.run_to_memory_sink(spark, builder(stream), name, output_mode=output_mode)
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windowed aggregation executed by Structured
+    Streaming (windowed state store), replayed bounded; oracle = the
+    batch time_bucket SQL. Watermark 60 days > fixture span, so no rows
+    drop and streaming == batch semantics exactly."""
+    out = _replay(
+        spark, sf_dir, lambda ev: sw.tumbling_counts(ev, watermark="60 days"), "complete"
+    )
+    return out.select("bucket_start", "event_type", "n", "sum_value")
+
+
+STREAMING_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+"""
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows via the built-in session_window state
+    (streaming session merging), replayed bounded; oracle = the batch
+    lag→flag→prefix-sum sessionization grouped to the same shape."""
+    out = _replay(
+        spark, sf_dir, lambda ev: sw.session_windows(ev, watermark="60 days"), "complete"
+    )
+    return out.select("user_id", "n_events", "session_start", "session_end", "duration_s")
+
+
+STREAMING_SESSIONS_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+), f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM g
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM f
+)
+SELECT user_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_s
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "streaming_tumbling_counts": streaming_tumbling_counts,
+    "streaming_session_windows": streaming_session_windows,
+}
+
+ORACLE = {
+    "streaming_tumbling_counts": STREAMING_TUMBLING_ORACLE,
+    "streaming_session_windows": STREAMING_SESSIONS_ORACLE,
+}

@@ -14,6 +14,7 @@ from duck_server_spark.operators import (
     relational,
     scalars,
     similarity,
+    streaming_ops,
     windows,
 )
 from tests.conftest import assert_matches_oracle
@@ -29,6 +30,7 @@ MODULES = {
     "similarity": similarity,
     "pipeline": pipeline,
     "multimodal_ops": multimodal_ops,
+    "streaming_ops": streaming_ops,
 }
 CASES = [(mname, q) for mname, mod in sorted(MODULES.items()) for q in sorted(mod.QUERIES)]
 
