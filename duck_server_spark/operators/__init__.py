@@ -51,6 +51,8 @@ _PRIORITY = [
     "zorder_layout",
     "streaming_tumbling_counts",
     "streaming_session_windows",
+    "multimodal_resize",
+    "multimodal_audio_features",
     "sessionize",
     "inverted_index",
     "embedding_centroids",

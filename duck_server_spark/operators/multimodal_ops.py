@@ -103,3 +103,83 @@ FROM frames
 
 QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLE["multimodal_frame_sample"] = MULTIMODAL_FRAME_ORACLE
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the REAL mapInPandas plumbing
+    (functions/multimodal.py resize_images — the Pillow seam): the
+    deterministic stub emits sha256(payload || 'WxH') as the resized
+    payload, so the utf8-payload trick gives an exact DuckDB twin.
+    Scale shape: pure Arrow-batched map, no shuffle; in production the
+    re-encoded payloads stream straight to the output shard writer."""
+    from duck_server_spark.functions.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return resize_images(media, width=64, height=64).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height,
+       sha256(text || '64x64') AS payload_hex
+FROM documents
+"""
+
+QUERIES["multimodal_resize"] = multimodal_resize
+ORACLE["multimodal_resize"] = MULTIMODAL_RESIZE_ORACLE
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the mapInPandas plumbing
+    (functions/multimodal.py audio_features — the soundfile/FFT seam);
+    md5-derived deterministic stub features with the exact DuckDB twin.
+    No shuffle: metadata filter before the UDF, Arrow batches."""
+    from duck_server_spark.functions.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return audio_features(media).select(
+        "media_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        "rms",
+        "zero_crossing_rate",
+    )
+
+
+MULTIMODAL_AUDIO_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0 AS rms,
+       CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 255.0 AS zero_crossing_rate
+FROM documents
+"""
+
+QUERIES["multimodal_audio_features"] = multimodal_audio_features
+ORACLE["multimodal_audio_features"] = MULTIMODAL_AUDIO_ORACLE
