@@ -51,6 +51,8 @@ _PRIORITY = [
     "zorder_layout",
     "streaming_tumbling_counts",
     "streaming_session_windows",
+    "streaming_click_attribution",
+    "streaming_running_totals",
     "multimodal_resize",
     "multimodal_audio_features",
     "sessionize",

@@ -107,12 +107,74 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (purchase attributed to a same-user
+    click within the following hour) through the real streaming join
+    state machine, replayed bounded; oracle = the equivalent batch
+    interval join. The watermark + two-sided time bound is what lets
+    Spark prune join state — the production-runnable shape."""
+    from pyspark.sql import functions as F
+
+    def build(ev):
+        clicks = ev.filter(F.col("event_type") == "click")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        return sw.click_purchase_join(clicks, purchases, watermark="60 days")
+
+    out = _replay(spark, sf_dir, build, "append")
+    return out.select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "amount"
+    )
+
+
+STREAMING_CLICK_ATTR_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts, amount
+FROM c JOIN p ON c.user_id = p.user_id
+ AND purchase_ts >= click_ts
+ AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+"""
+
+
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the
+    oracle gate: per-user running totals carried across micro-batches in
+    integer-cents state (exact at any batch order). Update mode emits
+    one row per user per touching batch; the final state per user is the
+    row with the highest n_events (strictly increasing per emission)."""
+    from pyspark.sql import functions as F
+
+    out = _replay(spark, sf_dir, sw.running_user_totals, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
+    )
+
+
+STREAMING_RUNNING_TOTALS_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_click_attribution": streaming_click_attribution,
+    "streaming_running_totals": streaming_running_totals,
 }
 
 ORACLE = {
     "streaming_tumbling_counts": STREAMING_TUMBLING_ORACLE,
     "streaming_session_windows": STREAMING_SESSIONS_ORACLE,
+    "streaming_click_attribution": STREAMING_CLICK_ATTR_ORACLE,
+    "streaming_running_totals": STREAMING_RUNNING_TOTALS_ORACLE,
 }

@@ -103,23 +103,30 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
     This is the pattern for operators Spark's built-ins can't express
     (reference-free custom state machines). State is one small tuple per
-    user; timeouts would evict idle users in production."""
+    user; timeouts would evict idle users in production. The value sum
+    is carried as integer CENTS (floor(value·100) per row): float state
+    would accumulate batch-order-dependent rounding, integer state is
+    exact forever — which also gives the operator an exact SQL oracle
+    (operators/streaming_ops.py)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+            cents += int(np.floor(pdf["value"].to_numpy() * 100).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
-        stateStructType="n BIGINT, total DOUBLE",
+        stateStructType="n BIGINT, cents BIGINT",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
