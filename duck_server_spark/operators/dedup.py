@@ -778,19 +778,28 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     reps.createOrReplaceTempView("mhv_reps")
 
+    # Shingle hash = linear combination of PER-TOKEN crc32s over the
+    # 3-gram window ((t0·C1 + t1·C2 + t2·C3) mod P): each token is
+    # hashed ONCE (T crc32 calls on short strings instead of T 3-gram
+    # string joins + crc32s on triple-length strings), and the window
+    # combination is pure vectorized numpy. Each product stays < 2^63
+    # (crc32 < 2^32, Ci < 2^31, mod P after each product).
+    C1, C2, C3 = 911382323, 972663749, 386910137
+
     def sigs(batches):
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"]}
             mins = [[] for _ in range(_NUM_HASHES)]
             for text in pdf["text"]:
                 toks = text.strip().split()
-                n = max(len(toks) - 2, 1)
-                hs = np.fromiter(
-                    (zlib.crc32(" ".join(toks[i : i + 3]).encode()) for i in range(n)),
-                    dtype=np.int64,
-                    count=n,
+                th = np.fromiter(
+                    (zlib.crc32(t.encode()) for t in toks), dtype=np.int64, count=len(toks)
                 )
-                hp = hs % P
+                if len(th) < 3:  # degenerate short doc -> one padded window
+                    th = np.pad(th, (0, 3 - len(th)))
+                hp = (
+                    (th[:-2] * C1) % P + (th[1:-1] * C2) % P + (th[2:] * C3) % P
+                ) % P
                 for j, (a, b) in enumerate(AB):
                     mins[j].append(int(((hp * a + b) % P).min()))
             for j in range(_NUM_HASHES):

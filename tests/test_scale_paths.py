@@ -94,3 +94,24 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # row counts agree with the unpartitioned path
     direct = ev.where("d = DATE '2024-01-05'").count()
     assert back.count() == direct and direct > 0
+
+
+def test_minhash_vectorized_recall_vs_md5_variant(spark, sf_dir):
+    """The Arrow/numpy signature stage uses a different shingle hash than
+    the md5 oracle variant; both verify candidates with exact Jaccard, so
+    outputs are subsets of the true pair set. Banding recall must stay
+    comparable: the vectorized pair set must cover >=80% of the md5
+    variant's verified pairs (and vice versa) on the fixture corpus."""
+    from duck_server_spark.operators import dedup
+
+    vec = {
+        (r.id1, r.id2)
+        for r in dedup.QUERIES["dedup_minhash_vectorized"](spark, sf_dir).collect()
+    }
+    md5v = {
+        (r.id1, r.id2)
+        for r in dedup.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert len(md5v) > 0
+    assert len(vec & md5v) / len(md5v) >= 0.8
+    assert len(vec & md5v) / max(len(vec), 1) >= 0.8
