@@ -55,6 +55,7 @@ _PRIORITY = [
     "streaming_running_totals",
     "multimodal_resize",
     "multimodal_audio_features",
+    "join_positional",
     "sessionize",
     "inverted_index",
     "embedding_centroids",

@@ -613,3 +613,46 @@ ORACLE.update({
     "union_by_name": UNION_BY_NAME_ORACLE,
     "setop_intersect_all": SETOP_INTERSECT_ALL_ORACLE,
 })
+
+
+def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB POSITIONAL JOIN semantics (pair rows of two relations by
+    position), made order-deterministic by sorting each side first and
+    scale-safe via RDD zipWithIndex — which computes per-partition
+    offsets with one lightweight count job instead of collapsing to a
+    single partition the way a global row_number window would. The
+    oracle expresses the same pairing with row_number windows (DuckDB's
+    POSITIONAL JOIN itself doesn't guarantee subquery order)."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_nationkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+    def with_pos(df):
+        rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1))
+        return spark.createDataFrame(rdd, df.schema.add("pos", "long"))
+
+    a = with_pos(nation)
+    b = with_pos(region)
+    # inner positional join truncates to the shorter side, like DuckDB's
+    # POSITIONAL JOIN padding rule inverted — keep INNER for a
+    # deterministic oracle (5 region rows pair with the first 5 nations)
+    return (
+        a.join(b, "pos")
+        .select("pos", "n_nationkey", "n_name", "r_regionkey", "r_name")
+    )
+
+
+JOIN_POSITIONAL_ORACLE = """
+WITH a AS (
+  SELECT row_number() OVER (ORDER BY n_nationkey) AS pos, n_nationkey, n_name
+  FROM nation
+),
+b AS (
+  SELECT row_number() OVER (ORDER BY r_regionkey) AS pos, r_regionkey, r_name
+  FROM region
+)
+SELECT a.pos, n_nationkey, n_name, r_regionkey, r_name
+FROM a JOIN b USING (pos)
+"""
+
+QUERIES["join_positional"] = join_positional
+ORACLE["join_positional"] = JOIN_POSITIONAL_ORACLE
