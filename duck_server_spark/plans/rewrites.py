@@ -168,11 +168,56 @@ def rewrite_common(q: str) -> str:
             _DUCK_FN_RE.sub(lambda m: _DUCK_FN_ALIASES[m.group(1).lower()] + "(", seg),
         ),
     )
+    q = _sub_outside_literals(q, rewrite_star_replace)
     q = _rewrite_extract_epoch(q)
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
 
     return rewrite_file_functions(q)
+
+
+_STAR_REPLACE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def rewrite_star_replace(q: str) -> str:
+    """DuckDB `SELECT * REPLACE (expr AS col, ...)` → Spark
+    `SELECT * EXCEPT (col, ...), expr AS col, ...`.
+
+    Caveat (documented): the replaced columns move to the END of the
+    projection — DuckDB keeps them in place. Clients that address
+    columns by name (every wire client here) are unaffected."""
+    m = _STAR_REPLACE.search(q)
+    if not m:
+        return q
+    i, depth = m.end(), 1
+    while i < len(q) and depth:
+        if q[i] == "(":
+            depth += 1
+        elif q[i] == ")":
+            depth -= 1
+        i += 1
+    items = _split_top_level(q[m.end() : i - 1])
+    names = [
+        re.split(r"\s+as\s+", it, flags=re.IGNORECASE)[-1].strip().strip('"')
+        for it in items
+    ]
+    repl = f"* EXCEPT ({', '.join(names)}), {', '.join(items)}"
+    return rewrite_star_replace(q[: m.start()] + repl + q[i:])
 
 
 _QUALIFY = re.compile(r"\bqualify\b", re.IGNORECASE)

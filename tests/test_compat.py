@@ -287,3 +287,19 @@ def test_extract_epoch_rewrite(pgc):
     )
     assert rows == [("100", "2024")]
     c.terminate()
+
+
+def test_star_replace_shim_over_wire(pgc):
+    """DuckDB `SELECT * REPLACE (expr AS col)` rewritten to
+    `* EXCEPT (col), expr AS col` (replaced column moves to the end —
+    name-addressed clients unaffected)."""
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query(
+        "SELECT * REPLACE (upper(g) AS g, v + 10 AS v) "
+        "FROM (VALUES ('a', 1), ('b', 2)) t(g, v) ORDER BY g"
+    )
+    names = [col[0] for col in cols]
+    assert sorted(names) == ["g", "v"]
+    got = [dict(zip(names, r)) for r in rows]
+    assert got == [{"g": "A", "v": "11"}, {"g": "B", "v": "12"}]
+    c.terminate()
