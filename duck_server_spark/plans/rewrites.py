@@ -81,16 +81,20 @@ _EXTRACT_EPOCH = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\b", re.IGNORECASE)
 
 
 def _rewrite_extract_epoch(q: str) -> str:
+    # Search and paren-scan on the literal-MASKED text (so 'EXTRACT('
+    # or parens inside string literals are invisible), slice the
+    # original so literal contents pass through untouched.
     while True:
-        m = _EXTRACT_EPOCH.search(q)
+        masked = _mask_literals(q)
+        m = _EXTRACT_EPOCH.search(masked)
         if not m:
             return q
         depth = 1
         i = m.end()
-        while i < len(q) and depth:
-            if q[i] == "(":
+        while i < len(masked) and depth:
+            if masked[i] == "(":
                 depth += 1
-            elif q[i] == ")":
+            elif masked[i] == ")":
                 depth -= 1
             i += 1
         inner = q[m.end() : i - 1]
@@ -153,8 +157,8 @@ def rewrite_common(q: str) -> str:
     def _cast_type(m: re.Match) -> str:
         return "::" + normalize_type(m.group(1))
 
-    q = _PG_CAST.sub(_cast_type, q)
-    q = _CURRENT_SCHEMA.sub("current_database()", q)
+    q = _sub_outside_literals(q, lambda seg: _PG_CAST.sub(_cast_type, seg))
+    q = _sub_outside_literals(q, lambda seg: _CURRENT_SCHEMA.sub("current_database()", seg))
     q = _sub_outside_literals(
         q,
         lambda seg: _EXCLUDE_BARE.sub(
@@ -168,7 +172,7 @@ def rewrite_common(q: str) -> str:
             _DUCK_FN_RE.sub(lambda m: _DUCK_FN_ALIASES[m.group(1).lower()] + "(", seg),
         ),
     )
-    q = _sub_outside_literals(q, rewrite_star_replace)
+    q = rewrite_star_replace(q)
     q = _rewrite_extract_epoch(q)
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
@@ -179,10 +183,12 @@ def rewrite_common(q: str) -> str:
 _STAR_REPLACE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas at paren depth 0."""
+def _split_top_level(s: str, masked: str | None = None) -> list[str]:
+    """Split on commas at paren depth 0. Depth/commas are read from
+    `masked` (literal-masked twin) when given; slices come from `s`."""
+    scan = masked if masked is not None else s
     parts, depth, start = [], 0, 0
-    for i, ch in enumerate(s):
+    for i, ch in enumerate(scan):
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -198,20 +204,25 @@ def rewrite_star_replace(q: str) -> str:
     """DuckDB `SELECT * REPLACE (expr AS col, ...)` → Spark
     `SELECT * EXCEPT (col, ...), expr AS col, ...`.
 
-    Caveat (documented): the replaced columns move to the END of the
-    projection — DuckDB keeps them in place. Clients that address
-    columns by name (every wire client here) are unaffected."""
-    m = _STAR_REPLACE.search(q)
+    Trigger search, paren scan, and comma split all run on the
+    literal-MASKED text so string literals (which may contain 'REPLACE
+    (', parens, or commas) pass through untouched; slices come from the
+    original text. Caveat (documented): the replaced columns move to the
+    END of the projection — DuckDB keeps them in place. Clients that
+    address columns by name (every wire client here) are unaffected."""
+    masked = _mask_literals(q)
+    m = _STAR_REPLACE.search(masked)
     if not m:
         return q
     i, depth = m.end(), 1
-    while i < len(q) and depth:
-        if q[i] == "(":
+    while i < len(masked) and depth:
+        if masked[i] == "(":
             depth += 1
-        elif q[i] == ")":
+        elif masked[i] == ")":
             depth -= 1
         i += 1
-    items = _split_top_level(q[m.end() : i - 1])
+    inner, inner_masked = q[m.end() : i - 1], masked[m.end() : i - 1]
+    items = _split_top_level(inner, inner_masked)
     names = [
         re.split(r"\s+as\s+", it, flags=re.IGNORECASE)[-1].strip().strip('"')
         for it in items
@@ -235,15 +246,18 @@ def rewrite_qualify(q: str) -> str:
     equivalent whenever the select list keeps the columns the predicate
     references (the common case; the reference's engine handles the rest
     natively and we document the gap, SURVEY.md §7)."""
-    m = _QUALIFY.search(q)
+    masked = _mask_literals(q)
+    m = _QUALIFY.search(masked)  # 'qualify' inside a literal is data
     if not m:
         return q
     before, after = q[: m.start()], q[m.end():]
-    # find ORDER BY / LIMIT only at paren depth 0 (not inside OVER (...))
+    after_masked = masked[m.end():]
+    # find ORDER BY / LIMIT only at paren depth 0 (not inside OVER (...));
+    # scan the masked twin so literal parens/keywords don't miscount
     split_at = None
     depth = 0
-    for tm in _TAIL.finditer(after):
-        depth = after[: tm.start()].count("(") - after[: tm.start()].count(")")
+    for tm in _TAIL.finditer(after_masked):
+        depth = after_masked[: tm.start()].count("(") - after_masked[: tm.start()].count(")")
         if depth == 0:
             split_at = tm.start()
             break
@@ -258,6 +272,12 @@ def rewrite_qualify(q: str) -> str:
 
 # Single-quoted SQL string literal, with '' as the escaped quote.
 _STR_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(q: str) -> str:
+    """Same-length twin of `q` with every string literal's CONTENT
+    replaced by spaces — search/scan on the mask, slice the original."""
+    return _STR_LIT.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", q)
 
 
 def _sub_outside_literals(q: str, fn) -> str:

@@ -303,3 +303,68 @@ def test_star_replace_shim_over_wire(pgc):
     got = [dict(zip(names, r)) for r in rows]
     assert got == [{"g": "A", "v": "11"}, {"g": "B", "v": "12"}]
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# Property-based rewrite-layer invariants (hypothesis): dialect rewrites
+# must never touch the INSIDE of string literals, whatever they contain.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duck_server_spark.plans import rewrites as rw
+
+# Literal contents that LOOK like every rewrite trigger we have.
+_TRIGGERY = st.sampled_from(
+    [
+        "$1",
+        "* EXCLUDE (x)",
+        "* REPLACE (a AS b)",
+        "x::int4",
+        "qualify",
+        "~",
+        "LIMIT 5, 10",
+        "read_csv_auto('/x')",
+        "EXTRACT(EPOCH FROM t)",
+    ]
+) | st.text(alphabet="abz $*(),:~'\\", min_size=0, max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lit=_TRIGGERY)
+def test_rewrites_never_touch_string_literals(lit):
+    sql_lit = "'" + lit.replace("'", "''") + "'"
+    q = f"SELECT {sql_lit} AS s FROM t"
+    out = rw.rewrite_common(q)
+    assert sql_lit in out, f"literal mangled: {q!r} -> {out!r}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(lit=_TRIGGERY)
+def test_param_count_ignores_literal_dollars(lit):
+    sql_lit = "'" + lit.replace("'", "''") + "'"
+    n = rw.count_params(f"SELECT {sql_lit}, $1 + $2 FROM t")
+    assert n == 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    cols=st.lists(
+        st.text(alphabet="abcdefg_", min_size=1, max_size=6).filter(
+            lambda s: not s.startswith("_")
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    )
+)
+def test_star_replace_shim_shape(cols):
+    """* REPLACE with N items always becomes * EXCEPT over exactly those
+    column names, each re-projected once."""
+    items = ", ".join(f"upper({c}) AS {c}" for c in cols)
+    out = rw.rewrite_star_replace(f"SELECT * REPLACE ({items}) FROM t")
+    assert "REPLACE" not in out.upper()
+    assert f"* EXCEPT ({', '.join(cols)})" in out
+    for c in cols:
+        assert f"upper({c}) AS {c}" in out
