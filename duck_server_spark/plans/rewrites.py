@@ -133,11 +133,13 @@ def normalize_type(name: str) -> str:
 
 
 def rewrite_ch_query(q: str) -> str:
-    """ClickHouse-HTTP-path rewrites (ch_server.go:155-164 order)."""
+    """ClickHouse-HTTP-path rewrites (ch_server.go:155-164 order),
+    applied outside string literals only (the reference regex-rewrites
+    the raw text, literals included — a bug class we don't replicate)."""
     q = q.replace("\r\n", " ").replace("\n", " ")  # ch_server.go:163
-    q = _VERSION.sub(f"'{VERSION_STRING}'", q)  # ch_server.go:160
-    q = _SELECT_TABLE.sub(r"\1`table`", q)  # ch_server.go:161, backtick-quoted
-    q = _LIMIT_NM.sub(r"LIMIT \2 OFFSET \1", q)  # ch_server.go:155,164
+    q = _sub_outside_literals(q, lambda s: _VERSION.sub(f"'{VERSION_STRING}'", s))
+    q = _sub_outside_literals(q, lambda s: _SELECT_TABLE.sub(r"\1`table`", s))
+    q = _sub_outside_literals(q, lambda s: _LIMIT_NM.sub(r"LIMIT \2 OFFSET \1", s))
     return rewrite_common(q)
 
 

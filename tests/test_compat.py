@@ -368,3 +368,12 @@ def test_star_replace_shim_shape(cols):
     assert f"* EXCEPT ({', '.join(cols)})" in out
     for c in cols:
         assert f"upper({c}) AS {c}" in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(lit=_TRIGGERY | st.sampled_from(["version()", "LIMIT 1, 2", "select table"]))
+def test_ch_rewrites_never_touch_string_literals(lit):
+    sql_lit = "'" + lit.replace("'", "''").replace("\n", " ") + "'"
+    q = f"SELECT {sql_lit} AS s FROM t"
+    out = rw.rewrite_ch_query(q)
+    assert sql_lit in out, f"literal mangled: {q!r} -> {out!r}"
