@@ -653,7 +653,9 @@ WITH slice1 AS (
   SELECT user_id, count(*) AS n,
          sum(CAST(floor(value * 100) AS BIGINT)) AS sv_cents,
          min(ts) AS first_ts, max(ts) AS last_ts
-  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+  -- NULL ts rows land in slice1 (a bare < predicate would drop them
+  -- from BOTH slices while the full-recompute oracle counts them)
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' OR ts IS NULL
   GROUP BY user_id
 ),
 slice2 AS (

@@ -43,3 +43,30 @@ def dec2(col) -> F.Column:
 
 # SQL fragment twins of dec2 for oracle strings.
 DEC = "DECIMAL(18,2)"
+
+
+def tracked_local_checkpoint(spark: SparkSession, df: DataFrame, registry: list) -> DataFrame:
+    """Eager localCheckpoint whose materialized RDD ids are recorded in
+    `registry` so `release_checkpoints` can free their block-manager
+    storage DETERMINISTICALLY. Dropping the Python references alone
+    leaves cleanup to GC + the ContextCleaner — repeated invocations
+    (bench loops, sweeps) would accumulate generations of stored
+    partitions until a collection happens to run."""
+    before = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint()
+    after = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    registry.extend(sorted(after - before))
+    return out
+
+
+def release_checkpoints(spark: SparkSession, registry: list) -> None:
+    """Unpersist every RDD id recorded by tracked_local_checkpoint and
+    clear the registry. Safe against already-released ids."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in registry:
+        try:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+        except Exception:  # noqa: BLE001 — release must never fail a query
+            pass
+    registry.clear()

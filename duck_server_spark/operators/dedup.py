@@ -747,9 +747,14 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     AB = [(2 * j + 1, 7919 * (j + 1)) for j in range(_NUM_HASHES)]
 
     corpus.createOrReplaceTempView("mhv_corpus")
-    # Drop references to the previous call's checkpointed RDDs so the
-    # ContextCleaner can release their block-manager storage.
-    _mhv_cached.clear()
+    # Deterministically release the previous call's checkpointed storage
+    # (GC-driven cleanup would let generations pile up across bench runs).
+    from duck_server_spark.operators.common import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+
+    release_checkpoints(spark, _mhv_cached)
     # ONE corpus scan: base carries (doc_id, text, chash). Everything
     # downstream derives from its stored partitions. localCheckpoint
     # (eager) rather than persist(): it TRUNCATES the lineage, so every
@@ -758,15 +763,19 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently miss for these multi-referenced MapInPandas lineages and
     # recompute the whole pipeline per reference. (On a cluster,
     # checkpoint to reliable storage for fault tolerance.)
-    base = spark.sql(
-        "SELECT doc_id, text, xxhash64(text) AS chash FROM mhv_corpus"
-    ).localCheckpoint()
+    base = tracked_local_checkpoint(
+        spark,
+        spark.sql("SELECT doc_id, text, xxhash64(text) AS chash FROM mhv_corpus"),
+        _mhv_cached,
+    )
     base.createOrReplaceTempView("mhv_base")
     # Slim doc_id->chash table for the expansion joins (referenced ~6x:
     # pair expansion a/b, intra-group emission a/b, rep->hash mapping
     # r1/r2). Checkpointed separately so those scans don't re-read text;
     # derives from base storage, not a second corpus scan.
-    groups = spark.sql("SELECT doc_id, chash FROM mhv_base").localCheckpoint()
+    groups = tracked_local_checkpoint(
+        spark, spark.sql("SELECT doc_id, chash FROM mhv_base"), _mhv_cached
+    )
     groups.createOrReplaceTempView("mhv_groups")
     # reps (one representative doc per content hash) stays LAZY: it is
     # consumed exactly once, as the signature stage's input inside the
@@ -832,9 +841,9 @@ long AS (
 SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
 FROM long a JOIN long b2
   ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
-""").localCheckpoint()
+""")
+    rep_pairs = tracked_local_checkpoint(spark, rep_pairs, _mhv_cached)
     rep_pairs.createOrReplaceTempView("mhv_rep_pairs")
-    _mhv_cached.extend([base, groups, rep_pairs])
     return spark.sql("""
 WITH cand_ids AS (
   SELECT id1 AS doc_id FROM mhv_rep_pairs UNION SELECT id2 FROM mhv_rep_pairs

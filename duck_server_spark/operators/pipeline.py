@@ -313,13 +313,19 @@ def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference). Checkpointing truncates the lineage so downstream
     # physically reads the stored partitions. (On a cluster, checkpoint
     # to reliable storage for fault tolerance.)
-    _clean_cached.clear()
+    from duck_server_spark.operators.common import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+
+    release_checkpoints(spark, _clean_cached)  # deterministic, not GC-driven
     par = spark.sparkContext.defaultParallelism
-    ann = spark.sql(_CLEAN_ANN_SPARK).localCheckpoint()
+    ann = tracked_local_checkpoint(spark, spark.sql(_CLEAN_ANN_SPARK), _clean_cached)
     ann.createOrReplaceTempView("__clean_ann")
-    shing = spark.sql(_CLEAN_SHING_SPARK).repartition(par, "doc_id").localCheckpoint()
+    shing = tracked_local_checkpoint(
+        spark, spark.sql(_CLEAN_SHING_SPARK).repartition(par, "doc_id"), _clean_cached
+    )
     shing.createOrReplaceTempView("__clean_shing")
-    _clean_cached.extend([ann, shing])
     return spark.sql(_CLEAN_TAIL_SPARK)
 
 
@@ -518,8 +524,10 @@ w AS (
 tot AS (SELECT sum(sqrt_fp) AS tot_fp, count(*) AS n_sources FROM w)
 SELECT w.source, w.n_docs,
        CAST(w.sqrt_fp AS DOUBLE) / tot.tot_fp AS mix_weight,
-       CAST(w.sqrt_fp * {_MIX_BUDGET} / tot.tot_fp AS BIGINT) AS quota_docs,
-       CAST(CAST(w.sqrt_fp * {_MIX_BUDGET} / tot.tot_fp AS BIGINT) AS DOUBLE)
+       -- floor() BEFORE the cast: CAST(double AS BIGINT) truncates in
+       -- Spark but ROUNDS in DuckDB — floor makes both engines floor
+       CAST(floor(w.sqrt_fp * {_MIX_BUDGET} / tot.tot_fp) AS BIGINT) AS quota_docs,
+       CAST(CAST(floor(w.sqrt_fp * {_MIX_BUDGET} / tot.tot_fp) AS BIGINT) AS DOUBLE)
          / w.n_docs AS epochs_over_source
 FROM w CROSS JOIN tot
 """

@@ -90,7 +90,11 @@ WITH g AS (
   FROM events
 ), f AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+         -- >= (not >): Spark session_window sessions are half-open
+         -- [start, last+gap), so an event at EXACTLY last+gap starts a
+         -- NEW session; the batch sessionize operator keeps its own
+         -- (> , closed-boundary) convention and documents the difference
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
   FROM g
 ), s AS (
   SELECT user_id, ts,

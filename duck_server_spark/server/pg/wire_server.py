@@ -120,6 +120,10 @@ class Portal:
     stream: object = None
     buf: object = None  # collections.deque of pending rows
     done: bool = False
+    # Per-portal Spark job group: several portals can be suspended
+    # concurrently on one connection, and releasing one must cancel ONLY
+    # its own jobs — a shared group would kill the others' producers.
+    group: str | None = None
 
 
 class PgConnection:
@@ -134,6 +138,8 @@ class PgConnection:
         self.backend_pid = secrets.randbelow(1 << 31)
         self.secret_key = secrets.randbelow(1 << 31)
         self.job_group = f"pg-{self.backend_pid}"
+        self.active_portal_groups: set[str] = set()
+        self._portal_seq = 0
 
     # ------------------------------------------------------------ frames
 
@@ -209,7 +215,7 @@ class PgConnection:
         user = params.get("user", "")
         if not await self._auth(user):
             return False
-        self.server.backends[self.backend_pid] = (self.secret_key, self.job_group)
+        self.server.backends[self.backend_pid] = (self.secret_key, self)
         self._send(b"K", struct.pack(">ii", self.backend_pid, self.secret_key))
         for k, v in PARAMETER_STATUS.items():
             self._send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
@@ -481,7 +487,10 @@ class PgConnection:
             q = f"SELECT {collist} FROM {m.group('table')}"
         opts = (m.group("opts") or "").lower()
         as_csv = "csv" in opts
-        with_header = "header" in opts
+        # HEADER [true] enables; HEADER false/off/0 (valid PG forms)
+        # disables — a bare substring check would treat them as enabled
+        hm = re.search(r"\bheader\b(?:\s+(true|false|on|off|0|1))?", opts)
+        with_header = bool(hm) and (hm.group(1) or "true") not in ("false", "off", "0")
 
         loop = asyncio.get_running_loop()
         schema, stream = await loop.run_in_executor(
@@ -513,7 +522,8 @@ class PgConnection:
             if header is not None:
                 w.writerow(header)
             for row in rows:
-                w.writerow(["" if render_pg_text(v) is None else render_pg_text(v) for v in row])
+                cells = [render_pg_text(v) for v in row]
+                w.writerow(["" if c is None else c for c in cells])
             return buf.getvalue().encode()
 
         n = 0
@@ -633,8 +643,11 @@ class PgConnection:
 
         loop = asyncio.get_running_loop()
         if portal.stream is None:
+            self._portal_seq += 1
+            portal.group = f"{self.job_group}-p{self._portal_seq}"
+            self.active_portal_groups.add(portal.group)
             _schema, stream = await loop.run_in_executor(
-                None, lambda: self.engine.stream_batches(q, "pg", self.job_group)
+                None, lambda: self.engine.stream_batches(q, "pg", portal.group)
             )
             portal.stream = stream
             portal.buf = deque()
@@ -664,9 +677,12 @@ class PgConnection:
     def _release_portal(self, portal: Portal) -> None:
         if portal.stream is not None:
             try:
-                portal.stream.close()
+                portal.stream.close()  # cancels only THIS portal's job group
             except Exception:  # noqa: BLE001 — release must not mask errors
                 pass
+        if portal.group is not None:
+            self.active_portal_groups.discard(portal.group)
+            portal.group = None
         portal.stream = None
         portal.buf = None
         portal.done = False
@@ -675,7 +691,12 @@ class PgConnection:
         kind, rest = payload[:1], payload[1:]
         name, _ = _read_cstr(rest)
         if kind == b"S":
-            self.stmts.pop(name.decode(), None)
+            stmt = self.stmts.pop(name.decode(), None)
+            if stmt is not None:
+                # PG spec: closing a prepared statement implicitly closes
+                # any open portals constructed from it
+                for pname in [k for k, p in self.portals.items() if p.stmt is stmt]:
+                    self._release_portal(self.portals.pop(pname))
         else:
             gone = self.portals.pop(name.decode(), None)
             if gone is not None:
@@ -693,10 +714,15 @@ class PgServer:
         self._server: asyncio.AbstractServer | None = None
 
     def handle_cancel(self, pid: int, key: int) -> None:
-        """CancelRequest → job-group cancel (done correctly; quirk Q1)."""
+        """CancelRequest → job-group cancel (done correctly; quirk Q1).
+        Cancels the connection's base group AND every suspended portal's
+        group — PG cancel kills whatever that backend is running."""
         entry = self.backends.get(pid)
         if entry and entry[0] == key:
-            self.engine.cancel(entry[1])
+            conn = entry[1]
+            self.engine.cancel(conn.job_group)
+            for g in list(conn.active_portal_groups):
+                self.engine.cancel(g)
 
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter) -> None:
         await PgConnection(self, reader, writer).run()

@@ -197,6 +197,12 @@ class PgClient:
         self._send(b"c")
         return self._collect_result()
 
+    def close_stmt(self, name: str) -> None:
+        self._send(b"C", b"S" + name.encode() + b"\x00")
+
+    def close_portal(self, name: str) -> None:
+        self._send(b"C", b"P" + name.encode() + b"\x00")
+
     def copy_out(self, sql: str):
         """COPY ... TO STDOUT → (payload_str, tag). Collects CopyData
         chunks between CopyOutResponse and CopyDone."""

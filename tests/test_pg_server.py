@@ -388,3 +388,37 @@ def test_copy_table_to_stdout(pg):
     assert tag == "COPY 5"
     assert sorted(body.split()) == ["0", "1", "2", "3", "4"]
     c.terminate()
+
+
+def test_copy_to_stdout_header_false(pg):
+    """HEADER false/off must NOT emit a header line (a substring check
+    on 'header' would)."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    body, tag = c.copy_out(
+        "COPY (SELECT n_nationkey FROM nation WHERE n_nationkey < 2 "
+        "ORDER BY n_nationkey) TO STDOUT WITH (FORMAT csv, HEADER false)"
+    )
+    assert tag == "COPY 2"
+    assert body.rstrip("\n").split("\n") == ["0", "1"]
+    c.terminate()
+
+
+def test_close_statement_closes_dependent_portals(pg):
+    """PG spec: Close('S') implicitly closes portals constructed from
+    that statement — a suspended portal's stream is released and a later
+    Execute on it errors instead of resuming."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse("pcs", "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 6")
+    c.bind("pp", "pcs", [])
+    c.execute("pp", max_rows=2)
+    rows, st = c.collect_execute()
+    assert st == "suspended" and len(rows) == 2
+    c.close_stmt("pcs")
+    t, data = c.recv_message()
+    assert t == b"3"  # CloseComplete
+    c.execute("pp", max_rows=2)
+    with pytest.raises(RuntimeError, match="does not exist"):
+        c.sync_collect()
+    c.terminate()
