@@ -377,3 +377,22 @@ def test_ch_rewrites_never_touch_string_literals(lit):
     q = f"SELECT {sql_lit} AS s FROM t"
     out = rw.rewrite_ch_query(q)
     assert sql_lit in out, f"literal mangled: {q!r} -> {out!r}"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.sampled_from(list("ab'\;$-%_\n\t\"`) (")),
+        min_size=0,
+        max_size=24,
+    )
+    | st.sampled_from(["'; DROP TABLE t; --", "\\' OR 1=1 --", "$1', ('x"])
+)
+def test_render_literal_roundtrips_through_spark(spark, s):
+    """Inlined-parameter escaping safety: any string literal — quotes,
+    backslashes, injection shapes — must come back byte-identical from
+    Spark and never escape the literal (the A9 always-inline path)."""
+    from duck_server_spark.plans.rewrites import render_literal
+
+    rows = spark.sql(f"SELECT {render_literal(s)} AS v").collect()
+    assert len(rows) == 1 and rows[0]["v"] == s
