@@ -10,6 +10,7 @@ expression of the operator.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,17 +46,27 @@ def dec2(col) -> F.Column:
 DEC = "DECIMAL(18,2)"
 
 
+_CKPT_LOCK = threading.Lock()
+
+
 def tracked_local_checkpoint(spark: SparkSession, df: DataFrame, registry: list) -> DataFrame:
     """Eager localCheckpoint whose materialized RDD ids are recorded in
     `registry` so `release_checkpoints` can free their block-manager
     storage DETERMINISTICALLY. Dropping the Python references alone
     leaves cleanup to GC + the ContextCleaner — repeated invocations
     (bench loops, sweeps) would accumulate generations of stored
-    partitions until a collection happens to run."""
-    before = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
-    out = df.localCheckpoint()
-    after = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
-    registry.extend(sorted(after - before))
+    partitions until a collection happens to run.
+
+    The before/after diff of getPersistentRDDs is serialized under a
+    process-wide lock: two operators checkpointing concurrently on the
+    shared session would otherwise each capture the other's RDD ids, and
+    (because localCheckpoint truncates lineage) a cross-release would turn
+    a recompute into an unrecoverable job failure."""
+    with _CKPT_LOCK:
+        before = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint()
+        after = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+        registry.extend(sorted(after - before))
     return out
 
 

@@ -213,7 +213,18 @@ def rewrite_star_replace(q: str) -> str:
     END of the projection — DuckDB keeps them in place. Clients that
     address columns by name (every wire client here) are unaffected."""
     masked = _mask_literals(q)
-    m = _STAR_REPLACE.search(masked)
+    m = None
+    for cand in _STAR_REPLACE.finditer(masked):
+        # Only a bare or qualified select-star qualifies: the text before
+        # the '*' must end with SELECT [DISTINCT], ',', or '.' — otherwise
+        # this is multiplication by a replace() call
+        # (`SELECT a * replace(b, 'x', '') FROM t`), which must pass through.
+        before = masked[: cand.start()].rstrip()
+        if before.endswith((",", ".")) or re.search(
+            r"(?i)\bSELECT(\s+DISTINCT)?$", before
+        ):
+            m = cand
+            break
     if not m:
         return q
     i, depth = m.end(), 1

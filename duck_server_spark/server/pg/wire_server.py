@@ -615,6 +615,9 @@ class PgConnection:
     async def _execute_msg(self, payload: bytes) -> None:
         name, rest = _read_cstr(payload)
         (max_rows,) = struct.unpack(">i", rest[:4]) if len(rest) >= 4 else (0,)
+        # PostgreSQL treats non-positive maxRows as "no limit"; without the
+        # clamp a negative value would send zero rows + PortalSuspended forever.
+        max_rows = max(max_rows, 0)
         portal = self.portals.get(name.decode())
         if portal is None:
             raise ValueError(f'portal "{name.decode()}" does not exist')
@@ -710,7 +713,7 @@ class PgServer:
         self.host = host
         self.port = port
         self.require_auth = require_auth
-        self.backends: dict[int, tuple[int, str]] = {}  # pid → (secret, job_group)
+        self.backends: dict[int, tuple[int, "PgConnection"]] = {}  # pid → (secret_key, connection)
         self._server: asyncio.AbstractServer | None = None
 
     def handle_cancel(self, pid: int, key: int) -> None:

@@ -370,6 +370,22 @@ def test_star_replace_shim_shape(cols):
         assert f"upper({c}) AS {c}" in out
 
 
+def test_star_replace_ignores_multiplication_by_replace_fn():
+    """`a * replace(b, 'x', '')` is multiplication by the replace()
+    FUNCTION, not a star-projection modifier — the rewrite must not fire
+    (ADVICE r3: it used to produce invalid SQL here)."""
+    q = "SELECT a * replace(b, 'x', '') AS v FROM t"
+    assert rw.rewrite_star_replace(q) == q
+    # Still fires on genuine select-stars: bare, qualified, and list-tail.
+    for ok in (
+        "SELECT * REPLACE (upper(a) AS a) FROM t",
+        "SELECT t.* REPLACE (upper(a) AS a) FROM t",
+        "SELECT x, * REPLACE (upper(a) AS a) FROM t",
+        "SELECT DISTINCT * REPLACE (upper(a) AS a) FROM t",
+    ):
+        assert "EXCEPT (a)" in rw.rewrite_star_replace(ok)
+
+
 @settings(max_examples=100, deadline=None)
 @given(lit=_TRIGGERY | st.sampled_from(["version()", "LIMIT 1, 2", "select table"]))
 def test_ch_rewrites_never_touch_string_literals(lit):

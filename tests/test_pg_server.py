@@ -350,6 +350,21 @@ def test_portal_exhausted_at_limit_then_zero_fetch(pg):
     c.terminate()
 
 
+def test_negative_max_rows_means_no_limit(pg):
+    """A malformed negative maxRows in Execute is treated as 'no limit'
+    like PostgreSQL, not as an eternally-suspended zero-row portal
+    (ADVICE r3)."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse("pn", "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5")
+    c.bind("p3", "pn", [])
+    c.execute("p3", max_rows=-1)
+    rows, st = c.collect_execute()
+    assert st == "(5 row)" and len(rows) == 5
+    c.sync_collect()
+    c.terminate()
+
+
 def test_copy_to_stdout_text_format(pg):
     """COPY (query) TO STDOUT in PG text format: tab separators, \\N
     nulls, COPY-n tag. The reference leaves this as an unchecked TODO
