@@ -755,35 +755,39 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     release_checkpoints(spark, _mhv_cached)
-    # ONE corpus scan: base carries (doc_id, text, chash). Everything
-    # downstream derives from its stored partitions. localCheckpoint
-    # (eager) rather than persist(): it TRUNCATES the lineage, so every
-    # downstream reference physically scans the stored partitions —
-    # persist() relies on cache-plan matching, which was observed to
-    # silently miss for these multi-referenced MapInPandas lineages and
-    # recompute the whole pipeline per reference. (On a cluster,
-    # checkpoint to reliable storage for fault tolerance.)
-    base = tracked_local_checkpoint(
-        spark,
-        spark.sql("SELECT doc_id, text, xxhash64(text) AS chash FROM mhv_corpus"),
-        _mhv_cached,
-    )
-    base.createOrReplaceTempView("mhv_base")
-    # Slim doc_id->chash table for the expansion joins (referenced ~6x:
-    # pair expansion a/b, intra-group emission a/b, rep->hash mapping
-    # r1/r2). Checkpointed separately so those scans don't re-read text;
-    # derives from base storage, not a second corpus scan.
+    # TWO checkpoints, both slim — neither stores document text.
+    # (Round-3 additionally checkpointed a fat (doc_id, text, chash)
+    # `base` table; serializing the whole corpus text into the block
+    # manager cost ~1 s at sf0.1 and would be a full-corpus storage copy
+    # at 100 TB. Text-bearing references instead go straight to the
+    # column-pruned parquet scan — each is consumed exactly once, so
+    # nothing Python-side ever recomputes.)
+    #
+    # groups: doc_id -> content-hash, referenced ~7x downstream (rep-id
+    # derivation, rep->hash mapping r1/r2, pair expansion a/b, intra-group
+    # emission a/b). Eager localCheckpoint rather than persist(): it
+    # TRUNCATES the lineage, so every reference physically scans the slim
+    # stored partitions — persist() relies on cache-plan matching, which
+    # was observed to silently miss for multi-referenced view lineages and
+    # re-hash the corpus per reference. (On a cluster, checkpoint to
+    # reliable storage for fault tolerance.)
     groups = tracked_local_checkpoint(
-        spark, spark.sql("SELECT doc_id, chash FROM mhv_base"), _mhv_cached
+        spark,
+        spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus"),
+        _mhv_cached,
     )
     groups.createOrReplaceTempView("mhv_groups")
     # reps (one representative doc per content hash) stays LAZY: it is
     # consumed exactly once, as the signature stage's input inside the
-    # rep_pairs job below (one min_by group-by shuffle from base
-    # storage). Candidate text for the verify stage comes from base.
+    # rep_pairs job below — one min_by group-by shuffle straight off the
+    # corpus scan (independent of the groups checkpoint, and one shuffle
+    # cheaper than a rep-id semi-join). chash rides along so the banded
+    # pairs can emit hash pairs directly — the final query then skips the
+    # rep-id -> chash mapping joins entirely.
     reps = spark.sql("""
         SELECT chash, min(doc_id) AS doc_id, min_by(text, doc_id) AS text
-        FROM mhv_base GROUP BY chash
+        FROM (SELECT doc_id, text, xxhash64(text) AS chash FROM mhv_corpus)
+        GROUP BY chash
     """)
     reps.createOrReplaceTempView("mhv_reps")
 
@@ -797,7 +801,7 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sigs(batches):
         for pdf in batches:
-            out = {"doc_id": pdf["doc_id"]}
+            out = {"doc_id": pdf["doc_id"], "chash": pdf["chash"]}
             mins = [[] for _ in range(_NUM_HASHES)]
             for text in pdf["text"]:
                 toks = text.strip().split()
@@ -815,12 +819,19 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f"mh{j}"] = mins[j]
             yield pd.DataFrame(out)
 
-    sig_schema = "doc_id BIGINT, " + ", ".join(f"mh{j} BIGINT" for j in range(_NUM_HASHES))
-    # signatures over representatives only — dup-heavy corpora send a
-    # fraction of the rows through the Python/Arrow stage
-    reps.select("doc_id", "text").mapInPandas(sigs, sig_schema).createOrReplaceTempView(
-        "minhash_vec_sigs"
+    sig_schema = "doc_id BIGINT, chash BIGINT, " + ", ".join(
+        f"mh{j} BIGINT" for j in range(_NUM_HASHES)
     )
+    # signatures over representatives only — dup-heavy corpora send a
+    # fraction of the rows through the Python/Arrow stage. The explicit
+    # repartition before mapInPandas buys full parallelism for the
+    # Python stage: the min_by agg's output otherwise arrives in a few
+    # AQE-coalesced partitions (or the scan's small-file partitioning)
+    # and the per-doc hashing loop would run nearly single-threaded —
+    # one extra shuffle of rep text for a #cores-wide compute stage.
+    reps.select("doc_id", "chash", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(sigs, sig_schema).createOrReplaceTempView("minhash_vec_sigs")
     # Banding + candidate self-join materialized eagerly (tiny: one row
     # per colliding rep pair). Two reasons: (a) the verify stage below
     # references the candidate set three times (s1 ids, s2 ids, the pair
@@ -831,14 +842,14 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text.
     rep_pairs = spark.sql("""
 WITH banded AS (
-  SELECT doc_id, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
-                 concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
+  SELECT doc_id, chash, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
+                        concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
   FROM minhash_vec_sigs
 ),
 long AS (
-  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+  SELECT doc_id, chash, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
 )
-SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+SELECT DISTINCT a.doc_id AS id1, a.chash AS h1, b2.doc_id AS id2, b2.chash AS h2
 FROM long a JOIN long b2
   ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 """)
@@ -850,7 +861,7 @@ WITH cand_ids AS (
 ),
 rep_tok AS (
   SELECT b.doc_id, split(trim(b.text), '\\\\s+') AS toks
-  FROM mhv_base b JOIN cand_ids USING (doc_id)
+  FROM mhv_corpus b JOIN cand_ids USING (doc_id)
 ),
 shing AS (
   SELECT doc_id,
@@ -859,28 +870,21 @@ shing AS (
   FROM rep_tok
 ),
 joined AS (
-  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  SELECT id1, id2, h1, h2, s1.sh AS sh1, s2.sh AS sh2
   FROM mhv_rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
 ),
 jac AS (
-  SELECT id1, id2,
+  SELECT id1, id2, h1, h2,
          CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
   FROM joined
 ),
-rep_verified AS (SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5),
--- verified rep pair -> group-hash pair
--- rep doc_id -> content hash via the slim groups table (a rep's
--- (doc_id, chash) row is in groups like any member's)
-hash_pairs AS (
-  SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
-  FROM rep_verified v
-  JOIN mhv_groups r1 ON r1.doc_id = v.id1
-  JOIN mhv_groups r2 ON r2.doc_id = v.id2
-),
+-- verified rep pair carries its group-hash pair (no rep-id -> chash
+-- mapping joins: chash rode through the signature stage)
+rep_verified AS (SELECT h1, h2, jaccard FROM jac WHERE jaccard >= 0.5),
 -- expand: members(A) x members(B), same jaccard as the reps
 cross_pairs AS (
   SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2, hp.jaccard
-  FROM hash_pairs hp
+  FROM rep_verified hp
   JOIN mhv_groups a ON a.chash = hp.h1
   JOIN mhv_groups b ON b.chash = hp.h2
 ),
