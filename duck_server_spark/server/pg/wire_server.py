@@ -47,9 +47,11 @@ import struct
 from dataclasses import dataclass, field
 
 from duck_server_spark.engine.executor import Engine, parse_verifier
+from duck_server_spark.engine.transactions import TxnOverlay
 from duck_server_spark.engine.types import (
     coerce_text_param,
     parse_csv_cell,
+    render_pg_binary,
     render_pg_text,
     spark_type_to_pg_oid,
 )
@@ -77,12 +79,11 @@ _CREATE_USER = re.compile(
 )
 _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
-# Transaction-control statements are acked as no-ops with their proper
-# command tags: the engine is always auto-commit (Spark parquet tables
-# have no transaction protocol — SURVEY.md "What's hard" #1), but psql -1
-# and JDBC autocommit=false wrap every batch in BEGIN/COMMIT and would
-# otherwise error out. The reference gets real transactions for free
-# from embedded DuckDB; the visible wire behavior (tag acks) matches.
+# Transaction control is REAL (round 4): BEGIN opens a session-scoped
+# staged-write overlay (engine/transactions.py), COMMIT republishes the
+# shadows, ROLLBACK drops them, and ReadyForQuery reports T/I/E. The
+# reference gets the same semantics from embedded DuckDB
+# (pg_conn.go:215-272, README.md:21-22).
 _TXN_CTL = re.compile(
     r"^\s*(begin|start\s+transaction|commit|end|rollback|abort)\b[^;]*;?\s*$",
     re.IGNORECASE,
@@ -114,6 +115,11 @@ class StmtDesc:
 class Portal:
     stmt: StmtDesc
     params: list = field(default_factory=list)
+    # Bind result-format codes (PG semantics: [] = all text, [c] = c for
+    # every column, else per-column). Honored — the reference always
+    # sends text (pg_conn.go:379, message.go:449-455).
+    result_formats: list = field(default_factory=list)
+    schema: object = None  # set when the stream opens (binary needs dtypes)
     # Suspended-execution state (PG portal protocol): an open batch
     # stream plus rows already fetched but not yet sent. Execute with
     # maxRows pauses here; a re-Execute resumes. None = not started.
@@ -135,6 +141,10 @@ class PgConnection:
         self.stmts: dict[str, StmtDesc] = {}
         self.portals: dict[str, Portal] = {}
         self.in_error = False
+        # Open transaction overlay (None = autocommit). Real staged-write
+        # semantics, unlike the reference-era no-op acks — see
+        # engine/transactions.py (pg_conn.go:215-272 parity).
+        self.txn: TxnOverlay | None = None
         self.backend_pid = secrets.randbelow(1 << 31)
         self.secret_key = secrets.randbelow(1 << 31)
         self.job_group = f"pg-{self.backend_pid}"
@@ -153,20 +163,47 @@ class PgConnection:
         self.in_error = True
 
     def send_ready(self) -> None:
-        self._send(b"Z", b"I")  # always idle (reference never exposes txns)
+        # ReadyForQuery carries the real transaction status: I idle,
+        # T in transaction, E failed transaction (the reference always
+        # sends I because its engine autocommits unless the client's
+        # statements are delegated — ours tracks the overlay).
+        if self.txn is None:
+            status = b"I"
+        else:
+            status = b"E" if self.txn.status == "E" else b"T"
+        self._send(b"Z", status)
         self.in_error = False
 
-    def send_row_description(self, schema) -> None:
+    @staticmethod
+    def _col_formats(formats: list | None, ncols: int) -> list[int]:
+        """PG Bind format-code semantics: [] = all text, [c] = c for every
+        column, else exactly per-column."""
+        if not formats:
+            return [0] * ncols
+        if len(formats) == 1:
+            return formats * ncols
+        return list(formats)
+
+    def send_row_description(self, schema, formats: list | None = None) -> None:
+        fmts = self._col_formats(formats, len(schema.fields))
         buf = struct.pack(">h", len(schema.fields))
-        for f in schema.fields:
+        for f, fmt in zip(schema.fields, fmts):
             oid = spark_type_to_pg_oid(f.dataType)
             buf += f.name.encode() + b"\x00"
-            buf += struct.pack(">ihihih", 0, 0, oid, -1, -1, 0)  # text format
+            buf += struct.pack(">ihihih", 0, 0, oid, -1, -1, fmt)
         self._send(b"T", buf)
 
-    def send_data_row(self, row: tuple) -> None:
+    def send_data_row(self, row: tuple, formats: list | None = None, schema=None) -> None:
+        fmts = self._col_formats(formats, len(row)) if formats else None
         buf = struct.pack(">h", len(row))
-        for v in row:
+        for i, v in enumerate(row):
+            if fmts and fmts[i] == 1 and schema is not None:
+                b = render_pg_binary(v, schema.fields[i].dataType)
+                if b is None:
+                    buf += struct.pack(">i", -1)
+                else:
+                    buf += struct.pack(">i", len(b)) + b
+                continue
             s = render_pg_text(v)
             if s is None:
                 buf += struct.pack(">i", -1)  # NULL (pg_conn.go:403-405)
@@ -191,6 +228,14 @@ class PgConnection:
             self.server.backends.pop(self.backend_pid, None)
             for p in self.portals.values():
                 self._release_portal(p)  # suspended streams → cancel jobs
+            if self.txn is not None:
+                # disconnect mid-transaction = implicit ROLLBACK (PG
+                # semantics): drop the shadows, base tables untouched
+                txn, self.txn = self.txn, None
+                try:
+                    await asyncio.get_running_loop().run_in_executor(None, txn.rollback)
+                except Exception:  # noqa: BLE001 — cleanup must not mask close
+                    pass
             self.writer.close()
 
     async def _startup(self) -> bool:
@@ -329,6 +374,8 @@ class PgConnection:
                     self._close_msg(payload)
                 # unknown types silently skipped (message.go lazy skip)
             except Exception as e:  # noqa: BLE001 — engine errors → ErrorResponse
+                if self.txn is not None:
+                    self.txn.status = "E"  # failed transaction block
                 self.send_error(str(e).strip().split("\n")[0][:500])
             await self.writer.drain()
 
@@ -350,12 +397,31 @@ class PgConnection:
                 try:
                     await self._exec_one(q)
                 except Exception as e:  # noqa: BLE001 — abort remaining stmts
+                    if self.txn is not None:
+                        self.txn.status = "E"  # failed transaction block
                     self.send_error(str(e).strip().split("\n")[0][:500])
                     break
         finally:
             self.send_ready()
 
     async def _exec_one(self, q: str) -> None:
+        m = _TXN_CTL.match(q)
+        if m:
+            await self._txn_control(_TXN_TAGS[m.group(1).split()[0].lower()])
+            return
+        if self.txn is not None and self.txn.status == "E":
+            # aborted transaction block: everything except COMMIT/ROLLBACK
+            # is rejected until the block ends (PG error 25P02)
+            self.send_error(
+                "current transaction is aborted, commands ignored until end of transaction block",
+                "25P02",
+            )
+            return
+        if self.txn is not None:
+            # stage the DML target (first touch clones it) and redirect all
+            # staged identifiers to their shadows — runs Spark jobs, so off
+            # the event loop
+            q = await asyncio.get_running_loop().run_in_executor(None, self.txn.prepare, q)
         m = _CREATE_USER.match(q)
         if m:
             self.engine.create_user(m.group(1), m.group(2))
@@ -367,10 +433,6 @@ class PgConnection:
                 self._release_portal(p)
             self.portals.clear()
             self.send_command_complete("DISCARD ALL")
-            return
-        m = _TXN_CTL.match(q)
-        if m:
-            self.send_command_complete(_TXN_TAGS[m.group(1).split()[0].lower()])
             return
         m = _COPY_IN.match(q)
         if m:
@@ -390,6 +452,25 @@ class PgConnection:
             self.send_command_complete(tag)
             return
         await self._run_query(q, send_row_desc=True)
+
+    async def _txn_control(self, tag: str) -> None:
+        """BEGIN/COMMIT/ROLLBACK with real staged-write semantics
+        (engine/transactions.py). COMMIT of a failed transaction rolls
+        back and reports ROLLBACK, as PostgreSQL does."""
+        loop = asyncio.get_running_loop()
+        if tag == "BEGIN":
+            if self.txn is None:
+                self.txn = TxnOverlay(self.engine, self.backend_pid)
+            # BEGIN inside a transaction: PG warns and keeps the open txn
+        elif self.txn is not None:
+            txn, self.txn = self.txn, None
+            if tag == "COMMIT" and txn.status != "E":
+                await loop.run_in_executor(None, txn.commit)
+            else:
+                await loop.run_in_executor(None, txn.rollback)
+                if tag == "COMMIT":
+                    tag = "ROLLBACK"
+        self.send_command_complete(tag)
 
     async def _run_query(self, q: str, send_row_desc: bool) -> None:
         """Stream a query through a dedicated-thread batch stream: the
@@ -573,7 +654,14 @@ class PgConnection:
         if stmt is None:
             raise ValueError(f'prepared statement "{stmt_name.decode()}" does not exist')
         (nfmt,) = struct.unpack(">h", rest[:2])
-        rest = rest[2 + 2 * nfmt:]  # binary formats parsed-then-ignored (message.go:449-455)
+        param_fmts = list(struct.unpack(f">{nfmt}h", rest[2 : 2 + 2 * nfmt]))
+        rest = rest[2 + 2 * nfmt:]
+        if any(f == 1 for f in param_fmts):
+            # ParameterDescription reports OID 0 (unknown) for every
+            # param, so a binary param payload is undecodable here; a
+            # clear error beats the reference's parse-as-text garbage
+            # (message.go:449-455)
+            raise ValueError("binary parameter format not supported; send parameters as text")
         (nparams,) = struct.unpack(">h", rest[:2])
         rest = rest[2:]
         params = []
@@ -585,10 +673,16 @@ class PgConnection:
             else:
                 params.append(coerce_text_param(rest[:plen].decode()))
                 rest = rest[plen:]
+        # result-format codes: honored (binary DataRows), unlike the
+        # reference's always-text path (pg_conn.go:379)
+        result_fmts: list[int] = []
+        if len(rest) >= 2:
+            (nrfmt,) = struct.unpack(">h", rest[:2])
+            result_fmts = list(struct.unpack(f">{nrfmt}h", rest[2 : 2 + 2 * nrfmt]))
         old = self.portals.get(portal.decode())
         if old is not None:
             self._release_portal(old)  # re-Bind discards a suspended stream
-        self.portals[portal.decode()] = Portal(stmt, params)
+        self.portals[portal.decode()] = Portal(stmt, params, result_fmts)
         self._send(b"2")  # BindComplete
 
     async def _describe_msg(self, payload: bytes) -> None:
@@ -602,6 +696,8 @@ class PgConnection:
             # ParameterDescription: all OIDs 0 = unknown (pg_conn.go:334)
             self._send(b"t", struct.pack(">h", stmt.num_params) + b"\x00\x00\x00\x00" * stmt.num_params)
             probe = rewrites.params_to_null(stmt.query)  # pg_conn.go:652-656
+            if self.txn is not None and self.txn.status != "E":
+                probe = self.txn.rewrite(probe)  # read-your-writes
             schema = await loop.run_in_executor(None, lambda: self.engine.query(probe, "pg").schema)
             self.send_row_description(schema)
         else:
@@ -609,8 +705,10 @@ class PgConnection:
             if portal is None:
                 raise ValueError(f'portal "{name.decode()}" does not exist')
             q = rewrites.substitute_params(portal.stmt.query, portal.params)
+            if self.txn is not None and self.txn.status != "E":
+                q = self.txn.rewrite(q)  # read-your-writes for Describe
             schema = await loop.run_in_executor(None, lambda: self.engine.query(q, "pg").schema)
-            self.send_row_description(schema)
+            self.send_row_description(schema, portal.result_formats)
 
     async def _execute_msg(self, payload: bytes) -> None:
         name, rest = _read_cstr(payload)
@@ -622,6 +720,18 @@ class PgConnection:
         if portal is None:
             raise ValueError(f'portal "{name.decode()}" does not exist')
         q = rewrites.substitute_params(portal.stmt.query, portal.params)
+        m = _TXN_CTL.match(q)
+        if m:
+            # JDBC autocommit=false drives BEGIN/COMMIT through the
+            # extended protocol
+            await self._txn_control(_TXN_TAGS[m.group(1).split()[0].lower()])
+            return
+        if self.txn is not None and self.txn.status == "E":
+            raise ValueError(
+                "current transaction is aborted, commands ignored until end of transaction block"
+            )
+        if self.txn is not None:
+            q = await asyncio.get_running_loop().run_in_executor(None, self.txn.prepare, q)
         if _WRITE_VERB.match(q) and not q.strip().lower().startswith(("select", "with")):
             tag = await asyncio.get_running_loop().run_in_executor(
                 None, self.engine.execute, q, "pg"
@@ -649,9 +759,10 @@ class PgConnection:
             self._portal_seq += 1
             portal.group = f"{self.job_group}-p{self._portal_seq}"
             self.active_portal_groups.add(portal.group)
-            _schema, stream = await loop.run_in_executor(
+            schema, stream = await loop.run_in_executor(
                 None, lambda: self.engine.stream_batches(q, "pg", portal.group)
             )
+            portal.schema = schema  # binary result format needs the dtypes
             portal.stream = stream
             portal.buf = deque()
             portal.done = False
@@ -665,7 +776,7 @@ class PgConnection:
                         break
                     portal.buf.extend(batch)
                 while portal.buf and (max_rows == 0 or n < max_rows):
-                    self.send_data_row(portal.buf.popleft())
+                    self.send_data_row(portal.buf.popleft(), portal.result_formats, portal.schema)
                     n += 1
                 await self.writer.drain()
         except BaseException:  # engine error or client gone → release the job

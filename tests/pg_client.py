@@ -17,6 +17,7 @@ class PgClient:
         self.sock = socket.create_connection((host, port), timeout=120)
         self.backend_pid = None
         self.secret_key = None
+        self.last_ready_status = None  # ReadyForQuery txn byte: I / T / E
         self._startup(user, password)
 
     # ------------------------------------------------------------ framing
@@ -57,6 +58,7 @@ class PgClient:
             elif t == b"K":
                 self.backend_pid, self.secret_key = struct.unpack(">ii", data)
             elif t == b"Z":
+                self.last_ready_status = data[:1].decode()
                 return
             elif t == b"E":
                 raise RuntimeError(f"startup error: {data!r}")
@@ -106,6 +108,7 @@ class PgClient:
             elif t == b"I":
                 tag = "EMPTY"
             elif t == b"Z":
+                self.last_ready_status = data[:1].decode()
                 if error:
                     raise RuntimeError(error.decode(errors="replace"))
                 return columns, rows, tag
@@ -142,7 +145,9 @@ class PgClient:
     def parse(self, name: str, sql: str) -> None:
         self._send(b"P", name.encode() + b"\x00" + sql.encode() + b"\x00" + struct.pack(">h", 0))
 
-    def bind(self, portal: str, stmt: str, params: list) -> None:
+    def bind(
+        self, portal: str, stmt: str, params: list, result_formats: list | None = None
+    ) -> None:
         buf = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
         buf += struct.pack(">h", 0)  # no param format codes (all text)
         buf += struct.pack(">h", len(params))
@@ -152,8 +157,36 @@ class PgClient:
             else:
                 b = str(p).encode()
                 buf += struct.pack(">i", len(b)) + b
-        buf += struct.pack(">h", 0)  # no result format codes
+        fmts = result_formats or []
+        buf += struct.pack(">h", len(fmts)) + b"".join(struct.pack(">h", f) for f in fmts)
         self._send(b"B", buf)
+
+    def collect_execute_raw(self):
+        """Like collect_execute but keeps DataRow cells as raw bytes
+        (for binary result-format tests)."""
+        rows = []
+        while True:
+            t, data = self.recv_message()
+            if t == b"T":
+                continue
+            if t == b"D":
+                (n,) = struct.unpack(">h", data[:2])
+                vals, off = [], 2
+                for _ in range(n):
+                    (length,) = struct.unpack(">i", data[off : off + 4])
+                    off += 4
+                    if length == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(data[off : off + length])
+                        off += length
+                rows.append(tuple(vals))
+            elif t == b"s":
+                return rows, "suspended"
+            elif t == b"C":
+                return rows, data.rstrip(b"\x00").decode()
+            elif t == b"E":
+                raise RuntimeError(data.decode(errors="replace"))
 
     def describe_portal(self, portal: str) -> None:
         self._send(b"D", b"P" + portal.encode() + b"\x00")
