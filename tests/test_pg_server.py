@@ -350,6 +350,71 @@ def test_portal_exhausted_at_limit_then_zero_fetch(pg):
     c.terminate()
 
 
+def test_binary_result_format(pg):
+    """Bind result-format code 1 → binary DataRows for int4/int8/float8/
+    text/timestamp/date/bool (network-order packing). Parity-plus: the
+    reference always sends text (pg_conn.go:379) and ignores format codes
+    (message.go:449-455)."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse(
+        "pbin",
+        "SELECT CAST(7 AS INT) AS i4, CAST(-5000000000 AS BIGINT) AS i8, "
+        "CAST(2.5 AS DOUBLE) AS f8, 'héllo' AS t, "
+        "TIMESTAMP '2000-01-01 00:00:01' AS ts, DATE '2000-01-11' AS d, "
+        "TRUE AS b, CAST(NULL AS INT) AS nn",
+    )
+    c.bind("pb", "pbin", [], result_formats=[1])
+    c.describe_portal("pb")
+    c.execute("pb")
+    rows, tag = c.collect_execute_raw()
+    assert tag == "(1 row)" and len(rows) == 1
+    i4, i8, f8, t, ts, d, b, nn = rows[0]
+    assert struct.unpack(">i", i4)[0] == 7
+    assert struct.unpack(">q", i8)[0] == -5_000_000_000
+    assert struct.unpack(">d", f8)[0] == 2.5
+    assert t.decode() == "héllo"
+    assert struct.unpack(">q", ts)[0] == 1_000_000  # µs since 2000-01-01
+    assert struct.unpack(">i", d)[0] == 10  # days since 2000-01-01
+    assert b == b"\x01"
+    assert nn is None  # NULL is length -1 regardless of format
+    c.sync_collect()
+    c.terminate()
+
+
+def test_binary_mixed_per_column_formats(pg):
+    """Per-column format codes: text for col 0, binary for col 1; the
+    RowDescription from Describe reports the declared codes."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse("pmix", "SELECT 'abc' AS a, CAST(42 AS BIGINT) AS n")
+    c.bind("pm", "pmix", [], result_formats=[0, 1])
+    c.execute("pm")
+    rows, tag = c.collect_execute_raw()
+    assert tag == "(1 row)"
+    a, n = rows[0]
+    assert a == b"abc"
+    assert struct.unpack(">q", n)[0] == 42
+    c.sync_collect()
+    c.terminate()
+
+
+def test_binary_param_format_rejected(pg):
+    """Declared binary PARAMETER format gets a clear error (the reference
+    silently parses the bytes as text — message.go:449-455)."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse("pbp", "SELECT $1")
+    # param format code 1 (binary), one param
+    buf = b"pp\x00pbp\x00" + struct.pack(">hh", 1, 1) + struct.pack(">h", 1)
+    buf += struct.pack(">i", 4) + struct.pack(">i", 99)
+    buf += struct.pack(">h", 0)
+    c._send(b"B", buf)
+    with pytest.raises(RuntimeError, match="binary parameter"):
+        c.sync_collect()
+    c.terminate()
+
+
 def test_negative_max_rows_means_no_limit(pg):
     """A malformed negative maxRows in Execute is treated as 'no limit'
     like PostgreSQL, not as an eternally-suspended zero-row portal
