@@ -38,7 +38,17 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from duck_server_spark.engine import constraints as cst
 from duck_server_spark.plans import rewrites
+
+_CREATE_TABLE_VERB = re.compile(r"^\s*create\s+table\b", re.IGNORECASE)
+_DROP_TABLE = re.compile(
+    r"^\s*drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)", re.IGNORECASE
+)
+_INSERT = re.compile(
+    r"^\s*insert\s+into\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _CREATE_USER = re.compile(
     r"^\s*create\s+user\s+(\w+)\s+with\s+password\s+'([^']*)'\s*;?\s*$", re.IGNORECASE
@@ -115,6 +125,12 @@ class Engine:
         self._users_path = os.path.join(self.data_dir, "duckserver_users.json")
         self._users_lock = threading.Lock()
         self._cancel_lock = threading.Lock()
+        # PK/UNIQUE registry (the reference gets enforcement from embedded
+        # DuckDB's indexes, README.md:21-22; we validate on ingest —
+        # engine/constraints.py)
+        self.constraints = cst.ConstraintStore(
+            os.path.join(self.data_dir, "duckserver_constraints.json")
+        )
         self._bootstrap()
 
     # ------------------------------------------------------------- users
@@ -370,10 +386,67 @@ class Engine:
         if m and self._is_managed_table(m.group(1)):
             n = self._copy_on_write_delete(m.group(1), m.group(2))
             return f"DELETE {n}"
+        if _CREATE_TABLE_VERB.match(q):
+            stripped, table, found = cst.extract_constraints(q)
+            if found:
+                self.spark.sql(self._prepare_sql(stripped, dialect)).collect()
+                self.constraints.put(table, found)
+                return "CREATE TABLE"
+        m = _DROP_TABLE.match(q)
+        if m:
+            self.constraints.drop(m.group(1))  # no-op if unconstrained
+        m = _INSERT.match(q)
+        if m and self.constraints.get(m.group(1)):
+            n = self._validated_insert(m.group(1), m.group(2), m.group(3))
+            return f"INSERT 0 {n}"
         prepared = self._prepare_sql(q, dialect)
         self.spark.sql(prepared).collect()
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
+
+    def _validated_insert(self, table: str, cols_csv: str | None, source: str) -> int:
+        """INSERT into a constrained table: materialize the source once
+        (eager localCheckpoint — the validation jobs and the append must
+        see identical rows even for non-deterministic SELECT sources),
+        key-validate, then append. Nothing touches the table on violation."""
+        spark = self.spark
+        src = spark.sql(self._prepare_sql(source, "pg"))
+        full = spark.table(table).schema
+        if cols_csv:
+            names = [c.strip().strip('`"') for c in cols_csv.split(",")]
+            src = src.toDF(*names)
+            for f in full.fields:
+                if f.name not in names:
+                    src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        else:
+            src = src.toDF(*[f.name for f in full.fields])
+        src = src.select(
+            *[F.col(f.name).cast(f.dataType.simpleString()) for f in full.fields]
+        )
+        staged = src.localCheckpoint(eager=True)
+        try:
+            cst.validate_append(spark, table, staged, self.constraints.get(table))
+            n = staged.count()
+            staged.write.mode("append").saveAsTable(table)
+            return n
+        finally:
+            try:
+                staged.rdd.unpersist(False)  # release the checkpoint blocks
+            except Exception:  # noqa: BLE001 — cleanup best-effort
+                pass
+
+    def appender(self, table: str, cols: list[str] | None, **kw):
+        """BatchAppender wired with this engine's constraint validation
+        (used by the PG COPY and CH INSERT…FORMAT ingest paths)."""
+        from duck_server_spark.sources.ingest import BatchAppender
+
+        found = self.constraints.get(table)
+        validator = (
+            (lambda df: cst.validate_append(self.spark, table, df, found)) if found else None
+        )
+        return BatchAppender(
+            self.spark, table, self.spark.table(table).schema, cols, validator=validator, **kw
+        )
 
     # ------------------------------------------------------ DML rewrite
 

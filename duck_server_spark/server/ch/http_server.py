@@ -30,7 +30,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from duck_server_spark.engine.executor import Engine, verify_password
 from duck_server_spark.sources.formats import READERS, WRITERS, write_all
-from duck_server_spark.sources.ingest import BatchAppender
+from duck_server_spark.engine.errors import PgError
 
 # ch_server.go:39-41,152 classification regexes
 _INSERT_FORMAT = re.compile(r"(?i)^\s*insert\s+into\s+([\w.]+)\s*(\(([^)]*)\))?\s*format\s+(\w+)\s*", re.DOTALL)
@@ -220,7 +220,8 @@ class ChRequestHandler(BaseHTTPRequestHandler):
             self._send_text(500, f"{e}\n")
             return
         try:
-            appender = BatchAppender(self.engine.spark, table, full_schema, cols or None)
+            # engine.appender wires in PK/UNIQUE validation
+            appender = self.engine.appender(table, cols or None)
         except ValueError as e:  # unknown column in list
             self._send_text(400, f"{e}\n")
             return
@@ -235,6 +236,8 @@ class ChRequestHandler(BaseHTTPRequestHandler):
                     appender.flush()
             appender.flush()
             self._send_text(200, "")
+        except PgError as e:  # constraint violation → client error, not 500
+            self._send_text(400, f"{e} ({e.pgcode})\n")
         except Exception as e:  # noqa: BLE001
             self._send_text(500, f"{e}\n")
 

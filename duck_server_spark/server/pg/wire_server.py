@@ -56,7 +56,7 @@ from duck_server_spark.engine.types import (
     spark_type_to_pg_oid,
 )
 from duck_server_spark.plans import rewrites
-from duck_server_spark.sources.ingest import BatchAppender, CsvChunkSplitter
+from duck_server_spark.sources.ingest import CsvChunkSplitter
 
 PROTO_V3 = 196608
 SSL_REQUEST = 80877103
@@ -376,7 +376,10 @@ class PgConnection:
             except Exception as e:  # noqa: BLE001 — engine errors → ErrorResponse
                 if self.txn is not None:
                     self.txn.status = "E"  # failed transaction block
-                self.send_error(str(e).strip().split("\n")[0][:500])
+                self.send_error(
+                    str(e).strip().split("\n")[0][:500],
+                    getattr(e, "pgcode", None) or "SQL-0000",
+                )
             await self.writer.drain()
 
     # ------------------------------------------------------ simple query
@@ -399,7 +402,10 @@ class PgConnection:
                 except Exception as e:  # noqa: BLE001 — abort remaining stmts
                     if self.txn is not None:
                         self.txn.status = "E"  # failed transaction block
-                    self.send_error(str(e).strip().split("\n")[0][:500])
+                    self.send_error(
+                        str(e).strip().split("\n")[0][:500],
+                        getattr(e, "pgcode", None) or "SQL-0000",
+                    )
                     break
         finally:
             self.send_ready()
@@ -513,10 +519,10 @@ class PgConnection:
         never materializes in driver memory (Appender analogue,
         pg_conn.go:557-619).
         """
-        spark = self.engine.spark
-        full_schema = spark.table(table).schema
         cols = [c.strip().strip('"') for c in cols_csv.split(",")] if cols_csv else None
-        appender = BatchAppender(spark, table, full_schema, cols)
+        # engine.appender wires in PK/UNIQUE validation (23505 before any
+        # violating batch is appended)
+        appender = self.engine.appender(table, cols)
         schema = appender.schema
         ncols = len(schema.fields)
         # CopyInResponse: text format, per-column format codes 0

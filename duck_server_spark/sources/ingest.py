@@ -56,6 +56,7 @@ class BatchAppender:
         full_schema: T.StructType,
         cols: list[str] | None,
         batch_size: int = DEFAULT_BATCH_ROWS,
+        validator=None,
     ):
         self.spark = spark
         self.table = table
@@ -65,6 +66,10 @@ class BatchAppender:
         self.batch_size = batch_size
         self.total = 0
         self._buf: list[tuple] = []
+        # constraint check run on the full-row batch DataFrame BEFORE the
+        # append (engine/constraints.py) — raises PgError 23505/23502 and
+        # leaves the table untouched for the violating batch
+        self.validator = validator
 
     def add(self, row: tuple) -> bool:
         """Buffer one row; returns True when the batch is full (caller
@@ -89,6 +94,8 @@ class BatchAppender:
                 if f.name not in self.cols:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in self.full_schema.fields])
+        if self.validator is not None:
+            self.validator(df)
         df.write.mode("append").saveAsTable(self.table)
         self.total += len(batch)
 

@@ -1,0 +1,144 @@
+"""PK/UNIQUE enforcement on ingest (round 4).
+
+The reference rejects duplicate keys via embedded DuckDB's indexes
+(/root/reference/README.md:21-22); here CREATE TABLE constraint clauses
+are stripped-and-registered and every constrained append is key-validated
+before it lands (duck_server_spark/engine/constraints.py). Tests cover
+the DDL parser, the engine INSERT path, COPY FROM STDIN over the wire
+(ErrorResponse 23505, table unchanged), and the CH INSERT path.
+"""
+
+import shutil
+import time
+
+import pytest
+
+from duck_server_spark.engine.constraints import extract_constraints
+from duck_server_spark.engine.errors import PgError
+from duck_server_spark.engine.executor import Engine
+from duck_server_spark.server.pg.wire_server import run_threaded
+
+from tests.pg_client import PgClient
+from tests.test_pg_server import _free_port
+
+
+def test_extract_constraints_forms():
+    ddl, table, found = extract_constraints(
+        "CREATE TABLE t1 (id BIGINT PRIMARY KEY, v DOUBLE, u STRING UNIQUE) USING parquet"
+    )
+    assert table == "t1"
+    assert found == [
+        {"kind": "primary", "cols": ["id"]},
+        {"kind": "unique", "cols": ["u"]},
+    ]
+    assert "PRIMARY" not in ddl.upper() and "UNIQUE" not in ddl.upper()
+    assert "USING parquet" in ddl
+
+    ddl, table, found = extract_constraints(
+        "CREATE TABLE t2 (a INT, b INT, c STRING, PRIMARY KEY (a, b)) USING parquet"
+    )
+    assert found == [{"kind": "primary", "cols": ["a", "b"]}]
+    assert "PRIMARY" not in ddl.upper() and "c STRING" in ddl
+
+    # constraint-free DDL passes through verbatim
+    raw = "CREATE TABLE t3 (a INT) USING parquet"
+    assert extract_constraints(raw) == (raw, "t3", [])
+    # non-CREATE statements untouched
+    assert extract_constraints("SELECT 1") == ("SELECT 1", None, [])
+
+
+@pytest.fixture(scope="module")
+def cengine(spark):
+    eng = Engine(spark)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ck_t1", "ck_t2", "ck_t3", "ck_copy", "ck_ch"):
+        eng.execute(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    return eng
+
+
+def test_insert_rejects_duplicate_pk(cengine, spark):
+    cengine.execute("CREATE TABLE ck_t1 (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    tag = cengine.execute("INSERT INTO ck_t1 VALUES (1, 1.0), (2, 2.0)")
+    assert tag == "INSERT 0 2"
+    with pytest.raises(PgError) as ei:
+        cengine.execute("INSERT INTO ck_t1 VALUES (3, 3.0), (2, 9.0)")
+    assert ei.value.pgcode == "23505"
+    # table unchanged by the failed insert
+    assert sorted(r.id for r in spark.table("ck_t1").collect()) == [1, 2]
+    # intra-batch duplicate also rejected
+    with pytest.raises(PgError):
+        cengine.execute("INSERT INTO ck_t1 VALUES (7, 1.0), (7, 2.0)")
+    assert spark.table("ck_t1").count() == 2
+
+
+def test_pk_rejects_null_unique_allows_null(cengine, spark):
+    cengine.execute(
+        "CREATE TABLE ck_t2 (id BIGINT PRIMARY KEY, u STRING UNIQUE) USING parquet"
+    )
+    with pytest.raises(PgError) as ei:
+        cengine.execute("INSERT INTO ck_t2 VALUES (CAST(NULL AS BIGINT), 'x')")
+    assert ei.value.pgcode == "23502"
+    # multiple NULLs in a UNIQUE column are fine (PG semantics)
+    cengine.execute("INSERT INTO ck_t2 VALUES (1, CAST(NULL AS STRING))")
+    cengine.execute("INSERT INTO ck_t2 VALUES (2, CAST(NULL AS STRING))")
+    assert spark.table("ck_t2").count() == 2
+    with pytest.raises(PgError):
+        cengine.execute("INSERT INTO ck_t2 VALUES (3, 'dup'), (4, 'dup')")
+
+
+def test_drop_table_clears_constraints(cengine, spark):
+    cengine.execute("CREATE TABLE ck_t3 (id BIGINT PRIMARY KEY) USING parquet")
+    assert cengine.constraints.get("ck_t3")
+    cengine.execute("DROP TABLE ck_t3")
+    assert cengine.constraints.get("ck_t3") == []
+
+
+@pytest.fixture(scope="module")
+def cpg(spark, cengine):
+    port = _free_port()
+    server, _loop = run_threaded(cengine, port=port)
+    time.sleep(0.5)
+    yield ("127.0.0.1", port)
+    server.close()
+
+
+def test_copy_duplicate_key_gets_23505(cpg, cengine, spark):
+    """The verdict's done-criterion: COPY FROM STDIN with a duplicate key
+    → ErrorResponse 23505, table unchanged."""
+    host, port = cpg
+    c = PgClient(host, port)
+    c.simple_query("CREATE TABLE ck_copy (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    _, _, tag = c.copy_in("COPY ck_copy FROM STDIN WITH csv", "1,1.5\n2,2.5\n")
+    assert tag == "COPY 2"
+    before = spark.table("ck_copy").count()
+    with pytest.raises(RuntimeError, match="23505"):
+        c.copy_in("COPY ck_copy FROM STDIN WITH csv", "3,3.5\n2,9.9\n")
+    assert spark.table("ck_copy").count() == before  # nothing appended
+    c.terminate()
+
+
+def test_ch_insert_duplicate_key_400(cengine):
+    import urllib.error
+    import urllib.request
+
+    from duck_server_spark.server.ch.http_server import serve
+
+    port = _free_port()
+    server = serve(cengine, port=port)
+    time.sleep(0.3)
+    try:
+        cengine.execute("CREATE TABLE ck_ch (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+
+        def post(body: str):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/", data=body.encode(), method="POST"
+            )
+            return urllib.request.urlopen(req, timeout=60)
+
+        assert post("INSERT INTO ck_ch FORMAT CSV\n1,1.0\n2,2.0\n").status == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("INSERT INTO ck_ch FORMAT CSV\n2,9.0\n")
+        assert ei.value.code == 400 and "23505" in ei.value.read().decode()
+    finally:
+        server.shutdown()
