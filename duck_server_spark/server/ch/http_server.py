@@ -26,6 +26,7 @@ import re
 import threading
 import time
 import urllib.parse
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from duck_server_spark.engine.executor import Engine, verify_password
@@ -181,14 +182,30 @@ class ChRequestHandler(BaseHTTPRequestHandler):
             self._send_text(500, f"{e}\n")
             return
         writer = writer_factory(schema)
+        # gzip response compression when the client advertises it — a
+        # reference README TODO (README.md:105) landed here as parity-plus.
+        # Streaming: each result chunk goes through the compressor and out
+        # as a chunked-transfer frame, so memory stays O(batch).
+        use_gzip = "gzip" in (self.headers.get("Accept-Encoding") or "").lower()
         self.send_response(200)
         self.send_header("Content-Type", writer.content_type)
         self.send_header("x-clickhouse-format", fmt)  # ch_server.go:202-204
+        if use_gzip:
+            self.send_header("Content-Encoding", "gzip")
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
+        comp = zlib.compressobj(6, zlib.DEFLATED, 31) if use_gzip else None  # 31 = gzip wrapper
         try:
             for chunk in write_all(writer, rows):
+                if comp is not None:
+                    chunk = comp.compress(chunk)
+                    if not chunk:
+                        continue
                 self._write_chunk(chunk)
+            if comp is not None:
+                tail = comp.flush()
+                if tail:
+                    self._write_chunk(tail)
             self._write_chunk(b"")
         except (BrokenPipeError, ConnectionResetError):
             # client hung up mid-stream → stop the engine-side query

@@ -253,3 +253,28 @@ def test_query_from_fixture_tables(ch, spark, sf_dir):
     status, body, _ = _get(base, "SELECT count(*) AS n FROM lineitem")
     assert status == 200
     assert int(body.strip()) > 0
+
+
+def test_gzip_select_roundtrip(ch):
+    """Accept-Encoding: gzip → Content-Encoding: gzip body that
+    decompresses to the same payload, format headers intact (a reference
+    README TODO — README.md:105 — implemented here as parity-plus)."""
+    import gzip
+
+    base, _ = ch
+    q = "SELECT number AS n FROM (SELECT explode(sequence(1, 100)) AS number) FORMAT CSV"
+    url = f"{base}/?{urllib.parse.urlencode({'query': q})}"
+    # plain
+    with urllib.request.urlopen(url, timeout=120) as r:
+        plain = r.read()
+        assert "gzip" not in (r.headers.get("Content-Encoding") or "")
+    # gzipped
+    req = urllib.request.Request(url, headers={"Accept-Encoding": "gzip"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        assert r.headers.get("x-clickhouse-format") == "CSV"
+        assert "text/csv" in (r.headers.get("Content-Type") or "")
+        body = gzip.decompress(r.read())
+    assert body == plain
+    assert body.decode().splitlines()[0] == "1"
+    assert len(body.decode().splitlines()) == 100
