@@ -190,3 +190,40 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir, variant):
     }
     assert len(ivf) > 0
     assert len(ivf & brute) / len(brute) >= 0.5
+
+
+def test_ivf_recall_curve_vs_nprobe(spark, sf_dir):
+    """Multi-probe recall curve: recall@5 vs the exact top-5 must climb
+    monotonically in nprobe and reach 1.0 at nprobe=K (probing every
+    list IS exhaustive search). Measured fixture curve (spherical
+    k-means, K=16): 1→0.48, 2→0.60, 4→0.76, 8→0.96, 12+→1.00.
+
+    Why the thresholds sit where they do: the fixture embeddings are
+    near-random (mean pairwise cosine 0.002, σ 0.13, max 0.48), so a
+    query's true top-5 scatter across angular cells — no list structure
+    can concentrate them. Real embedding corpora cluster far more
+    sharply, pushing the curve left; the cost/recall tradeoff is
+    documented in SCALE.md. The spherical (angle-partitioned) trainer
+    aligns the cell metric with the cosine ranking metric; on this
+    near-random fixture it measures modestly better than euclidean cells
+    (0.96 vs 0.92 at nprobe=8) — the gap widens on corpora with real
+    angular cluster structure."""
+    brute = {
+        (r.query_id, r.cand_id)
+        for r in similarity.QUERIES["similarity_topk_bruteforce"](spark, sf_dir).collect()
+        if r.rnk <= 5
+    }
+    assert brute
+    recalls = {}
+    for nprobe in (2, 8, 16):  # 16 = _IVF_K: exhaustive
+        ivf = {
+            (r.query_id, r.cand_id)
+            for r in similarity.similarity_ann_ivf_trained(
+                spark, sf_dir, nprobe=nprobe
+            ).collect()
+        }
+        recalls[nprobe] = len(ivf & brute) / len(brute)
+    assert recalls[8] >= 0.9, f"recall@5 at nprobe=8: {recalls}"
+    assert recalls[16] == 1.0, f"nprobe=K must be exhaustive: {recalls}"
+    assert recalls[2] <= recalls[8] <= recalls[16], f"curve not monotone: {recalls}"
+    assert recalls[2] >= 0.5, f"nprobe=2 floor: {recalls}"
