@@ -52,6 +52,15 @@ def main() -> None:
     spark = get_session("scale_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # optional spot-check subset (comma-separated names) — used by the
+    # 100x two-decade step, which only runs the heaviest ops
+    only = os.environ.get("SCALE_SWEEP_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"SCALE_SWEEP_ONLY names not in queries(): {unknown}")
+        qs = {n: qs[n] for n in names}
 
     def run(fn, sf_dir: str) -> float:
         t0 = time.time()
