@@ -592,10 +592,12 @@ class _BatchStream:
             if self._job_group:
                 sc.setLocalProperty("spark.jobGroup.id", None)
 
-    def next_batch(self) -> list[tuple] | None:
+    def next_batch(self, timeout: float | None = None) -> list[tuple] | None:
         """Blocking: → batch of row tuples, or None at EOF. Re-raises
-        producer exceptions (incl. job-group cancellation)."""
-        item = self._queue.get()
+        producer exceptions (incl. job-group cancellation). With a
+        timeout, raises queue.Empty so the caller can poll liveness
+        (e.g. client-disconnect detection) while the query computes."""
+        item = self._queue.get(timeout=timeout)
         if isinstance(item, BaseException):
             raise item
         if item is None:

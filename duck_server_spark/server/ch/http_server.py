@@ -30,7 +30,7 @@ import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from duck_server_spark.engine.executor import Engine, verify_password
-from duck_server_spark.sources.formats import READERS, WRITERS, write_all
+from duck_server_spark.sources.formats import READERS, WRITERS
 from duck_server_spark.engine.errors import PgError
 
 # ch_server.go:39-41,152 classification regexes
@@ -177,7 +177,9 @@ class ChRequestHandler(BaseHTTPRequestHandler):
 
         job_group = f"ch-{secrets.token_hex(8)}"
         try:
-            schema, rows = self.engine.stream(query, dialect="ch", job_group=job_group)
+            schema, stream = self.engine.stream_batches(
+                query, dialect="ch", job_group=job_group
+            )
         except Exception as e:  # noqa: BLE001 — ch_server.go:183-185
             self._send_text(500, f"{e}\n")
             return
@@ -195,13 +197,38 @@ class ChRequestHandler(BaseHTTPRequestHandler):
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
         comp = zlib.compressobj(6, zlib.DEFLATED, 31) if use_gzip else None  # 31 = gzip wrapper
+
+        def emit(chunk: bytes) -> None:
+            if comp is not None:
+                chunk = comp.compress(chunk)
+                if not chunk:
+                    return
+            self._write_chunk(chunk)
+
+        # A long-running query never writes, so a write failure can't be
+        # the only disconnect signal: poll the socket between queue waits
+        # and cancel the engine-side jobs the moment the client hangs up —
+        # parity with the reference's per-request context propagation
+        # (ch_server.go:316-324, ctx cancelled on connection close).
+        import queue as queuelib
+
         try:
-            for chunk in write_all(writer, rows):
-                if comp is not None:
-                    chunk = comp.compress(chunk)
-                    if not chunk:
-                        continue
-                self._write_chunk(chunk)
+            header = writer.header()
+            if header:
+                emit(header)
+            while True:
+                try:
+                    batch = stream.next_batch(timeout=0.25)
+                except queuelib.Empty:
+                    if self._client_disconnected():
+                        self.engine.cancel(job_group)
+                        self.close_connection = True
+                        return
+                    continue
+                if batch is None:
+                    break
+                for row in batch:
+                    emit(writer.write_row(row))
             if comp is not None:
                 tail = comp.flush()
                 if tail:
@@ -211,6 +238,25 @@ class ChRequestHandler(BaseHTTPRequestHandler):
             # client hung up mid-stream → stop the engine-side query
             self.engine.cancel(job_group)
             self.close_connection = True
+        finally:
+            stream.close()  # idempotent; cancels only if still running
+
+    def _client_disconnected(self) -> bool:
+        """True iff the client socket is readable with EOF (orderly close)
+        or errored. Readable-with-data means a pipelined next request —
+        the client is alive, keep streaming."""
+        import select as selectlib
+        import socket as socketlib
+
+        try:
+            r, _, x = selectlib.select([self.connection], [], [self.connection], 0)
+            if x:
+                return True
+            if not r:
+                return False
+            return self.connection.recv(1, socketlib.MSG_PEEK) == b""
+        except OSError:
+            return True
 
     def _write_chunk(self, data: bytes) -> None:
         self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
