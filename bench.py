@@ -70,12 +70,19 @@ def main() -> None:
     run(queries["tpch_q1_pricing_summary"](spark, SF_DIR))
     run(queries["dedup_minhash_vectorized"](spark, SF_DIR))
 
+    # min-of-2 per query: this VM class shows bursty CPU steal (single
+    # queries randomly 3-10x their median), so one-shot wall times are
+    # dominated by host noise, not the plan. The scale sweep uses the
+    # same rule for the same reason (tools/scale_sweep.py).
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        run(fn(spark, SF_DIR))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -90,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf_val,
+                "method": "min_of_2",
             }
         )
     )
