@@ -41,6 +41,9 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    # round 4: new operators first
+    "dedup_bloom_incremental",
+    "sample_dsir_importance",
     # round 3: new operators + fixed / newly oracle-twinned /
     # output-shape-changed queries first
     "text_unigram_score",

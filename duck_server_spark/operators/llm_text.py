@@ -1161,3 +1161,74 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_winnowing_fingerprints"] = text_winnowing_fingerprints
 ORACLE["text_winnowing_fingerprints"] = WINNOW_DUCK
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed unigram features)
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score each raw document by how much its hashed-n-gram feature mass
+# looks like a small TARGET corpus (here: the English slice standing in
+# for "curated high-quality"), then keep the top-scoring docs. Features
+# are unigrams hashed into _DSIR_BUCKETS buckets (the paper's hashed
+# generative model); the importance surrogate is the exact rational
+# (sum of per-token target-bucket counts + 1-smoothing) / (sum of raw
+# bucket counts) — integer sums with ONE final double division, so both
+# engines round identically (the repo's no-float-log discipline; swap
+# the final expression for a log-likelihood sum at deployment if score
+# calibration matters more than bit-stable gates).
+#
+# Scale shape: bucket-count tables are <= _DSIR_BUCKETS rows -> both
+# joins broadcast; the token explode is linear in corpus tokens with the
+# doc_id groupBy as the single data-sized shuffle; selection is a
+# TakeOrderedAndProject top-k, never a global sort.
+
+_DSIR_BUCKETS = 4096
+_DSIR_KEEP = 100
+
+# md5-derived bucket (cross-engine; hash() differs between engines)
+_DSIR_B_SPARK = (
+    f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+_DSIR_B_DUCK = f"('0x' || substring(md5(term), 1, 8))::BIGINT % {_DSIR_BUCKETS}"
+
+_DSIR_BODY = f"""
+feat AS (SELECT doc_id, lang, {{bucket}} AS b FROM toks),
+tcnt AS (SELECT b, count(*) AS tc FROM feat WHERE lang = 'en' GROUP BY b),
+rcnt AS (SELECT b, count(*) AS rc FROM feat GROUP BY b),
+scored AS (
+  SELECT f.doc_id,
+         CAST(SUM(coalesce(t.tc, 0) + 1) AS BIGINT) AS target_mass,
+         CAST(SUM(r.rc + 1) AS BIGINT) AS raw_mass
+  FROM feat f
+  LEFT JOIN tcnt t ON f.b = t.b
+  JOIN rcnt r ON f.b = r.b
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id, d.lang, d.source, s.target_mass, s.raw_mass,
+       CAST(s.target_mass AS DOUBLE) / s.raw_mass AS importance
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY importance DESC, d.doc_id ASC
+LIMIT {_DSIR_KEEP}
+"""
+
+DSIR_SPARK = (
+    f"WITH toks AS (SELECT doc_id, lang, explode({_TOKS}) AS term FROM documents),\n"
+    + _DSIR_BODY.format(bucket=_DSIR_B_SPARK)
+)
+
+DSIR_DUCK = (
+    f"WITH toks AS (SELECT doc_id, lang, unnest({_TOKS_DUCK}) AS term FROM documents),\n"
+    + _DSIR_BODY.format(bucket=_DSIR_B_DUCK)
+)
+
+
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(DSIR_SPARK)
+
+
+QUERIES["sample_dsir_importance"] = sample_dsir_importance
+ORACLE["sample_dsir_importance"] = DSIR_DUCK
