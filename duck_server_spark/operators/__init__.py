@@ -44,6 +44,10 @@ _PRIORITY = [
     # round 4: new operators first
     "dedup_bloom_incremental",
     "sample_dsir_importance",
+    "streaming_dedup_watermark",
+    "dedup_substring_spans",
+    "pipeline_length_buckets",
+    "dedup_canonical_docs",
     # round 3: new operators + fixed / newly oracle-twinned /
     # output-shape-changed queries first
     "text_unigram_score",

@@ -1128,3 +1128,118 @@ WHERE text NOT IN (SELECT text FROM documents)
 
 QUERIES["dedup_bloom_incremental"] = dedup_bloom_incremental
 ORACLE["dedup_bloom_incremental"] = DEDUP_BLOOM_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring inventory (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the EXACT-substring
+# counterpart to the sampled winnowing fingerprints in llm_text.py)
+# ---------------------------------------------------------------------------
+# Every k-token window of every document, grouped by the span TEXT
+# itself (no hash, no collisions — exact by definition), keeping spans
+# that appear in >= 2 distinct documents. The span inventory is
+# Θ(total tokens) rows (linear — stride-1 windows, k tokens each, NOT
+# doc×doc), one shuffle on the span key with map-side combine, top-k
+# via TakeOrderedAndProject. The paper's suffix-array build is the
+# constant-factor upgrade at 100 TB (k-token payloads shrink to integer
+# ranks); the relational shape — inventory, group, threshold — is the
+# same.
+
+_SUBSTR_K = 8
+_SUBSTR_TOPK = 50
+
+_SUBSTR_BODY = f"""
+spanned AS (
+  SELECT doc_id, span FROM spans WHERE size_ok
+),
+dup AS (
+  SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+  FROM spanned
+  GROUP BY span
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT span, n_docs, n_occ
+FROM dup
+ORDER BY n_docs DESC, n_occ DESC, span ASC
+LIMIT {_SUBSTR_TOPK}
+"""
+
+DEDUP_SUBSTRING_SPARK = f"""
+WITH corpus AS ({_CORPUS}),
+tok AS (SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM corpus),
+spans AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, greatest(size(toks) - {_SUBSTR_K - 1}, 1)),
+                           i -> concat_ws(' ', slice(toks, i, {_SUBSTR_K})))) AS span,
+         size(toks) >= {_SUBSTR_K} AS size_ok
+  FROM tok
+),
+{_SUBSTR_BODY}
+"""
+
+DEDUP_SUBSTRING_DUCK = rf"""
+WITH corpus AS ({_CORPUS}),
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - {_SUBSTR_K - 1}, 1) + 1),
+                               i -> array_to_string(toks[i:i+{_SUBSTR_K - 1}], ' '))) AS span,
+         len(toks) >= {_SUBSTR_K} AS size_ok
+  FROM tok
+),
+{_SUBSTR_BODY}
+"""
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(DEDUP_SUBSTRING_SPARK)
+
+
+QUERIES["dedup_substring_spans"] = dedup_substring_spans
+ORACLE["dedup_substring_spans"] = DEDUP_SUBSTRING_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection per duplicate cluster
+# ---------------------------------------------------------------------------
+# After dedup finds clusters, something must pick WHICH copy survives —
+# the canonical-selection pass every training-data pipeline runs (keep
+# the longest / highest-quality member, drop the rest). Clusters here
+# are the exact-dup groups (md5(text) over the injected corpus); the
+# keeper is the longest text with doc_id as the deterministic
+# tie-break. One hash-agg shuffle to form clusters; ranking is a window
+# over cluster keys — high-cardinality partition keys, no global sort.
+
+_CANON_BODY = """
+clustered AS (
+  SELECT doc_id, h, length(text) AS n_len,
+         count(*) OVER (PARTITION BY h) AS n_members,
+         row_number() OVER (PARTITION BY h ORDER BY length(text) DESC, doc_id ASC) AS rk
+  FROM hashed
+)
+SELECT h, doc_id AS canonical_id, n_members, CAST(n_len AS BIGINT) AS canonical_len
+FROM clustered
+WHERE rk = 1 AND n_members > 1
+"""
+
+DEDUP_CANONICAL_SPARK = f"""
+WITH corpus AS ({_CORPUS}),
+hashed AS (SELECT doc_id, text, md5(text) AS h FROM corpus),
+{_CANON_BODY}
+"""
+
+DEDUP_CANONICAL_DUCK = f"""
+WITH corpus AS ({_CORPUS}),
+hashed AS (SELECT doc_id, text, md5(text) AS h FROM corpus),
+{_CANON_BODY}
+"""
+
+
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(DEDUP_CANONICAL_SPARK)
+
+
+QUERIES["dedup_canonical_docs"] = dedup_canonical_docs
+ORACLE["dedup_canonical_docs"] = DEDUP_CANONICAL_DUCK

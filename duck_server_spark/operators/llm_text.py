@@ -493,8 +493,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from ONE equi-join keyed on the n-gram string — never
     a doc×doc comparison — and overlap counting is a grouped count on the
     (train, eval) pair. The eval side (a benchmark suite) is tiny, so
-    the join broadcasts; stop-gram blocking (drop n-grams appearing in
-    >0.1% of train docs) caps key skew at corpus scale.
+    the join broadcasts. Stop-gram blocking drops n-grams appearing in
+    > 2% of train docs BEFORE the join: a gram that common is
+    boilerplate, not contamination signal, and it is exactly the hot key
+    whose train-df × eval-df fan-out otherwise blows the join up (the
+    100× sweep measured 234× before this cap landed). The threshold is
+    corpus-relative (df·50 <= n_train, integer compare) so it needs no
+    retuning as the corpus grows; the df semi-join shuffles on the same
+    gram key as the pair join. NOTE for replicated-fixture sweeps: under
+    K× verbatim replication the true pair OUTPUT is itself K² (every
+    replica of t pairs every replica of e), so the sweep ratio tracks
+    output growth, not plan inefficiency — annotated expected-superlinear
+    in tools/scale_sweep.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.selectExpr("doc_id", "source", f"{_TOKS} AS toks").selectExpr(
@@ -506,9 +516,17 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ELSE array() END)) AS gram""",
     )
     train = grams.where(f"source <> '{_EVAL_SOURCE}'").selectExpr("doc_id AS train_doc", "gram")
+    n_train = docs.where(f"source <> '{_EVAL_SOURCE}'").count()
+    keep = (
+        train.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") * 50 <= F.lit(n_train))
+        .select("gram")
+    )
     ev = grams.where(f"source = '{_EVAL_SOURCE}'").selectExpr("doc_id AS eval_doc", "gram")
     return (
-        train.join(F.broadcast(ev), "gram")
+        train.join(keep, "gram")
+        .join(F.broadcast(ev), "gram")
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(f"shared_ngrams >= {_CONTAM_MIN}")
@@ -523,8 +541,14 @@ WITH grams AS (
              i -> {" || ' ' || ".join(f'{_TOKS_DUCK}[i + {j}]' for j in range(_CONTAM_N))}))) AS gram
   FROM documents
 )
+, keep AS (
+  SELECT gram FROM grams
+  WHERE source <> '{_EVAL_SOURCE}'
+  GROUP BY gram
+  HAVING count(*) * 50 <= (SELECT count(*) FROM documents WHERE source <> '{_EVAL_SOURCE}')
+)
 SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS shared_ngrams
-FROM grams t JOIN grams e ON t.gram = e.gram
+FROM grams t JOIN keep k ON t.gram = k.gram JOIN grams e ON t.gram = e.gram
 WHERE t.source <> '{_EVAL_SOURCE}' AND e.source = '{_EVAL_SOURCE}'
 GROUP BY t.doc_id, e.doc_id
 HAVING count(*) >= {_CONTAM_MIN}

@@ -603,3 +603,54 @@ ZORDER_DUCK = _zorder_sql(_z_expr_duck("bx", "by"))
 
 QUERIES["zorder_layout"] = _sql(ZORDER_SPARK)
 ORACLE["zorder_layout"] = ZORDER_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Context-length bucketing (packing-efficiency planning)
+# ---------------------------------------------------------------------------
+# Bucket every document into the power-of-2 context bin its token count
+# needs and report per-bin doc counts, token mass, and fill efficiency —
+# the report a sequence-packing planner reads to pick context lengths
+# and batch shapes. Pure scan-side integer CASE ladder (codegen, zero
+# Python), one groupBy on <= 6 bin keys with map-side combine; fill_pct
+# is the single exact-integer division. Linear at any corpus size.
+
+_LB_LADDER = """CASE WHEN n_tok <= 16 THEN 16
+                     WHEN n_tok <= 32 THEN 32
+                     WHEN n_tok <= 64 THEN 64
+                     WHEN n_tok <= 128 THEN 128
+                     WHEN n_tok <= 256 THEN 256
+                     WHEN n_tok <= 512 THEN 512
+                     WHEN n_tok <= 1024 THEN 1024
+                     WHEN n_tok <= 2048 THEN 2048
+                     ELSE 4096 END"""
+
+_LB_BODY = f"""
+binned AS (
+  SELECT {_LB_LADDER} AS bucket, n_tok FROM counted
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS token_mass,
+       CAST(sum(n_tok) AS DOUBLE) / (count(*) * bucket) AS fill_pct
+FROM binned
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+LENGTH_BUCKETS_SPARK = f"""
+WITH counted AS (
+  SELECT size(split(trim(text), '\\\\s+')) AS n_tok FROM documents
+),
+{_LB_BODY}
+"""
+
+LENGTH_BUCKETS_DUCK = rf"""
+WITH counted AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tok FROM documents
+),
+{_LB_BODY}
+"""
+
+QUERIES["pipeline_length_buckets"] = _sql(LENGTH_BUCKETS_SPARK)
+ORACLE["pipeline_length_buckets"] = LENGTH_BUCKETS_DUCK

@@ -169,11 +169,59 @@ GROUP BY user_id
 """
 
 
+_DUP_STAGED: dict[tuple[int, str], str] = {}
+
+
+def _events_dup_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events with exact-duplicate rows injected (every 10th event_id is
+    replayed verbatim in a second file) — the at-least-once-delivery
+    input shape streaming dedup exists for. Duplicates are byte-identical
+    full rows, so whichever copy the state store keeps, output is
+    deterministic and the batch DISTINCT oracle applies exactly."""
+    key = (id(spark), sf_dir)
+    hit = _DUP_STAGED.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    path = tempfile.mkdtemp(prefix="events_dup_stream_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    ev.where("event_id % 10 = 0").repartition(1).write.mode("append").parquet(path)
+    _DUP_STAGED[key] = path
+    return path
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming deduplication (dropDuplicates on
+    event_id through the streaming state store): exactly-once emission
+    per key with O(keys within the watermark) state — the ingest-dedup
+    front of every at-least-once pipeline. Replayed bounded over the
+    duplicate-injected stage; oracle = batch row set of the unique
+    events (duplicates are exact row copies)."""
+    stream = sw.read_events_stream(spark, _events_dup_stream_dir(spark, sf_dir))
+    _SINK_SEQ[0] += 1
+    name = f"__stream_oracle_sink_dedup_{_SINK_SEQ[0]}"
+    out = sw.run_to_memory_sink(
+        spark, sw.stream_dedup(stream, watermark="60 days"), name, output_mode="append"
+    )
+    return out.selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        "CAST(floor(value * 100) AS BIGINT) AS value_cents",
+    )
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM events
+"""
+
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_running_totals": streaming_running_totals,
+    "streaming_dedup_watermark": streaming_dedup_watermark,
 }
 
 ORACLE = {
@@ -181,4 +229,5 @@ ORACLE = {
     "streaming_session_windows": STREAMING_SESSIONS_ORACLE,
     "streaming_click_attribution": STREAMING_CLICK_ATTR_ORACLE,
     "streaming_running_totals": STREAMING_RUNNING_TOTALS_ORACLE,
+    "streaming_dedup_watermark": STREAMING_DEDUP_ORACLE,
 }

@@ -38,6 +38,12 @@ EXPECTED_SUPERLINEAR = {
     # in the input (sweeps measure 26-41x runtime, run-to-run noisy
     # because output-dominated, against ~1000x triangle output).
     "graph_triangles",
+    # contaminated-pair OUTPUT is itself K² under K× verbatim-replica
+    # fixtures (every replica of a train doc pairs every replica of an
+    # eval doc); at organic growth pairs grow ~linearly. The 2% stop-gram
+    # df-cap (llm_text.py contamination_check) bounds the per-gram join
+    # fan-out either way.
+    "contamination_check",
 }
 
 
