@@ -152,6 +152,28 @@ CHECKS = {
         ("z-bucket profile is one map-side-combined aggregate", r"HashAggregate"),
         ("bit-interleave under whole-stage codegen", r"WholeStageCodegen"),
     ],
+    "dedup_bloom_incremental": [
+        ("bloom bitmap broadcast onto the new batch", r"BroadcastHashJoin"),
+        ("bloom build/test via Arrow batches, not per-row", r"MapInPandas"),
+    ],
+    "sample_dsir_importance": [
+        ("target/raw feature tables broadcast onto the corpus", r"BroadcastHashJoin"),
+        ("hashed-ngram counts map-side combined", r"HashAggregate"),
+        ("resample report is a global top-k", r"TakeOrderedAndProject"),
+    ],
+    "dedup_substring_spans": [
+        ("span inventory via explode (Generate), linear in tokens", r"Generate"),
+        ("span dup counts map-side combined", r"HashAggregate"),
+        ("top spans via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ],
+    "dedup_canonical_docs": [
+        ("cluster ranking is a per-cluster window", r"Window"),
+        ("rk=1 pushed into the sort (WindowGroupLimit)", r"WindowGroupLimit"),
+    ],
+    "pipeline_length_buckets": [
+        ("bucket profile map-side combined", r"HashAggregate"),
+        ("CASE ladder under whole-stage codegen", r"WholeStageCodegen"),
+    ],
 }
 
 FORBIDDEN = {
@@ -166,6 +188,12 @@ FORBIDDEN = {
     "doc_chunking": [("no shuffle anywhere", r"Exchange"), ("no join", r"Join")],
     "text_oov_rate": [("corpus side never shuffles on doc_id", r"hashpartitioning\(doc_id")],
     "text_cooccurrence_lift": [("no cartesian pair explosion", r"CartesianProduct")],
+    "dedup_bloom_incremental": [("no cartesian product", r"CartesianProduct")],
+    "dedup_substring_spans": [
+        ("no join anywhere — span inventory is scan+explode only", r"Join"),
+        ("no cartesian product", r"CartesianProduct"),
+    ],
+    "pipeline_length_buckets": [("no join", r"Join"), ("no explode", r"Generate")],
 }
 
 
