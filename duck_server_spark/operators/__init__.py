@@ -48,6 +48,9 @@ _PRIORITY = [
     "dedup_substring_spans",
     "pipeline_length_buckets",
     "dedup_canonical_docs",
+    "dedup_semantic_clusters",
+    "pipeline_global_shuffle",
+    "text_tokenizer_fertility",
     # round 3: new operators + fixed / newly oracle-twinned /
     # output-shape-changed queries first
     "text_unigram_score",

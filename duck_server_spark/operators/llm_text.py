@@ -1256,3 +1256,63 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sample_dsir_importance"] = sample_dsir_importance
 ORACLE["sample_dsir_importance"] = DSIR_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility / compression report per source
+# ---------------------------------------------------------------------------
+# The tokenizer-planning report: words, BPE-ish subword tokens, and
+# UTF-8 bytes per source, with fertility (subwords per word) and
+# bytes-per-token compression — the numbers that size a token budget
+# and flag sources a tokenizer segments poorly. Pure scan-side counting
+# under codegen, one aggregation onto |sources| keys with map-side
+# combine; the two ratios are single exact-integer divisions (bit-equal
+# across engines). Linear at any corpus size.
+
+TOKENIZER_FERTILITY_SPARK = f"""
+WITH counted AS (
+  SELECT source,
+         size({_TOKS}) AS n_ws,
+         size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS n_bpe,
+         octet_length(text) AS n_bytes
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_subwords,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) AS fertility,
+       CAST(sum(n_bytes) AS DOUBLE) / sum(n_bpe) AS bytes_per_token
+FROM counted
+GROUP BY source
+"""
+
+TOKENIZER_FERTILITY_DUCK = rf"""
+WITH counted AS (
+  SELECT source,
+         len({_TOKS_DUCK}) AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_subwords,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) AS fertility,
+       CAST(sum(n_bytes) AS DOUBLE) / sum(n_bpe) AS bytes_per_token
+FROM counted
+GROUP BY source
+"""
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TOKENIZER_FERTILITY_SPARK)
+
+
+QUERIES["text_tokenizer_fertility"] = text_tokenizer_fertility
+ORACLE["text_tokenizer_fertility"] = TOKENIZER_FERTILITY_DUCK

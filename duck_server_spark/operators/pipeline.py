@@ -654,3 +654,35 @@ WITH counted AS (
 
 QUERIES["pipeline_length_buckets"] = _sql(LENGTH_BUCKETS_SPARK)
 ORACLE["pipeline_length_buckets"] = LENGTH_BUCKETS_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle
+# ---------------------------------------------------------------------------
+# Training wants the corpus in a pseudorandom order that is REPRODUCIBLE
+# (same seed -> same epoch order) and emitted as N independent shards a
+# data loader can stream. A true global ORDER BY rand() is neither — and
+# a global sort funnels through range partitioning. Here each doc gets a
+# Knuth multiplicative-hash order key (pure integer arithmetic, portable
+# across engines), the shard is the key's low bits, and position is a
+# per-shard window — ONE shuffle on 32 shard keys, per-shard local sort,
+# no global sort node. At 100 TB: shards = files; each task sorts only
+# its shard partition; changing the seed constant reshuffles every epoch.
+
+_GS_SHARDS = 32
+
+GLOBAL_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ord_key
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, ord_key, CAST(ord_key % {_GS_SHARDS} AS INT) AS shard FROM keyed
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY ord_key ASC, doc_id ASC) AS pos
+FROM sharded
+"""
+
+QUERIES["pipeline_global_shuffle"] = _sql(GLOBAL_SHUFFLE_SQL)
+ORACLE["pipeline_global_shuffle"] = GLOBAL_SHUFFLE_SQL

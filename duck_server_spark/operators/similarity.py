@@ -499,3 +499,115 @@ GROUP BY label
 
 QUERIES["embedding_quantization"] = _sql(EMBED_QUANT_SPARK)
 ORACLE["embedding_quantization"] = EMBED_QUANT_DUCK
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+# Embedding-space dedup at corpus scale: coarse k-means cells (the IVF
+# quantizer above) give the first blocking level, an 8-bit sign-LSH
+# bucket the second, and pairwise cosine runs ONLY inside a
+# (centroid_id, bucket) block — never corpus². Pairs at cosine >= tau mark the
+# higher vec_id as a drop, keeping the strongest keeper per dropped
+# vector (deterministic cosine-then-id tie-break). Scale story: at
+# 100 TB the pair space is sum(block²); K scales with the corpus (the
+# paper uses ~100k clusters for billions of docs) and the sign bucket
+# subdivides every cell by 256, so blocks stay bounded — the same
+# two-level candidate discipline as dedup_minhash_lsh's bands. Both
+# blocking joins are equi-joins on (centroid_id, bucket); assignment
+# reuses the broadcast-centroids + min_by-aggregation plan audited for
+# similarity_ann_ivf.
+
+# The raw fixture has no near-dup vector pairs (verified: zero pairs at
+# cosine >= 0.5), so SemDeDup runs over the same injected near-dup
+# corpus the dedup.py embedding op uses: every 10th vector re-appears
+# with its first component overwritten (vec_id + 1_000_000).
+_SEM_CORPUS_S = """
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         concat(array(CAST(0.5 AS FLOAT)), slice(embedding, 2, size(embedding) - 1)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_SEM_CORPUS_D = """
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_concat([CAST(0.5 AS FLOAT)], list_slice(embedding, 2, len(embedding))) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_SEM_TAU = 0.85
+
+SEM_DEDUP_SPARK = f"""
+WITH raw AS ({_SEM_CORPUS_S}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
+         transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM raw WHERE vec_id % 3 = 0 AND vec_id < 1000000 ORDER BY vec_id LIMIT {_IVF_K})
+),
+corpus_scored AS (
+  SELECT e.vec_id, t.centroid_id, {_IVF_DIST_S} AS d2
+  FROM raw e CROSS JOIN cents t
+),
+assign AS (
+  SELECT vec_id, min_by(centroid_id, struct(d2, centroid_id)) AS centroid_id
+  FROM corpus_scored GROUP BY vec_id
+),
+members AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id, {_BUCKET_S.format('e')} AS bucket
+  FROM raw e JOIN assign a ON e.vec_id = a.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS drop_id, c.vec_id AS keep_id, q.centroid_id, {_COS_S} AS cosine
+  FROM members q JOIN members c
+    ON q.centroid_id = c.centroid_id AND q.bucket = c.bucket AND q.vec_id > c.vec_id
+),
+ranked AS (
+  SELECT drop_id, keep_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS rnk
+  FROM scored WHERE cosine >= {_SEM_TAU}
+)
+SELECT drop_id AS vec_id, keep_id AS kept_by, centroid_id, cosine
+FROM ranked WHERE rnk = 1
+"""
+
+SEM_DEDUP_DUCK = f"""
+WITH raw AS ({_SEM_CORPUS_D}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM raw WHERE vec_id % 3 = 0 AND vec_id < 1000000 ORDER BY vec_id LIMIT {_IVF_K})
+),
+corpus_scored AS (
+  SELECT e.vec_id, t.centroid_id, {_IVF_DIST_D} AS d2
+  FROM raw e CROSS JOIN cents t
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS arnk
+    FROM corpus_scored
+  ) WHERE arnk = 1
+),
+members AS (
+  SELECT e.vec_id, e.embedding, a.centroid_id, {_BUCKET_D.format('e')} AS bucket
+  FROM raw e JOIN assign a ON e.vec_id = a.vec_id
+),
+scored AS (
+  SELECT q.vec_id AS drop_id, c.vec_id AS keep_id, q.centroid_id, {_COS_D} AS cosine
+  FROM members q JOIN members c
+    ON q.centroid_id = c.centroid_id AND q.bucket = c.bucket AND q.vec_id > c.vec_id
+),
+ranked AS (
+  SELECT drop_id, keep_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS rnk
+  FROM scored WHERE cosine >= {_SEM_TAU}
+)
+SELECT drop_id AS vec_id, keep_id AS kept_by, centroid_id, cosine
+FROM ranked WHERE rnk = 1
+"""
+
+QUERIES["dedup_semantic_clusters"] = _sql(SEM_DEDUP_SPARK)
+ORACLE["dedup_semantic_clusters"] = SEM_DEDUP_DUCK

@@ -174,6 +174,19 @@ CHECKS = {
         ("bucket profile map-side combined", r"HashAggregate"),
         ("CASE ladder under whole-stage codegen", r"WholeStageCodegen"),
     ],
+    "dedup_semantic_clusters": [
+        ("centroid table broadcast for assignment", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("block pair join is an equi-join", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+        ("keep-strongest pushed into the sort (WindowGroupLimit)", r"WindowGroupLimit"),
+    ],
+    "pipeline_global_shuffle": [
+        ("per-shard position via window", r"Window"),
+        ("one hash shuffle on shard keys", r"hashpartitioning\(shard"),
+    ],
+    "text_tokenizer_fertility": [
+        ("per-source counters map-side combined", r"HashAggregate"),
+        ("tokenize+count under whole-stage codegen", r"WholeStageCodegen"),
+    ],
 }
 
 FORBIDDEN = {
@@ -194,6 +207,12 @@ FORBIDDEN = {
         ("no cartesian product", r"CartesianProduct"),
     ],
     "pipeline_length_buckets": [("no join", r"Join"), ("no explode", r"Generate")],
+    "dedup_semantic_clusters": [("no cartesian product", r"CartesianProduct")],
+    "pipeline_global_shuffle": [
+        ("no global range sort", r"rangepartitioning"),
+        ("no join", r"Join"),
+    ],
+    "text_tokenizer_fertility": [("no join", r"Join"), ("no explode", r"Generate")],
 }
 
 
