@@ -51,6 +51,8 @@ _PRIORITY = [
     "dedup_semantic_clusters",
     "pipeline_global_shuffle",
     "text_tokenizer_fertility",
+    "pipeline_file_sizing",
+    "pipeline_skew_report",
     # round 3: new operators + fixed / newly oracle-twinned /
     # output-shape-changed queries first
     "text_unigram_score",

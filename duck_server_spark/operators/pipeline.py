@@ -686,3 +686,80 @@ FROM sharded
 
 QUERIES["pipeline_global_shuffle"] = _sql(GLOBAL_SHUFFLE_SQL)
 ORACLE["pipeline_global_shuffle"] = GLOBAL_SHUFFLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Output file-sizing planner (small-files avoidance)
+# ---------------------------------------------------------------------------
+# The pre-write planning pass every big writer needs: per (source,
+# lang) output partition, total rows and payload bytes, and the number
+# of ~1 MiB output files that keeps files near the target without
+# producing the small-files swarm that kills object-store listings and
+# scan parallelism at 100 TB (production targets 128-1024 MiB; the
+# fixture's corpus is small so the target here is 1 MiB — the integer
+# ceil-divide plan is identical). One aggregation onto the partition
+# keys, map-side combined; recommended_files = ceil(bytes / target)
+# computed in exact integer arithmetic.
+
+_FS_TARGET = 1 << 20
+
+FILE_SIZING_SQL = f"""
+SELECT source, lang,
+       count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS payload_bytes,
+       CAST(floor((sum(n_chars) + {_FS_TARGET - 1}) / {_FS_TARGET}) AS BIGINT) AS recommended_files,
+       CAST(floor(sum(n_chars) / greatest(floor((sum(n_chars) + {_FS_TARGET - 1}) / {_FS_TARGET}), 1)) AS BIGINT) AS bytes_per_file
+FROM documents
+GROUP BY source, lang
+"""
+
+QUERIES["pipeline_file_sizing"] = _sql(FILE_SIZING_SQL)
+ORACLE["pipeline_file_sizing"] = FILE_SIZING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (heavy-hitter diagnosis)
+# ---------------------------------------------------------------------------
+# The skew-diagnosis pass run before sizing a big join, pointed at the
+# key domain that actually skews in this engine: tokens (the n-gram /
+# token equi-joins in contamination_check, text_tfidf_salience,
+# inverted_index all key on them, and token frequency is Zipf). Per-key
+# counts map-side combine; the one-row total broadcasts back; the
+# report lists the 10 heaviest keys, each with its share in parts per
+# million (exact integer arithmetic), the salt factor (ceil key_rows /
+# mean) a manual-salting or AQE skew-join pass would apply, and an
+# is_skewed verdict (>= 10x the mean key load). The synthetic fixture's
+# vocabulary is deliberately near-uniform, so the verdict is false
+# there — the report's job is to SAY so; the arithmetic is what a
+# Zipf-skewed production corpus exercises. At 100 TB this is a scan + one shuffle on token keys — the
+# same cost as building the df table the joins need anyway.
+
+SKEW_REPORT_SPARK = f"""
+WITH per_key AS (
+  SELECT tok AS key, count(*) AS n
+  FROM (SELECT explode({{0}}) AS tok FROM documents) GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT p.key, p.n,
+       CAST(floor((p.n * 1000000) / t.total) AS BIGINT) AS ppm,
+       CAST(floor((p.n * t.n_keys + t.total - 1) / t.total) AS BIGINT) AS salt_factor,
+       p.n * t.n_keys >= 10 * t.total AS is_skewed
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.n DESC, p.key ASC
+LIMIT 10
+"""
+
+SKEW_REPORT_DUCK = SKEW_REPORT_SPARK.replace(
+    "SELECT explode({0}) AS tok FROM documents",
+    "SELECT unnest({1}) AS tok FROM documents",
+)
+
+QUERIES["pipeline_skew_report"] = _sql(
+    SKEW_REPORT_SPARK.format(r"split(lower(trim(text)), '\\s+')", "")
+)
+ORACLE["pipeline_skew_report"] = SKEW_REPORT_DUCK.format(
+    "", r"regexp_split_to_array(lower(trim(text)), '\s+')"
+)

@@ -187,6 +187,14 @@ CHECKS = {
         ("per-source counters map-side combined", r"HashAggregate"),
         ("tokenize+count under whole-stage codegen", r"WholeStageCodegen"),
     ],
+    "pipeline_file_sizing": [
+        ("one map-side-combined aggregate onto partition keys", r"HashAggregate"),
+    ],
+    "pipeline_skew_report": [
+        ("per-key counts map-side combined", r"HashAggregate"),
+        ("one-row total broadcast back", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("top-10 heavy keys via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+    ],
 }
 
 FORBIDDEN = {
@@ -213,6 +221,7 @@ FORBIDDEN = {
         ("no join", r"Join"),
     ],
     "text_tokenizer_fertility": [("no join", r"Join"), ("no explode", r"Generate")],
+    "pipeline_file_sizing": [("no join", r"Join"), ("no explode", r"Generate")],
 }
 
 
