@@ -37,6 +37,9 @@ def similarity_topk_numpy(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # the collected query set is the broadcast side: keep it bounded no
+    # matter what a caller passes (the corpus side never leaves executors)
+    assert n_queries <= 4096, f"query set must stay broadcast-small: {n_queries}"
     queries = emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
     q_ids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in queries], dtype=np.float64)

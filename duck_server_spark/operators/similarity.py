@@ -272,6 +272,9 @@ def _train_ivf_centroids(spark: SparkSession):
             "ORDER BY vec_id LIMIT 256"
         ).collect()
     )
+    # hard cap: the driver-side matrix must stay O(sample·dim) no matter
+    # how the sampling SQL above is edited
+    assert len(sample) <= 256, f"IVF training sample unbounded: {len(sample)}"
     X = np.array([r.embedding for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[: _IVF_K].copy()  # deterministic init: first K sampled vectors

@@ -265,3 +265,26 @@ def test_dsir_selection_enriches_target_distribution(spark, sf_dir):
     # scores are exact rationals of the two integer masses
     for r in kept:
         assert abs(r.importance - r.target_mass / r.raw_mass) < 1e-15
+
+
+def test_semdedup_precision_vs_exact_pairs(spark, sf_dir):
+    """Every (drop, keep) pair SemDeDup emits must be a true near-dup
+    pair in the exact label-blocked inventory (dedup_embedding_cosine
+    runs the same injected corpus at the same 0.85 threshold with label
+    blocking, which is strictly wider than SemDeDup's cell x sign-bucket
+    blocking for this fixture's intra-label injected dups) — precision
+    1.0. Recall < 1 is the two-level-blocking tradeoff; the floor
+    guards against a broken bucketer."""
+    from duck_server_spark.operators import dedup
+
+    sem = {
+        (r.kept_by, r.vec_id)
+        for r in similarity.QUERIES["dedup_semantic_clusters"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.id1, r.id2)
+        for r in dedup.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    assert len(sem) > 0, "SemDeDup found nothing on the injected corpus"
+    assert sem <= exact, f"false positives: {sem - exact}"
+    assert len(sem) / len(exact) >= 0.25, f"recall collapsed: {len(sem)}/{len(exact)}"
