@@ -502,3 +502,18 @@ def test_close_statement_closes_dependent_portals(pg):
     with pytest.raises(RuntimeError, match="does not exist"):
         c.sync_collect()
     c.terminate()
+
+
+def test_explain_passthrough(pg):
+    """EXPLAIN delegates to the engine (the reference passes it to
+    embedded DuckDB and returns its plan rows, pg_conn.go execution
+    path; here Spark SQL's EXPLAIN returns the Catalyst physical plan
+    as a one-column result) — a psql user can inspect plans over the
+    wire on both engines."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    cols, rows, tag = c.simple_query("EXPLAIN SELECT 1 AS probe")
+    assert [n for n, _ in cols] == ["plan"]
+    assert len(rows) == 1
+    assert "Physical Plan" in rows[0][0]
+    c.terminate()
