@@ -46,10 +46,31 @@ _TABLE_LEVEL = re.compile(
 )
 # inline:  <col> <type...> PRIMARY KEY | UNIQUE  (strip just the keyword)
 _INLINE = re.compile(r"\b(PRIMARY\s+KEY|UNIQUE)\b", re.IGNORECASE)
-_CREATE_TABLE = re.compile(
-    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.]+)\s*\((.*)\)\s*(.*?);?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_CREATE_HEAD = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.]+)\s*\(",
+    re.IGNORECASE,
 )
+
+
+def _match_create_table(ddl: str):
+    """→ (table, body, tail) for CREATE TABLE, else None. The column
+    body ends at the close paren that BALANCES the opening one — a
+    greedy regex would swallow into a parenthesized tail like
+    ``USING parquet OPTIONS (path '…')`` and corrupt the rebuilt DDL."""
+    m = _CREATE_HEAD.match(ddl)
+    if not m:
+        return None
+    depth, start = 1, m.end()
+    for i in range(start, len(ddl)):
+        ch = ddl[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                tail = ddl[i + 1 :].strip().rstrip(";").strip()
+                return m.group(1), ddl[start:i], tail
+    return None
 
 
 def _split_columns(body: str) -> list[str]:
@@ -73,10 +94,10 @@ def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
     Each constraint is {"kind": "primary"|"unique", "cols": [...]}.
     Non-CREATE-TABLE statements pass through untouched.
     """
-    m = _CREATE_TABLE.match(ddl)
+    m = _match_create_table(ddl)
     if not m:
         return ddl, None, []
-    table, body, tail = m.group(1), m.group(2), m.group(3)
+    table, body, tail = m
     found: list[dict] = []
     cols_out: list[str] = []
     for item in _split_columns(body):

@@ -1056,11 +1056,22 @@ _BLOOM_POS_EXPR = (
 )
 
 
+_BLOOM_SEQ = [0]
+# (incoming, flags) view names of the most recent invocation — test hook
+_BLOOM_LAST_VIEWS: list[tuple[str, str]] = [("", "")]
+
+
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     register_views(spark, sf_dir)
+    # unique per-invocation view names: the session is shared, so fixed
+    # names would race under concurrent queries
+    _BLOOM_SEQ[0] += 1
+    v_in = f"bloom_incoming_{_BLOOM_SEQ[0]}"
+    v_fl = f"bloom_flags_{_BLOOM_SEQ[0]}"
+    _BLOOM_LAST_VIEWS[0] = (v_in, v_fl)
 
     def pack_chunk(key, pdf):
         bits = np.zeros(_BLOOM_CHUNK_BITS >> 3, dtype=np.uint8)
@@ -1096,24 +1107,22 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit = ((bm[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1).astype(bool)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "might": hit.all(axis=1)})
 
-    spark.sql(f"SELECT doc_id, text FROM ({_BLOOM_INCOMING})").createOrReplaceTempView(
-        "bloom_incoming"
-    )
+    spark.sql(f"SELECT doc_id, text FROM ({_BLOOM_INCOMING})").createOrReplaceTempView(v_in)
     (
-        spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM bloom_incoming")
+        spark.sql(f"SELECT doc_id, xxhash64(text) AS chash FROM {v_in}")
         .selectExpr("doc_id", f"{_BLOOM_POS_EXPR} AS pos")
         .mapInPandas(check, "doc_id BIGINT, might BOOLEAN")
-        .createOrReplaceTempView("bloom_flags")
+        .createOrReplaceTempView(v_fl)
     )
     # novel = definite-negatives (no join at all) + positives that the
     # exact text anti-join clears (false positives + near-dup texts)
     return spark.sql(
-        """
+        f"""
 WITH positives AS (
   SELECT i.doc_id, i.text
-  FROM bloom_incoming i JOIN bloom_flags f ON i.doc_id = f.doc_id AND f.might
+  FROM {v_in} i JOIN {v_fl} f ON i.doc_id = f.doc_id AND f.might
 )
-SELECT doc_id FROM bloom_flags WHERE NOT might
+SELECT doc_id FROM {v_fl} WHERE NOT might
 UNION ALL
 SELECT p.doc_id FROM positives p LEFT ANTI JOIN documents d ON d.text = p.text
 """

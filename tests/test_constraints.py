@@ -142,3 +142,19 @@ def test_ch_insert_duplicate_key_400(cengine):
         assert ei.value.code == 400 and "23505" in ei.value.read().decode()
     finally:
         server.shutdown()
+
+
+def test_extract_constraints_parenthesized_tail():
+    """The column body must end at the BALANCED close paren: a
+    parenthesized tail (OPTIONS (...)) used to be swallowed by the
+    greedy regex and the rebuilt DDL came out corrupted."""
+    ddl, table, found = extract_constraints(
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, v DECIMAL(10,2)) "
+        "USING parquet OPTIONS (compression 'snappy')"
+    )
+    assert table == "t"
+    assert found == [{"kind": "primary", "cols": ["id"]}]
+    assert ddl == (
+        "CREATE TABLE t (id BIGINT, v DECIMAL(10,2)) "
+        "USING parquet OPTIONS (compression 'snappy')"
+    )

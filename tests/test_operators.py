@@ -247,7 +247,9 @@ def test_bloom_incremental_routes_only_sliver_to_exact_join(spark, sf_dir):
     assert len(novel) == counts.n_inc - counts.n_dup
     # definite-negative path really fired: the flags view the operator
     # leaves behind shows some rows skipped the exact join entirely
-    flags = spark.table("bloom_flags").groupBy("might").count().collect()
+    from duck_server_spark.operators.dedup import _BLOOM_LAST_VIEWS
+
+    flags = spark.table(_BLOOM_LAST_VIEWS[0][1]).groupBy("might").count().collect()
     assert {r.might for r in flags} == {True, False}
 
 
