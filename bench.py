@@ -49,6 +49,11 @@ HEADLINE = [
     "text_cooccurrence_lift",
     "text_winnowing_fingerprints",
     "mixture_sampling_quotas",
+    # round-4 additions: two-level-blocked semantic dedup, the exact
+    # duplicated-substring inventory, Bloom-prefiltered incremental dedup
+    "dedup_semantic_clusters",
+    "dedup_substring_spans",
+    "dedup_bloom_incremental",
 ]
 
 
