@@ -191,3 +191,35 @@ def validate_append(
             raise PgError(
                 "23505", f'duplicate key value violates unique constraint "{cname}"'
             )
+
+
+def validate_table_keys(table: str, staged: DataFrame, constraints: list[dict]) -> None:
+    """Raise PgError 23505/23502 if the full (post-rewrite) contents in
+    `staged` violate any declared key — the UPDATE-path check: an
+    ``UPDATE t SET pk = const`` can mint duplicates that append-time
+    validation never sees. Same early-exit limit(1) probes as
+    validate_append, run on the staged rewrite BEFORE it replaces the
+    base table."""
+    for c in constraints:
+        keys = c["cols"]
+        kind = c["kind"]
+        cname = f"{table}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
+        nonnull = staged
+        if kind == "primary":
+            null_pred = None
+            for k in keys:
+                p = F.col(k).isNull()
+                null_pred = p if null_pred is None else (null_pred | p)
+            if staged.filter(null_pred).limit(1).count() > 0:
+                raise PgError(
+                    "23502",
+                    f'null value in column of primary key "{cname}" of relation "{table}"',
+                )
+        else:
+            for k in keys:
+                nonnull = nonnull.filter(F.col(k).isNotNull())
+        dup = nonnull.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        if dup.count() > 0:
+            raise PgError(
+                "23505", f'duplicate key value violates unique constraint "{cname}"'
+            )

@@ -482,7 +482,17 @@ class Engine:
             else:
                 select_exprs.append(f"`{field.name}`")
         hit = F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias("n")
-        return self._overwrite_table(table, df, lambda d: d.selectExpr(*select_exprs), hit)
+        # UPDATE can mint duplicate keys (SET pk = const) that append-time
+        # validation never sees: if an assigned column is part of any
+        # declared key, validate the staged rewrite before it publishes
+        found = self.constraints.get(table)
+        key_cols = {c for cc in found for c in cc["cols"]}
+        validate = None
+        if found and key_cols & set(assigns):
+            validate = lambda staged: cst.validate_table_keys(table, staged, found)  # noqa: E731
+        return self._overwrite_table(
+            table, df, lambda d: d.selectExpr(*select_exprs), hit, validate=validate
+        )
 
     def _copy_on_write_delete(self, table: str, where: str | None) -> int:
         df = self.spark.table(table)
@@ -495,7 +505,7 @@ class Engine:
         hit = F.sum(F.when(F.expr(where), 1).otherwise(0)).cast("long").alias("n")
         return self._overwrite_table(table, df, lambda d: d.filter(~F.expr(where)), hit)
 
-    def _overwrite_table(self, table: str, source: DataFrame, transform, metric) -> int:
+    def _overwrite_table(self, table: str, source: DataFrame, transform, metric, validate=None) -> int:
         """Stage-then-swap rewrite, never through the driver:
 
         1. transform(source) → staging table: the ONLY pass that computes
@@ -530,6 +540,12 @@ class Engine:
             )
         transform(source.observe(obs, metric)).write.mode("overwrite").saveAsTable(staging)
         n = int(obs.get["n"] or 0)
+        if validate is not None:
+            try:
+                validate(self.spark.table(staging))
+            except Exception:
+                self.spark.sql(f"DROP TABLE {staging}")
+                raise  # base table untouched
         self.spark.table(staging).write.mode("overwrite").saveAsTable(table)
         self.spark.sql(f"DROP TABLE {staging}")
         return n

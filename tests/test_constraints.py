@@ -51,7 +51,7 @@ def test_extract_constraints_forms():
 def cengine(spark):
     eng = Engine(spark)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("ck_t1", "ck_t2", "ck_t3", "ck_copy", "ck_ch"):
+    for t in ("ck_t1", "ck_t2", "ck_t3", "ck_t4", "ck_copy", "ck_ch"):
         eng.execute(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     return eng
@@ -158,3 +158,24 @@ def test_extract_constraints_parenthesized_tail():
         "CREATE TABLE t (id BIGINT, v DECIMAL(10,2)) "
         "USING parquet OPTIONS (compression 'snappy')"
     )
+
+
+def test_update_minting_duplicate_pk_rejected(cengine, spark):
+    """UPDATE t SET pk = const would mint duplicate keys that append
+    validation never sees — the staged rewrite must be key-validated and
+    the base table left byte-identical on violation (DuckDB rejects the
+    same statement through its PK index)."""
+    cengine.execute("CREATE TABLE ck_t4 (id BIGINT PRIMARY KEY, v STRING) USING parquet")
+    cengine.execute("INSERT INTO ck_t4 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    with pytest.raises(PgError) as ei:
+        cengine.execute("UPDATE ck_t4 SET id = 1 WHERE v <> 'c'")
+    assert ei.value.pgcode == "23505"
+    rows = sorted((r.id, r.v) for r in spark.table("ck_t4").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # a key-preserving update still goes through
+    n = cengine.execute("UPDATE ck_t4 SET v = 'z' WHERE id = 2")
+    assert spark.table("ck_t4").filter("v = 'z'").count() == 1
+    # and a non-key update on a constrained table skips validation (no
+    # key column assigned) but must still succeed
+    cengine.execute("UPDATE ck_t4 SET v = 'w' WHERE id = 3")
+    assert spark.table("ck_t4").filter("v = 'w'").count() == 1
