@@ -137,7 +137,12 @@ class ConstraintStore:
             return {}
 
     def get(self, table: str) -> list[dict]:
-        return self._load().get(table.lower(), [])
+        # transaction shadows (<name>__txn_<id>, engine/transactions.py)
+        # carry their base table's constraints: DML inside BEGIN..COMMIT
+        # is redirected to the shadow BEFORE the executor's constraint
+        # lookup, and a dup key must fail at statement time there too
+        base = re.sub(r"__txn_\d+$", "", table.lower())
+        return self._load().get(base, [])
 
     def put(self, table: str, constraints: list[dict]) -> None:
         with self._lock:
@@ -154,16 +159,23 @@ class ConstraintStore:
                     json.dump(data, f)
 
 
+def _display_name(table: str) -> str:
+    """User-facing relation name: a transaction shadow reports its BASE
+    table in constraint-violation messages, like the reference would."""
+    return re.sub(r"__txn_\d+$", "", table)
+
+
 def validate_append(
     spark: SparkSession, table: str, incoming: DataFrame, constraints: list[dict]
 ) -> None:
     """Raise PgError 23505/23502 if appending `incoming` to `table` would
     violate any key. Runs BEFORE the append; both checks early-exit via
     limit(1)."""
+    disp = _display_name(table)
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
-        cname = f"{table}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
+        cname = f"{disp}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
         nonnull = incoming
         if kind == "primary":
             null_pred = None
@@ -173,7 +185,7 @@ def validate_append(
             if incoming.filter(null_pred).limit(1).count() > 0:
                 raise PgError(
                     "23502",
-                    f'null value in column of primary key "{cname}" of relation "{table}"',
+                    f'null value in column of primary key "{cname}" of relation "{disp}"',
                 )
         else:
             for k in keys:
@@ -200,10 +212,11 @@ def validate_table_keys(table: str, staged: DataFrame, constraints: list[dict]) 
     validation never sees. Same early-exit limit(1) probes as
     validate_append, run on the staged rewrite BEFORE it replaces the
     base table."""
+    disp = _display_name(table)
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
-        cname = f"{table}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
+        cname = f"{disp}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
         nonnull = staged
         if kind == "primary":
             null_pred = None
@@ -213,7 +226,7 @@ def validate_table_keys(table: str, staged: DataFrame, constraints: list[dict]) 
             if staged.filter(null_pred).limit(1).count() > 0:
                 raise PgError(
                     "23502",
-                    f'null value in column of primary key "{cname}" of relation "{table}"',
+                    f'null value in column of primary key "{cname}" of relation "{disp}"',
                 )
         else:
             for k in keys:

@@ -27,7 +27,7 @@ def pgt(spark):
     server, _loop = run_threaded(engine, port=port)
     time.sleep(0.5)
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("txn_t1", "txn_t2", "txn_t3", "txn_t4", "txn_t5"):
+    for t in ("txn_t1", "txn_t2", "txn_t3", "txn_t4", "txn_t5", "txn_t6"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
         shutil.rmtree(f"{warehouse}/{t}__txn_0", ignore_errors=True)
@@ -162,3 +162,29 @@ def test_disconnect_mid_txn_rolls_back(pgt):
     c2 = PgClient(host, port)
     assert _snapshot(c2, "txn_t1") == before
     c2.terminate()
+
+
+def test_constraints_enforced_inside_transaction(pgt):
+    """DML inside BEGIN..COMMIT is redirected to the shadow table — the
+    constraint registry must resolve the shadow back to its base so a
+    duplicate key fails AT STATEMENT TIME inside the transaction (the
+    reference gets this from DuckDB's index inside its txn), leaving the
+    transaction aborted (E) and the base table clean after ROLLBACK."""
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    c.simple_query("CREATE TABLE txn_t6 (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    c.simple_query("INSERT INTO txn_t6 VALUES (1, 10.0), (2, 20.0)")
+    c.simple_query("BEGIN")
+    # read-your-writes append inside the txn, valid key
+    c.simple_query("INSERT INTO txn_t6 VALUES (3, 30.0)")
+    # duplicate vs a row staged IN this txn → statement-time error, and
+    # the violation message names the BASE table, not the shadow
+    with pytest.raises(RuntimeError) as ei:
+        c.simple_query("INSERT INTO txn_t6 VALUES (3, 99.0)")
+    assert "23505" in str(ei.value)
+    assert "txn_t6_pkey" in str(ei.value)
+    assert c.last_ready_status == "E"
+    c.simple_query("ROLLBACK")
+    _, rows, _ = c.simple_query("SELECT id FROM txn_t6 ORDER BY id")
+    assert [r[0] for r in rows] == ["1", "2"]
+    c.terminate()
