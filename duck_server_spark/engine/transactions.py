@@ -23,6 +23,13 @@ the session layer with staged writes:
   ``Engine._overwrite_table``) and drops the shadows. ROLLBACK just
   drops the shadows; the base tables were never written.
 
+Known limitation vs the reference: DDL is NOT transactional here — a
+CREATE/DROP TABLE inside BEGIN..ROLLBACK takes effect immediately
+(DuckDB rolls DDL back; PostgreSQL does too). DML-only transactions —
+the JDBC autocommit=false shape these exist for — have full semantics,
+including statement-time PK/UNIQUE enforcement against the staged state
+(engine/constraints.py resolves shadow names to base constraints).
+
 Scale note: the first-touch clone is a full copy of the table — the
 standard cost of copy-on-write transactionality without a table format.
 On a production cluster the answer is Delta/Iceberg whose commit
