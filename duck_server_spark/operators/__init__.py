@@ -53,6 +53,7 @@ _PRIORITY = [
     "text_tokenizer_fertility",
     "pipeline_file_sizing",
     "pipeline_skew_report",
+    "dedup_line_level",
     # round 3: new operators + fixed / newly oracle-twinned /
     # output-shape-changed queries first
     "text_unigram_score",

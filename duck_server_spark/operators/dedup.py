@@ -1252,3 +1252,99 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_canonical_docs"] = dedup_canonical_docs
 ORACLE["dedup_canonical_docs"] = DEDUP_CANONICAL_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Segment-level corpus dedup (C4-style line dedup, reassembled)
+# ---------------------------------------------------------------------------
+# C4 removes any LINE that occurred earlier anywhere in the corpus and
+# keeps the remainder of the document. The fixture's documents have no
+# line boundaries, so segmentation is deterministic fixed 10-token
+# windows — the relational shape (segment → first-owner key → keep-if-
+# mine → ordered reassembly) is exactly the line-dedup pipeline's.
+# Ownership is the exact-integer min of doc_id*10000 + seg_idx per
+# segment text: an AGGREGATION with map-side combine (not a window over
+# the full segment inventory), then one equi-join back. Reassembly is a
+# per-doc sorted collect — high-cardinality group keys, no global sort.
+# Runs over the injected near-dup corpus so mutated copies genuinely
+# lose their shared segments.
+
+_SEGD_W = 10
+
+SEGMENT_DEDUP_SPARK = f"""
+WITH corpus AS ({_CORPUS}),
+tok AS (SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM corpus),
+idx AS (
+  SELECT doc_id, toks,
+         explode(sequence(0, CAST(ceil(size(toks) / {_SEGD_W}.0) AS INT) - 1)) AS seg_idx
+  FROM tok
+),
+seg AS (
+  SELECT doc_id, seg_idx,
+         concat_ws(' ', slice(toks, seg_idx * {_SEGD_W} + 1, {_SEGD_W})) AS segment,
+         doc_id * 10000 + seg_idx AS owner_key
+  FROM idx
+),
+first_owner AS (
+  SELECT segment, min(owner_key) AS keeper FROM seg GROUP BY segment
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.segment
+  FROM seg s JOIN first_owner f ON s.segment = f.segment AND s.owner_key = f.keeper
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         array_join(transform(sort_array(collect_list(struct(seg_idx, segment))),
+                              x -> x.segment), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(ceil(size(t.toks) / {_SEGD_W}.0) AS BIGINT) AS n_segs,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM tok t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+SEGMENT_DEDUP_DUCK = rf"""
+WITH corpus AS ({{corpus}}),
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_SEGD_W}.0) AS INT))) AS seg_idx
+  FROM tok
+),
+seg AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(toks[seg_idx * {_SEGD_W} + 1 : seg_idx * {_SEGD_W} + {_SEGD_W}], ' ') AS segment,
+         doc_id * 10000 + seg_idx AS owner_key
+  FROM idx
+),
+first_owner AS (
+  SELECT segment, min(owner_key) AS keeper FROM seg GROUP BY segment
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.segment
+  FROM seg s JOIN first_owner f ON s.segment = f.segment AND s.owner_key = f.keeper
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(ceil(len(t.toks) / {_SEGD_W}.0) AS BIGINT) AS n_segs,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM tok t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SEGMENT_DEDUP_SPARK)
+
+
+QUERIES["dedup_line_level"] = dedup_line_level
+ORACLE["dedup_line_level"] = SEGMENT_DEDUP_DUCK.format(corpus=_CORPUS)

@@ -195,6 +195,11 @@ CHECKS = {
         ("one-row total broadcast back", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
         ("top-10 heavy keys via TakeOrderedAndProject", r"TakeOrderedAndProject"),
     ],
+    "dedup_line_level": [
+        ("first-owner keys via aggregation (map-side), not a window", r"HashAggregate"),
+        ("keep-if-mine equi-join", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+        ("segment explode is linear (Generate)", r"Generate"),
+    ],
 }
 
 FORBIDDEN = {
@@ -222,6 +227,7 @@ FORBIDDEN = {
     ],
     "text_tokenizer_fertility": [("no join", r"Join"), ("no explode", r"Generate")],
     "pipeline_file_sizing": [("no join", r"Join"), ("no explode", r"Generate")],
+    "dedup_line_level": [("no cartesian product", r"CartesianProduct")],
 }
 
 
