@@ -54,6 +54,7 @@ _PRIORITY = [
     "pipeline_file_sizing",
     "pipeline_skew_report",
     "dedup_line_level",
+    "graph_pagerank",
     # round 3: new operators + fixed / newly oracle-twinned /
     # output-shape-changed queries first
     "text_unigram_score",

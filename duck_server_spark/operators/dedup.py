@@ -1348,3 +1348,67 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_line_level"] = dedup_line_level
 ORACLE["dedup_line_level"] = SEGMENT_DEDUP_DUCK.format(corpus=_CORPUS)
+
+
+# ---------------------------------------------------------------------------
+# Bounded PageRank over the near-dup graph (exact fixed-point)
+# ---------------------------------------------------------------------------
+# The second graph-shaped consumer of dedup output: score near-dup
+# cluster members by link centrality (boilerplate hubs rank high, chain
+# peripheries low). Classic PageRank is float-iterative — useless for a
+# cross-engine value gate — so scores are BIGINT micro-units with the
+# damped contribution floor(85 * s / (100 * deg)) computed in exact
+# integer-safe arithmetic: every intermediate < 2^53, floor of a
+# correctly-rounded double division is engine-identical, and 3 unrolled
+# iterations make the whole thing one CTE chain (no recursion, no
+# driver loop). Scale shape: per iteration ONE equi-join of the edge
+# list with the score table on the source vertex + a hash-agg onto
+# destination vertices — the standard distributed PageRank step; the
+# edge set is dedup output (tiny vs corpus) and the Spark side
+# checkpoints it once (same recompute rationale as graph_triangles).
+
+_PR_ITER_BODY = """
+{next} AS (
+  SELECT s.dst AS node,
+         CAST(150000 + sum(CAST(floor(85.0 * p.score / (100 * dp.d)) AS BIGINT)) AS BIGINT) AS score
+  FROM sym s
+  JOIN {prev} p ON p.node = s.src
+  JOIN deg dp ON dp.node = s.src
+  GROUP BY s.dst
+)"""
+
+
+def _pagerank_chain(edge_sql: str) -> str:
+    its = ",".join(
+        _PR_ITER_BODY.format(next=f"s{k + 1}", prev=f"s{k}") for k in range(3)
+    )
+    return f"""
+WITH e0 AS ({edge_sql}),
+sym AS (
+  SELECT id1 AS src, id2 AS dst FROM e0
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM e0
+),
+deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM deg),
+{its}
+SELECT d.node, d.d AS degree, s3.score
+FROM s3 JOIN deg d ON d.node = s3.node
+"""
+
+
+_PR_SEQ = [0]
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        QUERIES["dedup_simhash"](spark, sf_dir).select("id1", "id2").localCheckpoint(eager=True)
+    )
+    _PR_SEQ[0] += 1
+    v = f"pagerank_edges_{_PR_SEQ[0]}"
+    edges.createOrReplaceTempView(v)
+    return spark.sql(_pagerank_chain(f"SELECT id1, id2 FROM {v}"))
+
+
+QUERIES["graph_pagerank"] = graph_pagerank
+ORACLE["graph_pagerank"] = _pagerank_chain(ORACLE["dedup_simhash"])

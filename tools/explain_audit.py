@@ -200,6 +200,10 @@ CHECKS = {
         ("keep-if-mine equi-join", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
         ("segment explode is linear (Generate)", r"Generate"),
     ],
+    "graph_pagerank": [
+        ("per-iteration contribution agg map-side combined", r"HashAggregate"),
+        ("score propagation via equi-join on vertices", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+    ],
 }
 
 FORBIDDEN = {
@@ -228,6 +232,7 @@ FORBIDDEN = {
     "text_tokenizer_fertility": [("no join", r"Join"), ("no explode", r"Generate")],
     "pipeline_file_sizing": [("no join", r"Join"), ("no explode", r"Generate")],
     "dedup_line_level": [("no cartesian product", r"CartesianProduct")],
+    "graph_pagerank": [("no cartesian product", r"CartesianProduct")],
 }
 
 
