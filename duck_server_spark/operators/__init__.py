@@ -55,6 +55,7 @@ _PRIORITY = [
     "pipeline_skew_report",
     "dedup_line_level",
     "graph_pagerank",
+    "streaming_click_attribution_outer",
     # round 3: new operators + fixed / newly oracle-twinned /
     # output-shape-changed queries first
     "text_unigram_score",

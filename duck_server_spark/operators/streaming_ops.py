@@ -24,6 +24,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from duck_server_spark.engine.session import load_table
 from duck_server_spark.streaming import windows as sw
@@ -216,12 +217,98 @@ FROM events
 """
 
 
+_ORD_STAGED: dict[tuple[int, str], str] = {}
+
+
+def _events_ordered_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events staged as four TIME-ORDERED range files plus one flush
+    sentinel file (user_id -1, ts = max + 10 days). Ordered replay means
+    each micro-batch's minimum event time exceeds the previous batch's
+    watermark — no rows are late, so outer-join semantics under bounded
+    replay equal the batch twin exactly; the sentinel advances the final
+    watermark past every click's join window so eviction (= unmatched
+    emission) drains completely. This is the production backfill recipe
+    for watermarked outer joins: replay logs in time order, close with a
+    barrier event."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    key = (id(spark), sf_dir)
+    hit = _ORD_STAGED.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    path = tempfile.mkdtemp(prefix="events_ordered_stream_")
+    ev = load_table(spark, sf_dir, "events")
+    qt = ev.withColumn("qt", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for i in range(1, 5):
+        qt.where(F.col("qt") == i).drop("qt").coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(0.05)  # distinct mtimes: the file source replays in mtime order
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # TWO sentinel files → two final micro-batches: the watermark a batch
+    # computes only applies to eviction in the NEXT batch, so the first
+    # sentinel advances it and the second flushes the remaining state
+    import datetime as _dt
+
+    # each sentinel file carries BOTH event types: the join watermarks
+    # are per-side (clicks / purchases filters), the engine's global
+    # watermark is their MIN, and a click-only sentinel leaves the
+    # purchase side (and so the global mark) pinned at the data's edge
+    for days in (10, 20):
+        st = max_ts + _dt.timedelta(days=days)
+        sentinel = spark.createDataFrame(
+            [(-1, st, -1, "click", 0.0, None), (-2, st, -2, "purchase", 0.0, None)],
+            schema=ev.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(0.05)
+    _ORD_STAGED[key] = path
+    return path
+
+
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits, with
+    its attributed purchase or NULLs — through the real outer-join state
+    machine where unmatched-row emission IS state eviction at watermark
+    passage (a 30-minute delay, not the replay-wide one: outer results
+    only materialize when the watermark moves). Time-ordered staged
+    replay + flush sentinel make the bounded run equal the batch LEFT
+    JOIN row-for-row; the sentinel click filters out by user_id."""
+    stream = sw.read_events_stream(spark, _events_ordered_stream_dir(spark, sf_dir))
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = sw.click_purchase_join(clicks, purchases, watermark="30 minutes", how="leftOuter")
+    _SINK_SEQ[0] += 1
+    name = f"__stream_oracle_sink_attr_outer_{_SINK_SEQ[0]}"
+    out = sw.run_to_memory_sink(spark, joined, name, output_mode="append")
+    return out.where("user_id >= 0").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "amount"
+    )
+
+
+STREAMING_CLICK_ATTR_OUTER_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts, amount
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+ AND purchase_ts >= click_ts
+ AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_running_totals": streaming_running_totals,
     "streaming_dedup_watermark": streaming_dedup_watermark,
+    "streaming_click_attribution_outer": streaming_click_attribution_outer,
 }
 
 ORACLE = {
@@ -230,4 +317,5 @@ ORACLE = {
     "streaming_click_attribution": STREAMING_CLICK_ATTR_ORACLE,
     "streaming_running_totals": STREAMING_RUNNING_TOTALS_ORACLE,
     "streaming_dedup_watermark": STREAMING_DEDUP_ORACLE,
+    "streaming_click_attribution_outer": STREAMING_CLICK_ATTR_OUTER_ORACLE,
 }

@@ -158,7 +158,8 @@ def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
 
 
 def click_purchase_join(
-    clicks: DataFrame, purchases: DataFrame, watermark: str = "30 minutes"
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a click by
     the same user within the preceding hour. Both sides carry
@@ -178,11 +179,15 @@ def click_purchase_join(
         F.col("event_id").alias("purchase_id"),
         F.col("value").alias("amount"),
     )
+    # how="leftOuter": unmatched clicks emit once the watermark passes
+    # click_ts + 1 hour (state eviction IS the emission trigger) — the
+    # replay harness appends a flush sentinel so the bounded run drains
     return c.join(
         p,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",
