@@ -44,8 +44,16 @@ _TABLE_LEVEL = re.compile(
     r"^\s*(?:CONSTRAINT\s+\w+\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)\s*$",
     re.IGNORECASE,
 )
+# table-level FK: [CONSTRAINT name] FOREIGN KEY (a, b) REFERENCES t (x, y)
+_TABLE_FK = re.compile(
+    r"^\s*(?:CONSTRAINT\s+\w+\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*"
+    r"REFERENCES\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*$",
+    re.IGNORECASE,
+)
 # inline:  <col> <type...> PRIMARY KEY | UNIQUE  (strip just the keyword)
 _INLINE = re.compile(r"\b(PRIMARY\s+KEY|UNIQUE)\b", re.IGNORECASE)
+# inline FK:  <col> <type...> REFERENCES t (x)
+_INLINE_FK = re.compile(r"\bREFERENCES\s+([\w.]+)\s*(?:\(([^)]*)\))?", re.IGNORECASE)
 _CREATE_HEAD = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.]+)\s*\(",
     re.IGNORECASE,
@@ -56,13 +64,19 @@ def _match_create_table(ddl: str):
     """→ (table, body, tail) for CREATE TABLE, else None. The column
     body ends at the close paren that BALANCES the opening one — a
     greedy regex would swallow into a parenthesized tail like
-    ``USING parquet OPTIONS (path '…')`` and corrupt the rebuilt DDL."""
+    ``USING parquet OPTIONS (path '…')`` and corrupt the rebuilt DDL.
+    Quoted spans are skipped while scanning, so a paren inside a string
+    literal (``DEFAULT 'a)b'``) or quoted identifier never miscounts
+    (ADVICE r4)."""
     m = _CREATE_HEAD.match(ddl)
     if not m:
         return None
-    depth, start = 1, m.end()
-    for i in range(start, len(ddl)):
+    depth, start, i, n = 1, m.end(), m.end(), len(ddl)
+    while i < n:
         ch = ddl[i]
+        if ch in "'\"`":
+            i = _skip_quoted(ddl, i, ch)
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -70,13 +84,35 @@ def _match_create_table(ddl: str):
             if depth == 0:
                 tail = ddl[i + 1 :].strip().rstrip(";").strip()
                 return m.group(1), ddl[start:i], tail
+        i += 1
     return None
 
 
+def _skip_quoted(s: str, i: int, quote: str) -> int:
+    """Index just past the quoted span starting at s[i] (doubled-quote
+    escapes respected for ' and ")."""
+    j = i + 1
+    n = len(s)
+    while j < n:
+        if s[j] == quote:
+            if quote != "`" and j + 1 < n and s[j + 1] == quote:
+                j += 2  # '' / "" escape
+                continue
+            return j + 1
+        j += 1
+    return n  # unterminated: consume to end, caller errors downstream
+
+
 def _split_columns(body: str) -> list[str]:
-    """Split a CREATE TABLE body on top-level commas."""
-    parts, depth, start = [], 0, 0
-    for i, ch in enumerate(body):
+    """Split a CREATE TABLE body on top-level commas (quote-aware:
+    commas/parens inside string literals or quoted identifiers are
+    inert — ADVICE r4)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch in "'\"`":
+            i = _skip_quoted(body, i, ch)
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -84,15 +120,22 @@ def _split_columns(body: str) -> list[str]:
         elif ch == "," and depth == 0:
             parts.append(body[start:i])
             start = i + 1
+        i += 1
     parts.append(body[start:])
     return [p for p in (s.strip() for s in parts) if p]
+
+
+def _cols_list(csv: str) -> list[str]:
+    return [c.strip().strip('`"') for c in csv.split(",") if c.strip()]
 
 
 def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
     """→ (ddl with constraints stripped, table name, constraint list).
 
-    Each constraint is {"kind": "primary"|"unique", "cols": [...]}.
-    Non-CREATE-TABLE statements pass through untouched.
+    Each constraint is {"kind": "primary"|"unique", "cols": [...]} or
+    {"kind": "foreign", "cols": [...], "ref_table": str,
+    "ref_cols": [...] | None} (None = the parent's primary key, resolved
+    at enforcement time). Non-CREATE-TABLE statements pass through.
     """
     m = _match_create_table(ddl)
     if not m:
@@ -104,15 +147,37 @@ def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
         tl = _TABLE_LEVEL.match(item)
         if tl:
             kind = "primary" if tl.group(1).upper().startswith("PRIMARY") else "unique"
-            cols = [c.strip().strip('`"') for c in tl.group(2).split(",") if c.strip()]
-            found.append({"kind": kind, "cols": cols})
+            found.append({"kind": kind, "cols": _cols_list(tl.group(2))})
             continue  # table-level clause: drop the whole item
+        fk = _TABLE_FK.match(item)
+        if fk:
+            found.append(
+                {
+                    "kind": "foreign",
+                    "cols": _cols_list(fk.group(1)),
+                    "ref_table": fk.group(2).lower(),
+                    "ref_cols": _cols_list(fk.group(3)) if fk.group(3) else None,
+                }
+            )
+            continue
         im = _INLINE.search(item)
         if im:
             colname = item.split(None, 1)[0].strip('`"')
             kind = "primary" if im.group(1).upper().startswith("PRIMARY") else "unique"
             found.append({"kind": kind, "cols": [colname]})
             item = _INLINE.sub("", item).strip()
+        ifk = _INLINE_FK.search(item)
+        if ifk:
+            colname = item.split(None, 1)[0].strip('`"')
+            found.append(
+                {
+                    "kind": "foreign",
+                    "cols": [colname],
+                    "ref_table": ifk.group(1).lower(),
+                    "ref_cols": _cols_list(ifk.group(2)) if ifk.group(2) else None,
+                }
+            )
+            item = _INLINE_FK.sub("", item).strip()
         cols_out.append(item)
     if not found:
         return ddl, table, []
@@ -137,12 +202,23 @@ class ConstraintStore:
             return {}
 
     def get(self, table: str) -> list[dict]:
+        data = self._load()
+        hit = data.get(table.lower())
+        if hit is not None:
+            return hit
         # transaction shadows (<name>__txn_<id>, engine/transactions.py)
         # carry their base table's constraints: DML inside BEGIN..COMMIT
         # is redirected to the shadow BEFORE the executor's constraint
-        # lookup, and a dup key must fail at statement time there too
-        base = re.sub(r"__txn_\d+$", "", table.lower())
-        return self._load().get(base, [])
+        # lookup, and a dup key must fail at statement time there too.
+        # Resolution goes through the LIVE shadow registry — not a name
+        # pattern — so a user table literally named foo__txn_1 keeps its
+        # own registry entry (ADVICE r4).
+        from duck_server_spark.engine.transactions import resolve_shadow
+
+        base = resolve_shadow(table)
+        if base is not None:
+            return data.get(base, [])
+        return []
 
     def put(self, table: str, constraints: list[dict]) -> None:
         with self._lock:
@@ -158,23 +234,81 @@ class ConstraintStore:
                 with open(self._path, "w") as f:
                     json.dump(data, f)
 
+    def referencing(self, parent: str) -> list[tuple[str, dict]]:
+        """All (child_table, fk_constraint) pairs whose FK targets
+        `parent` — the DELETE-restrict reverse lookup. O(registry), which
+        is O(#declared constraints), never data-sized."""
+        parent = parent.lower()
+        out: list[tuple[str, dict]] = []
+        for tbl, cons in self._load().items():
+            for c in cons:
+                if c.get("kind") == "foreign" and c.get("ref_table") == parent:
+                    out.append((tbl, c))
+        return out
+
 
 def _display_name(table: str) -> str:
     """User-facing relation name: a transaction shadow reports its BASE
-    table in constraint-violation messages, like the reference would."""
-    return re.sub(r"__txn_\d+$", "", table)
+    table in constraint-violation messages, like the reference would.
+    Live-shadow registry, not a name pattern (ADVICE r4)."""
+    from duck_server_spark.engine.transactions import resolve_shadow
+
+    return resolve_shadow(table) or table
+
+
+def _resolve_ref_cols(fk: dict, store: "ConstraintStore | None") -> list[str]:
+    """Parent key columns an FK references: explicit ref cols, else the
+    parent's declared PRIMARY KEY, else same-named columns."""
+    if fk.get("ref_cols"):
+        return fk["ref_cols"]
+    if store is not None:
+        for c in store.get(fk["ref_table"]):
+            if c["kind"] == "primary":
+                return c["cols"]
+    return fk["cols"]
+
+
+def _check_fk(
+    spark: SparkSession, disp: str, rows: DataFrame, fk: dict, store
+) -> None:
+    """Raise 23503 if `rows` contain an FK tuple with no parent row.
+    PG MATCH SIMPLE semantics: a row with ANY NULL FK part passes. The
+    probe is a column-pruned scan of the parent's key columns + one
+    anti-join, limit(1) early-exit — no index needed, the honest price
+    of referential integrity without a table format."""
+    fkcols = fk["cols"]
+    ref_cols = _resolve_ref_cols(fk, store)
+    cname = f"{disp}_{'_'.join(fkcols)}_fkey"
+    probe = rows.select([F.col(c).alias(r) for c, r in zip(fkcols, ref_cols)])
+    for r in ref_cols:
+        probe = probe.filter(F.col(r).isNotNull())
+    parent = spark.table(fk["ref_table"]).select(*ref_cols)
+    orphan = probe.join(parent, on=ref_cols, how="left_anti").limit(1)
+    if orphan.count() > 0:
+        raise PgError(
+            "23503",
+            f'insert or update on table "{disp}" violates foreign key '
+            f'constraint "{cname}"',
+        )
 
 
 def validate_append(
-    spark: SparkSession, table: str, incoming: DataFrame, constraints: list[dict]
+    spark: SparkSession,
+    table: str,
+    incoming: DataFrame,
+    constraints: list[dict],
+    store: "ConstraintStore | None" = None,
 ) -> None:
-    """Raise PgError 23505/23502 if appending `incoming` to `table` would
-    violate any key. Runs BEFORE the append; both checks early-exit via
-    limit(1)."""
+    """Raise PgError 23505/23502/23503 if appending `incoming` to `table`
+    would violate any declared key. Runs BEFORE the append; all checks
+    early-exit via limit(1)."""
     disp = _display_name(table)
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
+        if kind == "foreign":
+            _check_fk(spark, disp, incoming, c, store)
+            continue
         cname = f"{disp}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
         nonnull = incoming
         if kind == "primary":
@@ -205,17 +339,27 @@ def validate_append(
             )
 
 
-def validate_table_keys(table: str, staged: DataFrame, constraints: list[dict]) -> None:
-    """Raise PgError 23505/23502 if the full (post-rewrite) contents in
-    `staged` violate any declared key — the UPDATE-path check: an
-    ``UPDATE t SET pk = const`` can mint duplicates that append-time
-    validation never sees. Same early-exit limit(1) probes as
-    validate_append, run on the staged rewrite BEFORE it replaces the
-    base table."""
+def validate_table_keys(
+    table: str,
+    staged: DataFrame,
+    constraints: list[dict],
+    spark: SparkSession | None = None,
+    store: "ConstraintStore | None" = None,
+) -> None:
+    """Raise PgError 23505/23502/23503 if the full (post-rewrite) contents
+    in `staged` violate any declared key — the UPDATE-path check: an
+    ``UPDATE t SET pk = const`` can mint duplicates (or orphan FK values)
+    that append-time validation never sees. Same early-exit limit(1)
+    probes as validate_append, run on the staged rewrite BEFORE it
+    replaces the base table."""
     disp = _display_name(table)
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
+        if kind == "foreign":
+            if spark is not None:
+                _check_fk(spark, disp, staged, c, store)
+            continue
         cname = f"{disp}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
         nonnull = staged
         if kind == "primary":
@@ -235,4 +379,46 @@ def validate_table_keys(table: str, staged: DataFrame, constraints: list[dict]) 
         if dup.count() > 0:
             raise PgError(
                 "23505", f'duplicate key value violates unique constraint "{cname}"'
+            )
+
+
+def validate_delete_restrict(
+    spark: SparkSession,
+    parent: str,
+    where: str | None,
+    refs: list[tuple[str, dict]],
+    store: "ConstraintStore | None" = None,
+) -> None:
+    """ON DELETE RESTRICT (PG/DuckDB default — the reference rejects the
+    delete via DuckDB's FK index, README.md:21-22): raise 23503 if any
+    child row references a parent key that this DELETE would remove
+    entirely. A key counts as removed only when NO remaining parent row
+    still provides it (duplicate parent keys keep the reference valid).
+    Per child: one semi-join against the deleted keys + one anti-join
+    against the remaining keys, limit(1) early-exit — column-pruned key
+    scans, never a full-table compare."""
+    df = spark.table(parent)
+    disp = _display_name(parent)
+    deleted = df.filter(F.expr(where)) if where else df
+    remaining = (
+        df.filter(~F.expr(where)) if where else spark.createDataFrame([], df.schema)
+    )
+    for child, fk in refs:
+        ref_cols = _resolve_ref_cols(fk, store)
+        cname = f"{child}_{'_'.join(fk['cols'])}_fkey"
+        ch = spark.table(child).select(
+            [F.col(c).alias(r) for c, r in zip(fk["cols"], ref_cols)]
+        )
+        for r in ref_cols:
+            ch = ch.filter(F.col(r).isNotNull())
+        orphan = (
+            ch.join(deleted.select(*ref_cols), on=ref_cols, how="left_semi")
+            .join(remaining.select(*ref_cols), on=ref_cols, how="left_anti")
+            .limit(1)
+        )
+        if orphan.count() > 0:
+            raise PgError(
+                "23503",
+                f'update or delete on table "{disp}" violates foreign key '
+                f'constraint "{cname}" on table "{child}"',
             )

@@ -132,6 +132,11 @@ class Engine:
             os.path.join(self.data_dir, "duckserver_constraints.json")
         )
         self._bootstrap()
+        # roll interrupted multi-table COMMITs forward (crash between two
+        # table publishes leaves a journal manifest — engine/transactions.py)
+        from duck_server_spark.engine.transactions import recover_journal
+
+        recover_journal(self)
 
     # ------------------------------------------------------------- users
 
@@ -425,7 +430,9 @@ class Engine:
         )
         staged = src.localCheckpoint(eager=True)
         try:
-            cst.validate_append(spark, table, staged, self.constraints.get(table))
+            cst.validate_append(
+                spark, table, staged, self.constraints.get(table), self.constraints
+            )
             n = staged.count()
             staged.write.mode("append").saveAsTable(table)
             return n
@@ -442,7 +449,9 @@ class Engine:
 
         found = self.constraints.get(table)
         validator = (
-            (lambda df: cst.validate_append(self.spark, table, df, found)) if found else None
+            (lambda df: cst.validate_append(self.spark, table, df, found, self.constraints))
+            if found
+            else None
         )
         return BatchAppender(
             self.spark, table, self.spark.table(table).schema, cols, validator=validator, **kw
@@ -489,12 +498,19 @@ class Engine:
         key_cols = {c for cc in found for c in cc["cols"]}
         validate = None
         if found and key_cols & set(assigns):
-            validate = lambda staged: cst.validate_table_keys(table, staged, found)  # noqa: E731
+            validate = lambda staged: cst.validate_table_keys(  # noqa: E731
+                table, staged, found, spark, self.constraints
+            )
         return self._overwrite_table(
             table, df, lambda d: d.selectExpr(*select_exprs), hit, validate=validate
         )
 
     def _copy_on_write_delete(self, table: str, where: str | None) -> int:
+        # ON DELETE RESTRICT: a child FK referencing this table blocks the
+        # delete of still-referenced keys (23503) BEFORE anything rewrites
+        refs = self.constraints.referencing(table)
+        if refs:
+            cst.validate_delete_restrict(self.spark, table, where, refs, self.constraints)
         df = self.spark.table(table)
         if where is None:
             # truncate: count() is metadata-only on parquet, then one

