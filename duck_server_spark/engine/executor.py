@@ -507,8 +507,13 @@ class Engine:
 
     def _copy_on_write_delete(self, table: str, where: str | None) -> int:
         # ON DELETE RESTRICT: a child FK referencing this table blocks the
-        # delete of still-referenced keys (23503) BEFORE anything rewrites
-        refs = self.constraints.referencing(table)
+        # delete of still-referenced keys (23503) BEFORE anything rewrites.
+        # A transaction shadow resolves to its base name for the reverse
+        # lookup (children declare FKs against the base); the key scans
+        # then run on the staged state, children on their published state.
+        from duck_server_spark.engine.transactions import resolve_shadow
+
+        refs = self.constraints.referencing(resolve_shadow(table) or table)
         if refs:
             cst.validate_delete_restrict(self.spark, table, where, refs, self.constraints)
         df = self.spark.table(table)

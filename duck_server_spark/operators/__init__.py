@@ -41,8 +41,15 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # round 4: new operators first
+    # round 5: plan-changed queries first (contamination fused its df-cap
+    # aggregation; the planner reports moved to true integer division;
+    # bloom got per-invocation broadcast release) — same semantics, so
+    # they must re-verify inside the driver's checked window
+    "contamination_check",
+    "pipeline_file_sizing",
+    "pipeline_skew_report",
     "dedup_bloom_incremental",
+    # round 4: new operators
     "sample_dsir_importance",
     "streaming_dedup_watermark",
     "dedup_substring_spans",

@@ -1056,9 +1056,17 @@ _BLOOM_POS_EXPR = (
 )
 
 
-_BLOOM_SEQ = [0]
+import itertools as _itertools
+
+# atomic under the GIL (a bare `x[0] += 1` is not — ADVICE r4): two
+# concurrent invocations can never draw the same sequence number
+_BLOOM_SEQ = _itertools.count(1)
 # (incoming, flags) view names of the most recent invocation — test hook
 _BLOOM_LAST_VIEWS: list[tuple[str, str]] = [("", "")]
+# prior invocations' bitmap broadcasts, released when the NEXT invocation
+# starts (the returned DataFrame has been consumed by then; an immediate
+# unpersist would yank the bitmap from under the lazy plan — ADVICE r4)
+_BLOOM_OLD_BC: list = []
 
 
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,10 +1076,15 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     # unique per-invocation view names: the session is shared, so fixed
     # names would race under concurrent queries
-    _BLOOM_SEQ[0] += 1
-    v_in = f"bloom_incoming_{_BLOOM_SEQ[0]}"
-    v_fl = f"bloom_flags_{_BLOOM_SEQ[0]}"
+    seq = next(_BLOOM_SEQ)
+    v_in = f"bloom_incoming_{seq}"
+    v_fl = f"bloom_flags_{seq}"
     _BLOOM_LAST_VIEWS[0] = (v_in, v_fl)
+    while _BLOOM_OLD_BC:
+        try:
+            _BLOOM_OLD_BC.pop().unpersist(False)
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
 
     def pack_chunk(key, pdf):
         bits = np.zeros(_BLOOM_CHUNK_BITS >> 3, dtype=np.uint8)
@@ -1097,6 +1110,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             row.bits, dtype=np.uint8
         )
     bc = spark.sparkContext.broadcast(bitmap)
+    _BLOOM_OLD_BC.append(bc)
 
     def check(batches):
         bm = bc.value

@@ -698,23 +698,28 @@ ORACLE["pipeline_global_shuffle"] = GLOBAL_SHUFFLE_SQL
 # scan parallelism at 100 TB (production targets 128-1024 MiB; the
 # fixture's corpus is small so the target here is 1 MiB — the integer
 # ceil-divide plan is identical). One aggregation onto the partition
-# keys, map-side combined; recommended_files = ceil(bytes / target)
-# computed in exact integer arithmetic.
+# keys, map-side combined; recommended_files = ceil(bytes / target) in
+# TRUE integer division (Spark `DIV`, DuckDB `//` — ADVICE r4: `/` is
+# double division in both engines and floor(double) silently loses
+# exactness once sums pass 2^53, i.e. at the scales these comments
+# target).
 
 _FS_TARGET = 1 << 20
 
-FILE_SIZING_SQL = f"""
+_FILE_SIZING_TEMPLATE = f"""
 SELECT source, lang,
        count(*) AS n_rows,
        CAST(sum(n_chars) AS BIGINT) AS payload_bytes,
-       CAST(floor((sum(n_chars) + {_FS_TARGET - 1}) / {_FS_TARGET}) AS BIGINT) AS recommended_files,
-       CAST(floor(sum(n_chars) / greatest(floor((sum(n_chars) + {_FS_TARGET - 1}) / {_FS_TARGET}), 1)) AS BIGINT) AS bytes_per_file
+       CAST((sum(n_chars) + {_FS_TARGET - 1}) {{div}} {_FS_TARGET} AS BIGINT) AS recommended_files,
+       CAST(sum(n_chars) {{div}} greatest((sum(n_chars) + {_FS_TARGET - 1}) {{div}} {_FS_TARGET}, 1) AS BIGINT) AS bytes_per_file
 FROM documents
 GROUP BY source, lang
 """
 
+FILE_SIZING_SQL = _FILE_SIZING_TEMPLATE.format(div="DIV")
+
 QUERIES["pipeline_file_sizing"] = _sql(FILE_SIZING_SQL)
-ORACLE["pipeline_file_sizing"] = FILE_SIZING_SQL
+ORACLE["pipeline_file_sizing"] = _FILE_SIZING_TEMPLATE.format(div="//")
 
 
 # ---------------------------------------------------------------------------
@@ -726,7 +731,8 @@ ORACLE["pipeline_file_sizing"] = FILE_SIZING_SQL
 # inverted_index all key on them, and token frequency is Zipf). Per-key
 # counts map-side combine; the one-row total broadcasts back; the
 # report lists the 10 heaviest keys, each with its share in parts per
-# million (exact integer arithmetic), the salt factor (ceil key_rows /
+# million (true integer division — Spark DIV / DuckDB `//`, exact past
+# 2^53 where floor(double) is not), the salt factor (ceil key_rows /
 # mean) a manual-salting or AQE skew-join pass would apply, and an
 # is_skewed verdict (>= 10x the mean key load). The synthetic fixture's
 # vocabulary is deliberately near-uniform, so the verdict is false
@@ -734,27 +740,29 @@ ORACLE["pipeline_file_sizing"] = FILE_SIZING_SQL
 # Zipf-skewed production corpus exercises. At 100 TB this is a scan + one shuffle on token keys — the
 # same cost as building the df table the joins need anyway.
 
-SKEW_REPORT_SPARK = f"""
+_SKEW_REPORT_TEMPLATE = """
 WITH per_key AS (
   SELECT tok AS key, count(*) AS n
-  FROM (SELECT explode({{0}}) AS tok FROM documents) GROUP BY tok
+  FROM ({{src}}) GROUP BY tok
 ),
 tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
   FROM per_key
 )
 SELECT p.key, p.n,
-       CAST(floor((p.n * 1000000) / t.total) AS BIGINT) AS ppm,
-       CAST(floor((p.n * t.n_keys + t.total - 1) / t.total) AS BIGINT) AS salt_factor,
+       CAST((p.n * 1000000) {div} t.total AS BIGINT) AS ppm,
+       CAST((p.n * t.n_keys + t.total - 1) {div} t.total AS BIGINT) AS salt_factor,
        p.n * t.n_keys >= 10 * t.total AS is_skewed
 FROM per_key p CROSS JOIN tot t
 ORDER BY p.n DESC, p.key ASC
 LIMIT 10
 """
 
-SKEW_REPORT_DUCK = SKEW_REPORT_SPARK.replace(
-    "SELECT explode({0}) AS tok FROM documents",
-    "SELECT unnest({1}) AS tok FROM documents",
+SKEW_REPORT_SPARK = _SKEW_REPORT_TEMPLATE.format(div="DIV").replace(
+    "{src}", "SELECT explode({0}) AS tok FROM documents"
+)
+SKEW_REPORT_DUCK = _SKEW_REPORT_TEMPLATE.format(div="//").replace(
+    "{src}", "SELECT unnest({1}) AS tok FROM documents"
 )
 
 QUERIES["pipeline_skew_report"] = _sql(

@@ -244,7 +244,14 @@ class ChRequestHandler(BaseHTTPRequestHandler):
     def _client_disconnected(self) -> bool:
         """True iff the client socket is readable with EOF (orderly close)
         or errored. Readable-with-data means a pipelined next request —
-        the client is alive, keep streaming."""
+        the client is alive, keep streaming.
+
+        Known trade-off (ADVICE r4): a client that half-closes its write
+        side (shutdown(SHUT_WR)) after sending the request — legal HTTP —
+        reads as EOF here and gets its still-wanted query cancelled.
+        This matches Go-style connection-close detection (the reference's
+        http server treats request-body EOF the same way); supporting
+        half-close would mean only treating WRITE failures as gone."""
         import select as selectlib
         import socket as socketlib
 

@@ -228,6 +228,38 @@ class PgClient:
         self._send(b"S")
         return self._collect_result()
 
+    def sync_collect_raw(self):
+        """Sync, then return every raw (type, payload) message up to
+        ReadyForQuery (for protocol-level assertions, e.g. on
+        ParameterDescription). Raises on ErrorResponse."""
+        self._send(b"S")
+        msgs, error = [], None
+        while True:
+            t, data = self.recv_message()
+            if t == b"E":
+                error = data
+            elif t == b"Z":
+                self.last_ready_status = data[:1].decode()
+                if error:
+                    raise RuntimeError(error.decode(errors="replace"))
+                return msgs
+            msgs.append((t, data))
+
+    @staticmethod
+    def _decode_raw_datarow(data: bytes):
+        """DataRow payload → tuple of raw cell bytes (None = NULL)."""
+        (n,) = struct.unpack(">h", data[:2])
+        vals, off = [], 2
+        for _ in range(n):
+            (length,) = struct.unpack(">i", data[off : off + 4])
+            off += 4
+            if length == -1:
+                vals.append(None)
+            else:
+                vals.append(data[off : off + length])
+                off += length
+        return tuple(vals)
+
     def collect_execute(self):
         """Collect ONE Execute's output without Sync: data rows until
         PortalSuspended → (rows, "suspended") or CommandComplete →

@@ -179,3 +179,97 @@ def test_update_minting_duplicate_pk_rejected(cengine, spark):
     # key column assigned) but must still succeed
     cengine.execute("UPDATE ck_t4 SET v = 'w' WHERE id = 3")
     assert spark.table("ck_t4").filter("v = 'w'").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 5: FOREIGN KEY declaration + enforcement (23503). The reference
+# rejects FK violations via embedded DuckDB (/root/reference/README.md:21-22);
+# here REFERENCES clauses are parsed out of CREATE TABLE and enforced on
+# every ingest path (anti-join against the parent key) and on parent DELETE
+# (restrict), engine/constraints.py.
+# ---------------------------------------------------------------------------
+
+
+def test_extract_fk_forms():
+    ddl, table, found = extract_constraints(
+        "CREATE TABLE child (id BIGINT PRIMARY KEY, pid BIGINT REFERENCES parent(id), v DOUBLE) USING parquet"
+    )
+    assert table == "child"
+    assert {"kind": "foreign", "cols": ["pid"], "ref_table": "parent", "ref_cols": ["id"]} in found
+    assert "REFERENCES" not in ddl.upper()
+
+    ddl, _, found = extract_constraints(
+        "CREATE TABLE c2 (a INT, b INT, FOREIGN KEY (a, b) REFERENCES p2 (x, y))"
+    )
+    assert found == [
+        {"kind": "foreign", "cols": ["a", "b"], "ref_table": "p2", "ref_cols": ["x", "y"]}
+    ]
+    assert "FOREIGN" not in ddl.upper()
+
+    # REFERENCES without explicit cols → resolved to parent PK at enforcement
+    _, _, found = extract_constraints("CREATE TABLE c3 (pid BIGINT REFERENCES parent)")
+    assert found == [
+        {"kind": "foreign", "cols": ["pid"], "ref_table": "parent", "ref_cols": None}
+    ]
+
+
+def test_quoted_literal_in_ddl_survives_paren_scan():
+    """ADVICE r4: a paren or comma inside a quoted DEFAULT literal must
+    not truncate the column body or corrupt the rebuilt DDL."""
+    ddl, table, found = extract_constraints(
+        "CREATE TABLE qt (v STRING DEFAULT 'a)b', w STRING DEFAULT 'x,y', id INT PRIMARY KEY) USING parquet"
+    )
+    assert table == "qt"
+    assert found == [{"kind": "primary", "cols": ["id"]}]
+    assert "'a)b'" in ddl and "'x,y'" in ddl and "USING parquet" in ddl
+
+
+@pytest.fixture(scope="module")
+def fkengine(spark):
+    eng = Engine(spark)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("fk_parent", "fk_child"):
+        eng.execute(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    eng.execute("CREATE TABLE fk_parent (id BIGINT PRIMARY KEY, name STRING) USING parquet")
+    eng.execute("INSERT INTO fk_parent VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    eng.execute(
+        "CREATE TABLE fk_child (cid BIGINT PRIMARY KEY, pid BIGINT REFERENCES fk_parent(id)) USING parquet"
+    )
+    return eng
+
+
+def test_fk_insert_orphan_rejected(fkengine, spark):
+    tag = fkengine.execute("INSERT INTO fk_child VALUES (10, 1), (11, 2)")
+    assert tag == "INSERT 0 2"
+    with pytest.raises(PgError) as ei:
+        fkengine.execute("INSERT INTO fk_child VALUES (12, 99)")
+    assert ei.value.pgcode == "23503"
+    assert "fk_child_pid_fkey" in str(ei.value)
+    # table unchanged by the failed insert
+    assert sorted(r.cid for r in spark.table("fk_child").collect()) == [10, 11]
+    # NULL FK passes (PG MATCH SIMPLE)
+    tag = fkengine.execute("INSERT INTO fk_child VALUES (13, NULL)")
+    assert tag == "INSERT 0 1"
+
+
+def test_fk_parent_delete_restricted(fkengine, spark):
+    # pid=1 is referenced → delete restricted
+    with pytest.raises(PgError) as ei:
+        fkengine.execute("DELETE FROM fk_parent WHERE id = 1")
+    assert ei.value.pgcode == "23503"
+    assert sorted(r.id for r in spark.table("fk_parent").collect()) == [1, 2, 3]
+    # pid=3 unreferenced → delete fine
+    tag = fkengine.execute("DELETE FROM fk_parent WHERE id = 3")
+    assert tag == "DELETE 1"
+
+
+def test_fk_update_minting_orphan_rejected(fkengine, spark):
+    """UPDATE child SET fk = <orphan> must fail on the rewrite path."""
+    with pytest.raises(PgError) as ei:
+        fkengine.execute("UPDATE fk_child SET pid = 404 WHERE cid = 10")
+    assert ei.value.pgcode == "23503"
+    # base table untouched
+    assert {(r.cid, r.pid) for r in spark.table("fk_child").collect()} == {
+        (10, 1), (11, 2), (13, None)
+    }

@@ -399,12 +399,13 @@ def test_binary_mixed_per_column_formats(pg):
     c.terminate()
 
 
-def test_binary_param_format_rejected(pg):
-    """Declared binary PARAMETER format gets a clear error (the reference
-    silently parses the bytes as text — message.go:449-455)."""
+def test_binary_param_without_declared_oid_rejected(pg):
+    """A binary param whose type OID was NOT declared in Parse still gets
+    a clear error instead of being guessed (the reference silently parses
+    the bytes as text — message.go:449-455)."""
     (host, port), _ = pg
     c = PgClient(host, port)
-    c.parse("pbp", "SELECT $1")
+    c.parse("pbp", "SELECT $1")  # no param type OIDs declared
     # param format code 1 (binary), one param
     buf = b"pp\x00pbp\x00" + struct.pack(">hh", 1, 1) + struct.pack(">h", 1)
     buf += struct.pack(">i", 4) + struct.pack(">i", 99)
@@ -412,6 +413,54 @@ def test_binary_param_format_rejected(pg):
     c._send(b"B", buf)
     with pytest.raises(RuntimeError, match="binary parameter"):
         c.sync_collect()
+    c.terminate()
+
+
+def test_binary_params_roundtrip_with_binary_results(pg):
+    """Round 5: binary Bind params (format code 1) decoded by the OIDs
+    declared in Parse, combined with binary result formats in the same
+    session — the full psycopg3/JDBC binary-mode story. The reference
+    misparses binary params as text (message.go:449-455 TODO)."""
+    import datetime
+
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    # int4, int8, float8, text, date, timestamp, bool
+    c.parse_typed(
+        "ptyp",
+        "SELECT $1 + 1 AS i4, $2 AS i8, CAST($3 * 2 AS DOUBLE) AS f8, upper($4) AS t, "
+        "$5 AS d, $6 AS ts, NOT $7 AS b",
+        [23, 20, 701, 25, 1082, 1114, 16],
+    )
+    # Describe reports the declared OIDs back (ParameterDescription)
+    c.describe_stmt("ptyp")
+    raw = [
+        struct.pack(">i", 41),
+        struct.pack(">q", -5_000_000_000),
+        struct.pack(">d", 1.25),
+        "héllo".encode(),
+        struct.pack(">i", 10),        # 2000-01-11 (days since 2000-01-01)
+        struct.pack(">q", 1_000_000),  # 2000-01-01 00:00:01 (µs)
+        b"\x01",
+    ]
+    c.bind_binary("pb2", "ptyp", raw, result_formats=[1])
+    c.execute("pb2")
+    msgs = c.sync_collect_raw()
+    desc = next(m for t, m in msgs if t == b"t")
+    (nparams,) = struct.unpack(">h", desc[:2])
+    oids = struct.unpack(f">{nparams}i", desc[2 : 2 + 4 * nparams])
+    assert oids == (23, 20, 701, 25, 1082, 1114, 16)
+    datarows = [m for t, m in msgs if t == b"D"]
+    assert len(datarows) == 1
+    cells = c._decode_raw_datarow(datarows[0])
+    i4, i8, f8, t, d, ts, b = cells
+    assert struct.unpack(">i", i4)[0] == 42
+    assert struct.unpack(">q", i8)[0] == -5_000_000_000
+    assert struct.unpack(">d", f8)[0] == 2.5
+    assert t.decode() == "HÉLLO"
+    assert struct.unpack(">i", d)[0] == 10
+    assert struct.unpack(">q", ts)[0] == 1_000_000
+    assert b == b"\x00"  # NOT TRUE
     c.terminate()
 
 

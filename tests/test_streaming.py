@@ -213,3 +213,79 @@ def test_streaming_sequence_packing_state_across_batches(spark, docs_dir_multi):
         groups.setdefault((s, sh), set()).add(b)
     for bins in groups.values():
         assert bins == set(range(len(bins)))
+
+
+def test_outer_join_late_rows_dropped(spark, tmp_path):
+    """Round 5: the bounded-replay-equals-batch claim for the LEFT OUTER
+    interval join holds UNDER TIME-ORDERED REPLAY — this test states the
+    precondition executably by violating it. Spark's contract for join
+    input behind the watermark is ONE-DIRECTIONAL: no correct result is
+    ever missed or duplicated, but dropping of late rows is best-effort
+    (a late row may be silently discarded OR processed against whatever
+    state survives — observed to vary run-to-run). So out-of-order
+    replay loses batch-equivalence nondeterministically: exactly the
+    reason the production recipe is time-ordered replay + flush
+    sentinel (SCALE.md, 'streaming outer join replay'). On-time rows'
+    results stay exact either way — asserted below."""
+    import datetime
+    import time as _time
+
+    d = str(tmp_path / "late_events")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(0.05)  # distinct mtimes: file source replays in order
+
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    # batch 1: two on-time clicks; user 1's purchase arrives on time
+    write_batch([
+        (1, mins(0), 1, "click", 0.0, None),
+        (2, mins(0), 2, "click", 0.0, None),
+        (100, mins(10), 1, "purchase", 9.99, None),
+    ])
+    # batch 2: far-future events on BOTH sides → watermark jumps 2 days
+    # past every batch-1 event (and past click + 1h join windows)
+    write_batch([
+        (900, mins(2 * 24 * 60), 90, "click", 0.0, None),
+        (901, mins(2 * 24 * 60), 91, "purchase", 0.0, None),
+    ])
+    # batch 3: LATE rows, far below the watermark — a click that gets
+    # dropped entirely, and a purchase outside click 2's one-hour window.
+    # NOTE Spark's late-row dropping on join INPUT is best-effort (the
+    # guarantee is one-directional: no correct result is missed; a late
+    # row MAY still join surviving state) — so the crisp assertions here
+    # are on the click side, whose state-eviction forces the drop.
+    write_batch([
+        (3, mins(5), 3, "click", 0.0, None),
+        (101, mins(90), 2, "purchase", 5.55, None),
+    ])
+    # batch 4: second far-future barrier (watermark advances in batch N,
+    # evicts in batch N+1) to flush remaining state
+    write_batch([
+        (902, mins(4 * 24 * 60), 92, "click", 0.0, None),
+        (903, mins(4 * 24 * 60), 93, "purchase", 0.0, None),
+    ])
+
+    stream = sw.read_events_stream(spark, d)
+    clicks = stream.filter("event_type = 'click'")
+    purchases = stream.filter("event_type = 'purchase'")
+    joined = sw.click_purchase_join(clicks, purchases, watermark="30 minutes", how="leftOuter")
+    out = sw.run_to_memory_sink(spark, joined, "t_late_outer", output_mode="append")
+    emitted = out.where("user_id <= 3").collect()
+    rows = {r.click_id: r for r in emitted}
+    # no duplicates: each click emits at most once even with late input
+    assert len(emitted) == len(rows)
+    # on-time results are EXACT regardless of the late batch:
+    # click 1 matched its on-time purchase, click 2 emitted unmatched
+    assert rows[1].purchase_id == 100
+    assert rows[2].purchase_id is None
+    # the late click is dropped or emitted unmatched (both legal under
+    # the one-directional guarantee) — but NEVER wrongly matched
+    assert 3 not in rows or rows[3].purchase_id is None
+    # the late out-of-window purchase never attaches to anything
+    assert all(r.purchase_id != 101 for r in emitted)
