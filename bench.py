@@ -54,6 +54,11 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "dedup_substring_spans",
     "dedup_bloom_incremental",
+    # round-5 additions: exact-arithmetic BM25 retrieval, PQ-ADC ANN
+    # with exact re-rank, the one-pass quality-filter cascade funnel
+    "text_bm25_retrieval",
+    "similarity_ann_pq",
+    "pipeline_filter_cascade",
 ]
 
 

