@@ -46,6 +46,7 @@ _PRIORITY = [
     "pipeline_filter_cascade",
     "mixture_domain_upsampling",
     "similarity_ann_pq",
+    "dedup_ngram_containment",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

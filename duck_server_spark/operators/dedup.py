@@ -144,12 +144,23 @@ _BANDS = [("band0", ["mh0", "mh1", "mh2", "mh3"]), ("band1", ["mh4", "mh5", "mh6
 _BAND_SEL = ", ".join(f"concat({', '.join(cols)}) AS {name}" for name, cols in _BANDS)
 
 
-def _collapsed_pairwise_spark(candidate_ctes: str, threshold: float = 0.5) -> str:
-    """Exact-dup-collapsed pairwise-jaccard pipeline. `candidate_ctes`
+def _collapsed_pairwise_spark(
+    candidate_ctes: str,
+    threshold: float = 0.5,
+    score_expr: str | None = None,
+    score_name: str = "jaccard",
+) -> str:
+    """Exact-dup-collapsed pairwise-similarity pipeline. `candidate_ctes`
     is a WITH-chain fragment that, given `shing(doc_id, sh)` over
     representative docs, ends by defining `rep_pairs(id1, id2)` — the
     candidate pairs to verify (banded LSH, min-shingle blocking, ...).
-    Verification, group expansion, and intra-group emission are shared."""
+    Verification, group expansion, and intra-group emission are shared;
+    `score_expr` (over sh1/sh2) swaps the verified measure — default
+    exact Jaccard, `dedup_ngram_containment` passes the overlap
+    coefficient."""
+    score_expr = score_expr or (
+        "CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2))"
+    )
     return f"""
 WITH corpus AS ({_CORPUS}),
 grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
@@ -174,29 +185,29 @@ joined AS (
 ),
 jac AS (
   SELECT id1, id2,
-         CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) AS jaccard
+         {score_expr} AS {score_name}
   FROM joined
 ),
-rep_verified AS (SELECT id1, id2, jaccard FROM jac WHERE jaccard >= {threshold}),
+rep_verified AS (SELECT id1, id2, {score_name} FROM jac WHERE {score_name} >= {threshold}),
 hash_pairs AS (
-  SELECT r1.chash AS h1, r2.chash AS h2, v.jaccard
+  SELECT r1.chash AS h1, r2.chash AS h2, v.{score_name}
   FROM rep_verified v
   JOIN rep_text r1 ON r1.doc_id = v.id1
   JOIN rep_text r2 ON r2.doc_id = v.id2
 ),
 cross_pairs AS (
-  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2, hp.jaccard
+  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2, hp.{score_name}
   FROM hash_pairs hp
   JOIN grp a ON a.chash = hp.h1
   JOIN grp b ON b.chash = hp.h2
 ),
 intra_pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(1.0 AS DOUBLE) AS jaccard
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(1.0 AS DOUBLE) AS {score_name}
   FROM grp a JOIN grp b ON a.chash = b.chash AND a.doc_id < b.doc_id
 )
-SELECT id1, id2, jaccard FROM cross_pairs
+SELECT id1, id2, {score_name} FROM cross_pairs
 UNION ALL
-SELECT id1, id2, jaccard FROM intra_pairs
+SELECT id1, id2, {score_name} FROM intra_pairs
 """
 
 
@@ -425,6 +436,59 @@ SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.3
 """
 
 # ---------------------------------------------------------------------------
+# 4b. N-gram containment (overlap coefficient) — subset/quote duplication
+# ---------------------------------------------------------------------------
+# The asymmetric companion to Jaccard (round 5): overlap coefficient
+# |A∩B| / min(|A|, |B|) flags a SHORT doc wholly contained in a longer
+# one (quotes, boilerplate wrappers, chunk-of-another-doc) that
+# symmetric Jaccard scores low because the union is dominated by the
+# longer side — both measures run in production dedup (Lee et al. 2022
+# use exact substring containment; this is its shingle-set analogue).
+# Same exact-dup collapse + min-shingle blocking as the Jaccard op: a
+# doc contained at >= 0.6 shares its minimum shingle with its container
+# in the overwhelming majority of cases (the standard blocking recall
+# argument), and per-block pairwise work stays O(cluster²).
+
+_CONTAIN_EXPR_S = (
+    "CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) "
+    "/ least(size(array_distinct(sh1)), size(array_distinct(sh2)))"
+)
+
+DEDUP_NGRAM_CONTAIN_SPARK = _collapsed_pairwise_spark(
+    """blocked AS (
+  SELECT doc_id, substring(md5(array_min(sh)), 1, 8) AS blk
+  FROM shing
+),
+rep_pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)""",
+    threshold=0.6,
+    score_expr=_CONTAIN_EXPR_S,
+    score_name="containment",
+)
+
+DEDUP_NGRAM_CONTAIN_DUCK = f"""
+WITH {_STAGED_SHINGLES_D},
+blocked AS (
+  SELECT doc_id, list_distinct(sh) AS dsh,
+         substring(md5(list_min(sh)), 1, 8) AS blk
+  FROM shing
+),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.dsh AS sh1, b.dsh AS sh2
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+),
+cont AS (
+  SELECT id1, id2,
+         CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+           / least(len(sh1), len(sh2)) AS containment
+  FROM pairs
+)
+SELECT id1, id2, containment FROM cont WHERE containment >= 0.6
+"""
+
+# ---------------------------------------------------------------------------
 # 5. Embedding-cosine near-dup (label-blocked)
 # ---------------------------------------------------------------------------
 # Cosine in double via left-to-right fold (bit-identical both engines).
@@ -521,6 +585,7 @@ _exact_q, _exact_o = _sql_pair(DEDUP_EXACT_SPARK, DEDUP_EXACT_DUCK)
 _minhash_q, _minhash_o = _sql_pair(DEDUP_MINHASH_SPARK, DEDUP_MINHASH_DUCK)
 _simhash_q, _simhash_o = _sql_pair(DEDUP_SIMHASH_SPARK, DEDUP_SIMHASH_DUCK)
 _jaccard_q, _jaccard_o = _sql_pair(DEDUP_NGRAM_JACCARD_SPARK, DEDUP_NGRAM_JACCARD_DUCK)
+_contain_q, _contain_o = _sql_pair(DEDUP_NGRAM_CONTAIN_SPARK, DEDUP_NGRAM_CONTAIN_DUCK)
 _emb_q, _emb_o = _sql_pair(DEDUP_EMBEDDING_SPARK, DEDUP_EMBEDDING_DUCK)
 
 QUERIES = {
@@ -528,6 +593,7 @@ QUERIES = {
     "dedup_minhash_lsh": _minhash_q,
     "dedup_simhash": _simhash_q,
     "dedup_ngram_jaccard": _jaccard_q,
+    "dedup_ngram_containment": _contain_q,
     "dedup_embedding_cosine": _emb_q,
 }
 
@@ -536,6 +602,7 @@ ORACLE = {
     "dedup_minhash_lsh": _minhash_o,
     "dedup_simhash": _simhash_o,
     "dedup_ngram_jaccard": _jaccard_o,
+    "dedup_ngram_containment": _contain_o,
     "dedup_embedding_cosine": _emb_o,
 }
 

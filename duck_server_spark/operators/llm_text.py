@@ -1429,7 +1429,7 @@ ORACLE["text_tokenizer_fertility"] = TOKENIZER_FERTILITY_DUCK
 # sum map-side combined, TakeOrdered top-20.
 
 _BM25_TEMPLATE = """
-WITH terms AS (SELECT doc_id, {tok_unnest} AS term FROM documents),
+WITH terms AS (SELECT doc_id, {tok_unnest} AS term FROM {doctable}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
@@ -1464,10 +1464,16 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duck_server_spark.engine.session import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_BM25_TEMPLATE.format(tok_unnest=f"explode({_TOKS})", div="DIV"))
+    return spark.sql(
+        _BM25_TEMPLATE.format(
+            tok_unnest=f"explode({_TOKS})", div="DIV", doctable="documents"
+        )
+    )
 
 
-BM25_ORACLE = _BM25_TEMPLATE.format(tok_unnest=f"unnest({_TOKS_DUCK})", div="//")
+BM25_ORACLE = _BM25_TEMPLATE.format(
+    tok_unnest=f"unnest({_TOKS_DUCK})", div="//", doctable="documents"
+)
 
 QUERIES["text_bm25_retrieval"] = text_bm25_retrieval
 ORACLE["text_bm25_retrieval"] = BM25_ORACLE
