@@ -817,6 +817,27 @@ funnel AS (
          CAST(sum(f3) AS BIGINT) AS s3, CAST(sum(f4) AS BIGINT) AS s4
   FROM dedup
 )
+{report}
+"""
+
+# Spark inlines CTEs (no materialization), so a UNION ALL that reads
+# `funnel` four times would duplicate the whole scan+window subtree 4x —
+# the Spark rendering explodes the one funnel row into the 4 report rows
+# instead (verified: exactly ONE parquet scan in the executed plan). The
+# DuckDB oracle keeps the plain UNION ALL; both emit identical rows.
+_REPORT_SPARK = """
+SELECT stage, stage_name, survivors, dropped
+FROM funnel
+LATERAL VIEW inline(array(
+  named_struct('stage', 1, 'stage_name', 'min_length', 'survivors', s1, 'dropped', s0 - s1),
+  named_struct('stage', 2, 'stage_name', 'lang_allowlist', 'survivors', s2, 'dropped', s1 - s2),
+  named_struct('stage', 3, 'stage_name', 'stopword_ratio', 'survivors', s3, 'dropped', s2 - s3),
+  named_struct('stage', 4, 'stage_name', 'exact_dedup', 'survivors', s4, 'dropped', s3 - s4)
+)) t AS stage, stage_name, survivors, dropped
+ORDER BY stage
+"""
+
+_REPORT_DUCK = """
 SELECT stage, stage_name, survivors, dropped FROM (
   SELECT 1 AS stage, 'min_length' AS stage_name, s1 AS survivors, s0 - s1 AS dropped FROM funnel
   UNION ALL SELECT 2, 'lang_allowlist', s2, s1 - s2 FROM funnel
@@ -830,11 +851,13 @@ CASCADE_SPARK = _CASCADE_TEMPLATE.format(
     tok_split=r"split(trim(text), '\\s+')",
     stop_count="size(filter(t, x -> x IN ('a', 'the')))",
     tok_len="size(t)",
+    report=_REPORT_SPARK,
 )
 CASCADE_DUCK = _CASCADE_TEMPLATE.format(
     tok_split=r"regexp_split_to_array(trim(text), '\s+')",
     stop_count="len(list_filter(t, x -> x IN ('a', 'the')))",
     tok_len="len(t)",
+    report=_REPORT_DUCK,
 )
 
 QUERIES["pipeline_filter_cascade"] = _sql(CASCADE_SPARK)

@@ -460,3 +460,34 @@ def test_two_txn_conflict_first_committer_wins(pgt):
     c1.simple_query("DROP TABLE txn_w2")
     c1.terminate()
     c2.terminate()
+
+
+def test_transactional_ddl_extended_protocol(pgt):
+    """The JDBC-migration-tool shape: autocommit=false drives BEGIN,
+    CREATE TABLE, INSERT, ROLLBACK entirely through Parse/Bind/Execute —
+    the staged DDL must vaporize exactly as in the simple protocol."""
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_d7")
+
+    def ext(sql):
+        c.parse("", sql)
+        c.bind("", "", [])
+        c.execute("")
+        _rows, tag = c.collect_execute()
+        c.sync_collect()
+        return tag
+
+    assert ext("BEGIN") == "BEGIN"
+    assert ext("CREATE TABLE txn_d7 (id BIGINT, v DOUBLE) USING parquet") == "CREATE TABLE"
+    assert ext("INSERT INTO txn_d7 VALUES (1, 1.0)").startswith("INSERT")
+    c.parse("", "SELECT count(*) AS n FROM txn_d7")
+    c.bind("", "", [])
+    c.execute("")
+    rows, _ = c.collect_execute()
+    c.sync_collect()
+    assert rows == [("1",)]  # read-your-writes through the extended path
+    assert ext("ROLLBACK") == "ROLLBACK"
+    with pytest.raises(RuntimeError):
+        c.simple_query("SELECT * FROM txn_d7")
+    c.terminate()

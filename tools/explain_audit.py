@@ -101,6 +101,17 @@ CHECKS = {
     "text_signals_fused": [
         ("single codegen'd scan stage", r"WholeStageCodegen"),
     ],
+    "text_bm25_retrieval": [
+        ("per-term contributions map-side combined", r"HashAggregate"),
+        ("query-term join broadcasts (5 terms)", r"BroadcastHashJoin"),
+    ],
+    "pipeline_filter_cascade": [
+        ("funnel counts via hash aggregate", r"HashAggregate"),
+        ("exact-dedup stage is a window over text", r"Window"),
+    ],
+    "mixture_domain_upsampling": [
+        ("per-source counts map-side combined", r"HashAggregate"),
+    ],
     "text_pii_scrub": [
         ("scan-speed regex pass under codegen", r"WholeStageCodegen"),
     ],
@@ -233,6 +244,13 @@ FORBIDDEN = {
     "pipeline_file_sizing": [("no join", r"Join"), ("no explode", r"Generate")],
     "dedup_line_level": [("no cartesian product", r"CartesianProduct")],
     "graph_pagerank": [("no cartesian product", r"CartesianProduct")],
+    "text_bm25_retrieval": [("no cartesian product", r"CartesianProduct")],
+    "dedup_ngram_containment": [("no cartesian product", r"CartesianProduct")],
+    "pipeline_filter_cascade": [
+        ("ONE scan — no UNION re-reading the funnel CTE four times", r"Union"),
+        ("no join anywhere", r"Join"),
+    ],
+    "mixture_domain_upsampling": [("no explode", r"Generate")],
 }
 
 
