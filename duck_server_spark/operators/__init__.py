@@ -47,6 +47,7 @@ _PRIORITY = [
     "mixture_domain_upsampling",
     "similarity_ann_pq",
     "dedup_ngram_containment",
+    "pipeline_dataset_card",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

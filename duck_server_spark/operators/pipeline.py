@@ -892,3 +892,57 @@ ORDER BY p.source
 
 QUERIES["mixture_domain_upsampling"] = _sql(_UPSAMPLE_TEMPLATE.format(div="DIV"))
 ORACLE["mixture_domain_upsampling"] = _UPSAMPLE_TEMPLATE.format(div="//")
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (round 5)
+# ---------------------------------------------------------------------------
+# The one-row statistics block a dataset card / datasheet leads with:
+# corpus size in docs/tokens/chars, language and source diversity, the
+# exact-duplicate rate, and the doc-length quartiles. One wide
+# aggregation over the corpus (count-distincts and quantiles are all
+# partial-aggregatable) plus one text-keyed group-by for the dup rate —
+# the same two-shuffle budget at any corpus size. Rates are exact
+# integer ppm (true integer division); quartiles are percentile_cont,
+# whose linear interpolation over integer inputs is bit-identical in
+# both engines (verified).
+
+_DATASET_CARD_TEMPLATE = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars, {tok_len} AS n_tokens
+  FROM documents
+),
+dup AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_docs
+  FROM (SELECT count(*) AS c FROM base GROUP BY text HAVING count(*) > 1)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         {p25} AS p25_chars, {p50} AS p50_chars, {p75} AS p75_chars
+  FROM base
+)
+SELECT s.n_docs, s.total_chars, s.total_tokens, s.n_langs, s.n_sources,
+       d.dup_docs,
+       (d.dup_docs * 1000000) {div} s.n_docs AS dup_ppm,
+       (s.total_tokens * 100) {div} s.n_docs AS mean_tokens_e2,
+       s.p25_chars, s.p50_chars, s.p75_chars
+FROM stats s CROSS JOIN dup d
+"""
+
+DATASET_CARD_SPARK = _DATASET_CARD_TEMPLATE.format(
+    tok_len=r"size(split(trim(text), '\\s+'))",
+    p25="percentile(n_chars, 0.25)", p50="percentile(n_chars, 0.5)",
+    p75="percentile(n_chars, 0.75)", div="DIV",
+)
+DATASET_CARD_DUCK = _DATASET_CARD_TEMPLATE.format(
+    tok_len=r"len(regexp_split_to_array(trim(text), '\s+'))",
+    p25="quantile_cont(n_chars, 0.25)", p50="quantile_cont(n_chars, 0.5)",
+    p75="quantile_cont(n_chars, 0.75)", div="//",
+)
+
+QUERIES["pipeline_dataset_card"] = _sql(DATASET_CARD_SPARK)
+ORACLE["pipeline_dataset_card"] = DATASET_CARD_DUCK

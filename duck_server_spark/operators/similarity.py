@@ -435,8 +435,12 @@ def similarity_ann_pq(
     )
     cb.createOrReplaceTempView("pq_codebook")
     d = _PQ_DIM // _PQ_M
-    # unit-normalize once, slice the m-th subvector, L2 to the centroid
-    sub = f"transform(slice(e.embedding, b.m * {d} + 1, {d}), x -> CAST(x AS DOUBLE) / e.nrm)"
+    # STAGED lambdas (the repo-wide rule — Spark evaluates higher-order
+    # fns interpreted with no CSE): the unit-normalized vector is
+    # materialized ONCE per row in `e`; the per-(row × codebook-entry)
+    # work is then just one slice + one zip_with, not a re-normalization
+    # of the full 64-dim vector 128 times
+    sub = f"slice(e.ne, b.m * {d} + 1, {d})"
     l2 = (
         f"aggregate(zip_with({sub}, b.centroid, (x, y) -> (x - y) * (x - y)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -446,7 +450,10 @@ def similarity_ann_pq(
         "0.0D, (acc, v) -> acc + v)), CAST(1e-12 AS DOUBLE))"
     )
     return spark.sql(f"""
-WITH e AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+WITH e AS (
+  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+  FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)
+),
 -- ENCODE: broadcast cross join scores each subvector against its 16
 -- centroids inside the task; min_by collapses to one code per (vector,
 -- subspace) BEFORE the shuffle — N·M slim rows, the 32x-compressed index
