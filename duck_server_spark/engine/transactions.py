@@ -196,14 +196,16 @@ _CREATE_TABLE = re.compile(
     r"^\s*create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)", re.IGNORECASE
 )
 _DROP_TABLE = re.compile(
-    r"^\s*drop\s+table\s+(if\s+exists\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+    r"^\s*drop\s+table\s+(if\s+exists\s+)?([\w.]+)\s*(?:cascade|restrict)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _CREATE_VIEW = re.compile(
     r"^\s*create\s+(or\s+replace\s+)?view\s+([\w.]+)\s+as\s+(.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_VIEW = re.compile(
-    r"^\s*drop\s+view\s+(if\s+exists\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+    r"^\s*drop\s+view\s+(if\s+exists\s+)?([\w.]+)\s*(?:cascade|restrict)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 

@@ -80,10 +80,12 @@ _CREATE_USER = re.compile(
 )
 _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
-# Transaction control is REAL (round 4): BEGIN opens a session-scoped
-# staged-write overlay (engine/transactions.py), COMMIT republishes the
-# shadows, ROLLBACK drops them, and ReadyForQuery reports T/I/E. The
-# reference gets the same semantics from embedded DuckDB
+# Transaction control is REAL (rounds 4-5): BEGIN opens a session-scoped
+# staged-write overlay (engine/transactions.py), COMMIT conflict-checks
+# (40001 on a concurrent publish), journals, and republishes the
+# shadows, ROLLBACK drops them, and ReadyForQuery reports T/I/E.
+# CREATE/DROP TABLE/VIEW inside the block are staged catalog intents.
+# The reference gets the same semantics from embedded DuckDB
 # (pg_conn.go:215-272, README.md:21-22).
 _TXN_CTL = re.compile(
     r"^\s*(begin|start\s+transaction|commit|end|rollback|abort)\b[^;]*;?\s*$",
@@ -769,8 +771,11 @@ class PgConnection:
             await self._txn_control(_TXN_TAGS[m.group(1).split()[0].lower()])
             return
         if self.txn is not None and self.txn.status == "E":
-            raise ValueError(
-                "current transaction is aborted, commands ignored until end of transaction block"
+            from duck_server_spark.engine.errors import PgError
+
+            raise PgError(
+                "25P02",
+                "current transaction is aborted, commands ignored until end of transaction block",
             )
         if self.txn is not None:
             loop = asyncio.get_running_loop()
