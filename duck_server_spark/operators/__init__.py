@@ -48,6 +48,7 @@ _PRIORITY = [
     "similarity_ann_pq",
     "dedup_ngram_containment",
     "pipeline_dataset_card",
+    "similarity_matryoshka_topk",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

@@ -417,6 +417,82 @@ def _train_pq_codebook(spark: SparkSession):
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) prefix-dimension retrieval (round 5)
+# ---------------------------------------------------------------------------
+# Kusupati et al. 2022 "Matryoshka Representation Learning" — modern
+# embedding models are trained so PREFIXES of the vector are themselves
+# valid embeddings; retrieval stacks exploit this by ranking with a
+# cheap low-dim prefix and refining with the full vector (cost of the
+# first pass ∝ prefix dim — an 8x-cheaper scan at dim 8 of 64). This op
+# materializes the top-5 ranking at prefix dims 8 / 16 / 64 side by
+# side (dim 64 IS the full-vector ranking); the recall-vs-dim curve is
+# asserted in tests/test_operators.py. Exact SQL on both engines: dot
+# and norms fold left-to-right over the sliced prefix, so the doubles
+# are bit-identical.
+
+_PDOT_S = (
+    "aggregate(zip_with(slice(q.embedding, 1, d.dim), slice(c.embedding, 1, d.dim), "
+    "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+)
+_PNRM_S = (
+    "aggregate(transform(slice({0}.embedding, 1, d.dim), "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+)
+_PCOS_S = f"{_PDOT_S} / (sqrt({_PNRM_S.format('q')}) * sqrt({_PNRM_S.format('c')}))"
+
+_PDOT_D = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, d.dim), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+_PNRM_D = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, d.dim), "
+    "i -> CAST({0}.embedding[i] AS DOUBLE) * CAST({0}.embedding[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+_PCOS_D = f"{_PDOT_D} / (sqrt({_PNRM_D.format('q')}) * sqrt({_PNRM_D.format('c')}))"
+
+SIM_MATRYOSHKA_SPARK = f"""
+WITH d AS (SELECT * FROM VALUES (8), (16), (64) AS t(dim)),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS cand_id, {_PCOS_S} AS cosine
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id CROSS JOIN d
+),
+ranked AS (
+  SELECT dim, query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY dim, query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT dim, query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+SIM_MATRYOSHKA_DUCK = f"""
+WITH d AS (SELECT * FROM (VALUES (8), (16), (64)) t(dim)),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS cand_id, {_PCOS_D} AS cosine
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id CROSS JOIN d
+),
+ranked AS (
+  SELECT dim, query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY dim, query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT dim, query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= 5
+"""
+
+QUERIES["similarity_matryoshka_topk"] = _sql(SIM_MATRYOSHKA_SPARK)
+ORACLE["similarity_matryoshka_topk"] = SIM_MATRYOSHKA_DUCK
+
+
+# codebook memo per (session, fixture): training reads a fixed 256-row
+# sample of an immutable fixture (same contract as load_table's memo);
+# production retrains when the corpus sample changes
+_PQ_CB_CACHE: dict = {}
+
+
 def similarity_ann_pq(
     spark: SparkSession, sf_dir: str, topk: int = _PQ_TOPK, shortlist: int = 100
 ) -> DataFrame:
@@ -430,9 +506,13 @@ def similarity_ann_pq(
     tests/test_operators.py). At 100 TB the shortlist is a fixed-size
     per-query constant while the corpus index stays 8 B/vector."""
     register_views(spark, sf_dir)
-    cb = spark.createDataFrame(
-        _train_pq_codebook(spark), "m INT, code INT, centroid ARRAY<DOUBLE>"
-    )
+    ck = (id(spark), sf_dir)
+    cb = _PQ_CB_CACHE.get(ck)
+    if cb is None:
+        cb = spark.createDataFrame(
+            _train_pq_codebook(spark), "m INT, code INT, centroid ARRAY<DOUBLE>"
+        )
+        _PQ_CB_CACHE[ck] = cb
     cb.createOrReplaceTempView("pq_codebook")
     d = _PQ_DIM // _PQ_M
     # STAGED lambdas (the repo-wide rule — Spark evaluates higher-order

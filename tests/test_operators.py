@@ -321,3 +321,23 @@ def test_pq_rerank_recall(spark, sf_dir):
     assert rerank100 >= 0.6, f"shortlist=100 recall: {rerank100}"
     assert rerank100 >= rerank25 - 1e-9, f"curve not monotone: {rerank25} > {rerank100}"
     assert rerank100 > code_only, f"re-rank must beat code-only: {rerank100} vs {code_only}"
+
+
+def test_matryoshka_full_dim_equals_bruteforce(spark, sf_dir):
+    """MRL prefix retrieval (round 5): the dim=64 slice IS the full
+    vector, so its ranking must equal the exact brute-force top-5
+    row-for-row; prefix dims are strictly cheaper scans whose recall
+    floors on this NEAR-RANDOM fixture (~0.08 at dim 8/16 — real MRL
+    embeddings concentrate signal in the prefix by training)."""
+    mrl = similarity.QUERIES["similarity_matryoshka_topk"](spark, sf_dir).collect()
+    full = {
+        (r.query_id, r.rnk): r.cand_id
+        for r in similarity.QUERIES["similarity_topk_bruteforce"](spark, sf_dir).collect()
+        if r.rnk <= 5
+    }
+    d64 = {(r.query_id, r.rnk): r.cand_id for r in mrl if r.dim == 64}
+    assert d64 == full
+    # every dim emits exactly 5 per query
+    from collections import Counter
+    c = Counter((r.dim, r.query_id) for r in mrl)
+    assert set(c.values()) == {5}
