@@ -1147,9 +1147,11 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_in = f"bloom_incoming_{seq}"
     v_fl = f"bloom_flags_{seq}"
     _BLOOM_LAST_VIEWS[0] = (v_in, v_fl)
-    while _BLOOM_OLD_BC:
+    # keep the 2 most recent bitmaps alive: a CONCURRENT invocation's
+    # not-yet-consumed plan may still reference the previous broadcast
+    while len(_BLOOM_OLD_BC) > 2:
         try:
-            _BLOOM_OLD_BC.pop().unpersist(False)
+            _BLOOM_OLD_BC.pop(0).unpersist(False)
         except Exception:  # noqa: BLE001 — release is best-effort
             pass
 

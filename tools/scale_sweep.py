@@ -32,6 +32,11 @@ EXPECTED_SUPERLINEAR = {
     # (O(Q*N) — it is the recall baseline the ANN variants are measured
     # against). The scale paths are similarity_ann_lsh / similarity_ann_ivf.
     "similarity_topk_bruteforce",
+    # same O(Q*N) exact ranking, three prefix dims side by side — the op
+    # EXISTS to measure prefix-vs-full recall exactly; the scale path is
+    # using the cheap prefix as the first pass inside IVF/PQ, not
+    # running the exact study op on the full corpus.
+    "similarity_matryoshka_topk",
     # exact triangle LISTING is Θ(output); the K× fixture replicates
     # documents verbatim, so every near-dup clique grows K× and its
     # triangle count grows K³ — the op's output itself is super-linear
