@@ -1414,12 +1414,17 @@ ORACLE["text_tokenizer_fertility"] = TOKENIZER_FERTILITY_DUCK
 #                                 B = (2df + 1) · (20·L·tf + 6·L + 18·dl·N)
 #   (avgdl = L/N folded in; A, B exact BIGINTs)
 #
-# Each term contributes floor(A·10⁴ / B) — TRUE integer division (Spark
-# DIV / DuckDB //), so the per-doc SUM is an exact integer in any
-# addition order, and the single final /10⁴ double division is
-# bit-identical in both engines. int64 envelope: A·10⁴ < 2⁶³ holds to
-# ~N·tf·L ≈ 2·10¹⁷ (sf0.1 is at ~10¹⁴); past that the same expressions
-# lift to DECIMAL(38,0) unchanged.
+# Each term contributes floor(A·10⁴ / B), computed by DIGIT-AT-A-TIME
+# long division — integer quotient q₀ = A÷B, then four steps of
+# (remainder·10)÷B yield the four decimal digits — all TRUE integer
+# division (Spark DIV / DuckDB //), so the per-doc SUM is an exact
+# integer in any addition order and the single final /10⁴ double
+# division is bit-identical in both engines. The digit loop never forms
+# A·10⁴ or r·10⁴ (each step multiplies a remainder < B by just 10), so
+# the int64 envelope is max(A, 10·B) < 2⁶³ — the 100× two-decade
+# fixture (A ≈ 7·10¹⁷, B ≈ 2·10¹⁷) passes where the naive A·10⁴
+# overflowed (both caught by the 100× spot check); at true 100 TB row
+# counts the same expressions lift to DECIMAL(38,0) unchanged.
 #
 # The query is the corpus's 5 most frequent terms (deterministic:
 # count DESC, term ASC) — self-contained and scale-independent. Plan:
@@ -1439,15 +1444,29 @@ query AS (
   SELECT term FROM df ORDER BY df DESC, term ASC LIMIT 5
 ),
 contrib AS (
-  SELECT tf.doc_id,
-         ((2 * corpus.n - 2 * df.df + 1) * 44 * tf.tf * toklen.l * 10000)
-         {div} ((2 * df.df + 1) * (20 * toklen.l * tf.tf + 6 * toklen.l + 18 * dl.dl * corpus.n))
-           AS score_e4
-  FROM tf
-  JOIN query USING (term)
-  JOIN df USING (term)
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN corpus CROSS JOIN toklen
+  SELECT doc_id, q0 * 10000 + d1 * 1000 + d2 * 100 + d3 * 10 + (r3 * 10) {div} b AS score_e4
+  FROM (
+    SELECT doc_id, b, q0, d1, d2, r2 * 10 {div} b AS d3, r2 * 10 - (r2 * 10 {div} b) * b AS r3
+    FROM (
+      SELECT doc_id, b, q0, d1, r1 * 10 {div} b AS d2, r1 * 10 - (r1 * 10 {div} b) * b AS r2
+      FROM (
+        SELECT doc_id, b, q0, r0 * 10 {div} b AS d1, r0 * 10 - (r0 * 10 {div} b) * b AS r1
+        FROM (
+          SELECT doc_id, b, a {div} b AS q0, a - (a {div} b) * b AS r0
+          FROM (
+            SELECT tf.doc_id,
+                   (2 * corpus.n - 2 * df.df + 1) * 44 * tf.tf * toklen.l AS a,
+                   (2 * df.df + 1) * (20 * toklen.l * tf.tf + 6 * toklen.l + 18 * dl.dl * corpus.n) AS b
+            FROM tf
+            JOIN query USING (term)
+            JOIN df USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN corpus CROSS JOIN toklen
+          )
+        )
+      )
+    )
+  )
 ),
 scored AS (
   SELECT doc_id, CAST(sum(score_e4) AS BIGINT) AS s_e4
