@@ -491,3 +491,80 @@ def test_transactional_ddl_extended_protocol(pgt):
     with pytest.raises(RuntimeError):
         c.simple_query("SELECT * FROM txn_d7")
     c.terminate()
+
+
+def test_concurrent_transactions_different_tables(pgt):
+    """Two connections run full BEGIN..COMMIT cycles SIMULTANEOUSLY on
+    different tables: shadow staging, the live-shadow registry, and the
+    commit journal are all shared state — neither transaction may see
+    the other's effects or trip over its temp names."""
+    import threading
+
+    (host, port), _ = pgt
+    c0 = PgClient(host, port)
+    for t in ("txn_p1", "txn_p2"):
+        c0.simple_query(f"DROP TABLE IF EXISTS {t}")
+        _mk_table(c0, t)
+    errs = []
+
+    def worker(table, delta):
+        try:
+            c = PgClient(host, port)
+            for _round in range(2):
+                c.simple_query("BEGIN")
+                c.simple_query(f"UPDATE {table} SET v = v + {delta} WHERE id = 1")
+                c.simple_query(f"INSERT INTO {table} VALUES (99, {delta})")
+                _, rows, _ = c.simple_query(f"SELECT count(*) AS n FROM {table}")
+                assert rows == [("4",)], rows  # read-your-writes
+                c.simple_query("ROLLBACK")
+                c.simple_query("BEGIN")
+                c.simple_query(f"UPDATE {table} SET v = v + {delta} WHERE id = 2")
+                c.simple_query("COMMIT")
+            c.terminate()
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errs.append((table, e))
+
+    t1 = threading.Thread(target=worker, args=("txn_p1", 100.0))
+    t2 = threading.Thread(target=worker, args=("txn_p2", 1000.0))
+    t1.start(); t2.start()
+    t1.join(120); t2.join(120)
+    assert not errs, errs
+    # each table saw exactly its own two committed updates, nothing else
+    assert _snapshot(c0, "txn_p1") == [("1", "10.0"), ("2", "220.0"), ("3", "30.0")]
+    assert _snapshot(c0, "txn_p2") == [("1", "10.0"), ("2", "2020.0"), ("3", "30.0")]
+    for t in ("txn_p1", "txn_p2"):
+        c0.simple_query(f"DROP TABLE {t}")
+    c0.terminate()
+
+
+def test_commit_crash_journal_replays_drops_too(pgt):
+    """A journal carrying BOTH a deferred drop and a publish (a
+    transaction that dropped one table and rewrote another) replays
+    completely at recovery: the dropped table is gone (and its
+    constraints registry entry cleared), the publish rolls forward."""
+    import json
+    import os
+
+    (_addr, engine) = pgt
+    spark = engine.spark
+    for t in ("txn_j2", "txn_j3", "txn_j3__txn_888"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.saveAsTable("txn_j2")
+    engine.constraints.put("txn_j2", [{"kind": "primary", "cols": ["id"]}])
+    spark.createDataFrame([(5, 5.0)], "id long, v double").write.saveAsTable("txn_j3")
+    spark.createDataFrame([(6, 6.0)], "id long, v double").write.saveAsTable("txn_j3__txn_888")
+    jpath = os.path.join(engine.data_dir, "duckserver_txn_journal_888.json")
+    with open(jpath, "w") as f:
+        json.dump(
+            {"txn_id": 888, "publish": {"txn_j3": "txn_j3__txn_888"},
+             "drop": {"txn_j2": "table"}, "views": [], "constraints": {}},
+            f,
+        )
+    from duck_server_spark.engine.transactions import recover_journal
+
+    assert recover_journal(engine) == 1
+    assert not spark.catalog.tableExists("txn_j2")
+    assert engine.constraints.get("txn_j2") == []
+    assert [tuple(r) for r in spark.table("txn_j3").collect()] == [(6, 6.0)]
+    assert not os.path.exists(jpath)
+    spark.sql("DROP TABLE txn_j3")
