@@ -49,6 +49,7 @@ _PRIORITY = [
     "dedup_ngram_containment",
     "pipeline_dataset_card",
     "similarity_matryoshka_topk",
+    "agg_hll_mergeable_distinct",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

@@ -690,3 +690,44 @@ GROUP BY user_id
 
 QUERIES["agg_incremental_merge"] = sql_op(AGG_INCREMENTAL_MERGE_SQL)
 ORACLE["agg_incremental_merge"] = AGG_INCREMENTAL_MERGE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch mergeability (round 5)
+# ---------------------------------------------------------------------------
+# The incremental-distinct path every materialized view / daily-rollup
+# pipeline runs at 100 TB: build an HLL sketch PER SLICE once (here per
+# event_type over user ids; in production per daily partition), persist
+# the sketch bytes, and answer "distinct across any slice combination"
+# by UNIONING SKETCHES — no rescan of the raw data, ever. Spark 4's
+# Apache DataSketches functions (hll_sketch_agg / hll_union_agg /
+# hll_sketch_estimate) make both levels ordinary aggregates; the tiny
+# per-slice sketch table is checkpointed so the global union reads the
+# materialized sketches exactly as a production rollup would (and not a
+# CTE-inlined rescan). Sketch bytes are engine-specific → rows-only in
+# the driver gate; relative error vs exact distinct is asserted in
+# tests/test_operators.py (HLL lgK=12 ⇒ ~1.6% standard error).
+
+
+def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    sketches = spark.sql(
+        "SELECT event_type, hll_sketch_agg(user_id) AS sk "
+        "FROM events GROUP BY event_type"
+    ).localCheckpoint(eager=False)
+    sketches.createOrReplaceTempView("hll_slice_sketches")
+    per_slice = sketches.selectExpr(
+        "event_type", "hll_sketch_estimate(sk) AS est_users"
+    )
+    merged = sketches.selectExpr(
+        "'__all__' AS event_type",
+        "hll_sketch_estimate(hll_union_agg(sk)) AS est_users",
+    )
+    return per_slice.unionAll(merged).orderBy("event_type")
+
+
+QUERIES["agg_hll_mergeable_distinct"] = agg_hll_mergeable_distinct
+# rows-only: sketch encodings are engine-specific (Spark DataSketches vs
+# DuckDB HLL); the accuracy contract lives in tests/test_operators.py

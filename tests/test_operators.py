@@ -341,3 +341,27 @@ def test_matryoshka_full_dim_equals_bruteforce(spark, sf_dir):
     from collections import Counter
     c = Counter((r.dim, r.query_id) for r in mrl)
     assert set(c.values()) == {5}
+
+
+def test_hll_mergeable_distinct_accuracy(spark, sf_dir):
+    """Sketch mergeability (round 5): per-slice HLL estimates and the
+    UNION-of-sketches global estimate must each land within 5% of the
+    exact distinct counts (lgK=12 standard error ~1.6%) — the union
+    answers the global question without rescanning raw data."""
+    from duck_server_spark.operators import aggregates as agg
+
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r.est_users for r in agg.QUERIES[
+        "agg_hll_mergeable_distinct"](spark, sf_dir).collect()}
+    from duck_server_spark.engine.session import load_table
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2.0), (k, est, exact[k])
