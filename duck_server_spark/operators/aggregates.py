@@ -731,3 +731,50 @@ def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["agg_hll_mergeable_distinct"] = agg_hll_mergeable_distinct
 # rows-only: sketch encodings are engine-specific (Spark DataSketches vs
 # DuckDB HLL); the accuracy contract lives in tests/test_operators.py
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch audience overlap (round 5)
+# ---------------------------------------------------------------------------
+# HLL unions answer "distinct across slices"; Theta sketches also answer
+# INTERSECTIONS — the audience-overlap / cross-surface-reach question
+# ("how many users both clicked and purchased") that exact computation
+# answers only with a full shuffle of both id sets. Same mergeable-
+# sketch deployment as agg_hll_mergeable_distinct: one sketch per slice,
+# persisted; any pairwise overlap then costs two sketch reads, never a
+# rescan. Pairs are a self-join of the tiny per-slice sketch table;
+# the intersection is stack → theta_intersection_agg per pair. Estimates
+# are engine-specific → rows-only; accuracy vs exact intersections is
+# asserted in tests/test_operators.py.
+
+
+def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    sk = spark.sql(
+        "SELECT event_type, theta_sketch_agg(user_id) AS sk "
+        "FROM events GROUP BY event_type"
+    ).localCheckpoint(eager=False)
+    sk.createOrReplaceTempView("theta_slice_sk")
+    pairs = spark.sql(
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, a.sk AS ska, b.sk AS skb "
+        "FROM theta_slice_sk a JOIN theta_slice_sk b ON a.event_type < b.event_type"
+    )
+    return (
+        pairs.selectExpr("type_a", "type_b", "stack(2, ska, skb) AS sk")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.expr(
+                "CAST(theta_sketch_estimate(theta_intersection_agg(sk)) AS BIGINT)"
+            ).alias("est_overlap")
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["agg_theta_audience_overlap"] = agg_theta_audience_overlap
+# rows-only: Theta sketch bytes are engine-specific; accuracy contract
+# in tests/test_operators.py

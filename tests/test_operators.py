@@ -365,3 +365,30 @@ def test_hll_mergeable_distinct_accuracy(spark, sf_dir):
     assert set(rows) == set(exact)
     for k, est in rows.items():
         assert abs(est - exact[k]) <= max(0.05 * exact[k], 2.0), (k, est, exact[k])
+
+
+def test_theta_overlap_accuracy(spark, sf_dir):
+    """Theta-sketch pairwise audience overlap within 10% (or ±3 users)
+    of the exact intersections for every event-type pair."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from duck_server_spark.engine.session import load_table
+    from duck_server_spark.operators import aggregates as agg
+
+    est = {
+        (r.type_a, r.type_b): r.est_overlap
+        for r in agg.QUERIES["agg_theta_audience_overlap"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    users = {
+        r.event_type: set(r.us)
+        for r in ev.groupBy("event_type").agg(
+            F.collect_set("user_id").alias("us")).collect()
+    }
+    expected_pairs = {tuple(sorted(p)) for p in combinations(users, 2)}
+    assert set(est) == expected_pairs
+    for (a, b), e in est.items():
+        exact = len(users[a] & users[b])
+        assert abs(e - exact) <= max(0.10 * exact, 3.0), (a, b, e, exact)
