@@ -273,3 +273,35 @@ def test_fk_update_minting_orphan_rejected(fkengine, spark):
     assert {(r.cid, r.pid) for r in spark.table("fk_child").collect()} == {
         (10, 1), (11, 2), (13, None)
     }
+
+
+def test_ch_insert_fk_orphan_400(fkengine):
+    """FK enforcement reaches the CH HTTP ingest path too: an orphan
+    child row via INSERT…FORMAT gets a 4xx carrying 23503 and the table
+    is untouched."""
+    import urllib.error
+    import urllib.request
+
+    from duck_server_spark.server.ch.http_server import serve
+
+    port = _free_port()
+    server = serve(fkengine, port=port)
+    time.sleep(0.3)
+    try:
+        before = fkengine.spark.table("fk_child").count()
+
+        def post(body: str):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/", data=body.encode(), method="POST"
+            )
+            return urllib.request.urlopen(req, timeout=60)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("INSERT INTO fk_child FORMAT CSV\n77,40404\n")
+        assert ei.value.code == 400 and "23503" in ei.value.read().decode()
+        assert fkengine.spark.table("fk_child").count() == before
+        # a valid child row still lands
+        assert post("INSERT INTO fk_child FORMAT CSV\n78,2\n").status == 200
+        assert fkengine.spark.table("fk_child").count() == before + 1
+    finally:
+        server.shutdown()
