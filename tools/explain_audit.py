@@ -112,6 +112,16 @@ CHECKS = {
     "mixture_domain_upsampling": [
         ("per-source counts map-side combined", r"HashAggregate"),
     ],
+    "similarity_matryoshka_topk": [
+        ("tiny query side broadcast (never a shuffled cartesian)", r"BroadcastNestedLoopJoin"),
+        ("per-(dim, query) top-k via window", r"Window"),
+    ],
+    "agg_hll_mergeable_distinct": [
+        ("sketch build is a typed-aggregate (map-side partial)", r"ObjectHashAggregate"),
+    ],
+    "pipeline_dataset_card": [
+        ("stats are one wide hash aggregate", r"HashAggregate"),
+    ],
     "text_pii_scrub": [
         ("scan-speed regex pass under codegen", r"WholeStageCodegen"),
     ],
@@ -251,6 +261,8 @@ FORBIDDEN = {
         ("no join anywhere", r"Join"),
     ],
     "mixture_domain_upsampling": [("no explode", r"Generate")],
+    "similarity_matryoshka_topk": [("no shuffled cartesian", r"CartesianProduct")],
+    "pipeline_dataset_card": [("no explode of the corpus", r"Generate\b.*explode\(sequence")],
 }
 
 
