@@ -51,6 +51,7 @@ _PRIORITY = [
     "similarity_matryoshka_topk",
     "agg_hll_mergeable_distinct",
     "agg_theta_audience_overlap",
+    "streaming_quality_gate",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

@@ -302,6 +302,72 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming quality gate (round 5)
+# ---------------------------------------------------------------------------
+
+_QDOCS_STAGED: dict[tuple[int, str], str] = {}
+
+
+def _docs_multi_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Documents staged as 4 mtime-ordered files → 4 real micro-batches
+    under availableNow replay (the gate is stateless, so batching must
+    not matter — that invariance IS what the oracle twin checks)."""
+    import time as _time
+
+    key = (id(spark), sf_dir)
+    hit = _QDOCS_STAGED.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    path = tempfile.mkdtemp(prefix="docs_gate_stream_")
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(4):
+        docs.where(f"doc_id % 4 = {i}").coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(0.05)
+    _QDOCS_STAGED[key] = path
+    return path
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side corpus cleaning: the cascade's row-local quality
+    predicates (length floor, language allowlist, stopword-ratio floor —
+    pipeline_filter_cascade's stages 1-3) applied to documents AS THEY
+    ARRIVE — the online ingest gate in front of a training-data lake.
+    Stateless scan-stage filters: no state store, no watermark, so
+    output is exactly the batch filter no matter how the input batches
+    (replayed here over a 4-file staged stream); the only cross-row
+    stage (exact dedup) correctly stays OUT of the gate — that is the
+    watermarked streaming_dedup_watermark operator downstream. At scale
+    this runs at source speed with zero shuffle per micro-batch."""
+    stream = sw.read_documents_stream(spark, _docs_multi_stream_dir(spark, sf_dir))
+    gated = (
+        stream.selectExpr(
+            "doc_id", "source", "lang",
+            r"split(trim(text), '\\s+') AS t", "length(text) AS n_chars_txt",
+        )
+        .where(
+            "n_chars_txt >= 150 AND lang IN ('en', 'de', 'fr', 'es') "
+            "AND 100 * size(filter(t, x -> x IN ('a', 'the'))) >= 3 * size(t)"
+        )
+        .selectExpr("doc_id", "source", "lang", "CAST(size(t) AS BIGINT) AS n_tokens")
+    )
+    _SINK_SEQ[0] += 1
+    name = f"__stream_oracle_sink_gate_{_SINK_SEQ[0]}"
+    return sw.run_to_memory_sink(spark, gated, name, output_mode="append")
+
+
+STREAMING_QUALITY_GATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         regexp_split_to_array(trim(text), '\s+') AS t, length(text) AS n_chars_txt
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(len(t) AS BIGINT) AS n_tokens
+FROM toks
+WHERE n_chars_txt >= 150 AND lang IN ('en', 'de', 'fr', 'es')
+  AND 100 * len(list_filter(t, x -> x IN ('a', 'the'))) >= 3 * len(t)
+"""
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_session_windows": streaming_session_windows,
@@ -309,6 +375,7 @@ QUERIES = {
     "streaming_running_totals": streaming_running_totals,
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_click_attribution_outer": streaming_click_attribution_outer,
+    "streaming_quality_gate": streaming_quality_gate,
 }
 
 ORACLE = {
@@ -318,4 +385,5 @@ ORACLE = {
     "streaming_running_totals": STREAMING_RUNNING_TOTALS_ORACLE,
     "streaming_dedup_watermark": STREAMING_DEDUP_ORACLE,
     "streaming_click_attribution_outer": STREAMING_CLICK_ATTR_OUTER_ORACLE,
+    "streaming_quality_gate": STREAMING_QUALITY_GATE_ORACLE,
 }
