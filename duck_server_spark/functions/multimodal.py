@@ -192,3 +192,32 @@ def audio_features(df: DataFrame, decode_stub: str = "deterministic") -> DataFra
     return flat.mapInPandas(
         run, "media_id BIGINT, sample_rate INT, rms DOUBLE, zero_crossing_rate DOUBLE"
     )
+
+
+def phash_images(df: DataFrame) -> DataFrame:
+    """Perceptual-hash encoder: image payload → 60-bit pHash (BIGINT).
+
+    mapInPandas, Arrow-batched. The production hash is DCT-based pHash
+    over decoded pixels (imagehash.phash after PIL decode — see the
+    decode seam in decode_images); the deterministic stand-in hashes the
+    payload bytes (md5 → first 15 hex digits), which preserves the ONE
+    property the downstream dedup plan exercises end-to-end: identical
+    media collide, different media land uniformly. 60 bits keeps the
+    value positive in an int64 on every engine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        int(hashlib.md5(bytes(p)).hexdigest()[:15], 16)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    flat = df.filter(F.col("meta.media_type") == "image").select("media_id", "payload")
+    return flat.mapInPandas(run, "media_id BIGINT, phash BIGINT")

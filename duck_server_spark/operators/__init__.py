@@ -52,6 +52,7 @@ _PRIORITY = [
     "agg_hll_mergeable_distinct",
     "agg_theta_audience_overlap",
     "streaming_quality_gate",
+    "multimodal_phash_dedup",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

@@ -183,3 +183,94 @@ FROM documents
 
 QUERIES["multimodal_audio_features"] = multimodal_audio_features
 ORACLE["multimodal_audio_features"] = MULTIMODAL_AUDIO_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media dedup (round 5)
+# ---------------------------------------------------------------------------
+# The image-corpus counterpart of text MinHash dedup: decode → pHash
+# (functions/multimodal.py phash_images — DCT-pHash in production, the
+# deterministic md5 stand-in here) → 4×15-bit chunk banding → hamming
+# verification within buckets. The banding is the standard pHash-index
+# plan (a pair within hamming ≤ 3 of a 60-bit hash must agree on ≥1 of
+# 4 chunks — pigeonhole), so candidate generation is an equi-join, never
+# image×image. The fixture corpus injects verbatim payload replicas of
+# every 25th document (byte-identical media is the dominant real-world
+# duplication mode); the md5 stand-in makes only those collide, which
+# the DuckDB twin reproduces exactly — swapping in real DCT-pHash keeps
+# every plan stage and widens matches to near-identical pixels.
+
+_PHASH_CHUNKS = 4
+_PHASH_BITS = 15  # per chunk; 4 × 15 = 60-bit hash
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.functions.multimodal import phash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    dup = docs.where("doc_id % 25 = 0").select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    media = base.unionAll(dup).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit(640).alias("width"), F.lit(480).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    hashed = phash_images(media)
+    hashed.createOrReplaceTempView("phash_media")
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT media_id, phash, {c} AS cid, "
+        f"CAST(phash DIV {1 << (c * _PHASH_BITS)} AS BIGINT) % {1 << _PHASH_BITS} AS cval "
+        "FROM phash_media"
+        for c in range(_PHASH_CHUNKS)
+    )
+    return spark.sql(f"""
+WITH chunks AS ({chunk_rows}),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, a.phash AS h1, b.phash AS h2
+  FROM chunks a JOIN chunks b
+    ON a.cid = b.cid AND a.cval = b.cval AND a.media_id < b.media_id
+)
+SELECT id1, id2, bit_count(h1 ^ h2) AS hamming
+FROM pairs
+WHERE bit_count(h1 ^ h2) <= 3
+ORDER BY id1, id2
+""")
+
+
+MULTIMODAL_PHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS media_id, text FROM documents WHERE doc_id % 25 = 0
+),
+hashed AS (
+  SELECT media_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS phash FROM corpus
+),
+chunks AS (
+  SELECT media_id, phash, c.cid,
+         (phash // (1::BIGINT << (c.cid * 15))) % (1::BIGINT << 15) AS cval
+  FROM hashed CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS cid) c
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, a.phash AS h1, b.phash AS h2
+  FROM chunks a JOIN chunks b
+    ON a.cid = b.cid AND a.cval = b.cval AND a.media_id < b.media_id
+)
+SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+FROM pairs
+WHERE bit_count(xor(h1, h2)) <= 3
+ORDER BY id1, id2
+"""
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+ORACLE["multimodal_phash_dedup"] = MULTIMODAL_PHASH_ORACLE
