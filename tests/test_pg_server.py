@@ -566,3 +566,15 @@ def test_explain_passthrough(pg):
     assert len(rows) == 1
     assert "Physical Plan" in rows[0][0]
     c.terminate()
+
+
+def test_unknown_message_type_skipped(pg):
+    """An unrecognized frontend message type is silently skipped (the
+    reference's lazy reader does the same) and the connection keeps
+    serving: the very next simple query succeeds."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c._send(b"z", b"\x01\x02\x03garbage")  # no such message type
+    _, rows, _ = c.simple_query("SELECT 41 + 1 AS ok")
+    assert rows == [("42",)]
+    c.terminate()
