@@ -53,6 +53,7 @@ _PRIORITY = [
     "agg_theta_audience_overlap",
     "streaming_quality_gate",
     "multimodal_phash_dedup",
+    "streaming_hll_window_distinct",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

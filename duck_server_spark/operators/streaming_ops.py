@@ -368,6 +368,34 @@ WHERE n_chars_txt >= 150 AND lang IN ('en', 'de', 'fr', 'es')
   AND 100 * len(list_filter(t, x -> x IN ('a', 'the'))) >= 3 * len(t)
 """
 
+# ---------------------------------------------------------------------------
+# Streaming windowed HLL distinct (round 5)
+# ---------------------------------------------------------------------------
+
+
+def streaming_hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 5-minute window, maintained as an HLL SKETCH in
+    the streaming state store (DataSketches hll_sketch_agg is a typed
+    streaming aggregate): the dashboard-cardinality pattern where exact
+    per-window distinct state would grow with the id universe while the
+    sketch stays O(lgK) per window — and closed windows' sketches remain
+    mergeable into coarser rollups downstream (agg_hll_mergeable_distinct
+    is the batch side of the same design). Bounded replay; rows-only in
+    the driver gate (sketch estimates are engine-specific), accuracy vs
+    exact per-window distincts asserted in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    def build(ev):
+        return (
+            ev.withWatermark("ts", "60 days")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)").alias("est_users"))
+            .select(F.col("w.start").alias("bucket_start"), "event_type", "est_users")
+        )
+
+    return _replay(spark, sf_dir, build, "complete")
+
+
 QUERIES = {
     "streaming_tumbling_counts": streaming_tumbling_counts,
     "streaming_session_windows": streaming_session_windows,
@@ -376,6 +404,7 @@ QUERIES = {
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_click_attribution_outer": streaming_click_attribution_outer,
     "streaming_quality_gate": streaming_quality_gate,
+    "streaming_hll_window_distinct": streaming_hll_window_distinct,
 }
 
 ORACLE = {

@@ -289,3 +289,30 @@ def test_outer_join_late_rows_dropped(spark, tmp_path):
     assert 3 not in rows or rows[3].purchase_id is None
     # the late out-of-window purchase never attaches to anything
     assert all(r.purchase_id != 101 for r in emitted)
+
+
+def test_streaming_hll_window_distinct_accuracy(spark, sf_dir):
+    """Round 5: per-window HLL estimates through the streaming state
+    store land within 2% (or ±2) of exact per-window distinct users —
+    sparse-mode HLL is exact at fixture cardinalities, so this mostly
+    guards the plumbing, while the contract survives dense mode."""
+    from duck_server_spark.operators.streaming_ops import QUERIES as SQ
+
+    est = {
+        (r.bucket_start, r.event_type): r.est_users
+        for r in SQ["streaming_hll_window_distinct"](spark, sf_dir).collect()
+    }
+    from duck_server_spark.engine.session import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.b, r.event_type): r.n
+        for r in ev.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        ).agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("b"), "event_type", "n").collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(0.02 * exact[k], 2.0), (k, e, exact[k])
