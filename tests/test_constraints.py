@@ -305,3 +305,56 @@ def test_ch_insert_fk_orphan_400(fkengine):
         assert fkengine.spark.table("fk_child").count() == before + 1
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Property suite (hypothesis): the constraint-DDL parser must never be
+# confused by string literals containing parens/commas/keywords, and the
+# rebuilt DDL must carry every literal through verbatim (ADVICE r4 made
+# the scanners quote-aware; these pin that invariant).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_lit_text = st.text(
+    alphabet=st.characters(blacklist_characters="'\x00"), min_size=0, max_size=12
+)
+_colname = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in ("primary", "unique", "key", "foreign", "references",
+                        "constraint", "default", "int", "string")
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(lit=_lit_text, c1=_colname, c2=_colname)
+def test_extract_constraints_literal_safe(lit, c1, c2):
+    from hypothesis import assume
+
+    assume(c1 != c2)
+    sql_lit = lit.replace("'", "''")
+    ddl = (
+        f"CREATE TABLE pt (v STRING DEFAULT '{sql_lit}', "
+        f"{c1} BIGINT PRIMARY KEY, {c2} STRING UNIQUE) USING parquet"
+    )
+    rebuilt, table, found = extract_constraints(ddl)
+    assert table == "pt"
+    assert found == [
+        {"kind": "primary", "cols": [c1]},
+        {"kind": "unique", "cols": [c2]},
+    ]
+    # the literal survives verbatim; the keywords are stripped
+    assert f"'{sql_lit}'" in rebuilt
+    assert "PRIMARY" not in rebuilt.upper() and "UNIQUE" not in rebuilt.upper()
+    assert "USING parquet" in rebuilt
+
+
+@settings(max_examples=100, deadline=None)
+@given(parent=_colname, col=_colname)
+def test_extract_fk_property(parent, col):
+    ddl = f"CREATE TABLE ch ({col} BIGINT REFERENCES {parent}({col}))"
+    rebuilt, table, found = extract_constraints(ddl)
+    assert found == [
+        {"kind": "foreign", "cols": [col], "ref_table": parent, "ref_cols": [col]}
+    ]
+    assert "REFERENCES" not in rebuilt.upper()
