@@ -54,6 +54,7 @@ _PRIORITY = [
     "streaming_quality_gate",
     "multimodal_phash_dedup",
     "streaming_hll_window_distinct",
+    "pipeline_token_drift",
     # round 5: plan-changed queries (contamination fused its df-cap
     # aggregation; the planner reports moved to true integer division;
     # bloom got per-invocation broadcast release) — same semantics, so

@@ -946,3 +946,56 @@ DATASET_CARD_DUCK = _DATASET_CARD_TEMPLATE.format(
 
 QUERIES["pipeline_dataset_card"] = _sql(DATASET_CARD_SPARK)
 ORACLE["pipeline_dataset_card"] = DATASET_CARD_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift monitor (round 5)
+# ---------------------------------------------------------------------------
+# The drift detector a production ingest pipeline runs per batch/source:
+# Pearson chi-square of each source's token distribution against the
+# corpus-wide distribution — a spiking score flags a source whose
+# content changed (scraper broke, new boilerplate, language shift)
+# BEFORE it pollutes the training mix. Exact cross-engine arithmetic in
+# the repo's fixed-point pattern (see text_unigram_score): the per-term
+# deviation d = obs·T − n_s·c_t is exact int64 (|d| ≲ 10¹² at 100×
+# scale), the contribution d²/(T·n_s·c_t) is THREE double multiplies +
+# one divide in fixed order (bit-identical on both engines), quantized
+# by floor(·10⁶) into BIGINT so the per-source SUM is exact in any
+# order. One tf aggregation feeds both distributions; the tiny per-term
+# corpus table broadcasts back onto per-source counts.
+
+_DRIFT_TEMPLATE = """
+WITH tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS o
+  FROM (SELECT source, {tok_unnest} AS term FROM documents)
+  GROUP BY source, term
+),
+per_source AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM tf GROUP BY source),
+per_term AS (SELECT term, CAST(sum(o) AS BIGINT) AS c_t FROM tf GROUP BY term),
+total AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM tf),
+contrib AS (
+  SELECT tf.source,
+         CAST(floor(
+           (CAST(tf.o * total.t - per_source.n_s * per_term.c_t AS DOUBLE)
+            * CAST(tf.o * total.t - per_source.n_s * per_term.c_t AS DOUBLE))
+           / (CAST(total.t AS DOUBLE) * CAST(per_source.n_s AS DOUBLE) * CAST(per_term.c_t AS DOUBLE))
+           * 1000000) AS BIGINT) AS chi_e6
+  FROM tf
+  JOIN per_source USING (source)
+  JOIN per_term USING (term)
+  CROSS JOIN total
+)
+SELECT source,
+       CAST(sum(chi_e6) AS DOUBLE) / 1000000 AS chi2,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM contrib
+GROUP BY source
+ORDER BY chi2 DESC, source ASC
+"""
+
+QUERIES["pipeline_token_drift"] = _sql(
+    _DRIFT_TEMPLATE.format(tok_unnest=r"explode(split(trim(text), '\\s+'))")
+)
+ORACLE["pipeline_token_drift"] = _DRIFT_TEMPLATE.format(
+    tok_unnest=r"unnest(regexp_split_to_array(trim(text), '\s+'))"
+)
