@@ -67,8 +67,18 @@ _DUCK_FN_ALIASES = {
     "epoch_ms": "unix_millis",
     "list_concat": "concat",
     "list_append": "array_append",
+    # round 5: higher-order + min/max list aliases (lambda syntax `x ->`
+    # is identical in both dialects, so these are pure renames)
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "array_length": "size",
+    "list_has_any": "arrays_overlap",
     # NOT list_position: DuckDB yields NULL for a missing element,
     # Spark's array_position yields 0 — silent semantic drift.
+    # NOT list_slice/list_reduce: argument semantics differ (inclusive
+    # end vs length; no init accumulator) — silent drift, not a rename.
 }
 _DUCK_FN_RE = re.compile(
     r"\b(" + "|".join(sorted(_DUCK_FN_ALIASES, key=len, reverse=True)) + r")\s*\(",

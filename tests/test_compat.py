@@ -237,6 +237,14 @@ def test_duckdb_function_aliases_over_wire(pgc):
         "SELECT regexp_matches('abc123', '[0-9]+') AS m1, 'abc123' ~ '[a-z]+[0-9]+' AS m2"
     )
     assert rows == [("t", "t")]
+    # round 5: higher-order + min/max aliases (lambda syntax identical)
+    _, rows, _ = c.simple_query(
+        "SELECT list_max(list_transform(list_value(1, 2, 3), x -> x * 10)) AS mx, "
+        "list_min(list_filter(list_value(4, 1, 9), x -> x > 2)) AS mn, "
+        "array_length(list_value(7, 8)) AS n, "
+        "list_has_any(list_value(1, 2), list_value(2, 9)) AS ov"
+    )
+    assert rows == [("30", "4", "2", "t")]
     # a literal containing ' ~ '' stays untouched (outside-literal sub)
     _, rows, _ = c.simple_query("SELECT 'x ~ y' AS s")
     assert rows == [("x ~ y",)]
