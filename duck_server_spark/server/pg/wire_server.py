@@ -80,6 +80,12 @@ _CREATE_USER = re.compile(
 )
 _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+# DEALLOCATE [PREPARE] <name> | ALL — frees prepared statements (psql
+# and connection poolers send this as a simple query; vanilla Spark
+# would error on the verb)
+_DEALLOCATE = re.compile(
+    r"^\s*deallocate\s+(?:prepare\s+)?(all|[\w\"]+)\s*;?\s*$", re.IGNORECASE
+)
 # Transaction control is REAL (rounds 4-5): BEGIN opens a session-scoped
 # staged-write overlay (engine/transactions.py), COMMIT conflict-checks
 # (40001 on a concurrent publish), journals, and republishes the
@@ -453,6 +459,18 @@ class PgConnection:
                 self._release_portal(p)
             self.portals.clear()
             self.send_command_complete("DISCARD ALL")
+            return
+        m = _DEALLOCATE.match(q)
+        if m:
+            name = m.group(1).strip('"')
+            if name.lower() == "all":
+                self.stmts.clear()
+            elif self.stmts.pop(name, None) is None:
+                self.send_error(
+                    f'prepared statement "{name}" does not exist', "26000"
+                )
+                return
+            self.send_command_complete("DEALLOCATE")
             return
         m = _COPY_IN.match(q)
         if m:

@@ -578,3 +578,59 @@ def test_unknown_message_type_skipped(pg):
     _, rows, _ = c.simple_query("SELECT 41 + 1 AS ok")
     assert rows == [("42",)]
     c.terminate()
+
+
+def test_deallocate_prepared_statement(pg):
+    """DEALLOCATE frees a named prepared statement (psql / pooler
+    hygiene); re-Parse of the freed name succeeds, DEALLOCATE of a
+    missing name errors with 26000, DEALLOCATE ALL clears everything."""
+    (host, port), _ = pg
+    c = PgClient(host, port)
+    c.parse("dl1", "SELECT 1")
+    c.sync_collect()
+    _, _, tag = c.simple_query("DEALLOCATE dl1")
+    assert tag == "DEALLOCATE"
+    c.parse("dl1", "SELECT 2")  # name free again — no duplicate error
+    c.sync_collect()
+    with pytest.raises(RuntimeError, match="26000"):
+        c.simple_query("DEALLOCATE no_such_stmt")
+    _, _, tag = c.simple_query("DEALLOCATE ALL")
+    assert tag == "DEALLOCATE"
+    c.parse("dl1", "SELECT 3")  # cleared by ALL
+    c.sync_collect()
+    c.terminate()
+
+
+def test_single_message_transaction_script(pg):
+    """A whole BEGIN; …; COMMIT script in ONE simple-query message (the
+    psql -c / migration-file shape): per-statement dispatch must thread
+    the transaction through and commit it."""
+    import shutil
+
+    (host, port), engine = pg
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS pg_script1")
+    warehouse = engine.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/pg_script1", ignore_errors=True)
+    c.simple_query("CREATE TABLE pg_script1 (id BIGINT, v DOUBLE) USING parquet")
+    c.simple_query("INSERT INTO pg_script1 VALUES (1, 1.0), (2, 2.0)")
+    c.simple_query(
+        "BEGIN; UPDATE pg_script1 SET v = v + 10 WHERE id = 1; "
+        "DELETE FROM pg_script1 WHERE id = 2; COMMIT"
+    )
+    assert c.last_ready_status == "I"
+    _, rows, _ = c.simple_query("SELECT id, v FROM pg_script1 ORDER BY id")
+    assert rows == [("1", "11.0")]
+    # and a mid-script error aborts the block (remaining statements
+    # skipped, client sees the ErrorResponse) — ROLLBACK then restores
+    with pytest.raises(RuntimeError, match="nope_nope"):
+        c.simple_query(
+            "BEGIN; UPDATE pg_script1 SET v = 0 WHERE id = 1; "
+            "SELECT * FROM nope_nope; COMMIT"
+        )
+    assert c.last_ready_status == "E"  # error aborted the block mid-script
+    c.simple_query("ROLLBACK")
+    _, rows, _ = c.simple_query("SELECT v FROM pg_script1")
+    assert rows == [("11.0",)]
+    c.simple_query("DROP TABLE pg_script1")
+    c.terminate()
