@@ -269,20 +269,34 @@ def _resolve_ref_cols(fk: dict, store: "ConstraintStore | None") -> list[str]:
 
 
 def _check_fk(
-    spark: SparkSession, disp: str, rows: DataFrame, fk: dict, store
+    spark: SparkSession, disp: str, rows: DataFrame, fk: dict, store,
+    table: str | None = None,
 ) -> None:
     """Raise 23503 if `rows` contain an FK tuple with no parent row.
     PG MATCH SIMPLE semantics: a row with ANY NULL FK part passes. The
     probe is a column-pruned scan of the parent's key columns + one
     anti-join, limit(1) early-exit — no index needed, the honest price
-    of referential integrity without a table format."""
+    of referential integrity without a table format.
+
+    Inside a transaction the child rows arrive under the child's SHADOW
+    name — the parent probe must then read the SAME transaction's staged
+    parent (read-your-writes: a parent INSERT earlier in the block makes
+    the child row valid; a parent DELETE invalidates it) rather than the
+    published base (ADVICE r5). `table` is the actual constrained table
+    name (possibly a shadow); resolution goes through the live shadow
+    registry."""
+    from duck_server_spark.engine.transactions import sibling_shadow
+
     fkcols = fk["cols"]
     ref_cols = _resolve_ref_cols(fk, store)
     cname = f"{disp}_{'_'.join(fkcols)}_fkey"
     probe = rows.select([F.col(c).alias(r) for c, r in zip(fkcols, ref_cols)])
     for r in ref_cols:
         probe = probe.filter(F.col(r).isNotNull())
-    parent = spark.table(fk["ref_table"]).select(*ref_cols)
+    parent_name = (
+        sibling_shadow(table, fk["ref_table"]) if table else None
+    ) or fk["ref_table"]
+    parent = spark.table(parent_name).select(*ref_cols)
     orphan = probe.join(parent, on=ref_cols, how="left_anti").limit(1)
     if orphan.count() > 0:
         raise PgError(
@@ -307,7 +321,7 @@ def validate_append(
         keys = c["cols"]
         kind = c["kind"]
         if kind == "foreign":
-            _check_fk(spark, disp, incoming, c, store)
+            _check_fk(spark, disp, incoming, c, store, table=table)
             continue
         cname = f"{disp}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
         nonnull = incoming
@@ -358,7 +372,7 @@ def validate_table_keys(
         kind = c["kind"]
         if kind == "foreign":
             if spark is not None:
-                _check_fk(spark, disp, staged, c, store)
+                _check_fk(spark, disp, staged, c, store, table=table)
             continue
         cname = f"{disp}_{'pkey' if kind == 'primary' else '_'.join(keys) + '_key'}"
         nonnull = staged

@@ -72,11 +72,39 @@ if TYPE_CHECKING:  # pragma: no cover
 _SHADOW_LOCK = threading.Lock()
 _ACTIVE_SHADOWS: dict[str, str] = {}
 
+# Process-wide COMMIT serialization (ADVICE r5): the first-committer-wins
+# check is fingerprint-compare-then-publish; two concurrent COMMITs that
+# staged the same table could both pass the compare before either
+# publishes — a silent lost update. Holding one mutex across the
+# fingerprint check + journal + publish sequence makes the race
+# impossible; commits are short (they publish already-materialized
+# shadows) so the serialization cost is the price of the 40001 contract.
+_COMMIT_MUTEX = threading.Lock()
+
 
 def resolve_shadow(name: str) -> str | None:
     """→ base table name if `name` is a LIVE transaction shadow, else None."""
     with _SHADOW_LOCK:
         return _ACTIVE_SHADOWS.get(name.lower())
+
+
+_TXN_SUFFIX = re.compile(r"__txn_(\d+)$")
+
+
+def sibling_shadow(table_or_shadow: str, other_base: str) -> str | None:
+    """If `table_or_shadow` is a LIVE transaction shadow, return the live
+    shadow of `other_base` staged by the SAME transaction (None when that
+    base isn't staged there). Lets constraint checks read the transaction's
+    own staged state — e.g. an FK probe after an in-txn parent INSERT must
+    see the new parent row (ADVICE r5). Resolution goes through the live
+    registry, never a bare name pattern."""
+    if resolve_shadow(table_or_shadow) is None:
+        return None
+    m = _TXN_SUFFIX.search(table_or_shadow.lower())
+    if m is None:
+        return None
+    cand = f"{other_base.lower().replace('.', '_')}__txn_{m.group(1)}"
+    return cand if resolve_shadow(cand) == other_base.lower() else None
 
 
 def _register_shadow(shadow: str, base: str) -> None:
@@ -135,15 +163,17 @@ def rewrite_table_idents(q: str, lookup: Callable[[str], str | None]) -> str:
     An identifier is in table position iff the previous significant token
     is a table-introducing keyword (FROM/JOIN/INTO/UPDATE/TABLE/COPY/
     TRUNCATE) or it continues a FROM-clause comma-list at the same paren
-    depth. Quoted identifiers (``"orders"``) resolve by their unquoted
+    depth. Paren scopes save/restore the FROM-list state on a stack
+    (ADVICE r5: ``FROM (SELECT 1) x, orders`` must keep rewriting after
+    the derived table — the inner SELECT clears only the INNER scope's
+    state). Quoted identifiers (``"orders"``) resolve by their unquoted
     lowercase name but only in table positions; string literals never
     match; columns and aliases are never rewritten."""
     out: list[str] = []
     prev: str | None = None  # last significant token (bare lowercase)
     prev2: str | None = None
     in_from_list = False
-    from_depth = 0
-    depth = 0
+    stack: list[bool] = []  # saved in_from_list per open paren scope
     for m in _TOKEN.finditer(q):
         tok = m.group(0)
         if tok.isspace():
@@ -151,16 +181,17 @@ def rewrite_table_idents(q: str, lookup: Callable[[str], str | None]) -> str:
             continue
         emitted = tok
         if tok == "(":
-            depth += 1
+            # new scope: identifiers inside are not table positions until
+            # an inner FROM/JOIN appears; the outer state comes back at ')'
+            stack.append(in_from_list)
+            in_from_list = False
         elif tok == ")":
-            depth -= 1
-            if in_from_list and depth < from_depth:
-                in_from_list = False
+            in_from_list = stack.pop() if stack else False
         elif tok[0].isalpha() or tok[0] in '_"`':
             bare = tok.lower().strip('"`')
             table_pos = (
                 prev in _TABLE_INTRO and not (prev == "update" and prev2 == "for")
-            ) or (in_from_list and prev == "," and depth == from_depth)
+            ) or (in_from_list and prev == ",")
             if table_pos:
                 repl = lookup(bare)
                 if repl is not None:
@@ -168,7 +199,6 @@ def rewrite_table_idents(q: str, lookup: Callable[[str], str | None]) -> str:
                     bare = repl.lower()
             if bare in ("from", "join"):
                 in_from_list = True
-                from_depth = depth
             elif bare in _FROM_LIST_END:
                 in_from_list = False
             prev2, prev = prev, bare
@@ -254,6 +284,10 @@ class TxnOverlay:
         self.staged: dict[str, str] = {}
         self.created: set[str] = set()  # tables born in this transaction
         self.dropped: dict[str, str] = {}  # lowercase name -> "table" | "view"
+        # dropped-then-recreated inside this transaction: the name reads/
+        # writes through its NEW shadow (so it leaves `dropped`), but
+        # COMMIT must still drop the old base object first (ADVICE r5)
+        self.pre_drops: dict[str, str] = {}
         # in-txn created tables' constraints, registered for real on COMMIT
         self.pending_constraints: dict[str, list] = {}
         # lowercase view name -> (shadow view name, original CREATE VIEW sql)
@@ -368,6 +402,12 @@ class TxnOverlay:
         head = _CREATE_TABLE.match(stripped)
         ddl = stripped[: head.start(2)] + shadow + stripped[head.end(2):]
         ddl = self.rewrite(ddl)
+        if key in self.dropped:
+            # DROP t; CREATE t in one transaction: the recreated name
+            # reads/writes its new shadow from here on; COMMIT drops the
+            # old base first, then publishes (ADVICE r5 — leaving the key
+            # in `dropped` made the recreated table unreadable in-txn)
+            self.pre_drops[key] = self.dropped.pop(key)
         self._drop_shadow(shadow)
         spark = self.engine.spark
         spark.sql(self.engine._prepare_sql(ddl, "pg")).collect()
@@ -390,6 +430,10 @@ class TxnOverlay:
             self.pending_constraints.pop(key, None)
             self.engine.constraints.drop(shadow)
             self._drop_shadow(shadow)
+            if key in self.pre_drops:
+                # DROP t; CREATE t; DROP t — net effect: the base is still
+                # dropped at COMMIT and unreadable in-txn again
+                self.dropped[key] = self.pre_drops.pop(key)
             return "DROP TABLE"
         if not self._exists(table):
             if if_exists:
@@ -397,7 +441,10 @@ class TxnOverlay:
             raise PgError("42P01", f'table "{table}" does not exist')
         if key in self.staged:  # DML-staged earlier in this transaction
             self._drop_shadow(self.staged.pop(key))
-            self.base_versions.pop(key, None)
+        # fingerprint kept (or taken now): a concurrent publish to a table
+        # this transaction drops is still a write-write conflict (40001)
+        if key not in self.base_versions:
+            self.base_versions[key] = _table_fingerprint(self.engine.spark, key)
         self.dropped[key] = "table"
         return "DROP TABLE"
 
@@ -449,65 +496,88 @@ class TxnOverlay:
         table commit without a journal needs a table format — Delta/
         Iceberg — documented non-goal)."""
         spark = self.engine.spark
-        # -- first-committer-wins: fail with 40001 if any staged base
-        # table was published to since we fingerprinted it (DuckDB's
-        # optimistic MVCC errors the second conflicting writer the same
-        # way; last-writer-wins would silently drop the other commit)
-        for key in self.staged:
-            if key in self.created:
-                continue
-            if _table_fingerprint(spark, key) != self.base_versions.get(key):
-                self.rollback()
-                raise PgError(
-                    "40001",
-                    f'could not serialize access: table "{key}" was modified '
-                    "by a concurrent transaction (retry the transaction)",
-                )
-        manifest = {
-            "txn_id": self.txn_id,
-            "publish": {
-                real: shadow
-                for real, shadow in self.staged.items()
-                if real not in self.pending_views
-            },
-            "drop": self.dropped,
-            "views": [orig for _shadow, orig in self.pending_views.values()],
-            "constraints": self.pending_constraints,
-        }
-        jpath = self._journal_path()
-        with open(jpath, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            # deferred drops first (a dropped-then-recreated name publishes
-            # its new contents right after)
-            for name, kind in self.dropped.items():
-                if kind == "view":
-                    spark.sql(f"DROP VIEW IF EXISTS {name}")
-                else:
-                    spark.sql(f"DROP TABLE IF EXISTS {name}")
-                    self.engine.constraints.drop(name)
-            for real, shadow in list(self.staged.items()):
-                if real in self.pending_views:
-                    continue
-                spark.table(shadow).write.mode("overwrite").saveAsTable(real)
-                if real in self.created:
-                    found = self.pending_constraints.get(real)
-                    if found:
-                        self.engine.constraints.put(real, found)
-                    self.engine.constraints.drop(shadow)
-                self._drop_shadow(shadow)
-            for _key, (shadow, original) in self.pending_views.items():
-                spark.sql(f"DROP VIEW IF EXISTS {shadow}")
-                spark.sql(self.engine._prepare_sql(original, "pg")).collect()
-        finally:
+        # One commit at a time, process-wide (ADVICE r5): without the
+        # mutex two concurrent COMMITs on the same table could both pass
+        # the fingerprint compare before either publishes — a silent lost
+        # update despite the 40001 contract.
+        with _COMMIT_MUTEX:
+            # -- first-committer-wins: fail with 40001 if any base table
+            # this transaction staged OR dropped was published to since
+            # we fingerprinted it (DuckDB's optimistic MVCC errors the
+            # second conflicting writer the same way; last-writer-wins
+            # would silently drop the other commit)
+            for key, fp in self.base_versions.items():
+                if _table_fingerprint(spark, key) != fp:
+                    self.rollback()
+                    raise PgError(
+                        "40001",
+                        f'could not serialize access: table "{key}" was modified '
+                        "by a concurrent transaction (retry the transaction)",
+                    )
+            manifest = {
+                "txn_id": self.txn_id,
+                "publish": {
+                    real: shadow
+                    for real, shadow in self.staged.items()
+                    if real not in self.pending_views
+                },
+                # pre_drops first: a dropped-then-recreated name must drop
+                # the old base before its new contents publish
+                "drop": {**self.pre_drops, **self.dropped},
+                "views": [orig for _shadow, orig in self.pending_views.values()],
+                "constraints": self.pending_constraints,
+            }
+            jpath = self._journal_path()
+            with open(jpath, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            ok = False
             try:
-                os.remove(jpath)
-            except OSError:
-                pass
+                # deferred drops first (a dropped-then-recreated name
+                # publishes its new contents right after)
+                for name, kind in manifest["drop"].items():
+                    if kind == "view":
+                        spark.sql(f"DROP VIEW IF EXISTS {name}")
+                    else:
+                        spark.sql(f"DROP TABLE IF EXISTS {name}")
+                        self.engine.constraints.drop(name)
+                for real, shadow in list(self.staged.items()):
+                    if real in self.pending_views:
+                        continue
+                    spark.table(shadow).write.mode("overwrite").saveAsTable(real)
+                    if real in self.created:
+                        found = self.pending_constraints.get(real)
+                        if found:
+                            self.engine.constraints.put(real, found)
+                        self.engine.constraints.drop(shadow)
+                    self._drop_shadow(shadow)
+                for _key, (shadow, original) in self.pending_views.items():
+                    spark.sql(f"DROP VIEW IF EXISTS {shadow}")
+                    spark.sql(self.engine._prepare_sql(original, "pg")).collect()
+                ok = True
+            finally:
+                if ok:
+                    try:
+                        os.remove(jpath)
+                    except OSError:
+                        pass
+                else:
+                    # A mid-commit EXCEPTION (e.g. disk full after one table
+                    # already published) is exactly the half-applied state
+                    # the journal exists for — do NOT delete it (ADVICE r5).
+                    # Try to roll forward inline so THIS process's catalog
+                    # is consistent; if that also fails, the manifest stays
+                    # for the next bootstrap's recover_journal.
+                    try:
+                        recover_journal(self.engine)
+                    except Exception:  # noqa: BLE001 — manifest remains on disk
+                        pass
+                    for shadow in self.staged.values():
+                        _unregister_shadow(shadow)
         self.staged.clear()
         self.dropped.clear()
+        self.pre_drops.clear()
         self.pending_views.clear()
         self.pending_constraints.clear()
         self.created.clear()
@@ -526,6 +596,7 @@ class TxnOverlay:
                 pass
         self.staged.clear()
         self.dropped.clear()
+        self.pre_drops.clear()
         self.pending_views.clear()
         self.pending_constraints.clear()
         self.created.clear()
@@ -557,6 +628,7 @@ def recover_journal(engine: "Engine") -> int:
                 shutil.rmtree(os.path.join(warehouse, name.rsplit(".", 1)[-1]), ignore_errors=True)
             else:
                 spark.sql(f"DROP VIEW IF EXISTS {name}")
+        all_published = True
         for real, shadow in manifest.get("publish", {}).items():
             published = False
             try:
@@ -574,17 +646,26 @@ def recover_journal(engine: "Engine") -> int:
                 shutil.rmtree(rdir, ignore_errors=True)
                 shutil.copytree(sdir, rdir)
                 published = True
-            shutil.rmtree(sdir, ignore_errors=True)
             if published:
+                shutil.rmtree(sdir, ignore_errors=True)
                 found = manifest.get("constraints", {}).get(real)
                 if found:
                     engine.constraints.put(real, found)
                 engine.constraints.drop(shadow)
+            elif os.path.isdir(sdir):
+                # Both publish paths failed but the shadow directory still
+                # holds the commit's only copy of the new contents: keep
+                # the data AND the manifest for a later retry — deleting
+                # either would lose a decided commit (ADVICE r5). A shadow
+                # that vanished entirely was already published+dropped by
+                # the interrupted commit; that one is fine to skip.
+                all_published = False
         for original in manifest.get("views", []):
             try:
                 spark.sql(engine._prepare_sql(original, "pg")).collect()
             except Exception:  # noqa: BLE001 — view replay best-effort
                 pass
-        os.remove(jpath)
-        n += 1
+        if all_published:
+            os.remove(jpath)
+            n += 1
     return n

@@ -345,6 +345,28 @@ def params_to_null(q: str) -> str:
     return _sub_outside_literals(q, lambda seg: _PARAM.sub("null", seg))
 
 
+def split_expr_list(s: str) -> list[str]:
+    """Split an EXECUTE-argument list on top-level commas (commas inside
+    parens or string literals are inert)."""
+    return _split_top_level(s, _mask_literals(s))
+
+
+def substitute_param_exprs(q: str, exprs: list[str]) -> str:
+    """$n placeholders → the nth SQL expression text (already-valid SQL
+    from the same statement, so no literal rendering needed — each
+    expression arrives pre-parenthesized by the caller). The SQL-level
+    `EXECUTE name(args)` twin of substitute_params; placeholders inside
+    string literals stay data."""
+
+    def repl(m: re.Match) -> str:
+        idx = int(m.group(1)) - 1
+        if idx < 0 or idx >= len(exprs):
+            return "NULL"
+        return exprs[idx]
+
+    return _sub_outside_literals(q, lambda seg: _PARAM.sub(repl, seg))
+
+
 def render_literal(v) -> str:
     import datetime as _dt
     import decimal as _dec

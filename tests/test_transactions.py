@@ -568,3 +568,160 @@ def test_commit_crash_journal_replays_drops_too(pgt):
     assert [tuple(r) for r in spark.table("txn_j3").collect()] == [(6, 6.0)]
     assert not os.path.exists(jpath)
     spark.sql("DROP TABLE txn_j3")
+
+
+# ---------------------------------------------------------------------------
+# Round 6 — ADVICE r5 fixes: FROM-list after derived tables, drop-then-
+# recreate, FK read-your-writes, mid-commit journal preservation.
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_from_list_after_derived_table():
+    """ADVICE r5: a comma AFTER a parenthesized FROM item continues the
+    table list — `FROM (SELECT 1) x, orders` must rewrite `orders`; the
+    inner SELECT's keywords must only clear the INNER scope's state."""
+    cases = {
+        "SELECT * FROM (SELECT 1) x, orders":
+            "SELECT * FROM (SELECT 1) x, orders__txn_9",
+        "SELECT * FROM (SELECT x FROM t) q, orders WHERE q.x IN (1, c)":
+            "SELECT * FROM (SELECT x FROM t) q, orders__txn_9 WHERE q.x IN (1, c)",
+        # inner from-list and outer from-list are independent scopes
+        "SELECT * FROM (SELECT a FROM t, orders) q, orders":
+            "SELECT * FROM (SELECT a FROM t, orders__txn_9) q, orders__txn_9",
+        # scalar subquery in the select list never opens a from-list
+        "SELECT (SELECT max(x) FROM t), orders FROM t":
+            "SELECT (SELECT max(x) FROM t), orders FROM t",
+        # function-call args after a derived table stay inert
+        "SELECT * FROM (SELECT 1) x, t WHERE f(a, orders) > 0":
+            "SELECT * FROM (SELECT 1) x, t WHERE f(a, orders) > 0",
+        # WHERE of the inner subquery does not end the OUTER list
+        "SELECT * FROM (SELECT a FROM t WHERE b IN (1, 2)) q, orders":
+            "SELECT * FROM (SELECT a FROM t WHERE b IN (1, 2)) q, orders__txn_9",
+    }
+    for src, want in cases.items():
+        assert rewrite_table_idents(src, _map_orders) == want, src
+
+
+def test_read_your_writes_through_derived_from_list(pgt):
+    """End-to-end ADVICE r5 case: inside a transaction, a query whose
+    FROM list continues after a derived table reads the STAGED state."""
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    _mk_table(c, "txn_k1")
+    c.simple_query("BEGIN")
+    c.simple_query("UPDATE txn_k1 SET v = 77.0 WHERE id = 1")
+    _, rows, _ = c.simple_query(
+        "SELECT t.v FROM (SELECT 1 AS one) x, txn_k1 t WHERE t.id = 1"
+    )
+    assert rows == [("77.0",)]  # was 10.0 (base) before the fix
+    c.simple_query("ROLLBACK")
+    c.terminate()
+
+
+def test_drop_then_recreate_table_in_txn(pgt):
+    """ADVICE r5: DROP TABLE t; CREATE TABLE t inside one transaction —
+    the recreated table is readable/writable in-txn, COMMIT publishes
+    the new contents over the old base."""
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    _mk_table(c, "txn_k2")
+    c.simple_query("BEGIN")
+    c.simple_query("DROP TABLE txn_k2")
+    c.simple_query("CREATE TABLE txn_k2 (id BIGINT, name STRING) USING parquet")
+    c.simple_query("INSERT INTO txn_k2 VALUES (7, 'new')")
+    _, rows, _ = c.simple_query("SELECT id, name FROM txn_k2")
+    assert rows == [("7", "new")]  # was 42P01 before the fix
+    c.simple_query("COMMIT")
+    _, rows, _ = c.simple_query("SELECT id, name FROM txn_k2")
+    assert rows == [("7", "new")]
+    # and the rollback variant leaves the ORIGINAL base intact
+    c.simple_query("DROP TABLE txn_k2")
+    _mk_table(c, "txn_k2")
+    before = _snapshot(c, "txn_k2")
+    c.simple_query("BEGIN")
+    c.simple_query("DROP TABLE txn_k2")
+    c.simple_query("CREATE TABLE txn_k2 (id BIGINT, name STRING) USING parquet")
+    c.simple_query("ROLLBACK")
+    assert _snapshot(c, "txn_k2") == before
+    c.terminate()
+
+
+def test_fk_reads_staged_parent_in_txn(pgt):
+    """ADVICE r5: FK probes resolve the parent through the SAME
+    transaction's staged state — a parent INSERT earlier in the block
+    validates the child row; a parent DELETE invalidates it."""
+    (host, port), engine = pgt
+    spark = engine.spark
+    for t in ("txn_fkc", "txn_fkp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        engine.constraints.drop(t)
+    c = PgClient(host, port)
+    c.simple_query("CREATE TABLE txn_fkp (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    c.simple_query(
+        "CREATE TABLE txn_fkc (cid BIGINT, pid BIGINT REFERENCES txn_fkp(id)) USING parquet"
+    )
+    c.simple_query("INSERT INTO txn_fkp VALUES (1, 1.0)")
+    c.simple_query("BEGIN")
+    c.simple_query("INSERT INTO txn_fkp VALUES (2, 2.0)")
+    # parent row staged in THIS transaction: child insert must pass
+    # (before the fix: spurious 23503 — probe read the published parent)
+    _, _, tag = c.simple_query("INSERT INTO txn_fkc VALUES (10, 2)")
+    assert tag.startswith("INSERT")
+    c.simple_query("COMMIT")
+    _, rows, _ = c.simple_query("SELECT cid, pid FROM txn_fkc")
+    assert rows == [("10", "2")]
+    # in-txn parent DELETE invalidates a later child insert (before the
+    # fix this wrongly passed — the probe saw the published parent row)
+    c.simple_query("BEGIN")
+    c.simple_query("DELETE FROM txn_fkp WHERE id = 1")
+    with pytest.raises(RuntimeError, match="23503"):
+        c.simple_query("INSERT INTO txn_fkc VALUES (11, 1)")
+    c.simple_query("ROLLBACK")
+    c.terminate()
+
+
+def test_mid_commit_failure_keeps_journal_and_recovers(pgt):
+    """ADVICE r5: an EXCEPTION between two table publishes must not
+    delete the journal — commit() now recovers inline (rolls the decided
+    commit forward) and only then clears the manifest."""
+    import glob
+    import os
+
+    from duck_server_spark.engine.transactions import TxnOverlay
+
+    (_addr, engine) = pgt
+    spark = engine.spark
+    for t in ("txn_k3", "txn_k4"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.saveAsTable("txn_k3")
+    spark.createDataFrame([(2, 2.0)], "id long, v double").write.saveAsTable("txn_k4")
+    txn = TxnOverlay(engine, 424242)
+    txn.ensure_staged("txn_k3")
+    txn.ensure_staged("txn_k4")
+    spark.sql(f"INSERT INTO {txn.staged['txn_k3']} VALUES (10, 10.0)")
+    spark.sql(f"INSERT INTO {txn.staged['txn_k4']} VALUES (20, 20.0)")
+    # fail once AFTER the first publish (commit calls _drop_shadow right
+    # after each saveAsTable) — the simulated "disk full" window
+    orig = txn._drop_shadow
+    state = {"n": 0}
+
+    def boom(shadow):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("disk full (simulated)")
+        orig(shadow)
+
+    txn._drop_shadow = boom
+    with pytest.raises(RuntimeError, match="disk full"):
+        txn.commit()
+    # inline recovery rolled the DECIDED commit forward: both tables show
+    # the transaction's contents, no manifest remains
+    assert sorted(tuple(r) for r in spark.table("txn_k3").collect()) == [
+        (1, 1.0), (10, 10.0)
+    ]
+    assert sorted(tuple(r) for r in spark.table("txn_k4").collect()) == [
+        (2, 2.0), (20, 20.0)
+    ]
+    assert glob.glob(os.path.join(engine.data_dir, "duckserver_txn_journal_424242*")) == []
+    for t in ("txn_k3", "txn_k4"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
