@@ -46,6 +46,7 @@ import secrets
 import struct
 from dataclasses import dataclass, field
 
+from duck_server_spark.engine.errors import PgError
 from duck_server_spark.engine.executor import Engine, parse_verifier
 from duck_server_spark.engine.transactions import TxnOverlay
 from duck_server_spark.engine.types import (
@@ -86,6 +87,23 @@ _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
 _DEALLOCATE = re.compile(
     r"^\s*deallocate\s+(?:prepare\s+)?(all|[\w\"]+)\s*;?\s*$", re.IGNORECASE
 )
+# SQL-level PREPARE name [(types)] AS stmt / EXECUTE name [(args)] —
+# the reference delegates these to DuckDB like any statement
+# (/root/reference/pg_conn.go:314; DuckDB supports them natively), so a
+# psql script in text mode can use them. Spark SQL rejects the verbs, so
+# they are intercepted here: PREPARE stores into the SAME statement map
+# the extended protocol and DEALLOCATE use; EXECUTE substitutes the
+# argument expressions for $n (literal-safe: the args are SQL text from
+# the same statement) and dispatches the expanded statement normally —
+# including through an open transaction's staged-identifier rewrite.
+_PREPARE_SQL = re.compile(
+    r'^\s*prepare\s+("?[\w$]+"?)\s*(?:\(([^)]*)\))?\s+as\s+(.+?);?\s*$',
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_SQL = re.compile(
+    r'^\s*execute\s+("?[\w$]+"?)\s*(?:\((.*)\))?\s*;?\s*$',
+    re.IGNORECASE | re.DOTALL,
+)
 # Transaction control is REAL (rounds 4-5): BEGIN opens a session-scoped
 # staged-write overlay (engine/transactions.py), COMMIT conflict-checks
 # (40001 on a concurrent publish), journals, and republishes the
@@ -121,6 +139,10 @@ class StmtDesc:
     # param type OIDs the client declared in Parse (may be shorter than
     # num_params; 0 = unspecified). Binary Bind params decode by these.
     param_oids: tuple = ()
+    # type NAMES a SQL-level `PREPARE name (int, text) AS …` declared —
+    # EXECUTE casts each argument expression to its declared type,
+    # matching PG/DuckDB typed-prepare semantics
+    param_types: tuple = ()
 
 
 @dataclass
@@ -435,6 +457,19 @@ class PgConnection:
                 "25P02",
             )
             return
+        # SQL-level PREPARE/EXECUTE intercept BEFORE the transaction
+        # rewrite: the stored statement text must stay pristine (it can
+        # outlive the transaction; staged identifiers rewrite at EXECUTE
+        # time instead, so read-your-writes still holds for the expansion)
+        m = _PREPARE_SQL.match(q)
+        if m:
+            self._prepare_stmt_sql(m.group(1), m.group(2), m.group(3))
+            self.send_command_complete("PREPARE")
+            return
+        m = _EXECUTE_SQL.match(q)
+        if m:
+            q = self._expand_execute_sql(m.group(1), m.group(2))
+            # fall through: the expanded statement dispatches normally
         if self.txn is not None:
             loop = asyncio.get_running_loop()
             # transactional DDL (round 5): CREATE/DROP TABLE/VIEW inside
@@ -490,6 +525,53 @@ class PgConnection:
             self.send_command_complete(tag)
             return
         await self._run_query(q, send_row_desc=True)
+
+    def _prepare_stmt_sql(self, name_raw: str, types_csv: str | None, body: str) -> None:
+        """SQL-level `PREPARE name [(types)] AS stmt` → same statement map
+        the extended protocol and DEALLOCATE use (pg_conn.go:314 delegates
+        this to DuckDB; Spark SQL rejects the verb so we store it here)."""
+        name = name_raw.strip('"')
+        if name in self.stmts:
+            raise PgError("42P05", f'prepared statement "{name}" already exists')
+        types = (
+            tuple(t.strip() for t in types_csv.split(",") if t.strip())
+            if types_csv
+            else ()
+        )
+        body = body.strip()
+        nparams = max(rewrites.count_params(body), len(types))
+        self.stmts[name] = StmtDesc(body, nparams, (), types)
+
+    def _expand_execute_sql(self, name_raw: str, args_csv: str | None) -> str:
+        """`EXECUTE name [(args)]` → the stored statement with each $n
+        replaced by its (parenthesized, optionally CAST-to-declared-type)
+        argument expression. The args are SQL text from this same
+        statement, so substitution is literal-safe by construction;
+        placeholders inside string literals stay data."""
+        name = name_raw.strip('"')
+        stmt = self.stmts.get(name)
+        if stmt is None:
+            raise PgError("26000", f'prepared statement "{name}" does not exist')
+        exprs = (
+            rewrites.split_expr_list(args_csv)
+            if args_csv and args_csv.strip()
+            else []
+        )
+        if len(exprs) != stmt.num_params:
+            raise PgError(
+                "42601",
+                f'wrong number of parameters for prepared statement "{name}": '
+                f"expected {stmt.num_params}, got {len(exprs)}",
+            )
+        wrapped = []
+        for i, e in enumerate(exprs):
+            if i < len(stmt.param_types) and stmt.param_types[i]:
+                wrapped.append(
+                    f"CAST(({e}) AS {rewrites.normalize_type(stmt.param_types[i])})"
+                )
+            else:
+                wrapped.append(f"({e})")
+        return rewrites.substitute_param_exprs(stmt.query, wrapped)
 
     async def _txn_control(self, tag: str) -> None:
         """BEGIN/COMMIT/ROLLBACK with real staged-write semantics
@@ -757,7 +839,11 @@ class PgConnection:
                 struct.pack(">h", stmt.num_params)
                 + b"".join(struct.pack(">i", o) for o in oids),
             )
-            probe = rewrites.params_to_null(stmt.query)  # pg_conn.go:652-656
+            probe_src = stmt.query
+            em = _EXECUTE_SQL.match(probe_src)
+            if em:  # Describe of a SQL-level EXECUTE: probe the expansion
+                probe_src = self._expand_execute_sql(em.group(1), em.group(2))
+            probe = rewrites.params_to_null(probe_src)  # pg_conn.go:652-656
             if self.txn is not None and self.txn.status != "E":
                 probe = self.txn.rewrite(probe)  # read-your-writes
             schema = await loop.run_in_executor(None, lambda: self.engine.query(probe, "pg").schema)
@@ -767,6 +853,9 @@ class PgConnection:
             if portal is None:
                 raise ValueError(f'portal "{name.decode()}" does not exist')
             q = rewrites.substitute_params(portal.stmt.query, portal.params)
+            em = _EXECUTE_SQL.match(q)
+            if em:  # Describe of a SQL-level EXECUTE: probe the expansion
+                q = self._expand_execute_sql(em.group(1), em.group(2))
             if self.txn is not None and self.txn.status != "E":
                 q = self.txn.rewrite(q)  # read-your-writes for Describe
             schema = await loop.run_in_executor(None, lambda: self.engine.query(q, "pg").schema)
@@ -789,12 +878,20 @@ class PgConnection:
             await self._txn_control(_TXN_TAGS[m.group(1).split()[0].lower()])
             return
         if self.txn is not None and self.txn.status == "E":
-            from duck_server_spark.engine.errors import PgError
-
             raise PgError(
                 "25P02",
                 "current transaction is aborted, commands ignored until end of transaction block",
             )
+        # SQL-level PREPARE/EXECUTE arriving through the extended protocol
+        # (JDBC text mode wraps whole scripts in Parse/Execute)
+        pm = _PREPARE_SQL.match(q)
+        if pm:
+            self._prepare_stmt_sql(pm.group(1), pm.group(2), pm.group(3))
+            self.send_command_complete("PREPARE")
+            return
+        pm = _EXECUTE_SQL.match(q)
+        if pm:
+            q = self._expand_execute_sql(pm.group(1), pm.group(2))
         if self.txn is not None:
             loop = asyncio.get_running_loop()
             tag = await loop.run_in_executor(None, self.txn.intercept_ddl, q)
