@@ -142,14 +142,49 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# ASOF JOIN as SQL TEXT (round 6): the exact DuckDB 1.0 syntax a client
+# sends through the reference's delegation points
+# (/root/reference/README.md:26). The Spark side runs the dialect shim
+# (plans/rewrites.py rewrite_asof_join → validity-interval equi-join, one
+# shuffle per side on user_id); the oracle runs the SAME text natively on
+# DuckDB — hash equality proves the rewrite's semantics. The right side
+# is pre-aggregated per (user_id, ts) so as-of ties are impossible and
+# both engines pick the identical row.
+ASOF_JOIN_SQL_TEXT = """
+SELECT c.click_id, c.user_id, c.ts, v.vts AS view_ts, v.vval AS view_value
+FROM (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events WHERE event_type = 'click'
+) c
+ASOF LEFT JOIN (
+  SELECT user_id AS vuser, ts AS vts, max(value) AS vval
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+) v ON c.user_id = v.vuser AND c.ts >= v.vts
+"""
+
+
+def asof_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text twin of asof_join: exercises the ASOF JOIN dialect
+    shim end-to-end (rewrite → Spark plan) against DuckDB running the
+    identical statement natively."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(ASOF_JOIN_SQL_TEXT))
+
+
 QUERIES = {
     "asof_join": asof_join,
+    "asof_join_sql": asof_join_sql,
     "time_bucket_tumbling": time_bucket_tumbling,
     "sessionize": sessionize,
 }
 
 ORACLE = {
     "asof_join": ASOF_JOIN_ORACLE,
+    "asof_join_sql": ASOF_JOIN_SQL_TEXT,
     "time_bucket_tumbling": TIME_BUCKET_TUMBLING_ORACLE,
     "sessionize": SESSIONIZE_ORACLE,
 }

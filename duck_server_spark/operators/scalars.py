@@ -299,7 +299,41 @@ FROM nation
 """
 
 
+# list_slice through the DIALECT SHIM (round 6): the Spark side runs
+# DuckDB-spelled list_slice text through rewrite_pg_query (exact rewrite
+# to slice(l, a, b-a+1) — plans/rewrites.py _rewrite_list_slice); the
+# oracle runs list_slice natively. Edges covered: interior slice, end
+# past the list (clamps), end < start (empty). Floats are floored to
+# integer millis so the hash compares exactly.
+_LIST_SLICE_SPARK_TEXT = """
+SELECT vec_id,
+       size(list_slice(embedding, 2, 5)) AS slice_len,
+       CAST(floor(element_at(list_slice(embedding, 2, 5), 1) * 1000) AS BIGINT) AS first_mill,
+       size(list_slice(embedding, 4, 2)) AS empty_len,
+       size(list_slice(embedding, 3, 999)) AS clamped_len
+FROM embeddings
+"""
+
+LIST_SLICE_ORACLE = """
+SELECT vec_id,
+       len(list_slice(embedding, 2, 5)) AS slice_len,
+       CAST(floor(list_slice(embedding, 2, 5)[1] * 1000) AS BIGINT) AS first_mill,
+       len(list_slice(embedding, 4, 2)) AS empty_len,
+       len(list_slice(embedding, 3, 999)) AS clamped_len
+FROM embeddings
+"""
+
+
+def list_slice_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(_LIST_SLICE_SPARK_TEXT))
+
+
 QUERIES = {
+    "scalar_list_slice": list_slice_shim,
     "scalar_string": str_funcs,
     "scalar_date": date_funcs,
     "scalar_math": math_funcs,
@@ -311,6 +345,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_list_slice": LIST_SLICE_ORACLE,
     "scalar_string": STR_FUNCS_ORACLE,
     "scalar_date": DATE_FUNCS_ORACLE,
     "scalar_math": MATH_FUNCS_ORACLE,

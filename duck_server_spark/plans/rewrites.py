@@ -84,6 +84,40 @@ _DUCK_FN_RE = re.compile(
     r"\b(" + "|".join(sorted(_DUCK_FN_ALIASES, key=len, reverse=True)) + r")\s*\(",
     re.IGNORECASE,
 )
+# list_slice(l, a, b) → slice(l, a, b - a + 1): both ends inclusive in
+# DuckDB, start + LENGTH in Spark — the conversion is exact for positive
+# indices including the edges (end past the list clamps; end < start
+# yields []; verified value-for-value in tests). The 4-arg step variant
+# and negative indices are NOT rewritten (no Spark equivalent — they pass
+# through and error loudly instead of drifting). list_reduce /
+# list_position stay unmapped on purpose (rewrites.py alias table note).
+_LIST_SLICE = re.compile(r"\blist_slice\s*\(", re.IGNORECASE)
+
+
+def _rewrite_list_slice(q: str) -> str:
+    while True:
+        masked = _mask_literals(q)
+        m = _LIST_SLICE.search(masked)
+        if m is None:
+            return q
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        inner, inner_masked = q[m.end() : i - 1], masked[m.end() : i - 1]
+        args = _split_top_level(inner, inner_masked)
+        if len(args) != 3:
+            return q  # 4-arg step variant: pass through (errors loudly)
+        lst, a, b = args
+        # greatest(…, 0): DuckDB yields [] when end < start; Spark's slice
+        # errors on a negative length, so the length clamps at zero
+        repl = f"slice({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
+        q = q[: m.start()] + repl + q[i:]
+
+
 # EXTRACT(EPOCH FROM x) → unix_timestamp(x): PG/DuckDB idiom Spark's
 # EXTRACT doesn't accept (it has no EPOCH field). Needs a balanced-paren
 # scan because x can contain calls.
@@ -186,6 +220,8 @@ def rewrite_common(q: str) -> str:
     )
     q = rewrite_star_replace(q)
     q = _rewrite_extract_epoch(q)
+    q = _rewrite_list_slice(q)
+    q = rewrite_asof_join(q)
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
 
@@ -252,6 +288,228 @@ def rewrite_star_replace(q: str) -> str:
     ]
     repl = f"* EXCEPT ({', '.join(names)}), {', '.join(items)}"
     return rewrite_star_replace(q[: m.start()] + repl + q[i:])
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN (round 6): DuckDB 1.0 exposes the keyword through the
+# reference's delegation surface (/root/reference/README.md:26); Spark SQL
+# has no ASOF primitive. The shim rewrites
+#     l ASOF [LEFT] JOIN r [alias] ON l.k = r.k AND l.ts >= r.ts
+# into a validity-interval equi-join: each right row is valid from its ts
+# until the NEXT right row's ts for the same key (one lead() window over
+# the right side only), and the join band picks exactly the as-of row:
+#     [LEFT] JOIN (SELECT __asof_r.*, lead(ts) OVER (PARTITION BY k
+#                  ORDER BY ts ASC) AS __asof_end_i FROM r __asof_r) alias
+#       ON l.k = alias.k AND l.ts >= alias.ts
+#      AND (alias.__asof_end_i IS NULL OR l.ts < alias.__asof_end_i)
+# Scale shape: Catalyst plans the equi-join on the key with the band as a
+# residual filter — ONE shuffle of each side on the key, no range
+# explosion and no all-pairs argmax (the same plan the DataFrame idiom in
+# operators/events_time.py produces). All four inequality directions are
+# supported; >= / > look backward (largest earlier right ts), <= / <
+# forward. Statements whose ON shape can't be parsed (expressions on the
+# right time column, two inequalities, unqualified operands) pass through
+# unchanged and surface Spark's own error rather than silently drifting.
+# ---------------------------------------------------------------------------
+
+_ASOF = re.compile(r"\bASOF\s+(LEFT\s+)?JOIN\b", re.IGNORECASE)
+_ON_END_KW = re.compile(
+    r"(JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ASOF|WHERE|GROUP|ORDER|HAVING|"
+    r"LIMIT|UNION|INTERSECT|EXCEPT|QUALIFY|WINDOW|OFFSET)\b",
+    re.IGNORECASE,
+)
+_IDENT = re.compile(r"[A-Za-z_][\w$.]*")
+_SIMPLE_COL = re.compile(r"^[A-Za-z_][\w$]*$")
+_AND_SPLIT = re.compile(r"\(|\)|\bAND\b", re.IGNORECASE)
+_FLIP_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _split_on_and(s: str) -> list[str]:
+    masked = _mask_literals(s)
+    parts, depth, start = [], 0, 0
+    for mm in _AND_SPLIT.finditer(masked):
+        t = mm.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(s[start : mm.start()])
+            start = mm.end()
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _classify_ineq(cond: str) -> tuple[str, str, str] | None:
+    """→ (left, op, right) if cond is a single </>/<=/>= comparison."""
+    for op in (">=", "<="):
+        idx = cond.find(op)
+        if idx != -1:
+            return cond[:idx].strip(), op, cond[idx + 2 :].strip()
+    for op in (">", "<"):
+        idx = cond.find(op)
+        if idx != -1 and (idx + 1 >= len(cond) or cond[idx + 1] not in "=<>"):
+            return cond[:idx].strip(), op, cond[idx + 1 :].strip()
+    return None
+
+
+def _parse_asof_conds(conds: str, alias: str):
+    """→ (equality conds, right key cols, left time expr, op, right time
+    col) or None when the shape isn't a rewritable ASOF ON clause."""
+    pref = alias.lower() + "."
+    eqs: list[str] = []
+    keys: list[str] = []
+    ineq = None
+    for cond in _split_on_and(conds):
+        c = _classify_ineq(cond)
+        if c is not None:
+            if ineq is not None:
+                return None  # ASOF takes exactly one inequality
+            left, op, right = c
+            if right.lower().startswith(pref):
+                ineq = (left, op, right)
+            elif left.lower().startswith(pref):
+                ineq = (right, _FLIP_OP[op], left)
+            else:
+                return None
+            continue
+        sides = [s.strip() for s in cond.split("=")]
+        if len(sides) != 2:
+            return None
+        key = next((s for s in sides if s.lower().startswith(pref)), None)
+        if key is None or not _SIMPLE_COL.match(key[len(pref):]):
+            return None
+        eqs.append(cond.strip())
+        keys.append(key[len(pref):])
+    if ineq is None:
+        return None
+    lexpr, op, rexpr = ineq
+    tscol = rexpr[len(pref):]
+    if not _SIMPLE_COL.match(tscol):
+        return None
+    return eqs, keys, lexpr, op, tscol
+
+
+def rewrite_asof_join(q: str) -> str:
+    """Rewrite every `ASOF [LEFT] JOIN` (see block comment above). When
+    the statement is a bare `SELECT * FROM …`, the result is wrapped in
+    `SELECT * EXCEPT (helpers)` so the validity-end helper columns don't
+    leak into the client's star projection."""
+    helpers: list[str] = []
+    for seq in range(1, 17):  # bounded: statements have few ASOF joins
+        masked = _mask_literals(q)
+        m = _ASOF.search(masked)
+        if m is None:
+            break
+        is_left = bool(m.group(1))
+        n = len(q)
+        i = m.end()
+        while i < n and q[i].isspace():
+            i += 1
+        if i < n and q[i] == "(":  # subquery right side
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                j += 1
+            right_src = q[i:j]
+        else:
+            im = _IDENT.match(q, i)
+            if im is None:
+                return q
+            right_src, j = im.group(0), im.end()
+        k = j
+        while k < n and q[k].isspace():
+            k += 1
+        alias = None
+        am = _IDENT.match(q, k)
+        if am and am.group(0).lower() == "as":
+            k = am.end()
+            while k < n and q[k].isspace():
+                k += 1
+            am = _IDENT.match(q, k)
+        collist = None
+        if am and am.group(0).lower() != "on":
+            alias, j = am.group(0), am.end()
+            k = j
+            while k < n and q[k].isspace():
+                k += 1
+            if k < n and q[k] == "(":  # alias column list: v(ts, val)
+                depth, j2 = 1, k + 1
+                while j2 < n and depth:
+                    if masked[j2] == "(":
+                        depth += 1
+                    elif masked[j2] == ")":
+                        depth -= 1
+                    j2 += 1
+                collist = q[k + 1 : j2 - 1]
+                k = j2
+                while k < n and q[k].isspace():
+                    k += 1
+            am = _IDENT.match(q, k)
+        if alias is None:
+            if right_src.startswith("("):
+                return q  # a subquery right side needs an alias
+            alias = right_src.split(".")[-1]
+        if am is None or am.group(0).lower() != "on":
+            return q
+        cond_start = am.end()
+        # ON conds end at a top-level keyword, comma, semicolon, or the
+        # closing paren of an enclosing subquery (scanned on the mask)
+        depth = 0
+        cond_end = n
+        p = cond_start
+        while p < n:
+            ch = masked[p]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    cond_end = p
+                    break
+                depth -= 1
+            elif (ch == "," or ch == ";") and depth == 0:
+                cond_end = p
+                break
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                if _ON_END_KW.match(masked, p):
+                    cond_end = p
+                    break
+                idm = _IDENT.match(masked, p)
+                p = idm.end() if idm else p + 1
+                continue
+            p += 1
+        parsed = _parse_asof_conds(q[cond_start:cond_end], alias)
+        if parsed is None:
+            return q
+        eqs, keys, lexpr, op, tscol = parsed
+        helper = f"__asof_end_{seq}"
+        helpers.append(helper)
+        part_by = f"PARTITION BY {', '.join(keys)} " if keys else ""
+        order = "ASC" if op in (">=", ">") else "DESC"
+        inner_alias = f"__asof_r({collist})" if collist else "__asof_r"
+        new_right = (
+            f"(SELECT __asof_r.*, lead({tscol}) OVER ({part_by}ORDER BY "
+            f"{tscol} {order}) AS {helper} FROM {right_src} {inner_alias}) {alias}"
+        )
+        endref = f"{alias}.{helper}"
+        rexpr = f"{alias}.{tscol}"
+        closer = {">=": "<", ">": "<=", "<=": ">", "<": ">="}[op]
+        band = (
+            f"{lexpr} {op} {rexpr} AND "
+            f"({endref} IS NULL OR {lexpr} {closer} {endref})"
+        )
+        new_conds = " AND ".join(eqs + [band])
+        jt = "LEFT JOIN" if is_left else "JOIN"
+        q = q[: m.start()] + f"{jt} {new_right} ON {new_conds} " + q[cond_end:]
+    if helpers and re.match(r"\s*SELECT\s+\*\s+FROM\b", q, re.IGNORECASE):
+        q = (
+            f"SELECT * EXCEPT ({', '.join(helpers)}) "
+            f"FROM ({q.rstrip().rstrip(';')}) __asof_outer"
+        )
+    return q
 
 
 _QUALIFY = re.compile(r"\bqualify\b", re.IGNORECASE)

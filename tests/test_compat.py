@@ -420,3 +420,89 @@ def test_render_literal_roundtrips_through_spark(spark, s):
 
     rows = spark.sql(f"SELECT {render_literal(s)} AS v").collect()
     assert len(rows) == 1 and rows[0]["v"] == s
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN dialect shim (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_rewrite_shapes():
+    """Textual invariants of rewrite_asof_join: inner/left variants, one
+    lead() window per join, flipped inequality normalizes, unparseable
+    shapes and string literals pass through unchanged."""
+    rw_asof = rw.rewrite_asof_join
+    out = rw_asof(
+        "SELECT c.id, v.val FROM c ASOF JOIN v ON c.k = v.k AND c.ts >= v.ts"
+    )
+    assert "ASOF" not in out.upper().replace("__ASOF", "")
+    assert "lead(ts) OVER (PARTITION BY k ORDER BY ts ASC)" in out
+    assert "c.ts >= v.ts" in out and "c.ts < v.__asof_end_1" in out
+    # LEFT variant keeps LEFT; flipped operand order normalizes
+    out = rw_asof(
+        "SELECT * FROM c ASOF LEFT JOIN v ON c.k = v.k AND v.ts <= c.ts"
+    )
+    assert "LEFT JOIN" in out and "c.ts >= v.ts" in out
+    assert out.startswith("SELECT * EXCEPT (__asof_end_1)")  # no helper leak
+    # two inequalities / no inequality: NOT rewritten (Spark will error)
+    for bad in (
+        "SELECT 1 FROM c ASOF JOIN v ON c.k = v.k",
+        "SELECT 1 FROM c ASOF JOIN v ON c.a >= v.a AND c.b >= v.b",
+    ):
+        assert rw_asof(bad) == bad
+    # literal containing ASOF JOIN text is data
+    lit = "SELECT * FROM t WHERE s = ' ASOF JOIN v ON a >= b '"
+    assert rw_asof(lit) == lit
+
+
+def test_asof_join_sql_over_wire(pgc, spark):
+    """DuckDB ASOF JOIN text through the PG wire path — the exact psql
+    statement the reference delegates (/root/reference/README.md:26)."""
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT q.qts, p.pv FROM (VALUES (10), (20), (4)) q(qts) "
+        "ASOF LEFT JOIN (VALUES (5, 'lo'), (18, 'hi')) p(pts, pv) "
+        "ON q.qts >= p.pts ORDER BY q.qts"
+    )
+    assert rows == [("4", None), ("10", "lo"), ("20", "hi")]
+    c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# list_slice exact rewrite (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_list_slice_rewrite_text_shapes():
+    rewritten = rw.rewrite_common("SELECT list_slice(l, 2, 4) FROM t")
+    assert rewritten == "SELECT slice(l, (2), greatest((4) - (2) + 1, 0)) FROM t"
+    # nested call args with commas stay intact; nested list_slice rewrites
+    out = rw.rewrite_common("SELECT list_slice(f(a, b), g(1), h(2, 3))")
+    assert out == "SELECT slice(f(a, b), (g(1)), greatest((h(2, 3)) - (g(1)) + 1, 0))"
+    out = rw.rewrite_common("SELECT size(list_slice(list_slice(l, 1, 9), 2, 3))")
+    assert "list_slice" not in out
+    # 4-arg step variant: NOT rewritten (no Spark twin — errors loudly)
+    q4 = "SELECT list_slice(l, 1, 5, 2)"
+    assert rw.rewrite_common(q4) == q4
+    # string literals inert
+    lit = "SELECT 'list_slice(l, 1, 2)' FROM t"
+    assert rw.rewrite_common(lit) == lit
+
+
+def test_list_slice_rewrite_value_grid(spark, duck):
+    """Value-for-value equivalence of the rewrite against DuckDB over the
+    full (start, end) grid 1..6 on a 5-element list — covers interior,
+    clamped-end, and end<start edges in one query per engine."""
+    import itertools
+
+    cases = list(itertools.product(range(1, 7), range(1, 7)))
+    sel = ", ".join(f"list_slice(l, {a}, {b}) AS s_{a}_{b}" for a, b in cases)
+    duck_row = duck.execute(
+        f"SELECT {sel} FROM (SELECT [1, 2, 3, 4, 5] AS l) t"
+    ).fetchone()
+    sq = rw.rewrite_pg_query(
+        f"SELECT {sel} FROM (SELECT array(1, 2, 3, 4, 5) AS l) t"
+    )
+    assert "list_slice" not in sq
+    spark_row = spark.sql(sq).collect()[0]
+    assert [list(x) for x in duck_row] == [list(x) for x in spark_row]
