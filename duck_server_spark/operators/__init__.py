@@ -41,7 +41,14 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # round 5: new operators first
+    # round 6: new queries + newly oracle-gated sketch estimates first
+    # (HLL/Theta moved from rows-only to a bounded-error gate row:
+    # exact counts + within_bound, hash-matched against DuckDB)
+    "asof_join_sql",
+    "scalar_list_slice",
+    "agg_hll_mergeable_distinct",
+    "agg_theta_audience_overlap",
+    # round 5: new operators
     "text_bm25_retrieval",
     "pipeline_filter_cascade",
     "mixture_domain_upsampling",

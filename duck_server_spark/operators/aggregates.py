@@ -710,6 +710,16 @@ ORACLE["agg_incremental_merge"] = AGG_INCREMENTAL_MERGE_ORACLE
 
 
 def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: BOUNDED-ERROR ORACLE GATE. Sketch bytes are engine-
+    specific, so the gate can't hash the estimates — instead the query
+    outputs the exact distinct counts plus `within_bound` = (sketch
+    estimate within max(5%, ±2) of exact), and the oracle outputs the
+    same exact counts with TRUE: the hash matches iff EVERY estimate
+    meets the sketch's published error bound, moving the accuracy
+    contract into the driver gate itself (the pytest contract stays).
+    The production path is the first two statements (sketch per slice,
+    union of sketches — never a raw-id rescan); the exact twin exists
+    for the gate and costs one distinct-count at fixture scale."""
     from duck_server_spark.engine.session import register_views
 
     register_views(spark, sf_dir)
@@ -725,12 +735,43 @@ def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'__all__' AS event_type",
         "hll_sketch_estimate(hll_union_agg(sk)) AS est_users",
     )
-    return per_slice.unionAll(merged).orderBy("event_type")
+    est = per_slice.unionAll(merged)
+    ev = spark.table("events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).unionAll(
+        ev.agg(F.countDistinct("user_id").alias("exact_users")).select(
+            F.lit("__all__").alias("event_type"), "exact_users"
+        )
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0))
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
 
 
 QUERIES["agg_hll_mergeable_distinct"] = agg_hll_mergeable_distinct
-# rows-only: sketch encodings are engine-specific (Spark DataSketches vs
-# DuckDB HLL); the accuracy contract lives in tests/test_operators.py
+ORACLE["agg_hll_mergeable_distinct"] = """
+WITH per AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+),
+allr AS (
+  SELECT '__all__' AS event_type, count(DISTINCT user_id) AS exact_users
+  FROM events
+)
+SELECT event_type, CAST(exact_users AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -749,6 +790,13 @@ QUERIES["agg_hll_mergeable_distinct"] = agg_hll_mergeable_distinct
 
 
 def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: BOUNDED-ERROR ORACLE GATE (same pattern as
+    agg_hll_mergeable_distinct): the query outputs each pair's EXACT
+    overlap plus `within_bound` = (theta-intersection estimate within
+    max(10%, ±3) of exact); the oracle outputs the exact overlaps with
+    TRUE — hash equality proves every estimate meets the bound inside
+    the driver gate. Production path: sketch per slice, pairwise
+    intersection of the tiny sketch table (never a raw-id rescan)."""
     from pyspark.sql import functions as F
 
     from duck_server_spark.engine.session import register_views
@@ -763,7 +811,7 @@ def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT a.event_type AS type_a, b.event_type AS type_b, a.sk AS ska, b.sk AS skb "
         "FROM theta_slice_sk a JOIN theta_slice_sk b ON a.event_type < b.event_type"
     )
-    return (
+    est = (
         pairs.selectExpr("type_a", "type_b", "stack(2, ska, skb) AS sk")
         .groupBy("type_a", "type_b")
         .agg(
@@ -771,10 +819,61 @@ def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(theta_sketch_estimate(theta_intersection_agg(sk)) AS BIGINT)"
             ).alias("est_overlap")
         )
+    )
+    d = spark.table("events").select("event_type", "user_id").distinct()
+    exact = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).cast("bigint").alias("exact_overlap"),
+            (
+                F.abs(
+                    F.col("est_overlap")
+                    - F.coalesce(F.col("exact_overlap"), F.lit(0))
+                )
+                <= F.greatest(
+                    0.10 * F.coalesce(F.col("exact_overlap"), F.lit(0)),
+                    F.lit(3.0),
+                )
+            ).alias("within_bound"),
+        )
         .orderBy("type_a", "type_b")
     )
 
 
 QUERIES["agg_theta_audience_overlap"] = agg_theta_audience_overlap
-# rows-only: Theta sketch bytes are engine-specific; accuracy contract
+ORACLE["agg_theta_audience_overlap"] = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS exact_overlap
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+allp AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type
+)
+SELECT allp.type_a, allp.type_b,
+       CAST(coalesce(pairs.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+       TRUE AS within_bound
+FROM allp LEFT JOIN pairs
+  ON allp.type_a = pairs.type_a AND allp.type_b = pairs.type_b
+"""
+# (the raw-estimate accuracy contract ALSO stays in tests/test_operators.py)
 # in tests/test_operators.py

@@ -344,17 +344,31 @@ def test_matryoshka_full_dim_equals_bruteforce(spark, sf_dir):
 
 
 def test_hll_mergeable_distinct_accuracy(spark, sf_dir):
-    """Sketch mergeability (round 5): per-slice HLL estimates and the
-    UNION-of-sketches global estimate must each land within 5% of the
-    exact distinct counts (lgK=12 standard error ~1.6%) — the union
-    answers the global question without rescanning raw data."""
-    from duck_server_spark.operators import aggregates as agg
-
+    """Sketch mergeability: per-slice HLL estimates and the UNION-of-
+    sketches global estimate must each land within 5% (±2 abs) of the
+    exact distinct counts (lgK=12 standard error ~1.6%). Round 6: the
+    query itself now carries the bound as `within_bound` (so the driver
+    oracle gate checks it too); this test asserts the RAW estimates
+    directly from the sketch pipeline — a second, independent witness."""
     from pyspark.sql import functions as F
 
-    rows = {r.event_type: r.est_users for r in agg.QUERIES[
-        "agg_hll_mergeable_distinct"](spark, sf_dir).collect()}
-    from duck_server_spark.engine.session import load_table
+    from duck_server_spark.engine.session import load_table, register_views
+    from duck_server_spark.operators import aggregates as agg
+
+    gate = agg.QUERIES["agg_hll_mergeable_distinct"](spark, sf_dir).collect()
+    assert all(r.within_bound for r in gate), gate
+    # raw estimates straight from the sketch rollup
+    register_views(spark, sf_dir)
+    sketches = spark.sql(
+        "SELECT event_type, hll_sketch_agg(user_id) AS sk FROM events GROUP BY event_type"
+    )
+    rows = {
+        r.event_type: r.est
+        for r in sketches.selectExpr("event_type", "hll_sketch_estimate(sk) AS est").collect()
+    }
+    rows["__all__"] = sketches.selectExpr(
+        "hll_sketch_estimate(hll_union_agg(sk)) AS est"
+    ).collect()[0].est
     ev = load_table(spark, sf_dir, "events")
     exact = {
         r.event_type: r.n
@@ -369,7 +383,9 @@ def test_hll_mergeable_distinct_accuracy(spark, sf_dir):
 
 def test_theta_overlap_accuracy(spark, sf_dir):
     """Theta-sketch pairwise audience overlap within 10% (or ±3 users)
-    of the exact intersections for every event-type pair."""
+    of the exact intersections for every event-type pair — asserted on
+    the gate query's own `within_bound` column (round 6) AND recomputed
+    from raw collect_set intersections."""
     from itertools import combinations
 
     from pyspark.sql import functions as F
@@ -377,10 +393,9 @@ def test_theta_overlap_accuracy(spark, sf_dir):
     from duck_server_spark.engine.session import load_table
     from duck_server_spark.operators import aggregates as agg
 
-    est = {
-        (r.type_a, r.type_b): r.est_overlap
-        for r in agg.QUERIES["agg_theta_audience_overlap"](spark, sf_dir).collect()
-    }
+    gate = agg.QUERIES["agg_theta_audience_overlap"](spark, sf_dir).collect()
+    assert all(r.within_bound for r in gate), gate
+    exact_out = {(r.type_a, r.type_b): r.exact_overlap for r in gate}
     ev = load_table(spark, sf_dir, "events")
     users = {
         r.event_type: set(r.us)
@@ -388,7 +403,6 @@ def test_theta_overlap_accuracy(spark, sf_dir):
             F.collect_set("user_id").alias("us")).collect()
     }
     expected_pairs = {tuple(sorted(p)) for p in combinations(users, 2)}
-    assert set(est) == expected_pairs
-    for (a, b), e in est.items():
-        exact = len(users[a] & users[b])
-        assert abs(e - exact) <= max(0.10 * exact, 3.0), (a, b, e, exact)
+    assert set(exact_out) == expected_pairs
+    for (a, b), got in exact_out.items():
+        assert got == len(users[a] & users[b]), (a, b, got)
