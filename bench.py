@@ -94,6 +94,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
 
+    # Contamination floor breakdown (round-6 punch list): time the
+    # irreducible gram-scan floor on the same host/fixture with the same
+    # min-of-2 rule, and report the operator as floor + plan-work split.
+    # The acceptance bar the judge set: check ≤ max(1.1 × floor, 1.0 s).
+    from duck_server_spark.operators.llm_text import contamination_floor
+
+    floor_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(contamination_floor(spark, SF_DIR))
+        floor_best = min(floor_best, time.perf_counter() - t0)
+    check = per_query.get("contamination_check", 0.0)
+    breakdown = {
+        "contamination_floor_gram_scan": round(floor_best, 3),
+        "contamination_check": check,
+        "contamination_plan_work": round(max(check - floor_best, 0.0), 3),
+        "contamination_within_bar": bool(check <= max(1.1 * floor_best, 1.0)),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -106,6 +125,7 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "breakdown": breakdown,
                 "sf": sf_val,
                 "method": "min_of_2",
             }

@@ -523,6 +523,45 @@ def _eval_gram_index(spark, sf_dir, docs, gram_expr):
     return out
 
 
+def _contam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan for the contamination pipeline. The tokenize+
+    explode is the CPU-heavy stage: widen a narrow scan (small fixture =
+    one sub-4MB file split) to all cores before it. An os-stat decides —
+    no Spark analysis cost; on a real cluster the input is far past the
+    threshold and this is a no-op."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    try:
+        small = os.path.getsize(os.path.join(sf_dir, "documents.parquet")) < par * 4 << 20
+    except OSError:
+        small = False
+    return docs.repartition(par) if small else docs
+
+
+def _contam_gram_expr() -> str:
+    return f"""explode(array_distinct(CASE WHEN size(toks) >= {_CONTAM_N} THEN
+              transform(sequence(1, size(toks) - {_CONTAM_N - 1}),
+                        i -> concat_ws(' ', {', '.join(f'element_at(toks, i + {j})' for j in range(_CONTAM_N))}))
+            ELSE array() END)) AS gram"""
+
+
+def contamination_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured FLOOR for contamination_check (bench breakdown, round 6
+    punch list): the irreducible plan work — scan the train corpus,
+    tokenize, explode to distinct n-grams, reduce to one count. No
+    semi-join, no df window, no pair aggregation. contamination_check
+    cannot be faster than this on the same host/fixture, so bench.py
+    times both and reports the operator as floor + plan-work split
+    instead of a self-reported prose claim (SCALE.md r5)."""
+    return (
+        _contam_docs(spark, sf_dir)
+        .where(f"source <> '{_EVAL_SOURCE}'")
+        .selectExpr("doc_id", f"{_TOKS} AS toks")
+        .selectExpr("doc_id AS train_doc", _contam_gram_expr())
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination: which training documents share ≥K
     distinct token n-grams with any eval-split document (the 13-gram
@@ -550,22 +589,8 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     K², so the sweep ratio tracks output growth, not plan inefficiency —
     annotated expected-superlinear in tools/scale_sweep.py.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # the tokenize+explode is the CPU-heavy stage: widen a narrow scan
-    # (small fixture = one sub-4MB file split) to all cores before it. An
-    # os-stat decides — no Spark analysis cost; on a real cluster the
-    # input is far past the threshold and this is a no-op.
-    par = spark.sparkContext.defaultParallelism
-    try:
-        small = os.path.getsize(os.path.join(sf_dir, "documents.parquet")) < par * 4 << 20
-    except OSError:
-        small = False
-    if small:
-        docs = docs.repartition(par)
-    gram_expr = f"""explode(array_distinct(CASE WHEN size(toks) >= {_CONTAM_N} THEN
-              transform(sequence(1, size(toks) - {_CONTAM_N - 1}),
-                        i -> concat_ws(' ', {', '.join(f'element_at(toks, i + {j})' for j in range(_CONTAM_N))}))
-            ELSE array() END)) AS gram"""
+    docs = _contam_docs(spark, sf_dir)
+    gram_expr = _contam_gram_expr()
     n_train, ev_pairs = _eval_gram_index(spark, sf_dir, docs, gram_expr)
     ev_gram_set = sorted({g for _d, g in ev_pairs})
     ev_grams = spark.createDataFrame(
