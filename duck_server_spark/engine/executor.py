@@ -42,6 +42,10 @@ from duck_server_spark.engine import constraints as cst
 from duck_server_spark.plans import rewrites
 
 _CREATE_TABLE_VERB = re.compile(r"^\s*create\s+table\b", re.IGNORECASE)
+_CREATE_TABLE_NAME = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?[`\"]?([\w.]+)[`\"]?",
+    re.IGNORECASE,
+)
 _DROP_TABLE = re.compile(
     r"^\s*drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)", re.IGNORECASE
 )
@@ -137,6 +141,65 @@ class Engine:
         from duck_server_spark.engine.transactions import recover_journal
 
         recover_journal(self)
+        self._sweep_orphan_dirs()
+
+    def _sweep_orphan_dirs(self) -> None:
+        """Bootstrap janitor (VERDICT r6 item 2): a crashed process can
+        leave `<t>__txn_<id>` shadow dirs or `<t>__cow_staging` dirs in
+        the warehouse with no catalog entry owning them. With an
+        in-memory catalog these orphans make the NEXT saveAsTable of the
+        same name fail LOCATION_ALREADY_EXISTS forever — embedded DuckDB
+        (the reference's store, pg_server.go:90) cannot get into this
+        state, so parity demands we can get out of it. Runs after
+        recover_journal so decided commits are rolled forward first."""
+        import glob
+        import shutil as _sh
+
+        from duck_server_spark.engine import transactions as _txn
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        for pat in ("*__txn_*", "*__cow_staging"):
+            for path in glob.glob(os.path.join(warehouse, pat)):
+                name = os.path.basename(path)
+                if _txn.resolve_shadow(name) is not None:
+                    continue  # live transaction in this process owns it
+                try:
+                    if self.spark.catalog.tableExists(name):
+                        continue  # catalog-owned (e.g. restored external)
+                except Exception:  # noqa: BLE001 — catalog probe best-effort
+                    pass
+                _sh.rmtree(path, ignore_errors=True)
+
+    def _recoverable_create(self, sql: str, original: str) -> None:
+        """Run a CREATE TABLE; on LOCATION_ALREADY_EXISTS for a table the
+        catalog does NOT know (an orphaned dir from a crash), remove the
+        orphan and retry once. Never removes a location the catalog owns."""
+        try:
+            self.spark.sql(sql).collect()
+            return
+        except Exception as e:  # noqa: BLE001 — inspect and maybe recover
+            msg = str(e)
+            if "LOCATION_ALREADY_EXISTS" not in msg and "42710" not in msg:
+                raise
+            m = _CREATE_TABLE_NAME.match(original)
+            if not m:
+                raise
+            name = m.group(1).rsplit(".", 1)[-1]
+            try:
+                known = self.spark.catalog.tableExists(m.group(1))
+            except Exception:  # noqa: BLE001 — probe failed, don't recover
+                known = True
+            if known:
+                raise
+            warehouse = self.spark.conf.get(
+                "spark.sql.warehouse.dir"
+            ).removeprefix("file:")
+            import shutil as _sh
+
+            _sh.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            self.spark.sql(sql).collect()
 
     # ------------------------------------------------------------- users
 
@@ -394,9 +457,13 @@ class Engine:
         if _CREATE_TABLE_VERB.match(q):
             stripped, table, found = cst.extract_constraints(q)
             if found:
-                self.spark.sql(self._prepare_sql(stripped, dialect)).collect()
+                self._recoverable_create(
+                    self._prepare_sql(stripped, dialect), stripped
+                )
                 self.constraints.put(table, found)
                 return "CREATE TABLE"
+            self._recoverable_create(self._prepare_sql(q, dialect), q)
+            return "CREATE TABLE"
         m = _DROP_TABLE.match(q)
         if m:
             self.constraints.drop(m.group(1))  # no-op if unconstrained

@@ -63,3 +63,50 @@ def test_update_large_table_stays_off_driver(engine, spark):
     assert spark.table("dml_big").filter("v = -1.0").count() == n // 100
     assert spark.table("dml_big").count() == n
     assert not spark.catalog.tableExists("dml_big__cow_staging")
+
+
+def test_bootstrap_janitor_sweeps_orphan_dirs(spark):
+    """VERDICT r6 item 2: stale `<t>__txn_<id>` / `<t>__cow_staging`
+    dirs with no catalog entry and no live shadow registration are
+    removed when an Engine boots (a crashed process leaks them; random
+    txn ids mean the reuse-time cleanup never fires)."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphans = [
+        f"{warehouse}/orph_j1__txn_314159",
+        f"{warehouse}/orph_j2__cow_staging",
+    ]
+    for p in orphans:
+        os.makedirs(p, exist_ok=True)
+        with open(f"{p}/part-junk", "w") as f:
+            f.write("x")
+    Engine(spark)
+    for p in orphans:
+        assert not os.path.exists(p), p
+
+
+def test_create_table_recovers_orphaned_base_location(spark):
+    """VERDICT r6 item 2: CREATE TABLE over a warehouse dir that no
+    catalog entry owns (crash orphan) must recover, not 42710 forever —
+    embedded DuckDB (reference pg_server.go:90) can't get into this
+    state, so parity demands we can get OUT of it."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS orph_base1")
+    path = f"{warehouse}/orph_base1"
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part-stale.parquet", "w") as f:
+        f.write("not parquet")
+    eng = Engine(spark)
+    tag = eng.execute("CREATE TABLE orph_base1 (id BIGINT, v DOUBLE) USING parquet")
+    assert tag == "CREATE TABLE"
+    eng.execute("INSERT INTO orph_base1 VALUES (1, 1.5)")
+    assert spark.table("orph_base1").count() == 1
+    # a location the catalog DOES own is never silently clobbered
+    with pytest.raises(Exception):
+        eng.execute("CREATE TABLE orph_base1 (id BIGINT) USING parquet")
+    assert spark.table("orph_base1").count() == 1
+    spark.sql("DROP TABLE orph_base1")
+    shutil.rmtree(path, ignore_errors=True)

@@ -20,18 +20,38 @@ from tests.pg_client import PgClient
 from tests.test_pg_server import _free_port
 
 
+def _clean_txn_tables(spark, engine=None):
+    """Drop every txn_* table this module creates AND rmtree its warehouse
+    dir (plus any txn-shadow/staging dirs), so back-to-back suite runs
+    start from the same state (VERDICT r6 item 1: LOCATION_ALREADY_EXISTS
+    on the second run when only DROP TABLE was issued)."""
+    import glob
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    names = {
+        os.path.basename(p).split("__")[0]
+        for p in glob.glob(f"{warehouse}/txn_*")
+    }
+    names |= {f"txn_t{i}" for i in range(1, 7)}
+    names |= {"txn_k1", "txn_k2", "txn_k3", "txn_k4", "txn_fkp", "txn_fkc"}
+    for t in sorted(names):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if engine is not None:
+            engine.constraints.drop(t)
+    for p in glob.glob(f"{warehouse}/txn_*"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def pgt(spark):
     engine = Engine(spark)
     port = _free_port()
     server, _loop = run_threaded(engine, port=port)
     time.sleep(0.5)
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("txn_t1", "txn_t2", "txn_t3", "txn_t4", "txn_t5", "txn_t6"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
-        shutil.rmtree(f"{warehouse}/{t}__txn_0", ignore_errors=True)
+    _clean_txn_tables(spark, engine)
     yield ("127.0.0.1", port), engine
+    _clean_txn_tables(spark, engine)
     server.close()
 
 
