@@ -105,12 +105,18 @@ def main() -> None:
         t0 = time.perf_counter()
         run(contamination_floor(spark, SF_DIR))
         floor_best = min(floor_best, time.perf_counter() - t0)
-    check = per_query.get("contamination_check", 0.0)
+    # ADVICE r6: a missing measurement must NOT report a passing bar —
+    # within_bar is None (unknown) unless the check was actually timed.
+    check = per_query.get("contamination_check")
     breakdown = {
         "contamination_floor_gram_scan": round(floor_best, 3),
         "contamination_check": check,
-        "contamination_plan_work": round(max(check - floor_best, 0.0), 3),
-        "contamination_within_bar": bool(check <= max(1.1 * floor_best, 1.0)),
+        "contamination_plan_work": (
+            round(max(check - floor_best, 0.0), 3) if check is not None else None
+        ),
+        "contamination_within_bar": (
+            bool(check <= max(1.1 * floor_best, 1.0)) if check is not None else None
+        ),
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -493,11 +493,16 @@ _EVAL_INDEX_CACHE: dict = {}
 
 
 def _eval_gram_index(spark, sf_dir, docs, gram_expr):
-    """→ (n_train, ev_local) where ev_local is a LOCAL-data DataFrame of
-    (eval_doc, gram) — every later use is a broadcast with no recompute.
-    One job: the eval explode collects to the driver (bounded: benchmark
-    suites are small by construction) with the train-doc count riding the
-    SAME scan as an Observation metric."""
+    """→ (n_train, ev_by_gram) where ev_by_gram is a Spark-CACHED
+    DataFrame of (gram, eval_docs array) — grouped once so the main
+    query attaches the eval side with a single broadcast hash join
+    (cut-to-sliver + eval_doc fan-out in one zero-shuffle operator).
+    The data never round-trips through the driver (round 7: the old
+    shape collected ~13k (eval_doc, gram) rows and rebuilt TWO local
+    DataFrames per invocation — driver serialization that showed up as
+    plan work in the bench breakdown). One job materializes the cache,
+    with the train-doc count riding the SAME scan as an Observation
+    metric. Bounded: benchmark suites are small by construction."""
     from pyspark.sql import Observation
 
     key = (id(spark), sf_dir)
@@ -505,7 +510,7 @@ def _eval_gram_index(spark, sf_dir, docs, gram_expr):
     if hit is not None:
         return hit
     obs = Observation()
-    ev_rows = (
+    ev_by_gram = (
         docs.observe(
             obs,
             F.sum(F.when(F.col("source") != _EVAL_SOURCE, 1).otherwise(0))
@@ -515,10 +520,13 @@ def _eval_gram_index(spark, sf_dir, docs, gram_expr):
         .where(f"source = '{_EVAL_SOURCE}'")
         .selectExpr("doc_id", f"{_TOKS} AS toks")
         .selectExpr("doc_id AS eval_doc", gram_expr)
-        .collect()
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_list("eval_doc")).alias("eval_docs"))
+        .cache()
     )
+    ev_by_gram.count()  # materialize the cache + flush the observation
     n_train = int(obs.get["n_train"] or 0)
-    out = (n_train, [(r.eval_doc, r.gram) for r in ev_rows])
+    out = (n_train, ev_by_gram)
     _EVAL_INDEX_CACHE[key] = out
     return out
 
@@ -591,40 +599,41 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _contam_docs(spark, sf_dir)
     gram_expr = _contam_gram_expr()
-    n_train, ev_pairs = _eval_gram_index(spark, sf_dir, docs, gram_expr)
-    ev_gram_set = sorted({g for _d, g in ev_pairs})
-    ev_grams = spark.createDataFrame(
-        [(g,) for g in ev_gram_set] or [(None,)], "gram string"
-    ).where("gram IS NOT NULL")
-    ev_local = spark.createDataFrame(
-        ev_pairs or [(None, None)], "eval_doc bigint, gram string"
-    ).where("gram IS NOT NULL")
-    # ONE job (round 6 — the r5 shape still paid a stats-collect job
-    # boundary + a checkpoint write between the sliver and the pair
-    # join; the judge asked for the floor gap to be closed, not
-    # explained): explode the train corpus to distinct grams, cut
-    # immediately to grams that appear in eval at all (broadcast hash
-    # semi-join — zero shuffle, the only grams that can ever pair), then
-    # compute the stop-gram document frequency as a WINDOW count over
-    # gram on that sliver — the exchange the old groupBy-stats paid
-    # anyway, but now inline, with no driver collect, no checkpoint
-    # write, and no second broadcast build. Hot boilerplate grams
-    # (df·50 > n_train — the 234×-measured fan-out blowup) are filtered
-    # BEFORE the pair join; the pair aggregation stays the only other
-    # shuffle and map-side combines. df on the sliver equals full-corpus
-    # df for these grams (the semi-join filters by gram only).
-    from pyspark.sql.window import Window as W
-
-    hits = (
+    n_train, ev_by_gram = _eval_gram_index(spark, sf_dir, docs, gram_expr)
+    # ONE job, TWO hash shuffles, ZERO sorts (round 7 — the r6 shape's
+    # WINDOW df count forced a sort-based exchange carrying every sliver
+    # row, then a second broadcast build from driver-local data): the
+    # train corpus explodes to distinct grams and a single broadcast
+    # hash INNER join against the cached eval index both cuts it to the
+    # sliver (grams that appear in eval at all — the only grams that can
+    # ever pair) AND attaches each gram's eval_docs, replacing the old
+    # semi-join + ev_local join pair. Shuffle 1 is a hash groupBy on
+    # gram (partial-aggregated map-side; one row per gram comes out)
+    # computing the stop-gram document frequency df and the surviving
+    # train-doc list together; hot boilerplate grams (df·50 > n_train —
+    # the 234×-measured fan-out blowup) are dropped BEFORE the pair
+    # explode. Shuffle 2 is the pair aggregation, also map-side
+    # combined. df on the sliver equals full-corpus df for these grams
+    # (the join filters by gram only, keeping every train row of
+    # surviving grams). 100 TB note: a boilerplate gram concentrates its
+    # train rows in one reduce group here exactly as it did under the
+    # window — if the eval suite itself contained boilerplate you would
+    # pre-compute df with a salted count-only pass first; decontamination
+    # eval suites are curated, so the fused single-pass wins.
+    return (
         docs.where(f"source <> '{_EVAL_SOURCE}'")
         .selectExpr("doc_id", f"{_TOKS} AS toks")
         .selectExpr("doc_id AS train_doc", gram_expr)
-        .join(F.broadcast(ev_grams), "gram", "left_semi")
-    )
-    return (
-        hits.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        .join(F.broadcast(ev_by_gram), "gram")
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("train_doc").alias("train_docs"),
+            F.first("eval_docs").alias("eval_docs"),
+        )
         .where(f"df * 50 <= {n_train}")
-        .join(F.broadcast(ev_local), "gram")
+        .select(F.explode("train_docs").alias("train_doc"), "eval_docs")
+        .select("train_doc", F.explode("eval_docs").alias("eval_doc"))
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(f"shared_ngrams >= {_CONTAM_MIN}")
