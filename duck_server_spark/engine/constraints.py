@@ -285,11 +285,22 @@ def _check_fk(
     published base (ADVICE r5). `table` is the actual constrained table
     name (possibly a shadow); resolution goes through the live shadow
     registry."""
-    from duck_server_spark.engine.transactions import sibling_shadow
+    from duck_server_spark.engine.transactions import sibling_dropped, sibling_shadow
 
     fkcols = fk["cols"]
     ref_cols = _resolve_ref_cols(fk, store)
     cname = f"{disp}_{'_'.join(fkcols)}_fkey"
+    if table and sibling_dropped(table, fk["ref_table"]):
+        # parent DROPped (not restaged) earlier in the SAME transaction:
+        # every child row is an orphan as seen inside the txn — probing
+        # the published base would wrongly pass and commit orphans
+        # (ADVICE r6)
+        raise PgError(
+            "23503",
+            f'insert or update on table "{disp}" violates foreign key '
+            f'constraint "{cname}": referenced table '
+            f'"{fk["ref_table"]}" is dropped in the current transaction',
+        )
     probe = rows.select([F.col(c).alias(r) for c, r in zip(fkcols, ref_cols)])
     for r in ref_cols:
         probe = probe.filter(F.col(r).isNotNull())

@@ -324,7 +324,12 @@ class Engine:
         m = _SUMMARIZE.match(q)
         if m:
             return self._summarize(m.group(1), dialect)
-        return self.spark.sql(self._prepare_sql(q, dialect))
+        df = self.spark.sql(self._prepare_sql(q, dialect))
+        # ASOF shim helper columns can survive star shapes the textual
+        # EXCEPT wrap can't reach (CTE-star, alias.* through a derived
+        # table — ADVICE r6); the schema-level drop covers every shape.
+        leaked = [c for c in df.columns if c.startswith("__asof_end_")]
+        return df.drop(*leaked) if leaked else df
 
     def _summarize(self, target: str, dialect: str) -> DataFrame:
         """DuckDB's SUMMARIZE statement (`SUMMARIZE tbl` / `SUMMARIZE

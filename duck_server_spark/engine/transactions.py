@@ -107,6 +107,29 @@ def sibling_shadow(table_or_shadow: str, other_base: str) -> str | None:
     return cand if resolve_shadow(cand) == other_base.lower() else None
 
 
+# txn id -> the overlay's LIVE `dropped` dict (same reference, so every
+# in-place mutation is visible here without extra bookkeeping). Lets
+# constraint probes see a parent DROPped — not merely restaged — by the
+# same transaction (ADVICE r6: a child INSERT after an in-txn parent DROP
+# validated against the published base and committed orphaned rows).
+_TXN_DROPPED: dict[str, dict] = {}
+
+
+def sibling_dropped(table_or_shadow: str, other_base: str) -> bool:
+    """True when `table_or_shadow` is a LIVE transaction shadow whose
+    transaction has DROPped `other_base` (and not recreated it — a
+    drop-then-recreate moves the name out of `dropped` into a shadow,
+    which sibling_shadow resolves instead)."""
+    if resolve_shadow(table_or_shadow) is None:
+        return False
+    m = _TXN_SUFFIX.search(table_or_shadow.lower())
+    if m is None:
+        return False
+    with _SHADOW_LOCK:
+        d = _TXN_DROPPED.get(m.group(1))
+    return bool(d) and other_base.lower() in d
+
+
 def _register_shadow(shadow: str, base: str) -> None:
     with _SHADOW_LOCK:
         _ACTIVE_SHADOWS[shadow.lower()] = base.lower()
@@ -284,6 +307,8 @@ class TxnOverlay:
         self.staged: dict[str, str] = {}
         self.created: set[str] = set()  # tables born in this transaction
         self.dropped: dict[str, str] = {}  # lowercase name -> "table" | "view"
+        with _SHADOW_LOCK:  # live ref: probes see in-txn drops (ADVICE r6)
+            _TXN_DROPPED[str(txn_id)] = self.dropped
         # dropped-then-recreated inside this transaction: the name reads/
         # writes through its NEW shadow (so it leaves `dropped`), but
         # COMMIT must still drop the old base object first (ADVICE r5)
@@ -581,6 +606,9 @@ class TxnOverlay:
         self.pending_views.clear()
         self.pending_constraints.clear()
         self.created.clear()
+        with _SHADOW_LOCK:
+            if _TXN_DROPPED.get(str(self.txn_id)) is self.dropped:
+                _TXN_DROPPED.pop(str(self.txn_id), None)
 
     def rollback(self) -> None:
         """Drop the shadows; base tables/views were never written."""
@@ -600,6 +628,9 @@ class TxnOverlay:
         self.pending_views.clear()
         self.pending_constraints.clear()
         self.created.clear()
+        with _SHADOW_LOCK:
+            if _TXN_DROPPED.get(str(self.txn_id)) is self.dropped:
+                _TXN_DROPPED.pop(str(self.txn_id), None)
 
 
 def recover_journal(engine: "Engine") -> int:

@@ -85,19 +85,25 @@ _DUCK_FN_RE = re.compile(
     re.IGNORECASE,
 )
 # list_slice(l, a, b) → slice(l, a, b - a + 1): both ends inclusive in
-# DuckDB, start + LENGTH in Spark — the conversion is exact for positive
-# indices including the edges (end past the list clamps; end < start
-# yields []; verified value-for-value in tests). The 4-arg step variant
-# and negative indices are NOT rewritten (no Spark equivalent — they pass
-# through and error loudly instead of drifting). list_reduce /
-# list_position stay unmapped on purpose (rewrites.py alias table note).
+# DuckDB, start + LENGTH in Spark — the conversion is exact ONLY for
+# all-positive literal bounds, including the edges (end past the list
+# clamps; end < start yields []; verified value-for-value in tests).
+# Everything else passes through untouched and errors loudly instead of
+# drifting (ADVICE r6: the old rewrite took ALL 3-arg calls, so
+# mixed-sign bounds like list_slice(l, 2, -2) — valid DuckDB — silently
+# returned []; and all-negative diverges on the clamp edge: DuckDB
+# clamps list_slice(l,-5,-1) to the whole 3-element list where Spark's
+# slice yields []). The 4-arg step variant also passes through.
+# list_reduce / list_position stay unmapped on purpose (alias table note).
 _LIST_SLICE = re.compile(r"\blist_slice\s*\(", re.IGNORECASE)
+_NONNEG_INT = re.compile(r"^\s*\+?\d+\s*$")
 
 
 def _rewrite_list_slice(q: str) -> str:
+    pos = 0
     while True:
         masked = _mask_literals(q)
-        m = _LIST_SLICE.search(masked)
+        m = _LIST_SLICE.search(masked, pos)
         if m is None:
             return q
         depth, i = 1, m.end()
@@ -110,12 +116,22 @@ def _rewrite_list_slice(q: str) -> str:
         inner, inner_masked = q[m.end() : i - 1], masked[m.end() : i - 1]
         args = _split_top_level(inner, inner_masked)
         if len(args) != 3:
-            return q  # 4-arg step variant: pass through (errors loudly)
+            pos = m.end()  # 4-arg step variant: pass through (errors loudly)
+            continue
         lst, a, b = args
+        if not (
+            _NONNEG_INT.match(a)
+            and _NONNEG_INT.match(b)
+            and int(a) >= 1
+            and int(b) >= 0
+        ):
+            pos = m.end()  # non-literal / zero-start / negative: loud error
+            continue
         # greatest(…, 0): DuckDB yields [] when end < start; Spark's slice
         # errors on a negative length, so the length clamps at zero
         repl = f"slice({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
         q = q[: m.start()] + repl + q[i:]
+        pos = m.start()  # rescan the replacement: nested list_slice inside
 
 
 # EXTRACT(EPOCH FROM x) → unix_timestamp(x): PG/DuckDB idiom Spark's
@@ -392,10 +408,16 @@ def _parse_asof_conds(conds: str, alias: str):
 
 def rewrite_asof_join(q: str) -> str:
     """Rewrite every `ASOF [LEFT] JOIN` (see block comment above). When
-    the statement is a bare `SELECT * FROM …`, the result is wrapped in
-    `SELECT * EXCEPT (helpers)` so the validity-end helper columns don't
-    leak into the client's star projection."""
-    helpers: list[str] = []
+    the outer projection contains a star that would expose a validity-end
+    helper column — bare `*`, `*, extra`, or `<right-alias>.*`, for joins
+    rewritten at the statement's top paren level — the result is wrapped
+    in `SELECT * EXCEPT (helpers)` so the helpers don't leak into the
+    client's output (ADVICE r6: the old wrap only fired on `^SELECT *
+    FROM`). Helpers that survive other shapes (CTE-star, nested
+    subquery stars) are stripped at the DataFrame layer by
+    Engine.query's drop guard — schema-level, so every textual shape is
+    covered there."""
+    helpers: list[tuple[str, str, int]] = []  # (name, right alias, depth)
     for seq in range(1, 17):  # bounded: statements have few ASOF joins
         masked = _mask_literals(q)
         m = _ASOF.search(masked)
@@ -486,7 +508,8 @@ def rewrite_asof_join(q: str) -> str:
             return q
         eqs, keys, lexpr, op, tscol = parsed
         helper = f"__asof_end_{seq}"
-        helpers.append(helper)
+        pre = masked[: m.start()]
+        helpers.append((helper, alias, pre.count("(") - pre.count(")")))
         part_by = f"PARTITION BY {', '.join(keys)} " if keys else ""
         order = "ASC" if op in (">=", ">") else "DESC"
         inner_alias = f"__asof_r({collist})" if collist else "__asof_r"
@@ -504,12 +527,64 @@ def rewrite_asof_join(q: str) -> str:
         new_conds = " AND ".join(eqs + [band])
         jt = "LEFT JOIN" if is_left else "JOIN"
         q = q[: m.start()] + f"{jt} {new_right} ON {new_conds} " + q[cond_end:]
-    if helpers and re.match(r"\s*SELECT\s+\*\s+FROM\b", q, re.IGNORECASE):
-        q = (
-            f"SELECT * EXCEPT ({', '.join(helpers)}) "
-            f"FROM ({q.rstrip().rstrip(';')}) __asof_outer"
-        )
+    if helpers:
+        exposed = _exposed_asof_helpers(q, helpers)
+        if exposed:
+            q = (
+                f"SELECT * EXCEPT ({', '.join(exposed)}) "
+                f"FROM ({q.rstrip().rstrip(';')}) __asof_outer"
+            )
     return q
+
+
+def _exposed_asof_helpers(q: str, helpers: list[tuple[str, str, int]]) -> list[str]:
+    """Which helper columns does the statement's OUTER star projection
+    expose? Only depth-0 joins can reach the outer projection directly;
+    a bare `*` (alone or `*, extra`) exposes all of them, `<alias>.*`
+    exposes that right side's helper. Statements starting with WITH, or
+    with no top-level star, expose nothing HERE (deeper leak shapes are
+    stripped by Engine.query's schema-level drop guard — wrapping them
+    textually would add EXCEPT refs to columns sub-projections may have
+    already dropped, turning a working query into an analysis error)."""
+    masked = _mask_literals(q)
+    m = re.match(r"\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?", q, re.IGNORECASE)
+    if m is None:
+        return []
+    # projection ends at the first top-level FROM
+    depth, i, start, end = 0, m.end(), m.end(), None
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "Ff"
+            and (i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_"))
+            and re.match(r"FROM\b", masked[i:], re.IGNORECASE)
+        ):
+            end = i
+            break
+        i += 1
+    if end is None:
+        return []
+    proj, proj_masked = q[start:end], masked[start:end]
+    top = {h for h, _a, d in helpers if d == 0}
+    exposed: list[str] = []
+    for item in _split_top_level(proj, proj_masked):
+        item = item.strip()
+        if item == "*":
+            exposed += [h for h, _a, d in helpers if d == 0 and h not in exposed]
+        else:
+            sm = re.match(r"([A-Za-z_][\w]*)\s*\.\s*\*$", item)
+            if sm:
+                exposed += [
+                    h
+                    for h, a, d in helpers
+                    if d == 0 and a.lower() == sm.group(1).lower() and h not in exposed
+                ]
+    return [h for h in exposed if h in top]
 
 
 _QUALIFY = re.compile(r"\bqualify\b", re.IGNORECASE)

@@ -477,8 +477,8 @@ def test_list_slice_rewrite_text_shapes():
     rewritten = rw.rewrite_common("SELECT list_slice(l, 2, 4) FROM t")
     assert rewritten == "SELECT slice(l, (2), greatest((4) - (2) + 1, 0)) FROM t"
     # nested call args with commas stay intact; nested list_slice rewrites
-    out = rw.rewrite_common("SELECT list_slice(f(a, b), g(1), h(2, 3))")
-    assert out == "SELECT slice(f(a, b), (g(1)), greatest((h(2, 3)) - (g(1)) + 1, 0))"
+    out = rw.rewrite_common("SELECT list_slice(f(a, b), 1, 3)")
+    assert out == "SELECT slice(f(a, b), (1), greatest((3) - (1) + 1, 0))"
     out = rw.rewrite_common("SELECT size(list_slice(list_slice(l, 1, 9), 2, 3))")
     assert "list_slice" not in out
     # 4-arg step variant: NOT rewritten (no Spark twin — errors loudly)
@@ -487,6 +487,28 @@ def test_list_slice_rewrite_text_shapes():
     # string literals inert
     lit = "SELECT 'list_slice(l, 1, 2)' FROM t"
     assert rw.rewrite_common(lit) == lit
+
+
+def test_list_slice_rewrite_guards_non_positive_bounds():
+    """ADVICE r6: the rewrite is only exact for all-positive LITERAL
+    bounds. Mixed-sign (valid DuckDB: list_slice(l, 2, -2) = drop last
+    two) silently became []; all-negative diverges on the clamp edge
+    (DuckDB clamps list_slice(l,-5,-1) to the whole list, Spark slice
+    yields []). All such shapes now pass through untouched so Spark
+    errors loudly instead of drifting."""
+    for q in (
+        "SELECT list_slice(l, 2, -2) FROM t",
+        "SELECT list_slice(l, -3, -1) FROM t",
+        "SELECT list_slice(l, -3, 2) FROM t",
+        "SELECT list_slice(l, 0, 2) FROM t",  # 0-start clamps in DuckDB only
+        "SELECT list_slice(l, a, b) FROM t",  # non-literal bounds
+        "SELECT list_slice(l, g(1), h(2, 3)) FROM t",
+    ):
+        assert rw.rewrite_common(q) == q, q
+    # a guarded call earlier in the statement must not stop a LATER
+    # rewritable call from being rewritten
+    out = rw.rewrite_common("SELECT list_slice(l, -1, -1), list_slice(l, 1, 2)")
+    assert out == "SELECT list_slice(l, -1, -1), slice(l, (1), greatest((2) - (1) + 1, 0))"
 
 
 def test_list_slice_rewrite_value_grid(spark, duck):
@@ -506,3 +528,83 @@ def test_list_slice_rewrite_value_grid(spark, duck):
     assert "list_slice" not in sq
     spark_row = spark.sql(sq).collect()[0]
     assert [list(x) for x in duck_row] == [list(x) for x in spark_row]
+
+
+def test_asof_helper_wrap_star_shapes():
+    """ADVICE r6: the EXCEPT wrap must also fire for `*, extra` and
+    `<right-alias>.*` projections (and ONLY strip helpers a top-level
+    star actually exposes)."""
+    rw_asof = rw.rewrite_asof_join
+    # SELECT *, extra — bare star exposes the helper
+    out = rw_asof(
+        "SELECT *, 1 AS tag FROM c ASOF JOIN v ON c.k = v.k AND c.ts >= v.ts"
+    )
+    assert out.startswith("SELECT * EXCEPT (__asof_end_1)")
+    # right-alias star exposes it too
+    out = rw_asof(
+        "SELECT c.id, v.* FROM c ASOF JOIN v ON c.k = v.k AND c.ts >= v.ts"
+    )
+    assert out.startswith("SELECT * EXCEPT (__asof_end_1)")
+    # LEFT-alias star does NOT — wrapping would EXCEPT a column the
+    # projection never exposes (analysis error), so no wrap
+    out = rw_asof(
+        "SELECT c.* FROM c ASOF JOIN v ON c.k = v.k AND c.ts >= v.ts"
+    )
+    assert not out.startswith("SELECT * EXCEPT")
+    assert "__asof_end_1" in out  # rewrite itself still happened
+    # explicit projection: no star, no wrap
+    out = rw_asof(
+        "SELECT c.id, v.val FROM c ASOF JOIN v ON c.k = v.k AND c.ts >= v.ts"
+    )
+    assert not out.startswith("SELECT * EXCEPT")
+    # nested-subquery star over an explicit inner projection must NOT be
+    # wrapped (helper already dropped inside; EXCEPT would error) — the
+    # DataFrame-level guard in Engine.query covers the leaking variants
+    out = rw_asof(
+        "SELECT * FROM (SELECT c.id FROM c ASOF JOIN v ON c.k = v.k AND c.ts >= v.ts) s"
+    )
+    assert not out.startswith("SELECT * EXCEPT")
+
+
+def test_asof_wire_no_helper_leak_alias_star(pgc):
+    """Punch item 8: `SELECT l.*, r.*` over the wire must not expose
+    __asof_end_* to the client in ANY shape — textual wrap for top-level
+    stars, Engine.query drop guard for the rest (CTE-star)."""
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query(
+        "SELECT q.*, p.* FROM (VALUES (10), (20), (4)) q(qts) "
+        "ASOF LEFT JOIN (VALUES (5, 'lo'), (18, 'hi')) p(pts, pv) "
+        "ON q.qts >= p.pts ORDER BY q.qts"
+    )
+    assert [n for n, _ in cols if n.startswith("__asof_end_")] == []
+    assert rows == [("4", None, None), ("10", "5", "lo"), ("20", "18", "hi")]
+    # CTE-star: helper flows into the CTE, outer star would expose it —
+    # the schema-level drop strips it
+    cols, rows, _ = c.simple_query(
+        "WITH j AS (SELECT * FROM (VALUES (10), (4)) q(qts) "
+        "ASOF LEFT JOIN (VALUES (5, 'lo')) p(pts, pv) ON q.qts >= p.pts) "
+        "SELECT * FROM j ORDER BY qts"
+    )
+    assert [n for n, _ in cols if n.startswith("__asof_end_")] == []
+    assert rows == [("4", None, None), ("10", "5", "lo")]
+    c.terminate()
+
+
+def test_asof_wire_edge_shapes(pgc):
+    """Punch item 8: two-inequality ON passes through to a loud Spark
+    error (never silent drift); expression-on-LEFT-time rewrites fine."""
+    c = PgClient(*pgc)
+    with pytest.raises(RuntimeError):
+        c.simple_query(
+            "SELECT * FROM (VALUES (1)) q(a) ASOF JOIN (VALUES (1, 2)) p(b, c) "
+            "ON q.a >= p.b AND q.a >= p.c"
+        )
+    c.terminate()
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT q.qts, p.pv FROM (VALUES (9), (3)) q(qts) "
+        "ASOF JOIN (VALUES (5, 'lo'), (18, 'hi')) p(pts, pv) "
+        "ON q.qts + 1 >= p.pts ORDER BY q.qts"
+    )
+    assert rows == [("9", "lo")]
+    c.terminate()

@@ -745,3 +745,38 @@ def test_mid_commit_failure_keeps_journal_and_recovers(pgt):
     assert glob.glob(os.path.join(engine.data_dir, "duckserver_txn_journal_424242*")) == []
     for t in ("txn_k3", "txn_k4"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fk_sees_parent_dropped_in_txn(pgt):
+    """ADVICE r6: a parent DROPped (not restaged) earlier in the SAME
+    transaction invalidates child inserts — the probe must not fall back
+    to the published base and commit orphaned rows."""
+    (host, port), engine = pgt
+    spark = engine.spark
+    for t in ("txn_fkc2", "txn_fkp2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        engine.constraints.drop(t)
+    c = PgClient(host, port)
+    c.simple_query("CREATE TABLE txn_fkp2 (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    c.simple_query(
+        "CREATE TABLE txn_fkc2 (cid BIGINT, pid BIGINT REFERENCES txn_fkp2(id)) USING parquet"
+    )
+    c.simple_query("INSERT INTO txn_fkp2 VALUES (1, 1.0)")
+    c.simple_query("BEGIN")
+    c.simple_query("DROP TABLE txn_fkp2")
+    with pytest.raises(RuntimeError, match="23503"):
+        c.simple_query("INSERT INTO txn_fkc2 VALUES (10, 1)")
+    c.simple_query("ROLLBACK")
+    # rollback restores the world: the same insert now passes
+    _, _, tag = c.simple_query("INSERT INTO txn_fkc2 VALUES (10, 1)")
+    assert tag.startswith("INSERT")
+    # drop-then-RECREATE moves the name out of `dropped`: the probe reads
+    # the new shadow (fresh parent row set), not the 23503-on-sight path
+    c.simple_query("BEGIN")
+    c.simple_query("DROP TABLE txn_fkp2")
+    c.simple_query("CREATE TABLE txn_fkp2 (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    c.simple_query("INSERT INTO txn_fkp2 VALUES (2, 2.0)")
+    _, _, tag = c.simple_query("INSERT INTO txn_fkc2 VALUES (11, 2)")
+    assert tag.startswith("INSERT")
+    c.simple_query("ROLLBACK")
+    c.terminate()
