@@ -207,6 +207,10 @@ def render_json_value(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "__fields__"):  # pyspark Row (named struct) → object,
+        # matching modern ClickHouse's named-tuple-as-object JSONEachRow
+        # rendering and making SELECT→INSERT roundtrips type-preserving
+        return {k: render_json_value(x) for k, x in zip(v.__fields__, v)}
     if isinstance(v, (list, tuple)):
         return [render_json_value(x) for x in v]
     if isinstance(v, dict):

@@ -255,6 +255,23 @@ def _coerce_json(v: Any, dt: T.DataType) -> Any:
         return bool(v)
     if isinstance(dt, T.ArrayType) and isinstance(v, list):
         return [_coerce_json(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType) and isinstance(v, dict):
+        # JSON object keys are strings; coerce both sides (a map<date,…>
+        # or map<…,decimal> arrives with string keys/values)
+        return {
+            _coerce_json(k, dt.keyType): _coerce_json(x, dt.valueType)
+            for k, x in v.items()
+        }
+    if isinstance(dt, T.StructType):
+        # object form {"a":…} (ClickHouse named-tuple-as-object) or
+        # positional array form [a, b] (classic Tuple rendering) — both
+        # coerce per-field so nested dates/decimals land typed
+        if isinstance(v, dict):
+            return tuple(_coerce_json(v.get(f.name), f.dataType) for f in dt.fields)
+        if isinstance(v, (list, tuple)):
+            return tuple(
+                _coerce_json(x, f.dataType) for x, f in zip(v, dt.fields)
+            )
     return v
 
 

@@ -32,7 +32,7 @@ def ch(spark, sf_dir):
     # the in-memory catalog forgets tables across sessions but warehouse
     # directories survive — clear both so CREATE TABLE is reproducible
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for i in range(1, 9):
+    for i in range(1, 11):
         spark.sql(f"DROP TABLE IF EXISTS ch_t{i}")
         shutil.rmtree(f"{warehouse}/ch_t{i}", ignore_errors=True)
     yield base, engine
@@ -278,3 +278,37 @@ def test_gzip_select_roundtrip(ch):
     assert body == plain
     assert body.decode().splitlines()[0] == "1"
     assert len(body.decode().splitlines()) == 100
+
+
+def test_insert_json_each_row_nested_roundtrip(ch):
+    """Round-6 punch item 4 (reference path: ch_format.go:25-84 feeding
+    go-duckdb's Appender, ch_server.go:300-336): arrays/maps/structs in
+    JSONEachRow ingest land TYPED — including date/decimal leaves inside
+    nested values, which JSON carries as strings — and SELECTing them
+    back as JSONEachRow reproduces the inserted lines byte-exactly."""
+    base, _ = ch
+    _post(base, "DROP TABLE IF EXISTS ch_t9")
+    _post(
+        base,
+        "CREATE TABLE ch_t9 (id BIGINT, arr ARRAY<BIGINT>, m MAP<STRING,DECIMAL(10,2)>, "
+        "st STRUCT<a:BIGINT,d:DATE>, nested ARRAY<ARRAY<DOUBLE>>) USING parquet",
+    )
+    lines = [
+        '{"id":1,"arr":[1,2,3],"m":{"k":"12.34"},"st":{"a":7,"d":"2024-01-02"},"nested":[[1.5],[2.5,3.5]]}',
+        '{"id":2,"arr":[],"m":{},"st":{"a":null,"d":null},"nested":[[]]}',
+        '{"id":3,"arr":null,"m":null,"st":null,"nested":null}',
+    ]
+    status, body = _post(
+        base, "INSERT INTO ch_t9 FORMAT JSONEachRow\n" + "\n".join(lines) + "\n"
+    )
+    assert status == 200, body
+    # typed landing: array/map/struct operations work SQL-side
+    _, out, _ = _get(
+        base,
+        "SELECT arr[0] + 1 AS a2, m['k'] * 2 AS dk, st.a AS sa, st.d AS sd, "
+        "nested[1][1] AS nn FROM ch_t9 WHERE id = 1",
+    )
+    assert out.strip() == "2\t24.68\t7\t2024-01-02\t3.5"
+    # byte-exact JSONEachRow roundtrip
+    _, out, _ = _get(base, "SELECT * FROM ch_t9 ORDER BY id FORMAT JSONEachRow")
+    assert out.splitlines() == lines
