@@ -507,6 +507,30 @@ class TxnOverlay:
 
     # ------------------------------------------------------ commit / abort
 
+    def _publish_table(self, real: str, shadow: str) -> None:
+        """Publish a staged shadow over its base. When the base already
+        exists in the catalog, INSERT OVERWRITE keeps the catalog entry
+        alive throughout — mode('overwrite').saveAsTable drops and
+        recreates the table, so a concurrent reader mid-commit errored
+        TABLE_OR_VIEW_NOT_FOUND (found by the round-7 8-session soak).
+        The remaining window is file-level only (a reader that listed
+        the old data files can see them swapped underneath — the
+        documented needs-a-table-format gap); catalog-level visibility
+        is now continuous. Created / recreated tables have no concurrent
+        readers by construction (the name was absent or dropped), so
+        saveAsTable is fine there."""
+        spark = self.engine.spark
+        try:
+            exists = spark.catalog.tableExists(real)
+        except Exception:  # noqa: BLE001 — fall back to the drop path
+            exists = False
+        if exists and real not in self.created:
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {real} SELECT * FROM {shadow}"
+            )
+        else:
+            spark.table(shadow).write.mode("overwrite").saveAsTable(real)
+
     def _journal_path(self) -> str:
         return os.path.join(
             self.engine.data_dir, f"duckserver_txn_journal_{self.txn_id}.json"
@@ -570,7 +594,7 @@ class TxnOverlay:
                 for real, shadow in list(self.staged.items()):
                     if real in self.pending_views:
                         continue
-                    spark.table(shadow).write.mode("overwrite").saveAsTable(real)
+                    self._publish_table(real, shadow)
                     if real in self.created:
                         found = self.pending_constraints.get(real)
                         if found:
