@@ -41,11 +41,57 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # round 6: new queries + newly oracle-gated sketch estimates first
-    # (HLL/Theta moved from rows-only to a bounded-error gate row:
-    # exact counts + within_bound, hash-matched against DuckDB)
-    "asof_join_sql",
+    # round 7: new production-path sketch variants (rows-only, plan-
+    # audited "no raw-id rescan"), then the queries whose plan or rewrite
+    # changed this round (contamination fused plan; list_slice/ASOF shim
+    # guards), then ALL 33 registry queries that had never appeared in
+    # any driver CORRECTNESS window across rounds 1-6 (VERDICT r6 punch
+    # item 7) so the driver artifact finally witnesses every query.
+    "agg_hll_mergeable_distinct_prod",
+    "agg_theta_audience_overlap_prod",
+    "contamination_check",
     "scalar_list_slice",
+    "asof_join_sql",
+    # never-windowed until now: aggregates / pivots
+    "agg_median_quantile",
+    "agg_stats_moments",
+    "agg_approx_count_distinct",
+    "agg_bool_any_every",
+    "agg_count_star_global",
+    "pivot_status",
+    "unpivot_prices",
+    # never-windowed: window functions
+    "window_ranking",
+    "window_lag_lead",
+    "window_frames_rows",
+    "window_first_last_nth",
+    "window_range_frame",
+    # never-windowed: scalar function families
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_cond_cast",
+    "scalar_json",
+    "scalar_bits",
+    "scalar_binary",
+    # never-windowed: time / join idioms
+    "asof_join",
+    "time_bucket_tumbling",
+    # never-windowed: text analysis round-1 ops
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_char_jaccard",
+    # never-windowed: dedup / similarity round-1 ops
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_fast",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    # round 6: new queries + newly oracle-gated sketch estimates
     "agg_hll_mergeable_distinct",
     "agg_theta_audience_overlap",
     # round 5: new operators

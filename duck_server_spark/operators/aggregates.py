@@ -758,6 +758,67 @@ def agg_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_mergeable_distinct_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION PATH (round-7 punch item 6): the plan a 100 TB user
+    actually runs — sketch per slice (ONE raw scan, materialized as the
+    persisted rollup table), then every estimate (per-slice and global
+    union) reads ONLY the tiny sketch table. Rows-only in the gate (the
+    sketch estimates are engine-specific); the bounded-error accuracy
+    contract lives in the registered `agg_hll_mergeable_distinct` gate
+    row and in tests. tools/explain_audit.py FORBIDS any parquet scan in
+    this query's plan — machine-checking "never a raw-id rescan"."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    sketches = spark.sql(
+        "SELECT event_type, hll_sketch_agg(user_id) AS sk "
+        "FROM events GROUP BY event_type"
+    ).localCheckpoint(eager=True)  # the persisted per-slice rollup
+    per_slice = sketches.selectExpr(
+        "event_type", "CAST(hll_sketch_estimate(sk) AS BIGINT) AS est_users"
+    )
+    merged = sketches.selectExpr(
+        "'__all__' AS event_type",
+        "CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS est_users",
+    )
+    return per_slice.unionAll(merged).orderBy("event_type")
+
+
+def agg_theta_audience_overlap_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION PATH (round-7 punch item 6): pairwise audience overlap
+    from the persisted theta sketch table only — one raw scan to build
+    the sketches, then the pair join + intersection reads sketch bytes,
+    never user ids. Rows-only; accuracy is gated by the registered
+    `agg_theta_audience_overlap` bounded-error row. explain_audit
+    FORBIDS parquet scans in this plan (no raw-id rescan)."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    sk = spark.sql(
+        "SELECT event_type, theta_sketch_agg(user_id) AS sk "
+        "FROM events GROUP BY event_type"
+    ).localCheckpoint(eager=True)
+    sk.createOrReplaceTempView("theta_slice_sk_prod")
+    pairs = spark.sql(
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "a.sk AS ska, b.sk AS skb "
+        "FROM theta_slice_sk_prod a JOIN theta_slice_sk_prod b "
+        "ON a.event_type < b.event_type"
+    )
+    return (
+        pairs.selectExpr("type_a", "type_b", "stack(2, ska, skb) AS sk")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.expr(
+                "CAST(theta_sketch_estimate(theta_intersection_agg(sk)) AS BIGINT)"
+            ).alias("est_overlap")
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["agg_hll_mergeable_distinct_prod"] = agg_hll_mergeable_distinct_prod
+QUERIES["agg_theta_audience_overlap_prod"] = agg_theta_audience_overlap_prod
 QUERIES["agg_hll_mergeable_distinct"] = agg_hll_mergeable_distinct
 ORACLE["agg_hll_mergeable_distinct"] = """
 WITH per AS (

@@ -228,6 +228,11 @@ CHECKS = {
 }
 
 FORBIDDEN = {
+    # production sketch rollups: every estimate reads the materialized
+    # sketch table — a parquet scan in the plan would mean a raw-id
+    # rescan, the exact thing mergeable sketches exist to avoid
+    "agg_hll_mergeable_distinct_prod": [("no raw-id rescan", r"Scan parquet")],
+    "agg_theta_audience_overlap_prod": [("no raw-id rescan", r"Scan parquet")],
     "text_signals_fused": [("one scan, ZERO shuffles", r"Exchange")],
     "text_pii_scrub": [("zero shuffles", r"Exchange")],
     "contamination_check": [("no doc×doc cartesian", r"CartesianProduct")],
@@ -274,7 +279,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     failures = []
-    for name, checks in CHECKS.items():
+    # union: a query with only FORBIDDEN assertions must still be audited
+    audited = {name: CHECKS.get(name, []) for name in CHECKS | FORBIDDEN.keys()}
+    for name, checks in audited.items():
         df = queries[name](spark, SF)
         import contextlib
         import io
