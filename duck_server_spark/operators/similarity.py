@@ -748,6 +748,18 @@ ORACLE["embedding_quantization"] = EMBED_QUANT_DUCK
 # blocking joins are equi-joins on (centroid_id, bucket); assignment
 # reuses the broadcast-centroids + min_by-aggregation plan audited for
 # similarity_ann_ivf.
+#
+# Round 7: byte-identical embeddings COLLAPSE to one representative
+# (GROUP BY the array — exact, the dedup_minhash_vectorized discipline)
+# BEFORE assignment and pairwise scoring; their drops are emitted
+# directly (kept_by = group-min rep, cosine = 1.0 — ties at cosine 1.0
+# resolve to the smallest keep_id, which IS the rep, so this equals the
+# rank-1 answer) and only distinct vectors enter the block-pair join.
+# Exact duplicates are the one case two-level blocking can't bound —
+# identical vectors share a cell AND a bucket by construction, so a K×
+# verbatim-replicated corpus grew in-block pairs K² (the 10× sweep
+# measured 5.2×); collapsed, the pair space is duplicate-free and the
+# sweep is linear again.
 
 # The raw fixture has no near-dup vector pairs (verified: zero pairs at
 # cosine >= 0.5), so SemDeDup runs over the same injected near-dup
@@ -773,22 +785,26 @@ _SEM_TAU = 0.85
 
 SEM_DEDUP_SPARK = f"""
 WITH raw AS ({_SEM_CORPUS_S}),
+grp AS (
+  SELECT min(vec_id) AS rep_id, embedding
+  FROM raw GROUP BY embedding
+),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
          transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
   FROM (SELECT vec_id, embedding FROM raw WHERE vec_id % 3 = 0 AND vec_id < 1000000 ORDER BY vec_id LIMIT {_IVF_K})
 ),
 corpus_scored AS (
-  SELECT e.vec_id, t.centroid_id, {_IVF_DIST_S} AS d2
-  FROM raw e CROSS JOIN cents t
+  SELECT e.rep_id AS vec_id, t.centroid_id, {_IVF_DIST_S} AS d2
+  FROM grp e CROSS JOIN cents t
 ),
 assign AS (
   SELECT vec_id, min_by(centroid_id, struct(d2, centroid_id)) AS centroid_id
   FROM corpus_scored GROUP BY vec_id
 ),
 members AS (
-  SELECT e.vec_id, e.embedding, a.centroid_id, {_BUCKET_S.format('e')} AS bucket
-  FROM raw e JOIN assign a ON e.vec_id = a.vec_id
+  SELECT e.rep_id AS vec_id, e.embedding, a.centroid_id, {_BUCKET_S.format('e')} AS bucket
+  FROM grp e JOIN assign a ON e.rep_id = a.vec_id
 ),
 scored AS (
   SELECT q.vec_id AS drop_id, c.vec_id AS keep_id, q.centroid_id, {_COS_S} AS cosine
@@ -799,21 +815,34 @@ ranked AS (
   SELECT drop_id, keep_id, centroid_id, cosine,
          row_number() OVER (PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS rnk
   FROM scored WHERE cosine >= {_SEM_TAU}
+),
+twin_drops AS (
+  SELECT r.vec_id, g.rep_id AS kept_by, a.centroid_id,
+         CAST(1.0 AS DOUBLE) AS cosine
+  FROM raw r
+  JOIN grp g ON r.embedding = g.embedding AND r.vec_id > g.rep_id
+  JOIN assign a ON a.vec_id = g.rep_id
 )
 SELECT drop_id AS vec_id, keep_id AS kept_by, centroid_id, cosine
 FROM ranked WHERE rnk = 1
+UNION ALL
+SELECT vec_id, kept_by, centroid_id, cosine FROM twin_drops
 """
 
 SEM_DEDUP_DUCK = f"""
 WITH raw AS ({_SEM_CORPUS_D}),
+grp AS (
+  SELECT min(vec_id) AS rep_id, embedding
+  FROM raw GROUP BY embedding
+),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS centroid_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
   FROM (SELECT vec_id, embedding FROM raw WHERE vec_id % 3 = 0 AND vec_id < 1000000 ORDER BY vec_id LIMIT {_IVF_K})
 ),
 corpus_scored AS (
-  SELECT e.vec_id, t.centroid_id, {_IVF_DIST_D} AS d2
-  FROM raw e CROSS JOIN cents t
+  SELECT e.rep_id AS vec_id, t.centroid_id, {_IVF_DIST_D} AS d2
+  FROM grp e CROSS JOIN cents t
 ),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -823,8 +852,8 @@ assign AS (
   ) WHERE arnk = 1
 ),
 members AS (
-  SELECT e.vec_id, e.embedding, a.centroid_id, {_BUCKET_D.format('e')} AS bucket
-  FROM raw e JOIN assign a ON e.vec_id = a.vec_id
+  SELECT e.rep_id AS vec_id, e.embedding, a.centroid_id, {_BUCKET_D.format('e')} AS bucket
+  FROM grp e JOIN assign a ON e.rep_id = a.vec_id
 ),
 scored AS (
   SELECT q.vec_id AS drop_id, c.vec_id AS keep_id, q.centroid_id, {_COS_D} AS cosine
@@ -835,9 +864,18 @@ ranked AS (
   SELECT drop_id, keep_id, centroid_id, cosine,
          row_number() OVER (PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS rnk
   FROM scored WHERE cosine >= {_SEM_TAU}
+),
+twin_drops AS (
+  SELECT r.vec_id, g.rep_id AS kept_by, a.centroid_id,
+         CAST(1.0 AS DOUBLE) AS cosine
+  FROM raw r
+  JOIN grp g ON r.embedding = g.embedding AND r.vec_id > g.rep_id
+  JOIN assign a ON a.vec_id = g.rep_id
 )
 SELECT drop_id AS vec_id, keep_id AS kept_by, centroid_id, cosine
 FROM ranked WHERE rnk = 1
+UNION ALL
+SELECT vec_id, kept_by, centroid_id, cosine FROM twin_drops
 """
 
 QUERIES["dedup_semantic_clusters"] = _sql(SEM_DEDUP_SPARK)

@@ -528,12 +528,19 @@ def rewrite_asof_join(q: str) -> str:
         jt = "LEFT JOIN" if is_left else "JOIN"
         q = q[: m.start()] + f"{jt} {new_right} ON {new_conds} " + q[cond_end:]
     if helpers:
-        exposed = _exposed_asof_helpers(q, helpers)
+        im = re.match(
+            r"\s*INSERT\s+INTO\s+[`\"]?[\w.]+[`\"]?\s*(?:\([^)]*\)\s*)?",
+            q,
+            re.IGNORECASE,
+        )
+        head, body = (q[: im.end()], q[im.end() :]) if im else ("", q)
+        exposed = _exposed_asof_helpers(body, helpers)
         if exposed:
-            q = (
+            body = (
                 f"SELECT * EXCEPT ({', '.join(exposed)}) "
-                f"FROM ({q.rstrip().rstrip(';')}) __asof_outer"
+                f"FROM ({body.rstrip().rstrip(';')}) __asof_outer"
             )
+            q = head + body
     return q
 
 
@@ -550,6 +557,9 @@ def _exposed_asof_helpers(q: str, helpers: list[tuple[str, str, int]]) -> list[s
     m = re.match(r"\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?", q, re.IGNORECASE)
     if m is None:
         return []
+    # (INSERT INTO t SELECT * FROM … ASOF JOIN … is handled by the
+    # caller: rewrite_asof_join wraps the SELECT part so the helper
+    # can't land in the target table by position.)
     # projection ends at the first top-level FROM
     depth, i, start, end = 0, m.end(), m.end(), None
     while i < len(masked):

@@ -608,3 +608,17 @@ def test_asof_wire_edge_shapes(pgc):
     )
     assert rows == [("9", "lo")]
     c.terminate()
+
+
+def test_asof_insert_select_star_no_helper_in_target():
+    """INSERT INTO t SELECT * FROM … ASOF JOIN …: the helper column must
+    be EXCEPT-wrapped out of the SELECT so it can't land in the target
+    table by position."""
+    out = rw.rewrite_asof_join(
+        "INSERT INTO t SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts"
+    )
+    assert out.startswith("INSERT INTO t SELECT * EXCEPT (__asof_end_1)")
+    out = rw.rewrite_asof_join(
+        "INSERT INTO t (x, y) SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts"
+    )
+    assert out.startswith("INSERT INTO t (x, y) SELECT * EXCEPT (__asof_end_1)")
