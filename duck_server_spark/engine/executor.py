@@ -618,7 +618,12 @@ class Engine:
         path for the next rewrite.)"""
         from pyspark.sql import Observation
 
-        obs = Observation()
+        from duck_server_spark.engine.errors import PgError
+        from duck_server_spark.engine.transactions import (
+            _COMMIT_MUTEX,
+            _table_fingerprint,
+        )
+
         staging = f"{table}__cow_staging"
         self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
         if not self.spark.catalog.tableExists(staging):
@@ -631,17 +636,69 @@ class Engine:
             shutil.rmtree(
                 os.path.join(warehouse, staging.rsplit(".", 1)[-1]), ignore_errors=True
             )
-        transform(source.observe(obs, metric)).write.mode("overwrite").saveAsTable(staging)
-        n = int(obs.get["n"] or 0)
-        if validate is not None:
+        # Optimistic concurrency (round-7 soak finding): an autocommit
+        # UPDATE/DELETE is a one-statement transaction, so it must not
+        # silently wipe a COMMIT that published between our read and our
+        # publish — fingerprint the base before staging, publish only if
+        # it is unchanged (under the same commit mutex transactions use),
+        # else re-run the rewrite on the fresh base. Bounded retries,
+        # then 40001 like any other serialization loser.
+        for _attempt in range(3):
+            obs = Observation()
+            fp = _table_fingerprint(self.spark, table)
             try:
-                validate(self.spark.table(staging))
-            except Exception:
-                self.spark.sql(f"DROP TABLE {staging}")
-                raise  # base table untouched
-        self.spark.table(staging).write.mode("overwrite").saveAsTable(table)
-        self.spark.sql(f"DROP TABLE {staging}")
-        return n
+                transform(source.observe(obs, metric)).write.mode(
+                    "overwrite"
+                ).saveAsTable(staging)
+            except Exception as e:  # noqa: BLE001
+                # a concurrent publish can swap the base's files under our
+                # scan (the file-level window) — that exact transient
+                # retries; anything else is a real error
+                from duck_server_spark.engine.transactions import is_file_race
+
+                if _attempt < 2 and is_file_race(e):
+                    # clean any partial staging the failed write left
+                    # (location without catalog entry → 42710 on retry)
+                    import shutil
+
+                    self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                    warehouse = self.spark.conf.get(
+                        "spark.sql.warehouse.dir"
+                    ).removeprefix("file:")
+                    shutil.rmtree(
+                        os.path.join(warehouse, staging.rsplit(".", 1)[-1]),
+                        ignore_errors=True,
+                    )
+                    self.spark.catalog.refreshTable(table)
+                    continue
+                raise
+            n = int(obs.get["n"] or 0)
+            if validate is not None:
+                try:
+                    validate(self.spark.table(staging))
+                except Exception:
+                    self.spark.sql(f"DROP TABLE {staging}")
+                    raise  # base table untouched
+            with _COMMIT_MUTEX:
+                if _table_fingerprint(self.spark, table) == fp:
+                    # INSERT OVERWRITE, not overwrite-saveAsTable: the
+                    # latter drops the base from the catalog mid-publish,
+                    # so a concurrent reader errored
+                    # TABLE_OR_VIEW_NOT_FOUND (round-7 soak; same fix as
+                    # TxnOverlay._publish_table). The remaining window is
+                    # file-level only — the documented
+                    # needs-a-table-format gap.
+                    self.spark.sql(
+                        f"INSERT OVERWRITE TABLE {table} SELECT * FROM {staging}"
+                    )
+                    self.spark.sql(f"DROP TABLE {staging}")
+                    return n
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        raise PgError(
+            "40001",
+            f'could not serialize access: table "{table}" was modified by '
+            "a concurrent transaction (retry the statement)",
+        )
 
     # ------------------------------------------------------------ cancel
 

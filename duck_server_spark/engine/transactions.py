@@ -130,6 +130,15 @@ def sibling_dropped(table_or_shadow: str, other_base: str) -> bool:
     return bool(d) and other_base.lower() in d
 
 
+def is_file_race(exc: Exception) -> bool:
+    """True for the transient a reader hits when a concurrent publish
+    swaps a table's data files under its scan (the file-level window of
+    plain-parquet publishes — catalog visibility is continuous, file
+    listing is not). Retry after refreshTable; anything else is real."""
+    msg = str(exc)
+    return "FILE_NOT_EXIST" in msg or "FileNotFound" in msg or "REFRESH TABLE" in msg
+
+
 def _register_shadow(shadow: str, base: str) -> None:
     with _SHADOW_LOCK:
         _ACTIVE_SHADOWS[shadow.lower()] = base.lower()
@@ -360,10 +369,25 @@ class TxnOverlay:
                 return  # temp views / unknown names: not transactional
         except Exception:  # noqa: BLE001 — malformed name → let dispatch error
             return
-        self.base_versions[key] = _table_fingerprint(spark, table)
         shadow = self._shadow_name(table)
         self._drop_shadow(shadow)
-        spark.table(table).write.mode("overwrite").saveAsTable(shadow)
+        for attempt in range(3):
+            # fingerprint BEFORE the copy: a publish landing in between
+            # makes the COMMIT-time check conservatively fail (40001) —
+            # safe; a publish landing MID-copy surfaces as the file-race
+            # transient and retries on the fresh base
+            self.base_versions[key] = _table_fingerprint(spark, table)
+            try:
+                spark.table(table).write.mode("overwrite").saveAsTable(shadow)
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt < 2 and is_file_race(e):
+                    # the failed write can leave a partial shadow table/
+                    # location — clean it or the retry hits 42710
+                    self._drop_shadow(shadow)
+                    spark.catalog.refreshTable(table)
+                    continue
+                raise
         self.staged[key] = shadow
         _register_shadow(shadow, table)
 

@@ -875,8 +875,32 @@ def test_concurrent_soak_8_sessions(pgt):
         except Exception as e:  # noqa: BLE001
             errs.append(f"reader{tid}: {type(e).__name__} {e}")
 
+    def autocommit_writer(tid, rounds=3):
+        """Plain UPDATE outside any transaction: exercises the engine's
+        copy-on-write publish path (also INSERT OVERWRITE after the
+        round-7 fix) under the same concurrent readers."""
+        try:
+            c = PgClient(host, port)
+            barrier.wait(timeout=30)
+            for _ in range(rounds):
+                delta = 100000.0
+                try:
+                    _, _, tag = c.simple_query(
+                        f"UPDATE txn_soak SET v = v + {delta} WHERE id = {tid % 4}"
+                    )
+                except RuntimeError as e:
+                    # a 40001 loser applied nothing — that's the contract
+                    assert "40001" in str(e), e
+                    continue
+                if tag.startswith("UPDATE"):
+                    applied.append(delta)
+            c.terminate()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"acwriter{tid}: {type(e).__name__} {e}")
+
     threads = (
-        [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+        [threading.Thread(target=writer, args=(t,)) for t in range(3)]
+        + [threading.Thread(target=autocommit_writer, args=(3,))]
         + [threading.Thread(target=ddl, args=(t,)) for t in (4, 5)]
         + [threading.Thread(target=reader, args=(t,)) for t in (6, 7)]
     )

@@ -49,6 +49,19 @@ EXPECTED_SUPERLINEAR = {
     # df-cap (llm_text.py contamination_check) bounds the per-gram join
     # fan-out either way.
     "contamination_check",
+    # the op's OUTPUT is the full near-dup pair list: K× byte-identical
+    # replicas share a pHash, so every replica group emits K² pairs by
+    # SPEC — Θ(output), the graph_triangles argument. (At organic
+    # growth near-dup groups stay small and the banded join is linear.)
+    # 10× sweep: 3.9×, tracking pair output, not plan inefficiency.
+    "multimodal_phash_dedup",
+    # per-iteration work is linear in the EDGE LIST, but the edge list
+    # is dedup_simhash's near-dup pair output, which itself grows K²
+    # under K× verbatim replication (cliques of identical docs) — input
+    # growth inherited from the pairwise family above, not a plan flaw.
+    # 10× sweep: 4.9× directly under the 5.0 flag; annotated so host
+    # noise can't flip it.
+    "graph_pagerank",
 }
 
 
