@@ -786,7 +786,8 @@ _SEM_TAU = 0.85
 SEM_DEDUP_SPARK = f"""
 WITH raw AS ({_SEM_CORPUS_S}),
 grp AS (
-  SELECT min(vec_id) AS rep_id, embedding
+  SELECT min(vec_id) AS rep_id, embedding,
+         sort_array(collect_list(vec_id)) AS ids
   FROM raw GROUP BY embedding
 ),
 cents AS (
@@ -817,11 +818,12 @@ ranked AS (
   FROM scored WHERE cosine >= {_SEM_TAU}
 ),
 twin_drops AS (
-  SELECT r.vec_id, g.rep_id AS kept_by, a.centroid_id,
+  SELECT t.vid AS vec_id, g.rep_id AS kept_by, a.centroid_id,
          CAST(1.0 AS DOUBLE) AS cosine
-  FROM raw r
-  JOIN grp g ON r.embedding = g.embedding AND r.vec_id > g.rep_id
+  FROM grp g
   JOIN assign a ON a.vec_id = g.rep_id
+  LATERAL VIEW explode(g.ids) t AS vid
+  WHERE t.vid > g.rep_id
 )
 SELECT drop_id AS vec_id, keep_id AS kept_by, centroid_id, cosine
 FROM ranked WHERE rnk = 1
@@ -832,7 +834,8 @@ SELECT vec_id, kept_by, centroid_id, cosine FROM twin_drops
 SEM_DEDUP_DUCK = f"""
 WITH raw AS ({_SEM_CORPUS_D}),
 grp AS (
-  SELECT min(vec_id) AS rep_id, embedding
+  SELECT min(vec_id) AS rep_id, embedding,
+         list_sort(list(vec_id)) AS ids
   FROM raw GROUP BY embedding
 ),
 cents AS (
@@ -866,11 +869,12 @@ ranked AS (
   FROM scored WHERE cosine >= {_SEM_TAU}
 ),
 twin_drops AS (
-  SELECT r.vec_id, g.rep_id AS kept_by, a.centroid_id,
+  SELECT t.vid AS vec_id, g.rep_id AS kept_by, a.centroid_id,
          CAST(1.0 AS DOUBLE) AS cosine
-  FROM raw r
-  JOIN grp g ON r.embedding = g.embedding AND r.vec_id > g.rep_id
+  FROM grp g
   JOIN assign a ON a.vec_id = g.rep_id
+  CROSS JOIN unnest(g.ids) AS t(vid)
+  WHERE t.vid > g.rep_id
 )
 SELECT drop_id AS vec_id, keep_id AS kept_by, centroid_id, cosine
 FROM ranked WHERE rnk = 1
