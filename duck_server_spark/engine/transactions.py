@@ -39,6 +39,24 @@ the session layer with staged writes:
   shadows forward), so a crash between two table publishes recovers to
   a consistent state instead of a half-applied commit.
 - ROLLBACK just drops the shadows; the base tables were never written.
+- Autocommit UPDATE/DELETE (the engine's copy-on-write rewrites) join
+  the same contract (round 7): they fingerprint the base before staging
+  and publish only if unchanged, under the same commit mutex, retrying
+  the rewrite on a fresh base and erroring 40001 only after bounded
+  retries — so a one-statement transaction can never silently wipe a
+  concurrent COMMIT.
+
+Concurrency window (round 7): publishes use INSERT OVERWRITE, so the
+table's CATALOG entry is continuously visible to concurrent readers —
+the pre-round-7 drop-and-recreate publish made readers error
+TABLE_OR_VIEW_NOT_FOUND mid-commit. What remains is file-level only: a
+scan that listed the old data files while they are swapped underneath
+sees the FAILED_READ_FILE transient (is_file_race); engine-internal
+reads (shadow staging, COW staging) retry it, client SELECTs may
+surface it and retry. Cross-table atomic visibility (reader sees table
+A new + table B old during a multi-table commit) also remains. Both are
+exactly what a table format's commit protocol (Delta/Iceberg) closes —
+the documented production answer.
 
 Scale note: the first-touch clone is a full copy of the table — the
 standard cost of copy-on-write transactionality without a table format.
