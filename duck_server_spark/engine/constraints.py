@@ -292,15 +292,22 @@ def _check_fk(
     cname = f"{disp}_{'_'.join(fkcols)}_fkey"
     if table and sibling_dropped(table, fk["ref_table"]):
         # parent DROPped (not restaged) earlier in the SAME transaction:
-        # every child row is an orphan as seen inside the txn — probing
-        # the published base would wrongly pass and commit orphans
-        # (ADVICE r6)
-        raise PgError(
-            "23503",
-            f'insert or update on table "{disp}" violates foreign key '
-            f'constraint "{cname}": referenced table '
-            f'"{fk["ref_table"]}" is dropped in the current transaction',
-        )
+        # every NON-NULL child FK tuple is an orphan as seen inside the
+        # txn — probing the published base would wrongly pass and commit
+        # orphans (ADVICE r6). MATCH SIMPLE still applies: rows whose FK
+        # parts include a NULL reference no parent and pass, so only
+        # raise when the batch actually carries a non-NULL FK tuple.
+        nonnull = rows
+        for c in fkcols:
+            nonnull = nonnull.filter(F.col(c).isNotNull())
+        if nonnull.limit(1).count() > 0:
+            raise PgError(
+                "23503",
+                f'insert or update on table "{disp}" violates foreign key '
+                f'constraint "{cname}": referenced table '
+                f'"{fk["ref_table"]}" is dropped in the current transaction',
+            )
+        return  # all-NULL FK batch: nothing to validate, parent is gone
     probe = rows.select([F.col(c).alias(r) for c, r in zip(fkcols, ref_cols)])
     for r in ref_cols:
         probe = probe.filter(F.col(r).isNotNull())

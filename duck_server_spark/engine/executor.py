@@ -160,9 +160,18 @@ class Engine:
         warehouse = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix(
             "file:"
         )
-        for pat in ("*__txn_*", "*__cow_staging"):
+        for pat in (
+            "*__txn_*",
+            "*__cow_staging",
+            # db-qualified tables live under <db>.db/<table>
+            os.path.join("*.db", "*__txn_*"),
+            os.path.join("*.db", "*__cow_staging"),
+        ):
             for path in glob.glob(os.path.join(warehouse, pat)):
                 name = os.path.basename(path)
+                parent = os.path.basename(os.path.dirname(path))
+                if parent.endswith(".db"):  # qualified: probe <db>.<table>
+                    name = f"{parent[:-3]}.{name}"
                 if _txn.resolve_shadow(name) is not None:
                     continue  # live transaction in this process owns it
                 try:
@@ -186,19 +195,16 @@ class Engine:
             m = _CREATE_TABLE_NAME.match(original)
             if not m:
                 raise
-            name = m.group(1).rsplit(".", 1)[-1]
             try:
                 known = self.spark.catalog.tableExists(m.group(1))
             except Exception:  # noqa: BLE001 — probe failed, don't recover
                 known = True
             if known:
                 raise
-            warehouse = self.spark.conf.get(
-                "spark.sql.warehouse.dir"
-            ).removeprefix("file:")
+            from duck_server_spark.engine.transactions import table_dir
             import shutil as _sh
 
-            _sh.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            _sh.rmtree(table_dir(self.spark, m.group(1)), ignore_errors=True)
             self.spark.sql(sql).collect()
 
     # ------------------------------------------------------------- users
@@ -467,7 +473,11 @@ class Engine:
                 )
                 self.constraints.put(table, found)
                 return "CREATE TABLE"
-            self._recoverable_create(self._prepare_sql(q, dialect), q)
+            prepared = self._prepare_sql(q, dialect)
+            tag = self._exec_asof_guarded(prepared)
+            if tag is not None:
+                return tag
+            self._recoverable_create(prepared, q)
             return "CREATE TABLE"
         m = _DROP_TABLE.match(q)
         if m:
@@ -477,9 +487,51 @@ class Engine:
             n = self._validated_insert(m.group(1), m.group(2), m.group(3))
             return f"INSERT 0 {n}"
         prepared = self._prepare_sql(q, dialect)
+        tag = self._exec_asof_guarded(prepared)
+        if tag is not None:
+            return tag
         self.spark.sql(prepared).collect()
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
+
+    _CTAS_HEAD = re.compile(
+        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\"\w.]+)\s+AS\s+(?=(SELECT|WITH)\b)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _INSERT_SEL_HEAD = re.compile(
+        r"\s*INSERT\s+INTO\s+([`\"\w.]+)\s+(?=(SELECT|WITH)\b)",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _exec_asof_guarded(self, prepared: str) -> str | None:
+        """CTAS / INSERT…SELECT whose rewritten text carries ASOF shim
+        helper columns (r7 review: the textual EXCEPT wrap can't reach a
+        CTE-star inside these, and execute() has no DataFrame drop
+        guard): route the SELECT through a DataFrame, drop the helpers
+        schema-side, and write — so a helper can never persist into a
+        created table or land in an INSERT target by position. Returns
+        the command tag when handled, None to dispatch normally."""
+        if "__asof_end_" not in prepared:
+            return None
+        m = self._CTAS_HEAD.match(prepared)
+        if m:
+            df = self.spark.sql(prepared[m.end() :])
+            leaked = [c for c in df.columns if c.startswith("__asof_end_")]
+            if leaked:
+                df = df.drop(*leaked)
+            df.write.mode("ignore" if m.group(1) else "errorifexists").saveAsTable(
+                m.group(2).strip('`"')
+            )
+            return "CREATE TABLE"
+        m = self._INSERT_SEL_HEAD.match(prepared)
+        if m:
+            df = self.spark.sql(prepared[m.end() :])
+            leaked = [c for c in df.columns if c.startswith("__asof_end_")]
+            if leaked:
+                df = df.drop(*leaked)
+            df.write.insertInto(m.group(1).strip('`"'))
+            return "INSERT"
+        return None
 
     def _validated_insert(self, table: str, cols_csv: str | None, source: str) -> int:
         """INSERT into a constrained table: materialize the source once
@@ -591,9 +643,18 @@ class Engine:
         df = self.spark.table(table)
         if where is None:
             # truncate: count() is metadata-only on parquet, then one
-            # empty overwrite — no staging needed, nothing to preserve
-            n = df.count()
-            self.spark.createDataFrame([], df.schema).write.mode("overwrite").saveAsTable(table)
+            # empty overwrite — no staging needed, nothing to preserve.
+            # Same autocommit concurrency contract as every other publish
+            # (round-7 review finding: this fast path skipped it): count
+            # + truncate run under the commit mutex so no COMMIT/COW
+            # publish can interleave, and the TRUNCATE TABLE command
+            # keeps the catalog entry live for concurrent readers
+            # (saveAsTable-overwrite dropped and recreated it).
+            from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+
+            with _COMMIT_MUTEX:
+                n = df.count()
+                self.spark.sql(f"TRUNCATE TABLE {table}")
             return n
         hit = F.sum(F.when(F.expr(where), 1).otherwise(0)).cast("long").alias("n")
         return self._overwrite_table(table, df, lambda d: d.filter(~F.expr(where)), hit)
@@ -618,10 +679,14 @@ class Engine:
         path for the next rewrite.)"""
         from pyspark.sql import Observation
 
+        import shutil
+
         from duck_server_spark.engine.errors import PgError
         from duck_server_spark.engine.transactions import (
             _COMMIT_MUTEX,
             _table_fingerprint,
+            is_file_race,
+            table_dir,
         )
 
         staging = f"{table}__cow_staging"
@@ -630,12 +695,7 @@ class Engine:
             # a crashed prior rewrite (or a fresh session over an old
             # warehouse) can leave an orphaned staging directory that no
             # catalog entry owns — saveAsTable refuses the location then
-            import shutil
-
-            warehouse = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-            shutil.rmtree(
-                os.path.join(warehouse, staging.rsplit(".", 1)[-1]), ignore_errors=True
-            )
+            shutil.rmtree(table_dir(self.spark, staging), ignore_errors=True)
         # Optimistic concurrency (round-7 soak finding): an autocommit
         # UPDATE/DELETE is a one-statement transaction, so it must not
         # silently wipe a COMMIT that published between our read and our
@@ -653,22 +713,12 @@ class Engine:
             except Exception as e:  # noqa: BLE001
                 # a concurrent publish can swap the base's files under our
                 # scan (the file-level window) — that exact transient
-                # retries; anything else is a real error
-                from duck_server_spark.engine.transactions import is_file_race
-
+                # retries; anything else is a real error. Clean any
+                # partial staging the failed write left (location without
+                # catalog entry → 42710 on retry).
                 if _attempt < 2 and is_file_race(e):
-                    # clean any partial staging the failed write left
-                    # (location without catalog entry → 42710 on retry)
-                    import shutil
-
                     self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
-                    warehouse = self.spark.conf.get(
-                        "spark.sql.warehouse.dir"
-                    ).removeprefix("file:")
-                    shutil.rmtree(
-                        os.path.join(warehouse, staging.rsplit(".", 1)[-1]),
-                        ignore_errors=True,
-                    )
+                    shutil.rmtree(table_dir(self.spark, staging), ignore_errors=True)
                     self.spark.catalog.refreshTable(table)
                     continue
                 raise

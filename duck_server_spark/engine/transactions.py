@@ -148,6 +148,21 @@ def sibling_dropped(table_or_shadow: str, other_base: str) -> bool:
     return bool(d) and other_base.lower() in d
 
 
+def table_dir(spark, name: str) -> str:
+    """Warehouse data directory of a (possibly db-qualified) table name,
+    the way Spark's in-memory catalog lays it out: identifiers lowercase,
+    db-qualified names under ``<db>.db/<table>``. Every orphan-dir
+    cleanup must derive the path through THIS helper — ad-hoc
+    ``warehouse/<name>`` derivations broke for mixed-case names (no-op
+    rmtree) and for db-qualified names could rmtree an UNRELATED
+    default-db table's data (round-7 review finding)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    parts = name.lower().strip("`\"").split(".")
+    if len(parts) == 1:
+        return os.path.join(warehouse, parts[0])
+    return os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
+
+
 def is_file_race(exc: Exception) -> bool:
     """True for the transient a reader hits when a concurrent publish
     swaps a table's data files under its scan (the file-level window of
@@ -358,8 +373,7 @@ class TxnOverlay:
         _unregister_shadow(shadow)
         # a crashed prior transaction can leave an orphaned directory that
         # no catalog entry owns — saveAsTable refuses the location then
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        shutil.rmtree(os.path.join(warehouse, shadow.rsplit(".", 1)[-1]), ignore_errors=True)
+        shutil.rmtree(table_dir(spark, shadow), ignore_errors=True)
 
     def _exists(self, table: str) -> bool:
         """Catalog existence AS SEEN INSIDE this transaction."""
@@ -586,6 +600,18 @@ class TxnOverlay:
         roll an interrupted multi-table commit forward (atomic multi-
         table commit without a journal needs a table format — Delta/
         Iceberg — documented non-goal)."""
+        try:
+            self._commit_inner()
+        finally:
+            # a publish exception propagates before the success-path
+            # cleanup runs, and the wire server has already detached this
+            # overlay — without this the registry entry (and the dropped
+            # dict it references) leaks per failed commit (r7 review)
+            with _SHADOW_LOCK:
+                if _TXN_DROPPED.get(str(self.txn_id)) is self.dropped:
+                    _TXN_DROPPED.pop(str(self.txn_id), None)
+
+    def _commit_inner(self) -> None:
         spark = self.engine.spark
         # One commit at a time, process-wide (ADVICE r5): without the
         # mutex two concurrent COMMITs on the same table could both pass
@@ -717,12 +743,11 @@ def recover_journal(engine: "Engine") -> int:
         except (OSError, json.JSONDecodeError):
             os.remove(jpath)
             continue
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         for name, kind in manifest.get("drop", {}).items():
             if kind == "table":
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
                 engine.constraints.drop(name)
-                shutil.rmtree(os.path.join(warehouse, name.rsplit(".", 1)[-1]), ignore_errors=True)
+                shutil.rmtree(table_dir(spark, name), ignore_errors=True)
             else:
                 spark.sql(f"DROP VIEW IF EXISTS {name}")
         all_published = True
@@ -735,8 +760,8 @@ def recover_journal(engine: "Engine") -> int:
                     published = True
             except Exception:  # noqa: BLE001 — fall through to dir-level copy
                 pass
-            sdir = os.path.join(warehouse, shadow.rsplit(".", 1)[-1])
-            rdir = os.path.join(warehouse, real.rsplit(".", 1)[-1])
+            sdir = table_dir(spark, shadow)
+            rdir = table_dir(spark, real)
             if not published and os.path.isdir(sdir):
                 # catalog lost the shadow (fresh session over an old
                 # warehouse): file-level roll-forward

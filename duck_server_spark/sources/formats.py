@@ -269,6 +269,14 @@ def _coerce_json(v: Any, dt: T.DataType) -> Any:
         if isinstance(v, dict):
             return tuple(_coerce_json(v.get(f.name), f.dataType) for f in dt.fields)
         if isinstance(v, (list, tuple)):
+            if len(v) != len(dt.fields):
+                # zip would silently truncate extras / produce a short
+                # tuple that dies deep inside createDataFrame — fail the
+                # row here with an actionable message instead (r7 review)
+                raise ValueError(
+                    f"struct value arity {len(v)} does not match "
+                    f"{dt.simpleString()} ({len(dt.fields)} fields)"
+                )
             return tuple(
                 _coerce_json(x, f.dataType) for x, f in zip(v, dt.fields)
             )

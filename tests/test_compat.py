@@ -622,3 +622,37 @@ def test_asof_insert_select_star_no_helper_in_target():
         "INSERT INTO t (x, y) SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts"
     )
     assert out.startswith("INSERT INTO t (x, y) SELECT * EXCEPT (__asof_end_1)")
+
+
+def test_asof_ctas_and_insert_cte_no_helper_leak(pgc, spark):
+    """r7 review: CTAS over an ASOF star must not persist __asof_end_*
+    into the created table, and INSERT with a WITH-CTE star body must
+    not fail on arity / leak the helper by position."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*pgc)
+    for t in ("asof_ctas1", "asof_ins1"):
+        c.simple_query(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    _, _, tag = c.simple_query(
+        "CREATE TABLE asof_ctas1 AS SELECT * FROM (VALUES (10), (4)) q(qts) "
+        "ASOF LEFT JOIN (VALUES (5, 'lo')) p(pts, pv) ON q.qts >= p.pts"
+    )
+    assert tag == "CREATE TABLE"
+    cols, rows, _ = c.simple_query("SELECT * FROM asof_ctas1 ORDER BY qts")
+    assert [n for n, _ in cols] == ["qts", "pts", "pv"]
+    assert rows == [("4", None, None), ("10", "5", "lo")]
+    # INSERT with a CTE-star body (textual wrap can't reach this shape)
+    c.simple_query("CREATE TABLE asof_ins1 (qts INT, pts INT, pv STRING) USING parquet")
+    _, _, tag = c.simple_query(
+        "INSERT INTO asof_ins1 WITH j AS (SELECT * FROM (VALUES (10)) q(qts) "
+        "ASOF JOIN (VALUES (5, 'lo')) p(pts, pv) ON q.qts >= p.pts) SELECT * FROM j"
+    )
+    assert tag.startswith("INSERT")
+    _, rows, _ = c.simple_query("SELECT qts, pts, pv FROM asof_ins1")
+    assert rows == [("10", "5", "lo")]
+    for t in ("asof_ctas1", "asof_ins1"):
+        c.simple_query(f"DROP TABLE {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    c.terminate()

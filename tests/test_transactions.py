@@ -923,3 +923,27 @@ def test_concurrent_soak_8_sessions(pgt):
     ]
     assert leftovers == []
     c0.terminate()
+
+
+def test_fk_null_rows_pass_even_when_parent_dropped_in_txn(pgt):
+    """r7 review: MATCH SIMPLE still applies when the parent is dropped
+    in-txn — an all-NULL FK batch references no parent and must pass."""
+    (host, port), engine = pgt
+    spark = engine.spark
+    for t in ("txn_fkc3", "txn_fkp3"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        engine.constraints.drop(t)
+    c = PgClient(host, port)
+    c.simple_query("CREATE TABLE txn_fkp3 (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet")
+    c.simple_query(
+        "CREATE TABLE txn_fkc3 (cid BIGINT, pid BIGINT REFERENCES txn_fkp3(id)) USING parquet"
+    )
+    c.simple_query("INSERT INTO txn_fkp3 VALUES (1, 1.0)")
+    c.simple_query("BEGIN")
+    c.simple_query("DROP TABLE txn_fkp3")
+    _, _, tag = c.simple_query("INSERT INTO txn_fkc3 VALUES (10, NULL)")
+    assert tag.startswith("INSERT")  # NULL FK: no parent referenced
+    with pytest.raises(RuntimeError, match="23503"):
+        c.simple_query("INSERT INTO txn_fkc3 VALUES (11, 1)")  # non-NULL: orphan
+    c.simple_query("ROLLBACK")
+    c.terminate()
