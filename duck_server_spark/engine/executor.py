@@ -330,12 +330,12 @@ class Engine:
         m = _SUMMARIZE.match(q)
         if m:
             return self._summarize(m.group(1), dialect)
-        df = self.spark.sql(self._prepare_sql(q, dialect))
         # ASOF shim helper columns can survive star shapes the textual
         # EXCEPT wrap can't reach (CTE-star, alias.* through a derived
         # table — ADVICE r6); the schema-level drop covers every shape.
-        leaked = [c for c in df.columns if c.startswith("__asof_end_")]
-        return df.drop(*leaked) if leaked else df
+        return self._strip_asof_helpers(
+            self.spark.sql(self._prepare_sql(q, dialect))
+        )
 
     def _summarize(self, target: str, dialect: str) -> DataFrame:
         """DuckDB's SUMMARIZE statement (`SUMMARIZE tbl` / `SUMMARIZE
@@ -474,10 +474,11 @@ class Engine:
                 self.constraints.put(table, found)
                 return "CREATE TABLE"
             prepared = self._prepare_sql(q, dialect)
-            tag = self._exec_asof_guarded(prepared)
-            if tag is not None:
-                return tag
             self._recoverable_create(prepared, q)
+            if "__asof_end_" in prepared:
+                nm = _CREATE_TABLE_NAME.match(prepared)
+                if nm:
+                    self._repair_asof_helpers(nm.group(1))
             return "CREATE TABLE"
         m = _DROP_TABLE.match(q)
         if m:
@@ -490,48 +491,88 @@ class Engine:
         tag = self._exec_asof_guarded(prepared)
         if tag is not None:
             return tag
-        self.spark.sql(prepared).collect()
+        if re.match(r"\s*insert\b", q, re.IGNORECASE):
+            # appends join the autocommit write contract (r7 review): an
+            # append landing inside a COW publish's check-then-overwrite
+            # window would be silently deleted by the overwrite
+            from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+
+            with _COMMIT_MUTEX:
+                self.spark.sql(prepared).collect()
+        else:
+            self.spark.sql(prepared).collect()
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
 
-    _CTAS_HEAD = re.compile(
-        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\"\w.]+)\s+AS\s+(?=(SELECT|WITH)\b)",
-        re.IGNORECASE | re.DOTALL,
-    )
     _INSERT_SEL_HEAD = re.compile(
-        r"\s*INSERT\s+INTO\s+([`\"\w.]+)\s+(?=(SELECT|WITH)\b)",
+        r"\s*INSERT\s+INTO\s+([`\"\w.]+)\s*(?:\(([^)]*)\)\s*)?(?=(SELECT|WITH)\b)",
         re.IGNORECASE | re.DOTALL,
     )
 
+    @staticmethod
+    def _strip_asof_helpers(df: DataFrame) -> DataFrame:
+        leaked = [c for c in df.columns if c.startswith("__asof_end_")]
+        return df.drop(*leaked) if leaked else df
+
+    def _repair_asof_helpers(self, table: str) -> None:
+        """Post-create repair for ANY CTAS shape (USING/PARTITIONED BY/
+        column lists — no head parsing): if the just-created table's
+        schema carries ASOF shim helper columns, rewrite it without them.
+        Safe: the table was created by the statement being executed, so
+        it has no concurrent readers yet; the clean rows are materialized
+        (eager localCheckpoint) before the overwrite so the rewrite never
+        reads the files it is replacing."""
+        try:
+            df = self.spark.table(table)
+        except Exception:  # noqa: BLE001 — nothing created, nothing to fix
+            return
+        leaked = [c for c in df.columns if c.startswith("__asof_end_")]
+        if not leaked:
+            return
+        clean = df.drop(*leaked).localCheckpoint(eager=True)
+        try:
+            clean.write.mode("overwrite").saveAsTable(table)
+        finally:
+            try:
+                clean.rdd.unpersist(False)
+            except Exception:  # noqa: BLE001 — cleanup best-effort
+                pass
+
     def _exec_asof_guarded(self, prepared: str) -> str | None:
-        """CTAS / INSERT…SELECT whose rewritten text carries ASOF shim
+        """INSERT…SELECT/WITH whose rewritten text carries ASOF shim
         helper columns (r7 review: the textual EXCEPT wrap can't reach a
         CTE-star inside these, and execute() has no DataFrame drop
         guard): route the SELECT through a DataFrame, drop the helpers
-        schema-side, and write — so a helper can never persist into a
-        created table or land in an INSERT target by position. Returns
-        the command tag when handled, None to dispatch normally."""
+        schema-side, align an optional column list against the target
+        schema, and append — so a helper can never land in an INSERT
+        target by position. Appends run under the commit mutex like
+        every other autocommit write. Returns the command tag when
+        handled, None to dispatch normally. (CTAS is handled separately
+        by post-create schema repair — _repair_asof_helpers.)"""
         if "__asof_end_" not in prepared:
             return None
-        m = self._CTAS_HEAD.match(prepared)
-        if m:
-            df = self.spark.sql(prepared[m.end() :])
-            leaked = [c for c in df.columns if c.startswith("__asof_end_")]
-            if leaked:
-                df = df.drop(*leaked)
-            df.write.mode("ignore" if m.group(1) else "errorifexists").saveAsTable(
-                m.group(2).strip('`"')
-            )
-            return "CREATE TABLE"
         m = self._INSERT_SEL_HEAD.match(prepared)
-        if m:
-            df = self.spark.sql(prepared[m.end() :])
-            leaked = [c for c in df.columns if c.startswith("__asof_end_")]
-            if leaked:
-                df = df.drop(*leaked)
-            df.write.insertInto(m.group(1).strip('`"'))
-            return "INSERT"
-        return None
+        if m is None:
+            return None
+        table = m.group(1).strip('`"')
+        df = self._strip_asof_helpers(self.spark.sql(prepared[m.end() :]))
+        full = self.spark.table(table).schema
+        if m.group(2):
+            names = [c.strip().strip('`"') for c in m.group(2).split(",")]
+            df = df.toDF(*names)
+            for f in full.fields:
+                if f.name not in names:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        else:
+            df = df.toDF(*[f.name for f in full.fields])
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType.simpleString()) for f in full.fields]
+        )
+        from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+
+        with _COMMIT_MUTEX:
+            df.write.insertInto(table)
+        return "INSERT"
 
     def _validated_insert(self, table: str, cols_csv: str | None, source: str) -> int:
         """INSERT into a constrained table: materialize the source once
@@ -539,7 +580,9 @@ class Engine:
         see identical rows even for non-deterministic SELECT sources),
         key-validate, then append. Nothing touches the table on violation."""
         spark = self.spark
-        src = spark.sql(self._prepare_sql(source, "pg"))
+        # an ASOF-rewritten SELECT source can carry helper columns the
+        # textual wrap couldn't reach — strip schema-side before aligning
+        src = self._strip_asof_helpers(spark.sql(self._prepare_sql(source, "pg")))
         full = spark.table(table).schema
         if cols_csv:
             names = [c.strip().strip('`"') for c in cols_csv.split(",")]
@@ -558,7 +601,13 @@ class Engine:
                 spark, table, staged, self.constraints.get(table), self.constraints
             )
             n = staged.count()
-            staged.write.mode("append").saveAsTable(table)
+            # append under the commit mutex (r7 review): an append racing
+            # a COW publish's fingerprint-check-then-overwrite window
+            # would be silently deleted by the overwrite
+            from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+
+            with _COMMIT_MUTEX:
+                staged.write.mode("append").saveAsTable(table)
             return n
         finally:
             try:
@@ -743,7 +792,13 @@ class Engine:
                     )
                     self.spark.sql(f"DROP TABLE {staging}")
                     return n
+            # fingerprint mismatch: a concurrent publish/append landed.
+            # refreshTable before retrying (r7 review) — the re-staged
+            # rewrite must list the FRESH files, not a cached listing,
+            # or the retry could pass the compare yet miss the
+            # concurrently written rows
             self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            self.spark.catalog.refreshTable(table)
         raise PgError(
             "40001",
             f'could not serialize access: table "{table}" was modified by '

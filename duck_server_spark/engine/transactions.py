@@ -491,7 +491,13 @@ class TxnOverlay:
             self.pre_drops[key] = self.dropped.pop(key)
         self._drop_shadow(shadow)
         spark = self.engine.spark
-        spark.sql(self.engine._prepare_sql(ddl, "pg")).collect()
+        prepared = self.engine._prepare_sql(ddl, "pg")
+        spark.sql(prepared).collect()
+        if "__asof_end_" in prepared:
+            # in-txn CTAS over an ASOF star (r7 review): the helper
+            # columns land in the SHADOW and would publish into the base
+            # at COMMIT — same post-create schema repair as execute()
+            self.engine._repair_asof_helpers(shadow)
         self.staged[key] = shadow
         self.created.add(key)
         _register_shadow(shadow, table)

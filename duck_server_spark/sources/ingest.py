@@ -96,7 +96,13 @@ class BatchAppender:
             df = df.select(*[f.name for f in self.full_schema.fields])
         if self.validator is not None:
             self.validator(df)
-        df.write.mode("append").saveAsTable(self.table)
+        # append under the commit mutex (r7): an append landing inside a
+        # concurrent COW publish's check-then-overwrite window would be
+        # silently deleted by the overwrite
+        from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+
+        with _COMMIT_MUTEX:
+            df.write.mode("append").saveAsTable(self.table)
         self.total += len(batch)
 
 

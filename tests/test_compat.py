@@ -656,3 +656,38 @@ def test_asof_ctas_and_insert_cte_no_helper_leak(pgc, spark):
         c.simple_query(f"DROP TABLE {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     c.terminate()
+
+
+def test_asof_ctas_using_clause_and_collist_insert(pgc, spark):
+    """r7 review round 2: CTAS with a USING clause before AS (regex-proof
+    — handled by post-create schema repair), and INSERT with a column
+    list + CTE-star body (alignment through the DataFrame guard)."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*pgc)
+    for t in ("asof_ctas2", "asof_ins2"):
+        c.simple_query(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    c.simple_query(
+        "CREATE TABLE asof_ctas2 USING parquet AS SELECT * FROM (VALUES (10)) q(qts) "
+        "ASOF JOIN (VALUES (5, 'lo')) p(pts, pv) ON q.qts >= p.pts"
+    )
+    cols, rows, _ = c.simple_query("SELECT * FROM asof_ctas2")
+    assert [n for n, _ in cols] == ["qts", "pts", "pv"]
+    assert rows == [("10", "5", "lo")]
+    c.simple_query(
+        "CREATE TABLE asof_ins2 (extra STRING, qts INT, pts INT, pv STRING) USING parquet"
+    )
+    _, _, tag = c.simple_query(
+        "INSERT INTO asof_ins2 (qts, pts, pv) WITH j AS (SELECT * FROM (VALUES (10)) "
+        "q(qts) ASOF JOIN (VALUES (5, 'lo')) p(pts, pv) ON q.qts >= p.pts) "
+        "SELECT * FROM j"
+    )
+    assert tag.startswith("INSERT")
+    _, rows, _ = c.simple_query("SELECT extra, qts, pts, pv FROM asof_ins2")
+    assert rows == [(None, "10", "5", "lo")]
+    for t in ("asof_ctas2", "asof_ins2"):
+        c.simple_query(f"DROP TABLE {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    c.terminate()

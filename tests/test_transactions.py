@@ -947,3 +947,29 @@ def test_fk_null_rows_pass_even_when_parent_dropped_in_txn(pgt):
         c.simple_query("INSERT INTO txn_fkc3 VALUES (11, 1)")  # non-NULL: orphan
     c.simple_query("ROLLBACK")
     c.terminate()
+
+
+def test_asof_ctas_inside_transaction_no_helper(pgt):
+    """r7 review round 2: in-txn CTAS over an ASOF star — the shadow is
+    schema-repaired, so COMMIT publishes a table without __asof_end_*."""
+    import shutil
+
+    (host, port), engine = pgt
+    warehouse = engine.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(host, port)
+    c.simple_query("DROP TABLE IF EXISTS txn_asof1")
+    shutil.rmtree(f"{warehouse}/txn_asof1", ignore_errors=True)
+    c.simple_query("BEGIN")
+    c.simple_query(
+        "CREATE TABLE txn_asof1 AS SELECT * FROM (VALUES (10), (4)) q(qts) "
+        "ASOF LEFT JOIN (VALUES (5, 'lo')) p(pts, pv) ON q.qts >= p.pts"
+    )
+    # read-your-writes inside the txn already clean
+    cols, _, _ = c.simple_query("SELECT * FROM txn_asof1")
+    assert [n for n, _ in cols] == ["qts", "pts", "pv"]
+    c.simple_query("COMMIT")
+    cols, rows, _ = c.simple_query("SELECT * FROM txn_asof1 ORDER BY qts")
+    assert [n for n, _ in cols] == ["qts", "pts", "pv"]
+    assert rows == [("4", None, None), ("10", "5", "lo")]
+    c.simple_query("DROP TABLE txn_asof1")
+    c.terminate()
