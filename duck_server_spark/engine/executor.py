@@ -675,7 +675,7 @@ class Engine:
                 table, staged, found, spark, self.constraints
             )
         return self._overwrite_table(
-            table, df, lambda d: d.selectExpr(*select_exprs), hit, validate=validate
+            table, lambda d: d.selectExpr(*select_exprs), hit, validate=validate
         )
 
     def _copy_on_write_delete(self, table: str, where: str | None) -> int:
@@ -706,9 +706,9 @@ class Engine:
                 self.spark.sql(f"TRUNCATE TABLE {table}")
             return n
         hit = F.sum(F.when(F.expr(where), 1).otherwise(0)).cast("long").alias("n")
-        return self._overwrite_table(table, df, lambda d: d.filter(~F.expr(where)), hit)
+        return self._overwrite_table(table, lambda d: d.filter(~F.expr(where)), hit)
 
-    def _overwrite_table(self, table: str, source: DataFrame, transform, metric, validate=None) -> int:
+    def _overwrite_table(self, table: str, transform, metric, validate=None) -> int:
         """Stage-then-swap rewrite, never through the driver:
 
         1. transform(source) → staging table: the ONLY pass that computes
@@ -752,11 +752,23 @@ class Engine:
         # it is unchanged (under the same commit mutex transactions use),
         # else re-run the rewrite on the fresh base. Bounded retries,
         # then 40001 like any other serialization loser.
+        #
+        # The scan is REBUILT from spark.table(table) after a refresh on
+        # every attempt — the caller's `source` DataFrame pins the file
+        # listing from its own analysis time, so a row appended between
+        # that analysis and our fingerprint read would be invisible to
+        # the rewrite yet PASS the fingerprint compare: a silently
+        # deleted append (found by test_autocommit_insert_vs_update_no_
+        # lost_rows). refresh → fingerprint → resolve: a file landing
+        # inside this window can only make the publish-time compare FAIL
+        # (conservative retry), never a stale read pass it.
         for _attempt in range(3):
             obs = Observation()
+            self.spark.catalog.refreshTable(table)
             fp = _table_fingerprint(self.spark, table)
+            fresh = self.spark.table(table)
             try:
-                transform(source.observe(obs, metric)).write.mode(
+                transform(fresh.observe(obs, metric)).write.mode(
                     "overwrite"
                 ).saveAsTable(staging)
             except Exception as e:  # noqa: BLE001

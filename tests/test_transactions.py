@@ -973,3 +973,61 @@ def test_asof_ctas_inside_transaction_no_helper(pgt):
     assert rows == [("4", None, None), ("10", "5", "lo")]
     c.simple_query("DROP TABLE txn_asof1")
     c.terminate()
+
+
+def test_autocommit_insert_vs_update_no_lost_rows(pgt):
+    """r7 review: appends join the first-committer-wins contract — an
+    INSERT landing around a concurrent whole-table UPDATE rewrite must
+    never be silently deleted by the rewrite's overwrite (appends and
+    publishes serialize on the commit mutex; a changed fingerprint makes
+    the rewrite retry on the fresh base)."""
+    import threading
+
+    (host, port), _ = pgt
+    c0 = PgClient(host, port)
+    c0.simple_query("DROP TABLE IF EXISTS txn_app1")
+    c0.simple_query("CREATE TABLE txn_app1 (id BIGINT, v DOUBLE) USING parquet")
+    c0.simple_query(
+        "INSERT INTO txn_app1 VALUES (0, 0.0), (1, 0.0), (2, 0.0), (3, 0.0)"
+    )
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def updater():
+        try:
+            c = PgClient(host, port)
+            barrier.wait(timeout=30)
+            for _ in range(5):
+                try:
+                    c.simple_query("UPDATE txn_app1 SET v = v + 1.0")
+                except RuntimeError as e:
+                    assert "40001" in str(e), e  # loser applied nothing
+            c.terminate()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"updater: {type(e).__name__} {e}")
+
+    def inserter():
+        try:
+            c = PgClient(host, port)
+            barrier.wait(timeout=30)
+            for i in range(5):
+                c.simple_query(f"INSERT INTO txn_app1 VALUES ({100 + i}, -1.0)")
+            c.terminate()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"inserter: {type(e).__name__} {e}")
+
+    ts = [threading.Thread(target=updater), threading.Thread(target=inserter)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in ts), "stuck thread"
+    assert errs == [], errs
+    _, rows, _ = c0.simple_query("SELECT count(*) AS n FROM txn_app1")
+    assert rows == [("9",)]  # 4 originals + ALL 5 inserts survived
+    _, rows, _ = c0.simple_query(
+        "SELECT count(*) AS n FROM txn_app1 WHERE id >= 100"
+    )
+    assert rows == [("5",)]
+    c0.simple_query("DROP TABLE txn_app1")
+    c0.terminate()
