@@ -66,6 +66,11 @@ _DELETE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DISCARD_ALL = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+
+# copy-on-write staging name uniquifier (concurrent COW writers on one
+# table must never share a staging name — see _overwrite_table)
+_COW_SEQ = [0]
+_COW_SEQ_LOCK = threading.Lock()
 _SUMMARIZE = re.compile(r"^\s*summarize\s+(.+?);?\s*$", re.IGNORECASE | re.DOTALL)
 
 # system.* / information_schema.* compat views (A27) → shim temp views
@@ -162,10 +167,12 @@ class Engine:
         )
         for pat in (
             "*__txn_*",
-            "*__cow_staging",
+            "*__cow_staging*",
+            "*__ins_staging*",
             # db-qualified tables live under <db>.db/<table>
             os.path.join("*.db", "*__txn_*"),
-            os.path.join("*.db", "*__cow_staging"),
+            os.path.join("*.db", "*__cow_staging*"),
+            os.path.join("*.db", "*__ins_staging*"),
         ):
             for path in glob.glob(os.path.join(warehouse, pat)):
                 name = os.path.basename(path)
@@ -497,15 +504,44 @@ class Engine:
             # window would be silently deleted by the overwrite
             from duck_server_spark.engine.transactions import _COMMIT_MUTEX
 
-            with _COMMIT_MUTEX:
-                self.spark.sql(prepared).collect()
+            mi = self._INSERT_SEL_HEAD.match(prepared)
+            if mi:
+                # SELECT/WITH source: compute it OUTSIDE the mutex into a
+                # unique staging table, append from it (a fast file read)
+                # inside — holding the process-wide mutex for the full
+                # source computation would block every COMMIT and write
+                # for a potentially multi-minute query (r7 review)
+                import shutil
+
+                from duck_server_spark.engine.transactions import table_dir
+
+                base_name = mi.group("tbl").strip('`"')
+                with _COW_SEQ_LOCK:
+                    _COW_SEQ[0] += 1
+                    stg = f"{base_name}__ins_staging_{os.getpid()}_{_COW_SEQ[0]}"
+                self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
+                shutil.rmtree(table_dir(self.spark, stg), ignore_errors=True)
+                self.spark.sql(
+                    f"CREATE TABLE {stg} USING parquet AS {prepared[mi.end():]}"
+                )
+                try:
+                    with _COMMIT_MUTEX:
+                        self.spark.sql(
+                            f"{prepared[: mi.end()]} SELECT * FROM {stg}"
+                        ).collect()
+                finally:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
+            else:
+                with _COMMIT_MUTEX:
+                    self.spark.sql(prepared).collect()
         else:
             self.spark.sql(prepared).collect()
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
 
     _INSERT_SEL_HEAD = re.compile(
-        r"\s*INSERT\s+INTO\s+([`\"\w.]+)\s*(?:\(([^)]*)\)\s*)?(?=(SELECT|WITH)\b)",
+        r"\s*INSERT\s+(?:INTO|(?P<ow>OVERWRITE))\s+(?:TABLE\s+)?"
+        r"(?P<tbl>[`\"\w.]+)\s*(?:\((?P<cols>[^)]*)\)\s*)?(?=(SELECT|WITH)\b)",
         re.IGNORECASE | re.DOTALL,
     )
 
@@ -531,7 +567,16 @@ class Engine:
             return
         clean = df.drop(*leaked).localCheckpoint(eager=True)
         try:
-            clean.write.mode("overwrite").saveAsTable(table)
+            # under the commit mutex: the recreate must not interleave
+            # with a concurrent publish; the drop-and-recreate reader
+            # window is acceptable ONLY because the table was born by
+            # the statement being executed (milliseconds ago), and the
+            # schema change (dropping a column) rules out INSERT
+            # OVERWRITE here
+            from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+
+            with _COMMIT_MUTEX:
+                clean.write.mode("overwrite").saveAsTable(table)
         finally:
             try:
                 clean.rdd.unpersist(False)
@@ -554,25 +599,36 @@ class Engine:
         m = self._INSERT_SEL_HEAD.match(prepared)
         if m is None:
             return None
-        table = m.group(1).strip('`"')
+        table = m.group("tbl").strip('`"')
         df = self._strip_asof_helpers(self.spark.sql(prepared[m.end() :]))
-        full = self.spark.table(table).schema
-        if m.group(2):
-            names = [c.strip().strip('`"') for c in m.group(2).split(",")]
+        names = (
+            [c.strip().strip('`"') for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        df = self._align_to_schema(df, self.spark.table(table).schema, names)
+        from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+
+        with _COMMIT_MUTEX:
+            df.write.insertInto(table, overwrite=bool(m.group("ow")))
+        return "INSERT"
+
+    @staticmethod
+    def _align_to_schema(df: DataFrame, full, names: list[str] | None) -> DataFrame:
+        """Align a source DataFrame to a target table schema: optional
+        column-list rename, NULL-fill for unlisted columns, per-field
+        cast, table column order (shared by the validated-insert and
+        ASOF-guarded INSERT paths)."""
+        if names:
             df = df.toDF(*names)
             for f in full.fields:
                 if f.name not in names:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         else:
             df = df.toDF(*[f.name for f in full.fields])
-        df = df.select(
+        return df.select(
             *[F.col(f.name).cast(f.dataType.simpleString()) for f in full.fields]
         )
-        from duck_server_spark.engine.transactions import _COMMIT_MUTEX
-
-        with _COMMIT_MUTEX:
-            df.write.insertInto(table)
-        return "INSERT"
 
     def _validated_insert(self, table: str, cols_csv: str | None, source: str) -> int:
         """INSERT into a constrained table: materialize the source once
@@ -583,18 +639,10 @@ class Engine:
         # an ASOF-rewritten SELECT source can carry helper columns the
         # textual wrap couldn't reach — strip schema-side before aligning
         src = self._strip_asof_helpers(spark.sql(self._prepare_sql(source, "pg")))
-        full = spark.table(table).schema
-        if cols_csv:
-            names = [c.strip().strip('`"') for c in cols_csv.split(",")]
-            src = src.toDF(*names)
-            for f in full.fields:
-                if f.name not in names:
-                    src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
-        else:
-            src = src.toDF(*[f.name for f in full.fields])
-        src = src.select(
-            *[F.col(f.name).cast(f.dataType.simpleString()) for f in full.fields]
+        names = (
+            [c.strip().strip('`"') for c in cols_csv.split(",")] if cols_csv else None
         )
+        src = self._align_to_schema(src, spark.table(table).schema, names)
         staged = src.localCheckpoint(eager=True)
         try:
             cst.validate_append(
@@ -702,7 +750,12 @@ class Engine:
             from duck_server_spark.engine.transactions import _COMMIT_MUTEX
 
             with _COMMIT_MUTEX:
-                n = df.count()
+                # refresh under the mutex: a publish completing just
+                # before we acquired it would leave this session's file
+                # listing stale (FILE_NOT_EXIST on count, or a count of
+                # the pre-publish rows)
+                self.spark.catalog.refreshTable(table)
+                n = self.spark.table(table).count()
                 self.spark.sql(f"TRUNCATE TABLE {table}")
             return n
         hit = F.sum(F.when(F.expr(where), 1).otherwise(0)).cast("long").alias("n")
@@ -738,7 +791,15 @@ class Engine:
             table_dir,
         )
 
-        staging = f"{table}__cow_staging"
+        # UNIQUE staging name per invocation (r7 review round 3): two
+        # concurrent COW writers on the same table sharing one staging
+        # name could drop/overwrite each other's staged result between
+        # the fingerprint check and the publish — the fingerprint gate
+        # cannot see that. Crash leftovers under any *__cow_staging*
+        # name are swept by the bootstrap janitor.
+        with _COW_SEQ_LOCK:
+            _COW_SEQ[0] += 1
+            staging = f"{table}__cow_staging_{os.getpid()}_{_COW_SEQ[0]}"
         self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
         if not self.spark.catalog.tableExists(staging):
             # a crashed prior rewrite (or a fresh session over an old

@@ -159,6 +159,15 @@ def table_dir(spark, name: str) -> str:
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     parts = name.lower().strip("`\"").split(".")
     if len(parts) == 1:
+        # unqualified: resolve against the session's CURRENT database —
+        # treating it as default-db would no-op the cleanup under USE db
+        # (or worse, rmtree default-db's same-named table's data)
+        try:
+            db = spark.catalog.currentDatabase()
+        except Exception:  # noqa: BLE001 — catalog probe best-effort
+            db = "default"
+        if db and db != "default":
+            return os.path.join(warehouse, f"{db}.db", parts[0])
         return os.path.join(warehouse, parts[0])
     return os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
 
@@ -651,10 +660,20 @@ class TxnOverlay:
                 "constraints": self.pending_constraints,
             }
             jpath = self._journal_path()
-            with open(jpath, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
+            try:
+                with open(jpath, "w") as f:
+                    json.dump(manifest, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+            except Exception:
+                # journal write failed → NOTHING published yet, so a
+                # failed COMMIT must leave the world as ROLLBACK would
+                # (the wire server detaches the overlay without calling
+                # rollback on raise — shadow tables and registry entries
+                # would otherwise leak for the process lifetime, r7
+                # review round 3)
+                self.rollback()
+                raise
             ok = False
             try:
                 # deferred drops first (a dropped-then-recreated name
@@ -704,9 +723,8 @@ class TxnOverlay:
         self.pending_views.clear()
         self.pending_constraints.clear()
         self.created.clear()
-        with _SHADOW_LOCK:
-            if _TXN_DROPPED.get(str(self.txn_id)) is self.dropped:
-                _TXN_DROPPED.pop(str(self.txn_id), None)
+        # (_TXN_DROPPED cleanup happens in commit()'s finally — every
+        # path, including mid-publish exceptions)
 
     def rollback(self) -> None:
         """Drop the shadows; base tables/views were never written."""

@@ -1031,3 +1031,59 @@ def test_autocommit_insert_vs_update_no_lost_rows(pgt):
     assert rows == [("5",)]
     c0.simple_query("DROP TABLE txn_app1")
     c0.terminate()
+
+
+def test_two_concurrent_cow_writers_both_apply(pgt):
+    """r7 review round 3: two concurrent autocommit COW writers on the
+    SAME table must not corrupt each other's staging (they now use
+    unique staging names) — every UPDATE that reported success is
+    reflected in the final state, none is silently replaced by the
+    other writer's staged result."""
+    import threading
+
+    (host, port), _ = pgt
+    c0 = PgClient(host, port)
+    c0.simple_query("DROP TABLE IF EXISTS txn_cow1")
+    c0.simple_query("CREATE TABLE txn_cow1 (id BIGINT, v DOUBLE) USING parquet")
+    c0.simple_query("INSERT INTO txn_cow1 VALUES (0, 0.0), (1, 0.0)")
+    applied = [0.0, 0.0]
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def w(tid, delta):
+        try:
+            c = PgClient(host, port)
+            barrier.wait(timeout=30)
+            for _ in range(4):
+                try:
+                    _, _, tag = c.simple_query(
+                        f"UPDATE txn_cow1 SET v = v + {delta} WHERE id = {tid}"
+                    )
+                except RuntimeError as e:
+                    assert "40001" in str(e), e
+                    continue
+                if tag.startswith("UPDATE"):
+                    applied[tid] += delta
+            c.terminate()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"w{tid}: {type(e).__name__} {e}")
+
+    ts = [
+        threading.Thread(target=w, args=(0, 1.0)),
+        threading.Thread(target=w, args=(1, 10.0)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in ts), "stuck thread"
+    assert errs == [], errs
+    _, rows, _ = c0.simple_query("SELECT id, v FROM txn_cow1 ORDER BY id")
+    assert rows == [("0", str(applied[0])), ("1", str(applied[1]))], (rows, applied)
+    # no staging leftovers
+    _, rows, _ = c0.simple_query(
+        "SELECT name FROM system.tables WHERE name LIKE '%cow_staging%'"
+    )
+    assert rows == []
+    c0.simple_query("DROP TABLE txn_cow1")
+    c0.terminate()
