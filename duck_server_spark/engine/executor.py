@@ -490,6 +490,16 @@ class Engine:
         m = _DROP_TABLE.match(q)
         if m:
             self.constraints.drop(m.group(1))  # no-op if unconstrained
+        if re.match(r"\s*insert\b", q, re.IGNORECASE):
+            # upsert forms (ON CONFLICT / OR REPLACE / OR IGNORE) lower to
+            # a MERGE-shaped COW plan — engine/upsert.py; plain INSERTs
+            # fall through to the paths below
+            from duck_server_spark.engine import upsert as _ups
+
+            ustmt = _ups.parse_upsert(q)
+            if ustmt is not None:
+                n = _ups.run_upsert(self, ustmt)
+                return f"INSERT 0 {n}"
         m = _INSERT.match(q)
         if m and self.constraints.get(m.group(1)):
             n = self._validated_insert(m.group(1), m.group(2), m.group(3))
@@ -761,7 +771,15 @@ class Engine:
         hit = F.sum(F.when(F.expr(where), 1).otherwise(0)).cast("long").alias("n")
         return self._overwrite_table(table, lambda d: d.filter(~F.expr(where)), hit)
 
-    def _overwrite_table(self, table: str, transform, metric, validate=None) -> int:
+    def _overwrite_table(
+        self,
+        table: str,
+        transform,
+        metric,
+        validate=None,
+        observe_output=False,
+        publish_cols=None,
+    ) -> int:
         """Stage-then-swap rewrite, never through the driver:
 
         1. transform(source) → staging table: the ONLY pass that computes
@@ -829,9 +847,14 @@ class Engine:
             fp = _table_fingerprint(self.spark, table)
             fresh = self.spark.table(table)
             try:
-                transform(fresh.observe(obs, metric)).write.mode(
-                    "overwrite"
-                ).saveAsTable(staging)
+                # observe_output: the metric aggregates the TRANSFORM's
+                # rows (e.g. the upsert's action marker), not the base's
+                staged_df = (
+                    transform(fresh).observe(obs, metric)
+                    if observe_output
+                    else transform(fresh.observe(obs, metric))
+                )
+                staged_df.write.mode("overwrite").saveAsTable(staging)
             except Exception as e:  # noqa: BLE001
                 # a concurrent publish can swap the base's files under our
                 # scan (the file-level window) — that exact transient
@@ -860,8 +883,13 @@ class Engine:
                     # TxnOverlay._publish_table). The remaining window is
                     # file-level only — the documented
                     # needs-a-table-format gap.
+                    proj = (
+                        ", ".join(f"`{c}`" for c in publish_cols)
+                        if publish_cols
+                        else "*"
+                    )
                     self.spark.sql(
-                        f"INSERT OVERWRITE TABLE {table} SELECT * FROM {staging}"
+                        f"INSERT OVERWRITE TABLE {table} SELECT {proj} FROM {staging}"
                     )
                     self.spark.sql(f"DROP TABLE {staging}")
                     return n

@@ -287,7 +287,10 @@ def rewrite_table_idents(q: str, lookup: Callable[[str], str | None]) -> str:
 # rewrite redirects them. COPY is staged only for the FROM STDIN
 # direction — COPY ... TO STDOUT is a read.
 _DML_TARGETS = (
-    re.compile(r"^\s*insert\s+into\s+([\w.]+)", re.IGNORECASE),
+    re.compile(
+        r"^\s*insert\s+(?:or\s+(?:replace|ignore)\s+)?into\s+([\w.]+)",
+        re.IGNORECASE,
+    ),
     re.compile(r"^\s*update\s+([\w.]+)", re.IGNORECASE),
     re.compile(r"^\s*delete\s+from\s+([\w.]+)", re.IGNORECASE),
     re.compile(r"^\s*truncate\s+(?:table\s+)?([\w.]+)", re.IGNORECASE),
