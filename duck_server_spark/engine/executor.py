@@ -66,6 +66,9 @@ _DELETE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DISCARD_ALL = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+_ALTER_OR_INDEX = re.compile(
+    r"^\s*(alter\s+table|create\s+(unique\s+)?index|drop\s+index)\b", re.IGNORECASE
+)
 
 # copy-on-write staging name uniquifier (concurrent COW writers on one
 # table must never share a staging name — see _overwrite_table)
@@ -140,6 +143,10 @@ class Engine:
         self.constraints = cst.ConstraintStore(
             os.path.join(self.data_dir, "duckserver_constraints.json")
         )
+        # secondary-index registry (engine/alter.py): names + unique-key
+        # bookkeeping; persisted like the user/constraint stores
+        self._indexes_path = os.path.join(self.data_dir, "duckserver_indexes.json")
+        self._indexes_lock = threading.Lock()
         self._bootstrap()
         # roll interrupted multi-table COMMITs forward (crash between two
         # table publishes leaves a journal manifest — engine/transactions.py)
@@ -165,6 +172,11 @@ class Engine:
         warehouse = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix(
             "file:"
         )
+        # crashed ALTER swaps first: their staging dirs can hold the ONLY
+        # copy of a table's data (engine/alter.py) — never generic-swept
+        from duck_server_spark.engine import alter as _alt
+
+        _alt.recover_staging_dirs(self.spark, warehouse)
         for pat in (
             "*__txn_*",
             "*__cow_staging*",
@@ -213,6 +225,30 @@ class Engine:
 
             _sh.rmtree(table_dir(self.spark, m.group(1)), ignore_errors=True)
             self.spark.sql(sql).collect()
+
+    # ------------------------------------------------------------ indexes
+
+    @property
+    def indexes(self) -> dict:
+        try:
+            with open(self._indexes_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def put_index(self, name: str, rec: dict) -> None:
+        with self._indexes_lock:
+            data = self.indexes
+            data[name] = rec
+            with open(self._indexes_path, "w") as f:
+                json.dump(data, f)
+
+    def drop_index(self, name: str) -> None:
+        with self._indexes_lock:
+            data = self.indexes
+            if data.pop(name, None) is not None:
+                with open(self._indexes_path, "w") as f:
+                    json.dump(data, f)
 
     # ------------------------------------------------------------- users
 
@@ -472,6 +508,14 @@ class Engine:
         if m and self._is_managed_table(m.group(1)):
             n = self._copy_on_write_delete(m.group(1), m.group(2))
             return f"DELETE {n}"
+        if _ALTER_OR_INDEX.match(q):
+            # column surgery Spark can't do natively + index DDL —
+            # engine/alter.py; None falls through (ADD COLUMN, RENAME TO)
+            from duck_server_spark.engine import alter as _alt
+
+            tag = _alt.intercept(self, q)
+            if tag is not None:
+                return tag
         if _CREATE_TABLE_VERB.match(q):
             stripped, table, found = cst.extract_constraints(q)
             if found:
@@ -490,6 +534,9 @@ class Engine:
         m = _DROP_TABLE.match(q)
         if m:
             self.constraints.drop(m.group(1))  # no-op if unconstrained
+            for iname, rec in list(self.indexes.items()):
+                if rec.get("table") == m.group(1).lower():
+                    self.drop_index(iname)
         if re.match(r"\s*insert\b", q, re.IGNORECASE):
             # upsert forms (ON CONFLICT / OR REPLACE / OR IGNORE) lower to
             # a MERGE-shaped COW plan — engine/upsert.py; plain INSERTs

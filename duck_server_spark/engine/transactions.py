@@ -468,6 +468,19 @@ class TxnOverlay:
         """CREATE/DROP TABLE/VIEW inside the transaction → staged catalog
         intent. Returns the command tag when fully handled, None when the
         statement is not intercepted DDL (caller dispatches normally)."""
+        if re.match(
+            r"^\s*(alter\s+table|create\s+(unique\s+)?index|drop\s+index)\b",
+            q,
+            re.IGNORECASE,
+        ):
+            # the overlay publish path is same-schema (INSERT OVERWRITE);
+            # schema/index DDL can't be staged — loud, not deferred-broken
+            # (DuckDB supports transactional ALTER; documented gap)
+            raise PgError(
+                "0A000",
+                "ALTER TABLE / index DDL inside a transaction block is not "
+                "supported; run it in autocommit",
+            )
         m = _CREATE_TABLE.match(q)
         if m:
             return self._create_table(q, bool(m.group(1)), m.group(2))
