@@ -430,11 +430,25 @@ def validate_delete_restrict(
     against the remaining keys, limit(1) early-exit — column-pruned key
     scans, never a full-table compare."""
     df = spark.table(parent)
-    disp = _display_name(parent)
     deleted = df.filter(F.expr(where)) if where else df
     remaining = (
         df.filter(~F.expr(where)) if where else spark.createDataFrame([], df.schema)
     )
+    validate_delete_restrict_dfs(spark, parent, deleted, remaining, refs, store)
+
+
+def validate_delete_restrict_dfs(
+    spark: SparkSession,
+    parent: str,
+    deleted: DataFrame,
+    remaining: DataFrame,
+    refs: list[tuple[str, dict]],
+    store: "ConstraintStore | None" = None,
+) -> None:
+    """DataFrame-shaped variant of validate_delete_restrict for callers
+    whose delete set is join-derived (DELETE … USING) rather than a
+    WHERE predicate."""
+    disp = _display_name(parent)
     for child, fk in refs:
         ref_cols = _resolve_ref_cols(fk, store)
         cname = f"{child}_{'_'.join(fk['cols'])}_fkey"

@@ -502,11 +502,25 @@ class Engine:
             return "DISCARD ALL"
         m = _UPDATE.match(q)
         if m and self._is_managed_table(m.group(1)):
-            n = self._copy_on_write_update(m.group(1), m.group(2), m.group(3))
+            # UPDATE … FROM first: the plain-UPDATE regex would swallow
+            # the FROM clause into its SET group (engine/dml_join.py)
+            from duck_server_spark.engine import dml_join as _dj
+
+            uf = _dj.parse_update_from(q)
+            if uf is not None:
+                n = _dj.run_update_from(self, *uf)
+            else:
+                n = self._copy_on_write_update(m.group(1), m.group(2), m.group(3))
             return f"UPDATE {n}"
         m = _DELETE.match(q)
         if m and self._is_managed_table(m.group(1)):
             n = self._copy_on_write_delete(m.group(1), m.group(2))
+            return f"DELETE {n}"
+        from duck_server_spark.engine import dml_join as _dj
+
+        du = _dj.parse_delete_using(q)
+        if du is not None and self._is_managed_table(du[0]):
+            n = _dj.run_delete_using(self, *du)
             return f"DELETE {n}"
         if _ALTER_OR_INDEX.match(q):
             # column surgery Spark can't do natively + index DDL —
@@ -826,6 +840,7 @@ class Engine:
         validate=None,
         observe_output=False,
         publish_cols=None,
+        publish_where=None,
     ) -> int:
         """Stage-then-swap rewrite, never through the driver:
 
@@ -935,8 +950,9 @@ class Engine:
                         if publish_cols
                         else "*"
                     )
+                    cond = f" WHERE {publish_where}" if publish_where else ""
                     self.spark.sql(
-                        f"INSERT OVERWRITE TABLE {table} SELECT {proj} FROM {staging}"
+                        f"INSERT OVERWRITE TABLE {table} SELECT {proj} FROM {staging}{cond}"
                     )
                     self.spark.sql(f"DROP TABLE {staging}")
                     return n
