@@ -67,6 +67,12 @@ _RENAME_COL = re.compile(
     r"rename\s+(?:column\s+)?[`\"]?(?P<old>\w+)[`\"]?\s+to\s+[`\"]?(?P<new>\w+)[`\"]?\s*;?\s*$",
     re.IGNORECASE,
 )
+_SET_NOT_NULL = re.compile(
+    r"^\s*alter\s+table\s+(?:if\s+exists\s+)?(?P<tbl>[\w.]+)\s+"
+    r"alter\s+(?:column\s+)?[`\"]?(?P<col>\w+)[`\"]?\s+"
+    r"(?P<verb>set|drop)\s+not\s+null\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_TYPE = re.compile(
     r"^\s*alter\s+table\s+(?:if\s+exists\s+)?(?P<tbl>[\w.]+)\s+"
     r"alter\s+(?:column\s+)?[`\"]?(?P<col>\w+)[`\"]?\s+(?:set\s+data\s+)?type\s+"
@@ -117,6 +123,11 @@ def intercept(engine, q: str) -> str | None:
     m = _RENAME_COL.match(q)
     if m:
         return _rename_column(engine, m.group("tbl"), m.group("old"), m.group("new"))
+    m = _SET_NOT_NULL.match(q)
+    if m:
+        return _set_not_null(
+            engine, m.group("tbl"), m.group("col"), m.group("verb").lower() == "set"
+        )
     m = _ALTER_TYPE.match(q)
     if m:
         return _alter_type(
@@ -198,17 +209,66 @@ def _drop_column(engine, table: str, col: str, if_exists: bool) -> str:
     if if_exists and col not in [f.name for f in spark.table(table).schema.fields]:
         return "ALTER TABLE"
     _require_column(engine, table, col)
-    for c in engine.constraints.get(table):
+    cons = engine.constraints.get(table)
+    survivors = []
+    changed = False
+    for c in cons:
         if c["kind"] in ("primary", "unique", "foreign") and col in c["cols"]:
             raise PgError(
                 "2BP01",
                 f'Cannot drop column "{col}" because there is a '
                 "UNIQUE or FOREIGN KEY constraint that depends on it",
             )
+        if c["kind"] == "check" and col in c.get("cols", []):
+            # pinned DuckDB: an INLINE check drops with its column; a
+            # TABLE-LEVEL check referencing the column blocks the drop
+            if c.get("on") == col:
+                changed = True
+                continue
+            raise PgError(
+                "2BP01",
+                f'Cannot drop column "{col}" because there is a '
+                "CHECK constraint that depends on it",
+            )
+        if c["kind"] == "notnull" and col in c["cols"]:
+            changed = True
+            continue  # NOT NULL is part of the column: gone with it
+        survivors.append(c)
     keep = [f.name for f in spark.table(table).schema.fields if f.name != col]
     if not keep:
         raise PgError("0A000", "cannot drop the only column of a table")
     _swap_in(engine, table, lambda df: df.select(*keep))
+    if changed:
+        engine.constraints.put(table, survivors)
+    return "ALTER TABLE"
+
+
+def _set_not_null(engine, table: str, col: str, set_: bool) -> str:
+    """ALTER COLUMN … SET NOT NULL validates the EXISTING data first
+    (pinned DuckDB: a stored NULL blocks the alter); DROP NOT NULL just
+    deregisters. Registry-only — no data rewrite either way."""
+    _require_column(engine, table, col)
+    cons = engine.constraints.get(table)
+
+    def is_nn(c):
+        return c["kind"] == "notnull" and c["cols"] == [col]
+
+    if set_:
+        if not any(is_nn(c) for c in cons):
+            nulls = (
+                engine.spark.table(table).filter(F.col(col).isNull()).limit(1)
+            )
+            if nulls.count() > 0:
+                raise PgError(
+                    "23502",
+                    f'null value in column "{col}" of relation "{table}" '
+                    "violates not-null constraint",
+                )
+            engine.constraints.put(
+                table, cons + [{"kind": "notnull", "cols": [col]}]
+            )
+    elif any(is_nn(c) for c in cons):
+        engine.constraints.put(table, [c for c in cons if not is_nn(c)])
     return "ALTER TABLE"
 
 
@@ -225,13 +285,20 @@ def _rename_column(engine, table: str, old: str, new: str) -> str:
             *[F.col(n).alias(new) if n == old else F.col(n) for n in names]
         ),
     )
-    # keys follow the rename (DuckDB: renaming a PK column keeps the PK)
+    # keys follow the rename (DuckDB: renaming a PK column keeps the PK;
+    # a CHECK expression follows too — pinned in tests/test_row_constraints)
     cons = engine.constraints.get(table)
     if cons:
         out = []
         for c in cons:
             c = dict(c)
             c["cols"] = [new if x == old else x for x in c["cols"]]
+            if c.get("on") == old:
+                c["on"] = new
+            if c.get("kind") == "check":
+                c["expr"] = re.sub(
+                    rf"\b{re.escape(old)}\b", new, c["expr"], flags=re.IGNORECASE
+                )
             out.append(c)
         engine.constraints.put(table, out)
     return "ALTER TABLE"

@@ -1,4 +1,5 @@
-"""PRIMARY KEY / UNIQUE declaration + ingest-time enforcement.
+"""PRIMARY KEY / UNIQUE / FOREIGN KEY / NOT NULL / CHECK declaration +
+ingest-time enforcement.
 
 The reference delegates constraint enforcement to embedded DuckDB, which
 indexes the key and rejects violating appends
@@ -17,6 +18,15 @@ DDL nor indexes, so we do both halves ourselves:
   ``limit(1)`` so they stop at the first hit. A violation raises
   SQLSTATE 23505 (or 23502 for NULLs in a primary key) BEFORE anything
   is appended, leaving the table unchanged.
+
+Row-local constraints (round 7): NOT NULL raises 23502 and CHECK raises
+23514 the same way — validated on the incoming batch (appends) or the
+staged rewrite (UPDATE/upsert) before anything publishes. NOT NULL text
+stays in the Spark DDL (parsed but unenforced by parquet appends);
+CHECK clauses are stripped (Spark rejects the syntax) and recorded.
+A CHECK evaluating to NULL passes (SQL three-valued logic); only FALSE
+violates. ALTER COLUMN SET/DROP NOT NULL and the DROP/RENAME COLUMN
+interactions live in engine/alter.py, pinned against live DuckDB.
 
 Scale: the semi-join is a broadcast of the (usually small) incoming
 batch against the table's key columns — a column-pruned scan, no index
@@ -54,6 +64,17 @@ _TABLE_FK = re.compile(
 _INLINE = re.compile(r"\b(PRIMARY\s+KEY|UNIQUE)\b", re.IGNORECASE)
 # inline FK:  <col> <type...> REFERENCES t (x)
 _INLINE_FK = re.compile(r"\bREFERENCES\s+([\w.]+)\s*(?:\(([^)]*)\))?", re.IGNORECASE)
+# table-level CHECK: [CONSTRAINT name] CHECK (expr)   (expr extracted
+# balance-aware — a regex capture would truncate at the first ')')
+_TABLE_CHECK = re.compile(r"^\s*(?:CONSTRAINT\s+\w+\s+)?CHECK\s*\(", re.IGNORECASE)
+# inline CHECK attached to a column definition
+_INLINE_CHECK = re.compile(r"\bCHECK\s*\(", re.IGNORECASE)
+_NOT_NULL = re.compile(r"\bNOT\s+NULL\b", re.IGNORECASE)
+_IDENT = re.compile(r"[A-Za-z_]\w*")
+_TABLE_LEVEL_HEAD = re.compile(
+    r"^\s*(?:CONSTRAINT\b|PRIMARY\s+KEY\b|UNIQUE\s*\(|FOREIGN\s+KEY\b|CHECK\s*\()",
+    re.IGNORECASE,
+)
 _CREATE_HEAD = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.]+)\s*\(",
     re.IGNORECASE,
@@ -129,13 +150,88 @@ def _cols_list(csv: str) -> list[str]:
     return [c.strip().strip('`"') for c in csv.split(",") if c.strip()]
 
 
+def _mask_quotes(s: str) -> str:
+    """Copy of `s` with quoted spans blanked (length-preserving), so
+    keyword searches never match inside a string literal or quoted
+    identifier."""
+    out, i, n = list(s), 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            j = _skip_quoted(s, i, ch)
+            for k in range(i, min(j, n)):
+                out[k] = " "
+            i = j
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _mask_parens(s: str) -> str:
+    """Quote-mask, then additionally blank every parenthesized group —
+    leaves only the top-level tokens of a column definition, so a
+    ``NOT NULL`` search can't match inside a DEFAULT (…) expression."""
+    out, i, n, depth = list(_mask_quotes(s)), 0, len(s), 0
+    while i < n:
+        ch = out[i]
+        if ch == "(":
+            depth += 1
+            out[i] = " "
+        elif ch == ")":
+            depth -= 1
+            out[i] = " "
+        elif depth > 0:
+            out[i] = " "
+        i += 1
+    return "".join(out)
+
+
+def _balanced_span(s: str, open_idx: int) -> int:
+    """Index just past the ')' balancing the '(' at s[open_idx]
+    (quote-aware)."""
+    depth, i, n = 0, open_idx, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            i = _skip_quoted(s, i, ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
+
+
+def _expr_cols(expr: str, declared: dict[str, str]) -> list[str]:
+    """Declared column names referenced by a constraint expression —
+    identifier-token intersection over the quote-masked text, order-
+    preserving. Drives the "does this UPDATE touch a constrained
+    column" revalidation trigger."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for tok in _IDENT.findall(_mask_quotes(expr)):
+        t = tok.lower()
+        if t in declared and t not in seen:
+            seen.add(t)
+            out.append(declared[t])
+    return out
+
+
 def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
     """→ (ddl with constraints stripped, table name, constraint list).
 
-    Each constraint is {"kind": "primary"|"unique", "cols": [...]} or
+    Each constraint is {"kind": "primary"|"unique", "cols": [...]},
     {"kind": "foreign", "cols": [...], "ref_table": str,
     "ref_cols": [...] | None} (None = the parent's primary key, resolved
-    at enforcement time). Non-CREATE-TABLE statements pass through.
+    at enforcement time), {"kind": "notnull", "cols": [col]}, or
+    {"kind": "check", "expr": str, "cols": [referenced cols]}.
+    CHECK clauses are stripped (Spark's parser rejects them); NOT NULL
+    stays in the DDL text (Spark accepts it but does not enforce it on
+    parquet appends — enforcement is ours either way).
+    Non-CREATE-TABLE statements pass through.
     """
     m = _match_create_table(ddl)
     if not m:
@@ -143,7 +239,16 @@ def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
     table, body, tail = m
     found: list[dict] = []
     cols_out: list[str] = []
-    for item in _split_columns(body):
+    items = _split_columns(body)
+    # declared column names (lower → as-written), for CHECK-expr column
+    # attribution — column items are the ones not led by a table-level
+    # constraint keyword
+    declared: dict[str, str] = {}
+    for item in items:
+        if not _TABLE_LEVEL_HEAD.match(item):
+            name = item.split(None, 1)[0].strip('`"')
+            declared.setdefault(name.lower(), name)
+    for item in items:
         tl = _TABLE_LEVEL.match(item)
         if tl:
             kind = "primary" if tl.group(1).upper().startswith("PRIMARY") else "unique"
@@ -160,6 +265,36 @@ def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
                 }
             )
             continue
+        tc = _TABLE_CHECK.match(item)
+        if tc:
+            end = _balanced_span(item, tc.end() - 1)
+            expr = item[tc.end() : end - 1].strip()
+            found.append(
+                {"kind": "check", "expr": expr, "cols": _expr_cols(expr, declared)}
+            )
+            continue  # table-level clause: drop the whole item
+        # inline CHECK (possibly several) — strip each balanced span;
+        # "on" records the owning column (DuckDB drops an inline check
+        # with its column, but a table-level check BLOCKS the drop)
+        icm = _INLINE_CHECK.search(_mask_quotes(item))
+        while icm:
+            end = _balanced_span(item, icm.end() - 1)
+            expr = item[icm.end() : end - 1].strip()
+            found.append(
+                {
+                    "kind": "check",
+                    "expr": expr,
+                    "cols": _expr_cols(expr, declared),
+                    "on": item.split(None, 1)[0].strip('`"'),
+                }
+            )
+            item = (item[: icm.start()].rstrip() + " " + item[end:].lstrip()).strip()
+            icm = _INLINE_CHECK.search(_mask_quotes(item))
+        if _NOT_NULL.search(_mask_parens(item)):
+            found.append(
+                {"kind": "notnull", "cols": [item.split(None, 1)[0].strip('`"')]}
+            )
+            # NOT NULL text stays in the item: Spark parses it fine
         im = _INLINE.search(item)
         if im:
             colname = item.split(None, 1)[0].strip('`"')
@@ -324,6 +459,42 @@ def _check_fk(
         )
 
 
+def check_row_constraints(disp: str, rows: DataFrame, constraints: list[dict]) -> None:
+    """NOT NULL (23502) + CHECK (23514) over `rows`. All NOT NULL columns
+    probe in ONE limit(1) job (the hit row is inspected driver-side to
+    name the violating column, PG-style); each CHECK is its own limit(1)
+    probe. SQL three-valued logic: a CHECK evaluating to NULL passes —
+    only FALSE violates."""
+    nn_cols = [k for c in constraints if c["kind"] == "notnull" for k in c["cols"]]
+    if nn_cols:
+        pred = None
+        for k in nn_cols:
+            p = F.col(k).isNull()
+            pred = p if pred is None else (pred | p)
+        hit = rows.filter(pred).limit(1).collect()
+        if hit:
+            bad = next(k for k in nn_cols if hit[0][k] is None)
+            raise PgError(
+                "23502",
+                f'null value in column "{bad}" of relation "{disp}" '
+                "violates not-null constraint",
+            )
+    for c in constraints:
+        if c["kind"] != "check":
+            continue
+        cname = (
+            f"{disp}_{'_'.join(c['cols'])}_check" if c["cols"] else f"{disp}_check"
+        )
+        viol = rows.filter(
+            ~F.coalesce(F.expr(c["expr"]).cast("boolean"), F.lit(True))
+        ).limit(1)
+        if viol.count() > 0:
+            raise PgError(
+                "23514",
+                f'new row for relation "{disp}" violates check constraint "{cname}"',
+            )
+
+
 def validate_append(
     spark: SparkSession,
     table: str,
@@ -331,13 +502,16 @@ def validate_append(
     constraints: list[dict],
     store: "ConstraintStore | None" = None,
 ) -> None:
-    """Raise PgError 23505/23502/23503 if appending `incoming` to `table`
-    would violate any declared key. Runs BEFORE the append; all checks
-    early-exit via limit(1)."""
+    """Raise PgError 23505/23502/23503/23514 if appending `incoming` to
+    `table` would violate any declared constraint. Runs BEFORE the
+    append; all checks early-exit via limit(1)."""
     disp = _display_name(table)
+    check_row_constraints(disp, incoming, constraints)
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
+        if kind in ("notnull", "check"):
+            continue  # handled above
         if kind == "foreign":
             _check_fk(spark, disp, incoming, c, store, table=table)
             continue
@@ -385,9 +559,12 @@ def validate_table_keys(
     probes as validate_append, run on the staged rewrite BEFORE it
     replaces the base table."""
     disp = _display_name(table)
+    check_row_constraints(disp, staged, constraints)
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
+        if kind in ("notnull", "check"):
+            continue  # handled above
         if kind == "foreign":
             if spark is not None:
                 _check_fk(spark, disp, staged, c, store, table=table)

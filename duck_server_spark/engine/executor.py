@@ -687,14 +687,23 @@ class Engine:
     @staticmethod
     def _align_to_schema(df: DataFrame, full, names: list[str] | None) -> DataFrame:
         """Align a source DataFrame to a target table schema: optional
-        column-list rename, NULL-fill for unlisted columns, per-field
-        cast, table column order (shared by the validated-insert and
-        ASOF-guarded INSERT paths)."""
+        column-list rename, DEFAULT- or NULL-fill for unlisted columns,
+        per-field cast, table column order (shared by the validated-
+        insert and ASOF-guarded INSERT paths). Spark records a column's
+        DEFAULT in field metadata (CURRENT_DEFAULT) and applies it on
+        native INSERT paths — this DataFrame-append path must match, or
+        a constrained table's defaults would silently degrade to NULL."""
         if names:
             df = df.toDF(*names)
             for f in full.fields:
                 if f.name not in names:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    dflt = (
+                        f.metadata.get("CURRENT_DEFAULT")
+                        if isinstance(f.metadata, dict)
+                        else None
+                    )
+                    fill = F.expr(dflt) if dflt else F.lit(None)
+                    df = df.withColumn(f.name, fill.cast(f.dataType))
         else:
             df = df.toDF(*[f.name for f in full.fields])
         return df.select(

@@ -89,10 +89,18 @@ class BatchAppender:
         batch, self._buf = self._buf, []
         df = self.spark.createDataFrame(batch, self.schema)
         if self.cols:
-            # column-subset insert: missing columns → NULL, table order
+            # column-subset insert: missing columns → their declared
+            # DEFAULT (PG COPY semantics; Spark records it in field
+            # metadata) else NULL, table order
             for f in self.full_schema.fields:
                 if f.name not in self.cols:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    dflt = (
+                        f.metadata.get("CURRENT_DEFAULT")
+                        if isinstance(f.metadata, dict)
+                        else None
+                    )
+                    fill = F.expr(dflt) if dflt else F.lit(None)
+                    df = df.withColumn(f.name, fill.cast(f.dataType))
             df = df.select(*[f.name for f in self.full_schema.fields])
         if self.validator is not None:
             self.validator(df)
