@@ -41,6 +41,9 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
+    # round 7 (this session): new dialect-shim query — must be in the
+    # driver window on its first round
+    "scalar_series_unnest",
     # round 7: new production-path sketch variants (rows-only, plan-
     # audited "no raw-id rescan"), then the queries whose plan or rewrite
     # changed this round (contamination fused plan; list_slice/ASOF shim

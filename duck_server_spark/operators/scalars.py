@@ -332,7 +332,35 @@ def list_slice_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(_LIST_SLICE_SPARK_TEXT))
 
 
+# generate_series / unnest through the DIALECT SHIM (round 7): ONE
+# DuckDB-spelled text serves both engines — the oracle runs it natively,
+# the Spark side goes through rewrite_pg_query (FROM generate_series →
+# explode(sequence(…, 1)) under DuckDB's default column name; scalar
+# unnest → explode; list_value → array). plans/rewrites.py
+# _rewrite_series_unnest. The tiny series/unnest sides stay broadcast
+# nested-loop joins against the nation scan — no shuffle.
+SERIES_UNNEST_TEXT = """
+SELECT s.step AS step, u.bucket AS bucket,
+       count(*) AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+CROSS JOIN (SELECT generate_series AS step FROM generate_series(1, 3)) s
+CROSS JOIN (SELECT unnest(list_value(10, 20)) AS bucket) u
+GROUP BY s.step, u.bucket
+ORDER BY step, bucket
+"""
+
+
+def series_unnest_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(SERIES_UNNEST_TEXT))
+
+
 QUERIES = {
+    "scalar_series_unnest": series_unnest_shim,
     "scalar_list_slice": list_slice_shim,
     "scalar_string": str_funcs,
     "scalar_date": date_funcs,
@@ -345,6 +373,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_series_unnest": SERIES_UNNEST_TEXT,
     "scalar_list_slice": LIST_SLICE_ORACLE,
     "scalar_string": STR_FUNCS_ORACLE,
     "scalar_date": DATE_FUNCS_ORACLE,

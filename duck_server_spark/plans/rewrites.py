@@ -79,6 +79,13 @@ _DUCK_FN_ALIASES = {
     # Spark's array_position yields 0 — silent semantic drift.
     # NOT list_slice/list_reduce: argument semantics differ (inclusive
     # end vs length; no init accumulator) — silent drift, not a rename.
+    # round 7: scalar unnest → explode is exact for arrays (one row per
+    # element, NULL/empty → no rows); struct-unnest and recursive:=
+    # shapes make explode ERROR, never drift. The FROM-clause table form
+    # is rewritten first by _rewrite_series_unnest (which preserves
+    # DuckDB's default column name); generate_series is handled there
+    # too (NOT a plain alias: Spark's 2-arg sequence auto-reverses).
+    "unnest": "explode",
 }
 _DUCK_FN_RE = re.compile(
     r"\b(" + "|".join(sorted(_DUCK_FN_ALIASES, key=len, reverse=True)) + r")\s*\(",
@@ -132,6 +139,102 @@ def _rewrite_list_slice(q: str) -> str:
         repl = f"slice({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
         q = q[: m.start()] + repl + q[i:]
         pos = m.start()  # rescan the replacement: nested list_slice inside
+
+
+# DuckDB series/unnest shims (round 7). Spark has neither name:
+# - `FROM generate_series(a, b[, s])` → `FROM explode(sequence(…)) AS
+#   gs_N(generate_series)` — Spark's explode TVF under DuckDB's default
+#   column name; a user alias is preserved (`AS t` keeps column name
+#   `generate_series`, `AS t(x)` keeps the user's column).
+# - scalar `generate_series(a, b)` → `sequence(a, b, 1)`: the EXPLICIT
+#   step matters — DuckDB's default step is +1 and a descending 2-arg
+#   series ERRORS ("cannot generate infinite series"), while Spark's
+#   2-arg sequence silently auto-reverses (5→1 yields [5,4,…]). With
+#   the pinned step both engines error loudly on that edge (pinned in
+#   tests/test_compat.py).
+# - `FROM unnest(arr)` → `FROM explode(arr) AS u_N(unnest)`; scalar
+#   unnest renames to explode via the alias table (exact for arrays;
+#   DuckDB's struct-unnest / recursive:= forms make explode error
+#   loudly, never drift).
+# Lateral shapes (`FROM t, generate_series(1, t.n)`, JOIN …) pass
+# through untouched and error loudly.
+_GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+_FROM_UNNEST = re.compile(r"\b(from)\s+unnest\s*\(", re.IGNORECASE)
+_FROM_TAIL = re.compile(r"\bfrom\s*$", re.IGNORECASE)
+# trailing alias after a TVF: [AS] name [(col)] — but never a keyword
+_TVF_ALIAS = re.compile(
+    r"\s*(?:as\s+)?([A-Za-z_]\w*)\s*(\(\s*[A-Za-z_]\w*\s*\))?", re.IGNORECASE
+)
+_NOT_ALIASES = frozenset(
+    "where group order having limit offset union intersect except join inner left "
+    "right full cross natural on using window qualify asof semi anti lateral".split()
+)
+_TVF_SEQ = [0]
+
+
+def _scan_balanced(masked: str, start: int) -> int:
+    """Index just past the ')' closing the '(' that `start` sits after."""
+    depth, i = 1, start
+    while i < len(masked) and depth:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+def _tvf_alias_at(q: str, masked: str, i: int, default_col: str) -> tuple[str, int]:
+    """(alias clause, index past it) for a TVF ending at `i` — the user's
+    alias when one follows, else a fresh `gs_N(<default_col>)`."""
+    am = _TVF_ALIAS.match(masked, i)
+    if am and am.group(1).lower() not in _NOT_ALIASES:
+        # user column list kept verbatim; bare table alias keeps DuckDB's
+        # default column name
+        cols = q[am.start(2) : am.end(2)] if am.group(2) else f"({default_col})"
+        return f" AS {am.group(1)}{cols}", am.end()
+    _TVF_SEQ[0] += 1
+    return f" AS gs_{_TVF_SEQ[0]}({default_col})", i
+
+
+def _rewrite_series_unnest(q: str) -> str:
+    # generate_series: both forms in one scan (TVF when preceded by FROM)
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _GEN_SERIES.search(masked, pos)
+        if m is None:
+            break
+        i = _scan_balanced(masked, m.end())
+        inner = q[m.end() : i - 1]
+        args = _split_top_level(inner, masked[m.end() : i - 1])
+        if len(args) not in (2, 3):
+            pos = m.end()
+            continue
+        seq = (
+            f"sequence({inner})"
+            if len(args) == 3
+            else f"sequence({inner}, 1)"
+        )
+        if _FROM_TAIL.search(masked, 0, m.start()):
+            # `\s*$` pins the match to a FROM immediately preceding: TVF
+            alias, after = _tvf_alias_at(q, masked, i, "generate_series")
+            q = q[: m.start()] + f"explode({seq}){alias}" + q[after:]
+        else:
+            q = q[: m.start()] + seq + q[i:]
+        pos = m.start()  # rescan: nested calls inside the args
+    # FROM unnest(arr) — scalar unnest renames via the alias table
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _FROM_UNNEST.search(masked, pos)
+        if m is None:
+            return q
+        i = _scan_balanced(masked, m.end())
+        inner = q[m.end() : i - 1]
+        alias, after = _tvf_alias_at(q, masked, i, "unnest")
+        q = q[: m.start()] + f"{m.group(1)} explode({inner}){alias}" + q[after:]
+        pos = m.start() + len(m.group(1)) + 1  # past FROM: rescan subqueries
 
 
 # EXTRACT(EPOCH FROM x) → unix_timestamp(x): PG/DuckDB idiom Spark's
@@ -227,6 +330,7 @@ def rewrite_common(q: str) -> str:
             r"EXCEPT (\1)", _EXCLUDE_PARENS.sub(r"EXCEPT (\1)", seg)
         ),
     )
+    q = _rewrite_series_unnest(q)  # before the alias pass: the TVF forms
     q = _sub_outside_literals(
         q,
         lambda seg: _PG_REGEX_OP.sub(

@@ -691,3 +691,89 @@ def test_asof_ctas_using_clause_and_collist_insert(pgc, spark):
         c.simple_query(f"DROP TABLE {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# generate_series / unnest shims (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_series_unnest_rewrite_text_shapes():
+    r = rw.rewrite_common
+    # FROM forms: explode TVF under DuckDB's default column name
+    assert r("SELECT * FROM generate_series(1, 5)").startswith(
+        "SELECT * FROM explode(sequence(1, 5, 1)) AS gs_"
+    )
+    # user aliases preserved (bare alias keeps the default column)
+    assert (
+        r("SELECT x FROM generate_series(1, 3) AS t(x)")
+        == "SELECT x FROM explode(sequence(1, 3, 1)) AS t(x)"
+    )
+    assert (
+        r("SELECT * FROM generate_series(1, 10, 2) t")
+        == "SELECT * FROM explode(sequence(1, 10, 2)) AS t(generate_series)"
+    )
+    # a trailing keyword is NOT an alias
+    out = r("SELECT * FROM generate_series(1,5) WHERE generate_series > 2")
+    assert "WHERE generate_series > 2" in out and "AS gs_" in out
+    # scalar form: sequence with the EXPLICIT +1 step (DuckDB's default;
+    # Spark's 2-arg sequence auto-reverses — a silent-drift trap)
+    assert r("SELECT generate_series(1, 3) AS a") == "SELECT sequence(1, 3, 1) AS a"
+    # unnest: FROM form aliased, scalar form renamed
+    assert (
+        r("SELECT u FROM unnest(array(1,2)) AS t(u)")
+        == "SELECT u FROM explode(array(1,2)) AS t(u)"
+    )
+    assert r("SELECT unnest(v) AS e FROM tbl") == "SELECT explode(v) AS e FROM tbl"
+    # literals inert; lateral comma shape passes through (errors loudly)
+    lit = "SELECT 'from generate_series(1,2)' AS l"
+    assert r(lit) == lit
+    lateral = "SELECT * FROM t, generate_series(1, t.n)"
+    assert "explode" not in r(lateral)
+
+
+def test_series_unnest_values_vs_duckdb(spark, duck):
+    """Value-for-value: int series (with step), timestamp series, FROM
+    unnest, scalar unnest — one query per engine, identical rows."""
+    dq = "SELECT generate_series AS g FROM generate_series(1, 9, 2) ORDER BY g"
+    sq = rw.rewrite_pg_query(dq)
+    assert (
+        duck.execute(dq).fetchall()
+        == [tuple(r) for r in spark.sql(sq).collect()]
+        == [(1,), (3,), (5,), (7,), (9,)]
+    )
+    # the descending-without-step shape errors LOUDLY on both engines
+    # (DuckDB: "cannot generate infinite series"; Spark: sequence boundary
+    # check on the pinned +1 step) — no silent auto-reverse drift
+    with pytest.raises(Exception):
+        duck.execute("SELECT x FROM generate_series(3, 1) t(x)").fetchall()
+    with pytest.raises(Exception):
+        spark.sql(
+            rw.rewrite_pg_query("SELECT x FROM generate_series(3, 1) t(x)")
+        ).collect()
+    # exact-match case: ascending series + timestamps + unnest
+    dq2 = (
+        "SELECT g, u FROM (SELECT generate_series AS g FROM generate_series(1, 3)) a, "
+        "(SELECT unnest([10, 20]) AS u) b ORDER BY g, u"
+    )
+    sq2 = rw.rewrite_pg_query(
+        "SELECT g, u FROM (SELECT generate_series AS g FROM generate_series(1, 3)) a "
+        "CROSS JOIN (SELECT unnest(array(10, 20)) AS u) b ORDER BY g, u"
+    )
+    assert duck.execute(dq2).fetchall() == [tuple(r) for r in spark.sql(sq2).collect()]
+    dq3 = (
+        "SELECT generate_series AS ts FROM generate_series("
+        "TIMESTAMP '2020-01-01', TIMESTAMP '2020-01-04', INTERVAL 1 DAY) ORDER BY ts"
+    )
+    sq3 = rw.rewrite_pg_query(dq3)
+    assert duck.execute(dq3).fetchall() == [tuple(r) for r in spark.sql(sq3).collect()]
+
+
+def test_series_over_wire(pgc):
+    """A psql user's `SELECT * FROM generate_series(1, 3)` works over the
+    PG wire (the reference hands it to DuckDB's TVF)."""
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query("SELECT * FROM generate_series(1, 3)")
+    assert [n for n, _ in cols] == ["generate_series"]
+    assert rows == [("1",), ("2",), ("3",)]
+    c.terminate()

@@ -225,6 +225,10 @@ CHECKS = {
         ("per-iteration contribution agg map-side combined", r"HashAggregate"),
         ("score propagation via equi-join on vertices", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
     ],
+    "scalar_series_unnest": [
+        ("tiny series/unnest sides broadcast (nested-loop)", r"BroadcastNestedLoopJoin"),
+        ("series materialize as Generate (explode TVF), not a shuffle", r"Generate explode"),
+    ],
 }
 
 FORBIDDEN = {
@@ -259,6 +263,7 @@ FORBIDDEN = {
     "pipeline_file_sizing": [("no join", r"Join"), ("no explode", r"Generate")],
     "dedup_line_level": [("no cartesian product", r"CartesianProduct")],
     "graph_pagerank": [("no cartesian product", r"CartesianProduct")],
+    "scalar_series_unnest": [("no shuffled cartesian", r"CartesianProduct")],
     "text_bm25_retrieval": [("no cartesian product", r"CartesianProduct")],
     "dedup_ngram_containment": [("no cartesian product", r"CartesianProduct")],
     "pipeline_filter_cascade": [
