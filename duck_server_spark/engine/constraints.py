@@ -606,7 +606,9 @@ def validate_delete_restrict(
     Per child: one semi-join against the deleted keys + one anti-join
     against the remaining keys, limit(1) early-exit — column-pruned key
     scans, never a full-table compare."""
-    df = spark.table(parent)
+    # alias under the BASE simple name so a qualified user predicate
+    # (`DELETE FROM t WHERE t.id = …`) resolves against a txn shadow too
+    df = spark.table(parent).alias(_display_name(parent).split(".")[-1].strip('`"'))
     deleted = df.filter(F.expr(where)) if where else df
     remaining = (
         df.filter(~F.expr(where)) if where else spark.createDataFrame([], df.schema)

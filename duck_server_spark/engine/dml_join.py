@@ -98,22 +98,35 @@ def parse_delete_using(q: str):
 def _source_df(engine, from_sql: str):
     """Resolve the source relation AND its SQL-visible alias, so
     ``s.col`` references in SET/WHERE keep resolving after the text
-    moves into DataFrame land."""
+    moves into DataFrame land. Inside a transaction the FROM item
+    arrives already shadow-rewritten (``s__txn_N``) but the user's
+    qualified column refs still say ``s.col`` — the alias resolves back
+    through the live shadow registry to the BASE name."""
+    from duck_server_spark.engine.transactions import resolve_shadow
+
     spark = engine.spark
     m = _TRAILING_ALIAS.search(_mask_literals(from_sql))
     alias = None
     if m:
-        alias = m.group(1) or (m.group(2).split(".")[-1] if m.group(2) else None)
+        if m.group(1):
+            alias = m.group(1)
+        elif m.group(2):
+            bare = m.group(2)
+            alias = (resolve_shadow(bare) or bare).split(".")[-1]
     df = spark.sql(f"SELECT * FROM {engine._prepare_sql(from_sql, 'pg')}")
     return df.alias(alias) if alias else df
 
 
 def _stamped_base(engine, table: str, fresh: DataFrame) -> DataFrame:
-    """Row-id-stamped target, aliased under the table's simple name so
-    qualified references (``t.col``) resolve. monotonically_increasing_id
-    is a pure function of (partition index, row position) over the scan,
-    and both uses below sit in one query plan over one file listing."""
-    simple = table.split(".")[-1].strip('`"')
+    """Row-id-stamped target, aliased under the table's simple BASE name
+    (a transaction shadow resolves back, so the user's qualified
+    ``t.col`` references keep working against the shadow df).
+    monotonically_increasing_id is a pure function of (partition index,
+    row position) over the scan, and both uses below sit in one query
+    plan over one file listing."""
+    from duck_server_spark.engine.transactions import resolve_shadow
+
+    simple = (resolve_shadow(table) or table).split(".")[-1].strip('`"')
     return fresh.withColumn("__dmlj_rid", F.monotonically_increasing_id()).alias(simple)
 
 

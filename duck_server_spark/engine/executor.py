@@ -912,11 +912,19 @@ class Engine:
         # lost_rows). refresh → fingerprint → resolve: a file landing
         # inside this window can only make the publish-time compare FAIL
         # (conservative retry), never a stale read pass it.
+        # alias the scan under the table's simple BASE name (a txn shadow
+        # resolves back): user predicates with qualified refs (`UPDATE t
+        # … WHERE t.id = 1`) must keep resolving after the shadow
+        # redirect renames the relation (round 7; found by the in-txn
+        # join-DML test, applies to every COW caller)
+        from duck_server_spark.engine.transactions import resolve_shadow
+
+        base_alias = (resolve_shadow(table) or table).split(".")[-1].strip('`"')
         for _attempt in range(3):
             obs = Observation()
             self.spark.catalog.refreshTable(table)
             fp = _table_fingerprint(self.spark, table)
-            fresh = self.spark.table(table)
+            fresh = self.spark.table(table).alias(base_alias)
             try:
                 # observe_output: the metric aggregates the TRANSFORM's
                 # rows (e.g. the upsert's action marker), not the base's

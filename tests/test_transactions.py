@@ -1087,3 +1087,54 @@ def test_two_concurrent_cow_writers_both_apply(pgt):
     assert rows == []
     c0.simple_query("DROP TABLE txn_cow1")
     c0.terminate()
+
+
+def test_join_dml_inside_transaction(pgt):
+    """UPDATE … FROM and DELETE … USING ride the shadow redirect like
+    every other DML (round 7, engine/dml_join.py): read-your-writes
+    against a source staged in the SAME transaction, and ROLLBACK undoes
+    the join-DML entirely."""
+    (host, port), _ = pgt
+    c = PgClient(host, port)
+    c.simple_query("CREATE TABLE txn_ujt (id BIGINT, v BIGINT) USING parquet")
+    c.simple_query("INSERT INTO txn_ujt VALUES (1, 10), (2, 20), (3, 30)")
+    c.simple_query("CREATE TABLE txn_ujs (id BIGINT, nv BIGINT) USING parquet")
+    c.simple_query("INSERT INTO txn_ujs VALUES (1, 99)")
+    # rollback: join-DML staged, then discarded
+    c.simple_query("BEGIN")
+    _, _, tag = c.simple_query(
+        "UPDATE txn_ujt SET v = txn_ujs.nv FROM txn_ujs WHERE txn_ujt.id = txn_ujs.id"
+    )
+    assert tag == "UPDATE 1"
+    c.simple_query("ROLLBACK")
+    _, rows, _ = c.simple_query("SELECT v FROM txn_ujt WHERE id = 1")
+    assert rows == [("10",)]
+    # read-your-writes: source rows INSERTed earlier in the SAME txn
+    # drive the join; commit publishes both tables atomically
+    c.simple_query("BEGIN")
+    c.simple_query("INSERT INTO txn_ujs VALUES (3, 77)")
+    _, _, tag = c.simple_query(
+        "UPDATE txn_ujt SET v = txn_ujs.nv FROM txn_ujs WHERE txn_ujt.id = txn_ujs.id"
+    )
+    assert tag == "UPDATE 2"
+    _, _, tag = c.simple_query(
+        "DELETE FROM txn_ujt USING (SELECT 2 AS id) d WHERE txn_ujt.id = d.id"
+    )
+    assert tag == "DELETE 1"
+    c.simple_query("COMMIT")
+    _, rows, _ = c.simple_query("SELECT id, v FROM txn_ujt ORDER BY id")
+    assert rows == [("1", "99"), ("3", "77")]
+    # plain COW DML with QUALIFIED predicates resolves through the shadow
+    # too (the redirect renames the relation; `t.col` refs must follow —
+    # round-7 fix: base-name alias on the COW scan)
+    c.simple_query("BEGIN")
+    _, _, tag = c.simple_query("UPDATE txn_ujt SET v = 1 WHERE txn_ujt.id = 1")
+    assert tag == "UPDATE 1"
+    _, _, tag = c.simple_query("DELETE FROM txn_ujt WHERE txn_ujt.id = 3")
+    assert tag == "DELETE 1"
+    c.simple_query("COMMIT")
+    _, rows, _ = c.simple_query("SELECT id, v FROM txn_ujt ORDER BY id")
+    assert rows == [("1", "1")]
+    for t in ("txn_ujt", "txn_ujs"):
+        c.simple_query(f"DROP TABLE {t}")
+    c.terminate()
