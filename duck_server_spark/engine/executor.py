@@ -75,6 +75,49 @@ _ALTER_OR_INDEX = re.compile(
 _COW_SEQ = [0]
 _COW_SEQ_LOCK = threading.Lock()
 _SUMMARIZE = re.compile(r"^\s*summarize\s+(.+?);?\s*$", re.IGNORECASE | re.DOTALL)
+_DESCRIBE_STMT = re.compile(
+    r"^\s*desc(?:ribe)?\s+(?:table\s+)?(.+?);?\s*$", re.IGNORECASE | re.DOTALL
+)
+_SHOW_TABLES = re.compile(r"^\s*show\s+tables\s*;?\s*$", re.IGNORECASE)
+# Spark-specific DESCRIBE targets stay on the native path
+_DESCRIBE_NATIVE = frozenset(
+    ("function", "database", "schema", "extended", "formatted", "history", "detail")
+)
+
+
+def _duckdb_type_name(dt) -> str:
+    """Spark DataType → DuckDB's DESCRIBE type spelling (pinned against
+    live DuckDB in tests/test_compat.py)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return _duckdb_type_name(dt.elementType) + "[]"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({_duckdb_type_name(dt.keyType)}, "
+            f"{_duckdb_type_name(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {_duckdb_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    return {
+        "tinyint": "TINYINT",
+        "smallint": "SMALLINT",
+        "int": "INTEGER",
+        "bigint": "BIGINT",
+        "float": "FLOAT",
+        "double": "DOUBLE",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    }.get(dt.simpleString(), dt.simpleString().upper())
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
@@ -373,12 +416,84 @@ class Engine:
         m = _SUMMARIZE.match(q)
         if m:
             return self._summarize(m.group(1), dialect)
+        m = _DESCRIBE_STMT.match(q)
+        if m:
+            return self._describe(m.group(1), dialect)
+        if _SHOW_TABLES.match(q):
+            # DuckDB's single-column shape (name), not Spark's
+            # (namespace, tableName, isTemporary) — reference returns
+            # embedded DuckDB's output. Catalog-only, sorted.
+            from pyspark.sql import types as T
+
+            names = sorted(t.name for t in self.spark.catalog.listTables())
+            return self.spark.createDataFrame(
+                [(n,) for n in names],
+                T.StructType([T.StructField("name", T.StringType())]),
+            )
         # ASOF shim helper columns can survive star shapes the textual
         # EXCEPT wrap can't reach (CTE-star, alias.* through a derived
         # table — ADVICE r6); the schema-level drop covers every shape.
         return self._strip_asof_helpers(
             self.spark.sql(self._prepare_sql(q, dialect))
         )
+
+    def _describe(self, target: str, dialect: str) -> DataFrame:
+        """DuckDB's DESCRIBE shape (`DESCRIBE tbl` / `DESC tbl` /
+        `DESCRIBE SELECT …`): (column_name, column_type, null, key,
+        default, extra) — the reference returns exactly this via embedded
+        DuckDB. Spark's native DESCRIBE has different columns
+        (col_name/data_type/comment), so clients parsing the output
+        would break. Metadata-only: schema from the catalog (a DESCRIBE
+        SELECT analyzes, never executes), keys/NOT NULL from the
+        constraint registry, defaults from CURRENT_DEFAULT field
+        metadata. Spark-specific targets (DESCRIBE FUNCTION/EXTENDED/…)
+        stay on the native path."""
+        from pyspark.sql import types as T
+
+        t = target.strip()
+        head = t.split(None, 1)[0].lower() if t else ""
+        if head in _DESCRIBE_NATIVE:
+            return self.spark.sql(self._prepare_sql(f"DESCRIBE {target}", dialect))
+        is_query = head.startswith("(") or head in ("select", "with", "values", "from")
+        if is_query:
+            # DuckDB's query-describe shows neither keys nor defaults —
+            # Spark propagates CURRENT_DEFAULT metadata through a
+            # projection, so it must be suppressed here
+            schema = self.spark.sql(self._prepare_sql(t, dialect)).schema
+            pk = uni = nn = frozenset()
+        else:
+            tbl = t.strip('`"')
+            schema = self.spark.table(tbl).schema
+            cons = self.constraints.get(tbl)
+            pk = {c for cc in cons if cc["kind"] == "primary" for c in cc["cols"]}
+            uni = {c for cc in cons if cc["kind"] == "unique" for c in cc["cols"]}
+            nn = {c for cc in cons if cc["kind"] == "notnull" for c in cc["cols"]}
+        rows = [
+            (
+                f.name,
+                _duckdb_type_name(f.dataType),
+                "NO" if f.name in pk or f.name in nn else "YES",
+                "PRI" if f.name in pk else ("UNI" if f.name in uni else None),
+                (
+                    f.metadata.get("CURRENT_DEFAULT")
+                    if not is_query and isinstance(f.metadata, dict)
+                    else None
+                ),
+                None,
+            )
+            for f in schema.fields
+        ]
+        out_schema = T.StructType(
+            [
+                T.StructField("column_name", T.StringType()),
+                T.StructField("column_type", T.StringType()),
+                T.StructField("null", T.StringType()),
+                T.StructField("key", T.StringType()),
+                T.StructField("default", T.StringType()),
+                T.StructField("extra", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, out_schema)
 
     def _summarize(self, target: str, dialect: str) -> DataFrame:
         """DuckDB's SUMMARIZE statement (`SUMMARIZE tbl` / `SUMMARIZE

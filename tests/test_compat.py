@@ -143,7 +143,10 @@ def test_explain_and_show_passthrough(pgc, spark, sf_dir):
     c = PgClient(*pgc)
     _, rows, _ = c.simple_query("EXPLAIN SELECT count(*) FROM lineitem")
     assert any("Scan" in r[0] or "Physical" in r[0] for r in rows)
-    _, rows, _ = c.simple_query("SHOW TABLES")
+    cols, rows, _ = c.simple_query("SHOW TABLES")
+    # DuckDB's one-column shape (round 7) — the reference returns
+    # embedded DuckDB's output, not Spark's 3-column listing
+    assert [n for n, _ in cols] == ["name"]
     assert any("lineitem" in r for row in rows for r in row if r)
     c.terminate()
 
@@ -776,4 +779,49 @@ def test_series_over_wire(pgc):
     cols, rows, _ = c.simple_query("SELECT * FROM generate_series(1, 3)")
     assert [n for n, _ in cols] == ["generate_series"]
     assert rows == [("1",), ("2",), ("3",)]
+    c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-shaped DESCRIBE (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_describe_matches_duckdb(pgc, spark):
+    import duckdb
+
+    """DESCRIBE returns DuckDB's exact six-column shape (the reference
+    returns embedded DuckDB's output; Spark's native DESCRIBE has
+    col_name/data_type/comment and would break client parsers). Keys,
+    NOT NULL, and defaults come from the constraint registry + field
+    metadata."""
+    import shutil
+
+    duck = duckdb.connect()
+    ddl = ("CREATE TABLE dsc_t (a INT PRIMARY KEY, b STRING UNIQUE, "
+           "c INT NOT NULL, d DOUBLE DEFAULT 1.5, e ARRAY<INT>, "
+           "f DECIMAL(10,2), g TIMESTAMP, h BINARY, i BOOLEAN)")
+    dddl = ddl.replace("STRING", "TEXT").replace("ARRAY<INT>", "INT[]").replace(
+        "BINARY", "BLOB")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*pgc)
+    c.simple_query("DROP TABLE IF EXISTS dsc_t")
+    shutil.rmtree(f"{warehouse}/dsc_t", ignore_errors=True)
+    c.simple_query(ddl)
+    duck.execute(dddl)
+    cols, rows, _ = c.simple_query("DESCRIBE dsc_t")
+    assert [n for n, _ in cols] == [
+        "column_name", "column_type", "null", "key", "default", "extra"]
+    drows = [tuple(str(v) if v is not None else None for v in r)
+             for r in duck.execute("DESCRIBE dsc_t").fetchall()]
+    assert rows == drows, (rows, drows)
+    # DESC alias + DESCRIBE SELECT (schema-only, no execution)
+    _, rows2, _ = c.simple_query("DESC dsc_t")
+    assert rows2 == rows
+    _, qrows, _ = c.simple_query("DESCRIBE SELECT a, d FROM dsc_t")
+    dq = [tuple(str(v) if v is not None else None for v in r)
+          for r in duck.execute("DESCRIBE SELECT a, d FROM dsc_t").fetchall()]
+    assert qrows == dq
+    c.simple_query("DROP TABLE dsc_t")
+    shutil.rmtree(f"{warehouse}/dsc_t", ignore_errors=True)
     c.terminate()
