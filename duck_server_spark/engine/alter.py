@@ -296,20 +296,22 @@ def _rename_column(engine, table: str, old: str, new: str) -> str:
             if c.get("on") == old:
                 c["on"] = new
             if c.get("kind") == "check":
-                c["expr"] = re.sub(
-                    rf"\b{re.escape(old)}\b", new, c["expr"], flags=re.IGNORECASE
-                )
+                # quote-aware: never rewrites string literals (a column
+                # named `active` must not corrupt a <> 'active' check)
+                from duck_server_spark.engine.constraints import subst_ident
+
+                c["expr"] = subst_ident(c["expr"], old, new)
             out.append(c)
         engine.constraints.put(table, out)
     return "ALTER TABLE"
 
 
 def _alter_type(engine, table: str, col: str, dt: str, using: str | None) -> str:
-    from duck_server_spark.plans.rewrites import normalize_type
+    from duck_server_spark.plans.rewrites import normalize_type_spec
 
     spark = engine.spark
     _require_column(engine, table, col)
-    dt = normalize_type(dt.strip())
+    dt = normalize_type_spec(dt.strip())
     expr = using.strip() if using else f"CAST(`{col}` AS {dt})"
     names = [f.name for f in spark.table(table).schema.fields]
 
@@ -335,13 +337,13 @@ def _alter_type(engine, table: str, col: str, dt: str, using: str | None) -> str
 
 
 def _add_column_default(engine, table: str, col: str, dt: str, default: str) -> str:
-    from duck_server_spark.plans.rewrites import normalize_type
+    from duck_server_spark.plans.rewrites import normalize_type_spec
 
     spark = engine.spark
     names = [f.name for f in spark.table(table).schema.fields]
     if col in names:
         raise PgError("42701", f'column "{col}" of relation "{table}" already exists')
-    dt = normalize_type(dt.strip())
+    dt = normalize_type_spec(dt.strip())
     # DuckDB back-fills existing rows with the default (probed); the
     # NULL-fill of Spark's native ADD COLUMN would diverge
     _swap_in(

@@ -205,19 +205,77 @@ def _balanced_span(s: str, open_idx: int) -> int:
     return n
 
 
+def _mask_str_literals(s: str) -> str:
+    """Length-preserving copy with only SINGLE-quoted (string literal)
+    spans blanked. Double quotes and backticks are IDENTIFIER quoting in
+    PG/DuckDB — their contents must stay visible to identifier scans
+    (review finding: masking them dropped `"price"` from a CHECK's
+    column attribution, silently skipping UPDATE revalidation)."""
+    out, i, n = list(s), 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            j = _skip_quoted(s, i, "'")
+            for k in range(i, min(j, n)):
+                out[k] = " "
+            i = j
+            continue
+        i += 1
+    return "".join(out)
+
+
 def _expr_cols(expr: str, declared: dict[str, str]) -> list[str]:
     """Declared column names referenced by a constraint expression —
-    identifier-token intersection over the quote-masked text, order-
-    preserving. Drives the "does this UPDATE touch a constrained
-    column" revalidation trigger."""
+    identifier-token intersection over the string-literal-masked text
+    (quoted identifiers like `"price"` count), order-preserving. Drives
+    the "does this UPDATE touch a constrained column" revalidation
+    trigger."""
     seen: set[str] = set()
     out: list[str] = []
-    for tok in _IDENT.findall(_mask_quotes(expr)):
+    for tok in _IDENT.findall(_mask_str_literals(expr)):
         t = tok.lower()
         if t in declared and t not in seen:
             seen.add(t)
             out.append(declared[t])
     return out
+
+
+def subst_ident(expr: str, old: str, new: str) -> str:
+    """Rename a column reference inside a stored constraint expression:
+    bare, double-quoted, and backticked forms, NEVER inside string
+    literals (review finding: a blind regex rewrote `'active'` literals
+    when a column named active was renamed)."""
+    masked = _mask_str_literals(expr)
+    pat = re.compile(
+        rf'\b{re.escape(old)}\b|"{re.escape(old)}"|`{re.escape(old)}`',
+        re.IGNORECASE,
+    )
+    res, i = [], 0
+    for m in pat.finditer(masked):
+        res.append(expr[i : m.start()])
+        quoted = masked[m.start()] in '"`'
+        res.append(f"{masked[m.start()]}{new}{masked[m.start()]}" if quoted else new)
+        i = m.end()
+    res.append(expr[i:])
+    return "".join(res)
+
+
+def _spark_check_expr(expr: str) -> str:
+    """A stored CHECK expression is DuckDB/PG-spelled. Before F.expr:
+    run the dialect rewrites (`~` → RLIKE, duck function aliases,
+    ::casts) and convert double-quoted identifiers to backticks (Spark's
+    default parser reads "x" as a STRING LITERAL — review finding:
+    CHECK ("price" > 0) silently never enforced)."""
+    from duck_server_spark.plans import rewrites
+
+    out = rewrites.rewrite_common(expr)
+    masked = _mask_str_literals(out)
+    res, i = [], 0
+    for m in re.finditer(r'"([A-Za-z_]\w*)"', masked):
+        res.append(out[i : m.start()])
+        res.append(f"`{m.group(1)}`")
+        i = m.end()
+    res.append(out[i:])
+    return "".join(res)
 
 
 def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
@@ -486,7 +544,7 @@ def check_row_constraints(disp: str, rows: DataFrame, constraints: list[dict]) -
             f"{disp}_{'_'.join(c['cols'])}_check" if c["cols"] else f"{disp}_check"
         )
         viol = rows.filter(
-            ~F.coalesce(F.expr(c["expr"]).cast("boolean"), F.lit(True))
+            ~F.coalesce(F.expr(_spark_check_expr(c["expr"])).cast("boolean"), F.lit(True))
         ).limit(1)
         if viol.count() > 0:
             raise PgError(
@@ -588,6 +646,44 @@ def validate_table_keys(
         if dup.count() > 0:
             raise PgError(
                 "23505", f'duplicate key value violates unique constraint "{cname}"'
+            )
+
+
+def validate_parent_rekey(
+    spark: SparkSession,
+    parent: str,
+    staged: DataFrame,
+    refs: list[tuple[str, dict]],
+    store: "ConstraintStore | None" = None,
+) -> None:
+    """An UPDATE that rewrites a referenced parent's key columns must not
+    orphan existing child rows (DuckDB raises a FK constraint error —
+    pinned in tests/test_dml_join.py). Per child FK: its non-NULL key
+    tuples must all still find a parent in the STAGED (post-update)
+    table. One column-pruned child scan + one anti-join against the
+    staged keys, limit(1) early-exit — same scale shape as the
+    delete-restrict probe. Inside a transaction the child reads through
+    its own shadow (read-your-writes)."""
+    from duck_server_spark.engine.transactions import sibling_shadow
+
+    disp = _display_name(parent)
+    for child, fk in refs:
+        ref_cols = _resolve_ref_cols(fk, store)
+        child_rel = sibling_shadow(parent, child) or child
+        probe = spark.table(child_rel).select(
+            [F.col(c).alias(r) for c, r in zip(fk["cols"], ref_cols)]
+        )
+        for r in ref_cols:
+            probe = probe.filter(F.col(r).isNotNull())
+        orphan = probe.join(
+            staged.select(*ref_cols), on=ref_cols, how="left_anti"
+        ).limit(1)
+        if orphan.count() > 0:
+            cname = f"{child}_{'_'.join(fk['cols'])}_fkey"
+            raise PgError(
+                "23503",
+                f'update on table "{disp}" violates foreign key '
+                f'constraint "{cname}" on table "{child}"',
             )
 
 

@@ -168,13 +168,29 @@ def run_update_from(engine, table: str, assigns, from_sql: str, where: str | Non
         return j.select(*out, F.coalesce("__dmlj_matches", F.lit(0)).alias("__dmlj_matches"))
 
     metric = F.sum(F.col("__dmlj_matches")).cast("long").alias("n")
+    from duck_server_spark.engine.transactions import resolve_shadow
+
     found = engine.constraints.get(table)
     key_cols = {c for cc in found for c in cc.get("cols", [])}
+    assigned = {c for c, _ in assigns}
+    # re-keying a referenced parent orphans children (same probe as the
+    # plain-UPDATE path — review finding)
+    refs = engine.constraints.referencing(resolve_shadow(table) or table)
+    ref_key_cols = {
+        c for _, fk in refs for c in cst._resolve_ref_cols(fk, engine.constraints)
+    }
     validate = None
-    if found and key_cols & {c for c, _ in assigns}:
-        validate = lambda staged: cst.validate_table_keys(  # noqa: E731
-            table, staged.drop("__dmlj_matches"), found, spark, engine.constraints
-        )
+    if (found and key_cols & assigned) or (refs and ref_key_cols & assigned):
+        def validate(staged):  # noqa: ANN001
+            body = staged.drop("__dmlj_matches")
+            if found and key_cols & assigned:
+                cst.validate_table_keys(
+                    table, body, found, spark, engine.constraints
+                )
+            if refs and ref_key_cols & assigned:
+                cst.validate_parent_rekey(
+                    spark, table, body, refs, engine.constraints
+                )
     return engine._overwrite_table(
         table,
         transform,

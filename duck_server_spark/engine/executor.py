@@ -79,6 +79,22 @@ _DESCRIBE_STMT = re.compile(
     r"^\s*desc(?:ribe)?\s+(?:table\s+)?(.+?);?\s*$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_TABLES = re.compile(r"^\s*show\s+tables\s*;?\s*$", re.IGNORECASE)
+# engine-internal names SHOW TABLES must not expose: bootstrap compat
+# views (_bootstrap/_refresh_catalog_views) and transient shadow/staging
+# tables (name-marker filter — the honest approximation, since staging
+# names carry no registry)
+_BOOTSTRAP_VIEW_NAMES = frozenset(
+    (
+        "pg_type",
+        "pg_matviews",
+        "constraint_column_usage",
+        "system_databases",
+        "system_tables",
+        "system_columns",
+        "system_functions",
+    )
+)
+_INTERNAL_TABLE_MARKS = ("__txn_", "__cow_staging_", "__ins_staging_", "__alter_staging_")
 # Spark-specific DESCRIBE targets stay on the native path
 _DESCRIBE_NATIVE = frozenset(
     ("function", "database", "schema", "extended", "formatted", "history", "detail")
@@ -422,10 +438,18 @@ class Engine:
         if _SHOW_TABLES.match(q):
             # DuckDB's single-column shape (name), not Spark's
             # (namespace, tableName, isTemporary) — reference returns
-            # embedded DuckDB's output. Catalog-only, sorted.
+            # embedded DuckDB's output. Catalog-only, sorted. Engine
+            # artifacts are filtered out (review finding): the bootstrap
+            # compat views and transient shadow/staging tables are names
+            # the reference's embedded DuckDB never exposes.
             from pyspark.sql import types as T
 
-            names = sorted(t.name for t in self.spark.catalog.listTables())
+            names = sorted(
+                t.name
+                for t in self.spark.catalog.listTables()
+                if t.name not in _BOOTSTRAP_VIEW_NAMES
+                and not any(mark in t.name for mark in _INTERNAL_TABLE_MARKS)
+            )
             return self.spark.createDataFrame(
                 [(n,) for n in names],
                 T.StructType([T.StructField("name", T.StringType())]),
@@ -808,22 +832,54 @@ class Engine:
         DEFAULT in field metadata (CURRENT_DEFAULT) and applies it on
         native INSERT paths — this DataFrame-append path must match, or
         a constrained table's defaults would silently degrade to NULL."""
+        from duck_server_spark.sources.ingest import default_fill
+
         if names:
             df = df.toDF(*names)
             for f in full.fields:
                 if f.name not in names:
-                    dflt = (
-                        f.metadata.get("CURRENT_DEFAULT")
-                        if isinstance(f.metadata, dict)
-                        else None
-                    )
-                    fill = F.expr(dflt) if dflt else F.lit(None)
-                    df = df.withColumn(f.name, fill.cast(f.dataType))
+                    df = df.withColumn(f.name, default_fill(f))
         else:
             df = df.toDF(*[f.name for f in full.fields])
         return df.select(
             *[F.col(f.name).cast(f.dataType.simpleString()) for f in full.fields]
         )
+
+    @staticmethod
+    def _expand_values_defaults(source: str, schema, names: list[str] | None) -> str:
+        """Replace bare DEFAULT items in a `VALUES (…), (…)` source with
+        the positional column's declared default (CURRENT_DEFAULT field
+        metadata) or NULL — DuckDB/PG semantics. Non-VALUES sources and
+        DEFAULT inside larger expressions pass through (the latter errors
+        loudly downstream, never silently)."""
+        if not re.match(r"\s*values\b", source, re.IGNORECASE):
+            return source
+        if not re.search(r"\bdefault\b", source, re.IGNORECASE):
+            return source
+        cols = names or [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        head_end = re.match(r"\s*values\b", source, re.IGNORECASE).end()
+        rows_sql = source[head_end:]
+        out_rows = []
+        for row in _split_top_level(rows_sql, ","):
+            row = row.strip().rstrip(";").strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                return source  # unexpected shape: leave untouched
+            items = _split_top_level(row[1:-1], ",")
+            new_items = []
+            for idx, item in enumerate(items):
+                if item.strip().lower() == "default" and idx < len(cols):
+                    f = by_name.get(cols[idx])
+                    dflt = (
+                        f.metadata.get("CURRENT_DEFAULT")
+                        if f is not None and isinstance(f.metadata, dict)
+                        else None
+                    )
+                    new_items.append(dflt if dflt else "NULL")
+                else:
+                    new_items.append(item)
+            out_rows.append("(" + ", ".join(s.strip() for s in new_items) + ")")
+        return "VALUES " + ", ".join(out_rows)
 
     def _validated_insert(self, table: str, cols_csv: str | None, source: str) -> int:
         """INSERT into a constrained table: materialize the source once
@@ -831,12 +887,19 @@ class Engine:
         see identical rows even for non-deterministic SELECT sources),
         key-validate, then append. Nothing touches the table on violation."""
         spark = self.spark
-        # an ASOF-rewritten SELECT source can carry helper columns the
-        # textual wrap couldn't reach — strip schema-side before aligning
-        src = self._strip_asof_helpers(spark.sql(self._prepare_sql(source, "pg")))
         names = (
             [c.strip().strip('`"') for c in cols_csv.split(",")] if cols_csv else None
         )
+        # DEFAULT keywords in a VALUES source resolve on Spark's native
+        # INSERT path but not in a standalone spark.sql("VALUES …")
+        # (review finding: registering NOT NULL/CHECK routes more tables
+        # here) — expand them textually against the target's defaults
+        source = self._expand_values_defaults(
+            source, spark.table(table).schema, names
+        )
+        # an ASOF-rewritten SELECT source can carry helper columns the
+        # textual wrap couldn't reach — strip schema-side before aligning
+        src = self._strip_asof_helpers(spark.sql(self._prepare_sql(source, "pg")))
         src = self._align_to_schema(src, spark.table(table).schema, names)
         staged = src.localCheckpoint(eager=True)
         try:
@@ -909,14 +972,30 @@ class Engine:
         hit = F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias("n")
         # UPDATE can mint duplicate keys (SET pk = const) that append-time
         # validation never sees: if an assigned column is part of any
-        # declared key, validate the staged rewrite before it publishes
+        # declared key, validate the staged rewrite before it publishes.
+        # Re-keying a REFERENCED parent can also orphan children (DuckDB
+        # rejects it — review finding): probe children vs the staged keys.
+        from duck_server_spark.engine.transactions import resolve_shadow
+
         found = self.constraints.get(table)
         key_cols = {c for cc in found for c in cc["cols"]}
+        refs = self.constraints.referencing(resolve_shadow(table) or table)
+        ref_key_cols = {
+            c
+            for _, fk in refs
+            for c in cst._resolve_ref_cols(fk, self.constraints)
+        }
         validate = None
-        if found and key_cols & set(assigns):
-            validate = lambda staged: cst.validate_table_keys(  # noqa: E731
-                table, staged, found, spark, self.constraints
-            )
+        if (found and key_cols & set(assigns)) or (refs and ref_key_cols & set(assigns)):
+            def validate(staged):  # noqa: ANN001
+                if found and key_cols & set(assigns):
+                    cst.validate_table_keys(
+                        table, staged, found, spark, self.constraints
+                    )
+                if refs and ref_key_cols & set(assigns):
+                    cst.validate_parent_rekey(
+                        spark, table, staged, refs, self.constraints
+                    )
         return self._overwrite_table(
             table, lambda d: d.selectExpr(*select_exprs), hit, validate=validate
         )

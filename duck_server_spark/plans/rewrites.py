@@ -237,6 +237,102 @@ def _rewrite_series_unnest(q: str) -> str:
         pos = m.start() + len(m.group(1)) + 1  # past FROM: rescan subqueries
 
 
+# DuckDB sampling clauses (round 7): `… FROM t USING SAMPLE <spec>` /
+# `TABLESAMPLE <method>(<n>)` → Spark's `TABLESAMPLE (<n> ROWS|PERCENT)`
+# in the same position. Units follow DuckDB's defaults: a bare number
+# means ROWS, bernoulli/system without a unit mean PERCENT, reservoir
+# without a unit means ROWS. Row-count forms are exact on both engines;
+# percent forms are approximate on both (DuckDB system picks whole
+# vectors, Spark samples per split — sampling is non-deterministic
+# either way, so no oracle twin).
+#
+# SCOPE GUARD (review finding): DuckDB's USING SAMPLE is a STATEMENT-
+# level clause — `FROM t1, t2 USING SAMPLE 5 ROWS` samples the JOIN
+# RESULT, and `FROM t WHERE p USING SAMPLE n` samples after the filter.
+# Spark's TABLESAMPLE attaches to ONE table ref, so the rewrite is only
+# exact when the clause directly follows the sole relation of its FROM
+# scope. Any top-level comma/JOIN/WHERE between that FROM and the
+# clause → pass through untouched (Spark errors loudly; never a
+# silently mis-scoped sample). Seeded forms (`(system, 377)`) pass
+# through whole; Spark-spelled `TABLESAMPLE (…)` (paren first) never
+# matches — no double rewrite.
+_USING_SAMPLE = re.compile(
+    r"\b(?:using\s+sample|tablesample)\s+"
+    r"(?:(?P<meth>bernoulli|system|reservoir)\s*\(\s*(?P<mval>\d+(?:\.\d+)?)\s*"
+    r"(?P<munit>%|percent\b|rows\b)?\s*\)"
+    r"|(?P<val>\d+(?:\.\d+)?)\s*(?P<unit>%|percent\b|rows\b)?"
+    r"(?:\s*\(\s*(?P<meth2>bernoulli|system|reservoir)\s*\))?)",
+    re.IGNORECASE,
+)
+
+
+def _sample_scope_is_single_relation(masked: str, start: int) -> bool:
+    """True when the sampling clause at `start` directly follows the ONLY
+    relation of its FROM scope: find the enclosing paren scope, take its
+    last same-depth FROM, and reject if any same-depth comma/JOIN/WHERE
+    sits between that FROM and the clause."""
+    depth, i, scope = 0, start - 1, 0
+    while i >= 0:
+        ch = masked[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                scope = i + 1
+                break
+            depth -= 1
+        i -= 1
+    seg = masked[scope:start]
+    fm_end, depth = None, 0
+    for m2 in re.finditer(r"[()]|\bfrom\b", seg, re.IGNORECASE):
+        tok = m2.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            fm_end = m2.end()
+    if fm_end is None:
+        return False
+    depth = 0
+    for m2 in re.finditer(r"[(),]|\bjoin\b|\bwhere\b", seg[fm_end:], re.IGNORECASE):
+        tok = m2.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return False
+    return True
+
+
+def _rewrite_using_sample(q: str) -> str:
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _USING_SAMPLE.search(masked, pos)
+        if m is None:
+            return q
+        if m.group("meth2") is None and re.match(r"\s*\(", masked[m.end() :]):
+            # an unconsumed following paren is a seeded/extended method
+            # spec (`10% (system, 377)`) — leave the whole clause alone
+            pos = m.end()
+            continue
+        if not _sample_scope_is_single_relation(masked, m.start()):
+            pos = m.end()
+            continue
+        val = m.group("mval") or m.group("val")
+        unit = m.group("munit") or m.group("unit")
+        meth = (m.group("meth") or m.group("meth2") or "").lower()
+        if unit:
+            kind = "PERCENT" if unit.strip().lower() in ("%", "percent") else "ROWS"
+        else:
+            kind = "PERCENT" if meth in ("bernoulli", "system") else "ROWS"
+        repl = f"TABLESAMPLE ({val} {kind})"
+        q = q[: m.start()] + repl + q[m.end() :]
+        pos = m.start() + len(repl)
+
+
 # EXTRACT(EPOCH FROM x) → unix_timestamp(x): PG/DuckDB idiom Spark's
 # EXTRACT doesn't accept (it has no EPOCH field). Needs a balanced-paren
 # scan because x can contain calls.
@@ -295,6 +391,107 @@ def normalize_type(name: str) -> str:
     return _DUCK_TO_SPARK_TYPES.get(key, name)
 
 
+_TWO_WORD_TYPE = re.compile(
+    r"^(double\s+precision|timestamp\s+with\s+time\s+zone|"
+    r"timestamp\s+without\s+time\s+zone)\b",
+    re.IGNORECASE,
+)
+_DDL_HEAD = re.compile(
+    r"^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?table\s+"
+    r"(?:if\s+not\s+exists\s+)?[`\"\w.]+\s*\(",
+    re.IGNORECASE,
+)
+_CAST_HEAD = re.compile(r"\b(?:try_)?cast\s*\(", re.IGNORECASE)
+_DDL_ITEM_KEYWORDS = re.compile(
+    r"^(CONSTRAINT|PRIMARY|UNIQUE|FOREIGN|CHECK)\b", re.IGNORECASE
+)
+
+
+def normalize_type_spec(spec: str) -> str:
+    """Normalize the LEADING type of a column/cast spec to Spark's
+    spelling: bare TEXT/VARCHAR/BLOB/… through the type map (Spark's
+    parser rejects bare VARCHAR and TEXT entirely — review follow-up:
+    every PG/DuckDB client writes them), two-word forms (DOUBLE
+    PRECISION, TIMESTAMP WITH TIME ZONE), and DuckDB's `[]` array
+    suffixes → ARRAY<…>. Parenthesized specs (VARCHAR(10),
+    DECIMAL(10,2)) are already Spark-valid and stay untouched. Anything
+    after the type (NOT NULL, DEFAULT …) passes through verbatim."""
+    two = _TWO_WORD_TYPE.match(spec)
+    if two:
+        return normalize_type(two.group(1)) + spec[two.end() :]
+    one = re.match(r"^\s*([A-Za-z_]\w*)", spec)
+    if not one:
+        return spec
+    base, tail = one.group(1), spec[one.end() :]
+    pm = re.match(r"^\s*\(", tail)
+    if pm:
+        close = _scan_balanced(tail, tail.index("(") + 1)
+        typed, tail = base + tail[:close], tail[close:]
+    else:
+        typed = normalize_type(base)
+    am = re.match(r"^(\s*\[\s*\])+", tail)
+    if am:
+        for _ in range(am.group(0).count("[")):
+            typed = f"ARRAY<{typed}>"
+        tail = tail[am.end() :]
+    return typed + tail
+
+
+def _rewrite_ddl_types(q: str) -> str:
+    """Normalize every column type in a CREATE TABLE body (runs AFTER
+    constraint extraction stripped CHECK/keys, so remaining items are
+    `name TYPE [NOT NULL] [DEFAULT …]`)."""
+    m = _DDL_HEAD.match(q)
+    if not m:
+        return q
+    masked = _mask_literals(q)
+    end = _scan_balanced(masked, m.end())
+    body, body_masked = q[m.end() : end - 1], masked[m.end() : end - 1]
+    out = []
+    for item in _split_top_level(body, body_masked):
+        it = item.strip()
+        if _DDL_ITEM_KEYWORDS.match(it):
+            out.append(it)
+            continue
+        nm = re.match(r"^([`\"]?\w+[`\"]?)\s+(.+)$", it, re.DOTALL)
+        if not nm:
+            out.append(it)
+            continue
+        out.append(f"{nm.group(1)} {normalize_type_spec(nm.group(2))}")
+    return q[: m.end()] + ", ".join(out) + q[end - 1 :]
+
+
+def _rewrite_cast_types(q: str) -> str:
+    """CAST(x AS TEXT) / TRY_CAST(… AS BLOB[]): normalize the type after
+    the cast's top-level AS (the README's own advice to clients is
+    explicit casts — the `::type` form was already handled)."""
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _CAST_HEAD.search(masked, pos)
+        if m is None:
+            return q
+        end = _scan_balanced(masked, m.end())
+        inner, inner_m = q[m.end() : end - 1], masked[m.end() : end - 1]
+        asm, depth = None, 0
+        for mm in re.finditer(r"[()]|\bAS\b", inner_m, re.IGNORECASE):
+            tok = mm.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                asm = mm
+        if asm is None:
+            pos = m.end()
+            continue
+        spec = inner[asm.end() :].strip()
+        new_spec = normalize_type_spec(spec)
+        if new_spec != spec:
+            q = q[: m.end()] + inner[: asm.end()] + " " + new_spec + ")" + q[end:]
+        pos = m.end()  # rescan: nested casts inside the expression
+
+
 def rewrite_ch_query(q: str) -> str:
     """ClickHouse-HTTP-path rewrites (ch_server.go:155-164 order),
     applied outside string literals only (the reference regex-rewrites
@@ -331,6 +528,9 @@ def rewrite_common(q: str) -> str:
         ),
     )
     q = _rewrite_series_unnest(q)  # before the alias pass: the TVF forms
+    q = _rewrite_using_sample(q)
+    q = _rewrite_ddl_types(q)
+    q = _rewrite_cast_types(q)
     q = _sub_outside_literals(
         q,
         lambda seg: _PG_REGEX_OP.sub(

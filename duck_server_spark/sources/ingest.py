@@ -25,6 +25,20 @@ from pyspark.sql import types as T
 DEFAULT_BATCH_ROWS = 50_000
 
 
+def default_fill(field: T.StructField):
+    """Column expression for an OMITTED column: its declared DEFAULT
+    (Spark records it as CURRENT_DEFAULT field metadata) else NULL, cast
+    to the field type. Shared by every DataFrame-append path (validated
+    INSERT, COPY/CH micro-batches) so they can't drift from Spark's
+    native INSERT default fill."""
+    dflt = (
+        field.metadata.get("CURRENT_DEFAULT")
+        if isinstance(field.metadata, dict)
+        else None
+    )
+    return (F.expr(dflt) if dflt else F.lit(None)).cast(field.dataType)
+
+
 def subset_schema(full_schema: T.StructType, cols: list[str] | None) -> T.StructType:
     """Schema for an explicit column list, in the CLIENT's order.
 
@@ -90,17 +104,10 @@ class BatchAppender:
         df = self.spark.createDataFrame(batch, self.schema)
         if self.cols:
             # column-subset insert: missing columns → their declared
-            # DEFAULT (PG COPY semantics; Spark records it in field
-            # metadata) else NULL, table order
+            # DEFAULT (PG COPY semantics) else NULL, table order
             for f in self.full_schema.fields:
                 if f.name not in self.cols:
-                    dflt = (
-                        f.metadata.get("CURRENT_DEFAULT")
-                        if isinstance(f.metadata, dict)
-                        else None
-                    )
-                    fill = F.expr(dflt) if dflt else F.lit(None)
-                    df = df.withColumn(f.name, fill.cast(f.dataType))
+                    df = df.withColumn(f.name, default_fill(f))
             df = df.select(*[f.name for f in self.full_schema.fields])
         if self.validator is not None:
             self.validator(df)

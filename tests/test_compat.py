@@ -825,3 +825,98 @@ def test_describe_matches_duckdb(pgc, spark):
     c.simple_query("DROP TABLE dsc_t")
     shutil.rmtree(f"{warehouse}/dsc_t", ignore_errors=True)
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# USING SAMPLE / TABLESAMPLE shims (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_using_sample_rewrite_shapes():
+    r = rw.rewrite_common
+    assert r("SELECT 1 FROM t USING SAMPLE 10 ROWS").endswith("TABLESAMPLE (10 ROWS)")
+    # DuckDB units: bare number = ROWS; bernoulli/system default PERCENT;
+    # reservoir default ROWS
+    assert r("SELECT 1 FROM t USING SAMPLE 10").endswith("TABLESAMPLE (10 ROWS)")
+    assert r("SELECT 1 FROM t USING SAMPLE 10%").endswith("TABLESAMPLE (10 PERCENT)")
+    assert r("SELECT 1 FROM t USING SAMPLE bernoulli(15%)").endswith(
+        "TABLESAMPLE (15 PERCENT)")
+    assert r("SELECT 1 FROM t USING SAMPLE system(10)").endswith(
+        "TABLESAMPLE (10 PERCENT)")
+    assert r("SELECT 1 FROM t USING SAMPLE reservoir(5)").endswith(
+        "TABLESAMPLE (5 ROWS)")
+    assert r("SELECT 1 FROM t TABLESAMPLE reservoir(7)").endswith(
+        "TABLESAMPLE (7 ROWS)")
+    # Spark-spelled form untouched (no double rewrite); seeded specs pass
+    # through whole (error loudly rather than half-rewrite); JOIN USING
+    # and string literals inert
+    for q in (
+        "SELECT 1 FROM t TABLESAMPLE (10 PERCENT)",
+        "SELECT 1 FROM t USING SAMPLE 10% (system, 377)",
+        "SELECT a FROM t JOIN s USING (a) WHERE b > 1",
+        "SELECT 'USING SAMPLE 10%' AS lit",
+    ):
+        assert r(q) == q, q
+
+
+def test_using_sample_over_wire(pgc, spark, sf_dir):
+    """Row-count sampling is EXACT on both engines; percent sampling is
+    approximate on both — assert the exact form and bound the percent
+    form."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT count(*) AS n FROM (SELECT * FROM nation USING SAMPLE 5 ROWS) t"
+    )
+    assert rows == [("5",)]
+    _, rows, _ = c.simple_query(
+        "SELECT count(*) AS n FROM (SELECT * FROM lineitem USING SAMPLE 10%) t"
+    )
+    total = spark.table("lineitem").count()
+    assert 0 < int(rows[0][0]) < total  # strictly sampled, non-empty
+    c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# PG/DuckDB type spellings in DDL and CAST (round 7 review follow-up)
+# ---------------------------------------------------------------------------
+
+
+def test_pg_type_spellings_rewrite_shapes():
+    r = rw.rewrite_common
+    out = r("CREATE TABLE t (a TEXT, b VARCHAR, c VARCHAR(10), "
+            "d DOUBLE PRECISION, e INT[], f HUGEINT, "
+            "g TEXT DEFAULT 'text stuff', h INT NOT NULL)")
+    assert ("a string" in out and "b string" in out and "c VARCHAR(10)" in out
+            and "d double" in out and "e ARRAY<INT>" in out
+            and "f decimal(38,0)" in out and "'text stuff'" in out
+            and "h INT NOT NULL" in out)
+    assert r("SELECT CAST(a AS TEXT) AS s FROM t") == \
+        "SELECT CAST(a AS string) AS s FROM t"
+    assert r("SELECT TRY_CAST(c AS INT[]) AS arr FROM t") == \
+        "SELECT TRY_CAST(c AS ARRAY<INT>) AS arr FROM t"
+    # identifiers merely NAMED like types are untouched
+    q = "SELECT cast_votes, text FROM t"
+    assert r(q) == q
+
+
+def test_pg_type_spellings_over_wire(pgc, spark):
+    """A psql user's `CREATE TABLE (… TEXT, … VARCHAR)` must work — the
+    reference hands it to DuckDB; Spark's parser rejects both bare
+    spellings."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*pgc)
+    c.simple_query("DROP TABLE IF EXISTS typ_t")
+    shutil.rmtree(f"{warehouse}/typ_t", ignore_errors=True)
+    c.simple_query("CREATE TABLE typ_t (a TEXT, b VARCHAR, c DOUBLE PRECISION)")
+    c.simple_query("INSERT INTO typ_t VALUES ('x', 'y', 1.5)")
+    _, rows, _ = c.simple_query(
+        "SELECT a, CAST(c AS TEXT) AS ct FROM typ_t")
+    assert rows == [("x", "1.5")]
+    c.simple_query("DROP TABLE typ_t")
+    shutil.rmtree(f"{warehouse}/typ_t", ignore_errors=True)
+    c.terminate()

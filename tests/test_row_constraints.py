@@ -279,3 +279,102 @@ def test_set_not_null_validates_existing(engine, spark, fresh):
     engine.execute("ALTER TABLE rc_t ALTER COLUMN a DROP NOT NULL")
     engine.execute("INSERT INTO rc_t VALUES (NULL)")
     assert spark.table("rc_t").count() == 1
+
+
+# ---------- review-pass fixes (round 7) ----------
+
+
+def test_check_with_pg_regex_operator(engine, spark, fresh):
+    """A PG/DuckDB-spelled CHECK (`~` regex) must ENFORCE — the stored
+    expr goes through the dialect rewrites before F.expr."""
+    duck = duckdb.connect()
+    fresh(duck, "rc_t", "CREATE TABLE rc_t (name VARCHAR CHECK (name ~ '^[a-z]+$'))")
+    stmt = "INSERT INTO rc_t VALUES ('UPPER')"
+    with pytest.raises(duckdb.Error):
+        duck.execute(stmt)
+    with pytest.raises(PgError) as ei:
+        engine.execute(stmt)
+    assert ei.value.pgcode == "23514"
+    engine.execute("INSERT INTO rc_t VALUES ('lower')")
+    duck.execute("INSERT INTO rc_t VALUES ('lower')")
+    assert spark.table("rc_t").count() == 1
+
+
+def test_check_with_quoted_identifier(engine, spark, fresh):
+    """CHECK ("price" > 0): the double-quoted identifier must (a) be
+    attributed to the column so UPDATE revalidation triggers, and (b)
+    evaluate as an identifier, not a string literal."""
+    duck = duckdb.connect()
+    fresh(duck, "rc_t", 'CREATE TABLE rc_t (price INT CHECK ("price" > 0))')
+    with pytest.raises(duckdb.Error):
+        duck.execute("INSERT INTO rc_t VALUES (-1)")
+    with pytest.raises(PgError) as ei:
+        engine.execute("INSERT INTO rc_t VALUES (-1)")
+    assert ei.value.pgcode == "23514"
+    engine.execute("INSERT INTO rc_t VALUES (5)")
+    duck.execute("INSERT INTO rc_t VALUES (5)")
+    stmt = "UPDATE rc_t SET price = -5"
+    with pytest.raises(duckdb.Error):
+        duck.execute(stmt)
+    with pytest.raises(PgError) as ei:
+        engine.execute(stmt)  # revalidation must FIRE (cols attribution)
+    assert ei.value.pgcode == "23514"
+    assert [tuple(r) for r in spark.table("rc_t").collect()] == [(5,)]
+
+
+def test_rename_column_never_rewrites_literals(engine, spark, fresh):
+    """Renaming a column must not corrupt string literals inside a CHECK
+    that happen to spell the old name."""
+    duck = duckdb.connect()
+    fresh(duck, "rc_t",
+          "CREATE TABLE rc_t (status VARCHAR, active INT, CHECK (status <> 'active'))")
+    duck.execute("ALTER TABLE rc_t RENAME COLUMN active TO enabled")
+    engine.execute("ALTER TABLE rc_t RENAME COLUMN active TO enabled")
+    stmt = "INSERT INTO rc_t VALUES ('active', 1)"
+    with pytest.raises(duckdb.Error):
+        duck.execute(stmt)
+    with pytest.raises(PgError):
+        engine.execute(stmt)  # 'active' literal untouched: still rejects
+    engine.execute("INSERT INTO rc_t VALUES ('other', 1)")
+    duck.execute("INSERT INTO rc_t VALUES ('other', 1)")
+    assert spark.table("rc_t").count() == 1
+
+
+def test_insert_values_default_keyword(engine, spark, fresh):
+    """INSERT … VALUES (…, DEFAULT) on a CONSTRAINED table: the
+    validated-insert path must expand DEFAULT positionally (Spark can't
+    resolve the keyword in a standalone VALUES)."""
+    duck = duckdb.connect()
+    fresh(duck, "rc_t",
+          "CREATE TABLE rc_t (a INT NOT NULL, b INT DEFAULT 7)",
+          "INSERT INTO rc_t VALUES (1, DEFAULT), (2, 3)")
+    assert sorted(tuple(r) for r in spark.table("rc_t").collect()) == [(1, 7), (2, 3)]
+    assert sorted(duck.execute("SELECT * FROM rc_t").fetchall()) == [(1, 7), (2, 3)]
+    # column-list form: DEFAULT lands on the listed column's default
+    engine.execute("INSERT INTO rc_t (b, a) VALUES (DEFAULT, 9)")
+    duck.execute("INSERT INTO rc_t (b, a) VALUES (DEFAULT, 9)")
+    assert sorted(tuple(r) for r in spark.table("rc_t").collect()) == sorted(
+        duck.execute("SELECT * FROM rc_t").fetchall()
+    )
+
+
+def test_update_rekey_referenced_parent_blocked(engine, spark, fresh):
+    """UPDATE that rewrites a referenced parent key must not orphan
+    children (pinned: DuckDB raises a constraint error)."""
+    duck = duckdb.connect()
+    fresh(duck, "rc_d", "CREATE TABLE rc_d (id INT PRIMARY KEY)",
+          "INSERT INTO rc_d VALUES (1), (2)")
+    fresh(duck, "rc_u",
+          "CREATE TABLE rc_u (cid INT, pid INT REFERENCES rc_d (id))",
+          "INSERT INTO rc_u VALUES (100, 1)")
+    stmt = "UPDATE rc_d SET id = 9 WHERE id = 1"
+    with pytest.raises(duckdb.Error):
+        duck.execute(stmt)
+    with pytest.raises(PgError) as ei:
+        engine.execute(stmt)
+    assert ei.value.pgcode == "23503"
+    assert sorted(tuple(r) for r in spark.table("rc_d").collect()) == [(1,), (2,)]
+    # re-keying the UNREFERENCED parent row is fine on both engines
+    engine.execute("UPDATE rc_d SET id = 8 WHERE id = 2")
+    duck.execute("UPDATE rc_d SET id = 8 WHERE id = 2")
+    assert sorted(tuple(r) for r in spark.table("rc_d").collect()) == [(1,), (8,)]
