@@ -43,6 +43,9 @@ def _modules():
 _PRIORITY = [
     # round 7 (this session): new dialect-shim query — must be in the
     # driver window on its first round
+    # round 7 (later session): DISTINCT ON dialect shim — new query,
+    # must be in the driver window on its first round
+    "distinct_on_sql",
     "scalar_series_unnest",
     # round 7: new production-path sketch variants (rows-only, plan-
     # audited "no raw-id rescan"), then the queries whose plan or rewrite

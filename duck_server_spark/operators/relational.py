@@ -413,6 +413,34 @@ FROM (
 """
 
 
+# DISTINCT ON as SQL TEXT (round 7): the exact PG/DuckDB syntax a client
+# sends through the reference's delegation surface (pg_conn.go hands the
+# raw statement to embedded DuckDB). The Spark side runs the dialect shim
+# (plans/rewrites.py _rewrite_distinct_on → row_number()=1 window, one
+# shuffle on the key); the oracle runs the SAME text natively on DuckDB —
+# hash equality proves the rewrite's semantics. The ORDER BY is a total
+# order within each partition (o_orderkey is unique) so both engines pick
+# the identical row; the trailing LIMIT exercises the clause-splitting.
+DISTINCT_ON_SQL_TEXT = """
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+FROM orders
+WHERE o_orderstatus <> 'X'
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+LIMIT 500
+"""
+
+
+def distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text twin of distinct_on: exercises the DISTINCT ON
+    dialect shim end-to-end (rewrite → Spark plan) against DuckDB running
+    the identical statement natively."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(DISTINCT_ON_SQL_TEXT))
+
+
 def qualify_idiom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DuckDB QUALIFY → filter over a windowed column (top-3 per segment)."""
     cust = load_table(spark, sf_dir, "customer")
@@ -488,6 +516,7 @@ QUERIES = {
     "subquery_correlated": subquery_correlated,
     "cte_chain": cte_chain,
     "distinct_on": distinct_on,
+    "distinct_on_sql": distinct_on_sql,
     "qualify": qualify_idiom,
     "sample_deterministic": sample_deterministic,
     "sample_bernoulli": sample_bernoulli,
@@ -515,6 +544,7 @@ ORACLE = {
     "subquery_correlated": SUBQUERY_CORRELATED_ORACLE,
     "cte_chain": CTE_CHAIN_ORACLE,
     "distinct_on": DISTINCT_ON_ORACLE,
+    "distinct_on_sql": DISTINCT_ON_SQL_TEXT,
     "qualify": QUALIFY_ORACLE,
     "sample_deterministic": SAMPLE_DETERMINISTIC_ORACLE,
     "values_inline": VALUES_INLINE_ORACLE,

@@ -333,6 +333,198 @@ def _rewrite_using_sample(q: str) -> str:
         pos = m.start() + len(repl)
 
 
+# ---------------------------------------------------------------------------
+# SELECT DISTINCT ON (round 7): the PG/DuckDB idiom (pg_conn.go delegates
+# it to embedded DuckDB; Spark's parser rejects it outright). Rewrite in
+# place to the row_number()=1 window idiom — the same plan shape as
+# operators/relational.py distinct_on, ONE shuffle on the partition keys:
+#     SELECT DISTINCT ON (k) sel FROM … [ORDER BY ob] [LIMIT/OFFSET …]
+#   → SELECT * EXCEPT (__don_rn_N) FROM (
+#       SELECT sel, row_number() OVER (PARTITION BY k ORDER BY ob|k)
+#         AS __don_rn_N FROM …) __don_N
+#     WHERE __don_rn_N = 1 [ORDER BY ob] [LIMIT/OFFSET …]
+# The helper column is EXCEPTed in the same statement, so it can never
+# leak to clients through any projection shape. Without ORDER BY the
+# picked row is arbitrary in DuckDB too — keys as the window order keeps
+# the plan deterministic. WHERE/GROUP BY/HAVING stay inside the inner
+# select (DISTINCT ON applies after them, matching both engines).
+# Loud-by-construction edges: an ORDER BY naming a select-list ALIAS
+# fails analysis inside the window (Spark resolves window order against
+# the input), an outer ORDER BY on a non-projected base column fails on
+# the derived table, set operations and FROM-less selects pass through
+# untouched — in every case Spark errors on the text instead of silently
+# drifting from DuckDB.
+# ---------------------------------------------------------------------------
+_DISTINCT_ON = re.compile(r"\bselect\s+distinct\s+on\s*\(", re.IGNORECASE)
+_DON_CLAUSE = re.compile(
+    r"[()]|\bfrom\b|\border\s+by\b|\blimit\b|\boffset\b|"
+    r"\bunion\b|\bintersect\b|\bexcept\b",
+    re.IGNORECASE,
+)
+_DON_SEQ = [0]
+
+
+def _rewrite_distinct_on(q: str) -> str:
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _DISTINCT_ON.search(masked, pos)
+        if m is None:
+            return q
+        keys_end = _scan_balanced(masked, m.end())
+        keys = q[m.end() : keys_end - 1].strip()
+        # one forward scan for this select's top-level clause boundaries;
+        # the scope ends where depth goes negative (enclosing ')') or EOS
+        depth = 0
+        from_pos = order_pos = order_kw_end = tail_pos = None
+        scope_end, setop = len(q), False
+        for t in _DON_CLAUSE.finditer(masked, keys_end):
+            tok = t.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+                if depth < 0:
+                    scope_end = t.start()
+                    break
+            elif depth == 0:
+                kw = tok.lower()
+                if kw == "from":
+                    if from_pos is None:
+                        from_pos = t.start()
+                elif from_pos is None:
+                    continue  # ORDER BY inside a sel-list window spec etc.
+                elif kw.startswith("order"):
+                    if order_pos is None:
+                        order_pos, order_kw_end = t.start(), t.end()
+                elif kw in ("limit", "offset"):
+                    if tail_pos is None:
+                        tail_pos = t.start()
+                else:  # union/intersect/except after FROM = set operation
+                    setop = True
+                    break
+        if setop or from_pos is None or not keys:
+            pos = m.end()  # pass through: Spark errors loudly
+            continue
+        sel = q[keys_end:from_pos].strip()
+        body_end = min(p for p in (order_pos, tail_pos, scope_end) if p is not None)
+        body = q[from_pos:body_end].strip()
+        ob_end = tail_pos if tail_pos is not None else scope_end
+        ob = q[order_kw_end:ob_end].strip() if order_pos is not None else None
+        tail = q[tail_pos:scope_end].strip() if tail_pos is not None else ""
+        # the outer ORDER BY re-sorts the one-row-per-key result; DuckDB
+        # lets it reference non-projected columns and aggregates, which
+        # the derived table hides — so each ORDER BY expression is
+        # projected as a helper column in the inner select and EXCEPTed
+        # back out (bare-integer items are POSITIONAL in DuckDB; the
+        # statement passes through rather than ordering by a constant)
+        ob_helpers: list[tuple[str, str]] = []  # (expr, trailing modifiers)
+        if ob is not None:
+            positional = False
+            for item in _split_top_level(
+                ob, _mask_literals(ob) if "'" in ob else None
+            ):
+                im = re.match(
+                    r"^(.*?)((?:\s+(?:asc|desc))?(?:\s+nulls\s+(?:first|last))?)\s*$",
+                    item,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                expr = im.group(1).strip()
+                if re.fullmatch(r"\d+", expr):
+                    positional = True
+                    break
+                ob_helpers.append((expr, im.group(2).strip()))
+            if positional:
+                pos = m.end()
+                continue
+            # a bare select-list ALIAS in ORDER BY (DuckDB resolves it;
+            # Spark's window and the inner projection can't) → substitute
+            # its expression; only exact-alias items, so expressions OVER
+            # aliases still error loudly rather than half-resolve
+            alias_map = {}
+            for s_item in _split_top_level(
+                sel, _mask_literals(sel) if "'" in sel else None
+            ):
+                am = re.match(
+                    r"^(.*\S)\s+as\s+([A-Za-z_]\w*)\s*$",
+                    s_item,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if am:
+                    alias_map[am.group(2).lower()] = am.group(1).strip()
+            # DuckDB's default null order is NULLS LAST for both
+            # directions; Spark's ASC default is NULLS FIRST — pin it
+            # explicitly or a NULL in an order column flips which row
+            # wins rn=1 (and which rows a LIMIT keeps)
+            ob_helpers = [
+                (
+                    alias_map.get(e.lower(), e),
+                    mods if "nulls" in mods.lower() else f"{mods} NULLS LAST".strip(),
+                )
+                for e, mods in ob_helpers
+            ]
+        _DON_SEQ[0] += 1
+        n = _DON_SEQ[0]
+        helper_cols = "".join(
+            f", ({e}) AS __don_ob_{n}_{i}" for i, (e, _) in enumerate(ob_helpers)
+        )
+        window_ob = (
+            ", ".join(f"{e} {mods}".strip() for e, mods in ob_helpers)
+            if ob_helpers
+            else keys
+        )
+        inner = (
+            f"SELECT {sel}{helper_cols}, row_number() OVER (PARTITION BY {keys} "
+            f"ORDER BY {window_ob}) AS __don_rn_{n} {body}"
+        )
+        except_list = ", ".join(
+            [f"__don_rn_{n}"] + [f"__don_ob_{n}_{i}" for i in range(len(ob_helpers))]
+        )
+        repl = (
+            f"SELECT * EXCEPT ({except_list}) FROM ({inner}) __don_{n} "
+            f"WHERE __don_rn_{n} = 1"
+        )
+        if ob_helpers:
+            outer_ob = ", ".join(
+                f"__don_ob_{n}_{i} {mods}".strip()
+                for i, (_, mods) in enumerate(ob_helpers)
+            )
+            repl += f" ORDER BY {outer_ob}"
+        if tail:
+            repl += " " + tail
+        q = q[: m.start()] + repl + q[scope_end:]
+        # rescan from the top: nested DISTINCT ON in sel/body still needs
+        # rewriting, and this site's keyword is consumed (no livelock)
+
+
+# DML RETURNING (round 7): split `INSERT/UPDATE/DELETE … RETURNING items`
+# into (base statement, items text). Only the LAST top-level occurrence
+# counts — a RETURNING inside a subquery or string literal never splits.
+_RETURNING_TOK = re.compile(r"[()]|\breturning\b", re.IGNORECASE)
+_DML_VERB = re.compile(r"^\s*(insert|update|delete)\b", re.IGNORECASE)
+
+
+def split_returning(q: str) -> tuple[str, str] | None:
+    """→ (DML statement without the clause, RETURNING item list) or None
+    when the statement has no top-level RETURNING (or isn't DML)."""
+    if not _DML_VERB.match(q):
+        return None
+    masked = _mask_literals(q)
+    depth, hit = 0, None
+    for t in _RETURNING_TOK.finditer(masked):
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            hit = t
+    if hit is None:
+        return None
+    items = q[hit.end() :].strip().rstrip(";").strip()
+    return q[: hit.start()].rstrip(), items
+
+
 # EXTRACT(EPOCH FROM x) → unix_timestamp(x): PG/DuckDB idiom Spark's
 # EXTRACT doesn't accept (it has no EPOCH field). Needs a balanced-paren
 # scan because x can contain calls.
@@ -527,6 +719,7 @@ def rewrite_common(q: str) -> str:
             r"EXCEPT (\1)", _EXCLUDE_PARENS.sub(r"EXCEPT (\1)", seg)
         ),
     )
+    q = _rewrite_distinct_on(q)  # after EXCLUDE→EXCEPT: sel-list stars ok
     q = _rewrite_series_unnest(q)  # before the alias pass: the TVF forms
     q = _rewrite_using_sample(q)
     q = _rewrite_ddl_types(q)

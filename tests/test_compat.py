@@ -2,6 +2,7 @@
 them), catalog shim queries (DataGrip/BI-tool probes), and complex-type
 text rendering over the PG wire."""
 
+import re
 import socket
 import time
 
@@ -919,4 +920,85 @@ def test_pg_type_spellings_over_wire(pgc, spark):
     assert rows == [("x", "1.5")]
     c.simple_query("DROP TABLE typ_t")
     shutil.rmtree(f"{warehouse}/typ_t", ignore_errors=True)
+    c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# SELECT DISTINCT ON dialect shim (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_on_rewrite_shapes():
+    r = rw.rewrite_common
+    out = r("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b DESC LIMIT 5")
+    assert "DISTINCT ON" not in out
+    assert ("row_number() OVER (PARTITION BY a "
+            "ORDER BY a NULLS LAST, b DESC NULLS LAST)") in out
+    assert out.rstrip().endswith("LIMIT 5")
+    assert "* EXCEPT (__don_rn_" in out
+    # no ORDER BY → keys as the (deterministic-plan) window order
+    out = r("SELECT DISTINCT ON (k) k, v FROM t")
+    assert "PARTITION BY k ORDER BY k)" in out
+    # WHERE / GROUP BY / HAVING stay inside the inner select
+    out = r("SELECT DISTINCT ON (a) a FROM t WHERE x > 1 "
+            "GROUP BY a, b HAVING count(*) > 2")
+    assert re.search(r"HAVING count\(\*\) > 2\) __don_\d+ WHERE", out)
+    # nested inside a derived table and a CTE
+    out = r("SELECT * FROM (SELECT DISTINCT ON (k) k FROM t ORDER BY k, v) s")
+    assert "DISTINCT ON" not in out and out.startswith("SELECT * FROM (")
+    out = r("WITH c AS (SELECT DISTINCT ON (k) k FROM e ORDER BY k, ts DESC) "
+            "SELECT * FROM c")
+    assert "DISTINCT ON" not in out and out.startswith("WITH c AS (")
+    # pass-through shapes (Spark errors loudly, never a silent drift):
+    # set operations, FROM-less selects, string literals, plain DISTINCT
+    for q in (
+        "SELECT DISTINCT ON (a) a FROM t UNION SELECT 1",
+        "SELECT DISTINCT ON (a) a FROM t EXCEPT SELECT 1",
+        "SELECT 'DISTINCT ON (a)' AS lit",
+        "SELECT DISTINCT a, b FROM t",
+    ):
+        assert r(q) == q, q
+
+
+def test_distinct_on_values_vs_duckdb(spark, duck, sf_dir):
+    """The registry text and a WHERE+GROUP BY variant, value-for-value
+    against DuckDB running the identical statements natively."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators.relational import DISTINCT_ON_SQL_TEXT
+
+    register_views(spark, sf_dir)
+    duck.execute(
+        f"CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    for txt in (
+        DISTINCT_ON_SQL_TEXT,
+        """SELECT DISTINCT ON (o_orderpriority) o_orderpriority,
+               count(*) AS n
+           FROM orders WHERE o_custkey > 100
+           GROUP BY o_orderpriority, o_orderdate
+           ORDER BY o_orderpriority, n DESC, max(o_orderdate) DESC""",
+    ):
+        dres = [tuple(map(str, r)) for r in duck.execute(txt).fetchall()]
+        sres = [
+            tuple(map(str, r))
+            for r in spark.sql(rw.rewrite_pg_query(txt)).collect()
+        ]
+        assert sres == dres, txt
+
+
+def test_distinct_on_over_wire(pgc, spark, sf_dir):
+    """A psql user's DISTINCT ON works end-to-end, no helper column in
+    the output row description."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query(
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM nation ORDER BY n_regionkey, n_name"
+    )
+    assert [c[0] for c in cols] == ["n_regionkey", "n_name"]
+    assert len(rows) == 5  # one row per region
+    assert rows[0][0] == "0" and rows[0][1] == min(r[1] for r in rows if r[0] == "0")
     c.terminate()

@@ -227,7 +227,17 @@ CHECKS = {
     ],
     "scalar_series_unnest": [
         ("tiny series/unnest sides broadcast (nested-loop)", r"BroadcastNestedLoopJoin"),
-        ("series materialize as Generate (explode TVF), not a shuffle", r"Generate explode"),
+        # formatted explain splits the op header from its Arguments line
+        # ("(3) Generate" … "Arguments: explode(…)"), and constant folding
+        # may render the literal sequence as an UnsafeArrayData — match
+        # the op and the explode argument independently
+        ("series materialize as Generate (explode TVF), not a shuffle",
+         r"Generate[\s\S]*explode\("),
+    ],
+    "distinct_on_sql": [
+        ("rewrite produces ONE window (rn=1), partitioned on the key", r"Window"),
+        ("key shuffle feeds the window", r"hashpartitioning\(o_custkey"),
+        ("LIMIT stays a limit, not a full collect", r"GlobalLimit|TakeOrderedAndProject"),
     ],
 }
 
@@ -264,6 +274,7 @@ FORBIDDEN = {
     "dedup_line_level": [("no cartesian product", r"CartesianProduct")],
     "graph_pagerank": [("no cartesian product", r"CartesianProduct")],
     "scalar_series_unnest": [("no shuffled cartesian", r"CartesianProduct")],
+    "distinct_on_sql": [("no cartesian product", r"CartesianProduct")],
     "text_bm25_retrieval": [("no cartesian product", r"CartesianProduct")],
     "dedup_ngram_containment": [("no cartesian product", r"CartesianProduct")],
     "pipeline_filter_cascade": [
