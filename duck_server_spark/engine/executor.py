@@ -630,6 +630,103 @@ class Engine:
         df = self.query(q, dialect)
         return df.schema, _BatchStream(self.spark, df, q, job_group, batch_size)
 
+    def execute_returning(self, q: str, dialect: str = "pg"):
+        """`INSERT/UPDATE/DELETE … RETURNING items` → (DataFrame, tag) or
+        None when the statement has no top-level RETURNING clause.
+
+        Semantics match DuckDB/PG (both support the clause; the reference
+        delegates it to embedded DuckDB): INSERT returns the inserted
+        post-image rows (defaults filled, casts applied), UPDATE the
+        post-update rows that matched the predicate, DELETE the deleted
+        pre-image rows. Each path materializes the affected set with an
+        eager checkpoint before the publish, so the returned DataFrame
+        survives staging cleanup and the base-table swap. Forms whose
+        affected set isn't staged as a unit (ON CONFLICT upserts,
+        UPDATE … FROM / DELETE … USING) raise 0A000 loudly."""
+        from duck_server_spark.engine.errors import PgError
+
+        split = rewrites.split_returning(q)
+        if split is None:
+            return None
+        base, items = split
+        item_list = [
+            it if it.strip() == "*" else rewrites.rewrite_common(it)
+            for it in _split_top_level(items, ",")
+        ]
+        if not item_list:
+            raise PgError("42601", "RETURNING requires at least one expression")
+
+        def project(df):
+            return df.selectExpr(*item_list)
+
+        from duck_server_spark.engine import dml_join as _dj
+        from duck_server_spark.engine import upsert as _ups
+
+        if re.match(r"\s*insert\b", base, re.IGNORECASE):
+            if _ups.parse_upsert(base) is not None:
+                raise PgError(
+                    "0A000",
+                    "RETURNING is not supported with ON CONFLICT / OR "
+                    "REPLACE / OR IGNORE",
+                )
+            m = _INSERT.match(base)
+            if m is None:
+                raise PgError("42601", f"cannot parse INSERT for RETURNING: {base}")
+            n, staged = self._validated_insert(
+                m.group(1), m.group(2), m.group(3), returning=True
+            )
+            return project(staged), f"INSERT 0 {n}"
+        m = _UPDATE.match(base)
+        if m and self._is_managed_table(m.group(1)):
+            if _dj.parse_update_from(base) is not None:
+                raise PgError(
+                    "0A000", "RETURNING is not supported with UPDATE … FROM"
+                )
+            n, affected = self._copy_on_write_update(
+                m.group(1), m.group(2), m.group(3), returning=True
+            )
+            return project(affected), f"UPDATE {n}"
+        if _dj.parse_delete_using(base) is not None:
+            raise PgError(
+                "0A000", "RETURNING is not supported with DELETE … USING"
+            )
+        m = _DELETE.match(base)
+        if m and self._is_managed_table(m.group(1)):
+            n, deleted = self._copy_on_write_delete(
+                m.group(1), m.group(2), returning=True
+            )
+            return project(deleted), f"DELETE {n}"
+        raise PgError(
+            "0A000", f"RETURNING is not supported for this statement: {base}"
+        )
+
+    def stream_df(self, df, desc: str, job_group: str | None = None, batch_size: int = 1000):
+        """→ (schema, batch stream) for an already-built DataFrame (the
+        RETURNING path) — same producer-thread contract as stream_batches."""
+        return df.schema, _BatchStream(self.spark, df, desc, job_group, batch_size)
+
+    def describe_returning(self, q: str):
+        """Schema of a DML RETURNING statement WITHOUT executing it (the
+        extended protocol's Describe): project the items over a zero-row
+        slice of the target table. None when q has no RETURNING clause."""
+        split = rewrites.split_returning(q)
+        if split is None:
+            return None
+        base, items = split
+        table = None
+        for rx in (_INSERT, _UPDATE, _DELETE):
+            m = rx.match(base)
+            if m:
+                table = m.group(1)
+                break
+        if table is None:
+            return None
+        item_list = [
+            it if it.strip() == "*" else rewrites.rewrite_common(it)
+            for it in _split_top_level(items, ",")
+        ]
+        return self.spark.table(table).limit(0).selectExpr(*item_list).schema
+
     def execute(self, q: str, dialect: str = "pg") -> str:
         """DDL/DML path → command tag. Intercepts the statements vanilla
         Spark can't run (CREATE USER, UPDATE, DELETE, DISCARD ALL)."""
@@ -881,7 +978,13 @@ class Engine:
             out_rows.append("(" + ", ".join(s.strip() for s in new_items) + ")")
         return "VALUES " + ", ".join(out_rows)
 
-    def _validated_insert(self, table: str, cols_csv: str | None, source: str) -> int:
+    def _validated_insert(
+        self,
+        table: str,
+        cols_csv: str | None,
+        source: str,
+        returning: bool = False,
+    ):
         """INSERT into a constrained table: materialize the source once
         (eager localCheckpoint — the validation jobs and the append must
         see identical rows even for non-deterministic SELECT sources),
@@ -914,12 +1017,19 @@ class Engine:
 
             with _COMMIT_MUTEX:
                 staged.write.mode("append").saveAsTable(table)
-            return n
+            # RETURNING: the staged rows ARE the inserted post-image
+            # (aligned, defaults filled, casts applied) — keep the
+            # checkpoint alive for the caller's projection
+            return (n, staged) if returning else n
         finally:
-            try:
-                staged.rdd.unpersist(False)  # release the checkpoint blocks
-            except Exception:  # noqa: BLE001 — cleanup best-effort
-                pass
+            import sys as _sys
+
+            # keep the checkpoint only for a SUCCESSFUL returning insert
+            if not returning or _sys.exc_info()[0] is not None:
+                try:
+                    staged.rdd.unpersist(False)  # release checkpoint blocks
+                except Exception:  # noqa: BLE001 — cleanup best-effort
+                    pass
 
     def appender(self, table: str, cols: list[str] | None, **kw):
         """BatchAppender wired with this engine's constraint validation
@@ -944,7 +1054,9 @@ class Engine:
         except Exception:
             return False
 
-    def _copy_on_write_update(self, table: str, set_clause: str, where: str | None) -> int:
+    def _copy_on_write_update(
+        self, table: str, set_clause: str, where: str | None, returning: bool = False
+    ):
         """UPDATE t SET a=e1, b=e2 WHERE p → full-table rewrite:
         SELECT with CASE WHEN p THEN e ELSE a END per assigned column.
         At scale this is the standard parquet-table strategy (Delta/
@@ -996,11 +1108,30 @@ class Engine:
                     cst.validate_parent_rekey(
                         spark, table, staged, refs, self.constraints
                     )
+        capture = None
+        publish_cols = None
+        if returning:
+            # RETURNING sees the POST-update row (DuckDB/PG): a hit
+            # marker (pred over OLD values, same input row the CASE
+            # rewrites from) rides the staged rewrite and is published
+            # away via publish_cols
+            select_exprs.append(f"({pred}) AS __ret_hit")
+            publish_cols = [f.name for f in df.schema.fields]
+            capture = lambda fresh, staged: (  # noqa: E731
+                staged.filter("__ret_hit").drop("__ret_hit")
+            )
         return self._overwrite_table(
-            table, lambda d: d.selectExpr(*select_exprs), hit, validate=validate
+            table,
+            lambda d: d.selectExpr(*select_exprs),
+            hit,
+            validate=validate,
+            publish_cols=publish_cols,
+            capture=capture,
         )
 
-    def _copy_on_write_delete(self, table: str, where: str | None) -> int:
+    def _copy_on_write_delete(
+        self, table: str, where: str | None, returning: bool = False
+    ):
         # ON DELETE RESTRICT: a child FK referencing this table blocks the
         # delete of still-referenced keys (23503) BEFORE anything rewrites.
         # A transaction shadow resolves to its base name for the reverse
@@ -1029,11 +1160,23 @@ class Engine:
                 # listing stale (FILE_NOT_EXIST on count, or a count of
                 # the pre-publish rows)
                 self.spark.catalog.refreshTable(table)
+                if returning:
+                    # DELETE RETURNING yields the deleted (pre-image)
+                    # rows: materialize before the truncate removes them
+                    captured = self.spark.table(table).localCheckpoint(eager=True)
+                    n = captured.count()
+                    self.spark.sql(f"TRUNCATE TABLE {table}")
+                    return n, captured
                 n = self.spark.table(table).count()
                 self.spark.sql(f"TRUNCATE TABLE {table}")
             return n
         hit = F.sum(F.when(F.expr(where), 1).otherwise(0)).cast("long").alias("n")
-        return self._overwrite_table(table, lambda d: d.filter(~F.expr(where)), hit)
+        capture = (
+            (lambda fresh, staged: fresh.filter(F.expr(where))) if returning else None
+        )
+        return self._overwrite_table(
+            table, lambda d: d.filter(~F.expr(where)), hit, capture=capture
+        )
 
     def _overwrite_table(
         self,
@@ -1044,6 +1187,7 @@ class Engine:
         observe_output=False,
         publish_cols=None,
         publish_where=None,
+        capture=None,
     ) -> int:
         """Stage-then-swap rewrite, never through the driver:
 
@@ -1147,6 +1291,17 @@ class Engine:
                 except Exception:
                     self.spark.sql(f"DROP TABLE {staging}")
                     raise  # base table untouched
+            captured = None
+            if capture is not None:
+                # DML RETURNING (round 7): capture(fresh base, staged
+                # result) → the affected-row set, materialized by an
+                # eager checkpoint BEFORE the publish drops the staging
+                # files (and before a DELETE's publish removes the very
+                # base rows being returned). On a fingerprint-mismatch
+                # retry the stale capture is discarded with the staging.
+                captured = capture(
+                    fresh, self.spark.table(staging)
+                ).localCheckpoint(eager=True)
             with _COMMIT_MUTEX:
                 if _table_fingerprint(self.spark, table) == fp:
                     # INSERT OVERWRITE, not overwrite-saveAsTable: the
@@ -1166,7 +1321,7 @@ class Engine:
                         f"INSERT OVERWRITE TABLE {table} SELECT {proj} FROM {staging}{cond}"
                     )
                     self.spark.sql(f"DROP TABLE {staging}")
-                    return n
+                    return (n, captured) if capture is not None else n
             # fingerprint mismatch: a concurrent publish/append landed.
             # refreshTable before retrying (r7 review) — the re-staged
             # rewrite must list the FRESH files, not a cached listing,

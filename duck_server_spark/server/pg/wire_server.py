@@ -519,9 +519,15 @@ class PgConnection:
             await self._run_query("SELECT 0 AS transaction_read_only", send_row_desc=True)
             return
         if _WRITE_VERB.match(q) and not q.lower().startswith(("select", "with")):
-            tag = await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.execute, q, "pg"
+            loop = asyncio.get_running_loop()
+            # DML RETURNING: rows + the DML command tag (PG shape)
+            ret = await loop.run_in_executor(
+                None, self.engine.execute_returning, q, "pg"
             )
+            if ret is not None:
+                await self._stream_returning(ret, send_row_desc=True)
+                return
+            tag = await loop.run_in_executor(None, self.engine.execute, q, "pg")
             self.send_command_complete(tag)
             return
         await self._run_query(q, send_row_desc=True)
@@ -590,6 +596,33 @@ class PgConnection:
                 await loop.run_in_executor(None, txn.rollback)
                 if tag == "COMMIT":
                     tag = "ROLLBACK"
+        self.send_command_complete(tag)
+
+    async def _stream_returning(self, ret, send_row_desc: bool) -> None:
+        """Stream a DML RETURNING result: the affected-row DataFrame is
+        already materialized (checkpointed) by the engine, so this only
+        drains it — then the DML command tag (INSERT 0 n / UPDATE n /
+        DELETE n), matching PG's RETURNING protocol shape."""
+        df, tag = ret
+        loop = asyncio.get_running_loop()
+        schema, stream = await loop.run_in_executor(
+            None, lambda: self.engine.stream_df(df, tag, self.job_group)
+        )
+        if send_row_desc:
+            self.send_row_description(schema)
+        try:
+            while True:
+                batch = await loop.run_in_executor(None, stream.next_batch)
+                if batch is None:
+                    break
+                for row in batch:
+                    self.send_data_row(row)
+                await self.writer.drain()
+        except (ConnectionResetError, BrokenPipeError, asyncio.CancelledError):
+            stream.close()
+            raise
+        finally:
+            stream.close()
         self.send_command_complete(tag)
 
     async def _run_query(self, q: str, send_row_desc: bool) -> None:
@@ -846,6 +879,14 @@ class PgConnection:
             probe = rewrites.params_to_null(probe_src)  # pg_conn.go:652-656
             if self.txn is not None and self.txn.status != "E":
                 probe = self.txn.rewrite(probe)  # read-your-writes
+            # DML RETURNING: schema from a zero-row projection over the
+            # target — never by executing the write
+            rschema = await loop.run_in_executor(
+                None, self.engine.describe_returning, probe
+            )
+            if rschema is not None:
+                self.send_row_description(rschema)
+                return
             schema = await loop.run_in_executor(None, lambda: self.engine.query(probe, "pg").schema)
             self.send_row_description(schema)
         else:
@@ -858,6 +899,12 @@ class PgConnection:
                 q = self._expand_execute_sql(em.group(1), em.group(2))
             if self.txn is not None and self.txn.status != "E":
                 q = self.txn.rewrite(q)  # read-your-writes for Describe
+            rschema = await loop.run_in_executor(
+                None, self.engine.describe_returning, q
+            )
+            if rschema is not None:
+                self.send_row_description(rschema, portal.result_formats)
+                return
             schema = await loop.run_in_executor(None, lambda: self.engine.query(q, "pg").schema)
             self.send_row_description(schema, portal.result_formats)
 
@@ -900,9 +947,16 @@ class PgConnection:
                 return
             q = await loop.run_in_executor(None, self.txn.prepare, q)
         if _WRITE_VERB.match(q) and not q.strip().lower().startswith(("select", "with")):
-            tag = await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.execute, q, "pg"
+            loop = asyncio.get_running_loop()
+            # DML RETURNING via extended protocol: DataRows only — the
+            # RowDescription came from Describe (describe_returning)
+            ret = await loop.run_in_executor(
+                None, self.engine.execute_returning, q, "pg"
             )
+            if ret is not None:
+                await self._stream_returning(ret, send_row_desc=False)
+                return
+            tag = await loop.run_in_executor(None, self.engine.execute, q, "pg")
             self.send_command_complete(tag)
             return
         # Execute sends data rows only — RowDescription came from Describe.

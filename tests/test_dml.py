@@ -110,3 +110,91 @@ def test_create_table_recovers_orphaned_base_location(spark):
     assert spark.table("orph_base1").count() == 1
     spark.sql("DROP TABLE orph_base1")
     shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# DML RETURNING (round 7): INSERT → inserted post-image, UPDATE →
+# post-update matched rows, DELETE → deleted pre-image. Semantics pinned
+# live against DuckDB in test_returning_semantics_match_duckdb.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ret_table(engine, spark):
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS dml_ret")
+    shutil.rmtree(f"{warehouse}/dml_ret", ignore_errors=True)
+    engine.execute("CREATE TABLE dml_ret (id INT, name TEXT, val DOUBLE)")
+    yield "dml_ret"
+    spark.sql("DROP TABLE IF EXISTS dml_ret")
+    shutil.rmtree(f"{warehouse}/dml_ret", ignore_errors=True)
+
+
+def test_returning_insert_update_delete(engine, spark, ret_table):
+    df, tag = engine.execute_returning(
+        "INSERT INTO dml_ret VALUES (1,'a',1.5), (2,'b',2.5) "
+        "RETURNING id, upper(name) AS u"
+    )
+    assert tag == "INSERT 0 2"
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "A"), (2, "B")]
+
+    df, tag = engine.execute_returning(
+        "UPDATE dml_ret SET val = val * 2 WHERE id = 2 RETURNING *"
+    )
+    assert tag == "UPDATE 1"
+    assert [tuple(r) for r in df.collect()] == [(2, "b", 5.0)]
+
+    df, tag = engine.execute_returning(
+        "DELETE FROM dml_ret WHERE id = 1 RETURNING id, val"
+    )
+    assert tag == "DELETE 1"
+    assert [tuple(r) for r in df.collect()] == [(1, 1.5)]
+    # whole-table DELETE (truncate fast path) still returns the pre-image
+    df, tag = engine.execute_returning("DELETE FROM dml_ret RETURNING *")
+    assert tag == "DELETE 1"
+    assert [tuple(r) for r in df.collect()] == [(2, "b", 5.0)]
+    assert spark.table("dml_ret").count() == 0
+
+
+def test_returning_none_without_clause_and_guards(engine, spark, ret_table):
+    assert engine.execute_returning("UPDATE dml_ret SET val = 1") is None
+    # RETURNING in a string literal or subquery never splits
+    assert engine.execute_returning(
+        "INSERT INTO dml_ret VALUES (1, 'RETURNING x', 0)"
+    ) is None
+    from duck_server_spark.engine.errors import PgError
+
+    with pytest.raises(PgError) as ei:
+        engine.execute_returning(
+            "INSERT INTO dml_ret VALUES (9,'z',0) ON CONFLICT DO NOTHING RETURNING id"
+        )
+    assert ei.value.pgcode == "0A000"
+
+
+def test_returning_describe_schema_without_execution(engine, spark, ret_table):
+    engine.execute("INSERT INTO dml_ret VALUES (5, 'x', 1.0)")
+    schema = engine.describe_returning(
+        "UPDATE dml_ret SET val = 0 RETURNING id, val * 2 AS d"
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in schema] == [
+        ("id", "int"), ("d", "double")
+    ]
+    # describing must NOT have executed the update
+    assert [tuple(r) for r in spark.table("dml_ret").collect()] == [(5, "x", 1.0)]
+
+
+def test_returning_semantics_match_duckdb(engine, spark, duck, ret_table):
+    """Pin the three verbs' RETURNING semantics against live DuckDB on
+    identical data: DuckDB is what the reference's clients see."""
+    duck.execute("CREATE OR REPLACE TABLE d_ret (id INT, name TEXT, val DOUBLE)")
+    stmts = [
+        ("INSERT INTO {t} VALUES (1,'a',1.5), (2,'b',2.5) RETURNING id, val + 1 AS v1", "INSERT"),
+        ("UPDATE {t} SET val = val * 10 WHERE id = 1 RETURNING id, name, val", "UPDATE"),
+        ("DELETE FROM {t} WHERE val > 20 RETURNING id", "DELETE"),
+    ]
+    for templ, _verb in stmts:
+        dres = sorted(tuple(r) for r in duck.execute(templ.format(t="d_ret")).fetchall())
+        sdf, _tag = engine.execute_returning(templ.format(t="dml_ret"))
+        sres = sorted(tuple(r) for r in sdf.collect())
+        assert sres == dres, templ
+    duck.execute("DROP TABLE d_ret")

@@ -698,3 +698,95 @@ def test_sql_prepare_execute_in_transaction_script(pg):
     assert rows == [("2",)]
     c.simple_query("DEALLOCATE ALL")
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# DML RETURNING over the wire (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_returning_simple_protocol(pg, spark):
+    """psql-style: RowDescription + DataRows + the DML tag in one round."""
+    import shutil
+
+    addr, _engine = pg
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*addr)
+    c.simple_query("DROP TABLE IF EXISTS pg_ret1")
+    shutil.rmtree(f"{warehouse}/pg_ret1", ignore_errors=True)
+    c.simple_query("CREATE TABLE pg_ret1 (id INT, v DOUBLE)")
+    cols, rows, tag = c.simple_query(
+        "INSERT INTO pg_ret1 VALUES (1, 1.5), (2, 2.5) RETURNING id, v * 2 AS d"
+    )
+    assert [x[0] for x in cols] == ["id", "d"]
+    assert sorted(rows) == [("1", "3.0"), ("2", "5.0")]
+    assert tag == "INSERT 0 2"
+    cols, rows, tag = c.simple_query(
+        "UPDATE pg_ret1 SET v = 0 WHERE id = 1 RETURNING *"
+    )
+    assert [x[0] for x in cols] == ["id", "v"]
+    assert rows == [("1", "0.0")] and tag == "UPDATE 1"
+    cols, rows, tag = c.simple_query("DELETE FROM pg_ret1 WHERE id = 2 RETURNING id")
+    assert rows == [("2",)] and tag == "DELETE 1"
+    c.simple_query("DROP TABLE pg_ret1")
+    shutil.rmtree(f"{warehouse}/pg_ret1", ignore_errors=True)
+    c.terminate()
+
+
+def test_returning_extended_protocol(pg, spark):
+    """JDBC-style: Describe yields the RETURNING row description without
+    executing; Execute sends DataRows + the DML tag."""
+    import shutil
+
+    addr, _engine = pg
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*addr)
+    c.simple_query("DROP TABLE IF EXISTS pg_ret2")
+    shutil.rmtree(f"{warehouse}/pg_ret2", ignore_errors=True)
+    c.simple_query("CREATE TABLE pg_ret2 (id INT, v DOUBLE)")
+    c.simple_query("INSERT INTO pg_ret2 VALUES (1, 1.0), (2, 2.0)")
+    c.parse("s1", "UPDATE pg_ret2 SET v = v + $1 RETURNING id, v")
+    c.bind("p1", "s1", ["10"])
+    c.describe_portal("p1")
+    c.execute("p1")
+    msgs = c.sync_collect_raw()
+    kinds = [t for t, _ in msgs]
+    assert b"T" in kinds, kinds  # RowDescription from Describe
+    # describing didn't execute: the first T arrives before any D
+    drows = [PgClient._parse_data_row(d) for t, d in msgs if t == b"D"]
+    assert sorted(drows) == [("1", "11.0"), ("2", "12.0")]
+    tags = [d.rstrip(b"\x00").decode() for t, d in msgs if t == b"C"]
+    assert tags == ["UPDATE 2"]
+    c.simple_query("DROP TABLE pg_ret2")
+    shutil.rmtree(f"{warehouse}/pg_ret2", ignore_errors=True)
+    c.terminate()
+
+
+def test_returning_inside_transaction(pg, spark):
+    """RETURNING through a txn shadow: read-your-writes post-image rows,
+    nothing published until COMMIT."""
+    import shutil
+
+    addr, _engine = pg
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*addr)
+    c.simple_query("DROP TABLE IF EXISTS pg_ret3")
+    shutil.rmtree(f"{warehouse}/pg_ret3", ignore_errors=True)
+    c.simple_query("CREATE TABLE pg_ret3 (id INT, v DOUBLE)")
+    c.simple_query("INSERT INTO pg_ret3 VALUES (1, 1.0)")
+    c.simple_query("BEGIN")
+    _, rows, tag = c.simple_query(
+        "UPDATE pg_ret3 SET v = 99 WHERE id = 1 RETURNING id, v"
+    )
+    assert rows == [("1", "99.0")] and tag == "UPDATE 1"
+    # a second session sees the pre-commit value
+    c2 = PgClient(*addr)
+    _, rows2, _ = c2.simple_query("SELECT v FROM pg_ret3")
+    assert rows2 == [("1.0",)]
+    c.simple_query("COMMIT")
+    _, rows2, _ = c2.simple_query("SELECT v FROM pg_ret3")
+    assert rows2 == [("99.0",)]
+    c2.terminate()
+    c.simple_query("DROP TABLE pg_ret3")
+    shutil.rmtree(f"{warehouse}/pg_ret3", ignore_errors=True)
+    c.terminate()
