@@ -432,6 +432,13 @@ class Engine:
         m = _SUMMARIZE.match(q)
         if m:
             return self._summarize(m.group(1), dialect)
+        if re.match(r"\s*pivot\b", q, re.IGNORECASE):
+            # DuckDB's simplified PIVOT statement — engine/pivot.py
+            from duck_server_spark.engine.pivot import pivot_statement
+
+            df = pivot_statement(self.spark, q)
+            if df is not None:
+                return df
         m = _DESCRIBE_STMT.match(q)
         if m:
             return self._describe(m.group(1), dialect)

@@ -46,6 +46,8 @@ _PRIORITY = [
     # round 7 (later session): DISTINCT ON dialect shim — new query,
     # must be in the driver window on its first round
     "distinct_on_sql",
+    "pivot_stmt_sql",
+    "unpivot_stmt_sql",
     "scalar_series_unnest",
     # round 7: new production-path sketch variants (rows-only, plan-
     # audited "no raw-id rescan"), then the queries whose plan or rewrite

@@ -441,6 +441,46 @@ def distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(DISTINCT_ON_SQL_TEXT))
 
 
+# DuckDB's simplified PIVOT statement (round 7): dynamic column
+# discovery → Spark PIVOT clause (engine/pivot.py). The default-USING
+# form exercises the count-0 fill; orderpriority has 5 stable values so
+# both engines mint identical sorted columns. The oracle runs the SAME
+# text natively on DuckDB.
+PIVOT_STMT_SQL_TEXT = "PIVOT orders ON o_orderpriority GROUP BY o_orderstatus"
+
+
+def pivot_stmt_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `PIVOT tbl ON col [USING …] [GROUP BY …]` statement —
+    two-phase: distinct-value discovery (driver-side, capped), then ONE
+    hash-aggregate shuffle on the group keys (the same plan as
+    groupBy().pivot())."""
+    from duck_server_spark.engine.pivot import pivot_statement
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return pivot_statement(spark, PIVOT_STMT_SQL_TEXT)
+
+
+# DuckDB's simplified UNPIVOT statement (round 7): pure dialect rewrite
+# onto the SQL-standard UNPIVOT clause both engines support
+# (plans/rewrites.py rewrite_unpivot_stmt). Both engines drop NULL cells
+# by default; p_size (int) widens to DOUBLE alongside p_retailprice in
+# both.
+UNPIVOT_STMT_SQL_TEXT = (
+    "UNPIVOT part ON p_retailprice, p_size INTO NAME metric VALUE val"
+)
+
+
+def unpivot_stmt_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `UNPIVOT tbl ON cols INTO NAME n VALUE v` — rewrites to
+    Spark's UNPIVOT clause: a Generate (explode) per row, no shuffle."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(UNPIVOT_STMT_SQL_TEXT))
+
+
 def qualify_idiom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DuckDB QUALIFY → filter over a windowed column (top-3 per segment)."""
     cust = load_table(spark, sf_dir, "customer")
@@ -517,6 +557,8 @@ QUERIES = {
     "cte_chain": cte_chain,
     "distinct_on": distinct_on,
     "distinct_on_sql": distinct_on_sql,
+    "pivot_stmt_sql": pivot_stmt_sql,
+    "unpivot_stmt_sql": unpivot_stmt_sql,
     "qualify": qualify_idiom,
     "sample_deterministic": sample_deterministic,
     "sample_bernoulli": sample_bernoulli,
@@ -545,6 +587,8 @@ ORACLE = {
     "cte_chain": CTE_CHAIN_ORACLE,
     "distinct_on": DISTINCT_ON_ORACLE,
     "distinct_on_sql": DISTINCT_ON_SQL_TEXT,
+    "pivot_stmt_sql": PIVOT_STMT_SQL_TEXT,
+    "unpivot_stmt_sql": UNPIVOT_STMT_SQL_TEXT,
     "qualify": QUALIFY_ORACLE,
     "sample_deterministic": SAMPLE_DETERMINISTIC_ORACLE,
     "values_inline": VALUES_INLINE_ORACLE,

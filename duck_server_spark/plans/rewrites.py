@@ -497,6 +497,28 @@ def _rewrite_distinct_on(q: str) -> str:
         # rewriting, and this site's keyword is consumed (no livelock)
 
 
+# DuckDB simplified UNPIVOT statement (round 7):
+#     UNPIVOT tbl ON c1, c2, … INTO NAME n VALUE v
+# → Spark's SQL-standard clause (which DuckDB also accepts):
+#     SELECT * FROM tbl UNPIVOT (v FOR n IN (c1, c2, …))
+# Both engines exclude NULL cells by default — semantics line up exactly.
+# Column-pattern forms (COLUMNS(*), exclude lists, multi-VALUE) don't
+# match the regex and pass through loudly.
+_UNPIVOT_STMT = re.compile(
+    r"^\s*unpivot\s+([\w.`\"]+)\s+on\s+(.+?)\s+into\s+name\s+"
+    r"([\w`\"]+)\s+value\s+([\w`\"]+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_unpivot_stmt(q: str) -> str:
+    m = _UNPIVOT_STMT.match(q)
+    if m is None:
+        return q
+    tbl, cols, name, val = m.groups()
+    return f"SELECT * FROM {tbl} UNPIVOT ({val} FOR {name} IN ({cols}))"
+
+
 # DML RETURNING (round 7): split `INSERT/UPDATE/DELETE … RETURNING items`
 # into (base statement, items text). Only the LAST top-level occurrence
 # counts — a RETURNING inside a subquery or string literal never splits.
@@ -719,6 +741,7 @@ def rewrite_common(q: str) -> str:
             r"EXCEPT (\1)", _EXCLUDE_PARENS.sub(r"EXCEPT (\1)", seg)
         ),
     )
+    q = rewrite_unpivot_stmt(q)  # statement-anchored, runs at most once
     q = _rewrite_distinct_on(q)  # after EXCLUDE→EXCEPT: sel-list stars ok
     q = _rewrite_series_unnest(q)  # before the alias pass: the TVF forms
     q = _rewrite_using_sample(q)

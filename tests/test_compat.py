@@ -1002,3 +1002,95 @@ def test_distinct_on_over_wire(pgc, spark, sf_dir):
     assert len(rows) == 5  # one row per region
     assert rows[0][0] == "0" and rows[0][1] == min(r[1] for r in rows if r[0] == "0")
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB simplified PIVOT / UNPIVOT statements (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_stmt_matches_duckdb(spark, duck):
+    """Full form grid against live DuckDB on identical data: single agg,
+    multi agg with aliases, default count (0-fill), implicit grouping,
+    and a static IN restriction. NULL pivot values mint no column but
+    their rows still group."""
+    import shutil
+
+    from duck_server_spark.engine.pivot import pivot_statement
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS pv_t")
+    shutil.rmtree(f"{wh}/pv_t", ignore_errors=True)
+    rows = "('A','open',1.0,1),('A','closed',2.0,2),('B','open',3.0,3),('B',NULL,4.0,4),('C','zed',5.0,5)"
+    spark.sql("CREATE TABLE pv_t (seg STRING, status STRING, amt DOUBLE, n INT)")
+    spark.sql(f"INSERT INTO pv_t VALUES {rows}")
+    duck.execute("CREATE OR REPLACE TABLE pv_t (seg TEXT, status TEXT, amt DOUBLE, n INT)")
+    duck.execute(f"INSERT INTO pv_t VALUES {rows}")
+    for stmt in (
+        "PIVOT pv_t ON status USING sum(amt) GROUP BY seg",
+        "PIVOT pv_t ON status USING sum(amt) AS s, max(n) AS m GROUP BY seg",
+        "PIVOT pv_t ON status GROUP BY seg",
+        "PIVOT pv_t ON status USING sum(amt)",
+        "PIVOT pv_t ON status IN ('open','zed') USING max(n) GROUP BY seg",
+    ):
+        d = duck.execute(stmt)
+        dcols = [x[0] for x in d.description]
+        drows = sorted(tuple(r) for r in d.fetchall())
+        sdf = pivot_statement(spark, stmt)
+        assert sdf.columns == dcols, (stmt, sdf.columns, dcols)
+        assert sorted(tuple(r) for r in sdf.collect()) == drows, stmt
+    duck.execute("DROP TABLE pv_t")
+    spark.sql("DROP TABLE pv_t")
+    shutil.rmtree(f"{wh}/pv_t", ignore_errors=True)
+
+
+def test_pivot_stmt_guards(spark):
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.pivot import pivot_statement
+
+    # non-PIVOT statements pass through as None
+    assert pivot_statement(spark, "SELECT 1") is None
+    with pytest.raises(PgError) as ei:
+        pivot_statement(spark, "PIVOT nation ON n_name || n_comment USING count(1)")
+    assert ei.value.pgcode == "0A000"
+
+
+def test_unpivot_stmt_rewrite_and_values(spark, duck, sf_dir):
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    duck.execute(
+        f"CREATE OR REPLACE VIEW up_part AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/part.parquet')"
+    )
+    txt = "UNPIVOT up_part ON p_retailprice, p_size INTO NAME metric VALUE val"
+    out = rw.rewrite_pg_query(txt)
+    assert out.startswith("SELECT * FROM up_part UNPIVOT (val FOR metric IN (")
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("up_part")
+    d = duck.execute(txt)
+    dcols = [x[0] for x in d.description]
+    sdf = spark.sql(out)
+    assert sdf.columns == dcols
+    drows = sorted(tuple(str(v) for v in r) for r in d.fetchall())
+    srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
+    assert srows == drows
+    duck.execute("DROP VIEW up_part")
+
+
+def test_pivot_unpivot_over_wire(pgc, spark, sf_dir):
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query(
+        "PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus"
+    )
+    names = [x[0] for x in cols]
+    assert names[0] == "o_orderstatus" and "1-URGENT" in names
+    assert len(rows) >= 1
+    cols, rows, _ = c.simple_query(
+        "UNPIVOT region ON r_regionkey INTO NAME k VALUE v"
+    )
+    assert [x[0] for x in cols] == ["r_name", "k", "v"]
+    assert len(rows) == 5
+    c.terminate()

@@ -239,6 +239,10 @@ CHECKS = {
         ("key shuffle feeds the window", r"hashpartitioning\(o_custkey"),
         ("LIMIT stays a limit, not a full collect", r"GlobalLimit|TakeOrderedAndProject"),
     ],
+    "pivot_stmt_sql": [
+        ("pivot is one hash aggregate on the group keys", r"HashAggregate"),
+        ("pivot-col scan pruned to the needed columns", r"ReadSchema: [^\n]*o_orderpriority"),
+    ],
 }
 
 FORBIDDEN = {
@@ -275,6 +279,11 @@ FORBIDDEN = {
     "graph_pagerank": [("no cartesian product", r"CartesianProduct")],
     "scalar_series_unnest": [("no shuffled cartesian", r"CartesianProduct")],
     "distinct_on_sql": [("no cartesian product", r"CartesianProduct")],
+    "pivot_stmt_sql": [("no cartesian product", r"CartesianProduct")],
+    "unpivot_stmt_sql": [
+        ("unpivot is scan-local: no shuffle anywhere", r"Exchange"),
+        ("no join", r"Join"),
+    ],
     "text_bm25_retrieval": [("no cartesian product", r"CartesianProduct")],
     "dedup_ngram_containment": [("no cartesian product", r"CartesianProduct")],
     "pipeline_filter_cascade": [
