@@ -206,6 +206,13 @@ class Engine:
         # bookkeeping; persisted like the user/constraint stores
         self._indexes_path = os.path.join(self.data_dir, "duckserver_indexes.json")
         self._indexes_lock = threading.Lock()
+        # sequence registry (engine/sequences.py): CREATE SEQUENCE +
+        # nextval/currval resolve driver-side; persisted like the rest
+        from duck_server_spark.engine.sequences import SequenceStore
+
+        self.sequences = SequenceStore(
+            os.path.join(self.data_dir, "duckserver_sequences.json")
+        )
         self._bootstrap()
         # roll interrupted multi-table COMMITs forward (crash between two
         # table publishes leaves a journal manifest — engine/transactions.py)
@@ -429,6 +436,7 @@ class Engine:
         return q
 
     def query(self, q: str, dialect: str = "pg") -> DataFrame:
+        q = self._resolve_sequences(q, scalar_select=True)
         m = _SUMMARIZE.match(q)
         if m:
             return self._summarize(m.group(1), dialect)
@@ -637,6 +645,46 @@ class Engine:
         df = self.query(q, dialect)
         return df.schema, _BatchStream(self.spark, df, q, job_group, batch_size)
 
+    def _resolve_sequences(self, q: str, scalar_select: bool = False) -> str:
+        """Substitute nextval()/currval() call sites with reserved values
+        — ONLY on the statement shapes where one textual occurrence is
+        exactly one row-cell: multi-row `INSERT … VALUES` (each
+        occurrence = one cell, reservations in text order = DuckDB's
+        insertion order) and FROM-less scalar selects. A nextval over a
+        distributed row stream (SELECT … FROM, UPDATE SET, INSERT …
+        SELECT) would need per-row serialization through the driver —
+        those raise 0A000 loudly (scale note in engine/sequences.py).
+
+        One acknowledged PG divergence: an extended-protocol Describe of
+        a nextval select reserves values (our Describe analyzes the
+        substituted text). Sequence gaps are explicitly legal in the
+        PG/DuckDB contract, so this is safe, just eager."""
+        from duck_server_spark.engine import sequences as _seq
+        from duck_server_spark.engine.errors import PgError
+
+        masked = rewrites._mask_literals(q)
+        if not _seq.SEQ_FN.search(masked):
+            return q
+        if scalar_select:
+            if re.search(r"\bfrom\b", masked, re.IGNORECASE):
+                raise PgError(
+                    "0A000",
+                    "nextval/currval over a row stream is not supported "
+                    "(sequences serialize; use it in INSERT … VALUES or a "
+                    "FROM-less SELECT)",
+                )
+        elif not (
+            re.match(r"\s*insert\b", q, re.IGNORECASE)
+            and re.search(r"\bvalues\b", masked, re.IGNORECASE)
+            and not re.search(r"\bselect\b|\bfrom\b", masked, re.IGNORECASE)
+        ):
+            raise PgError(
+                "0A000",
+                "nextval/currval is only supported in INSERT … VALUES "
+                "and FROM-less SELECTs (sequences serialize row streams)",
+            )
+        return _seq.resolve_calls(q, masked, self.sequences)
+
     def execute_returning(self, q: str, dialect: str = "pg"):
         """`INSERT/UPDATE/DELETE … RETURNING items` → (DataFrame, tag) or
         None when the statement has no top-level RETURNING clause.
@@ -655,7 +703,11 @@ class Engine:
         split = rewrites.split_returning(q)
         if split is None:
             return None
-        base, items = split
+        # resolve sequence calls only once it's certain this path RUNS
+        # the statement (resolving then falling back to execute() would
+        # burn values twice); Describe goes through describe_returning,
+        # which never resolves
+        base, items = rewrites.split_returning(self._resolve_sequences(q))
         item_list = [
             it if it.strip() == "*" else rewrites.rewrite_common(it)
             for it in _split_top_level(items, ",")
@@ -743,6 +795,24 @@ class Engine:
             return "CREATE USER"  # pg_conn.go:291 tag
         if _DISCARD_ALL.match(q):
             return "DISCARD ALL"
+        if re.match(r"\s*(create|drop)\s+sequence\b", q, re.IGNORECASE):
+            from duck_server_spark.engine import sequences as _seq
+            from duck_server_spark.engine.errors import PgError
+
+            cm = _seq.parse_create(q)
+            if cm is not None:
+                name, start, inc, ine = cm
+                self.sequences.create(name, start, inc, ine)
+                return "CREATE SEQUENCE"
+            dm = _seq.DROP_SEQ.match(q)
+            if dm is not None:
+                self.sequences.drop(dm.group("name"), bool(dm.group("ie")))
+                return "DROP SEQUENCE"
+            raise PgError(
+                "0A000",
+                "unsupported sequence clause (START/INCREMENT only): " + q.strip()[:80],
+            )
+        q = self._resolve_sequences(q)
         m = _UPDATE.match(q)
         if m and self._is_managed_table(m.group(1)):
             # UPDATE … FROM first: the plain-UPDATE regex would swallow

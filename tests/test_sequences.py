@@ -1,0 +1,149 @@
+"""DuckDB sequences: CREATE/DROP SEQUENCE + nextval()/currval().
+
+The reference delegates these to embedded DuckDB (README.md:26); here
+the registry is engine-owned (engine/sequences.py) and the functions
+resolve driver-side. Value semantics are pinned live against DuckDB in
+test_sequence_semantics_match_duckdb."""
+
+import shutil
+
+import pytest
+
+from duck_server_spark.engine.errors import PgError
+from duck_server_spark.engine.executor import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = Engine(spark)
+    # fresh registry per module run (the JSON store persists on purpose)
+    for s in ("sq1", "sq2", "sq3", "sqw", "sqd", "sqr"):
+        try:
+            eng.sequences.drop(s, if_exists=True)
+        except Exception:  # noqa: BLE001
+            pass
+    return eng
+
+
+def test_create_nextval_currval_drop(engine):
+    assert engine.execute("CREATE SEQUENCE sq1") == "CREATE SEQUENCE"
+    df = engine.query("SELECT nextval('sq1') AS a, nextval('sq1') AS b")
+    assert [tuple(r) for r in df.collect()] == [(1, 2)]
+    assert [tuple(r) for r in engine.query("SELECT currval('sq1') AS c").collect()] == [(2,)]
+    # persisted across Engine instances (same warehouse registry)
+    eng2 = Engine(engine.spark)
+    assert [tuple(r) for r in eng2.query("SELECT nextval('sq1') AS n").collect()] == [(3,)]
+    assert engine.execute("DROP SEQUENCE sq1") == "DROP SEQUENCE"
+    with pytest.raises(PgError) as ei:
+        engine.query("SELECT nextval('sq1') AS n").collect()
+    assert ei.value.pgcode == "42704"
+
+
+def test_start_increment_and_descending_default(engine):
+    engine.execute("CREATE SEQUENCE sq2 START 100 INCREMENT 5")
+    vals = [
+        engine.query("SELECT nextval('sq2') AS n").collect()[0][0] for _ in range(3)
+    ]
+    assert vals == [100, 105, 110]
+    # DuckDB: negative increment without START begins at -1
+    engine.execute("CREATE SEQUENCE sq3 INCREMENT -2")
+    assert engine.query("SELECT nextval('sq3') AS n").collect()[0][0] == -1
+    engine.execute("DROP SEQUENCE sq2")
+    engine.execute("DROP SEQUENCE sq3")
+
+
+def test_ddl_errors_and_guards(engine):
+    engine.execute("CREATE SEQUENCE sqd")
+    with pytest.raises(PgError) as ei:
+        engine.execute("CREATE SEQUENCE sqd")
+    assert ei.value.pgcode == "42P07"
+    assert engine.execute("CREATE SEQUENCE IF NOT EXISTS sqd") == "CREATE SEQUENCE"
+    with pytest.raises(PgError) as ei:
+        engine.execute("DROP SEQUENCE nope_missing")
+    assert ei.value.pgcode == "42704"
+    assert engine.execute("DROP SEQUENCE IF EXISTS nope_missing") == "DROP SEQUENCE"
+    # currval before any nextval: DuckDB "not yet defined in this session"
+    with pytest.raises(PgError) as ei:
+        engine.query("SELECT currval('sqd') AS c").collect()
+    assert ei.value.pgcode == "55000"
+    # unsupported clauses fail LOUDLY, never silently ignored
+    with pytest.raises(PgError) as ei:
+        engine.execute("CREATE SEQUENCE sx MINVALUE 5")
+    assert ei.value.pgcode == "0A000"
+    # row-stream shapes are rejected (sequences serialize)
+    with pytest.raises(PgError) as ei:
+        engine.query("SELECT nextval('sqd') AS n FROM range(3)").collect()
+    assert ei.value.pgcode == "0A000"
+    with pytest.raises(PgError) as ei:
+        engine.execute("UPDATE some_t SET id = nextval('sqd')")
+    assert ei.value.pgcode == "0A000"
+    engine.execute("DROP SEQUENCE sqd")
+
+
+def test_insert_values_with_sequence(engine, spark):
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS seq_t")
+    shutil.rmtree(f"{wh}/seq_t", ignore_errors=True)
+    engine.execute("CREATE SEQUENCE sqr START 10")
+    engine.execute("CREATE TABLE seq_t (id BIGINT, v STRING)")
+    tag = engine.execute(
+        "INSERT INTO seq_t VALUES (nextval('sqr'), 'x'), (nextval('sqr'), 'y')"
+    )
+    assert tag.startswith("INSERT")
+    assert sorted(tuple(r) for r in spark.table("seq_t").collect()) == [
+        (10, "x"), (11, "y")
+    ]
+    # works with RETURNING too (values reserved once, on the run path)
+    df, tag = engine.execute_returning(
+        "INSERT INTO seq_t VALUES (nextval('sqr'), 'z') RETURNING id"
+    )
+    assert tag == "INSERT 0 1"
+    assert [tuple(r) for r in df.collect()] == [(12,)]
+    engine.execute("DROP SEQUENCE sqr")
+    spark.sql("DROP TABLE seq_t")
+    shutil.rmtree(f"{wh}/seq_t", ignore_errors=True)
+
+
+def test_sequence_semantics_match_duckdb(engine, duck):
+    """The full lifecycle, value-for-value against live DuckDB."""
+    duck.execute("CREATE SEQUENCE dsq START 7 INCREMENT 3")
+    engine.execute("CREATE SEQUENCE dsq START 7 INCREMENT 3")
+    for _ in range(3):
+        dv = duck.execute("SELECT nextval('dsq')").fetchone()[0]
+        sv = engine.query("SELECT nextval('dsq') AS n").collect()[0][0]
+        assert sv == dv
+    dv = duck.execute("SELECT currval('dsq')").fetchone()[0]
+    sv = engine.query("SELECT currval('dsq') AS c").collect()[0][0]
+    assert sv == dv
+    duck.execute("DROP SEQUENCE dsq")
+    engine.execute("DROP SEQUENCE dsq")
+
+
+def test_sequence_over_wire(spark, sf_dir):
+    import socket
+    import time as _t
+
+    from duck_server_spark.server.pg.wire_server import run_threaded
+    from tests.pg_client import PgClient
+
+    eng = Engine(spark)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    server, _loop = run_threaded(eng, port=port)
+    _t.sleep(0.5)
+    try:
+        c = PgClient("127.0.0.1", port)
+        c.simple_query("DROP SEQUENCE IF EXISTS wsq")
+        _, _, tag = c.simple_query("CREATE SEQUENCE wsq START 42")
+        assert tag == "CREATE SEQUENCE"
+        _, rows, _ = c.simple_query("SELECT nextval('wsq') AS n")
+        assert rows == [("42",)]
+        _, rows, _ = c.simple_query("SELECT currval('wsq') AS c")
+        assert rows == [("42",)]
+        _, _, tag = c.simple_query("DROP SEQUENCE wsq")
+        assert tag == "DROP SEQUENCE"
+        c.terminate()
+    finally:
+        server.close()
