@@ -813,6 +813,14 @@ class Engine:
                 "unsupported sequence clause (START/INCREMENT only): " + q.strip()[:80],
             )
         q = self._resolve_sequences(q)
+        if re.match(r"\s*copy\b", q, re.IGNORECASE):
+            # COPY … TO/FROM '<file>' — engine/copy_file.py (the wire
+            # front-end already intercepted STDIN/STDOUT forms)
+            from duck_server_spark.engine import copy_file as _cf
+
+            tag = _cf.run_copy_file(self, q)
+            if tag is not None:
+                return tag
         m = _UPDATE.match(q)
         if m and self._is_managed_table(m.group(1)):
             # UPDATE … FROM first: the plain-UPDATE regex would swallow

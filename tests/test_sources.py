@@ -112,3 +112,94 @@ def test_events_ts_fixture_shapes(spark, tmp_path, shape):
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     got = sorted(r.ts for r in df.collect())
     assert got == vals  # UTC session TZ → wall-clock values survive intact
+
+
+# ---------------------------------------------------------------------------
+# COPY … TO/FROM '<file>' (round 7) — engine/copy_file.py
+# ---------------------------------------------------------------------------
+
+
+def test_copy_to_from_file_roundtrip(spark):
+    import shutil
+    import tempfile
+
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cpf1", "cpf2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    eng.execute("CREATE TABLE cpf1 (id INT, name TEXT)")
+    eng.execute("INSERT INTO cpf1 VALUES (1,'a'),(2,'b'),(3,'c')")
+    d = tempfile.mkdtemp()
+    try:
+        # single FILE at the path (DuckDB contract), not a directory
+        assert eng.execute(f"COPY cpf1 TO '{d}/out.parquet'") == "COPY 3"
+        import os
+
+        assert os.path.isfile(f"{d}/out.parquet")
+        assert spark.read.parquet(f"{d}/out.parquet").count() == 3
+        # query form + csv options
+        tag = eng.execute(
+            f"COPY (SELECT id, upper(name) AS u FROM cpf1 WHERE id > 1) "
+            f"TO '{d}/out.csv' (FORMAT csv, HEADER)"
+        )
+        assert tag == "COPY 2"
+        assert open(f"{d}/out.csv").read().splitlines()[0] == "id,u"
+        # json = newline-delimited objects (DuckDB's json COPY)
+        assert eng.execute(f"COPY cpf1 TO '{d}/o.json'") == "COPY 3"
+        assert open(f"{d}/o.json").read().count("\n") == 3
+        # import back through the validated-append path
+        eng.execute("CREATE TABLE cpf2 (id INT, name TEXT)")
+        assert eng.execute(f"COPY cpf2 FROM '{d}/out.parquet'") == "COPY 3"
+        assert sorted(tuple(r) for r in spark.table("cpf2").collect()) == [
+            (1, "a"), (2, "b"), (3, "c")
+        ]
+        # csv import with header, aligned to the target schema
+        eng.execute(f"COPY cpf1 TO '{d}/full.csv' (FORMAT csv, HEADER)")
+        eng.execute("DELETE FROM cpf2")
+        assert eng.execute(
+            f"COPY cpf2 FROM '{d}/full.csv' (FORMAT csv, HEADER)"
+        ) == "COPY 3"
+        assert spark.table("cpf2").count() == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        for t in ("cpf1", "cpf2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_copy_from_file_validates_constraints(spark):
+    import shutil
+    import tempfile
+
+    import pytest as _pt
+
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cpf3",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    eng.execute("CREATE TABLE cpf3 (id INT PRIMARY KEY, v TEXT)")
+    eng.execute("INSERT INTO cpf3 VALUES (1,'x')")
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame([(1, "dup")], "id INT, v STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{d}/dir")
+        import os
+
+        part = next(f for f in os.listdir(f"{d}/dir") if f.startswith("part-"))
+        os.rename(f"{d}/dir/{part}", f"{d}/dup.parquet")
+        with _pt.raises(PgError) as ei:
+            eng.execute(f"COPY cpf3 FROM '{d}/dup.parquet'")
+        assert ei.value.pgcode == "23505"
+        assert spark.table("cpf3").count() == 1  # nothing appended
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS cpf3")
+        shutil.rmtree(f"{wh}/cpf3", ignore_errors=True)
