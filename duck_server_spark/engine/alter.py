@@ -230,9 +230,9 @@ def _drop_column(engine, table: str, col: str, if_exists: bool) -> str:
                 f'Cannot drop column "{col}" because there is a '
                 "CHECK constraint that depends on it",
             )
-        if c["kind"] == "notnull" and col in c["cols"]:
+        if c["kind"] in ("notnull", "seq_default") and col in c["cols"]:
             changed = True
-            continue  # NOT NULL is part of the column: gone with it
+            continue  # column-local attributes: gone with the column
         survivors.append(c)
     keep = [f.name for f in spark.table(table).schema.fields if f.name != col]
     if not keep:

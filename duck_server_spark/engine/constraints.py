@@ -70,6 +70,10 @@ _TABLE_CHECK = re.compile(r"^\s*(?:CONSTRAINT\s+\w+\s+)?CHECK\s*\(", re.IGNORECA
 # inline CHECK attached to a column definition
 _INLINE_CHECK = re.compile(r"\bCHECK\s*\(", re.IGNORECASE)
 _NOT_NULL = re.compile(r"\bNOT\s+NULL\b", re.IGNORECASE)
+# `DEFAULT nextval('seq')` — matched on the quote-MASKED item (the
+# literal argument is blanked to spaces there), so the span covers the
+# whole clause; the sequence name is re-read from the raw text
+_SEQ_DEFAULT = re.compile(r"\bDEFAULT\s+nextval\s*\(\s*\)", re.IGNORECASE)
 _IDENT = re.compile(r"[A-Za-z_]\w*")
 _TABLE_LEVEL_HEAD = re.compile(
     r"^\s*(?:CONSTRAINT\b|PRIMARY\s+KEY\b|UNIQUE\s*\(|FOREIGN\s+KEY\b|CHECK\s*\()",
@@ -353,6 +357,23 @@ def extract_constraints(ddl: str) -> tuple[str, str | None, list[dict]]:
                 {"kind": "notnull", "cols": [item.split(None, 1)[0].strip('`"')]}
             )
             # NOT NULL text stays in the item: Spark parses it fine
+        # SERIAL-style `DEFAULT nextval('seq')` (round 7): Spark's DDL
+        # default must be foldable, so the clause is stripped here and
+        # recorded as a seq_default registry row — the validated-insert
+        # path fills the column by reserving a contiguous range
+        # (engine/executor.py). Validators skip the kind explicitly.
+        sdm = _SEQ_DEFAULT.search(_mask_quotes(item))
+        if sdm:
+            arg = item[sdm.start() : sdm.end()]
+            nm = re.search(r"'([^']+)'", arg)
+            found.append(
+                {
+                    "kind": "seq_default",
+                    "cols": [item.split(None, 1)[0].strip('`"')],
+                    "seq": nm.group(1) if nm else "",
+                }
+            )
+            item = (item[: sdm.start()].rstrip() + " " + item[sdm.end() :].lstrip()).strip()
         im = _INLINE.search(item)
         if im:
             colname = item.split(None, 1)[0].strip('`"')
@@ -568,8 +589,8 @@ def validate_append(
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
-        if kind in ("notnull", "check"):
-            continue  # handled above
+        if kind in ("notnull", "check", "seq_default"):
+            continue  # row-level / fill-time concerns, not key checks
         if kind == "foreign":
             _check_fk(spark, disp, incoming, c, store, table=table)
             continue
@@ -621,8 +642,8 @@ def validate_table_keys(
     for c in constraints:
         keys = c["cols"]
         kind = c["kind"]
-        if kind in ("notnull", "check"):
-            continue  # handled above
+        if kind in ("notnull", "check", "seq_default"):
+            continue  # row-level / fill-time concerns, not key checks
         if kind == "foreign":
             if spark is not None:
                 _check_fk(spark, disp, staged, c, store, table=table)

@@ -500,6 +500,7 @@ class Engine:
             # projection, so it must be suppressed here
             schema = self.spark.sql(self._prepare_sql(t, dialect)).schema
             pk = uni = nn = frozenset()
+            seqd = {}
         else:
             tbl = t.strip('`"')
             schema = self.spark.table(tbl).schema
@@ -507,6 +508,11 @@ class Engine:
             pk = {c for cc in cons if cc["kind"] == "primary" for c in cc["cols"]}
             uni = {c for cc in cons if cc["kind"] == "unique" for c in cc["cols"]}
             nn = {c for cc in cons if cc["kind"] == "notnull" for c in cc["cols"]}
+            seqd = {
+                cc["cols"][0]: f"nextval('{cc['seq']}')"
+                for cc in cons
+                if cc["kind"] == "seq_default"
+            }
         rows = [
             (
                 f.name,
@@ -514,9 +520,12 @@ class Engine:
                 "NO" if f.name in pk or f.name in nn else "YES",
                 "PRI" if f.name in pk else ("UNI" if f.name in uni else None),
                 (
-                    f.metadata.get("CURRENT_DEFAULT")
-                    if not is_query and isinstance(f.metadata, dict)
-                    else None
+                    seqd.get(f.name)
+                    or (
+                        f.metadata.get("CURRENT_DEFAULT")
+                        if not is_query and isinstance(f.metadata, dict)
+                        else None
+                    )
                 ),
                 None,
             )
@@ -664,6 +673,11 @@ class Engine:
 
         masked = rewrites._mask_literals(q)
         if not _seq.SEQ_FN.search(masked):
+            return q
+        if re.match(r"\s*create\s+table\b", q, re.IGNORECASE):
+            # DEFAULT nextval('s') stays in the DDL: constraint
+            # extraction strips it into a seq_default registry row
+            # (engine/constraints.py); unhandled shapes error in Spark
             return q
         if scalar_select:
             if re.search(r"\bfrom\b", masked, re.IGNORECASE):
@@ -1027,13 +1041,20 @@ class Engine:
             *[F.col(f.name).cast(f.dataType.simpleString()) for f in full.fields]
         )
 
-    @staticmethod
-    def _expand_values_defaults(source: str, schema, names: list[str] | None) -> str:
+    def _expand_values_defaults(
+        self,
+        source: str,
+        schema,
+        names: list[str] | None,
+        seqdefs: dict[str, str] | None = None,
+    ) -> str:
         """Replace bare DEFAULT items in a `VALUES (…), (…)` source with
         the positional column's declared default (CURRENT_DEFAULT field
-        metadata) or NULL — DuckDB/PG semantics. Non-VALUES sources and
-        DEFAULT inside larger expressions pass through (the latter errors
-        loudly downstream, never silently)."""
+        metadata), its sequence's next value (seq_default registry,
+        reserved here in text order = insertion order), or NULL —
+        DuckDB/PG semantics. Non-VALUES sources and DEFAULT inside larger
+        expressions pass through (the latter errors loudly downstream,
+        never silently)."""
         if not re.match(r"\s*values\b", source, re.IGNORECASE):
             return source
         if not re.search(r"\bdefault\b", source, re.IGNORECASE):
@@ -1051,6 +1072,11 @@ class Engine:
             new_items = []
             for idx, item in enumerate(items):
                 if item.strip().lower() == "default" and idx < len(cols):
+                    if seqdefs and cols[idx] in seqdefs:
+                        new_items.append(
+                            str(self.sequences.nextval(seqdefs[cols[idx]]))
+                        )
+                        continue
                     f = by_name.get(cols[idx])
                     dflt = (
                         f.metadata.get("CURRENT_DEFAULT")
@@ -1062,6 +1088,38 @@ class Engine:
                     new_items.append(item)
             out_rows.append("(" + ", ".join(s.strip() for s in new_items) + ")")
         return "VALUES " + ", ".join(out_rows)
+
+    def _fill_seq_columns(self, src, names, seqdefs: dict[str, str]):
+        """Fill columns with a seq_default that the INSERT's column list
+        OMITS: materialize the source once (the count fixes the range
+        size), reserve a contiguous range with ONE fetch-and-add, and
+        assign base + inc*(row_number-1). The single-partition window is
+        the honest cost of dense sequence ids — DuckDB serializes the
+        same assignment through its counter; at scale prefer
+        monotonically_increasing_id (engine/sequences.py scale note)."""
+        missing = (
+            [c for c in seqdefs if c not in names] if names is not None else []
+        )
+        if not missing:
+            return src, names
+        from pyspark.sql.window import Window
+
+        src = src.localCheckpoint(eager=True)
+        n = src.count()
+        for col in missing:
+            seq = seqdefs[col]
+            inc = self.sequences.increment_of(seq)
+            if n == 0:
+                src = src.withColumn(col, F.lit(None))
+            else:
+                base = self.sequences.nextval(seq, n)
+                w = Window.orderBy(F.monotonically_increasing_id())
+                src = src.withColumn(
+                    col,
+                    F.lit(base) + F.lit(inc) * (F.row_number().over(w) - F.lit(1)),
+                )
+            names = [*names, col]
+        return src, names
 
     def _validated_insert(
         self,
@@ -1078,16 +1136,22 @@ class Engine:
         names = (
             [c.strip().strip('`"') for c in cols_csv.split(",")] if cols_csv else None
         )
+        seqdefs = {
+            c["cols"][0]: c["seq"]
+            for c in self.constraints.get(table)
+            if c["kind"] == "seq_default"
+        }
         # DEFAULT keywords in a VALUES source resolve on Spark's native
         # INSERT path but not in a standalone spark.sql("VALUES …")
         # (review finding: registering NOT NULL/CHECK routes more tables
         # here) — expand them textually against the target's defaults
         source = self._expand_values_defaults(
-            source, spark.table(table).schema, names
+            source, spark.table(table).schema, names, seqdefs
         )
         # an ASOF-rewritten SELECT source can carry helper columns the
         # textual wrap couldn't reach — strip schema-side before aligning
         src = self._strip_asof_helpers(spark.sql(self._prepare_sql(source, "pg")))
+        src, names = self._fill_seq_columns(src, names, seqdefs)
         src = self._align_to_schema(src, spark.table(table).schema, names)
         staged = src.localCheckpoint(eager=True)
         try:

@@ -36,7 +36,9 @@ from duck_server_spark.engine.errors import PgError
 # ch_server.go:39-41,152 classification regexes
 _INSERT_FORMAT = re.compile(r"(?i)^\s*insert\s+into\s+([\w.]+)\s*(\(([^)]*)\))?\s*format\s+(\w+)\s*", re.DOTALL)
 _INSERT_VALUES = re.compile(r"(?i)^\s*insert\s+into\s+.+values", re.DOTALL)
-_SELECT = re.compile(r"(?i)^\s*(select|with|show|describe|values)\b")
+_SELECT = re.compile(
+    r"(?i)^\s*(select|with|show|describe|desc|values|summarize|pivot|unpivot)\b"
+)
 _FORMAT_SUFFIX = re.compile(r"(?i)\s+format\s+(\w+)\s*;?\s*$")
 
 AUTH_CACHE_TTL = 60.0  # ch_server.go:24

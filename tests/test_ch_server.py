@@ -312,3 +312,29 @@ def test_insert_json_each_row_nested_roundtrip(ch):
     # byte-exact JSONEachRow roundtrip
     _, out, _ = _get(base, "SELECT * FROM ch_t9 ORDER BY id FORMAT JSONEachRow")
     assert out.splitlines() == lines
+
+
+def test_pivot_statement_over_ch(ch, spark, sf_dir):
+    """DuckDB's simplified PIVOT is a rows-returning statement: the CH
+    dispatcher must classify it as a query (round 7)."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    base, _ = ch
+    status, body, _ = _get(
+        base, "PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus"
+    )
+    assert status == 200
+    assert len(body.strip().splitlines()) >= 1
+
+
+def test_unpivot_statement_over_ch(ch, spark, sf_dir):
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    base, _ = ch
+    status, body, _ = _get(
+        base, "UNPIVOT region ON r_regionkey INTO NAME k VALUE v"
+    )
+    assert status == 200
+    assert len(body.strip().splitlines()) == 5

@@ -147,3 +147,67 @@ def test_sequence_over_wire(spark, sf_dir):
         c.terminate()
     finally:
         server.close()
+
+
+# ---------------------------------------------------------------------------
+# SERIAL-style DEFAULT nextval('seq') (round 7 follow-on)
+# ---------------------------------------------------------------------------
+
+
+def test_serial_default_fill_matches_duckdb(engine, spark, duck):
+    """Full SERIAL lifecycle against live DuckDB: column-list insert,
+    explicit DEFAULT keyword, and an INSERT…SELECT with the id omitted
+    (range reserved once, assigned dense in row order)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS ser_t")
+    shutil.rmtree(f"{wh}/ser_t", ignore_errors=True)
+    engine.sequences.drop("ssq", if_exists=True)
+    stmts = [
+        "CREATE SEQUENCE ssq",
+        "CREATE TABLE ser_t (id INT DEFAULT nextval('ssq'), v TEXT NOT NULL)",
+        "INSERT INTO ser_t (v) VALUES ('a'), ('b')",
+        "INSERT INTO ser_t VALUES (DEFAULT, 'c')",
+        "INSERT INTO ser_t (v) SELECT upper(v) FROM ser_t WHERE v = 'a'",
+    ]
+    for s in stmts:
+        engine.execute(s)
+        duck.execute(s)
+    srows = sorted(tuple(r) for r in spark.table("ser_t").collect())
+    drows = sorted(tuple(r) for r in duck.execute("SELECT * FROM ser_t").fetchall())
+    assert srows == drows == [(1, "a"), (2, "b"), (3, "c"), (4, "A")]
+    # DESCRIBE surfaces the sequence default like DuckDB does
+    desc = {r[0]: r[4] for r in engine.query("DESCRIBE ser_t").collect()}
+    assert desc["id"] == "nextval('ssq')"
+    duck.execute("DROP TABLE ser_t")
+    duck.execute("DROP SEQUENCE ssq")
+    spark.sql("DROP TABLE ser_t")
+    shutil.rmtree(f"{wh}/ser_t", ignore_errors=True)
+    engine.execute("DROP SEQUENCE ssq")
+
+
+def test_serial_with_pk_and_drop_column(engine, spark):
+    """seq_default coexists with PK validation (the filled ids ARE the
+    key) and drops with its column."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS ser_pk")
+    shutil.rmtree(f"{wh}/ser_pk", ignore_errors=True)
+    engine.sequences.drop("spk", if_exists=True)
+    engine.execute("CREATE SEQUENCE spk START 5")
+    engine.execute(
+        "CREATE TABLE ser_pk (id INT PRIMARY KEY DEFAULT nextval('spk'), v TEXT)"
+    )
+    engine.execute("INSERT INTO ser_pk (v) VALUES ('x'), ('y')")
+    assert sorted(tuple(r) for r in spark.table("ser_pk").collect()) == [
+        (5, "x"), (6, "y")
+    ]
+    # dup key still rejected when id given explicitly
+    with pytest.raises(PgError) as ei:
+        engine.execute("INSERT INTO ser_pk VALUES (5, 'dup')")
+    assert ei.value.pgcode == "23505"
+    engine.execute("ALTER TABLE ser_pk DROP COLUMN v")
+    assert sorted(c["kind"] for c in engine.constraints.get("ser_pk")) == [
+        "primary", "seq_default"
+    ]
+    spark.sql("DROP TABLE ser_pk")
+    shutil.rmtree(f"{wh}/ser_pk", ignore_errors=True)
+    engine.execute("DROP SEQUENCE spk")
