@@ -46,6 +46,7 @@ _PRIORITY = [
     # round 7 (later session): DISTINCT ON dialect shim — new query,
     # must be in the driver window on its first round
     "distinct_on_sql",
+    "scalar_bracket_literals",
     "pivot_stmt_sql",
     "unpivot_stmt_sql",
     "scalar_series_unnest",

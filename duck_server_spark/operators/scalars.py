@@ -359,7 +359,35 @@ def series_unnest_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(SERIES_UNNEST_TEXT))
 
 
+# Bracket/brace literal + 1-based subscript shims (round 7): the exact
+# DuckDB spellings clients write — `[…]` list literals, `{'k': v}`
+# struct literals (field-accessed to scalars so both engines hash the
+# same shapes), integer subscripts (1-based, NULL OOB, negative from
+# end, [0] → NULL) and positive-literal slices. The oracle runs the SAME
+# text natively on DuckDB. Map subscripts are deliberately absent: DuckDB
+# returns a single-element LIST there (documented divergence, pinned in
+# tests/test_compat.py).
+BRACKET_LITERALS_TEXT = """
+SELECT n_nationkey,
+       ['zz', n_name][2] AS second,
+       [n_nationkey, n_regionkey][-1] AS last_k,
+       [n_nationkey, n_regionkey, 7][4] AS oob,
+       [10, 20, 30, 40][2:3] AS sl,
+       {'k': n_name, 'r': n_regionkey}.r AS sr
+FROM nation
+"""
+
+
+def bracket_literals_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(BRACKET_LITERALS_TEXT))
+
+
 QUERIES = {
+    "scalar_bracket_literals": bracket_literals_shim,
     "scalar_series_unnest": series_unnest_shim,
     "scalar_list_slice": list_slice_shim,
     "scalar_string": str_funcs,
@@ -373,6 +401,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scalar_bracket_literals": BRACKET_LITERALS_TEXT,
     "scalar_series_unnest": SERIES_UNNEST_TEXT,
     "scalar_list_slice": LIST_SLICE_ORACLE,
     "scalar_string": STR_FUNCS_ORACLE,

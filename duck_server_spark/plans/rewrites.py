@@ -497,6 +497,219 @@ def _rewrite_distinct_on(q: str) -> str:
         # rewriting, and this site's keyword is consumed (no livelock)
 
 
+# ---------------------------------------------------------------------------
+# DuckDB/PG bracket & brace literals + 1-based subscripts (round 7; the
+# SURVEY §7 "list literals" dialect gap). All rewrites are literal-masked
+# and balanced-scan based; every shape outside the exact contract passes
+# through and errors loudly in Spark rather than drifting.
+#
+# - `[a, b, c]` / `ARRAY[a, b, c]` → `array(a, b, c)`; `[]` → `array()`.
+#   A '[' is a LITERAL only when it does not follow a primary expression
+#   (identifier, ')', ']', quoted identifier) — otherwise it's a
+#   subscript.
+# - `{'k': v, …}` → `named_struct('k', v, …)`; `MAP {'k': v}` → map(…).
+# - `base[n]` (INTEGER-LITERAL index) → `try_element_at(base, n)`: both
+#   engines are 1-based with NULL out-of-bounds and negative-from-end;
+#   DuckDB's `[0]` is NULL, Spark's errors — rewritten to NULL when the
+#   literal is 0. NON-literal indexes pass through: Spark's native `[i]`
+#   is 0-based, but rewriting blind would also break Spark-native maps
+#   (`m['k']` stays native; NOTE DuckDB map subscripts return a
+#   single-element LIST — a documented, loud-in-tests divergence).
+# - `base[a:b]` (positive-literal slice) → `slice(base, a, b-a+1)`;
+#   open ends use 1 / size(base). Other slice shapes pass through.
+# ---------------------------------------------------------------------------
+_PRIMARY_END = re.compile(r"[\w$\"`\)\]}]")  # incl. } : brace literals are primaries
+_INT_LIT = re.compile(r"^\s*(-?\d+)\s*$")
+_SLICE_LIT = re.compile(r"^\s*(\d*)\s*:\s*(\d*)\s*$")
+# a bracket directly after one of these WORDS is a literal, not a
+# subscript of the keyword ("SELECT [1,2]", "WHEN [..] THEN", "IN", …)
+_NON_PRIMARY_KEYWORDS = frozenset(
+    "select where when then else and or not in as on by from case end union "
+    "all distinct having limit offset set values returning intersect except "
+    "group order like ilike between is exists any some using with".split()
+)
+
+
+def _subscript_position(masked: str, i: int) -> bool:
+    """True when the '[' at masked[i] follows a primary expression (a
+    subscript), False when it opens a literal."""
+    before = masked[:i].rstrip()
+    if not before or not _PRIMARY_END.match(before[-1]):
+        return False
+    w = re.search(r"([A-Za-z_]\w*)$", before)
+    if w and w.group(1).lower() in _NON_PRIMARY_KEYWORDS | {"array"}:
+        return False
+    return True
+
+
+def _expr_start(masked: str, end: int) -> int:
+    """Index where the primary expression ENDING at `end` (exclusive)
+    begins: walks back over identifier chains, quoted identifiers, and
+    balanced ()/[] groups joined by '.'."""
+    i = end
+    while i > 0:
+        ch = masked[i - 1]
+        if ch in ")]":
+            opener = "(" if ch == ")" else "["
+            depth, j = 0, i - 1
+            while j >= 0:
+                if masked[j] == ch:
+                    depth += 1
+                elif masked[j] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                return i
+            i = j
+            # a call: consume the function name too
+            while i > 0 and (masked[i - 1].isalnum() or masked[i - 1] in "_$"):
+                i -= 1
+            continue
+        if ch in '"`':
+            q = ch
+            j = i - 2
+            while j >= 0 and masked[j] != q:
+                j -= 1
+            i = j if j >= 0 else i
+            continue
+        if ch.isalnum() or ch in "_$.":
+            i -= 1
+            continue
+        break
+    return i
+
+
+def _rewrite_bracket_literals(q: str) -> str:
+    """`[a, b]` and `ARRAY[a, b]` → array(a, b) at every non-subscript
+    bracket (one rewrite per pass, rescan until stable)."""
+    while True:
+        masked = _mask_literals(q)
+        changed = False
+        for m in re.finditer(r"\[", masked):
+            i = m.start()
+            if _subscript_position(masked, i):
+                continue
+            before = masked[:i].rstrip()
+            prev_word = re.search(r"([A-Za-z_]\w*)\s*$", before)
+            is_array_kw = (
+                prev_word is not None and prev_word.group(1).lower() == "array"
+            )
+            end = _scan_sq_balanced(masked, i + 1)
+            if end is None:
+                continue
+            inner = q[i + 1 : end - 1]
+            if ":" in _mask_literals(inner):
+                continue  # a slice can't be a literal; leave untouched
+            start = prev_word.start(1) if is_array_kw else i
+            q = q[:start] + f"array({inner})" + q[end:]
+            changed = True
+            break
+        if not changed:
+            return q
+
+
+def _scan_sq_balanced(masked: str, start: int) -> int | None:
+    """Index past the ']' balancing the '[' that `start` sits after
+    (None when unbalanced)."""
+    depth, i = 1, start
+    while i < len(masked):
+        if masked[i] == "[":
+            depth += 1
+        elif masked[i] == "]":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
+def _rewrite_brace_literals(q: str) -> str:
+    """`{'k': v, …}` → named_struct('k', v, …); `MAP {'k': v}` → map."""
+    while True:
+        masked = _mask_literals(q)
+        m = re.search(r"\{", masked)
+        if m is None:
+            return q
+        i = m.start()
+        depth, j = 1, i + 1
+        while j < len(masked) and depth:
+            if masked[j] == "{":
+                depth += 1
+            elif masked[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            return q  # unbalanced: leave for Spark to reject loudly
+        inner, inner_masked = q[i + 1 : j - 1], masked[i + 1 : j - 1]
+        pairs: list[str] = []
+        ok = True
+        for item in _split_top_level(inner, inner_masked):
+            im = _mask_literals(item)
+            ci = im.find(":")
+            if ci < 0:
+                ok = False
+                break
+            key, val = item[:ci].strip(), item[ci + 1 :].strip()
+            if not re.match(r"^'[^']*'$", key):
+                ok = False  # unquoted / computed keys: pass through loudly
+                break
+            pairs.append(f"{key}, {val}")
+        if not ok or not pairs:
+            return q
+        before = masked[:i].rstrip()
+        mp = re.search(r"([A-Za-z_]\w*)\s*$", before)
+        if mp is not None and mp.group(1).lower() == "map":
+            q = q[: mp.start(1)] + f"map({', '.join(pairs)})" + q[j:]
+        else:
+            q = q[:i] + f"named_struct({', '.join(pairs)})" + q[j:]
+
+
+def _rewrite_subscripts(q: str) -> str:
+    """Integer-literal subscripts and positive-literal slices on a
+    primary expression (1-based DuckDB semantics)."""
+    while True:
+        masked = _mask_literals(q)
+        changed = False
+        for m in re.finditer(r"\[", masked):
+            i = m.start()
+            if not _subscript_position(masked, i):
+                continue  # literal position (already handled)
+            end = _scan_sq_balanced(masked, i + 1)
+            if end is None:
+                continue
+            inner = q[i + 1 : end - 1]
+            before_end = len(masked[:i].rstrip())
+            base_start = _expr_start(masked, before_end)
+            base = q[base_start:before_end].strip()
+            if not base:
+                continue
+            il = _INT_LIT.match(inner)
+            sl = _SLICE_LIT.match(inner)
+            if il:
+                idx = int(il.group(1))
+                repl = (
+                    "NULL" if idx == 0 else f"try_element_at({base}, {inner.strip()})"
+                )
+            elif sl:
+                a = sl.group(1) or "1"
+                b = sl.group(2)
+                length = (
+                    f"greatest(({b}) - ({a}) + 1, 0)"
+                    if b
+                    else f"greatest(size({base}) - ({a}) + 1, 0)"
+                )
+                repl = f"slice({base}, ({a}), {length})"
+            else:
+                continue  # non-literal index/slice: pass through
+            q = q[:base_start] + repl + q[end:]
+            changed = True
+            break
+        if not changed:
+            return q
+
+
 # DuckDB simplified UNPIVOT statement (round 7):
 #     UNPIVOT tbl ON c1, c2, … INTO NAME n VALUE v
 # → Spark's SQL-standard clause (which DuckDB also accepts):
@@ -747,6 +960,9 @@ def rewrite_common(q: str) -> str:
     q = _rewrite_using_sample(q)
     q = _rewrite_ddl_types(q)
     q = _rewrite_cast_types(q)
+    q = _rewrite_bracket_literals(q)  # after type rewrites: INT[] is gone
+    q = _rewrite_brace_literals(q)
+    q = _rewrite_subscripts(q)
     q = _sub_outside_literals(
         q,
         lambda seg: _PG_REGEX_OP.sub(

@@ -1094,3 +1094,76 @@ def test_pivot_unpivot_over_wire(pgc, spark, sf_dir):
     assert [x[0] for x in cols] == ["r_name", "k", "v"]
     assert len(rows) == 5
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# Bracket/brace literals + 1-based subscripts (round 7, SURVEY §7 gap)
+# ---------------------------------------------------------------------------
+
+
+def test_bracket_literal_rewrite_shapes():
+    r = rw.rewrite_common
+    assert r("SELECT [1, 2, 3] AS l") == "SELECT array(1, 2, 3) AS l"
+    assert r("SELECT ARRAY[1, 2] AS l") == "SELECT array(1, 2) AS l"
+    assert r("SELECT [] AS e") == "SELECT array() AS e"
+    assert r("SELECT CASE WHEN x THEN [1] ELSE [2] END FROM t") == \
+        "SELECT CASE WHEN x THEN array(1) ELSE array(2) END FROM t"
+    assert r("SELECT {'a': 1, 'b': x} AS s FROM t") == \
+        "SELECT named_struct('a', 1, 'b', x) AS s FROM t"
+    assert r("SELECT MAP {'k': 5} AS m") == "SELECT map('k', 5) AS m"
+    assert r("SELECT {'a': {'b': 1}} AS n") == \
+        "SELECT named_struct('a', named_struct('b', 1)) AS n"
+    # subscripts: 1-based via try_element_at, [0] → NULL, slices exact
+    assert r("SELECT arr[1] FROM t") == "SELECT try_element_at(arr, 1) FROM t"
+    assert r("SELECT t.arr[2] FROM t") == "SELECT try_element_at(t.arr, 2) FROM t"
+    assert r("SELECT split(s, ',')[3] FROM t") == \
+        "SELECT try_element_at(split(s, ','), 3) FROM t"
+    assert r("SELECT arr[0] FROM t") == "SELECT NULL FROM t"
+    assert r("SELECT [[1,2],[3]][1][2] AS n") == \
+        "SELECT try_element_at(try_element_at(array(array(1,2),array(3)), 1), 2) AS n"
+    assert "slice(arr, (2), greatest((3) - (2) + 1, 0))" in r("SELECT arr[2:3] FROM t")
+    # pass-throughs: non-literal index (Spark-native 0-based would drift
+    # SILENTLY if rewritten blind — left native and documented), string
+    # map keys (Spark-native), literals, unbalanced/odd shapes
+    for q in (
+        "SELECT arr[i] FROM t",
+        "SELECT m['k'] FROM t",
+        "SELECT '[1,2]' AS lit, 'a{b}' AS lit2",
+        "SELECT arr[i:j] FROM t",
+    ):
+        assert r(q) == q, q
+
+
+def test_bracket_literal_values_vs_duckdb(spark, duck, sf_dir):
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators.scalars import BRACKET_LITERALS_TEXT
+
+    register_views(spark, sf_dir)
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/nation.parquet')"
+    )
+    norm = lambda rows: sorted(  # noqa: E731
+        tuple(list(x) if isinstance(x, (list, tuple)) else x for x in r)
+        for r in rows
+    )
+    dres = norm(duck.execute(BRACKET_LITERALS_TEXT).fetchall())
+    sres = norm(
+        tuple(r) for r in spark.sql(rw.rewrite_pg_query(BRACKET_LITERALS_TEXT)).collect()
+    )
+    assert sres == dres
+    # the DOCUMENTED divergence: DuckDB map subscript returns a one-element
+    # LIST, Spark's native map access the bare value — pinned here so a
+    # change in either engine shows up loudly
+    dmap = duck.execute("SELECT MAP {'k': 5}['k'] AS v").fetchone()[0]
+    smap = spark.sql(rw.rewrite_pg_query("SELECT MAP {'k': 5}['k'] AS v")).collect()[0][0]
+    assert list(dmap) == [5] and smap == 5
+
+
+def test_bracket_subscript_over_wire(pgc, spark):
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query(
+        "SELECT ['a','b','c'][2] AS x, [1,2,3][-1] AS y, [1,2][5] AS z"
+    )
+    assert rows == [("b", "3", None)]
+    c.terminate()
