@@ -137,7 +137,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage)|pg_catalog\.pg_type|pg_type|pg_matviews)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute)\b",
     re.IGNORECASE,
 )
 
@@ -406,6 +406,74 @@ class Engine:
         spark.createDataFrame(cols or [], "database string, table string, name string, type string").createOrReplaceTempView("system_columns")
         funcs = [Row(name=f.name) for f in spark.catalog.listFunctions()][:500]
         spark.createDataFrame(funcs or [], "name string").createOrReplaceTempView("system_functions")
+        # pg_catalog introspection triple (round 7): pg_namespace /
+        # pg_class / pg_attribute snapshots so catalog-driven clients
+        # (JDBC metadata, ORMs, simple \d-style scripts) can join them
+        # the PG way. The reference gets a FULL pg_catalog for free from
+        # embedded DuckDB (pg_server.go delegation); here the three core
+        # relations are rebuilt from spark.catalog on the same refresh
+        # trigger as system.*. OIDs are stable crc32 hashes of the
+        # qualified names (positive int32), attypid from the same
+        # OID table the wire serializer uses (engine/types.py), and
+        # attnotnull from the constraint registry.
+        import zlib
+
+        from duck_server_spark.engine.types import spark_type_to_pg_oid
+        from pyspark.sql import types as T
+
+        def _oid(s: str) -> int:
+            return zlib.crc32(s.encode()) & 0x7FFFFFFF
+
+        ns_rows = [Row(oid=_oid(d.name), nspname=d.name) for d in spark.catalog.listDatabases()]
+        cls_rows, att_rows = [], []
+        for d in spark.catalog.listDatabases():
+            for t in spark.catalog.listTables(d.name):
+                if t.name in _BOOTSTRAP_VIEW_NAMES or any(
+                    mark in t.name for mark in _INTERNAL_TABLE_MARKS
+                ):
+                    continue
+                rel_oid = _oid(f"{d.name}.{t.name}")
+                relkind = "r" if (t.tableType or "").upper() == "MANAGED" else "v"
+                cls_rows.append(
+                    Row(
+                        oid=rel_oid,
+                        relname=t.name,
+                        relnamespace=_oid(d.name),
+                        relkind=relkind,
+                    )
+                )
+                nn = {
+                    c
+                    for cc in self.constraints.get(t.name)
+                    if cc["kind"] in ("notnull", "primary")
+                    for c in cc["cols"]
+                }
+                try:
+                    fields = spark.table(t.name).schema.fields
+                except Exception:  # noqa: BLE001 — unreadable relation: skip attrs
+                    continue
+                for i, f in enumerate(fields, start=1):
+                    att_rows.append(
+                        Row(
+                            attrelid=rel_oid,
+                            attname=f.name,
+                            atttypid=spark_type_to_pg_oid(f.dataType),
+                            attnum=i,
+                            attnotnull=(f.name in nn) or (not f.nullable),
+                            attisdropped=False,
+                        )
+                    )
+        spark.createDataFrame(
+            ns_rows or [], "oid int, nspname string"
+        ).createOrReplaceTempView("pg_namespace")
+        spark.createDataFrame(
+            cls_rows or [], "oid int, relname string, relnamespace int, relkind string"
+        ).createOrReplaceTempView("pg_class")
+        spark.createDataFrame(
+            att_rows or [],
+            "attrelid int, attname string, atttypid int, attnum int, "
+            "attnotnull boolean, attisdropped boolean",
+        ).createOrReplaceTempView("pg_attribute")
 
     @staticmethod
     def _shim_catalog_refs(q: str) -> str:
@@ -421,6 +489,9 @@ class Engine:
                 "information_schema.columns": "system_columns",
                 "information_schema.constraint_column_usage": "constraint_column_usage",
                 "pg_catalog.pg_type": "pg_type",
+                "pg_catalog.pg_class": "pg_class",
+                "pg_catalog.pg_namespace": "pg_namespace",
+                "pg_catalog.pg_attribute": "pg_attribute",
             }
             return mapping.get(name, m.group(0))
 
@@ -654,6 +725,27 @@ class Engine:
         df = self.query(q, dialect)
         return df.schema, _BatchStream(self.spark, df, q, job_group, batch_size)
 
+    def _analyze(self, table: str | None) -> None:
+        """ANALYZE [table]: COMPUTE STATISTICS on the named managed table
+        or on every managed table (bare ANALYZE, PG-style). Column-level
+        stats included for the single-table form only — the all-tables
+        sweep stays table-level so a bare ANALYZE never turns into a
+        full-warehouse column scan."""
+        if table is not None:
+            self.spark.sql(
+                f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+            return
+        for t in self.spark.catalog.listTables():
+            if (t.tableType or "").upper() != "MANAGED":
+                continue
+            if any(mark in t.name for mark in _INTERNAL_TABLE_MARKS):
+                continue
+            try:
+                self.spark.sql(f"ANALYZE TABLE {t.name} COMPUTE STATISTICS")
+            except Exception:  # noqa: BLE001 — per-table best effort
+                pass
+
     def _resolve_sequences(self, q: str, scalar_select: bool = False) -> str:
         """Substitute nextval()/currval() call sites with reserved values
         — ONLY on the statement shapes where one textual occurrence is
@@ -809,6 +901,22 @@ class Engine:
             return "CREATE USER"  # pg_conn.go:291 tag
         if _DISCARD_ALL.match(q):
             return "DISCARD ALL"
+        m = re.match(
+            r"^\s*vacuum(?:\s+analyze)?(?:\s+([\w.]+))?\s*;?\s*$", q, re.IGNORECASE
+        )
+        if m:
+            # VACUUM is a no-op on parquet tables (DuckDB's is too for
+            # clients' purposes); VACUUM ANALYZE falls through to stats
+            if re.search(r"\banalyze\b", q, re.IGNORECASE):
+                self._analyze(m.group(1))
+            return "VACUUM"
+        m = re.match(r"^\s*analyze(?:\s+([\w.]+))?\s*;?\s*$", q, re.IGNORECASE)
+        if m:
+            # PG/DuckDB ANALYZE → Spark table statistics: feeds Catalyst's
+            # cost-based join reordering/broadcast decisions — the actual
+            # scale lever this statement has on a cluster
+            self._analyze(m.group(1))
+            return "ANALYZE"
         if re.match(r"\s*(create|drop)\s+sequence\b", q, re.IGNORECASE):
             from duck_server_spark.engine import sequences as _seq
             from duck_server_spark.engine.errors import PgError

@@ -790,3 +790,58 @@ def test_returning_inside_transaction(pg, spark):
     c.simple_query("DROP TABLE pg_ret3")
     shutil.rmtree(f"{warehouse}/pg_ret3", ignore_errors=True)
     c.terminate()
+
+
+def test_pg_catalog_introspection_join(pg, spark):
+    """pg_class ⋈ pg_namespace ⋈ pg_attribute — the join shape catalog-
+    driven clients (JDBC metadata, \\d-style scripts) send. OIDs line up
+    across the three views; atttypid matches the wire serializer's OID
+    table; attnotnull reflects PK/NOT NULL registry state."""
+    import shutil
+
+    addr, _engine = pg
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*addr)
+    c.simple_query("DROP TABLE IF EXISTS pgcat_t")
+    shutil.rmtree(f"{warehouse}/pgcat_t", ignore_errors=True)
+    c.simple_query("CREATE TABLE pgcat_t (id INT PRIMARY KEY, name TEXT, v DOUBLE)")
+    _, rows, _ = c.simple_query(
+        "SELECT c.relkind, a.attname, a.atttypid, a.attnum, a.attnotnull "
+        "FROM pg_catalog.pg_class c "
+        "JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace "
+        "JOIN pg_catalog.pg_attribute a ON a.attrelid = c.oid "
+        "WHERE c.relname = 'pgcat_t' ORDER BY a.attnum"
+    )
+    assert rows == [
+        ("r", "id", "23", "1", "t"),
+        ("r", "name", "25", "2", "f"),
+        ("r", "v", "701", "3", "f"),
+    ]
+    c.simple_query("DROP TABLE pgcat_t")
+    shutil.rmtree(f"{warehouse}/pgcat_t", ignore_errors=True)
+    c.terminate()
+
+
+def test_vacuum_analyze_statements(pg, spark):
+    """VACUUM is an acknowledged no-op; ANALYZE computes Spark table
+    statistics (the CBO input) and reports PG's tag."""
+    import shutil
+
+    addr, _engine = pg
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*addr)
+    c.simple_query("DROP TABLE IF EXISTS an_t")
+    shutil.rmtree(f"{warehouse}/an_t", ignore_errors=True)
+    c.simple_query("CREATE TABLE an_t (id INT)")
+    c.simple_query("INSERT INTO an_t VALUES (1), (2), (3)")
+    _, _, tag = c.simple_query("VACUUM")
+    assert tag == "VACUUM"
+    _, _, tag = c.simple_query("ANALYZE an_t")
+    assert tag == "ANALYZE"
+    # stats actually landed: rowCount visible to the optimizer
+    desc = spark.sql("DESCRIBE EXTENDED an_t").collect()
+    stats = [r for r in desc if r.col_name == "Statistics"]
+    assert stats and "3 rows" in stats[0].data_type
+    c.simple_query("DROP TABLE an_t")
+    shutil.rmtree(f"{warehouse}/an_t", ignore_errors=True)
+    c.terminate()
