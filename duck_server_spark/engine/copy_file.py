@@ -67,6 +67,111 @@ def _csv_options(opts: str, direction: str) -> dict:
     return o
 
 
+EXPORT_DB = re.compile(
+    r"^\s*export\s+database\s+'([^']+)'\s*(?:\(\s*format\s+(\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+IMPORT_DB = re.compile(
+    r"^\s*import\s+database\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+)
+
+
+def run_export_database(engine, path: str, fmt: str | None) -> str:
+    """DuckDB's EXPORT DATABASE 'dir': one data file per managed table
+    plus schema.sql (CREATE SEQUENCE/CREATE TABLE with constraints, in
+    OUR dialect — the same dialect execute() accepts, so IMPORT is just
+    replaying the scripts) and load.sql (one COPY … FROM per table).
+    Format parquet (default) or csv. Each table exports through the same
+    single-file COPY path; the whole export is a per-table loop — at
+    scale a real backup wants the table directories themselves, which is
+    exactly what plain Spark writes give, so this statement stays a
+    convenience exporter like DuckDB's."""
+    from duck_server_spark.engine.executor import _INTERNAL_TABLE_MARKS
+    from duck_server_spark.engine.executor import _BOOTSTRAP_VIEW_NAMES
+
+    fmt = (fmt or "parquet").lower()
+    if fmt not in ("parquet", "csv"):
+        raise PgError("0A000", f"EXPORT DATABASE format not supported: {fmt}")
+    os.makedirs(path, exist_ok=True)
+    spark = engine.spark
+    schema_lines: list[str] = []
+    load_lines: list[str] = []
+    for name, rec in sorted(engine.sequences._load().items()):
+        schema_lines.append(
+            f"CREATE SEQUENCE {name} START {rec['next']} INCREMENT {rec['inc']};"
+        )
+    tables = [
+        t.name
+        for t in spark.catalog.listTables()
+        if (t.tableType or "").upper() == "MANAGED"
+        and t.name not in _BOOTSTRAP_VIEW_NAMES
+        and not any(mark in t.name for mark in _INTERNAL_TABLE_MARKS)
+    ]
+    for t in sorted(tables):
+        fields = spark.table(t).schema.fields
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        cons_sql: list[str] = []
+        seq_defaults: list[str] = []
+        for c in engine.constraints.get(t):
+            kind = c["kind"]
+            if kind in ("primary", "unique"):
+                kw = "PRIMARY KEY" if kind == "primary" else "UNIQUE"
+                cons_sql.append(f"{kw} ({', '.join(c['cols'])})")
+            elif kind == "foreign":
+                ref_cols = f" ({', '.join(c['ref_cols'])})" if c.get("ref_cols") else ""
+                cons_sql.append(
+                    f"FOREIGN KEY ({', '.join(c['cols'])}) "
+                    f"REFERENCES {c['ref_table']}{ref_cols}"
+                )
+            elif kind == "check":
+                cons_sql.append(f"CHECK ({c['expr']})")
+            elif kind == "seq_default":
+                seq_defaults.append(c["cols"][0] + "|" + c["seq"])
+            # notnull is re-derived from the column text below
+        nn = {
+            k for c in engine.constraints.get(t) if c["kind"] == "notnull"
+            for k in c["cols"]
+        }
+        col_items = []
+        for f in fields:
+            item = f"{f.name} {f.dataType.simpleString()}"
+            for sd in seq_defaults:
+                cn, sq = sd.split("|", 1)
+                if cn == f.name:
+                    item += f" DEFAULT nextval('{sq}')"
+            if f.name in nn:
+                item += " NOT NULL"
+            col_items.append(item)
+        body = ", ".join(col_items + cons_sql)
+        schema_lines.append(f"CREATE TABLE {t} ({body});")
+        ext = "parquet" if fmt == "parquet" else "csv"
+        fopt = "" if fmt == "parquet" else " (FORMAT csv, HEADER)"
+        data_path = os.path.join(path, f"{t}.{ext}")
+        run_copy_file(engine, f"COPY {t} TO '{data_path}'{fopt}")
+        load_lines.append(f"COPY {t} FROM '{data_path}'{fopt};")
+    with open(os.path.join(path, "schema.sql"), "w") as f:
+        f.write("\n".join(schema_lines) + "\n")
+    with open(os.path.join(path, "load.sql"), "w") as f:
+        f.write("\n".join(load_lines) + "\n")
+    return "EXPORT DATABASE"
+
+
+def run_import_database(engine, path: str) -> str:
+    """Replay schema.sql then load.sql through the normal execute()
+    dispatch — sequence DDL, constraint extraction, and the validated
+    COPY import all run exactly as if a client had sent the statements."""
+    for script in ("schema.sql", "load.sql"):
+        p = os.path.join(path, script)
+        if not os.path.exists(p):
+            raise PgError("58P01", f"IMPORT DATABASE: missing {script} in {path}")
+    for script in ("schema.sql", "load.sql"):
+        with open(os.path.join(path, script)) as f:
+            for stmt in f.read().split(";"):
+                if stmt.strip():
+                    engine.execute(stmt.strip())
+    return "IMPORT DATABASE"
+
+
 def run_copy_file(engine, q: str) -> str | None:
     """Execute a COPY-to/from-file statement; None when q isn't one.
     STDIN/STDOUT forms never match (the path must be a quoted literal)."""

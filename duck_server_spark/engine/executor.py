@@ -943,6 +943,17 @@ class Engine:
             tag = _cf.run_copy_file(self, q)
             if tag is not None:
                 return tag
+        if re.match(r"\s*(export|import)\s+database\b", q, re.IGNORECASE):
+            from duck_server_spark.engine import copy_file as _cf
+            from duck_server_spark.engine.errors import PgError
+
+            m = _cf.EXPORT_DB.match(q)
+            if m:
+                return _cf.run_export_database(self, m.group(1), m.group(2))
+            m = _cf.IMPORT_DB.match(q)
+            if m:
+                return _cf.run_import_database(self, m.group(1))
+            raise PgError("42601", f"cannot parse EXPORT/IMPORT DATABASE: {q.strip()[:80]}")
         m = _UPDATE.match(q)
         if m and self._is_managed_table(m.group(1)):
             # UPDATE … FROM first: the plain-UPDATE regex would swallow

@@ -121,7 +121,7 @@ _TXN_TAGS = {
     "rollback": "ROLLBACK", "abort": "ROLLBACK",
 }
 _WRITE_VERB = re.compile(
-    r"^\s*(insert|update|delete|create|drop|alter|truncate|set|copy|grant|vacuum|analyze)\b",
+    r"^\s*(insert|update|delete|create|drop|alter|truncate|set|copy|grant|vacuum|analyze|export|import)\b",
     re.IGNORECASE,
 )
 

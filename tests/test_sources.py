@@ -203,3 +203,69 @@ def test_copy_from_file_validates_constraints(spark):
         shutil.rmtree(d, ignore_errors=True)
         spark.sql("DROP TABLE IF EXISTS cpf3")
         shutil.rmtree(f"{wh}/cpf3", ignore_errors=True)
+
+
+def test_export_import_database_roundtrip(spark):
+    """EXPORT DATABASE 'dir' → schema.sql (sequences + tables with
+    constraints, in the engine's own dialect) + load.sql + one data file
+    per table; IMPORT DATABASE replays both scripts through execute().
+    Constraints, sequence high-water marks, and data all survive."""
+    import shutil
+    import tempfile
+
+    import pytest as _pt
+
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("exp_a", "exp_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    eng.sequences.drop("exps", if_exists=True)
+    eng.execute("CREATE SEQUENCE exps START 100")
+    eng.execute(
+        "CREATE TABLE exp_a (id INT PRIMARY KEY DEFAULT nextval('exps'), "
+        "v TEXT NOT NULL, CHECK (length(v) > 0))"
+    )
+    eng.execute("CREATE TABLE exp_b (k INT, w DOUBLE)")
+    eng.execute("INSERT INTO exp_a (v) VALUES ('x'), ('y')")
+    eng.execute("INSERT INTO exp_b VALUES (1, 1.5), (2, 2.5)")
+    d = tempfile.mkdtemp()
+    try:
+        assert eng.execute(f"EXPORT DATABASE '{d}/dump'") == "EXPORT DATABASE"
+        import os
+
+        assert sorted(os.listdir(f"{d}/dump")) == [
+            "exp_a.parquet", "exp_b.parquet", "load.sql", "schema.sql"
+        ]
+        for t in ("exp_a", "exp_b"):
+            eng.execute(f"DROP TABLE {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        eng.execute("DROP SEQUENCE exps")
+        assert eng.execute(f"IMPORT DATABASE '{d}/dump'") == "IMPORT DATABASE"
+        assert sorted(tuple(r) for r in spark.table("exp_a").collect()) == [
+            (100, "x"), (101, "y")
+        ]
+        assert sorted(tuple(r) for r in spark.table("exp_b").collect()) == [
+            (1, 1.5), (2, 2.5)
+        ]
+        # sequence resumes past the exported high-water mark
+        assert eng.query("SELECT nextval('exps') AS n").collect()[0][0] == 102
+        # PK and CHECK re-registered, not just data
+        with _pt.raises(PgError) as ei:
+            eng.execute("INSERT INTO exp_a VALUES (100, 'dup')")
+        assert ei.value.pgcode == "23505"
+        with _pt.raises(PgError) as ei:
+            eng.execute("INSERT INTO exp_a VALUES (999, '')")
+        assert ei.value.pgcode == "23514"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        for t in ("exp_a", "exp_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        try:
+            eng.execute("DROP SEQUENCE IF EXISTS exps")
+        except Exception:  # noqa: BLE001
+            pass
