@@ -137,7 +137,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute)\b",
     re.IGNORECASE,
 )
 
@@ -474,6 +474,54 @@ class Engine:
             "attrelid int, attname string, atttypid int, attnum int, "
             "attnotnull boolean, attisdropped boolean",
         ).createOrReplaceTempView("pg_attribute")
+        # information_schema constraint views (round 7): JDBC metadata's
+        # getPrimaryKeys/getImportedKeys read these; names match the
+        # runtime-generated constraint names used in error messages
+        tc_rows, kcu_rows = [], []
+        type_names = {
+            "primary": "PRIMARY KEY",
+            "unique": "UNIQUE",
+            "foreign": "FOREIGN KEY",
+            "check": "CHECK",
+        }
+        for tbl, cons in self.constraints._load().items():
+            for c in cons:
+                kind = c.get("kind")
+                if kind not in type_names:
+                    continue
+                cols = c.get("cols", [])
+                if kind == "primary":
+                    cname = f"{tbl}_pkey"
+                elif kind == "check":
+                    cname = f"{tbl}_{'_'.join(cols)}_check" if cols else f"{tbl}_check"
+                else:
+                    suffix = "fkey" if kind == "foreign" else "key"
+                    cname = f"{tbl}_{'_'.join(cols)}_{suffix}"
+                tc_rows.append(
+                    Row(
+                        constraint_name=cname,
+                        table_name=tbl,
+                        constraint_type=type_names[kind],
+                    )
+                )
+                for i, col in enumerate(cols, start=1):
+                    kcu_rows.append(
+                        Row(
+                            constraint_name=cname,
+                            table_name=tbl,
+                            column_name=col,
+                            ordinal_position=i,
+                        )
+                    )
+        spark.createDataFrame(
+            tc_rows or [],
+            "constraint_name string, table_name string, constraint_type string",
+        ).createOrReplaceTempView("table_constraints")
+        spark.createDataFrame(
+            kcu_rows or [],
+            "constraint_name string, table_name string, column_name string, "
+            "ordinal_position int",
+        ).createOrReplaceTempView("key_column_usage")
 
     @staticmethod
     def _shim_catalog_refs(q: str) -> str:
@@ -488,6 +536,8 @@ class Engine:
                 "information_schema.tables": "system_tables",
                 "information_schema.columns": "system_columns",
                 "information_schema.constraint_column_usage": "constraint_column_usage",
+                "information_schema.table_constraints": "table_constraints",
+                "information_schema.key_column_usage": "key_column_usage",
                 "pg_catalog.pg_type": "pg_type",
                 "pg_catalog.pg_class": "pg_class",
                 "pg_catalog.pg_namespace": "pg_namespace",

@@ -845,3 +845,32 @@ def test_vacuum_analyze_statements(pg, spark):
     c.simple_query("DROP TABLE an_t")
     shutil.rmtree(f"{warehouse}/an_t", ignore_errors=True)
     c.terminate()
+
+
+def test_information_schema_constraints(pg, spark):
+    """table_constraints + key_column_usage — the views JDBC metadata's
+    getPrimaryKeys reads; names match the runtime error-message names."""
+    import shutil
+
+    addr, _engine = pg
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*addr)
+    c.simple_query("DROP TABLE IF EXISTS isc_w")
+    shutil.rmtree(f"{warehouse}/isc_w", ignore_errors=True)
+    c.simple_query("CREATE TABLE isc_w (a INT, b INT, PRIMARY KEY (a, b), UNIQUE (b))")
+    _, rows, _ = c.simple_query(
+        "SELECT tc.constraint_name, tc.constraint_type, k.column_name, "
+        "k.ordinal_position "
+        "FROM information_schema.table_constraints tc "
+        "JOIN information_schema.key_column_usage k USING (constraint_name) "
+        "WHERE tc.table_name = 'isc_w' "
+        "ORDER BY tc.constraint_name, k.ordinal_position"
+    )
+    assert rows == [
+        ("isc_w_b_key", "UNIQUE", "b", "1"),
+        ("isc_w_pkey", "PRIMARY KEY", "a", "1"),
+        ("isc_w_pkey", "PRIMARY KEY", "b", "2"),
+    ]
+    c.simple_query("DROP TABLE isc_w")
+    shutil.rmtree(f"{warehouse}/isc_w", ignore_errors=True)
+    c.terminate()
