@@ -690,6 +690,13 @@ def validate_parent_rekey(
     disp = _display_name(parent)
     for child, fk in refs:
         ref_cols = _resolve_ref_cols(fk, store)
+        # Self-referencing FKs read the child side from the PRE-update
+        # published state on purpose: DuckDB's row-wise FK check rejects
+        # even a CONSISTENT whole-table re-key (SET id=id+1000,
+        # mgr=mgr+1000 → "key mgr: 1 is still referenced") — pinned live
+        # in tests/test_constraints.py. Reading from `staged` instead
+        # would implement PG's set-based semantics and silently diverge
+        # from the reference's engine.
         child_rel = sibling_shadow(parent, child) or child
         probe = spark.table(child_rel).select(
             [F.col(c).alias(r) for c, r in zip(fk["cols"], ref_cols)]

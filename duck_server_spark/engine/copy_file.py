@@ -139,6 +139,16 @@ def run_export_database(engine, path: str, fmt: str | None) -> str:
                 cn, sq = sd.split("|", 1)
                 if cn == f.name:
                     item += f" DEFAULT nextval('{sq}')"
+            # plain column defaults live in CURRENT_DEFAULT field
+            # metadata — losing them on a dump/restore round trip would
+            # silently degrade inserts to NULL (review finding)
+            dflt = (
+                f.metadata.get("CURRENT_DEFAULT")
+                if isinstance(f.metadata, dict)
+                else None
+            )
+            if dflt and not any(sd.startswith(f.name + "|") for sd in seq_defaults):
+                item += f" DEFAULT {dflt}"
             if f.name in nn:
                 item += " NOT NULL"
             col_items.append(item)
@@ -164,11 +174,24 @@ def run_import_database(engine, path: str) -> str:
         p = os.path.join(path, script)
         if not os.path.exists(p):
             raise PgError("58P01", f"IMPORT DATABASE: missing {script} in {path}")
+    from duck_server_spark.plans.rewrites import _mask_literals
+
     for script in ("schema.sql", "load.sql"):
         with open(os.path.join(path, script)) as f:
-            for stmt in f.read().split(";"):
-                if stmt.strip():
-                    engine.execute(stmt.strip())
+            text = f.read()
+        # split on semicolons OUTSIDE string literals — a CHECK like
+        # (s <> 'a;b') must not break the statement (review finding)
+        masked = _mask_literals(text)
+        start = 0
+        for i, ch in enumerate(masked):
+            if ch == ";":
+                stmt = text[start:i].strip()
+                if stmt:
+                    engine.execute(stmt)
+                start = i + 1
+        tail = text[start:].strip()
+        if tail:
+            engine.execute(tail)
     return "IMPORT DATABASE"
 
 
@@ -223,6 +246,16 @@ def run_copy_file(engine, q: str) -> str | None:
     elif fmt == "json":
         src = spark.read.json(path)
     else:
+        src = None
+    if src is not None:
+        # schema'd readers return fields in FILE order (json even sorts
+        # them alphabetically) — align BY NAME before the positional
+        # rename, or a TO→FROM round trip of a (name, id) table would
+        # silently put ids in the name column (review finding)
+        expected = names or [f.name for f in full.fields]
+        if set(expected).issubset(set(src.columns)):
+            src = src.select(*expected)
+    if fmt not in ("parquet", "json"):
         read_names = names or [f.name for f in full.fields]
         from pyspark.sql import types as T
 

@@ -92,6 +92,11 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "system_tables",
         "system_columns",
         "system_functions",
+        "pg_class",
+        "pg_namespace",
+        "pg_attribute",
+        "table_constraints",
+        "key_column_usage",
     )
 )
 _INTERNAL_TABLE_MARKS = ("__txn_", "__cow_staging_", "__ins_staging_", "__alter_staging_")
@@ -388,70 +393,58 @@ class Engine:
         (rebuilt on reference: duckdbInit views over duckdb's catalog,
         pg_server.go:44-68)."""
         spark = self.spark
-        dbs = [Row(name=d.name) for d in spark.catalog.listDatabases()]
-        spark.createDataFrame(dbs or [], "name string").createOrReplaceTempView("system_databases")
-        tabs = []
-        cols = []
-        for d in spark.catalog.listDatabases():
-            for t in spark.catalog.listTables(d.name):
-                tabs.append(Row(database=d.name, name=t.name, engine=t.tableType or "VIEW"))
-                try:
-                    for c in spark.catalog.listColumns(t.name, d.name):
-                        cols.append(
-                            Row(database=d.name, table=t.name, name=c.name, type=c.dataType)
-                        )
-                except Exception:
-                    pass
-        spark.createDataFrame(tabs or [], "database string, name string, engine string").createOrReplaceTempView("system_tables")
-        spark.createDataFrame(cols or [], "database string, table string, name string, type string").createOrReplaceTempView("system_columns")
-        funcs = [Row(name=f.name) for f in spark.catalog.listFunctions()][:500]
-        spark.createDataFrame(funcs or [], "name string").createOrReplaceTempView("system_functions")
-        # pg_catalog introspection triple (round 7): pg_namespace /
-        # pg_class / pg_attribute snapshots so catalog-driven clients
-        # (JDBC metadata, ORMs, simple \d-style scripts) can join them
-        # the PG way. The reference gets a FULL pg_catalog for free from
-        # embedded DuckDB (pg_server.go delegation); here the three core
-        # relations are rebuilt from spark.catalog on the same refresh
-        # trigger as system.*. OIDs are stable crc32 hashes of the
-        # qualified names (positive int32), attypid from the same
-        # OID table the wire serializer uses (engine/types.py), and
-        # attnotnull from the constraint registry.
         import zlib
 
         from duck_server_spark.engine.types import spark_type_to_pg_oid
-        from pyspark.sql import types as T
 
-        def _oid(s: str) -> int:
-            return zlib.crc32(s.encode()) & 0x7FFFFFFF
+        def _oid(sname: str) -> int:
+            return zlib.crc32(sname.encode()) & 0x7FFFFFFF
 
-        ns_rows = [Row(oid=_oid(d.name), nspname=d.name) for d in spark.catalog.listDatabases()]
+        databases = spark.catalog.listDatabases()
+        dbs = [Row(name=d.name) for d in databases]
+        spark.createDataFrame(dbs or [], "name string").createOrReplaceTempView("system_databases")
+        current_db = spark.catalog.currentDatabase()
+        tabs, cols = [], []
+        ns_rows = [Row(oid=_oid(d.name), nspname=d.name) for d in databases]
         cls_rows, att_rows = [], []
-        for d in spark.catalog.listDatabases():
+        # ONE catalog sweep builds system.* AND the pg_catalog triple
+        # (review finding: two identical walks doubled DDL latency).
+        # Schemas come from one QUALIFIED analysis per table (review
+        # finding: a bare spark.table(name) resolved every database's
+        # "users" to the current one — wrong attrs cross-database).
+        for d in databases:
             for t in spark.catalog.listTables(d.name):
-                if t.name in _BOOTSTRAP_VIEW_NAMES or any(
+                tabs.append(Row(database=d.name, name=t.name, engine=t.tableType or "VIEW"))
+                internal = t.name in _BOOTSTRAP_VIEW_NAMES or any(
                     mark in t.name for mark in _INTERNAL_TABLE_MARKS
-                ):
+                )
+                try:
+                    # temp views have no database: resolve them bare
+                    qual = t.name if t.isTemporary else f"`{d.name}`.`{t.name}`"
+                    fields = spark.table(qual).schema.fields
+                except Exception:  # noqa: BLE001 — unreadable relation
+                    continue
+                for c in fields:
+                    cols.append(
+                        Row(database=d.name, table=t.name, name=c.name, type=c.dataType.simpleString())
+                    )
+                if internal:
                     continue
                 rel_oid = _oid(f"{d.name}.{t.name}")
                 relkind = "r" if (t.tableType or "").upper() == "MANAGED" else "v"
                 cls_rows.append(
-                    Row(
-                        oid=rel_oid,
-                        relname=t.name,
-                        relnamespace=_oid(d.name),
-                        relkind=relkind,
-                    )
+                    Row(oid=rel_oid, relname=t.name, relnamespace=_oid(d.name), relkind=relkind)
                 )
-                nn = {
-                    c
-                    for cc in self.constraints.get(t.name)
-                    if cc["kind"] in ("notnull", "primary")
-                    for c in cc["cols"]
-                }
-                try:
-                    fields = spark.table(t.name).schema.fields
-                except Exception:  # noqa: BLE001 — unreadable relation: skip attrs
-                    continue
+                nn = (
+                    {
+                        c
+                        for cc in self.constraints.get(t.name)
+                        if cc["kind"] in ("notnull", "primary")
+                        for c in cc["cols"]
+                    }
+                    if d.name == current_db
+                    else set()
+                )
                 for i, f in enumerate(fields, start=1):
                     att_rows.append(
                         Row(
@@ -463,6 +456,10 @@ class Engine:
                             attisdropped=False,
                         )
                     )
+        spark.createDataFrame(tabs or [], "database string, name string, engine string").createOrReplaceTempView("system_tables")
+        spark.createDataFrame(cols or [], "database string, table string, name string, type string").createOrReplaceTempView("system_columns")
+        funcs = [Row(name=f.name) for f in spark.catalog.listFunctions()][:500]
+        spark.createDataFrame(funcs or [], "name string").createOrReplaceTempView("system_functions")
         spark.createDataFrame(
             ns_rows or [], "oid int, nspname string"
         ).createOrReplaceTempView("pg_namespace")

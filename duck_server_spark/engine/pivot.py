@@ -43,17 +43,10 @@ _PIVOT_ON = re.compile(
 
 
 def _split_commas(s: str) -> list[str]:
-    parts, depth, start = [], 0, 0
-    for i, ch in enumerate(s):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(s[start:i])
-            start = i + 1
-    parts.append(s[start:])
-    return [p.strip() for p in parts if p.strip()]
+    # the shared literal-masked top-level splitter (review finding: a
+    # duplicate here didn't mask literals, so an IN value like 'a,b'
+    # would split mid-string)
+    return rewrites._split_top_level(s, rewrites._mask_literals(s))
 
 
 def run_pivot(

@@ -302,11 +302,14 @@ def test_insert_json_each_row_nested_roundtrip(ch):
         base, "INSERT INTO ch_t9 FORMAT JSONEachRow\n" + "\n".join(lines) + "\n"
     )
     assert status == 200, body
-    # typed landing: array/map/struct operations work SQL-side
+    # typed landing: array/map/struct operations work SQL-side.
+    # Subscripts are DUCKDB semantics (1-based — the reference hands the
+    # CH endpoint's SQL to embedded DuckDB; round-7 subscript shim):
+    # arr[1] is the FIRST element, nested[2][2] the second-of-second.
     _, out, _ = _get(
         base,
-        "SELECT arr[0] + 1 AS a2, m['k'] * 2 AS dk, st.a AS sa, st.d AS sd, "
-        "nested[1][1] AS nn FROM ch_t9 WHERE id = 1",
+        "SELECT arr[1] + 1 AS a2, m['k'] * 2 AS dk, st.a AS sa, st.d AS sd, "
+        "nested[2][2] AS nn FROM ch_t9 WHERE id = 1",
     )
     assert out.strip() == "2\t24.68\t7\t2024-01-02\t3.5"
     # byte-exact JSONEachRow roundtrip

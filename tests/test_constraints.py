@@ -358,3 +358,49 @@ def test_extract_fk_property(parent, col):
         {"kind": "foreign", "cols": [col], "ref_table": parent, "ref_cols": [col]}
     ]
     assert "REFERENCES" not in rebuilt.upper()
+
+
+def test_self_referencing_fk_rekey_matches_duckdb(spark, duck):
+    """DuckDB's row-wise FK check rejects a whole-table re-key of a
+    self-referencing table EVEN when the post-state is consistent
+    (SET id=id+1000, mgr=mgr+1000) — pinned live here. The parent-rekey
+    probe reads the child side from the pre-update state for exactly
+    this reason (a staged-state probe would implement PG's set-based
+    semantics and silently diverge from the reference's engine)."""
+    import shutil
+
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS emp_fk")
+    shutil.rmtree(f"{wh}/emp_fk", ignore_errors=True)
+    stmts = [
+        "CREATE TABLE emp_fk (id INT PRIMARY KEY, mgr INT REFERENCES emp_fk(id))",
+        "INSERT INTO emp_fk VALUES (1, NULL)",
+        "INSERT INTO emp_fk VALUES (2, 1)",
+    ]
+    for s in stmts:
+        eng.execute(s)
+        duck.execute(s)
+    for upd in (
+        "UPDATE emp_fk SET id = id + 1000, mgr = mgr + 1000",  # consistent
+        "UPDATE emp_fk SET id = id + 1000",  # orphaning
+    ):
+        try:
+            duck.execute(upd)
+            duck_rejects = False
+        except Exception:
+            duck_rejects = True
+        assert duck_rejects, upd
+        with pytest.raises(PgError) as ei:
+            eng.execute(upd)
+        assert ei.value.pgcode == "23503", upd
+    # both tables unchanged
+    assert sorted(tuple(r) for r in spark.table("emp_fk").collect()) == [
+        (1, None), (2, 1)
+    ]
+    duck.execute("DROP TABLE emp_fk")
+    eng.execute("DROP TABLE emp_fk")
+    shutil.rmtree(f"{wh}/emp_fk", ignore_errors=True)

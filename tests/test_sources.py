@@ -269,3 +269,79 @@ def test_export_import_database_roundtrip(spark):
             eng.execute("DROP SEQUENCE IF EXISTS exps")
         except Exception:  # noqa: BLE001
             pass
+
+
+def test_copy_json_roundtrip_column_order(spark):
+    """Spark's json reader returns fields ALPHABETICALLY — the import
+    must align by NAME before the positional rename or a (name, id)
+    table's own TO→FROM json round trip would put ids in the name column
+    (review finding)."""
+    import shutil
+    import tempfile
+
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cpj1", "cpj2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    # column order deliberately NON-alphabetical
+    eng.execute("CREATE TABLE cpj1 (name TEXT, id INT)")
+    eng.execute("INSERT INTO cpj1 VALUES ('a', 1), ('b', 2)")
+    eng.execute("CREATE TABLE cpj2 (name TEXT, id INT)")
+    d = tempfile.mkdtemp()
+    try:
+        eng.execute(f"COPY cpj1 TO '{d}/o.json'")
+        assert eng.execute(f"COPY cpj2 FROM '{d}/o.json'") == "COPY 2"
+        assert sorted(tuple(r) for r in spark.table("cpj2").collect()) == [
+            ("a", 1), ("b", 2)
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        for t in ("cpj1", "cpj2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_export_preserves_defaults_and_literal_semicolons(spark):
+    """Review findings: plain column DEFAULTs must survive the dump
+    (schema.sql) and IMPORT must split statements literal-aware (a CHECK
+    containing ';' must not break the script replay)."""
+    import shutil
+    import tempfile
+
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS exp_d")
+    shutil.rmtree(f"{wh}/exp_d", ignore_errors=True)
+    eng.execute(
+        "CREATE TABLE exp_d (id INT, tag TEXT DEFAULT 'none', "
+        "s TEXT CHECK (s <> 'a;b'))"
+    )
+    eng.execute("INSERT INTO exp_d VALUES (1, 'x', 'ok')")
+    d = tempfile.mkdtemp()
+    try:
+        eng.execute(f"EXPORT DATABASE '{d}/dump'")
+        assert "DEFAULT 'none'" in open(f"{d}/dump/schema.sql").read()
+        eng.execute("DROP TABLE exp_d")
+        shutil.rmtree(f"{wh}/exp_d", ignore_errors=True)
+        eng.execute(f"IMPORT DATABASE '{d}/dump'")
+        # default survives: omitted column fills 'none', not NULL
+        eng.execute("INSERT INTO exp_d (id, s) VALUES (2, 'fine')")
+        rows = {tuple(r) for r in spark.table("exp_d").collect()}
+        assert (2, "none", "fine") in rows and (1, "x", "ok") in rows
+        # the semicolon CHECK survived intact and still enforces
+        import pytest as _pt
+
+        from duck_server_spark.engine.errors import PgError
+
+        with _pt.raises(PgError) as ei:
+            eng.execute("INSERT INTO exp_d VALUES (3, 't', 'a;b')")
+        assert ei.value.pgcode == "23514"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS exp_d")
+        shutil.rmtree(f"{wh}/exp_d", ignore_errors=True)
