@@ -80,6 +80,26 @@ _CREATE_USER = re.compile(
     r"^\s*create\s+user\s+(\w+)\s+with\s+password\s+'([^']*)'\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
+# generic `SHOW <guc>` (round 7): SQLAlchemy's psycopg2 dialect sends
+# `show standard_conforming_strings` on CONNECT, psql scripts probe
+# search_path/server_version — DuckDB answers all of these for the
+# reference. Known settings come from the same table ParameterStatus
+# advertises plus PG-shaped defaults; unknown names get PG's exact
+# 42704. `SHOW TABLES` (a Spark/DuckDB statement, not a GUC) and
+# transaction_read_only are intercepted before this.
+_SHOW_GUC = re.compile(r"^\s*show\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
+_GUC_DEFAULTS = {
+    "search_path": '"$user", public',
+    "timezone": "Etc/UTC",
+    "datestyle": "ISO, MDY",
+    "integer_datetimes": "on",
+    "intervalstyle": "postgres",
+    "is_superuser": "on",
+    "application_name": "",
+    "server_encoding": "UTF8",
+    "transaction_isolation": "read committed",
+    "max_identifier_length": "63",
+}
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
 # DEALLOCATE [PREPARE] <name> | ALL — frees prepared statements (psql
 # and connection poolers send this as a simple query; vanilla Spark
@@ -517,6 +537,20 @@ class PgConnection:
             return
         if _SHOW_TXN.match(q):
             await self._run_query("SELECT 0 AS transaction_read_only", send_row_desc=True)
+            return
+        m = _SHOW_GUC.match(q)
+        if m and m.group(1).lower() not in ("tables", "all"):
+            name = m.group(1).lower()
+            val = PARAMETER_STATUS.get(name, _GUC_DEFAULTS.get(name))
+            if val is None:
+                self.send_error(
+                    f'unrecognized configuration parameter "{name}"', "42704"
+                )
+                return
+            lit = val.replace("'", "''")
+            await self._run_query(
+                f"SELECT '{lit}' AS {name}", send_row_desc=True
+            )
             return
         if _WRITE_VERB.match(q) and not q.lower().startswith(("select", "with")):
             loop = asyncio.get_running_loop()

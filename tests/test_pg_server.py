@@ -874,3 +874,27 @@ def test_information_schema_constraints(pg, spark):
     c.simple_query("DROP TABLE isc_w")
     shutil.rmtree(f"{warehouse}/isc_w", ignore_errors=True)
     c.terminate()
+
+
+def test_show_guc_settings(pg):
+    """Generic SHOW <setting>: SQLAlchemy's psycopg2 dialect sends
+    `show standard_conforming_strings` at connect; unknown names get
+    PG's exact 42704."""
+    addr, _engine = pg
+    c = PgClient(*addr)
+    cols, rows, _ = c.simple_query("show standard_conforming_strings")
+    assert [x[0] for x in cols] == ["standard_conforming_strings"]
+    assert rows == [("on",)]
+    _, rows, _ = c.simple_query("SHOW search_path")
+    assert rows == [('"$user", public',)]
+    _, rows, _ = c.simple_query("SHOW server_version")
+    assert len(rows) == 1 and rows[0][0]
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError) as ei:
+        c.simple_query("SHOW not_a_real_setting")
+    assert "42704" in str(ei.value) or "unrecognized" in str(ei.value)
+    # SHOW TABLES still routes to the DuckDB-shaped statement
+    cols, _, _ = c.simple_query("SHOW TABLES")
+    assert [x[0] for x in cols] == ["name"]
+    c.terminate()
