@@ -1357,8 +1357,28 @@ class Engine:
             if found
             else None
         )
+
+        def _mk_fill(seq_name: str):
+            def fill(count: int):
+                inc = self.sequences.increment_of(seq_name)
+                base = self.sequences.nextval(seq_name, count) if count else 0
+                return base, inc
+
+            return fill
+
+        seq_fill = {
+            c["cols"][0]: _mk_fill(c["seq"])
+            for c in found
+            if c["kind"] == "seq_default"
+        }
         return BatchAppender(
-            self.spark, table, self.spark.table(table).schema, cols, validator=validator, **kw
+            self.spark,
+            table,
+            self.spark.table(table).schema,
+            cols,
+            validator=validator,
+            seq_fill=seq_fill,
+            **kw,
         )
 
     # ------------------------------------------------------ DML rewrite

@@ -71,6 +71,7 @@ class BatchAppender:
         cols: list[str] | None,
         batch_size: int = DEFAULT_BATCH_ROWS,
         validator=None,
+        seq_fill=None,
     ):
         self.spark = spark
         self.table = table
@@ -84,6 +85,11 @@ class BatchAppender:
         # append (engine/constraints.py) — raises PgError 23505/23502 and
         # leaves the table untouched for the violating batch
         self.validator = validator
+        # {omitted column: nextval reservation fn(count) -> (base, inc)}
+        # — sequence defaults can't be a per-column expression (each ROW
+        # needs its own value), so flush() fills them driver-side where
+        # the batch tuples already live (round 7)
+        self.seq_fill = seq_fill or {}
 
     def add(self, row: tuple) -> bool:
         """Buffer one row; returns True when the batch is full (caller
@@ -104,10 +110,23 @@ class BatchAppender:
         df = self.spark.createDataFrame(batch, self.schema)
         if self.cols:
             # column-subset insert: missing columns → their declared
-            # DEFAULT (PG COPY semantics) else NULL, table order
+            # DEFAULT (PG COPY semantics), a reserved sequence range
+            # (DEFAULT nextval — one fetch-and-add per batch, dense ids
+            # in arrival order), else NULL; table order
             for f in self.full_schema.fields:
                 if f.name not in self.cols:
-                    df = df.withColumn(f.name, default_fill(f))
+                    if f.name in self.seq_fill:
+                        base, inc = self.seq_fill[f.name](len(batch))
+                        from pyspark.sql.window import Window
+
+                        w = Window.orderBy(F.monotonically_increasing_id())
+                        df = df.withColumn(
+                            f.name,
+                            (F.lit(base) + F.lit(inc) * (F.row_number().over(w) - 1))
+                            .cast(f.dataType),
+                        )
+                    else:
+                        df = df.withColumn(f.name, default_fill(f))
             df = df.select(*[f.name for f in self.full_schema.fields])
         if self.validator is not None:
             self.validator(df)

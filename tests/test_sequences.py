@@ -211,3 +211,44 @@ def test_serial_with_pk_and_drop_column(engine, spark):
     spark.sql("DROP TABLE ser_pk")
     shutil.rmtree(f"{wh}/ser_pk", ignore_errors=True)
     engine.execute("DROP SEQUENCE spk")
+
+
+def test_copy_stdin_fills_sequence_default(spark, sf_dir):
+    """COPY t (cols) FROM STDIN with the sequence column omitted fills a
+    reserved dense range per micro-batch (DuckDB fills the default the
+    same way) — not NULLs."""
+    import shutil
+    import socket
+    import time as _t
+
+    from duck_server_spark.server.pg.wire_server import run_threaded
+    from tests.pg_client import PgClient
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS cseq_t")
+    shutil.rmtree(f"{wh}/cseq_t", ignore_errors=True)
+    eng.sequences.drop("cseq", if_exists=True)
+    eng.execute("CREATE SEQUENCE cseq START 50")
+    eng.execute(
+        "CREATE TABLE cseq_t (id INT PRIMARY KEY DEFAULT nextval('cseq'), v TEXT)"
+    )
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    server, _loop = run_threaded(eng, port=port)
+    _t.sleep(0.5)
+    try:
+        c = PgClient("127.0.0.1", port)
+        _, _, tag = c.copy_in("COPY cseq_t (v) FROM STDIN WITH csv", "a\nb\nc\n")
+        assert tag == "COPY 3"
+        assert sorted(tuple(r) for r in spark.table("cseq_t").collect()) == [
+            (50, "a"), (51, "b"), (52, "c")
+        ]
+        c.terminate()
+    finally:
+        server.close()
+        spark.sql("DROP TABLE IF EXISTS cseq_t")
+        shutil.rmtree(f"{wh}/cseq_t", ignore_errors=True)
+        eng.sequences.drop("cseq", if_exists=True)
