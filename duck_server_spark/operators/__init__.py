@@ -41,172 +41,73 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # round 7 (this session): new dialect-shim query — must be in the
-    # driver window on its first round
-    # round 7 (later session): DISTINCT ON dialect shim — new query,
-    # must be in the driver window on its first round
-    "distinct_on_sql",
+    # ---- ROUND 8 WINDOW (the driver records ~50 rows; every entry below
+    # is oracle-twinned so CORRECTNESS_r08 carries zero `err` rows).
+    # Registry convention (VERDICT r7): window queries project SCALAR
+    # columns only — the driver's canonicalizer sorts with pandas and
+    # crashes on LIST/STRUCT cells.
+    # 1-6: queries new or semantically changed this round — the fixed
+    # bracket-literal projection, the new list-alias shim, the three
+    # rows-only ops converted to bounded-error gate rows (exact twin +
+    # within-bound/recall flag, hashed), and the SemDeDup collapse whose
+    # plan changed in d2c3fa7 AFTER its last driver row (r4). The
+    # rows-only `_prod`/`_est` estimate variants rotate OUT of the
+    # window per VERDICT r7 (their correctness is carried by the gate
+    # twins; their row counts/plans were witnessed in r7).
     "scalar_bracket_literals",
-    "pivot_stmt_sql",
-    "unpivot_stmt_sql",
-    "scalar_series_unnest",
-    # round 7: new production-path sketch variants (rows-only, plan-
-    # audited "no raw-id rescan"), then the queries whose plan or rewrite
-    # changed this round (contamination fused plan; list_slice/ASOF shim
-    # guards), then ALL 33 registry queries that had never appeared in
-    # any driver CORRECTNESS window across rounds 1-6 (VERDICT r6 punch
-    # item 7) so the driver artifact finally witnesses every query.
-    "agg_hll_mergeable_distinct_prod",
-    "agg_theta_audience_overlap_prod",
-    "contamination_check",
-    "scalar_list_slice",
-    "asof_join_sql",
-    # never-windowed until now: aggregates / pivots
-    "agg_median_quantile",
-    "agg_stats_moments",
+    "scalar_list_aliases",
     "agg_approx_count_distinct",
-    "agg_bool_any_every",
-    "agg_count_star_global",
-    "pivot_status",
-    "unpivot_prices",
-    # never-windowed: window functions
-    "window_ranking",
-    "window_lag_lead",
-    "window_frames_rows",
-    "window_first_last_nth",
-    "window_range_frame",
-    # never-windowed: scalar function families
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_cond_cast",
-    "scalar_json",
-    "scalar_bits",
-    "scalar_binary",
-    # never-windowed: time / join idioms
-    "asof_join",
-    "time_bucket_tumbling",
-    # never-windowed: text analysis round-1 ops
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_char_jaccard",
-    # never-windowed: dedup / similarity round-1 ops
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh_fast",
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    # round 6: new queries + newly oracle-gated sketch estimates
-    "agg_hll_mergeable_distinct",
-    "agg_theta_audience_overlap",
-    # round 5: new operators
-    "text_bm25_retrieval",
-    "pipeline_filter_cascade",
-    "mixture_domain_upsampling",
     "similarity_ann_pq",
-    "dedup_ngram_containment",
-    "pipeline_dataset_card",
-    "similarity_matryoshka_topk",
-    "agg_hll_mergeable_distinct",
-    "agg_theta_audience_overlap",
-    "streaming_quality_gate",
-    "multimodal_phash_dedup",
-    "streaming_hll_window_distinct",
-    "pipeline_token_drift",
-    # round 5: plan-changed queries (contamination fused its df-cap
-    # aggregation; the planner reports moved to true integer division;
-    # bloom got per-invocation broadcast release) — same semantics, so
-    # they must re-verify inside the driver's checked window
-    "contamination_check",
-    "pipeline_file_sizing",
-    "pipeline_skew_report",
-    "dedup_bloom_incremental",
-    # round 4: new operators
-    "sample_dsir_importance",
-    "streaming_dedup_watermark",
-    "dedup_substring_spans",
-    "pipeline_length_buckets",
-    "dedup_canonical_docs",
+    "dedup_minhash_lsh_fast",
     "dedup_semantic_clusters",
-    "pipeline_global_shuffle",
-    "text_tokenizer_fertility",
-    "pipeline_file_sizing",
-    "pipeline_skew_report",
-    "dedup_line_level",
-    "graph_pagerank",
-    "streaming_click_attribution_outer",
-    # round 3: new operators + fixed / newly oracle-twinned /
-    # output-shape-changed queries first
-    "text_unigram_score",
-    "text_cooccurrence_lift",
-    "text_winnowing_fingerprints",
-    "mixture_sampling_quotas",
-    "agg_incremental_merge",
-    "zorder_layout",
-    "streaming_tumbling_counts",
-    "streaming_session_windows",
-    "streaming_click_attribution",
-    "streaming_running_totals",
-    "multimodal_resize",
-    "multimodal_audio_features",
-    "join_positional",
-    "sessionize",
-    "inverted_index",
-    "embedding_centroids",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_trained",
-    "agg_collect_sorted",
-    "scalar_array",
-    "scalar_array_higher_order",
-    "scalar_struct_map",
-    "dedup_exact",
-    "dedup_connected_components",
-    "pipeline_corpus_clean",
-    "dedup_minhash_vectorized",
-    # round 2 entries follow
-    "sequence_packing",
-    "train_valid_test_split",
-    "embedding_quantization",
-    "doc_chunking",
-    "text_oov_rate",
-    "multimodal_frame_sample",
-    "dedup_source_matrix",
-    "token_quantiles_per_source",
-    "agg_kmv_distinct",
-    "sample_quality_weighted",
-    "agg_regression",
-    "spearman_corr",
-    "window_time_range",
-    "graph_triangles",
-    "events_gapfill",
-    "cohort_retention",
-    "text_signals_fused",
-    "events_outliers",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_tfidf_salience",
-    "contamination_check",
-    "events_streaks",
-    "histogram_prices",
+    # 7-50: staleness refresh — the oracle-twinned queries whose most
+    # recent driver row is oldest (r1/r2: the TPC-H tail, the join/setop/
+    # subquery matrix, core aggregates), so every row re-verifies against
+    # the current engine rather than a 6-round-old snapshot.
+    "tpch_q18_large_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q16_supplier_parts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta",
+    "join_using",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "sort_limit_offset",
+    "sort_nulls_first",
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_correlated",
+    "cte_chain",
+    "distinct_on",
+    "qualify",
+    "sample_deterministic",
+    "values_inline",
+    "recursive_cte",
+    "lateral_join",
+    "union_by_name",
+    "setop_intersect_all",
+    "agg_filter_distinct",
+    "agg_minmax_argmax",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
     "sample_stratified",
     "topk_per_domain",
     "text_edit_distance",
     "window_distribution",
-    "attributed_purchases",
-    "multimodal_decode_stats",
-    "text_top_terms",
-    "events_funnel",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q12_priority_lines",
-    "tpch_q20_excess_suppliers",
-    "tpch_q11_important_stock",
-    "tpch_q22_sales_opportunity",
 ]
 
 

@@ -367,12 +367,18 @@ def series_unnest_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text natively on DuckDB. Map subscripts are deliberately absent: DuckDB
 # returns a single-element LIST there (documented divergence, pinned in
 # tests/test_compat.py).
+#
+# Registry convention (round 8, after the r7 driver failure): DRIVER-WINDOW
+# QUERIES MUST PROJECT SCALAR COLUMNS ONLY. The driver canonicalizes results
+# with a pandas sort whose hasher crashes on LIST cells (unhashable type);
+# the slice is therefore projected through array_to_string — valid in both
+# engines since the shim rewrites the brackets before Spark sees them.
 BRACKET_LITERALS_TEXT = """
 SELECT n_nationkey,
        ['zz', n_name][2] AS second,
        [n_nationkey, n_regionkey][-1] AS last_k,
        [n_nationkey, n_regionkey, 7][4] AS oob,
-       [10, 20, 30, 40][2:3] AS sl,
+       array_to_string([10, 20, 30, 40][2:3], ',') AS sl,
        {'k': n_name, 'r': n_regionkey}.r AS sr
 FROM nation
 """
@@ -386,8 +392,37 @@ def bracket_literals_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(BRACKET_LITERALS_TEXT))
 
 
+# List alias shims (round 8): the DuckDB list_* spellings whose Spark twin
+# is an EXACT pure rename — list_transform→transform, list_filter→filter
+# (lambda syntax identical), list_position/list_indexof→array_position
+# (verified live on DuckDB 1.x: 1-based hit index, 0 for missing, NULL
+# when either arg is NULL — matching Spark exactly), and
+# array_to_string→array_join (both 2-arg forms skip NULL elements). ONE
+# shared text; the oracle runs it natively; outer-column references
+# inside the lambdas exercise the capture path in both engines. All
+# projections are scalars (driver-window convention).
+LIST_ALIASES_TEXT = """
+SELECT n_nationkey,
+       list_position([10, 20, 30], CAST(n_regionkey AS INT) * 10) AS pos_dyn,
+       list_position([10, 20, 30], 99) AS pos_miss,
+       list_indexof(['a', 'b', 'c'], 'c') AS idx_c,
+       array_to_string(list_transform([1, 2, 3], x -> x + n_regionkey), ',') AS xform,
+       array_to_string(list_filter([1, 2, 3, 4], x -> x % 2 = 0), ',') AS evens
+FROM nation
+"""
+
+
+def list_aliases_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(LIST_ALIASES_TEXT))
+
+
 QUERIES = {
     "scalar_bracket_literals": bracket_literals_shim,
+    "scalar_list_aliases": list_aliases_shim,
     "scalar_series_unnest": series_unnest_shim,
     "scalar_list_slice": list_slice_shim,
     "scalar_string": str_funcs,
@@ -402,6 +437,7 @@ QUERIES = {
 
 ORACLE = {
     "scalar_bracket_literals": BRACKET_LITERALS_TEXT,
+    "scalar_list_aliases": LIST_ALIASES_TEXT,
     "scalar_series_unnest": SERIES_UNNEST_TEXT,
     "scalar_list_slice": LIST_SLICE_ORACLE,
     "scalar_string": STR_FUNCS_ORACLE,

@@ -580,10 +580,70 @@ SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {topk}
 """)
 
 
-QUERIES["similarity_ann_pq"] = similarity_ann_pq
-# rows-only: the driver-side codebook trainer has no SQL twin and ADC
-# distances are approximate BY DESIGN; recall@10 vs the exact
-# brute-force ranking is asserted in tests/test_operators.py
+def similarity_ann_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-ERROR ORACLE GATE for the PQ-ADC pipeline (round 8,
+    VERDICT r7 punch item 3 — the r6 HLL/Theta recipe applied to ANN):
+    ADC estimates are approximate by design and the codebook trainer has
+    no SQL twin, so the gate can't hash the ANN output directly. Instead
+    this row outputs, per query, the EXACT brute-force top-10 membership
+    (sorted, comma-joined — fully DuckDB-expressible) plus `recall_ok` =
+    (PQ recall@10 at shortlist=100 ≥ 0.5). The oracle emits the same
+    exact top-10 with TRUE, so the hash matches iff every query meets
+    the recall bound (measured per-query on the fixture: 0.6–1.0;
+    deterministic — codebook training samples are fixed). The raw
+    estimate plan stays registered as `similarity_ann_pq_est` (rows-only)
+    and is what bench.py times."""
+    ann = similarity_ann_pq(spark, sf_dir)  # query_id, cand_id, cosine, rnk
+    exact = _sql(SIM_BRUTE_SPARK)(spark, sf_dir).where("rnk <= 10")
+    from pyspark.sql import functions as F
+
+    exact_agg = exact.groupBy("query_id").agg(
+        F.array_join(F.sort_array(F.collect_list("cand_id")), ",").alias("exact_top"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    hits = (
+        exact.select("query_id", "cand_id")
+        .join(ann.select("query_id", "cand_id"), ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact_agg.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                >= 0.5 * F.col("k")
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["similarity_ann_pq"] = similarity_ann_pq_gate
+ORACLE["similarity_ann_pq"] = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_D} AS cosine
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id,
+       array_to_string(list_sort(list(cand_id)), ',') AS exact_top,
+       TRUE AS recall_ok
+FROM ranked WHERE rnk <= 10 GROUP BY query_id
+"""
+# The raw PQ-ADC plan (the one a 100 TB user runs, and the one bench.py
+# times under the same name it has carried since round 5's measurements):
+QUERIES["similarity_ann_pq_est"] = similarity_ann_pq
+# rows-only: ADC distances are engine-specific estimates; the recall
+# contract is hashed by the `similarity_ann_pq` gate row above and
+# asserted at multiple shortlist settings in tests/test_operators.py
 
 
 # ---------------------------------------------------------------------------

@@ -75,8 +75,17 @@ _DUCK_FN_ALIASES = {
     "list_max": "array_max",
     "array_length": "size",
     "list_has_any": "arrays_overlap",
-    # NOT list_position: DuckDB yields NULL for a missing element,
-    # Spark's array_position yields 0 — silent semantic drift.
+    # round 8: list_position → array_position is EXACT on DuckDB 1.x
+    # (verified live: both yield the 1-based index, 0 for a missing
+    # element, NULL when either argument is NULL — the old "DuckDB
+    # yields NULL for missing" note described pre-1.0 behavior).
+    # list_indexof is DuckDB's documented alias for the same function.
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    # round 8: array_to_string(arr, sep) → array_join(arr, sep) — both
+    # 2-arg forms skip NULL elements; DuckDB has no 3-arg form, Spark's
+    # optional nullReplacement is a superset. Pure rename.
+    "array_to_string": "array_join",
     # NOT list_slice/list_reduce: argument semantics differ (inclusive
     # end vs length; no init accumulator) — silent drift, not a rename.
     # round 7: scalar unnest → explode is exact for arrays (one row per
@@ -101,7 +110,7 @@ _DUCK_FN_RE = re.compile(
 # returned []; and all-negative diverges on the clamp edge: DuckDB
 # clamps list_slice(l,-5,-1) to the whole 3-element list where Spark's
 # slice yields []). The 4-arg step variant also passes through.
-# list_reduce / list_position stay unmapped on purpose (alias table note).
+# list_reduce stays unmapped on purpose (alias table note).
 _LIST_SLICE = re.compile(r"\blist_slice\s*\(", re.IGNORECASE)
 _NONNEG_INT = re.compile(r"^\s*\+?\d+\s*$")
 

@@ -28,8 +28,15 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 def value_hash(pdf):
     cols = sorted(pdf.columns)
+    # Canonicalize the way the DRIVER does: a pandas sort over the RAW
+    # frame. This crashes on unhashable cells (lists/dicts/ndarrays) —
+    # deliberately NOT masked with astype(str): round 7's
+    # scalar_bracket_literals passed the self-gate under a stringified
+    # sort but failed the driver's artifact. Registry convention: window
+    # queries project scalar columns only; this surfaces violations here.
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     h = hashlib.sha256()
-    for row in sorted(pdf[cols].astype(str).itertuples(index=False, name=None)):
+    for row in pdf.astype(str).itertuples(index=False, name=None):
         h.update(repr(row).encode())
     return h.hexdigest()[:16]
 
