@@ -166,17 +166,50 @@ def _swap_in(engine, table: str, transform) -> None:
     """Schema-changing rewrite: stage the transformed table, then swap
     under the commit mutex (DROP base + RENAME staging — Spark's catalog
     moves the managed location on rename). The heavy work (the full
-    rewrite) runs OUTSIDE the mutex; the swap is two metadata ops."""
-    from duck_server_spark.engine.transactions import _COMMIT_MUTEX, table_dir
+    rewrite) runs OUTSIDE the mutex; the swap is two metadata ops.
+
+    Optimistic concurrency (ADVICE r7): the rewrite is staged from a
+    snapshot, so a concurrent append/COW publish/COMMIT landing between
+    staging and the swap would be silently wiped by an unconditional
+    swap. Same contract as executor._overwrite_table: refresh →
+    fingerprint → stage, then re-check the fingerprint INSIDE the mutex
+    and only swap if the base is unchanged; on mismatch drop the staging
+    and re-run the rewrite on the fresh base, 40001 after bounded
+    retries. The DROP→RENAME pair itself is a reader window (a
+    concurrent SELECT between the two metadata ops sees
+    TABLE_OR_VIEW_NOT_FOUND) — unavoidable for a SCHEMA-changing swap on
+    vanilla parquet (INSERT OVERWRITE, the same-schema fix, cannot
+    change a schema; REPLACE TABLE AS SELECT needs a v2 catalog);
+    crash-recoverable via recover_staging_dirs, documented honest gap."""
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.transactions import (
+        _COMMIT_MUTEX,
+        _table_fingerprint,
+        table_dir,
+    )
 
     spark = engine.spark
-    staging = _staging_name(table)
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    shutil.rmtree(table_dir(spark, staging), ignore_errors=True)
-    transform(spark.table(table)).write.saveAsTable(staging)
-    with _COMMIT_MUTEX:
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    for _attempt in range(3):
+        staging = _staging_name(table)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        shutil.rmtree(table_dir(spark, staging), ignore_errors=True)
+        spark.catalog.refreshTable(table)
+        fp = _table_fingerprint(spark, table)
+        transform(spark.table(table)).write.saveAsTable(staging)
+        with _COMMIT_MUTEX:
+            if _table_fingerprint(spark, table) == fp:
+                spark.sql(f"DROP TABLE {table}")
+                spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+                return
+        # concurrent publish landed between staging and the swap:
+        # discard the stale staging, re-run the rewrite on the fresh base
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        shutil.rmtree(table_dir(spark, staging), ignore_errors=True)
+    raise PgError(
+        "40001",
+        f'could not serialize access: table "{table}" was modified by '
+        "a concurrent transaction (retry the statement)",
+    )
 
 
 def _rename_table(engine, table: str, new: str) -> str:
@@ -411,10 +444,25 @@ def recover_staging_dirs(spark, warehouse: str) -> None:
     import glob
 
     for pat in (f"*{ALTER_STAGING_MARK}*", os.path.join("*.db", f"*{ALTER_STAGING_MARK}*")):
-        for path in glob.glob(os.path.join(warehouse, pat)):
+        # Newest-first (ADVICE r7): with two leftovers for the same
+        # missing base, the LATEST staged rewrite wins (it supersedes the
+        # earlier one); the first roll-forward recreates the base, so the
+        # older leftover falls into the "base exists → remove" branch
+        # instead of raising on a destination-exists rename.
+        paths = sorted(
+            glob.glob(os.path.join(warehouse, pat)),
+            key=lambda p: os.path.getmtime(p),
+            reverse=True,
+        )
+        for path in paths:
             stem = os.path.basename(path).split(ALTER_STAGING_MARK)[0]
             base = os.path.join(os.path.dirname(path), stem)
-            if os.path.exists(base):
-                shutil.rmtree(path, ignore_errors=True)
-            else:
-                os.rename(path, base)
+            try:
+                if os.path.exists(base):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.rename(path, base)
+            except OSError:
+                # one corrupt/contended leftover must never block engine
+                # bootstrap (ADVICE r7) — leave it for the next sweep
+                continue

@@ -269,15 +269,26 @@ def run_copy_file(engine, q: str) -> str | None:
     staged = src.localCheckpoint(eager=True)
     try:
         from duck_server_spark.engine import constraints as cst
+        from duck_server_spark.engine.transactions import gated_append
 
-        cst.validate_append(
-            spark, table, staged, engine.constraints.get(table), engine.constraints
-        )
         n = staged.count()
-        from duck_server_spark.engine.transactions import _COMMIT_MUTEX
-
-        with _COMMIT_MUTEX:
-            staged.write.mode("append").saveAsTable(table)
+        found = engine.constraints.get(table)
+        # fingerprint-gated validate+append (ADVICE r7): key races, not
+        # just overwrite races, force a re-validation under the mutex
+        gated_append(
+            spark,
+            table,
+            staged,
+            validate=(
+                (
+                    lambda df: cst.validate_append(
+                        spark, table, df, found, engine.constraints
+                    )
+                )
+                if found
+                else None
+            ),
+        )
         return f"COPY {n}"
     finally:
         try:

@@ -79,6 +79,13 @@ _DESCRIBE_STMT = re.compile(
     r"^\s*desc(?:ribe)?\s+(?:table\s+)?(.+?);?\s*$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_TABLES = re.compile(r"^\s*show\s+tables\s*;?\s*$", re.IGNORECASE)
+# Single-word SHOW (round 8): `SHOW ALL` (psql \dconfig), DuckDB's
+# `SHOW <table>` describe shortcut, engine-side `SHOW <guc>`; Spark's
+# own single-word SHOW verbs pass through to spark.sql untouched.
+_SHOW_ONE = re.compile(r"^\s*show\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+_SHOW_NATIVE_VERBS = frozenset(
+    ("databases", "schemas", "views", "functions", "catalogs", "namespaces")
+)
 # engine-internal names SHOW TABLES must not expose: bootstrap compat
 # views (_bootstrap/_refresh_catalog_views) and transient shadow/staging
 # tables (name-marker filter — the honest approximation, since staging
@@ -97,6 +104,7 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "pg_attribute",
         "table_constraints",
         "key_column_usage",
+        "pg_settings",
     )
 )
 _INTERNAL_TABLE_MARKS = ("__txn_", "__cow_staging_", "__ins_staging_", "__alter_staging_")
@@ -142,7 +150,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings)\b",
     re.IGNORECASE,
 )
 
@@ -519,6 +527,14 @@ class Engine:
             "constraint_name string, table_name string, column_name string, "
             "ordinal_position int",
         ).createOrReplaceTempView("key_column_usage")
+        # pg_settings (round 8): psql \dconfig and ORMs introspect it;
+        # same shared GUC table SHOW ALL / ParameterStatus report
+        from duck_server_spark.engine.gucs import ALL_GUCS
+
+        spark.createDataFrame(
+            [Row(name=k, setting=v[0], short_desc=v[1]) for k, v in sorted(ALL_GUCS.items())],
+            "name string, setting string, short_desc string",
+        ).createOrReplaceTempView("pg_settings")
 
     @staticmethod
     def _shim_catalog_refs(q: str) -> str:
@@ -539,6 +555,7 @@ class Engine:
                 "pg_catalog.pg_class": "pg_class",
                 "pg_catalog.pg_namespace": "pg_namespace",
                 "pg_catalog.pg_attribute": "pg_attribute",
+                "pg_catalog.pg_settings": "pg_settings",
             }
             return mapping.get(name, m.group(0))
 
@@ -586,6 +603,38 @@ class Engine:
             return self.spark.createDataFrame(
                 [(n,) for n in names],
                 T.StructType([T.StructField("name", T.StringType())]),
+            )
+        m = _SHOW_ONE.match(q)
+        if m and m.group(1).lower() not in _SHOW_NATIVE_VERBS:
+            name = m.group(1)
+            low = name.lower()
+            from duck_server_spark.engine.gucs import ALL_GUCS
+
+            if low == "all":
+                # PG's SHOW ALL shape: (name, setting, description)
+                from pyspark.sql import types as T
+
+                return self.spark.createDataFrame(
+                    [(k, v[0], v[1]) for k, v in sorted(ALL_GUCS.items())],
+                    T.StructType(
+                        [
+                            T.StructField("name", T.StringType()),
+                            T.StructField("setting", T.StringType()),
+                            T.StructField("description", T.StringType()),
+                        ]
+                    ),
+                )
+            if self.spark.catalog.tableExists(low):
+                # DuckDB's `SHOW <table>` ≡ DESCRIBE <table> shortcut
+                # (the reference delegates SHOW to embedded DuckDB)
+                return self._describe(low, dialect)
+            if low in ALL_GUCS:
+                lit = ALL_GUCS[low][0].replace("'", "''")
+                return self.spark.sql(f"SELECT '{lit}' AS `{low}`")
+            from duck_server_spark.engine.errors import PgError
+
+            raise PgError(
+                "42704", f'unrecognized configuration parameter "{low}"'
             )
         # ASOF shim helper columns can survive star shapes the textual
         # EXCEPT wrap can't reach (CTE-star, alias.* through a derived
@@ -1321,17 +1370,28 @@ class Engine:
         src = self._align_to_schema(src, spark.table(table).schema, names)
         staged = src.localCheckpoint(eager=True)
         try:
-            cst.validate_append(
-                spark, table, staged, self.constraints.get(table), self.constraints
-            )
             n = staged.count()
-            # append under the commit mutex (r7 review): an append racing
-            # a COW publish's fingerprint-check-then-overwrite window
-            # would be silently deleted by the overwrite
-            from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+            # fingerprint-gated validate+append (ADVICE r7): the mutex
+            # alone prevents overwrite races but not key races — a
+            # concurrent same-key insert between validation and append
+            # must force a re-validation, not slip a duplicate in
+            from duck_server_spark.engine.transactions import gated_append
 
-            with _COMMIT_MUTEX:
-                staged.write.mode("append").saveAsTable(table)
+            found = self.constraints.get(table)
+            gated_append(
+                spark,
+                table,
+                staged,
+                validate=(
+                    (
+                        lambda df: cst.validate_append(
+                            spark, table, df, found, self.constraints
+                        )
+                    )
+                    if found
+                    else None
+                ),
+            )
             # RETURNING: the staged rows ARE the inserted post-image
             # (aligned, defaults filled, casts applied) — keep the
             # checkpoint alive for the caller's projection

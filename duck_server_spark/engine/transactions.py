@@ -350,6 +350,36 @@ def _table_fingerprint(spark, table: str):
     return tuple(sorted(entries))
 
 
+def gated_append(spark, table: str, df, validate=None) -> None:
+    """Validate-then-append WITHOUT the validate/append TOCTOU (ADVICE
+    r7): key validation reads the base, so a concurrent insert of the
+    same key landing between the validation and the mutex-ed append
+    would slip a PK/UNIQUE duplicate past the check — the commit mutex
+    alone only prevents overwrite races, not key races. Contract
+    mirrors the COW paths: fingerprint before validating, re-check
+    under _COMMIT_MUTEX, re-validate against the fresh base on
+    mismatch, 40001 after bounded retries. With no validator the gate
+    is skipped — plain appends are commutative, so only the
+    overwrite-race mutex is needed."""
+    if validate is None:
+        with _COMMIT_MUTEX:
+            df.write.mode("append").saveAsTable(table)
+        return
+    for _attempt in range(3):
+        spark.catalog.refreshTable(table)
+        fp = _table_fingerprint(spark, table)
+        validate(df)
+        with _COMMIT_MUTEX:
+            if _table_fingerprint(spark, table) == fp:
+                df.write.mode("append").saveAsTable(table)
+                return
+    raise PgError(
+        "40001",
+        f'could not serialize access: table "{table}" was modified by '
+        "a concurrent transaction (retry the statement)",
+    )
+
+
 class TxnOverlay:
     """One open transaction on one PG connection."""
 

@@ -287,31 +287,55 @@ def _do_nothing(engine, up, staged_src: DataFrame, targets, all_cst) -> int:
     """Skip-conflicting-rows append: anti-join per key constraint (plain
     equality, so null-keyed rows pass through and insert), then the
     standard validated append — which re-raises 23505 for conflicts on
-    constraints OUTSIDE the target set, exactly like DuckDB does."""
+    constraints OUTSIDE the target set, exactly like DuckDB does.
+
+    TOCTOU fix (ADVICE r7): the anti-join and validate_append read the
+    base BEFORE the mutex-ed append — a concurrent insert of the same
+    key landing in between would slip a duplicate past the very check
+    DO NOTHING exists to perform. Same contract as the COW paths:
+    fingerprint the base before the anti-join, re-check under
+    _COMMIT_MUTEX, and re-run the anti-join/validation on the fresh base
+    on mismatch (40001 after bounded retries)."""
     spark = engine.spark
     from duck_server_spark.engine import constraints as cst
-    from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+    from duck_server_spark.engine.transactions import (
+        _COMMIT_MUTEX,
+        _table_fingerprint,
+    )
 
-    new_rows = staged_src
-    for c in targets:
-        keys = list(c["cols"])
-        new_rows = new_rows.join(
-            spark.table(up.table).select(*keys), on=keys, how="left_anti"
+    for _attempt in range(3):
+        spark.catalog.refreshTable(up.table)
+        fp = _table_fingerprint(spark, up.table)
+        new_rows = staged_src
+        for c in targets:
+            keys = list(c["cols"])
+            new_rows = new_rows.join(
+                spark.table(up.table).select(*keys), on=keys, how="left_anti"
+            )
+        # re-select in table column order (join(on=keys) reorders key cols first)
+        new_rows = new_rows.select(
+            *[f.name for f in spark.table(up.table).schema.fields]
         )
-    # re-select in table column order (join(on=keys) reorders key cols first)
-    new_rows = new_rows.select(*[f.name for f in spark.table(up.table).schema.fields])
-    staged = new_rows.localCheckpoint(eager=True)
-    try:
-        cst.validate_append(spark, up.table, staged, all_cst, engine.constraints)
-        n = staged.count()
-        with _COMMIT_MUTEX:
-            staged.write.mode("append").saveAsTable(up.table)
-        return n
-    finally:
+        staged = new_rows.localCheckpoint(eager=True)
         try:
-            staged.rdd.unpersist(False)
-        except Exception:  # noqa: BLE001 — cleanup best-effort
-            pass
+            cst.validate_append(
+                spark, up.table, staged, all_cst, engine.constraints
+            )
+            n = staged.count()
+            with _COMMIT_MUTEX:
+                if _table_fingerprint(spark, up.table) == fp:
+                    staged.write.mode("append").saveAsTable(up.table)
+                    return n
+        finally:
+            try:
+                staged.rdd.unpersist(False)
+            except Exception:  # noqa: BLE001 — cleanup best-effort
+                pass
+    raise PgError(
+        "40001",
+        f'could not serialize access: table "{up.table}" was modified by '
+        "a concurrent transaction (retry the statement)",
+    )
 
 
 def _do_update(engine, up, staged_src: DataFrame, target, all_cst, schema, base) -> int:

@@ -80,26 +80,16 @@ _CREATE_USER = re.compile(
     r"^\s*create\s+user\s+(\w+)\s+with\s+password\s+'([^']*)'\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
-# generic `SHOW <guc>` (round 7): SQLAlchemy's psycopg2 dialect sends
-# `show standard_conforming_strings` on CONNECT, psql scripts probe
-# search_path/server_version — DuckDB answers all of these for the
-# reference. Known settings come from the same table ParameterStatus
-# advertises plus PG-shaped defaults; unknown names get PG's exact
-# 42704. `SHOW TABLES` (a Spark/DuckDB statement, not a GUC) and
-# transaction_read_only are intercepted before this.
-_SHOW_GUC = re.compile(r"^\s*show\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
-_GUC_DEFAULTS = {
-    "search_path": '"$user", public',
-    "timezone": "Etc/UTC",
-    "datestyle": "ISO, MDY",
-    "integer_datetimes": "on",
-    "intervalstyle": "postgres",
-    "is_superuser": "on",
-    "application_name": "",
-    "server_encoding": "UTF8",
-    "transaction_isolation": "read committed",
-    "max_identifier_length": "63",
-}
+# generic `SHOW <guc>` (round 7, narrowed round 8 per ADVICE r7): only
+# names present in the shared GUC table (engine/gucs.py — the same table
+# ParameterStatus advertises) are intercepted here; EVERY other SHOW
+# form falls through to engine.query, so Spark's SHOW DATABASES/SCHEMAS/
+# VIEWS/FUNCTIONS, DuckDB's `SHOW <table>` describe shortcut, and
+# `SHOW ALL` keep working (the round-7 blanket interception 42704'd all
+# of these). The regex admits plain identifiers only and the alias is
+# backtick-quoted, so a reserved word or odd name can't inject into the
+# rendered SELECT (ADVICE r7 low).
+_SHOW_GUC = re.compile(r"^\s*show\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
 # DEALLOCATE [PREPARE] <name> | ALL — frees prepared statements (psql
 # and connection poolers send this as a simple query; vanilla Spark
@@ -145,11 +135,10 @@ _WRITE_VERB = re.compile(
     re.IGNORECASE,
 )
 
-PARAMETER_STATUS = {  # pg_conn.go:20-24
-    "client_encoding": "UTF8",
-    "server_version": rewrites.SERVER_VERSION,
-    "standard_conforming_strings": "on",
-}
+# pg_conn.go:20-24 — startup subset of the shared GUC table
+from duck_server_spark.engine import gucs as _gucs
+
+PARAMETER_STATUS = {k: _gucs.ALL_GUCS[k][0] for k in _gucs.STARTUP_PARAMS}
 
 
 @dataclass
@@ -539,19 +528,17 @@ class PgConnection:
             await self._run_query("SELECT 0 AS transaction_read_only", send_row_desc=True)
             return
         m = _SHOW_GUC.match(q)
-        if m and m.group(1).lower() not in ("tables", "all"):
+        if m:
             name = m.group(1).lower()
-            val = PARAMETER_STATUS.get(name, _GUC_DEFAULTS.get(name))
-            if val is None:
-                self.send_error(
-                    f'unrecognized configuration parameter "{name}"', "42704"
+            val = _gucs.guc_value(name)
+            if val is not None:
+                lit = val.replace("'", "''")
+                await self._run_query(
+                    f"SELECT '{lit}' AS `{name}`", send_row_desc=True
                 )
                 return
-            lit = val.replace("'", "''")
-            await self._run_query(
-                f"SELECT '{lit}' AS {name}", send_row_desc=True
-            )
-            return
+            # not a known GUC: fall through to engine.query — Spark SHOW
+            # verbs, DuckDB's SHOW <table> shortcut, SHOW ALL (ADVICE r7)
         if _WRITE_VERB.match(q) and not q.lower().startswith(("select", "with")):
             loop = asyncio.get_running_loop()
             # DML RETURNING: rows + the DML command tag (PG shape)

@@ -128,15 +128,13 @@ class BatchAppender:
                     else:
                         df = df.withColumn(f.name, default_fill(f))
             df = df.select(*[f.name for f in self.full_schema.fields])
-        if self.validator is not None:
-            self.validator(df)
-        # append under the commit mutex (r7): an append landing inside a
-        # concurrent COW publish's check-then-overwrite window would be
-        # silently deleted by the overwrite
-        from duck_server_spark.engine.transactions import _COMMIT_MUTEX
+        # fingerprint-gated validate+append (ADVICE r7): re-validates
+        # against the fresh base if a concurrent publish lands between
+        # the key validation and the append — the mutex alone prevents
+        # overwrite races, not key races
+        from duck_server_spark.engine.transactions import gated_append
 
-        with _COMMIT_MUTEX:
-            df.write.mode("append").saveAsTable(self.table)
+        gated_append(self.spark, self.table, df, validate=self.validator)
         self.total += len(batch)
 
 
