@@ -9,10 +9,15 @@ per line — DuckDB's newline-delimited json). Format comes from the
 Single-file contract: DuckDB writes ONE file at the given path; Spark
 writes a directory of part files. The export coalesces to one partition
 and moves the single part file to the target — honest parity: one
-output file means one writer stream in DuckDB too (its PER_THREAD_OUTPUT
-is the directory-of-parts mode, which is what a Spark user gets by just
-writing the directory themselves). The row count rides the write job as
-an Observation — no second pass.
+output file means one writer stream in DuckDB too. The row count rides
+the write job as an Observation — no second pass.
+
+Directory forms (round 8 — the 100 TB export path): `PARTITION_BY
+(cols)` maps to Spark's native hive-layout ``write.partitionBy`` (same
+<col>=<val> directory structure DuckDB writes), and `PER_THREAD_OUTPUT`
+to a plain multi-part directory write. Both skip the coalesce(1): every
+executor streams its own files in parallel. Unknown COPY options error
+0A000 — loud, never silently ignored.
 
 Import routes through the same validated-append contract as INSERT/COPY
 FROM STDIN: schema aligned to the target (column-list order respected),
@@ -39,6 +44,50 @@ COPY_FILE = re.compile(
 _FORMAT = re.compile(r"\bformat\s+(\w+)", re.IGNORECASE)
 _HEADER = re.compile(r"\bheader(?:\s+(true|false|0|1))?", re.IGNORECASE)
 _DELIM = re.compile(r"\bdelim(?:iter)?\s+'([^']+)'", re.IGNORECASE)
+# Directory output forms (round 8, VERDICT r7 punch item 6 — the 100 TB
+# export path): DuckDB 1.0 COPY options reachable through the
+# reference's delegation point (pg_conn.go:314).
+_PARTITION_BY = re.compile(
+    r"\bpartition_by\s*\(([^)]*)\)|\bpartition_by\s+(\w+)", re.IGNORECASE
+)
+_PER_THREAD = re.compile(r"\bper_thread_output(?:\s+(true|false|0|1))?", re.IGNORECASE)
+# every option token this implementation understands; anything else in
+# the options list errors 0A000 — loud, never silently ignored
+_KNOWN_COPY_OPTS = frozenset(
+    ("format", "header", "delimiter", "delim", "partition_by", "per_thread_output")
+)
+_OPT_WORD = re.compile(r"[A-Za-z_]\w*")
+
+
+def _check_copy_options(opts: str) -> None:
+    """Reject unimplemented COPY options loudly. The options tail looks
+    like ` (FORMAT parquet, PARTITION_BY (a, b), HEADER)` — each
+    top-level comma-separated item must START with a known option word
+    (values/parenthesized args after it are the option's payload)."""
+    s = (opts or "").strip()
+    if not s:
+        return
+    if not (s.startswith("(") and s.endswith(")")):
+        raise PgError("42601", f"malformed COPY options: {opts.strip()!r}")
+    inner, depth, items, start = s[1:-1], 0, [], 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(inner[start:i])
+            start = i + 1
+    items.append(inner[start:])
+    for item in items:
+        if not item.strip():
+            continue
+        w = _OPT_WORD.match(item.strip())
+        if w is None or w.group(0).lower() not in _KNOWN_COPY_OPTS:
+            raise PgError(
+                "0A000",
+                f"COPY option not supported: {item.strip().split()[0] if item.strip() else item!r}",
+            )
 
 
 def _format_of(path: str, opts: str) -> str:
@@ -202,6 +251,7 @@ def run_copy_file(engine, q: str) -> str | None:
     if m is None:
         return None
     path, opts, direction = m.group("path"), m.group("opts") or "", m.group("dir").lower()
+    _check_copy_options(opts)
     fmt = _format_of(path, opts)
     spark = engine.spark
     if direction == "to":
@@ -218,8 +268,33 @@ def run_copy_file(engine, q: str) -> str | None:
 
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        pm = _PARTITION_BY.search(opts)
+        tm = _PER_THREAD.search(opts)
+        if pm or (tm and (tm.group(1) or "true").lower() in ("true", "1")):
+            # Directory forms (round 8) — THE scale path: PARTITION_BY
+            # maps to Spark's native hive-layout partitionBy (identical
+            # dir structure to DuckDB's: <path>/<col>=<val>/part-*), and
+            # PER_THREAD_OUTPUT to a plain multi-part write. Neither
+            # coalesces: every executor writes its own files in
+            # parallel, which is exactly what DuckDB's per-thread mode
+            # does and the only shape that survives a 100 TB export.
+            w = df.write.mode("overwrite")
+            if fmt == "csv":
+                w = w.options(**_csv_options(opts, "to"))
+            if pm:
+                cols = [
+                    c.strip().strip("`\"")
+                    for c in (pm.group(1) or pm.group(2)).split(",")
+                    if c.strip()
+                ]
+                w = w.partitionBy(*cols)
+            w.format(fmt).save(path)
+            return f"COPY {int(obs.get['n'] or 0)}"
         tmp = tempfile.mkdtemp(prefix="copyout_", dir=os.path.dirname(path) or ".")
         try:
+            # single-file contract (DuckDB writes ONE file at this path;
+            # one output file IS one writer stream there too) — the
+            # directory forms above are the parallel/scale path
             w = df.coalesce(1).write.mode("overwrite")
             if fmt == "csv":
                 w = w.options(**_csv_options(opts, "to"))

@@ -170,6 +170,76 @@ def test_copy_to_from_file_roundtrip(spark):
             shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
 
+def test_copy_to_directory_forms(spark):
+    """Round 8 (VERDICT r7 punch item 6): COPY TO's directory forms —
+    PARTITION_BY writes Spark's native hive layout (same <col>=<val>
+    dirs DuckDB produces), PER_THREAD_OUTPUT writes a plain multi-part
+    directory, neither coalesces, the roundtrip restores the original
+    rows, and an unimplemented COPY option errors 0A000 loudly."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest as _pt
+
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cpd1", "cpd2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    eng.execute("CREATE TABLE cpd1 (id INT, grp TEXT, v DOUBLE)")
+    eng.execute(
+        "INSERT INTO cpd1 VALUES (1,'a',1.5),(2,'a',2.5),(3,'b',3.5),(4,'c',4.5)"
+    )
+    d = tempfile.mkdtemp()
+    try:
+        tag = eng.execute(
+            f"COPY cpd1 TO '{d}/part_out' (FORMAT parquet, PARTITION_BY (grp))"
+        )
+        assert tag == "COPY 4"
+        # hive layout on disk, one dir per partition value
+        assert sorted(
+            n for n in os.listdir(f"{d}/part_out") if n.startswith("grp=")
+        ) == ["grp=a", "grp=b", "grp=c"]
+        # roundtrip: read back equals the original (partition col restored)
+        back = spark.read.parquet(f"{d}/part_out")
+        assert sorted(
+            (r.id, r.grp, r.v) for r in back.collect()
+        ) == [(1, "a", 1.5), (2, "a", 2.5), (3, "b", 3.5), (4, "c", 4.5)]
+        # ... and through the validated COPY FROM path (name-aligned:
+        # hive reads put partition columns last)
+        eng.execute("CREATE TABLE cpd2 (id INT, grp TEXT, v DOUBLE)")
+        assert (
+            eng.execute(f"COPY cpd2 FROM '{d}/part_out' (FORMAT parquet)")
+            == "COPY 4"
+        )
+        assert sorted(tuple(r) for r in spark.table("cpd2").collect()) == [
+            (1, "a", 1.5), (2, "a", 2.5), (3, "b", 3.5), (4, "c", 4.5)
+        ]
+        # PER_THREAD_OUTPUT: a directory of part files, no single-file move
+        tag = eng.execute(
+            f"COPY cpd1 TO '{d}/pto_out' (FORMAT parquet, PER_THREAD_OUTPUT)"
+        )
+        assert tag == "COPY 4"
+        assert os.path.isdir(f"{d}/pto_out")
+        assert any(n.startswith("part-") for n in os.listdir(f"{d}/pto_out"))
+        assert spark.read.parquet(f"{d}/pto_out").count() == 4
+        # unknown COPY options error loudly, never silently ignored
+        with _pt.raises(PgError) as ei:
+            eng.execute(
+                f"COPY cpd1 TO '{d}/x.parquet' (FORMAT parquet, COMPRESSION zstd)"
+            )
+        assert ei.value.pgcode == "0A000"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        for t in ("cpd1", "cpd2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
 def test_copy_from_file_validates_constraints(spark):
     import shutil
     import tempfile
