@@ -639,9 +639,17 @@ class Engine:
         # ASOF shim helper columns can survive star shapes the textual
         # EXCEPT wrap can't reach (CTE-star, alias.* through a derived
         # table — ADVICE r6); the schema-level drop covers every shape.
-        return self._strip_asof_helpers(
-            self.spark.sql(self._prepare_sql(q, dialect))
-        )
+        #
+        # Analysis runs under the SHARED visibility gate (round 8):
+        # spark.sql() resolves table names and snapshots file listings
+        # eagerly, and a multi-table COMMIT holds the gate exclusively
+        # across its whole publish sweep — so this query sees every
+        # committed table all-old or all-new, never a mixed snapshot.
+        from duck_server_spark.engine.transactions import VISIBILITY_GATE
+
+        sql_text = self._prepare_sql(q, dialect)
+        with VISIBILITY_GATE.reading():
+            return self._strip_asof_helpers(self.spark.sql(sql_text))
 
     def _describe(self, target: str, dialect: str) -> DataFrame:
         """DuckDB's DESCRIBE shape (`DESCRIBE tbl` / `DESC tbl` /

@@ -1138,3 +1138,90 @@ def test_join_dml_inside_transaction(pgt):
     for t in ("txn_ujt", "txn_ujs"):
         c.simple_query(f"DROP TABLE {t}")
     c.terminate()
+
+
+def test_cross_table_commit_atomic_visibility(pgt):
+    """Round 8 (VERDICT r7 punch item 7): a multi-table COMMIT is
+    atomically VISIBLE — concurrent readers must never observe a mixed
+    {A new, B old} snapshot. Writers move both tables in lockstep
+    (x_a == x_b is the invariant; every commit adds 1 to each inside one
+    transaction; 40001 losers publish nothing); readers assert the
+    difference is zero on every analysis. The visibility gate makes the
+    whole publish sweep exclusive against query ANALYSIS, which is where
+    Spark resolves names and snapshots file listings."""
+    import threading
+
+    (host, port), _engine = pgt
+    c0 = PgClient(host, port)
+    for t in ("txn_inv_a", "txn_inv_b"):
+        c0.simple_query(f"DROP TABLE IF EXISTS {t}")
+        c0.simple_query(f"CREATE TABLE {t} (x BIGINT) USING parquet")
+        c0.simple_query(f"INSERT INTO {t} VALUES (0)")
+    errs, mixed, commits, reads = [], [], [], []
+    barrier = threading.Barrier(4)
+
+    def writer(tid, rounds=4):
+        try:
+            c = PgClient(host, port)
+            barrier.wait(timeout=30)
+            for _ in range(rounds):
+                try:
+                    c.simple_query("BEGIN")
+                    c.simple_query("UPDATE txn_inv_a SET x = x + 1")
+                    c.simple_query("UPDATE txn_inv_b SET x = x + 1")
+                    _, _, tag = c.simple_query("COMMIT")
+                    if tag == "COMMIT":
+                        commits.append(1)
+                except RuntimeError as e:
+                    if "40001" not in str(e):
+                        errs.append(f"writer{tid}: {e}")
+                    try:
+                        c.simple_query("ROLLBACK")
+                    except RuntimeError:
+                        pass
+            c.terminate()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"writer{tid}: {type(e).__name__} {e}")
+
+    def reader(tid, rounds=12):
+        try:
+            c = PgClient(host, port)
+            barrier.wait(timeout=30)
+            for _ in range(rounds):
+                try:
+                    _, rows, _ = c.simple_query(
+                        "SELECT (SELECT max(x) FROM txn_inv_a) - "
+                        "(SELECT max(x) FROM txn_inv_b) AS d"
+                    )
+                except RuntimeError as e:
+                    # the file-swap window is the documented vanilla-
+                    # parquet gap: loud, transient, never a mixed answer
+                    assert "TABLE_OR_VIEW_NOT_FOUND" not in str(e), e
+                    continue
+                d = int(rows[0][0])
+                reads.append(d)
+                if d != 0:
+                    mixed.append(d)
+            c.terminate()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"reader{tid}: {type(e).__name__} {e}")
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (0, 1)] + [
+        threading.Thread(target=reader, args=(t,)) for t in (2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in threads), "deadlock: thread stuck"
+    assert errs == [], errs
+    assert mixed == [], f"mixed cross-table snapshots observed: {mixed}"
+    assert len(reads) >= 8  # readers made real progress during commits
+    # both tables advanced exactly once per successful commit
+    _, rows, _ = c0.simple_query("SELECT max(x) FROM txn_inv_a")
+    assert int(rows[0][0]) == len(commits)
+    _, rows, _ = c0.simple_query("SELECT max(x) FROM txn_inv_b")
+    assert int(rows[0][0]) == len(commits)
+    for t in ("txn_inv_a", "txn_inv_b"):
+        c0.simple_query(f"DROP TABLE {t}")
+    c0.terminate()
