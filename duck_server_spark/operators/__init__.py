@@ -56,6 +56,7 @@ _PRIORITY = [
     # twins; their row counts/plans were witnessed in r7).
     "scalar_bracket_literals",
     "scalar_list_aliases",
+    "scalar_datetime_shims",
     "agg_approx_count_distinct",
     "similarity_ann_pq",
     "dedup_minhash_lsh_fast",

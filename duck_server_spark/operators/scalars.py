@@ -420,9 +420,40 @@ def list_aliases_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(LIST_ALIASES_TEXT))
 
 
+# strftime / strptime / date_diff shims (round 8): ONE shared
+# DuckDB-spelled text — the oracle runs it natively, the Spark side goes
+# through rewrite_pg_query (%-codes → Java patterns; date_diff →
+# boundary-crossing arithmetic, which is NOT Spark's complete-units
+# timestampdiff — plans/rewrites.py _rewrite_strftime/_rewrite_date_diff).
+# The strptime∘strftime round trip exercises BOTH directions on real
+# event timestamps; the hour/month columns pin the boundary semantics
+# (00:59 → 02:01 must be 2, Jan-31 → Feb-01 must be 1).
+DATETIME_SHIMS_TEXT = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+       strftime(ts, '%a %d %b %Y %I%p') AS pretty,
+       date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS dd,
+       date_diff('hour', TIMESTAMP '2024-01-01 00:59:00', ts) AS dh,
+       date_diff('month', DATE '2023-11-30', CAST(ts AS DATE)) AS dm,
+       date_diff('minute', TIMESTAMP '2024-01-01 00:00:59', ts) AS dmin,
+       date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS ds,
+       CAST(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS rt
+FROM events
+"""
+
+
+def datetime_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(DATETIME_SHIMS_TEXT))
+
+
 QUERIES = {
     "scalar_bracket_literals": bracket_literals_shim,
     "scalar_list_aliases": list_aliases_shim,
+    "scalar_datetime_shims": datetime_shims,
     "scalar_series_unnest": series_unnest_shim,
     "scalar_list_slice": list_slice_shim,
     "scalar_string": str_funcs,
@@ -438,6 +469,7 @@ QUERIES = {
 ORACLE = {
     "scalar_bracket_literals": BRACKET_LITERALS_TEXT,
     "scalar_list_aliases": LIST_ALIASES_TEXT,
+    "scalar_datetime_shims": DATETIME_SHIMS_TEXT,
     "scalar_series_unnest": SERIES_UNNEST_TEXT,
     "scalar_list_slice": LIST_SLICE_ORACLE,
     "scalar_string": STR_FUNCS_ORACLE,

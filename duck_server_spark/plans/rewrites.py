@@ -150,6 +150,175 @@ def _rewrite_list_slice(q: str) -> str:
         pos = m.start()  # rescan the replacement: nested list_slice inside
 
 
+# strftime / strptime shims (round 8): DuckDB formats dates with
+# C-style %-codes; Spark's date_format/to_timestamp use Java patterns.
+# A pure name alias would silently misformat, so the FORMAT LITERAL is
+# translated %-code-by-code and the call only rewrites when every code
+# has an exact Java twin (verified value-for-value vs live DuckDB in
+# tests/test_compat.py); otherwise the call passes through untouched and
+# errors loudly (UNRESOLVED_ROUTINE), never drifts. Literal runs are
+# fully quoted in the Java pattern ('T' in ISO timestamps would
+# otherwise be a pattern letter). strptime → to_timestamp is value-exact
+# on success; on a MALFORMED input DuckDB errors while a non-ANSI Spark
+# session NULLs (pinned divergence, error-path only).
+_STRF_CALL = re.compile(r"\b(strftime|strptime)\s*\(", re.IGNORECASE)
+_STRF_MAP = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "I": "hh", "M": "mm",
+    "S": "ss", "y": "yy", "j": "DDD", "a": "EEE", "A": "EEEE", "b": "MMM",
+    "B": "MMMM", "p": "a", "f": "SSSSSS",
+}
+_PLAIN_STR_LIT = re.compile(r"^\s*'([^']*)'\s*$", re.DOTALL)
+
+
+def _java_pattern(fmt: str) -> str | None:
+    """C-style strftime format → Java DateTimeFormatter pattern; None
+    when any %-code (or an embedded apostrophe) has no exact twin."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit) + "'")  # quote ALL literal runs
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                return None
+            code = fmt[i + 1]
+            if code == "%":
+                lit.append("%")  # literal percent
+            else:
+                mapped = _STRF_MAP.get(code)
+                if mapped is None:
+                    return None  # %-d, %G, %V, … — no exact twin: loud
+                flush()
+                out.append(mapped)
+            i += 2
+        elif c == "'":
+            return None  # apostrophe quoting corner: stay loud, not clever
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _rewrite_strftime(q: str) -> str:
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _STRF_CALL.search(masked, pos)
+        if m is None:
+            return q
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        inner, inner_masked = q[m.end() : i - 1], masked[m.end() : i - 1]
+        args = _split_top_level(inner, inner_masked)
+        litm = _PLAIN_STR_LIT.match(args[1]) if len(args) == 2 else None
+        java = _java_pattern(litm.group(1)) if litm else None
+        if java is None:
+            pos = m.end()  # non-literal / unmappable format: loud error
+            continue
+        fn = "date_format" if m.group(1).lower() == "strftime" else "to_timestamp"
+        repl = f"{fn}({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
+        q = q[: m.start()] + repl + q[i:]
+        # rescan from the replacement start: args[0] may itself contain a
+        # nested strftime/strptime (strptime∘strftime round trips); the
+        # rewritten head no longer matches, so this terminates
+        pos = m.start()
+
+
+# date_diff / datediff (round 8): DuckDB's 3-arg form counts PART
+# BOUNDARIES CROSSED (date_diff('hour', 00:59, 02:01) = 2; 'month',
+# Jan-31 → Feb-01 = 1), which is NOT Spark's timestampdiff (complete
+# units elapsed) — a name alias would silently drift on every partial
+# unit. Each supported part rewrites to the exact boundary arithmetic
+# (verified value-for-value vs live DuckDB): calendar parts via
+# year/quarter/month/week-truncation differences, clock parts via
+# truncated epoch-second differences. Unknown parts pass through and
+# error loudly. Spark's OWN 2-arg datediff(end, start) never matches
+# (3 args + leading string literal required).
+_DATE_DIFF_CALL = re.compile(r"\b(?:date_diff|datediff)\s*\(", re.IGNORECASE)
+_DATE_DIFF_TPL = {
+    "year": "CAST(year({b}) - year({a}) AS BIGINT)",
+    "quarter": (
+        "CAST((year({b}) * 4 + quarter({b})) - "
+        "(year({a}) * 4 + quarter({a})) AS BIGINT)"
+    ),
+    "month": (
+        "CAST((year({b}) * 12 + month({b})) - "
+        "(year({a}) * 12 + month({a})) AS BIGINT)"
+    ),
+    "week": (
+        "CAST(datediff(date_trunc('week', {b}), "
+        "date_trunc('week', {a})) / 7 AS BIGINT)"
+    ),
+    "day": "CAST(datediff(CAST({b} AS DATE), CAST({a} AS DATE)) AS BIGINT)",
+    "hour": (
+        "CAST((unix_seconds(date_trunc('hour', CAST({b} AS TIMESTAMP))) - "
+        "unix_seconds(date_trunc('hour', CAST({a} AS TIMESTAMP)))) / 3600 AS BIGINT)"
+    ),
+    "minute": (
+        "CAST((unix_seconds(date_trunc('minute', CAST({b} AS TIMESTAMP))) - "
+        "unix_seconds(date_trunc('minute', CAST({a} AS TIMESTAMP)))) / 60 AS BIGINT)"
+    ),
+    "second": (
+        "CAST(unix_seconds(CAST({b} AS TIMESTAMP)) - "
+        "unix_seconds(CAST({a} AS TIMESTAMP)) AS BIGINT)"
+    ),
+}
+_DATE_DIFF_ALIASES = {
+    "min": "minute", "mins": "minute", "mi": "minute",
+    "sec": "second", "secs": "second", "ss": "second", "s": "second",
+    "hh": "hour", "hr": "hour", "hrs": "hour",
+    "dd": "day", "d": "day", "yy": "year", "yyyy": "year",
+    "mon": "month", "mons": "month", "qq": "quarter", "ww": "week",
+}
+
+
+def _date_diff_part(raw: str) -> str | None:
+    p = raw.strip().lower()
+    if p in _DATE_DIFF_TPL:
+        return p
+    if p.endswith("s") and p[:-1] in _DATE_DIFF_TPL:
+        return p[:-1]  # plural spellings
+    return _DATE_DIFF_ALIASES.get(p)
+
+
+def _rewrite_date_diff(q: str) -> str:
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _DATE_DIFF_CALL.search(masked, pos)
+        if m is None:
+            return q
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        inner, inner_masked = q[m.end() : i - 1], masked[m.end() : i - 1]
+        args = _split_top_level(inner, inner_masked)
+        litm = _PLAIN_STR_LIT.match(args[0]) if len(args) == 3 else None
+        part = _date_diff_part(litm.group(1)) if litm else None
+        if part is None or part not in _DATE_DIFF_TPL:
+            pos = m.end()  # 2-arg Spark form / unknown part: untouched
+            continue
+        repl = _DATE_DIFF_TPL[part].format(a=args[1], b=args[2])
+        q = q[: m.start()] + repl + q[i:]
+        pos = m.start() + len(repl)
+
+
 # DuckDB series/unnest shims (round 7). Spark has neither name:
 # - `FROM generate_series(a, b[, s])` → `FROM explode(sequence(…)) AS
 #   gs_N(generate_series)` — Spark's explode TVF under DuckDB's default
@@ -982,6 +1151,8 @@ def rewrite_common(q: str) -> str:
     q = rewrite_star_replace(q)
     q = _rewrite_extract_epoch(q)
     q = _rewrite_list_slice(q)
+    q = _rewrite_strftime(q)  # %-format translation (round 8)
+    q = _rewrite_date_diff(q)  # boundary-crossing arithmetic (round 8)
     q = rewrite_asof_join(q)
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions

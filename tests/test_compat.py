@@ -1167,3 +1167,50 @@ def test_bracket_subscript_over_wire(pgc, spark):
     )
     assert rows == [("b", "3", None)]
     c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# strftime / strptime / date_diff dialect shims (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_strftime_date_diff_pinned_vs_duckdb(spark):
+    """The %-format translation and the boundary-crossing date_diff
+    arithmetic re-derive their pins from LIVE DuckDB on every edge the
+    rewrite claims exact: every mapped %-code, literal-run quoting ('T'
+    must stay literal, not a Java pattern letter), hour/month/quarter/
+    week boundary counts on partial units (where Spark's timestampdiff
+    would drift), plurals/abbreviations, and reversed-argument sign."""
+    import duckdb
+
+    from duck_server_spark.plans.rewrites import rewrite_pg_query
+
+    duck = duckdb.connect()
+    exprs = [
+        "strftime(TIMESTAMP '2024-03-05 07:08:09.123456', '%Y-%m-%dT%H:%M:%S')",
+        "strftime(TIMESTAMP '2024-03-05 07:08:09.123456', '%a %A %b %B %p %j %y %I %f %%')",
+        "strftime(DATE '2024-12-31', '%Y/%m/%d')",
+        "CAST(strptime('2024-03-05 07:08', '%Y-%m-%d %H:%M') AS VARCHAR)",
+        "date_diff('day', TIMESTAMP '2024-01-01 23:00:00', TIMESTAMP '2024-01-02 01:00:00')",
+        "date_diff('month', DATE '2024-01-31', DATE '2024-02-01')",
+        "date_diff('year', DATE '2023-12-31', DATE '2024-01-01')",
+        "date_diff('hour', TIMESTAMP '2024-01-01 00:59:00', TIMESTAMP '2024-01-01 02:01:00')",
+        "date_diff('minutes', TIMESTAMP '2024-01-01 00:00:59', TIMESTAMP '2024-01-01 00:02:01')",
+        "date_diff('second', TIMESTAMP '2024-01-01 00:00:00.9', TIMESTAMP '2024-01-01 00:00:01.1')",
+        "date_diff('week', DATE '2024-01-07', DATE '2024-01-08')",
+        "date_diff('quarter', DATE '2024-03-31', DATE '2024-04-01')",
+        "datediff('day', DATE '2024-03-01', DATE '2024-01-01')",
+    ]
+    for e in exprs:
+        want = duck.execute(f"SELECT {e}").fetchone()[0]
+        got = spark.sql(rewrite_pg_query(f"SELECT {e} AS v")).collect()[0][0]
+        assert str(got) == str(want), (e, got, want)
+    # unmappable %-codes / unknown parts pass through UNREWRITTEN (the
+    # call then errors loudly in Spark instead of silently drifting)
+    kept = rewrite_pg_query("SELECT strftime(ts, '%-d %G') FROM t")
+    assert "strftime" in kept
+    kept = rewrite_pg_query("SELECT date_diff('millisecond', a, b) FROM t")
+    assert "date_diff" in kept
+    # Spark's own 2-arg datediff(end, start) is never touched
+    kept = rewrite_pg_query("SELECT datediff(b, a) FROM t")
+    assert "datediff(b, a)" in kept
