@@ -23,6 +23,8 @@ from duck_server_spark.plans import rewrites
 ALL_GUCS: dict[str, tuple[str, str]] = {
     "application_name": ("", "Sets the application name to be reported in statistics and logs."),
     "client_encoding": ("UTF8", "Sets the client's character set encoding."),
+    "extra_float_digits": ("1", "Sets the number of digits displayed for floating-point values."),
+    "statement_timeout": ("0", "Sets the maximum allowed duration of any statement."),
     "datestyle": ("ISO, MDY", "Sets the display format for date and time values."),
     "integer_datetimes": ("on", "Shows whether datetimes are integer based."),
     "intervalstyle": ("postgres", "Sets the display format for interval values."),

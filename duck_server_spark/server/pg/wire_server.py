@@ -89,8 +89,32 @@ _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
 # of these). The regex admits plain identifiers only and the alias is
 # backtick-quoted, so a reserved word or odd name can't inject into the
 # rendered SELECT (ADVICE r7 low).
-_SHOW_GUC = re.compile(r"^\s*show\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+_SHOW_GUC = re.compile(r"^\s*show\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+# Session-scoped SET/RESET (round 8): `SET app_name = 'x'; SHOW
+# app_name` must round-trip per connection — ORMs and psql scripts set
+# search_path/timezone/application_name and read them back. Known GUCs
+# (and dotted custom-namespace names, PG's extension convention) store
+# in the connection's overlay; everything else falls through to the
+# engine (noop-ack for the reference's pg_conn.go:448-453 list, loud
+# otherwise). SET LOCAL is treated as session-scoped — a pinned, minor
+# divergence (PG reverts it at COMMIT); DuckDB has no LOCAL either.
+_SET_GUC = re.compile(
+    r"^\s*set\s+(?:session\s+|local\s+)?(?P<name>[A-Za-z_][\w.]*)\s*"
+    r"(?:=|\bto\b)\s*(?P<val>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RESET_GUC = re.compile(
+    r"^\s*reset\s+(all|[A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
+)
+# Only client-metadata GUCs are echo-settable: storing timezone/
+# datestyle/encoding in the overlay would make SHOW claim a rendering
+# the UTC-pinned engine does not perform — those keep the existing
+# accept-and-ignore ack, and SHOW keeps reporting the engine's REAL
+# value (honest, like the reference's fixed ParameterStatus table).
+_SETTABLE_GUCS = frozenset(
+    ("application_name", "search_path", "statement_timeout", "extra_float_digits")
+)
 # DEALLOCATE [PREPARE] <name> | ALL — frees prepared statements (psql
 # and connection poolers send this as a simple query; vanilla Spark
 # would error on the verb)
@@ -193,6 +217,9 @@ class PgConnection:
         self.job_group = f"pg-{self.backend_pid}"
         self.active_portal_groups: set[str] = set()
         self._portal_seq = 0
+        # per-connection GUC overlay (round 8): SET stores here, SHOW
+        # reads it before the shared defaults; RESET/DISCARD ALL clear
+        self.session_gucs: dict[str, str] = {}
 
     # ------------------------------------------------------------ frames
 
@@ -502,7 +529,28 @@ class PgConnection:
             for p in self.portals.values():
                 self._release_portal(p)
             self.portals.clear()
+            self.session_gucs.clear()  # DISCARD ALL resets session GUCs too
             self.send_command_complete("DISCARD ALL")
+            return
+        m = _SET_GUC.match(q)
+        if m:
+            name = m.group("name").lower()
+            if name in _SETTABLE_GUCS or "." in name:
+                raw = m.group("val").strip()
+                lit = re.match(r"^'(.*)'$", raw, re.DOTALL)
+                self.session_gucs[name] = lit.group(1).replace("''", "'") if lit else raw
+                self.send_command_complete("SET")
+                return
+            # anything else: fall through (engine ack/loud error) — SHOW
+            # keeps reporting the engine's real value for those
+        m = _RESET_GUC.match(q)
+        if m:
+            tgt = m.group(1).lower()
+            if tgt == "all":
+                self.session_gucs.clear()
+            else:
+                self.session_gucs.pop(tgt, None)
+            self.send_command_complete("RESET")
             return
         m = _DEALLOCATE.match(q)
         if m:
@@ -530,11 +578,22 @@ class PgConnection:
         m = _SHOW_GUC.match(q)
         if m:
             name = m.group(1).lower()
-            val = _gucs.guc_value(name)
+            val = (
+                self.session_gucs[name]
+                if name in self.session_gucs
+                else _gucs.guc_value(name)
+            )
             if val is not None:
                 lit = val.replace("'", "''")
                 await self._run_query(
                     f"SELECT '{lit}' AS `{name}`", send_row_desc=True
+                )
+                return
+            if "." in name:
+                # custom-namespace GUC that was never SET in this
+                # session: PG's exact 42704, never a Spark parse error
+                self.send_error(
+                    f'unrecognized configuration parameter "{name}"', "42704"
                 )
                 return
             # not a known GUC: fall through to engine.query — Spark SHOW

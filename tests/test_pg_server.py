@@ -933,3 +933,52 @@ def test_show_all_pg_settings_and_spark_show_forms(pg):
     finally:
         engine.execute("DROP TABLE show_tbl_r8")
     c.terminate()
+
+
+def test_set_show_session_guc_roundtrip(pg):
+    """Round 8: session-scoped SET → SHOW round trip for client-metadata
+    GUCs (what ORMs and psql scripts do); RESET/DISCARD ALL restore the
+    defaults; custom dotted namespaces (PG's extension convention) work;
+    engine-semantics GUCs like timezone keep reporting the REAL engine
+    value (the overlay must not claim a rendering the engine doesn't
+    perform); the overlay is per-connection."""
+    addr, _engine = pg
+    c = PgClient(*addr)
+    _, _, tag = c.simple_query("SET application_name = 'my_app'")
+    assert tag == "SET"
+    _, rows, _ = c.simple_query("SHOW application_name")
+    assert rows == [("my_app",)]
+    # quoted value with TO spelling
+    c.simple_query("SET search_path TO 'analytics'")
+    _, rows, _ = c.simple_query("SHOW search_path")
+    assert rows == [("analytics",)]
+    # custom dotted namespace
+    c.simple_query("SET myext.flag = 'on'")
+    _, rows, _ = c.simple_query("SHOW myext.flag")
+    assert rows == [("on",)]
+    # unset dotted name: PG's exact 42704, not a Spark parse error
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError) as ei:
+        c.simple_query("SHOW other.unset")
+    assert "42704" in str(ei.value)
+    # timezone stays an accept-and-ignore ack; SHOW reports the engine's
+    # real value (UTC session) — honest, never an unapplied echo
+    c.simple_query("SET timezone = 'America/New_York'")
+    _, rows, _ = c.simple_query("SHOW timezone")
+    assert rows == [("Etc/UTC",)]
+    # RESET one / DISCARD ALL
+    _, _, tag = c.simple_query("RESET search_path")
+    assert tag == "RESET"
+    _, rows, _ = c.simple_query("SHOW search_path")
+    assert rows == [('"$user", public',)]
+    c.simple_query("DISCARD ALL")
+    _, rows, _ = c.simple_query("SHOW application_name")
+    assert rows == [("",)]
+    # per-connection isolation: a second session never sees the first's SET
+    c.simple_query("SET application_name = 'conn_one'")
+    c2 = PgClient(*addr)
+    _, rows, _ = c2.simple_query("SHOW application_name")
+    assert rows == [("",)]
+    c2.terminate()
+    c.terminate()
