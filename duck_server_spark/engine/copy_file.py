@@ -67,6 +67,10 @@ def _check_copy_options(opts: str) -> None:
     s = (opts or "").strip()
     if not s:
         return
+    # PG spells the option list `WITH (…)`; DuckDB accepts both forms
+    s = re.sub(r"^with\s*", "", s, flags=re.IGNORECASE)
+    if not s:
+        return
     if not (s.startswith("(") and s.endswith(")")):
         raise PgError("42601", f"malformed COPY options: {opts.strip()!r}")
     inner, depth, items, start = s[1:-1], 0, [], 0

@@ -227,6 +227,12 @@ def test_copy_to_directory_forms(spark):
         assert os.path.isdir(f"{d}/pto_out")
         assert any(n.startswith("part-") for n in os.listdir(f"{d}/pto_out"))
         assert spark.read.parquet(f"{d}/pto_out").count() == 4
+        # PG's WITH (…) spelling of the option list is accepted
+        assert (
+            eng.execute(f"COPY cpd1 TO '{d}/w.csv' WITH (FORMAT csv, HEADER)")
+            == "COPY 4"
+        )
+        assert open(f"{d}/w.csv").read().splitlines()[0] == "id,grp,v"
         # unknown COPY options error loudly, never silently ignored
         with _pt.raises(PgError) as ei:
             eng.execute(
