@@ -86,9 +86,9 @@ _SHOW_TXN = re.compile(r"^\s*show\s+transaction_read_only", re.IGNORECASE)
 # form falls through to engine.query, so Spark's SHOW DATABASES/SCHEMAS/
 # VIEWS/FUNCTIONS, DuckDB's `SHOW <table>` describe shortcut, and
 # `SHOW ALL` keep working (the round-7 blanket interception 42704'd all
-# of these). The regex admits plain identifiers only and the alias is
-# backtick-quoted, so a reserved word or odd name can't inject into the
-# rendered SELECT (ADVICE r7 low).
+# of these). The regex admits identifiers plus the dotted custom-GUC
+# namespace form, and the alias is backtick-quoted, so a reserved word
+# or odd name can't inject into the rendered SELECT (ADVICE r7 low).
 _SHOW_GUC = re.compile(r"^\s*show\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
 _DISCARD = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
 # Session-scoped SET/RESET (round 8): `SET app_name = 'x'; SHOW

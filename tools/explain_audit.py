@@ -243,6 +243,15 @@ CHECKS = {
         ("pivot is one hash aggregate on the group keys", r"HashAggregate"),
         ("pivot-col scan pruned to the needed columns", r"ReadSchema: [^\n]*o_orderpriority"),
     ],
+    # round 8: the datetime shim lowers entirely to built-in expressions —
+    # the whole query must stay a codegen'd scan+project, no shuffle
+    "scalar_datetime_shims": [
+        ("whole-stage codegen (no Python boundary)", r"WholeStageCodegen"),
+        ("scan pruned to the two used columns", r"ReadSchema: [^\n]*event_id"),
+    ],
+    "scalar_list_aliases": [
+        ("whole-stage codegen (pure rename aliases)", r"WholeStageCodegen"),
+    ],
 }
 
 FORBIDDEN = {
@@ -293,6 +302,10 @@ FORBIDDEN = {
     "mixture_domain_upsampling": [("no explode", r"Generate")],
     "similarity_matryoshka_topk": [("no shuffled cartesian", r"CartesianProduct")],
     "pipeline_dataset_card": [("no explode of the corpus", r"Generate\b.*explode\(sequence")],
+    # round 8 gate rows: both sides join on keys, never all-pairs
+    "similarity_ann_pq": [("no cartesian in the recall join", r"CartesianProduct")],
+    "dedup_minhash_lsh_fast": [("no cartesian in the recall join", r"CartesianProduct")],
+    "scalar_datetime_shims": [("no shuffle — scan-local projection", r"Exchange")],
 }
 
 
