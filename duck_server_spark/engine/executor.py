@@ -226,6 +226,13 @@ class Engine:
         self.sequences = SequenceStore(
             os.path.join(self.data_dir, "duckserver_sequences.json")
         )
+        # SQL macro registry (engine/macros.py): DuckDB CREATE MACRO /
+        # untyped CREATE FUNCTION, inlined at statement-prepare time
+        from duck_server_spark.engine.macros import MacroStore
+
+        self.macros = MacroStore(
+            os.path.join(self.data_dir, "duckserver_macros.json")
+        )
         self._bootstrap()
         # roll interrupted multi-table COMMITs forward (crash between two
         # table publishes leaves a journal manifest — engine/transactions.py)
@@ -564,6 +571,11 @@ class Engine:
     # ----------------------------------------------------------- queries
 
     def _prepare_sql(self, q: str, dialect: str) -> str:
+        # macro expansion FIRST: bodies are DuckDB-dialect text and get
+        # the full shim treatment below after inlining (engine/macros.py)
+        from duck_server_spark.engine.macros import expand_calls
+
+        q = expand_calls(q, self.macros)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
         if _CATALOG_REF.search(q):
             self._refresh_catalog_views()
@@ -1021,6 +1033,26 @@ class Engine:
             # scale lever this statement has on a cluster
             self._analyze(m.group(1))
             return "ANALYZE"
+        if re.match(
+            r"\s*create\s+(or\s+replace\s+)?(macro|function)\b", q, re.IGNORECASE
+        ) or re.match(r"\s*drop\s+(macro|function)\b", q, re.IGNORECASE):
+            # DuckDB SQL macros (engine/macros.py) — the reference's own
+            # bootstrap uses this statement (pg_server.go:40-42). Typed
+            # Spark SQL UDFs / JVM CREATE FUNCTION fall through.
+            from duck_server_spark.engine import macros as _mac
+
+            cm = _mac.parse_create(q)
+            if cm is not None:
+                name, params, defaults, body, replace, ine = cm
+                self.macros.create(name, params, defaults, body, replace, ine)
+                return "CREATE MACRO"
+            dm = _mac.DROP_MACRO.match(q)
+            if dm is not None and (
+                dm.group("kw").lower() == "macro"
+                or dm.group("name").lower() in self.macros.names()
+            ):
+                self.macros.drop(dm.group("name"), bool(dm.group("ie")))
+                return "DROP MACRO"
         if re.match(r"\s*(create|drop)\s+sequence\b", q, re.IGNORECASE):
             from duck_server_spark.engine import sequences as _seq
             from duck_server_spark.engine.errors import PgError

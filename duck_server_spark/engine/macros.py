@@ -1,0 +1,248 @@
+"""DuckDB SQL macros: CREATE [OR REPLACE] MACRO/FUNCTION name(args) AS expr.
+
+The reference bootstraps its own compat shims with exactly this
+statement (`create function if not exists array_positions(a,b) as 0;`,
+/root/reference/pg_server.go:40-42) and delegates client-issued macro
+DDL to embedded DuckDB (pg_conn.go:314). DuckDB macros are UNTYPED and
+inlined at bind time — the body is substituted into the call site with
+the arguments bound to the parameter names. That is a textual contract,
+so the Spark-side implementation is the same mechanism the engine
+already uses for EXECUTE parameter substitution: a JSON-persisted
+registry (beside constraints/sequences/users) plus literal-aware
+expansion in _prepare_sql, BEFORE the dialect rewrites run (macro
+bodies are written in DuckDB dialect and get the full shim treatment
+after expansion).
+
+Semantics pinned against live DuckDB (tests/test_macros.py):
+- duplicate CREATE MACRO → error ("already exists"; 42723 here) unless
+  OR REPLACE / IF NOT EXISTS; DROP missing → 42883 unless IF EXISTS.
+- CREATE FUNCTION is an alias of CREATE MACRO — intercepted ONLY for
+  the untyped-param AS-expression shape; Spark's own typed SQL UDFs
+  (`CREATE FUNCTION f(a INT) RETURNS … RETURN …`) and JVM registrations
+  (`CREATE FUNCTION f AS 'com.x.Class'`) pass through untouched.
+- wrong positional arity → 42883 with DuckDB's message shape.
+- parameter DEFAULTS (`b := 10`) fill omitted args; a defaulted
+  parameter can only be overridden BY NAME in the call (positional
+  overflow errors — DuckDB pins this), matching `dflt(1, b := 2)`.
+- macros may call macros (expansion loops to a fixed point, bounded —
+  a cycle errors 54001 instead of hanging).
+- table macros (`AS TABLE …`) raise 0A000 loudly — the scalar form is
+  the reference-exercised surface.
+
+Scale note: expansion is driver-side TEXT work on the statement, not a
+per-row operation — the expanded expression plans and codegens exactly
+as if the user had written it inline, so macros cost nothing at
+execution time (the same reason DuckDB binds them away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+
+from duck_server_spark.engine.errors import PgError
+
+CREATE_MACRO = re.compile(
+    r"^\s*create\s+(?P<orr>or\s+replace\s+)?(?:macro|function)\s+"
+    r"(?P<ine>if\s+not\s+exists\s+)?(?P<name>[\w.]+)\s*\((?P<params>[^)]*)\)"
+    r"\s+as\s+(?P<body>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IS_MACRO_KW = re.compile(r"^\s*create\s+(?:or\s+replace\s+)?macro\b", re.IGNORECASE)
+DROP_MACRO = re.compile(
+    r"^\s*drop\s+(?P<kw>macro|function)\s+(?P<ie>if\s+exists\s+)?"
+    r"(?P<name>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_BARE_IDENT = re.compile(r"^[A-Za-z_]\w*$")
+_DEFAULT_PARAM = re.compile(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
+_NAMED_ARG = re.compile(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
+_EXPANSION_LIMIT = 10
+
+
+class MacroStore:
+    """JSON-persisted macro registry (same pattern as SequenceStore)."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._lock = threading.Lock()
+        self._cache: tuple[float, dict] | None = None  # (mtime, data)
+
+    def _load(self) -> dict:
+        try:
+            with open(self._path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _save(self, data: dict) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, self._path)
+
+    def create(
+        self,
+        name: str,
+        params: list[str],
+        defaults: dict[str, str],
+        body: str,
+        replace: bool,
+        if_not_exists: bool,
+    ) -> None:
+        key = name.lower()
+        with self._lock:
+            data = self._load()
+            if key in data and not replace:
+                if if_not_exists:
+                    return
+                raise PgError(
+                    "42723", f'Macro Function with name "{name}" already exists'
+                )
+            data[key] = {"params": params, "defaults": defaults, "body": body}
+            self._save(data)
+
+    def drop(self, name: str, if_exists: bool) -> None:
+        key = name.lower()
+        with self._lock:
+            data = self._load()
+            if key not in data:
+                if if_exists:
+                    return
+                raise PgError(
+                    "42883", f"Macro Function with name {name} does not exist"
+                )
+            del data[key]
+            self._save(data)
+
+    def names(self) -> dict:
+        """mtime-cached read — expansion runs on EVERY statement, so the
+        common no-macros case must cost one stat(), not a JSON parse."""
+        try:
+            mt = os.stat(self._path).st_mtime_ns
+        except OSError:
+            return {}
+        if self._cache is None or self._cache[0] != mt:
+            self._cache = (mt, self._load())
+        return self._cache[1]
+
+
+def parse_create(q: str):
+    """→ (name, params, defaults, body, replace, if_not_exists) or None
+    when the statement is not a DuckDB-shaped macro definition. The
+    FUNCTION keyword is claimed only for the untyped AS-expression shape
+    (every param a bare identifier or `ident := expr`, body not a bare
+    string literal) — Spark's typed SQL UDFs and JVM registrations fall
+    through to spark.sql untouched."""
+    m = CREATE_MACRO.match(q)
+    if m is None:
+        return None
+    body = m.group("body").strip()
+    if re.match(r"^table\b", body, re.IGNORECASE):
+        raise PgError("0A000", "table macros are not supported (scalar AS <expr> only)")
+    params: list[str] = []
+    defaults: dict[str, str] = {}
+    raw = m.group("params").strip()
+    for p in ([x.strip() for x in raw.split(",")] if raw else []):
+        dm = _DEFAULT_PARAM.match(p)
+        if dm:
+            params.append(dm.group(1).lower())
+            defaults[dm.group(1).lower()] = dm.group(2).strip()
+        elif _BARE_IDENT.match(p):
+            params.append(p.lower())
+        else:
+            # typed param (`a INT`) → Spark's own CREATE FUNCTION shape
+            return None
+    if not _IS_MACRO_KW.match(q) and re.match(r"^'[^']*'\s*$", body):
+        return None  # CREATE FUNCTION f AS 'jvm.Class' — Spark-native
+    return (
+        m.group("name"),
+        params,
+        defaults,
+        body,
+        bool(m.group("orr")),
+        bool(m.group("ine")),
+    )
+
+
+def _subst_param(body: str, param: str, arg: str) -> str:
+    """Replace bare-identifier occurrences of `param` in `body` with the
+    parenthesized argument text, never inside string literals."""
+    from duck_server_spark.plans.rewrites import _mask_literals
+
+    masked = _mask_literals(body)
+    pat = re.compile(rf"\b{re.escape(param)}\b", re.IGNORECASE)
+    out, i = [], 0
+    for m in pat.finditer(masked):
+        out.append(body[i : m.start()])
+        out.append(f"({arg})")
+        i = m.end()
+    out.append(body[i:])
+    return "".join(out)
+
+
+def expand_calls(q: str, store: MacroStore) -> str:
+    """Inline every registered macro call (bind-time expansion, exactly
+    DuckDB's model). Loops to a fixed point so macros can call macros;
+    more than _EXPANSION_LIMIT rounds means a cycle → 54001."""
+    macros = store.names()
+    if not macros:
+        return q
+    from duck_server_spark.plans.rewrites import (
+        _mask_literals,
+        _scan_balanced,
+        _split_top_level,
+    )
+
+    call_re = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in sorted(macros, key=len, reverse=True)) + r")\s*\(",
+        re.IGNORECASE,
+    )
+    for _round in range(_EXPANSION_LIMIT):
+        masked = _mask_literals(q)
+        m = call_re.search(masked)
+        changed = False
+        pos = 0
+        while m is not None:
+            rec = macros[m.group(1).lower()]
+            end = _scan_balanced(masked, m.end())
+            inner = q[m.end() : end - 1]
+            args = _split_top_level(inner, masked[m.end() : end - 1])
+            named: dict[str, str] = {}
+            positional: list[str] = []
+            for a in args:
+                am = _NAMED_ARG.match(a)
+                if am and am.group(1).lower() in rec["defaults"]:
+                    named[am.group(1).lower()] = am.group(2).strip()
+                else:
+                    positional.append(a)
+            required = [p for p in rec["params"] if p not in rec["defaults"]]
+            if len(positional) != len(required):
+                raise PgError(
+                    "42883",
+                    f"Macro function '{m.group(1)}({', '.join(required)})' "
+                    f"requires {len(required)} positional arguments, but "
+                    f"{len(positional)} were provided",
+                )
+            binding = dict(zip(required, positional))
+            for p in rec["params"]:
+                if p in rec["defaults"] and p not in binding:
+                    binding[p] = named.get(p, rec["defaults"][p])
+            body = rec["body"]
+            for p, arg in binding.items():
+                body = _subst_param(body, p, arg)
+            q = q[: m.start()] + "(" + body + ")" + q[end:]
+            changed = True
+            # re-mask and continue AFTER the expansion (nested macro
+            # calls inside the inlined body are picked up next round)
+            masked = _mask_literals(q)
+            pos = m.start() + len(body) + 2
+            m = call_re.search(masked, pos)
+        if not changed:
+            return q
+    raise PgError(
+        "54001",
+        "macro expansion did not terminate (recursive macro definition?)",
+    )
