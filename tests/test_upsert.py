@@ -353,3 +353,87 @@ def test_upsert_inside_transaction_commits(engine, spark, fresh):
         txn.rollback()
         raise
     assert _state(spark, "ups_txn") == _dstate(duck, "ups_txn")
+
+
+def test_gated_append_revalidates_on_concurrent_same_key(spark):
+    """Round 8 (ADVICE r7 TOCTOU): a conflicting key landing BETWEEN the
+    key validation and the mutex-ed append must force a re-validation
+    (which then raises 23505), never slip a duplicate in. The concurrent
+    writer is injected deterministically inside the first validation
+    callback — exactly the window the fingerprint gate closes."""
+    import shutil
+
+    import pytest as _pt
+
+    from duck_server_spark.engine import constraints as cst
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.executor import Engine
+    from duck_server_spark.engine.transactions import gated_append
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS gap_t")
+    shutil.rmtree(f"{wh}/gap_t", ignore_errors=True)
+    eng.execute("CREATE TABLE gap_t (id INT PRIMARY KEY)")
+    eng.execute("INSERT INTO gap_t VALUES (1)")
+    staged = spark.createDataFrame([(2,)], "id INT").localCheckpoint(eager=True)
+    found = eng.constraints.get("gap_t")
+    calls = []
+
+    def validate(df):
+        calls.append(1)
+        cst.validate_append(spark, "gap_t", df, found, eng.constraints)
+        if len(calls) == 1:
+            # "concurrent" writer lands THE SAME KEY right after the
+            # first validation passed and before the mutex-ed append
+            spark.createDataFrame([(2,)], "id INT").write.mode(
+                "append"
+            ).saveAsTable("gap_t")
+            spark.catalog.refreshTable("gap_t")
+
+    with _pt.raises(PgError) as ei:
+        gated_append(spark, "gap_t", staged, validate=validate)
+    assert ei.value.pgcode == "23505"
+    assert len(calls) >= 2  # the fingerprint mismatch forced a re-validation
+    # exactly ONE id=2 row survives — the concurrent writer's
+    assert [r.id for r in spark.table("gap_t").orderBy("id").collect()] == [1, 2]
+    spark.sql("DROP TABLE gap_t")
+    shutil.rmtree(f"{wh}/gap_t", ignore_errors=True)
+
+
+def test_alter_swap_preserves_concurrent_append(spark):
+    """Round 8 (ADVICE r7): an append landing between an ALTER rewrite's
+    staging and its swap must NOT be silently wiped — the fingerprint
+    mismatch forces a re-stage that includes the appended row."""
+    import shutil
+
+    from duck_server_spark.engine import alter
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS asp_t")
+    shutil.rmtree(f"{wh}/asp_t", ignore_errors=True)
+    eng.execute("CREATE TABLE asp_t (id INT, v STRING)")
+    eng.execute("INSERT INTO asp_t VALUES (1,'a')")
+    calls = []
+
+    def transform(df):
+        out = df.withColumn("w", df.id + 100)
+        if not calls:
+            calls.append(1)
+            # concurrent append lands AFTER the rewrite snapshotted its
+            # input (and after the fingerprint was taken)
+            spark.createDataFrame([(2, "b")], "id INT, v STRING").write.mode(
+                "append"
+            ).saveAsTable("asp_t")
+            spark.catalog.refreshTable("asp_t")
+        return out
+
+    alter._swap_in(eng, "asp_t", transform)
+    rows = sorted((r.id, r.v, r.w) for r in spark.table("asp_t").collect())
+    # BOTH rows survive, both transformed — the round-7 code would have
+    # published the one-row staging and wiped the concurrent append
+    assert rows == [(1, "a", 101), (2, "b", 102)]
+    spark.sql("DROP TABLE asp_t")
+    shutil.rmtree(f"{wh}/asp_t", ignore_errors=True)
