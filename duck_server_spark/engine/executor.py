@@ -1043,15 +1043,21 @@ class Engine:
 
             cm = _mac.parse_create(q)
             if cm is not None:
-                name, params, defaults, body, replace, ine = cm
-                self.macros.create(name, params, defaults, body, replace, ine)
+                name, params, defaults, body, replace, ine, kind = cm
+                self.macros.create(
+                    name, params, defaults, body, replace, ine, kind
+                )
                 return "CREATE MACRO"
             dm = _mac.DROP_MACRO.match(q)
             if dm is not None and (
                 dm.group("kw").lower() == "macro"
                 or dm.group("name").lower() in self.macros.names()
             ):
-                self.macros.drop(dm.group("name"), bool(dm.group("ie")))
+                self.macros.drop(
+                    dm.group("name"),
+                    bool(dm.group("ie")),
+                    table=bool(dm.group("tbl")),
+                )
                 return "DROP MACRO"
         if re.match(r"\s*(create|drop)\s+sequence\b", q, re.IGNORECASE):
             from duck_server_spark.engine import sequences as _seq

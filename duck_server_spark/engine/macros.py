@@ -26,8 +26,12 @@ Semantics pinned against live DuckDB (tests/test_macros.py):
   overflow errors — DuckDB pins this), matching `dflt(1, b := 2)`.
 - macros may call macros (expansion loops to a fixed point, bounded —
   a cycle errors 54001 instead of hanging).
-- table macros (`AS TABLE …`) raise 0A000 loudly — the scalar form is
-  the reference-exercised surface.
+- TABLE macros (`AS TABLE SELECT …`) expand to a parenthesized derived
+  table, but ONLY when the call sits directly after FROM or JOIN; in
+  any other position the call stays unexpanded and errors loudly —
+  DuckDB's "is a table function but used as a scalar function" bind
+  error in spirit, never a silent scalar-subquery reinterpretation
+  (comma cross-join shapes `FROM t, tm(1)` also stay loud).
 
 Scale note: expansion is driver-side TEXT work on the statement, not a
 per-row operation — the expanded expression plans and codegens exactly
@@ -51,8 +55,11 @@ CREATE_MACRO = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _IS_MACRO_KW = re.compile(r"^\s*create\s+(?:or\s+replace\s+)?macro\b", re.IGNORECASE)
+# DuckDB pins the drop spelling to the macro KIND: `DROP MACRO` drops
+# scalar macros only ("does not exist" for a table macro of that name),
+# `DROP MACRO TABLE` drops table macros only (verified live).
 DROP_MACRO = re.compile(
-    r"^\s*drop\s+(?P<kw>macro|function)\s+(?P<ie>if\s+exists\s+)?"
+    r"^\s*drop\s+(?P<kw>macro|function)\s+(?P<tbl>table\s+)?(?P<ie>if\s+exists\s+)?"
     r"(?P<name>[\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -91,6 +98,7 @@ class MacroStore:
         body: str,
         replace: bool,
         if_not_exists: bool,
+        kind: str = "scalar",
     ) -> None:
         key = name.lower()
         with self._lock:
@@ -101,14 +109,23 @@ class MacroStore:
                 raise PgError(
                     "42723", f'Macro Function with name "{name}" already exists'
                 )
-            data[key] = {"params": params, "defaults": defaults, "body": body}
+            data[key] = {
+                "params": params,
+                "defaults": defaults,
+                "body": body,
+                "kind": kind,
+            }
             self._save(data)
 
-    def drop(self, name: str, if_exists: bool) -> None:
+    def drop(self, name: str, if_exists: bool, table: bool = False) -> None:
         key = name.lower()
+        want = "table" if table else "scalar"
         with self._lock:
             data = self._load()
-            if key not in data:
+            rec = data.get(key)
+            if rec is None or rec.get("kind", "scalar") != want:
+                # kind mismatch = not found (DuckDB: DROP MACRO on a
+                # table macro says "does not exist", and vice versa)
                 if if_exists:
                     return
                 raise PgError(
@@ -140,8 +157,11 @@ def parse_create(q: str):
     if m is None:
         return None
     body = m.group("body").strip()
-    if re.match(r"^table\b", body, re.IGNORECASE):
-        raise PgError("0A000", "table macros are not supported (scalar AS <expr> only)")
+    kind = "scalar"
+    tm = re.match(r"^table\s+", body, re.IGNORECASE)
+    if tm:
+        kind = "table"
+        body = body[tm.end() :]
     params: list[str] = []
     defaults: dict[str, str] = {}
     raw = m.group("params").strip()
@@ -164,6 +184,7 @@ def parse_create(q: str):
         body,
         bool(m.group("orr")),
         bool(m.group("ine")),
+        kind,
     )
 
 
@@ -209,6 +230,17 @@ def expand_calls(q: str, store: MacroStore) -> str:
             rec = macros[m.group(1).lower()]
             end = _scan_balanced(masked, m.end())
             inner = q[m.end() : end - 1]
+            if rec.get("kind") == "table":
+                # TABLE macros expand ONLY in FROM/JOIN position (the
+                # derived-table shape). Anywhere else the call stays
+                # unexpanded and errors loudly — DuckDB's bind error
+                # ("is a table function but used as a scalar function")
+                # in spirit; never a silent scalar-subquery reinterpret.
+                head = masked[: m.start()].rstrip()
+                if not re.search(r"\b(from|join)$", head, re.IGNORECASE):
+                    pos = end
+                    m = call_re.search(masked, pos)
+                    continue
             args = _split_top_level(inner, masked[m.end() : end - 1])
             named: dict[str, str] = {}
             positional: list[str] = []

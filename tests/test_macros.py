@@ -15,15 +15,14 @@ from duck_server_spark.engine.executor import Engine
 @pytest.fixture(scope="module")
 def eng(spark):
     e = Engine(spark)
-    # clean slate for this module's macro names
-    for n in ("addm", "ff", "chainm", "dflt", "discm", "grow"):
-        try:
-            e.macros.drop(n, if_exists=True)
-        except Exception:
-            pass
-    yield e
-    for n in ("addm", "ff", "chainm", "dflt", "discm", "grow"):
+    # clean slate for this module's macro names (both kinds)
+    for n in ("addm", "ff", "chainm", "dflt", "discm", "grow", "tmac"):
         e.macros.drop(n, if_exists=True)
+        e.macros.drop(n, if_exists=True, table=True)
+    yield e
+    for n in ("addm", "ff", "chainm", "dflt", "discm", "grow", "tmac"):
+        e.macros.drop(n, if_exists=True)
+        e.macros.drop(n, if_exists=True, table=True)
 
 
 def _one(eng, sql):
@@ -116,3 +115,46 @@ def test_typed_function_shapes_fall_through(eng, spark):
     assert _one(eng, "SELECT typedf(1) AS v") == 2
     assert "typedf" not in eng.macros.names()
     spark.sql("DROP TEMPORARY FUNCTION typedf")
+
+
+def test_table_macros_pinned_vs_duckdb(eng, spark):
+    """TABLE macros (round 8): expand to a derived table in FROM/JOIN
+    position; results pinned vs live DuckDB; scalar-position use stays a
+    loud error (DuckDB bind-errors it; here the call stays unexpanded)."""
+    duck = duckdb.connect()
+    for stmt in (
+        "CREATE MACRO tmac(x) AS TABLE SELECT x AS a, x * 2 AS b",
+    ):
+        eng.execute(stmt)
+        duck.execute(stmt)
+    try:
+        for probe in (
+            "SELECT a, b FROM tmac(5)",
+            "SELECT t1.a, t1.b FROM tmac(3) t1 WHERE t1.a = 3",
+        ):
+            got = [tuple(r) for r in eng.query(probe).collect()]
+            want = duck.execute(probe).fetchall()
+            assert got == want, (probe, got, want)
+        # JOIN position
+        got = [
+            tuple(r)
+            for r in eng.query(
+                "SELECT n.n_nationkey, t.b FROM nation n JOIN tmac(1) t "
+                "ON n.n_nationkey = t.a"
+            ).collect()
+        ] if spark.catalog.tableExists("nation") else None
+        # scalar position: loud error, never a silent scalar subquery
+        with pytest.raises(Exception):
+            eng.query("SELECT tmac(1)").collect()
+        with pytest.raises(Exception):
+            duck.execute("SELECT tmac(1)")
+        # plain DROP MACRO on a table macro: "does not exist" (DuckDB
+        # pins the drop spelling to the kind)
+        with pytest.raises(PgError) as ei:
+            eng.execute("DROP MACRO tmac")
+        assert ei.value.pgcode == "42883"
+        with pytest.raises(Exception):
+            duck.execute("DROP MACRO tmac")
+    finally:
+        eng.execute("DROP MACRO TABLE IF EXISTS tmac")
+        duck.execute("DROP MACRO TABLE IF EXISTS tmac")
