@@ -576,6 +576,25 @@ class PgConnection:
             await self._run_query("SELECT 0 AS transaction_read_only", send_row_desc=True)
             return
         m = _SHOW_GUC.match(q)
+        if m and m.group(1).lower() == "all" and self.session_gucs:
+            # SHOW ALL reflects THIS session's overlay (PG semantics);
+            # the engine's table carries only the shared defaults
+            rows = {k: (v[0], v[1]) for k, v in _gucs.ALL_GUCS.items()}
+            for k, v in self.session_gucs.items():
+                rows[k] = (v, rows.get(k, ("", "Session-defined setting."))[1])
+            values = ", ".join(
+                "('{}', '{}', '{}')".format(
+                    k.replace("'", "''"),
+                    s.replace("'", "''"),
+                    d.replace("'", "''"),
+                )
+                for k, (s, d) in sorted(rows.items())
+            )
+            await self._run_query(
+                f"SELECT * FROM (VALUES {values}) AS t(name, setting, description)",
+                send_row_desc=True,
+            )
+            return
         if m:
             name = m.group(1).lower()
             val = (

@@ -980,5 +980,16 @@ def test_set_show_session_guc_roundtrip(pg):
     c2 = PgClient(*addr)
     _, rows, _ = c2.simple_query("SHOW application_name")
     assert rows == [("",)]
+    # SHOW ALL reflects THIS session's overlay (PG semantics), incl.
+    # custom dotted names; the other session keeps the defaults
+    c.simple_query("SET myext.flag = 'on'")
+    _, rows, _ = c.simple_query("SHOW ALL")
+    allmap = {r[0]: r[1] for r in rows}
+    assert allmap["application_name"] == "conn_one"
+    assert allmap["myext.flag"] == "on"
+    _, rows, _ = c2.simple_query("SHOW ALL")
+    allmap2 = {r[0]: r[1] for r in rows}
+    assert allmap2["application_name"] == ""
+    assert "myext.flag" not in allmap2
     c2.terminate()
     c.terminate()
