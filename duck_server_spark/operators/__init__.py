@@ -57,6 +57,7 @@ _PRIORITY = [
     "scalar_bracket_literals",
     "scalar_list_aliases",
     "scalar_datetime_shims",
+    "scalar_macro_inline",
     "agg_approx_count_distinct",
     "similarity_ann_pq",
     "dedup_minhash_lsh_fast",

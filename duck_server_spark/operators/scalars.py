@@ -450,10 +450,61 @@ def datetime_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(DATETIME_SHIMS_TEXT))
 
 
+# SQL macro inlining gate (round 8): the SAME macro definitions run
+# natively on DuckDB (multi-statement oracle: DDL then query) while the
+# Spark side inlines them with engine/macros.expand_calls — hash
+# equality proves the bind-time expansion (positional + named-default
+# binding, scalar + TABLE kinds, macro-calls-macro chaining) computes
+# exactly what DuckDB's native macro engine computes. Bodies use DuckDB
+# spellings (list_value) so the post-expansion dialect rewrite is
+# exercised too.
+MACRO_DEFS = [
+    "CREATE MACRO disc_price(p, d) AS CAST(p * (1 - d) AS DOUBLE)",
+    "CREATE MACRO keytag(k, pre := 'n') AS concat(pre, '-', CAST(k AS VARCHAR))",
+    "CREATE MACRO both_tags(k) AS concat(keytag(k), '|', keytag(k, pre := 'x'))",
+    "CREATE MACRO key_rows(lim) AS TABLE "
+    "SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < lim",
+]
+MACRO_QUERY = """
+SELECT t.n_nationkey,
+       disc_price(100.0 + t.n_nationkey, 0.25) AS dp,
+       both_tags(t.n_regionkey) AS tags
+FROM key_rows(10) t
+"""
+
+
+def macro_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.macros import expand_calls, parse_create
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    defs = {}
+    for ddl in MACRO_DEFS:
+        name, params, defaults, body, _r, _i, kind = parse_create(ddl)
+        defs[name.lower()] = {
+            "params": params,
+            "defaults": defaults,
+            "body": body,
+            "kind": kind,
+        }
+
+    class _Shim:  # duck-typed registry: expand_calls only needs .names()
+        @staticmethod
+        def names() -> dict:
+            return defs
+
+    return spark.sql(rewrites.rewrite_pg_query(expand_calls(MACRO_QUERY, _Shim)))
+
+
+MACRO_INLINE_ORACLE = "; ".join(MACRO_DEFS) + "; " + MACRO_QUERY
+
+
 QUERIES = {
     "scalar_bracket_literals": bracket_literals_shim,
     "scalar_list_aliases": list_aliases_shim,
     "scalar_datetime_shims": datetime_shims,
+    "scalar_macro_inline": macro_inline,
     "scalar_series_unnest": series_unnest_shim,
     "scalar_list_slice": list_slice_shim,
     "scalar_string": str_funcs,
@@ -470,6 +521,7 @@ ORACLE = {
     "scalar_bracket_literals": BRACKET_LITERALS_TEXT,
     "scalar_list_aliases": LIST_ALIASES_TEXT,
     "scalar_datetime_shims": DATETIME_SHIMS_TEXT,
+    "scalar_macro_inline": MACRO_INLINE_ORACLE,
     "scalar_series_unnest": SERIES_UNNEST_TEXT,
     "scalar_list_slice": LIST_SLICE_ORACLE,
     "scalar_string": STR_FUNCS_ORACLE,
