@@ -175,15 +175,16 @@ def _swap_in(engine, table: str, transform) -> None:
     fingerprint → stage, then re-check the fingerprint INSIDE the mutex
     and only swap if the base is unchanged; on mismatch drop the staging
     and re-run the rewrite on the fresh base, 40001 after bounded
-    retries. The DROP→RENAME pair itself is a reader window (a
-    concurrent SELECT between the two metadata ops sees
-    TABLE_OR_VIEW_NOT_FOUND) — unavoidable for a SCHEMA-changing swap on
-    vanilla parquet (INSERT OVERWRITE, the same-schema fix, cannot
-    change a schema; REPLACE TABLE AS SELECT needs a v2 catalog);
-    crash-recoverable via recover_staging_dirs, documented honest gap."""
+    retries. The DROP→RENAME metadata pair runs under the EXCLUSIVE
+    visibility gate (round-8 review): a concurrent SELECT cannot analyze
+    between the two ops, so the TABLE_OR_VIEW_NOT_FOUND reader window is
+    closed for every gated read path — the same mechanism the commit
+    sweep uses, held for two metadata ops (milliseconds). Crash-
+    recoverable via recover_staging_dirs."""
     from duck_server_spark.engine.errors import PgError
     from duck_server_spark.engine.transactions import (
         _COMMIT_MUTEX,
+        VISIBILITY_GATE,
         _table_fingerprint,
         table_dir,
     )
@@ -198,8 +199,9 @@ def _swap_in(engine, table: str, transform) -> None:
         transform(spark.table(table)).write.saveAsTable(staging)
         with _COMMIT_MUTEX:
             if _table_fingerprint(spark, table) == fp:
-                spark.sql(f"DROP TABLE {table}")
-                spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+                with VISIBILITY_GATE.writing():
+                    spark.sql(f"DROP TABLE {table}")
+                    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
                 return
         # concurrent publish landed between staging and the swap:
         # discard the stale staging, re-run the rewrite on the fresh base
@@ -449,10 +451,14 @@ def recover_staging_dirs(spark, warehouse: str) -> None:
         # earlier one); the first roll-forward recreates the base, so the
         # older leftover falls into the "base exists → remove" branch
         # instead of raising on a destination-exists rename.
+        def _mtime(p: str) -> float:
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return 0.0  # vanished/unreadable: sort last, never crash
+
         paths = sorted(
-            glob.glob(os.path.join(warehouse, pat)),
-            key=lambda p: os.path.getmtime(p),
-            reverse=True,
+            glob.glob(os.path.join(warehouse, pat)), key=_mtime, reverse=True
         )
         for path in paths:
             stem = os.path.basename(path).split(ALTER_STAGING_MARK)[0]

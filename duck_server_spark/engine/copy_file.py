@@ -72,7 +72,27 @@ def _check_copy_options(opts: str) -> None:
     if not s:
         return
     if not (s.startswith("(") and s.endswith(")")):
-        raise PgError("42601", f"malformed COPY options: {opts.strip()!r}")
+        # PG's LEGACY bare option spelling (`COPY t TO 'f' CSV HEADER`,
+        # `… DELIMITER '|'`) — still valid PG and accepted before the
+        # round-8 validator (review finding). Scan the bare tail: every
+        # token must be a known legacy word or the string argument of
+        # the word before it; anything else stays a loud error.
+        legacy = frozenset(("csv", "text", "header", "delimiter", "delim", "null", "format", "parquet", "json"))
+        toks = re.findall(r"'[^']*'|\S+", s)
+        prev = ""
+        for t in toks:
+            if t.startswith("'"):
+                if prev not in ("delimiter", "delim", "null"):
+                    raise PgError(
+                        "42601", f"malformed COPY options: {opts.strip()!r}"
+                    )
+                prev = ""
+                continue
+            w = t.strip(",").lower()
+            if w and w not in legacy:
+                raise PgError("0A000", f"COPY option not supported: {t}")
+            prev = w
+        return
     inner, depth, items, start = s[1:-1], 0, [], 0
     for i, ch in enumerate(inner):
         if ch == "(":

@@ -289,9 +289,15 @@ class Engine:
     def _recoverable_create(self, sql: str, original: str) -> None:
         """Run a CREATE TABLE; on LOCATION_ALREADY_EXISTS for a table the
         catalog does NOT know (an orphaned dir from a crash), remove the
-        orphan and retry once. Never removes a location the catalog owns."""
+        orphan and retry once. Never removes a location the catalog owns.
+
+        Runs under the SHARED visibility gate (round-8 review): a CTAS
+        whose source joins multiple tables must not resolve a mixed
+        commit snapshot and persist it. CTAS is an eager command, so the
+        gate is held for the statement's run — a concurrent COMMIT then
+        serializes after the in-flight CTAS (the order a client expects)."""
         try:
-            self.spark.sql(sql).collect()
+            self._gated_sql(sql).collect()
             return
         except Exception as e:  # noqa: BLE001 — inspect and maybe recover
             msg = str(e)
@@ -310,7 +316,7 @@ class Engine:
             import shutil as _sh
 
             _sh.rmtree(table_dir(self.spark, m.group(1)), ignore_errors=True)
-            self.spark.sql(sql).collect()
+            self._gated_sql(sql).collect()
 
     # ------------------------------------------------------------ indexes
 
@@ -582,6 +588,21 @@ class Engine:
             q = self._shim_catalog_refs(q)
         return q
 
+    def _gated_sql(self, text: str) -> DataFrame:
+        """spark.sql under the SHARED visibility gate (round 8 review):
+        EVERY analysis of user SQL that can reference multiple tables
+        must hold the gate, not just Engine.query — an INSERT…SELECT or
+        CTAS that resolved table A after its publish and table B before
+        it would otherwise PERSIST a mixed snapshot, the exact anomaly
+        the gate closes for reads. Held across analysis only where the
+        call is lazy; eager commands (CTAS) hold it for their run — a
+        COMMIT then waits for the in-flight statement, which is the
+        serialization order a client would expect anyway."""
+        from duck_server_spark.engine.transactions import VISIBILITY_GATE
+
+        with VISIBILITY_GATE.reading():
+            return self.spark.sql(text)
+
     def query(self, q: str, dialect: str = "pg") -> DataFrame:
         q = self._resolve_sequences(q, scalar_select=True)
         m = _SUMMARIZE.match(q)
@@ -641,8 +662,11 @@ class Engine:
                 # (the reference delegates SHOW to embedded DuckDB)
                 return self._describe(low, dialect)
             if low in ALL_GUCS:
-                lit = ALL_GUCS[low][0].replace("'", "''")
-                return self.spark.sql(f"SELECT '{lit}' AS `{low}`")
+                from duck_server_spark.engine.gucs import sql_str
+
+                return self.spark.sql(
+                    f"SELECT '{sql_str(ALL_GUCS[low][0])}' AS `{low}`"
+                )
             from duck_server_spark.engine.errors import PgError
 
             raise PgError(
@@ -1188,9 +1212,12 @@ class Engine:
                     stg = f"{base_name}__ins_staging_{os.getpid()}_{_COW_SEQ[0]}"
                 self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
                 shutil.rmtree(table_dir(self.spark, stg), ignore_errors=True)
-                self.spark.sql(
-                    f"CREATE TABLE {stg} USING parquet AS {prepared[mi.end():]}"
-                )
+                # SOURCE analyzed under the shared visibility gate, then
+                # written ungated: the file listings are pinned at
+                # analysis, so the staging write reads a consistent
+                # snapshot without holding the gate for the computation
+                src_df = self._gated_sql(prepared[mi.end() :])
+                src_df.write.format("parquet").saveAsTable(stg)
                 try:
                     with _COMMIT_MUTEX:
                         self.spark.sql(
@@ -1267,7 +1294,7 @@ class Engine:
         if m is None:
             return None
         table = m.group("tbl").strip('`"')
-        df = self._strip_asof_helpers(self.spark.sql(prepared[m.end() :]))
+        df = self._strip_asof_helpers(self._gated_sql(prepared[m.end() :]))
         names = (
             [c.strip().strip('`"') for c in m.group("cols").split(",")]
             if m.group("cols")
@@ -1410,8 +1437,12 @@ class Engine:
             source, spark.table(table).schema, names, seqdefs
         )
         # an ASOF-rewritten SELECT source can carry helper columns the
-        # textual wrap couldn't reach — strip schema-side before aligning
-        src = self._strip_asof_helpers(spark.sql(self._prepare_sql(source, "pg")))
+        # textual wrap couldn't reach — strip schema-side before aligning.
+        # Analysis under the shared visibility gate (round-8 review): a
+        # multi-table source must never resolve a mixed commit snapshot.
+        src = self._strip_asof_helpers(
+            self._gated_sql(self._prepare_sql(source, "pg"))
+        )
         src, names = self._fill_seq_columns(src, names, seqdefs)
         src = self._align_to_schema(src, spark.table(table).schema, names)
         staged = src.localCheckpoint(eager=True)

@@ -13,6 +13,14 @@ not a tunable PG instance, so SET is accepted-and-ignored for these
 (the reference's embedded DuckDB behaves the same way for most PG
 GUCs). Descriptions follow PG's wording so \\dconfig output reads
 naturally.
+
+Session overlay scope (round 8): the WIRE paths (`SHOW <guc>`,
+`SHOW ALL`) merge the connection's SET overlay; the `pg_settings`
+CATALOG VIEW cannot — it is resolved inside arbitrary SQL where the
+engine has no connection context, so it always shows the shared
+defaults. PG purists note: real pg_settings is session-scoped; a
+client that needs its own overrides should use SHOW. Honest, documented
+divergence rather than a per-query view rebuild.
 """
 
 from __future__ import annotations
@@ -46,3 +54,11 @@ def guc_value(name: str) -> str | None:
     """Setting for a GUC name (case-insensitive), or None if unknown."""
     entry = ALL_GUCS.get(name.lower())
     return entry[0] if entry else None
+
+
+def sql_str(s: str) -> str:
+    """Escape a value for embedding in a Spark SQL string literal.
+    Backslashes must be doubled too (review finding): Spark's default
+    literal parsing is C-style, so a stored 'C:\\temp' rendered with
+    quote-only escaping reads back with a TAB in it."""
+    return s.replace("\\", "\\\\").replace("'", "''")

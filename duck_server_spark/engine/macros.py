@@ -48,12 +48,15 @@ import threading
 
 from duck_server_spark.engine.errors import PgError
 
+# head only — the parameter list is scanned with balanced parens so a
+# default EXPRESSION containing a call (`b := abs(1)`, valid DuckDB)
+# parses instead of falling through to a raw Spark error (review finding)
 CREATE_MACRO = re.compile(
     r"^\s*create\s+(?P<orr>or\s+replace\s+)?(?:macro|function)\s+"
-    r"(?P<ine>if\s+not\s+exists\s+)?(?P<name>[\w.]+)\s*\((?P<params>[^)]*)\)"
-    r"\s+as\s+(?P<body>.+?);?\s*$",
-    re.IGNORECASE | re.DOTALL,
+    r"(?P<ine>if\s+not\s+exists\s+)?(?P<name>[\w.]+)\s*\(",
+    re.IGNORECASE,
 )
+_AS_BODY = re.compile(r"\s+as\s+(?P<body>.+?);?\s*$", re.IGNORECASE | re.DOTALL)
 _IS_MACRO_KW = re.compile(r"^\s*create\s+(?:or\s+replace\s+)?macro\b", re.IGNORECASE)
 # DuckDB pins the drop spelling to the macro KIND: `DROP MACRO` drops
 # scalar macros only ("does not exist" for a table macro of that name),
@@ -65,6 +68,13 @@ DROP_MACRO = re.compile(
 )
 _BARE_IDENT = re.compile(r"^[A-Za-z_]\w*$")
 _DEFAULT_PARAM = re.compile(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
+# DuckDB restricts macro parameter DEFAULTS to literal constants —
+# numbers, strings, NULL; booleans/expressions/calls are "Invalid
+# parameter" (pinned live). Enforcing the same rule keeps the registry
+# a strict behavioral twin instead of a silent superset.
+_CONST_DEFAULT = re.compile(
+    r"^(-?\d+(\.\d+)?|'[^']*'|null)$", re.IGNORECASE
+)
 _NAMED_ARG = re.compile(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
 _EXPANSION_LIMIT = 10
 
@@ -156,7 +166,19 @@ def parse_create(q: str):
     m = CREATE_MACRO.match(q)
     if m is None:
         return None
-    body = m.group("body").strip()
+    from duck_server_spark.plans.rewrites import (
+        _mask_literals,
+        _scan_balanced,
+        _split_top_level,
+    )
+
+    masked = _mask_literals(q)
+    end = _scan_balanced(masked, m.end())
+    raw = q[m.end() : end - 1].strip()
+    bm = _AS_BODY.match(q[end:])
+    if bm is None:
+        return None
+    body = bm.group("body").strip()
     kind = "scalar"
     tm = re.match(r"^table\s+", body, re.IGNORECASE)
     if tm:
@@ -164,12 +186,16 @@ def parse_create(q: str):
         body = body[tm.end() :]
     params: list[str] = []
     defaults: dict[str, str] = {}
-    raw = m.group("params").strip()
-    for p in ([x.strip() for x in raw.split(",")] if raw else []):
+    for p in (
+        _split_top_level(raw, _mask_literals(raw)) if raw else []
+    ):
         dm = _DEFAULT_PARAM.match(p)
         if dm:
+            dflt = dm.group(2).strip()
+            if not _CONST_DEFAULT.match(dflt):
+                raise PgError("42601", f"Invalid parameter: '{dflt}'")
             params.append(dm.group(1).lower())
-            defaults[dm.group(1).lower()] = dm.group(2).strip()
+            defaults[dm.group(1).lower()] = dflt
         elif _BARE_IDENT.match(p):
             params.append(p.lower())
         else:
@@ -188,17 +214,29 @@ def parse_create(q: str):
     )
 
 
-def _subst_param(body: str, param: str, arg: str) -> str:
-    """Replace bare-identifier occurrences of `param` in `body` with the
-    parenthesized argument text, never inside string literals."""
+def _subst_params(body: str, binding: dict[str, str]) -> str:
+    """Replace bare-identifier occurrences of every parameter in `body`
+    with its parenthesized argument text, never inside string literals.
+
+    ONE simultaneous pass over the body (review finding): sequential
+    per-parameter substitution let a later parameter's name capture
+    identifiers inside an earlier-substituted ARGUMENT — addm(b, 10)
+    against a table with a column named b silently computed 10 + 10.
+    Substituting all parameters against the ORIGINAL body makes argument
+    text opaque, exactly like DuckDB's binder."""
+    if not binding:
+        return body
     from duck_server_spark.plans.rewrites import _mask_literals
 
     masked = _mask_literals(body)
-    pat = re.compile(rf"\b{re.escape(param)}\b", re.IGNORECASE)
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(p) for p in sorted(binding, key=len, reverse=True)) + r")\b",
+        re.IGNORECASE,
+    )
     out, i = [], 0
     for m in pat.finditer(masked):
         out.append(body[i : m.start()])
-        out.append(f"({arg})")
+        out.append(f"({binding[m.group(1).lower()]})")
         i = m.end()
     out.append(body[i:])
     return "".join(out)
@@ -262,9 +300,7 @@ def expand_calls(q: str, store: MacroStore) -> str:
             for p in rec["params"]:
                 if p in rec["defaults"] and p not in binding:
                     binding[p] = named.get(p, rec["defaults"][p])
-            body = rec["body"]
-            for p, arg in binding.items():
-                body = _subst_param(body, p, arg)
+            body = _subst_params(rec["body"], binding)
             q = q[: m.start()] + "(" + body + ")" + q[end:]
             changed = True
             # re-mask and continue AFTER the expansion (nested macro

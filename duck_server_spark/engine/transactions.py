@@ -448,7 +448,16 @@ def gated_append(spark, table: str, df, validate=None) -> None:
     under _COMMIT_MUTEX, re-validate against the fresh base on
     mismatch, 40001 after bounded retries. With no validator the gate
     is skipped — plain appends are commutative, so only the
-    overwrite-race mutex is needed."""
+    overwrite-race mutex is needed.
+
+    Cost note (review): the fingerprint is two os.walk sweeps of the
+    table directory per VALIDATED batch — metadata-only, but linear in
+    the file count, so a constrained table ingesting many micro-batches
+    pays it per flush. That is the price of key-correctness on vanilla
+    parquet; at production scale a table format's optimistic commit
+    (Delta/Iceberg) replaces both the walk and the mutex — the
+    documented non-goal. Unconstrained ingest (the common bulk path)
+    skips it entirely."""
     if validate is None:
         with _COMMIT_MUTEX:
             df.write.mode("append").saveAsTable(table)

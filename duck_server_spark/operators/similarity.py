@@ -589,11 +589,17 @@ def similarity_ann_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sorted, comma-joined — fully DuckDB-expressible) plus `recall_ok` =
     (PQ recall@10 at shortlist=100 ≥ 0.5). The oracle emits the same
     exact top-10 with TRUE, so the hash matches iff every query meets
-    the recall bound (measured per-query on the fixture: 0.6–1.0;
-    deterministic — codebook training samples are fixed). The raw
-    estimate plan stays registered as `similarity_ann_pq_est` (rows-only)
-    and is what bench.py times."""
-    ann = similarity_ann_pq(spark, sf_dir)  # query_id, cand_id, cosine, rnk
+    the recall bound. The SHORTLIST SCALES WITH THE CORPUS (round-8
+    sf0.1 gate catch: a fixed shortlist=100 is 20% of the sf0.01 corpus
+    but 5% of sf0.1's, and recall fell to 0.4 — the FAISS contract is
+    that the shortlist is the recall dial, so the gate pins recall AT A
+    FIXED CORPUS FRACTION: shortlist = max(100, N/5), measured per-query
+    ≥ 0.6 at both fixtures, deterministic — codebook training samples
+    are fixed). The raw estimate plan stays registered as
+    `similarity_ann_pq_est` (rows-only) and is what bench.py times."""
+    register_views(spark, sf_dir)
+    n = spark.table("embeddings").count()  # bounded: one metadata-cheap count
+    ann = similarity_ann_pq(spark, sf_dir, shortlist=max(100, n // 5))
     exact = _sql(SIM_BRUTE_SPARK)(spark, sf_dir).where("rnk <= 10")
     from pyspark.sql import functions as F
 

@@ -535,10 +535,26 @@ class PgConnection:
         m = _SET_GUC.match(q)
         if m:
             name = m.group("name").lower()
-            if name in _SETTABLE_GUCS or "." in name:
-                raw = m.group("val").strip()
-                lit = re.match(r"^'(.*)'$", raw, re.DOTALL)
-                self.session_gucs[name] = lit.group(1).replace("''", "'") if lit else raw
+            # spark.* keys are ENGINE configuration, not PG custom GUCs:
+            # they must keep reaching spark.sql('SET …') and actually
+            # take effect (review finding: the dotted-custom-GUC rule
+            # swallowed SET spark.sql.shuffle.partitions into the echo
+            # overlay, silently disabling real session tuning)
+            raw = m.group("val").strip()
+            lit = re.match(r"^'(.*)'$", raw, re.DOTALL)
+            unq = lit.group(1).replace("''", "'") if lit else raw
+            if name in _SETTABLE_GUCS or ("." in name and not name.startswith("spark.")):
+                self.session_gucs[name] = unq
+                self.send_command_complete("SET")
+                return
+            if name.startswith("spark."):
+                # engine configuration: normalize the PG-quoted value to
+                # Spark's raw SET form so `SET spark.x = 'v'` stores v,
+                # not 'v' (Spark's SET keeps literal quotes verbatim)
+                loop = asyncio.get_running_loop()
+                await loop.run_in_executor(
+                    None, self.engine.execute, f"SET {name}={unq}", "pg"
+                )
                 self.send_command_complete("SET")
                 return
             # anything else: fall through (engine ack/loud error) — SHOW
@@ -584,9 +600,7 @@ class PgConnection:
                 rows[k] = (v, rows.get(k, ("", "Session-defined setting."))[1])
             values = ", ".join(
                 "('{}', '{}', '{}')".format(
-                    k.replace("'", "''"),
-                    s.replace("'", "''"),
-                    d.replace("'", "''"),
+                    _gucs.sql_str(k), _gucs.sql_str(s), _gucs.sql_str(d)
                 )
                 for k, (s, d) in sorted(rows.items())
             )
@@ -603,14 +617,15 @@ class PgConnection:
                 else _gucs.guc_value(name)
             )
             if val is not None:
-                lit = val.replace("'", "''")
                 await self._run_query(
-                    f"SELECT '{lit}' AS `{name}`", send_row_desc=True
+                    f"SELECT '{_gucs.sql_str(val)}' AS `{name}`",
+                    send_row_desc=True,
                 )
                 return
-            if "." in name:
+            if "." in name and not name.startswith("spark."):
                 # custom-namespace GUC that was never SET in this
                 # session: PG's exact 42704, never a Spark parse error
+                # (spark.* keys fall through — engine configuration)
                 self.send_error(
                     f'unrecognized configuration parameter "{name}"', "42704"
                 )

@@ -16,11 +16,11 @@ from duck_server_spark.engine.executor import Engine
 def eng(spark):
     e = Engine(spark)
     # clean slate for this module's macro names (both kinds)
-    for n in ("addm", "ff", "chainm", "dflt", "discm", "grow", "tmac"):
+    for n in ("addm", "ff", "chainm", "dflt", "dfn", "discm", "grow", "tmac"):
         e.macros.drop(n, if_exists=True)
         e.macros.drop(n, if_exists=True, table=True)
     yield e
-    for n in ("addm", "ff", "chainm", "dflt", "discm", "grow", "tmac"):
+    for n in ("addm", "ff", "chainm", "dflt", "dfn", "discm", "grow", "tmac"):
         e.macros.drop(n, if_exists=True)
         e.macros.drop(n, if_exists=True, table=True)
 
@@ -158,3 +158,48 @@ def test_table_macros_pinned_vs_duckdb(eng, spark):
     finally:
         eng.execute("DROP MACRO TABLE IF EXISTS tmac")
         duck.execute("DROP MACRO TABLE IF EXISTS tmac")
+
+
+def test_macro_param_capture_and_default_rules(eng, spark):
+    """Round-8 review findings, pinned vs live DuckDB: (1) an ARGUMENT
+    whose text contains a later parameter's NAME must not be captured by
+    that parameter's substitution (simultaneous binding, like DuckDB's
+    binder); (2) parameter defaults are LITERAL CONSTANTS only — numbers,
+    strings, NULL; expressions/calls are 'Invalid parameter' in both
+    engines (pinned: DuckDB rejects abs(-5), 1 + 2, true)."""
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE capt (b INT)")
+    duck.execute("INSERT INTO capt VALUES (7)")
+    spark.sql("DROP TABLE IF EXISTS capt")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/capt", ignore_errors=True)
+    eng.execute("CREATE TABLE capt (b INT)")
+    eng.execute("INSERT INTO capt VALUES (7)")
+    for stmt in (
+        "CREATE MACRO addm(a, b) AS a + b",
+        "CREATE MACRO dfn(a, b := -5) AS a + b",
+    ):
+        eng.execute(stmt)
+        duck.execute(stmt)
+    try:
+        # the column named b as the FIRST argument: must be 7 + 10,
+        # never (10) + (10) — the sequential-substitution capture bug
+        probe = "SELECT addm(b, 10) AS v FROM capt"
+        assert _one(eng, probe) == duck.execute(probe).fetchone()[0] == 17
+        probe = "SELECT dfn(1) AS v"
+        assert _one(eng, probe) == duck.execute(probe).fetchone()[0] == -4
+        # non-constant defaults: clean 42601 in both engines, never a
+        # fall-through Spark parse error
+        with pytest.raises(PgError) as ei:
+            eng.execute("CREATE MACRO bad1(a, b := abs(-5)) AS a + b")
+        assert ei.value.pgcode == "42601"
+        with pytest.raises(Exception):
+            duck.execute("CREATE MACRO bad1(a, b := abs(-5)) AS a + b")
+    finally:
+        for stmt in ("DROP MACRO addm", "DROP MACRO dfn"):
+            eng.execute(stmt)
+            duck.execute(stmt)
+        eng.execute("DROP TABLE capt")
+        shutil.rmtree(f"{wh}/capt", ignore_errors=True)

@@ -991,5 +991,16 @@ def test_set_show_session_guc_roundtrip(pg):
     allmap2 = {r[0]: r[1] for r in rows}
     assert allmap2["application_name"] == ""
     assert "myext.flag" not in allmap2
+    # round-8 review: spark.* keys are ENGINE config, not PG custom GUCs
+    # — SET must reach spark.sql and actually take effect, not be
+    # swallowed into the echo overlay
+    c.simple_query("SET spark.myapp.custom = 'zz'")
+    assert _engine.spark.conf.get("spark.myapp.custom") == "zz"
+    # round-8 review: backslashes survive the SHOW rendering (Spark
+    # literals are C-style by default; quote-only escaping read back a
+    # TAB inside the value)
+    c.simple_query(r"SET myext.dir = 'C:\temp'")
+    _, rows, _ = c.simple_query("SHOW myext.dir")
+    assert rows == [("C:\\temp",)]
     c2.terminate()
     c.terminate()

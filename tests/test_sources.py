@@ -233,6 +233,15 @@ def test_copy_to_directory_forms(spark):
             == "COPY 4"
         )
         assert open(f"{d}/w.csv").read().splitlines()[0] == "id,grp,v"
+        # PG's LEGACY bare option spelling (round-8 review: the option
+        # validator must not reject what the pre-validator code honored)
+        assert (
+            eng.execute(f"COPY cpd1 TO '{d}/l.csv' CSV HEADER DELIMITER '|'")
+            == "COPY 4"
+        )
+        assert open(f"{d}/l.csv").read().splitlines()[0] == "id|grp|v"
+        with _pt.raises(PgError):
+            eng.execute(f"COPY cpd1 TO '{d}/l2.csv' CSV FREEZE")
         # unknown COPY options error loudly, never silently ignored
         with _pt.raises(PgError) as ei:
             eng.execute(
