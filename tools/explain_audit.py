@@ -252,6 +252,11 @@ CHECKS = {
     "scalar_list_aliases": [
         ("whole-stage codegen (pure rename aliases)", r"WholeStageCodegen"),
     ],
+    # round 8: macro expansion is bind-time text — the expanded query
+    # must plan as if written inline (codegen'd, no Python boundary)
+    "scalar_macro_inline": [
+        ("whole-stage codegen (inlined macros cost nothing per row)", r"WholeStageCodegen"),
+    ],
 }
 
 FORBIDDEN = {
