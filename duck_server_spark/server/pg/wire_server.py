@@ -532,41 +532,9 @@ class PgConnection:
             self.session_gucs.clear()  # DISCARD ALL resets session GUCs too
             self.send_command_complete("DISCARD ALL")
             return
-        m = _SET_GUC.match(q)
-        if m:
-            name = m.group("name").lower()
-            # spark.* keys are ENGINE configuration, not PG custom GUCs:
-            # they must keep reaching spark.sql('SET …') and actually
-            # take effect (review finding: the dotted-custom-GUC rule
-            # swallowed SET spark.sql.shuffle.partitions into the echo
-            # overlay, silently disabling real session tuning)
-            raw = m.group("val").strip()
-            lit = re.match(r"^'(.*)'$", raw, re.DOTALL)
-            unq = lit.group(1).replace("''", "'") if lit else raw
-            if name in _SETTABLE_GUCS or ("." in name and not name.startswith("spark.")):
-                self.session_gucs[name] = unq
-                self.send_command_complete("SET")
-                return
-            if name.startswith("spark."):
-                # engine configuration: normalize the PG-quoted value to
-                # Spark's raw SET form so `SET spark.x = 'v'` stores v,
-                # not 'v' (Spark's SET keeps literal quotes verbatim)
-                loop = asyncio.get_running_loop()
-                await loop.run_in_executor(
-                    None, self.engine.execute, f"SET {name}={unq}", "pg"
-                )
-                self.send_command_complete("SET")
-                return
-            # anything else: fall through (engine ack/loud error) — SHOW
-            # keeps reporting the engine's real value for those
-        m = _RESET_GUC.match(q)
-        if m:
-            tgt = m.group(1).lower()
-            if tgt == "all":
-                self.session_gucs.clear()
-            else:
-                self.session_gucs.pop(tgt, None)
-            self.send_command_complete("RESET")
+        tag = await self._intercept_set_reset(q)
+        if tag is not None:
+            self.send_command_complete(tag)
             return
         m = _DEALLOCATE.match(q)
         if m:
@@ -1022,6 +990,41 @@ class PgConnection:
             schema = await loop.run_in_executor(None, lambda: self.engine.query(q, "pg").schema)
             self.send_row_description(schema, portal.result_formats)
 
+    async def _intercept_set_reset(self, q: str) -> str | None:
+        """Session GUC SET/RESET, shared by BOTH protocols (asyncpg
+        drives SET through Parse/Bind/Execute, psycopg2 through simple
+        query). Returns the command tag when handled, None to dispatch
+        normally. spark.* keys are ENGINE configuration, not PG custom
+        GUCs: they reach spark.sql('SET …') with the PG-quoted value
+        normalized (Spark's SET keeps literal quotes verbatim)."""
+        m = _SET_GUC.match(q)
+        if m:
+            name = m.group("name").lower()
+            raw = m.group("val").strip()
+            lit = re.match(r"^'(.*)'$", raw, re.DOTALL)
+            unq = lit.group(1).replace("''", "'") if lit else raw
+            if name in _SETTABLE_GUCS or (
+                "." in name and not name.startswith("spark.")
+            ):
+                self.session_gucs[name] = unq
+                return "SET"
+            if name.startswith("spark."):
+                loop = asyncio.get_running_loop()
+                await loop.run_in_executor(
+                    None, self.engine.execute, f"SET {name}={unq}", "pg"
+                )
+                return "SET"
+            return None  # engine ack / loud error; SHOW stays honest
+        m = _RESET_GUC.match(q)
+        if m:
+            tgt = m.group(1).lower()
+            if tgt == "all":
+                self.session_gucs.clear()
+            else:
+                self.session_gucs.pop(tgt, None)
+            return "RESET"
+        return None
+
     async def _execute_msg(self, payload: bytes) -> None:
         name, rest = _read_cstr(payload)
         (max_rows,) = struct.unpack(">i", rest[:4]) if len(rest) >= 4 else (0,)
@@ -1053,6 +1056,11 @@ class PgConnection:
         pm = _EXECUTE_SQL.match(q)
         if pm:
             q = self._expand_execute_sql(pm.group(1), pm.group(2))
+        # session GUC SET/RESET via the extended protocol (asyncpg)
+        tag = await self._intercept_set_reset(q)
+        if tag is not None:
+            self.send_command_complete(tag)
+            return
         if self.txn is not None:
             loop = asyncio.get_running_loop()
             tag = await loop.run_in_executor(None, self.txn.intercept_ddl, q)

@@ -1002,5 +1002,29 @@ def test_set_show_session_guc_roundtrip(pg):
     c.simple_query(r"SET myext.dir = 'C:\temp'")
     _, rows, _ = c.simple_query("SHOW myext.dir")
     assert rows == [("C:\\temp",)]
+    # extended protocol (asyncpg sends SET via Parse/Bind/Execute)
+    c.parse("", "SET application_name = 'ext_app'")
+    c.bind("", "", [])
+    c.execute("")
+    c.sync_collect()
+    _, rows, _ = c.simple_query("SHOW application_name")
+    assert rows == [("ext_app",)]
     c2.terminate()
+    c.terminate()
+
+
+def test_macros_over_the_wire(pg):
+    """CREATE MACRO / use / DROP through the PG wire dispatch (the
+    engine-level contract is in tests/test_macros.py; this pins the
+    simple-query intercept routing)."""
+    addr, _engine = pg
+    c = PgClient(*addr)
+    _, _, tag = c.simple_query("CREATE MACRO wire_m(a, b := 5) AS a * b")
+    assert tag == "CREATE MACRO"
+    _, rows, _ = c.simple_query("SELECT wire_m(4) AS v")
+    assert rows == [("20",)]
+    _, rows, _ = c.simple_query("SELECT wire_m(4, b := 2) AS v")
+    assert rows == [("8",)]
+    _, _, tag = c.simple_query("DROP MACRO wire_m")
+    assert tag == "DROP MACRO"
     c.terminate()
