@@ -341,3 +341,19 @@ def test_unpivot_statement_over_ch(ch, spark, sf_dir):
     )
     assert status == 200
     assert len(body.strip().splitlines()) == 5
+
+
+def test_macros_over_ch_http(ch):
+    """SQL macros work through the CH HTTP dispatcher too (round 8): the
+    engine's macro registry and _prepare_sql expansion are shared by
+    both front-ends."""
+    base, _ = ch
+    status, body = _post(base, "CREATE MACRO ch_m(a, b := 3) AS a * b")
+    assert status == 200, body
+    try:
+        status, body, _ = _get(base, "SELECT ch_m(7) AS v")
+        assert status == 200 and body.strip() == "21"
+        status, body, _ = _get(base, "SELECT ch_m(7, b := 2) AS v")
+        assert status == 200 and body.strip() == "14"
+    finally:
+        _post(base, "DROP MACRO ch_m")
