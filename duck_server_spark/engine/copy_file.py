@@ -42,8 +42,13 @@ COPY_FILE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _FORMAT = re.compile(r"\bformat\s+(\w+)", re.IGNORECASE)
+# PG's legacy bare format words (`COPY t TO 'f' CSV HEADER`) and DuckDB's
+# bare spellings — honored by _format_of, not just allow-listed (ADVICE r8:
+# an accepted-but-ignored word silently wrote the wrong format)
+_FORMAT_BARE = re.compile(r"\b(csv|parquet|json)\b", re.IGNORECASE)
 _HEADER = re.compile(r"\bheader(?:\s+(true|false|0|1))?", re.IGNORECASE)
 _DELIM = re.compile(r"\bdelim(?:iter)?\s+'([^']+)'", re.IGNORECASE)
+_NULLSTR = re.compile(r"\bnull\s+'([^']*)'", re.IGNORECASE)
 # Directory output forms (round 8, VERDICT r7 punch item 6 — the 100 TB
 # export path): DuckDB 1.0 COPY options reachable through the
 # reference's delegation point (pg_conn.go:314).
@@ -54,7 +59,15 @@ _PER_THREAD = re.compile(r"\bper_thread_output(?:\s+(true|false|0|1))?", re.IGNO
 # every option token this implementation understands; anything else in
 # the options list errors 0A000 — loud, never silently ignored
 _KNOWN_COPY_OPTS = frozenset(
-    ("format", "header", "delimiter", "delim", "partition_by", "per_thread_output")
+    (
+        "format",
+        "header",
+        "delimiter",
+        "delim",
+        "null",
+        "partition_by",
+        "per_thread_output",
+    )
 )
 _OPT_WORD = re.compile(r"[A-Za-z_]\w*")
 
@@ -77,7 +90,12 @@ def _check_copy_options(opts: str) -> None:
         # round-8 validator (review finding). Scan the bare tail: every
         # token must be a known legacy word or the string argument of
         # the word before it; anything else stays a loud error.
-        legacy = frozenset(("csv", "text", "header", "delimiter", "delim", "null", "format", "parquet", "json"))
+        # every word here is HONORED downstream: csv/parquet/json feed
+        # _format_of's bare-word scan, null feeds _csv_options nullValue.
+        # PG's TEXT format (tab-delimited, \N nulls) is NOT implemented,
+        # so it errors 0A000 rather than silently writing something else
+        # (ADVICE r8 — the module contract is loud, never ignored).
+        legacy = frozenset(("csv", "header", "delimiter", "delim", "null", "format", "parquet", "json"))
         toks = re.findall(r"'[^']*'|\S+", s)
         prev = ""
         for t in toks:
@@ -115,7 +133,7 @@ def _check_copy_options(opts: str) -> None:
 
 
 def _format_of(path: str, opts: str) -> str:
-    m = _FORMAT.search(opts or "")
+    m = _FORMAT.search(opts or "") or _FORMAT_BARE.search(opts or "")
     if m:
         fmt = m.group(1).lower()
     else:
@@ -134,6 +152,11 @@ def _csv_options(opts: str, direction: str) -> dict:
     dm = _DELIM.search(opts or "")
     if dm:
         o["sep"] = dm.group(1)
+    nm = _NULLSTR.search(opts or "")
+    if nm:
+        # honored both ways: the writer emits this token for NULL, the
+        # reader maps it back (ADVICE r8 — previously accepted + ignored)
+        o["nullValue"] = nm.group(1)
     if direction == "from":
         # parse timestamps/dates from text like DuckDB's reader does
         o["inferSchema"] = "false"  # schema comes from the target table

@@ -283,9 +283,20 @@ def expand_calls(q: str, store: MacroStore) -> str:
             named: dict[str, str] = {}
             positional: list[str] = []
             for a in args:
-                am = _NAMED_ARG.match(a)
+                am = _NAMED_ARG.match(a.strip())
                 if am and am.group(1).lower() in rec["defaults"]:
                     named[am.group(1).lower()] = am.group(2).strip()
+                elif am:
+                    # `b := 2` naming a required (non-default) parameter —
+                    # or no parameter at all — must raise the binder's
+                    # clean error, not fall into the positional list and
+                    # substitute '(b := 2)' verbatim into the body
+                    # (ADVICE r8)
+                    raise PgError(
+                        "42883",
+                        f"Macro function '{m.group(1)}' has no named "
+                        f"parameter '{am.group(1)}' with a default value",
+                    )
                 else:
                     positional.append(a)
             required = [p for p in rec["params"] if p not in rec["defaults"]]

@@ -107,14 +107,69 @@ _SET_GUC = re.compile(
 _RESET_GUC = re.compile(
     r"^\s*reset\s+(all|[A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE
 )
-# Only client-metadata GUCs are echo-settable: storing timezone/
-# datestyle/encoding in the overlay would make SHOW claim a rendering
-# the UTC-pinned engine does not perform — those keep the existing
-# accept-and-ignore ack, and SHOW keeps reporting the engine's REAL
-# value (honest, like the reference's fixed ParameterStatus table).
+# Only GUCs the engine actually honors are echo-settable: storing
+# timezone/datestyle/encoding in the overlay would make SHOW claim a
+# rendering the UTC-pinned engine does not perform — those keep the
+# existing accept-and-ignore ack, and SHOW keeps reporting the engine's
+# REAL value (honest, like the reference's fixed ParameterStatus table).
+# statement_timeout IS enforced (ADVICE r8): _run_query/_execute_portal
+# arm a timer that cancels the statement's job group and surface PG's
+# 57014. extra_float_digits dropped to accept-and-ignore for the same
+# honesty rule (floats already render shortest-round-trip, the PG 12+
+# default behavior — SET can't change what the engine does).
 _SETTABLE_GUCS = frozenset(
-    ("application_name", "search_path", "statement_timeout", "extra_float_digits")
+    ("application_name", "search_path", "statement_timeout")
 )
+
+
+def _parse_timeout_seconds(raw: str | None) -> float | None:
+    """PG statement_timeout value → seconds (None = disabled). Bare
+    integers are milliseconds; unit suffixes us/ms/s/min/h/d as in PG."""
+    if not raw:
+        return None
+    m = re.match(r"^\s*(\d+(?:\.\d+)?)\s*(us|ms|s|min|h|d)?\s*$", raw, re.IGNORECASE)
+    if m is None:
+        return None
+    n = float(m.group(1))
+    unit = (m.group(2) or "ms").lower()
+    sec = n * {"us": 1e-6, "ms": 1e-3, "s": 1.0, "min": 60.0, "h": 3600.0, "d": 86400.0}[unit]
+    return sec if sec > 0 else None
+
+
+class _StatementTimer:
+    """Arms a loop.call_later that cancels a statement's job group when
+    the session's statement_timeout elapses. `fired` tells the error
+    path to report PG's 57014 instead of the raw cancelled-job error."""
+
+    # cancelJobGroup interrupts only ACTIVE jobs — a timeout that fires
+    # during analysis (before the first job is submitted) must keep
+    # re-cancelling until the statement path disarms it, or a job
+    # submitted just after the fire would run to completion.
+    _REFIRE_S = 0.25
+
+    def __init__(self, conn, group: str):
+        self.fired = False
+        self._handle = None
+        self._sec = _parse_timeout_seconds(conn.session_gucs.get("statement_timeout"))
+        if self._sec is not None:
+            self._loop = asyncio.get_running_loop()
+            self._engine = conn.engine
+            self._group = group
+            self._handle = self._loop.call_later(self._sec, self._fire)
+
+    def _fire(self) -> None:
+        self.fired = True
+        try:
+            self._engine.cancel(self._group)
+        except Exception:  # noqa: BLE001 — cancel is best-effort
+            pass
+        if self._handle is not None:  # not disarmed → keep firing
+            self._handle = self._loop.call_later(self._REFIRE_S, self._fire)
+
+    def disarm(self) -> None:
+        if self._handle is not None:
+            self._handle.cancel()
+            self._handle = None
 # DEALLOCATE [PREPARE] <name> | ALL — frees prepared statements (psql
 # and connection poolers send this as a simple query; vanilla Spark
 # would error on the verb)
@@ -713,6 +768,7 @@ class PgConnection:
         exactly this query — run_in_executor pool threads would lose the
         thread-local group), the event loop only drains a queue."""
         loop = asyncio.get_running_loop()
+        timer = _StatementTimer(self, self.job_group)
         schema, stream = await loop.run_in_executor(
             None, lambda: self.engine.stream_batches(q, "pg", self.job_group)
         )
@@ -731,7 +787,14 @@ class PgConnection:
         except (ConnectionResetError, BrokenPipeError, asyncio.CancelledError):
             stream.close()  # client went away mid-stream → cancel the job
             raise
+        except Exception:
+            if timer.fired:  # enforced statement_timeout (ADVICE r8)
+                raise PgError(
+                    "57014", "canceling statement due to statement timeout"
+                ) from None
+            raise
         finally:
+            timer.disarm()
             stream.close()
         self.send_command_complete(f"({n} row)")  # pg_conn.go:271 literal tag
 
@@ -1110,6 +1173,7 @@ class PgConnection:
             portal.buf = deque()
             portal.done = False
         n = 0
+        timer = _StatementTimer(self, portal.group)
         try:
             while max_rows == 0 or n < max_rows:
                 if not portal.buf:
@@ -1122,9 +1186,18 @@ class PgConnection:
                     self.send_data_row(portal.buf.popleft(), portal.result_formats, portal.schema)
                     n += 1
                 await self.writer.drain()
-        except BaseException:  # engine error or client gone → release the job
+        except (ConnectionResetError, BrokenPipeError, asyncio.CancelledError):
             self._release_portal(portal)
             raise
+        except BaseException:  # engine error or client gone → release the job
+            self._release_portal(portal)
+            if timer.fired:  # enforced statement_timeout (ADVICE r8)
+                raise PgError(
+                    "57014", "canceling statement due to statement timeout"
+                ) from None
+            raise
+        finally:
+            timer.disarm()
         if portal.done and not portal.buf:
             self._release_portal(portal)
             self.send_command_complete(f"({n} row)")  # pg_conn.go:271 literal tag

@@ -135,14 +135,15 @@ def test_table_macros_pinned_vs_duckdb(eng, spark):
             got = [tuple(r) for r in eng.query(probe).collect()]
             want = duck.execute(probe).fetchall()
             assert got == want, (probe, got, want)
-        # JOIN position
-        got = [
-            tuple(r)
-            for r in eng.query(
-                "SELECT n.n_nationkey, t.b FROM nation n JOIN tmac(1) t "
-                "ON n.n_nationkey = t.a"
-            ).collect()
-        ] if spark.catalog.tableExists("nation") else None
+        # JOIN position — asserted vs DuckDB on a self-contained inline
+        # table (ADVICE r8: the old nation-guarded probe never asserted)
+        join_probe = (
+            "SELECT v.k, t.b FROM (VALUES (1), (2)) AS v(k) "
+            "JOIN tmac(1) t ON v.k = t.a"
+        )
+        got = sorted(tuple(r) for r in eng.query(join_probe).collect())
+        want = sorted(duck.execute(join_probe).fetchall())
+        assert got == want, (join_probe, got, want)
         # scalar position: loud error, never a silent scalar subquery
         with pytest.raises(Exception):
             eng.query("SELECT tmac(1)").collect()
@@ -197,6 +198,20 @@ def test_macro_param_capture_and_default_rules(eng, spark):
         assert ei.value.pgcode == "42601"
         with pytest.raises(Exception):
             duck.execute("CREATE MACRO bad1(a, b := abs(-5)) AS a + b")
+        # a named argument targeting a REQUIRED (non-default) parameter:
+        # clean binder error, never '(a := 1)' substituted verbatim into
+        # the body (ADVICE r8); DuckDB also bind-errors this call
+        with pytest.raises(PgError) as ei:
+            eng.query("SELECT addm(a := 1, b := 2) AS v").collect()
+        assert ei.value.pgcode == "42883"
+        with pytest.raises(Exception):
+            duck.execute("SELECT addm(a := 1, b := 2) AS v")
+        # …and a name that is no parameter at all
+        with pytest.raises(PgError) as ei:
+            eng.query("SELECT dfn(1, zz := 2) AS v").collect()
+        assert ei.value.pgcode == "42883"
+        with pytest.raises(Exception):
+            duck.execute("SELECT dfn(1, zz := 2) AS v")
     finally:
         for stmt in ("DROP MACRO addm", "DROP MACRO dfn"):
             eng.execute(stmt)

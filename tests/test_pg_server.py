@@ -1013,6 +1013,33 @@ def test_set_show_session_guc_roundtrip(pg):
     c.terminate()
 
 
+def test_statement_timeout_enforced(pg):
+    """ADVICE r8: statement_timeout is no longer an accept-and-echo lie —
+    the wire layer arms a timer that cancels the statement's job group
+    and reports PG's 57014. The connection stays usable afterwards, and
+    0 (PG's disable value) turns enforcement off."""
+    addr, _engine = pg
+    c = PgClient(*addr)
+    _, _, tag = c.simple_query("SET statement_timeout = '200ms'")
+    assert tag == "SET"
+    _, rows, _ = c.simple_query("SHOW statement_timeout")
+    assert rows == [("200ms",)]
+    with pytest.raises(RuntimeError) as ei:
+        c.simple_query(
+            "SELECT sum(a.id * b.id) AS s FROM range(100000) a CROSS JOIN range(200000) b"
+        )
+    assert "57014" in str(ei.value) and "statement timeout" in str(ei.value)
+    # connection still healthy; timeout 0 disables enforcement
+    c.simple_query("SET statement_timeout = 0")
+    _, rows, _ = c.simple_query("SELECT 7 AS x")
+    assert rows == [("7",)]
+    # a fast query under an armed (but ample) timeout is untouched
+    c.simple_query("SET statement_timeout = '30s'")
+    _, rows, _ = c.simple_query("SELECT 8 AS x")
+    assert rows == [("8",)]
+    c.terminate()
+
+
 def test_macros_over_the_wire(pg):
     """CREATE MACRO / use / DROP through the PG wire dispatch (the
     engine-level contract is in tests/test_macros.py; this pins the

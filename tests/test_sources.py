@@ -379,6 +379,73 @@ def test_export_import_database_roundtrip(spark):
             pass
 
 
+def test_copy_legacy_options_honored(spark):
+    """ADVICE r8: every accepted legacy COPY word must be HONORED, not
+    allow-listed and ignored — NULL 'NA' really maps nulls both ways,
+    a bare CSV word really forces csv regardless of extension, and the
+    unimplemented PG TEXT format errors 0A000 instead of silently
+    writing something else."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest as _pt
+
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cpl1", "cpl2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    eng.execute("CREATE TABLE cpl1 (id INT, name TEXT)")
+    eng.execute("INSERT INTO cpl1 VALUES (1,'a'),(2,NULL),(3,'c')")
+    eng.execute("CREATE TABLE cpl2 (id INT, name TEXT)")
+    d = tempfile.mkdtemp()
+    try:
+        # NULL 'NA' on the writer: nulls become the token
+        assert (
+            eng.execute(f"COPY cpl1 TO '{d}/n.csv' (FORMAT csv, HEADER, NULL 'NA')")
+            == "COPY 3"
+        )
+        body = open(f"{d}/n.csv").read()
+        assert any(ln.endswith("NA") for ln in body.splitlines()[1:])
+        # …and on the reader: the token comes back as NULL
+        assert (
+            eng.execute(f"COPY cpl2 FROM '{d}/n.csv' (FORMAT csv, HEADER, NULL 'NA')")
+            == "COPY 3"
+        )
+        got = sorted(tuple(r) for r in spark.table("cpl2").collect())
+        assert got == [(1, "a"), (2, None), (3, "c")]
+        # legacy bare spelling honored too
+        eng.execute("DELETE FROM cpl2")
+        assert (
+            eng.execute(f"COPY cpl1 TO '{d}/bn.csv' CSV HEADER NULL 'NA'")
+            == "COPY 3"
+        )
+        assert (
+            eng.execute(f"COPY cpl2 FROM '{d}/bn.csv' CSV HEADER NULL 'NA'")
+            == "COPY 3"
+        )
+        assert sorted(tuple(r) for r in spark.table("cpl2").collect()) == [
+            (1, "a"), (2, None), (3, "c")
+        ]
+        # bare CSV beats a misleading extension — no silent json output
+        assert eng.execute(f"COPY cpl1 TO '{d}/x.json' CSV HEADER") == "COPY 3"
+        assert open(f"{d}/x.json").read().splitlines()[0] == "id,name"
+        # PG TEXT format is not implemented → loud 0A000, never a guess
+        with _pt.raises(PgError) as ei:
+            eng.execute(f"COPY cpl1 TO '{d}/t.txt' TEXT")
+        assert ei.value.pgcode == "0A000"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        for t in ("cpl1", "cpl2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    assert os.path.isdir(wh)
+
+
 def test_copy_json_roundtrip_column_order(spark):
     """Spark's json reader returns fields ALPHABETICALLY — the import
     must align by NAME before the positional rename or a (name, id)
