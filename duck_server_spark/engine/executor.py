@@ -54,6 +54,21 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# DuckDB's INSERT INTO … BY NAME (round 9, VERDICT r8 punch item 8):
+# the SELECT's output names pick the target columns; absent columns get
+# their declared defaults / NULL. Pinned vs live DuckDB 1.x: only a
+# SELECT source is legal (VALUES → binder error), a column list cannot
+# combine with BY NAME (its grammar has no such production), an unknown
+# source column is a loud binder error. Expanded here into an ordinary
+# column-list INSERT so EVERY existing insert path composes unchanged
+# (validated insert + default fill, ON CONFLICT/OR REPLACE upserts,
+# RETURNING, transactional shadows).
+_INSERT_BY_NAME = re.compile(
+    r"^(?P<head>\s*insert\s+(?:or\s+(?:replace|ignore)\s+)?into\s+"
+    r"(?P<tbl>[\w.`\"]+)\s+)by\s+name\b(?P<rest>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _CREATE_USER = re.compile(
     r"^\s*create\s+user\s+(\w+)\s+with\s+password\s+'([^']*)'\s*;?\s*$", re.IGNORECASE
 )
@@ -232,6 +247,14 @@ class Engine:
 
         self.macros = MacroStore(
             os.path.join(self.data_dir, "duckserver_macros.json")
+        )
+        # view→macro dependency registry (round 9): DuckDB binds macros
+        # at USE, so a view over a macro must re-bind when the macro
+        # changes and error when it's gone (engine/macros.py)
+        from duck_server_spark.engine.macros import MacroViewStore
+
+        self.macro_views = MacroViewStore(
+            os.path.join(self.data_dir, "duckserver_macro_views.json")
         )
         self._bootstrap()
         # roll interrupted multi-table COMMITs forward (crash between two
@@ -577,6 +600,10 @@ class Engine:
     # ----------------------------------------------------------- queries
 
     def _prepare_sql(self, q: str, dialect: str) -> str:
+        # bind-at-use for views over macros (round 9): a statement that
+        # names such a view errors if a referenced macro was dropped and
+        # re-bakes the view if one was redefined (engine/macros.py)
+        self._check_macro_views(q, dialect)
         # macro expansion FIRST: bodies are DuckDB-dialect text and get
         # the full shim treatment below after inlining (engine/macros.py)
         from duck_server_spark.engine.macros import expand_calls
@@ -587,6 +614,74 @@ class Engine:
             self._refresh_catalog_views()
             q = self._shim_catalog_refs(q)
         return q
+
+    def _check_macro_views(self, q: str, dialect: str = "pg") -> None:
+        """DuckDB bind-at-use for views over macros (round 9): for every
+        registered macro-view NAMED in the statement, a dropped macro
+        raises DuckDB's Catalog Error and a redefined macro re-bakes the
+        view from its ORIGINAL text (fingerprints updated first, so the
+        nested prepare of the refresh passes cleanly). Costs one
+        mtime-cached dict read when no view uses macros."""
+        mv = self.macro_views.all()
+        if not mv:
+            return
+        from duck_server_spark.engine.errors import PgError
+
+        cur_macros = self.macros.names()
+        for vname, rec in mv.items():
+            if not re.search(rf"\b{re.escape(vname)}\b", q, re.IGNORECASE):
+                continue
+            changed = False
+            for mname, saved in rec["macros"].items():
+                cur = cur_macros.get(mname)
+                kind = saved.get("kind", "scalar")
+                if cur is None or cur.get("kind", "scalar") != kind:
+                    kw = "Table Function" if kind == "table" else "Scalar Function"
+                    raise PgError(
+                        "42883",
+                        f"Catalog Error: {kw} with name {mname} does not exist!",
+                    )
+                if cur != saved:
+                    changed = True
+            if changed:
+                from duck_server_spark.engine.macros import referenced_macros
+
+                self.macro_views.set(
+                    vname,
+                    rec["refresh"],
+                    referenced_macros(rec["refresh"], self.macros),
+                )
+                self.spark.sql(self._prepare_sql(rec["refresh"], dialect)).collect()
+
+    _CREATE_VIEW_HEAD = re.compile(
+        r"^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+"
+        r"(?:if\s+not\s+exists\s+)?(?P<name>[\w.`\"]+)\s*"
+        r"(?P<cols>\([^)]*\)\s*)?as\s+(?P<body>.+?);?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW_HEAD = re.compile(
+        r"^\s*drop\s+view\s+(?:if\s+exists\s+)?(?P<name>[\w.`\"]+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _register_macro_view(self, q: str) -> None:
+        """After a successful CREATE VIEW: record macro dependencies (or
+        clear a stale record when the replacement uses none)."""
+        m = self._CREATE_VIEW_HEAD.match(q)
+        if m is None:
+            return
+        from duck_server_spark.engine.macros import referenced_macros
+
+        name = m.group("name").strip('`"').split(".")[-1]
+        refs = referenced_macros(m.group("body"), self.macros)
+        if refs:
+            refresh = (
+                f"CREATE OR REPLACE VIEW {m.group('name')} "
+                f"{m.group('cols') or ''}AS {m.group('body')}"
+            )
+            self.macro_views.set(name, refresh, refs)
+        else:
+            self.macro_views.drop(name)
 
     def _gated_sql(self, text: str) -> DataFrame:
         """spark.sql under the SHARED visibility gate (round 8 review):
@@ -621,22 +716,20 @@ class Engine:
         if _SHOW_TABLES.match(q):
             # DuckDB's single-column shape (name), not Spark's
             # (namespace, tableName, isTemporary) — reference returns
-            # embedded DuckDB's output. Catalog-only, sorted. Engine
-            # artifacts are filtered out (review finding): the bootstrap
-            # compat views and transient shadow/staging tables are names
-            # the reference's embedded DuckDB never exposes.
+            # embedded DuckDB's output. Catalog-only, sorted.
             from pyspark.sql import types as T
 
-            names = sorted(
-                t.name
-                for t in self.spark.catalog.listTables()
-                if t.name not in _BOOTSTRAP_VIEW_NAMES
-                and not any(mark in t.name for mark in _INTERNAL_TABLE_MARKS)
-            )
             return self.spark.createDataFrame(
-                [(n,) for n in names],
+                [(n,) for n in self._user_table_names()],
                 T.StructType([T.StructField("name", T.StringType())]),
             )
+        if re.match(r"\s*pragma\b", q, re.IGNORECASE):
+            # DuckDB's PRAGMA family (round 9) — engine/pragma.py
+            from duck_server_spark.engine.pragma import run_pragma
+
+            df = run_pragma(self, q)
+            if df is not None:
+                return df
         m = _SHOW_ONE.match(q)
         if m and m.group(1).lower() not in _SHOW_NATIVE_VERBS:
             name = m.group(1)
@@ -686,6 +779,19 @@ class Engine:
         sql_text = self._prepare_sql(q, dialect)
         with VISIBILITY_GATE.reading():
             return self._strip_asof_helpers(self.spark.sql(sql_text))
+
+    def _user_table_names(self) -> list[str]:
+        """Sorted user-visible table/view names: engine artifacts are
+        filtered out (review finding) — the bootstrap compat views and
+        transient shadow/staging tables are names the reference's
+        embedded DuckDB never exposes. Shared by SHOW TABLES and the
+        PRAGMA show_tables family (one filter policy)."""
+        return sorted(
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.name not in _BOOTSTRAP_VIEW_NAMES
+            and not any(mark in t.name for mark in _INTERNAL_TABLE_MARKS)
+        )
 
     def _describe(self, target: str, dialect: str) -> DataFrame:
         """DuckDB's DESCRIBE shape (`DESCRIBE tbl` / `DESC tbl` /
@@ -931,6 +1037,43 @@ class Engine:
             )
         return _seq.resolve_calls(q, masked, self.sequences)
 
+    def _expand_insert_by_name(self, q: str, dialect: str = "pg") -> str:
+        """`INSERT … INTO t BY NAME <select>` → ordinary column-list
+        INSERT (schema-analysis only — no jobs run). Returns q unchanged
+        when it isn't a BY NAME insert."""
+        m = _INSERT_BY_NAME.match(q)
+        if m is None:
+            return q
+        from duck_server_spark.engine.errors import PgError
+        from duck_server_spark.plans.rewrites import _mask_literals
+
+        rest = m.group("rest").strip()
+        masked = _mask_literals(rest)
+        ret = ""
+        for rm in re.finditer(r"\breturning\b", masked, re.IGNORECASE):
+            pre = masked[: rm.start()]
+            if pre.count("(") == pre.count(")"):  # top-level tail
+                rest, ret = rest[: rm.start()].rstrip(), " " + rest[rm.start() :]
+                break
+        if not re.match(r"\(|select\b|with\b", rest, re.IGNORECASE):
+            raise PgError(
+                "42601",
+                "INSERT BY NAME can only be used when inserting from a "
+                "SELECT statement",
+            )
+        tbl = m.group("tbl").strip('`"')
+        src_cols = self.query(rest, dialect).columns
+        tgt = {f.name.lower(): f.name for f in self.spark.table(tbl).schema.fields}
+        cols = []
+        for c in src_cols:
+            if c.lower() not in tgt:
+                raise PgError(
+                    "42703",
+                    f'Table "{tbl}" does not have a column with name "{c}"',
+                )
+            cols.append(tgt[c.lower()])
+        return f"{m.group('head')}({', '.join(cols)}) {rest}{ret}"
+
     def execute_returning(self, q: str, dialect: str = "pg"):
         """`INSERT/UPDATE/DELETE … RETURNING items` → (DataFrame, tag) or
         None when the statement has no top-level RETURNING clause.
@@ -946,6 +1089,7 @@ class Engine:
         UPDATE … FROM / DELETE … USING) raise 0A000 loudly."""
         from duck_server_spark.engine.errors import PgError
 
+        q = self._expand_insert_by_name(q, dialect)
         split = rewrites.split_returning(q)
         if split is None:
             return None
@@ -1035,6 +1179,7 @@ class Engine:
     def execute(self, q: str, dialect: str = "pg") -> str:
         """DDL/DML path → command tag. Intercepts the statements vanilla
         Spark can't run (CREATE USER, UPDATE, DELETE, DISCARD ALL)."""
+        q = self._expand_insert_by_name(q, dialect)
         m = _CREATE_USER.match(q)
         if m:
             self.create_user(m.group(1), m.group(2))
@@ -1230,6 +1375,14 @@ class Engine:
                     self.spark.sql(prepared).collect()
         else:
             self.spark.sql(prepared).collect()
+        # view↔macro dependency bookkeeping (round 9) — after the
+        # statement succeeded, so a failed CREATE registers nothing
+        if re.match(r"\s*create\b", q, re.IGNORECASE):
+            self._register_macro_view(q)
+        else:
+            dv = self._DROP_VIEW_HEAD.match(q)
+            if dv is not None:
+                self.macro_views.drop(dv.group("name").strip('`"').split(".")[-1])
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
 

@@ -325,3 +325,81 @@ def expand_calls(q: str, store: MacroStore) -> str:
         "54001",
         "macro expansion did not terminate (recursive macro definition?)",
     )
+
+
+# ---------------------------------------------------------------------------
+# Macro bind-time in views (round 9, VERDICT r8 punch item 4)
+# ---------------------------------------------------------------------------
+# DuckDB binds macros at USE: `CREATE VIEW v AS SELECT m(x)…; DROP MACRO
+# m; SELECT * FROM v` is a Catalog Error ("Scalar Function with name m
+# does not exist!"), and redefining m changes what v returns (pinned
+# live, tests/test_macros.py). A Spark view stores the EXPANDED text, so
+# without bookkeeping the baked expansion would silently keep serving.
+# The registry below records, per view, the original definition plus the
+# referenced macro records; every statement that names such a view is
+# checked first (one mtime-cached dict read — zero cost when no view
+# uses macros): a dropped macro raises DuckDB's error, a changed macro
+# re-bakes the view from the ORIGINAL text before the query runs —
+# exactly bind-at-use semantics, cached until the macro changes. Scope:
+# direct references (a view over a macro-view re-binds only when the
+# inner view's name appears in the statement — the documented contract).
+
+
+def referenced_macros(text: str, store: MacroStore) -> dict:
+    """Macro records whose name is CALLED in `text` (name followed by an
+    open paren, outside string literals)."""
+    macros = store.names()
+    if not macros:
+        return {}
+    from duck_server_spark.plans.rewrites import _mask_literals
+
+    masked = _mask_literals(text)
+    return {
+        name: rec
+        for name, rec in macros.items()
+        if re.search(rf"\b{re.escape(name)}\s*\(", masked, re.IGNORECASE)
+    }
+
+
+class MacroViewStore:
+    """JSON-persisted view→macro-dependency registry (same pattern as
+    MacroStore; mtime-cached hot path)."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._lock = threading.Lock()
+        self._cache: tuple[float, dict] | None = None
+
+    def _load(self) -> dict:
+        try:
+            with open(self._path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _save(self, data: dict) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, self._path)
+
+    def set(self, view: str, refresh_sql: str, macros: dict) -> None:
+        with self._lock:
+            data = self._load()
+            data[view.lower()] = {"refresh": refresh_sql, "macros": macros}
+            self._save(data)
+
+    def drop(self, view: str) -> None:
+        with self._lock:
+            data = self._load()
+            if data.pop(view.lower(), None) is not None:
+                self._save(data)
+
+    def all(self) -> dict:
+        try:
+            mt = os.stat(self._path).st_mtime_ns
+        except OSError:
+            return {}
+        if self._cache is None or self._cache[0] != mt:
+            self._cache = (mt, self._load())
+        return self._cache[1]

@@ -41,75 +41,70 @@ def _modules():
 # inside the checked window. Everything else follows in module order and
 # is still fully self-gated by tools/drive_contract.py.
 _PRIORITY = [
-    # ---- ROUND 8 WINDOW (the driver records ~50 rows; every entry below
-    # is oracle-twinned so CORRECTNESS_r08 carries zero `err` rows).
-    # Registry convention (VERDICT r7): window queries project SCALAR
-    # columns only — the driver's canonicalizer sorts with pandas and
-    # crashes on LIST/STRUCT cells.
-    # 1-6: queries new or semantically changed this round — the fixed
-    # bracket-literal projection, the new list-alias shim, the three
-    # rows-only ops converted to bounded-error gate rows (exact twin +
-    # within-bound/recall flag, hashed), and the SemDeDup collapse whose
-    # plan changed in d2c3fa7 AFTER its last driver row (r4). The
-    # rows-only `_prod`/`_est` estimate variants rotate OUT of the
-    # window per VERDICT r7 (their correctness is carried by the gate
-    # twins; their row counts/plans were witnessed in r7).
-    "scalar_bracket_literals",
+    # ---- ROUND 9 WINDOW (the driver records ~50 rows; every entry is
+    # oracle-twinned — zero err rows by construction). Convention
+    # (VERDICT r7): window queries project SCALAR columns only (the
+    # driver's canonicalizer sorts raw pandas frames).
+    # 1-2: new or semantically changed this round — the FROM-first
+    # dialect gate (plans/rewrites.py rewrite_from_first) and the
+    # list-alias gate whose text grew the list_sort/list_reverse_sort/
+    # list_distinct/list_unique/list_reverse family (and whose list_sort
+    # mapping changed sort_array → array_sort for exact NULLS LAST).
+    "from_first_sql",
     "scalar_list_aliases",
-    "scalar_datetime_shims",
-    "scalar_macro_inline",
-    "agg_approx_count_distinct",
-    "similarity_ann_pq",
-    "dedup_minhash_lsh_fast",
-    "dedup_semantic_clusters",
-    # 7-50: staleness refresh — the oracle-twinned queries whose most
-    # recent driver row is oldest (r1/r2: the TPC-H tail, the join/setop/
-    # subquery matrix, core aggregates), so every row re-verifies against
-    # the current engine rather than a 6-round-old snapshot.
-    "tpch_q18_large_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q16_supplier_parts",
-    "tpch_q19_discounted_revenue",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers",
-    "join_inner",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "join_using",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "sort_limit_offset",
-    "sort_nulls_first",
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_correlated",
-    "cte_chain",
-    "distinct_on",
-    "qualify",
-    "sample_deterministic",
-    "values_inline",
-    "recursive_cte",
-    "lateral_join",
-    "union_by_name",
-    "setop_intersect_all",
-    "agg_filter_distinct",
-    "agg_minmax_argmax",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "sample_stratified",
-    "topk_per_domain",
+    # 3-50: staleness refresh (VERDICT r8 item 5) — the oracle-twinned
+    # rows whose most recent driver witness is oldest: the r2 TPC-H tail
+    # + events/text rows, then the r3 analytics block, the r4
+    # dedup/pipeline/multimodal block, and the r5 scalar pair. Every
+    # other registry row stays fully self-gated by drive_contract.
+    "attributed_purchases",
+    "events_funnel",
+    "multimodal_decode_stats",
     "text_edit_distance",
+    "text_top_terms",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q14_promo_effect",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_sales_opportunity",
     "window_distribution",
+    "agg_regression",
+    "cohort_retention",
+    "events_gapfill",
+    "events_outliers",
+    "events_streaks",
+    "graph_triangles",
+    "histogram_prices",
+    "spearman_corr",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_signals_fused",
+    "text_tfidf_salience",
+    "window_time_range",
+    "agg_kmv_distinct",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_source_matrix",
+    "doc_chunking",
+    "embedding_quantization",
+    "multimodal_frame_sample",
+    "pipeline_corpus_clean",
+    "sample_quality_weighted",
+    "sequence_packing",
+    "text_oov_rate",
+    "token_quantiles_per_source",
+    "train_valid_test_split",
+    "scalar_array_higher_order",
+    "scalar_struct_map",
 ]
 
 

@@ -441,6 +441,32 @@ def distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(DISTINCT_ON_SQL_TEXT))
 
 
+# DuckDB's FROM-first syntax (round 9): one DuckDB-spelled text, both
+# engines — DuckDB parses FROM-first natively, our side goes through the
+# rewrite_from_first shim (plans/rewrites.py) onto a standard SELECT
+# plan (same hash-aggregate + union the explicit spelling produces — the
+# shim is bind-time text, zero plan cost). Exercises every pinned shape
+# at once: CTE with a FROM-first body, FROM…SELECT…GROUP BY, a set-op
+# arm with SELECT-before-WHERE ordering, and a trailing global ORDER BY.
+FROM_FIRST_SQL_TEXT = """WITH big AS (FROM orders WHERE o_totalprice > 100000)
+FROM big SELECT o_orderstatus AS status, count(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+GROUP BY o_orderstatus
+UNION ALL
+FROM region SELECT r_name AS status, 0 AS n, CAST(0.0 AS DOUBLE) AS total WHERE r_regionkey < 2
+ORDER BY status, n"""
+
+
+def from_first_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM-first dialect shim end-to-end (rewrite → Spark plan) against
+    DuckDB running the identical statement natively."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(FROM_FIRST_SQL_TEXT))
+
+
 # DuckDB's simplified PIVOT statement (round 7): dynamic column
 # discovery → Spark PIVOT clause (engine/pivot.py). The default-USING
 # form exercises the count-0 fill; orderpriority has 5 stable values so
@@ -557,6 +583,7 @@ QUERIES = {
     "cte_chain": cte_chain,
     "distinct_on": distinct_on,
     "distinct_on_sql": distinct_on_sql,
+    "from_first_sql": from_first_sql,
     "pivot_stmt_sql": pivot_stmt_sql,
     "unpivot_stmt_sql": unpivot_stmt_sql,
     "qualify": qualify_idiom,
@@ -587,6 +614,7 @@ ORACLE = {
     "cte_chain": CTE_CHAIN_ORACLE,
     "distinct_on": DISTINCT_ON_ORACLE,
     "distinct_on_sql": DISTINCT_ON_SQL_TEXT,
+    "from_first_sql": FROM_FIRST_SQL_TEXT,
     "pivot_stmt_sql": PIVOT_STMT_SQL_TEXT,
     "unpivot_stmt_sql": UNPIVOT_STMT_SQL_TEXT,
     "qualify": QUALIFY_ORACLE,

@@ -407,7 +407,14 @@ SELECT n_nationkey,
        list_position([10, 20, 30], 99) AS pos_miss,
        list_indexof(['a', 'b', 'c'], 'c') AS idx_c,
        array_to_string(list_transform([1, 2, 3], x -> x + n_regionkey), ',') AS xform,
-       array_to_string(list_filter([1, 2, 3, 4], x -> x % 2 = 0), ',') AS evens
+       array_to_string(list_filter([1, 2, 3, 4], x -> x % 2 = 0), ',') AS evens,
+       array_to_string(list_transform(list_sort([3, 1, NULL, CAST(n_regionkey AS INT)]),
+                                      x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS sorted_nulls,
+       array_to_string(list_transform(list_reverse_sort([3, 1, NULL, CAST(n_regionkey AS INT)]),
+                                      x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS rsorted_nulls,
+       array_to_string(list_sort(list_distinct([2, 1, 2, NULL, CAST(n_regionkey AS INT)])), ',') AS dist_sorted,
+       list_unique([1, 2, 2, NULL, CAST(n_regionkey AS INT)]) AS uniq_n,
+       array_to_string(list_reverse([1, 2, CAST(n_nationkey AS INT)]), ',') AS rev
 FROM nation
 """
 

@@ -343,6 +343,20 @@ def test_unpivot_statement_over_ch(ch, spark, sf_dir):
     assert len(body.strip().splitlines()) == 5
 
 
+def test_pragma_over_ch_http(ch):
+    """PRAGMA rides the CH SELECT path (round 9): the reference forwards
+    pragmas to embedded DuckDB through ch_server.go:227; here the
+    dispatcher classifies them as queries so results stream back in CH
+    formats like any SELECT."""
+    base, _ = ch
+    status, body, _ = _get(base, "PRAGMA version FORMAT TabSeparated")
+    assert status == 200 and body.strip() == "v1.0.0\tduck_server_spark"
+    status, body, _ = _get(base, "PRAGMA show_tables")
+    assert status == 200
+    status, body, _ = _get(base, "PRAGMA nosuch_p")
+    assert status != 200 and "does not exist" in body
+
+
 def test_macros_over_ch_http(ch):
     """SQL macros work through the CH HTTP dispatcher too (round 8): the
     engine's macro registry and _prepare_sql expansion are shared by

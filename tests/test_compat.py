@@ -829,6 +829,171 @@ def test_describe_matches_duckdb(pgc, spark):
 
 
 # ---------------------------------------------------------------------------
+# list_sort-family shims (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_list_sort_family_shapes():
+    """Exact-twin mappings only (VERDICT r8 item 6): list_sort →
+    array_sort (ASC NULLS LAST in both — sort_array would put NULLs
+    first, the pre-r9 silent drift), list_reverse_sort(x) →
+    sort_array(x, false) (DESC NULLS LAST), list_distinct/list_unique
+    drop NULLs like DuckDB. Option-arg variants pass through and error
+    loudly — never a silent semantics change."""
+    from duck_server_spark.plans.rewrites import rewrite_common as r
+
+    assert "array_sort(x)" in r("SELECT list_sort(x) FROM t")
+    assert "sort_array(x, false)" in r("SELECT list_reverse_sort(x) FROM t")
+    assert "ld_x IS NOT NULL" in r("SELECT list_distinct(x) FROM t")
+    assert "cardinality(" in r("SELECT list_unique(x) FROM t")
+    assert "reverse(x)" in r("SELECT list_reverse(x) FROM t")
+    # option-arg forms keep the DuckDB name (loud Spark error downstream)
+    assert "list_reverse_sort(x, 'NULLS FIRST')" in r(
+        "SELECT list_reverse_sort(x, 'NULLS FIRST') FROM t"
+    )
+    assert "list_distinct(x, y)" in r("SELECT list_distinct(x, y) FROM t")
+    # nested calls inside the rewritten argument are reached
+    out = r("SELECT list_unique(list_distinct(x)) FROM t")
+    assert "list_unique" not in out and "list_distinct" not in out
+
+
+# ---------------------------------------------------------------------------
+# FROM-first syntax (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_from_first_pinned_vs_duckdb(spark, duck, sf_dir):
+    """DuckDB's FROM-first syntax, value-pinned vs live DuckDB on the
+    shared fixture views: bare FROM, FROM…SELECT, the pinned
+    SELECT-before-WHERE ordering, CTE bodies, derived tables, set-op
+    arms. Shapes DuckDB parser-rejects stay errors here too (the shim
+    only moves a SELECT found in the pinned position)."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans.rewrites import rewrite_pg_query
+
+    register_views(spark, sf_dir)
+    probes = [
+        "FROM region",
+        "FROM region SELECT r_name WHERE r_regionkey > 1",
+        "FROM region ORDER BY r_regionkey DESC LIMIT 2",
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "SELECT r.r_name, count(*) AS n GROUP BY r.r_name",
+        "WITH z AS (FROM nation WHERE n_regionkey = 0) FROM z SELECT n_name",
+        "SELECT * FROM (FROM region WHERE r_regionkey < 2) q",
+        "FROM region SELECT r_name UNION ALL FROM nation SELECT n_name",
+        "FROM region SELECT DISTINCT r_regionkey % 2 AS m",
+    ]
+    for p in probes:
+        want = sorted(map(repr, duck.execute(p).fetchall()))
+        got = sorted(
+            repr(tuple(r)) for r in spark.sql(rewrite_pg_query(p)).collect()
+        )
+        assert got == want, (p, got[:3], want[:3])
+    # DuckDB parser-rejects SELECT after WHERE/GROUP — the shim must NOT
+    # invent a rewrite DuckDB doesn't perform
+    for bad in (
+        "FROM region WHERE r_regionkey > 1 SELECT r_name",
+        "FROM region GROUP BY r_name SELECT r_name",
+    ):
+        with pytest.raises(Exception):
+            duck.execute(bad)
+        with pytest.raises(Exception):
+            spark.sql(rewrite_pg_query(bad)).collect()
+    # ordinary statements pass through untouched
+    for keep in (
+        "SELECT count(*) FROM region",
+        "SELECT a FROM t WHERE b = 'FROM x'",
+        "INSERT INTO t (from_col) VALUES (1)",
+    ):
+        assert rewrite_pg_query(keep) == keep
+
+
+def test_from_first_over_wire(pgc):
+    """A DuckDB-CLI user's bare `FROM t` works over the PG wire."""
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query("FROM region SELECT r_regionkey ORDER BY r_regionkey LIMIT 2")
+    assert [n for n, _ in cols] == ["r_regionkey"]
+    assert rows == [("0",), ("1",)]
+    c.terminate()
+
+
+# ---------------------------------------------------------------------------
+# PRAGMA statement family (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_pragma_family_pinned_vs_duckdb(pgc, spark):
+    """DuckDB clients/IDEs send PRAGMA table_info/show_tables/
+    database_list/version through the reference's delegation points
+    (pg_conn.go:314). table_info rows are pinned value-for-value vs live
+    DuckDB 1.x; the listing pragmas share SHOW TABLES' filter policy;
+    unknown pragmas error with DuckDB's message shape."""
+    import shutil
+
+    import duckdb
+
+    duck = duckdb.connect()
+    ddl = (
+        "CREATE TABLE prg_t (id INT PRIMARY KEY, name STRING NOT NULL, "
+        "v DOUBLE DEFAULT 1.5)"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c = PgClient(*pgc)
+    c.simple_query("DROP TABLE IF EXISTS prg_t")
+    shutil.rmtree(f"{warehouse}/prg_t", ignore_errors=True)
+    c.simple_query(ddl)
+    duck.execute(ddl.replace("STRING", "VARCHAR"))
+    cols, rows, _ = c.simple_query("PRAGMA table_info('prg_t')")
+    assert [n for n, _ in cols] == ["cid", "name", "type", "notnull", "dflt_value", "pk"]
+    drows = [
+        tuple(
+            ("t" if v is True else "f" if v is False else str(v))
+            if v is not None
+            else None
+            for v in r
+        )
+        for r in duck.execute("PRAGMA table_info('prg_t')").fetchall()
+    ]
+    assert rows == drows, (rows, drows)
+    # unquoted identifier spelling too
+    _, rows2, _ = c.simple_query("PRAGMA table_info(prg_t)")
+    assert rows2 == rows
+    # show_tables: DuckDB's one-column shape, same rows as SHOW TABLES
+    cols, prows, _ = c.simple_query("PRAGMA show_tables")
+    assert [n for n, _ in cols] == ["name"]
+    _, srows, _ = c.simple_query("SHOW TABLES")
+    assert prows == srows and ("prg_t",) in prows
+    # show_tables_expanded carries the column lists
+    cols, xrows, _ = c.simple_query("PRAGMA show_tables_expanded")
+    assert [n for n, _ in cols] == [
+        "database", "schema", "name", "column_names", "column_types", "temporary"]
+    mine = [r for r in xrows if r[2] == "prg_t"]
+    assert len(mine) == 1 and "id" in mine[0][3] and "DOUBLE" in mine[0][4]
+    # database_list / version: DuckDB's column shapes (values are this
+    # engine's honest identity — catalog name, advertised compat version)
+    cols, dl, _ = c.simple_query("PRAGMA database_list")
+    assert [n for n, _ in cols] == ["seq", "name", "file"]
+    assert dl[0][1] == "default" and dl[0][2] is None
+    cols, vr, _ = c.simple_query("PRAGMA version")
+    assert [n for n, _ in cols] == ["library_version", "source_id"]
+    assert vr == [("v1.0.0", "duck_server_spark")]
+    # unknown pragma: DuckDB's message shape, loud
+    with pytest.raises(RuntimeError) as ei:
+        c.simple_query("PRAGMA nosuch_pragma")
+    assert "Pragma Function with name nosuch_pragma does not exist" in str(ei.value)
+    with pytest.raises(Exception) as dei:
+        duck.execute("PRAGMA nosuch_pragma")
+    assert "Pragma Function with name nosuch_pragma does not exist" in str(dei.value)
+    # missing table: DuckDB's catalog-error shape
+    with pytest.raises(RuntimeError) as ei:
+        c.simple_query("PRAGMA table_info('prg_missing')")
+    assert "does not exist" in str(ei.value)
+    c.simple_query("DROP TABLE prg_t")
+    shutil.rmtree(f"{warehouse}/prg_t", ignore_errors=True)
+    c.terminate()
+
+
+# ---------------------------------------------------------------------------
 # USING SAMPLE / TABLESAMPLE shims (round 7)
 # ---------------------------------------------------------------------------
 
@@ -1214,3 +1379,12 @@ def test_strftime_date_diff_pinned_vs_duckdb(spark):
     # Spark's own 2-arg datediff(end, start) is never touched
     kept = rewrite_pg_query("SELECT datediff(b, a) FROM t")
     assert "datediff(b, a)" in kept
+    # braces inside an argument (string literal / struct-ish text) must
+    # pass through verbatim — str.format used to raise KeyError on a
+    # valid statement (ADVICE r8)
+    e = (
+        "date_diff('day', CAST(get_json_object('{\"a\":\"2024-01-01\"}', '$.a') AS DATE), "
+        "DATE '2024-01-03')"
+    )
+    got = spark.sql(rewrite_pg_query(f"SELECT {e} AS v")).collect()[0][0]
+    assert got == 2

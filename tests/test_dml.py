@@ -198,3 +198,60 @@ def test_returning_semantics_match_duckdb(engine, spark, duck, ret_table):
         sres = sorted(tuple(r) for r in sdf.collect())
         assert sres == dres, templ
     duck.execute("DROP TABLE d_ret")
+
+
+def test_insert_by_name_pinned_vs_duckdb(engine, spark):
+    """DuckDB's INSERT INTO … BY NAME (round 9), lifecycle pinned vs
+    live DuckDB: name-matched columns in any order, absent columns get
+    declared defaults (incl. a sequence DEFAULT) / NULL, RETURNING
+    interplay, only-SELECT-source rule, unknown-column binder error."""
+    import shutil
+
+    import duckdb
+
+    from duck_server_spark.engine.errors import PgError
+
+    duck = duckdb.connect()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS byn_t")
+    shutil.rmtree(f"{wh}/byn_t", ignore_errors=True)
+    try:
+        engine.execute("DROP SEQUENCE IF EXISTS byn_s")
+    except Exception:  # noqa: BLE001
+        pass
+    for stmt in (
+        "CREATE SEQUENCE byn_s",
+        "CREATE TABLE byn_t (id INT DEFAULT nextval('byn_s'), a INT, "
+        "b VARCHAR DEFAULT 'dd', c DOUBLE)",
+        "INSERT INTO byn_t BY NAME SELECT 5.5 AS c, 7 AS a",
+        "INSERT INTO byn_t BY NAME (SELECT 1 AS a UNION ALL SELECT 2)",
+    ):
+        engine.execute(stmt.replace("VARCHAR", "STRING"))
+        duck.execute(stmt)
+    got = sorted(tuple(r) for r in spark.table("byn_t").collect())
+    want = sorted(duck.execute("SELECT * FROM byn_t").fetchall())
+    assert got == want, (got, want)
+    # RETURNING interplay: post-image rows with defaults filled
+    ret, tag = engine.execute_returning(
+        "INSERT INTO byn_t BY NAME SELECT 4 AS a RETURNING id, a, b"
+    )
+    assert tag == "INSERT 0 1"
+    dret = duck.execute(
+        "INSERT INTO byn_t BY NAME SELECT 4 AS a RETURNING id, a, b"
+    ).fetchall()
+    assert [tuple(r) for r in ret.collect()] == dret
+    # only a SELECT source is legal (pinned binder error)
+    with pytest.raises(PgError) as ei:
+        engine.execute("INSERT INTO byn_t BY NAME VALUES (1, 2)")
+    assert ei.value.pgcode == "42601"
+    with pytest.raises(Exception):
+        duck.execute("INSERT INTO byn_t BY NAME VALUES (1, 2)")
+    # unknown source column: loud binder error in both engines
+    with pytest.raises(PgError) as ei:
+        engine.execute("INSERT INTO byn_t BY NAME SELECT 3 AS a, 9 AS zz")
+    assert ei.value.pgcode == "42703" and "zz" in str(ei.value)
+    with pytest.raises(Exception):
+        duck.execute("INSERT INTO byn_t BY NAME SELECT 3 AS a, 9 AS zz")
+    spark.sql("DROP TABLE IF EXISTS byn_t")
+    shutil.rmtree(f"{wh}/byn_t", ignore_errors=True)
+    engine.execute("DROP SEQUENCE IF EXISTS byn_s")

@@ -218,3 +218,73 @@ def test_macro_param_capture_and_default_rules(eng, spark):
             duck.execute(stmt)
         eng.execute("DROP TABLE capt")
         shutil.rmtree(f"{wh}/capt", ignore_errors=True)
+
+
+def test_macro_bind_time_in_views_pinned_vs_duckdb(eng, spark):
+    """Round 9 (VERDICT r8 punch item 4): DuckDB binds macros at USE —
+    a view over a macro errors after DROP MACRO (Catalog Error, never
+    the baked expansion served silently) and picks up a REDEFINED macro
+    on the next read. Pinned vs live DuckDB for scalar and table macros;
+    DROP VIEW clears the dependency record."""
+    duck = duckdb.connect()
+    for stmt in (
+        "CREATE MACRO bindm(x) AS x * 2",
+        "CREATE VIEW bindv AS SELECT bindm(21) AS a",
+    ):
+        eng.execute(stmt)
+        duck.execute(stmt)
+    try:
+        probe = "SELECT * FROM bindv"
+        assert _one(eng, probe) == duck.execute(probe).fetchone()[0] == 42
+        # DROP MACRO then read the view: Catalog Error in both engines
+        eng.execute("DROP MACRO bindm")
+        duck.execute("DROP MACRO bindm")
+        with pytest.raises(PgError) as ei:
+            eng.query(probe).collect()
+        assert ei.value.pgcode == "42883" and "bindm" in str(ei.value)
+        with pytest.raises(Exception) as dei:
+            duck.execute(probe)
+        assert "bindm does not exist" in str(dei.value)
+        # REDEFINE: the view serves the new body (bind at use)
+        eng.execute("CREATE MACRO bindm(x) AS x + 1")
+        duck.execute("CREATE MACRO bindm(x) AS x + 1")
+        assert _one(eng, probe) == duck.execute(probe).fetchone()[0] == 22
+        # …and repeatedly (the re-bake is cached until the next change)
+        assert _one(eng, probe) == 22
+        eng.execute("CREATE OR REPLACE MACRO bindm(x) AS x - 1")
+        duck.execute("CREATE OR REPLACE MACRO bindm(x) AS x - 1")
+        assert _one(eng, probe) == duck.execute(probe).fetchone()[0] == 20
+        # table macro in a view: same lifecycle, DuckDB's Table Function error
+        eng.execute("CREATE MACRO bindtm(x) AS TABLE SELECT x AS k, x * 2 AS v")
+        duck.execute("CREATE MACRO bindtm(x) AS TABLE SELECT x AS k, x * 2 AS v")
+        eng.execute("CREATE VIEW bindtv AS SELECT * FROM bindtm(3)")
+        duck.execute("CREATE VIEW bindtv AS SELECT * FROM bindtm(3)")
+        probe2 = "SELECT * FROM bindtv"
+        assert [tuple(r) for r in eng.query(probe2).collect()] == duck.execute(probe2).fetchall()
+        eng.execute("DROP MACRO TABLE bindtm")
+        duck.execute("DROP MACRO TABLE bindtm")
+        with pytest.raises(PgError) as ei:
+            eng.query(probe2).collect()
+        assert ei.value.pgcode == "42883" and "Table Function" in str(ei.value)
+        with pytest.raises(Exception):
+            duck.execute(probe2)
+        # DROP VIEW clears the record: recreating WITHOUT macros works
+        # even while the macro is gone
+        eng.execute("DROP VIEW bindv")
+        eng.execute("CREATE VIEW bindv AS SELECT 7 AS a")
+        assert _one(eng, "SELECT * FROM bindv") == 7
+    finally:
+        for stmt in (
+            "DROP VIEW IF EXISTS bindv",
+            "DROP VIEW IF EXISTS bindtv",
+            "DROP MACRO IF EXISTS bindm",
+            "DROP MACRO TABLE IF EXISTS bindtm",
+        ):
+            try:
+                eng.execute(stmt)
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                duck.execute(stmt)
+            except Exception:  # noqa: BLE001
+                pass

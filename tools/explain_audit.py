@@ -257,6 +257,15 @@ CHECKS = {
     "scalar_macro_inline": [
         ("whole-stage codegen (inlined macros cost nothing per row)", r"WholeStageCodegen"),
     ],
+    # round 9: FROM-first is bind-time text — the rewritten statement
+    # must plan exactly like its explicit-SELECT spelling: one hash
+    # aggregate on the group key, the filter pushed into the scan, a
+    # plain union (costs nothing per row)
+    "from_first_sql": [
+        ("aggregate arm is one hash aggregate", r"HashAggregate"),
+        ("totalprice filter pushed to the scan", r"PushedFilters: [^\n]*o_totalprice"),
+        ("set-op arms stay a plain Union", r"Union"),
+    ],
 }
 
 FORBIDDEN = {
@@ -293,6 +302,7 @@ FORBIDDEN = {
     "graph_pagerank": [("no cartesian product", r"CartesianProduct")],
     "scalar_series_unnest": [("no shuffled cartesian", r"CartesianProduct")],
     "distinct_on_sql": [("no cartesian product", r"CartesianProduct")],
+    "from_first_sql": [("no cartesian product", r"CartesianProduct")],
     "pivot_stmt_sql": [("no cartesian product", r"CartesianProduct")],
     "unpivot_stmt_sql": [
         ("unpivot is scan-local: no shuffle anywhere", r"Exchange"),
