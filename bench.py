@@ -85,6 +85,26 @@ def main() -> None:
     run(queries["tpch_q1_pricing_summary"](spark, SF_DIR))
     run(queries["dedup_minhash_vectorized"](spark, SF_DIR))
 
+    # Host-noise calibration (round 9, VERDICT r8 item 7): a fixed-shape
+    # hash aggregate over an in-memory range — no parquet, no Python
+    # boundary, the same plan every round — so round-over-round headline
+    # deltas can be normalized against the host's current speed. Read it
+    # as: headline_r(N) / headline_r(M) ≈ code delta × (calibration_rN /
+    # calibration_rM); a headline swing that tracks the calibration swing
+    # is the ±30% host band (twice adjudicated as noise, r6→r7 and
+    # r7→r8), not a regression. Same min-of-2 rule as the queries.
+    cal_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("id % 1000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "k": "count"})
+        )
+        cal_best = min(cal_best, time.perf_counter() - t0)
+    calibration = {"hash_agg_range_50m": round(cal_best, 3)}
+
     # min-of-2 per query: this VM class shows bursty CPU steal (single
     # queries randomly 3-10x their median), so one-shot wall times are
     # dominated by host noise, not the plan. The scale sweep uses the
@@ -137,6 +157,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "breakdown": breakdown,
+                "calibration": calibration,
                 "sf": sf_val,
                 "method": "min_of_2",
             }
