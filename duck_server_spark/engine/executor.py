@@ -259,9 +259,15 @@ class Engine:
         self._bootstrap()
         # roll interrupted multi-table COMMITs forward (crash between two
         # table publishes leaves a journal manifest — engine/transactions.py)
-        from duck_server_spark.engine.transactions import recover_journal
+        from duck_server_spark.engine.transactions import (
+            recover_journal,
+            settle_versions,
+        )
 
         recover_journal(self)
+        # AFTER journal recovery: a journal-referenced version dir must
+        # be rolled forward before the settle/sweep can touch it
+        settle_versions(self)
         self._sweep_orphan_dirs()
 
     def _sweep_orphan_dirs(self) -> None:
@@ -1048,6 +1054,11 @@ class Engine:
         from duck_server_spark.plans.rewrites import _mask_literals
 
         rest = m.group("rest").strip()
+        # DuckDB accepts a FROM-first body here (`INSERT INTO t BY NAME
+        # FROM s`) — normalize before the SELECT-source check
+        from duck_server_spark.plans.rewrites import rewrite_from_first
+
+        rest = rewrite_from_first(rest)
         masked = _mask_literals(rest)
         ret = ""
         for rm in re.finditer(r"\breturning\b", masked, re.IGNORECASE):
@@ -1180,6 +1191,10 @@ class Engine:
         """DDL/DML path → command tag. Intercepts the statements vanilla
         Spark can't run (CREATE USER, UPDATE, DELETE, DISCARD ALL)."""
         q = self._expand_insert_by_name(q, dialect)
+        # FROM-first bodies in DDL/DML positions (CTAS `AS FROM`,
+        # `INSERT INTO t FROM s`) normalize BEFORE the dispatch branches
+        # that parse INSERT tails / CREATE bodies (round 9)
+        q = rewrites.rewrite_from_first(q)
         m = _CREATE_USER.match(q)
         if m:
             self.create_user(m.group(1), m.group(2))
@@ -1297,6 +1312,21 @@ class Engine:
                 return tag
         if _CREATE_TABLE_VERB.match(q):
             stripped, table, found = cst.extract_constraints(q)
+            # round 9: a CREATE on a name with versioned leftovers (the
+            # plain dir was retired by a pointer-swap publish, then the
+            # table dropped) must not adopt the stale directory — a DDL
+            # CREATE would silently resurrect the old rows
+            nm = _CREATE_TABLE_NAME.match(q)
+            if nm is not None:
+                from duck_server_spark.engine.transactions import (
+                    clear_retired_location,
+                )
+
+                try:
+                    if not self.spark.catalog.tableExists(nm.group(1)):
+                        clear_retired_location(self.spark, nm.group(1))
+                except Exception:  # noqa: BLE001 — probe best-effort
+                    pass
             if found:
                 self._recoverable_create(
                     self._prepare_sql(stripped, dialect), stripped
@@ -1383,6 +1413,17 @@ class Engine:
             dv = self._DROP_VIEW_HEAD.match(q)
             if dv is not None:
                 self.macro_views.drop(dv.group("name").strip('`"').split(".")[-1])
+            dt = _DROP_TABLE.match(q)
+            if dt is not None:
+                # Spark's DROP deleted the CURRENT version dir; reclaim
+                # the versions parent (old versions + pointer file) too
+                import shutil as _sh
+
+                from duck_server_spark.engine.transactions import versions_parent
+
+                _sh.rmtree(
+                    versions_parent(self.spark, dt.group(1)), ignore_errors=True
+                )
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
 
@@ -1929,23 +1970,36 @@ class Engine:
                 ).localCheckpoint(eager=True)
             with _COMMIT_MUTEX:
                 if _table_fingerprint(self.spark, table) == fp:
-                    # INSERT OVERWRITE, not overwrite-saveAsTable: the
-                    # latter drops the base from the catalog mid-publish,
-                    # so a concurrent reader errored
-                    # TABLE_OR_VIEW_NOT_FOUND (round-7 soak; same fix as
-                    # TxnOverlay._publish_table). The remaining window is
-                    # file-level only — the documented
-                    # needs-a-table-format gap.
-                    proj = (
-                        ", ".join(f"`{c}`" for c in publish_cols)
-                        if publish_cols
-                        else "*"
+                    from duck_server_spark.engine.transactions import (
+                        publish_pointer_swap,
                     )
-                    cond = f" WHERE {publish_where}" if publish_where else ""
-                    self.spark.sql(
-                        f"INSERT OVERWRITE TABLE {table} SELECT {proj} FROM {staging}{cond}"
-                    )
-                    self.spark.sql(f"DROP TABLE {staging}")
+
+                    if publish_cols or publish_where:
+                        # projected/filtered publish (upsert marker
+                        # columns, DO NOTHING rows): materialize the
+                        # published shape into a second staging first so
+                        # the pointer swap stays a pure rename
+                        proj = (
+                            ", ".join(f"`{c}`" for c in publish_cols)
+                            if publish_cols
+                            else "*"
+                        )
+                        cond = f" WHERE {publish_where}" if publish_where else ""
+                        pub = f"{staging}_pub"
+                        self.spark.sql(f"DROP TABLE IF EXISTS {pub}")
+                        self.spark.sql(
+                            f"CREATE TABLE {pub} AS SELECT {proj} FROM {staging}{cond}"
+                        )
+                        self.spark.sql(f"DROP TABLE {staging}")
+                        staging_final = pub
+                    else:
+                        staging_final = staging
+                    # version-directory publish (round 9): pointer swap —
+                    # the staged files become a fresh version dir and the
+                    # catalog entry re-points; readers that listed the
+                    # old files keep them until the grace sweep, so an
+                    # in-flight client scan survives this publish.
+                    publish_pointer_swap(self.spark, table, staging_final)
                     return (n, captured) if capture is not None else n
             # fingerprint mismatch: a concurrent publish/append landed.
             # refreshTable before retrying (r7 review) — the re-staged

@@ -46,21 +46,22 @@ the session layer with staged writes:
   retries — so a one-statement transaction can never silently wipe a
   concurrent COMMIT.
 
-Concurrency window (round 7): publishes use INSERT OVERWRITE, so the
-table's CATALOG entry is continuously visible to concurrent readers —
-the pre-round-7 drop-and-recreate publish made readers error
-TABLE_OR_VIEW_NOT_FOUND mid-commit. Cross-table atomic VISIBILITY is
-closed in round 8 by the _VisibilityGate: query analysis holds it
-shared, the whole multi-table publish sweep holds it exclusive, so a
-concurrent SELECT resolves every table all-old or all-new, never
-{A new, B old} (asserted by the cross-table invariant soak,
-tests/test_transactions.py). What remains is file-level only: a scan
-that listed the old data files while they are swapped underneath sees
-the FAILED_READ_FILE transient (is_file_race); engine-internal reads
-(shadow staging, COW staging) retry it, client SELECTs may surface it
-and retry — loud and consistent-old, never silently mixed. That last
-window is exactly what a table format's commit protocol
-(Delta/Iceberg) closes — the documented production answer.
+Concurrency (rounds 7-9, closed in three layers): catalog-level —
+publishes keep the table's catalog entry continuously visible (the
+pre-round-7 drop-and-recreate made readers error
+TABLE_OR_VIEW_NOT_FOUND mid-commit). Cross-table VISIBILITY — round 8's
+_VisibilityGate: query analysis holds it shared, the whole multi-table
+publish sweep holds it exclusive, so a concurrent SELECT resolves every
+table all-old or all-new, never {A new, B old} (cross-table invariant
+soak). File-level — round 9's version-directory publish: a publish no
+longer rewrites files in place but renames the staged result into a
+fresh version subdirectory and re-points the catalog entry (ALTER TABLE
+SET LOCATION), so a scan that listed the old files at analysis reads
+them to completion (superseded versions survive the grace window) —
+the old-snapshot-stays-readable property embedded DuckDB's MVCC gives
+the reference, delivered the way a table format's commit protocol does
+(write new files, swap a pointer, vacuum later). is_file_race retries
+remain as a belt-and-suspenders transient guard only.
 
 Scale note: the first-touch clone is a full copy of the table — the
 standard cost of copy-on-write transactionality without a table format.
@@ -415,6 +416,196 @@ def _table_location(spark, table: str) -> str | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Version-directory publish (round 9, VERDICT r8 item 1 — the last honest
+# MVCC gap). Publishes no longer rewrite a table's files in place:
+# the staged result's directory is RENAMED into a fresh version
+# subdirectory (`<table_dir>__cow_versions/v<ns>_<pid>`) and the table's
+# catalog entry is RE-POINTED there (ALTER TABLE SET LOCATION — a
+# metadata-only swap, no second data copy). A reader that listed the old
+# files at analysis keeps reading them to completion: the superseded
+# version directory survives until the grace-window sweep, so the
+# FAILED_READ_FILE transient (is_file_race) cannot hit an in-flight
+# client scan — the same old-snapshot-stays-readable property embedded
+# DuckDB's MVCC gives the reference (pg_conn.go:51), delivered the way a
+# table format's commit protocol does it (Delta/Iceberg: write new
+# files, swap a pointer, vacuum later).
+#
+# Durability home: the PLAIN table directory remains the cross-process
+# home — a CURRENT pointer file in the versions parent records the live
+# version, and Engine bootstrap "settles" it back into the plain
+# directory when the catalog does not know the table (fresh session over
+# an old warehouse; no readers can exist at bootstrap). Crash windows:
+# before the rename → staged dir is janitor-swept, base untouched; after
+# the rename but before SET LOCATION → version dir is swept as
+# non-current, base untouched; after SET LOCATION → published.
+#
+# Scale note: this makes every COW publish O(1) metadata instead of a
+# second O(data) INSERT OVERWRITE copy — at 100 TB the rewrite job is
+# the only data pass, exactly like a lakehouse commit.
+# ---------------------------------------------------------------------------
+
+VERSION_MARK = "__cow_versions"
+
+
+def _version_grace_s() -> float:
+    # how long superseded version dirs stay readable for in-flight
+    # scans; must exceed the longest expected client scan
+    return float(os.environ.get("SPARK_GRAFT_VERSION_GRACE_S", "300"))
+
+
+def versions_parent(spark, table: str) -> str:
+    return table_dir(spark, table) + VERSION_MARK
+
+
+def _current_path(parent: str) -> str:
+    return os.path.join(parent, "CURRENT")
+
+
+def _write_current(parent: str, vdir: str) -> None:
+    tmp = _current_path(parent) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(vdir))
+    os.replace(tmp, _current_path(parent))
+
+
+def _read_current(parent: str) -> str | None:
+    try:
+        with open(_current_path(parent)) as f:
+            name = f.read().strip()
+        return os.path.join(parent, name) if name else None
+    except OSError:
+        return None
+
+
+def publish_pointer_swap(spark, table: str, staged: str) -> None:
+    """Publish staged table `staged` over `table` by pointer swap: move
+    the staged files to a fresh version dir, SET LOCATION, drop the
+    (now fileless) staging catalog entry, then sweep aged versions.
+    Caller holds _COMMIT_MUTEX and has won the fingerprint compare."""
+    import time
+
+    parent = versions_parent(spark, table)
+    os.makedirs(parent, exist_ok=True)
+    vdir = os.path.join(parent, f"v{time.time_ns()}_{os.getpid()}")
+    sdir = _table_location(spark, staged)
+    if sdir is None or not os.path.isdir(sdir):
+        raise PgError("58P01", f"staged table {staged} has no data directory")
+    os.rename(sdir, vdir)
+    spark.sql(f"ALTER TABLE {table} SET LOCATION '{vdir}'")
+    spark.catalog.refreshTable(table)
+    _write_current(parent, vdir)
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    sweep_table_versions(spark, table)
+
+
+def sweep_table_versions(spark, table: str, grace_s: float | None = None) -> list[str]:
+    """Reclaim superseded version dirs (and the retired plain dir) older
+    than the grace window; the CURRENT location is never touched."""
+    import time
+
+    parent = versions_parent(spark, table)
+    removed: list[str] = []
+    if not os.path.isdir(parent):
+        return removed
+    grace = _version_grace_s() if grace_s is None else grace_s
+    cur = _table_location(spark, table)
+    cur_real = os.path.realpath(cur) if cur else ""
+    now = time.time()
+    for d in os.listdir(parent):
+        p = os.path.join(parent, d)
+        if not os.path.isdir(p) or os.path.realpath(p) == cur_real:
+            continue
+        try:
+            aged = now - os.path.getmtime(p) > grace
+        except OSError:
+            continue
+        if aged:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    plain = table_dir(spark, table)
+    if (
+        cur
+        and os.path.realpath(plain) != cur_real
+        and os.path.isdir(plain)
+        and now - os.path.getmtime(plain) > grace
+    ):
+        # the pre-versioning home, retired by the first pointer swap
+        shutil.rmtree(plain, ignore_errors=True)
+        removed.append(plain)
+    return removed
+
+
+def settle_versions(engine: "Engine") -> None:
+    """Engine-bootstrap reconciliation of version directories. For each
+    `*__cow_versions` parent: a table the catalog knows gets a normal
+    aged sweep; a table the catalog does NOT know is either settled
+    (fresh session over an old warehouse — rename the CURRENT version
+    back into the plain directory, the durable cross-process home; no
+    readers exist at bootstrap) or, when the CURRENT target is gone
+    (the table was dropped), fully reclaimed."""
+    import glob as _glob
+
+    spark = engine.spark
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    parents = _glob.glob(os.path.join(warehouse, f"*{VERSION_MARK}")) + _glob.glob(
+        os.path.join(warehouse, "*.db", f"*{VERSION_MARK}")
+    )
+    for parent in parents:
+        base = os.path.basename(parent)[: -len(VERSION_MARK)]
+        dbdir = os.path.basename(os.path.dirname(parent))
+        table = f"{dbdir[:-3]}.{base}" if dbdir.endswith(".db") else base
+        try:
+            known = spark.catalog.tableExists(table)
+        except Exception:  # noqa: BLE001 — probe best-effort; don't reclaim
+            continue
+        if known:
+            sweep_table_versions(spark, table)
+            continue
+        # unknown to THIS catalog ≠ dead: a sibling process on the same
+        # warehouse (the subprocess server tests, or a second session)
+        # may own fresh version state — only AGED dirs (past the grace
+        # window, which no live publisher leaves unrefreshed) are safe
+        # to settle or reclaim. Found by test_server_main's subprocess
+        # settling the main suite's live table out from under it.
+        import time as _time
+
+        now = _time.time()
+        grace = _version_grace_s()
+
+        def _aged(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) > grace
+            except OSError:
+                return True
+
+        cur = _read_current(parent)
+        if cur and os.path.isdir(cur):
+            if not _aged(cur):
+                continue
+            plain = table_dir(spark, table)
+            shutil.rmtree(plain, ignore_errors=True)
+            os.rename(cur, plain)
+            shutil.rmtree(parent, ignore_errors=True)
+        elif all(
+            _aged(os.path.join(parent, d))
+            for d in os.listdir(parent)
+            if os.path.isdir(os.path.join(parent, d))
+        ):
+            shutil.rmtree(parent, ignore_errors=True)
+
+
+def clear_retired_location(spark, table: str) -> None:
+    """Before CREATE TABLE on a name the catalog does not know: if the
+    name has versioned leftovers, remove them AND the stale plain dir —
+    a DDL CREATE adopting a retired directory would silently resurrect
+    the old rows as the 'new' table's contents."""
+    parent = versions_parent(spark, table)
+    if os.path.isdir(parent):
+        shutil.rmtree(parent, ignore_errors=True)
+        shutil.rmtree(table_dir(spark, table), ignore_errors=True)
+
+
 def _table_fingerprint(spark, table: str):
     """Write-write conflict token: the sorted (relpath, size, mtime_ns)
     inventory of the table's data files. Every Spark write lays down
@@ -721,27 +912,37 @@ class TxnOverlay:
 
     # ------------------------------------------------------ commit / abort
 
-    def _publish_table(self, real: str, shadow: str) -> None:
-        """Publish a staged shadow over its base. When the base already
-        exists in the catalog, INSERT OVERWRITE keeps the catalog entry
-        alive throughout — mode('overwrite').saveAsTable drops and
-        recreates the table, so a concurrent reader mid-commit errored
-        TABLE_OR_VIEW_NOT_FOUND (found by the round-7 8-session soak).
-        The remaining window is file-level only (a reader that listed
-        the old data files can see them swapped underneath — the
-        documented needs-a-table-format gap); catalog-level visibility
-        is now continuous. Created / recreated tables have no concurrent
+    def _publish_table(self, real: str, shadow: str, vdir: str | None = None) -> None:
+        """Publish a staged shadow over its base. For an existing base,
+        the round-9 pointer swap: the shadow's files RENAME into the
+        journal-recorded version dir and the base re-points (ALTER TABLE
+        SET LOCATION) — metadata-only, catalog entry continuously
+        visible, and a reader that listed the old files keeps them until
+        the grace sweep (in-flight scans survive the commit). The vdir
+        is recorded in the journal BEFORE any rename so a crash
+        mid-commit can still roll FORWARD (the renamed-but-unpointed dir
+        is findable). Created / recreated tables have no concurrent
         readers by construction (the name was absent or dropped), so
-        saveAsTable is fine there."""
+        saveAsTable is fine there; INSERT OVERWRITE remains the fallback
+        when no vdir was planned."""
         spark = self.engine.spark
         try:
             exists = spark.catalog.tableExists(real)
         except Exception:  # noqa: BLE001 — fall back to the drop path
             exists = False
         if exists and real not in self.created:
-            spark.sql(
-                f"INSERT OVERWRITE TABLE {real} SELECT * FROM {shadow}"
-            )
+            if vdir is not None:
+                sdir = _table_location(spark, shadow)
+                os.makedirs(os.path.dirname(vdir), exist_ok=True)
+                os.rename(sdir, vdir)
+                spark.sql(f"ALTER TABLE {real} SET LOCATION '{vdir}'")
+                spark.catalog.refreshTable(real)
+                _write_current(os.path.dirname(vdir), vdir)
+                sweep_table_versions(spark, real)
+            else:
+                spark.sql(
+                    f"INSERT OVERWRITE TABLE {real} SELECT * FROM {shadow}"
+                )
         else:
             spark.table(shadow).write.mode("overwrite").saveAsTable(real)
 
@@ -802,6 +1003,27 @@ class TxnOverlay:
                 "views": [orig for _shadow, orig in self.pending_views.values()],
                 "constraints": self.pending_constraints,
             }
+            # version dirs PLANNED before the journal lands (round 9):
+            # the pointer-swap rename happens before SET LOCATION, so a
+            # crash in between leaves the new contents only in the
+            # version dir — recovery finds it via this record and still
+            # rolls the commit forward
+            import time as _time
+
+            drops = set(manifest["drop"])
+            versions: dict[str, str] = {}
+            for real in manifest["publish"]:
+                if real in self.created or real in drops:
+                    continue
+                try:
+                    if spark.catalog.tableExists(real):
+                        versions[real] = os.path.join(
+                            versions_parent(spark, real),
+                            f"v{_time.time_ns()}_{os.getpid()}",
+                        )
+                except Exception:  # noqa: BLE001 — fall back to overwrite
+                    pass
+            manifest["versions"] = versions
             jpath = self._journal_path()
             try:
                 with open(jpath, "w") as f:
@@ -836,7 +1058,7 @@ class TxnOverlay:
                     for real, shadow in list(self.staged.items()):
                         if real in self.pending_views:
                             continue
-                        self._publish_table(real, shadow)
+                        self._publish_table(real, shadow, versions.get(real))
                         if real in self.created:
                             found = self.pending_constraints.get(real)
                             if found:
@@ -929,7 +1151,14 @@ def recover_journal(engine: "Engine") -> int:
         for real, shadow in manifest.get("publish", {}).items():
             published = False
             try:
-                if spark.catalog.tableExists(shadow):
+                # the shadow entry must still OWN its files: a pointer
+                # swap that crashed after the rename leaves a fileless
+                # catalog entry, and overwrite-saveAsTable from it would
+                # drop the base then fail (round 9) — the versions branch
+                # below owns that case
+                if spark.catalog.tableExists(shadow) and os.path.isdir(
+                    _table_location(spark, shadow) or ""
+                ):
                     spark.table(shadow).write.mode("overwrite").saveAsTable(real)
                     spark.sql(f"DROP TABLE IF EXISTS {shadow}")
                     published = True
@@ -942,6 +1171,28 @@ def recover_journal(engine: "Engine") -> int:
                 # warehouse): file-level roll-forward
                 shutil.rmtree(rdir, ignore_errors=True)
                 shutil.copytree(sdir, rdir)
+                published = True
+            vdir = manifest.get("versions", {}).get(real)
+            if not published and vdir and os.path.isdir(vdir):
+                # round 9: the pointer-swap rename happened but the crash
+                # hit before (or after) SET LOCATION — the version dir
+                # holds the complete new contents; finish the swap
+                try:
+                    known = spark.catalog.tableExists(real)
+                except Exception:  # noqa: BLE001
+                    known = False
+                if known:
+                    cur = _table_location(spark, real)
+                    if cur is None or os.path.realpath(cur) != os.path.realpath(vdir):
+                        spark.sql(f"ALTER TABLE {real} SET LOCATION '{vdir}'")
+                        spark.catalog.refreshTable(real)
+                    _write_current(os.path.dirname(vdir), vdir)
+                else:
+                    # fresh session: settle straight into the plain home
+                    shutil.rmtree(rdir, ignore_errors=True)
+                    os.rename(vdir, rdir)
+                with contextlib.suppress(Exception):
+                    spark.sql(f"DROP TABLE IF EXISTS {shadow}")  # fileless entry
                 published = True
             if published:
                 shutil.rmtree(sdir, ignore_errors=True)

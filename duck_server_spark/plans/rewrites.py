@@ -1190,6 +1190,11 @@ _BODY_KW = re.compile(
     re.IGNORECASE,
 )
 _SETOP_KW = re.compile(r"\b(union|intersect|except)\b", re.IGNORECASE)
+_AS_FROM = re.compile(r"\bas\s+(?=from\b)", re.IGNORECASE)
+_INSERT_FROM = re.compile(
+    r"\binsert\s+into\s+[\w.`\"]+\s*(?:\([^()]*\)\s*)?(?:by\s+name\s+)?(?=from\b)",
+    re.IGNORECASE,
+)
 _TAIL_KW = re.compile(
     r"\b(where|group|having|qualify|window|order|limit|offset|union|intersect|except)\b",
     re.IGNORECASE,
@@ -1265,8 +1270,10 @@ def _rewrite_from_first_body(s: str, ms: str) -> str:
 
 def rewrite_from_first(q: str) -> str:
     masked = _mask_literals(q)
-    if _FROM_FIRST_GUARD.search(masked) is None and not re.match(
-        r"\s*with\b", masked, re.IGNORECASE
+    if (
+        _FROM_FIRST_GUARD.search(masked) is None
+        and re.search(r"\bas\s+from\b", masked, re.IGNORECASE) is None
+        and not re.match(r"\s*(with|insert)\b", masked, re.IGNORECASE)
     ):
         return q
     # parenthesized sub-bodies (derived tables, CTE bodies, set-op arms):
@@ -1282,6 +1289,17 @@ def rewrite_from_first(q: str) -> str:
         q = q[: m.start() + 1] + new + q[end - 1 :]
         masked = _mask_literals(q)
         pos = m.start() + 1  # the inner body may itself contain "( FROM"
+    # body positions introduced by a keyword (all pinned valid in
+    # DuckDB 1.x): CTAS / CREATE VIEW `AS FROM …` and
+    # `INSERT INTO t [(cols)] [BY NAME] FROM …` — the body runs to the
+    # end of the statement. `FROM` cannot be an unquoted alias or type,
+    # so `AS (?=FROM)` at depth 0 is unambiguous.
+    for kw_re in (_AS_FROM, _INSERT_FROM):
+        hits = _depth0_matches(kw_re, masked)
+        if hits:
+            p = hits[0].end()
+            q = q[:p] + _rewrite_from_first_body(q[p:], masked[p:])
+            masked = _mask_literals(q)
     # statement level, with an optional WITH clause in front
     i = len(q) - len(q.lstrip())
     if re.match(r"with\b", masked[i:], re.IGNORECASE):

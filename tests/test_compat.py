@@ -906,6 +906,45 @@ def test_from_first_pinned_vs_duckdb(spark, duck, sf_dir):
         "INSERT INTO t (from_col) VALUES (1)",
     ):
         assert rewrite_pg_query(keep) == keep
+    # DDL/DML body positions (pinned valid in DuckDB): CTAS/CREATE VIEW
+    # `AS FROM …` and `INSERT INTO t [BY NAME] FROM …` — lifecycle
+    # through the engine, results vs DuckDB
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ff_src", "ff_ct", "ff_ins"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    spark.sql("DROP VIEW IF EXISTS ff_v")
+    import duckdb as _dd
+
+    d2 = _dd.connect()
+    for stmt in (
+        "CREATE TABLE ff_src (a INT, b INT)",
+        "INSERT INTO ff_src VALUES (1, 2), (3, 4)",
+        "CREATE TABLE ff_ct AS FROM ff_src WHERE a = 1",
+        "CREATE VIEW ff_v AS FROM ff_src SELECT a + b AS s",
+        "CREATE TABLE ff_ins (a INT, b INT)",
+        "INSERT INTO ff_ins FROM ff_src",
+        "INSERT INTO ff_ins BY NAME FROM ff_src",
+    ):
+        eng.execute(stmt)
+        d2.execute(stmt)
+    for probe in (
+        "SELECT * FROM ff_ct",
+        "SELECT * FROM ff_v",
+        "SELECT * FROM ff_ins",
+    ):
+        got = sorted(tuple(r) for r in eng.query(probe).collect())
+        want = sorted(d2.execute(probe).fetchall())
+        assert got == want, (probe, got, want)
+    spark.sql("DROP VIEW IF EXISTS ff_v")
+    for t in ("ff_src", "ff_ct", "ff_ins"):
+        eng.execute(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
 
 def test_from_first_over_wire(pgc):
