@@ -78,6 +78,149 @@ def _fake_decode_stats(payload: bytes) -> tuple[float, float, float, float]:
     return (h[0] / 255.0, h[1] / 255.0, h[2] / 255.0, h[3] / 255.0)
 
 
+# ---------------------------------------------------------------------------
+# Real-codec seam (round 9, VERDICT r8 item 9): decode_stub="real" routes
+# the SAME mapInPandas pipelines through actual decoders. Images: Pillow
+# when importable, else a stdlib parser for uncompressed 24-bit BMP (the
+# byte layout is public knowledge: 14-byte file header, BITMAPINFOHEADER,
+# bottom-up BGR rows padded to 4 bytes) — so the REAL pixel path runs
+# end-to-end even in codec-less containers. Audio: the stdlib `wave`
+# module (PCM WAV needs no third-party codec). Video frame seeking still
+# requires ffmpeg and stays a loud NotImplementedError. The deterministic
+# stubs remain the oracle-gated default — "real" is opt-in per call.
+# ---------------------------------------------------------------------------
+
+
+def _decode_bmp24(payload: bytes):
+    """Uncompressed 24-bit BMP → float64 H×W×3 RGB array (stdlib-only)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].astype(np.float64)  # BGR → RGB
+
+
+def _real_image_stats(payload: bytes):
+    """Real pixel decode → (mean_r, mean_g, mean_b, sharpness, w, h).
+    Sharpness proxy: variance of first differences of the grayscale
+    plane (a gradient-energy measure — blurred images score lower)."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+
+        a = np.asarray(
+            Image.open(io.BytesIO(bytes(payload))).convert("RGB"), dtype=np.float64
+        )
+    except ImportError:
+        a = _decode_bmp24(bytes(payload))
+    a = a / 255.0
+    gray = a.mean(axis=2)
+    sharp = 0.0
+    if gray.shape[0] > 1:
+        sharp += float(np.var(np.diff(gray, axis=0)))
+    if gray.shape[1] > 1:
+        sharp += float(np.var(np.diff(gray, axis=1)))
+    return (
+        float(a[..., 0].mean()),
+        float(a[..., 1].mean()),
+        float(a[..., 2].mean()),
+        sharp,
+        a.shape[1],
+        a.shape[0],
+    )
+
+
+def _encode_bmp24(arr) -> bytes:
+    """uint8 H×W×3 RGB array → uncompressed 24-bit BMP bytes (the
+    inverse of _decode_bmp24; used by the real resize re-encode)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def _real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real decode→resize→re-encode. Pillow when importable (LANCZOS,
+    PNG out); else BMP in → nearest-neighbor numpy sampling → BMP out."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
+    except ImportError:
+        a = _decode_bmp24(bytes(payload))
+        h, w = a.shape[:2]
+        yi = np.minimum((np.arange(height) * h) // height, h - 1)
+        xi = np.minimum((np.arange(width) * w) // width, w - 1)
+        return _encode_bmp24(a[yi][:, xi].astype(np.uint8))
+
+
+def _real_audio_features(payload: bytes):
+    """Real PCM WAV decode via the stdlib wave module →
+    (rms, zero_crossing_rate, sample_rate). Channels average to mono;
+    samples normalize to [-1, 1] by bit width."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    a = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        a = a - 128.0  # 8-bit WAV is unsigned
+    if ch > 1:
+        a = a.reshape(-1, ch).mean(axis=1)
+    a = a / float(2 ** (8 * width - 1))
+    rms = float(np.sqrt(np.mean(a * a))) if a.size else 0.0
+    zcr = (
+        float(np.mean(np.signbit(a[1:]) != np.signbit(a[:-1])))
+        if a.size > 1
+        else 0.0
+    )
+    return rms, zcr, sr
+
+
 def decode_images(df: DataFrame, decode_stub: str = "deterministic") -> DataFrame:
     """Decode image payloads → per-image channel statistics.
 
@@ -91,6 +234,25 @@ def decode_images(df: DataFrame, decode_stub: str = "deterministic") -> DataFram
                     "real image decode requires Pillow; install and replace "
                     "_fake_decode_stats with PIL.Image.open(io.BytesIO(payload))"
                 )
+            if decode_stub == "real":
+                # real-codec seam (round 9): actual pixel decode —
+                # Pillow, or the stdlib BMP parser in codec-less
+                # containers; width/height come from the DECODED image,
+                # not the metadata claim
+                rs = [_real_image_stats(p) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "width": [r[4] for r in rs],
+                        "height": [r[5] for r in rs],
+                        "mean_r": [r[0] for r in rs],
+                        "mean_g": [r[1] for r in rs],
+                        "mean_b": [r[2] for r in rs],
+                        "sharpness": [r[3] for r in rs],
+                    }
+                )
+                continue
             stats = [_fake_decode_stats(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
@@ -124,9 +286,18 @@ def resize_images(df: DataFrame, width: int, height: int, decode_stub: str = "de
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError("real resize requires Pillow")
-            out_payload = [
-                hashlib.sha256(p + f"{width}x{height}".encode()).digest() for p in pdf["payload"]
-            ]
+            if decode_stub == "real":
+                # real resize: Pillow when importable, else decode the
+                # BMP and nearest-neighbor sample with numpy indexing,
+                # re-encoding BMP — a true decode→resize→encode pass
+                out_payload = [
+                    _real_resize(p, width, height) for p in pdf["payload"]
+                ]
+            else:
+                out_payload = [
+                    hashlib.sha256(p + f"{width}x{height}".encode()).digest()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -176,6 +347,19 @@ def audio_features(df: DataFrame, decode_stub: str = "deterministic") -> DataFra
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError("real audio decode requires soundfile")
+            if decode_stub == "real":
+                # real PCM WAV decode via the stdlib wave module —
+                # sample_rate comes from the DECODED container
+                rs = [_real_audio_features(p) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "sample_rate": [r[2] for r in rs],
+                        "rms": [r[0] for r in rs],
+                        "zero_crossing_rate": [r[1] for r in rs],
+                    }
+                )
+                continue
             stats = [_fake_decode_stats(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
