@@ -120,6 +120,8 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "table_constraints",
         "key_column_usage",
         "pg_settings",
+        "duckdb_tables",
+        "duckdb_columns",
     )
 )
 _INTERNAL_TABLE_MARKS = ("__txn_", "__cow_staging_", "__ins_staging_", "__alter_staging_")
@@ -165,7 +167,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_columns)\b",
     re.IGNORECASE,
 )
 
@@ -457,6 +459,10 @@ class Engine:
         tabs, cols = [], []
         ns_rows = [Row(oid=_oid(d.name), nspname=d.name) for d in databases]
         cls_rows, att_rows = [], []
+        # DuckDB's own introspection TVFs (round 9): duckdb_tables /
+        # duckdb_columns as snapshot views from the SAME sweep — IDEs and
+        # scripts written for the reference query them directly
+        dt_rows, dc_rows = [], []
         # ONE catalog sweep builds system.* AND the pg_catalog triple
         # (review finding: two identical walks doubled DDL latency).
         # Schemas come from one QUALIFIED analysis per table (review
@@ -480,6 +486,32 @@ class Engine:
                     )
                 if internal:
                     continue
+                dt_rows.append(
+                    Row(
+                        database_name=d.name,
+                        schema_name="main",
+                        table_name=t.name,
+                        temporary=bool(t.isTemporary),
+                    )
+                )
+                nn_dc = {
+                    c
+                    for cc in self.constraints.get(t.name)
+                    if cc["kind"] in ("notnull", "primary")
+                    for c in cc["cols"]
+                } if d.name == current_db else set()
+                for i, f in enumerate(fields, start=1):
+                    dc_rows.append(
+                        Row(
+                            database_name=d.name,
+                            schema_name="main",
+                            table_name=t.name,
+                            column_name=f.name,
+                            column_index=i,
+                            data_type=_duckdb_type_name(f.dataType),
+                            is_nullable=f.nullable and f.name not in nn_dc,
+                        )
+                    )
                 rel_oid = _oid(f"{d.name}.{t.name}")
                 relkind = "r" if (t.tableType or "").upper() == "MANAGED" else "v"
                 cls_rows.append(
@@ -521,6 +553,17 @@ class Engine:
             "attrelid int, attname string, atttypid int, attnum int, "
             "attnotnull boolean, attisdropped boolean",
         ).createOrReplaceTempView("pg_attribute")
+        spark.createDataFrame(
+            dt_rows or [],
+            "database_name string, schema_name string, table_name string, "
+            "temporary boolean",
+        ).createOrReplaceTempView("duckdb_tables")
+        spark.createDataFrame(
+            dc_rows or [],
+            "database_name string, schema_name string, table_name string, "
+            "column_name string, column_index int, data_type string, "
+            "is_nullable boolean",
+        ).createOrReplaceTempView("duckdb_columns")
         # information_schema constraint views (round 7): JDBC metadata's
         # getPrimaryKeys/getImportedKeys read these; names match the
         # runtime-generated constraint names used in error messages
@@ -736,6 +779,32 @@ class Engine:
             df = run_pragma(self, q)
             if df is not None:
                 return df
+        m = re.match(
+            r"^\s*call\s+pragma_(\w+)\s*\(\s*(.*?)\s*\)\s*;?\s*$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # DuckDB's CALL spelling of the pragma functions
+            # (CALL pragma_table_info('t') ≡ PRAGMA table_info('t'))
+            from duck_server_spark.engine.pragma import run_pragma
+
+            inner = (
+                f"PRAGMA {m.group(1)}({m.group(2)})"
+                if m.group(2)
+                else f"PRAGMA {m.group(1)}"
+            )
+            df = run_pragma(self, inner)
+            if df is not None:
+                return df
+        if re.match(r"^\s*(force\s+)?checkpoint\s*;?\s*$", q, re.IGNORECASE):
+            # DuckDB's CHECKPOINT flushes its WAL; a parquet warehouse
+            # has none — ack with DuckDB's empty Success shape
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("Success", T.BooleanType())])
+            )
         m = _SHOW_ONE.match(q)
         if m and m.group(1).lower() not in _SHOW_NATIVE_VERBS:
             name = m.group(1)
@@ -1201,6 +1270,10 @@ class Engine:
             return "CREATE USER"  # pg_conn.go:291 tag
         if _DISCARD_ALL.match(q):
             return "DISCARD ALL"
+        if re.match(r"^\s*(force\s+)?checkpoint\s*;?\s*$", q, re.IGNORECASE):
+            # DuckDB WAL flush — honest no-op on a parquet warehouse
+            # (same contract as VACUUM); CH generic-exec path lands here
+            return "CHECKPOINT"
         m = re.match(
             r"^\s*vacuum(?:\s+analyze)?(?:\s+([\w.]+))?\s*;?\s*$", q, re.IGNORECASE
         )

@@ -1330,9 +1330,51 @@ def rewrite_from_first(q: str) -> str:
     return q
 
 
+# DuckDB's introspection TVFs are served as snapshot views here, so the
+# paren-call spelling drops its parens (round 9; the bare spelling
+# `FROM duckdb_tables` is valid DuckDB too)
+_DUCKDB_TVF_VIEWS = re.compile(
+    r"\b(duckdb_tables|duckdb_columns)\s*\(\s*\)", re.IGNORECASE
+)
+
+# PG's current_setting('name') → the engine's GUC value as a text
+# literal at bind time (round 9). The wire layer substitutes
+# session-overlay names FIRST (per-connection SET values); what reaches
+# here resolves against the shared defaults table, and an unknown name
+# raises PG's exact 42704 — never a Spark unknown-function error.
+_CURRENT_SETTING = re.compile(
+    r"\bcurrent_setting\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_current_setting(q: str) -> str:
+    if not _CURRENT_SETTING.search(q):
+        return q
+    from duck_server_spark.engine.errors import PgError
+    from duck_server_spark.engine.gucs import ALL_GUCS, sql_str
+
+    masked = _mask_literals(q)
+    out, pos = [], 0
+    for m in _CURRENT_SETTING.finditer(q):
+        if not masked[m.start() :].lower().startswith("current_setting"):
+            continue  # the whole call text sits inside a string literal
+        name = m.group(1).lower()
+        if name not in ALL_GUCS:
+            raise PgError(
+                "42704", f'unrecognized configuration parameter "{name}"'
+            )
+        out.append(q[pos : m.start()])
+        out.append(f"'{sql_str(ALL_GUCS[name][0])}'")
+        pos = m.end()
+    out.append(q[pos:])
+    return "".join(out)
+
+
 def rewrite_common(q: str) -> str:
     """Dialect-gap rewrites applied on every path."""
     q = rewrite_from_first(q)  # FROM-first → standard SELECT (round 9)
+    q = _sub_outside_literals(q, lambda s: _DUCKDB_TVF_VIEWS.sub(r"\1", s))
+    q = _rewrite_current_setting(q)
     # x::type → CAST-free Spark double-colon is actually supported in
     # Spark 3.4+ (`expr::type`), but duck-specific type NAMES are not.
     def _cast_type(m: re.Match) -> str:

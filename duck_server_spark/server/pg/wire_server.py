@@ -591,6 +591,7 @@ class PgConnection:
         if tag is not None:
             self.send_command_complete(tag)
             return
+        q = self._substitute_session_settings(q)
         m = _DEALLOCATE.match(q)
         if m:
             name = m.group(1).strip('"')
@@ -1053,6 +1054,23 @@ class PgConnection:
             schema = await loop.run_in_executor(None, lambda: self.engine.query(q, "pg").schema)
             self.send_row_description(schema, portal.result_formats)
 
+    def _substitute_session_settings(self, q: str) -> str:
+        """PG's current_setting('name') for names THIS connection SET:
+        substituted here (the engine only knows the shared defaults
+        table — the session overlay lives per-connection). Names not in
+        the overlay fall through to the engine's rewrite, which answers
+        from defaults or raises PG's 42704 (round 9)."""
+        if not self.session_gucs or "current_setting" not in q.lower():
+            return q
+        from duck_server_spark.engine.gucs import sql_str
+        from duck_server_spark.plans.rewrites import _CURRENT_SETTING
+
+        def repl(m: re.Match) -> str:
+            val = self.session_gucs.get(m.group(1).lower())
+            return m.group(0) if val is None else f"'{sql_str(val)}'"
+
+        return _CURRENT_SETTING.sub(repl, q)
+
     async def _intercept_set_reset(self, q: str) -> str | None:
         """Session GUC SET/RESET, shared by BOTH protocols (asyncpg
         drives SET through Parse/Bind/Execute, psycopg2 through simple
@@ -1124,6 +1142,7 @@ class PgConnection:
         if tag is not None:
             self.send_command_complete(tag)
             return
+        q = self._substitute_session_settings(q)
         if self.txn is not None:
             loop = asyncio.get_running_loop()
             tag = await loop.run_in_executor(None, self.txn.intercept_ddl, q)

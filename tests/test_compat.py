@@ -1032,6 +1032,67 @@ def test_pragma_family_pinned_vs_duckdb(pgc, spark):
     c.terminate()
 
 
+def test_duckdb_introspection_tail(pgc, spark):
+    """Round-9 tail: duckdb_tables()/duckdb_columns() snapshot views
+    (paren and bare spellings), CALL pragma_* spelling, CHECKPOINT ack
+    in DuckDB's empty-Success shape, and current_setting() — session
+    overlay first, engine defaults second, PG's 42704 for unknowns.
+    duckdb_columns rows pinned vs live DuckDB."""
+    import shutil
+
+    import duckdb
+
+    c = PgClient(*pgc)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    c.simple_query("DROP TABLE IF EXISTS di_t")
+    shutil.rmtree(f"{wh}/di_t", ignore_errors=True)
+    ddl = "CREATE TABLE di_t (a INT PRIMARY KEY, b STRING)"
+    c.simple_query(ddl)
+    duck = duckdb.connect()
+    duck.execute(ddl.replace("STRING", "VARCHAR"))
+    # duckdb_tables: both spellings, one snapshot row for our table
+    for spelling in ("duckdb_tables()", "duckdb_tables"):
+        _, rows, _ = c.simple_query(
+            f"SELECT table_name, schema_name, temporary FROM {spelling} "
+            "WHERE table_name = 'di_t'"
+        )
+        assert rows == [("di_t", "main", "f")]
+    # duckdb_columns pinned vs live DuckDB (bools → 't'/'f' on the wire)
+    probe = (
+        "SELECT column_name, column_index, data_type, is_nullable "
+        "FROM duckdb_columns() WHERE table_name = 'di_t' ORDER BY column_index"
+    )
+    _, rows, _ = c.simple_query(probe)
+    want = [
+        tuple("t" if v is True else "f" if v is False else str(v) for v in r)
+        for r in duck.execute(probe).fetchall()
+    ]
+    assert rows == want, (rows, want)
+    # CALL spelling of the pragma functions
+    _, call_rows, _ = c.simple_query("CALL pragma_table_info('di_t')")
+    _, prag_rows, _ = c.simple_query("PRAGMA table_info('di_t')")
+    assert call_rows == prag_rows and len(call_rows) == 2
+    _, vrows, _ = c.simple_query("CALL pragma_version()")
+    assert vrows == [("v1.0.0", "duck_server_spark")]
+    # CHECKPOINT: DuckDB's empty one-column Success result
+    cols, rows, _ = c.simple_query("CHECKPOINT")
+    assert [n for n, _ in cols] == ["Success"] and rows == []
+    cols, rows, _ = c.simple_query("FORCE CHECKPOINT")
+    assert rows == []
+    # current_setting: session overlay wins, defaults next, 42704 last
+    c.simple_query("SET application_name = 'cs_app'")
+    _, rows, _ = c.simple_query("SELECT current_setting('application_name') AS v")
+    assert rows == [("cs_app",)]
+    _, rows, _ = c.simple_query("SELECT current_setting('server_version') AS v")
+    assert rows and rows[0][0]  # the advertised compat version string
+    with pytest.raises(RuntimeError) as ei:
+        c.simple_query("SELECT current_setting('nosuch_setting') AS v")
+    assert "42704" in str(ei.value)
+    c.simple_query("DROP TABLE di_t")
+    shutil.rmtree(f"{wh}/di_t", ignore_errors=True)
+    c.terminate()
+
+
 # ---------------------------------------------------------------------------
 # USING SAMPLE / TABLESAMPLE shims (round 7)
 # ---------------------------------------------------------------------------
