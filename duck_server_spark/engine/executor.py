@@ -676,8 +676,19 @@ class Engine:
             return
         from duck_server_spark.engine.errors import PgError
 
+        # DROP VIEW / CREATE OR REPLACE VIEW of the macro-view itself
+        # must never be blocked by its broken dependency — DuckDB drops/
+        # replaces such views fine; only QUERYING them errors (review
+        # finding: the registry was otherwise poisoned with no SQL-level
+        # escape short of recreating the macro)
+        skip = None
+        hm = self._DROP_VIEW_HEAD.match(q) or self._CREATE_VIEW_HEAD.match(q)
+        if hm is not None:
+            skip = hm.group("name").strip('`"').split(".")[-1].lower()
         cur_macros = self.macros.names()
         for vname, rec in mv.items():
+            if vname == skip:
+                continue
             if not re.search(rf"\b{re.escape(vname)}\b", q, re.IGNORECASE):
                 continue
             changed = False
@@ -1130,7 +1141,13 @@ class Engine:
         rest = rewrite_from_first(rest)
         masked = _mask_literals(rest)
         ret = ""
-        for rm in re.finditer(r"\breturning\b", masked, re.IGNORECASE):
+        # split BOTH top-level tails off the SELECT source before the
+        # schema probe: RETURNING and ON CONFLICT … (review finding —
+        # feeding the upsert tail to the analyzer crashed the valid
+        # DuckDB shape `… BY NAME SELECT … ON CONFLICT DO NOTHING`)
+        for rm in re.finditer(
+            r"\breturning\b|\bon\s+conflict\b", masked, re.IGNORECASE
+        ):
             pre = masked[: rm.start()]
             if pre.count("(") == pre.count(")"):  # top-level tail
                 rest, ret = rest[: rm.start()].rstrip(), " " + rest[rm.start() :]
@@ -1169,10 +1186,13 @@ class Engine:
         UPDATE … FROM / DELETE … USING) raise 0A000 loudly."""
         from duck_server_spark.engine.errors import PgError
 
-        q = self._expand_insert_by_name(q, dialect)
+        # cheap RETURNING probe FIRST: without it this path returns None
+        # and execute() runs — expanding BY NAME here too would analyze
+        # the source twice per statement (review finding)
         split = rewrites.split_returning(q)
         if split is None:
             return None
+        q = self._expand_insert_by_name(q, dialect)
         # resolve sequence calls only once it's certain this path RUNS
         # the statement (resolving then falling back to execute() would
         # burn values twice); Describe goes through describe_returning,

@@ -431,11 +431,15 @@ def _table_location(spark, table: str) -> str | None:
 # table format's commit protocol does it (Delta/Iceberg: write new
 # files, swap a pointer, vacuum later).
 #
-# Durability home: the PLAIN table directory remains the cross-process
-# home — a CURRENT pointer file in the versions parent records the live
-# version, and Engine bootstrap "settles" it back into the plain
-# directory when the catalog does not know the table (fresh session over
-# an old warehouse; no readers can exist at bootstrap). Crash windows:
+# Durability: a CURRENT pointer file in the versions parent records the
+# live version. Journaled multi-table commits roll forward through the
+# manifest's recorded version dirs (recover_journal); version leftovers
+# of DROPPED tables are reclaimed at bootstrap, and a re-CREATE of a
+# name with versioned history clears its leftovers first
+# (clear_retired_location). Bootstrap never relocates a parent whose
+# CURRENT target exists — it may belong to a live sibling process on
+# the same warehouse, and no age heuristic can tell the difference.
+# Crash windows:
 # before the rename → staged dir is janitor-swept, base untouched; after
 # the rename but before SET LOCATION → version dir is swept as
 # non-current, base untouched; after SET LOCATION → published.
@@ -478,6 +482,17 @@ def _read_current(parent: str) -> str | None:
         return None
 
 
+def _mark_retired(path: str | None) -> None:
+    """Stamp a directory's RETIREMENT time. The grace window must count
+    from when a publish superseded the directory, not from its last
+    write (review finding: an old table's just-retired dir would
+    otherwise be reclaimed IMMEDIATELY at publish, re-opening the
+    in-flight-reader race this whole mechanism closes)."""
+    if path and os.path.isdir(path):
+        with contextlib.suppress(OSError):
+            os.utime(path, None)
+
+
 def publish_pointer_swap(spark, table: str, staged: str) -> None:
     """Publish staged table `staged` over `table` by pointer swap: move
     the staged files to a fresh version dir, SET LOCATION, drop the
@@ -491,10 +506,12 @@ def publish_pointer_swap(spark, table: str, staged: str) -> None:
     sdir = _table_location(spark, staged)
     if sdir is None or not os.path.isdir(sdir):
         raise PgError("58P01", f"staged table {staged} has no data directory")
+    retired = _table_location(spark, table)
     os.rename(sdir, vdir)
     spark.sql(f"ALTER TABLE {table} SET LOCATION '{vdir}'")
     spark.catalog.refreshTable(table)
     _write_current(parent, vdir)
+    _mark_retired(retired)  # grace counts from NOW, not last write
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
     sweep_table_versions(spark, table)
 
@@ -537,13 +554,12 @@ def sweep_table_versions(spark, table: str, grace_s: float | None = None) -> lis
 
 
 def settle_versions(engine: "Engine") -> None:
-    """Engine-bootstrap reconciliation of version directories. For each
-    `*__cow_versions` parent: a table the catalog knows gets a normal
-    aged sweep; a table the catalog does NOT know is either settled
-    (fresh session over an old warehouse — rename the CURRENT version
-    back into the plain directory, the durable cross-process home; no
-    readers exist at bootstrap) or, when the CURRENT target is gone
-    (the table was dropped), fully reclaimed."""
+    """Engine-bootstrap reconciliation of version directories. A table
+    the catalog knows gets a normal aged sweep; a parent whose table
+    this catalog does NOT know is reclaimed ONLY when clearly dead
+    (CURRENT target gone — the table was dropped — and everything aged);
+    anything else may belong to a live sibling process on the same
+    warehouse and is left strictly alone."""
     import glob as _glob
 
     spark = engine.spark
@@ -564,10 +580,18 @@ def settle_versions(engine: "Engine") -> None:
             continue
         # unknown to THIS catalog ≠ dead: a sibling process on the same
         # warehouse (the subprocess server tests, or a second session)
-        # may own fresh version state — only AGED dirs (past the grace
-        # window, which no live publisher leaves unrefreshed) are safe
-        # to settle or reclaim. Found by test_server_main's subprocess
-        # settling the main suite's live table out from under it.
+        # may own this version state, and NO age heuristic can tell a
+        # crashed table from a live sibling's table that simply hasn't
+        # published lately (found twice: the subprocess first settled a
+        # FRESH live table, then — with an aged-guard — an old one once
+        # the suite ran past the grace window). A parent whose CURRENT
+        # target still exists is therefore NEVER touched here; only
+        # clearly-dead leftovers (CURRENT target gone = the table was
+        # dropped, Spark deleted its current dir) are reclaimed once
+        # aged. Live processes reclaim their own superseded dirs at
+        # publish time (sweep_table_versions); a fresh session that
+        # re-CREATEs the name clears leftovers via
+        # clear_retired_location.
         import time as _time
 
         now = _time.time()
@@ -581,13 +605,8 @@ def settle_versions(engine: "Engine") -> None:
 
         cur = _read_current(parent)
         if cur and os.path.isdir(cur):
-            if not _aged(cur):
-                continue
-            plain = table_dir(spark, table)
-            shutil.rmtree(plain, ignore_errors=True)
-            os.rename(cur, plain)
-            shutil.rmtree(parent, ignore_errors=True)
-        elif all(
+            continue
+        if all(
             _aged(os.path.join(parent, d))
             for d in os.listdir(parent)
             if os.path.isdir(os.path.join(parent, d))
@@ -933,11 +952,13 @@ class TxnOverlay:
         if exists and real not in self.created:
             if vdir is not None:
                 sdir = _table_location(spark, shadow)
+                retired = _table_location(spark, real)
                 os.makedirs(os.path.dirname(vdir), exist_ok=True)
                 os.rename(sdir, vdir)
                 spark.sql(f"ALTER TABLE {real} SET LOCATION '{vdir}'")
                 spark.catalog.refreshTable(real)
                 _write_current(os.path.dirname(vdir), vdir)
+                _mark_retired(retired)  # grace from retirement, not last write
                 sweep_table_versions(spark, real)
             else:
                 spark.sql(
@@ -1052,6 +1073,11 @@ class TxnOverlay:
                     for name, kind in manifest["drop"].items():
                         if kind == "view":
                             spark.sql(f"DROP VIEW IF EXISTS {name}")
+                            # macro-view dependency record dies with the
+                            # view (review finding: a stale entry let a
+                            # later macro change resurrect the dropped
+                            # view via the re-bake)
+                            self.engine.macro_views.drop(name.split(".")[-1])
                         else:
                             spark.sql(f"DROP TABLE IF EXISTS {name}")
                             self.engine.constraints.drop(name)
@@ -1070,6 +1096,10 @@ class TxnOverlay:
                         spark.sql(
                             self.engine._prepare_sql(original, "pg")
                         ).collect()
+                        # transactional CREATE VIEW joins the macro-view
+                        # bookkeeping like the autocommit path (review
+                        # finding: bind-at-use was silently absent here)
+                        self.engine._register_macro_view(original)
                 ok = True
             finally:
                 if ok:
@@ -1147,6 +1177,7 @@ def recover_journal(engine: "Engine") -> int:
                 shutil.rmtree(table_dir(spark, name), ignore_errors=True)
             else:
                 spark.sql(f"DROP VIEW IF EXISTS {name}")
+                engine.macro_views.drop(name.split(".")[-1])
         all_published = True
         for real, shadow in manifest.get("publish", {}).items():
             published = False
@@ -1211,6 +1242,7 @@ def recover_journal(engine: "Engine") -> int:
         for original in manifest.get("views", []):
             try:
                 spark.sql(engine._prepare_sql(original, "pg")).collect()
+                engine._register_macro_view(original)
             except Exception:  # noqa: BLE001 — view replay best-effort
                 pass
         if all_published:

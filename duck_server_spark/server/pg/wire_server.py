@@ -769,14 +769,19 @@ class PgConnection:
         exactly this query — run_in_executor pool threads would lose the
         thread-local group), the event loop only drains a queue."""
         loop = asyncio.get_running_loop()
+        # the timer must be disarmed on EVERY exit — including an
+        # analysis error raised by stream_batches before any row flows
+        # (review finding: a leaked armed timer re-fires forever and
+        # cancels the connection's shared job group under later queries)
         timer = _StatementTimer(self, self.job_group)
-        schema, stream = await loop.run_in_executor(
-            None, lambda: self.engine.stream_batches(q, "pg", self.job_group)
-        )
-        if send_row_desc:
-            self.send_row_description(schema)
+        stream = None
         n = 0
         try:
+            schema, stream = await loop.run_in_executor(
+                None, lambda: self.engine.stream_batches(q, "pg", self.job_group)
+            )
+            if send_row_desc:
+                self.send_row_description(schema)
             while True:
                 batch = await loop.run_in_executor(None, stream.next_batch)
                 if batch is None:
@@ -786,8 +791,7 @@ class PgConnection:
                     n += 1
                 await self.writer.drain()
         except (ConnectionResetError, BrokenPipeError, asyncio.CancelledError):
-            stream.close()  # client went away mid-stream → cancel the job
-            raise
+            raise  # client went away — finally closes the stream/job
         except Exception:
             if timer.fired:  # enforced statement_timeout (ADVICE r8)
                 raise PgError(
@@ -796,7 +800,8 @@ class PgConnection:
             raise
         finally:
             timer.disarm()
-            stream.close()
+            if stream is not None:
+                stream.close()
         self.send_command_complete(f"({n} row)")  # pg_conn.go:271 literal tag
 
     # ------------------------------------------------------ COPY FROM STDIN

@@ -240,6 +240,24 @@ def test_insert_by_name_pinned_vs_duckdb(engine, spark):
         "INSERT INTO byn_t BY NAME SELECT 4 AS a RETURNING id, a, b"
     ).fetchall()
     assert [tuple(r) for r in ret.collect()] == dret
+    # BY NAME composes with an ON CONFLICT tail on a KEYED table
+    # (review finding: the upsert tail must be split off before the
+    # source schema probe, not fed to the analyzer)
+    engine.execute("DROP TABLE IF EXISTS byn_k")
+    shutil.rmtree(f"{wh}/byn_k", ignore_errors=True)
+    for stmt in (
+        "CREATE TABLE byn_k (id INT PRIMARY KEY, a INT)",
+        "INSERT INTO byn_k BY NAME SELECT 100 AS id, 1 AS a",
+        "INSERT INTO byn_k BY NAME SELECT 100 AS id, 2 AS a "
+        "ON CONFLICT (id) DO NOTHING",
+    ):
+        engine.execute(stmt)
+        duck.execute(stmt)
+    got = sorted(tuple(r) for r in spark.table("byn_k").collect())
+    want = sorted(duck.execute("SELECT * FROM byn_k").fetchall())
+    assert got == want == [(100, 1)], (got, want)
+    engine.execute("DROP TABLE IF EXISTS byn_k")
+    shutil.rmtree(f"{wh}/byn_k", ignore_errors=True)
     # only a SELECT source is legal (pinned binder error)
     with pytest.raises(PgError) as ei:
         engine.execute("INSERT INTO byn_t BY NAME VALUES (1, 2)")

@@ -268,6 +268,17 @@ def test_macro_bind_time_in_views_pinned_vs_duckdb(eng, spark):
         assert ei.value.pgcode == "42883" and "Table Function" in str(ei.value)
         with pytest.raises(Exception):
             duck.execute(probe2)
+        # a BROKEN macro-view stays droppable/replaceable (review
+        # finding: the dependency check must not block the escape
+        # hatches — DuckDB drops/replaces such views fine, only
+        # QUERYING them errors)
+        eng.execute("DROP MACRO bindm")
+        duck.execute("DROP MACRO bindm")
+        eng.execute("CREATE OR REPLACE VIEW bindv AS SELECT 6 AS a")
+        duck.execute("CREATE OR REPLACE VIEW bindv AS SELECT 6 AS a")
+        assert _one(eng, "SELECT * FROM bindv") == duck.execute(
+            "SELECT * FROM bindv"
+        ).fetchone()[0] == 6
         # DROP VIEW clears the record: recreating WITHOUT macros works
         # even while the macro is gone
         eng.execute("DROP VIEW bindv")
@@ -288,3 +299,38 @@ def test_macro_bind_time_in_views_pinned_vs_duckdb(eng, spark):
                 duck.execute(stmt)
             except Exception:  # noqa: BLE001
                 pass
+
+
+def test_macro_view_bookkeeping_through_transactions(eng, spark):
+    """Review finding: transactional CREATE/DROP VIEW must join the
+    macro-view registry exactly like the autocommit path — a committed
+    view over a macro binds at use, and a committed DROP kills the
+    record so later macro changes cannot resurrect the view."""
+    from duck_server_spark.engine.transactions import TxnOverlay
+
+    spark.sql("DROP VIEW IF EXISTS txv")
+    eng.macros.drop("txm", if_exists=True)
+    eng.execute("CREATE MACRO txm(x) AS x * 3")
+    try:
+        txn = TxnOverlay(eng, 777001)
+        assert txn.intercept_ddl("CREATE VIEW txv AS SELECT txm(2) AS a") is not None
+        txn.commit()
+        assert _one(eng, "SELECT * FROM txv") == 6
+        eng.execute("DROP MACRO txm")
+        with pytest.raises(PgError) as ei:
+            eng.query("SELECT * FROM txv").collect()
+        assert ei.value.pgcode == "42883"
+        eng.execute("CREATE MACRO txm(x) AS x + 100")
+        assert _one(eng, "SELECT * FROM txv") == 102  # re-bound at use
+        # committed DROP VIEW kills the dependency record
+        txn2 = TxnOverlay(eng, 777002)
+        assert txn2.intercept_ddl("DROP VIEW txv") is not None
+        txn2.commit()
+        eng.execute("CREATE OR REPLACE MACRO txm(x) AS x + 1")
+        # a statement merely NAMING the dead view must not re-bake it
+        eng.query("SELECT 'txv' AS s").collect()
+        assert not any(t.name == "txv" for t in spark.catalog.listTables())
+    finally:
+        spark.sql("DROP VIEW IF EXISTS txv")
+        eng.macros.drop("txm", if_exists=True)
+        eng.macro_views.drop("txv")

@@ -1055,3 +1055,23 @@ def test_macros_over_the_wire(pg):
     _, _, tag = c.simple_query("DROP MACRO wire_m")
     assert tag == "DROP MACRO"
     c.terminate()
+
+
+def test_statement_timeout_timer_never_leaks(pg):
+    """Review finding: an analysis error raised BEFORE any row flows
+    must still disarm the statement timer — a leaked armed timer
+    re-fires forever and cancels the connection's shared job group
+    under every later query."""
+    addr, _engine = pg
+    c = PgClient(*addr)
+    c.simple_query("SET statement_timeout = '150ms'")
+    with pytest.raises(RuntimeError):
+        c.simple_query("SELECT * FROM missing_tbl_for_timer_leak")
+    time.sleep(0.8)  # a leaked timer would have fired and begun re-firing
+    c.simple_query("SET statement_timeout = 0")
+    for _ in range(3):
+        _, rows, _ = c.simple_query(
+            "SELECT sum(id) AS s FROM range(2000000)"
+        )
+        assert rows == [(str(sum(range(2000000))),)]
+    c.terminate()

@@ -1369,19 +1369,55 @@ def test_version_reclamation_and_create_guard(pgt, spark):
     engine.execute("CREATE TABLE vr_t (id BIGINT, v DOUBLE)")
     assert spark.table("vr_t").count() == 0  # no resurrected rows
     engine.execute("DROP TABLE vr_t")
-    # settle: a catalog-lost table's AGED CURRENT version returns to the
-    # plain home at bootstrap (fresh session over an old warehouse) —
-    # but FRESH version state is left alone: unknown-to-this-catalog may
-    # mean a live sibling process owns it (the subprocess-server case)
+    # bootstrap settle: a parent whose CURRENT target EXISTS is never
+    # touched — regardless of age, it may belong to a live sibling
+    # process on the same warehouse (the subprocess-server case, found
+    # twice: fresh AND aged live tables were both pulled out from under
+    # the owning process by earlier settle heuristics). Only clearly
+    # dead leftovers — CURRENT target gone (the table was dropped) and
+    # everything aged — are reclaimed.
     os.makedirs(f"{parent}", exist_ok=True)
-    spark.range(0, 5).write.mode("overwrite").parquet(f"{parent}/v999_settle")
+    spark.range(0, 5).write.mode("overwrite").parquet(f"{parent}/v999_live")
     with open(f"{parent}/CURRENT", "w") as f:
-        f.write("v999_settle")
+        f.write("v999_live")
     settle_versions(engine)
-    assert os.path.isdir(f"{parent}/v999_settle")  # fresh → untouched
+    assert os.path.isdir(f"{parent}/v999_live")  # fresh live → untouched
     old = time.time() - 3600
-    os.utime(f"{parent}/v999_settle", (old, old))
+    os.utime(f"{parent}/v999_live", (old, old))
     settle_versions(engine)
-    assert not os.path.isdir(parent)
-    assert spark.read.parquet(plain).count() == 5
+    assert os.path.isdir(f"{parent}/v999_live")  # aged live → STILL untouched
+    # now simulate the drop: current target gone, one aged leftover
+    shutil.rmtree(f"{parent}/v999_live")
+    spark.range(0, 3).write.mode("overwrite").parquet(f"{parent}/v111_old")
+    settle_versions(engine)
+    assert os.path.isdir(f"{parent}/v111_old")  # fresh leftover → wait for age
+    os.utime(f"{parent}/v111_old", (old, old))
+    settle_versions(engine)
+    assert not os.path.isdir(parent)  # dead + aged → reclaimed
     shutil.rmtree(plain, ignore_errors=True)
+
+
+def test_retired_dirs_get_full_grace_from_retirement(pgt, spark):
+    """Review finding: the grace window counts from RETIREMENT, not from
+    the directory's last write — an old table's just-retired dir must
+    survive the publish-time sweep even though its files were written
+    long before the grace window."""
+    import os
+
+    from duck_server_spark.engine.transactions import table_dir
+
+    _addr, engine = pgt
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/vg_t", ignore_errors=True)
+    shutil.rmtree(f"{wh}/vg_t__cow_versions", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS vg_t")
+    spark.sql("CREATE TABLE vg_t (id BIGINT, v DOUBLE) USING parquet")
+    spark.sql("INSERT INTO vg_t VALUES (1, 1.0)")
+    plain = table_dir(spark, "vg_t")
+    old = time.time() - 7200  # "written two hours ago"
+    os.utime(plain, (old, old))
+    engine.execute("UPDATE vg_t SET v = v + 1")  # retires the plain dir
+    # without the retirement stamp the publish-time sweep would have
+    # reclaimed it instantly (mtime 2 h > 300 s grace)
+    assert os.path.isdir(plain)
+    engine.execute("DROP TABLE vg_t")
