@@ -81,6 +81,9 @@ _DELETE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DISCARD_ALL = re.compile(r"^\s*discard\s+all\s*;?\s*$", re.IGNORECASE)
+# DuckDB's CHECKPOINT — one pattern for both paths (query() serves the
+# empty Success shape, execute() the CH generic-exec tag)
+_CHECKPOINT = re.compile(r"^\s*(force\s+)?checkpoint\s*;?\s*$", re.IGNORECASE)
 _ALTER_OR_INDEX = re.compile(
     r"^\s*(alter\s+table|create\s+(unique\s+)?index|drop\s+index)\b", re.IGNORECASE
 )
@@ -121,6 +124,7 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "key_column_usage",
         "pg_settings",
         "duckdb_tables",
+        "duckdb_views",
         "duckdb_columns",
     )
 )
@@ -167,7 +171,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_columns)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_views|duckdb_columns)\b",
     re.IGNORECASE,
 )
 
@@ -460,9 +464,9 @@ class Engine:
         ns_rows = [Row(oid=_oid(d.name), nspname=d.name) for d in databases]
         cls_rows, att_rows = [], []
         # DuckDB's own introspection TVFs (round 9): duckdb_tables /
-        # duckdb_columns as snapshot views from the SAME sweep — IDEs and
-        # scripts written for the reference query them directly
-        dt_rows, dc_rows = [], []
+        # duckdb_views / duckdb_columns as snapshot views from the SAME
+        # sweep — IDEs and scripts written for the reference query them
+        dt_rows, dv_rows, dc_rows = [], [], []
         # ONE catalog sweep builds system.* AND the pg_catalog triple
         # (review finding: two identical walks doubled DDL latency).
         # Schemas come from one QUALIFIED analysis per table (review
@@ -486,37 +490,41 @@ class Engine:
                     )
                 if internal:
                     continue
-                dt_rows.append(
-                    Row(
-                        database_name=d.name,
-                        schema_name="main",
-                        table_name=t.name,
-                        temporary=bool(t.isTemporary),
-                    )
-                )
-                nn_dc = {
-                    c
-                    for cc in self.constraints.get(t.name)
-                    if cc["kind"] in ("notnull", "primary")
-                    for c in cc["cols"]
-                } if d.name == current_db else set()
-                for i, f in enumerate(fields, start=1):
-                    dc_rows.append(
+                is_table = (t.tableType or "").upper() == "MANAGED"
+                if is_table:
+                    # DuckDB's duckdb_tables() lists BASE TABLES only —
+                    # views live in duckdb_views() (pinned live; review
+                    # finding: phantom 'tables' broke view enumeration)
+                    dt_rows.append(
                         Row(
                             database_name=d.name,
                             schema_name="main",
                             table_name=t.name,
-                            column_name=f.name,
-                            column_index=i,
-                            data_type=_duckdb_type_name(f.dataType),
-                            is_nullable=f.nullable and f.name not in nn_dc,
+                            temporary=bool(t.isTemporary),
+                        )
+                    )
+                else:
+                    dv_rows.append(
+                        Row(
+                            database_name=d.name,
+                            schema_name="main",
+                            view_name=t.name,
+                            temporary=bool(t.isTemporary),
                         )
                     )
                 rel_oid = _oid(f"{d.name}.{t.name}")
-                relkind = "r" if (t.tableType or "").upper() == "MANAGED" else "v"
                 cls_rows.append(
-                    Row(oid=rel_oid, relname=t.name, relnamespace=_oid(d.name), relkind=relkind)
+                    Row(
+                        oid=rel_oid,
+                        relname=t.name,
+                        relnamespace=_oid(d.name),
+                        relkind="r" if is_table else "v",
+                    )
                 )
+                # ONE not-null set + ONE field walk feeds both
+                # duckdb_columns and pg_attribute (review finding: the
+                # duplicated comprehension/loops could silently drift —
+                # is_nullable and attnotnull must stay complements)
                 nn = (
                     {
                         c
@@ -528,13 +536,25 @@ class Engine:
                     else set()
                 )
                 for i, f in enumerate(fields, start=1):
+                    notnull = (f.name in nn) or (not f.nullable)
+                    dc_rows.append(
+                        Row(
+                            database_name=d.name,
+                            schema_name="main",
+                            table_name=t.name,
+                            column_name=f.name,
+                            column_index=i,
+                            data_type=_duckdb_type_name(f.dataType),
+                            is_nullable=not notnull,
+                        )
+                    )
                     att_rows.append(
                         Row(
                             attrelid=rel_oid,
                             attname=f.name,
                             atttypid=spark_type_to_pg_oid(f.dataType),
                             attnum=i,
-                            attnotnull=(f.name in nn) or (not f.nullable),
+                            attnotnull=notnull,
                             attisdropped=False,
                         )
                     )
@@ -558,6 +578,11 @@ class Engine:
             "database_name string, schema_name string, table_name string, "
             "temporary boolean",
         ).createOrReplaceTempView("duckdb_tables")
+        spark.createDataFrame(
+            dv_rows or [],
+            "database_name string, schema_name string, view_name string, "
+            "temporary boolean",
+        ).createOrReplaceTempView("duckdb_views")
         spark.createDataFrame(
             dc_rows or [],
             "database_name string, schema_name string, table_name string, "
@@ -684,7 +709,7 @@ class Engine:
         skip = None
         hm = self._DROP_VIEW_HEAD.match(q) or self._CREATE_VIEW_HEAD.match(q)
         if hm is not None:
-            skip = hm.group("name").strip('`"').split(".")[-1].lower()
+            skip = hm.group("name").split(".")[-1].strip('`"').lower()
         cur_macros = self.macros.names()
         for vname, rec in mv.items():
             if vname == skip:
@@ -732,7 +757,7 @@ class Engine:
             return
         from duck_server_spark.engine.macros import referenced_macros
 
-        name = m.group("name").strip('`"').split(".")[-1]
+        name = m.group("name").split(".")[-1].strip('`"')
         refs = referenced_macros(m.group("body"), self.macros)
         if refs:
             refresh = (
@@ -808,7 +833,7 @@ class Engine:
             df = run_pragma(self, inner)
             if df is not None:
                 return df
-        if re.match(r"^\s*(force\s+)?checkpoint\s*;?\s*$", q, re.IGNORECASE):
+        if _CHECKPOINT.match(q):
             # DuckDB's CHECKPOINT flushes its WAL; a parquet warehouse
             # has none — ack with DuckDB's empty Success shape
             from pyspark.sql import types as T
@@ -1290,7 +1315,7 @@ class Engine:
             return "CREATE USER"  # pg_conn.go:291 tag
         if _DISCARD_ALL.match(q):
             return "DISCARD ALL"
-        if re.match(r"^\s*(force\s+)?checkpoint\s*;?\s*$", q, re.IGNORECASE):
+        if _CHECKPOINT.match(q):
             # DuckDB WAL flush — honest no-op on a parquet warehouse
             # (same contract as VACUUM); CH generic-exec path lands here
             return "CHECKPOINT"
@@ -1505,7 +1530,7 @@ class Engine:
         else:
             dv = self._DROP_VIEW_HEAD.match(q)
             if dv is not None:
-                self.macro_views.drop(dv.group("name").strip('`"').split(".")[-1])
+                self.macro_views.drop(dv.group("name").split(".")[-1].strip('`"'))
             dt = _DROP_TABLE.match(q)
             if dt is not None:
                 # Spark's DROP deleted the CURRENT version dir; reclaim

@@ -37,7 +37,7 @@ from duck_server_spark.engine.errors import PgError
 _INSERT_FORMAT = re.compile(r"(?i)^\s*insert\s+into\s+([\w.]+)\s*(\(([^)]*)\))?\s*format\s+(\w+)\s*", re.DOTALL)
 _INSERT_VALUES = re.compile(r"(?i)^\s*insert\s+into\s+.+values", re.DOTALL)
 _SELECT = re.compile(
-    r"(?i)^\s*(select|with|show|describe|desc|values|summarize|pivot|unpivot|pragma|from)\b"
+    r"(?i)^\s*(select|with|show|describe|desc|values|summarize|pivot|unpivot|pragma|from|call)\b"
 )
 _FORMAT_SUFFIX = re.compile(r"(?i)\s+format\s+(\w+)\s*;?\s*$")
 

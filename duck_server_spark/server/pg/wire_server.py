@@ -1028,6 +1028,10 @@ class PgConnection:
             if em:  # Describe of a SQL-level EXECUTE: probe the expansion
                 probe_src = self._expand_execute_sql(em.group(1), em.group(2))
             probe = rewrites.params_to_null(probe_src)  # pg_conn.go:652-656
+            # session-overlay current_setting BEFORE the engine sees the
+            # probe (review finding: asyncpg's Parse+Describe of a
+            # session-SET custom GUC 42704'd even though Execute worked)
+            probe = self._substitute_session_settings(probe)
             if self.txn is not None and self.txn.status != "E":
                 probe = self.txn.rewrite(probe)  # read-your-writes
             # DML RETURNING: schema from a zero-row projection over the
@@ -1048,6 +1052,7 @@ class PgConnection:
             em = _EXECUTE_SQL.match(q)
             if em:  # Describe of a SQL-level EXECUTE: probe the expansion
                 q = self._expand_execute_sql(em.group(1), em.group(2))
+            q = self._substitute_session_settings(q)
             if self.txn is not None and self.txn.status != "E":
                 q = self.txn.rewrite(q)  # read-your-writes for Describe
             rschema = await loop.run_in_executor(
@@ -1068,9 +1073,15 @@ class PgConnection:
         if not self.session_gucs or "current_setting" not in q.lower():
             return q
         from duck_server_spark.engine.gucs import sql_str
-        from duck_server_spark.plans.rewrites import _CURRENT_SETTING
+        from duck_server_spark.plans.rewrites import _CURRENT_SETTING, _mask_literals
+
+        masked = _mask_literals(q)
 
         def repl(m: re.Match) -> str:
+            # same literal guard as the engine-side rewrite: a call
+            # whose text sits inside a string literal stays verbatim
+            if not masked[m.start() :].lower().startswith("current_setting"):
+                return m.group(0)
             val = self.session_gucs.get(m.group(1).lower())
             return m.group(0) if val is None else f"'{sql_str(val)}'"
 

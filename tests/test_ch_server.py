@@ -355,6 +355,9 @@ def test_pragma_over_ch_http(ch):
     assert status == 200
     status, body, _ = _get(base, "PRAGMA nosuch_p")
     assert status != 200 and "does not exist" in body
+    # CALL spelling rides the SELECT path too
+    status, body, _ = _get(base, "CALL pragma_version() FORMAT TabSeparated")
+    assert status == 200 and body.strip() == "v1.0.0\tduck_server_spark"
 
 
 def test_macros_over_ch_http(ch):

@@ -1079,10 +1079,42 @@ def test_duckdb_introspection_tail(pgc, spark):
     assert [n for n, _ in cols] == ["Success"] and rows == []
     cols, rows, _ = c.simple_query("FORCE CHECKPOINT")
     assert rows == []
+    # duckdb_tables lists BASE TABLES only; views live in duckdb_views
+    # (pinned live — review finding: phantom 'tables' broke enumeration)
+    c.simple_query("CREATE OR REPLACE VIEW di_v AS SELECT a FROM di_t")
+    duck.execute("CREATE OR REPLACE VIEW di_v AS SELECT a FROM di_t")
+    for probe in (
+        "SELECT count(*) AS n FROM duckdb_tables() WHERE table_name = 'di_v'",
+        "SELECT count(*) AS n FROM duckdb_views() WHERE view_name = 'di_v'",
+    ):
+        _, rows, _ = c.simple_query(probe)
+        want = str(duck.execute(probe).fetchone()[0])
+        assert rows == [(want,)], (probe, rows, want)
+    # ...and duckdb_columns covers view columns too, like DuckDB
+    _, rows, _ = c.simple_query(
+        "SELECT column_name FROM duckdb_columns() WHERE table_name = 'di_v'"
+    )
+    assert rows == [("a",)]
+    c.simple_query("DROP VIEW di_v")
     # current_setting: session overlay wins, defaults next, 42704 last
     c.simple_query("SET application_name = 'cs_app'")
     _, rows, _ = c.simple_query("SELECT current_setting('application_name') AS v")
     assert rows == [("cs_app",)]
+    # ...including through the extended protocol's Describe (asyncpg
+    # sends Parse+Describe first — review finding: a session custom GUC
+    # 42704'd at Describe even though Execute would succeed)
+    c.simple_query("SET myext.tenant = 't1'")
+    c.parse("cs1", "SELECT current_setting('myext.tenant') AS v")
+    c.bind("", "cs1", [])
+    c.describe_portal("")
+    c.execute("")
+    cols, rows, _ = c.sync_collect()
+    assert [n for n, _ in cols] == ["v"] and rows == [("t1",)]
+    # a literal containing the call text stays verbatim
+    _, rows, _ = c.simple_query(
+        "SELECT 'current_setting(''myext.tenant'')' AS s"
+    )
+    assert rows == [("current_setting('myext.tenant')",)]
     _, rows, _ = c.simple_query("SELECT current_setting('server_version') AS v")
     assert rows and rows[0][0]  # the advertised compat version string
     with pytest.raises(RuntimeError) as ei:

@@ -279,6 +279,16 @@ def test_macro_bind_time_in_views_pinned_vs_duckdb(eng, spark):
         assert _one(eng, "SELECT * FROM bindv") == duck.execute(
             "SELECT * FROM bindv"
         ).fetchone()[0] == 6
+        # the escape hatch works for QUOTED spellings too (review
+        # finding: strip-then-split missed quoted names; Spark's parser
+        # takes backtick quoting — PG double quotes stay a documented
+        # DDL-identifier gap)
+        eng.execute("CREATE MACRO bindm(x) AS x * 2")
+        eng.execute('CREATE OR REPLACE VIEW bindv AS SELECT bindm(1) AS a')
+        eng.execute("DROP MACRO bindm")
+        eng.execute("DROP VIEW `bindv`")
+        eng.execute("CREATE VIEW bindv AS SELECT 6 AS a")
+        duck.execute("CREATE MACRO bindm(x) AS x * 2")  # re-sync duck state
         # DROP VIEW clears the record: recreating WITHOUT macros works
         # even while the macro is gone
         eng.execute("DROP VIEW bindv")
