@@ -699,6 +699,24 @@ class Engine:
         mv = self.macro_views.all()
         if not mv:
             return
+        # Only statements that can actually BIND a view trigger the
+        # dependency check — DROP TABLE of a same-named table, SET, SHOW
+        # etc. must never 42883 on a broken macro-view they merely name
+        # (round-10 advice finding). Search a literal-masked twin so the
+        # view's name inside a string literal doesn't count either.
+        head_m = re.match(r"\s*([a-zA-Z]+)", q)
+        head = head_m.group(1).lower() if head_m else ""
+        if head not in self._VIEW_BINDING_HEADS:
+            return
+        from duck_server_spark.plans.rewrites import _mask_literals
+
+        q_masked = _mask_literals(q)
+        # comments can't bind anything either — blank them (after the
+        # literal mask, so a '--' inside a string stays data)
+        q_masked = re.sub(r"--[^\n]*", lambda m: " " * len(m.group(0)), q_masked)
+        q_masked = re.sub(
+            r"/\*.*?\*/", lambda m: " " * len(m.group(0)), q_masked, flags=re.DOTALL
+        )
         from duck_server_spark.engine.errors import PgError
 
         # DROP VIEW / CREATE OR REPLACE VIEW of the macro-view itself
@@ -714,7 +732,7 @@ class Engine:
         for vname, rec in mv.items():
             if vname == skip:
                 continue
-            if not re.search(rf"\b{re.escape(vname)}\b", q, re.IGNORECASE):
+            if not re.search(rf"\b{re.escape(vname)}\b", q_masked, re.IGNORECASE):
                 continue
             changed = False
             for mname, saved in rec["macros"].items():
@@ -737,6 +755,30 @@ class Engine:
                     referenced_macros(rec["refresh"], self.macros),
                 )
                 self.spark.sql(self._prepare_sql(rec["refresh"], dialect)).collect()
+
+    # statement heads that can bind a view in FROM position — anything
+    # else (DROP/ALTER/SET/SHOW/PRAGMA/...) merely NAMES identifiers and
+    # must not trip the macro-view dependency check
+    _VIEW_BINDING_HEADS = frozenset(
+        {
+            "select",
+            "with",
+            "from",  # FROM-first syntax
+            "insert",
+            "update",
+            "delete",
+            "merge",
+            "create",  # CTAS / CREATE VIEW ... AS SELECT
+            "copy",
+            "export",
+            "table",
+            "values",
+            "explain",
+            "describe",
+            "desc",
+            "summarize",
+        }
+    )
 
     _CREATE_VIEW_HEAD = re.compile(
         r"^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+"
@@ -784,6 +826,11 @@ class Engine:
             return self.spark.sql(text)
 
     def query(self, q: str, dialect: str = "pg") -> DataFrame:
+        # PG double-quoted identifiers → backticks BEFORE the intercept
+        # regexes so `PRAGMA table_info("t")` / `DESCRIBE "t"` etc. see
+        # one quoting dialect (round 10; idempotent, rewrite_common
+        # re-applies harmlessly for non-intercepted statements)
+        q = rewrites.normalize_quoted_idents(q)
         q = self._resolve_sequences(q, scalar_select=True)
         m = _SUMMARIZE.match(q)
         if m:
@@ -1211,6 +1258,7 @@ class Engine:
         UPDATE … FROM / DELETE … USING) raise 0A000 loudly."""
         from duck_server_spark.engine.errors import PgError
 
+        q = rewrites.normalize_quoted_idents(q)
         # cheap RETURNING probe FIRST: without it this path returns None
         # and execute() runs — expanding BY NAME here too would analyze
         # the source twice per statement (review finding)
@@ -1283,6 +1331,7 @@ class Engine:
         """Schema of a DML RETURNING statement WITHOUT executing it (the
         extended protocol's Describe): project the items over a zero-row
         slice of the target table. None when q has no RETURNING clause."""
+        q = rewrites.normalize_quoted_idents(q)
         split = rewrites.split_returning(q)
         if split is None:
             return None
@@ -1304,6 +1353,11 @@ class Engine:
     def execute(self, q: str, dialect: str = "pg") -> str:
         """DDL/DML path → command tag. Intercepts the statements vanilla
         Spark can't run (CREATE USER, UPDATE, DELETE, DISCARD ALL)."""
+        # normalize PG double-quoted identifiers BEFORE the intercept
+        # regexes — `DROP VIEW "v"`, `CREATE TABLE "t" ("c" int)`,
+        # `UPDATE "t" SET …` must hit the same branches as the
+        # backticked/bare spellings (round 10, VERDICT r9 item 1)
+        q = rewrites.normalize_quoted_idents(q)
         q = self._expand_insert_by_name(q, dialect)
         # FROM-first bodies in DDL/DML positions (CTAS `AS FROM`,
         # `INSERT INTO t FROM s`) normalize BEFORE the dispatch branches
@@ -1534,14 +1588,24 @@ class Engine:
             dt = _DROP_TABLE.match(q)
             if dt is not None:
                 # Spark's DROP deleted the CURRENT version dir; reclaim
-                # the versions parent (old versions + pointer file) too
+                # the versions parent (old versions + pointer file) AND
+                # the retired plain dir. The plain dir survives a
+                # pointer-swap publish for the grace window — once the
+                # table is dropped it is dead, and leaving it in place
+                # lets a later CREATE of the same name adopt it and
+                # silently resurrect the pre-update rows (round-10
+                # advice finding).
                 import shutil as _sh
 
-                from duck_server_spark.engine.transactions import versions_parent
+                from duck_server_spark.engine.transactions import (
+                    table_dir,
+                    versions_parent,
+                )
 
                 _sh.rmtree(
                     versions_parent(self.spark, dt.group(1)), ignore_errors=True
                 )
+                _sh.rmtree(table_dir(self.spark, dt.group(1)), ignore_errors=True)
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
 

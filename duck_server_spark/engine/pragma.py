@@ -107,13 +107,26 @@ def _table_info(engine, table: str) -> DataFrame:
     from duck_server_spark.engine.executor import _duckdb_type_name
 
     spark = engine.spark
-    tbl = table.split(".")[-1]
+    # keep a database qualifier intact — PRAGMA table_info('db.t') must
+    # resolve in db, not strip to the bare name and hit the current
+    # database's same-named table (round-10 advice finding)
+    tbl = table.strip()
     if not spark.catalog.tableExists(tbl):
         raise PgError(
-            "42P01", f"Catalog Error: Table with name {tbl} does not exist!"
+            "42P01",
+            f"Catalog Error: Table with name {tbl.split('.')[-1]} does not exist!",
         )
     schema = spark.table(tbl).schema
+    # constraint registry keys follow the CREATE statement's spelling;
+    # a `<current_db>.t` spelling of a table registered unqualified falls
+    # back to the bare key — but ONLY for the current database, so a
+    # same-named table elsewhere never inherits foreign constraints
     cons = engine.constraints.get(tbl)
+    if not cons and "." in tbl:
+        db, bare = tbl.rsplit(".", 1)
+        if db.strip('`"').lower() == spark.catalog.currentDatabase().lower():
+            cons = engine.constraints.get(bare)
+    cons = cons or []
     pk = {c for cc in cons if cc["kind"] == "primary" for c in cc["cols"]}
     nn = {c for cc in cons if cc["kind"] == "notnull" for c in cc["cols"]}
     seqd = {

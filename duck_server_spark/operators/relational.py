@@ -467,6 +467,38 @@ def from_first_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(FROM_FIRST_SQL_TEXT))
 
 
+# PG/DuckDB double-quoted identifiers (round 10, VERDICT r9 punch item
+# 1): one PG-spelled text, both engines — DuckDB parses "ident" quoting
+# natively (the reference gets it for free behind its delegation points,
+# pg_conn.go:314), our side goes through normalize_quoted_idents
+# (plans/rewrites.py) onto backticked Spark identifiers. Exercises every
+# pinned shape at once: quoted table/alias/column refs, qualified
+# "a"."b" chains, MIXED-case refs resolved case-insensitively (the
+# documented DuckDB-over-strict-PG pin), an embedded doubled quote in an
+# alias ("a""b" → the literal name a"b), a quoted alias with a space
+# referenced from ORDER BY, and a string literal whose double quotes
+# must stay data. Bind-time text transform — zero plan cost.
+QUOTED_IDENTS_SQL_TEXT = """SELECT "r"."r_regionkey" AS "Region Key",
+  upper("R"."R_NAME") AS "NAME",
+  "n"."n_name" AS "nation",
+  'keep "this" quoted literal' AS "q_lit",
+  "n"."n_nationkey" + 100 AS "a""b"
+FROM "region" AS "r" JOIN "nation" AS "n"
+  ON "n"."n_regionkey" = "r"."r_regionkey"
+WHERE "r"."r_regionkey" < 4 AND "N"."N_NAME" <> 'FRANCE'
+ORDER BY "Region Key", "nation\""""
+
+
+def quoted_idents_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG double-quoted identifier shim end-to-end (normalize → Spark
+    plan) against DuckDB running the identical statement natively."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(QUOTED_IDENTS_SQL_TEXT))
+
+
 # DuckDB's simplified PIVOT statement (round 7): dynamic column
 # discovery → Spark PIVOT clause (engine/pivot.py). The default-USING
 # form exercises the count-0 fill; orderpriority has 5 stable values so
@@ -584,6 +616,7 @@ QUERIES = {
     "distinct_on": distinct_on,
     "distinct_on_sql": distinct_on_sql,
     "from_first_sql": from_first_sql,
+    "quoted_idents_sql": quoted_idents_sql,
     "pivot_stmt_sql": pivot_stmt_sql,
     "unpivot_stmt_sql": unpivot_stmt_sql,
     "qualify": qualify_idiom,
@@ -615,6 +648,7 @@ ORACLE = {
     "distinct_on": DISTINCT_ON_ORACLE,
     "distinct_on_sql": DISTINCT_ON_SQL_TEXT,
     "from_first_sql": FROM_FIRST_SQL_TEXT,
+    "quoted_idents_sql": QUOTED_IDENTS_SQL_TEXT,
     "pivot_stmt_sql": PIVOT_STMT_SQL_TEXT,
     "unpivot_stmt_sql": UNPIVOT_STMT_SQL_TEXT,
     "qualify": QUALIFY_ORACLE,

@@ -882,6 +882,12 @@ def test_from_first_pinned_vs_duckdb(spark, duck, sf_dir):
         "SELECT * FROM (FROM region WHERE r_regionkey < 2) q",
         "FROM region SELECT r_name UNION ALL FROM nation SELECT n_name",
         "FROM region SELECT DISTINCT r_regionkey % 2 AS m",
+        # round-10 advice finding: keyword-argument calls like
+        # TRIM(FROM …) are function syntax, not a FROM-first sub-body —
+        # including inside a FROM-first statement
+        "SELECT trim(FROM '  x  ') AS t",
+        "SELECT trim  (FROM '  x  ') AS t",
+        "FROM region SELECT trim(FROM '  y  ') AS t WHERE r_regionkey = 0",
     ]
     for p in probes:
         want = sorted(map(repr, duck.execute(p).fetchall()))
@@ -997,6 +1003,21 @@ def test_pragma_family_pinned_vs_duckdb(pgc, spark):
     # unquoted identifier spelling too
     _, rows2, _ = c.simple_query("PRAGMA table_info(prg_t)")
     assert rows2 == rows
+    # qualified names resolve in THEIR database, not the current one
+    # (round-10 advice finding: the qualifier was stripped, so a
+    # same-named table in another database answered for it)
+    spark.sql("CREATE DATABASE IF NOT EXISTS prgdb")
+    spark.sql("DROP TABLE IF EXISTS prgdb.prg_t")
+    shutil.rmtree(f"{warehouse}/prgdb.db/prg_t", ignore_errors=True)
+    spark.sql("CREATE TABLE prgdb.prg_t (other_col BIGINT) USING parquet")
+    _, qrows, _ = c.simple_query("PRAGMA table_info('prgdb.prg_t')")
+    assert [r[1] for r in qrows] == ["other_col"]
+    _, qrows2, _ = c.simple_query("PRAGMA table_info('default.prg_t')")
+    assert [r[1] for r in qrows2] == ["id", "name", "v"]
+    with pytest.raises(RuntimeError):
+        c.simple_query("PRAGMA table_info('prgdb.prg_missing')")
+    spark.sql("DROP TABLE IF EXISTS prgdb.prg_t")
+    shutil.rmtree(f"{warehouse}/prgdb.db/prg_t", ignore_errors=True)
     # show_tables: DuckDB's one-column shape, same rows as SHOW TABLES
     cols, prows, _ = c.simple_query("PRAGMA show_tables")
     assert [n for n, _ in cols] == ["name"]
@@ -1520,3 +1541,96 @@ def test_strftime_date_diff_pinned_vs_duckdb(spark):
     )
     got = spark.sql(rewrite_pg_query(f"SELECT {e} AS v")).collect()[0][0]
     assert got == 2
+
+
+def test_quoted_identifiers_lifecycle_pinned_vs_duckdb(spark, duck):
+    """Round 10 (VERDICT r9 punch item 1): PG double-quoted identifiers
+    work GLOBALLY — every statement kind, the full DDL/DML lifecycle,
+    pinned against live DuckDB running the identical text. The engine
+    normalizes "ident" → `ident` at every entry point
+    (plans/rewrites.py normalize_quoted_idents); DuckDB parses PG
+    quoting natively behind the reference's delegation points
+    (pg_conn.go:314). Case pin: quoted identifiers resolve
+    case-INSENSITIVELY here and in DuckDB (strict PG would be
+    case-sensitive — documented divergence, we match the oracle)."""
+    import shutil
+
+    import duckdb as _duckdb
+
+    eng = Engine(spark)
+    con = _duckdb.connect()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP VIEW IF EXISTS qi_v")
+    spark.sql("DROP TABLE IF EXISTS qi_t")
+    shutil.rmtree(f"{wh}/qi_t", ignore_errors=True)
+    shutil.rmtree(f"{wh}/qi_t__cow_versions", ignore_errors=True)
+
+    def both_exec(sql):
+        eng.execute(sql)
+        con.execute(sql)
+
+    def both_rows(sql):
+        got = sorted(map(str, (tuple(r) for r in eng.query(sql).collect())))
+        want = sorted(map(str, con.execute(sql).fetchall()))
+        assert got == want, (sql, got, want)
+        return got
+
+    try:
+        both_exec('CREATE TABLE "qi_t" ("c" INT, "Val" VARCHAR)')
+        both_exec(
+            'INSERT INTO "qi_t" ("c", "Val")'
+            " VALUES (1, 'a \"quoted\" str'), (2, 'b'), (3, NULL)"
+        )
+        both_rows('SELECT "c", "Val" FROM "qi_t" WHERE "c" > 0 ORDER BY "c"')
+        # case-insensitive resolution of quoted refs (DuckDB pin)
+        both_rows('SELECT "VAL" FROM "QI_T" WHERE "C" = 1')
+        # string literals keep their double quotes as data
+        both_rows("SELECT 'x \"y\" z' AS s")
+        # DML with quoted targets/predicates
+        both_exec('UPDATE "qi_t" SET "Val" = \'z\' WHERE "c" = 2')
+        both_exec('DELETE FROM "qi_t" WHERE "c" = 1')
+        both_rows('SELECT "c", "Val" FROM "qi_t" ORDER BY "c"')
+        # views: quoted create / select / drop
+        both_exec('CREATE VIEW "qi_v" AS SELECT "c" + 10 AS "cc" FROM "qi_t"')
+        both_rows('SELECT "cc" FROM "qi_v" ORDER BY "cc"')
+        # doubled quote inside an alias is the literal name a"b
+        got_cols = eng.query('SELECT 1 AS "a""b"').columns
+        want_cols = [d[0] for d in con.execute('SELECT 1 AS "a""b"').description]
+        assert got_cols == want_cols == ['a"b']
+        # PRAGMA accepts the quoted spelling too (engine-side shape)
+        assert "c" in {
+            r[1] for r in eng.query('PRAGMA table_info("qi_t")').collect()
+        }
+        both_exec('DROP VIEW "qi_v"')
+        both_exec('DROP TABLE "qi_t"')
+        # the test_macros gap note is gone: quoted DDL identifiers work
+        assert not spark.catalog.tableExists("qi_t")
+    finally:
+        for stmt in ('DROP VIEW IF EXISTS qi_v', 'DROP TABLE IF EXISTS qi_t'):
+            try:
+                eng.execute(stmt)
+            except Exception:  # noqa: BLE001
+                pass
+        con.close()
+        shutil.rmtree(f"{wh}/qi_t", ignore_errors=True)
+        shutil.rmtree(f"{wh}/qi_t__cow_versions", ignore_errors=True)
+
+
+def test_quoted_identifiers_over_wire(pgc, spark, sf_dir):
+    """Quoted identifiers through the PG wire protocol: resolution,
+    RowDescription names (an alias with a space survives verbatim), and
+    multi-statement splits."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query(
+        'SELECT "r_regionkey" AS "Region Key", "r_name"'
+        ' FROM "region" WHERE "r_regionkey" < 2 ORDER BY "Region Key"'
+    )
+    assert [n for n, _ in cols] == ["Region Key", "r_name"]
+    assert [r[0] for r in rows] == ["0", "1"]
+    # literal double quotes inside strings survive the round trip
+    _, rows2, _ = c.simple_query('SELECT \'he said "hi"\' AS s')
+    assert rows2[0][0] == 'he said "hi"'
+    c.sock.close()

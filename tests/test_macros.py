@@ -280,13 +280,17 @@ def test_macro_bind_time_in_views_pinned_vs_duckdb(eng, spark):
             "SELECT * FROM bindv"
         ).fetchone()[0] == 6
         # the escape hatch works for QUOTED spellings too (review
-        # finding: strip-then-split missed quoted names; Spark's parser
-        # takes backtick quoting — PG double quotes stay a documented
-        # DDL-identifier gap)
+        # finding: strip-then-split missed quoted names) — BOTH backtick
+        # quoting and PG double quotes (the round-10 global
+        # normalize_quoted_idents closed the former DDL-identifier gap)
         eng.execute("CREATE MACRO bindm(x) AS x * 2")
         eng.execute('CREATE OR REPLACE VIEW bindv AS SELECT bindm(1) AS a')
         eng.execute("DROP MACRO bindm")
         eng.execute("DROP VIEW `bindv`")
+        eng.execute("CREATE MACRO bindm(x) AS x * 2")
+        eng.execute('CREATE OR REPLACE VIEW "bindv" AS SELECT bindm(1) AS a')
+        eng.execute("DROP MACRO bindm")
+        eng.execute('DROP VIEW "bindv"')
         eng.execute("CREATE VIEW bindv AS SELECT 6 AS a")
         duck.execute("CREATE MACRO bindm(x) AS x * 2")  # re-sync duck state
         # DROP VIEW clears the record: recreating WITHOUT macros works
@@ -309,6 +313,49 @@ def test_macro_bind_time_in_views_pinned_vs_duckdb(eng, spark):
                 duck.execute(stmt)
             except Exception:  # noqa: BLE001
                 pass
+
+
+def test_broken_macro_view_only_blocks_binding_statements(eng, spark):
+    """Round-10 advice finding: after DROP MACRO, only statements that
+    can actually BIND the broken view raise the Catalog Error. Naming
+    the view in a string literal, or DROP TABLE of a same-named table,
+    must pass — DuckDB only errors when the view is queried."""
+    spark.sql("DROP VIEW IF EXISTS brokv")
+    spark.sql("DROP TABLE IF EXISTS brokv_twin")
+    eng.macros.drop("brokm", if_exists=True)
+    eng.execute("CREATE MACRO brokm(x) AS x * 2")
+    eng.execute("CREATE VIEW brokv AS SELECT brokm(1) AS a")
+    eng.execute("CREATE TABLE brokv_twin (note STRING)")
+    try:
+        eng.execute("DROP MACRO brokm")
+        # string literal merely CONTAINING the view name: fine
+        assert (
+            eng.query("SELECT 'see brokv for details' AS s").collect()[0][0]
+            == "see brokv for details"
+        )
+        eng.execute("INSERT INTO brokv_twin VALUES ('brokv is broken')")
+        # comments naming the view: fine
+        assert eng.query("SELECT 2 AS a -- brokv\n").collect()[0][0] == 2
+        assert eng.query("SELECT /* brokv */ 3 AS a").collect()[0][0] == 3
+        # DDL on OTHER objects that happens to name-match: fine
+        eng.execute("DROP TABLE brokv_twin")
+        # but actually binding the view still errors
+        with pytest.raises(PgError) as ei:
+            eng.query("SELECT * FROM brokv").collect()
+        assert ei.value.pgcode == "42883" and "brokm" in str(ei.value)
+        # ... including through DML that reads it
+        with pytest.raises(PgError):
+            eng.query("SELECT (SELECT a FROM brokv) AS x").collect()
+    finally:
+        for stmt in (
+            "DROP VIEW IF EXISTS brokv",
+            "DROP TABLE IF EXISTS brokv_twin",
+        ):
+            try:
+                eng.execute(stmt)
+            except Exception:  # noqa: BLE001
+                pass
+        eng.macros.drop("brokm", if_exists=True)
 
 
 def test_macro_view_bookkeeping_through_transactions(eng, spark):

@@ -1397,6 +1397,34 @@ def test_version_reclamation_and_create_guard(pgt, spark):
     shutil.rmtree(plain, ignore_errors=True)
 
 
+def test_drop_reclaims_retired_plain_dir_without_sweep(pgt, spark):
+    """Round-10 advice finding: CREATE t, UPDATE t (pointer-swap publish
+    retires the plain dir), DROP t, CREATE t — WITHOUT any grace-zero
+    sweep in between — must not resurrect the pre-update rows. DROP has
+    to reclaim the retired plain dir itself; the table is gone, so any
+    plain-dir leftover is dead regardless of grace."""
+    import os
+
+    from duck_server_spark.engine.transactions import table_dir, versions_parent
+
+    _addr, engine = pgt
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/vd_t", ignore_errors=True)
+    shutil.rmtree(f"{wh}/vd_t__cow_versions", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS vd_t")
+    engine.execute("CREATE TABLE vd_t (id BIGINT, v DOUBLE)")
+    engine.execute("INSERT INTO vd_t VALUES (1, 1.0), (2, 2.0)")
+    plain = table_dir(spark, "vd_t")
+    engine.execute("UPDATE vd_t SET v = v + 1")  # retires the plain dir
+    assert os.path.isdir(plain)  # grace window: retired dir survives
+    engine.execute("DROP TABLE vd_t")  # NO sweep before the drop
+    assert not os.path.isdir(plain)  # dead plain dir reclaimed by DROP
+    assert not os.path.isdir(versions_parent(spark, "vd_t"))
+    engine.execute("CREATE TABLE vd_t (id BIGINT, v DOUBLE)")
+    assert spark.table("vd_t").count() == 0  # no resurrected rows
+    engine.execute("DROP TABLE vd_t")
+
+
 def test_retired_dirs_get_full_grace_from_retirement(pgt, spark):
     """Review finding: the grace window counts from RETIREMENT, not from
     the directory's last write — an old table's just-retired dir must
