@@ -149,12 +149,24 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(per_query.values()), 3)
+    # Calibration-normalized headline (round 10, VERDICT r9 item 6):
+    # divide out the host's current speed so round-over-round reads are
+    # ONE division instead of an adjudication. Reference = the round-9
+    # driver-run calibration (BENCH_r09.json, the round the key landed).
+    # normalized < headline ⇒ this host window was slower than the r9
+    # reference window; compare normalized values across rounds directly.
+    R9_REFERENCE_CALIBRATION = 0.507
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(per_query.values()), 3),
+                "value": total,
                 "unit": "sec",
+                "normalized": round(
+                    total * (R9_REFERENCE_CALIBRATION / cal_best), 3
+                ),
+                "normalized_reference": {"hash_agg_range_50m_r9": R9_REFERENCE_CALIBRATION},
                 "queries": per_query,
                 "breakdown": breakdown,
                 "calibration": calibration,

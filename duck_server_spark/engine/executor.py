@@ -126,9 +126,28 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "duckdb_tables",
         "duckdb_views",
         "duckdb_columns",
+        "duckdb_constraints",
+        "duckdb_schemas",
+        "duckdb_settings",
+        "duckdb_functions",
     )
 )
 _INTERNAL_TABLE_MARKS = ("__txn_", "__cow_staging_", "__ins_staging_", "__alter_staging_")
+# builtins tagged `aggregate` in duckdb_functions() — listFunctions has
+# no kind flag, so the common aggregate surface is pinned by name
+_AGGREGATE_FN_NAMES = frozenset(
+    """
+    any_value approx_count_distinct approx_percentile avg bit_and bit_or
+    bit_xor bool_and bool_or collect_list collect_set corr count
+    count_if count_min_sketch covar_pop covar_samp first first_value
+    grouping grouping_id histogram_numeric hll_sketch_agg kurtosis last
+    last_value listagg max max_by mean median min min_by mode percentile
+    percentile_approx regr_avgx regr_avgy regr_count regr_intercept
+    regr_r2 regr_slope regr_sxx regr_sxy regr_syy skewness some std
+    stddev stddev_pop stddev_samp string_agg sum try_avg try_sum
+    var_pop var_samp variance
+    """.split()
+)
 # Spark-specific DESCRIBE targets stay on the native path
 _DESCRIBE_NATIVE = frozenset(
     ("function", "database", "schema", "extended", "formatted", "history", "detail")
@@ -171,7 +190,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_views|duckdb_columns)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints|duckdb_schemas|duckdb_settings|duckdb_functions)\b",
     re.IGNORECASE,
 )
 
@@ -467,6 +486,14 @@ class Engine:
         # duckdb_views / duckdb_columns as snapshot views from the SAME
         # sweep — IDEs and scripts written for the reference query them
         dt_rows, dv_rows, dc_rows = [], [], []
+        # round 10 (VERDICT r9 item 2): duckdb_constraints() from the
+        # constraint registry, in the SAME sweep. constraint_text forms
+        # pinned vs live DuckDB 1.0: PRIMARY KEY(a, b) / UNIQUE(x, y) /
+        # NOT NULL (one row per column, incl. PK-implied) / CHECK((e))
+        # with the bare (e) in `expression` / FOREIGN KEY (x) REFERENCES
+        # p(id). Registry keys are current-database bare names, so only
+        # current-db tables carry rows — same scope as enforcement.
+        dcon_rows = []
         # ONE catalog sweep builds system.* AND the pg_catalog triple
         # (review finding: two identical walks doubled DDL latency).
         # Schemas come from one QUALIFIED analysis per table (review
@@ -525,16 +552,15 @@ class Engine:
                 # duckdb_columns and pg_attribute (review finding: the
                 # duplicated comprehension/loops could silently drift —
                 # is_nullable and attnotnull must stay complements)
-                nn = (
-                    {
-                        c
-                        for cc in self.constraints.get(t.name)
-                        if cc["kind"] in ("notnull", "primary")
-                        for c in cc["cols"]
-                    }
-                    if d.name == current_db
-                    else set()
+                cons = (
+                    self.constraints.get(t.name) if d.name == current_db else []
                 )
+                nn = {
+                    c
+                    for cc in cons
+                    if cc["kind"] in ("notnull", "primary")
+                    for c in cc["cols"]
+                }
                 for i, f in enumerate(fields, start=1):
                     notnull = (f.name in nn) or (not f.nullable)
                     dc_rows.append(
@@ -558,10 +584,141 @@ class Engine:
                             attisdropped=False,
                         )
                     )
+                if is_table and cons:
+                    col_idx = {f.name.lower(): ix for ix, f in enumerate(fields)}
+                    con_ix = iter(range(10**6))
+
+                    def _con_row(ctype, ctext, ccols, expr=None):
+                        dcon_rows.append(
+                            Row(
+                                database_name=d.name,
+                                database_oid=_oid(d.name),
+                                schema_name="main",
+                                schema_oid=_oid(f"{d.name}.main"),
+                                table_name=t.name,
+                                table_oid=rel_oid,
+                                constraint_index=next(con_ix),
+                                constraint_type=ctype,
+                                constraint_text=ctext,
+                                expression=expr,
+                                constraint_column_indexes=[
+                                    col_idx[c.lower()]
+                                    for c in ccols
+                                    if c.lower() in col_idx
+                                ],
+                                constraint_column_names=list(ccols),
+                            )
+                        )
+
+                    pk_cols: list[str] = []
+                    for cc in cons:
+                        kind, ccols = cc["kind"], cc.get("cols", [])
+                        joined = ", ".join(ccols)
+                        if kind == "primary":
+                            _con_row("PRIMARY KEY", f"PRIMARY KEY({joined})", ccols)
+                            pk_cols = list(ccols)
+                        elif kind == "unique":
+                            _con_row("UNIQUE", f"UNIQUE({joined})", ccols)
+                        elif kind == "notnull":
+                            for c in ccols:
+                                _con_row("NOT NULL", "NOT NULL", [c])
+                        elif kind == "check":
+                            e = cc.get("expr", "")
+                            _con_row("CHECK", f"CHECK(({e}))", ccols, f"({e})")
+                        elif kind == "foreign":
+                            ref_t = cc.get("ref_table", "")
+                            ref_cols = cc.get("ref_cols") or [
+                                c
+                                for pc in self.constraints.get(ref_t)
+                                if pc["kind"] == "primary"
+                                for c in pc["cols"]
+                            ]
+                            _con_row(
+                                "FOREIGN KEY",
+                                f"FOREIGN KEY ({joined}) REFERENCES "
+                                f"{ref_t}({', '.join(ref_cols)})",
+                                ccols,
+                            )
+                    # DuckDB emits a NOT NULL row per PK column (after
+                    # the explicit constraints; pinned live)
+                    for c in pk_cols:
+                        _con_row("NOT NULL", "NOT NULL", [c])
         spark.createDataFrame(tabs or [], "database string, name string, engine string").createOrReplaceTempView("system_tables")
         spark.createDataFrame(cols or [], "database string, table string, name string, type string").createOrReplaceTempView("system_columns")
-        funcs = [Row(name=f.name) for f in spark.catalog.listFunctions()][:500]
+        catalog_fns = spark.catalog.listFunctions()
+        funcs = [Row(name=f.name) for f in catalog_fns][:500]
         spark.createDataFrame(funcs or [], "name string").createOrReplaceTempView("system_functions")
+        # duckdb_functions(): SQL macros from the macro registry (kind →
+        # DuckDB's macro/table_macro, definition text verbatim) + the
+        # engine's builtin surface from the same listFunctions sweep
+        # (function_type scalar/aggregate from a pinned aggregate set,
+        # internal=True). 18-column shape pinned vs live DuckDB 1.0.
+        fn_rows = []
+        for mname, rec in sorted(self.macros.names().items()):
+            is_table_macro = rec.get("kind") == "table"
+            body = rec.get("body")
+            fn_rows.append(
+                Row(
+                    database_name=current_db,
+                    database_oid=_oid(current_db),
+                    schema_name="main",
+                    function_name=mname,
+                    function_type="table_macro" if is_table_macro else "macro",
+                    description=None,
+                    comment=None,
+                    tags=None,
+                    return_type=None,
+                    parameters=list(rec.get("params", [])),
+                    parameter_types=[None] * len(rec.get("params", [])),
+                    varargs=None,
+                    # DuckDB prints scalar macro bodies as a
+                    # parenthesized expression — pinned live
+                    macro_definition=(
+                        body if is_table_macro or body is None else f"({body})"
+                    ),
+                    has_side_effects=None,
+                    internal=False,
+                    function_oid=_oid(f"macro.{mname}"),
+                    example=None,
+                    stability=None,
+                )
+            )
+        for f in catalog_fns:
+            fname = f.name.lower()
+            fn_rows.append(
+                Row(
+                    database_name="system",
+                    database_oid=_oid("system"),
+                    schema_name="main",
+                    function_name=f.name,
+                    function_type=(
+                        "aggregate" if fname in _AGGREGATE_FN_NAMES else "scalar"
+                    ),
+                    description=f.description,
+                    comment=None,
+                    tags=None,
+                    return_type=None,
+                    parameters=None,
+                    parameter_types=None,
+                    varargs=None,
+                    macro_definition=None,
+                    has_side_effects=None,
+                    internal=True,
+                    function_oid=_oid(f"fn.{fname}"),
+                    example=None,
+                    stability=None,
+                )
+            )
+        spark.createDataFrame(
+            fn_rows or [],
+            "database_name string, database_oid bigint, schema_name string, "
+            "function_name string, function_type string, description string, "
+            "comment string, tags map<string,string>, return_type string, "
+            "parameters array<string>, parameter_types array<string>, "
+            "varargs string, macro_definition string, "
+            "has_side_effects boolean, internal boolean, "
+            "function_oid bigint, example string, stability string",
+        ).createOrReplaceTempView("duckdb_functions")
         spark.createDataFrame(
             ns_rows or [], "oid int, nspname string"
         ).createOrReplaceTempView("pg_namespace")
@@ -589,6 +746,61 @@ class Engine:
             "column_name string, column_index int, data_type string, "
             "is_nullable boolean",
         ).createOrReplaceTempView("duckdb_columns")
+        spark.createDataFrame(
+            dcon_rows or [],
+            "database_name string, database_oid bigint, schema_name string, "
+            "schema_oid bigint, table_name string, table_oid bigint, "
+            "constraint_index bigint, constraint_type string, "
+            "constraint_text string, expression string, "
+            "constraint_column_indexes array<bigint>, "
+            "constraint_column_names array<string>",
+        ).createOrReplaceTempView("duckdb_constraints")
+        # duckdb_schemas(): one `main` row per database — the same
+        # database→database, schema→"main" mapping duckdb_tables uses;
+        # internal=True matches DuckDB's own `main` row (pinned live)
+        spark.createDataFrame(
+            [
+                Row(
+                    oid=_oid(db.name),
+                    database_name=db.name,
+                    database_oid=_oid(db.name),
+                    schema_name="main",
+                    comment=None,
+                    tags=None,
+                    internal=True,
+                    sql=None,
+                )
+                for db in databases
+            ]
+            or [],
+            "oid bigint, database_name string, database_oid bigint, "
+            "schema_name string, comment string, tags map<string,string>, "
+            "internal boolean, sql string",
+        ).createOrReplaceTempView("duckdb_schemas")
+        # duckdb_settings(): the shared GUC table (the engine's settings
+        # surface — SHOW/SET/pg_settings read the same dict) plus the
+        # engine-truth `threads` key under DuckDB's canonical name.
+        # Shape pinned vs live DuckDB 1.0 (name/value/description/
+        # input_type/scope); metadata-only, no jobs.
+        from duck_server_spark.engine.gucs import ALL_GUCS
+
+        setting_rows = [
+            Row(
+                name="threads",
+                value=str(spark.sparkContext.defaultParallelism),
+                description="The number of total threads used by the system.",
+                input_type="BIGINT",
+                scope="GLOBAL",
+            )
+        ] + [
+            Row(name=k, value=v[0], description=v[1], input_type="VARCHAR", scope="LOCAL")
+            for k, v in sorted(ALL_GUCS.items())
+        ]
+        spark.createDataFrame(
+            setting_rows,
+            "name string, value string, description string, "
+            "input_type string, scope string",
+        ).createOrReplaceTempView("duckdb_settings")
         # information_schema constraint views (round 7): JDBC metadata's
         # getPrimaryKeys/getImportedKeys read these; names match the
         # runtime-generated constraint names used in error messages
@@ -880,11 +1092,17 @@ class Engine:
             df = run_pragma(self, inner)
             if df is not None:
                 return df
-        if _CHECKPOINT.match(q):
-            # DuckDB's CHECKPOINT flushes its WAL; a parquet warehouse
-            # has none — ack with DuckDB's empty Success shape
+        cp = _CHECKPOINT.match(q)
+        if cp:
+            # DuckDB's CHECKPOINT compacts the WAL; the analog here is
+            # reclaiming superseded COW version dirs (round 10 — grace
+            # honored; FORCE sweeps grace-zero only when the visibility
+            # gate is idle). Ack with DuckDB's empty Success shape.
             from pyspark.sql import types as T
 
+            from duck_server_spark.engine.transactions import checkpoint_sweep
+
+            checkpoint_sweep(self.spark, force=bool(cp.group(1)))
             return self.spark.createDataFrame(
                 [], T.StructType([T.StructField("Success", T.BooleanType())])
             )
@@ -1369,9 +1587,13 @@ class Engine:
             return "CREATE USER"  # pg_conn.go:291 tag
         if _DISCARD_ALL.match(q):
             return "DISCARD ALL"
-        if _CHECKPOINT.match(q):
-            # DuckDB WAL flush — honest no-op on a parquet warehouse
-            # (same contract as VACUUM); CH generic-exec path lands here
+        cp = _CHECKPOINT.match(q)
+        if cp:
+            # version-dir reclaim, same contract as the query() path
+            # (CH generic-exec lands here); round 10, VERDICT r9 item 5
+            from duck_server_spark.engine.transactions import checkpoint_sweep
+
+            checkpoint_sweep(self.spark, force=bool(cp.group(1)))
             return "CHECKPOINT"
         m = re.match(
             r"^\s*vacuum(?:\s+analyze)?(?:\s+([\w.]+))?\s*;?\s*$", q, re.IGNORECASE

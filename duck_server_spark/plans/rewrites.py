@@ -1389,7 +1389,9 @@ def rewrite_from_first(q: str) -> str:
 # paren-call spelling drops its parens (round 9; the bare spelling
 # `FROM duckdb_tables` is valid DuckDB too)
 _DUCKDB_TVF_VIEWS = re.compile(
-    r"\b(duckdb_tables|duckdb_views|duckdb_columns)\s*\(\s*\)", re.IGNORECASE
+    r"\b(duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints"
+    r"|duckdb_schemas|duckdb_settings|duckdb_functions)\s*\(\s*\)",
+    re.IGNORECASE,
 )
 
 # PG's current_setting('name') → the engine's GUC value as a text

@@ -1069,23 +1069,121 @@ class PgConnection:
         substituted here (the engine only knows the shared defaults
         table — the session overlay lives per-connection). Names not in
         the overlay fall through to the engine's rewrite, which answers
-        from defaults or raises PG's 42704 (round 9)."""
-        if not self.session_gucs or "current_setting" not in q.lower():
+        from defaults or raises PG's 42704 (round 9).
+
+        Round 10 (VERDICT r9 item 4): pg_settings / duckdb_settings
+        READS get the same session-overlay-first treatment — the
+        snapshot temp views are engine-global (one shared SparkSession),
+        so a connection with SET values sees an inline merged relation
+        substituted in FROM position instead. Connections with no
+        overlay keep the shared views untouched."""
+        if not self.session_gucs:
             return q
-        from duck_server_spark.engine.gucs import sql_str
-        from duck_server_spark.plans.rewrites import _CURRENT_SETTING, _mask_literals
+        low = q.lower()
+        if "current_setting" in low:
+            from duck_server_spark.engine.gucs import sql_str
+            from duck_server_spark.plans.rewrites import (
+                _CURRENT_SETTING,
+                _mask_literals,
+            )
+
+            masked = _mask_literals(q)
+
+            def repl(m: re.Match) -> str:
+                # same literal guard as the engine-side rewrite: a call
+                # whose text sits inside a string literal stays verbatim
+                if not masked[m.start() :].lower().startswith("current_setting"):
+                    return m.group(0)
+                val = self.session_gucs.get(m.group(1).lower())
+                return m.group(0) if val is None else f"'{sql_str(val)}'"
+
+            q = _CURRENT_SETTING.sub(repl, q)
+            low = q.lower()
+        if "pg_settings" in low or "duckdb_settings" in low:
+            q = self._inline_settings_views(q)
+        return q
+
+    # settings views in FROM/JOIN position (qualified column refs like
+    # pg_settings.name bind to the kept alias); an optional user alias
+    # after the name takes over, so `FROM pg_settings s` stays valid
+    _SETTINGS_VIEW_REF = re.compile(
+        r"\b(from|join)(\s+)((?:pg_catalog\.)?pg_settings|duckdb_settings)"
+        r"(\s*\(\s*\))?\b(\s+(?:as\s+)?[a-zA-Z_]\w*)?",
+        re.IGNORECASE,
+    )
+    _SETTINGS_ALIAS_KEYWORDS = frozenset(
+        "where group order limit offset having qualify union except intersect "
+        "join on inner left right full cross natural using as and or not".split()
+    )
+
+    def _inline_settings_views(self, q: str) -> str:
+        """Swap pg_settings / duckdb_settings references for an inline
+        VALUES relation: shared defaults merged with THIS connection's
+        SET overlay (custom GUCs included, like PG). Text-level and
+        bounded by the GUC table size — no jobs, no shared state."""
+        from duck_server_spark.engine.gucs import ALL_GUCS, sql_str
+        from duck_server_spark.plans.rewrites import _mask_literals
 
         masked = _mask_literals(q)
 
-        def repl(m: re.Match) -> str:
-            # same literal guard as the engine-side rewrite: a call
-            # whose text sits inside a string literal stays verbatim
-            if not masked[m.start() :].lower().startswith("current_setting"):
-                return m.group(0)
-            val = self.session_gucs.get(m.group(1).lower())
-            return m.group(0) if val is None else f"'{sql_str(val)}'"
+        def rows_pg() -> str:
+            merged = {k: (v[0], v[1]) for k, v in ALL_GUCS.items()}
+            for k, v in self.session_gucs.items():
+                desc = merged[k][1] if k in merged else ""
+                merged[k] = (v, desc)
+            return ", ".join(
+                f"('{sql_str(k)}', '{sql_str(v)}', '{sql_str(d)}')"
+                for k, (v, d) in sorted(merged.items())
+            )
 
-        return _CURRENT_SETTING.sub(repl, q)
+        def rows_duckdb() -> str:
+            merged = {
+                k: (v[0], v[1], "VARCHAR", "LOCAL") for k, v in ALL_GUCS.items()
+            }
+            for k, v in self.session_gucs.items():
+                desc = merged[k][1] if k in merged else ""
+                merged[k] = (v, desc, "VARCHAR", "LOCAL")
+            merged["threads"] = (
+                str(self.engine.spark.sparkContext.defaultParallelism),
+                "The number of total threads used by the system.",
+                "BIGINT",
+                "GLOBAL",
+            )
+            return ", ".join(
+                f"('{sql_str(k)}', '{sql_str(v)}', '{sql_str(d)}', "
+                f"'{ty}', '{sc}')"
+                for k, (v, d, ty, sc) in sorted(merged.items())
+            )
+
+        def repl(m: re.Match) -> str:
+            # ignore matches whose text sits inside a string literal
+            start = m.start()
+            if (
+                masked[start : start + len(m.group(1))].lower()
+                != m.group(1).lower()
+            ):
+                return m.group(0)
+            name = m.group(3).lower().rsplit(".", 1)[-1]
+            if name == "pg_settings":
+                inline = (
+                    f"(SELECT * FROM (VALUES {rows_pg()}) AS "
+                    "__pg_settings_inline(name, setting, short_desc))"
+                )
+            else:
+                inline = (
+                    f"(SELECT * FROM (VALUES {rows_duckdb()}) AS "
+                    "__duckdb_settings_inline(name, value, description, "
+                    "input_type, scope))"
+                )
+            alias = m.group(5) or ""
+            alias_word = alias.split()[-1].lower() if alias.split() else ""
+            if not alias_word or alias_word in self._SETTINGS_ALIAS_KEYWORDS:
+                # no user alias: keep the view name as the alias so
+                # qualified refs still bind; put back any trailing token
+                return f"{m.group(1)}{m.group(2)}{inline} AS {name}{alias}"
+            return f"{m.group(1)}{m.group(2)}{inline}{alias}"
+
+        return self._SETTINGS_VIEW_REF.sub(repl, q)
 
     async def _intercept_set_reset(self, q: str) -> str | None:
         """Session GUC SET/RESET, shared by BOTH protocols (asyncpg

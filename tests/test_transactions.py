@@ -1425,6 +1425,110 @@ def test_drop_reclaims_retired_plain_dir_without_sweep(pgt, spark):
     engine.execute("DROP TABLE vd_t")
 
 
+def test_settle_versions_layout_discovery_is_complete(pgt, spark):
+    """Round 10 (VERDICT r9 item 7): settle_versions discovers version
+    parents via two fixed glob depths (warehouse root + *.db/). Pin the
+    assumption on the LIVE warehouse: the two-glob set must equal a
+    recursive **/*__cow_versions scan, with a parent present at BOTH
+    depths — a future nested layout would silently escape bootstrap
+    settling, and this test is the loud break."""
+    import glob
+    import os
+
+    from duck_server_spark.engine.transactions import VERSION_MARK
+
+    _addr, engine = pgt
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("CREATE DATABASE IF NOT EXISTS svl_db")
+    for t in ("svl_t", "svl_db.svl_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(f"{wh}/svl_t", ignore_errors=True)
+    shutil.rmtree(f"{wh}/svl_t{VERSION_MARK}", ignore_errors=True)
+    shutil.rmtree(f"{wh}/svl_db.db/svl_t", ignore_errors=True)
+    shutil.rmtree(f"{wh}/svl_db.db/svl_t{VERSION_MARK}", ignore_errors=True)
+    try:
+        for t in ("svl_t", "svl_db.svl_t"):
+            engine.execute(f"CREATE TABLE {t} (id BIGINT, v DOUBLE)")
+            engine.execute(f"INSERT INTO {t} VALUES (1, 1.0)")
+            engine.execute(f"UPDATE {t} SET v = v + 1")  # makes a parent
+        two_glob = set(
+            glob.glob(os.path.join(wh, f"*{VERSION_MARK}"))
+            + glob.glob(os.path.join(wh, "*.db", f"*{VERSION_MARK}"))
+        )
+        recursive = set(
+            glob.glob(os.path.join(wh, "**", f"*{VERSION_MARK}"), recursive=True)
+        )
+        assert f"{wh}/svl_t{VERSION_MARK}" in two_glob
+        assert f"{wh}/svl_db.db/svl_t{VERSION_MARK}" in two_glob
+        assert two_glob == recursive, (
+            "version parents outside the two fixed glob depths — "
+            "settle_versions' discovery must learn the new layout",
+            sorted(recursive - two_glob),
+        )
+    finally:
+        for t in ("svl_t", "svl_db.svl_t"):
+            try:
+                engine.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:  # noqa: BLE001
+                pass
+        shutil.rmtree(f"{wh}/svl_t", ignore_errors=True)
+        shutil.rmtree(f"{wh}/svl_t{VERSION_MARK}", ignore_errors=True)
+        shutil.rmtree(f"{wh}/svl_db.db/svl_t", ignore_errors=True)
+        shutil.rmtree(f"{wh}/svl_db.db/svl_t{VERSION_MARK}", ignore_errors=True)
+
+
+def test_checkpoint_reclaims_version_dirs(pgt, spark):
+    """Round 10 (VERDICT r9 item 5): CHECKPOINT is the user-facing
+    "reclaim now" hook for version-dir disk growth. A tight-loop UPDATE
+    workload stacks superseded version dirs inside the grace window;
+    plain CHECKPOINT honors grace (dirs survive), FORCE CHECKPOINT
+    sweeps grace-zero when the visibility gate is idle — the CURRENT
+    version and pointer file survive and the table stays readable."""
+    import os
+
+    from duck_server_spark.engine.transactions import versions_parent
+
+    _addr, engine = pgt
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/ckp_t", ignore_errors=True)
+    shutil.rmtree(f"{wh}/ckp_t__cow_versions", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS ckp_t")
+    engine.execute("CREATE TABLE ckp_t (id BIGINT, v DOUBLE)")
+    engine.execute("INSERT INTO ckp_t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    for _ in range(3):  # tight-loop publishes stack version dirs
+        engine.execute("UPDATE ckp_t SET v = v + 1")
+    parent = versions_parent(spark, "ckp_t")
+
+    def version_dirs():
+        return {
+            d
+            for d in os.listdir(parent)
+            if os.path.isdir(os.path.join(parent, d))
+        }
+
+    before = version_dirs()
+    assert len(before) >= 3  # current + superseded, all inside grace
+    # plain CHECKPOINT honors the grace window: nothing reclaimed yet
+    engine.execute("CHECKPOINT")
+    assert version_dirs() == before
+    # FORCE CHECKPOINT with an idle gate: grace-zero sweep — only the
+    # CURRENT version dir (and the pointer file) survive
+    engine.execute("FORCE CHECKPOINT")
+    after = version_dirs()
+    assert len(after) == 1 and after < before
+    assert os.path.isfile(os.path.join(parent, "CURRENT"))
+    assert not os.path.isdir(f"{wh}/ckp_t")  # retired plain dir reclaimed
+    # the table still reads the post-update rows
+    got = sorted(tuple(r) for r in spark.table("ckp_t").collect())
+    assert got == [(1, 4.0), (2, 5.0), (3, 6.0)]
+    # the query() path (wire SELECT-classified CHECKPOINT) acks with
+    # DuckDB's empty Success shape and also sweeps
+    df = engine.query("CHECKPOINT")
+    assert df.columns == ["Success"] and df.count() == 0
+    engine.execute("DROP TABLE ckp_t")
+    shutil.rmtree(f"{wh}/ckp_t__cow_versions", ignore_errors=True)
+
+
 def test_retired_dirs_get_full_grace_from_retirement(pgt, spark):
     """Review finding: the grace window counts from RETIREMENT, not from
     the directory's last write — an old table's just-retired dir must

@@ -324,6 +324,31 @@ FORBIDDEN = {
 }
 
 
+# Rows-only estimate plans whose correctness is carried by a
+# bounded-error gate twin (round 10, VERDICT r9 item 8): the claim
+# "the twin exercises the same plan as the estimate" must stay
+# machine-checked — if the twin ever stops building on the estimate's
+# pipeline, it would verify a DIFFERENT plan than the one bench.py
+# times and users run. Assertion: every physical operator type in the
+# estimate's plan appears in the twin's plan at least as many times
+# (the twin adds the exact-reference and comparison stages on top).
+TWIN_PLAN_PAIRS = {
+    "similarity_ann_pq_est": "similarity_ann_pq",
+    "dedup_minhash_lsh_fast_est": "dedup_minhash_lsh_fast",
+}
+
+_PLAN_NODE = re.compile(r"^[\s*+:|\\-]*(?:\* )?([A-Za-z][A-Za-z]+\w*) \(\d+\)", re.MULTILINE)
+
+
+def plan_fingerprint(plan: str) -> dict[str, int]:
+    """Multiset of physical operator type names from a formatted plan
+    (node ids stripped — they differ run to run)."""
+    counts: dict[str, int] = {}
+    for m in _PLAN_NODE.finditer(plan):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
 def main() -> None:
     from duck_server_spark.engine.session import get_session
     from duck_server_spark.operators import all_queries
@@ -354,6 +379,36 @@ def main() -> None:
             print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
             if not ok:
                 failures.append((name, desc, plan))
+    # est/twin plan-containment assertions (round 10, VERDICT r9 item 8)
+    import contextlib
+    import io
+
+    for est_name, twin_name in TWIN_PLAN_PAIRS.items():
+        plans = {}
+        for n in (est_name, twin_name):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                queries[n](spark, SF).explain("formatted")
+            plans[n] = plan_fingerprint(buf.getvalue())
+        est_fp, twin_fp = plans[est_name], plans[twin_name]
+        missing = {
+            op: (k, twin_fp.get(op, 0))
+            for op, k in est_fp.items()
+            if twin_fp.get(op, 0) < k
+        }
+        ok = not missing and bool(est_fp)
+        print(
+            f"{'PASS' if ok else 'FAIL'}  {twin_name}: gate twin still "
+            f"contains the {est_name} plan ({len(est_fp)} operator types)"
+        )
+        if not ok:
+            failures.append(
+                (
+                    twin_name,
+                    f"twin plan lost estimate operators: {missing}",
+                    f"est={est_fp}\ntwin={twin_fp}",
+                )
+            )
     if failures:
         print(f"\n{len(failures)} FAILURES; first plan:\n")
         print(failures[0][2][:4000])
