@@ -130,9 +130,36 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "duckdb_schemas",
         "duckdb_settings",
         "duckdb_functions",
+        "duckdb_databases",
+        "duckdb_sequences",
+        "duckdb_indexes",
+        "duckdb_keywords",
+        "duckdb_types",
     )
 )
 _INTERNAL_TABLE_MARKS = ("__txn_", "__cow_staging_", "__ins_staging_", "__alter_staging_")
+# duckdb_types() rows for the Spark-representable type surface:
+# (type_name, type_size, logical_type, type_category) — sizes, logical
+# names, and categories pinned value-for-value vs live DuckDB 1.x
+_DUCKDB_TYPE_ROWS = (
+    ("bigint", 8, "BIGINT", "NUMERIC"),
+    ("blob", 16, "BLOB", None),
+    ("boolean", 1, "BOOLEAN", "BOOLEAN"),
+    ("date", 4, "DATE", "DATETIME"),
+    ("decimal", None, "DECIMAL", "NUMERIC"),
+    ("double", 8, "DOUBLE", "NUMERIC"),
+    ("float", 4, "FLOAT", "NUMERIC"),
+    ("integer", 4, "INTEGER", "NUMERIC"),
+    ("interval", 16, "INTERVAL", "DATETIME"),
+    ("list", 16, "LIST", "COMPOSITE"),
+    ("map", 16, "MAP", "COMPOSITE"),
+    ("smallint", 2, "SMALLINT", "NUMERIC"),
+    ("struct", 0, "STRUCT", "COMPOSITE"),
+    ("timestamp", 8, "TIMESTAMP", "DATETIME"),
+    ("tinyint", 1, "TINYINT", "NUMERIC"),
+    ("varchar", 16, "VARCHAR", "STRING"),
+)
+
 # builtins tagged `aggregate` in duckdb_functions() — listFunctions has
 # no kind flag, so the common aggregate surface is pinned by name
 _AGGREGATE_FN_NAMES = frozenset(
@@ -190,7 +217,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints|duckdb_schemas|duckdb_settings|duckdb_functions)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints|duckdb_schemas|duckdb_settings|duckdb_functions|duckdb_databases|duckdb_sequences|duckdb_indexes|duckdb_keywords|duckdb_types)\b",
     re.IGNORECASE,
 )
 
@@ -801,6 +828,149 @@ class Engine:
             "name string, value string, description string, "
             "input_type string, scope string",
         ).createOrReplaceTempView("duckdb_settings")
+        # Second introspection block (round 10): duckdb_databases /
+        # duckdb_sequences / duckdb_indexes / duckdb_keywords /
+        # duckdb_types — the rest of the TVF surface embedded DuckDB
+        # serves behind the reference's delegation points. Shapes pinned
+        # vs live DuckDB 1.x; values are engine truth (warehouse paths,
+        # the sequence/index registries, this dialect's keyword list).
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        spark.createDataFrame(
+            [
+                Row(
+                    database_name=db.name,
+                    database_oid=_oid(db.name),
+                    path=(
+                        warehouse
+                        if db.name == "default"
+                        else os.path.join(warehouse, f"{db.name}.db")
+                    ),
+                    comment=None,
+                    tags=None,
+                    # type='duckdb' keeps client feature-switching on the
+                    # path the reference's embedded engine reports
+                    internal=False,
+                    type="duckdb",
+                    readonly=False,
+                )
+                for db in databases
+            ]
+            or [],
+            "database_name string, database_oid bigint, path string, "
+            "comment string, tags map<string,string>, internal boolean, "
+            "type string, readonly boolean",
+        ).createOrReplaceTempView("duckdb_databases")
+        seq_rows = []
+        for sname, rec in sorted(self.sequences._load().items()):
+            inc = rec.get("inc", 1)
+            start = rec.get("start", rec.get("next"))
+            nxt = rec.get("next")
+            used = nxt != start
+            # DuckDB's sql text reflects the CURRENT high-water mark in
+            # START (pinned live); last_value is NULL until first use
+            seq_rows.append(
+                Row(
+                    database_name=current_db,
+                    database_oid=_oid(current_db),
+                    schema_name="main",
+                    schema_oid=_oid(f"{current_db}.main"),
+                    sequence_name=sname,
+                    sequence_oid=_oid(f"seq.{sname}"),
+                    comment=None,
+                    tags=None,
+                    temporary=False,
+                    start_value=start,
+                    min_value=1 if inc > 0 else -(2**63),
+                    max_value=2**63 - 1 if inc > 0 else -1,
+                    increment_by=inc,
+                    cycle=False,
+                    last_value=(nxt - inc) if used else None,
+                    sql=(
+                        f"CREATE SEQUENCE {sname} INCREMENT BY {inc} "
+                        f"MINVALUE {1 if inc > 0 else -(2**63)} "
+                        f"MAXVALUE {2**63 - 1 if inc > 0 else -1} "
+                        f"START {nxt} NO CYCLE;"
+                    ),
+                )
+            )
+        spark.createDataFrame(
+            seq_rows or [],
+            "database_name string, database_oid bigint, schema_name string, "
+            "schema_oid bigint, sequence_name string, sequence_oid bigint, "
+            "comment string, tags map<string,string>, temporary boolean, "
+            "start_value bigint, min_value bigint, max_value bigint, "
+            "increment_by bigint, cycle boolean, last_value bigint, sql string",
+        ).createOrReplaceTempView("duckdb_sequences")
+        idx_rows = []
+        for iname, rec in sorted(self.indexes.items()):
+            itable = rec.get("table", "")
+            icols = rec.get("cols", [])
+            idx_rows.append(
+                Row(
+                    database_name=current_db,
+                    database_oid=_oid(current_db),
+                    schema_name="main",
+                    schema_oid=_oid(f"{current_db}.main"),
+                    index_name=iname,
+                    index_oid=_oid(f"idx.{iname}"),
+                    table_name=itable,
+                    table_oid=_oid(f"{current_db}.{itable}"),
+                    comment=None,
+                    tags=None,
+                    is_unique=bool(rec.get("unique")),
+                    is_primary=False,
+                    expressions=None,
+                    sql=(
+                        f"CREATE {'UNIQUE ' if rec.get('unique') else ''}INDEX "
+                        f"{iname} ON {itable}({', '.join(icols)});"
+                    ),
+                )
+            )
+        spark.createDataFrame(
+            idx_rows or [],
+            "database_name string, database_oid bigint, schema_name string, "
+            "schema_oid bigint, index_name string, index_oid bigint, "
+            "table_name string, table_oid bigint, comment string, "
+            "tags map<string,string>, is_unique boolean, is_primary boolean, "
+            "expressions string, sql string",
+        ).createOrReplaceTempView("duckdb_indexes")
+        # keywords: THIS dialect's quoting-sensitivity list (the same
+        # set normalize_quoted_idents keeps backticked) as 'reserved' —
+        # engine truth, not a transcript of DuckDB's 479-row table
+        from duck_server_spark.plans.rewrites import _QUOTED_IDENT_KEYWORDS
+
+        spark.createDataFrame(
+            [
+                Row(keyword_name=k, keyword_category="reserved")
+                for k in sorted(_QUOTED_IDENT_KEYWORDS)
+            ],
+            "keyword_name string, keyword_category string",
+        ).createOrReplaceTempView("duckdb_keywords")
+        spark.createDataFrame(
+            [
+                Row(
+                    database_name="system",
+                    database_oid=_oid("system"),
+                    schema_name="main",
+                    schema_oid=_oid("system.main"),
+                    type_oid=_oid(f"type.{n}"),
+                    type_name=n,
+                    type_size=sz,
+                    logical_type=lt,
+                    type_category=cat,
+                    comment=None,
+                    tags=None,
+                    internal=True,
+                    labels=None,
+                )
+                for n, sz, lt, cat in _DUCKDB_TYPE_ROWS
+            ],
+            "database_name string, database_oid bigint, schema_name string, "
+            "schema_oid bigint, type_oid bigint, type_name string, "
+            "type_size bigint, logical_type string, type_category string, "
+            "comment string, tags map<string,string>, internal boolean, "
+            "labels array<string>",
+        ).createOrReplaceTempView("duckdb_types")
         # information_schema constraint views (round 7): JDBC metadata's
         # getPrimaryKeys/getImportedKeys read these; names match the
         # runtime-generated constraint names used in error messages

@@ -86,8 +86,10 @@ class SequenceStore:
                 if if_not_exists:
                     return
                 raise PgError("42P07", f'sequence "{name}" already exists')
-            # "next" is the value the NEXT nextval returns
-            data[key] = {"next": start, "inc": inc}
+            # "next" is the value the NEXT nextval returns; "start" is
+            # kept for introspection (duckdb_sequences' start_value /
+            # last_value derivation — round 10)
+            data[key] = {"next": start, "inc": inc, "start": start}
             self._save(data)
 
     def drop(self, name: str, if_exists: bool) -> None:

@@ -1390,7 +1390,9 @@ def rewrite_from_first(q: str) -> str:
 # `FROM duckdb_tables` is valid DuckDB too)
 _DUCKDB_TVF_VIEWS = re.compile(
     r"\b(duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints"
-    r"|duckdb_schemas|duckdb_settings|duckdb_functions)\s*\(\s*\)",
+    r"|duckdb_schemas|duckdb_settings|duckdb_functions|duckdb_databases"
+    r"|duckdb_sequences|duckdb_indexes|duckdb_keywords|duckdb_types)"
+    r"\s*\(\s*\)",
     re.IGNORECASE,
 )
 

@@ -1285,6 +1285,130 @@ def test_duckdb_introspection_tvf_tail_pinned_vs_duckdb(pgc, spark):
         duck.close()
 
 
+def test_duckdb_introspection_second_block_pinned_vs_duckdb(pgc, spark):
+    """Round 10 second block: duckdb_databases() / duckdb_sequences() /
+    duckdb_indexes() / duckdb_keywords() / duckdb_types() — the rest of
+    the TVF surface embedded DuckDB serves behind the reference's
+    delegation points. Column shapes pinned vs live DuckDB 1.x;
+    sequence rows pinned value-for-value (incl. the live START
+    high-water mark in the sql text and the NULL-until-used
+    last_value); type rows pinned for the shared scalar surface."""
+    import shutil
+
+    import duckdb
+
+    from duck_server_spark.engine.executor import Engine
+
+    eng = Engine(spark)
+    duck = duckdb.connect()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    eng.execute("DROP INDEX IF EXISTS itb_ix")
+    eng.execute("DROP TABLE IF EXISTS itb_t")
+    shutil.rmtree(f"{wh}/itb_t", ignore_errors=True)
+    eng.execute("DROP SEQUENCE IF EXISTS itb_s")
+    for ddl in (
+        "CREATE SEQUENCE itb_s START 5 INCREMENT 2",
+        "CREATE TABLE itb_t (a INT, b INT)",
+        "CREATE UNIQUE INDEX itb_ix ON itb_t(a, b)",
+    ):
+        eng.execute(ddl)
+        duck.execute(ddl)
+    try:
+        for tvf in ("duckdb_databases()", "duckdb_sequences()",
+                    "duckdb_indexes()", "duckdb_keywords()", "duckdb_types()"):
+            want_cols = [
+                d[0] for d in duck.execute(f"SELECT * FROM {tvf} LIMIT 0").description
+            ]
+            got_cols = eng.query(f"SELECT * FROM {tvf} LIMIT 0").columns
+            assert got_cols == want_cols, (tvf, got_cols, want_cols)
+        # sequences: full value row incl. derived bounds and sql text
+        probe = (
+            "SELECT sequence_name, temporary, start_value, min_value, "
+            "max_value, increment_by, cycle, last_value "
+            "FROM duckdb_sequences() WHERE sequence_name = 'itb_s'"
+        )
+        assert [tuple(r) for r in eng.query(probe).collect()] == (
+            duck.execute(probe).fetchall()
+        )
+        # after a nextval the sql text's START advances and last_value
+        # materializes — both pinned against live DuckDB
+        for con in (eng, duck):
+            (con.query if con is eng else con.execute)(
+                "SELECT nextval('itb_s') AS v"
+            )
+        probe2 = (
+            "SELECT last_value, sql FROM duckdb_sequences() "
+            "WHERE sequence_name = 'itb_s'"
+        )
+        got2 = [tuple(r) for r in eng.query(probe2).collect()]
+        want2 = duck.execute(probe2).fetchall()
+        # DuckDB's sql names the sequence as created; ours matches after
+        # normalizing the engine-specific name spelling
+        assert got2[0][0] == want2[0][0] == 5
+        assert got2[0][1].replace("itb_s", "X") == want2[0][1].replace("itb_s", "X")
+        # indexes: the unique index row
+        probe3 = (
+            "SELECT index_name, table_name, is_unique, is_primary "
+            "FROM duckdb_indexes() WHERE index_name = 'itb_ix'"
+        )
+        assert [tuple(r) for r in eng.query(probe3).collect()] == (
+            duck.execute(probe3).fetchall()
+        )
+        # types: the shared scalar surface, value-for-value
+        probe4 = (
+            "SELECT type_name, type_size, logical_type, type_category "
+            "FROM duckdb_types() WHERE database_name = 'system' AND type_name "
+            "IN ('bigint','blob','boolean','date','decimal','double','float',"
+            "'integer','smallint','timestamp','tinyint','varchar','struct',"
+            "'list','map','interval') ORDER BY type_name"
+        )
+        assert [tuple(r) for r in eng.query(probe4).collect()] == (
+            duck.execute(probe4).fetchall()
+        )
+        # keywords: 2-col shape; the engine's reserved list covers the
+        # words DuckDB itself marks reserved that our normalizer keeps
+        # backticked (spot pins)
+        kws = {
+            r[0]
+            for r in eng.query(
+                "SELECT keyword_name FROM duckdb_keywords() "
+                "WHERE keyword_category = 'reserved'"
+            ).collect()
+        }
+        assert {"select", "from", "where", "order", "group", "table"} <= kws
+        # databases: our default row, engine truth for the path
+        got = eng.query(
+            "SELECT database_name, internal, type, readonly, path "
+            "FROM duckdb_databases() WHERE database_name = 'default'"
+        ).collect()
+        assert [tuple(r)[:4] for r in got] == [("default", False, "duckdb", False)]
+        assert got[0][4]  # a real warehouse path
+        # DBeaver-style wire probes, paren + bare spellings
+        c = PgClient(*pgc)
+        _, rows, _ = c.simple_query(
+            "SELECT sequence_name FROM duckdb_sequences() "
+            "WHERE sequence_name = 'itb_s'"
+        )
+        assert rows == [("itb_s",)]
+        _, rows, _ = c.simple_query(
+            "SELECT count(*) FROM duckdb_keywords WHERE keyword_name = 'select'"
+        )
+        assert rows == [("1",)]
+        c.terminate()
+    finally:
+        for stmt in (
+            "DROP INDEX IF EXISTS itb_ix",
+            "DROP TABLE IF EXISTS itb_t",
+            "DROP SEQUENCE IF EXISTS itb_s",
+        ):
+            try:
+                eng.execute(stmt)
+            except Exception:  # noqa: BLE001
+                pass
+        shutil.rmtree(f"{wh}/itb_t", ignore_errors=True)
+        duck.close()
+
+
 # ---------------------------------------------------------------------------
 # USING SAMPLE / TABLESAMPLE shims (round 7)
 # ---------------------------------------------------------------------------
