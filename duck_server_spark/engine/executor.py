@@ -638,6 +638,7 @@ class Engine:
                         )
 
                     pk_cols: list[str] = []
+                    nn_emitted: set[str] = set()
                     for cc in cons:
                         kind, ccols = cc["kind"], cc.get("cols", [])
                         joined = ", ".join(ccols)
@@ -649,6 +650,7 @@ class Engine:
                         elif kind == "notnull":
                             for c in ccols:
                                 _con_row("NOT NULL", "NOT NULL", [c])
+                                nn_emitted.add(c.lower())
                         elif kind == "check":
                             e = cc.get("expr", "")
                             _con_row("CHECK", f"CHECK(({e}))", ccols, f"({e})")
@@ -666,10 +668,14 @@ class Engine:
                                 f"{ref_t}({', '.join(ref_cols)})",
                                 ccols,
                             )
-                    # DuckDB emits a NOT NULL row per PK column (after
-                    # the explicit constraints; pinned live)
+                    # DuckDB emits ONE NOT NULL row per PK column (after
+                    # the explicit constraints; pinned live) — skip
+                    # columns already emitted by an explicit NOT NULL
+                    # (review finding: `id INT PRIMARY KEY NOT NULL`
+                    # double-emitted, DuckDB shows exactly one row)
                     for c in pk_cols:
-                        _con_row("NOT NULL", "NOT NULL", [c])
+                        if c.lower() not in nn_emitted:
+                            _con_row("NOT NULL", "NOT NULL", [c])
         spark.createDataFrame(tabs or [], "database string, name string, engine string").createOrReplaceTempView("system_tables")
         spark.createDataFrame(cols or [], "database string, table string, name string, type string").createOrReplaceTempView("system_columns")
         catalog_fns = spark.catalog.listFunctions()
@@ -863,9 +869,13 @@ class Engine:
         seq_rows = []
         for sname, rec in sorted(self.sequences._load().items()):
             inc = rec.get("inc", 1)
-            start = rec.get("start", rec.get("next"))
             nxt = rec.get("next")
-            used = nxt != start
+            # records persisted before round 10 lack "start" — the
+            # current high-water mark is the only honest approximation
+            # (start_value may over-report and last_value under-report
+            # for such sequences; newly created ones are exact)
+            start = rec.get("start", nxt)
+            used = "start" in rec and nxt != rec["start"]
             # DuckDB's sql text reflects the CURRENT high-water mark in
             # START (pinned live); last_value is NULL until first use
             seq_rows.append(
@@ -1086,10 +1096,6 @@ class Engine:
         # etc. must never 42883 on a broken macro-view they merely name
         # (round-10 advice finding). Search a literal-masked twin so the
         # view's name inside a string literal doesn't count either.
-        head_m = re.match(r"\s*([a-zA-Z]+)", q)
-        head = head_m.group(1).lower() if head_m else ""
-        if head not in self._VIEW_BINDING_HEADS:
-            return
         from duck_server_spark.plans.rewrites import _mask_literals
 
         q_masked = _mask_literals(q)
@@ -1099,6 +1105,14 @@ class Engine:
         q_masked = re.sub(
             r"/\*.*?\*/", lambda m: " " * len(m.group(0)), q_masked, flags=re.DOTALL
         )
+        # statement head from the comment-blanked twin (review finding:
+        # a leading ORM comment — '/* sqlcommenter */ SELECT …' — made
+        # the raw-text head '' and silently SKIPPED the check, serving
+        # stale macro-view rows); leading parens are a SELECT wrapper
+        head_m = re.match(r"[\s(]*([a-zA-Z]+)", q_masked)
+        head = head_m.group(1).lower() if head_m else ""
+        if head not in self._VIEW_BINDING_HEADS:
+            return
         from duck_server_spark.engine.errors import PgError
 
         # DROP VIEW / CREATE OR REPLACE VIEW of the macro-view itself

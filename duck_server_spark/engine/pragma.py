@@ -45,10 +45,14 @@ def _one_name_arg(name: str, args: str | None) -> str:
             "42601", f"Pragma {name} requires a single table-name argument"
         )
     a = args.strip()
-    m = re.match(r"^'([^']*)'$|^\"([^\"]*)\"$|^([\w.]+)$", a)
+    # backticked segments appear when the global quoted-identifier
+    # normalizer ran first — PRAGMA table_info("order") reaches here as
+    # table_info(`order`) (review finding: the double-quote alternative
+    # alone was dead code for exactly the names that need quoting)
+    m = re.match(r"^'([^']*)'$|^\"([^\"]*)\"$|^([\w.`]+)$", a)
     if m is None:
         raise PgError("42601", f"invalid pragma argument: {a}")
-    return (m.group(1) or m.group(2) or m.group(3)).strip()
+    return (m.group(1) or m.group(2) or m.group(3)).replace("`", "").strip()
 
 
 def run_pragma(engine, q: str) -> DataFrame | None:
@@ -109,8 +113,15 @@ def _table_info(engine, table: str) -> DataFrame:
     spark = engine.spark
     # keep a database qualifier intact — PRAGMA table_info('db.t') must
     # resolve in db, not strip to the bare name and hit the current
-    # database's same-named table (round-10 advice finding)
+    # database's same-named table (round-10 advice finding). DuckDB's
+    # own schema spelling 'main.t' (the schema_name this engine
+    # advertises in duckdb_tables/duckdb_schemas) maps to the bare name
+    # (review finding: treating 'main' as a Spark database 42P01'd the
+    # canonical qualified probe); 'db.main.t' likewise drops 'main'.
     tbl = table.strip()
+    parts = tbl.split(".")
+    if len(parts) >= 2 and parts[-2].lower() == "main":
+        tbl = ".".join(parts[:-2] + [parts[-1]])
     if not spark.catalog.tableExists(tbl):
         raise PgError(
             "42P01",

@@ -185,13 +185,6 @@ class _VisibilityGate:
         finally:
             self.release_write()
 
-    def idle(self) -> bool:
-        """True when no reader or writer currently holds the gate —
-        FORCE CHECKPOINT's precondition for a grace-zero sweep."""
-        with self._cond:
-            return self._readers == 0 and not self._writer
-
-
 VISIBILITY_GATE = _VisibilityGate()
 
 
@@ -567,25 +560,37 @@ def checkpoint_sweep(spark, force: bool = False) -> list[str]:
     publish count until the next sweep, and CHECKPOINT is the
     user-facing "reclaim now" hook.
 
-    Grace is honored; FORCE CHECKPOINT sweeps with grace ZERO — but
-    only when no reader holds the visibility gate (a grace-zero sweep
-    under an in-flight analysis would re-open the in-flight-reader
-    race the version dirs exist to close). Metadata-only: O(tables ×
-    version dirs) filesystem work, no Spark jobs."""
-    grace: float | None = None
-    if force and VISIBILITY_GATE.idle():
-        grace = 0.0
+    Grace is honored; FORCE CHECKPOINT sweeps with grace ZERO while
+    HOLDING the visibility gate exclusively — it waits for in-flight
+    analyses to drain and blocks new ones for the duration, so no plan
+    can pin a version dir between the check and the rmtree (review
+    finding: a one-shot idle() sample was TOCTOU — a reader could
+    acquire the gate mid-sweep). A scan already EXECUTING past analysis
+    can still lose its files — that is FORCE's documented contract
+    (DuckDB's FORCE CHECKPOINT likewise aborts in-flight transactions);
+    plain CHECKPOINT with grace is the safe spelling. Metadata-only:
+    O(tables × version dirs) filesystem work, no Spark jobs."""
     removed: list[str] = []
     try:
         current_db = spark.catalog.currentDatabase()
     except Exception:  # noqa: BLE001
         current_db = "default"
-    for d in spark.catalog.listDatabases():
-        for t in spark.catalog.listTables(d.name):
-            if (t.tableType or "").upper() != "MANAGED":
-                continue
-            name = t.name if d.name == current_db else f"{d.name}.{t.name}"
-            removed += sweep_table_versions(spark, name, grace_s=grace)
+
+    def _sweep_all(grace: float | None) -> None:
+        for d in spark.catalog.listDatabases():
+            for t in spark.catalog.listTables(d.name):
+                if (t.tableType or "").upper() != "MANAGED":
+                    continue
+                name = (
+                    t.name if d.name == current_db else f"{d.name}.{t.name}"
+                )
+                removed.extend(sweep_table_versions(spark, name, grace_s=grace))
+
+    if force:
+        with VISIBILITY_GATE.writing():
+            _sweep_all(0.0)
+    else:
+        _sweep_all(None)
     return removed
 
 

@@ -1308,6 +1308,19 @@ _SUBQUERY_INTRO_KEYWORDS = frozenset(
         "semi",
         "natural",
         "asof",
+        # scalar-subquery-introducing operators (review finding: a
+        # paren after BETWEEN/LIKE/IS was misread as a function call,
+        # skipping the FROM-first rewrite of a valid DuckDB sub-body)
+        "between",
+        "like",
+        "ilike",
+        "rlike",
+        "similar",
+        "glob",
+        "is",
+        "escape",
+        "limit",
+        "offset",
     }
 )
 

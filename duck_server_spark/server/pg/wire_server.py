@@ -1103,12 +1103,18 @@ class PgConnection:
             q = self._inline_settings_views(q)
         return q
 
-    # settings views in FROM/JOIN position (qualified column refs like
-    # pg_settings.name bind to the kept alias); an optional user alias
-    # after the name takes over, so `FROM pg_settings s` stays valid
+    # settings views in FROM/JOIN position — including comma-style FROM
+    # lists (`FROM t, pg_settings s` — review finding: the comma form
+    # silently bypassed the session overlay). Qualified column refs like
+    # pg_settings.name bind to the kept alias; an optional user alias
+    # after the name takes over, so `FROM pg_settings s` stays valid.
+    # (?!\.) — a comma can also precede a QUALIFIED COLUMN REF in a
+    # select list (`SELECT a, pg_settings.name …`), which must not be
+    # rewritten; in FROM position the view name is never dot-followed
     _SETTINGS_VIEW_REF = re.compile(
-        r"\b(from|join)(\s+)((?:pg_catalog\.)?pg_settings|duckdb_settings)"
-        r"(\s*\(\s*\))?\b(\s+(?:as\s+)?[a-zA-Z_]\w*)?",
+        r"(\bfrom|\bjoin|,)(\s+|(?<=,)\s*)"
+        r"((?:pg_catalog\.)?pg_settings|duckdb_settings)"
+        r"(\s*\(\s*\))?\b(?!\.)(\s+(?:as\s+)?[a-zA-Z_]\w*)?",
         re.IGNORECASE,
     )
     _SETTINGS_ALIAS_KEYWORDS = frozenset(

@@ -888,6 +888,10 @@ def test_from_first_pinned_vs_duckdb(spark, duck, sf_dir):
         "SELECT trim(FROM '  x  ') AS t",
         "SELECT trim  (FROM '  x  ') AS t",
         "FROM region SELECT trim(FROM '  y  ') AS t WHERE r_regionkey = 0",
+        # review finding: a paren after BETWEEN/LIKE/IS is a scalar
+        # sub-body, NOT a function call — the guard must not skip it
+        "SELECT 2 BETWEEN (FROM region SELECT min(r_regionkey)) AND 4 AS r",
+        "SELECT 'AFRICA' LIKE (FROM region SELECT 'AFR%' LIMIT 1) AS r",
     ]
     for p in probes:
         want = sorted(map(repr, duck.execute(p).fetchall()))
@@ -1014,6 +1018,14 @@ def test_pragma_family_pinned_vs_duckdb(pgc, spark):
     assert [r[1] for r in qrows] == ["other_col"]
     _, qrows2, _ = c.simple_query("PRAGMA table_info('default.prg_t')")
     assert [r[1] for r in qrows2] == ["id", "name", "v"]
+    # DuckDB's own schema spelling 'main.t' (and quoted spellings) must
+    # resolve too (review findings: 'main' 42P01'd as a Spark database;
+    # the global quote normalizer turned "t" into a backticked arg the
+    # pragma regex rejected)
+    _, mrows, _ = c.simple_query("PRAGMA table_info('main.prg_t')")
+    assert [r[1] for r in mrows] == ["id", "name", "v"]
+    _, mrows2, _ = c.simple_query('PRAGMA table_info("prg_t")')
+    assert [r[1] for r in mrows2] == ["id", "name", "v"]
     with pytest.raises(RuntimeError):
         c.simple_query("PRAGMA table_info('prgdb.prg_missing')")
     spark.sql("DROP TABLE IF EXISTS prgdb.prg_t")
@@ -1162,7 +1174,7 @@ def test_duckdb_introspection_tvf_tail_pinned_vs_duckdb(pgc, spark):
     eng = Engine(spark)
     duck = duckdb.connect()
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("dct_t", "dct_p"):
+    for t in ("dct_t", "dct_k", "dct_p"):
         eng.execute(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     eng.macros.drop("dct_m", if_exists=True)
@@ -1173,7 +1185,10 @@ def test_duckdb_introspection_tvf_tail_pinned_vs_duckdb(pgc, spark):
         "CREATE TABLE dct_t (a INT, b INT, x INT UNIQUE, nn INT NOT NULL, "
         "c INT CHECK (c > 0), fk INT REFERENCES dct_p(id), PRIMARY KEY (a, b))"
     )
-    for ddl in (ddl_p, ddl_t):
+    # review finding: PRIMARY KEY + explicit NOT NULL on the same column
+    # must emit exactly ONE NOT NULL row, like DuckDB
+    ddl_k = "CREATE TABLE dct_k (id INT PRIMARY KEY NOT NULL)"
+    for ddl in (ddl_p, ddl_t, ddl_k):
         eng.execute(ddl)
         duck.execute(ddl)
     for m in ("CREATE MACRO dct_m(x, y) AS x + y",
@@ -1274,7 +1289,7 @@ def test_duckdb_introspection_tvf_tail_pinned_vs_duckdb(pgc, spark):
         assert wrows == [("NOT NULL",), ("PRIMARY KEY",)]
         c.terminate()
     finally:
-        for t in ("dct_t", "dct_p"):
+        for t in ("dct_t", "dct_k", "dct_p"):
             try:
                 eng.execute(f"DROP TABLE IF EXISTS {t}")
             except Exception:  # noqa: BLE001
@@ -1346,6 +1361,21 @@ def test_duckdb_introspection_second_block_pinned_vs_duckdb(pgc, spark):
         # normalizing the engine-specific name spelling
         assert got2[0][0] == want2[0][0] == 5
         assert got2[0][1].replace("itb_s", "X") == want2[0][1].replace("itb_s", "X")
+        # pre-round-10 sequence records (no "start" key) degrade as
+        # documented: start_value approximated by the current high-water
+        # mark, last_value NULL — never a crash or a fabricated value
+        import json as _json
+
+        with open(eng.sequences._path) as f:
+            _data = _json.load(f)
+        _data["itb_legacy"] = {"next": 7, "inc": 1}  # as round-9 wrote it
+        eng.sequences._save(_data)
+        got_legacy = eng.query(
+            "SELECT start_value, last_value FROM duckdb_sequences() "
+            "WHERE sequence_name = 'itb_legacy'"
+        ).collect()
+        assert [tuple(r) for r in got_legacy] == [(7, None)]
+        eng.execute("DROP SEQUENCE itb_legacy")
         # indexes: the unique index row
         probe3 = (
             "SELECT index_name, table_name, is_unique, is_primary "

@@ -343,6 +343,15 @@ def test_broken_macro_view_only_blocks_binding_statements(eng, spark):
         with pytest.raises(PgError) as ei:
             eng.query("SELECT * FROM brokv").collect()
         assert ei.value.pgcode == "42883" and "brokm" in str(ei.value)
+        # ...including with a leading ORM comment (review finding: the
+        # head was read from the RAW text, so '/* c */ SELECT' had head
+        # '' and silently skipped the check, serving stale rows)
+        with pytest.raises(PgError):
+            eng.query("/* sqlcommenter */ SELECT * FROM brokv").collect()
+        with pytest.raises(PgError):
+            eng.query("-- note\nSELECT * FROM brokv").collect()
+        with pytest.raises(PgError):
+            eng.query("(SELECT * FROM brokv)").collect()
         # ... including through DML that reads it
         with pytest.raises(PgError):
             eng.query("SELECT (SELECT a FROM brokv) AS x").collect()

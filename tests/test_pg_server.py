@@ -983,6 +983,19 @@ def test_pg_settings_session_scoped(pg):
         "SELECT value FROM duckdb_settings() WHERE name = 'application_name'"
     )
     assert rows == [("sess_a_app",)]
+    # comma-style FROM list (older ORM SQL — review finding: it
+    # bypassed the overlay and read the shared defaults)
+    _, rows, _ = a.simple_query(
+        "SELECT s.setting FROM pg_type, pg_settings s "
+        "WHERE s.name = 'myext.knob' AND pg_type.oid = 16"
+    )
+    assert rows == [("k1",)]
+    # ...while a comma-preceded QUALIFIED COLUMN REF stays untouched
+    _, rows, _ = a.simple_query(
+        "SELECT pg_settings.name, pg_settings.setting FROM pg_settings "
+        "WHERE pg_settings.name = 'myext.knob'"
+    )
+    assert rows == [("myext.knob", "k1")]
     # extended protocol (asyncpg-style Parse/Bind/Execute)
     a.parse("ps1", "SELECT setting FROM pg_settings WHERE name = 'myext.knob'")
     a.bind("", "ps1", [])

@@ -337,7 +337,15 @@ TWIN_PLAN_PAIRS = {
     "dedup_minhash_lsh_fast_est": "dedup_minhash_lsh_fast",
 }
 
-_PLAN_NODE = re.compile(r"^[\s*+:|\\-]*(?:\* )?([A-Za-z][A-Za-z]+\w*) \(\d+\)", re.MULTILINE)
+# tree lines: "* HashAggregate (12)", "+- BroadcastHashJoin Inner
+# BuildRight (9)", "Scan parquet spark_catalog.default.t (1)" — capture
+# the FIRST token, allow trailing words before the node id (review
+# finding: requiring the id right after the name silently dropped every
+# join and scan node from the containment check)
+_PLAN_NODE = re.compile(
+    r"^[\s*+:|\\-]*(?:\* )?([A-Za-z][A-Za-z]+\w*)[ \w.$\[\],#=:-]*\(\d+\)\s*$",
+    re.MULTILINE,
+)
 
 
 def plan_fingerprint(plan: str) -> dict[str, int]:
