@@ -117,7 +117,9 @@ _DUCK_FN_RE = re.compile(
 # returned []; and all-negative diverges on the clamp edge: DuckDB
 # clamps list_slice(l,-5,-1) to the whole 3-element list where Spark's
 # slice yields []). The 4-arg step variant also passes through.
-# list_reduce stays unmapped on purpose (alias table note).
+# list_reduce / list_sum / list_avg / list_aggregate get expression
+# shims below (round 10) — a pure rename can't express their NULL-skip
+# and typed-zero semantics.
 _LIST_SLICE = re.compile(r"\blist_slice\s*\(", re.IGNORECASE)
 _NONNEG_INT = re.compile(r"^\s*\+?\d+\s*$")
 
@@ -132,13 +134,49 @@ _NONNEG_INT = re.compile(r"^\s*\+?\d+\s*$")
 #   list_unique(l)        = count of distinct non-NULL elements
 # Multi-arg forms ('DESC', 'NULLS FIRST' options) pass through and error
 # loudly in Spark — never a silent semantics change.
+# (list_min/list_max are plain renames in the alias table above)
 _LIST_FN_SHIM = re.compile(
-    r"\b(list_reverse_sort|list_distinct|list_unique)\s*\(", re.IGNORECASE
+    r"\b(list_reverse_sort|list_distinct|list_unique|list_sum|list_avg"
+    r"|list_count|list_reduce|list_aggregate|list_aggr)\s*\(",
+    re.IGNORECASE,
 )
 _LIST_FN_TPL = {
     "list_reverse_sort": "sort_array({x}, false)",
     "list_distinct": "filter(array_distinct({x}), ld_x -> ld_x IS NOT NULL)",
     "list_unique": "cardinality(filter(array_distinct({x}), ld_x -> ld_x IS NOT NULL))",
+    # list-aggregate family (round 10, pinned live vs DuckDB 1.x):
+    # NULL elements are SKIPPED, an empty/NULL list yields NULL. The
+    # fold accumulates in DOUBLE — Spark's aggregate() demands a
+    # type-STABLE accumulator and decimal addition widens precision
+    # (DECIMAL(4,1)+e → DECIMAL(5,1), an analysis error), so the typed-
+    # zero trick only works for int/double inputs. Pinned divergence:
+    # DuckDB's list_sum returns HUGEINT/DECIMAL, this returns DOUBLE —
+    # values equal within double range, type differs (documented in
+    # tests). avg is DOUBLE in both; count is the non-NULL element
+    # count (NULL list → NULL).
+    "list_sum": (
+        "CASE WHEN cardinality(filter({x}, ls_e -> ls_e IS NOT NULL)) > 0 "
+        "THEN aggregate(filter({x}, ls_e -> ls_e IS NOT NULL), "
+        "CAST(0 AS DOUBLE), (ls_a, ls_b) -> ls_a + ls_b) ELSE NULL END"
+    ),
+    "list_avg": (
+        "try_divide(CAST(aggregate(filter({x}, la_e -> la_e IS NOT NULL), "
+        "CAST(0 AS DOUBLE), (la_a, la_b) -> la_a + la_b) AS DOUBLE), "
+        "cardinality(filter({x}, la_e -> la_e IS NOT NULL)))"
+    ),
+    "list_min": "array_min({x})",
+    "list_max": "array_max({x})",
+    "list_count": "cardinality(filter({x}, lc_e -> lc_e IS NOT NULL))",
+}
+# list_aggregate(x, 'name') dispatches to the same templates; unknown
+# names pass through and error loudly (never a silent semantics change)
+_LIST_AGG_NAMES = {
+    "sum": "list_sum",
+    "min": "list_min",
+    "max": "list_max",
+    "avg": "list_avg",
+    "mean": "list_avg",
+    "count": "list_count",
 }
 
 
@@ -152,10 +190,35 @@ def _rewrite_list_fn_shims(q: str) -> str:
         end = _scan_balanced(masked, m.end())
         inner, minner = q[m.end() : end - 1], masked[m.end() : end - 1]
         args = _split_top_level(inner, minner)
-        if len(args) != 1:
-            pos = m.end()  # option-arg variants: loud Spark error
-            continue
-        repl = _LIST_FN_TPL[m.group(1).lower()].replace("{x}", args[0])
+        fname = m.group(1).lower()
+        if fname == "list_reduce":
+            # list_reduce(x, f) → fold f over the tail starting from the
+            # head element. Pinned divergence: DuckDB ERRORS on an empty
+            # list, this returns NULL (get() on empty is NULL) — the
+            # non-error surface is value-identical.
+            if len(args) != 2:
+                pos = m.end()
+                continue
+            x, f = args
+            repl = (
+                f"reduce(slice({x}, 2, greatest(cardinality({x}) - 1, 0)), "
+                f"get({x}, 0), {f})"
+            )
+        elif fname in ("list_aggregate", "list_aggr"):
+            if len(args) != 2:
+                pos = m.end()
+                continue
+            name = args[1].strip().strip("'\"").lower()
+            tpl_key = _LIST_AGG_NAMES.get(name)
+            if tpl_key is None:
+                pos = m.end()  # unknown aggregate: loud Spark error
+                continue
+            repl = _LIST_FN_TPL[tpl_key].replace("{x}", args[0])
+        else:
+            if len(args) != 1:
+                pos = m.end()  # option-arg variants: loud Spark error
+                continue
+            repl = _LIST_FN_TPL[fname].replace("{x}", args[0])
         q = q[: m.start()] + repl + q[end:]
         pos = m.start()  # rescan: nested list_* calls inside the argument
 

@@ -857,6 +857,74 @@ def test_list_sort_family_shapes():
     assert "list_unique" not in out and "list_distinct" not in out
 
 
+def test_list_aggregate_family_pinned_vs_duckdb(spark):
+    """Round 10: list_sum/list_avg/list_count/list_reduce/
+    list_aggregate expression shims, value-pinned vs live DuckDB —
+    NULL elements skipped, empty/NULL lists yield NULL, avg is DOUBLE.
+    Pinned divergences: list_sum returns DOUBLE here (Spark's fold
+    needs a type-stable accumulator; DuckDB widens to HUGEINT/DECIMAL)
+    — values equal within double range; and DuckDB ERRORS on
+    list_reduce of an empty list where the shim returns NULL (the
+    non-error surface is value-identical)."""
+    import duckdb
+
+    from duck_server_spark.plans.rewrites import rewrite_pg_query
+
+    duck = duckdb.connect()
+    probes = [
+        "list_sum([1, 2, 3])",
+        "list_sum([1, NULL, 3])",
+        "list_sum([1.5, 2.5, NULL])",
+        "list_sum(CAST([] AS INT[]))",
+        "list_sum(CAST(NULL AS INT[]))",
+        "list_avg([1, 2, 3, 4])",
+        "list_avg([2.0, NULL, 4.0])",
+        "list_avg(CAST([] AS INT[]))",
+        "list_min([3, 1, NULL])",
+        "list_max([3, 1, NULL])",
+        "list_count([1, NULL, 3])",
+        "list_count(CAST([] AS INT[]))",
+        "list_reduce([1, 2, 3], (a, b) -> a + b)",
+        "list_reduce([5], (a, b) -> a + b)",
+        "list_reduce([1, NULL, 3], (a, b) -> a + b)",
+        "list_aggregate([1, NULL, 3], 'sum')",
+        "list_aggregate([1, 2], 'avg')",
+        "list_aggregate([4, 2], 'min')",
+        "list_aggregate([1, NULL], 'count')",
+        "list_aggr([1, 2], 'max')",
+    ]
+    try:
+        for p in probes:
+            want = duck.execute(f"SELECT {p} AS v").fetchone()[0]
+            got = spark.sql(rewrite_pg_query(f"SELECT {p} AS v")).collect()[0][0]
+            assert (got is None) == (want is None), (p, got, want)
+            if got is not None:
+                assert abs(float(got) - float(want)) < 1e-9, (p, got, want)
+        # pinned divergence: empty-list list_reduce — DuckDB errors,
+        # the shim yields NULL
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="empty"):
+            duck.execute(
+                "SELECT list_reduce(CAST([] AS INT[]), (a, b) -> a + b)"
+            ).fetchone()
+        assert (
+            spark.sql(
+                rewrite_pg_query(
+                    "SELECT list_reduce(CAST([] AS INT[]), (a, b) -> a + b) AS v"
+                )
+            ).collect()[0][0]
+            is None
+        )
+        # unknown aggregate names pass through and error loudly
+        with _pt.raises(Exception):
+            spark.sql(
+                rewrite_pg_query("SELECT list_aggregate([1], 'no_such') AS v")
+            ).collect()
+    finally:
+        duck.close()
+
+
 # ---------------------------------------------------------------------------
 # FROM-first syntax (round 9)
 # ---------------------------------------------------------------------------
