@@ -44,10 +44,13 @@ _PRIORITY = [
     # ---- ROUND 10 WINDOW (the driver records ~50 rows). Convention
     # (VERDICT r7): window queries project SCALAR columns only (the
     # driver's canonicalizer sorts raw pandas frames).
-    # 1: new this round — the PG double-quoted-identifier gate
+    # 1-2: new this round — the PG double-quoted-identifier gate
     # (plans/rewrites.py normalize_quoted_idents; DuckDB runs the same
-    # quoted text natively).
+    # quoted text natively) and the struct/range/list expression-shim
+    # gate (native range TVF, list_prepend/has_all, array_* NULL
+    # semantics, struct_pack/extract, regexp_split_to_array).
     "quoted_idents_sql",
+    "scalar_struct_range_list",
     # 2-38: staleness refresh (VERDICT r9 item 3) — the oracle-twinned
     # rows whose most recent driver witness is round 6: the streaming
     # block, the r6 dedup/pipeline/multimodal/similarity block, and the
@@ -73,7 +76,9 @@ _PRIORITY = [
     "pipeline_skew_report",
     "pipeline_token_drift",
     "sample_dsir_importance",
-    "scalar_array",
+    # (scalar_array's r10 refresh slot went to scalar_struct_range_list
+    # — its array surface is re-witnessed by that new row; refresh the
+    # canonical row in r11)
     "sessionize",
     "similarity_ann_ivf",
     "similarity_matryoshka_topk",

@@ -427,6 +427,44 @@ def list_aliases_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(LIST_ALIASES_TEXT))
 
 
+# struct/range/list surface (round 10, session 4): ONE shared
+# DuckDB-spelled text covering the newest expression shims — the
+# half-open range TVF (Spark's NATIVE distributed range source with the
+# output column renamed to DuckDB's `range`), the SCALAR range forms
+# (incl. the clamp-to-[] descending asymmetry DuckDB itself has),
+# list_prepend's swapped argument order, list_has_all's NULL-needle
+# pins, the array_* spellings that share list_* NULL-dropping semantics
+# (DuckDB's array_distinct DROPS NULLs; Spark's native keeps them),
+# struct_pack(name := expr) → named_struct, struct_extract → field
+# access, and regexp_split_to_array → split. The oracle runs the text
+# natively; all projections are scalars (driver-window convention).
+# Empty-capable stringified lists go through nullif(…, ''): DuckDB's
+# array_to_string([]) is NULL while Spark's array_join is '' — the
+# nullif collapses both to NULL (the duckdb_types-view lesson, r10).
+STRUCT_RANGE_LIST_TEXT = """
+SELECT r AS rk,
+       nullif(array_to_string(range(CAST(r AS INT)), ','), '') AS rng_n,
+       nullif(array_to_string(range(CAST(r AS INT), 4), ','), '') AS rng_ab,
+       nullif(array_to_string(range(3, CAST(r AS INT)), ','), '') AS rng_desc,
+       array_to_string(list_prepend(CAST(r AS INT), [7, 8]), ',') AS prep,
+       list_has_all([1, 2, 3], [CAST(r AS INT), NULL]) AS hasall,
+       list_has_all([1, 2, 3], CAST([] AS INT[])) AS hasall_empty,
+       array_to_string(list_sort(array_distinct([1, 1, NULL, CAST(r AS INT)])), ',') AS adist,
+       array_unique([1, NULL, CAST(r AS INT)]) AS auniq,
+       struct_extract(struct_pack(lo := CAST(r AS INT), hi := CAST(r AS INT) * 10), 'hi') AS spack_hi,
+       array_to_string(regexp_split_to_array('a1b' || CAST(r AS VARCHAR) || '2cc', '[0-9]+'), '|') AS rsplit
+FROM range(0, 5) t(r)
+"""
+
+
+def struct_range_list_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(STRUCT_RANGE_LIST_TEXT))
+
+
 # strftime / strptime / date_diff shims (round 8): ONE shared
 # DuckDB-spelled text — the oracle runs it natively, the Spark side goes
 # through rewrite_pg_query (%-codes → Java patterns; date_diff →
@@ -510,6 +548,7 @@ MACRO_INLINE_ORACLE = "; ".join(MACRO_DEFS) + "; " + MACRO_QUERY
 QUERIES = {
     "scalar_bracket_literals": bracket_literals_shim,
     "scalar_list_aliases": list_aliases_shim,
+    "scalar_struct_range_list": struct_range_list_shim,
     "scalar_datetime_shims": datetime_shims,
     "scalar_macro_inline": macro_inline,
     "scalar_series_unnest": series_unnest_shim,
@@ -527,6 +566,7 @@ QUERIES = {
 ORACLE = {
     "scalar_bracket_literals": BRACKET_LITERALS_TEXT,
     "scalar_list_aliases": LIST_ALIASES_TEXT,
+    "scalar_struct_range_list": STRUCT_RANGE_LIST_TEXT,
     "scalar_datetime_shims": DATETIME_SHIMS_TEXT,
     "scalar_macro_inline": MACRO_INLINE_ORACLE,
     "scalar_series_unnest": SERIES_UNNEST_TEXT,

@@ -69,6 +69,9 @@ _DUCK_FN_ALIASES = {
     "string_split": "split",
     "str_split": "split",
     "string_split_regex": "split",
+    # PG/DuckDB regex splitter → Spark's split (also regex-based;
+    # verified value-equal on multi-char patterns)
+    "regexp_split_to_array": "split",
     "regexp_matches": "regexp_like",
     "strlen": "length",
     "epoch_ms": "unix_millis",
@@ -89,6 +92,21 @@ _DUCK_FN_ALIASES = {
     # list_indexof is DuckDB's documented alias for the same function.
     "list_position": "array_position",
     "list_indexof": "array_position",
+    # round 10: arg_max/arg_min (+ argmax/argmin spellings) → Spark's
+    # max_by/min_by — verified live: identical 2-arg semantics, both
+    # engines ignore NULL ordering keys, ties engine-arbitrary in both.
+    # (DuckDB's own max_by/min_by spellings already match Spark's.)
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    # round 10: list_extract/list_element → try_element_at — verified
+    # live: 1-based, NULL for out-of-bounds, negative indexes from the
+    # end, NULL list → NULL. Pinned divergence: index 0 is NULL on
+    # DuckDB but a LOUD Spark error (INVALID_INDEX_OF_ZERO) — never
+    # silent drift.
+    "list_extract": "try_element_at",
+    "list_element": "try_element_at",
     # round 8: array_to_string(arr, sep) → array_join(arr, sep) — both
     # 2-arg forms skip NULL elements; DuckDB has no 3-arg form, Spark's
     # optional nullReplacement is a superset. Pure rename.
@@ -134,16 +152,39 @@ _NONNEG_INT = re.compile(r"^\s*\+?\d+\s*$")
 #   list_unique(l)        = count of distinct non-NULL elements
 # Multi-arg forms ('DESC', 'NULLS FIRST' options) pass through and error
 # loudly in Spark — never a silent semantics change.
-# (list_min/list_max are plain renames in the alias table above)
+# (list_min/list_max are plain renames in the alias table above).
+# DuckDB's array_* spellings alias the list_* semantics — array_distinct
+# DROPS NULLs there while Spark's native array_distinct KEEPS them
+# (verified live, a silent-drift hazard), so the array_* spellings
+# route through the same NULL-dropping templates. The templates emit
+# __SPARK_ARRAY_DISTINCT__ as a placeholder for Spark's native function
+# so the rescan loop can never re-match its own replacement text.
 _LIST_FN_SHIM = re.compile(
-    r"\b(list_reverse_sort|list_distinct|list_unique|list_sum|list_avg"
-    r"|list_count|list_reduce|list_aggregate|list_aggr)\s*\(",
+    r"\b(list_reverse_sort|array_reverse_sort|list_distinct|array_distinct"
+    r"|list_unique|array_unique|list_sum|list_avg"
+    r"|list_count|list_reduce|list_aggregate|list_aggr|array_aggregate"
+    r"|list_prepend|array_prepend|list_has_all|array_has_all"
+    r"|struct_extract|struct_pack)\s*\(|\brange\(",
     re.IGNORECASE,
 )
+# array_* → the list_* template/dispatch key it shares semantics with
+_LIST_FN_CANON = {
+    "array_reverse_sort": "list_reverse_sort",
+    "array_distinct": "list_distinct",
+    "array_unique": "list_unique",
+    "array_aggregate": "list_aggregate",
+    "array_prepend": "list_prepend",
+    "array_has_all": "list_has_all",
+}
 _LIST_FN_TPL = {
     "list_reverse_sort": "sort_array({x}, false)",
-    "list_distinct": "filter(array_distinct({x}), ld_x -> ld_x IS NOT NULL)",
-    "list_unique": "cardinality(filter(array_distinct({x}), ld_x -> ld_x IS NOT NULL))",
+    "list_distinct": (
+        "filter(__SPARK_ARRAY_DISTINCT__({x}), ld_x -> ld_x IS NOT NULL)"
+    ),
+    "list_unique": (
+        "cardinality(filter(__SPARK_ARRAY_DISTINCT__({x}), "
+        "ld_x -> ld_x IS NOT NULL))"
+    ),
     # list-aggregate family (round 10, pinned live vs DuckDB 1.x):
     # NULL elements are SKIPPED, an empty/NULL list yields NULL. The
     # fold accumulates in DOUBLE — Spark's aggregate() demands a
@@ -180,7 +221,74 @@ _LIST_AGG_NAMES = {
 }
 
 
+# string_agg / listagg / group_concat (round 10). Spark 4 has
+# string_agg/listagg natively with IDENTICAL 2-arg semantics (NULL
+# values skipped), so only three dialect gaps need text work, all
+# pinned live vs DuckDB 1.x:
+#   1. the 1-arg form defaults the separator to ',' on DuckDB but to
+#      NOTHING on Spark ('b','a' → 'b,a' vs 'ba') — a silent-drift
+#      hazard, so the shim pins an explicit ',' argument;
+#   2. DuckDB takes PG-style ORDER BY INSIDE the argument list
+#      (string_agg(x, ',' ORDER BY y DESC)); Spark wants the standard
+#      WITHIN GROUP (ORDER BY …) clause after the call;
+#   3. DuckDB's default null ordering is NULLS LAST for BOTH
+#      directions while Spark's ASC default is NULLS FIRST — keys
+#      without an explicit NULLS get one pinned.
+# group_concat is DuckDB's alias for the same aggregate; Spark lacks
+# the name, so it canonicalizes to string_agg. DISTINCT prefixes ride
+# along inside the first argument's text untouched.
+_STRING_AGG = re.compile(r"\b(string_agg|listagg|group_concat)\s*\(", re.IGNORECASE)
+_BARE_FILTER = re.compile(r"(\)\s*FILTER\s*\(\s*)(?!WHERE\b)", re.IGNORECASE)
+_ORDER_BY_IN_ARGS = re.compile(r"\border\s+by\b", re.IGNORECASE)
+
+
+def _rewrite_string_agg(q: str) -> str:
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _STRING_AGG.search(masked, pos)
+        if m is None:
+            return q
+        end = _scan_balanced(masked, m.end())
+        inner, minner = q[m.end() : end - 1], masked[m.end() : end - 1]
+        # depth-0 ORDER BY inside the argument list → WITHIN GROUP
+        within = ""
+        for om in _ORDER_BY_IN_ARGS.finditer(minner):
+            if minner[: om.start()].count("(") == minner[: om.start()].count(")"):
+                keys = _split_top_level(
+                    inner[om.end() :], minner[om.end() :]
+                )
+                keys = [
+                    k if re.search(r"\bnulls\b", k, re.IGNORECASE)
+                    else f"{k} NULLS LAST"
+                    for k in keys
+                ]
+                within = f" WITHIN GROUP (ORDER BY {', '.join(keys)})"
+                inner, minner = inner[: om.start()], minner[: om.start()]
+                break
+        args = _split_top_level(inner, minner)
+        if len(args) == 1:
+            args.append("','")
+        name = m.group(1).lower()
+        if name == "group_concat":
+            name = "string_agg"
+        repl = f"{name}({', '.join(args)}){within}"
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)  # output re-matches the name: skip past
+
+
 def _rewrite_list_fn_shims(q: str) -> str:
+    q = _rewrite_list_fn_shims_inner(q)
+    # resolve the placeholders the templates emit so the rescan loop can
+    # never re-match its own replacements (array_distinct/array_prepend
+    # are BOTH DuckDB spellings we rewrite and the Spark natives we
+    # rewrite INTO — a raw array_prepend(…) replacement would re-match
+    # and swap its arguments forever)
+    q = q.replace("__SPARK_ARRAY_DISTINCT__(", "array_distinct(")
+    return q.replace("__SPARK_ARRAY_PREPEND__(", "array_prepend(")
+
+
+def _rewrite_list_fn_shims_inner(q: str) -> str:
     pos = 0
     while True:
         masked = _mask_literals(q)
@@ -190,8 +298,87 @@ def _rewrite_list_fn_shims(q: str) -> str:
         end = _scan_balanced(masked, m.end())
         inner, minner = q[m.end() : end - 1], masked[m.end() : end - 1]
         args = _split_top_level(inner, minner)
-        fname = m.group(1).lower()
-        if fname == "list_reduce":
+        fname = (m.group(1) or "range").lower()
+        fname = _LIST_FN_CANON.get(fname, fname)
+        if fname == "range":
+            # scalar range(n) / range(a, b): DuckDB's half-open integer
+            # range ([] when empty — the SCALAR form clamps descending
+            # spans to [] where the TVF errors, a DuckDB asymmetry
+            # pinned live). Spark's sequence() is inclusive and
+            # direction-inferring, so the length is clamped explicitly.
+            # 3-arg step passes through and errors loudly; FROM
+            # position is Spark's NATIVE distributed range TVF, already
+            # aliased by _rewrite_series_unnest — never touch it.
+            if _FROM_TAIL.search(masked, 0, m.start()):
+                pos = m.end()
+                continue
+            if len(args) == 1:
+                n = args[0]
+                repl = (
+                    f"slice(sequence(0, greatest(({n}) - 1, 0)), 1, "
+                    f"greatest(({n}), 0))"
+                )
+            elif len(args) == 2:
+                a, b = args
+                repl = (
+                    f"slice(sequence(({a}), greatest(({b}) - 1, ({a}))), 1, "
+                    f"greatest(({b}) - ({a}), 0))"
+                )
+            else:
+                pos = m.end()
+                continue
+        elif fname == "list_prepend":
+            # DuckDB: list_prepend(elem, list); Spark: array_prepend(
+            # list, elem) — same name family, SWAPPED argument order
+            if len(args) != 2:
+                pos = m.end()
+                continue
+            repl = f"__SPARK_ARRAY_PREPEND__({args[1]}, {args[0]})"
+        elif fname == "list_has_all":
+            # DuckDB pins (verified live): NULL elements in the needle
+            # list are IGNORED, an empty needle is TRUE, a NULL list on
+            # either side is NULL — forall over the NULL-filtered needle
+            # reproduces all three
+            if len(args) != 2:
+                pos = m.end()
+                continue
+            x, y = args
+            # exists + null-safe equality instead of array_contains:
+            # array_contains hard-errors on a void-typed probe (the
+            # `[NULL]` literal needle), <=> coerces fine
+            repl = (
+                f"forall(filter({y}, lh_e -> lh_e IS NOT NULL), "
+                f"lh_e -> exists({x}, lh_x -> lh_x <=> lh_e))"
+            )
+        elif fname == "struct_extract":
+            # struct_extract(s, 'name') → parenthesized field access;
+            # only the string-literal-name form rewrites (integer index
+            # and dynamic names pass through and error loudly)
+            if len(args) != 2:
+                pos = m.end()
+                continue
+            name_arg = args[1].strip()
+            nm = re.fullmatch(r"'([A-Za-z_][A-Za-z0-9_]*)'", name_arg)
+            if nm is None:
+                pos = m.end()
+                continue
+            repl = f"({args[0]}).{nm.group(1)}"
+        elif fname == "struct_pack":
+            # struct_pack(a := 1, b := x + 1) → named_struct('a', 1,
+            # 'b', x + 1); every argument must be the `name := expr`
+            # form (DuckDB rejects anything else too)
+            parts = []
+            for a in args:
+                am = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*:=(.*)$", a, re.DOTALL)
+                if am is None:
+                    parts = None
+                    break
+                parts.append(f"'{am.group(1)}', {am.group(2).strip()}")
+            if not parts:
+                pos = m.end()
+                continue
+            repl = f"named_struct({', '.join(parts)})"
+        elif fname == "list_reduce":
             # list_reduce(x, f) → fold f over the tail starting from the
             # head element. Pinned divergence: DuckDB ERRORS on an empty
             # list, this returns NULL (get() on empty is NULL) — the
@@ -454,6 +641,7 @@ def _rewrite_date_diff(q: str) -> str:
 # Lateral shapes (`FROM t, generate_series(1, t.n)`, JOIN …) pass
 # through untouched and error loudly.
 _GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+_RANGE_TVF = re.compile(r"\brange\s*\(", re.IGNORECASE)
 _FROM_UNNEST = re.compile(r"\b(from)\s+unnest\s*\(", re.IGNORECASE)
 _FROM_TAIL = re.compile(r"\bfrom\s*$", re.IGNORECASE)
 # trailing alias after a TVF: [AS] name [(col)] — but never a keyword
@@ -518,6 +706,64 @@ def _rewrite_series_unnest(q: str) -> str:
         else:
             q = q[: m.start()] + seq + q[i:]
         pos = m.start()  # rescan: nested calls inside the args
+    # FROM range(a[, b[, s]]) — DuckDB's half-open integer table
+    # generator, default column name `range`. Spark's NATIVE range TVF
+    # has the exact same half-open value semantics (incl. negative
+    # steps) and is the right engine at scale — a lazy, distributed
+    # row source split across executors, not an explode of a
+    # materialized array — so the rewrite just renames the output
+    # column (`id` → `range`) through the alias clause. Error-edge
+    # parity (pinned live vs DuckDB 1.x): equal bounds → empty on
+    # both; a direction-mismatched or zero step is a DuckDB BINDER
+    # error where Spark returns empty/errors differently — when the
+    # arguments are integer literals the mismatch is detected here and
+    # rewritten to a raise_error subquery with DuckDB's message.
+    # Non-literal arguments take the native path (values identical;
+    # the error edge alone diverges — documented pin). Non-FROM
+    # positions are left for the scalar shim, which skips FROM
+    # position (_rewrite_list_fn_shims runs after this pass).
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _RANGE_TVF.search(masked, pos)
+        if m is None:
+            break
+        if not _FROM_TAIL.search(masked, 0, m.start()):
+            pos = m.end()
+            continue
+        i = _scan_balanced(masked, m.end())
+        inner = q[m.end() : i - 1]
+        args = _split_top_level(inner, masked[m.end() : i - 1])
+        if len(args) not in (1, 2, 3):
+            pos = m.end()
+            continue
+        err = None
+        try:
+            vals = [int(x) for x in args]
+        except ValueError:
+            vals = None
+        if vals is not None:
+            a0, b0 = (0, vals[0]) if len(vals) == 1 else (vals[0], vals[1])
+            s0 = vals[2] if len(vals) == 3 else 1
+            if s0 == 0:
+                err = "interval cannot be 0!"
+            elif b0 > a0 and s0 < 0:
+                err = (
+                    "start is smaller than end, but increment is "
+                    "negative: cannot generate infinite series"
+                )
+            elif b0 < a0 and s0 > 0:
+                err = (
+                    "start is bigger than end, but increment is "
+                    "positive: cannot generate infinite series"
+                )
+        alias, after = _tvf_alias_at(q, masked, i, "range")
+        if err is not None:
+            repl = f"(SELECT raise_error('{err}') AS range){alias}"
+        else:
+            repl = f"range({inner}){alias}"
+        q = q[: m.start()] + repl + q[after:]
+        pos = m.start() + len(repl)
     # FROM unnest(arr) — scalar unnest renames via the alias table
     pos = 0
     while True:
@@ -1557,6 +1803,13 @@ def rewrite_common(q: str) -> str:
     )
     q = rewrite_star_replace(q)
     q = _rewrite_extract_epoch(q)
+    q = _rewrite_string_agg(q)  # 1-arg default sep + ORDER BY-in-args (round 10)
+    # DuckDB allows FILTER (expr) without the WHERE keyword; Spark
+    # requires it. Only aggregate-call position matches (`) FILTER (`)
+    # — the higher-order filter(arr, λ) is never preceded by `)`.
+    q = _sub_outside_literals(
+        q, lambda seg: _BARE_FILTER.sub(r"\1WHERE ", seg)
+    )
     q = _rewrite_list_slice(q)
     q = _rewrite_list_fn_shims(q)  # list_reverse_sort/distinct/unique (round 9)
     q = _rewrite_strftime(q)  # %-format translation (round 8)

@@ -773,6 +773,49 @@ def test_series_unnest_values_vs_duckdb(spark, duck):
     assert duck.execute(dq3).fetchall() == [tuple(r) for r in spark.sql(sq3).collect()]
 
 
+def test_range_tvf_vs_duckdb(spark, duck):
+    """FROM range(…) — DuckDB's half-open table generator, mapped to
+    Spark's NATIVE range TVF (identical half-open values incl. negative
+    steps; lazy distributed row source, not a materialized array) with
+    the output column renamed `id` → `range`. Pinned live vs DuckDB
+    1.x: equal bounds → empty on both; a literal direction-mismatched
+    or zero step reproduces DuckDB's binder error via raise_error.
+    (The SCALAR range() clamps descending to [] where the TVF errors —
+    an asymmetry DuckDB itself has, covered by the list-shim test.)"""
+    for dq in [
+        "SELECT * FROM range(5)",
+        "SELECT * FROM range(0)",
+        "SELECT * FROM range(2, 6)",
+        "SELECT * FROM range(2, 2)",
+        "SELECT * FROM range(0, 10, 3)",
+        "SELECT * FROM range(10, 0, -3)",
+        "SELECT * FROM range(10, 10, -2)",
+        "SELECT r * 10 AS v FROM range(1, 4) t(r)",
+    ]:
+        want = duck.execute(dq).fetchdf()
+        got = spark.sql(rw.rewrite_pg_query(dq)).toPandas()
+        assert list(got.columns) == list(want.columns), dq
+        assert [int(x) for x in got.iloc[:, 0]] == [
+            int(x) for x in want.iloc[:, 0]
+        ], dq
+    # literal error edges: loud error on BOTH engines (pinned — DuckDB
+    # binder error; here: the raise_error subquery with the same text)
+    for bad in [
+        "SELECT * FROM range(-3)",
+        "SELECT * FROM range(6, 2)",
+        "SELECT * FROM range(0, 10, -2)",
+        "SELECT * FROM range(0, 10, 0)",
+    ]:
+        with pytest.raises(Exception):
+            duck.execute(bad).fetchall()
+        with pytest.raises(Exception):
+            spark.sql(rw.rewrite_pg_query(bad)).collect()
+    # scalar position still goes through the expression shim
+    assert [
+        tuple(r) for r in spark.sql(rw.rewrite_pg_query("SELECT range(3) AS v")).collect()
+    ] == [(([0, 1, 2]),)]
+
+
 def test_series_over_wire(pgc):
     """A psql user's `SELECT * FROM generate_series(1, 3)` works over the
     PG wire (the reference hands it to DuckDB's TVF)."""
@@ -892,13 +935,45 @@ def test_list_aggregate_family_pinned_vs_duckdb(spark):
         "list_aggregate([4, 2], 'min')",
         "list_aggregate([1, NULL], 'count')",
         "list_aggr([1, 2], 'max')",
+        # array_* spellings share the list_* NULL semantics (DuckDB's
+        # array_distinct DROPS NULLs; Spark's native keeps them — the
+        # shim routes the spelling through the NULL-dropping template)
+        "list_sort(array_distinct([1, 1, NULL, 2]))",  # order engine-specific: sort after
+        "array_unique([1, NULL, 1])",
+        "array_reverse_sort([2, 1, NULL])",
+        "array_aggregate([1, NULL, 3], 'sum')",
+        # arg-order swap: DuckDB is (elem, list), Spark (list, elem)
+        "list_prepend(0, [1, 2])",
+        "list_prepend(NULL, [1])",
+        # needle NULLs ignored, empty needle TRUE, NULL args NULL
+        "list_has_all([1, 2, NULL], [2])",
+        "list_has_all([1], CAST([] AS INT[]))",
+        "list_has_all([1], [NULL])",
+        "list_has_all(CAST(NULL AS INT[]), [1])",
+        "list_has_all([1], CAST(NULL AS INT[]))",
+        "struct_extract(struct_pack(a := 1, b := 7), 'b')",
+        "struct_pack(x := 1 + 2)['x']",
+        # DuckDB's half-open scalar range, [] when empty
+        "range(5)",
+        "range(0)",
+        "range(-2)",
+        "range(2, 5)",
+        "range(5, 2)",
+        "range(2, 2)",
+        "regexp_split_to_array('a1b22c', '[0-9]+')",
     ]
     try:
         for p in probes:
             want = duck.execute(f"SELECT {p} AS v").fetchone()[0]
             got = spark.sql(rewrite_pg_query(f"SELECT {p} AS v")).collect()[0][0]
             assert (got is None) == (want is None), (p, got, want)
-            if got is not None:
+            if got is None:
+                continue
+            if isinstance(want, list):
+                assert list(got) == list(want), (p, got, want)
+            elif isinstance(want, bool):
+                assert bool(got) == want, (p, got, want)
+            else:
                 assert abs(float(got) - float(want)) < 1e-9, (p, got, want)
         # pinned divergence: empty-list list_reduce — DuckDB errors,
         # the shim yields NULL
@@ -920,6 +995,58 @@ def test_list_aggregate_family_pinned_vs_duckdb(spark):
         with _pt.raises(Exception):
             spark.sql(
                 rewrite_pg_query("SELECT list_aggregate([1], 'no_such') AS v")
+            ).collect()
+    finally:
+        duck.close()
+
+
+def test_string_agg_argmax_extract_pinned_vs_duckdb(spark):
+    """Round 10: string_agg/listagg/group_concat shims (1-arg default
+    ',' separator, PG-style ORDER BY-in-args → WITHIN GROUP with
+    DuckDB's NULLS LAST default pinned on both directions), bare
+    FILTER (expr) → FILTER (WHERE expr), arg_max/arg_min → max_by/
+    min_by (NULL keys ignored on both), list_extract/list_element →
+    try_element_at — value-pinned vs live DuckDB."""
+    import duckdb
+
+    from duck_server_spark.plans.rewrites import rewrite_pg_query
+
+    duck = duckdb.connect()
+    probes = [
+        "SELECT string_agg(x, '|' ORDER BY x) AS v FROM (VALUES ('b'),('a'),(NULL),('c')) t(x)",
+        "SELECT string_agg(x ORDER BY x DESC) AS v FROM (VALUES ('b'),('a')) t(x)",
+        # NULLS LAST pin: the NULL ordering key sorts LAST on both
+        # directions in DuckDB — the shim writes it explicitly
+        "SELECT string_agg(x, ',' ORDER BY y) AS v FROM (VALUES ('b', 1),('a', NULL),('c', 0)) t(x, y)",
+        "SELECT string_agg(x, ',' ORDER BY y DESC) AS v FROM (VALUES ('b', 1),('a', NULL),('c', 0)) t(x, y)",
+        "SELECT group_concat(x, '/' ORDER BY x) AS v FROM (VALUES ('b'),('a')) t(x)",
+        "SELECT listagg(x, '-' ORDER BY x) AS v FROM (VALUES ('b'),('a')) t(x)",
+        "SELECT string_agg(DISTINCT x ORDER BY x) AS v FROM (VALUES ('b'),('b'),('a')) t(x)",
+        "SELECT sum(y) FILTER (x <> 'b') AS v FROM (VALUES ('b', 1),('a', 2),('c', 4)) t(x, y)",
+        "SELECT arg_max(x, y) AS v FROM (VALUES (1, 10),(2, 5),(3, NULL)) t(x, y)",
+        "SELECT argmin(x, y) AS v FROM (VALUES (1, 10),(2, 5),(3, NULL)) t(x, y)",
+        "SELECT list_extract([10,20,30], 2) AS v",
+        "SELECT list_extract([10,20,30], -1) AS v",
+        "SELECT list_extract([10], 5) AS v",
+        "SELECT list_element([10,20,30], 3) AS v",
+    ]
+    try:
+        for p in probes:
+            want = duck.execute(p).fetchone()[0]
+            got = spark.sql(rewrite_pg_query(p)).collect()[0][0]
+            assert (got is None) == (want is None), (p, got, want)
+            if got is None:
+                continue
+            if isinstance(want, str):
+                assert got == want, (p, got, want)
+            else:
+                assert int(got) == int(want), (p, got, want)
+        # pinned divergence: index 0 — DuckDB yields NULL, Spark errors
+        # LOUDLY (INVALID_INDEX_OF_ZERO); never silent drift
+        assert duck.execute("SELECT list_extract([10], 0)").fetchone()[0] is None
+        with pytest.raises(Exception):
+            spark.sql(
+                rewrite_pg_query("SELECT list_extract([10], 0) AS v")
             ).collect()
     finally:
         duck.close()

@@ -252,6 +252,14 @@ CHECKS = {
     "scalar_list_aliases": [
         ("whole-stage codegen (pure rename aliases)", r"WholeStageCodegen"),
     ],
+    # round 10: FROM range(…) maps to Spark's NATIVE Range source — a
+    # lazy distributed row generator split across executors, NOT an
+    # explode of a driver-materialized array (the scale-correct plan:
+    # range(10^12) costs nothing to plan and parallelizes perfectly)
+    "scalar_struct_range_list": [
+        ("native distributed Range source (no explode/Generate)", r"Range \("),
+        ("whole-stage codegen (all shims lower to built-ins)", r"WholeStageCodegen"),
+    ],
     # round 8: macro expansion is bind-time text — the expanded query
     # must plan as if written inline (codegen'd, no Python boundary)
     "scalar_macro_inline": [
@@ -269,6 +277,15 @@ CHECKS = {
 }
 
 FORBIDDEN = {
+    # round 10: the range TVF must be the native Range source — an
+    # explode(sequence(…)) would materialize the whole span as ONE
+    # in-memory array (OOM at range(10^9)); also no shuffle at all
+    "scalar_struct_range_list": [
+        # \b excludes the codegen dump's "GeneratedIterator…" class
+        # names — only the Generate OPERATOR (explode) is forbidden
+        ("no explode of a materialized span", r"Generate\b"),
+        ("zero shuffles (pure row generator + project)", r"Exchange"),
+    ],
     # production sketch rollups: every estimate reads the materialized
     # sketch table — a parquet scan in the plan would mean a raw-id
     # rescan, the exact thing mergeable sketches exist to avoid
