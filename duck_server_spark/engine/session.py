@@ -67,6 +67,11 @@ def get_session(app_name: str = "duck_server_spark", cpus: int | None = None) ->
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from duck_server_spark.functions.text_similarity import (
+        register_text_similarity,
+    )
+
+    register_text_similarity(spark)
     return spark
 
 
@@ -130,3 +135,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    # DuckDB-named pandas-UDF scalars (damerau_levenshtein, jaro_*) —
+    # registered here too so sessions we didn't build (the verification
+    # driver constructs its own) can run the similarity gate rows;
+    # id()-guarded no-op after the first call
+    from duck_server_spark.functions.text_similarity import (
+        register_text_similarity,
+    )
+
+    register_text_similarity(spark)

@@ -465,6 +465,39 @@ def struct_range_list_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(STRUCT_RANGE_LIST_TEXT))
 
 
+# Text-similarity scalar family (round 10): ONE shared DuckDB-spelled
+# text — jaccard/hamming/mismatches lower to JVM expression templates
+# (plans/rewrites.py _rewrite_text_similarity, whole-stage codegen),
+# editdist3 is a levenshtein alias, and damerau_levenshtein/jaro_*
+# are Arrow-batched pandas UDFs registered under their DuckDB names
+# (functions/text_similarity.py — bit-exact vs DuckDB across a
+# 1000-pair randomized sweep, so raw doubles hash-match with no
+# rounding crutch). Pairs are substrings of each document's own text:
+# deterministic, non-empty at every offset (n_chars >= 48 in the
+# fixtures; the WHERE guards regenerated fixtures).
+TEXT_SIMILARITY_TEXT = """
+SELECT doc_id,
+       jaccard(substr(text, 1, 20), substr(text, 9, 20)) AS jac,
+       hamming(substr(text, 1, 16), substr(text, 17, 16)) AS ham,
+       mismatches(lower(substr(text, 1, 12)), substr(text, 1, 12)) AS mism,
+       editdist3(substr(text, 1, 14), substr(text, 3, 14)) AS ed3,
+       levenshtein(substr(text, 1, 14), substr(text, 5, 14)) AS lev,
+       damerau_levenshtein(substr(text, 1, 12), substr(text, 2, 12)) AS dl,
+       jaro_similarity(substr(text, 1, 16), substr(text, 5, 16)) AS js,
+       jaro_winkler_similarity(substr(text, 1, 16), substr(text, 3, 16)) AS jw
+FROM documents
+WHERE n_chars >= 40
+"""
+
+
+def text_similarity_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrites.rewrite_pg_query(TEXT_SIMILARITY_TEXT))
+
+
 # strftime / strptime / date_diff shims (round 8): ONE shared
 # DuckDB-spelled text — the oracle runs it natively, the Spark side goes
 # through rewrite_pg_query (%-codes → Java patterns; date_diff →
@@ -549,6 +582,7 @@ QUERIES = {
     "scalar_bracket_literals": bracket_literals_shim,
     "scalar_list_aliases": list_aliases_shim,
     "scalar_struct_range_list": struct_range_list_shim,
+    "scalar_text_similarity": text_similarity_shim,
     "scalar_datetime_shims": datetime_shims,
     "scalar_macro_inline": macro_inline,
     "scalar_series_unnest": series_unnest_shim,
@@ -567,6 +601,7 @@ ORACLE = {
     "scalar_bracket_literals": BRACKET_LITERALS_TEXT,
     "scalar_list_aliases": LIST_ALIASES_TEXT,
     "scalar_struct_range_list": STRUCT_RANGE_LIST_TEXT,
+    "scalar_text_similarity": TEXT_SIMILARITY_TEXT,
     "scalar_datetime_shims": DATETIME_SHIMS_TEXT,
     "scalar_macro_inline": MACRO_INLINE_ORACLE,
     "scalar_series_unnest": SERIES_UNNEST_TEXT,

@@ -107,6 +107,9 @@ _DUCK_FN_ALIASES = {
     # silent drift.
     "list_extract": "try_element_at",
     "list_element": "try_element_at",
+    # round 10: editdist3 is DuckDB's sqlite-heritage spelling of plain
+    # levenshtein (verified live: identical values, NULL→NULL)
+    "editdist3": "levenshtein",
     # round 8: array_to_string(arr, sep) → array_join(arr, sep) — both
     # 2-arg forms skip NULL elements; DuckDB has no 3-arg form, Spark's
     # optional nullReplacement is a superset. Pure rename.
@@ -219,6 +222,60 @@ _LIST_AGG_NAMES = {
     "mean": "list_avg",
     "count": "list_count",
 }
+
+
+# jaccard / hamming / mismatches (round 10): DuckDB's character-level
+# similarity scalars as pure JVM expression templates — whole-stage
+# codegen, no Python boundary (the pandas-UDF tier in
+# functions/text_similarity.py covers only the algorithms Spark's
+# expression language genuinely can't: damerau/jaro/jaro_winkler).
+# Pinned live vs DuckDB 1.0:
+# - jaccard is CASE-SENSITIVE character-SET similarity
+#   (|A∩B| / |A∪B|; 'Abc' vs 'abc' = 0.5), ERRORS on an empty-string
+#   argument ("An argument too short!"), NULL → NULL.
+# - hamming (alias mismatches) requires EQUAL, NON-ZERO lengths and
+#   errors otherwise; counts differing positions; NULL → NULL.
+# The NULL path rides the expressions themselves: length(NULL) makes
+# the error-guard CASE fall through, split(NULL) → NULL arrays,
+# size(NULL array) → NULL (non-legacy Spark), division → NULL.
+_TEXT_SIM = re.compile(r"\b(jaccard|hamming|mismatches)\s*\(", re.IGNORECASE)
+_JACCARD_TPL = (
+    "CASE WHEN length({a}) = 0 OR length({b}) = 0 THEN "
+    "raise_error('Invalid Input Error: Jaccard Function: An argument too short!') "
+    "ELSE size(array_intersect(array_distinct(split({a}, '')), "
+    "array_distinct(split({b}, '')))) "
+    "/ size(array_union(array_distinct(split({a}, '')), "
+    "array_distinct(split({b}, '')))) END"
+)
+_HAMMING_TPL = (
+    "CASE WHEN length({a}) <> length({b}) OR length({a}) = 0 THEN "
+    "raise_error('Invalid Input Error: Mismatch Function: Strings must be of equal length!') "
+    "ELSE CAST(size(filter(zip_with(split({a}, ''), split({b}, ''), "
+    "(hm_x, hm_y) -> hm_x <> hm_y), hm_z -> hm_z)) AS BIGINT) END"
+)
+
+
+def _rewrite_text_similarity(q: str) -> str:
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _TEXT_SIM.search(masked, pos)
+        if m is None:
+            return q
+        end = _scan_balanced(masked, m.end())
+        inner, minner = q[m.end() : end - 1], masked[m.end() : end - 1]
+        args = _split_top_level(inner, minner)
+        if len(args) != 2:
+            pos = m.end()  # wrong arity: pass through, loud Spark error
+            continue
+        tpl = _JACCARD_TPL if m.group(1).lower() == "jaccard" else _HAMMING_TPL
+        repl = tpl.replace("{a}", args[0]).replace("{b}", args[1])
+        q = q[: m.start()] + repl + q[end:]
+        # rescan from the start of the replacement: nested calls were
+        # copied into it verbatim; the template's own "Jaccard/Mismatch
+        # Function" words live inside string literals, which the masked
+        # rescan never matches
+        pos = m.start()
 
 
 # string_agg / listagg / group_concat (round 10). Spark 4 has
@@ -1804,6 +1861,7 @@ def rewrite_common(q: str) -> str:
     q = rewrite_star_replace(q)
     q = _rewrite_extract_epoch(q)
     q = _rewrite_string_agg(q)  # 1-arg default sep + ORDER BY-in-args (round 10)
+    q = _rewrite_text_similarity(q)  # jaccard/hamming JVM templates (round 10)
     # DuckDB allows FILTER (expr) without the WHERE keyword; Spark
     # requires it. Only aggregate-call position matches (`) FILTER (`)
     # — the higher-order filter(arr, λ) is never preceded by `)`.

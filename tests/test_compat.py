@@ -1052,6 +1052,76 @@ def test_string_agg_argmax_extract_pinned_vs_duckdb(spark):
         duck.close()
 
 
+def test_text_similarity_pinned_vs_duckdb(spark):
+    """Round 10: the DuckDB text-similarity scalar family. jaccard/
+    hamming/mismatches are JVM expression templates; editdist3 aliases
+    levenshtein; damerau_levenshtein/jaro_similarity/
+    jaro_winkler_similarity are pandas UDFs registered under their
+    DuckDB names — value-pinned (EXACT doubles, no tolerance: the
+    implementations are IEEE-identical) vs live DuckDB, including the
+    algorithm-variant pins: unrestricted DL (DL('ca','abc') = 2, not
+    OSA's 3), jaro 0.0 on any empty string, Winkler boost only above
+    the 0.7 Jaro threshold."""
+    import duckdb
+
+    from duck_server_spark.functions.text_similarity import (
+        register_text_similarity,
+    )
+    from duck_server_spark.plans.rewrites import rewrite_pg_query
+
+    register_text_similarity(spark)
+    duck = duckdb.connect()
+    probes = [
+        "SELECT jaccard('duck', 'luck') AS v",
+        "SELECT jaccard('Abc', 'abc') AS v",  # case-sensitive char sets
+        "SELECT jaccard('aab', 'ab') AS v",  # sets, not bags
+        "SELECT jaccard(NULL, 'a') AS v",
+        "SELECT hamming('duck', 'luck') AS v",
+        "SELECT hamming('abc', 'abc') AS v",
+        "SELECT mismatches('duck', 'muck') AS v",
+        "SELECT hamming(NULL, 'a') AS v",
+        "SELECT editdist3('duck', 'luck') AS v",
+        "SELECT editdist3(NULL, 'a') AS v",
+        "SELECT damerau_levenshtein('ca', 'abc') AS v",  # unrestricted: 2
+        "SELECT damerau_levenshtein('ab', 'ba') AS v",
+        "SELECT damerau_levenshtein('kitten', 'sitting') AS v",
+        "SELECT damerau_levenshtein('abc', '') AS v",
+        "SELECT damerau_levenshtein(NULL, 'a') AS v",
+        "SELECT jaro_similarity('martha', 'marhta') AS v",
+        "SELECT jaro_similarity('dwayne', 'duane') AS v",
+        "SELECT jaro_similarity('abc', 'xyz') AS v",
+        "SELECT jaro_similarity('', 'a') AS v",  # empty → 0.0, not error
+        "SELECT jaro_similarity('', '') AS v",  # BOTH empty → 0.0 too
+        "SELECT jaro_similarity('aaaa', 'aaaa') AS v",
+        "SELECT jaro_winkler_similarity('martha', 'marhta') AS v",
+        "SELECT jaro_winkler_similarity('dwayne', 'duane') AS v",
+        "SELECT jaro_winkler_similarity('arnab', 'aranb') AS v",
+        # shared prefix but jaro <= 0.7: NO Winkler boost
+        "SELECT jaro_winkler_similarity('axxxxx', 'abcdef') AS v",
+        "SELECT jaro_winkler_similarity(NULL, 'a') AS v",
+    ]
+    try:
+        for p in probes:
+            want = duck.execute(p).fetchone()[0]
+            got = spark.sql(rewrite_pg_query(p)).collect()[0][0]
+            assert (got is None) == (want is None), (p, got, want)
+            if got is not None:
+                # EXACT — bit-identical doubles, no tolerance
+                assert float(got) == float(want), (p, got, want)
+        # error edges: loud on BOTH engines
+        for bad in [
+            "SELECT jaccard('', 'a')",  # argument too short
+            "SELECT hamming('ab', 'abc')",  # length mismatch
+            "SELECT hamming('', '')",  # zero length
+        ]:
+            with pytest.raises(Exception):
+                duck.execute(bad).fetchone()
+            with pytest.raises(Exception):
+                spark.sql(rewrite_pg_query(bad + " AS v")).collect()
+    finally:
+        duck.close()
+
+
 # ---------------------------------------------------------------------------
 # FROM-first syntax (round 9)
 # ---------------------------------------------------------------------------
