@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import itertools
 import hmac
 import json
 import os
@@ -135,9 +136,23 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "duckdb_indexes",
         "duckdb_keywords",
         "duckdb_types",
+        "duckdb_extensions",
     )
 )
-_INTERNAL_TABLE_MARKS = ("__txn_", "__cow_staging_", "__ins_staging_", "__alter_staging_")
+_INTERNAL_TABLE_MARKS = (
+    "__txn_",
+    "__cow_staging_",
+    "__ins_staging_",
+    "__alter_staging_",
+    "__ubn_tail_",
+)
+# UNION [ALL] BY NAME separators + the trailing clause that applies to
+# the whole set op (round 10)
+_UNION_BY_NAME = re.compile(r"\bunion\s+(all\s+)?by\s+name\b", re.IGNORECASE)
+_TRAILING_SETOP_CLAUSE = re.compile(
+    r"\b(?:order\s+by|limit|offset)\b", re.IGNORECASE
+)
+_UBN_SEQ = itertools.count(1)
 # duckdb_types() rows for the Spark-representable type surface:
 # (type_name, type_size, logical_type, type_category) — sizes, logical
 # names, and categories pinned value-for-value vs live DuckDB 1.x
@@ -217,7 +232,7 @@ def _duckdb_type_name(dt) -> str:
 
 # system.* / information_schema.* compat views (A27) → shim temp views
 _CATALOG_REF = re.compile(
-    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints|duckdb_schemas|duckdb_settings|duckdb_functions|duckdb_databases|duckdb_sequences|duckdb_indexes|duckdb_keywords|duckdb_types)\b",
+    r"\b(system\.(databases|tables|columns|functions)|information_schema\.(schemata|tables|columns|constraint_column_usage|table_constraints|key_column_usage)|pg_catalog\.(pg_type|pg_class|pg_namespace|pg_attribute|pg_settings)|pg_type|pg_matviews|pg_class|pg_namespace|pg_attribute|pg_settings|duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints|duckdb_schemas|duckdb_settings|duckdb_functions|duckdb_databases|duckdb_sequences|duckdb_indexes|duckdb_keywords|duckdb_types|duckdb_extensions)\b",
     re.IGNORECASE,
 )
 
@@ -956,6 +971,36 @@ class Engine:
             ],
             "keyword_name string, keyword_category string",
         ).createOrReplaceTempView("duckdb_keywords")
+        # extensions: DuckDB 1.0's 9-column shape (paren-only TVF there
+        # — the bare spelling is a Catalog Error in DuckDB; serving the
+        # view under both spellings is a harmless superset). Rows are
+        # ENGINE TRUTH, not a transcript: the capability packs DuckDB
+        # ships as always-loaded extensions that this engine genuinely
+        # provides through Spark built-ins.
+        spark.createDataFrame(
+            [
+                Row(
+                    extension_name=n,
+                    loaded=True,
+                    installed=True,
+                    install_path="(built-in)",
+                    description=desc,
+                    aliases=[],
+                    extension_version="",
+                    install_mode="STATICALLY_LINKED",
+                    installed_from="",
+                )
+                for n, desc in (
+                    ("json", "JSON functions (from_json/to_json/json_tuple)"),
+                    ("parquet", "Native columnar Parquet read/write"),
+                    ("icu", "Collations and time zones (session TZ pinned UTC)"),
+                )
+            ],
+            "extension_name string, loaded boolean, installed boolean, "
+            "install_path string, description string, "
+            "aliases array<string>, extension_version string, "
+            "install_mode string, installed_from string",
+        ).createOrReplaceTempView("duckdb_extensions")
         spark.createDataFrame(
             [
                 Row(
@@ -1336,9 +1381,102 @@ class Engine:
         # committed table all-old or all-new, never a mixed snapshot.
         from duck_server_spark.engine.transactions import VISIBILITY_GATE
 
+        df = self._union_by_name(q, dialect)
+        if df is not None:
+            return df
         sql_text = self._prepare_sql(q, dialect)
         with VISIBILITY_GATE.reading():
             return self._strip_asof_helpers(self.spark.sql(sql_text))
+
+    def _union_by_name(self, q: str, dialect: str) -> DataFrame | None:
+        """DuckDB's `UNION [ALL] BY NAME` (round 10): arms align by
+        column NAME, absent columns NULL-fill, and the result's column
+        order is the first arm's columns followed by each later arm's
+        new names in order — exactly Spark's
+        unionByName(allowMissingColumns=True), so the set op lowers to
+        the native operator (no shuffle beyond what the arms
+        themselves need; plain UNION BY NAME adds ONE distinct over
+        the aligned result, DuckDB's pinned dedup-after-fill
+        semantics). A leading WITH clause is carried onto every arm so
+        CTEs resolve; a trailing depth-0 ORDER BY/LIMIT/OFFSET applies
+        to the whole union (pinned live). ALL arms are analyzed under
+        ONE shared visibility-gate hold — a multi-table commit cannot
+        publish between arm analyses, so the union can never mix
+        snapshots (and reader holds must not nest: a waiting committer
+        would deadlock a nested acquire). Scope pins: separators must
+        be all-ALL or all-plain (DuckDB's mixed chains fold
+        differently statement by statement — loud 0A000 instead of a
+        guess); BY NAME nested inside a derived table passes through
+        and errors loudly; cross-arm type widening follows Spark
+        (int+string arms error loudly where DuckDB coerces to VARCHAR
+        — pinned divergence, never silent)."""
+        if _UNION_BY_NAME.search(q) is None:
+            return None
+        masked = rewrites._mask_literals(q)
+        start = rewrites.with_prefix_end(q, masked)
+        seps = [
+            m
+            for m in _UNION_BY_NAME.finditer(masked, start)
+            if masked.count("(", start, m.start())
+            == masked.count(")", start, m.start())
+        ]
+        if not seps:
+            return None  # only nested/literal occurrences: native path
+        from duck_server_spark.engine.errors import PgError
+
+        if len({bool(m.group(1)) for m in seps}) > 1:
+            raise PgError(
+                "0A000",
+                "mixed UNION BY NAME / UNION ALL BY NAME chains are not "
+                "supported",
+            )
+        keep_dups = bool(seps[0].group(1))
+        prefix = q[:start].strip()
+        arms: list[str] = []
+        last = start
+        for m in seps:
+            arms.append(q[last : m.start()])
+            last = m.end()
+        tail_arm, tail = q[last:].rstrip().rstrip(";"), ""
+        mt = rewrites._mask_literals(tail_arm)
+        for tm in _TRAILING_SETOP_CLAUSE.finditer(mt):
+            if mt.count("(", 0, tm.start()) == mt.count(")", 0, tm.start()):
+                tail, tail_arm = tail_arm[tm.start() :], tail_arm[: tm.start()]
+                break
+        arms.append(tail_arm)
+
+        def _bare(arm: str) -> str:
+            arm = arm.strip()
+            # a fully parenthesized arm is a sub-body: strip the pair
+            # (spark.sql rejects a top-level parenthesized SELECT)
+            while arm.startswith("("):
+                am = rewrites._mask_literals(arm)
+                if rewrites._scan_balanced(am, 1) != len(arm):
+                    break
+                arm = arm[1:-1].strip()
+            return f"{prefix} {arm}" if prefix else arm
+
+        from functools import reduce
+
+        from duck_server_spark.engine.transactions import VISIBILITY_GATE
+
+        with VISIBILITY_GATE.reading():
+            dfs = [
+                self._strip_asof_helpers(
+                    self.spark.sql(self._prepare_sql(_bare(a), dialect))
+                )
+                for a in arms
+            ]
+            out = reduce(
+                lambda x, y: x.unionByName(y, allowMissingColumns=True), dfs
+            )
+            if not keep_dups:
+                out = out.distinct()
+            if tail:
+                name = f"__ubn_tail_{next(_UBN_SEQ)}"
+                out.createOrReplaceTempView(name)
+                out = self.spark.sql(f"SELECT * FROM {name} {tail}")
+        return out
 
     def _user_table_names(self) -> list[str]:
         """Sorted user-visible table/view names: engine artifacts are

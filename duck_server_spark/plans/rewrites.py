@@ -363,10 +363,13 @@ def _rewrite_list_fn_shims_inner(q: str) -> str:
             # spans to [] where the TVF errors, a DuckDB asymmetry
             # pinned live). Spark's sequence() is inclusive and
             # direction-inferring, so the length is clamped explicitly.
-            # 3-arg step passes through and errors loudly; FROM
-            # position is Spark's NATIVE distributed range TVF, already
-            # aliased by _rewrite_series_unnest — never touch it.
-            if _FROM_TAIL.search(masked, 0, m.start()):
+            # 3-arg step passes through and errors loudly; table-
+            # function position (FROM / any JOIN / FROM-list comma) is
+            # Spark's NATIVE distributed range TVF, already aliased by
+            # _rewrite_series_unnest — never touch it (the round-10
+            # FROM-only guard missed `CROSS JOIN range(n) b` and broke
+            # it into a scalar — caught by the timeout tests).
+            if _in_tvf_position(masked, m.start()):
                 pos = m.end()
                 continue
             if len(args) == 1:
@@ -699,6 +702,46 @@ def _rewrite_date_diff(q: str) -> str:
 # through untouched and error loudly.
 _GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
 _RANGE_TVF = re.compile(r"\brange\s*\(", re.IGNORECASE)
+# clause keywords that prove an EXPRESSION context when met first on the
+# backward scan (see _in_tvf_position)
+_EXPR_CONTEXT_WORDS = frozenset(
+    "select where on having when then else by and or not in exists case"
+    " returning set values as union all distinct limit offset intersect"
+    " except using between like ilike is".split()
+)
+
+
+def _in_tvf_position(masked: str, pos: int) -> bool:
+    """True when the call starting at `pos` sits in table-function
+    position: scanning BACKWARD at the same paren depth, the nearest
+    clause keyword is FROM or JOIN (covers `FROM range(…)`,
+    `CROSS JOIN range(…) b`, and the comma form `FROM t, range(…)` —
+    intervening identifiers/aliases/commas keep scanning). Crossing an
+    opening parenthesis means argument-list position (an expression);
+    so does meeting SELECT/WHERE/ON/… first."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        ch = masked[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                return False  # crossed into an argument list
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            j = i
+            while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
+                j -= 1
+            word = masked[j + 1 : i + 1].lower()
+            if word in ("from", "join"):
+                return True
+            if word in _EXPR_CONTEXT_WORDS:
+                return False
+            i = j  # table name / alias / join qualifier: keep walking
+            continue
+        i -= 1
+    return False
 _FROM_UNNEST = re.compile(r"\b(from)\s+unnest\s*\(", re.IGNORECASE)
 _FROM_TAIL = re.compile(r"\bfrom\s*$", re.IGNORECASE)
 # trailing alias after a TVF: [AS] name [(col)] — but never a keyword
@@ -785,7 +828,7 @@ def _rewrite_series_unnest(q: str) -> str:
         m = _RANGE_TVF.search(masked, pos)
         if m is None:
             break
-        if not _FROM_TAIL.search(masked, 0, m.start()):
+        if not _in_tvf_position(masked, m.start()):
             pos = m.end()
             continue
         i = _scan_balanced(masked, m.end())
@@ -1691,6 +1734,34 @@ _SUBQUERY_INTRO_KEYWORDS = frozenset(
 )
 
 
+def with_prefix_end(q: str, masked: str) -> int:
+    """Index where the statement body begins after an optional leading
+    WITH clause (the CTE list); the first non-space index when there is
+    none. Mirrors rewrite_from_first's CTE walk — used by the engine's
+    UNION BY NAME splitter to carry the CTE prefix onto every arm."""
+    i = len(q) - len(q.lstrip())
+    if not re.match(r"with\b", masked[i:], re.IGNORECASE):
+        return i
+    j = i + 4
+    rm = re.match(r"\s+recursive\b", masked[j:], re.IGNORECASE)
+    if rm:
+        j += rm.end()
+    while True:  # walk `name [(cols)] AS ( … )` [, …]
+        cm = re.match(
+            r'\s*[\w"`]+\s*(?:\([^()]*\))?\s+as\s*(?:not\s+materialized\s*|materialized\s*)?\(',
+            masked[j:],
+            re.IGNORECASE,
+        )
+        if cm is None:
+            break
+        j = _scan_balanced(masked, j + cm.end())
+        tm = re.match(r"\s*,", masked[j:])
+        if tm is None:
+            break
+        j += tm.end()
+    return j + len(q[j:]) - len(q[j:].lstrip())
+
+
 def rewrite_from_first(q: str) -> str:
     masked = _mask_literals(q)
     if (
@@ -1770,7 +1841,8 @@ def rewrite_from_first(q: str) -> str:
 _DUCKDB_TVF_VIEWS = re.compile(
     r"\b(duckdb_tables|duckdb_views|duckdb_columns|duckdb_constraints"
     r"|duckdb_schemas|duckdb_settings|duckdb_functions|duckdb_databases"
-    r"|duckdb_sequences|duckdb_indexes|duckdb_keywords|duckdb_types)"
+    r"|duckdb_sequences|duckdb_indexes|duckdb_keywords|duckdb_types"
+    r"|duckdb_extensions)"
     r"\s*\(\s*\)",
     re.IGNORECASE,
 )

@@ -224,7 +224,7 @@ def test_disconnect_cancels_job_group(ch):
     engine.cancel = lambda jg: (cancelled.append(jg), orig_cancel(jg))  # type: ignore[method-assign]
     try:
         q = urllib.parse.quote(
-            "SELECT id, repeat('x', 100) AS pad FROM range(50000000)"
+            "SELECT range AS id, repeat('x', 100) AS pad FROM range(50000000)"
         )
         s = socketlib.create_connection((host, int(port)), timeout=30)
         s.sendall(f"GET /?query={q} HTTP/1.1\r\nHost: x\r\n\r\n".encode())

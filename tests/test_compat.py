@@ -1122,6 +1122,63 @@ def test_text_similarity_pinned_vs_duckdb(spark):
         duck.close()
 
 
+def test_union_by_name_pinned_vs_duckdb(spark, duck, sf_dir):
+    """Round 10: UNION [ALL] BY NAME — arms align by column name,
+    absent columns NULL-fill, result column order is first arm's then
+    each later arm's new names (exactly Spark's unionByName, so the
+    engine lowers the set op to the native operator). Plain UNION BY
+    NAME dedups AFTER the fill; a trailing ORDER BY/LIMIT applies to
+    the whole union; a WITH prefix is carried onto every arm. Values +
+    column names pinned vs live DuckDB."""
+    from duck_server_spark.engine.executor import Engine
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    eng = Engine(spark)
+    for dq in [
+        "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 30 AS b, 40 AS c",
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS b",
+        "SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 3 "
+        "UNION ALL BY NAME SELECT r_name AS rnm, r_regionkey AS k FROM region",
+        "SELECT n_regionkey AS k FROM nation UNION BY NAME SELECT r_regionkey AS k FROM region",
+        "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a ORDER BY a DESC LIMIT 1",
+        "WITH c AS (SELECT 5 AS x) SELECT x AS a FROM c "
+        "UNION ALL BY NAME SELECT x AS b FROM c",
+        "(SELECT 1 AS a) UNION ALL BY NAME (SELECT 2 AS b)",
+    ]:
+        def _key(t):
+            return tuple((v is None, "" if v is None else str(v)) for v in t)
+
+        r = duck.execute(dq)
+        want_cols = [c[0] for c in r.description]
+        want = sorted((tuple(row) for row in r.fetchall()), key=_key)
+        df = eng.query(dq)
+        assert df.columns == want_cols, dq
+        got = sorted((tuple(row) for row in df.collect()), key=_key)
+        assert got == want, (dq, got, want)
+    # mixed ALL/plain chains: loud 0A000, never a guessed fold
+    from duck_server_spark.engine.errors import PgError
+
+    with pytest.raises(PgError):
+        eng.query(
+            "SELECT 1 AS a UNION BY NAME SELECT 2 AS a "
+            "UNION ALL BY NAME SELECT 3 AS a"
+        )
+    # BY NAME inside a string literal: untouched, native path
+    lit = eng.query("SELECT 'x union all by name y' AS s")
+    assert lit.collect()[0][0] == "x union all by name y"
+
+
+def test_union_by_name_over_wire(pgc):
+    c = PgClient(*pgc)
+    cols, rows, _ = c.simple_query(
+        "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS b"
+    )
+    assert [n for n, _ in cols] == ["a", "b"]
+    assert sorted(rows, key=str) == sorted([("1", None), (None, "2")], key=str)
+    c.terminate()
+
+
 # ---------------------------------------------------------------------------
 # FROM-first syntax (round 9)
 # ---------------------------------------------------------------------------
@@ -1595,12 +1652,29 @@ def test_duckdb_introspection_second_block_pinned_vs_duckdb(pgc, spark):
         duck.execute(ddl)
     try:
         for tvf in ("duckdb_databases()", "duckdb_sequences()",
-                    "duckdb_indexes()", "duckdb_keywords()", "duckdb_types()"):
+                    "duckdb_indexes()", "duckdb_keywords()", "duckdb_types()",
+                    "duckdb_extensions()"):
             want_cols = [
                 d[0] for d in duck.execute(f"SELECT * FROM {tvf} LIMIT 0").description
             ]
             got_cols = eng.query(f"SELECT * FROM {tvf} LIMIT 0").columns
             assert got_cols == want_cols, (tvf, got_cols, want_cols)
+        # extensions: engine truth (capability packs served by Spark
+        # built-ins), every name we claim loaded is one live DuckDB
+        # also loads — honest containment, not a transcript
+        ours = {
+            r[0]
+            for r in eng.query(
+                "SELECT extension_name FROM duckdb_extensions() WHERE loaded"
+            ).collect()
+        }
+        theirs = {
+            r[0]
+            for r in duck.execute(
+                "SELECT extension_name FROM duckdb_extensions() WHERE loaded"
+            ).fetchall()
+        }
+        assert ours and ours <= theirs, (ours, theirs)
         # sequences: full value row incl. derived bounds and sql text
         probe = (
             "SELECT sequence_name, temporary, start_value, min_value, "

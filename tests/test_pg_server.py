@@ -279,7 +279,7 @@ def test_cancel_interrupts_running_query(pg):
     def victim():
         try:
             result["rows"] = c.simple_query(
-                "SELECT sum(a.id * b.id) AS s FROM range(100000) a CROSS JOIN range(200000) b"
+                "SELECT sum(a.range * b.range) AS s FROM range(100000) a CROSS JOIN range(200000) b"
             )
         except RuntimeError as e:
             result["error"] = str(e)
@@ -1104,7 +1104,7 @@ def test_statement_timeout_enforced(pg):
     assert rows == [("200ms",)]
     with pytest.raises(RuntimeError) as ei:
         c.simple_query(
-            "SELECT sum(a.id * b.id) AS s FROM range(100000) a CROSS JOIN range(200000) b"
+            "SELECT sum(a.range * b.range) AS s FROM range(100000) a CROSS JOIN range(200000) b"
         )
     assert "57014" in str(ei.value) and "statement timeout" in str(ei.value)
     # connection still healthy; timeout 0 disables enforcement
@@ -1149,7 +1149,7 @@ def test_statement_timeout_timer_never_leaks(pg):
     c.simple_query("SET statement_timeout = 0")
     for _ in range(3):
         _, rows, _ = c.simple_query(
-            "SELECT sum(id) AS s FROM range(2000000)"
+            "SELECT sum(range) AS s FROM range(2000000)"
         )
         assert rows == [(str(sum(range(2000000))),)]
     c.terminate()
