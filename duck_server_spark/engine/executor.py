@@ -149,6 +149,8 @@ _INTERNAL_TABLE_MARKS = (
 # UNION [ALL] BY NAME separators + the trailing clause that applies to
 # the whole set op (round 10)
 _UNION_BY_NAME = re.compile(r"\bunion\s+(all\s+)?by\s+name\b", re.IGNORECASE)
+# DuckDB's COLUMNS() star expression (round 10)
+_COLUMNS_EXPR = re.compile(r"\bcolumns\s*\(", re.IGNORECASE)
 _TRAILING_SETOP_CLAUSE = re.compile(
     r"\b(?:order\s+by|limit|offset)\b", re.IGNORECASE
 )
@@ -1120,6 +1122,10 @@ class Engine:
         from duck_server_spark.engine.macros import expand_calls
 
         q = expand_calls(q, self.macros)
+        # COLUMNS(*) / COLUMNS('regex') expansion BEFORE the dialect
+        # rewrite: the `* EXCLUDE (…)` spelling inside COLUMNS must not
+        # be star-rewritten first, and macro bodies may produce COLUMNS
+        q = self._expand_columns(q, dialect)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
         if _CATALOG_REF.search(q):
             self._refresh_catalog_views()
@@ -1387,6 +1393,181 @@ class Engine:
         sql_text = self._prepare_sql(q, dialect)
         with VISIBILITY_GATE.reading():
             return self._strip_asof_helpers(self.spark.sql(sql_text))
+
+    def _expand_columns(self, q: str, dialect: str) -> str:
+        """DuckDB's COLUMNS() star expression (round 10): expand
+        `COLUMNS(*)` / `COLUMNS(* EXCLUDE (…))` / `COLUMNS('regex')`
+        select-list items into one copy per matched column at BIND
+        time — a pure text transform once the FROM-relation schema is
+        known, so the expanded statement plans exactly like its
+        hand-written spelling (pruned scan, codegen, no extra
+        anything). Pinned live vs DuckDB 1.0:
+        - the regex is PARTIAL-match and case-SENSITIVE (COLUMNS('b')
+          matches both ab and bx) — Python re.search mirrors RE2 here;
+        - the output column name is the SOURCE column name even for
+          wrapped forms (min(COLUMNS(*)) + 1 yields columns ab, ac,
+          …), and an explicit alias duplicates per copy;
+        - zero matches is a loud binder error.
+        The schema probe analyzes `SELECT * FROM <same FROM-tail>`
+        through the full prepare pipeline (recursion expands COLUMNS
+        nested in derived tables; analysis only, no jobs). Scope:
+        COLUMNS in a SELECT list whose FROM follows at the same depth;
+        lambda args, FROM-less selects, and WHERE/GROUP BY positions
+        pass through and error loudly."""
+        if _COLUMNS_EXPR.search(q) is None:
+            return q
+        from duck_server_spark.engine.errors import PgError
+
+        def _scan(seg: str) -> tuple[int, bool]:
+            """(final depth, ever went negative) for a masked segment."""
+            depth, neg = 0, False
+            for ch in seg:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        neg = True
+            return depth, neg
+
+        def _balanced(seg: str) -> bool:
+            d, neg = _scan(seg)
+            return d == 0 and not neg
+
+        def _in_scope(seg: str) -> bool:
+            # COLUMNS may sit at ANY paren depth inside the select's
+            # items (min(COLUMNS(*))), but the scan must never escape
+            # the select's scope
+            return not _scan(seg)[1]
+
+        for _ in range(24):  # bound: each pass expands one select list
+            masked = rewrites._mask_literals(q)
+            m = _COLUMNS_EXPR.search(masked)
+            if m is None:
+                return q
+            # enclosing SELECT: nearest preceding one in the same scope
+            sel = None
+            for sm in re.finditer(r"\bselect\b", masked[: m.start()], re.IGNORECASE):
+                if _in_scope(masked[sm.end() : m.start()]):
+                    sel = sm
+            if sel is None:
+                return q  # not in a select list: loud native error
+            # its FROM at the same depth
+            frm = None
+            for fm in re.finditer(r"\bfrom\b", masked, re.IGNORECASE):
+                if fm.start() > m.end() and _balanced(masked[sel.end() : fm.start()]):
+                    frm = fm
+                    break
+            if frm is None:
+                return q  # FROM-less: loud native error
+            # FROM-tail end: closing paren of this scope or a depth-0
+            # set-op keyword (ORDER BY/LIMIT are harmless in the probe)
+            end = len(q)
+            depth = 0
+            for i in range(frm.end(), len(masked)):
+                ch = masked[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        end = i
+                        break
+                elif depth == 0 and ch in "uUiIeE":
+                    sm2 = re.match(
+                        r"(union|intersect|except)\b", masked[i:], re.IGNORECASE
+                    )
+                    if sm2 and not (masked[i - 1].isalnum() or masked[i - 1] == "_"):
+                        end = i
+                        break
+            probe = "SELECT * FROM " + q[frm.end() : end]
+            schema_cols = [
+                f.name
+                for f in self.spark.sql(self._prepare_sql(probe, dialect)).schema.fields
+            ]
+            # select list items (DISTINCT/ALL prefix held aside)
+            sel_list = q[sel.end() : frm.start()]
+            mprefix = re.match(r"\s*(distinct|all)\b", sel_list, re.IGNORECASE)
+            prefix = ""
+            if mprefix:
+                prefix = sel_list[: mprefix.end()]
+                sel_list = sel_list[mprefix.end() :]
+            msel = rewrites._mask_literals(sel_list)
+            items = rewrites._split_top_level(sel_list, msel)
+            out_items: list[str] = []
+            changed = False
+            for item in items:
+                mitem = rewrites._mask_literals(item)
+                spans = []  # (start, end, arg) of each COLUMNS(…) in the item
+                for cm in _COLUMNS_EXPR.finditer(mitem):
+                    cend = rewrites._scan_balanced(mitem, cm.end())
+                    spans.append((cm.start(), cend, item[cm.end() : cend - 1].strip()))
+                if not spans:
+                    out_items.append(item)
+                    continue
+                if len({s[2] for s in spans}) > 1:
+                    raise PgError(
+                        "0A000",
+                        "multiple COLUMNS expressions with different "
+                        "arguments in one select item are not supported",
+                    )
+                arg = spans[0][2]
+                if arg == "*":
+                    cols = list(schema_cols)
+                else:
+                    ex = re.fullmatch(
+                        r"\*\s+EXCLUDE\s*\(?\s*([\w\s,`\"]*?)\s*\)?",
+                        arg,
+                        re.IGNORECASE,
+                    )
+                    lit = re.fullmatch(r"'((?:[^']|'')*)'", arg)
+                    if ex:
+                        dropped = {
+                            c.strip().strip('`"').lower()
+                            for c in ex.group(1).split(",")
+                            if c.strip()
+                        }
+                        cols = [c for c in schema_cols if c.lower() not in dropped]
+                    elif lit:
+                        pat = lit.group(1).replace("''", "'")
+                        cols = [c for c in schema_cols if re.search(pat, c)]
+                        if not cols:
+                            raise PgError(
+                                "42703",
+                                "No matching columns found that match "
+                                f'regex "{pat}"',
+                            )
+                    else:
+                        # lambda / dynamic forms: pass through loudly
+                        out_items.append(item)
+                        continue
+                bare = (
+                    len(spans) == 1
+                    and item.strip() == item[spans[0][0] : spans[0][1]].strip()
+                )
+                has_alias = re.search(
+                    r"\bas\s+[\w`\"]+\s*$", item, re.IGNORECASE
+                ) is not None
+                for c in cols:
+                    ref = "`" + c.replace("`", "``") + "`"
+                    text = item
+                    for s0, s1, _a in reversed(spans):
+                        text = text[:s0] + ref + text[s1:]
+                    if not bare and not has_alias:
+                        text = f"{text.rstrip()} AS `{c}`"
+                    out_items.append(text.strip())
+                changed = True
+            if not changed:
+                return q  # only unsupported forms remain: loud downstream
+            q = (
+                q[: sel.end()]
+                + prefix
+                + " "
+                + ", ".join(out_items)
+                + " "
+                + q[frm.start() :]
+            )
+        return q
 
     def _union_by_name(self, q: str, dialect: str) -> DataFrame | None:
         """DuckDB's `UNION [ALL] BY NAME` (round 10): arms align by

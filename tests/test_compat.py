@@ -1169,6 +1169,48 @@ def test_union_by_name_pinned_vs_duckdb(spark, duck, sf_dir):
     assert lit.collect()[0][0] == "x union all by name y"
 
 
+def test_columns_expr_pinned_vs_duckdb(spark, duck, sf_dir):
+    """Round 10: COLUMNS() star expression — COLUMNS(*) /
+    COLUMNS(* EXCLUDE (…)) / COLUMNS('regex') expand at bind time into
+    one select-item copy per matched column. Pinned live vs DuckDB
+    1.0: regex is PARTIAL-match and case-sensitive; output names stay
+    the SOURCE column names even for wrapped forms (min(COLUMNS(*))+1
+    → columns named like the sources); an explicit alias duplicates
+    per copy; zero matches is a loud binder error."""
+    from duck_server_spark.engine.executor import Engine
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    eng = Engine(spark)
+    for dq in [
+        "SELECT COLUMNS('n_.*key') FROM nation ORDER BY n_nationkey",
+        "SELECT min(COLUMNS(*)) FROM region",
+        "SELECT max(COLUMNS('.*key')) + 1 FROM region",
+        "SELECT sum(COLUMNS('.*key')) AS tot FROM nation",
+        "SELECT COLUMNS(* EXCLUDE (n_name)) FROM nation ORDER BY n_nationkey LIMIT 3",
+        "SELECT n_name, COLUMNS('key$') FROM nation ORDER BY n_nationkey LIMIT 2",
+        "SELECT count(COLUMNS(*)) FROM region",
+    ]:
+        r = duck.execute(dq)
+        want_cols = [c[0] for c in r.description]
+        want = [tuple(row) for row in r.fetchall()]
+        df = eng.query(dq)
+        assert df.columns == want_cols, (dq, df.columns, want_cols)
+        got = [tuple(row) for row in df.collect()]
+        assert got == want, (dq, got[:3], want[:3])
+    # zero matches: loud binder error on BOTH engines
+    from duck_server_spark.engine.errors import PgError
+
+    with pytest.raises(Exception):
+        duck.execute("SELECT COLUMNS('nomatch9') FROM nation").fetchall()
+    with pytest.raises(PgError, match="No matching columns"):
+        eng.query("SELECT COLUMNS('nomatch9') FROM nation")
+    # unsupported positions pass through and error LOUDLY (never a
+    # silent mis-expansion)
+    with pytest.raises(Exception):
+        eng.query("SELECT n_name FROM nation WHERE COLUMNS('zz') > 0").collect()
+
+
 def test_union_by_name_over_wire(pgc):
     c = PgClient(*pgc)
     cols, rows, _ = c.simple_query(
