@@ -1,0 +1,306 @@
+"""Dialect gap prober (round 10): run a battery of real DuckDB
+statements through BOTH the engine's query path and live DuckDB and
+diff the results. Purpose: systematically surface the remaining
+dialect gaps a reference user would hit, instead of guessing.
+
+Usage: python tools/dialect_probe.py [filter-substring]
+Prints one line per probe: PASS / MISMATCH / ENGINE_ERR / DUCK_ERR.
+DUCK_ERR rows are probes the local DuckDB build itself rejects — they
+are dropped from the gap list (not part of the reference surface).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+import duckdb  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# (name, sql) — every probe is a SELECT DuckDB runs verbatim.
+PROBES = [
+    # ---- operators & literals ----
+    ("int_div", "SELECT 7 // 2 AS a, -7 // 2 AS b"),
+    ("pow_caret", "SELECT 2 ^ 10 AS a"),
+    ("pow_star2", "SELECT 2 ** 10 AS a"),
+    ("mod_op", "SELECT 7 % 3 AS a, -7 % 3 AS b"),
+    ("concat_pipes", "SELECT 'a' || 'b' || NULL AS a"),
+    ("is_distinct", "SELECT 1 IS DISTINCT FROM NULL AS a, NULL IS NOT DISTINCT FROM NULL AS b"),
+    ("regex_tilde", "SELECT 'abc' ~ 'b.' AS a, 'abc' !~ 'z' AS b"),
+    ("like_ops", "SELECT 'abc' ~~ 'a%' AS a, 'abc' !~~ 'z%' AS b"),
+    ("ilike", "SELECT 'ABC' ILIKE 'a%' AS a"),
+    ("similar_to", "SELECT 'abc' SIMILAR TO 'a(b|z)c' AS a"),
+    ("glob_op", "SELECT 'abc' GLOB 'a*' AS a"),
+    ("between_not", "SELECT 5 NOT BETWEEN 1 AND 3 AS a"),
+    ("bitstring_lit", "SELECT '101'::BIT AS a"),
+    ("blob_lit", "SELECT '\\xAA'::BLOB IS NOT NULL AS a"),
+    ("escape_str", "SELECT e'a\\tb' AS a"),
+    ("dollar_str", "SELECT $$ab'c$$ AS a"),
+    ("num_underscore", "SELECT 1_000_000 AS a"),
+    ("hex_lit", "SELECT 0xFF AS a"),
+    # ---- list/array semantics ----
+    ("list_index_1based", "SELECT ([10,20,30])[1] AS a, ([10,20,30])[-1] AS b"),
+    ("list_slice", "SELECT ([1,2,3,4,5])[2:4] AS a"),
+    ("str_index", "SELECT ('abcde')[2] AS a"),
+    ("str_slice", "SELECT ('abcde')[2:4] AS a"),
+    ("list_comprehension", "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS a"),
+    ("lambda_arrow", "SELECT list_transform([1,2,3], x -> x + 1) AS a"),
+    ("lambda_filter", "SELECT list_filter([1,2,3,4], x -> x % 2 = 0) AS a"),
+    ("lambda_reduce", "SELECT list_reduce([1,2,3,4], (a, b) -> a + b) AS a"),
+    ("lambda_two_arg", "SELECT list_transform([10,20], (x, i) -> x + i) AS a"),
+    ("flatten", "SELECT flatten([[1,2],[3]]) AS a"),
+    ("list_zip", "SELECT list_zip([1,2],[3,4]) IS NOT NULL AS a"),
+    ("range_scalar", "SELECT range(1, 4) AS a"),
+    ("list_value", "SELECT list_value(1,2,3) AS a"),
+    ("array_indexing_chain", "SELECT [[1,2],[3,4]][2][1] AS a"),
+    ("list_contains_op", "SELECT 2 IN (SELECT unnest([1,2,3])) AS a"),
+    ("list_any_all", "SELECT 2 = ANY([1,2,3]) AS a"),
+    # ---- struct/map ----
+    ("struct_dot", "SELECT ({'a': 1, 'b': 2}).a AS a"),
+    ("struct_star", "SELECT s.* FROM (SELECT {'a': 1, 'b': 2} AS s)"),
+    ("map_literal_access", "SELECT (MAP {'k': 5})['k'] AS a"),
+    ("map_fn", "SELECT map([1,2],[10,20])[2] AS a"),
+    ("row_fn", "SELECT row(1, 'x') IS NOT NULL AS a"),
+    # ---- strings ----
+    ("printf", "SELECT printf('%d-%s', 7, 'x') AS a"),
+    ("format_fn", "SELECT format('{}-{}', 1, 'b') AS a"),
+    ("repeat_str", "SELECT repeat('ab', 3) AS a"),
+    ("str_split_regex", "SELECT string_split_regex('a1b2c', '[0-9]') AS a"),
+    ("regexp_extract_grp", "SELECT regexp_extract('2023-07-05', '(\\d+)-(\\d+)', 2) AS a"),
+    ("regexp_extract_named", "SELECT regexp_extract('ab12', '(?P<L>[a-z]+)(?P<D>[0-9]+)', ['L','D']) AS a"),
+    ("regexp_matches", "SELECT regexp_matches('abc', 'b') AS a"),
+    ("regexp_replace_g", "SELECT regexp_replace('aaa', 'a', 'b', 'g') AS a"),
+    ("regexp_extract_all", "SELECT regexp_extract_all('a1b2', '[0-9]') AS a"),
+    ("left_right", "SELECT left('abcde', 2) AS a, right('abcde', 2) AS b"),
+    ("strpos", "SELECT strpos('hello', 'll') AS a, instr('hello', 'll') AS b"),
+    ("translate", "SELECT translate('abc', 'ab', 'xy') AS a"),
+    ("ascii_chr", "SELECT ascii('A') AS a, chr(66) AS b"),
+    ("to_base", "SELECT to_base(255, 16) AS a"),
+    ("bar_fn", "SELECT length(bar(3, 0, 10, 10)) > 0 AS a"),
+    ("md5_hex", "SELECT md5('x') AS a"),
+    ("sha256_hex", "SELECT sha256('x') AS a"),
+    ("hash_fn", "SELECT hash('x') IS NOT NULL AS a"),
+    ("levenshtein", "SELECT levenshtein('kitten', 'sitting') AS a"),
+    ("unicode_fn", "SELECT unicode('€') AS a"),
+    ("strip_accents", "SELECT strip_accents('âé') AS a"),
+    ("nfc_normalize", "SELECT nfc_normalize('ö') = 'ö' AS a"),
+    ("parse_path", "SELECT parse_filename('/a/b/c.txt') AS a, parse_dirname('/a/b/c.txt') AS b"),
+    ("url_codec", "SELECT url_encode('a b') AS a, url_decode('a%20b') AS b"),
+    # ---- dates/times ----
+    ("date_plus_int", "SELECT DATE '2024-01-31' + 1 AS a"),
+    ("date_minus_date", "SELECT DATE '2024-02-10' - DATE '2024-02-01' AS a"),
+    ("interval_arith", "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS a"),
+    ("interval_str", "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '90 minutes' AS a"),
+    ("extract_parts", "SELECT extract(epoch FROM TIMESTAMP '2024-01-02 03:04:05') AS a, extract(dow FROM DATE '2024-01-07') AS b, extract(isodow FROM DATE '2024-01-07') AS c"),
+    ("date_part_list", "SELECT date_part(['year','month'], DATE '2024-05-06') AS a"),
+    ("make_date", "SELECT make_date(2024, 2, 29) AS a, make_timestamp(2024,1,2,3,4,5.5) AS b"),
+    ("epoch_fns", "SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:01') AS a, to_timestamp(86400) AS b"),
+    ("time_type", "SELECT TIME '13:14:15' AS a"),
+    ("age_fn", "SELECT age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-01-10') IS NOT NULL AS a"),
+    ("date_trunc_week", "SELECT date_trunc('week', DATE '2024-01-10') AS a"),
+    ("last_day", "SELECT last_day(DATE '2024-02-10') AS a"),
+    ("monthname", "SELECT monthname(DATE '2024-02-10') AS a, dayname(DATE '2024-02-12') AS b"),
+    ("time_bucket", "SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 00:37:00') AS a"),
+    ("generate_ts_series", "SELECT count(*) AS a FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02', INTERVAL '1 hour')"),
+    ("at_time_zone", "SELECT (TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'UTC') IS NOT NULL AS a"),
+    ("strftime_pct", "SELECT strftime(DATE '2024-02-05', '%Y/%m/%d %a') AS a"),
+    ("strptime_pct", "SELECT strptime('05.02.2024', '%d.%m.%Y') AS a"),
+    ("iso_year_week", "SELECT isoyear(DATE '2021-01-01') AS a, weekofyear(DATE '2021-01-01') AS b"),
+    # ---- casts/types ----
+    ("try_cast", "SELECT TRY_CAST('xx' AS INT) AS a"),
+    ("cast_bool_int", "SELECT TRUE::INT AS a, 1::BOOL AS b"),
+    ("uhugeint", "SELECT 1::HUGEINT + 1 AS a"),
+    ("utinyint", "SELECT 200::UTINYINT AS a"),
+    ("decimal_prec", "SELECT 1.5::DECIMAL(12,3) * 2 AS a"),
+    ("implicit_str_num", "SELECT '5' + 2 AS a"),
+    ("uuid_cast", "SELECT 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'::UUID IS NOT NULL AS a"),
+    ("enum_type", "SELECT 'happy'::ENUM('sad','ok','happy') AS a"),
+    ("bool_sum", "SELECT sum(CASE WHEN TRUE THEN 1 ELSE 0 END) AS a"),
+    ("typeof", "SELECT typeof(1::SMALLINT) AS a"),
+    # ---- aggregates ----
+    ("agg_min_n", "SELECT min(o_totalprice, 3) AS a FROM orders"),
+    ("agg_arg_max_n", "SELECT arg_max(o_orderkey, o_totalprice, 2) AS a FROM orders"),
+    ("agg_histogram", "SELECT histogram(r_regionkey) IS NOT NULL AS a FROM region"),
+    ("agg_bit", "SELECT bit_and(7) AS a, bit_or(1) AS b, bit_xor(3) AS c FROM range(1)"),
+    ("agg_bool", "SELECT bool_and(r_regionkey >= 0) AS a, bool_or(r_regionkey > 3) AS b FROM region"),
+    ("agg_product", "SELECT product(x) AS a FROM (SELECT unnest([1.0,2.0,3.0]) x)"),
+    ("agg_string_agg_order", "SELECT string_agg(r_name, ',' ORDER BY r_name DESC) AS a FROM region"),
+    ("agg_list_order", "SELECT list(r_name ORDER BY r_name) AS a FROM region"),
+    ("agg_any_value", "SELECT any_value(r_name ORDER BY r_regionkey) AS a FROM region"),
+    ("agg_entropy", "SELECT round(entropy(r_regionkey), 6) AS a FROM region"),
+    ("agg_kurtosis", "SELECT round(kurtosis(o_totalprice), 4) AS a FROM orders"),
+    ("agg_mad", "SELECT mad(r_regionkey) AS a FROM region"),
+    ("agg_mode", "SELECT mode(o_orderpriority) AS a FROM orders"),
+    ("agg_quantile_disc", "SELECT quantile_disc(o_totalprice, 0.5) AS a FROM orders"),
+    ("agg_quantile_list", "SELECT quantile_cont(o_totalprice, [0.25, 0.75]) AS a FROM orders"),
+    ("agg_favg", "SELECT round(favg(o_totalprice), 4) AS a FROM orders"),
+    ("agg_count_no_args", "SELECT count() AS a FROM region"),
+    ("distinct_agg_order", "SELECT count(DISTINCT o_orderpriority) AS a FROM orders"),
+    # ---- window extras ----
+    ("win_exclude", "SELECT r_regionkey, sum(r_regionkey) OVER (ORDER BY r_regionkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS a FROM region ORDER BY r_regionkey"),
+    ("win_named", "SELECT r_regionkey, sum(r_regionkey) OVER w AS a FROM region WINDOW w AS (ORDER BY r_regionkey) ORDER BY r_regionkey"),
+    ("win_groups_frame", "SELECT r_regionkey, count(*) OVER (ORDER BY r_regionkey GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM region ORDER BY r_regionkey"),
+    ("win_filter", "SELECT r_regionkey, count(*) FILTER (r_regionkey > 1) OVER (ORDER BY r_regionkey) AS a FROM region ORDER BY r_regionkey"),
+    # ---- query shapes ----
+    ("group_by_all", "SELECT o_orderpriority, count(*) AS c FROM orders GROUP BY ALL ORDER BY ALL"),
+    ("select_no_from", "SELECT 42 AS a"),
+    ("values_from", "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(x, y) ORDER BY x"),
+    ("positional_params", "SELECT #1 FROM (SELECT 5 AS x)"),
+    ("order_positional", "SELECT r_name, r_regionkey FROM region ORDER BY 2 DESC LIMIT 2"),
+    ("group_positional", "SELECT o_orderpriority, count(*) AS c FROM orders GROUP BY 1 ORDER BY 1"),
+    ("limit_pct", "SELECT count(*) AS a FROM (SELECT * FROM region LIMIT 40%)"),
+    ("offset_no_limit", "SELECT r_regionkey FROM region ORDER BY r_regionkey OFFSET 3"),
+    ("distinct_on_multi", "SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey FROM orders ORDER BY o_orderpriority, o_orderkey"),
+    ("cte_materialized", "WITH c AS MATERIALIZED (SELECT 1 AS x) SELECT * FROM c"),
+    ("cte_not_materialized", "WITH c AS NOT MATERIALIZED (SELECT 1 AS x) SELECT * FROM c"),
+    ("nested_corr_subq", "SELECT r_name FROM region r WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20) ORDER BY r_name"),
+    ("in_subquery_tuple", "SELECT count(*) AS a FROM nation WHERE (n_regionkey) IN (SELECT r_regionkey FROM region WHERE r_regionkey < 2)"),
+    ("table_star_count", "SELECT count(region.*) AS a FROM region"),
+    ("select_table_star", "SELECT region.* FROM region ORDER BY r_regionkey LIMIT 1"),
+    ("unnest_struct", "SELECT unnest({'a': 1, 'b': 2}) "),
+    ("unnest_recursive", "SELECT unnest([{'a': 1}, {'a': 2}], recursive := true) ORDER BY 1"),
+    ("named_args", "SELECT round(3.14159, 2) AS a"),
+    ("describe_select", "SELECT count(*) > 0 AS a FROM (DESCRIBE SELECT 1 AS x)"),
+    ("from_first_where", "FROM region WHERE r_regionkey < 2 SELECT r_name ORDER BY r_name"),
+    ("join_using_multi", "SELECT count(*) AS a FROM nation n JOIN nation m USING (n_regionkey, n_nationkey)"),
+    ("cross_lateral", "SELECT r_regionkey, x FROM region, LATERAL (SELECT r_regionkey * 2 AS x) ORDER BY r_regionkey"),
+    ("tablesample_bernoulli", "SELECT count(*) >= 0 AS a FROM orders TABLESAMPLE 10%"),
+    ("exists_anti", "SELECT count(*) AS a FROM region r ANTI JOIN nation n ON r.r_regionkey = n.n_regionkey"),
+    # ---- TVFs / catalog fns ----
+    ("repeat_tvf", "SELECT count(*) AS a FROM repeat('x', 5)"),
+    ("unnest_tvf_pos", "SELECT * FROM unnest([1,2,3]) ORDER BY 1"),
+    ("glob_tvf", "SELECT count(*) >= 0 AS a FROM glob('/tmp/*')"),
+    ("current_schemas", "SELECT current_schema() IS NOT NULL AS a"),
+    ("txid", "SELECT txid_current() >= 0 AS a"),
+    # ---- misc scalar fns ----
+    ("coalesce_chain", "SELECT coalesce(NULL, NULL, 3) AS a, ifnull(NULL, 2) AS b, nullif(2, 2) AS c"),
+    ("if_3arg", "SELECT if(1 > 0, 'y', 'n') AS a"),
+    ("greatest_null", "SELECT greatest(1, NULL, 3) AS a, least(NULL, NULL) AS b"),
+    ("div_zero", "SELECT 1 / 0 AS a"),
+    ("fdiv_zero", "SELECT 1.0 / 0 AS a"),
+    ("divide_fn", "SELECT divide(7, 2) AS a, fdiv(7, 2) AS b, fmod(7, 2.5) AS c"),
+    ("gamma_fns", "SELECT round(gamma(5), 6) AS a, round(lgamma(5), 6) AS b"),
+    ("even_fn", "SELECT even(2.5) AS a"),
+    ("signbit", "SELECT signbit(-0.0) AS a"),
+    ("cot_fn", "SELECT round(cot(1), 6) AS a"),
+    ("bit_count", "SELECT bit_count(7::INT) AS a"),
+    ("xor_fn", "SELECT xor(5, 3) AS a"),
+    ("setseed", "SELECT setseed(0.5) IS NULL AS a"),
+    ("random_bounds", "SELECT random() BETWEEN 0 AND 1 AS a"),
+    ("uuid_fn", "SELECT length(uuid()::VARCHAR) AS a"),
+    ("constant_pi", "SELECT round(pi(), 6) AS a"),
+    ("alias_fn", "SELECT alias(42) IS NOT NULL AS a"),
+    ("can_cast", "SELECT try_cast('5' AS INT) IS NOT NULL AS a"),
+    ("case_no_else", "SELECT CASE WHEN 1 = 2 THEN 'x' END AS a"),
+    ("in_list_null", "SELECT (NULL IN (1, 2)) IS NULL AS a"),
+]
+
+
+def canon(pdf):
+    import datetime
+    import decimal
+    import math
+
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+
+    def cell(v):
+        # normalize representation artifacts, NOT values: DuckDB's
+        # DATE → pandas datetime64 (midnight) vs Spark's date object,
+        # Decimal scale rendering, NaN-vs-None for SQL NULL, tz suffix
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "∅"
+        if v is pd.NaT:
+            return "∅"
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.6g}"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        if isinstance(v, pd.Timestamp) or isinstance(v, datetime.datetime):
+            try:
+                v = v.replace(tzinfo=None) if getattr(v, "tzinfo", None) else v
+            except TypeError:
+                pass
+            s = str(v)
+            return s[:-9] if s.endswith(" 00:00:00") else s
+        return str(v)
+
+    rows = sorted(
+        tuple(cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    return rows
+
+
+def main():
+    filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    from duck_server_spark.engine.executor import Engine
+    from duck_server_spark.engine.session import get_session
+
+    spark = get_session("dialect_probe")
+    eng = Engine(spark)
+    for t in TABLES:
+        spark.read.parquet(f"{SF}/{t}.parquet").createOrReplaceTempView(t)
+
+    results = {"PASS": [], "MISMATCH": [], "ENGINE_ERR": [], "DUCK_ERR": []}
+    for name, sql in PROBES:
+        if filt and filt not in name:
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            results["DUCK_ERR"].append((name, str(exc).splitlines()[0]))
+            continue
+        try:
+            got = eng.query(sql, dialect="pg").toPandas()
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).splitlines()[0][:160]
+            results["ENGINE_ERR"].append((name, msg))
+            print(f"ENGINE_ERR {name}: {msg}")
+            continue
+        try:
+            ok = canon(got) == canon(want) and sorted(got.columns) == sorted(
+                want.columns
+            )
+        except Exception:  # noqa: BLE001
+            ok = False
+        if ok:
+            results["PASS"].append((name, ""))
+            print(f"PASS       {name}")
+        else:
+            results["MISMATCH"].append((name, ""))
+            print(f"MISMATCH   {name}")
+            print(f"  duck : cols={list(want.columns)} rows={canon(want)[:3]}")
+            print(f"  spark: cols={list(got.columns)} rows={canon(got)[:3]}")
+
+    print("\n==== SUMMARY ====")
+    for k in ("PASS", "MISMATCH", "ENGINE_ERR", "DUCK_ERR"):
+        print(f"{k}: {len(results[k])}")
+    for name, msg in results["ENGINE_ERR"]:
+        print(f"  ENGINE_ERR {name}: {msg}")
+    for name, _ in results["MISMATCH"]:
+        print(f"  MISMATCH   {name}")
+    for name, msg in results["DUCK_ERR"]:
+        print(f"  DUCK_ERR   {name}: {msg}")
+
+
+if __name__ == "__main__":
+    main()
+    traceback  # quiet linters
