@@ -1112,7 +1112,9 @@ class Engine:
 
     # ----------------------------------------------------------- queries
 
-    def _prepare_sql(self, q: str, dialect: str) -> str:
+    def _prepare_sql(
+        self, q: str, dialect: str, _literals_normalized: bool = False
+    ) -> str:
         # bind-at-use for views over macros (round 9): a statement that
         # names such a view errors if a referenced macro was dropped and
         # re-bakes the view if one was redefined (engine/macros.py)
@@ -1122,6 +1124,17 @@ class Engine:
         from duck_server_spark.engine.macros import expand_calls
 
         q = expand_calls(q, self.macros)
+        # duck/PG string-literal semantics → Spark's (round 10): plain
+        # literals are RAW in the source dialect (backslash is data);
+        # runs EXACTLY ONCE per statement, after macro inlining (bodies
+        # are duck-dialect) and before every shim that injects
+        # Spark-dialect literals. NOT idempotent — every nested
+        # _prepare_sql call on a slice of an ALREADY-normalized
+        # statement must pass _literals_normalized=True (today only the
+        # COLUMNS() schema probe below; raw-statement fragments from
+        # query()/execute() normalize here, once each).
+        if not _literals_normalized:
+            q = rewrites.normalize_literals(q)
         # COLUMNS(*) / COLUMNS('regex') expansion BEFORE the dialect
         # rewrite: the `* EXCLUDE (…)` spelling inside COLUMNS must not
         # be star-rewritten first, and macro bodies may produce COLUMNS
@@ -1483,7 +1496,9 @@ class Engine:
             probe = "SELECT * FROM " + q[frm.end() : end]
             schema_cols = [
                 f.name
-                for f in self.spark.sql(self._prepare_sql(probe, dialect)).schema.fields
+                for f in self.spark.sql(
+                    self._prepare_sql(probe, dialect, _literals_normalized=True)
+                ).schema.fields
             ]
             # select list items (DISTINCT/ALL prefix held aside)
             sel_list = q[sel.end() : frm.start()]
@@ -1529,7 +1544,12 @@ class Engine:
                         }
                         cols = [c for c in schema_cols if c.lower() not in dropped]
                     elif lit:
-                        pat = lit.group(1).replace("''", "'")
+                        # the statement is already normalize_literals'd
+                        # (backslashes doubled for Spark); this pattern
+                        # is consumed by PYTHON re — undo the doubling
+                        pat = (
+                            lit.group(1).replace("''", "'").replace("\\\\", "\\")
+                        )
                         cols = [c for c in schema_cols if re.search(pat, c)]
                         if not cols:
                             raise PgError(

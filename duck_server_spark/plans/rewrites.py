@@ -2346,6 +2346,73 @@ def rewrite_qualify(q: str) -> str:
 # Single-quoted SQL string literal, with '' as the escaped quote.
 _STR_LIT = re.compile(r"'(?:[^']|'')*'")
 
+# Dollar-quoted literal opener: $$ or $tag$ (PG syntax DuckDB accepts).
+# A bare positional parameter `$1` never matches (the tag must be an
+# identifier), so PREPARE-path placeholders are safe.
+_DOLLAR_OPEN = re.compile(r"\$([A-Za-z_]\w*)?\$")
+
+
+def normalize_literals(q: str) -> str:
+    """DuckDB/PG string-literal semantics → Spark's (round 10, found by
+    tools/dialect_probe.py): in DuckDB and PG a plain '...' literal is
+    RAW — backslash is data, so '(\\d+)' is a working regex — while
+    Spark processes C-style escapes in plain literals ('\\d' silently
+    becomes 'd', breaking every regex a reference user writes). Three
+    conversions, one left-to-right scan:
+
+    - plain '...'        → backslashes doubled (content preserved)
+    - e'...' / E'...'    → prefix stripped, content untouched (PG
+      escape-string semantics == Spark plain-literal semantics: \\n is
+      a newline, an unknown escape like \\d drops the backslash —
+      pinned by tests against live DuckDB)
+    - $$...$$ / $t$...$t$ → single-quoted with ' doubled, then the raw
+      rule (dollar-quoted content is raw, including quotes/backslashes)
+
+    NOT idempotent — runs exactly once per statement, at the top of
+    Engine._prepare_sql AFTER macro inlining (macro bodies are
+    duck-dialect text) and BEFORE every shim that injects Spark-dialect
+    literals (strftime patterns, pivot values, text templates)."""
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == "'":
+            # find the literal's end, honoring '' doubling
+            j = i + 1
+            while j < n:
+                if q[j] == "'":
+                    if j + 1 < n and q[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            body = q[i + 1 : j] if j < n else q[i + 1 :]
+            # e-prefix? the char just written must be a bare e/E token
+            is_escape_str = bool(out) and out[-1] in "eE" and (
+                len(out) < 2 or not (out[-2].isalnum() or out[-2] in "_$'\"`")
+            )
+            if is_escape_str:
+                out.pop()  # strip the prefix; Spark gives '...' the
+                # same escape semantics PG gives e'...'
+            else:
+                body = body.replace("\\", "\\\\")
+            out.append("'" + body + "'")
+            i = j + 1
+            continue
+        if c == "$":
+            m = _DOLLAR_OPEN.match(q, i)
+            if m:
+                close = q.find(m.group(0), m.end())
+                if close != -1:
+                    body = q[m.end() : close]
+                    body = body.replace("'", "''").replace("\\", "\\\\")
+                    out.append("'" + body + "'")
+                    i = close + len(m.group(0))
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 _SIMPLE_IDENT = re.compile(r"[A-Za-z_]\w*")
 
@@ -2512,7 +2579,11 @@ def substitute_params(q: str, params: list) -> str:
         idx = int(m.group(1)) - 1
         if idx < 0 or idx >= len(params):
             return "NULL"
-        return render_literal(params[idx])
+        # duck-dialect rendering: the inlined text re-enters the engine's
+        # statement pipeline, whose normalize_literals pass doubles
+        # backslashes exactly once (round 10) — pre-doubling here would
+        # quadruple them.
+        return render_literal(params[idx], dialect="duck")
 
     return _sub_outside_literals(q, lambda seg: _PARAM.sub(repl, seg))
 
@@ -2544,7 +2615,7 @@ def substitute_param_exprs(q: str, exprs: list[str]) -> str:
     return _sub_outside_literals(q, lambda seg: _PARAM.sub(repl, seg))
 
 
-def render_literal(v) -> str:
+def render_literal(v, dialect: str = "spark") -> str:
     import datetime as _dt
     import decimal as _dec
 
@@ -2567,5 +2638,9 @@ def render_literal(v) -> str:
     # literals ALSO process backslash escapes by default, so a backslash
     # must be doubled too or a trailing `\` escapes the closing quote
     # (breaking out of the literal) and `\n` silently becomes a newline.
-    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    # dialect="duck": text that re-enters the statement pipeline, where
+    # normalize_literals does the doubling exactly once (round 10).
+    s = str(v).replace("'", "''")
+    if dialect == "spark":
+        s = s.replace("\\", "\\\\")
     return f"'{s}'"

@@ -168,6 +168,50 @@ def test_duckdb_dialect_shims_over_wire(pgc):
     c.terminate()
 
 
+def test_normalize_literals_shapes():
+    """Text shapes of the round-10 literal-semantics pass: plain
+    literals keep backslashes raw for Spark (doubled), e'…' strips the
+    prefix, $$…$$ / $tag$…$tag$ convert to quoted literals, '' survives,
+    and $1 params / identifiers ending in e are never touched."""
+    from duck_server_spark.plans.rewrites import normalize_literals as nl
+
+    assert nl(r"SELECT '(\d+)'") == r"SELECT '(\\d+)'"
+    assert nl(r"SELECT e'a\tb'") == r"SELECT 'a\tb'"
+    assert nl(r"SELECT E'a\tb'") == r"SELECT 'a\tb'"
+    assert nl("SELECT $$it's$$") == "SELECT 'it''s'"
+    assert nl("SELECT $t$a $ b$t$") == "SELECT 'a $ b'"
+    assert nl("SELECT '5''6'") == "SELECT '5''6'"
+    assert nl("SELECT $1 + $2") == "SELECT $1 + $2"
+    # identifier ending in e directly before a quote is NOT an e-string
+    assert nl(r"SELECT table_e'\n'") == r"SELECT table_e'\\n'"
+    # unclosed dollar-quote: left alone (loud downstream parse error)
+    assert nl("SELECT $$oops") == "SELECT $$oops"
+
+
+def test_raw_literal_semantics_vs_duckdb(pgc, duck):
+    """DuckDB/PG literal semantics over the wire, pinned against live
+    DuckDB: plain '…' is raw (backslash is data — the regex path every
+    reference user relies on), e'…' processes escapes, dollar quoting
+    is raw (tools/dialect_probe.py round-10 finding)."""
+    c = PgClient(*pgc)
+    battery = [
+        r"SELECT regexp_extract('2023-07-05', '(\d+)-(\d+)', 2) AS a",
+        r"SELECT 'a\nb' AS a",
+        r"SELECT e'a\tb' AS a",
+        r"SELECT regexp_matches('a1', '\d') AS a",
+        "SELECT $$it's raw \\ text$$ AS a",
+        r"SELECT length('\') AS a",
+    ]
+    for q in battery:
+        want = [tuple(str(v) for v in r) for r in duck.execute(q).fetchall()]
+        _, rows, _ = c.simple_query(q)
+        got = [
+            tuple({"t": "True", "f": "False"}.get(v, v) for v in r) for r in rows
+        ]
+        assert got == want, f"{q}: {got} != {want}"
+    c.terminate()
+
+
 def test_dollar_literal_not_a_param(pgc):
     """A literal '$1' inside a string is data, not a parameter: Describe
     must report 0 params and Execute must not substitute it."""
@@ -259,9 +303,15 @@ def test_param_literal_escaping_hostile_strings(pgc, spark):
     """Inlined text params must round-trip byte-exactly for hostile
     content: trailing backslashes, quote runs, backslash-escape lookalikes
     (\\n, \\t), and mixed unicode — the injection-adjacent path
-    (rewrites.render_literal; reference escaping at pg_conn.go:753 plus
-    Spark's backslash-escape literal rules)."""
-    from duck_server_spark.plans.rewrites import substitute_params
+    (rewrites.render_literal; reference escaping at pg_conn.go:753).
+    Round 10: params render duck-dialect (quotes doubled, backslashes
+    raw) and the statement pipeline's normalize_literals pass converts
+    to Spark's escape rules exactly once — this test applies the same
+    two steps the wire path applies."""
+    from duck_server_spark.plans.rewrites import (
+        normalize_literals,
+        substitute_params,
+    )
 
     hostile = [
         "x\\",             # trailing backslash — used to escape the quote
@@ -272,7 +322,7 @@ def test_param_literal_escaping_hostile_strings(pgc, spark):
         "",
     ]
     for v in hostile:
-        q = substitute_params("SELECT $1 AS v", [v])
+        q = normalize_literals(substitute_params("SELECT $1 AS v", [v]))
         got = spark.sql(q).collect()[0].v
         assert got == v, f"param round-trip broke: {v!r} -> {got!r}"
 
