@@ -1884,6 +1884,425 @@ def _rewrite_current_setting(q: str) -> str:
 _TRIM_BARE_FROM = re.compile(r"\b(trim\s*\(\s*)(from)\b", re.IGNORECASE)
 
 
+# ---------------------------------------------------------------------------
+# DuckDB/PG infix operators Spark lacks (round 10, tools/dialect_probe.py):
+#   ^ and **  → power()            (duck ^ is exponentiation, LEFT-assoc,
+#                                    and unary minus binds tighter: -2^2=4 —
+#                                    both pinned live; Spark ^ is XOR)
+#   //        → div                (keyword swap keeps Spark's precedence
+#                                    parse, so a*b//c groups like duck)
+#   ~ !~      → [NOT] RLIKE        (partial regex match, like duck)
+#   ~~ !~~ ~~* !~~* → [NOT] [I]LIKE
+#   SIMILAR TO → RLIKE '^(?:…)$'   (duck SIMILAR TO is FULL-string regex,
+#                                    no PG %-wildcards — pinned live)
+#   GLOB      → RLIKE (literal glob → anchored regex)
+#   AT TIME ZONE → to_utc_timestamp (naive ts interpreted in zone — the
+#                                    PG direction for timestamp-without-tz)
+# Keyword swaps are plain guarded regex substitutions over the masked
+# twin; ^/**/AT TIME ZONE need bounded operand capture (primary
+# expressions only; anything unclear is left alone → loud parse error
+# downstream, never a silent wrong answer).
+# ---------------------------------------------------------------------------
+
+# token before an operator that proves EXPRESSION context (the operator
+# position would be unary / clause-initial, not a binary operator)
+_EXPR_CONTEXT_KEYWORDS = frozenset(
+    """select from where and or not when then else case on by having limit
+    offset in is like ilike rlike between all any some distinct as join
+    values set returning union intersect except with window partition over
+    order group filter qualify using lateral cross inner left right full
+    semi anti asof than row rows range preceding following unbounded
+    """.split()
+)
+
+
+def _operand_ends_before(masked: str, i: int) -> bool:
+    """True if the non-space text before position i ends an operand
+    (identifier/literal/closing bracket) that is not a bare keyword."""
+    k = i
+    while k > 0 and masked[k - 1].isspace():
+        k -= 1
+    if k == 0:
+        return False
+    c = masked[k - 1]
+    if c in ")]}'`\"":
+        return True
+    if not (c.isalnum() or c == "_"):
+        return False
+    # word: reject expression-context keywords
+    s = k
+    while s > 0 and (masked[s - 1].isalnum() or masked[s - 1] == "_"):
+        s -= 1
+    return masked[s:k].lower() not in _EXPR_CONTEXT_KEYWORDS
+
+
+def _operand_starts_at(masked: str, i: int) -> bool:
+    k = i
+    while k < len(masked) and masked[k].isspace():
+        k += 1
+    if k >= len(masked):
+        return False
+    return masked[k].isalnum() or masked[k] in "_'`\"([{+-$"
+
+
+def _swap_op_outside_literals(q: str, op: re.Pattern, repl: str) -> str:
+    """Replace a binary operator spelling with a keyword spelling, only
+    where both sides look like operands. Scans the masked twin (so
+    operators inside string literals are data) but edits the original."""
+    masked = _mask_literals(q)
+    out, pos = [], 0
+    for m in op.finditer(masked):
+        if not (
+            _operand_ends_before(masked, m.start())
+            and _operand_starts_at(masked, m.end())
+        ):
+            continue
+        out.append(q[pos : m.start()])
+        out.append(repl)
+        pos = m.end()
+    if not out:
+        return q
+    out.append(q[pos:])
+    return "".join(out)
+
+
+_TYPED_LIT_KEYWORDS = ("date", "timestamp", "timestamptz", "time", "interval")
+
+
+def _capture_left(q: str, masked: str, i: int) -> int | None:
+    """Start index of the primary expression ending just before i, or
+    None if it can't be captured confidently."""
+    k = i
+    while k > 0 and masked[k - 1].isspace():
+        k -= 1
+    if k == 0:
+        return None
+    c = masked[k - 1]
+    start: int | None = None
+    if c == "'":
+        # literal: find the span that ends at k on the masked twin
+        for lm in _STR_LIT.finditer(masked):
+            if lm.end() == k:
+                start = lm.start()
+                break
+        if start is None:
+            return None
+        # typed literal? DATE '…' / TIMESTAMP '…'
+        w = start
+        while w > 0 and masked[w - 1].isspace():
+            w -= 1
+        s = w
+        while s > 0 and (masked[s - 1].isalnum() or masked[s - 1] == "_"):
+            s -= 1
+        if masked[s:w].lower() in _TYPED_LIT_KEYWORDS:
+            start = s
+    elif c in ")]}":
+        depth = 0
+        j = k - 1
+        opener = {")": "(", "]": "[", "}": "{"}[c]
+        closer = c
+        while j >= 0:
+            if masked[j] == closer:
+                depth += 1
+            elif masked[j] == opener:
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        start = j
+        # function call / subscripted identifier: include the name chain
+        s = j
+        while s > 0 and (masked[s - 1].isalnum() or masked[s - 1] in "_.$`"):
+            s -= 1
+        if s < j:
+            start = s
+    elif c.isalnum() or c in "_`":
+        s = k
+        while s > 0 and (masked[s - 1].isalnum() or masked[s - 1] in "_.$`"):
+            s -= 1
+        word = masked[s:k].lower()
+        if word in _EXPR_CONTEXT_KEYWORDS:
+            return None
+        start = s
+    else:
+        return None
+    # unary sign binds tighter than duck's ^ (pinned: -2^2 = 4): include
+    # a sign only when IT is in expression context (not binary +/-)
+    w = start
+    while w > 0 and masked[w - 1].isspace():
+        w -= 1
+    if w > 0 and masked[w - 1] in "+-" and not _operand_ends_before(masked, w - 1):
+        start = w - 1
+    return start
+
+
+def _capture_right(q: str, masked: str, i: int) -> int | None:
+    """End index (exclusive) of the primary expression starting at/after
+    i, including postfix subscripts / ::casts / .field chains."""
+    n = len(masked)
+    k = i
+    while k < n and masked[k].isspace():
+        k += 1
+    if k >= n:
+        return None
+    if masked[k] in "+-":  # unary sign
+        k += 1
+        while k < n and masked[k].isspace():
+            k += 1
+        if k >= n:
+            return None
+    c = masked[k]
+    if c == "'":
+        lm = _STR_LIT.match(masked, k)
+        if not lm:
+            return None
+        end = lm.end()
+    elif c in "([{":
+        depth = 0
+        j = k
+        closer = {"(": ")", "[": "]", "{": "}"}[c]
+        while j < n:
+            if masked[j] == c:
+                depth += 1
+            elif masked[j] == closer:
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
+            return None
+        end = j + 1
+    elif c.isalnum() or c in "_`$":
+        j = k
+        while j < n and (masked[j].isalnum() or masked[j] in "_.$`"):
+            j += 1
+        word = masked[k:j].lower()
+        if word in _TYPED_LIT_KEYWORDS:
+            # typed literal: keyword + literal/number (+ optional unit word)
+            w = j
+            while w < n and masked[w].isspace():
+                w += 1
+            lm = _STR_LIT.match(masked, w)
+            if lm:
+                end = lm.end()
+            else:
+                w2 = w
+                while w2 < n and (masked[w2].isalnum() or masked[w2] in "._"):
+                    w2 += 1
+                if w2 == w:
+                    return None
+                end = w2
+            if word == "interval":
+                # optional unit word(s): INTERVAL 1 MONTH / '2' DAYS
+                w = end
+                while w < n and masked[w].isspace():
+                    w += 1
+                w2 = w
+                while w2 < n and masked[w2].isalpha():
+                    w2 += 1
+                if masked[w:w2].lower() in (
+                    "year", "years", "month", "months", "day", "days",
+                    "hour", "hours", "minute", "minutes", "second",
+                    "seconds", "week", "weeks", "millisecond",
+                    "milliseconds", "microsecond", "microseconds",
+                ):
+                    end = w2
+        else:
+            end = j
+            # function call?
+            w = j
+            while w < n and masked[w].isspace():
+                w += 1
+            if w < n and masked[w] == "(":
+                depth = 0
+                while w < n:
+                    if masked[w] == "(":
+                        depth += 1
+                    elif masked[w] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    w += 1
+                if w >= n:
+                    return None
+                end = w + 1
+    else:
+        return None
+    # postfix: subscripts, ::casts, .field
+    while end < n:
+        if masked[end] == "[":
+            depth = 0
+            j = end
+            while j < n:
+                if masked[j] == "[":
+                    depth += 1
+                elif masked[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                break
+            end = j + 1
+        elif masked.startswith("::", end):
+            j = end + 2
+            while j < n and (masked[j].isalnum() or masked[j] in "_ ()[]," ):
+                if masked[j] == " " and not re.match(
+                    r" *(precision|with|without|time|zone|varying)\b",
+                    masked[j:],
+                    re.IGNORECASE,
+                ):
+                    break
+                j += 1
+            end = j
+        elif masked[end] == "." and end + 1 < n and (
+            masked[end + 1].isalnum() or masked[end + 1] in "_`"
+        ):
+            j = end + 1
+            while j < n and (masked[j].isalnum() or masked[j] in "_`"):
+                j += 1
+            end = j
+        else:
+            break
+    return end
+
+
+_POW_OP = re.compile(r"\^|\*\*")
+_AT_TIME_ZONE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
+_SIMILAR_TO = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
+_GLOB_OP = re.compile(r"\b(NOT\s+)?GLOB\b", re.IGNORECASE)
+_INT_DIV = re.compile(r"//")
+_LIKE_FAMILY = [
+    (re.compile(r"!~~\*"), " NOT ILIKE "),
+    (re.compile(r"~~\*"), " ILIKE "),
+    (re.compile(r"!~~"), " NOT LIKE "),
+    (re.compile(r"~~"), " LIKE "),
+    # duck's ~ / !~ are regexp_FULL_match (pinned live: 'abc' ~ 'b.' is
+    # FALSE) — route through the SIMILAR TO pass below, which anchors
+    (re.compile(r"!~(?![~*])"), " NOT SIMILAR TO "),
+    (re.compile(r"(?<![!~<>=])~(?![~*=])"), " SIMILAR TO "),
+]
+
+
+def _glob_to_regex(glob: str) -> str:
+    """DuckDB GLOB pattern → anchored Java regex. `*` crosses
+    everything (pinned live: 'a/b' GLOB 'a*'), `?` is any one char,
+    [class] passes through with [!…] negation converted."""
+    out, i, n = [], 0, len(glob)
+    while i < n:
+        c = glob[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = glob.find("]", i + 2)  # "]" first in class is literal
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                cls = glob[i + 1 : j]
+                if cls.startswith("!"):
+                    cls = "^" + cls[1:]
+                out.append("[" + cls + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _rewrite_infix_ops(q: str) -> str:
+    """All the operator conversions above, idempotent (every rewrite
+    removes its own trigger spelling)."""
+    # LIKE/RLIKE family first: plain guarded swaps (longest spellings
+    # first so `!~~*` never half-matches as `!~`)
+    for op, repl in _LIKE_FAMILY:
+        q = _swap_op_outside_literals(q, op, repl)
+    # // → div (keyword swap keeps Spark's precedence parse)
+    q = _swap_op_outside_literals(q, _INT_DIV, " div ")
+    # ^ / ** → power(L, R), left-assoc with rescan
+    guard = 0
+    while guard < 50:
+        guard += 1
+        masked = _mask_literals(q)
+        m = None
+        for cand in _POW_OP.finditer(masked):
+            if _operand_ends_before(masked, cand.start()) and _operand_starts_at(
+                masked, cand.end()
+            ):
+                m = cand
+                break
+        if m is None:
+            break
+        ls = _capture_left(q, masked, m.start())
+        re_ = _capture_right(q, masked, m.end())
+        if ls is None or re_ is None:
+            break  # unclear shape: leave for a loud downstream error
+        left = q[ls : m.start()].strip()
+        right = q[m.end() : re_].strip()
+        q = q[:ls] + f"power({left}, {right})" + q[re_:]
+    # SIMILAR TO → anchored RLIKE over the captured pattern
+    while True:
+        masked = _mask_literals(q)
+        m = _SIMILAR_TO.search(masked)
+        if m is None:
+            break
+        re_ = _capture_right(q, masked, m.end())
+        if re_ is None:
+            break
+        neg = "NOT " if m.group(1) else ""
+        pat = q[m.end() : re_].strip()
+        lit = _PLAIN_STR_LIT.match(pat)
+        if lit:
+            body = lit.group(1)
+            repl = f"{neg}RLIKE '^(?:{body})$'"
+        else:
+            repl = f"{neg}RLIKE concat('^(?:', {pat}, ')$')"
+        q = q[: m.start()] + repl + q[re_:]
+    # GLOB → anchored RLIKE (literal patterns converted at bind time;
+    # non-literal patterns left alone → loud, never silently wrong)
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for m in _GLOB_OP.finditer(masked):
+            re_ = _capture_right(q, masked, m.end())
+            if re_ is None:
+                continue
+            pat = q[m.end() : re_].strip()
+            lit = _PLAIN_STR_LIT.match(pat)
+            if lit is None:
+                continue
+            hit = (m, re_, lit.group(1))
+            break
+        if hit is None:
+            break
+        m, re_, body = hit
+        neg = "NOT " if m.group(1) else ""
+        # the statement text is already Spark-escaped; un-double for the
+        # Python-side conversion, re-escape the emitted literal
+        rx = _glob_to_regex(body.replace("\\\\", "\\"))
+        rx_sql = rx.replace("\\", "\\\\").replace("'", "''")
+        q = q[: m.start()] + f"{neg}RLIKE '{rx_sql}'" + q[re_:]
+    # AT TIME ZONE → to_utc_timestamp(L, R): naive timestamps interpreted
+    # in the zone (the PG direction; timestamptz inputs are a documented
+    # divergence — Spark has no per-value tz type)
+    while True:
+        masked = _mask_literals(q)
+        m = _AT_TIME_ZONE.search(masked)
+        if m is None:
+            break
+        ls = _capture_left(q, masked, m.start())
+        re_ = _capture_right(q, masked, m.end())
+        if ls is None or re_ is None:
+            break
+        left = q[ls : m.start()].strip()
+        right = q[m.end() : re_].strip()
+        q = q[:ls] + f"to_utc_timestamp({left}, {right})" + q[re_:]
+    return q
+
+
 def rewrite_common(q: str) -> str:
     """Dialect-gap rewrites applied on every path."""
     # PG double-quoted identifiers → backticks FIRST, so every later
@@ -1899,6 +2318,9 @@ def rewrite_common(q: str) -> str:
         q, lambda seg: _TRIM_BARE_FROM.sub(r"\1BOTH \2", seg)
     )
     q = rewrite_from_first(q)  # FROM-first → standard SELECT (round 9)
+    # infix operators Spark lacks (^ ** // ~-family SIMILAR TO GLOB
+    # AT TIME ZONE) — early, so later shims scan operator-free text
+    q = _rewrite_infix_ops(q)
     q = _sub_outside_literals(q, lambda s: _DUCKDB_TVF_VIEWS.sub(r"\1", s))
     q = _rewrite_current_setting(q)
     # x::type → CAST-free Spark double-colon is actually supported in

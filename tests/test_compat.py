@@ -212,6 +212,52 @@ def test_raw_literal_semantics_vs_duckdb(pgc, duck):
     c.terminate()
 
 
+def test_infix_operator_family_vs_duckdb(pgc, duck):
+    """The round-10 infix conversions, each pinned against live DuckDB:
+    ^/** exponentiation (LEFT-assoc, unary minus tighter — both pinned),
+    // trunc-div, ~/!~ FULL-match regex, ~~-family LIKE, SIMILAR TO
+    (pure regex, no %-wildcards), GLOB, and bitwise ops staying bitwise."""
+    c = PgClient(*pgc)
+    battery = [
+        "SELECT 2 ^ 10 AS a, 2 ** 10 AS b",
+        "SELECT 2 ^ 3 ^ 2 AS a, -2 ^ 2 AS b",
+        "SELECT 7 // 2 AS a, -7 // 2 AS b",
+        "SELECT 1 + 2 * 3 ^ 2 AS a",
+        "SELECT 'abc' ~ 'b.' AS a, 'abc' ~ 'a.*' AS b, 'abc' !~ 'z' AS c",
+        "SELECT 'abc' ~~ 'a%' AS a, 'abc' !~~ 'z%' AS b, "
+        "'abc' ~~* 'A%' AS c, 'abc' !~~* 'Z%' AS d",
+        "SELECT 'abc' SIMILAR TO 'a(b|z)c' AS a, "
+        "'abc' SIMILAR TO 'a%' AS b, 'abc' NOT SIMILAR TO 'a.*' AS c",
+        "SELECT 'a/b' GLOB 'a*' AS a, 'abc' GLOB 'a[bc]c' AS b, "
+        "'abc' GLOB 'x?c' AS c",
+        "SELECT 5 & ~3 AS a, ~5 AS b, 3 << 1 AS c, 9 >> 1 AS d",
+        "SELECT 'x ~ y' AS s",
+    ]
+    for q in battery:
+        want = [
+            tuple(str(v) for v in r) for r in duck.execute(q).fetchall()
+        ]
+        _, rows, _ = c.simple_query(q)
+        got = [
+            tuple({"t": "True", "f": "False"}.get(v, v) for v in r)
+            for r in rows
+        ]
+        # duck renders ^ results as floats; the wire path renders the
+        # same double — normalize trailing .0 for integral powers
+        norm = lambda rws: [tuple(x.removesuffix(".0") for x in r) for r in rws]
+        assert norm(got) == norm(want), f"{q}: {got} != {want}"
+    # AT TIME ZONE: value-level pin (duck yields TIMESTAMPTZ, we yield
+    # the same instant as a naive UTC timestamp — epoch must agree)
+    q = (
+        "SELECT extract(epoch FROM (TIMESTAMP '2024-01-01 12:00:00' "
+        "AT TIME ZONE 'America/New_York')) AS a"
+    )
+    want = duck.execute(q).fetchall()[0][0]
+    _, rows, _ = c.simple_query(q)
+    assert float(rows[0][0]) == float(want)
+    c.terminate()
+
+
 def test_dollar_literal_not_a_param(pgc):
     """A literal '$1' inside a string is data, not a parameter: Describe
     must report 0 params and Execute must not substitute it."""
