@@ -1,0 +1,634 @@
+"""DuckDB scalar/aggregate function surface Spark lacks, as bind-time
+expression templates (round 10, found by tools/dialect_probe.py).
+
+One generic scanning pass (`rewrite_fn_shims`) drives a registry of
+name → arity → template (or callable for argument-dependent shapes).
+Templates are pure Spark SQL expression text — JVM-side, whole-stage
+codegen, zero Python boundary — so every shim keeps the 100 TB scan
+path as cheap as the hand-written Spark spelling.
+
+Semantics pinned against live DuckDB 1.0 in tests/test_fn_shims.py;
+every pinned quirk is commented at its template. A call whose shape the
+registry doesn't cover (wrong arity, non-literal where a literal is
+required) passes through untouched and fails LOUDLY in Spark — never a
+silent semantics change (repo convention since round 6).
+
+Self-trigger safety: templates that emit their own trigger name use a
+__SPARK_<NAME>__ placeholder, resolved once at the end of the pass —
+the rescan loop can never re-match its own replacement.
+"""
+
+from __future__ import annotations
+
+import re
+
+from duck_server_spark.plans.rewrites import (  # shared scanning utilities
+    _mask_literals,
+    _PLAIN_STR_LIT,
+    _scan_balanced,
+)
+
+
+def _split_args(s: str, masked: str | None = None) -> list[str]:
+    """Split on commas at depth 0 of (), [] AND {} — this pass runs
+    BEFORE the bracket/brace-literal rewrites (it needs the literal
+    list shapes), so unlike rewrites._split_top_level it must treat
+    `[0.25, 0.75]` and `{'k': 1}` as single arguments."""
+    scan = masked if masked is not None else s
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(scan):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+# sorted-list median, quantile_cont(0.5) interpolation (midpoint of the
+# two middle elements for even n) — pinned: duck mad([1,2,3,10]) = 1.0
+_SORTED = "array_sort(collect_list(CAST({0} AS DOUBLE)))"
+
+
+def _median_of(arr: str) -> str:
+    return (
+        f"((element_at({arr}, CAST((size({arr}) + 1) div 2 AS INT)) + "
+        f"element_at({arr}, CAST(size({arr}) div 2 + 1 AS INT))) / 2)"
+    )
+
+
+_MAD_DEVS = (
+    f"array_sort(transform({_SORTED}, md_v -> abs(md_v - {_median_of(_SORTED)})))"
+)
+
+# frequency of one distinct value inside the group's collected values
+_FREQ = "try_divide(size(filter(collect_list({0}), en_v -> en_v = en_k)), size(collect_list({0})))"
+
+
+# ---------------------------------------------------------------------------
+# the registry: name → arity → Spark expression template
+# ---------------------------------------------------------------------------
+
+TEMPLATES: dict[str, dict[int, str]] = {
+    # ---- strings ----
+    "sha256": {1: "sha2({0}, 256)"},
+    "strpos": {2: "instr({0}, {1})"},
+    # to_base(255, 16) = 'FF' — Spark conv is uppercase too (pinned)
+    "to_base": {2: "conv(CAST({0} AS STRING), 10, CAST({1} AS INT))"},
+    # unicode('€') = 8364 in BOTH engines (Spark ascii is codepoint)
+    "unicode": {1: "ascii({0})"},
+    "parse_filename": {1: "element_at(split({0}, '/'), -1)"},
+    # parse_dirname('/a/b/c.txt') = '/' — the TOP-level component
+    # (pinned live); relative paths yield the first component
+    "parse_dirname": {
+        1: (
+            "CASE WHEN startswith({0}, '/') THEN '/' "
+            "ELSE element_at(filter(split({0}, '/'), pd_x -> pd_x <> ''), 1) END"
+        )
+    },
+    "parse_path": {
+        1: (
+            "concat(CASE WHEN startswith({0}, '/') THEN array('/') "
+            "ELSE CAST(array() AS ARRAY<STRING>) END, "
+            "filter(split({0}, '/'), pp_x -> pp_x <> ''))"
+        )
+    },
+    # ---- math ----
+    # even(): round AWAY from zero to the next even number — pinned:
+    # even(2)=2, even(3)=4, even(2.5)=4, even(-2.5)=-4; result DOUBLE
+    "even": {
+        1: (
+            "CAST(CASE WHEN {0} < 0 THEN -ceil(abs(CAST({0} AS DOUBLE)) / 2) * 2 "
+            "ELSE ceil(CAST({0} AS DOUBLE) / 2) * 2 END AS DOUBLE)"
+        )
+    },
+    # signbit(-0.0) = true: the double's string rendering keeps the sign
+    "signbit": {1: "startswith(CAST(CAST({0} AS DOUBLE) AS STRING), '-')"},
+    "xor": {2: "((({0}) | ({1})) & ~(({0}) & ({1})))"},
+    # divide() is the function spelling of integer division (pinned:
+    # divide(7,2)=3); fdiv/fmod are FLOOR division/modulo (pinned:
+    # fdiv(-7,2)=-4, fmod(-7,3)=2, fmod(7.5,-2)=-0.5); try_divide keeps
+    # duck's NULL-on-zero-divisor
+    "divide": {2: "({0} div {1})"},
+    "fdiv": {2: "CAST(floor(try_divide(CAST({0} AS DOUBLE), {1})) AS DOUBLE)"},
+    "fmod": {
+        2: (
+            "(CAST({0} AS DOUBLE) - "
+            "floor(try_divide(CAST({0} AS DOUBLE), {1})) * {1})"
+        )
+    },
+    "isfinite": {
+        1: (
+            "(NOT isnan(CAST({0} AS DOUBLE)) AND "
+            "abs(CAST({0} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))"
+        )
+    },
+    "isinf": {1: "(abs(CAST({0} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"},
+    # ---- session/introspection ----
+    "setseed": {1: "CAST(NULL AS STRING)"},  # engine RNG is per-executor;
+    # a session seed is not implementable on a cluster — duck's void
+    # return shape is preserved, the seeding itself is a documented no-op
+    "txid_current": {0: "CAST(0 AS BIGINT)"},
+    # ---- date/time ----
+    "epoch": {1: "(CAST(unix_micros(CAST({0} AS TIMESTAMP)) AS DOUBLE) / 1000000)"},
+    "epoch_us": {1: "unix_micros(CAST({0} AS TIMESTAMP))"},
+    "epoch_ns": {1: "(unix_micros(CAST({0} AS TIMESTAMP)) * 1000)"},
+    # ISO year = year of the Thursday of the value's ISO week
+    # (pinned: isoyear(DATE '2021-01-01') = 2020)
+    "isoyear": {1: "year(date_add(CAST({0} AS DATE), 3 - weekday(CAST({0} AS DATE))))"},
+    "monthname": {1: "date_format({0}, 'MMMM')"},
+    "dayname": {1: "date_format({0}, 'EEEE')"},
+    # PG age(): duck returns a month-normalized INTERVAL whose client
+    # value equals the plain timestamp difference (pinned via
+    # duckdb-python timedelta); Spark's ts-minus-ts DayTimeInterval is
+    # that same instant difference. Calendar-month normalization of the
+    # SQL-side rendering is a documented divergence.
+    "age": {
+        2: "(CAST({0} AS TIMESTAMP) - CAST({1} AS TIMESTAMP))",
+        1: "(CAST(current_date() AS TIMESTAMP) - CAST({0} AS TIMESTAMP))",
+    },
+    # ---- lists ----
+    # list_zip pads to the LONGEST input with NULLs (pinned); duck's
+    # field names are list_1/list_2
+    "list_zip": {
+        2: (
+            "zip_with({0}, {1}, (lz_a, lz_b) -> "
+            "struct(lz_a AS list_1, lz_b AS list_2))"
+        )
+    },
+    # map_extract / map bracket-extract returns a LIST: [v] or []
+    # (DuckDB 1.0 semantics, pinned)
+    "map_extract": {
+        2: (
+            "CASE WHEN map_contains_key({0}, {1}) "
+            "THEN array(element_at({0}, {1})) ELSE array() END"
+        )
+    },
+    # ---- aggregates ----
+    # product: NULL elements skipped (collect_list drops them), empty /
+    # all-NULL group → NULL (pinned), accumulates in DOUBLE like duck
+    "product": {
+        1: (
+            "CASE WHEN size(collect_list(CAST({0} AS DOUBLE))) > 0 "
+            "THEN aggregate(collect_list(CAST({0} AS DOUBLE)), "
+            "CAST(1 AS DOUBLE), (pr_a, pr_b) -> pr_a * pr_b) ELSE NULL END"
+        )
+    },
+    # histogram → MAP ordered by key, NULLs dropped (pinned:
+    # histogram([2,1,1,NULL]) = {1:2, 2:1})
+    "histogram": {
+        1: (
+            "map_from_entries(transform(array_sort(array_distinct("
+            "collect_list({0}))), hg_k -> struct(hg_k, "
+            "size(filter(collect_list({0}), hg_v -> hg_v = hg_k)))))"
+        )
+    },
+    # Shannon entropy, log base 2, over non-NULL value frequencies
+    # (pinned: entropy([1,1,2,3]) = 1.5); empty group → 0.0 like duck
+    "entropy": {
+        1: (
+            "CASE WHEN size(collect_list({0})) > 0 THEN "
+            "aggregate(array_distinct(collect_list({0})), CAST(0 AS DOUBLE), "
+            f"(en_a, en_k) -> en_a - {_FREQ} * log2({_FREQ})) "
+            "ELSE CAST(0 AS DOUBLE) END"
+        )
+    },
+    # median absolute deviation = median(|x - median(x)|), both medians
+    # interpolated like quantile_cont(0.5) (pinned: mad([1,2,3,10])=1.0)
+    "mad": {
+        1: (
+            f"CASE WHEN size({_SORTED}) > 0 THEN {_median_of(_MAD_DEVS)} "
+            "ELSE NULL END"
+        )
+    },
+    # favg/fsum are Kahan-compensated sums — Spark aggregates partial
+    # sums per partition in double; values agree to double precision
+    "favg": {1: "avg(CAST({0} AS DOUBLE))"},
+    "fsum": {1: "sum(CAST({0} AS DOUBLE))"},
+    "sumkahan": {1: "sum(CAST({0} AS DOUBLE))"},
+    "kahan_sum": {1: "sum(CAST({0} AS DOUBLE))"},
+    "approx_quantile": {2: "percentile_approx({0}, {1})"},
+    # duck kurtosis/skewness are BIAS-CORRECTED (sample) statistics;
+    # Spark's are population. Exact correction formulas, pinned:
+    # kurtosis([1,2,3,4]) = -1.2 (NULL when n<=3),
+    # skewness([1,2,4,8]) = 1.1376243669576889 (NULL when n<=2)
+    "kurtosis": {
+        1: (
+            "CASE WHEN count({0}) > 3 THEN "
+            "try_divide((count({0}) - 1) * 1.0, "
+            "(count({0}) - 2) * (count({0}) - 3)) * "
+            "((count({0}) + 1) * __SPARK_KURTOSIS__({0}) + 6) "
+            "ELSE NULL END"
+        )
+    },
+    "skewness": {
+        1: (
+            "CASE WHEN count({0}) > 2 THEN "
+            "__SPARK_SKEWNESS__({0}) * sqrt(count({0}) * (count({0}) - 1.0)) "
+            "/ (count({0}) - 2) ELSE NULL END"
+        )
+    },
+    "kurtosis_pop": {1: "__SPARK_KURTOSIS__({0})"},
+}
+
+_PLACEHOLDERS = (
+    ("__SPARK_KURTOSIS__(", "kurtosis("),
+    ("__SPARK_SKEWNESS__(", "skewness("),
+)
+
+
+# ---------------------------------------------------------------------------
+# argument-dependent shims
+# ---------------------------------------------------------------------------
+
+_BRACKET_LIST = re.compile(r"^\s*\[(.*)\]\s*$", re.DOTALL)
+
+
+def _quantile_disc(args: list[str]) -> str | None:
+    """quantile_disc / quantile: NEAREST-RANK — the sorted element at
+    ceil(q*n), clamped to [1, n] — pinned live by a q × n sweep in
+    tests (the floor(q*(n-1))+1 rule diverges at q=0.75, n=2). A
+    bracket-list q yields a LIST of quantiles."""
+    if len(args) == 1:
+        args = args + ["0.5"]  # duck's default median form
+    if len(args) != 2:
+        return None
+    x, qq = args
+    one = (
+        "element_at(array_sort(collect_list({x})), "
+        "greatest(1, CAST(ceil(({q}) * size(collect_list({x}))) AS INT)))"
+    )
+    lm = _BRACKET_LIST.match(qq)
+    if lm:
+        inner = one.replace("{x}", x).replace("{q}", "qd_q")
+        return f"transform(array({lm.group(1)}), qd_q -> {inner})"
+    return one.replace("{x}", x).replace("{q}", qq)
+
+
+def _quantile_cont(args: list[str]) -> str | None:
+    if len(args) == 1:
+        args = args + ["0.5"]
+    if len(args) != 2:
+        return None
+    x, qq = args
+    lm = _BRACKET_LIST.match(qq)
+    if lm:
+        return f"percentile({x}, array({lm.group(1)}))"
+    return f"percentile({x}, {qq})"
+
+
+def _map_fn(args: list[str]) -> str | None:
+    """duck map(keys_list, values_list) — Spark's map() is interleaved
+    scalars, and BOTH are 2-arg-able, so only the unambiguous shape
+    rewrites: a bracket-list literal first argument. Column-valued list
+    args keep Spark's interleaved semantics (documented; duck users
+    write map_from_arrays-able literals, Spark users write pairs)."""
+    if len(args) == 2 and _BRACKET_LIST.match(args[0]):
+        return f"map_from_arrays({args[0]}, {args[1]})"
+    return None
+
+
+def _regexp_extract(args: list[str]) -> str | None:
+    """duck regexp_extract defaults to group 0 (whole match) — Spark
+    defaults to group 1 and ERRORS on group-free patterns (pinned).
+    The name-list form returns a STRUCT of named groups."""
+    if len(args) == 2:
+        return f"regexp_extract({args[0]}, {args[1]}, 0)"
+    if len(args) == 3:
+        lm = _BRACKET_LIST.match(args[2])
+        if lm:
+            pat = args[1]
+            pm = _PLAIN_STR_LIT.match(pat)
+            if pm is not None:
+                # RE2's (?P<name>…) group syntax → Java's (?<name>…)
+                pat = "'" + pm.group(1).replace("(?P<", "(?<") + "'"
+            names = _split_args(lm.group(1))
+            fields = []
+            for i, nm in enumerate(names, start=1):
+                litm = _PLAIN_STR_LIT.match(nm)
+                if litm is None:
+                    return None
+                fields.append(
+                    f"'{litm.group(1)}', regexp_extract({args[0]}, {pat}, {i})"
+                )
+            return "named_struct(" + ", ".join(fields) + ")"
+    return None
+
+
+def _regexp_extract_all(args: list[str]) -> str | None:
+    if len(args) == 2:
+        return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+    return None
+
+
+def _backrefs_to_java(lit_body: str) -> str:
+    """duck/RE2 replacement backrefs (\\N in the VALUE, rendered \\\\N in
+    the Spark-escaped statement text) → Java's $N; literal $ escaped."""
+    s = lit_body.replace("$", "\\$")
+    return re.sub(r"\\\\(\d)", r"$\1", s)
+
+
+def _regexp_replace(args: list[str]) -> str | None:
+    """duck regexp_replace WITHOUT the 'g' flag replaces the FIRST match
+    only (pinned: regexp_replace('aaa','a','b') = 'baa'); Spark is
+    always-global. 'g' lowers to the native call; first-only is
+    composed from regexp_instr + a prefix-bounded native replace (the
+    prefix ends exactly at the first match's end, so backrefs work).
+    Flags i/s/m become inline (?ism) prefixes on literal patterns."""
+    if len(args) not in (3, 4):
+        return None
+    s, pat, rep = args[0], args[1], args[2]
+    flags = ""
+    if len(args) == 4:
+        fm = _PLAIN_STR_LIT.match(args[3])
+        if fm is None:
+            return None  # non-literal flags: loud
+        flags = fm.group(1)
+        if not set(flags) <= set("gism"):
+            return None
+    inline = "".join(ch for ch in flags if ch in "ism")
+    if inline:
+        pm = _PLAIN_STR_LIT.match(pat)
+        if pm is None:
+            pat = f"concat('(?{inline})', {pat})"
+        else:
+            pat = f"'(?{inline}){pm.group(1)}'"
+    rm = _PLAIN_STR_LIT.match(rep)
+    if rm is not None:
+        rep = f"'{_backrefs_to_java(rm.group(1))}'"
+    if "g" in flags:
+        return f"regexp_replace({s}, {pat}, {rep})"
+    first = (
+        "CASE WHEN regexp_instr({s}, {p}) = 0 THEN {s} ELSE "
+        "concat(regexp_replace(substring({s}, 1, regexp_instr({s}, {p}) "
+        "+ length(regexp_extract({s}, {p}, 0)) - 1), {p}, {r}), "
+        "substring({s}, regexp_instr({s}, {p}) "
+        "+ length(regexp_extract({s}, {p}, 0)))) END"
+    )
+    return first.replace("{s}", s).replace("{p}", pat).replace("{r}", rep)
+
+
+def _format(args: list[str]) -> str | None:
+    """duck format('{} x {}', …) (fmt-style) → format_string (printf).
+    Literal formats only; {} auto-indexes, {N} is explicit (mixing the
+    two is a duck error — pinned); {{ }} are literal braces. Specs
+    ({:.2f}) pass through untouched → loud."""
+    if not args:
+        return None
+    fm = _PLAIN_STR_LIT.match(args[0])
+    if fm is None:
+        return None
+    body = fm.group(1)
+    out, i, n = [], 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "{":
+            if body.startswith("{{", i):
+                out.append("{")
+                i += 2
+                continue
+            j = body.find("}", i)
+            if j == -1:
+                return None
+            spec = body[i + 1 : j]
+            if spec == "":
+                out.append("%s")
+            elif spec.isdigit():
+                out.append(f"%{int(spec) + 1}$s")
+            else:
+                return None  # format specs: loud pass-through
+            i = j + 1
+            continue
+        if c == "}":
+            if body.startswith("}}", i):
+                out.append("}")
+                i += 2
+                continue
+            return None
+        if c == "%":
+            out.append("%%")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    fmt = "".join(out).replace("'", "''")
+    rest = ", ".join(args[1:])
+    return f"format_string('{fmt}'{', ' + rest if rest else ''})"
+
+
+def _alias(args: list[str]) -> str | None:
+    """alias(expr) returns duck's rendered NAME of the expression —
+    exact for identifiers (last path segment, pinned: alias(t.c)='c');
+    other shapes use the argument text (documented approximation of
+    duck's AST rendering)."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    if re.fullmatch(r"[\w.]+", a):
+        name = a.split(".")[-1]
+    else:
+        name = a
+    return "'" + name.replace("'", "''") + "'"
+
+
+_INTERVAL_LIT = re.compile(
+    r"^\s*INTERVAL\s+(?:'(\d+)\s*(\w+)'|(\d+)\s*(\w+))\s*$", re.IGNORECASE
+)
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+_TB_ORIGIN = 946857600  # 2000-01-03 00:00:00 UTC — duck's sub-month origin
+
+
+def _time_bucket(args: list[str]) -> str | None:
+    """time_bucket(width, ts): epoch-floor against duck's documented
+    origins (2000-01-03 for sub-month widths — a Monday, so weekly
+    buckets align to ISO weeks; 2000-01-01 for month multiples).
+    Literal widths only; offset/origin variants pass through → loud."""
+    if len(args) != 2:
+        return None
+    m = _INTERVAL_LIT.match(args[0])
+    if m is None:
+        return None
+    qty = int(m.group(1) or m.group(3))
+    unit = (m.group(2) or m.group(4)).lower()
+    ts = args[1]
+    if unit in _UNIT_SECONDS:
+        w = qty * _UNIT_SECONDS[unit]
+        o = _TB_ORIGIN
+        return (
+            f"timestamp_seconds((floor(try_divide(unix_timestamp(CAST({ts} AS "
+            f"TIMESTAMP)) - {o}, {w})) * {w}) + {o})"
+        )
+    months = {"month": 1, "months": 1, "year": 12, "years": 12}.get(unit)
+    if months is None:
+        return None
+    mm = qty * months
+    return (
+        f"add_months(DATE '2000-01-01', CAST(floor(try_divide("
+        f"months_between(CAST({ts} AS DATE), DATE '2000-01-01'), {mm})) "
+        f"* {mm} AS INT))"
+    )
+
+
+def _date_part(args: list[str]) -> str | None:
+    """date_part(['year','month'], d) → STRUCT of parts (duck's
+    multi-part form); scalar dow/isodow/isoyear parts get the
+    offset-corrected spellings (duck: Sunday dow=0, isodow=7 — pinned;
+    Spark extract dow: Sunday=1)."""
+    if len(args) != 2:
+        return None
+    lm = _BRACKET_LIST.match(args[0])
+    d = args[1]
+    if lm:
+        parts = _split_args(lm.group(1))
+        fields = []
+        for p in parts:
+            pm = _PLAIN_STR_LIT.match(p)
+            if pm is None:
+                return None
+            nm = pm.group(1).lower()
+            fields.append(f"'{nm}', {_one_part(nm, d)}")
+        return "named_struct(" + ", ".join(fields) + ")"
+    pm = _PLAIN_STR_LIT.match(args[0])
+    if pm and pm.group(1).lower() in ("dow", "isodow", "isoyear", "dayofweek"):
+        return _one_part(pm.group(1).lower(), d)
+    return None  # native date_part covers the rest
+
+
+def _one_part(name: str, d: str) -> str:
+    if name in ("dow", "dayofweek"):
+        return f"(dayofweek({d}) - 1)"
+    if name == "isodow":
+        return f"(weekday({d}) + 1)"
+    if name == "isoyear":
+        return TEMPLATES["isoyear"][1].replace("{0}", d)
+    return f"date_part('{name}', {d})"
+
+
+def _count(args: list[str]) -> str | None:
+    """count() → count(*); count(t.*) counts rows like count(*) in duck
+    (pinned: NULL columns do not exclude the row)."""
+    if not args or all(not a.strip() for a in args):
+        return "count(*)"
+    if len(args) == 1 and re.fullmatch(r"[\w.]+\.\*", args[0].strip()):
+        return "count(*)"
+    return None
+
+
+_TWO_ARG_LAMBDA = re.compile(
+    r"^\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->(.*)$", re.DOTALL
+)
+
+
+def _index_lambda(fname: str):
+    """list_transform/list_filter two-parameter lambdas: duck's index
+    parameter is 1-BASED (pinned: list_transform([10,20],(x,i)->x+i) =
+    [11,22]); Spark's is 0-based — substitute i → (i + 1) in the body."""
+
+    def shim(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        m = _TWO_ARG_LAMBDA.match(args[1])
+        if m is None:
+            return None
+        var, idx, body = m.group(1), m.group(2), m.group(3)
+        masked = _mask_literals(body)
+        out, pos = [], 0
+        for wm in re.finditer(rf"\b{re.escape(idx)}\b", masked):
+            out.append(body[pos : wm.start()])
+            out.append(f"({idx} + 1)")
+            pos = wm.end()
+        out.append(body[pos:])
+        target = "transform" if fname == "list_transform" else "filter"
+        return f"{target}({args[0]}, ({var}, {idx}) -> {''.join(out)})"
+
+    return shim
+
+
+CALLABLES: dict[str, object] = {
+    "quantile_disc": _quantile_disc,
+    "quantile": _quantile_disc,
+    "quantile_cont": _quantile_cont,
+    "map": _map_fn,
+    "regexp_extract": _regexp_extract,
+    "regexp_extract_all": _regexp_extract_all,
+    "regexp_replace": _regexp_replace,
+    "format": _format,
+    "alias": _alias,
+    "time_bucket": _time_bucket,
+    "date_part": _date_part,
+    "datepart": _date_part,
+    "count": _count,
+    "list_transform": _index_lambda("list_transform"),
+    "list_filter": _index_lambda("list_filter"),
+}
+
+_ALL_NAMES = sorted(set(TEMPLATES) | set(CALLABLES), key=len, reverse=True)
+_FN_RE = re.compile(r"\b(" + "|".join(_ALL_NAMES) + r")\s*\(", re.IGNORECASE)
+
+# extract(dow|isodow|isoyear FROM x) — the parts whose numbering/shape
+# diverges; everything else stays native
+_EXTRACT_PART = re.compile(
+    r"\bextract\s*\(\s*(dow|isodow|isoyear|dayofweek)\s+from\b", re.IGNORECASE
+)
+
+
+def rewrite_fn_shims(q: str) -> str:
+    """The registry pass + the extract-part fixups. Idempotent: every
+    replacement either removes its trigger or hides it behind a
+    placeholder resolved at the end."""
+    # extract(diverging-part FROM x) first — the rewritten form contains
+    # no extract( trigger for these parts
+    while True:
+        masked = _mask_literals(q)
+        m = _EXTRACT_PART.search(masked)
+        if m is None:
+            break
+        op = masked.index("(", m.start())
+        end = _scan_balanced(masked, op + 1)
+        inner = q[m.end() : end - 1]
+        q = q[: m.start()] + _one_part(m.group(1).lower(), inner.strip()) + q[end:]
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _FN_RE.search(masked, pos)
+        if m is None:
+            break
+        name = m.group(1).lower()
+        end = _scan_balanced(masked, m.end())
+        inner, minner = q[m.end() : end - 1], masked[m.end() : end - 1]
+        args = _split_args(inner, minner)
+        if len(args) == 1 and not args[0].strip():
+            args = []
+        repl: str | None = None
+        if name in CALLABLES:
+            repl = CALLABLES[name](args)  # type: ignore[operator]
+        if repl is None and name in TEMPLATES:
+            tpl = TEMPLATES[name].get(len(args))
+            if tpl is not None:
+                # callback substitution, not sequential str.replace: an
+                # argument whose TEXT contains "{1}" (brace literals)
+                # must never be re-scanned for placeholders (the ADVICE
+                # r8 date_diff lesson)
+                repl = re.sub(
+                    r"\{(\d)\}",
+                    lambda pm: args[int(pm.group(1))].strip(),
+                    tpl,
+                )
+        if repl is None:
+            pos = m.end()  # uncovered shape: loud pass-through
+            continue
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)
+    for ph, real in _PLACEHOLDERS:
+        q = q.replace(ph, real)
+    return q

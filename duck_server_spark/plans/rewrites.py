@@ -2321,6 +2321,12 @@ def rewrite_common(q: str) -> str:
     # infix operators Spark lacks (^ ** // ~-family SIMILAR TO GLOB
     # AT TIME ZONE) — early, so later shims scan operator-free text
     q = _rewrite_infix_ops(q)
+    # the round-10 scalar/aggregate registry (plans/fn_shims.py): before
+    # the alias table so argument-shape shims (list_transform 1-based
+    # index lambdas, regexp_* defaults) see the duck spellings
+    from duck_server_spark.plans.fn_shims import rewrite_fn_shims
+
+    q = rewrite_fn_shims(q)
     q = _sub_outside_literals(q, lambda s: _DUCKDB_TVF_VIEWS.sub(r"\1", s))
     q = _rewrite_current_setting(q)
     # x::type → CAST-free Spark double-colon is actually supported in

@@ -1,0 +1,149 @@
+"""Round-10 scalar/aggregate shim registry (plans/fn_shims.py), every
+template pinned value-for-value against live DuckDB. One battery, one
+canonicalizer — a new shim is done when its probe rows land here."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from duck_server_spark.engine.executor import Engine
+
+    return Engine(spark)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.6g}"
+    if isinstance(v, dict):
+        # duckdb-python renders a MAP as {'key': [...], 'value': [...]}
+        if set(v) == {"key", "value"} and isinstance(v.get("key"), list):
+            return str(sorted(zip(map(_norm, v["key"]), map(_norm, v["value"]))))
+        return str(sorted((_norm(k), _norm(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # Spark Row: structs (named) vs duck tuples
+        d = v.asDict()
+        if all(k.startswith(("list_", "col")) or k.isdigit() for k in d):
+            return str([_norm(x) for x in d.values()])
+        return str(sorted((k, _norm(x)) for k, x in d.items()))
+    if isinstance(v, (list, tuple)):
+        return str([_norm(x) for x in v])
+    s = str(v)
+    return s[:-9] if s.endswith(" 00:00:00") else s
+
+
+def _canon(rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+BATTERY = [
+    # strings
+    "SELECT sha256('x') AS a, to_base(255, 16) AS b, unicode('€') AS c",
+    "SELECT parse_filename('/a/b/c.txt') AS a, parse_dirname('/a/b/c.txt') AS b",
+    "SELECT parse_path('/a/b/c.txt') AS a, parse_path('rel/x') AS b",
+    "SELECT strpos('hello', 'll') AS a",
+    # math
+    "SELECT even(2) AS a, even(2.5) AS b, even(-2.5) AS c, even(3) AS d",
+    "SELECT signbit(-0.0) AS a, signbit(1.5) AS b, signbit(-2) AS c",
+    "SELECT xor(5, 3) AS a, xor(0, 7) AS b",
+    "SELECT divide(7, 2) AS a, fdiv(-7, 2) AS b, fmod(-7, 3) AS c, fmod(7.5, -2) AS d",
+    "SELECT isfinite(1.5) AS a, isinf(1.5) AS b",
+    # date/time
+    "SELECT epoch(TIMESTAMP '1970-01-01 00:00:01.5') AS a, "
+    "epoch_us(TIMESTAMP '1970-01-01 00:00:01') AS b, "
+    "epoch_ns(TIMESTAMP '1970-01-01 00:00:01') AS c",
+    "SELECT isoyear(DATE '2021-01-01') AS a, isoyear(DATE '2021-01-04') AS b",
+    "SELECT monthname(DATE '2024-02-10') AS a, dayname(DATE '2024-02-12') AS b",
+    "SELECT extract(dow FROM DATE '2024-01-07') AS a, "
+    "extract(isodow FROM DATE '2024-01-07') AS b, "
+    "extract(isoyear FROM DATE '2021-01-01') AS c, "
+    "extract(dayofweek FROM DATE '2024-01-08') AS d",
+    "SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 00:37:00') AS a, "
+    "time_bucket(INTERVAL '1 week', DATE '2024-05-15') AS b, "
+    "time_bucket(INTERVAL '2 months', DATE '2024-05-15') AS c",
+    "SELECT date_part(['year', 'month'], DATE '2024-05-06') AS a",
+    # lists / maps
+    "SELECT list_zip([1, 2], [3, 4, 5]) AS a",
+    "SELECT map_extract(MAP {'k': 5}, 'k') AS a, map_extract(MAP {'k': 5}, 'z') AS b",
+    "SELECT map(['a', 'b'], [10, 20])['b'] IS NOT NULL AS a",
+    "SELECT list_transform([10, 20], (x, i) -> x + i) AS a, "
+    "list_filter([10, 20, 30], (x, i) -> i > 1) AS b",
+    # aggregates
+    "SELECT product(x) AS a FROM (SELECT unnest([1.0, 2, 4]) x)",
+    "SELECT product(x) AS a FROM (SELECT CAST(NULL AS DOUBLE) x)",
+    "SELECT entropy(x) AS a FROM (SELECT unnest([1, 1, 2, 3]) x)",
+    "SELECT histogram(x) AS a FROM (SELECT unnest([2, 1, 1]) x)",
+    "SELECT mad(x) AS a FROM (SELECT unnest([1, 2, 3, 10]) x)",
+    "SELECT mad(x) AS a FROM (SELECT unnest([1, 2, 3]) x)",
+    "SELECT quantile_disc(x, 0.25) AS a, quantile_disc(x, 0.0) AS b, "
+    "quantile_disc(x, 1.0) AS c, quantile(x, 0.5) AS d "
+    "FROM (SELECT unnest([3, 1, 2, 4]) x)",
+    "SELECT quantile_disc(x, 0.4) AS a FROM (SELECT unnest([5, 1, 3, 2, 4]) x)",
+    "SELECT quantile_cont(x, 0.25) AS a, quantile_cont(x, [0.25, 0.75]) AS b "
+    "FROM (SELECT unnest([1, 2, 3, 4]) x)",
+    "SELECT round(kurtosis(x), 6) AS a FROM (SELECT unnest([1.0, 2, 3, 4]) x)",
+    "SELECT kurtosis(x) AS a FROM (SELECT unnest([1.0, 2, 3]) x)",
+    "SELECT round(skewness(x), 6) AS a FROM (SELECT unnest([1.0, 2, 4, 8]) x)",
+    "SELECT round(kurtosis_pop(x), 6) AS a FROM (SELECT unnest([1.0, 2, 3, 4]) x)",
+    "SELECT favg(x) AS a, fsum(x) AS b FROM (SELECT unnest([1.0, 2, 3]) x)",
+    "SELECT count() AS a, count(t.*) AS b FROM (SELECT 1 UNION ALL SELECT NULL) t(c)",
+    # regex
+    "SELECT regexp_extract('ab12', '[0-9]+') AS a",
+    "SELECT regexp_extract('ab12', '(?P<L>[a-z]+)(?P<D>[0-9]+)', ['L', 'D']) AS a",
+    "SELECT regexp_extract_all('a1b2', '[0-9]') AS a",
+    "SELECT regexp_replace('aaa', 'a', 'b') AS a, "
+    "regexp_replace('aaa', 'a', 'b', 'g') AS b",
+    "SELECT regexp_replace('abab', '(a)(b)', '\\2\\1') AS a, "
+    "regexp_replace('abab', '(a)(b)', '\\2\\1', 'g') AS b",
+    "SELECT regexp_replace('AAA', 'a', 'b', 'gi') AS a, "
+    "regexp_replace('no-match', 'zz', 'y') AS b",
+    # misc
+    "SELECT format('{} x {}', 1, 'b') AS a, format('{1}-{0}', 'a', 'b') AS b, "
+    "format('{{}} {}', 9) AS c",
+    "SELECT alias(42) IS NOT NULL AS a",
+    "SELECT setseed(0.5) AS a",
+    "SELECT txid_current() >= 0 AS a",
+]
+
+
+@pytest.mark.parametrize("q", BATTERY, ids=lambda q: q[:60])
+def test_fn_shim_vs_duckdb(eng, duck, q):
+    want = _canon(duck.execute(q).fetchall())
+    got = _canon(eng.query(q).collect())
+    assert got == want, f"\nduck : {want}\nspark: {got}"
+
+
+def test_age_instant_value(eng, duck):
+    """age() returns the instant difference; duck's month-normalized
+    INTERVAL converts to the same timedelta client-side (pinned)."""
+    q = "SELECT age(TIMESTAMP '2024-03-15 10:30:00', TIMESTAMP '2024-01-10 05:00:00') AS a"
+    want = duck.execute(q).fetchall()[0][0]
+    got = eng.query(q).collect()[0][0]
+    assert got == want  # both datetime.timedelta
+
+
+def test_quantile_disc_rank_rule_sweep(eng, duck):
+    """The floor(q*(n-1))+1 rank rule across q × n — the shim is done
+    only if the whole grid matches duck."""
+    for n in (1, 2, 3, 4, 5, 7):
+        vals = ", ".join(str(v) for v in range(1, n + 1))
+        for qq in (0.0, 0.1, 0.25, 1 / 3, 0.5, 0.75, 0.9, 1.0):
+            q = (
+                f"SELECT quantile_disc(x, {qq}) AS a "
+                f"FROM (SELECT unnest([{vals}]) x)"
+            )
+            want = duck.execute(q).fetchall()[0][0]
+            got = eng.query(q).collect()[0][0]
+            assert got == want, f"n={n} q={qq}: {got} != {want}"
+
+
+def test_documented_divergences(eng):
+    """Pinned-loud divergences: map[key] returns the VALUE (DuckDB 1.2+
+    semantics; 1.0 returned a one-element list — map_extract keeps the
+    1.0 list shape), and alias() of a non-identifier is the raw
+    argument text, not duck's AST rendering."""
+    assert eng.query("SELECT map(['k'], [7])['k'] AS a").collect()[0][0] == 7
+    assert eng.query("SELECT alias(42) AS a").collect()[0][0] == "42"
