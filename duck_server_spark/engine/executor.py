@@ -1139,6 +1139,10 @@ class Engine:
         # rewrite: the `* EXCLUDE (…)` spelling inside COLUMNS must not
         # be star-rewritten first, and macro bodies may produce COLUMNS
         q = self._expand_columns(q, dialect)
+        # multi-unnest zip / struct-unnest / recursive unnest select
+        # items (round 10) — schema probe like COLUMNS(), before the
+        # dialect rewrite aliases scalar unnest → explode
+        q = self._expand_unnest_items(q, dialect)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
         if _CATALOG_REF.search(q):
             self._refresh_catalog_views()
@@ -1403,9 +1407,243 @@ class Engine:
         df = self._union_by_name(q, dialect)
         if df is not None:
             return df
+        # DuckDB's percentage LIMIT (round 10): `LIMIT 40%` = floor of
+        # pct × row count (pinned live). Costs ONE extra count job over
+        # the same pruned plan — the same work duck's own percent-limit
+        # does; absolute LIMIT stays the native single-pass operator.
+        lm = self._LIMIT_PCT.search(rewrites._mask_literals(q))
+        if lm:
+            inner = q[: lm.start()] + " " + q[lm.end() :]
+            df = self.query(inner, dialect)
+            k = int(df.count() * float(lm.group(1)) / 100.0)
+            return df.limit(k)
+        # (DESCRIBE …) / (SUMMARIZE …) as a FROM relation (round 10):
+        # materialize through the metadata path, substitute a temp view
+        q = self._materialize_describe_subqueries(q, dialect)
         sql_text = self._prepare_sql(q, dialect)
         with VISIBILITY_GATE.reading():
             return self._strip_asof_helpers(self.spark.sql(sql_text))
+
+    _LIMIT_PCT = re.compile(
+        r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", re.IGNORECASE
+    )
+    _UNNEST_ITEM = re.compile(
+        r"^\s*unnest\s*\(", re.IGNORECASE
+    )
+    _RECURSIVE_ARG = re.compile(r"^\s*recursive\s*:=\s*true\s*$", re.IGNORECASE)
+
+    def _expand_unnest_items(self, q: str, dialect: str) -> str:
+        """DuckDB select-list unnest shapes Spark's explode alias can't
+        express (round 10, pinned live):
+
+        - MULTIPLE unnest items ZIP positionally, padding the shorter
+          lists with NULL (`unnest([1,2,3]), unnest([10,20])` → 3 rows,
+          last (3, NULL)) — Spark would cross-join two generators (and
+          refuses >1 per select anyway). Lowered to ONE inline() over an
+          index-zipped struct array: a single generator, one pass, no
+          join — the shape that scales.
+        - unnest(struct) expands the struct's fields into COLUMNS
+          (one row), name per field.
+        - unnest(x, recursive := true) flattens nested lists to scalars
+          and explodes a list-of-structs into columns (inline()).
+
+        Struct detection needs the FROM-relation schema: one
+        analysis-only probe per statement through the same path as
+        COLUMNS() (no jobs). Single plain-list unnests keep the direct
+        explode alias (no probe)."""
+        if "unnest" not in q.lower():
+            return q
+        masked = rewrites._mask_literals(q)
+        sel = re.search(r"\bselect\b", masked, re.IGNORECASE)
+        if sel is None:
+            return q
+        # depth-0 FROM for this select scope
+        frm = None
+        depth = 0
+        for i in range(sel.end(), len(masked)):
+            ch = masked[i]
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and ch in "fF":
+                if re.match(r"from\b", masked[i:], re.IGNORECASE) and not (
+                    masked[i - 1].isalnum() or masked[i - 1] == "_"
+                ):
+                    frm = i
+                    break
+        sel_end = frm if frm is not None else len(masked)
+        from duck_server_spark.plans.fn_shims import _split_args
+
+        items_text = q[sel.end() : sel_end]
+        items_masked = masked[sel.end() : sel_end]
+        items = _split_args(items_text, items_masked)
+        if not items:
+            return q
+        parsed = []  # (kind, expr, recursive, alias) kind: unnest|other
+        for it in items:
+            im = self._UNNEST_ITEM.match(it)
+            if im is None:
+                parsed.append(("other", it, False, None))
+                continue
+            mit = rewrites._mask_literals(it)
+            end = rewrites._scan_balanced(mit, im.end())
+            args = _split_args(
+                it[im.end() : end - 1], mit[im.end() : end - 1]
+            )
+            tail = it[end:].strip()
+            am = re.match(r"^(?:AS\s+)?([\w`]+)\s*$", tail, re.IGNORECASE)
+            alias = am.group(1).strip("`") if am and tail else None
+            if tail and am is None:
+                parsed.append(("other", it, False, None))
+                continue
+            rec = any(self._RECURSIVE_ARG.match(a) for a in args[1:])
+            extra = [a for a in args[1:] if not self._RECURSIVE_ARG.match(a)]
+            if extra or not args:
+                parsed.append(("other", it, False, None))
+                continue
+            parsed.append(("unnest", args[0], rec, alias))
+        unnests = [p for p in parsed if p[0] == "unnest"]
+        if not unnests:
+            return q
+        plain = [p for p in unnests if not p[2]]
+        needs_probe = bool([p for p in unnests if p[2]]) or len(plain) >= 1
+
+        def probe_type(expr: str):
+            tailq = q[frm:sel_end_full] if frm is not None else ""
+            probe = f"SELECT ({expr}) AS __u {tailq}"
+            return (
+                self.spark.sql(
+                    self._prepare_sql(probe, dialect, _literals_normalized=True)
+                )
+                .schema.fields[0]
+                .dataType
+            )
+
+        # FROM-tail scope end (closing paren / set-op), as in COLUMNS()
+        sel_end_full = len(masked)
+        if frm is not None:
+            depth = 0
+            for i in range(frm, len(masked)):
+                ch = masked[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        sel_end_full = i
+                        break
+                elif depth == 0 and re.match(
+                    r"(union|intersect|except|order|limit)\b",
+                    masked[i:],
+                    re.IGNORECASE,
+                ) and not (masked[i - 1].isalnum() or masked[i - 1] == "_"):
+                    sel_end_full = i
+                    break
+        from pyspark.sql import types as T
+
+        out_items: list[str] = []
+        zip_members: list[tuple[str, str]] = []  # (expr, alias)
+        changed = False
+        zip_slot: int | None = None
+        # classify each unnest by probed type
+        classified = []
+        for kind, expr, rec, alias in parsed:
+            if kind == "other":
+                classified.append(("other", expr, None, None))
+                continue
+            try:
+                dt = probe_type(expr)
+            except Exception:  # noqa: BLE001 — leave the item; loud later
+                classified.append(("other", f"unnest({expr})", None, None))
+                continue
+            classified.append(("unnest", expr, rec, (alias, dt)))
+        n_plain_arrays = sum(
+            1
+            for k, _e, rec, meta in classified
+            if k == "unnest"
+            and not rec
+            and isinstance(meta[1], T.ArrayType)
+        )
+        for k, expr, rec, meta in classified:
+            if k == "other":
+                out_items.append(expr)
+                continue
+            alias, dt = meta
+            if rec:
+                # flatten nested lists fully; a struct element explodes
+                # into columns via inline()
+                inner_dt = dt
+                fexpr = expr
+                while isinstance(inner_dt, T.ArrayType) and isinstance(
+                    inner_dt.elementType, T.ArrayType
+                ):
+                    fexpr = f"flatten({fexpr})"
+                    inner_dt = inner_dt.elementType
+                if isinstance(inner_dt, T.ArrayType) and isinstance(
+                    inner_dt.elementType, T.StructType
+                ):
+                    out_items.append(f"inline({fexpr})")
+                elif isinstance(inner_dt, T.StructType):
+                    for f in inner_dt.fields:
+                        out_items.append(f"({fexpr}).`{f.name}` AS `{f.name}`")
+                else:
+                    out_items.append(
+                        f"explode({fexpr})"
+                        + (f" AS `{alias}`" if alias else "")
+                    )
+                changed = True
+            elif isinstance(dt, T.StructType):
+                for f in dt.fields:
+                    out_items.append(f"({expr}).`{f.name}` AS `{f.name}`")
+                changed = True
+            elif isinstance(dt, T.ArrayType) and n_plain_arrays >= 2:
+                if zip_slot is None:
+                    zip_slot = len(out_items)
+                    out_items.append("__ZIP_PLACEHOLDER__")
+                zip_members.append((expr, alias or "unnest"))
+                changed = True
+            else:
+                # single plain list: the explode alias path is exact
+                out_items.append(
+                    f"unnest({expr})" + (f" AS `{alias}`" if alias else "")
+                )
+        if zip_members and zip_slot is not None:
+            sizes = ", ".join(f"size({e})" for e, _a in zip_members)
+            g = f"greatest({sizes})"
+            fields = ", ".join(
+                f"try_element_at({e}, __uz) AS `{a}`" for e, a in zip_members
+            )
+            zipped = (
+                f"inline(transform(slice(sequence(1, greatest({g}, 1)), 1, "
+                f"greatest({g}, 0)), __uz -> struct({fields})))"
+            )
+            out_items[zip_slot] = zipped
+        if not changed:
+            return q
+        return q[: sel.end()] + " " + ", ".join(out_items) + " " + q[sel_end:]
+    _DESCRIBE_SUB = re.compile(r"\(\s*(DESCRIBE|SUMMARIZE)\b", re.IGNORECASE)
+    _DESC_SEQ = [0]
+
+    def _materialize_describe_subqueries(self, q: str, dialect: str) -> str:
+        """`FROM (DESCRIBE …)` / `FROM (SUMMARIZE …)`: run the inner
+        metadata statement through its own path and substitute a temp
+        view. Metadata-only (DESCRIBE never scans; SUMMARIZE scans once
+        like duck's)."""
+        while True:
+            masked = rewrites._mask_literals(q)
+            m = self._DESCRIBE_SUB.search(masked)
+            if m is None:
+                return q
+            end = rewrites._scan_balanced(masked, m.start() + 1)
+            inner = q[m.start() + 1 : end - 1]
+            df = self.query(inner, dialect)
+            self._DESC_SEQ[0] += 1
+            name = f"__duck_meta_{self._DESC_SEQ[0]}"
+            df.createOrReplaceTempView(name)
+            q = q[: m.start()] + name + q[end:]
 
     def _expand_columns(self, q: str, dialect: str) -> str:
         """DuckDB's COLUMNS() star expression (round 10): expand

@@ -235,6 +235,9 @@ TEMPLATES: dict[str, dict[int, str]] = {
         )
     },
     "kurtosis_pop": {1: "__SPARK_KURTOSIS__({0})"},
+    # duck's list(x) aggregate (the ORDER BY form is handled by
+    # _rewrite_agg_order_by before this registry runs)
+    "list": {1: "collect_list({0})"},
 }
 
 _PLACEHOLDERS = (
@@ -572,6 +575,151 @@ CALLABLES: dict[str, object] = {
     "list_filter": _index_lambda("list_filter"),
 }
 
+# ---------------------------------------------------------------------------
+# ORDER BY inside aggregate arguments (duck: list/array_agg/first/last/
+# any_value accept `agg(x ORDER BY k [DESC])`)
+# ---------------------------------------------------------------------------
+
+_AGG_ORDER = re.compile(
+    r"\b(list|array_agg|collect_list|any_value|first|last)\s*\(", re.IGNORECASE
+)
+_ORDER_IN_ARGS = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _rewrite_agg_order_by(q: str) -> str:
+    """`agg(x ORDER BY k [DESC])` → order-aware Spark spellings:
+    first/last/any_value become min_by/max_by (single key; multi-key
+    all-ASC via a struct key); the list family collects (key, value)
+    structs, array_sorts, and projects the value back out — exact
+    ordered-collect semantics with one aggregate, no extra shuffle.
+    Mixed-direction multi-key lists pass through → loud."""
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _AGG_ORDER.search(masked, pos)
+        if m is None:
+            return q
+        end = _scan_balanced(masked, m.end())
+        inner, minner = q[m.end() : end - 1], masked[m.end() : end - 1]
+        om = None
+        for cand in _ORDER_IN_ARGS.finditer(minner):
+            before = minner[: cand.start()]
+            if all(before.count(o) == before.count(c) for o, c in ("()", "[]", "{}")):
+                om = cand
+                break
+        if om is None:
+            pos = m.end()
+            continue
+        expr = inner[: om.start()].strip()
+        keys = _split_args(inner[om.end() :], minner[om.end() :])
+        parsed = []  # (key_expr, desc)
+        ok = True
+        for k in keys:
+            km = re.match(
+                r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?$",
+                k.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if km is None:
+                ok = False
+                break
+            parsed.append((km.group(1).strip(), (km.group(2) or "ASC").upper()))
+        if not ok or not parsed:
+            pos = m.end()
+            continue
+        name = m.group(1).lower()
+        descs = {d for _, d in parsed}
+        if name in ("any_value", "first", "last"):
+            want_max = (name == "last") != (parsed[0][1] == "DESC")
+            if len(parsed) == 1:
+                key = parsed[0][0]
+            elif descs == {"ASC"}:
+                key = "struct(" + ", ".join(k for k, _ in parsed) + ")"
+            else:
+                pos = m.end()  # mixed-direction multi-key: loud
+                continue
+            fn = "max_by" if want_max else "min_by"
+            repl = f"{fn}({expr}, {key})"
+        else:  # list / array_agg / collect_list
+            if len(descs) > 1:
+                pos = m.end()
+                continue
+            key_fields = ", ".join(
+                f"{k} AS ao_k{i}" for i, (k, _) in enumerate(parsed)
+            )
+            base = (
+                f"array_sort(collect_list(struct({key_fields}, "
+                f"({expr}) AS ao_v)))"
+            )
+            if descs == {"DESC"}:
+                base = f"reverse({base})"
+            repl = f"transform({base}, ao_s -> ao_s.ao_v)"
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)
+
+
+# ---------------------------------------------------------------------------
+# list comprehensions: [expr FOR var IN src IF cond] (duck syntax) →
+# transform(filter(src, var -> cond), var -> expr)
+# ---------------------------------------------------------------------------
+
+_COMPREHENSION = re.compile(r"\bFOR\s+(\w+)\s+IN\b", re.IGNORECASE)
+
+
+def _rewrite_list_comprehension(q: str) -> str:
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for m in _COMPREHENSION.finditer(masked):
+            # enclosing [ … ] at depth 1 relative to the bracket
+            depth = 0
+            j = m.start()
+            while j >= 0:
+                if masked[j] in ")]}":
+                    depth += 1
+                elif masked[j] in "([{":
+                    depth -= 1
+                    if depth < 0:
+                        break
+                j -= 1
+            if j < 0 or masked[j] != "[":
+                continue
+            # bracket end
+            depth2, k = 0, j
+            while k < len(masked):
+                if masked[k] == "[":
+                    depth2 += 1
+                elif masked[k] == "]":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                k += 1
+            if k >= len(masked):
+                continue
+            hit = (j, k, m)
+            break
+        if hit is None:
+            return q
+        j, k, m = hit
+        expr = q[j + 1 : m.start()].strip()
+        var = m.group(1)
+        tail = q[m.end() : k]
+        mtail = _mask_literals(tail) if "'" in tail else tail
+        im = None
+        for cand in re.finditer(r"\bIF\b", mtail, re.IGNORECASE):
+            before = mtail[: cand.start()]
+            if all(before.count(o) == before.count(c) for o, c in ("()", "[]", "{}")):
+                im = cand
+                break
+        if im is not None:
+            src = tail[: im.start()].strip()
+            cond = tail[im.end() :].strip()
+            repl = f"transform(filter({src}, {var} -> {cond}), {var} -> {expr})"
+        else:
+            repl = f"transform({tail.strip()}, {var} -> {expr})"
+        q = q[:j] + repl + q[k + 1 :]
+
+
 _ALL_NAMES = sorted(set(TEMPLATES) | set(CALLABLES), key=len, reverse=True)
 _FN_RE = re.compile(r"\b(" + "|".join(_ALL_NAMES) + r")\s*\(", re.IGNORECASE)
 
@@ -586,6 +734,8 @@ def rewrite_fn_shims(q: str) -> str:
     """The registry pass + the extract-part fixups. Idempotent: every
     replacement either removes its trigger or hides it behind a
     placeholder resolved at the end."""
+    q = _rewrite_list_comprehension(q)  # before bracket literals exist
+    q = _rewrite_agg_order_by(q)  # before the registry sees list(…)
     # extract(diverging-part FROM x) first — the rewritten form contains
     # no extract( trigger for these parts
     while True:

@@ -780,6 +780,72 @@ def _tvf_alias_at(q: str, masked: str, i: int, default_col: str) -> tuple[str, i
     return f" AS gs_{_TVF_SEQ[0]}({default_col})", i
 
 
+_REPEAT_TVF = re.compile(r"\brepeat\s*\(", re.IGNORECASE)
+_GLOB_TVF = re.compile(r"\bglob\s*\(", re.IGNORECASE)
+
+
+def _rewrite_misc_tvfs(q: str) -> str:
+    """repeat(v, n) and glob(pattern) in table-function position.
+
+    - repeat → a projection over Spark's NATIVE range TVF (lazy,
+      distributed, O(1) memory at any n — never a materialized array).
+      DuckDB names the column after the rendered value expression; the
+      plain-literal case keeps that name (pinned: repeat('x',2) →
+      column `x`), other shapes use `repeat`.
+    - glob → resolved driver-side at bind time into an inline VALUES
+      relation with DuckDB's `file` column (sorted, like duck). File
+      listing is metadata, not data — the list is bounded by the
+      catalog, same cost class as duck's own glob."""
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _REPEAT_TVF.search(masked, pos)
+        if m is None:
+            break
+        if not _in_tvf_position(masked, m.start()):
+            pos = m.end()
+            continue
+        end = _scan_balanced(masked, m.end())
+        args = _split_top_level(q[m.end() : end - 1], masked[m.end() : end - 1])
+        if len(args) != 2:
+            pos = m.end()
+            continue
+        lit = _PLAIN_STR_LIT.match(args[0])
+        col = lit.group(1) if lit and lit.group(1).isidentifier() else "repeat"
+        repl = (
+            f"(SELECT ({args[0]}) AS `{col}` FROM range({args[1]}))"
+        )
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)
+    pos = 0
+    while True:
+        masked = _mask_literals(q)
+        m = _GLOB_TVF.search(masked, pos)
+        if m is None:
+            break
+        if not _in_tvf_position(masked, m.start()):
+            pos = m.end()
+            continue
+        end = _scan_balanced(masked, m.end())
+        args = _split_top_level(q[m.end() : end - 1], masked[m.end() : end - 1])
+        lit = _PLAIN_STR_LIT.match(args[0]) if len(args) == 1 else None
+        if lit is None:
+            pos = m.end()  # non-literal pattern: loud
+            continue
+        import glob as _glob
+
+        # statement text is Spark-escaped; un-double for the OS glob
+        files = sorted(_glob.glob(lit.group(1).replace("\\\\", "\\")))
+        if files:
+            vals = ", ".join("('" + f.replace("'", "''") + "')" for f in files)
+            repl = f"(SELECT file FROM (VALUES {vals}) AS __glob_v(file))"
+        else:
+            repl = "(SELECT CAST(NULL AS STRING) AS file WHERE 1 = 0)"
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)
+    return q
+
+
 def _rewrite_series_unnest(q: str) -> str:
     # generate_series: both forms in one scan (TVF when preceded by FROM)
     pos = 0
@@ -1241,8 +1307,20 @@ def _rewrite_bracket_literals(q: str) -> str:
             if end is None:
                 continue
             inner = q[i + 1 : end - 1]
-            if ":" in _mask_literals(inner):
-                continue  # a slice can't be a literal; leave untouched
+            # a ':' marks a slice — but only OUTSIDE brace literals:
+            # [{'a':1}] is a list of structs, not a slice (round 10)
+            minner = _mask_literals(inner)
+            bdepth, is_slice = 0, False
+            for ch in minner:
+                if ch == "{":
+                    bdepth += 1
+                elif ch == "}":
+                    bdepth -= 1
+                elif ch == ":" and bdepth == 0:
+                    is_slice = True
+                    break
+            if is_slice:
+                continue
             start = prev_word.start(1) if is_array_kw else i
             q = q[:start] + f"array({inner})" + q[end:]
             changed = True
@@ -2169,6 +2247,25 @@ def _capture_right(q: str, masked: str, i: int) -> int | None:
     return end
 
 
+# WITH c AS [NOT] MATERIALIZED (…) — a pure optimizer hint in DuckDB;
+# Spark's CTE inlining decision is Catalyst's (the hint has no Spark
+# counterpart, dropping it is semantics-preserving)
+_CTE_MATERIALIZED = re.compile(r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", re.IGNORECASE)
+
+# numeric literals with DuckDB's readability underscores: 1_000_000
+_NUM_UNDERSCORE = re.compile(
+    r"(?<![\w.])(\d[0-9_]*\d|\d)(\.[0-9_]+)?(?![\w.])"
+)
+
+
+def _strip_num_underscores(seg: str) -> str:
+    def repl(m: re.Match) -> str:
+        t = m.group(0)
+        return t.replace("_", "") if "_" in t else t
+
+    return _NUM_UNDERSCORE.sub(repl, seg)
+
+
 _POW_OP = re.compile(r"\^|\*\*")
 _AT_TIME_ZONE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
 _SIMILAR_TO = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
@@ -2211,6 +2308,135 @@ def _glob_to_regex(glob: str) -> str:
             out.append(re.escape(c))
         i += 1
     return "^" + "".join(out) + "$"
+
+
+_FILTER_OVER = re.compile(r"\)\s*FILTER\s*\(", re.IGNORECASE)
+_EXCLUDE_CURRENT = re.compile(r"\s*EXCLUDE\s+CURRENT\s+ROW\b", re.IGNORECASE)
+
+
+def _call_before(q: str, masked: str, close_pos: int):
+    """(name_start, name, args) of the call whose ')' sits at close_pos."""
+    depth = 0
+    j = close_pos
+    while j >= 0:
+        if masked[j] == ")":
+            depth += 1
+        elif masked[j] == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        j -= 1
+    if j < 0:
+        return None
+    s = j
+    while s > 0 and (masked[s - 1].isalnum() or masked[s - 1] == "_"):
+        s -= 1
+    if s == j:
+        return None
+    inner, minner = q[j + 1 : close_pos], masked[j + 1 : close_pos]
+    return s, q[s:j].strip(), _split_top_level(inner, minner)
+
+
+def _rewrite_filter_over_window(q: str) -> str:
+    """`agg(args) FILTER (WHERE cond) OVER …` — Spark refuses filtered
+    window aggregates ('not supported yet'); the exact equivalent is
+    conditional input: agg(CASE WHEN cond THEN arg END) OVER …
+    (count(*) counts a CASE over 1). Plain grouped FILTER stays native."""
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for m in _FILTER_OVER.finditer(masked):
+            fend = _scan_balanced(masked, m.end())
+            after = masked[fend:]
+            if not re.match(r"\s*OVER\b", after, re.IGNORECASE):
+                continue
+            call = _call_before(q, masked, m.start())
+            if call is None:
+                continue
+            hit = (m, fend, call)
+            break
+        if hit is None:
+            return q
+        m, fend, (nstart, name, args) = hit
+        cond = q[m.end() : fend - 1].strip()
+        cond = re.sub(r"^\s*WHERE\b", "", cond, flags=re.IGNORECASE).strip()
+        if name.lower() == "count" and (not args or args == ["*"]):
+            repl = f"count(CASE WHEN {cond} THEN 1 END)"
+        elif args:
+            wrapped = f"CASE WHEN {cond} THEN {args[0]} END"
+            repl = f"{name}({', '.join([wrapped] + args[1:])})"
+        else:
+            return q  # zero-arg non-count: leave for a loud error
+        q = q[:nstart] + repl + q[fend:]
+
+
+def _rewrite_window_exclude(q: str) -> str:
+    """`OVER (… frame EXCLUDE CURRENT ROW)` for the distributive
+    aggregates (sum/count/avg): frame aggregate minus the current row's
+    contribution — exact, pinned vs DuckDB. A frame that cannot contain
+    the current row (N FOLLOWING start / N PRECEDING end) makes the
+    clause a no-op and just drops it. min/max/other EXCLUDE shapes pass
+    through and error loudly (their exclusion is not arithmetic)."""
+    while True:
+        masked = _mask_literals(q)
+        m = _EXCLUDE_CURRENT.search(masked)
+        if m is None:
+            return q
+        # enclosing OVER ( … ) window spec
+        depth = 0
+        j = m.start()
+        while j >= 0:
+            if masked[j] == ")":
+                depth += 1
+            elif masked[j] == "(":
+                depth -= 1
+                if depth < 0:
+                    break
+            j -= 1
+        if j < 0 or not re.search(r"\bOVER\s*$", masked[:j], re.IGNORECASE):
+            return q
+        over_kw = re.search(r"\bOVER\s*$", masked[:j], re.IGNORECASE).start()
+        spec_end = _scan_balanced(masked, j + 1)
+        # _call_before wants the index OF the ')': scan back from OVER
+        k = over_kw - 1
+        while k > 0 and masked[k].isspace():
+            k -= 1
+        if masked[k] != ")":
+            return q
+        call = _call_before(q, masked, k)
+        if call is None:
+            return q
+        nstart, name, args = call
+        spec_wo = (q[j + 1 : m.start()] + q[m.end() : spec_end - 1]).strip()
+        frame = spec_wo
+        # frame that can't contain the current row → EXCLUDE is a no-op
+        cannot = re.search(
+            r"BETWEEN\s+\d+\s+FOLLOWING|AND\s+\d+\s+PRECEDING",
+            frame,
+            re.IGNORECASE,
+        )
+        lname = name.lower()
+        win = f"OVER ({spec_wo})"
+        if cannot:
+            repl = f"{name}({', '.join(args)}) {win}"
+        elif lname == "sum" and len(args) == 1:
+            x = args[0]
+            repl = f"(sum({x}) {win} - coalesce({x}, 0))"
+        elif lname == "count" and args == ["*"]:
+            repl = f"(count(*) {win} - 1)"
+        elif lname == "count" and len(args) == 1:
+            x = args[0]
+            repl = (
+                f"(count({x}) {win} - "
+                f"CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
+            )
+        elif lname == "avg" and len(args) == 1:
+            x = args[0]
+            n = f"(count({x}) {win} - CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
+            repl = f"try_divide(sum({x}) {win} - coalesce({x}, 0), nullif({n}, 0))"
+        else:
+            return q  # unsupported agg for EXCLUDE: loud pass-through
+        q = q[:nstart] + repl + q[spec_end:]
 
 
 def _rewrite_infix_ops(q: str) -> str:
@@ -2321,6 +2547,8 @@ def rewrite_common(q: str) -> str:
     # infix operators Spark lacks (^ ** // ~-family SIMILAR TO GLOB
     # AT TIME ZONE) — early, so later shims scan operator-free text
     q = _rewrite_infix_ops(q)
+    q = _sub_outside_literals(q, lambda s: _CTE_MATERIALIZED.sub("AS (", s))
+    q = _sub_outside_literals(q, _strip_num_underscores)
     # the round-10 scalar/aggregate registry (plans/fn_shims.py): before
     # the alias table so argument-shape shims (list_transform 1-based
     # index lambdas, regexp_* defaults) see the duck spellings
@@ -2344,6 +2572,7 @@ def rewrite_common(q: str) -> str:
     )
     q = rewrite_unpivot_stmt(q)  # statement-anchored, runs at most once
     q = _rewrite_distinct_on(q)  # after EXCLUDE→EXCEPT: sel-list stars ok
+    q = _rewrite_misc_tvfs(q)  # repeat()/glob() table functions (round 10)
     q = _rewrite_series_unnest(q)  # before the alias pass: the TVF forms
     q = _rewrite_using_sample(q)
     q = _rewrite_ddl_types(q)
@@ -2368,6 +2597,10 @@ def rewrite_common(q: str) -> str:
     q = _sub_outside_literals(
         q, lambda seg: _BARE_FILTER.sub(r"\1WHERE ", seg)
     )
+    # FILTER over a WINDOW (Spark: 'not supported yet') → conditional
+    # input; frame EXCLUDE CURRENT ROW → frame minus current (round 10)
+    q = _rewrite_filter_over_window(q)
+    q = _rewrite_window_exclude(q)
     q = _rewrite_list_slice(q)
     q = _rewrite_list_fn_shims(q)  # list_reverse_sort/distinct/unique (round 9)
     q = _rewrite_strftime(q)  # %-format translation (round 8)

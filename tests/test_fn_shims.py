@@ -109,6 +109,63 @@ BATTERY = [
 ]
 
 
+SHAPES = [
+    # numeric underscores / CTE materialization hints
+    "SELECT 1_000_000 AS a, 1_500.5 AS b",
+    "WITH c AS MATERIALIZED (SELECT 1 AS x) SELECT * FROM c",
+    "WITH c AS NOT MATERIALIZED (SELECT 1 AS x) SELECT * FROM c",
+    # list comprehensions
+    "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS a",
+    "SELECT [x + 1 FOR x IN [1, 2]] AS a",
+    # ORDER BY inside aggregate args
+    "SELECT list(x ORDER BY y) AS a, list(x ORDER BY y DESC) AS b, "
+    "any_value(x ORDER BY y) AS c, first(x ORDER BY y DESC) AS d, "
+    "last(x ORDER BY y) AS e FROM (VALUES (1, 30), (2, 10), (3, 20)) t(x, y)",
+    "SELECT array_agg(x ORDER BY y, x) AS a "
+    "FROM (VALUES (1, 10), (2, 10), (3, 5)) t(x, y)",
+    "SELECT list(x) AS a FROM (VALUES (3), (1)) t(x)",
+    # FILTER over a window
+    "SELECT x, count(*) FILTER (x > 1) OVER (ORDER BY x) AS a, "
+    "sum(x) FILTER (WHERE x <> 2) OVER (ORDER BY x) AS b "
+    "FROM (VALUES (1), (2), (3)) t(x) ORDER BY x",
+    # window frame EXCLUDE CURRENT ROW
+    "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 "
+    "FOLLOWING EXCLUDE CURRENT ROW) AS a, count(*) OVER (ORDER BY x ROWS "
+    "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS b, "
+    "avg(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+    "EXCLUDE CURRENT ROW) AS c FROM (VALUES (1), (2), (3), (4)) t(x) ORDER BY x",
+    # multi-unnest ZIP (pads with NULL), struct-unnest, recursive unnest
+    "SELECT unnest([1, 2, 3]) AS u, unnest([10, 20]) AS v",
+    "SELECT unnest({'a': 1, 'b': 'x'})",
+    "SELECT unnest([[1, 2], [3]], recursive := true) AS u",
+    "SELECT unnest([{'a': 1}, {'a': 2}], recursive := true)",
+    "SELECT 'k' AS tag, unnest([1, 2]) AS a, unnest([4, 5, 6]) AS b",
+    # repeat()/glob() table functions
+    "SELECT count(*) AS c FROM repeat('x', 5)",
+    "SELECT * FROM repeat('x', 2)",
+    "SELECT file FROM glob('/root/testdata/sf0.001/r*.parquet')",
+    # DESCRIBE as a FROM relation
+    "SELECT count(*) AS c FROM (DESCRIBE SELECT 1 AS x)",
+]
+
+
+@pytest.mark.parametrize("q", SHAPES, ids=lambda q: q[:60])
+def test_query_shapes_vs_duckdb(eng, duck, q):
+    want = _canon(duck.execute(q).fetchall())
+    got = _canon(eng.query(q).collect())
+    assert got == want, f"\nduck : {want}\nspark: {got}"
+
+
+def test_limit_percent(eng, duck, sf_dir, spark):
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region"
+    )
+    q = "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 40%"
+    want = duck.execute(q).fetchall()
+    got = eng.query(q).collect()
+    assert len(got) == len(want) == 2
+
+
 @pytest.mark.parametrize("q", BATTERY, ids=lambda q: q[:60])
 def test_fn_shim_vs_duckdb(eng, duck, q):
     want = _canon(duck.execute(q).fetchall())
