@@ -506,6 +506,52 @@ class Engine:
                 spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
             except Exception:
                 pass  # best-effort macro shims
+        # DuckDB scalars with no JVM expression equivalent (round 10):
+        # Arrow-batched pandas UDFs — the documented Python tier (same
+        # tier as damerau/jaro in functions/text_similarity.py). Fine
+        # for projection use; a 100 TB hot path should prefer the
+        # codegen'd shims in plans/fn_shims.py where one exists.
+        try:
+            import math as _math
+            import unicodedata as _ud
+
+            import pandas as _pd
+            from pyspark.sql.functions import pandas_udf as _pudf
+
+            def _vec(f):
+                # REAL annotations, not strings: pandas_udf resolves
+                # type hints against the function's globals, where the
+                # local `_pd` import is invisible
+                def run(s):
+                    return s.map(lambda v: None if v is None else f(v))
+
+                run.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+                return run
+
+            def _g(v: float):
+                try:
+                    return _math.gamma(v)
+                except ValueError:
+                    return _math.inf
+
+            def _strip_acc(v: str) -> str:
+                return "".join(
+                    c
+                    for c in _ud.normalize("NFD", v)
+                    if _ud.category(c) != "Mn"
+                )
+
+            spark.udf.register("gamma", _pudf(_vec(_g), "double"))
+            spark.udf.register(
+                "lgamma", _pudf(_vec(lambda v: _math.lgamma(v)), "double")
+            )
+            spark.udf.register("strip_accents", _pudf(_vec(_strip_acc), "string"))
+            spark.udf.register(
+                "nfc_normalize",
+                _pudf(_vec(lambda v: _ud.normalize("NFC", v)), "string"),
+            )
+        except Exception:
+            pass  # best-effort: missing pandas/arrow leaves these loud
 
     def _refresh_catalog_views(self) -> None:
         """system.*/information_schema.* snapshots from spark.catalog
@@ -1411,12 +1457,35 @@ class Engine:
         # pct × row count (pinned live). Costs ONE extra count job over
         # the same pruned plan — the same work duck's own percent-limit
         # does; absolute LIMIT stays the native single-pass operator.
-        lm = self._LIMIT_PCT.search(rewrites._mask_literals(q))
+        _pctmask = rewrites._mask_literals(q)
+        lm = self._LIMIT_PCT.search(_pctmask)
         if lm:
-            inner = q[: lm.start()] + " " + q[lm.end() :]
-            df = self.query(inner, dialect)
-            k = int(df.count() * float(lm.group(1)) / 100.0)
-            return df.limit(k)
+            before = _pctmask[: lm.start()]
+            if before.count("(") == before.count(")"):
+                inner = q[: lm.start()] + " " + q[lm.end() :]
+                df = self.query(inner, dialect)
+                k = int(df.count() * float(lm.group(1)) / 100.0)
+                return df.limit(k)
+            # nested: materialize the innermost enclosing subquery (it
+            # recursively resolves ITS top-level percent limit), then
+            # substitute a temp view — same pattern as (DESCRIBE …)
+            depth = 0
+            j = lm.start()
+            while j >= 0:
+                if _pctmask[j] == ")":
+                    depth += 1
+                elif _pctmask[j] == "(":
+                    depth -= 1
+                    if depth < 0:
+                        break
+                j -= 1
+            if j >= 0:
+                end = rewrites._scan_balanced(_pctmask, j + 1)
+                sub = self.query(q[j + 1 : end - 1], dialect)
+                self._DESC_SEQ[0] += 1
+                name = f"__duck_sub_{self._DESC_SEQ[0]}"
+                sub.createOrReplaceTempView(name)
+                return self.query(q[:j] + name + q[end:], dialect)
         # (DESCRIBE …) / (SUMMARIZE …) as a FROM relation (round 10):
         # materialize through the metadata path, substitute a temp view
         q = self._materialize_describe_subqueries(q, dialect)
@@ -1459,6 +1528,7 @@ class Engine:
             return q
         # depth-0 FROM for this select scope
         frm = None
+        stop = len(masked)
         depth = 0
         for i in range(sel.end(), len(masked)):
             ch = masked[i]
@@ -1474,7 +1544,17 @@ class Engine:
                 ):
                     frm = i
                     break
-        sel_end = frm if frm is not None else len(masked)
+            elif depth == 0 and ch in "oOlLuUiIeE":
+                # FROM-less select: the item list still ends at a
+                # depth-0 clause keyword (ORDER BY 1 tail, round 10)
+                if re.match(
+                    r"(order|limit|union|intersect|except|window)\b",
+                    masked[i:],
+                    re.IGNORECASE,
+                ) and not (masked[i - 1].isalnum() or masked[i - 1] == "_"):
+                    stop = i
+                    break
+        sel_end = frm if frm is not None else stop
         from duck_server_spark.plans.fn_shims import _split_args
 
         items_text = q[sel.end() : sel_end]

@@ -238,11 +238,27 @@ TEMPLATES: dict[str, dict[int, str]] = {
     # duck's list(x) aggregate (the ORDER BY form is handled by
     # _rewrite_agg_order_by before this registry runs)
     "list": {1: "collect_list({0})"},
+    # typeof → duck's type spellings for the scalar types (pinned:
+    # SMALLINT not smallint, VARCHAR not string, TIMESTAMP '…' is a
+    # TIMESTAMP); parameterized/nested types fall back to UPPER(spark
+    # name) — DECIMAL(10,2) matches, ARRAY spellings diverge loudly
+    "typeof": {
+        1: (
+            "coalesce(element_at(map("
+            "'tinyint', 'TINYINT', 'smallint', 'SMALLINT', 'int', 'INTEGER', "
+            "'integer', 'INTEGER', 'bigint', 'BIGINT', 'float', 'FLOAT', "
+            "'double', 'DOUBLE', 'string', 'VARCHAR', 'boolean', 'BOOLEAN', "
+            "'date', 'DATE', 'binary', 'BLOB', 'timestamp', 'TIMESTAMP', "
+            "'timestamp_ntz', 'TIMESTAMP'), __SPARK_TYPEOF__({0})), "
+            "upper(__SPARK_TYPEOF__({0})))"
+        )
+    },
 }
 
 _PLACEHOLDERS = (
     ("__SPARK_KURTOSIS__(", "kurtosis("),
     ("__SPARK_SKEWNESS__(", "skewness("),
+    ("__SPARK_TYPEOF__(", "typeof("),
 )
 
 

@@ -116,6 +116,8 @@ _DUCK_FN_ALIASES = {
     "array_to_string": "array_join",
     # NOT list_slice/list_reduce: argument semantics differ (inclusive
     # end vs length; no init accumulator) — silent drift, not a rename.
+    # round 10: PG/duck row(…) constructor → struct(…) (pure rename)
+    "row": "struct",
     # round 7: scalar unnest → explode is exact for arrays (one row per
     # element, NULL/empty → no rows); struct-unnest and recursive:=
     # shapes make explode ERROR, never drift. The FROM-clause table form
@@ -1503,7 +1505,15 @@ def _rewrite_extract_epoch(q: str) -> str:
                 depth -= 1
             i += 1
         inner = q[m.end() : i - 1]
-        q = q[: m.start()] + f"unix_timestamp({inner.strip()})" + q[i:]
+        # DOUBLE with the fractional seconds — duck's extract(epoch)
+        # yields 1704164645.25 for a .25s timestamp (pinned round 10;
+        # the old unix_timestamp() rewrite truncated to whole seconds)
+        q = (
+            q[: m.start()]
+            + f"(CAST(unix_micros(CAST({inner.strip()} AS TIMESTAMP)) "
+            "AS DOUBLE) / 1000000)"
+            + q[i:]
+        )
 
 
 # PG regex-match operator `expr ~ 'pat'` → RLIKE (DuckDB accepts `~`,
@@ -1529,7 +1539,24 @@ _DUCK_TO_SPARK_TYPES = {
     "float4": "float",
     "float8": "double",
     "bool": "boolean",
+    # round 10: the unsigned tail widens to the next SIGNED type that
+    # holds the full value range (Spark has no unsigned types); UUID and
+    # BIT(-string) are strings (DuckDB renders both as text; equality /
+    # grouping semantics survive, bit-ops on BIT don't — loud)
+    "utinyint": "smallint",
+    "usmallint": "int",
+    "uhugeint": "decimal(38,0)",
+    "uuid": "string",
+    "bit": "string",
+    "bitstring": "string",
+    "varint": "decimal(38,0)",
 }
+
+# `ENUM('a','b',…)` type spellings (casts + DDL): Spark has no enum —
+# a string column with the same text values is the faithful projection
+# (comparisons/grouping equal; duck's enum-order comparisons diverge
+# loudly via type errors, never silently)
+_ENUM_TYPE = re.compile(r"\bENUM\s*\((?:[^()']|'(?:[^']|'')*')*\)", re.IGNORECASE)
 
 
 def normalize_type(name: str) -> str:
@@ -2267,6 +2294,9 @@ def _strip_num_underscores(seg: str) -> str:
 
 
 _POW_OP = re.compile(r"\^|\*\*")
+_ANY_ALL_OP = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
 _AT_TIME_ZONE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
 _SIMILAR_TO = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
 _GLOB_OP = re.compile(r"\b(NOT\s+)?GLOB\b", re.IGNORECASE)
@@ -2469,6 +2499,30 @@ def _rewrite_infix_ops(q: str) -> str:
         left = q[ls : m.start()].strip()
         right = q[m.end() : re_].strip()
         q = q[:ls] + f"power({left}, {right})" + q[re_:]
+    # cmp ANY/ALL/SOME over a LIST argument (subqueries stay native):
+    # duck `x = ANY([…])` quantifies over elements — exists/forall
+    # higher-order twins. `L op ANY(R)` ≡ exists(R, v -> L op v).
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for m in _ANY_ALL_OP.finditer(masked):
+            inner_start = m.end()
+            if re.match(r"\s*(select|with)\b", masked[inner_start:], re.IGNORECASE):
+                continue  # quantified subquery: native/loud path
+            end = _scan_balanced(masked, m.end())
+            ls = _capture_left(q, masked, m.start())
+            if ls is None:
+                continue
+            hit = (m, end, ls)
+            break
+        if hit is None:
+            break
+        m, end, ls = hit
+        op = {"!=": "<>"}.get(m.group(1), m.group(1))
+        fn = "exists" if m.group(2).lower() in ("any", "some") else "forall"
+        left = q[ls : m.start()].strip()
+        arr = q[m.end() : end - 1].strip()
+        q = q[:ls] + f"{fn}({arr}, az_x -> ({left}) {op} az_x)" + q[end:]
     # SIMILAR TO → anchored RLIKE over the captured pattern
     while True:
         masked = _mask_literals(q)
@@ -2562,6 +2616,14 @@ def rewrite_common(q: str) -> str:
     def _cast_type(m: re.Match) -> str:
         return "::" + normalize_type(m.group(1))
 
+    # ENUM(...) spans string literals, so scan the masked twin and slice
+    # the original (a _sub_outside_literals segment never sees the
+    # whole spelling)
+    while True:
+        em = _ENUM_TYPE.search(_mask_literals(q))
+        if em is None:
+            break
+        q = q[: em.start()] + "STRING" + q[em.end() :]
     q = _sub_outside_literals(q, lambda seg: _PG_CAST.sub(_cast_type, seg))
     q = _sub_outside_literals(q, lambda seg: _CURRENT_SCHEMA.sub("current_database()", seg))
     q = _sub_outside_literals(

@@ -387,13 +387,15 @@ def test_strftime_macro(pgc):
 
 def test_extract_epoch_rewrite(pgc):
     """EXTRACT(EPOCH FROM x) (PG/DuckDB idiom, no EPOCH field in Spark's
-    EXTRACT) rewrites to unix_timestamp — including nested calls."""
+    EXTRACT) rewrites to fractional-second DOUBLE epoch — duck returns
+    1704164645.25 for a .25s timestamp (round 10; the old
+    unix_timestamp rewrite truncated)."""
     c = PgClient(*pgc)
     _, rows, _ = c.simple_query(
-        "SELECT EXTRACT(EPOCH FROM coalesce(TIMESTAMP '1970-01-01 00:01:40', now())) AS e, "
+        "SELECT EXTRACT(EPOCH FROM coalesce(TIMESTAMP '1970-01-01 00:01:40.25', now())) AS e, "
         "extract(year FROM TIMESTAMP '2024-05-01 00:00:00') AS y"
     )
-    assert rows == [("100", "2024")]
+    assert rows == [("100.25", "2024")]
     c.terminate()
 
 

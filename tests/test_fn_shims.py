@@ -104,6 +104,15 @@ BATTERY = [
     "SELECT format('{} x {}', 1, 'b') AS a, format('{1}-{0}', 'a', 'b') AS b, "
     "format('{{}} {}', 9) AS c",
     "SELECT alias(42) IS NOT NULL AS a",
+    # type-spelling tail + typeof + the pandas-UDF tier
+    "SELECT 200::UTINYINT AS a, 40000::USMALLINT AS b, '101'::BIT AS c",
+    "SELECT 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'::UUID AS a",
+    "SELECT 'happy'::ENUM('sad', 'ok', 'happy') AS a",
+    "SELECT typeof(1::SMALLINT) AS a, typeof(1) AS b, "
+    "typeof(1.5::DOUBLE) AS c, typeof(CAST(1.5 AS DECIMAL(10,2))) AS d, "
+    "typeof('x') AS e, typeof(DATE '2024-01-01') AS f",
+    "SELECT round(gamma(5), 6) AS a, round(lgamma(5), 6) AS b",
+    "SELECT strip_accents('âéö') AS a, nfc_normalize('ö') = 'ö' AS b",
     "SELECT setseed(0.5) AS a",
     "SELECT txid_current() >= 0 AS a",
 ]
@@ -146,6 +155,12 @@ SHAPES = [
     "SELECT file FROM glob('/root/testdata/sf0.001/r*.parquet')",
     # DESCRIBE as a FROM relation
     "SELECT count(*) AS c FROM (DESCRIBE SELECT 1 AS x)",
+    # quantified comparisons over LIST arguments
+    "SELECT 2 = ANY([1, 2, 3]) AS a, 9 = ANY([1, 2]) AS b, "
+    "3 > ANY([1, 5]) AS c, 3 = ALL([3, 3]) AS d, 1 = ALL([1, 2]) AS e",
+    "SELECT row(1, 'x') IS NOT NULL AS a",
+    "SELECT unnest([{'a': 1}, {'a': 2}], recursive := true) ORDER BY 1",
+    "SELECT extract(epoch FROM TIMESTAMP '2024-01-02 03:04:05.25') AS a",
 ]
 
 
@@ -164,6 +179,13 @@ def test_limit_percent(eng, duck, sf_dir, spark):
     want = duck.execute(q).fetchall()
     got = eng.query(q).collect()
     assert len(got) == len(want) == 2
+    # nested percent-limit: the enclosing subquery materializes first
+    q2 = "SELECT count(*) AS a FROM (SELECT * FROM region LIMIT 40%)"
+    assert (
+        eng.query(q2).collect()[0][0]
+        == duck.execute(q2).fetchall()[0][0]
+        == 2
+    )
 
 
 @pytest.mark.parametrize("q", BATTERY, ids=lambda q: q[:60])
