@@ -49,6 +49,16 @@ _PRIORITY = [
     # quoted text natively) and the struct/range/list expression-shim
     # gate (native range TVF, list_prepend/has_all, array_* NULL
     # semantics, struct_pack/extract, regexp_split_to_array).
+    # session-5 dialect gates first (newest surface): raw literal
+    # semantics, infix operators, the fn-shim scalar/aggregate
+    # registries, ORDER-BY-in-aggregate + comprehension shapes, and
+    # FILTER-over-window / frame-EXCLUDE
+    "raw_literal_sql",
+    "infix_ops_sql",
+    "fn_shim_scalars_sql",
+    "fn_shim_aggs_sql",
+    "query_shapes_sql",
+    "window_shapes_sql",
     "quoted_idents_sql",
     "scalar_struct_range_list",
     # 2-38: staleness refresh (VERDICT r9 item 3) — the oracle-twinned

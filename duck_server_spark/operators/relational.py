@@ -499,6 +499,173 @@ def quoted_idents_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrites.rewrite_pg_query(QUOTED_IDENTS_SQL_TEXT))
 
 
+# ---------------------------------------------------------------------------
+# Round-10 session-5 dialect gates: one DuckDB-dialect text per family,
+# run verbatim by the oracle and through the full rewrite pipeline on
+# the Spark side (the quoted_idents_sql pattern). Float-bearing
+# aggregates round() IN THE TEXT so both engines canonicalize
+# identically; integer window sums CAST to BIGINT (duck widens to
+# HUGEINT, which lands as float in pandas).
+# ---------------------------------------------------------------------------
+
+RAW_LITERAL_SQL_TEXT = r"""SELECT o_orderkey,
+  regexp_extract(o_orderpriority, '(\d)-(\w+)', 2) AS pri_word,
+  regexp_replace(o_orderstatus || ' x ' || o_orderpriority, '\s+', '_', 'g') AS squashed,
+  o_orderpriority SIMILAR TO '\d-[A-Z ]+' AS pri_ok
+FROM orders
+WHERE o_orderpriority ~ '\d-[A-Z]+' AND o_orderkey % 100 = 0
+ORDER BY o_orderkey"""
+
+
+def raw_literal_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw string-literal semantics end-to-end (round 10): plain '…'
+    literals carry backslashes as DATA in DuckDB/PG ('\\d' is a regex
+    class) while Spark processes escapes — normalize_literals converts
+    exactly once. Also exercises 2-arg regexp_extract group-0 default,
+    first-vs-global regexp_replace flags, SIMILAR TO and ~ full-match
+    anchoring. Plan: one pruned scan + filter, bind-time text only."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(rewrites.normalize_literals(RAW_LITERAL_SQL_TEXT))
+    )
+
+
+INFIX_OPS_SQL_TEXT = r"""SELECT o_orderkey,
+  round(o_totalprice ^ 2, 2) AS price_sq,
+  o_orderkey // 7 AS bucket7,
+  o_orderpriority ~~ '1%' AS is_urgent,
+  o_orderstatus !~~ '%X%' AS not_x,
+  o_orderkey & 15 AS low_bits
+FROM orders
+WHERE o_orderkey // 10 % 97 = 5
+ORDER BY o_orderkey"""
+
+
+def infix_ops_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB infix operator family (round 10): ^ exponentiation (Spark
+    ^ is XOR), // trunc division (→ div, keeps precedence), ~~/!~~ LIKE
+    spellings, & staying bitwise. Pure bind-time conversion — the plan
+    is the hand-written Spark spelling's plan."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(rewrites.normalize_literals(INFIX_OPS_SQL_TEXT))
+    )
+
+
+FN_SHIM_SCALARS_SQL_TEXT = r"""SELECT o_orderkey,
+  isoyear(o_orderdate) AS iso_y,
+  monthname(o_orderdate) AS mon_name,
+  even(o_totalprice) AS next_even,
+  fmod(o_orderkey, 7) AS fm7,
+  strpos(o_orderpriority, '-') AS dash_at,
+  to_base(o_orderkey % 255, 16) AS hex_k,
+  time_bucket(INTERVAL '1 week', o_orderdate) AS wk
+FROM orders
+WHERE o_orderkey % 211 = 0
+ORDER BY o_orderkey"""
+
+
+def fn_shim_scalars_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plans/fn_shims.py scalar registry over a real scan: ISO year,
+    full month names, even() away-from-zero, floor-modulo, base
+    conversion, and time_bucket against duck's 2000-01-03 origin — all
+    JVM expression templates inside one whole-stage-codegen'd project."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(
+            rewrites.normalize_literals(FN_SHIM_SCALARS_SQL_TEXT)
+        )
+    )
+
+
+FN_SHIM_AGGS_SQL_TEXT = r"""SELECT o_orderpriority,
+  round(entropy(o_orderkey % 7), 6) AS ent,
+  quantile_disc(o_totalprice, 0.25) AS q1,
+  quantile_disc(o_totalprice, [0.5, 0.9])[1] AS q50,
+  round(mad(o_totalprice), 4) AS madv,
+  round(skewness(o_totalprice), 4) AS skew_c,
+  round(kurtosis(o_totalprice), 4) AS kurt_c,
+  count() AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+def fn_shim_aggs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_shims aggregate registry per group: log2 entropy, nearest-rank
+    quantile_disc (scalar + list form), median-absolute-deviation (the
+    lambda-bound once-only inner median — the naive shape re-sorted the
+    group per element), and the bias-corrected skewness/kurtosis.
+    One hash-aggregate shuffle; collect_list bounds are group-sized."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(
+            rewrites.normalize_literals(FN_SHIM_AGGS_SQL_TEXT)
+        )
+    )
+
+
+QUERY_SHAPES_SQL_TEXT = r"""SELECT o_orderstatus,
+  array_to_string(list(o_orderkey ORDER BY o_orderkey) , ',') AS first_keys,
+  array_to_string([k * 2 FOR k IN list(o_custkey ORDER BY o_orderkey) IF k >= 0], ',') AS cust2,
+  any_value(o_orderpriority ORDER BY o_orderkey) AS first_pri
+FROM (SELECT * FROM orders WHERE o_orderkey % 500 = 0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus"""
+
+
+def query_shapes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY inside aggregates (ordered collect via ONE sorted-struct
+    aggregate, any_value → min_by) composed with a list comprehension —
+    single hash aggregate, no extra shuffle for the ordering."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(
+            rewrites.normalize_literals(QUERY_SHAPES_SQL_TEXT)
+        )
+    )
+
+
+WINDOW_SHAPES_SQL_TEXT = r"""SELECT o_orderkey,
+  count(*) FILTER (o_custkey % 2 = 0) OVER (ORDER BY o_orderkey ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS c6,
+  CAST(sum(o_orderkey) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s4,
+  round(avg(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW), 4) AS a6
+FROM orders
+WHERE o_orderkey % 250 = 0
+ORDER BY o_orderkey"""
+
+
+def window_shapes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER over a window (→ conditional input, Spark refuses the
+    native spelling) and frame EXCLUDE CURRENT ROW (→ frame aggregate
+    minus the current row's contribution, exact for sum/count/avg) —
+    one window operator, one sort, no self-join."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(
+            rewrites.normalize_literals(WINDOW_SHAPES_SQL_TEXT)
+        )
+    )
+
+
 # DuckDB's simplified PIVOT statement (round 7): dynamic column
 # discovery → Spark PIVOT clause (engine/pivot.py). The default-USING
 # form exercises the count-0 fill; orderpriority has 5 stable values so
@@ -617,6 +784,12 @@ QUERIES = {
     "distinct_on_sql": distinct_on_sql,
     "from_first_sql": from_first_sql,
     "quoted_idents_sql": quoted_idents_sql,
+    "raw_literal_sql": raw_literal_sql,
+    "infix_ops_sql": infix_ops_sql,
+    "fn_shim_scalars_sql": fn_shim_scalars_sql,
+    "fn_shim_aggs_sql": fn_shim_aggs_sql,
+    "query_shapes_sql": query_shapes_sql,
+    "window_shapes_sql": window_shapes_sql,
     "pivot_stmt_sql": pivot_stmt_sql,
     "unpivot_stmt_sql": unpivot_stmt_sql,
     "qualify": qualify_idiom,
@@ -649,6 +822,12 @@ ORACLE = {
     "distinct_on_sql": DISTINCT_ON_SQL_TEXT,
     "from_first_sql": FROM_FIRST_SQL_TEXT,
     "quoted_idents_sql": QUOTED_IDENTS_SQL_TEXT,
+    "raw_literal_sql": RAW_LITERAL_SQL_TEXT,
+    "infix_ops_sql": INFIX_OPS_SQL_TEXT,
+    "fn_shim_scalars_sql": FN_SHIM_SCALARS_SQL_TEXT,
+    "fn_shim_aggs_sql": FN_SHIM_AGGS_SQL_TEXT,
+    "query_shapes_sql": QUERY_SHAPES_SQL_TEXT,
+    "window_shapes_sql": WINDOW_SHAPES_SQL_TEXT,
     "pivot_stmt_sql": PIVOT_STMT_SQL_TEXT,
     "unpivot_stmt_sql": UNPIVOT_STMT_SQL_TEXT,
     "qualify": QUALIFY_ORACLE,

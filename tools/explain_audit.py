@@ -274,6 +274,31 @@ CHECKS = {
         ("totalprice filter pushed to the scan", r"PushedFilters: [^\n]*o_totalprice"),
         ("set-op arms stay a plain Union", r"Union"),
     ],
+    # round-10 session-5 dialect gates: every one is a BIND-TIME text
+    # conversion — the plan must be the hand-written Spark spelling's
+    # plan (codegen'd project/filter, one aggregate, one window)
+    "raw_literal_sql": [
+        ("regex predicates under whole-stage codegen", r"WholeStageCodegen"),
+        ("only the needed columns read", r"ReadSchema: [^\n]*o_orderpriority"),
+    ],
+    "infix_ops_sql": [
+        ("operator conversions stay codegen'd expressions", r"WholeStageCodegen"),
+    ],
+    "fn_shim_scalars_sql": [
+        ("scalar templates under whole-stage codegen", r"WholeStageCodegen"),
+        ("pruned scan (no unread columns)", r"ReadSchema: [^\n]*o_orderdate"),
+    ],
+    "fn_shim_aggs_sql": [
+        ("one aggregate pass for the whole registry row",
+         r"(ObjectHashAggregate|SortAggregate|HashAggregate)"),
+    ],
+    "query_shapes_sql": [
+        ("ordered collect is ONE aggregate (no extra sort shuffle)",
+         r"(ObjectHashAggregate|SortAggregate)"),
+    ],
+    "window_shapes_sql": [
+        ("FILTER/EXCLUDE lower into the window operator", r"Window"),
+    ],
 }
 
 FORBIDDEN = {
@@ -320,6 +345,10 @@ FORBIDDEN = {
     "scalar_series_unnest": [("no shuffled cartesian", r"CartesianProduct")],
     "distinct_on_sql": [("no cartesian product", r"CartesianProduct")],
     "from_first_sql": [("no cartesian product", r"CartesianProduct")],
+    # the window conversions must NOT fall back to self-joins
+    "window_shapes_sql": [("no self-join for EXCLUDE/FILTER", r"Join")],
+    # ordered collect must not add a shuffle beyond the group-by's own
+    "query_shapes_sql": [("no sort-based extra exchange", r"CartesianProduct")],
     "pivot_stmt_sql": [("no cartesian product", r"CartesianProduct")],
     "unpivot_stmt_sql": [
         ("unpivot is scan-local: no shuffle anywhere", r"Exchange"),
