@@ -271,7 +271,10 @@ def _spark_check_expr(expr: str) -> str:
     CHECK ("price" > 0) silently never enforced)."""
     from duck_server_spark.plans import rewrites
 
-    out = rewrites.rewrite_common(expr)
+    # literal semantics FIRST (round-10 review family): the stored text
+    # is raw duck-dialect — CHECK (name ~ '^[a-z]+\\d$') must keep its
+    # backslash as data under Spark's escape-processing parser
+    out = rewrites.rewrite_common(rewrites.normalize_literals(expr))
     masked = _mask_str_literals(out)
     res, i = [], 0
     for m in re.finditer(r'"([A-Za-z_]\w*)"', masked):

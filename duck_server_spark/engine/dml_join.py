@@ -37,6 +37,7 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 from duck_server_spark.engine.errors import PgError
+from duck_server_spark.plans import rewrites
 from duck_server_spark.engine.upsert import (
     _mask_literals,
     _split_assigns,
@@ -143,13 +144,13 @@ def run_update_from(engine, table: str, assigns, from_sql: str, where: str | Non
 
     def transform(fresh: DataFrame) -> DataFrame:
         b = _stamped_base(engine, table, fresh)
-        cond = F.expr(where) if where else F.lit(True)
+        cond = F.expr(rewrites.duck_expr_to_spark(where)) if where else F.lit(True)
         # pick-one + match-count per target row, over the MATCHED subset
         # only (never the full base)
         matched = b.join(src, cond, "inner").select(
             F.col("__dmlj_rid"),
             *[
-                F.expr(e).cast(ftype[c]).alias(f"__dmlj_new_{c}")
+                F.expr(rewrites.duck_expr_to_spark(e)).cast(ftype[c]).alias(f"__dmlj_new_{c}")
                 for c, e in assigns
             ],
         )
@@ -215,7 +216,7 @@ def run_delete_using(engine, table: str, using_sql: str, where: str | None) -> i
     if refs:
         b = _stamped_base(engine, table, spark.table(table))
         hit_rids = b.join(
-            src, F.expr(cond_sql) if cond_sql else F.lit(True), "left_semi"
+            src, F.expr(rewrites.duck_expr_to_spark(cond_sql)) if cond_sql else F.lit(True), "left_semi"
         ).select("__dmlj_rid")
         deleted = b.join(hit_rids, on="__dmlj_rid", how="left_semi").drop("__dmlj_rid")
         remaining = b.join(hit_rids, on="__dmlj_rid", how="left_anti").drop("__dmlj_rid")
@@ -225,7 +226,7 @@ def run_delete_using(engine, table: str, using_sql: str, where: str | None) -> i
 
     def transform(fresh: DataFrame) -> DataFrame:
         b = _stamped_base(engine, table, fresh)
-        cond = F.expr(cond_sql) if cond_sql else F.lit(True)
+        cond = F.expr(rewrites.duck_expr_to_spark(cond_sql)) if cond_sql else F.lit(True)
         hit_rids = b.join(src, cond, "left_semi").select("__dmlj_rid").distinct()
         j = b.join(hit_rids.withColumn("__dmlj_hit", F.lit(1)), on="__dmlj_rid", how="left")
         return j.select(

@@ -145,6 +145,12 @@ _INTERNAL_TABLE_MARKS = (
     "__ins_staging_",
     "__alter_staging_",
     "__ubn_tail_",
+    # round-10 materialization views: (DESCRIBE …)-in-FROM and nested
+    # percent-LIMIT subqueries (review catch: these polluted SHOW
+    # TABLES / duckdb_tables; they must outlive the statement — the
+    # returned DataFrame is lazy — so hiding, not dropping, is correct)
+    "__duck_meta_",
+    "__duck_sub_",
 )
 # UNION [ALL] BY NAME separators + the trailing clause that applies to
 # the whole set op (round 10)
@@ -1566,7 +1572,7 @@ class Engine:
         for it in items:
             im = self._UNNEST_ITEM.match(it)
             if im is None:
-                parsed.append(("other", it, False, None))
+                parsed.append(("other", it, False, None, it))
                 continue
             mit = rewrites._mask_literals(it)
             end = rewrites._scan_balanced(mit, im.end())
@@ -1577,19 +1583,27 @@ class Engine:
             am = re.match(r"^(?:AS\s+)?([\w`]+)\s*$", tail, re.IGNORECASE)
             alias = am.group(1).strip("`") if am and tail else None
             if tail and am is None:
-                parsed.append(("other", it, False, None))
+                parsed.append(("other", it, False, None, it))
                 continue
             rec = any(self._RECURSIVE_ARG.match(a) for a in args[1:])
             extra = [a for a in args[1:] if not self._RECURSIVE_ARG.match(a)]
             if extra or not args:
-                parsed.append(("other", it, False, None))
+                parsed.append(("other", it, False, None, it))
                 continue
-            parsed.append(("unnest", args[0], rec, alias))
+            parsed.append(("unnest", args[0], rec, alias, it))
         unnests = [p for p in parsed if p[0] == "unnest"]
         if not unnests:
             return q
-        plain = [p for p in unnests if not p[2]]
-        needs_probe = bool([p for p in unnests if p[2]]) or len(plain) >= 1
+        # fast path (review catch: the first version probed EVERY
+        # unnest, taxing the common single-list wire statement with an
+        # extra analyzer pass): one non-recursive unnest whose argument
+        # doesn't look struct-shaped keeps the direct explode alias —
+        # no probe. A struct COLUMN slipping through errors LOUDLY at
+        # explode (never silent drift).
+        if len(unnests) == 1 and not unnests[0][2]:
+            arg0 = unnests[0][1].lower()
+            if not ("{" in arg0 or "struct" in arg0 or "row(" in arg0):
+                return q
 
         def probe_type(expr: str):
             tailq = q[frm:sel_end_full] if frm is not None else ""
@@ -1630,14 +1644,15 @@ class Engine:
         zip_slot: int | None = None
         # classify each unnest by probed type
         classified = []
-        for kind, expr, rec, alias in parsed:
+        for kind, expr, rec, alias, orig in parsed:
             if kind == "other":
                 classified.append(("other", expr, None, None))
                 continue
             try:
                 dt = probe_type(expr)
-            except Exception:  # noqa: BLE001 — leave the item; loud later
-                classified.append(("other", f"unnest({expr})", None, None))
+            except Exception:  # noqa: BLE001 — keep the ORIGINAL item
+                # text (incl. its alias tail — review catch); loud later
+                classified.append(("other", orig, None, None))
                 continue
             classified.append(("unnest", expr, rec, (alias, dt)))
         n_plain_arrays = sum(
@@ -2331,7 +2346,7 @@ class Engine:
         # which never resolves
         base, items = rewrites.split_returning(self._resolve_sequences(q))
         item_list = [
-            it if it.strip() == "*" else rewrites.rewrite_common(it)
+            it if it.strip() == "*" else rewrites.duck_expr_to_spark(it)
             for it in _split_top_level(items, ",")
         ]
         if not item_list:
@@ -2404,7 +2419,7 @@ class Engine:
         if table is None:
             return None
         item_list = [
-            it if it.strip() == "*" else rewrites.rewrite_common(it)
+            it if it.strip() == "*" else rewrites.duck_expr_to_spark(it)
             for it in _split_top_level(items, ",")
         ]
         return self.spark.table(table).limit(0).selectExpr(*item_list).schema
@@ -2982,8 +2997,12 @@ class Engine:
         assigns: dict[str, str] = {}
         for part in _split_top_level(set_clause, ","):
             col, expr = part.split("=", 1)
-            assigns[col.strip().strip("`\"")] = expr.strip()
-        pred = where or "TRUE"
+            # fragments are raw duck-dialect (sliced before
+            # _prepare_sql): literal semantics + shims, exactly once
+            assigns[col.strip().strip("`\"")] = rewrites.duck_expr_to_spark(
+                expr.strip()
+            )
+        pred = rewrites.duck_expr_to_spark(where) if where else "TRUE"
         select_exprs = []
         for field in df.schema.fields:
             if field.name in assigns:
@@ -3043,6 +3062,10 @@ class Engine:
     def _copy_on_write_delete(
         self, table: str, where: str | None, returning: bool = False
     ):
+        # raw duck-dialect fragment → Spark, exactly once (the converted
+        # text flows into validate_delete_restrict's F.expr too)
+        if where is not None:
+            where = rewrites.duck_expr_to_spark(where)
         # ON DELETE RESTRICT: a child FK referencing this table blocks the
         # delete of still-referenced keys (23503) BEFORE anything rewrites.
         # A transaction shadow resolves to its base name for the reverse

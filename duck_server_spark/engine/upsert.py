@@ -64,6 +64,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from duck_server_spark.engine.errors import PgError
+from duck_server_spark.plans import rewrites
 from duck_server_spark.plans.rewrites import _mask_literals, _sub_outside_literals
 
 _HEAD = re.compile(
@@ -382,12 +383,12 @@ def _do_update(engine, up, staged_src: DataFrame, target, all_cst, schema, base)
         j = fresh_base.join(F.broadcast(s), cond, "left")
         upd = F.col("__excl_present").isNotNull()
         if where_sql:
-            upd = upd & F.expr(where_sql)
+            upd = upd & F.expr(rewrites.duck_expr_to_spark(where_sql))
         out_cols = []
         for name in field_names:
             if name in assign_map:
                 out_cols.append(
-                    F.when(upd, F.expr(assign_map[name]).cast(ftype[name]))
+                    F.when(upd, F.expr(rewrites.duck_expr_to_spark(assign_map[name])).cast(ftype[name]))
                     .otherwise(F.col(name))
                     .alias(name)
                 )

@@ -607,12 +607,21 @@ _ORDER_IN_ARGS = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 
 
 def _rewrite_agg_order_by(q: str) -> str:
-    """`agg(x ORDER BY k [DESC])` → order-aware Spark spellings:
-    first/last/any_value become min_by/max_by (single key; multi-key
-    all-ASC via a struct key); the list family collects (key, value)
-    structs, array_sorts, and projects the value back out — exact
-    ordered-collect semantics with one aggregate, no extra shuffle.
-    Mixed-direction multi-key lists pass through → loud."""
+    """`agg(x ORDER BY k [ASC|DESC] [NULLS FIRST|LAST], …)` →
+    order-aware Spark spellings. DuckDB's default is NULLS LAST in
+    BOTH directions (the _rewrite_string_agg pin; review-caught —
+    the first version sorted NULL keys first and dropped the NULL-key
+    row first/last should return):
+
+    - first/last/any_value → min_by/max_by over a NULL-RANKED struct
+      key ((k IS [NOT] NULL, k) — the marker orients NULL-key rows to
+      win or lose the extremization per the NULLS spec), so
+      `last(x ORDER BY y)` returns the NULL-key row exactly like duck.
+      Keys must share one direction (else loud).
+    - list/array_agg → ONE sorted-struct collect with an explicit
+      COMPARATOR lambda (per-key direction + NULLS placement — mixed
+      directions supported), value projected back out. One aggregate,
+      no extra shuffle."""
     pos = 0
     while True:
         masked = _mask_literals(q)
@@ -632,48 +641,65 @@ def _rewrite_agg_order_by(q: str) -> str:
             continue
         expr = inner[: om.start()].strip()
         keys = _split_args(inner[om.end() :], minner[om.end() :])
-        parsed = []  # (key_expr, desc)
+        parsed = []  # (key_expr, asc, nulls_last)
         ok = True
         for k in keys:
             km = re.match(
-                r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?$",
+                r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
                 k.strip(),
                 re.IGNORECASE | re.DOTALL,
             )
             if km is None:
                 ok = False
                 break
-            parsed.append((km.group(1).strip(), (km.group(2) or "ASC").upper()))
+            asc = (km.group(2) or "ASC").upper() == "ASC"
+            nulls_last = (km.group(3) or "LAST").upper() == "LAST"
+            parsed.append((km.group(1).strip(), asc, nulls_last))
         if not ok or not parsed:
             pos = m.end()
             continue
         name = m.group(1).lower()
-        descs = {d for _, d in parsed}
+        ascs = {a for _, a, _ in parsed}
         if name in ("any_value", "first", "last"):
-            want_max = (name == "last") != (parsed[0][1] == "DESC")
-            if len(parsed) == 1:
-                key = parsed[0][0]
-            elif descs == {"ASC"}:
-                key = "struct(" + ", ".join(k for k, _ in parsed) + ")"
-            else:
+            if len(ascs) > 1:
                 pos = m.end()  # mixed-direction multi-key: loud
                 continue
+            asc = parsed[0][1]
+            # marker (k IS NULL) iff direction == NULLS placement (see
+            # docstring); encoded key's lexicographic extreme matches
+            # the requested order's first/last row including NULL keys
+            fields = []
+            for k, a, nl in parsed:
+                marker = "IS NULL" if a == nl else "IS NOT NULL"
+                fields.append(f"(({k}) {marker})")
+                fields.append(k)
+            key = "struct(" + ", ".join(fields) + ")"
+            want_max = (name == "last") == asc
             fn = "max_by" if want_max else "min_by"
             repl = f"{fn}({expr}, {key})"
         else:  # list / array_agg / collect_list
-            if len(descs) > 1:
-                pos = m.end()
-                continue
             key_fields = ", ".join(
-                f"{k} AS ao_k{i}" for i, (k, _) in enumerate(parsed)
+                f"({k}) AS ao_k{i}" for i, (k, _a, _n) in enumerate(parsed)
             )
-            base = (
-                f"array_sort(collect_list(struct({key_fields}, "
-                f"({expr}) AS ao_v)))"
+            cmp = "0"
+            for i in reversed(range(len(parsed))):
+                _k, a, nl = parsed[i]
+                lt, gt = ("-1", "1") if a else ("1", "-1")
+                anull, bnull = ("1", "-1") if nl else ("-1", "1")
+                cmp = (
+                    f"CASE WHEN ao_a.ao_k{i} IS NULL AND ao_b.ao_k{i} IS NULL "
+                    f"THEN {cmp} "
+                    f"WHEN ao_a.ao_k{i} IS NULL THEN {anull} "
+                    f"WHEN ao_b.ao_k{i} IS NULL THEN {bnull} "
+                    f"WHEN ao_a.ao_k{i} < ao_b.ao_k{i} THEN {lt} "
+                    f"WHEN ao_a.ao_k{i} > ao_b.ao_k{i} THEN {gt} "
+                    f"ELSE {cmp} END"
+                )
+            repl = (
+                f"transform(array_sort(collect_list(struct({key_fields}, "
+                f"({expr}) AS ao_v)), (ao_a, ao_b) -> {cmp}), "
+                "ao_s -> ao_s.ao_v)"
             )
-            if descs == {"DESC"}:
-                base = f"reverse({base})"
-            repl = f"transform({base}, ao_s -> ao_s.ao_v)"
         q = q[: m.start()] + repl + q[end:]
         pos = m.start() + len(repl)
 

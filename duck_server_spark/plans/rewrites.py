@@ -2392,11 +2392,16 @@ def _rewrite_filter_over_window(q: str) -> str:
         cond = re.sub(r"^\s*WHERE\b", "", cond, flags=re.IGNORECASE).strip()
         if name.lower() == "count" and (not args or args == ["*"]):
             repl = f"count(CASE WHEN {cond} THEN 1 END)"
-        elif args:
-            wrapped = f"CASE WHEN {cond} THEN {args[0]} END"
-            repl = f"{name}({', '.join([wrapped] + args[1:])})"
+        elif args and not re.match(r"\s*DISTINCT\b", args[0], re.IGNORECASE):
+            # EVERY argument becomes conditional, not just the first —
+            # a filtered row must not contribute its ORDERING/second
+            # argument either (review-caught: max_by/arg_max under
+            # FILTER let excluded rows win via their key; NULL-ing all
+            # args removes the row for every aggregate that skips NULLs)
+            wrapped = [f"CASE WHEN {cond} THEN {a} END" for a in args]
+            repl = f"{name}({', '.join(wrapped)})"
         else:
-            return q  # zero-arg non-count: leave for a loud error
+            return q  # zero-arg non-count / DISTINCT: loud pass-through
         q = q[:nstart] + repl + q[fend:]
 
 
@@ -2451,7 +2456,17 @@ def _rewrite_window_exclude(q: str) -> str:
             repl = f"{name}({', '.join(args)}) {win}"
         elif lname == "sum" and len(args) == 1:
             x = args[0]
-            repl = f"(sum({x}) {win} - coalesce({x}, 0))"
+            # NULL, not 0, when the frame minus the current row is
+            # empty (review-caught: first row of a CURRENT-ROW-ended
+            # frame) — same remaining-count guard the avg branch uses
+            rem = (
+                f"(count({x}) {win} - "
+                f"CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
+            )
+            repl = (
+                f"(CASE WHEN {rem} = 0 THEN NULL "
+                f"ELSE sum({x}) {win} - coalesce({x}, 0) END)"
+            )
         elif lname == "count" and args == ["*"]:
             repl = f"(count(*) {win} - 1)"
         elif lname == "count" and len(args) == 1:
@@ -2581,6 +2596,18 @@ def _rewrite_infix_ops(q: str) -> str:
         right = q[m.end() : re_].strip()
         q = q[:ls] + f"to_utc_timestamp({left}, {right})" + q[re_:]
     return q
+
+
+def duck_expr_to_spark(text: str) -> str:
+    """Fragment-level duck→Spark conversion for the engine's
+    F.expr/selectExpr consumers (COW DML SET/WHERE, join-DML conditions,
+    upsert assignments, CHECK enforcement, RETURNING items). These
+    fragments are sliced from RAW statements that never pass
+    Engine._prepare_sql, so they need BOTH halves exactly once: literal
+    semantics (round-10 review catch — an extended-protocol UPDATE
+    param 'a\\nb' was stored with a real newline because the wire now
+    renders params duck-dialect), then the full shim pipeline."""
+    return rewrite_common(normalize_literals(text))
 
 
 def rewrite_common(q: str) -> str:
@@ -3099,6 +3126,22 @@ def normalize_literals(q: str) -> str:
     i, n = 0, len(q)
     while i < n:
         c = q[i]
+        # comments copy verbatim — an apostrophe inside "-- don't" or
+        # /* can't */ must not desynchronize literal detection
+        # (review-caught: every literal after such a comment was
+        # corrupted)
+        if c == "-" and q.startswith("--", i):
+            j = q.find("\n", i)
+            j = n if j == -1 else j + 1
+            out.append(q[i:j])
+            i = j
+            continue
+        if c == "/" and q.startswith("/*", i):
+            j = q.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out.append(q[i:j])
+            i = j
+            continue
         if c == "'":
             # find the literal's end, honoring '' doubling
             j = i + 1
@@ -3264,22 +3307,83 @@ def normalize_quoted_idents(q: str) -> str:
     return "".join(out)
 
 
+def _protected_spans(q: str) -> list[tuple[int, int, str]]:
+    """(start, end, kind) spans of quoted literals ('…' with ''
+    doubling), dollar-quoted literals ($$…$$ / $tag$…$tag$), and SQL
+    comments (-- …\\n, /* … */), from ONE left-to-right scan — so an
+    apostrophe inside a comment or dollar literal can never
+    desynchronize quote detection (round-10 review family: a
+    "-- don't" comment made every later literal invisible to every
+    masked scan in the pipeline)."""
+    spans: list[tuple[int, int, str]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == "-" and q.startswith("--", i):
+            j = q.find("\n", i)
+            j = n if j == -1 else j
+            spans.append((i, j, "comment"))
+            i = j
+            continue
+        if c == "/" and q.startswith("/*", i):
+            j = q.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            spans.append((i, j, "comment"))
+            i = j
+            continue
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if q[j] == "'":
+                    if j + 1 < n and q[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n), "quote"))
+            i = j + 1
+            continue
+        if c == "$":
+            m = _DOLLAR_OPEN.match(q, i)
+            if m:
+                close = q.find(m.group(0), m.end())
+                if close != -1:
+                    e = close + len(m.group(0))
+                    spans.append((i, e, "dollar"))
+                    i = e
+                    continue
+        i += 1
+    return spans
+
+
 def _mask_literals(q: str) -> str:
     """Same-length twin of `q` with every string literal's CONTENT
-    replaced by spaces — search/scan on the mask, slice the original."""
-    return _STR_LIT.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", q)
+    replaced by spaces — search/scan on the mask, slice the original.
+    Quoted literals keep their delimiters visible (the established
+    contract); dollar-quoted literals and comments mask ENTIRELY, so
+    positional scans never match keywords inside either."""
+    out = list(q)
+    for s, e, kind in _protected_spans(q):
+        if kind == "quote":
+            for k in range(s + 1, e - 1):
+                out[k] = " "
+        else:
+            for k in range(s, e):
+                out[k] = " "
+    return "".join(out)
 
 
 def _sub_outside_literals(q: str, fn) -> str:
     """Apply `fn(segment) -> segment` only to the parts of `q` that are
-    NOT inside single-quoted string literals, so a literal '$1' is never
-    treated as a parameter placeholder."""
+    NOT inside string literals (quoted or dollar-quoted) or comments,
+    so a literal '$1' is never treated as a parameter placeholder and
+    comment text is never rewritten."""
     out = []
     pos = 0
-    for m in _STR_LIT.finditer(q):
-        out.append(fn(q[pos : m.start()]))
-        out.append(m.group(0))
-        pos = m.end()
+    for s, e, _kind in _protected_spans(q):
+        out.append(fn(q[pos:s]))
+        out.append(q[s:e])
+        pos = e
     out.append(fn(q[pos:]))
     return "".join(out)
 

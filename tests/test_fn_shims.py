@@ -161,6 +161,30 @@ SHAPES = [
     "SELECT row(1, 'x') IS NOT NULL AS a",
     "SELECT unnest([{'a': 1}, {'a': 2}], recursive := true) ORDER BY 1",
     "SELECT extract(epoch FROM TIMESTAMP '2024-01-02 03:04:05.25') AS a",
+    # review-round fixes, each pinned: NULLS LAST default in ordered
+    # aggregates (incl. the NULL-key row last() must return), explicit
+    # NULLS FIRST, mixed directions in list(); FILTER over a 2-arg
+    # window aggregate (excluded rows must not contribute their KEY);
+    # EXCLUDE CURRENT ROW on an empty remaining frame → NULL
+    "SELECT list(x ORDER BY y) AS a, last(x ORDER BY y) AS b, "
+    "first(x ORDER BY y) AS c "
+    "FROM (VALUES (1, 30), (2, NULL), (3, 10)) t(x, y)",
+    "SELECT list(x ORDER BY y NULLS FIRST) AS a, "
+    "first(x ORDER BY y NULLS FIRST) AS b "
+    "FROM (VALUES (1, 30), (2, NULL), (3, 10)) t(x, y)",
+    "SELECT list(x ORDER BY y DESC, z ASC) AS a "
+    "FROM (VALUES (1, 5, 'b'), (2, 5, 'a'), (3, 9, 'c')) t(x, y, z)",
+    "SELECT arg_max(x, y) FILTER (x <> 1) OVER () AS a "
+    "FROM (VALUES (1, 30), (2, 20), (3, 10)) t(x, y) LIMIT 1",
+    "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND "
+    "CURRENT ROW EXCLUDE CURRENT ROW) AS s "
+    "FROM (VALUES (1), (2)) t(x) ORDER BY x",
+    # comments must not desynchronize the literal pass
+    "SELECT regexp_matches('a1', '\\d') AS a, -- don't strip\n"
+    "  regexp_matches('b2', '\\d') AS b",
+    # keyword-looking text inside dollar-quoted DATA stays data
+    "SELECT $$take LIMIT 5% off$$ AS s",
+    "SELECT $$a union all by name b$$ AS s",
 ]
 
 
@@ -217,6 +241,38 @@ def test_quantile_disc_rank_rule_sweep(eng, duck):
             want = duck.execute(q).fetchall()[0][0]
             got = eng.query(q).collect()[0][0]
             assert got == want, f"n={n} q={qq}: {got} != {want}"
+
+
+def test_materialization_views_hidden(eng):
+    """(DESCRIBE …)-in-FROM materialization views must not appear in
+    catalog listings (review catch: they polluted SHOW TABLES)."""
+    eng.query("SELECT count(*) AS c FROM (DESCRIBE SELECT 1 AS x)").collect()
+    names = [r[0] for r in eng.query("SHOW TABLES").collect()]
+    assert not any(n.startswith("__duck_meta_") for n in names)
+
+
+def test_cow_update_raw_literal_semantics(eng, spark):
+    """UPDATE SET/WHERE fragments bypass _prepare_sql into selectExpr —
+    they must get the SAME raw-literal conversion (review high finding:
+    a backslash-bearing value was stored escape-processed, and a
+    trailing-backslash param broke out of its literal)."""
+    spark.sql("DROP TABLE IF EXISTS cowlit_t")
+    eng.execute("CREATE TABLE cowlit_t (id INT, v VARCHAR)")
+    eng.execute("INSERT INTO cowlit_t VALUES (1, 'old'), (2, 'keep')")
+    eng.execute(r"UPDATE cowlit_t SET v = '(\d)' WHERE v ~ 'o.d'")
+    rows = {
+        tuple(r)
+        for r in eng.query("SELECT id, v FROM cowlit_t ORDER BY id").collect()
+    }
+    assert rows == {(1, r"(\d)"), (2, "keep")}
+    # trailing backslash (the wire renders params duck-dialect)
+    eng.execute(r"UPDATE cowlit_t SET v = 'x\' WHERE id = 2")
+    got = eng.query("SELECT v FROM cowlit_t WHERE id = 2").collect()[0][0]
+    assert got == "x\\"
+    # DELETE WHERE with a raw regex class
+    eng.execute(r"DELETE FROM cowlit_t WHERE v ~ '\(\\d\)'")
+    assert eng.query("SELECT count(*) AS c FROM cowlit_t").collect()[0][0] == 1
+    eng.execute("DROP TABLE cowlit_t")
 
 
 def test_documented_divergences(eng):
