@@ -1550,6 +1550,9 @@ _DUCK_TO_SPARK_TYPES = {
     "bit": "string",
     "bitstring": "string",
     "varint": "decimal(38,0)",
+    # JSON values travel as their text form; the -> / ->> operators
+    # parse to VARIANT at the extraction site (round 10)
+    "json": "string",
 }
 
 # `ENUM('a','b',…)` type spellings (casts + DDL): Spark has no enum —
@@ -2075,8 +2078,24 @@ _TYPED_LIT_KEYWORDS = ("date", "timestamp", "timestamptz", "time", "interval")
 
 
 def _capture_left(q: str, masked: str, i: int) -> int | None:
-    """Start index of the primary expression ending just before i, or
-    None if it can't be captured confidently."""
+    """Start index of the primary expression ending just before i
+    (including any `expr::type` cast chain — `'…'::JSON -> 'a'` must
+    capture the whole cast, not the bare type word), or None if it
+    can't be captured confidently."""
+    start = _capture_left_primary(q, masked, i)
+    while (
+        start is not None
+        and start >= 2
+        and masked[start - 2 : start] == "::"
+    ):
+        prev = _capture_left_primary(q, masked, start - 2)
+        if prev is None:
+            break
+        start = prev
+    return start
+
+
+def _capture_left_primary(q: str, masked: str, i: int) -> int | None:
     k = i
     while k > 0 and masked[k - 1].isspace():
         k -= 1
@@ -2296,6 +2315,12 @@ def _strip_num_underscores(seg: str) -> str:
 _POW_OP = re.compile(r"\^|\*\*")
 _ANY_ALL_OP = re.compile(
     r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
+_JSON_ARROW = re.compile(r"->>|->(?!>)")
+_HIGHER_ORDER_FNS = frozenset(
+    """transform filter exists forall aggregate reduce zip_with
+    map_filter map_zip_with transform_keys transform_values array_sort
+    list_transform list_filter list_reduce list_aggregate""".split()
 )
 _AT_TIME_ZONE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
 _SIMILAR_TO = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
@@ -2538,6 +2563,78 @@ def _rewrite_infix_ops(q: str) -> str:
         left = q[ls : m.start()].strip()
         arr = q[m.end() : end - 1].strip()
         q = q[:ls] + f"{fn}({arr}, az_x -> ({left}) {op} az_x)" + q[end:]
+    # JSON extraction arrows (duck/PG): j -> 'k' keeps JSON (quoted
+    # string leaves), j ->> 'k' extracts TEXT — exact via Spark 4's
+    # VARIANT functions (to_json(variant_get(parse_json(…))) /
+    # variant_get(…, 'string')). Literal string/integer keys only
+    # (the ubiquitous shape); expression keys pass through → loud.
+    # Lambda arrows are excluded: a bare-identifier left side in the
+    # argument position of a HIGHER-ORDER function is a lambda.
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for m in _JSON_ARROW.finditer(masked):
+            k = m.end()
+            while k < len(masked) and masked[k].isspace():
+                k += 1
+            lm = _STR_LIT.match(masked, k)
+            key = None
+            if lm:
+                key = q[k + 1 : lm.end() - 1].replace("''", "'")
+                kend = lm.end()
+                path = (
+                    f"$.{key}"
+                    if re.fullmatch(r"\w+", key)
+                    else "$['" + key + "']"  # SQL-escaped at emission
+                )
+            else:
+                im = re.match(r"\d+", masked[k:])
+                if im is None:
+                    continue
+                kend = k + im.end()
+                path = f"$[{im.group(0)}]"
+            ls = _capture_left(q, masked, m.start())
+            if ls is None:
+                continue
+            left = q[ls : m.start()].strip()
+            if re.fullmatch(r"\w+", left) or re.fullmatch(
+                r"\(\s*\w+(\s*,\s*\w+)*\s*\)", left
+            ):
+                # bare param(s): lambda iff the enclosing call is a
+                # higher-order function
+                w = ls
+                while w > 0 and masked[w - 1].isspace():
+                    w -= 1
+                if w > 0 and masked[w - 1] in "(,":
+                    depth = 0
+                    j2 = w - 1
+                    while j2 >= 0:
+                        if masked[j2] == ")":
+                            depth += 1
+                        elif masked[j2] == "(":
+                            depth -= 1
+                            if depth < 0:
+                                break
+                        j2 -= 1
+                    s2 = j2
+                    while s2 > 0 and (
+                        masked[s2 - 1].isalnum() or masked[s2 - 1] == "_"
+                    ):
+                        s2 -= 1
+                    if masked[s2:j2].lower() in _HIGHER_ORDER_FNS:
+                        continue
+            hit = (m, ls, left, kend, path)
+            break
+        if hit is None:
+            break
+        m, ls, left, kend, path = hit
+        path_sql = path.replace("\\", "\\\\").replace("'", "''")
+        base = f"parse_json(CAST({left} AS STRING))"
+        if m.group(0) == "->>":
+            repl = f"variant_get({base}, '{path_sql}', 'string')"
+        else:
+            repl = f"to_json(variant_get({base}, '{path_sql}'))"
+        q = q[:ls] + repl + q[kend:]
     # SIMILAR TO → anchored RLIKE over the captured pattern
     while True:
         masked = _mask_literals(q)

@@ -185,6 +185,17 @@ SHAPES = [
     # keyword-looking text inside dollar-quoted DATA stays data
     "SELECT $$take LIMIT 5% off$$ AS s",
     "SELECT $$a union all by name b$$ AS s",
+    # JSON extraction arrows: -> keeps JSON (quoted string leaves),
+    # ->> extracts TEXT; integer keys are 0-based array indexes;
+    # chains, ::JSON casts, quoted keys, missing keys
+    'SELECT \'{"a": {"b": 2}}\'::JSON->\'a\'->>\'b\' AS x',
+    'SELECT \'{"a": "s"}\'::JSON->\'a\' AS x, \'{"a": 1}\'->>\'a\' AS y',
+    "SELECT '[5,6]'::JSON->>1 AS x",
+    'SELECT \'{"k v": 3}\'::JSON->>\'k v\' AS x, '
+    '\'{"a": 9}\'::JSON->>\'zz\' IS NULL AS y',
+    # lambda arrows stay lambdas next to JSON arrows
+    'SELECT list_transform([1, 2], x -> x + 1) AS lam, '
+    "'{\"a\":2}'->>'a' AS jt",
 ]
 
 
