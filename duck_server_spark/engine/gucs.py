@@ -56,9 +56,21 @@ def guc_value(name: str) -> str | None:
     return entry[0] if entry else None
 
 
-def sql_str(s: str) -> str:
-    """Escape a value for embedding in a Spark SQL string literal.
-    Backslashes must be doubled too (review finding): Spark's default
-    literal parsing is C-style, so a stored 'C:\\temp' rendered with
-    quote-only escaping reads back with a TAB in it."""
-    return s.replace("\\", "\\\\").replace("'", "''")
+def sql_str(s: str, dialect: str = "spark") -> str:
+    """Escape a value for embedding in a SQL string literal.
+
+    dialect="spark": text consumed DIRECTLY by spark.sql (executor's
+    SHOW path) or emitted INSIDE the rewrite pipeline after
+    normalize_literals already ran (current_setting inlining) —
+    backslashes double (Spark literals are C-style; a stored 'C:\\temp'
+    with quote-only escaping reads back with a TAB).
+
+    dialect="duck": text that re-enters the engine's statement pipeline
+    (the wire layer's SHOW/settings-view inlining feeds _run_query →
+    Engine.query → normalize_literals), where the doubling happens
+    exactly once — pre-doubling here read back 'C:\\\\temp' (round-10
+    full-suite catch)."""
+    s = s.replace("'", "''")
+    if dialect == "spark":
+        s = s.replace("\\", "\\\\")
+    return s

@@ -624,7 +624,9 @@ class PgConnection:
                 rows[k] = (v, rows.get(k, ("", "Session-defined setting."))[1])
             values = ", ".join(
                 "('{}', '{}', '{}')".format(
-                    _gucs.sql_str(k), _gucs.sql_str(s), _gucs.sql_str(d)
+                    _gucs.sql_str(k, "duck"),
+                    _gucs.sql_str(s, "duck"),
+                    _gucs.sql_str(d, "duck"),
                 )
                 for k, (s, d) in sorted(rows.items())
             )
@@ -642,7 +644,7 @@ class PgConnection:
             )
             if val is not None:
                 await self._run_query(
-                    f"SELECT '{_gucs.sql_str(val)}' AS `{name}`",
+                    f"SELECT '{_gucs.sql_str(val, 'duck')}' AS `{name}`",
                     send_row_desc=True,
                 )
                 return
@@ -1095,7 +1097,7 @@ class PgConnection:
                 if not masked[m.start() :].lower().startswith("current_setting"):
                     return m.group(0)
                 val = self.session_gucs.get(m.group(1).lower())
-                return m.group(0) if val is None else f"'{sql_str(val)}'"
+                return m.group(0) if val is None else f"'{sql_str(val, 'duck')}'"
 
             q = _CURRENT_SETTING.sub(repl, q)
             low = q.lower()
@@ -1138,7 +1140,7 @@ class PgConnection:
                 desc = merged[k][1] if k in merged else ""
                 merged[k] = (v, desc)
             return ", ".join(
-                f"('{sql_str(k)}', '{sql_str(v)}', '{sql_str(d)}')"
+                f"('{sql_str(k, 'duck')}', '{sql_str(v, 'duck')}', '{sql_str(d, 'duck')}')"
                 for k, (v, d) in sorted(merged.items())
             )
 
@@ -1156,7 +1158,7 @@ class PgConnection:
                 "GLOBAL",
             )
             return ", ".join(
-                f"('{sql_str(k)}', '{sql_str(v)}', '{sql_str(d)}', "
+                f"('{sql_str(k, 'duck')}', '{sql_str(v, 'duck')}', '{sql_str(d, 'duck')}', "
                 f"'{ty}', '{sc}')"
                 for k, (v, d, ty, sc) in sorted(merged.items())
             )

@@ -202,6 +202,27 @@ PROBES = [
     ("can_cast", "SELECT try_cast('5' AS INT) IS NOT NULL AS a"),
     ("case_no_else", "SELECT CASE WHEN 1 = 2 THEN 'x' END AS a"),
     ("in_list_null", "SELECT (NULL IN (1, 2)) IS NULL AS a"),
+    # ---- round-10 session-5 surface (each landed this session) ----
+    ("json_arrow", "SELECT '{\"a\": {\"b\": 2}}'::JSON->'a'->>'b' AS a"),
+    ("json_arrow_idx", "SELECT '[5,6]'::JSON->>1 AS a"),
+    ("agg_order_by_list", "SELECT list(r_name ORDER BY r_regionkey DESC) AS a FROM region"),
+    ("agg_order_by_last", "SELECT last(r_name ORDER BY r_regionkey) AS a FROM region"),
+    ("comprehension", "SELECT [x * 2 FOR x IN [1,2,3] IF x > 1] AS a"),
+    ("multi_unnest_zip", "SELECT unnest([1,2,3]) AS u, unnest([10,20]) AS v"),
+    ("unnest_struct_cols", "SELECT unnest({'a': 1, 'b': 'x'})"),
+    ("filter_over_window", "SELECT r_regionkey, count(*) FILTER (r_regionkey > 1) OVER (ORDER BY r_regionkey) AS a FROM region ORDER BY r_regionkey"),
+    ("window_exclude_sum", "SELECT r_regionkey, sum(r_regionkey) OVER (ORDER BY r_regionkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS a FROM region ORDER BY r_regionkey"),
+    ("repeat_tvf2", "SELECT count(*) AS a FROM repeat('x', 5)"),
+    ("describe_in_from", "SELECT count(*) > 0 AS a FROM (DESCRIBE SELECT 1 AS x)"),
+    ("limit_percent", "SELECT count(*) AS a FROM (SELECT * FROM region LIMIT 40%)"),
+    ("any_over_list", "SELECT 2 = ANY([1,2,3]) AS a, 1 = ALL([1,2]) AS b"),
+    ("quantile_family", "SELECT quantile_disc(r_regionkey, 0.5) AS a, quantile_cont(r_regionkey, 0.25) AS b FROM region"),
+    ("mad_entropy", "SELECT mad(r_regionkey) AS a, round(entropy(r_regionkey), 6) AS b FROM region"),
+    ("corrected_moments", "SELECT round(kurtosis(o_totalprice), 4) AS a, round(skewness(o_totalprice), 4) AS b FROM orders"),
+    ("replace_first_only", "SELECT regexp_replace('aaa', 'a', 'b') AS a, regexp_replace('aaa', 'a', 'b', 'g') AS b"),
+    ("raw_regex_literal", r"SELECT regexp_extract('x12', '(\d+)') AS a"),
+    ("typeof_spellings", "SELECT typeof(1::SMALLINT) AS a, typeof('s') AS b"),
+    ("comment_apostrophe", "SELECT regexp_matches('a1', '\\d') AS a, -- don't strip\n regexp_matches('b2', '\\d') AS b"),
 ]
 
 
