@@ -162,6 +162,52 @@ TEMPLATES: dict[str, dict[int, str]] = {
         2: "(CAST({0} AS TIMESTAMP) - CAST({1} AS TIMESTAMP))",
         1: "(CAST(current_date() AS TIMESTAMP) - CAST({0} AS TIMESTAMP))",
     },
+    # ---- cheap alias tail (round-10 batch 2, all pinned live) ----
+    "prefix": {2: "startswith({0}, {1})"},
+    "suffix": {2: "endswith({0}, {1})"},
+    "ord": {1: "ascii({0})"},
+    "to_hex": {1: "hex({0})"},
+    "from_hex": {1: "unhex({0})"},
+    "gen_random_uuid": {0: "uuid()"},
+    "starts_with": {2: "startswith({0}, {1})"},
+    "ends_with": {2: "endswith({0}, {1})"},
+    "ucase": {1: "upper({0})"},
+    "lcase": {1: "lower({0})"},
+    # len() is duck's polymorphic length — strings are the common case;
+    # list inputs error loudly (use array_length/size)
+    "len": {1: "length({0})"},
+    # list_resize pads with NULL / truncates (pinned: [1,2]→4 =
+    # [1,2,NULL,NULL]); slice-guard keeps n=0 from reversing sequence()
+    "list_resize": {
+        2: (
+            "slice(transform(sequence(1, greatest(CAST({1} AS INT), 1)), "
+            "lr_i -> try_element_at({0}, lr_i)), 1, "
+            "greatest(CAST({1} AS INT), 0))"
+        )
+    },
+    "array_pop_back": {1: "slice({0}, 1, greatest(size({0}) - 1, 0))"},
+    "array_pop_front": {1: "slice({0}, 2, greatest(size({0}) - 1, 0))"},
+    # list_select(l, idxs): 1-based gather (pinned: ([10,20,30],[1,3])
+    # = [10,30])
+    "list_select": {2: "transform({1}, ls_i -> element_at({0}, ls_i))"},
+    # list_where(l, mask): boolean gather (pinned: keeps mask-true)
+    "list_where": {
+        2: (
+            "transform(filter(zip_with({0}, {1}, (lw_v, lw_m) -> "
+            "struct(lw_v AS v, lw_m AS m)), lw_s -> lw_s.m), "
+            "lw_s -> lw_s.v)"
+        )
+    },
+    # grade_up: 1-based positions that sort the list ascending
+    # (pinned: [30,10,20] → [2,3,1]; ties stable by index)
+    "grade_up": {
+        1: (
+            "transform(array_sort(zip_with({0}, "
+            "slice(sequence(1, greatest(size({0}), 1)), 1, "
+            "greatest(size({0}), 0)), "
+            "(gu_v, gu_i) -> struct(gu_v AS v, gu_i AS i))), gu_s -> gu_s.i)"
+        )
+    },
     # ---- lists ----
     # list_zip pads to the LONGEST input with NULLs (pinned); duck's
     # field names are list_1/list_2
@@ -304,6 +350,22 @@ def _quantile_cont(args: list[str]) -> str | None:
     if lm:
         return f"percentile({x}, array({lm.group(1)}))"
     return f"percentile({x}, {qq})"
+
+
+def _string_to_array(args: list[str]) -> str | None:
+    """PG/duck string_to_array splits on a PLAIN separator; Spark's
+    split is regex — literal separators regex-escape at bind time,
+    expression separators pass through loudly (a '.'-separator would
+    silently split on everything otherwise)."""
+    if len(args) != 2:
+        return None
+    sm = _PLAIN_STR_LIT.match(args[1])
+    if sm is None:
+        return None
+    sep = sm.group(1).replace("''", "'")
+    escaped = re.escape(sep.replace("\\\\", "\\"))
+    lit = escaped.replace("\\", "\\\\").replace("'", "''")
+    return f"split({args[0]}, '{lit}')"
 
 
 def _map_fn(args: list[str]) -> str | None:
@@ -578,6 +640,7 @@ def _index_lambda(fname: str):
 
 
 CALLABLES: dict[str, object] = {
+    "string_to_array": _string_to_array,
     "quantile_disc": _quantile_disc,
     "quantile": _quantile_disc,
     "quantile_cont": _quantile_cont,
@@ -593,6 +656,11 @@ CALLABLES: dict[str, object] = {
     "count": _count,
     "list_transform": _index_lambda("list_transform"),
     "list_filter": _index_lambda("list_filter"),
+    # alias spellings share the 1-based-index lambda handling
+    "list_apply": _index_lambda("list_transform"),
+    "array_apply": _index_lambda("list_transform"),
+    "array_transform": _index_lambda("list_transform"),
+    "array_filter": _index_lambda("list_filter"),
 }
 
 # ---------------------------------------------------------------------------

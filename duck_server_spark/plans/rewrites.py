@@ -81,6 +81,13 @@ _DUCK_FN_ALIASES = {
     # is identical in both dialects, so these are pure renames)
     "list_transform": "transform",
     "list_filter": "filter",
+    # round 10 batch 2: documented duck alias spellings (pinned live)
+    "list_apply": "transform",
+    "array_apply": "transform",
+    "array_transform": "transform",
+    "array_filter": "filter",
+    "list_cat": "concat",
+    "array_cat": "concat",
     "list_min": "array_min",
     "list_max": "array_max",
     "array_length": "size",

@@ -196,6 +196,20 @@ SHAPES = [
     # lambda arrows stay lambdas next to JSON arrows
     'SELECT list_transform([1, 2], x -> x + 1) AS lam, '
     "'{\"a\":2}'->>'a' AS jt",
+    # round-10 batch-2 alias tail
+    "SELECT list_apply([1, 2], x -> x * 2) AS a, list_cat([1], [2]) AS b, "
+    "array_cat([3], [4]) AS c",
+    "SELECT prefix('hello', 'he') AS a, suffix('hello', 'lo') AS b, "
+    "starts_with('ab', 'a') AS c, ends_with('ab', 'b') AS d",
+    "SELECT ord('A') AS a, to_hex(255) AS b, len('abc') AS c, "
+    "ucase('ab') AS d, lcase('AB') AS e",
+    "SELECT gen_random_uuid() IS NOT NULL AS a",
+    "SELECT string_to_array('a.b.c', '.') AS a, string_to_array('x,y', ',') AS b",
+    "SELECT list_resize([1, 2], 4) AS a, list_resize([1, 2, 3], 2) AS b",
+    "SELECT array_pop_back([1, 2, 3]) AS a, array_pop_front([1, 2, 3]) AS b",
+    "SELECT list_select([10, 20, 30], [1, 3]) AS a, "
+    "list_where([1, 2, 3], [true, false, true]) AS b",
+    "SELECT grade_up([30, 10, 20]) AS a",
 ]
 
 
