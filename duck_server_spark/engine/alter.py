@@ -347,7 +347,16 @@ def _alter_type(engine, table: str, col: str, dt: str, using: str | None) -> str
     spark = engine.spark
     _require_column(engine, table, col)
     dt = normalize_type_spec(dt.strip())
-    expr = using.strip() if using else f"CAST(`{col}` AS {dt})"
+    # USING is a raw duck-dialect fragment (ALTER intercepts before
+    # _prepare_sql): literal semantics + shims, exactly once (the
+    # round-10 duck_expr_to_spark invariant — review catch)
+    from duck_server_spark.plans import rewrites as _rw
+
+    expr = (
+        _rw.duck_expr_to_spark(using.strip())
+        if using
+        else f"CAST(`{col}` AS {dt})"
+    )
     names = [f.name for f in spark.table(table).schema.fields]
 
     def transform(df):
@@ -380,7 +389,11 @@ def _add_column_default(engine, table: str, col: str, dt: str, default: str) -> 
         raise PgError("42701", f'column "{col}" of relation "{table}" already exists')
     dt = normalize_type_spec(dt.strip())
     # DuckDB back-fills existing rows with the default (probed); the
-    # NULL-fill of Spark's native ADD COLUMN would diverge
+    # NULL-fill of Spark's native ADD COLUMN would diverge. DEFAULT is
+    # a raw duck-dialect fragment — convert exactly once (round 10)
+    from duck_server_spark.plans import rewrites as _rw
+
+    default = _rw.duck_expr_to_spark(default)
     _swap_in(
         engine,
         table,

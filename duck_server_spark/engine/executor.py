@@ -1594,15 +1594,14 @@ class Engine:
         unnests = [p for p in parsed if p[0] == "unnest"]
         if not unnests:
             return q
-        # fast path (review catch: the first version probed EVERY
-        # unnest, taxing the common single-list wire statement with an
-        # extra analyzer pass): one non-recursive unnest whose argument
-        # doesn't look struct-shaped keeps the direct explode alias —
-        # no probe. A struct COLUMN slipping through errors LOUDLY at
-        # explode (never silent drift).
+        # fast path: one non-recursive unnest over a BRACKET-LITERAL
+        # argument is provably an array — the direct explode alias, no
+        # probe. Everything else (bare columns included) probes: a
+        # struct COLUMN must expand into fields, not error (second
+        # review pass caught the substring heuristic regressing that),
+        # and the probe is one driver-side analysis, no job.
         if len(unnests) == 1 and not unnests[0][2]:
-            arg0 = unnests[0][1].lower()
-            if not ("{" in arg0 or "struct" in arg0 or "row(" in arg0):
+            if re.match(r"^\s*(\[|array\s*\()", unnests[0][1], re.IGNORECASE):
                 return q
 
         def probe_type(expr: str):

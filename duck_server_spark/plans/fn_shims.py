@@ -187,9 +187,9 @@ TEMPLATES: dict[str, dict[int, str]] = {
     },
     "array_pop_back": {1: "slice({0}, 1, greatest(size({0}) - 1, 0))"},
     "array_pop_front": {1: "slice({0}, 2, greatest(size({0}) - 1, 0))"},
-    # list_select(l, idxs): 1-based gather (pinned: ([10,20,30],[1,3])
-    # = [10,30])
-    "list_select": {2: "transform({1}, ls_i -> element_at({0}, ls_i))"},
+    # list_select(l, idxs): 1-based gather; out-of-range indexes yield
+    # NULL like duck (pinned: list_select([1,2],[5]) = [NULL])
+    "list_select": {2: "transform({1}, ls_i -> try_element_at({0}, ls_i))"},
     # list_where(l, mask): boolean gather (pinned: keeps mask-true)
     "list_where": {
         2: (
@@ -198,14 +198,17 @@ TEMPLATES: dict[str, dict[int, str]] = {
             "lw_s -> lw_s.v)"
         )
     },
-    # grade_up: 1-based positions that sort the list ascending
-    # (pinned: [30,10,20] → [2,3,1]; ties stable by index)
+    # grade_up: 1-based positions that sort the list ascending with
+    # NULL values LAST (pinned: [30,10,20] → [2,3,1] and
+    # [NULL,10,5] → [3,2,1]; Spark's default struct sort puts NULL
+    # fields FIRST, so a null-rank marker leads the key)
     "grade_up": {
         1: (
             "transform(array_sort(zip_with({0}, "
             "slice(sequence(1, greatest(size({0}), 1)), 1, "
             "greatest(size({0}), 0)), "
-            "(gu_v, gu_i) -> struct(gu_v AS v, gu_i AS i))), gu_s -> gu_s.i)"
+            "(gu_v, gu_i) -> struct((gu_v IS NULL) AS n, gu_v AS v, "
+            "gu_i AS i))), gu_s -> gu_s.i)"
         )
     },
     # ---- lists ----

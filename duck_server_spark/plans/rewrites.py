@@ -2090,12 +2090,14 @@ def _capture_left(q: str, masked: str, i: int) -> int | None:
     capture the whole cast, not the bare type word), or None if it
     can't be captured confidently."""
     start = _capture_left_primary(q, masked, i)
-    while (
-        start is not None
-        and start >= 2
-        and masked[start - 2 : start] == "::"
-    ):
-        prev = _capture_left_primary(q, masked, start - 2)
+    while start is not None:
+        # whitespace-tolerant cast chain: DuckDB accepts `x :: JSON`
+        k = start
+        while k > 0 and masked[k - 1].isspace():
+            k -= 1
+        if k < 2 or masked[k - 2 : k] != "::":
+            break
+        prev = _capture_left_primary(q, masked, k - 2)
         if prev is None:
             break
         start = prev
@@ -2327,7 +2329,8 @@ _JSON_ARROW = re.compile(r"->>|->(?!>)")
 _HIGHER_ORDER_FNS = frozenset(
     """transform filter exists forall aggregate reduce zip_with
     map_filter map_zip_with transform_keys transform_values array_sort
-    list_transform list_filter list_reduce list_aggregate""".split()
+    list_transform list_filter list_reduce list_aggregate
+    list_apply array_apply array_transform array_filter""".split()
 )
 _AT_TIME_ZONE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
 _SIMILAR_TO = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
@@ -2425,13 +2428,24 @@ def _rewrite_filter_over_window(q: str) -> str:
         if name.lower() == "count" and (not args or args == ["*"]):
             repl = f"count(CASE WHEN {cond} THEN 1 END)"
         elif args and not re.match(r"\s*DISTINCT\b", args[0], re.IGNORECASE):
-            # EVERY argument becomes conditional, not just the first —
-            # a filtered row must not contribute its ORDERING/second
-            # argument either (review-caught: max_by/arg_max under
-            # FILTER let excluded rows win via their key; NULL-ing all
-            # args removes the row for every aggregate that skips NULLs)
-            wrapped = [f"CASE WHEN {cond} THEN {a} END" for a in args]
-            repl = f"{name}({', '.join(wrapped)})"
+            # EVERY non-literal argument becomes conditional, not just
+            # the first — a filtered row must not contribute its
+            # ORDERING/second argument either (review-caught:
+            # max_by/arg_max under FILTER let excluded rows win via
+            # their key). PLAIN LITERALS stay unwrapped (second review
+            # catch: a CASE-wrapped separator/percentage turns a
+            # foldable parameter non-foldable and Spark rejects
+            # string_agg/percentile outright).
+            def _wrap(a: str) -> str:
+                if re.fullmatch(
+                    r"\s*(?:'(?:[^']|'')*'|[0-9]+(?:\.[0-9]+)?|TRUE|FALSE|NULL)\s*",
+                    a,
+                    re.IGNORECASE,
+                ):
+                    return a
+                return f"CASE WHEN {cond} THEN {a} END"
+
+            repl = f"{name}({', '.join(_wrap(a) for a in args)})"
         else:
             return q  # zero-arg non-count / DISTINCT: loud pass-through
         q = q[:nstart] + repl + q[fend:]
@@ -3466,6 +3480,13 @@ def _mask_literals(q: str) -> str:
     Quoted literals keep their delimiters visible (the established
     contract); dollar-quoted literals and comments mask ENTIRELY, so
     positional scans never match keywords inside either."""
+    # fast path (review: this runs per iteration of every rewrite loop;
+    # statements without comment/dollar markers — the overwhelming
+    # majority — keep the C-level regex)
+    if "--" not in q and "/*" not in q and "$" not in q:
+        return _STR_LIT.sub(
+            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", q
+        )
     out = list(q)
     for s, e, kind in _protected_spans(q):
         if kind == "quote":

@@ -210,6 +210,17 @@ SHAPES = [
     "SELECT list_select([10, 20, 30], [1, 3]) AS a, "
     "list_where([1, 2, 3], [true, false, true]) AS b",
     "SELECT grade_up([30, 10, 20]) AS a",
+    # second review pass: NULL values rank LAST in grade_up, OOB gather
+    # yields NULL, whitespace-tolerant :: casts, constant lambda bodies
+    # in alias spellings stay lambdas, literal window-FILTER parameters
+    # stay foldable
+    "SELECT grade_up([NULL, 10, 5]) AS a, list_select([1, 2], [5]) AS b",
+    "SELECT '{\"a\":1}' :: JSON ->> 'a' AS x",
+    "SELECT list_apply([1, 2], x -> 2) AS a",
+    "SELECT x, string_agg(CAST(x AS VARCHAR), ',') FILTER (x > 1) "
+    "OVER (ORDER BY x) AS a FROM (VALUES (1), (2), (3)) t(x) ORDER BY x",
+    "SELECT quantile_cont(x, 0.5) FILTER (x > 1) OVER () AS a "
+    "FROM (VALUES (1), (2), (3)) t(x) LIMIT 1",
 ]
 
 
@@ -298,6 +309,35 @@ def test_cow_update_raw_literal_semantics(eng, spark):
     eng.execute(r"DELETE FROM cowlit_t WHERE v ~ '\(\\d\)'")
     assert eng.query("SELECT count(*) AS c FROM cowlit_t").collect()[0][0] == 1
     eng.execute("DROP TABLE cowlit_t")
+
+
+def test_unnest_struct_column(eng, spark):
+    """unnest of a struct COLUMN (not a literal) expands into field
+    columns via the schema probe — the fast-path heuristic must not
+    swallow it (second review pass)."""
+    spark.sql(
+        "SELECT named_struct('a', 1, 'b', 'x') AS s"
+    ).createOrReplaceTempView("structs_v")
+    df = eng.query("SELECT unnest(s) FROM structs_v")
+    assert df.columns == ["a", "b"]
+    assert [tuple(r) for r in df.collect()] == [(1, "x")]
+
+
+def test_alter_raw_literal_fragments(eng, spark):
+    """ALTER ADD COLUMN DEFAULT and ALTER TYPE USING are raw
+    duck-dialect fragments — the duck_expr_to_spark invariant applies
+    (second review pass: DEFAULT 'a\\d' back-filled 'ad')."""
+    spark.sql("DROP TABLE IF EXISTS altlit_t")
+    eng.execute("CREATE TABLE altlit_t (id INT)")
+    eng.execute("INSERT INTO altlit_t VALUES (1)")
+    eng.execute(r"ALTER TABLE altlit_t ADD COLUMN c VARCHAR DEFAULT 'a\d'")
+    assert eng.query("SELECT c FROM altlit_t").collect()[0][0] == r"a\d"
+    eng.execute(
+        r"ALTER TABLE altlit_t ALTER COLUMN c TYPE VARCHAR "
+        r"USING regexp_replace(c, '\\', '_', 'g')"
+    )
+    assert eng.query("SELECT c FROM altlit_t").collect()[0][0] == "a_d"
+    eng.execute("DROP TABLE altlit_t")
 
 
 def test_documented_divergences(eng):
