@@ -2376,7 +2376,14 @@ def _glob_to_regex(glob: str) -> str:
 
 
 _FILTER_OVER = re.compile(r"\)\s*FILTER\s*\(", re.IGNORECASE)
-_EXCLUDE_CURRENT = re.compile(r"\s*EXCLUDE\s+CURRENT\s+ROW\b", re.IGNORECASE)
+_EXCLUDE_CURRENT = re.compile(
+    r"\s*EXCLUDE\s+(CURRENT\s+ROW|TIES|GROUP)\b", re.IGNORECASE
+)
+_FRAME_CLAUSE = re.compile(
+    r"\s*(ROWS|RANGE|GROUPS)\s+(BETWEEN\s+.*|UNBOUNDED\s+PRECEDING.*|"
+    r"CURRENT\s+ROW.*|\d+\s+(?:PRECEDING|FOLLOWING).*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _call_before(q: str, masked: str, close_pos: int):
@@ -2488,6 +2495,7 @@ def _rewrite_window_exclude(q: str) -> str:
         if call is None:
             return q
         nstart, name, args = call
+        kind = re.sub(r"\s+", " ", m.group(1).upper())
         spec_wo = (q[j + 1 : m.start()] + q[m.end() : spec_end - 1]).strip()
         frame = spec_wo
         # frame that can't contain the current row → EXCLUDE is a no-op
@@ -2498,6 +2506,54 @@ def _rewrite_window_exclude(q: str) -> str:
         )
         lname = name.lower()
         win = f"OVER ({spec_wo})"
+        if kind in ("TIES", "GROUP") and cannot:
+            # peers may sit inside a frame that excludes the current
+            # row — no no-op shortcut and no arithmetic: loud
+            return q
+        if kind in ("TIES", "GROUP"):
+            # peers arithmetic is exact only when the frame provably
+            # CONTAINS the whole peer group: RANGE mode (incl. the
+            # default no-frame spec) always does; ROWS only over the
+            # full partition. Other ROWS frames pass through → loud.
+            fm = _FRAME_CLAUSE.search(spec_wo)
+            mode = fm.group(1).upper() if fm else "RANGE"
+            full = fm is not None and re.search(
+                r"UNBOUNDED\s+PRECEDING\s+AND\s+UNBOUNDED\s+FOLLOWING",
+                fm.group(0),
+                re.IGNORECASE,
+            )
+            if mode == "GROUPS" or (mode == "ROWS" and not full):
+                return q
+            base = spec_wo[: fm.start()].strip() if fm else spec_wo
+            pwin = f"OVER ({base} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+            keep_current = kind == "TIES"
+            if lname == "count" and args == ["*"]:
+                add = " + 1" if keep_current else ""
+                repl = f"(count(*) {win} - count(*) {pwin}{add})"
+            elif lname in ("count", "sum", "avg") and len(args) == 1:
+                x = args[0]
+                cur1 = f"CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END"
+                curx = f"coalesce({x}, 0)"
+                n = (
+                    f"(count({x}) {win} - count({x}) {pwin}"
+                    + (f" + {cur1}" if keep_current else "")
+                    + ")"
+                )
+                s = (
+                    f"(sum({x}) {win} - coalesce(sum({x}) {pwin}, 0)"
+                    + (f" + {curx}" if keep_current else "")
+                    + ")"
+                )
+                if lname == "count":
+                    repl = n
+                elif lname == "sum":
+                    repl = f"(CASE WHEN {n} = 0 THEN NULL ELSE {s} END)"
+                else:
+                    repl = f"try_divide({s}, nullif({n}, 0))"
+            else:
+                return q  # unsupported agg for TIES/GROUP: loud
+            q = q[:nstart] + repl + q[spec_end:]
+            continue
         if cannot:
             repl = f"{name}({', '.join(args)}) {win}"
         elif lname == "sum" and len(args) == 1:

@@ -221,6 +221,18 @@ SHAPES = [
     "OVER (ORDER BY x) AS a FROM (VALUES (1), (2), (3)) t(x) ORDER BY x",
     "SELECT quantile_cont(x, 0.5) FILTER (x > 1) OVER () AS a "
     "FROM (VALUES (1), (2), (3)) t(x) LIMIT 1",
+    # frame EXCLUDE TIES / GROUP via peers-frame arithmetic (peers =
+    # RANGE CURRENT ROW AND CURRENT ROW; exact when the frame contains
+    # the whole peer group — RANGE mode or full-partition ROWS)
+    "SELECT x, sum(x) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS t, sum(x) OVER (ORDER BY k "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+    "EXCLUDE GROUP) AS g FROM (VALUES (1, 10), (2, 10), (3, 20)) v(x, k) "
+    "ORDER BY x",
+    "SELECT x, sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW EXCLUDE GROUP) AS g, count(*) OVER (ORDER BY k "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS c "
+    "FROM (VALUES (1, 10), (2, 10), (3, 20), (4, 20)) v(x, k) ORDER BY x",
 ]
 
 
