@@ -1234,7 +1234,8 @@ def _rewrite_distinct_on(q: str) -> str:
 # - `base[a:b]` (positive-literal slice) → `slice(base, a, b-a+1)`;
 #   open ends use 1 / size(base). Other slice shapes pass through.
 # ---------------------------------------------------------------------------
-_PRIMARY_END = re.compile(r"[\w$\"`\)\]}]")  # incl. } : brace literals are primaries
+# incl. } (brace literals) and ' (string literals: 'xyz'[2] subscripts)
+_PRIMARY_END = re.compile(r"[\w$\"`'\)\]}]")
 _INT_LIT = re.compile(r"^\s*(-?\d+)\s*$")
 _SLICE_LIT = re.compile(r"^\s*(\d*)\s*:\s*(\d*)\s*$")
 # a bracket directly after one of these WORDS is a literal, not a
@@ -1282,6 +1283,16 @@ def _expr_start(masked: str, end: int) -> int:
             # a call: consume the function name too
             while i > 0 and (masked[i - 1].isalnum() or masked[i - 1] in "_$"):
                 i -= 1
+            continue
+        if ch == "'":
+            # string literal base (masked shows bare '…' delimiters):
+            # walk to its opening quote
+            j = i - 2
+            while j >= 0 and masked[j] != "'":
+                j -= 1
+            if j < 0:
+                return i
+            i = j
             continue
         if ch in '"`':
             q = ch
@@ -1415,7 +1426,27 @@ def _rewrite_subscripts(q: str) -> str:
                 continue
             il = _INT_LIT.match(inner)
             sl = _SLICE_LIT.match(inner)
-            if il:
+            # a STRING base takes duck's 1-based substring semantics
+            # ('abcde'[2] = 'b', [2:4] = 'bcd') — only provably-string
+            # bases rewrite (a literal, optionally parenthesized);
+            # column bases are type-blind and keep list semantics
+            is_str = bool(
+                _PLAIN_STR_LIT.match(base)
+                or re.fullmatch(r"\(\s*'(?:[^']|'')*'\s*\)", base)
+            )
+            if il and is_str:
+                idx = int(il.group(1))
+                repl = "NULL" if idx == 0 else f"substring({base}, {idx}, 1)"
+            elif sl and is_str:
+                a = sl.group(1) or "1"
+                b = sl.group(2)
+                length = (
+                    f"greatest(({b}) - ({a}) + 1, 0)"
+                    if b
+                    else f"greatest(length({base}) - ({a}) + 1, 0)"
+                )
+                repl = f"substring({base}, ({a}), {length})"
+            elif il:
                 idx = int(il.group(1))
                 repl = (
                     "NULL" if idx == 0 else f"try_element_at({base}, {inner.strip()})"

@@ -233,6 +233,9 @@ SHAPES = [
     "AND CURRENT ROW EXCLUDE GROUP) AS g, count(*) OVER (ORDER BY k "
     "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS c "
     "FROM (VALUES (1, 10), (2, 10), (3, 20), (4, 20)) v(x, k) ORDER BY x",
+    # string-LITERAL subscripts take duck's 1-based substring semantics
+    "SELECT ('abcde')[2] AS a, ('abcde')[2:4] AS b, 'xyz'[1] AS c, "
+    "'xyz'[2:] AS d, upper('ab'[1]) AS e",
 ]
 
 
