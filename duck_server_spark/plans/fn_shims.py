@@ -76,6 +76,17 @@ _MAD_TPL = (
     "), 1) ELSE NULL END"
 )
 
+# embedding math (round 10 batch 2): dot product / squared-norm folds
+# as zip_with + aggregate — pure JVM expressions, the same shape the
+# similarity operators use (operators/similarity.py)
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (ip_a, ip_b) -> "
+        "CAST(ip_a AS DOUBLE) * ip_b), CAST(0 AS DOUBLE), "
+        "(ip_s, ip_v) -> ip_s + ip_v)"
+    )
+
+
 # frequency of one distinct value inside the group's collected values
 _FREQ = "try_divide(size(filter(collect_list({0}), en_v -> en_v = en_k)), size(collect_list({0})))"
 
@@ -211,6 +222,26 @@ TEMPLATES: dict[str, dict[int, str]] = {
             "gu_i AS i))), gu_s -> gu_s.i)"
         )
     },
+    # ---- embedding math (pinned live) ----
+    "list_inner_product": {2: _dot("{0}", "{1}")},
+    "list_dot_product": {2: _dot("{0}", "{1}")},
+    # L2 distance (pinned: ([1,2],[4,6]) = 5.0)
+    "list_distance": {
+        2: (
+            "sqrt(aggregate(zip_with({0}, {1}, (ld_a, ld_b) -> "
+            "power(CAST(ld_a AS DOUBLE) - ld_b, 2)), CAST(0 AS DOUBLE), "
+            "(ld_s, ld_v) -> ld_s + ld_v))"
+        )
+    },
+    # cosine similarity; a zero-norm side yields -1.0 like duck
+    # (pinned: ([1],[0]) = -1.0, ([0],[0]) = -1.0)
+    "list_cosine_similarity": {
+        2: (
+            "coalesce(try_divide(" + _dot("{0}", "{1}") + ", "
+            "sqrt(" + _dot("{0}", "{0}") + ") * "
+            "sqrt(" + _dot("{1}", "{1}") + ")), CAST(-1 AS DOUBLE))"
+        )
+    },
     # ---- lists ----
     # list_zip pads to the LONGEST input with NULLs (pinned); duck's
     # field names are list_1/list_2
@@ -307,6 +338,11 @@ TEMPLATES: dict[str, dict[int, str]] = {
         )
     },
 }
+
+
+# list_grade_up is duck's alias of grade_up (pinned: same NULLS-LAST
+# ranking)
+TEMPLATES["list_grade_up"] = TEMPLATES["grade_up"]
 
 _PLACEHOLDERS = (
     ("__SPARK_KURTOSIS__(", "kurtosis("),

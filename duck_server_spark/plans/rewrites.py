@@ -88,6 +88,10 @@ _DUCK_FN_ALIASES = {
     "array_filter": "filter",
     "list_cat": "concat",
     "array_cat": "concat",
+    # element ORDER of the set ops is engine-specific in BOTH engines'
+    # docs (duck returned [3,2] for [1,2,3]∩[2,3,4] live) — the repo
+    # convention is "always sort after" for order-sensitive use
+    "list_intersect": "array_intersect",
     "list_min": "array_min",
     "list_max": "array_max",
     "array_length": "size",

@@ -236,6 +236,15 @@ SHAPES = [
     # string-LITERAL subscripts take duck's 1-based substring semantics
     "SELECT ('abcde')[2] AS a, ('abcde')[2:4] AS b, 'xyz'[1] AS c, "
     "'xyz'[2:] AS d, upper('ab'[1]) AS e",
+    # embedding math: cosine (zero-norm -> -1 like duck), dot, L2
+    "SELECT list_cosine_similarity([1.0, 2], [2.0, 4]) AS a, "
+    "list_inner_product([1.0, 2], [3.0, 4]) AS b, "
+    "list_dot_product([1.0, 2], [3.0, 4]) AS c, "
+    "list_distance([1.0, 2], [4.0, 6]) AS d",
+    "SELECT list_cosine_similarity([1.0], [0.0]) AS a, "
+    "list_cosine_similarity([0.0], [0.0]) AS b",
+    "SELECT array_sort(list_intersect([1, 2, 3], [2, 3, 4])) AS a",
+    "SELECT list_grade_up([3, 1, 2]) AS a, list_grade_up([3, NULL, 2]) AS b",
 ]
 
 
