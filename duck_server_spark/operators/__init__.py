@@ -55,6 +55,7 @@ _PRIORITY = [
     # FILTER-over-window / frame-EXCLUDE
     "raw_literal_sql",
     "infix_ops_sql",
+    "fn_shim_embedding_sql",
     "fn_shim_scalars_sql",
     "fn_shim_aggs_sql",
     "query_shapes_sql",

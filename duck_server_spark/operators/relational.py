@@ -666,6 +666,32 @@ def window_shapes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FN_SHIM_EMBEDDING_SQL_TEXT = r"""SELECT a.vec_id AS qid, b.vec_id AS cid,
+  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim,
+  round(CAST(list_inner_product(a.embedding, b.embedding) AS DOUBLE), 3) AS dot,
+  round(CAST(list_distance(a.embedding, b.embedding) AS DOUBLE), 3) AS l2
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 29 = 0
+ORDER BY a.vec_id"""
+
+
+def fn_shim_embedding_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-math scalar family over the REAL embeddings table:
+    cosine / dot / L2 as zip_with+aggregate JVM folds inside one
+    equi-join — the exact shape the ANN shortlist verification uses.
+    DuckDB computes over FLOAT[] in float32; the shared text casts to
+    DOUBLE and rounds so both engines canonicalize identically."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(
+            rewrites.normalize_literals(FN_SHIM_EMBEDDING_SQL_TEXT)
+        )
+    )
+
+
 # DuckDB's simplified PIVOT statement (round 7): dynamic column
 # discovery → Spark PIVOT clause (engine/pivot.py). The default-USING
 # form exercises the count-0 fill; orderpriority has 5 stable values so
@@ -790,6 +816,7 @@ QUERIES = {
     "fn_shim_aggs_sql": fn_shim_aggs_sql,
     "query_shapes_sql": query_shapes_sql,
     "window_shapes_sql": window_shapes_sql,
+    "fn_shim_embedding_sql": fn_shim_embedding_sql,
     "pivot_stmt_sql": pivot_stmt_sql,
     "unpivot_stmt_sql": unpivot_stmt_sql,
     "qualify": qualify_idiom,
@@ -828,6 +855,7 @@ ORACLE = {
     "fn_shim_aggs_sql": FN_SHIM_AGGS_SQL_TEXT,
     "query_shapes_sql": QUERY_SHAPES_SQL_TEXT,
     "window_shapes_sql": WINDOW_SHAPES_SQL_TEXT,
+    "fn_shim_embedding_sql": FN_SHIM_EMBEDDING_SQL_TEXT,
     "pivot_stmt_sql": PIVOT_STMT_SQL_TEXT,
     "unpivot_stmt_sql": UNPIVOT_STMT_SQL_TEXT,
     "qualify": QUALIFY_ORACLE,
