@@ -667,9 +667,9 @@ def window_shapes_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FN_SHIM_EMBEDDING_SQL_TEXT = r"""SELECT a.vec_id AS qid, b.vec_id AS cid,
-  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim,
-  round(CAST(list_inner_product(a.embedding, b.embedding) AS DOUBLE), 3) AS dot,
-  round(CAST(list_distance(a.embedding, b.embedding) AS DOUBLE), 3) AS l2
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim,
+  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dot,
+  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS l2
 FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 WHERE a.vec_id % 29 = 0
 ORDER BY a.vec_id"""
@@ -679,8 +679,10 @@ def fn_shim_embedding_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding-math scalar family over the REAL embeddings table:
     cosine / dot / L2 as zip_with+aggregate JVM folds inside one
     equi-join — the exact shape the ANN shortlist verification uses.
-    DuckDB computes over FLOAT[] in float32; the shared text casts to
-    DOUBLE and rounds so both engines canonicalize identically."""
+    Both sides compute in float64 — the shared text casts the FLOAT[]
+    column to DOUBLE[] BEFORE the fold (the operators/similarity.py
+    pattern; third review: rounding a float32 result cannot reconcile
+    values near a rounding boundary)."""
     from duck_server_spark.engine.session import register_views
     from duck_server_spark.plans import rewrites
 

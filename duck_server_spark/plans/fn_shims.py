@@ -87,6 +87,16 @@ def _dot(a: str, b: str) -> str:
     )
 
 
+def _dim_guard(body: str) -> str:
+    """NULL args → NULL; unequal dimensions → duck's binder error."""
+    return (
+        "CASE WHEN {0} IS NULL OR {1} IS NULL THEN NULL "
+        "WHEN size({0}) <> size({1}) THEN "
+        "raise_error('Invalid Input Error: list dimensions must be equal') "
+        f"ELSE {body} END"
+    )
+
+
 # frequency of one distinct value inside the group's collected values
 _FREQ = "try_divide(size(filter(collect_list({0}), en_v -> en_v = en_k)), size(collect_list({0})))"
 
@@ -223,24 +233,36 @@ TEMPLATES: dict[str, dict[int, str]] = {
         )
     },
     # ---- embedding math (pinned live) ----
-    "list_inner_product": {2: _dot("{0}", "{1}")},
-    "list_dot_product": {2: _dot("{0}", "{1}")},
+    # dimension mismatch raises duck's error (third-review catch: the
+    # NULL-padding zip_with silently returned NULL where the oracle
+    # errors); a NULL ELEMENT yields NULL — documented divergence (duck
+    # errors; an exists() scan per row would add ~66% to the fold)
+    "list_inner_product": {2: _dim_guard(_dot("{0}", "{1}"))},
+    "list_dot_product": {2: _dim_guard(_dot("{0}", "{1}"))},
     # L2 distance (pinned: ([1,2],[4,6]) = 5.0)
     "list_distance": {
-        2: (
+        2: _dim_guard(
             "sqrt(aggregate(zip_with({0}, {1}, (ld_a, ld_b) -> "
             "power(CAST(ld_a AS DOUBLE) - ld_b, 2)), CAST(0 AS DOUBLE), "
             "(ld_s, ld_v) -> ld_s + ld_v))"
         )
     },
-    # cosine similarity; a zero-norm side yields -1.0 like duck
-    # (pinned: ([1],[0]) = -1.0, ([0],[0]) = -1.0)
+    # cosine similarity: NULL argument → NULL (third-review catch — the
+    # first version's coalesce swallowed it to -1); zero-norm → -1.0
+    # like duck (pinned: ([1],[0]) = -1.0, ([0],[0]) = -1.0); NULL
+    # element → NULL (documented divergence, duck errors)
     "list_cosine_similarity": {
-        2: (
-            "coalesce(try_divide(" + _dot("{0}", "{1}") + ", "
+        2: _dim_guard(
+            "CASE WHEN " + _dot("{0}", "{1}") + " IS NULL THEN NULL "
+            "ELSE coalesce(try_divide(" + _dot("{0}", "{1}") + ", "
             "sqrt(" + _dot("{0}", "{0}") + ") * "
-            "sqrt(" + _dot("{1}", "{1}") + ")), CAST(-1 AS DOUBLE))"
+            "sqrt(" + _dot("{1}", "{1}") + ")), CAST(-1 AS DOUBLE)) END"
         )
+    },
+    # list_intersect DROPS NULL elements (pinned: duck [1,NULL,2]∩
+    # [NULL,2] = [2]; Spark's native array_intersect keeps the NULL)
+    "list_intersect": {
+        2: "filter(array_intersect({0}, {1}), li_x -> li_x IS NOT NULL)"
     },
     # ---- lists ----
     # list_zip pads to the LONGEST input with NULLs (pinned); duck's
@@ -678,7 +700,19 @@ def _index_lambda(fname: str):
     return shim
 
 
+def _null_literal_arg(args: list[str]) -> str | None:
+    """A bare untyped NULL literal argument can't reach zip_with (typed
+    NULL columns ride the CASE guard): short-circuit to NULL."""
+    if any(re.fullmatch(r"\s*NULL\s*", a, re.IGNORECASE) for a in args):
+        return "CAST(NULL AS DOUBLE)"
+    return None  # fall through to the template
+
+
 CALLABLES: dict[str, object] = {
+    "list_cosine_similarity": _null_literal_arg,
+    "list_inner_product": _null_literal_arg,
+    "list_dot_product": _null_literal_arg,
+    "list_distance": _null_literal_arg,
     "string_to_array": _string_to_array,
     "quantile_disc": _quantile_disc,
     "quantile": _quantile_disc,

@@ -36,7 +36,7 @@ _SET_NOOP = re.compile(
 _PARAM = re.compile(r"\$(\d+)")
 _PG_CAST = re.compile(
     r"::\s*(double\s+precision|timestamp\s+with(?:out)?\s+time\s+zone"
-    r"|[A-Za-z_][A-Za-z0-9_]*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
+    r"|[A-Za-z_][A-Za-z0-9_]*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\[\s*\])*)",
     re.IGNORECASE,
 )
 _CURRENT_SCHEMA = re.compile(r"\bcurrent_schema\(\)", re.IGNORECASE)
@@ -88,10 +88,9 @@ _DUCK_FN_ALIASES = {
     "array_filter": "filter",
     "list_cat": "concat",
     "array_cat": "concat",
-    # element ORDER of the set ops is engine-specific in BOTH engines'
-    # docs (duck returned [3,2] for [1,2,3]∩[2,3,4] live) — the repo
-    # convention is "always sort after" for order-sensitive use
-    "list_intersect": "array_intersect",
+    # (list_intersect lives in fn_shims: duck DROPS NULL elements where
+    # Spark's array_intersect keeps them — third-review catch; element
+    # ORDER stays engine-specific in both engines' docs: sort after)
     "list_min": "array_min",
     "list_max": "array_max",
     "array_length": "size",
@@ -1435,14 +1434,15 @@ def _rewrite_subscripts(q: str) -> str:
             # bases rewrite (a literal, optionally parenthesized);
             # column bases are type-blind and keep list semantics
             is_str = bool(
-                _PLAIN_STR_LIT.match(base)
-                or re.fullmatch(r"\(\s*'(?:[^']|'')*'\s*\)", base)
+                re.fullmatch(r"\(?\s*'(?:[^']|'')*'\s*\)?", base)
             )
             if il and is_str:
+                # duck: 'abc'[0] is the EMPTY STRING, not NULL (pinned)
                 idx = int(il.group(1))
-                repl = "NULL" if idx == 0 else f"substring({base}, {idx}, 1)"
+                repl = "''" if idx == 0 else f"substring({base}, {idx}, 1)"
             elif sl and is_str:
-                a = sl.group(1) or "1"
+                # duck clamps a 0 start to 1 (pinned: 'abcde'[0:2]='ab')
+                a = f"greatest({sl.group(1) or '1'}, 1)"
                 b = sl.group(2)
                 length = (
                     f"greatest(({b}) - ({a}) + 1, 0)"
@@ -1456,7 +1456,9 @@ def _rewrite_subscripts(q: str) -> str:
                     "NULL" if idx == 0 else f"try_element_at({base}, {inner.strip()})"
                 )
             elif sl:
-                a = sl.group(1) or "1"
+                # duck clamps a 0 start to 1 for lists too (pinned:
+                # [1,2,3][0:2] = [1,2]; Spark slice() errors on 0)
+                a = f"greatest({sl.group(1) or '1'}, 1)"
                 b = sl.group(2)
                 length = (
                     f"greatest(({b}) - ({a}) + 1, 0)"
@@ -1606,7 +1608,17 @@ _ENUM_TYPE = re.compile(r"\bENUM\s*\((?:[^()']|'(?:[^']|'')*')*\)", re.IGNORECAS
 
 def normalize_type(name: str) -> str:
     key = re.sub(r"\s+", " ", name.strip().lower())
-    return _DUCK_TO_SPARK_TYPES.get(key, name)
+    # duck's [] array suffixes nest: DOUBLE[] → ARRAY<DOUBLE> (the DDL
+    # path has its own handling in normalize_type_spec; this covers
+    # `::TYPE[]` casts — round-10 embedding gate catch)
+    depth = 0
+    while key.endswith("[]") or key.endswith("[ ]"):
+        key = key[: key.rfind("[")].strip()
+        depth += 1
+    out = _DUCK_TO_SPARK_TYPES.get(key, key if depth else name)
+    for _ in range(depth):
+        out = f"ARRAY<{out}>"
+    return out
 
 
 _TWO_WORD_TYPE = re.compile(
@@ -2551,15 +2563,20 @@ def _rewrite_window_exclude(q: str) -> str:
             # default no-frame spec) always does; ROWS only over the
             # full partition. Other ROWS frames pass through → loud.
             fm = _FRAME_CLAUSE.search(spec_wo)
-            mode = fm.group(1).upper() if fm else "RANGE"
-            full = fm is not None and re.search(
+            if fm is None:
+                # duck REJECTS EXCLUDE without a frame clause (parse
+                # error, pinned) — pass through so Spark errors loudly
+                # too, instead of answering unparseable SQL
+                return q
+            mode = fm.group(1).upper()
+            full = re.search(
                 r"UNBOUNDED\s+PRECEDING\s+AND\s+UNBOUNDED\s+FOLLOWING",
                 fm.group(0),
                 re.IGNORECASE,
             )
             if mode == "GROUPS" or (mode == "ROWS" and not full):
                 return q
-            base = spec_wo[: fm.start()].strip() if fm else spec_wo
+            base = spec_wo[: fm.start()].strip()
             pwin = f"OVER ({base} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
             keep_current = kind == "TIES"
             if lname == "count" and args == ["*"]:

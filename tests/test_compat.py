@@ -2211,7 +2211,10 @@ def test_bracket_literal_rewrite_shapes():
     assert r("SELECT arr[0] FROM t") == "SELECT NULL FROM t"
     assert r("SELECT [[1,2],[3]][1][2] AS n") == \
         "SELECT try_element_at(try_element_at(array(array(1,2),array(3)), 1), 2) AS n"
-    assert "slice(arr, (2), greatest((3) - (2) + 1, 0))" in r("SELECT arr[2:3] FROM t")
+    # round 10: a 0 start clamps to 1 like duck ([1,2,3][0:2] = [1,2])
+    assert "slice(arr, (greatest(2, 1)), greatest((3) - (greatest(2, 1)) + 1, 0))" in r(
+        "SELECT arr[2:3] FROM t"
+    )
     # pass-throughs: non-literal index (Spark-native 0-based would drift
     # SILENTLY if rewritten blind — left native and documented), string
     # map keys (Spark-native), literals, unbalanced/odd shapes

@@ -245,6 +245,12 @@ SHAPES = [
     "list_cosine_similarity([0.0], [0.0]) AS b",
     "SELECT array_sort(list_intersect([1, 2, 3], [2, 3, 4])) AS a",
     "SELECT list_grade_up([3, 1, 2]) AS a, list_grade_up([3, NULL, 2]) AS b",
+    # third review pass: NULL args -> NULL (not -1), NULL-dropping
+    # intersect, 0-start subscripts/slices, ''-bearing literal bases
+    "SELECT list_cosine_similarity(NULL, [1.0, 2.0]) IS NULL AS a",
+    "SELECT list_intersect([1, NULL, 2], [NULL, 2]) AS a",
+    "SELECT 'abcde'[0:2] AS a, 'abc'[0] AS b, [1, 2, 3][0:2] AS c, "
+    "'it''s'[2] AS d",
 ]
 
 
