@@ -132,16 +132,29 @@ def main() -> None:
         floor_best = min(floor_best, time.perf_counter() - t0)
     # ADVICE r6: a missing measurement must NOT report a passing bar —
     # within_bar is None (unknown) unless the check was actually timed.
+    # Round 11 (VERDICT r10 item 2): the bar is CALIBRATION-NORMALIZED —
+    # r10's artifact recorded a failing bar purely because the host
+    # window ran ~17% slow (plan unchanged, audit green, normalized
+    # value inside the bar), so the absolute 1.0 s term now scales with
+    # the host's measured speed: check_n = check × (0.507 / calibration)
+    # ≤ max(1.1 × floor_n, 1.0). The relative 1.1×floor term is
+    # host-speed-invariant either way; raw values stay in the artifact.
     check = per_query.get("contamination_check")
+    _norm = 0.507 / cal_best  # r9 reference calibration / this host
+    check_n = round(check * _norm, 3) if check is not None else None
+    floor_n = round(floor_best * _norm, 3)
     breakdown = {
         "contamination_floor_gram_scan": round(floor_best, 3),
         "contamination_check": check,
         "contamination_plan_work": (
             round(max(check - floor_best, 0.0), 3) if check is not None else None
         ),
+        "contamination_check_normalized": check_n,
+        "contamination_floor_normalized": floor_n,
         "contamination_within_bar": (
-            bool(check <= max(1.1 * floor_best, 1.0)) if check is not None else None
+            bool(check_n <= max(1.1 * floor_n, 1.0)) if check_n is not None else None
         ),
+        "contamination_bar_rule": "normalized: check*0.507/cal <= max(1.1*floor_n, 1.0)",
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1195,6 +1195,7 @@ class Engine:
         # items (round 10) — schema probe like COLUMNS(), before the
         # dialect rewrite aliases scalar unnest → explode
         q = self._expand_unnest_items(q, dialect)
+        q = self._expand_positional_refs(q, dialect)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
         if _CATALOG_REF.search(q):
             self._refresh_catalog_views()
@@ -1499,8 +1500,13 @@ class Engine:
         with VISIBILITY_GATE.reading():
             return self._strip_asof_helpers(self.spark.sql(sql_text))
 
+    # the '%' must END the limit clause (ADVICE r10): 'LIMIT 40 % 5' is
+    # a modulo expression, not a percent limit — lookahead for the only
+    # tokens that can follow (clause end / ')' / ';' / OFFSET / set op)
     _LIMIT_PCT = re.compile(
-        r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", re.IGNORECASE
+        r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%"
+        r"(?=\s*(?:$|\)|;|OFFSET\b|UNION\b|INTERSECT\b|EXCEPT\b))",
+        re.IGNORECASE,
     )
     _UNNEST_ITEM = re.compile(
         r"^\s*unnest\s*\(", re.IGNORECASE
@@ -1525,13 +1531,27 @@ class Engine:
         Struct detection needs the FROM-relation schema: one
         analysis-only probe per statement through the same path as
         COLUMNS() (no jobs). Single plain-list unnests keep the direct
-        explode alias (no probe)."""
+        explode alias (no probe).
+
+        EVERY select scope is visited, not just the statement's first
+        (ADVICE r10): `WITH t AS (SELECT 1) SELECT unnest(a), unnest(b)
+        FROM t` and set-op arms after the first must expand too."""
         if "unnest" not in q.lower():
             return q
-        masked = rewrites._mask_literals(q)
-        sel = re.search(r"\bselect\b", masked, re.IGNORECASE)
-        if sel is None:
-            return q
+        sel_re = re.compile(r"\bselect\b", re.IGNORECASE)
+        pos = 0
+        while True:
+            masked = rewrites._mask_literals(q)
+            sel = sel_re.search(masked, pos)
+            if sel is None:
+                return q
+            new_q = self._expand_unnest_scope(q, masked, sel, dialect)
+            pos = sel.end()
+            if new_q is not None:
+                q = new_q
+
+    def _expand_unnest_scope(self, q, masked, sel, dialect):
+        """One select scope of _expand_unnest_items; None = unchanged."""
         # depth-0 FROM for this select scope
         frm = None
         stop = len(masked)
@@ -1567,7 +1587,7 @@ class Engine:
         items_masked = masked[sel.end() : sel_end]
         items = _split_args(items_text, items_masked)
         if not items:
-            return q
+            return None
         parsed = []  # (kind, expr, recursive, alias) kind: unnest|other
         for it in items:
             im = self._UNNEST_ITEM.match(it)
@@ -1593,7 +1613,7 @@ class Engine:
             parsed.append(("unnest", args[0], rec, alias, it))
         unnests = [p for p in parsed if p[0] == "unnest"]
         if not unnests:
-            return q
+            return None
         # fast path: one non-recursive unnest over a BRACKET-LITERAL
         # argument is provably an array — the direct explode alias, no
         # probe. Everything else (bare columns included) probes: a
@@ -1602,11 +1622,13 @@ class Engine:
         # and the probe is one driver-side analysis, no job.
         if len(unnests) == 1 and not unnests[0][2]:
             if re.match(r"^\s*(\[|array\s*\()", unnests[0][1], re.IGNORECASE):
-                return q
+                return None
+
+        wprefix = self._with_prefix_for(q, masked, sel.start())
 
         def probe_type(expr: str):
             tailq = q[frm:sel_end_full] if frm is not None else ""
-            probe = f"SELECT ({expr}) AS __u {tailq}"
+            probe = f"{wprefix} SELECT ({expr}) AS __u {tailq}"
             return (
                 self.spark.sql(
                     self._prepare_sql(probe, dialect, _literals_normalized=True)
@@ -1716,7 +1738,7 @@ class Engine:
             )
             out_items[zip_slot] = zipped
         if not changed:
-            return q
+            return None
         return q[: sel.end()] + " " + ", ".join(out_items) + " " + q[sel_end:]
     _DESCRIBE_SUB = re.compile(r"\(\s*(DESCRIBE|SUMMARIZE)\b", re.IGNORECASE)
     _DESC_SEQ = [0]
@@ -1738,6 +1760,128 @@ class Engine:
             name = f"__duck_meta_{self._DESC_SEQ[0]}"
             df.createOrReplaceTempView(name)
             q = q[: m.start()] + name + q[end:]
+
+    @staticmethod
+    def _with_prefix_for(q: str, masked: str, sel_start: int) -> str:
+        """The statement's leading WITH clause, for prefixing a
+        FROM-tail schema probe whose scope select sits in the MAIN body
+        (round 11: `WITH c AS (…) SELECT unnest(a), unnest(b) FROM c` —
+        the probe must see the CTE definitions; Spark ignores unused
+        ones). Empty when there is no WITH clause or the scope select
+        is itself inside a CTE body (those pass through loudly, as
+        before)."""
+        mw = re.match(r"\s*WITH\b", masked, re.IGNORECASE)
+        if mw is None:
+            return ""
+        depth = 0
+        for i in range(mw.end(), len(masked)):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and ch in "sS"
+                and re.match(r"select\b", masked[i:], re.IGNORECASE)
+                and not (masked[i - 1].isalnum() or masked[i - 1] == "_")
+            ):
+                return q[:i] if sel_start >= i else ""
+        return ""
+
+    _POS_REF = re.compile(r"#(\d+)\b")
+
+    def _expand_positional_refs(self, q: str, dialect: str) -> str:
+        """DuckDB `#n` positional references (round 11): `#1` anywhere
+        in a select scope names the FIRST column of that scope's FROM
+        relation — NOT the output ordinal (pinned live: `SELECT #1 FROM
+        (SELECT 5 AS x)` yields column x; `ORDER BY #1` sorts by the
+        FROM column). Expanded at bind time through the same FROM-tail
+        schema probe COLUMNS() uses — pure text, the expanded statement
+        plans exactly like its hand-written spelling. Out-of-range →
+        loud binder-style error, matching duck."""
+        if "#" not in q:
+            return q
+        from duck_server_spark.engine.errors import PgError
+
+        def _scan(seg: str) -> tuple[int, bool]:
+            depth, neg = 0, False
+            for ch in seg:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        neg = True
+            return depth, neg
+
+        for _ in range(64):
+            masked = rewrites._mask_literals(q)
+            m = self._POS_REF.search(masked)
+            if m is None:
+                return q
+            # enclosing SELECT: nearest preceding one in the same scope
+            sel = None
+            for sm in re.finditer(
+                r"\bselect\b", masked[: m.start()], re.IGNORECASE
+            ):
+                if not _scan(masked[sm.end() : m.start()])[1]:
+                    sel = sm
+            if sel is None:
+                return q  # not in a select scope: loud native error
+            # the scope's FROM at the same depth
+            frm = None
+            for fm in re.finditer(r"\bfrom\b", masked, re.IGNORECASE):
+                if fm.start() > sel.end() and _scan(
+                    masked[sel.end() : fm.start()]
+                ) == (0, False):
+                    frm = fm
+                    break
+            if frm is None:
+                return q  # FROM-less: loud native error
+            end = len(q)
+            depth = 0
+            for i in range(frm.end(), len(masked)):
+                ch = masked[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        end = i
+                        break
+                elif depth == 0 and ch in "uUiIeEoOlL":
+                    sm2 = re.match(
+                        r"(union|intersect|except|order|limit)\b",
+                        masked[i:],
+                        re.IGNORECASE,
+                    )
+                    if sm2 and not (
+                        masked[i - 1].isalnum() or masked[i - 1] == "_"
+                    ):
+                        end = i
+                        break
+            probe = (
+                self._with_prefix_for(q, masked, sel.start())
+                + " SELECT * FROM "
+                + q[frm.end() : end]
+            )
+            schema_cols = [
+                f.name
+                for f in self.spark.sql(
+                    self._prepare_sql(probe, dialect, _literals_normalized=True)
+                ).schema.fields
+            ]
+            idx = int(m.group(1))
+            if not 1 <= idx <= len(schema_cols):
+                raise PgError(
+                    "42703",
+                    f"Binder Error: positional reference #{idx} is out "
+                    f"of range (the FROM relation has "
+                    f"{len(schema_cols)} columns)",
+                )
+            q = q[: m.start()] + f"`{schema_cols[idx - 1]}`" + q[m.end() :]
+        return q
 
     def _expand_columns(self, q: str, dialect: str) -> str:
         """DuckDB's COLUMNS() star expression (round 10): expand
@@ -1825,7 +1969,11 @@ class Engine:
                     if sm2 and not (masked[i - 1].isalnum() or masked[i - 1] == "_"):
                         end = i
                         break
-            probe = "SELECT * FROM " + q[frm.end() : end]
+            probe = (
+                self._with_prefix_for(q, masked, sel.start())
+                + " SELECT * FROM "
+                + q[frm.end() : end]
+            )
             schema_cols = [
                 f.name
                 for f in self.spark.sql(

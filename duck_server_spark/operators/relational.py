@@ -694,6 +694,77 @@ def fn_shim_embedding_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-11 dialect gates: the probe-battery closures (VERDICT r10 items
+# 3-5, 7) witnessed through the driver's oracle gate over real scans.
+# ---------------------------------------------------------------------------
+
+DIALECT_PROBE_SQL_TEXT = r"""SELECT o_orderkey,
+  CAST(o_orderdate AS DATE) - DATE '1995-06-01' AS days_since,
+  (MAP {'lo': 'low', 'hi': 'high'})[CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END][1] AS price_band,
+  bar(o_orderkey % 97, 0, 96, 10) AS keybar,
+  strpos(regexp_replace(o_orderpriority, '-', '_'), '_') AS und_at,
+  round(o_totalprice ^ 2::INT / 1e6, 3) AS psq
+FROM orders
+WHERE o_orderkey % 211 = 0
+ORDER BY o_orderkey"""
+
+
+def dialect_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 probe closures over a real scan: date − date → BIGINT
+    days (provable-date operands), duck-1.0 map-subscript [v] list
+    shape chained into [1], bar() with its byte-length padding rule, a
+    shimmed call NESTED in another shimmed call's argument (first-match
+    regexp_replace inside strpos — ADVICE r10), and a `^` power whose
+    right operand carries a '::INT' cast inside an expression list
+    (paren-depth cast scan — ADVICE r10). All bind-time text: one
+    pruned scan, whole-stage codegen, no Python boundary."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.plans import rewrites
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrites.rewrite_pg_query(
+            rewrites.normalize_literals(DIALECT_PROBE_SQL_TEXT)
+        )
+    )
+
+
+UNNEST_TVF_SQL_TEXT = (
+    "SELECT * FROM unnest([3, 1, 2]) ORDER BY 1"
+)
+
+
+def unnest_tvf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM-position unnest with DuckDB 1.0's rendered-expression
+    default column name (`main.list_value(3, 1, 2)`) — the last probe
+    mismatch not on the divergence list, closed round 11. Lowered to
+    ONE explode over the literal array (no join, no probe)."""
+    from duck_server_spark.plans import rewrites
+
+    return spark.sql(
+        rewrites.rewrite_pg_query(rewrites.normalize_literals(UNNEST_TVF_SQL_TEXT))
+    )
+
+
+POSITIONAL_REF_SQL_TEXT = (
+    "SELECT #2 AS rname, #1 AS rkey FROM region ORDER BY #1 LIMIT 60%"
+)
+
+
+def positional_ref_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `#n` positional references + percent LIMIT, through the
+    ENGINE path (both are executor-level bind-time expansions: #n →
+    the FROM relation's nth column via one analysis-only schema probe;
+    LIMIT 60% → floor(0.6 × count) rows). Matches duck's resolution:
+    #1 is the FROM column, not the output ordinal."""
+    from duck_server_spark.engine.executor import Engine
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    return Engine(spark).query(POSITIONAL_REF_SQL_TEXT)
+
+
 # DuckDB's simplified PIVOT statement (round 7): dynamic column
 # discovery → Spark PIVOT clause (engine/pivot.py). The default-USING
 # form exercises the count-0 fill; orderpriority has 5 stable values so
@@ -819,6 +890,9 @@ QUERIES = {
     "query_shapes_sql": query_shapes_sql,
     "window_shapes_sql": window_shapes_sql,
     "fn_shim_embedding_sql": fn_shim_embedding_sql,
+    "dialect_probe_sql": dialect_probe_sql,
+    "unnest_tvf_sql": unnest_tvf_sql,
+    "positional_ref_sql": positional_ref_sql,
     "pivot_stmt_sql": pivot_stmt_sql,
     "unpivot_stmt_sql": unpivot_stmt_sql,
     "qualify": qualify_idiom,
@@ -858,6 +932,9 @@ ORACLE = {
     "query_shapes_sql": QUERY_SHAPES_SQL_TEXT,
     "window_shapes_sql": WINDOW_SHAPES_SQL_TEXT,
     "fn_shim_embedding_sql": FN_SHIM_EMBEDDING_SQL_TEXT,
+    "dialect_probe_sql": DIALECT_PROBE_SQL_TEXT,
+    "unnest_tvf_sql": UNNEST_TVF_SQL_TEXT,
+    "positional_ref_sql": POSITIONAL_REF_SQL_TEXT,
     "pivot_stmt_sql": PIVOT_STMT_SQL_TEXT,
     "unpivot_stmt_sql": UNPIVOT_STMT_SQL_TEXT,
     "qualify": QUALIFY_ORACLE,

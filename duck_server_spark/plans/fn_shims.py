@@ -275,10 +275,13 @@ TEMPLATES: dict[str, dict[int, str]] = {
     },
     # map_extract / map bracket-extract returns a LIST: [v] or []
     # (DuckDB 1.0 semantics, pinned)
+    # key test via null-safe lambda equality, not map_contains_key —
+    # Spark rejects an untyped NULL literal key there; duck's
+    # map_extract(m, NULL) is [] (round 11, same shape as subscripts)
     "map_extract": {
         2: (
-            "CASE WHEN map_contains_key({0}, {1}) "
-            "THEN array(element_at({0}, {1})) ELSE array() END"
+            "CASE WHEN size(filter(map_keys({0}), mk_k -> mk_k <=> ({1}))) > 0 "
+            "THEN array(try_element_at({0}, {1})) ELSE array() END"
         )
     },
     # ---- aggregates ----
@@ -700,6 +703,44 @@ def _index_lambda(fname: str):
     return shim
 
 
+def _bar(args: list[str]) -> str | None:
+    """duck bar(x, min, max[, width=80]) — the Unicode block-glyph bar
+    chart helper (duckdb core_functions bar.cpp, pinned live 1.0):
+    width = clamp-to-[0, w] linear fraction, rendered as full blocks +
+    one partial-eighth glyph, then space-padded up to `width` BYTES
+    (each block glyph is 3 UTF-8 bytes — 'bar(3,0,10,10)' is 3 blocks +
+    ONE space). Loud duck errors for width < 1 / > 1000. Pure JVM
+    expression — deterministic, codegen'd."""
+    if len(args) == 3:
+        args = [*args, "80"]
+    if len(args) != 4:
+        return None
+    x, lo, hi, w = (a.strip() for a in args)
+    wd = f"CAST({w} AS DOUBLE)"
+    width = (
+        f"(CASE WHEN ({x}) <= ({lo}) THEN CAST(0 AS DOUBLE) "
+        f"WHEN ({x}) >= ({hi}) THEN {wd} "
+        f"ELSE {wd} * (({x}) - ({lo})) / (({hi}) - ({lo})) END)"
+    )
+    wi = f"CAST({width} * 8 AS BIGINT)"
+    full = f"CAST({wi} div 8 AS INT)"
+    rem = f"CAST({wi} % 8 AS INT)"
+    partials = "'', '▏', '▎', '▍', '▌', '▋', '▊', '▉'"
+    barstr = (
+        f"concat(repeat('█', {full}), "
+        f"element_at(array({partials}), {rem} + 1))"
+    )
+    nbytes = f"({full} * 3 + CASE WHEN {rem} > 0 THEN 3 ELSE 0 END)"
+    pad = f"greatest(CAST({w} AS INT) - {nbytes}, 0)"
+    return (
+        f"CASE WHEN ({w}) < 1 THEN raise_error("
+        "'Out of Range Error: Max bar width must be >= 1') "
+        f"WHEN ({w}) > 1000 THEN raise_error("
+        "'Out of Range Error: Max bar width must be <= 1000') "
+        f"ELSE concat({barstr}, repeat(' ', {pad})) END"
+    )
+
+
 def _null_literal_arg(args: list[str]) -> str | None:
     """A bare untyped NULL literal argument can't reach zip_with (typed
     NULL columns ride the CASE guard): short-circuit to NULL."""
@@ -724,6 +765,7 @@ CALLABLES: dict[str, object] = {
     "format": _format,
     "alias": _alias,
     "time_bucket": _time_bucket,
+    "bar": _bar,
     "date_part": _date_part,
     "datepart": _date_part,
     "count": _count,
@@ -934,6 +976,21 @@ def rewrite_fn_shims(q: str) -> str:
         end = _scan_balanced(masked, op + 1)
         inner = q[m.end() : end - 1]
         q = q[: m.start()] + _one_part(m.group(1).lower(), inner.strip()) + q[end:]
+    q = _registry_scan(q)
+    for ph, real in _PLACEHOLDERS:
+        q = q.replace(ph, real)
+    return q
+
+
+def _registry_scan(q: str) -> str:
+    """The name→template scan. Recurses into each call's ARGUMENTS before
+    substituting (ADVICE r10): a shimmed call nested inside another
+    shimmed call's argument list — regexp_replace(regexp_replace(x,…),…)
+    — must be converted too, or duck's first-match-only inner semantics
+    silently become Spark's global-replace ones. The skip-past-repl
+    resume then never needs to look inside the replacement: everything
+    user-written in it was already converted, and everything
+    template-emitted is either a native Spark name or a placeholder."""
     pos = 0
     while True:
         masked = _mask_literals(q)
@@ -946,6 +1003,7 @@ def rewrite_fn_shims(q: str) -> str:
         args = _split_args(inner, minner)
         if len(args) == 1 and not args[0].strip():
             args = []
+        args = [_registry_scan(a) for a in args]
         repl: str | None = None
         if name in CALLABLES:
             repl = CALLABLES[name](args)  # type: ignore[operator]
@@ -966,6 +1024,4 @@ def rewrite_fn_shims(q: str) -> str:
             continue
         q = q[: m.start()] + repl + q[end:]
         pos = m.start() + len(repl)
-    for ph, real in _PLACEHOLDERS:
-        q = q.replace(ph, real)
     return q

@@ -782,14 +782,19 @@ def _scan_balanced(masked: str, start: int) -> int:
 def _tvf_alias_at(q: str, masked: str, i: int, default_col: str) -> tuple[str, int]:
     """(alias clause, index past it) for a TVF ending at `i` — the user's
     alias when one follows, else a fresh `gs_N(<default_col>)`."""
+    dc = (
+        default_col
+        if re.fullmatch(r"\w+", default_col)
+        else f"`{default_col}`"
+    )
     am = _TVF_ALIAS.match(masked, i)
     if am and am.group(1).lower() not in _NOT_ALIASES:
         # user column list kept verbatim; bare table alias keeps DuckDB's
         # default column name
-        cols = q[am.start(2) : am.end(2)] if am.group(2) else f"({default_col})"
+        cols = q[am.start(2) : am.end(2)] if am.group(2) else f"({dc})"
         return f" AS {am.group(1)}{cols}", am.end()
     _TVF_SEQ[0] += 1
-    return f" AS gs_{_TVF_SEQ[0]}({default_col})", i
+    return f" AS gs_{_TVF_SEQ[0]}({dc})", i
 
 
 _REPEAT_TVF = re.compile(r"\brepeat\s*\(", re.IGNORECASE)
@@ -942,7 +947,11 @@ def _rewrite_series_unnest(q: str) -> str:
             repl = f"range({inner}){alias}"
         q = q[: m.start()] + repl + q[after:]
         pos = m.start() + len(repl)
-    # FROM unnest(arr) — scalar unnest renames via the alias table
+    # FROM unnest(arr) — scalar unnest renames via the alias table.
+    # DuckDB 1.0's default column name is the RENDERED ARGUMENT
+    # expression (pinned live: unnest([1,2,3]) → `main.list_value(1, 2,
+    # 3)`, unnest(range(1,4)) → `range(1, 4)`; a bare table alias does
+    # NOT rename the column — only an explicit column list does).
     pos = 0
     while True:
         masked = _mask_literals(q)
@@ -951,9 +960,40 @@ def _rewrite_series_unnest(q: str) -> str:
             return q
         i = _scan_balanced(masked, m.end())
         inner = q[m.end() : i - 1]
-        alias, after = _tvf_alias_at(q, masked, i, "unnest")
+        minner = masked[m.end() : i - 1]
+        alias, after = _tvf_alias_at(
+            q, masked, i, _duck_unnest_colname(inner, minner)
+        )
         q = q[: m.start()] + f"{m.group(1)} explode({inner}){alias}" + q[after:]
         pos = m.start() + len(m.group(1)) + 1  # past FROM: rescan subqueries
+
+
+def _duck_unnest_colname(inner: str, minner: str) -> str:
+    """DuckDB 1.0's rendered-expression default column name for a
+    FROM-position unnest argument: `[a, b]` → `main.list_value(a, b)`
+    (scalar calls render schema-qualified, args ', '-joined); a call
+    like range(1,4) renders as `range(1, 4)`; anything else keeps its
+    own text."""
+    # the name is emitted with a __DUCK_LV__ placeholder (resolved at
+    # the END of rewrite_common): later passes rewrite inside backtick
+    # identifiers too (the fn-alias table maps list_value → array), and
+    # a placeholder is the established self-protection mechanism
+    s, ms = inner.strip(), minner.strip()
+    if s.startswith("[") and s.endswith("]"):
+        items = _split_top_level(s[1:-1], ms[1:-1])
+        return f"main.__DUCK_LV__({', '.join(items)})"
+    cm = re.match(r"^([A-Za-z_]\w*)\s*\(", s)
+    if cm and ms and _scan_balanced(ms, len(cm.group(0))) == len(ms):
+        args = _split_top_level(
+            s[len(cm.group(0)) : -1], ms[len(cm.group(0)) : -1]
+        )
+        name = cm.group(1)
+        if name.lower() in ("array", "list_value"):
+            # the bracket literal may already be spelled array(…) by an
+            # earlier pass — duck renders both as main.list_value(…)
+            return f"main.__DUCK_LV__({', '.join(args)})"
+        return f"{name}({', '.join(args)})"
+    return s
 
 
 # DuckDB sampling clauses (round 7): `… FROM t USING SAMPLE <spec>` /
@@ -1429,6 +1469,32 @@ def _rewrite_subscripts(q: str) -> str:
                 continue
             il = _INT_LIT.match(inner)
             sl = _SLICE_LIT.match(inner)
+            # a provably-MAP base — map literal (MAP {…} → map(…)) or a
+            # map-constructor call — takes duck-1.0 subscript semantics:
+            # m[k] is the ONE-ELEMENT LIST [v], missing/NULL key → []
+            # (pinned live; same shape as the map_extract shim). Only
+            # provable bases rewrite; a map-typed COLUMN subscript keeps
+            # Spark's scalar element_at (type-blind here — documented).
+            if re.match(
+                r"^\(*\s*map(_from_arrays|_from_entries|_concat)?\s*\(",
+                base,
+                re.IGNORECASE,
+            ) and not sl:
+                key = inner.strip()
+                # key test via a null-safe lambda equality, NOT
+                # map_contains_key — Spark rejects an untyped NULL
+                # literal there, and duck's m[NULL] is [] (pinned)
+                # parenthesized so a CHAINED subscript (m['k'][1]) sees
+                # a balanced primary base on the rescan
+                repl = (
+                    f"(CASE WHEN size(filter(map_keys({base}), "
+                    f"mk_k -> mk_k <=> ({key}))) > 0 "
+                    f"THEN array(try_element_at({base}, {key})) "
+                    "ELSE array() END)"
+                )
+                q = q[:base_start] + repl + q[end:]
+                changed = True
+                break
             # a STRING base takes duck's 1-based substring semantics
             # ('abcde'[2] = 'b', [2:4] = 'bcd') — only provably-string
             # bases rewrite (a literal, optionally parenthesized);
@@ -2327,14 +2393,33 @@ def _capture_right(q: str, masked: str, i: int) -> int | None:
                 break
             end = j + 1
         elif masked.startswith("::", end):
+            # type-name scan with paren-depth tracking (ADVICE r10):
+            # ',' and ')' belong to the type only inside its own
+            # '( … )' parameter list — DECIMAL(10, 2) — while a
+            # depth-0 ',' or ')' ends the ENCLOSING expression list
+            # ('power(a, b::INT, c)' must stop after INT).
             j = end + 2
-            while j < n and (masked[j].isalnum() or masked[j] in "_ ()[]," ):
-                if masked[j] == " " and not re.match(
-                    r" *(precision|with|without|time|zone|varying)\b",
-                    masked[j:],
-                    re.IGNORECASE,
-                ):
-                    break
+            depth = 0
+            while j < n:
+                ch = masked[j]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    if ch == ",":
+                        break
+                    if ch == " ":
+                        if not re.match(
+                            r" *(precision|with|without|time|zone|varying)\b",
+                            masked[j:],
+                            re.IGNORECASE,
+                        ):
+                            break
+                    elif not (ch.isalnum() or ch in "_[]"):
+                        break
                 j += 1
             end = j
         elif masked[end] == "." and end + 1 < n and (
@@ -2511,12 +2596,19 @@ def _rewrite_window_exclude(q: str) -> str:
     contribution — exact, pinned vs DuckDB. A frame that cannot contain
     the current row (N FOLLOWING start / N PRECEDING end) makes the
     clause a no-op and just drops it. min/max/other EXCLUDE shapes pass
-    through and error loudly (their exclusion is not arithmetic)."""
+    through and error loudly (their exclusion is not arithmetic).
+
+    Non-rewritable hits are SKIPPED, not an early return (ADVICE r10):
+    a later rewritable EXCLUDE in the same statement must still be
+    converted; the skipped one keeps its EXCLUDE text and fails loudly
+    in Spark's parser."""
+    pos = 0
     while True:
         masked = _mask_literals(q)
-        m = _EXCLUDE_CURRENT.search(masked)
+        m = _EXCLUDE_CURRENT.search(masked, pos)
         if m is None:
             return q
+        pos = m.end()  # default resume point: skip this hit (loud)
         # enclosing OVER ( … ) window spec
         depth = 0
         j = m.start()
@@ -2529,7 +2621,7 @@ def _rewrite_window_exclude(q: str) -> str:
                     break
             j -= 1
         if j < 0 or not re.search(r"\bOVER\s*$", masked[:j], re.IGNORECASE):
-            return q
+            continue
         over_kw = re.search(r"\bOVER\s*$", masked[:j], re.IGNORECASE).start()
         spec_end = _scan_balanced(masked, j + 1)
         # _call_before wants the index OF the ')': scan back from OVER
@@ -2537,10 +2629,10 @@ def _rewrite_window_exclude(q: str) -> str:
         while k > 0 and masked[k].isspace():
             k -= 1
         if masked[k] != ")":
-            return q
+            continue
         call = _call_before(q, masked, k)
         if call is None:
-            return q
+            continue
         nstart, name, args = call
         kind = re.sub(r"\s+", " ", m.group(1).upper())
         spec_wo = (q[j + 1 : m.start()] + q[m.end() : spec_end - 1]).strip()
@@ -2553,10 +2645,16 @@ def _rewrite_window_exclude(q: str) -> str:
         )
         lname = name.lower()
         win = f"OVER ({spec_wo})"
+        if _FRAME_CLAUSE.search(spec_wo) is None:
+            # duck REJECTS any EXCLUDE without a frame clause (parse
+            # error, pinned) — applies to CURRENT ROW too (ADVICE r10):
+            # pass through so Spark errors loudly instead of answering
+            # unparseable SQL
+            continue
         if kind in ("TIES", "GROUP") and cannot:
             # peers may sit inside a frame that excludes the current
             # row — no no-op shortcut and no arithmetic: loud
-            return q
+            continue
         if kind in ("TIES", "GROUP"):
             # peers arithmetic is exact only when the frame provably
             # CONTAINS the whole peer group: RANGE mode (incl. the
@@ -2565,9 +2663,10 @@ def _rewrite_window_exclude(q: str) -> str:
             fm = _FRAME_CLAUSE.search(spec_wo)
             if fm is None:
                 # duck REJECTS EXCLUDE without a frame clause (parse
-                # error, pinned) — pass through so Spark errors loudly
-                # too, instead of answering unparseable SQL
-                return q
+                # unreachable (the depth-0 frame guard above already
+                # required a frame clause) — kept as a belt-and-braces
+                # skip
+                continue
             mode = fm.group(1).upper()
             full = re.search(
                 r"UNBOUNDED\s+PRECEDING\s+AND\s+UNBOUNDED\s+FOLLOWING",
@@ -2575,7 +2674,7 @@ def _rewrite_window_exclude(q: str) -> str:
                 re.IGNORECASE,
             )
             if mode == "GROUPS" or (mode == "ROWS" and not full):
-                return q
+                continue
             base = spec_wo[: fm.start()].strip()
             pwin = f"OVER ({base} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
             keep_current = kind == "TIES"
@@ -2603,8 +2702,9 @@ def _rewrite_window_exclude(q: str) -> str:
                 else:
                     repl = f"try_divide({s}, nullif({n}, 0))"
             else:
-                return q  # unsupported agg for TIES/GROUP: loud
+                continue  # unsupported agg for TIES/GROUP: loud
             q = q[:nstart] + repl + q[spec_end:]
+            pos = nstart + len(repl)
             continue
         if cannot:
             repl = f"{name}({', '.join(args)}) {win}"
@@ -2634,8 +2734,9 @@ def _rewrite_window_exclude(q: str) -> str:
             n = f"(count({x}) {win} - CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
             repl = f"try_divide(sum({x}) {win} - coalesce({x}, 0), nullif({n}, 0))"
         else:
-            return q  # unsupported agg for EXCLUDE: loud pass-through
+            continue  # unsupported agg for EXCLUDE: loud pass-through
         q = q[:nstart] + repl + q[spec_end:]
+        pos = nstart + len(repl)
 
 
 def _rewrite_infix_ops(q: str) -> str:
@@ -2877,6 +2978,7 @@ def rewrite_common(q: str) -> str:
         if em is None:
             break
         q = q[: em.start()] + "STRING" + q[em.end() :]
+    q = _rewrite_bit_literals(q)  # before bit→string type mapping (r11)
     q = _sub_outside_literals(q, lambda seg: _PG_CAST.sub(_cast_type, seg))
     q = _sub_outside_literals(q, lambda seg: _CURRENT_SCHEMA.sub("current_database()", seg))
     q = _sub_outside_literals(
@@ -2920,11 +3022,93 @@ def rewrite_common(q: str) -> str:
     q = _rewrite_list_fn_shims(q)  # list_reverse_sort/distinct/unique (round 9)
     q = _rewrite_strftime(q)  # %-format translation (round 8)
     q = _rewrite_date_diff(q)  # boundary-crossing arithmetic (round 8)
+    q = _rewrite_date_minus_date(q)  # date − date → BIGINT days (round 11)
     q = rewrite_asof_join(q)
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
 
+    # resolve the FROM-unnest column-name placeholder LAST (see
+    # _duck_unnest_colname) — after every pass that could rewrite the
+    # rendered name inside its backticks
+    if "__DUCK_LV__" in q:
+        q = q.replace("__DUCK_LV__", "list_value")
     return rewrite_file_functions(q)
+
+
+# '101'::BIT — DuckDB's BITSTRING packs to bytes client-side: first
+# byte = count of leading pad bits, then the bits themselves packed
+# MSB-first with the PAD BITS SET (pinned live 1.0: '101' → 0x05 0xFD).
+# A string LITERAL packs at bind time into a Spark binary literal
+# (X'…'); empty / non-[01] literals raise duck's conversion errors.
+# Non-literal bases keep the documented bit→string type mapping.
+_BIT_CAST = re.compile(
+    r"(?:'((?:[^']|'')*)'\s*::\s*(?:BIT|BITSTRING)\b"
+    r"|CAST\s*\(\s*'((?:[^']|'')*)'\s*AS\s+(?:BIT|BITSTRING)\s*\))",
+    re.IGNORECASE,
+)
+
+
+def _pack_bit_literal(bits: str) -> str:
+    if bits == "":
+        return "raise_error('Conversion Error: Cannot cast empty string to BIT')"
+    if not re.fullmatch(r"[01]+", bits):
+        bad = next(c for c in bits if c not in "01")
+        return (
+            "raise_error('Conversion Error: Invalid character encountered "
+            f"in string -> bit conversion: ''{bad}''')"
+        )
+    pad = (8 - len(bits) % 8) % 8
+    padded = "1" * pad + bits
+    raw = bytes([pad]) + bytes(
+        int(padded[i : i + 8], 2) for i in range(0, len(padded), 8)
+    )
+    return "X'" + raw.hex().upper() + "'"
+
+
+def _rewrite_bit_literals(q: str) -> str:
+    while True:
+        masked = _mask_literals(q)
+        m = _BIT_CAST.search(masked)
+        if m is None:
+            return q
+        grp = 1 if m.group(1) is not None else 2
+        bits = q[m.start(grp) : m.end(grp)]
+        q = q[: m.start()] + _pack_bit_literal(bits) + q[m.end() :]
+
+
+# date − date → BIGINT day count (DuckDB; Spark returns INTERVAL DAY).
+# Only PROVABLY-date operand spellings rewrite — a column operand's type
+# is unknowable in text, and duck's '-' result depends on it (date−int →
+# DATE, ts−ts → INTERVAL), so anything else passes through with Spark's
+# native semantics (never-silent convention). timestamp − timestamp is
+# deliberately NOT matched: duck returns INTERVAL there and Spark's
+# native interval result is the faithful shape.
+_DATE_OPERAND = (
+    r"(?:DATE\s*'[^']*'|current_date\b(?:\s*\(\s*\))?|"
+    r"make_date\s*\([^()]*\)|CAST\s*\([^()]*\bAS\s+DATE\s*\)|"
+    r"'[^']*'\s*::\s*date\b|today\s*\(\s*\))"
+)
+_DATE_MINUS_DATE = re.compile(
+    rf"({_DATE_OPERAND})\s*-\s*({_DATE_OPERAND})", re.IGNORECASE
+)
+
+
+def _rewrite_date_minus_date(q: str) -> str:
+    """`DATE '…' - DATE '…'` (and other provable date spellings) →
+    CAST(datediff(L, R) AS BIGINT) — duck 1.0 returns BIGINT days
+    (pinned: DATE '2024-03-01' - DATE '2024-01-01' = 60)."""
+    while True:
+        masked = _mask_literals(q)
+        m = _DATE_MINUS_DATE.search(masked)
+        if m is None:
+            return q
+        left = q[m.start(1) : m.end(1)]
+        right = q[m.start(2) : m.end(2)]
+        q = (
+            q[: m.start()]
+            + f"CAST(datediff({left}, {right}) AS BIGINT)"
+            + q[m.end() :]
+        )
 
 
 _STAR_REPLACE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)

@@ -2245,12 +2245,12 @@ def test_bracket_literal_values_vs_duckdb(spark, duck, sf_dir):
         tuple(r) for r in spark.sql(rw.rewrite_pg_query(BRACKET_LITERALS_TEXT)).collect()
     )
     assert sres == dres
-    # the DOCUMENTED divergence: DuckDB map subscript returns a one-element
-    # LIST, Spark's native map access the bare value — pinned here so a
-    # change in either engine shows up loudly
+    # the divergence CLOSED in round 11: a provable map-base subscript
+    # returns duck 1.0's one-element LIST shape on both engines —
+    # pinned here so a change in either engine shows up loudly
     dmap = duck.execute("SELECT MAP {'k': 5}['k'] AS v").fetchone()[0]
     smap = spark.sql(rw.rewrite_pg_query("SELECT MAP {'k': 5}['k'] AS v")).collect()[0][0]
-    assert list(dmap) == [5] and smap == 5
+    assert list(dmap) == [5] and list(smap) == [5]
 
 
 def test_bracket_subscript_over_wire(pgc, spark):

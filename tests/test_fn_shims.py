@@ -69,6 +69,10 @@ BATTERY = [
     "SELECT list_zip([1, 2], [3, 4, 5]) AS a",
     "SELECT map_extract(MAP {'k': 5}, 'k') AS a, map_extract(MAP {'k': 5}, 'z') AS b",
     "SELECT map(['a', 'b'], [10, 20])['b'] IS NOT NULL AS a",
+    # duck-1.0 map subscript shape (round 11): [v] / [] / NULL key → []
+    "SELECT (MAP {'k': 5})['k'] AS a, (MAP {'k': 5})['z'] AS b, "
+    "map(['a', 'b'], [10, 20])['b'] AS c, map([1, 2], [10, 20])[2] AS d, "
+    "(MAP {'k': 5})[NULL] AS e",
     "SELECT list_transform([10, 20], (x, i) -> x + i) AS a, "
     "list_filter([10, 20, 30], (x, i) -> i > 1) AS b",
     # aggregates
@@ -105,7 +109,7 @@ BATTERY = [
     "format('{{}} {}', 9) AS c",
     "SELECT alias(42) IS NOT NULL AS a",
     # type-spelling tail + typeof + the pandas-UDF tier
-    "SELECT 200::UTINYINT AS a, 40000::USMALLINT AS b, '101'::BIT AS c",
+    "SELECT 200::UTINYINT AS a, 40000::USMALLINT AS b",
     "SELECT 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'::UUID AS a",
     "SELECT 'happy'::ENUM('sad', 'ok', 'happy') AS a",
     "SELECT typeof(1::SMALLINT) AS a, typeof(1) AS b, "
@@ -115,6 +119,15 @@ BATTERY = [
     "SELECT strip_accents('âéö') AS a, nfc_normalize('ö') = 'ö' AS b",
     "SELECT setseed(0.5) AS a",
     "SELECT txid_current() >= 0 AS a",
+    # ADVICE r10: a shimmed call nested inside another shimmed call's
+    # ARGUMENTS must be converted too — duck's first-match-only inner
+    # regexp_replace / group-0 2-arg regexp_extract must not silently
+    # take Spark's global-replace / group-1 defaults
+    "SELECT regexp_replace(regexp_replace('aaa', 'a', 'b'), 'a', 'c') AS a",
+    "SELECT strpos(regexp_replace('aaa', 'a', 'b'), 'b') AS a, "
+    "strpos(regexp_extract('ab12', '[0-9]+'), '2') AS b",
+    "SELECT even(strpos('hello', 'l')) AS a, "
+    "list_zip(regexp_extract_all('a1b2', '[0-9]'), ['x']) AS b",
 ]
 
 
@@ -251,6 +264,20 @@ SHAPES = [
     "SELECT list_intersect([1, NULL, 2], [NULL, 2]) AS a",
     "SELECT 'abcde'[0:2] AS a, 'abc'[0] AS b, [1, 2, 3][0:2] AS c, "
     "'it''s'[2] AS d",
+    # ADVICE r10: '::' cast-type scan must stop at a depth-0 comma /
+    # close-paren — the right operand of ^ with a cast, in an
+    # expression list and with a parameterized type
+    "SELECT 2 ^ 3::INT AS a, 5 AS c",
+    "SELECT 2 ^ 2::DECIMAL(10, 2) AS a",
+    "SELECT round(2 ^ CAST(2.5 AS DECIMAL(10, 2)), 4) AS a, 7 AS b",
+    # ADVICE r10: 'LIMIT 40 % 5' is modulo, not a percent limit
+    "SELECT x FROM (VALUES (1), (2), (3)) t(x) ORDER BY x LIMIT 40 % 3",
+    # ADVICE r10: multi-unnest ZIP inside the OUTER select after a CTE
+    "WITH c AS (SELECT 1 AS o) "
+    "SELECT unnest([1, 2, 3]) AS u, unnest([10, 20]) AS v FROM c",
+    # later set-op arm
+    "SELECT 0 AS u, 0 AS v UNION ALL "
+    "SELECT unnest([1, 2]) AS u, unnest([7]) AS v ORDER BY u",
 ]
 
 
@@ -370,10 +397,56 @@ def test_alter_raw_literal_fragments(eng, spark):
     eng.execute("DROP TABLE altlit_t")
 
 
+def test_bit_literal_packed(eng, duck):
+    """'101'::BIT packs to duck's client bytes encoding (round 11):
+    first byte = pad-bit count, then MSB-first packed bits with pad
+    bits SET — the fetchdf/probe rendering. Errors mirror duck."""
+    got = eng.query("SELECT '101'::BIT AS a").collect()[0][0]
+    want = duck.execute("SELECT '101'::BIT AS a").fetchdf().iloc[0, 0]
+    assert bytes(got) == bytes(want) == b"\x05\xfd"
+    got2 = eng.query("SELECT CAST('10000001' AS BITSTRING) AS a").collect()[0][0]
+    want2 = duck.execute("SELECT CAST('10000001' AS BITSTRING) AS a").fetchdf().iloc[0, 0]
+    assert bytes(got2) == bytes(want2)
+    with pytest.raises(Exception, match="empty string"):
+        eng.query("SELECT ''::BIT AS a").collect()
+    with pytest.raises(Exception, match="bit conversion"):
+        eng.query("SELECT 'a01'::BIT AS a").collect()
+
+
+def test_bar_vs_duckdb(eng, duck):
+    """bar() pinned value-for-value against live duck (incl. the
+    byte-length padding rule and clamping)."""
+    q = (
+        "SELECT bar(3, 0, 10, 10) AS a, bar(3.3, 0, 10, 10) AS b, "
+        "bar(0, 0, 10, 10) AS c, bar(12, 0, 10, 10) AS d, "
+        "bar(2.5, 0, 10, 10) AS e, bar(9.99, 0, 10, 10) AS f, "
+        "bar(3, 0, 10) AS g, bar(1, 0, 256, 4) AS h, bar(7.9, 0, 8, 1) AS i"
+    )
+    assert _canon(eng.query(q).collect()) == _canon(duck.execute(q).fetchall())
+    with pytest.raises(Exception, match="must be >= 1"):
+        eng.query("SELECT bar(3, 0, 10, 0) AS a").collect()
+
+
+def test_positional_refs(eng, duck):
+    """#n positional references resolve against the FROM relation's
+    columns (round 11), matching duck in select/order positions."""
+    for q in [
+        "SELECT #1 FROM (SELECT 5 AS x)",
+        "SELECT #2, #1 FROM (SELECT 5 AS x, 6 AS y)",
+        "SELECT x FROM (VALUES (2), (1)) t(x) ORDER BY #1",
+    ]:
+        got = eng.query(q)
+        want = duck.execute(q).fetchdf()
+        assert sorted(got.columns) == sorted(want.columns)
+        assert _canon(got.collect()) == _canon(
+            duck.execute(q).fetchall()
+        )
+
+
 def test_documented_divergences(eng):
-    """Pinned-loud divergences: map[key] returns the VALUE (DuckDB 1.2+
-    semantics; 1.0 returned a one-element list — map_extract keeps the
-    1.0 list shape), and alias() of a non-identifier is the raw
-    argument text, not duck's AST rendering."""
-    assert eng.query("SELECT map(['k'], [7])['k'] AS a").collect()[0][0] == 7
+    """Pinned-loud divergences: alias() of a non-identifier is the raw
+    argument text, not duck's AST rendering. (The map[key] divergence is
+    CLOSED in round 11: provable map bases return duck 1.0's [v] list
+    shape — see SHAPES battery + probes map_literal_access / map_fn.)"""
+    assert eng.query("SELECT map(['k'], [7])['k'] AS a").collect()[0][0] == [7]
     assert eng.query("SELECT alias(42) AS a").collect()[0][0] == "42"

@@ -406,3 +406,24 @@ def test_theta_overlap_accuracy(spark, sf_dir):
     assert set(exact_out) == expected_pairs
     for (a, b), got in exact_out.items():
         assert got == len(users[a] & users[b]), (a, b, got)
+
+
+def test_priority_window_fits_driver():
+    """The driver's CORRECTNESS artifact records EXACTLY the first 50
+    registry entries — round 10's 57-name _PRIORITY list silently
+    dropped its 7-row tail (incl. the never-witnessed *_est rows), so
+    the window size is now pinned (VERDICT r10 item 1): every _PRIORITY
+    name must be unique, resolvable, and inside the 50-row window."""
+    from duck_server_spark.operators import _PRIORITY, all_queries
+
+    assert len(_PRIORITY) <= 50, (
+        f"_PRIORITY has {len(_PRIORITY)} names; the driver records only "
+        "the first 50 registry rows — trim the tail or rotate"
+    )
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY name"
+    registry = all_queries()
+    unknown = [n for n in _PRIORITY if n not in registry]
+    assert not unknown, f"_PRIORITY names not in the registry: {unknown}"
+    # the window IS the registry head: priority order must survive the
+    # dict merge in all_queries()
+    assert list(registry)[: len(_PRIORITY)] == _PRIORITY

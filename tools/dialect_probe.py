@@ -26,6 +26,22 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# The ONE documented-divergence list (round 11, VERDICT r10 item 6):
+# probes named here are EXPECTED to differ from live DuckDB, each with
+# its pinned reason — everything else in the battery must match
+# byte-for-byte, and tests/test_dialect_gate.py fails loudly if a
+# previously-passing probe regresses.
+EXPECTED_DIVERGENCES = {
+    "div_zero": (
+        "deliberate: ANSI mode raises loudly on integer division by "
+        "zero where duck returns NULL — repo never-silent convention"
+    ),
+    "fdiv_zero": (
+        "deliberate: ANSI mode raises loudly on float division by zero "
+        "where duck returns NULL"
+    ),
+}
+
 # (name, sql) — every probe is a SELECT DuckDB runs verbatim.
 PROBES = [
     # ---- operators & literals ----
