@@ -299,6 +299,20 @@ CHECKS = {
     "window_shapes_sql": [
         ("FILTER/EXCLUDE lower into the window operator", r"Window"),
     ],
+    # round-11 probe-closure gates: still pure bind-time text — the
+    # date-diff / map-list / bar() / nested-shim templates must stay
+    # codegen'd expressions over ONE pruned scan; the FROM-unnest TVF
+    # is ONE generator; the #n row plans like its hand-written twin
+    "dialect_probe_sql": [
+        ("probe-closure templates under whole-stage codegen", r"WholeStageCodegen"),
+        ("pruned scan includes only used columns", r"ReadSchema: [^\n]*o_orderdate"),
+    ],
+    "unnest_tvf_sql": [
+        ("FROM-unnest is ONE explode generator", r"Generate\b"),
+    ],
+    "positional_ref_sql": [
+        ("positional refs resolve to plain column reads", r"WholeStageCodegen"),
+    ],
 }
 
 FORBIDDEN = {
@@ -347,6 +361,14 @@ FORBIDDEN = {
     "from_first_sql": [("no cartesian product", r"CartesianProduct")],
     # the window conversions must NOT fall back to self-joins
     "window_shapes_sql": [("no self-join for EXCLUDE/FILTER", r"Join")],
+    # round-11 gates: bind-time text adds NO joins / cross products
+    "dialect_probe_sql": [("no join anywhere", r"Join")],
+    # (the row's global ORDER BY legitimately range-partitions — only
+    # joins are forbidden; the generator count is asserted above)
+    "unnest_tvf_sql": [
+        ("one generator, no join", r"Join"),
+    ],
+    "positional_ref_sql": [("no join anywhere", r"Join")],
     # ordered collect must not add a shuffle beyond the group-by's own
     "query_shapes_sql": [("no sort-based extra exchange", r"CartesianProduct")],
     "pivot_stmt_sql": [("no cartesian product", r"CartesianProduct")],
