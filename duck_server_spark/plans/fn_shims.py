@@ -192,11 +192,44 @@ TEMPLATES: dict[str, dict[int, str]] = {
     "gen_random_uuid": {0: "uuid()"},
     "starts_with": {2: "startswith({0}, {1})"},
     "ends_with": {2: "endswith({0}, {1})"},
-    "ucase": {1: "upper({0})"},
+    # duck upper() is utf8proc's 1:1 codepoint map: ß → ẞ (U+1E9E),
+    # never length-changing; Java's toUpperCase does ß → SS. The
+    # pre-translate pins the one common divergent mapping (round 11);
+    # rarer ligature mappings (ﬁ → FI in Java, unchanged in utf8proc)
+    # remain engine variance — documented, not silently claimed.
+    "upper": {1: "upper(translate({0}, 'ß', 'ẞ'))"},
+    "ucase": {1: "upper(translate({0}, 'ß', 'ẞ'))"},
     "lcase": {1: "lower({0})"},
     # len() is duck's polymorphic length — strings are the common case;
-    # list inputs error loudly (use array_length/size)
+    # a PROVABLE list argument routes to size() via the _len callable,
+    # list-typed COLUMNS error loudly (use array_length/size)
     "len": {1: "length({0})"},
+    # array_length is list-only in duck (round 11)
+    "array_length": {1: "size({0})"},
+    # ---- round-11 probe-widening closures (each pinned live) ----
+    # duck log(x) is LOG BASE 10 (Spark's is ln) — a silent-value trap
+    # the widened battery caught; 2-arg log(b, x) matches natively
+    "log": {1: "log10({0})"},
+    # 2-arg trim family: duck is (string, chars); Spark's 2-arg
+    # function spelling is (trimStr, str) — SWAPPED (silent-value trap)
+    "trim": {2: "trim(BOTH {1} FROM {0})"},
+    "ltrim": {2: "trim(LEADING {1} FROM {0})"},
+    "rtrim": {2: "trim(TRAILING {1} FROM {0})"},
+    # numeric trunc-toward-zero (Spark's 1-arg trunc is date-only)
+    "trunc": {
+        1: "(CASE WHEN {0} >= 0 THEN floor({0}) ELSE ceil({0}) END)"
+    },
+    "arbitrary": {1: "any_value({0})"},
+    "week": {1: "weekofyear({0})"},
+    # duck date_add(date, INTERVAL) ≡ date + interval
+    "date_add": {2: "({0} + {1})"},
+    "json_keys": {1: "json_object_keys({0})"},
+    "json_valid": {
+        1: (
+            "CASE WHEN {0} IS NULL THEN NULL "
+            "ELSE try_parse_json(CAST({0} AS STRING)) IS NOT NULL END"
+        )
+    },
     # list_resize pads with NULL / truncates (pinned: [1,2]→4 =
     # [1,2,NULL,NULL]); slice-guard keeps n=0 from reversing sequence()
     "list_resize": {
@@ -741,6 +774,90 @@ def _bar(args: list[str]) -> str | None:
     )
 
 
+_BRACKET_LIST_HEAD = re.compile(
+    r"^\s*(\[|array\s*\(|list_value\s*\(|collect_list\s*\(|collect_set\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _len(args: list[str]) -> str | None:
+    """duck len() is polymorphic string/list — a PROVABLE list argument
+    routes to size(); everything else falls to the length() template."""
+    if len(args) == 1 and _BRACKET_LIST_HEAD.match(args[0]):
+        return f"size({args[0]})"
+    return None
+
+
+def _make_timestamp(args: list[str]) -> str | None:
+    """duck 1-arg make_timestamp(microseconds) (round 11); the 6-arg
+    calendar form matches Spark natively and passes through."""
+    if len(args) == 1:
+        return f"timestamp_micros(CAST({args[0]} AS BIGINT))"
+    return None
+
+
+def _json_path(p: str) -> str | None:
+    """Normalize a duck json path LITERAL ('a', '$.a.b[1]', '/a/b') to
+    Spark's $-rooted form; None for non-literal / list paths (loud)."""
+    pm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", p)
+    if pm is None:
+        return None
+    raw = pm.group(1)
+    if raw.startswith("$"):
+        return raw
+    if raw.startswith("/"):
+        segs = [s for s in raw.split("/") if s]
+        out = "$"
+        for s in segs:
+            out += f"[{s}]" if s.isdigit() else f".{s}"
+        return out
+    return f"$.{raw}"
+
+
+def _json_extract(args: list[str]) -> str | None:
+    """duck json_extract returns JSON text (string leaves KEEP their
+    quotes — '\"x\"'); Spark's variant path extraction + to_json
+    reproduces that rendering exactly (pinned live round 11). Only
+    literal scalar paths rewrite; list-path / dynamic forms are loud."""
+    if len(args) != 2:
+        return None
+    path = _json_path(args[1])
+    if path is None:
+        return None
+    return f"to_json(variant_get(try_parse_json(CAST({args[0]} AS STRING)), '{path}'))"
+
+
+def _json_extract_string(args: list[str]) -> str | None:
+    """->> semantics: TEXT extraction (string leaves unquoted)."""
+    if len(args) != 2:
+        return None
+    path = _json_path(args[1])
+    if path is None:
+        return None
+    return f"get_json_object(CAST({args[0]} AS STRING), '{path}')"
+
+
+def _struct_insert(args: list[str]) -> str | None:
+    """struct_insert({…}, name := expr, …) with a BRACE-LITERAL struct:
+    merged at bind time into one literal (the later brace pass converts
+    it to named_struct). Non-literal struct args pass through (loud —
+    Spark has no SQL-level field insert)."""
+    if len(args) < 2:
+        return None
+    base = args[0].strip()
+    if not (base.startswith("{") and base.endswith("}")):
+        return None
+    adds = []
+    for a in args[1:]:
+        am = re.match(r"\s*([A-Za-z_]\w*)\s*:=(.*)$", a, re.DOTALL)
+        if am is None:
+            return None
+        adds.append(f"'{am.group(1)}': {am.group(2).strip()}")
+    inner = base[1:-1].strip()
+    joined = (inner + ", " if inner else "") + ", ".join(adds)
+    return "{" + joined + "}"
+
+
 def _null_literal_arg(args: list[str]) -> str | None:
     """A bare untyped NULL literal argument can't reach zip_with (typed
     NULL columns ride the CASE guard): short-circuit to NULL."""
@@ -766,6 +883,13 @@ CALLABLES: dict[str, object] = {
     "alias": _alias,
     "time_bucket": _time_bucket,
     "bar": _bar,
+    "len": _len,
+    "make_timestamp": _make_timestamp,
+    "json_extract": _json_extract,
+    "json_extract_path": _json_extract,
+    "json_extract_string": _json_extract_string,
+    "json_extract_path_text": _json_extract_string,
+    "struct_insert": _struct_insert,
     "date_part": _date_part,
     "datepart": _date_part,
     "count": _count,

@@ -153,7 +153,7 @@ _DUCK_FN_RE = re.compile(
 # list_reduce / list_sum / list_avg / list_aggregate get expression
 # shims below (round 10) — a pure rename can't express their NULL-skip
 # and typed-zero semantics.
-_LIST_SLICE = re.compile(r"\blist_slice\s*\(", re.IGNORECASE)
+_LIST_SLICE = re.compile(r"\b(?:list_slice|array_slice)\s*\(", re.IGNORECASE)
 _NONNEG_INT = re.compile(r"^\s*\+?\d+\s*$")
 
 
@@ -179,9 +179,18 @@ _LIST_FN_SHIM = re.compile(
     r"|list_unique|array_unique|list_sum|list_avg"
     r"|list_count|list_reduce|list_aggregate|list_aggr|array_aggregate"
     r"|list_prepend|array_prepend|list_has_all|array_has_all"
-    r"|struct_extract|struct_pack)\s*\(|\brange\(",
+    r"|struct_extract|struct_pack|array_sort)\s*\(|\brange\(",
     re.IGNORECASE,
 )
+# duck list_sort('ASC'|'DESC'[, 'NULLS FIRST'|'NULLS LAST']) option
+# combos → Spark spellings (pinned live round 11: DESC default is
+# NULLS LAST like list_reverse_sort; ASC default NULLS LAST)
+_SORT_ORDER_TPL = {
+    ("asc", "nulls last"): "__SPARK_ARRAY_SORT__({x})",
+    ("asc", "nulls first"): "sort_array({x}, true)",
+    ("desc", "nulls last"): "sort_array({x}, false)",
+    ("desc", "nulls first"): "reverse(__SPARK_ARRAY_SORT__({x}))",
+}
 # array_* → the list_* template/dispatch key it shares semantics with
 _LIST_FN_CANON = {
     "array_reverse_sort": "list_reverse_sort",
@@ -354,6 +363,7 @@ def _rewrite_list_fn_shims(q: str) -> str:
     # rewrite INTO — a raw array_prepend(…) replacement would re-match
     # and swap its arguments forever)
     q = q.replace("__SPARK_ARRAY_DISTINCT__(", "array_distinct(")
+    q = q.replace("__SPARK_ARRAY_SORT__(", "array_sort(")
     return q.replace("__SPARK_ARRAY_PREPEND__(", "array_prepend(")
 
 
@@ -396,9 +406,53 @@ def _rewrite_list_fn_shims_inner(q: str) -> str:
                     f"slice(sequence(({a}), greatest(({b}) - 1, ({a}))), 1, "
                     f"greatest(({b}) - ({a}), 0))"
                 )
+            elif len(args) == 3:
+                # stepped scalar range: INT-LITERAL args materialize at
+                # bind time (round 11 — covers range(5, 1, -2) = [5, 3];
+                # the span is user-typed-literal-bounded). Non-literal
+                # steps pass through and error loudly.
+                try:
+                    a0, b0, s0 = (int(x) for x in args)
+                except ValueError:
+                    pos = m.end()
+                    continue
+                if s0 == 0:
+                    pos = m.end()  # duck errors; Spark errors too: loud
+                    continue
+                vals = list(range(a0, b0, s0))
+                repl = (
+                    f"array({', '.join(str(v) for v in vals)})"
+                    if vals
+                    else "slice(array(0), 1, 0)"
+                )
             else:
                 pos = m.end()
                 continue
+        elif fname == "array_sort":
+            # duck list_sort/array_sort with STRING-LITERAL order
+            # options (the bare and lambda forms pass through — they
+            # match Spark natively). list_sort was alias-renamed to
+            # array_sort before this pass runs (round 11).
+            if len(args) not in (2, 3):
+                pos = m.end()
+                continue
+            om = re.fullmatch(r"\s*'(asc|desc)'\s*", args[1], re.IGNORECASE)
+            if om is None:
+                pos = m.end()  # lambda comparator: native
+                continue
+            order = om.group(1).lower()
+            nulls = "nulls last"
+            if len(args) == 3:
+                nm2 = re.fullmatch(
+                    r"\s*'(nulls\s+first|nulls\s+last)'\s*",
+                    args[2],
+                    re.IGNORECASE,
+                )
+                if nm2 is None:
+                    pos = m.end()
+                    continue
+                nulls = re.sub(r"\s+", " ", nm2.group(1).lower())
+            repl = _SORT_ORDER_TPL[(order, nulls)].replace("{x}", args[0])
         elif fname == "list_prepend":
             # DuckDB: list_prepend(elem, list); Spark: array_prepend(
             # list, elem) — same name family, SWAPPED argument order
@@ -510,9 +564,14 @@ def _rewrite_list_slice(q: str) -> str:
         ):
             pos = m.end()  # non-literal / zero-start / negative: loud error
             continue
-        # greatest(…, 0): DuckDB yields [] when end < start; Spark's slice
-        # errors on a negative length, so the length clamps at zero
-        repl = f"slice({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
+        if re.fullmatch(r"\s*'(?:[^']|'')*'\s*", lst):
+            # duck list_slice/array_slice over a STRING takes 1-based
+            # substring semantics (pinned: list_slice('abcde',2,3)='bc')
+            repl = f"substring({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
+        else:
+            # greatest(…, 0): DuckDB yields [] when end < start; Spark's
+            # slice errors on a negative length, so the length clamps at 0
+            repl = f"slice({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
         q = q[: m.start()] + repl + q[i:]
         pos = m.start()  # rescan the replacement: nested list_slice inside
 
@@ -2978,6 +3037,7 @@ def rewrite_common(q: str) -> str:
         if em is None:
             break
         q = q[: em.start()] + "STRING" + q[em.end() :]
+    q = _rewrite_literal_int_casts(q)  # duck half-away rounding (r11)
     q = _rewrite_bit_literals(q)  # before bit→string type mapping (r11)
     q = _sub_outside_literals(q, lambda seg: _PG_CAST.sub(_cast_type, seg))
     q = _sub_outside_literals(q, lambda seg: _CURRENT_SCHEMA.sub("current_database()", seg))
@@ -3014,6 +3074,11 @@ def rewrite_common(q: str) -> str:
     q = _sub_outside_literals(
         q, lambda seg: _BARE_FILTER.sub(r"\1WHERE ", seg)
     )
+    # duck-inside-parens IGNORE/RESPECT NULLS → Spark-outside (r11)
+    q = _sub_outside_literals(
+        q, lambda seg: _NULLS_TREATMENT_IN_CALL.sub(r") \1 NULLS", seg)
+    )
+    q = _rewrite_named_window_refinement(q)  # OVER (w frame…) (r11)
     # FILTER over a WINDOW (Spark: 'not supported yet') → conditional
     # input; frame EXCLUDE CURRENT ROW → frame minus current (round 10)
     q = _rewrite_filter_over_window(q)
@@ -3033,6 +3098,105 @@ def rewrite_common(q: str) -> str:
     if "__DUCK_LV__" in q:
         q = q.replace("__DUCK_LV__", "list_value")
     return rewrite_file_functions(q)
+
+
+# duck puts IGNORE/RESPECT NULLS INSIDE the call parens —
+# `first_value(x IGNORE NULLS)`; Spark wants it outside the parens.
+# The spelling `<kw> NULLS)` is unambiguous (no other clause ends that
+# way), so a guarded swap moves it out (round 11).
+_NULLS_TREATMENT_IN_CALL = re.compile(
+    r"\s+(IGNORE|RESPECT)\s+NULLS\s*\)", re.IGNORECASE
+)
+
+# `OVER (w ROWS …)` — a named-window REFINEMENT (base window + frame).
+# Spark supports named windows (`OVER w`) but not refinements, so the
+# base spec is inlined at bind time (round 11).
+_WINDOW_DEF = re.compile(r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _rewrite_named_window_refinement(q: str) -> str:
+    masked = _mask_literals(q)
+    if not _WINDOW_DEF.search(masked):
+        return q
+    specs: dict[str, str] = {}
+    for wm in _WINDOW_DEF.finditer(masked):
+        end = _scan_balanced(masked, wm.end())
+        specs[wm.group(1).lower()] = q[wm.end() : end - 1]
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for om in re.finditer(r"\bOVER\s*\(\s*([A-Za-z_]\w*)\b", masked, re.IGNORECASE):
+            name = om.group(1).lower()
+            rest = masked[om.end() :].lstrip()
+            if name in specs and not rest.startswith(")"):
+                hit = (om, name)
+                break
+        if hit is None:
+            return q
+        om, name = hit
+        q = q[: om.start(1)] + specs[name] + " " + q[om.end(1) :]
+
+
+# Numeric-LITERAL casts to integer types round HALF AWAY FROM ZERO in
+# DuckDB (2.5::INT = 3, '1.9'::INT = 2) where Spark truncates — closed
+# at bind time for provable literals (round 11). COLUMN casts keep
+# Spark semantics: the tie rule is source-type-dependent there
+# (DECIMAL half-away vs DOUBLE banker's — pinned live) and bind-time
+# text cannot know the type; documented in the probe divergence list.
+_INT_TYPES = r"(?:u?tinyint|u?smallint|u?integer|int2|int4|int8|int|bigint|hugeint)"
+_LIT_INT_CAST = re.compile(
+    rf"(?<![\w.'])(\d+\.\d+)(?=\s*::\s*{_INT_TYPES}\b)", re.IGNORECASE
+)
+_CAST_NUM_INT = re.compile(
+    rf"(\bCAST\s*\(\s*|\bTRY_CAST\s*\(\s*)(\d+\.\d+)(?=\s+AS\s+{_INT_TYPES}\s*\))",
+    re.IGNORECASE,
+)
+_STR_SPAN_POSTFIX = re.compile(rf"\s*::\s*{_INT_TYPES}\b", re.IGNORECASE)
+_STR_SPAN_CAST_PRE = re.compile(r"\b(?:TRY_)?CAST\s*\(\s*$", re.IGNORECASE)
+_STR_SPAN_CAST_POST = re.compile(rf"\s+AS\s+{_INT_TYPES}\s*\)", re.IGNORECASE)
+_NUMERIC_DEC = re.compile(r"\s*[+-]?\d+\.\d+\s*")
+
+
+def _round_half_away(txt: str) -> str:
+    import decimal
+
+    d = decimal.Decimal(txt.strip())
+    return str(d.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+
+def _rewrite_literal_int_casts(q: str) -> str:
+    if "." not in q:
+        return q
+    # bare decimal literals (digits are visible in the masked twin)
+    q = _sub_outside_literals(
+        q,
+        lambda s: _CAST_NUM_INT.sub(
+            lambda m: m.group(1) + _round_half_away(m.group(2)),
+            _LIT_INT_CAST.sub(lambda m: _round_half_away(m.group(1)), s),
+        ),
+    )
+    # quoted decimal-string literals: walk the protected quote spans
+    # directly ('1.9'::INT / CAST('2.5' AS INT)) — the content is
+    # invisible to segment-based passes by design
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for s, e, kind in _protected_spans(q):
+            if kind != "quote":
+                continue
+            content = q[s + 1 : e - 1]
+            if not _NUMERIC_DEC.fullmatch(content):
+                continue
+            if _STR_SPAN_POSTFIX.match(masked, e) or (
+                _STR_SPAN_CAST_PRE.search(masked[:s])
+                and _STR_SPAN_CAST_POST.match(masked, e)
+            ):
+                hit = (s, e, content)
+                break
+        if hit is None:
+            return q
+        s, e, content = hit
+        q = q[:s] + _round_half_away(content) + q[e:]
 
 
 # '101'::BIT — DuckDB's BITSTRING packs to bytes client-side: first
@@ -3111,7 +3275,11 @@ def _rewrite_date_minus_date(q: str) -> str:
         )
 
 
-_STAR_REPLACE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+# optional intervening EXCEPT (…) — duck allows `* EXCLUDE (…) REPLACE
+# (…)` and the EXCLUDE→EXCEPT swap runs first (round 11)
+_STAR_REPLACE = re.compile(
+    r"\*\s+(?:EXCEPT\s*\(([^()]*)\)\s*)?REPLACE\s*\(", re.IGNORECASE
+)
 
 
 def _split_top_level(s: str, masked: str | None = None) -> list[str]:
@@ -3169,6 +3337,8 @@ def rewrite_star_replace(q: str) -> str:
         re.split(r"\s+as\s+", it, flags=re.IGNORECASE)[-1].strip().strip('"')
         for it in items
     ]
+    if m.group(1):  # merged EXCLUDE/EXCEPT list (round 11)
+        names = [c.strip() for c in m.group(1).split(",") if c.strip()] + names
     repl = f"* EXCEPT ({', '.join(names)}), {', '.join(items)}"
     return rewrite_star_replace(q[: m.start()] + repl + q[i:])
 

@@ -40,6 +40,13 @@ EXPECTED_DIVERGENCES = {
         "deliberate: ANSI mode raises loudly on float division by zero "
         "where duck returns NULL"
     ),
+    "col_int_cast_round": (
+        "documented: duck rounds numeric COLUMN casts to integer types "
+        "(tie rule is source-type-dependent: DECIMAL half-away, DOUBLE "
+        "banker's — pinned live); bind-time text cannot know a column's "
+        "type, so column casts keep Spark truncation. LITERAL casts are "
+        "closed (probe lit_int_cast_round)"
+    ),
 }
 
 # (name, sql) — every probe is a SELECT DuckDB runs verbatim.
@@ -239,6 +246,90 @@ PROBES = [
     ("raw_regex_literal", r"SELECT regexp_extract('x12', '(\d+)') AS a"),
     ("typeof_spellings", "SELECT typeof(1::SMALLINT) AS a, typeof('s') AS b"),
     ("comment_apostrophe", "SELECT regexp_matches('a1', '\\d') AS a, -- don't strip\n regexp_matches('b2', '\\d') AS b"),
+    # ---- round-11 widening: string fns ----
+    ("bin_hex", "SELECT bin(5::INT) AS a, hex(255) AS b"),
+    ("split_part", "SELECT split_part('a,b,c', ',', 2) AS a, split_part('a,b', ',', 9) AS b"),
+    ("position_in", "SELECT position('b' IN 'abc') AS a"),
+    ("substr_neg", "SELECT substring('abcde', 2) AS a, substr('abcde', 2, 2) AS b"),
+    ("pad_fns", "SELECT lpad('7', 3, '0') AS a, rpad('x', 4, '.') AS b"),
+    ("trim_chars", "SELECT trim('xxaxx', 'x') AS a, ltrim('xxa', 'x') AS b, rtrim('axx', 'x') AS c"),
+    ("reverse_str", "SELECT reverse('abc') AS a"),
+    ("contains_fn", "SELECT contains('abc', 'b') AS a, list_contains([1,2], 2) AS b"),
+    ("replace_fn", "SELECT replace('aaa', 'a', 'b') AS a"),
+    ("concat_ws_nulls", "SELECT concat_ws('-', 'a', NULL, 'b') AS a"),
+    ("like_escape", "SELECT 'a_c' LIKE 'a!_c' ESCAPE '!' AS a"),
+    ("caseless", "SELECT upper('straße') AS a, lower('ÄB') AS b"),
+    # ---- list fns ----
+    ("list_aggregate_fn", "SELECT list_aggregate([1,2,3], 'sum') AS a, list_aggregate([3,1], 'min') AS b"),
+    ("list_sum_avg", "SELECT list_sum([1,2,3]) AS a, round(list_avg([1.0,2,3]), 6) AS b"),
+    ("list_sort_params", "SELECT list_sort([3,1,2], 'DESC') AS a, list_reverse_sort([1,3,2]) AS b"),
+    ("list_unique_fn", "SELECT list_unique([1,1,2,NULL]) AS a, array_sort(list_distinct([1,1,2])) AS b"),
+    ("list_position_fn", "SELECT list_position([10,20], 20) AS a, list_contains([1,2], 3) AS b"),
+    ("list_has_any_all", "SELECT list_has_any([1,2],[2,9]) AS a, list_has_all([1,2,3],[1,3]) AS b"),
+    ("list_append_prepend", "SELECT list_append([1,2], 3) AS a, list_prepend(0, [1,2]) AS b"),
+    ("array_slice_fn", "SELECT array_slice([1,2,3,4], 2, 3) AS a, list_slice('abcde', 2, 3) AS b"),
+    ("list_reverse_fn", "SELECT list_reverse([1,2,3]) AS a"),
+    ("list_reduce_fn", "SELECT list_reduce([1,2,3], (a, b) -> a * b) AS a"),
+    ("len_of_list", "SELECT len([1,2,3]) AS a, array_length([1,2]) AS b"),
+    ("range_negative", "SELECT range(5, 1, -2) AS a"),
+    # ---- struct / map ----
+    ("struct_insert_fn", "SELECT struct_insert({'a': 1}, b := 2) AS a"),
+    ("struct_extract_fn", "SELECT struct_extract({'a': 7, 'b': 2}, 'a') AS a"),
+    ("map_keys_values", "SELECT map_keys(MAP {'k': 1, 'j': 2}) AS a, map_values(MAP {'k': 1}) AS b"),
+    ("map_entries_card", "SELECT cardinality(MAP {'k': 1, 'j': 2}) AS a"),
+    ("map_from_entries_fn", "SELECT map_from_entries([{'k': 'a', 'v': 1}]) IS NOT NULL AS a"),
+    ("struct_eq", "SELECT {'a': 1, 'b': 2} = {'a': 1, 'b': 2} AS a"),
+    # ---- date/time ----
+    ("date_diff_fn", "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-01') AS a, datediff('month', DATE '2024-01-15', DATE '2024-03-01') AS b"),
+    ("date_add_fn", "SELECT date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS a"),
+    ("day_parts", "SELECT dayofyear(DATE '2024-03-01') AS a, quarter(DATE '2024-05-01') AS b, week(DATE '2024-01-05') AS c"),
+    ("make_ts_ms", "SELECT make_timestamp(1704164645000000::BIGINT) AS a"),
+    ("current_date_arith", "SELECT (current_date + 1) > current_date AS a"),
+    ("greatest_dates", "SELECT greatest(DATE '2024-01-01', DATE '2023-01-01') AS a"),
+    ("ts_precision", "SELECT TIMESTAMP '2024-01-01 01:02:03.456789' AS a"),
+    # ---- JSON ----
+    ("json_extract_path", "SELECT json_extract('{\"a\": {\"b\": [1, 2]}}', '$.a.b[1]') AS a"),
+    ("json_extract_string", "SELECT json_extract_string('{\"a\": \"x\"}', '$.a') AS a"),
+    ("json_array_length_fn", "SELECT json_array_length('[1,2,3]') AS a"),
+    ("json_valid_fn", "SELECT json_valid('{\"a\":1}') AS a, json_valid('{nope') AS b"),
+    ("json_keys_fn", "SELECT json_keys('{\"a\":1,\"b\":2}') AS a"),
+    ("row_to_json", "SELECT to_json({'a': 1}) AS a"),
+    # ---- casts & numerics ----
+    ("str_to_int_round", "SELECT TRY_CAST('1.9' AS INT) AS a, CAST(' 5 ' AS INT) AS b"),
+    ("lit_int_cast_round", "SELECT 2.5::INT AS a, 1.9::INT AS b, CAST(2.45 AS INT) AS c, '-1.5'::INT AS d"),
+    ("col_int_cast_round", "SELECT CAST(x AS INT) AS a FROM (VALUES (1.9), (2.5)) t(x)"),
+    ("bool_spellings", "SELECT 'true'::BOOL AS a, 't'::BOOL AS b, '0'::BOOL AS c"),
+    ("float_specials", "SELECT 'inf'::DOUBLE > 0 AS a, isnan('nan'::DOUBLE) AS b"),
+    ("neg_zero", "SELECT -0.0 = 0.0 AS a"),
+    ("round_half", "SELECT round(2.5) AS a, round(-2.5) AS b, round(2.345, 2) AS c"),
+    ("ceil_floor_trunc", "SELECT ceil(1.2) AS a, floor(-1.2) AS b, trunc(-1.7) AS c"),
+    ("log_fns", "SELECT round(log(100), 6) AS a, round(ln(exp(1)), 6) AS b, round(log2(8), 6) AS c"),
+    ("int_overflow_guard", "SELECT 127::TINYINT + 0 AS a"),
+    # ---- aggregates ----
+    ("string_agg_distinct", "SELECT string_agg(DISTINCT x, ',' ORDER BY x) AS a FROM (VALUES ('b'), ('a'), ('b')) t(x)"),
+    ("multi_col_distinct", "SELECT count(DISTINCT (o_orderpriority, o_orderstatus)) AS a FROM orders"),
+    ("corr_covar", "SELECT round(corr(o_totalprice, o_orderkey), 6) AS a, round(covar_pop(o_totalprice, o_orderkey), 4) AS b FROM orders"),
+    ("var_std", "SELECT round(var_pop(r_regionkey), 6) AS a, round(stddev_samp(r_regionkey), 6) AS b FROM region"),
+    ("first_last_agg", "SELECT first(x ORDER BY x) AS a, last(x ORDER BY x) AS b, arbitrary(x) IS NOT NULL AS c FROM (VALUES (2), (1)) t(x)"),
+    ("agg_list_structs", "SELECT list({'k': x} ORDER BY x) AS a FROM (VALUES (2), (1)) t(x)"),
+    ("approx_quantile_fn", "SELECT approx_quantile(o_totalprice, 0.5) BETWEEN 1 AND 1e9 AS a FROM orders"),
+    ("median_fn", "SELECT median(x) AS a FROM (VALUES (1), (2), (3), (4)) t(x)"),
+    # ---- window extras ----
+    ("win_ntile_pct", "SELECT r_regionkey, ntile(2) OVER (ORDER BY r_regionkey) AS a, round(percent_rank() OVER (ORDER BY r_regionkey), 6) AS b, round(cume_dist() OVER (ORDER BY r_regionkey), 6) AS c FROM region ORDER BY r_regionkey"),
+    ("win_lead_default", "SELECT r_regionkey, lead(r_regionkey, 1, -1) OVER (ORDER BY r_regionkey) AS a FROM region ORDER BY r_regionkey"),
+    ("win_first_ignore_nulls", "SELECT x, first_value(y IGNORE NULLS) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1, NULL), (2, 'v'), (3, 'w')) t(x, y) ORDER BY x"),
+    ("win_named_frame", "SELECT x, sum(x) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW w AS (ORDER BY x) ORDER BY x"),
+    # ---- query shapes ----
+    ("having_no_group", "SELECT count(*) AS c FROM region HAVING count(*) > 1"),
+    ("order_by_all_desc", "SELECT r_regionkey % 2 AS m, r_regionkey FROM region ORDER BY ALL DESC"),
+    ("select_exclude_replace", "SELECT * EXCLUDE (r_name) REPLACE (r_regionkey * 10 AS r_regionkey) FROM region ORDER BY r_regionkey LIMIT 2"),
+    ("union_coercion", "SELECT 1 AS v UNION ALL SELECT 2.5 ORDER BY v"),
+    ("exists_in_select", "SELECT r_regionkey, EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS has_n FROM region r ORDER BY r_regionkey"),
+    ("scalar_subq_expr", "SELECT r_regionkey + (SELECT min(n_nationkey) FROM nation) AS a FROM region ORDER BY a LIMIT 2"),
+    ("row_compare", "SELECT (1, 2) = (1, 2) AS a, (1, 2) < (1, 3) AS b"),
+    ("grouping_fn", "SELECT o_orderpriority, grouping(o_orderpriority) AS g, count(*) AS c FROM orders GROUP BY ROLLUP (o_orderpriority) ORDER BY g, o_orderpriority NULLS FIRST LIMIT 3"),
+    ("distinct_expr", "SELECT DISTINCT o_orderkey % 3 AS m FROM orders ORDER BY m"),
+    ("nested_cte_reuse", "WITH a AS (SELECT 1 AS x), b AS (SELECT x + 1 AS y FROM a) SELECT y FROM b"),
 ]
 
 
