@@ -1339,7 +1339,18 @@ def _rewrite_distinct_on(q: str) -> str:
 # incl. } (brace literals) and ' (string literals: 'xyz'[2] subscripts)
 _PRIMARY_END = re.compile(r"[\w$\"`'\)\]}]")
 _INT_LIT = re.compile(r"^\s*(-?\d+)\s*$")
-_SLICE_LIT = re.compile(r"^\s*(\d*)\s*:\s*(\d*)\s*$")
+_SLICE_LIT = re.compile(r"^\s*(-?\d+|)\s*:\s*(-?\d+|)\s*$")
+
+
+def _slice_bound(lit: str, default: str, size_expr: str) -> str:
+    """1-based slice bound; a NEGATIVE literal counts from the end
+    (duck: -1 = last element, pinned [1..5][-3:-2] = [3,4])."""
+    if not lit:
+        return default
+    v = int(lit)
+    if v < 0:
+        return f"({size_expr} + 1 - {-v})"
+    return str(v)
 # a bracket directly after one of these WORDS is a literal, not a
 # subscript of the keyword ("SELECT [1,2]", "WHEN [..] THEN", "IN", …)
 _NON_PRIMARY_KEYWORDS = frozenset(
@@ -1566,14 +1577,12 @@ def _rewrite_subscripts(q: str) -> str:
                 idx = int(il.group(1))
                 repl = "''" if idx == 0 else f"substring({base}, {idx}, 1)"
             elif sl and is_str:
-                # duck clamps a 0 start to 1 (pinned: 'abcde'[0:2]='ab')
-                a = f"greatest({sl.group(1) or '1'}, 1)"
-                b = sl.group(2)
-                length = (
-                    f"greatest(({b}) - ({a}) + 1, 0)"
-                    if b
-                    else f"greatest(length({base}) - ({a}) + 1, 0)"
-                )
+                # duck clamps a 0 start to 1 (pinned: 'abcde'[0:2]='ab');
+                # negative bounds count from the end (round 11)
+                size_e = f"length({base})"
+                a = f"greatest({_slice_bound(sl.group(1), '1', size_e)}, 1)"
+                b = _slice_bound(sl.group(2), size_e, size_e)
+                length = f"greatest(({b}) - ({a}) + 1, 0)"
                 repl = f"substring({base}, ({a}), {length})"
             elif il:
                 idx = int(il.group(1))
@@ -1582,14 +1591,12 @@ def _rewrite_subscripts(q: str) -> str:
                 )
             elif sl:
                 # duck clamps a 0 start to 1 for lists too (pinned:
-                # [1,2,3][0:2] = [1,2]; Spark slice() errors on 0)
-                a = f"greatest({sl.group(1) or '1'}, 1)"
-                b = sl.group(2)
-                length = (
-                    f"greatest(({b}) - ({a}) + 1, 0)"
-                    if b
-                    else f"greatest(size({base}) - ({a}) + 1, 0)"
-                )
+                # [1,2,3][0:2] = [1,2]; Spark slice() errors on 0);
+                # negative bounds count from the end (round 11)
+                size_e = f"size({base})"
+                a = f"greatest({_slice_bound(sl.group(1), '1', size_e)}, 1)"
+                b = _slice_bound(sl.group(2), size_e, size_e)
+                length = f"greatest(({b}) - ({a}) + 1, 0)"
                 repl = f"slice({base}, ({a}), {length})"
             else:
                 continue  # non-literal index/slice: pass through
@@ -3037,6 +3044,11 @@ def rewrite_common(q: str) -> str:
         if em is None:
             break
         q = q[: em.start()] + "STRING" + q[em.end() :]
+    q = rewrite_bare_values(q)  # duck col0… naming (r11)
+    q = _sub_outside_literals(
+        q, lambda seg: _COLLATE_NOCASE.sub("COLLATE UTF8_LCASE", seg)
+    )
+    q = _rewrite_epoch_ts(q)
     q = _rewrite_literal_int_casts(q)  # duck half-away rounding (r11)
     q = _rewrite_bit_literals(q)  # before bit→string type mapping (r11)
     q = _sub_outside_literals(q, lambda seg: _PG_CAST.sub(_cast_type, seg))
@@ -3098,6 +3110,74 @@ def rewrite_common(q: str) -> str:
     if "__DUCK_LV__" in q:
         q = q.replace("__DUCK_LV__", "list_value")
     return rewrite_file_functions(q)
+
+
+# duck COLLATE NOCASE ↔ Spark 4's native UTF8_LCASE collation —
+# comparisons, ORDER BY, and projections all match (pinned live r11:
+# both keep the original value when projected, compare case-blind)
+_COLLATE_NOCASE = re.compile(r"\bCOLLATE\s+NOCASE\b", re.IGNORECASE)
+
+# 'epoch'::TIMESTAMP / CAST('epoch' AS TIMESTAMP) — duck's named
+# timestamp literal for 1970-01-01 00:00:00 (infinity/-infinity have NO
+# Spark representation and stay loud). Span-walk like the BIT packer:
+# the literal itself is invisible to segment-based passes.
+_EPOCH_POSTFIX = re.compile(r"\s*::\s*timestamp(_ntz)?\b", re.IGNORECASE)
+_EPOCH_CAST_POST = re.compile(r"\s+AS\s+TIMESTAMP(_NTZ)?\s*\)", re.IGNORECASE)
+_EPOCH_VALUE = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+def _rewrite_epoch_ts(q: str) -> str:
+    if "epoch" not in q.lower():
+        return q
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for s, e, kind in _protected_spans(q):
+            if kind != "quote" or q[s + 1 : e - 1].strip().lower() != "epoch":
+                continue
+            if _EPOCH_POSTFIX.match(masked, e):
+                hit = (s, _EPOCH_POSTFIX.match(masked, e).end(), _EPOCH_VALUE)
+                break
+            pre = _STR_SPAN_CAST_PRE.search(masked[:s])
+            post = _EPOCH_CAST_POST.match(masked, e)
+            if pre and post:
+                hit = (pre.start(), post.end(), _EPOCH_VALUE)
+                break
+        if hit is None:
+            return q
+        s0, e0, rep = hit
+        q = q[:s0] + rep + q[e0:]
+
+# bare VALUES statement: duck names the columns col0, col1, … (Spark
+# names them col1, col2, …) — wrap with an explicit alias (round 11)
+_BARE_VALUES = re.compile(r"^\s*VALUES\s*\(", re.IGNORECASE)
+_VALUES_TAIL = re.compile(
+    r"\b(ORDER|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE
+)
+
+
+def rewrite_bare_values(q: str) -> str:
+    m = _BARE_VALUES.match(q)
+    if m is None:
+        return q
+    masked = _mask_literals(q)
+    # arity of the first tuple
+    first_end = _scan_balanced(masked, m.end())
+    arity = len(
+        _split_top_level(q[m.end() : first_end - 1], masked[m.end() : first_end - 1])
+    )
+    # rows list ends at the first depth-0 tail keyword (or statement end)
+    depth, split = 0, len(q)
+    vstart = q.upper().index("VALUES")
+    for t in _VALUES_TAIL.finditer(masked):
+        before = masked[vstart : t.start()]
+        if before.count("(") == before.count(")"):
+            split = t.start()
+            break
+    cols = ", ".join(f"col{i}" for i in range(arity))
+    return (
+        f"SELECT * FROM ({q[:split].rstrip().rstrip(';')}) t({cols}) {q[split:]}"
+    )
 
 
 # duck puts IGNORE/RESPECT NULLS INSIDE the call parens —

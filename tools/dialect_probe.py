@@ -330,6 +330,30 @@ PROBES = [
     ("grouping_fn", "SELECT o_orderpriority, grouping(o_orderpriority) AS g, count(*) AS c FROM orders GROUP BY ROLLUP (o_orderpriority) ORDER BY g, o_orderpriority NULLS FIRST LIMIT 3"),
     ("distinct_expr", "SELECT DISTINCT o_orderkey % 3 AS m FROM orders ORDER BY m"),
     ("nested_cte_reuse", "WITH a AS (SELECT 1 AS x), b AS (SELECT x + 1 AS y FROM a) SELECT y FROM b"),
+    # ---- round-11 second discovery pass ----
+    ("win_range_interval", "SELECT o_orderkey, count(*) OVER (ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey"),
+    ("collate_nocase", "SELECT 'ABC' COLLATE NOCASE = 'abc' AS a, 'ABC' COLLATE NOCASE AS v"),
+    ("nested_comprehension", "SELECT [[y * 2 FOR y IN x] FOR x IN [[1], [2, 3]]] AS a"),
+    ("interval_mult", "SELECT INTERVAL 2 DAY * 3 AS a"),
+    ("interval_extract", "SELECT extract(day FROM INTERVAL '3 days 4 hours') AS a"),
+    ("date_trunc_quarter", "SELECT date_trunc('quarter', DATE '2024-05-10') AS a"),
+    ("is_true", "SELECT (1 = 1) IS TRUE AS a, (NULL = 1) IS NOT FALSE AS b"),
+    ("null_order_agg", "SELECT string_agg(x, ',' ORDER BY x NULLS FIRST) AS a FROM (VALUES ('b'), (NULL), ('a')) t(x)"),
+    ("count_if", "SELECT count_if(r_regionkey > 1) AS a FROM region"),
+    ("lead_over_partition", "SELECT n_nationkey, lag(n_name, 2) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS p FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("array_agg_distinct", "SELECT array_sort(array_agg(DISTINCT n_regionkey)) AS a FROM nation"),
+    ("substring_for", "SELECT substring('abcde' FROM 2 FOR 3) AS a"),
+    ("case_expr_form", "SELECT CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' END AS a"),
+    ("values_ordered", "VALUES (2), (1) ORDER BY 1"),
+    ("values_two_cols", "VALUES (2, 'b'), (1, 'a') ORDER BY 1 LIMIT 1"),
+    ("select_from_values_alias", "FROM (VALUES (1, 'x')) t(a, b) SELECT b, a"),
+    ("str_concat_num", "SELECT 'v' || 5 AS a"),
+    ("grouping_sets_partial", "SELECT o_orderpriority, o_orderstatus, count(*) AS c FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 4"),
+    ("window_rows_unbounded_short", "SELECT r_regionkey, sum(r_regionkey) OVER (ORDER BY r_regionkey ROWS UNBOUNDED PRECEDING) AS s FROM region ORDER BY r_regionkey"),
+    ("negative_array_slice", "SELECT ([1,2,3,4,5])[-3:-2] AS a, ([1,2,3])[-9:-2] AS b, ([1,2,3,4,5])[2:-2] AS c"),
+    ("string_neg_slice", "SELECT ('abcde')[-3:-2] AS a, ('abcde')[:-2] AS b, ('abcde')[-3:] AS c"),
+    ("epoch_literal", "SELECT 'epoch'::TIMESTAMP AS a, CAST('epoch' AS TIMESTAMP) AS b"),
+    ("ts_compare_date", "SELECT TIMESTAMP '2024-01-01 05:00:00' > DATE '2024-01-01' AS a"),
 ]
 
 
