@@ -158,10 +158,17 @@ def main() -> None:
         ),
         "contamination_check_normalized": check_n,
         "contamination_floor_normalized": floor_n,
+        # BOTH spellings recorded (review r11: the key must not change
+        # meaning silently round-over-round): _raw is the judge's
+        # original absolute rule, the unsuffixed key is the
+        # calibration-normalized rule VERDICT r10 item 2 sanctioned
+        "contamination_within_bar_raw": (
+            bool(check <= max(1.1 * floor_best, 1.0)) if check is not None else None
+        ),
         "contamination_within_bar": (
             bool(check_n <= max(1.1 * floor_n, 1.0)) if check_n is not None else None
         ),
-        "contamination_bar_rule": "normalized: check*0.507/cal <= max(1.1*floor_n, 1.0)",
+        "contamination_bar_rule": "normalized: check*0.507/cal <= max(1.1*floor_n, 1.0); _raw: check <= max(1.1*floor, 1.0)",
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1815,6 +1815,7 @@ class Engine:
                         neg = True
             return depth, neg
 
+        _probe_cache: dict[str, list] = {}  # per-statement (review r11)
         for _ in range(64):
             masked = rewrites._mask_literals(q)
             m = self._POS_REF.search(masked)
@@ -1850,9 +1851,14 @@ class Engine:
                     if depth < 0:
                         end = i
                         break
-                elif depth == 0 and ch in "uUiIeEoOlL":
+                elif depth == 0 and ch in "uUiIeEoOlLwWgGhHqQ":
+                    # stop at predicate/grouping clauses too (review r11:
+                    # a #n inside WHERE/GROUP BY would ride into the
+                    # probe and recurse through _prepare_sql forever —
+                    # the probe needs only the FROM relations)
                     sm2 = re.match(
-                        r"(union|intersect|except|order|limit)\b",
+                        r"(union|intersect|except|order|limit|where"
+                        r"|group|having|qualify|window)\b",
                         masked[i:],
                         re.IGNORECASE,
                     )
@@ -1866,12 +1872,15 @@ class Engine:
                 + " SELECT * FROM "
                 + q[frm.end() : end]
             )
-            schema_cols = [
-                f.name
-                for f in self.spark.sql(
-                    self._prepare_sql(probe, dialect, _literals_normalized=True)
-                ).schema.fields
-            ]
+            schema_cols = _probe_cache.get(probe)
+            if schema_cols is None:
+                schema_cols = [
+                    f.name
+                    for f in self.spark.sql(
+                        self._prepare_sql(probe, dialect, _literals_normalized=True)
+                    ).schema.fields
+                ]
+                _probe_cache[probe] = schema_cols
             idx = int(m.group(1))
             if not 1 <= idx <= len(schema_cols):
                 raise PgError(

@@ -221,7 +221,12 @@ TEMPLATES: dict[str, dict[int, str]] = {
     },
     "arbitrary": {1: "any_value({0})"},
     "week": {1: "weekofyear({0})"},
-    # duck date_add(date, INTERVAL) ≡ date + interval
+    # duck date_add(date, INTERVAL) ≡ date + interval. Superset note
+    # (review r11): duck BINDER-REJECTS an integer second argument; the
+    # emitted '+' accepts it with Spark's date+days meaning — the same
+    # documented-harmless-superset class as the TVF paren spellings
+    # (valid-duck inputs are value-identical; only duck-ERROR inputs
+    # gain an answer).
     "date_add": {2: "({0} + {1})"},
     "json_keys": {1: "json_object_keys({0})"},
     "json_valid": {
@@ -1127,7 +1132,14 @@ def _registry_scan(q: str) -> str:
         args = _split_args(inner, minner)
         if len(args) == 1 and not args[0].strip():
             args = []
-        args = [_registry_scan(a) for a in args]
+        # recurse into the arguments only when a shim can actually
+        # consume them (review r11: unconditional recursion made deeply
+        # nested UNSHIMMED calls quadratic — each depth re-scanned the
+        # same text the main loop would visit anyway)
+        if name in CALLABLES or (
+            name in TEMPLATES and len(args) in TEMPLATES[name]
+        ):
+            args = [_registry_scan(a) for a in args]
         repl: str | None = None
         if name in CALLABLES:
             repl = CALLABLES[name](args)  # type: ignore[operator]

@@ -419,12 +419,17 @@ def _rewrite_list_fn_shims_inner(q: str) -> str:
                 if s0 == 0:
                     pos = m.end()  # duck errors; Spark errors too: loud
                     continue
-                vals = list(range(a0, b0, s0))
-                repl = (
-                    f"array({', '.join(str(v) for v in vals)})"
-                    if vals
-                    else "slice(array(0), 1, 0)"
-                )
+                # O(1) bind-time arithmetic (review r11: the first cut
+                # materialized the value list as SQL TEXT — a 35-byte
+                # query could build a multi-MB statement); the emitted
+                # sequence() is lazy until execution, same cost class
+                # as duck's own list materialization
+                n = len(range(a0, b0, s0))
+                if n == 0:
+                    repl = f"slice(array({a0}), 1, 0)"
+                else:
+                    last = a0 + (n - 1) * s0
+                    repl = f"sequence({a0}, {last}, {s0})"
             else:
                 pos = m.end()
                 continue
@@ -841,11 +846,12 @@ def _scan_balanced(masked: str, start: int) -> int:
 def _tvf_alias_at(q: str, masked: str, i: int, default_col: str) -> tuple[str, int]:
     """(alias clause, index past it) for a TVF ending at `i` — the user's
     alias when one follows, else a fresh `gs_N(<default_col>)`."""
-    dc = (
-        default_col
-        if re.fullmatch(r"\w+", default_col)
-        else f"`{default_col}`"
-    )
+    # a hex-armored __DUCK_UCOL_…__ placeholder decodes at the END of
+    # rewrite_common — the backtick decision must look at the DECODED
+    # name (review r11: `range(1, 4)` landed unquoted)
+    enc = re.fullmatch(r"__DUCK_UCOL_([0-9a-f]+)__", default_col)
+    plain = bytes.fromhex(enc.group(1)).decode("utf-8") if enc else default_col
+    dc = default_col if re.fullmatch(r"\w+", plain) else f"`{default_col}`"
     am = _TVF_ALIAS.match(masked, i)
     if am and am.group(1).lower() not in _NOT_ALIASES:
         # user column list kept verbatim; bare table alias keeps DuckDB's
@@ -1027,20 +1033,31 @@ def _rewrite_series_unnest(q: str) -> str:
         pos = m.start() + len(m.group(1)) + 1  # past FROM: rescan subqueries
 
 
+def _ucol_encode(name: str) -> str:
+    """Hex-armored column-name placeholder — NO later pass can corrupt
+    it; decoded once at the end of rewrite_common."""
+    return "__DUCK_UCOL_" + name.encode("utf-8").hex() + "__"
+
+
+_UCOL_RE = re.compile(r"__DUCK_UCOL_([0-9a-f]+)__")
+
+
 def _duck_unnest_colname(inner: str, minner: str) -> str:
     """DuckDB 1.0's rendered-expression default column name for a
     FROM-position unnest argument: `[a, b]` → `main.list_value(a, b)`
     (scalar calls render schema-qualified, args ', '-joined); a call
     like range(1,4) renders as `range(1, 4)`; anything else keeps its
     own text."""
-    # the name is emitted with a __DUCK_LV__ placeholder (resolved at
-    # the END of rewrite_common): later passes rewrite inside backtick
-    # identifiers too (the fn-alias table maps list_value → array), and
-    # a placeholder is the established self-protection mechanism
+    # the WHOLE name is emitted hex-encoded in a placeholder (resolved
+    # at the END of rewrite_common): later passes rewrite inside
+    # backtick identifiers too (the fn-alias table maps list_value →
+    # array; the list shims match range( — review r11 caught
+    # unnest(range(1,4))'s name being rewritten), and a placeholder is
+    # the established self-protection mechanism
     s, ms = inner.strip(), minner.strip()
     if s.startswith("[") and s.endswith("]"):
         items = _split_top_level(s[1:-1], ms[1:-1])
-        return f"main.__DUCK_LV__({', '.join(items)})"
+        return _ucol_encode(f"main.list_value({', '.join(items)})")
     cm = re.match(r"^([A-Za-z_]\w*)\s*\(", s)
     if cm and ms and _scan_balanced(ms, len(cm.group(0))) == len(ms):
         args = _split_top_level(
@@ -1050,8 +1067,8 @@ def _duck_unnest_colname(inner: str, minner: str) -> str:
         if name.lower() in ("array", "list_value"):
             # the bracket literal may already be spelled array(…) by an
             # earlier pass — duck renders both as main.list_value(…)
-            return f"main.__DUCK_LV__({', '.join(args)})"
-        return f"{name}({', '.join(args)})"
+            return _ucol_encode(f"main.list_value({', '.join(args)})")
+        return _ucol_encode(f"{name}({', '.join(args)})")
     return s
 
 
@@ -3107,8 +3124,8 @@ def rewrite_common(q: str) -> str:
     # resolve the FROM-unnest column-name placeholder LAST (see
     # _duck_unnest_colname) — after every pass that could rewrite the
     # rendered name inside its backticks
-    if "__DUCK_LV__" in q:
-        q = q.replace("__DUCK_LV__", "list_value")
+    if "__DUCK_UCOL_" in q:
+        q = _UCOL_RE.sub(lambda m: bytes.fromhex(m.group(1)).decode("utf-8"), q)
     return rewrite_file_functions(q)
 
 
@@ -3228,7 +3245,7 @@ _LIT_INT_CAST = re.compile(
     rf"(?<![\w.'])(\d+\.\d+)(?=\s*::\s*{_INT_TYPES}\b)", re.IGNORECASE
 )
 _CAST_NUM_INT = re.compile(
-    rf"(\bCAST\s*\(\s*|\bTRY_CAST\s*\(\s*)(\d+\.\d+)(?=\s+AS\s+{_INT_TYPES}\s*\))",
+    rf"(\bCAST\s*\(\s*|\bTRY_CAST\s*\(\s*)([+-]?\d+\.\d+)(?=\s+AS\s+{_INT_TYPES}\s*\))",
     re.IGNORECASE,
 )
 _STR_SPAN_POSTFIX = re.compile(rf"\s*::\s*{_INT_TYPES}\b", re.IGNORECASE)
@@ -3328,7 +3345,10 @@ def _rewrite_bit_literals(q: str) -> str:
 # deliberately NOT matched: duck returns INTERVAL there and Spark's
 # native interval result is the faithful shape.
 _DATE_OPERAND = (
-    r"(?:DATE\s*'[^']*'|current_date\b(?:\s*\(\s*\))?|"
+    # (?<![\w.]) guards each spelling against matching as the SUFFIX of
+    # a longer identifier — 'my_current_date - current_date' must not
+    # splice (review r11)
+    r"(?<![\w.])(?:DATE\s*'[^']*'|current_date\b(?:\s*\(\s*\))?|"
     r"make_date\s*\([^()]*\)|CAST\s*\([^()]*\bAS\s+DATE\s*\)|"
     r"'[^']*'\s*::\s*date\b|today\s*\(\s*\))"
 )

@@ -427,6 +427,31 @@ def test_bar_vs_duckdb(eng, duck):
         eng.query("SELECT bar(3, 0, 10, 0) AS a").collect()
 
 
+def test_review_r11_fixes(eng, duck, spark, sf_dir):
+    """Round-11 review findings, each pinned: #n inside WHERE/GROUP BY
+    must not recurse the schema probe; unnest(range(…)) keeps duck's
+    rendered column name; signed CAST literals round half-away;
+    identifier-suffix date spellings never splice."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("region")
+    for q in [
+        "SELECT r_name FROM region WHERE #1 = 0",
+        "SELECT #1, count(*) AS c FROM region GROUP BY #1 ORDER BY #1",
+        "SELECT * FROM unnest(range(1, 4)) ORDER BY 1",
+        "SELECT CAST(-2.5 AS INT) AS a, TRY_CAST(-1.5 AS INT) AS b",
+        "SELECT range(5, 1, -2) AS a, range(0, 6, 2) AS b",
+    ]:
+        got = eng.query(q)
+        want = duck.execute(q).fetchdf()
+        assert sorted(got.columns) == sorted(want.columns), q
+        assert _canon(got.collect()) == _canon(duck.execute(q).fetchall()), q
+    from duck_server_spark.plans import rewrites as rw
+
+    assert (
+        rw.rewrite_pg_query("SELECT my_current_date - current_date FROM t")
+        == "SELECT my_current_date - current_date FROM t"
+    )
+
+
 def test_positional_refs(eng, duck):
     """#n positional references resolve against the FROM relation's
     columns (round 11), matching duck in select/order positions."""
