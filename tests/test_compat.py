@@ -2409,3 +2409,26 @@ def test_quoted_identifiers_over_wire(pgc, spark, sf_dir):
     _, rows2, _ = c.simple_query('SELECT \'he said "hi"\' AS s')
     assert rows2[0][0] == 'he said "hi"'
     c.sock.close()
+
+
+def test_round11_surface_over_wire(pgc, spark, sf_dir):
+    """The round-11 probe closures end-to-end over the PG wire: bar()
+    glyphs, #n positional refs, COLLATE NOCASE, map-subscript list
+    shape, date − date days, bare-VALUES col0 naming."""
+    from duck_server_spark.engine.session import register_views
+
+    register_views(spark, sf_dir)
+    c = PgClient(*pgc)
+    _, rows, _ = c.simple_query("SELECT bar(3, 0, 10, 10) AS b")
+    assert rows[0][0] == "███ "
+    cols, rows, _ = c.simple_query("SELECT #2 AS rname, #1 AS rkey FROM region ORDER BY #1 LIMIT 1")
+    assert [c0[0] for c0 in cols] == ["rname", "rkey"] and rows[0][1] == "0"
+    _, rows, _ = c.simple_query("SELECT 'ABC' COLLATE NOCASE = 'abc' AS a, 'ABC' COLLATE NOCASE AS v")
+    assert rows[0] == ("t", "ABC")
+    _, rows, _ = c.simple_query("SELECT (MAP {'k': 5})['k'] AS a, (MAP {'k': 5})['z'] AS b")
+    assert rows[0] == ("{5}", "{}")
+    _, rows, _ = c.simple_query("SELECT DATE '2024-03-01' - DATE '2024-01-01' AS d")
+    assert rows[0][0] == "60"
+    cols, rows, _ = c.simple_query("VALUES (2), (1) ORDER BY 1")
+    assert [c0[0] for c0 in cols] == ["col0"] and [r[0] for r in rows] == ["1", "2"]
+    c.terminate()
