@@ -3806,20 +3806,24 @@ def normalize_literals(q: str) -> str:
     i, n = 0, len(q)
     while i < n:
         c = q[i]
-        # comments copy verbatim — an apostrophe inside "-- don't" or
-        # /* can't */ must not desynchronize literal detection
-        # (review-caught: every literal after such a comment was
-        # corrupted)
+        # comments are BLANKED to spaces (round 11): comments have no
+        # semantics, an apostrophe inside "-- don't" must not
+        # desynchronize literal detection (round-10 review), and — the
+        # round-11 mutation sweep's find — every later rewrite that
+        # SPLICES statement text onto one line (DISTINCT ON's derived
+        # table, the unnest-item parse) is poisoned by a surviving
+        # "--" swallowing the rest of its new line. Newlines inside the
+        # comment are preserved so line numbers in errors stay stable.
         if c == "-" and q.startswith("--", i):
             j = q.find("\n", i)
-            j = n if j == -1 else j + 1
-            out.append(q[i:j])
+            j = n if j == -1 else j
+            out.append(" " * (j - i))
             i = j
             continue
         if c == "/" and q.startswith("/*", i):
             j = q.find("*/", i + 2)
             j = n if j == -1 else j + 2
-            out.append(q[i:j])
+            out.append("".join(ch if ch == "\n" else " " for ch in q[i:j]))
             i = j
             continue
         if c == "'":

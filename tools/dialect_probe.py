@@ -40,6 +40,13 @@ EXPECTED_DIVERGENCES = {
         "deliberate: ANSI mode raises loudly on float division by zero "
         "where duck returns NULL"
     ),
+    "ident_case_output": (
+        "documented: a case-insensitively matched identifier renders in "
+        "its STORED case in duck's result header (r_name) but keeps the "
+        "TYPED spelling in Spark's (R_NAME) — resolution and values are "
+        "identical, only the header case differs; full stored-case "
+        "rendering would need a schema probe per bare column ref"
+    ),
     "col_int_cast_round": (
         "documented: duck rounds numeric COLUMN casts to integer types "
         "(tie rule is source-type-dependent: DECIMAL half-away, DOUBLE "
@@ -354,6 +361,7 @@ PROBES = [
     ("string_neg_slice", "SELECT ('abcde')[-3:-2] AS a, ('abcde')[:-2] AS b, ('abcde')[-3:] AS c"),
     ("epoch_literal", "SELECT 'epoch'::TIMESTAMP AS a, CAST('epoch' AS TIMESTAMP) AS b"),
     ("ts_compare_date", "SELECT TIMESTAMP '2024-01-01 05:00:00' > DATE '2024-01-01' AS a"),
+    ("ident_case_output", "SELECT R_NAME FROM REGION ORDER BY R_NAME LIMIT 1"),
 ]
 
 
