@@ -452,6 +452,25 @@ def test_review_r11_fixes(eng, duck, spark, sf_dir):
     )
 
 
+def test_round11_shims_in_dml_exprs(eng):
+    """The round-11 shims flow through duck_expr_to_spark into the COW
+    UPDATE SET path: duck log() = log10 and 2-arg trim(str, chars) must
+    apply to DML expression fragments exactly like SELECT items."""
+    eng.execute("CREATE TABLE r11dml (k INT, x DOUBLE, s VARCHAR)")
+    try:
+        eng.execute(
+            "INSERT INTO r11dml VALUES (1, 100.0, 'xxaxx'), (2, 1000.0, 'ok')"
+        )
+        eng.execute("UPDATE r11dml SET x = log(x), s = trim(s, 'x') WHERE k = 1")
+        rows = {
+            r.k: (r.x, r.s)
+            for r in eng.query("SELECT k, x, s FROM r11dml").collect()
+        }
+        assert rows[1] == (2.0, "a") and rows[2] == (1000.0, "ok")
+    finally:
+        eng.execute("DROP TABLE r11dml")
+
+
 def test_positional_refs(eng, duck):
     """#n positional references resolve against the FROM relation's
     columns (round 11), matching duck in select/order positions."""
