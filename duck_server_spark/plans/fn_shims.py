@@ -101,6 +101,48 @@ def _dim_guard(body: str) -> str:
 _FREQ = "try_divide(size(filter(collect_list({0}), en_v -> en_v = en_k)), size(collect_list({0})))"
 
 
+# bounded Euclid as a JVM fold (round 11): 94 iterations cover the
+# int64 worst case (consecutive Fibonacci numbers)
+_GCD_TPL = (
+    "aggregate(sequence(1, 94), "
+    "struct(CAST(abs({0}) AS BIGINT) AS g_a, CAST(abs({1}) AS BIGINT) AS g_b), "
+    "(g_acc, g_i) -> CASE WHEN g_acc.g_b = 0 THEN g_acc "
+    "ELSE struct(g_acc.g_b AS g_a, (g_acc.g_a % g_acc.g_b) AS g_b) END).g_a"
+)
+
+
+def _bytes_ladder(base: int, units: list[str]) -> str:
+    """duck's human-readable size renderers: below `base` the integer
+    count + ' bytes'; above, ONE decimal TRUNCATED (pinned: 1126 →
+    '1.0 KiB', 1590 → '1.5 KiB' — printf %.1f would round to 1.1/1.6)."""
+    n = "CAST({0} AS DOUBLE)"
+    parts = [
+        f"WHEN abs({n}) < {float(base)} THEN "
+        "concat(CAST(CAST({0} AS BIGINT) AS STRING), ' bytes')"
+    ]
+    for i, u in enumerate(units):
+        div = float(base) ** (i + 1)
+        fmt = (
+            f"concat(format_string('%.1f', floor({n} / {div} * 10) / 10), "
+            f"' {u}')"
+        )
+        if i < len(units) - 1:
+            ub = float(base) ** (i + 2)
+            parts.append(f"WHEN abs({n}) < {ub} THEN {fmt}")
+        else:
+            parts.append(f"ELSE {fmt}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+_FMT_BYTES_TPL = _bytes_ladder(1024, ["KiB", "MiB", "GiB", "TiB", "PiB"])
+_FMT_DECIMAL_TPL = _bytes_ladder(1000, ["kB", "MB", "GB", "TB", "PB"])
+
+_LIST_CONCAT_TPL = (
+    "CASE WHEN {0} IS NULL AND {1} IS NULL THEN NULL "
+    "ELSE concat(coalesce({0}, slice({1}, 1, 0)), "
+    "coalesce({1}, slice({0}, 1, 0))) END"
+)
+
 # ---------------------------------------------------------------------------
 # the registry: name → arity → Spark expression template
 # ---------------------------------------------------------------------------
@@ -229,6 +271,81 @@ TEMPLATES: dict[str, dict[int, str]] = {
     # gain an answer).
     "date_add": {2: "({0} + {1})"},
     "json_keys": {1: "json_object_keys({0})"},
+    # ---- round-11 third discovery pass (each pinned live) ----
+    # gcd/lcm: bounded Euclid as a JVM fold — 94 iterations cover the
+    # int64 worst case (Fibonacci pair); duck takes |a|,|b| and
+    # gcd(0, n) = n (pinned)
+    "gcd": {2: _GCD_TPL},
+    "lcm": {
+        2: (
+            "CASE WHEN ({0}) = 0 OR ({1}) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE abs(CAST({{0}} AS BIGINT) * CAST({{1}} AS BIGINT)) div {_GCD_TPL} END"
+        )
+    },
+    "from_base64": {1: "unbase64({0})"},
+    # duck 1-arg encode/decode are the utf-8 blob codecs
+    "encode": {1: "encode({0}, 'utf-8')"},
+    "decode": {1: "decode({0}, 'utf-8')"},
+    # format_bytes / formatReadableSize: binary ladder, ONE decimal
+    # TRUNCATED (pinned: 1126 → '1.0 KiB', 1590 → '1.5 KiB', 1023 →
+    # '1023 bytes'); formatReadableDecimalSize: decimal kB/MB ladder
+    "format_bytes": {1: _FMT_BYTES_TPL},
+    "formatreadablesize": {1: _FMT_BYTES_TPL},
+    "formatreadabledecimalsize": {1: _FMT_DECIMAL_TPL},
+    # timezone(tz, ts) ≡ ts AT TIME ZONE tz (sessions are UTC)
+    "timezone": {2: "to_utc_timestamp({1}, {0})"},
+    "century": {1: "CAST(ceil(year({0}) / 10.0 / 10.0) AS BIGINT)"},
+    "millennium": {1: "CAST(ceil(year({0}) / 1000.0) AS BIGINT)"},
+    "era": {1: "(CASE WHEN year({0}) > 0 THEN 1 ELSE 0 END)"},
+    "decade": {1: "CAST(floor(year({0}) / 10.0) AS BIGINT)"},
+    # duck julian() counts midnight as .0 (JD + 0.5): unix epoch is
+    # 2440588.0 (pinned: DATE '2000-01-01' → 2451545.0, noon → x.5)
+    "julian": {
+        1: (
+            "(CAST(unix_micros(CAST({0} AS TIMESTAMP)) AS DOUBLE) "
+            "/ 86400000000.0 + 2440588.0)"
+        )
+    },
+    # duck list_concat treats a NULL side as empty, both-NULL → NULL
+    "list_concat": {2: _LIST_CONCAT_TPL},
+    "list_cat": {2: _LIST_CONCAT_TPL},
+    "array_cat": {2: _LIST_CONCAT_TPL},
+    "list_any_value": {
+        1: "try_element_at(filter({0}, lav_v -> lav_v IS NOT NULL), 1)"
+    },
+    # interval constructors (day-time family; the year-month family
+    # renders differently client-side and stays loud)
+    # INTERVAL-multiplication, not make_interval: the latter returns
+    # CalendarIntervalType which PySpark cannot collect (pinned)
+    "to_days": {1: "(CAST({0} AS INT) * INTERVAL '1' DAY)"},
+    "to_weeks": {1: "(CAST({0} AS INT) * 7 * INTERVAL '1' DAY)"},
+    "to_hours": {1: "(CAST({0} AS INT) * INTERVAL '1' HOUR)"},
+    "to_minutes": {1: "(CAST({0} AS INT) * INTERVAL '1' MINUTE)"},
+    "to_seconds": {1: "(CAST({0} AS DOUBLE) * INTERVAL '1' SECOND)"},
+    "to_milliseconds": {
+        1: "(CAST({0} AS DOUBLE) / 1000.0 * INTERVAL '1' SECOND)"
+    },
+    "to_microseconds": {
+        1: "(CAST({0} AS DOUBLE) / 1000000.0 * INTERVAL '1' SECOND)"
+    },
+    "current_localtimestamp": {0: "localtimestamp()"},
+    # regexp_escape: backslash every regex metacharacter (pinned:
+    # 'a.b[c]' → 'a\\.b\\[c\\]')
+    "regexp_escape": {
+        1: r"regexp_replace({0}, '([.^$*+?()\\[\\]{}|\\\\])', '\\\\$1')"
+    },
+    "like_escape": {3: "({0} LIKE {1} ESCAPE {2})"},
+    "not_like_escape": {3: "(NOT ({0} LIKE {1} ESCAPE {2}))"},
+    "ilike_escape": {3: "({0} ILIKE {1} ESCAPE {2})"},
+    "not_ilike_escape": {3: "(NOT ({0} ILIKE {1} ESCAPE {2}))"},
+    # one JVM-reflection call per row — fine for the scalar tail, not a
+    # hot-path function (documented)
+    "nextafter": {
+        2: (
+            "CAST(reflect('java.lang.Math', 'nextAfter', "
+            "CAST({0} AS DOUBLE), CAST({1} AS DOUBLE)) AS DOUBLE)"
+        )
+    },
     "json_valid": {
         1: (
             "CASE WHEN {0} IS NULL THEN NULL "

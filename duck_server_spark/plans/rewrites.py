@@ -1720,6 +1720,7 @@ _DUCK_TO_SPARK_TYPES = {
     "timestamp with time zone": "timestamp",
     "timestamp without time zone": "timestamp_ntz",
     "hugeint": "decimal(38,0)",
+    "timestamptz": "timestamp",
     "varchar": "string",
     "text": "string",
     "ubigint": "decimal(20,0)",
@@ -3064,6 +3065,9 @@ def rewrite_common(q: str) -> str:
     q = rewrite_bare_values(q)  # duck col0… naming (r11)
     q = _sub_outside_literals(
         q, lambda seg: _COLLATE_NOCASE.sub("COLLATE UTF8_LCASE", seg)
+    )
+    q = _sub_outside_literals(
+        q, lambda seg: re.sub(r"\bTIMESTAMPTZ\b", "TIMESTAMP", seg, flags=re.IGNORECASE)
     )
     q = _rewrite_epoch_ts(q)
     q = _rewrite_literal_int_casts(q)  # duck half-away rounding (r11)

@@ -362,6 +362,29 @@ PROBES = [
     ("epoch_literal", "SELECT 'epoch'::TIMESTAMP AS a, CAST('epoch' AS TIMESTAMP) AS b"),
     ("ts_compare_date", "SELECT TIMESTAMP '2024-01-01 05:00:00' > DATE '2024-01-01' AS a"),
     ("ident_case_output", "SELECT R_NAME FROM REGION ORDER BY R_NAME LIMIT 1"),
+    # ---- round-11 third discovery pass ----
+    ("math_family2", "SELECT round(atan2(1, 1), 6) AS a, round(degrees(pi()), 4) AS b, round(radians(180), 6) AS c, sign(-5) AS d, round(cbrt(27), 6) AS e"),
+    ("factorial_gcd", "SELECT factorial(5) AS a, gcd(12, 18) AS b, gcd(0, 5) AS c, gcd(-12, 18) AS d, lcm(4, 6) AS e"),
+    ("min_max_by", "SELECT min_by(r_name, r_regionkey) AS a, max_by(r_name, r_regionkey) AS b FROM region"),
+    ("octet_length_fn", "SELECT octet_length('abc'::BLOB) AS a"),
+    ("base64_fns", "SELECT base64('ab'::BLOB) AS a, from_base64('YWI=') = 'ab'::BLOB AS b"),
+    ("encode_decode", "SELECT decode(encode('hé')) AS a, octet_length(encode('hé')) AS b"),
+    ("format_bytes", "SELECT format_bytes(1024) AS a, format_bytes(1590) AS b, format_bytes(1126) AS c, format_bytes(0) AS d, format_bytes(1073741824) AS e, format_bytes(1023) AS f"),
+    ("format_readable", "SELECT formatReadableDecimalSize(1000) AS a, formatReadableDecimalSize(999) AS b, formatReadableDecimalSize(1500000) AS c, formatReadableSize(1048576) AS d"),
+    ("timezone_fn", "SELECT timezone('UTC', TIMESTAMP '2024-01-01 05:00:00') AS a"),
+    ("century_millennium", "SELECT century(DATE '2024-01-01') AS a, century(DATE '2000-12-31') AS b, millennium(DATE '2024-01-01') AS c, era(DATE '2024-01-01') AS d, decade(DATE '2024-01-01') AS e"),
+    ("julian_day", "SELECT julian(DATE '2024-01-01') AS a, julian(DATE '2000-01-01') AS b, julian(TIMESTAMP '2024-01-01 12:00:00') AS c"),
+    ("timestamp_tz_cast", "SELECT TIMESTAMPTZ '2024-01-01 00:00:00+00' IS NOT NULL AS a"),
+    ("list_concat_null", "SELECT list_concat([1], NULL) AS a, list_concat(NULL, [2]) AS b, list_concat(NULL, NULL) IS NULL AS c, list_concat([1], [2]) AS d"),
+    ("list_any_value", "SELECT list_any_value([NULL, 3, 4]) AS a, list_any_value([NULL]) IS NULL AS b"),
+    ("interval_ctors", "SELECT to_days(30) = INTERVAL 30 DAY AS a, to_hours(5) = INTERVAL 5 HOUR AS b, to_weeks(2) = INTERVAL 14 DAY AS c"),
+    ("regex_escape", "SELECT regexp_escape('a.b[c]') AS a"),
+    ("like_escape_fns", "SELECT like_escape('a_c', 'a!_c', '!') AS a, not_like_escape('a_c', 'a!_c', '!') AS b, ilike_escape('A_C', 'a!_c', '!') AS c"),
+    ("nextafter_fn", "SELECT nextafter(1.0, 2.0) > 1.0 AS a, nextafter(1.0, 0.0) < 1.0 AS b"),
+    ("current_localtime", "SELECT current_localtimestamp() IS NOT NULL AS a"),
+    ("regr_family", "SELECT round(regr_slope(o_totalprice, o_orderkey), 8) IS NOT NULL AS a, regr_count(o_totalprice, o_orderkey) AS b FROM orders"),
+    ("bool_agg_filter", "SELECT bool_and(r_regionkey < 3) FILTER (r_regionkey > 0) AS a FROM region"),
+    ("ntile_tail", "SELECT ntile(7) OVER (ORDER BY r_regionkey) AS a FROM region ORDER BY r_regionkey"),
 ]
 
 
