@@ -1855,7 +1855,10 @@ class Engine:
                     # stop at predicate/grouping clauses too (review r11:
                     # a #n inside WHERE/GROUP BY would ride into the
                     # probe and recurse through _prepare_sql forever —
-                    # the probe needs only the FROM relations)
+                    # the probe needs only the FROM relations). A
+                    # backtick-quoted alias NAMED like a keyword
+                    # (FROM region AS `window`) must not truncate the
+                    # probe mid-identifier (second review catch).
                     sm2 = re.match(
                         r"(union|intersect|except|order|limit|where"
                         r"|group|having|qualify|window)\b",
@@ -1863,7 +1866,7 @@ class Engine:
                         re.IGNORECASE,
                     )
                     if sm2 and not (
-                        masked[i - 1].isalnum() or masked[i - 1] == "_"
+                        masked[i - 1].isalnum() or masked[i - 1] in "_`"
                     ):
                         end = i
                         break

@@ -113,22 +113,26 @@ _GCD_TPL = (
 
 def _bytes_ladder(base: int, units: list[str]) -> str:
     """duck's human-readable size renderers: below `base` the integer
-    count + ' bytes'; above, ONE decimal TRUNCATED (pinned: 1126 →
-    '1.0 KiB', 1590 → '1.5 KiB' — printf %.1f would round to 1.1/1.6)."""
-    n = "CAST({0} AS DOUBLE)"
+    count + ' bytes'; above, ONE decimal TRUNCATED TOWARD ZERO in
+    INTEGER arithmetic (review r11 pins: 1126 → '1.0 KiB', -1590 →
+    '-1.5 KiB', int64-max → '8191.9 PiB' — a double intermediate
+    rounds that last one to 8192.0, and floor() breaks negatives)."""
+    absd = "abs(CAST({0} AS DECIMAL(38,0)))"
+    sign = "(CASE WHEN ({0}) < 0 THEN '-' ELSE '' END)"
     parts = [
-        f"WHEN abs({n}) < {float(base)} THEN "
+        f"WHEN {absd} < {base} THEN "
         "concat(CAST(CAST({0} AS BIGINT) AS STRING), ' bytes')"
     ]
     for i, u in enumerate(units):
-        div = float(base) ** (i + 1)
+        div = base ** (i + 1)
+        tenths = f"CAST({absd} * 10 div {div} AS BIGINT)"
         fmt = (
-            f"concat(format_string('%.1f', floor({n} / {div} * 10) / 10), "
-            f"' {u}')"
+            f"concat({sign}, CAST({tenths} div 10 AS STRING), '.', "
+            f"CAST({tenths} % 10 AS STRING), ' {u}')"
         )
         if i < len(units) - 1:
-            ub = float(base) ** (i + 2)
-            parts.append(f"WHEN abs({n}) < {ub} THEN {fmt}")
+            ub = base ** (i + 2)
+            parts.append(f"WHEN {absd} < {ub} THEN {fmt}")
         else:
             parts.append(f"ELSE {fmt}")
     return "CASE " + " ".join(parts) + " END"
@@ -276,10 +280,13 @@ TEMPLATES: dict[str, dict[int, str]] = {
     # int64 worst case (Fibonacci pair); duck takes |a|,|b| and
     # gcd(0, n) = n (pinned)
     "gcd": {2: _GCD_TPL},
+    # divide FIRST (review r11: abs(a*b) overflowed BIGINT where duck's
+    # own div-first evaluation succeeds)
     "lcm": {
         2: (
             "CASE WHEN ({0}) = 0 OR ({1}) = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE abs(CAST({{0}} AS BIGINT) * CAST({{1}} AS BIGINT)) div {_GCD_TPL} END"
+            f"ELSE (abs(CAST({{0}} AS BIGINT)) div {_GCD_TPL}) "
+            "* abs(CAST({1} AS BIGINT)) END"
         )
     },
     "from_base64": {1: "unbase64({0})"},
@@ -292,12 +299,29 @@ TEMPLATES: dict[str, dict[int, str]] = {
     "format_bytes": {1: _FMT_BYTES_TPL},
     "formatreadablesize": {1: _FMT_BYTES_TPL},
     "formatreadabledecimalsize": {1: _FMT_DECIMAL_TPL},
-    # timezone(tz, ts) ≡ ts AT TIME ZONE tz (sessions are UTC)
-    "timezone": {2: "to_utc_timestamp({1}, {0})"},
-    "century": {1: "CAST(ceil(year({0}) / 10.0 / 10.0) AS BIGINT)"},
-    "millennium": {1: "CAST(ceil(year({0}) / 1000.0) AS BIGINT)"},
+
+    # BC (negative) years take the PG rules (review r11, pinned live:
+    # decade(-5)=0 trunc-toward-zero, century(-5)=-1, century(-101)=-2,
+    # millennium(-5)=-1 — i.e. floor for negatives, ceil for positives)
+    "century": {
+        1: (
+            "CAST(CASE WHEN year({0}) > 0 THEN ceil(year({0}) / 100.0) "
+            "ELSE floor(year({0}) / 100.0) END AS BIGINT)"
+        )
+    },
+    "millennium": {
+        1: (
+            "CAST(CASE WHEN year({0}) > 0 THEN ceil(year({0}) / 1000.0) "
+            "ELSE floor(year({0}) / 1000.0) END AS BIGINT)"
+        )
+    },
     "era": {1: "(CASE WHEN year({0}) > 0 THEN 1 ELSE 0 END)"},
-    "decade": {1: "CAST(floor(year({0}) / 10.0) AS BIGINT)"},
+    "decade": {
+        1: (
+            "CAST(CASE WHEN year({0}) >= 0 THEN floor(year({0}) / 10.0) "
+            "ELSE ceil(year({0}) / 10.0) END AS BIGINT)"
+        )
+    },
     # duck julian() counts midnight as .0 (JD + 0.5): unix epoch is
     # 2440588.0 (pinned: DATE '2000-01-01' → 2451545.0, noon → x.5)
     "julian": {
@@ -331,8 +355,10 @@ TEMPLATES: dict[str, dict[int, str]] = {
     "current_localtimestamp": {0: "localtimestamp()"},
     # regexp_escape: backslash every regex metacharacter (pinned:
     # 'a.b[c]' → 'a\\.b\\[c\\]')
+    # RE2 QuoteMeta escapes EVERY non-word character (review r11,
+    # pinned: 'a-b c/d' -> 'a\\-b\\ c\\/d')
     "regexp_escape": {
-        1: r"regexp_replace({0}, '([.^$*+?()\\[\\]{}|\\\\])', '\\\\$1')"
+        1: r"regexp_replace({0}, '([^a-zA-Z0-9_])', '\\\\$1')"
     },
     "like_escape": {3: "({0} LIKE {1} ESCAPE {2})"},
     "not_like_escape": {3: "(NOT ({0} LIKE {1} ESCAPE {2}))"},
@@ -980,6 +1006,25 @@ def _struct_insert(args: list[str]) -> str | None:
     return "{" + joined + "}"
 
 
+def _timezone(args: list[str]) -> str | None:
+    """duck timezone(tz, ts) has TWO overloads (review r11, pinned
+    live): a NAIVE timestamp is wall time in tz -> instant
+    (to_utc_timestamp), while a TIMESTAMPTZ is an instant -> wall time
+    in tz (from_utc_timestamp — duck returned NY 00:00 for the 05:00+00
+    instant). The TZ form is provable for TIMESTAMPTZ literals / '::'
+    casts; anything else takes the naive reading (the common column
+    case — documented)."""
+    if len(args) != 2:
+        return None
+    ts = args[1].strip()
+    if re.match(r"^TIMESTAMPTZ\s*'", ts, re.IGNORECASE) or re.search(
+        r"::\s*TIMESTAMPTZ\s*$", ts, re.IGNORECASE
+    ):
+        naive = re.sub(r"(?i)\bTIMESTAMPTZ\b", "TIMESTAMP", ts)
+        return f"from_utc_timestamp({naive}, {args[0]})"
+    return f"to_utc_timestamp({ts}, {args[0]})"
+
+
 def _null_literal_arg(args: list[str]) -> str | None:
     """A bare untyped NULL literal argument can't reach zip_with (typed
     NULL columns ride the CASE guard): short-circuit to NULL."""
@@ -1012,6 +1057,7 @@ CALLABLES: dict[str, object] = {
     "json_extract_string": _json_extract_string,
     "json_extract_path_text": _json_extract_string,
     "struct_insert": _struct_insert,
+    "timezone": _timezone,
     "date_part": _date_part,
     "datepart": _date_part,
     "count": _count,

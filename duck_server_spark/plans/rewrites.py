@@ -3066,8 +3066,15 @@ def rewrite_common(q: str) -> str:
     q = _sub_outside_literals(
         q, lambda seg: _COLLATE_NOCASE.sub("COLLATE UTF8_LCASE", seg)
     )
+    # TIMESTAMPTZ only in its LITERAL-prefix position (the segment ends
+    # where the quoted literal starts) — a blanket word swap rewrote
+    # COLUMNS named timestamptz (second review catch); cast/DDL type
+    # positions are covered by the type map
     q = _sub_outside_literals(
-        q, lambda seg: re.sub(r"\bTIMESTAMPTZ\b", "TIMESTAMP", seg, flags=re.IGNORECASE)
+        q,
+        lambda seg: re.sub(
+            r"\bTIMESTAMPTZ\s*$", "TIMESTAMP ", seg, flags=re.IGNORECASE
+        ),
     )
     q = _rewrite_epoch_ts(q)
     q = _rewrite_literal_int_casts(q)  # duck half-away rounding (r11)

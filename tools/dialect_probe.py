@@ -385,6 +385,13 @@ PROBES = [
     ("regr_family", "SELECT round(regr_slope(o_totalprice, o_orderkey), 8) IS NOT NULL AS a, regr_count(o_totalprice, o_orderkey) AS b FROM orders"),
     ("bool_agg_filter", "SELECT bool_and(r_regionkey < 3) FILTER (r_regionkey > 0) AS a FROM region"),
     ("ntile_tail", "SELECT ntile(7) OVER (ORDER BY r_regionkey) AS a FROM region ORDER BY r_regionkey"),
+    # second review-pass pins (round 11)
+    ("format_bytes_edge", "SELECT format_bytes(-1590) AS a, format_bytes(9223372036854775807) AS b"),
+    ("lcm_big", "SELECT lcm(1099511627776, 1099511627776) AS a"),
+    ("regexp_escape_nonword", "SELECT regexp_escape('a-b c/d') AS a"),
+    ("bc_date_parts", "SELECT decade(make_date(-5,1,1)) AS a, century(make_date(-5,1,1)) AS b, millennium(make_date(-5,1,1)) AS c, century(make_date(-101,1,1)) AS d"),
+    ("timezone_tz_overload", "SELECT timezone('America/New_York', TIMESTAMPTZ '2024-01-01 05:00:00+00') AS a"),
+    ("keyword_alias", "SELECT #1 FROM region AS \"window\" ORDER BY 1 LIMIT 1"),
 ]
 
 
