@@ -1353,11 +1353,38 @@ class Engine:
         if m:
             return self._summarize(m.group(1), dialect)
         if re.match(r"\s*pivot\b", q, re.IGNORECASE):
-            # DuckDB's simplified PIVOT statement — engine/pivot.py
+            # DuckDB's simplified PIVOT statement — engine/pivot.py.
+            # A SUBQUERY source (round 11: `PIVOT (SELECT …) ON …`)
+            # materializes through a temp view first, the same pattern
+            # as (DESCRIBE …)-in-FROM.
             from duck_server_spark.engine.pivot import pivot_statement
 
+            pm = re.match(r"\s*pivot\s*\(", q, re.IGNORECASE)
+            if pm:
+                masked = rewrites._mask_literals(q)
+                end = rewrites._scan_balanced(masked, pm.end())
+                sub = self.query(q[pm.end() : end - 1], dialect)
+                self._DESC_SEQ[0] += 1
+                name = f"__duck_pivot_src_{self._DESC_SEQ[0]}"
+                sub.createOrReplaceTempView(name)
+                q = q[: pm.end() - 1] + name + q[end:]
+            # a trailing depth-0 ORDER BY / LIMIT applies AFTER the
+            # pivot (round 11) — split it off, apply through a view
+            tail = None
+            masked = rewrites._mask_literals(q)
+            for tm in re.finditer(r"\b(ORDER\s+BY|LIMIT)\b", masked, re.IGNORECASE):
+                before = masked[: tm.start()]
+                if before.count("(") == before.count(")"):
+                    tail = q[tm.start() :]
+                    q = q[: tm.start()]
+                    break
             df = pivot_statement(self.spark, q)
             if df is not None:
+                if tail:
+                    self._DESC_SEQ[0] += 1
+                    vn = f"__duck_pivot_out_{self._DESC_SEQ[0]}"
+                    df.createOrReplaceTempView(vn)
+                    return self.query(f"SELECT * FROM {vn} {tail}", dialect)
                 return df
         m = _DESCRIBE_STMT.match(q)
         if m:

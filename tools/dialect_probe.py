@@ -392,6 +392,17 @@ PROBES = [
     ("bc_date_parts", "SELECT decade(make_date(-5,1,1)) AS a, century(make_date(-5,1,1)) AS b, millennium(make_date(-5,1,1)) AS c, century(make_date(-101,1,1)) AS d"),
     ("timezone_tz_overload", "SELECT timezone('America/New_York', TIMESTAMPTZ '2024-01-01 05:00:00+00') AS a"),
     ("keyword_alias", "SELECT #1 FROM region AS \"window\" ORDER BY 1 LIMIT 1"),
+    # engine features previously gate-only, pinned into the battery
+    ("from_first_select", "FROM region SELECT r_name ORDER BY r_name LIMIT 2"),
+    ("from_first_bare", "FROM region ORDER BY r_regionkey LIMIT 1"),
+    ("qualify_clause", "SELECT n_nationkey, n_regionkey FROM nation QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1 ORDER BY n_nationkey"),
+    ("union_by_name_probe", "SELECT r_regionkey AS k, r_name AS nm FROM region UNION ALL BY NAME SELECT n_name AS nm, n_regionkey AS k FROM nation WHERE n_nationkey < 3 ORDER BY k, nm"),
+    ("asof_join_probe", "SELECT e.user_id, e.event_time, p.event_time AS asof_time FROM (SELECT user_id, event_time FROM events WHERE event_type = 'click' AND user_id % 97 = 0) e ASOF JOIN (SELECT user_id, event_time FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND e.event_time >= p.event_time ORDER BY e.user_id, e.event_time"),
+    ("summarize_shape", "SELECT count(*) > 0 AS a FROM (SUMMARIZE region)"),
+    ("pivot_stmt_probe", "PIVOT (SELECT o_orderpriority, o_orderstatus FROM orders) ON o_orderstatus USING count(*) GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    ("nested_comprehension2", "SELECT [x * 2 FOR x IN [y + 1 FOR y IN [1, 2, 3]]] AS a"),
+    ("scalar_subq_in_case", "SELECT CASE WHEN (SELECT count(*) FROM region) > 3 THEN 'big' ELSE 'small' END AS a"),
+    ("deep_struct_chain", "SELECT {'a': {'b': {'c': 7}}}.a.b.c AS v"),
 ]
 
 
