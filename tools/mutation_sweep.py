@@ -52,6 +52,16 @@ def mutate_line_comment(sql: str) -> str | None:
     return re.sub(r"(?i)\bFROM\b", "-- it's a trap\nFROM", sql, count=1)
 
 
+def mutate_collapse_ws(sql: str) -> str | None:
+    # collapse every whitespace run to ONE space — catches rewrites
+    # that depend on newlines/indentation; literal-free statements only
+    # (a run inside a literal is data)
+    if "'" in sql or '"' in sql:
+        return None
+    out = re.sub(r"\s+", " ", sql).strip()
+    return out if out != sql else None
+
+
 def mutate_case(sql: str) -> str | None:
     # keyword/identifier case flip — only on literal-free statements
     # (swapcase inside a literal would change the VALUE); result-column
@@ -85,6 +95,7 @@ def main() -> int:
             ("blockcomment", mutate_block_comment(sql)),
             ("linecomment", mutate_line_comment(sql)),
             ("case", mutate_case(sql)),
+            ("collapse_ws", mutate_collapse_ws(sql)),
         ):
             if mut is None:
                 continue
