@@ -3063,6 +3063,7 @@ def rewrite_common(q: str) -> str:
             break
         q = q[: em.start()] + "STRING" + q[em.end() :]
     q = rewrite_bare_values(q)  # duck col0… naming (r11)
+    q = _rewrite_in_values(q)  # IN (VALUES …) → IN (SELECT …) (r11)
     q = _sub_outside_literals(
         q, lambda seg: _COLLATE_NOCASE.sub("COLLATE UTF8_LCASE", seg)
     )
@@ -3182,6 +3183,28 @@ _BARE_VALUES = re.compile(r"^\s*VALUES\s*\(", re.IGNORECASE)
 _VALUES_TAIL = re.compile(
     r"\b(ORDER|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE
 )
+
+
+# `IN (VALUES (…), …)` — duck accepts a bare VALUES list as the IN
+# subquery; Spark needs a SELECT wrapper (round 11)
+_IN_VALUES = re.compile(r"\b(IN\s*\()\s*VALUES\b", re.IGNORECASE)
+
+
+def _rewrite_in_values(q: str) -> str:
+    while True:
+        masked = _mask_literals(q)
+        m = _IN_VALUES.search(masked)
+        if m is None:
+            return q
+        open_paren = m.end(1) - 1
+        end = _scan_balanced(masked, open_paren + 1)
+        inner = q[open_paren + 1 : end - 1]
+        # Spark requires an alias on a VALUES derived table here
+        q = (
+            q[: open_paren + 1]
+            + f"SELECT * FROM ({inner.strip()}) __duck_inv"
+            + q[end - 1 :]
+        )
 
 
 def rewrite_bare_values(q: str) -> str:

@@ -403,6 +403,13 @@ PROBES = [
     ("nested_comprehension2", "SELECT [x * 2 FOR x IN [y + 1 FOR y IN [1, 2, 3]]] AS a"),
     ("scalar_subq_in_case", "SELECT CASE WHEN (SELECT count(*) FROM region) > 3 THEN 'big' ELSE 'small' END AS a"),
     ("deep_struct_chain", "SELECT {'a': {'b': {'c': 7}}}.a.b.c AS v"),
+    ("in_values_subq", "SELECT r_name FROM region WHERE r_regionkey IN (VALUES (0), (1)) ORDER BY r_name"),
+    ("nth_last_value", "SELECT r_regionkey, nth_value(r_name, 2) OVER (ORDER BY r_regionkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a, last_value(r_name) OVER (ORDER BY r_regionkey) AS b FROM region ORDER BY r_regionkey"),
+    ("lag_ignore_nulls", "SELECT x, lag(y IGNORE NULLS) OVER (ORDER BY x) AS a FROM (VALUES (1, 'v'), (2, NULL), (3, 'w')) t(x, y) ORDER BY x"),
+    ("intersect_all_dups", "SELECT x FROM (VALUES (1), (1), (2)) t(x) INTERSECT ALL SELECT x FROM (VALUES (1), (1), (1)) s(x) ORDER BY x"),
+    ("in_null_semantics", "SELECT (1 IN (2, NULL)) IS NULL AS a, (1 NOT IN (2, NULL)) IS NULL AS b"),
+    ("group_concat_default", "SELECT group_concat(x) AS a FROM (VALUES ('b'), ('a')) t(x)"),
+    ("empty_group_aggs", "SELECT sum(x) AS a, count(x) AS b, bool_or(x > 1) AS c FROM (SELECT 1 AS x WHERE false)"),
 ]
 
 
