@@ -196,12 +196,26 @@ def _swap_in(engine, table: str, transform) -> None:
         shutil.rmtree(table_dir(spark, staging), ignore_errors=True)
         spark.catalog.refreshTable(table)
         fp = _table_fingerprint(spark, table)
+        # column DEFAULT metadata does not ride saveAsTable — capture it
+        # so surviving columns keep their defaults for future inserts
+        # (round 12, found by tools/statement_probe.py)
+        defaults = {
+            f.name: f.metadata["CURRENT_DEFAULT"]
+            for f in spark.table(table).schema.fields
+            if "CURRENT_DEFAULT" in f.metadata
+        }
         transform(spark.table(table)).write.saveAsTable(staging)
         with _COMMIT_MUTEX:
             if _table_fingerprint(spark, table) == fp:
                 with VISIBILITY_GATE.writing():
                     spark.sql(f"DROP TABLE {table}")
                     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+                for c in spark.table(table).schema.fieldNames():
+                    if c in defaults:
+                        spark.sql(
+                            f"ALTER TABLE {table} ALTER COLUMN `{c}` "
+                            f"SET DEFAULT {defaults[c]}"
+                        )
                 return
         # concurrent publish landed between staging and the swap:
         # discard the stale staging, re-run the rewrite on the fresh base
@@ -399,6 +413,11 @@ def _add_column_default(engine, table: str, col: str, dt: str, default: str) -> 
         table,
         lambda df: df.withColumn(col, F.expr(f"CAST(({default}) AS {dt})")),
     )
+    # register the default for FUTURE inserts too — duck's ADD COLUMN …
+    # DEFAULT both back-fills AND keeps the default live (round 12,
+    # found by tools/statement_probe.py: a later subset-column INSERT
+    # filled NULL here where duck fills the default)
+    spark.sql(f"ALTER TABLE {table} ALTER COLUMN `{col}` SET DEFAULT {default}")
     return "ALTER TABLE"
 
 

@@ -43,6 +43,11 @@ from duck_server_spark.engine import constraints as cst
 from duck_server_spark.plans import rewrites
 
 _CREATE_TABLE_VERB = re.compile(r"^\s*create\s+table\b", re.IGNORECASE)
+_CREATE_OR_REPLACE_TABLE = re.compile(
+    r"^(\s*create\s+)(or\s+replace\s+)table\s+(?:if\s+not\s+exists\s+)?"
+    r"[`\"]?([\w.]+)[`\"]?",
+    re.IGNORECASE,
+)
 _CREATE_TABLE_NAME = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?[`\"]?([\w.]+)[`\"]?",
     re.IGNORECASE,
@@ -50,6 +55,10 @@ _CREATE_TABLE_NAME = re.compile(
 _DROP_TABLE = re.compile(
     r"^\s*drop\s+table\s+(?:if\s+exists\s+)?([\w.]+)", re.IGNORECASE
 )
+# IN/EXISTS/scalar subquery inside a DML predicate (round 12): these
+# can't ride a CollectMetrics observation, so the affected-row count
+# falls back to a standalone filter job
+_PRED_SUBQUERY = re.compile(r"\(\s*select\b", re.IGNORECASE)
 _INSERT = re.compile(
     r"^\s*insert\s+into\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1196,6 +1205,12 @@ class Engine:
         # dialect rewrite aliases scalar unnest → explode
         q = self._expand_unnest_items(q, dialect)
         q = self._expand_positional_refs(q, dialect)
+        # column-typed date − date → BIGINT days (round 12): needs the
+        # FROM-schema probe, so it lives here rather than in the pure-
+        # text rewrite layer (which closes the provable-literal cases)
+        q = self._retype_date_arith(q, dialect)
+        q = self._retype_int_casts(q, dialect)  # column tie rules (r12)
+        q = self._restore_stored_case(q, dialect)  # header case (r12)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
         if _CATALOG_REF.search(q):
             self._refresh_catalog_views()
@@ -1359,15 +1374,20 @@ class Engine:
             # as (DESCRIBE …)-in-FROM.
             from duck_server_spark.engine.pivot import pivot_statement
 
+            # mutate a COPY: on a None return (not actually the duck
+            # PIVOT statement shape) the original q falls through to the
+            # later handlers untouched and the temp view is dropped
+            # (round 12, ADVICE r11)
+            q_orig, src_view = q, None
             pm = re.match(r"\s*pivot\s*\(", q, re.IGNORECASE)
             if pm:
                 masked = rewrites._mask_literals(q)
                 end = rewrites._scan_balanced(masked, pm.end())
                 sub = self.query(q[pm.end() : end - 1], dialect)
                 self._DESC_SEQ[0] += 1
-                name = f"__duck_pivot_src_{self._DESC_SEQ[0]}"
-                sub.createOrReplaceTempView(name)
-                q = q[: pm.end() - 1] + name + q[end:]
+                src_view = f"__duck_pivot_src_{self._DESC_SEQ[0]}"
+                sub.createOrReplaceTempView(src_view)
+                q = q[: pm.end() - 1] + src_view + q[end:]
             # a trailing depth-0 ORDER BY / LIMIT applies AFTER the
             # pivot (round 11) — split it off, apply through a view
             tail = None
@@ -1386,6 +1406,9 @@ class Engine:
                     df.createOrReplaceTempView(vn)
                     return self.query(f"SELECT * FROM {vn} {tail}", dialect)
                 return df
+            q = q_orig
+            if src_view is not None:
+                self.spark.catalog.dropTempView(src_view)
         m = _DESCRIBE_STMT.match(q)
         if m:
             return self._describe(m.group(1), dialect)
@@ -1791,32 +1814,119 @@ class Engine:
     @staticmethod
     def _with_prefix_for(q: str, masked: str, sel_start: int) -> str:
         """The statement's leading WITH clause, for prefixing a
-        FROM-tail schema probe whose scope select sits in the MAIN body
-        (round 11: `WITH c AS (…) SELECT unnest(a), unnest(b) FROM c` —
-        the probe must see the CTE definitions; Spark ignores unused
-        ones). Empty when there is no WITH clause or the scope select
-        is itself inside a CTE body (those pass through loudly, as
-        before)."""
-        mw = re.match(r"\s*WITH\b", masked, re.IGNORECASE)
+        FROM-tail schema probe: for a scope select in the MAIN body
+        (round 11: `WITH c AS (…) SELECT unnest(a), unnest(b) FROM c`)
+        the full definition list; for a scope select INSIDE a CTE body
+        (round 12, ADVICE r11: `WITH a AS (…), b AS (SELECT #1 FROM a)`)
+        the definitions PRECEDING that CTE — exactly the relations the
+        body can reference. Empty when there is no WITH clause or the
+        scope select sits in the first CTE (which can only reference
+        base tables)."""
+        mw = re.match(r"\s*WITH(\s+RECURSIVE)?\b", masked, re.IGNORECASE)
         if mw is None:
             return ""
         depth = 0
+        starts = [mw.end()]  # start offset of each CTE definition
         for i in range(mw.end(), len(masked)):
             ch = masked[i]
             if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif (
-                depth == 0
-                and ch in "sS"
-                and re.match(r"select\b", masked[i:], re.IGNORECASE)
-                and not (masked[i - 1].isalnum() or masked[i - 1] == "_")
-            ):
-                return q[:i] if sel_start >= i else ""
-        return ""
+            elif depth == 0:
+                if ch == ",":
+                    starts.append(i + 1)
+                elif (
+                    ch in "sS"
+                    and re.match(r"select\b", masked[i:], re.IGNORECASE)
+                    and not (masked[i - 1].isalnum() or masked[i - 1] == "_")
+                ):
+                    if sel_start >= i:
+                        return q[:i]  # main-body scope: all definitions
+                    break
+        # scope select inside CTE definition k: prefix = defs 0..k-1
+        k = max((j for j, b in enumerate(starts) if b <= sel_start), default=0)
+        return q[: starts[k] - 1] if k > 0 else ""
 
     _POS_REF = re.compile(r"#(\d+)\b")
+
+    @staticmethod
+    def _paren_scan(seg: str) -> tuple[int, bool]:
+        depth, neg = 0, False
+        for ch in seg:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    neg = True
+        return depth, neg
+
+    def _scope_schema_fields(self, q, masked, pos, dialect, cache):
+        """Schema fields of `SELECT * FROM <tail>` for the select scope
+        enclosing position `pos` — the shared FROM-tail analysis-only
+        probe behind #n refs, COLUMNS(), and (round 12) column-typed
+        date arithmetic. None when pos is not inside a select scope
+        with a FROM clause. Cached per probe text within a statement."""
+        sel = None
+        for sm in re.finditer(r"\bselect\b", masked[:pos], re.IGNORECASE):
+            if not self._paren_scan(masked[sm.end() : pos])[1]:
+                sel = sm
+        if sel is None:
+            return None
+        frm = None
+        for fm in re.finditer(r"\bfrom\b", masked, re.IGNORECASE):
+            if fm.start() > sel.end() and self._paren_scan(
+                masked[sel.end() : fm.start()]
+            ) == (0, False):
+                frm = fm
+                break
+        if frm is None:
+            return None
+        end = len(q)
+        depth = 0
+        for i in range(frm.end(), len(masked)):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    end = i
+                    break
+            elif depth == 0 and ch in "uUiIeEoOlLwWgGhHqQ":
+                # stop at predicate/grouping clauses too (review r11:
+                # an expression inside WHERE/GROUP BY would ride into
+                # the probe and recurse through _prepare_sql forever —
+                # the probe needs only the FROM relations). A
+                # backtick-quoted alias NAMED like a keyword
+                # (FROM region AS `window`) must not truncate the
+                # probe mid-identifier (second review catch).
+                sm2 = re.match(
+                    r"(union|intersect|except|order|limit|where"
+                    r"|group|having|qualify|window)\b",
+                    masked[i:],
+                    re.IGNORECASE,
+                )
+                if sm2 and not (
+                    masked[i - 1].isalnum() or masked[i - 1] in "_`"
+                ):
+                    end = i
+                    break
+        probe = (
+            self._with_prefix_for(q, masked, sel.start())
+            + " SELECT * FROM "
+            + q[frm.end() : end]
+        )
+        fields = cache.get(probe)
+        if fields is None:
+            fields = list(
+                self.spark.sql(
+                    self._prepare_sql(probe, dialect, _literals_normalized=True)
+                ).schema.fields
+            )
+            cache[probe] = fields
+        return fields
 
     def _expand_positional_refs(self, q: str, dialect: str) -> str:
         """DuckDB `#n` positional references (round 11): `#1` anywhere
@@ -1831,86 +1941,18 @@ class Engine:
             return q
         from duck_server_spark.engine.errors import PgError
 
-        def _scan(seg: str) -> tuple[int, bool]:
-            depth, neg = 0, False
-            for ch in seg:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth < 0:
-                        neg = True
-            return depth, neg
-
         _probe_cache: dict[str, list] = {}  # per-statement (review r11)
         for _ in range(64):
             masked = rewrites._mask_literals(q)
             m = self._POS_REF.search(masked)
             if m is None:
                 return q
-            # enclosing SELECT: nearest preceding one in the same scope
-            sel = None
-            for sm in re.finditer(
-                r"\bselect\b", masked[: m.start()], re.IGNORECASE
-            ):
-                if not _scan(masked[sm.end() : m.start()])[1]:
-                    sel = sm
-            if sel is None:
-                return q  # not in a select scope: loud native error
-            # the scope's FROM at the same depth
-            frm = None
-            for fm in re.finditer(r"\bfrom\b", masked, re.IGNORECASE):
-                if fm.start() > sel.end() and _scan(
-                    masked[sel.end() : fm.start()]
-                ) == (0, False):
-                    frm = fm
-                    break
-            if frm is None:
-                return q  # FROM-less: loud native error
-            end = len(q)
-            depth = 0
-            for i in range(frm.end(), len(masked)):
-                ch = masked[i]
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth < 0:
-                        end = i
-                        break
-                elif depth == 0 and ch in "uUiIeEoOlLwWgGhHqQ":
-                    # stop at predicate/grouping clauses too (review r11:
-                    # a #n inside WHERE/GROUP BY would ride into the
-                    # probe and recurse through _prepare_sql forever —
-                    # the probe needs only the FROM relations). A
-                    # backtick-quoted alias NAMED like a keyword
-                    # (FROM region AS `window`) must not truncate the
-                    # probe mid-identifier (second review catch).
-                    sm2 = re.match(
-                        r"(union|intersect|except|order|limit|where"
-                        r"|group|having|qualify|window)\b",
-                        masked[i:],
-                        re.IGNORECASE,
-                    )
-                    if sm2 and not (
-                        masked[i - 1].isalnum() or masked[i - 1] in "_`"
-                    ):
-                        end = i
-                        break
-            probe = (
-                self._with_prefix_for(q, masked, sel.start())
-                + " SELECT * FROM "
-                + q[frm.end() : end]
+            fields = self._scope_schema_fields(
+                q, masked, m.start(), dialect, _probe_cache
             )
-            schema_cols = _probe_cache.get(probe)
-            if schema_cols is None:
-                schema_cols = [
-                    f.name
-                    for f in self.spark.sql(
-                        self._prepare_sql(probe, dialect, _literals_normalized=True)
-                    ).schema.fields
-                ]
-                _probe_cache[probe] = schema_cols
+            if fields is None:
+                return q  # no select scope / FROM-less: loud native error
+            schema_cols = [f.name for f in fields]
             idx = int(m.group(1))
             if not 1 <= idx <= len(schema_cols):
                 raise PgError(
@@ -1920,6 +1962,300 @@ class Engine:
                     f"{len(schema_cols)} columns)",
                 )
             q = q[: m.start()] + f"`{schema_cols[idx - 1]}`" + q[m.end() :]
+        return q
+
+    # column-typed `date - date` (round 12, VERDICT r11 item 1): duck
+    # returns BIGINT days for DATE − DATE however the operands are
+    # spelled; the bind-time literal pass (plans/rewrites.py) covers
+    # provable spellings, and THIS pass covers bare / qualified column
+    # refs by typing them through the cached FROM-schema probe. An
+    # operand pair that doesn't both type as DATE passes through
+    # untouched (timestamp − timestamp stays Spark-native INTERVAL,
+    # matching duck's own INTERVAL result — pinned by probe
+    # ts_minus_ts_col).
+    _IDENT_OPERAND = r"(?:[A-Za-z_]\w*\.)?(?:[A-Za-z_]\w*|`[^`]+`)"
+    # the provable-date spellings come FIRST in each alternation so
+    # `DATE '…'` can't half-match as the bare identifier `DATE`
+    _DATE_ARITH_CAND = re.compile(
+        rf"(?<![\w.`'])({rewrites._DATE_OPERAND}|{_IDENT_OPERAND})"
+        rf"\s*-\s*({rewrites._DATE_OPERAND}|{_IDENT_OPERAND})(?!\s*\()(?![\w.`(])",
+        re.IGNORECASE,
+    )
+    _SQL_KEYWORDS_NONCOL = frozenset(
+        # words the candidate regex can catch that are never column refs
+        {"and", "or", "not", "in", "is", "as", "on", "by", "all",
+         "then", "else", "end", "when", "case", "interval", "select",
+         "where", "from", "between", "like", "escape", "null", "true",
+         "false", "distinct", "exists", "any", "some", "cast", "date",
+         "time", "timestamp", "row", "rows", "range", "over", "limit"}
+    )
+
+    # bare (optionally qualified) column ref as a whole select item
+    _BARE_REF_ITEM = re.compile(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)")
+
+    # COLUMN casts to integer types (round 12, VERDICT r11 item 4): duck
+    # rounds with a SOURCE-type-dependent tie rule (DECIMAL/VARCHAR half
+    # away from zero, DOUBLE/FLOAT banker's — pinned live) where Spark
+    # truncates. The FROM-schema probe types bare/qualified column
+    # operands, shrinking the documented divergence to expression-typed
+    # casts only. LITERAL casts were closed in round 11 (pure text).
+    _INT_TYPE_NAMES = (
+        r"(?:u?tinyint|u?smallint|u?integer|int2|int4|int8|int|bigint|hugeint)"
+    )
+    _COL_INT_CAST_POSTFIX = re.compile(
+        rf"(?<![\w.'\"`)\]])((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*::\s*"
+        rf"({_INT_TYPE_NAMES})\b",
+        re.IGNORECASE,
+    )
+    _COL_INT_CAST_FN = re.compile(
+        rf"\bCAST\s*\(\s*((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s+AS\s+"
+        rf"({_INT_TYPE_NAMES})\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _retype_int_casts(self, q: str, dialect: str) -> str:
+        if "::" not in q and not re.search(r"\bCAST\s*\(", q, re.IGNORECASE):
+            return q
+        from pyspark.sql.types import DecimalType, DoubleType, FloatType, StringType
+
+        _cache: dict[str, list] = {}
+
+        def _col_name(tok: str) -> str:
+            tok = tok.rsplit(".", 1)[-1]
+            return tok[1:-1] if tok.startswith("`") else tok.lower()
+
+        for _ in range(64):
+            masked = rewrites._mask_literals(q)
+            hit = None
+            for rx, fn_form in (
+                (self._COL_INT_CAST_FN, True),
+                (self._COL_INT_CAST_POSTFIX, False),
+            ):
+                for m in rx.finditer(masked):
+                    name = _col_name(q[m.start(1) : m.end(1)])
+                    if name in self._SQL_KEYWORDS_NONCOL:
+                        continue
+                    try:
+                        fields = self._scope_schema_fields(
+                            q, masked, m.start(), dialect, _cache
+                        )
+                    except Exception:
+                        fields = None
+                    if fields is None:
+                        continue
+                    srcs = {
+                        type(f.dataType)
+                        for f in fields
+                        if f.name.lower() == name
+                    }
+                    if len(srcs) != 1:
+                        continue
+                    src = srcs.pop()
+                    col = q[m.start(1) : m.end(1)]
+                    ty = q[m.start(2) : m.end(2)]
+                    if src is DecimalType:
+                        rep = f"CAST(round({col}, 0) AS {ty})"
+                    elif src in (DoubleType, FloatType):
+                        rep = f"CAST(bround({col}, 0) AS {ty})"
+                    elif src is StringType:
+                        rep = (
+                            f"CAST(round(CAST({col} AS DECIMAL(38,9)), 0)"
+                            f" AS {ty})"
+                        )
+                    else:
+                        continue  # integer/date sources: plain cast is exact
+                    hit = (m.start(), m.end(), rep)
+                    break
+                if hit:
+                    break
+            if hit is None:
+                return q
+            s, e, rep = hit
+            q = q[:s] + rep + q[e:]
+        return q
+
+    def _restore_stored_case(self, q: str, dialect: str) -> str:
+        """duck renders a case-insensitively matched column ref in its
+        STORED case in the result header (`SELECT R_NAME FROM region` →
+        header `r_name`); Spark keeps the typed spelling. Closed for
+        bare/qualified refs typed with any UPPERCASE letter: the cached
+        FROM-schema probe supplies the stored spelling, and the ref is
+        re-spelled backtick-quoted so Spark's header matches (round 12,
+        VERDICT r11 item 7). All-lowercase refs over mixed-case stored
+        columns stay divergent — see the narrowed probe-battery entry."""
+        if not re.search(r"[A-Z]", q):
+            return q
+        _cache: dict[str, list] = {}
+        masked = rewrites._mask_literals(q)
+        edits: list[tuple[int, int, str]] = []
+        for sm in re.finditer(
+            r"\bselect\b(?:\s+(?:all|distinct)\b)?", masked, re.IGNORECASE
+        ):
+            start, depth, end = sm.end(), 0, len(masked)
+            for i in range(sm.end(), len(masked)):
+                ch = masked[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        end = i
+                        break
+                elif (
+                    depth == 0
+                    and ch in "fF"
+                    and re.match(r"from\b", masked[i:], re.IGNORECASE)
+                    and not (masked[i - 1].isalnum() or masked[i - 1] in "_`")
+                ):
+                    end = i
+                    break
+            # walk top-level comma-separated items with offsets
+            item_s, d = start, 0
+            spans = []
+            for i in range(start, end):
+                ch = masked[i]
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    spans.append((item_s, i))
+                    item_s = i + 1
+            spans.append((item_s, end))
+            fields = None
+            for s, e in spans:
+                item = q[s:e].strip()
+                im = self._BARE_REF_ITEM.fullmatch(item)
+                if im is None or not re.search(r"[A-Z]", im.group(1)):
+                    continue
+                if item.rsplit(".", 1)[-1].lower() in self._SQL_KEYWORDS_NONCOL:
+                    continue
+                if fields is None:
+                    try:
+                        fields = self._scope_schema_fields(
+                            q, masked, s, dialect, _cache
+                        ) or []
+                    except Exception:
+                        fields = []
+                stored = [
+                    f.name
+                    for f in fields
+                    if f.name.lower() == im.group(1).lower()
+                ]
+                if len(set(stored)) == 1 and stored[0] != im.group(1):
+                    off = s + (len(q[s:e]) - len(q[s:e].lstrip()))
+                    col_s = off + im.start(1)
+                    edits.append((col_s, off + im.end(1), f"`{stored[0]}`"))
+        for s, e, text in sorted(edits, reverse=True):
+            q = q[:s] + text + q[e:]
+        return q
+
+    def _retype_date_arith_fragment(self, text: str, fields) -> str:
+        """The column-typed date−date rewrite for a DML fragment
+        (UPDATE SET / WHERE) whose relation schema is already in hand —
+        no scope scan, same candidate grammar (round 12)."""
+        if "-" not in text:
+            return text
+        from pyspark.sql.types import DateType
+
+        types: dict[str, set] = {}
+        for f in fields:
+            types.setdefault(f.name.lower(), set()).add(type(f.dataType))
+
+        def _col_name(tok: str) -> str:
+            tok = tok.rsplit(".", 1)[-1]
+            return tok[1:-1] if tok.startswith("`") else tok.lower()
+
+        for _ in range(64):
+            masked = rewrites._mask_literals(text)
+            hit = None
+            for m in self._DATE_ARITH_CAND.finditer(masked):
+                ok, any_col = True, False
+                for g in (1, 2):
+                    if re.fullmatch(
+                        self._IDENT_OPERAND, masked[m.start(g) : m.end(g)]
+                    ):
+                        any_col = True
+                        name = _col_name(text[m.start(g) : m.end(g)])
+                        if (
+                            name in self._SQL_KEYWORDS_NONCOL
+                            or types.get(name) != {DateType}
+                        ):
+                            ok = False
+                            break
+                if ok and any_col:
+                    hit = m
+                    break
+            if hit is None:
+                return text
+            left = text[hit.start(1) : hit.end(1)]
+            right = text[hit.start(2) : hit.end(2)]
+            text = (
+                text[: hit.start()]
+                + f"CAST(datediff({left}, {right}) AS BIGINT)"
+                + text[hit.end() :]
+            )
+        return text
+
+    def _retype_date_arith(self, q: str, dialect: str) -> str:
+        if "-" not in q:
+            return q
+        from pyspark.sql.types import DateType
+
+        _probe_cache: dict[str, list] = {}
+
+        def _col_name(tok: str) -> str:
+            tok = tok.rsplit(".", 1)[-1]
+            return tok[1:-1] if tok.startswith("`") else tok.lower()
+
+        for _ in range(64):
+            masked = rewrites._mask_literals(q)
+            hit = None
+            for m in self._DATE_ARITH_CAND.finditer(masked):
+                sides = []
+                for g in (1, 2):
+                    tok = q[m.start(g) : m.end(g)]
+                    if re.fullmatch(
+                        self._IDENT_OPERAND, masked[m.start(g) : m.end(g)]
+                    ):
+                        name = _col_name(tok)
+                        if name in self._SQL_KEYWORDS_NONCOL:
+                            sides = None
+                            break
+                        sides.append(("col", name))
+                    else:
+                        sides.append(("date", None))  # provable spelling
+                if sides is None or all(k == "date" for k, _ in sides):
+                    continue  # keywords, or literal−literal (later pass)
+                try:
+                    fields = self._scope_schema_fields(
+                        q, masked, m.start(), dialect, _probe_cache
+                    )
+                except Exception:
+                    fields = None  # heuristic candidate: never fail the query
+                if fields is None:
+                    continue
+                types = {}
+                for f in fields:
+                    types.setdefault(f.name.lower(), set()).add(
+                        type(f.dataType)
+                    )
+                if all(
+                    kind == "date"
+                    or types.get(name) == {DateType}
+                    for kind, name in sides
+                ):
+                    hit = m
+                    break
+            if hit is None:
+                return q
+            left = q[hit.start(1) : hit.end(1)]
+            right = q[hit.start(2) : hit.end(2)]
+            q = (
+                q[: hit.start()]
+                + f"CAST(datediff({left}, {right}) AS BIGINT)"
+                + q[hit.end() :]
+            )
         return q
 
     def _expand_columns(self, q: str, dialect: str) -> str:
@@ -2617,12 +2953,41 @@ class Engine:
         # regexes — `DROP VIEW "v"`, `CREATE TABLE "t" ("c" int)`,
         # `UPDATE "t" SET …` must hit the same branches as the
         # backticked/bare spellings (round 10, VERDICT r9 item 1)
+        q = rewrites.blank_comments(q)
         q = rewrites.normalize_quoted_idents(q)
         q = self._expand_insert_by_name(q, dialect)
         # FROM-first bodies in DDL/DML positions (CTAS `AS FROM`,
         # `INSERT INTO t FROM s`) normalize BEFORE the dispatch branches
         # that parse INSERT tails / CREATE bodies (round 9)
         q = rewrites.rewrite_from_first(q)
+        # duck coerces INSERT source values to the target column types at
+        # bind time ('5' → INT 5, '1.5' → DOUBLE, 'true' → BOOLEAN) where
+        # Spark's ANSI store assignment refuses the string→numeric cast
+        # loudly — found by tools/statement_probe.py (round 12). Explicit
+        # per-column CASTs reproduce the coercion with ANSI's runtime
+        # error kept for genuinely bad values, and the literal-cast
+        # rounding pass then applies duck's half-away tie rule for free.
+        q = self._coerce_insert_source(q, dialect)
+        # duck accepts `TRUNCATE t` without the TABLE keyword; Spark's
+        # parser requires it (statement_probe r12)
+        q = re.sub(
+            r"^(\s*truncate\s+)(?!table\b)", r"\1TABLE ", q, flags=re.IGNORECASE
+        )
+        ad = re.match(r"^\s*(attach|detach)\b", q, re.IGNORECASE)
+        if ad:
+            # duck's multi-database ATTACH/DETACH has no counterpart in a
+            # single-catalog Spark warehouse — a specific 0A000 instead
+            # of a Spark parse error (round 12, VERDICT r11 item 8).
+            # `USE <schema>` stays native: Spark switches schemas like
+            # duck does, and an unknown name errors loudly.
+            from duck_server_spark.engine.errors import PgError
+
+            raise PgError(
+                "0A000",
+                f"{ad.group(1).upper()} is not supported by this engine: "
+                "the Spark warehouse is a single catalog (use schemas — "
+                "CREATE SCHEMA / USE — instead of attached databases)",
+            )
         m = _CREATE_USER.match(q)
         if m:
             self.create_user(m.group(1), m.group(2))
@@ -2746,6 +3111,17 @@ class Engine:
             tag = _alt.intercept(self, q)
             if tag is not None:
                 return tag
+        morp = _CREATE_OR_REPLACE_TABLE.match(q)
+        if morp:
+            # duck's CREATE OR REPLACE TABLE (plain or CTAS) — Spark's v1
+            # catalog has no REPLACE TABLE, so: drop-if-exists, then
+            # re-dispatch the plain CREATE (found by statement_probe r12).
+            # Not atomic like duck's, which is acceptable on this
+            # autocommit path; inside BEGIN the txn overlay stages DDL.
+            self.execute(f"DROP TABLE IF EXISTS {morp.group(3)}", dialect)
+            return self.execute(
+                q[: morp.start(2)] + q[morp.end(2) :], dialect
+            )
         if _CREATE_TABLE_VERB.match(q):
             stripped, table, found = cst.extract_constraints(q)
             # round 9: a CREATE on a name with versioned leftovers (the
@@ -2872,6 +3248,79 @@ class Engine:
                 _sh.rmtree(table_dir(self.spark, dt.group(1)), ignore_errors=True)
         verb = q.strip().split(None, 1)[0].upper() if q.strip() else "OK"
         return verb
+
+    _INSERT_PLAIN_HEAD = re.compile(
+        r"\s*INSERT\s+INTO\s+(?:TABLE\s+)?([`\w.]+)\s*(?:\(([^()]*)\)\s*)?"
+        r"(?=(?:VALUES|SELECT|WITH|FROM)\b)",
+        re.IGNORECASE,
+    )
+
+    def _coerce_insert_source(self, q: str, dialect: str = "pg") -> str:
+        """Wrap a plain INSERT's source in per-column CASTs to the
+        target schema (duck's bind-time write coercion — see execute()).
+        Skipped for ON CONFLICT / RETURNING / DEFAULT forms (their own
+        handlers own the source) and complex-typed targets."""
+        masked = rewrites._mask_literals(q)
+        m = self._INSERT_PLAIN_HEAD.match(masked)
+        if m is None or re.search(
+            # DEFAULT / ON CONFLICT / RETURNING forms have their own
+            # handlers; nextval/currval sources must stay in INSERT …
+            # VALUES shape (sequences serialize row streams)
+            r"\bON\s+CONFLICT\b|\bRETURNING\b|\bDEFAULT\b"
+            r"|\bnextval\s*\(|\bcurrval\s*\(",
+            masked,
+            re.IGNORECASE,
+        ):
+            return q
+        tbl = q[m.start(1) : m.end(1)]
+        try:
+            fields = self.spark.table(tbl).schema.fields
+        except Exception:
+            return q  # unknown target: the statement errors loudly below
+        if m.group(2) is not None:
+            names = [c.strip().strip("`") for c in q[m.start(2) : m.end(2)].split(",")]
+            byname = {f.name.lower(): f for f in fields}
+            try:
+                fields = [byname[n.lower()] for n in names]
+            except KeyError:
+                return q  # unknown column: loud native error below
+        types = [f.dataType.simpleString() for f in fields]
+        if any(t.startswith(("array", "map", "struct", "binary")) for t in types):
+            return q  # complex targets keep native assignment semantics
+        src = q[m.end() :].strip().rstrip(";")
+        alias = ", ".join(f"__c{i}" for i in range(len(fields)))
+        # duck's integer-target tie rules are SOURCE-type-dependent
+        # (DECIMAL/VARCHAR half-away, DOUBLE banker's — both pinned live
+        # by the dialect battery), so the source schema is probed once,
+        # analysis-only, and each column gets the matching rounding
+        try:
+            sfields = self.spark.sql(
+                self._prepare_sql(
+                    f"SELECT * FROM ({src}) AS __duck_ins_src({alias})", dialect
+                )
+            ).schema.fields
+        except Exception:
+            return q  # unanalyzable source: loud native error below
+        _INTS = {"tinyint", "smallint", "int", "bigint"}
+        proj = []
+        for i, (f, t) in enumerate(zip(fields, types)):
+            s = sfields[i].dataType.simpleString() if i < len(sfields) else ""
+            if t in _INTS and s.startswith("decimal"):
+                proj.append(f"CAST(round(__c{i}, 0) AS {t}) AS `{f.name}`")
+            elif t in _INTS and s in ("double", "float"):
+                proj.append(f"CAST(bround(__c{i}, 0) AS {t}) AS `{f.name}`")
+            elif t in _INTS and s == "string":
+                proj.append(
+                    f"CAST(round(CAST(__c{i} AS DECIMAL(38,9)), 0) AS {t})"
+                    f" AS `{f.name}`"
+                )
+            else:
+                proj.append(f"CAST(__c{i} AS {t}) AS `{f.name}`")
+        collist = "(" + ", ".join(f"`{f.name}`" for f in fields) + ")"
+        return (
+            f"{q[: m.end(1)]} {collist} SELECT {', '.join(proj)} "
+            f"FROM ({src}) AS __duck_ins_src({alias})"
+        )
 
     _INSERT_SEL_HEAD = re.compile(
         r"\s*INSERT\s+(?:INTO|(?P<ow>OVERWRITE))\s+(?:TABLE\s+)?"
@@ -3185,10 +3634,16 @@ class Engine:
             col, expr = part.split("=", 1)
             # fragments are raw duck-dialect (sliced before
             # _prepare_sql): literal semantics + shims, exactly once
-            assigns[col.strip().strip("`\"")] = rewrites.duck_expr_to_spark(
-                expr.strip()
+            assigns[col.strip().strip("`\"")] = self._retype_date_arith_fragment(
+                rewrites.duck_expr_to_spark(expr.strip()), df.schema.fields
             )
-        pred = rewrites.duck_expr_to_spark(where) if where else "TRUE"
+        pred = (
+            self._retype_date_arith_fragment(
+                rewrites.duck_expr_to_spark(where), df.schema.fields
+            )
+            if where
+            else "TRUE"
+        )
         select_exprs = []
         for field in df.schema.fields:
             if field.name in assigns:
@@ -3198,6 +3653,14 @@ class Engine:
             else:
                 select_exprs.append(f"`{field.name}`")
         hit = F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias("n")
+        # an IN/EXISTS subquery predicate cannot ride a CollectMetrics
+        # observation (Spark restriction, found by statement_probe r12) —
+        # count the matched rows with a standalone filter job instead
+        count_fallback = (
+            (lambda fresh: fresh.filter(F.expr(pred)).count())
+            if _PRED_SUBQUERY.search(rewrites._mask_literals(pred))
+            else None
+        )
         # UPDATE can mint duplicate keys (SET pk = const) that append-time
         # validation never sees: if an assigned column is part of any
         # declared key, validate the staged rewrite before it publishes.
@@ -3243,6 +3706,7 @@ class Engine:
             validate=validate,
             publish_cols=publish_cols,
             capture=capture,
+            count_fallback=count_fallback,
         )
 
     def _copy_on_write_delete(
@@ -3251,7 +3715,10 @@ class Engine:
         # raw duck-dialect fragment → Spark, exactly once (the converted
         # text flows into validate_delete_restrict's F.expr too)
         if where is not None:
-            where = rewrites.duck_expr_to_spark(where)
+            where = self._retype_date_arith_fragment(
+                rewrites.duck_expr_to_spark(where),
+                self.spark.table(table).schema.fields,
+            )
         # ON DELETE RESTRICT: a child FK referencing this table blocks the
         # delete of still-referenced keys (23503) BEFORE anything rewrites.
         # A transaction shadow resolves to its base name for the reverse
@@ -3294,8 +3761,17 @@ class Engine:
         capture = (
             (lambda fresh, staged: fresh.filter(F.expr(where))) if returning else None
         )
+        count_fallback = (
+            (lambda fresh: fresh.filter(F.expr(where)).count())
+            if _PRED_SUBQUERY.search(rewrites._mask_literals(where))
+            else None
+        )
         return self._overwrite_table(
-            table, lambda d: d.filter(~F.expr(where)), hit, capture=capture
+            table,
+            lambda d: d.filter(~F.expr(where)),
+            hit,
+            capture=capture,
+            count_fallback=count_fallback,
         )
 
     def _overwrite_table(
@@ -3308,6 +3784,7 @@ class Engine:
         publish_cols=None,
         publish_where=None,
         capture=None,
+        count_fallback=None,
     ) -> int:
         """Stage-then-swap rewrite, never through the driver:
 
@@ -3386,11 +3863,17 @@ class Engine:
             try:
                 # observe_output: the metric aggregates the TRANSFORM's
                 # rows (e.g. the upsert's action marker), not the base's
-                staged_df = (
-                    transform(fresh).observe(obs, metric)
-                    if observe_output
-                    else transform(fresh.observe(obs, metric))
-                )
+                # count_fallback (round 12): an IN/EXISTS-subquery
+                # predicate can't live inside CollectMetrics — skip the
+                # observation and count via a standalone job instead
+                if count_fallback is not None:
+                    staged_df = transform(fresh)
+                else:
+                    staged_df = (
+                        transform(fresh).observe(obs, metric)
+                        if observe_output
+                        else transform(fresh.observe(obs, metric))
+                    )
                 staged_df.write.mode("overwrite").saveAsTable(staging)
             except Exception as e:  # noqa: BLE001
                 # a concurrent publish can swap the base's files under our
@@ -3404,7 +3887,11 @@ class Engine:
                     self.spark.catalog.refreshTable(table)
                     continue
                 raise
-            n = int(obs.get["n"] or 0)
+            n = (
+                int(count_fallback(fresh))
+                if count_fallback is not None
+                else int(obs.get["n"] or 0)
+            )
             if validate is not None:
                 try:
                     validate(self.spark.table(staging))

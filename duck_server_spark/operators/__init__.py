@@ -45,77 +45,74 @@ def _modules():
 # ROTATION QUEUE (VERDICT r10 item 8): the registry holds ~200 rows and
 # the window 50, so each oracle-twinned row should get a driver witness
 # at least every ~4 rounds. Last-witnessed round per block is noted
-# below; next round, rotate in the then-stalest block (the r8-witnessed
-# rows: agg matrix, joins, setops, tpch q7/q13/q15-q19/q21, subqueries,
-# samples, distinct_on, lateral, qualify, union_by_name, values_inline,
-# plus window_range_frame / window_ranking which missed this window) —
-# everything outside the window is still fully self-gated per-round by
+# below. Round 12 rotates in the then-stalest blocks exactly as the
+# r11 queue ordered: the two r7 window stragglers + 46 of the 49
+# r8-witnessed rows (the three deferred: dedup_minhash_lsh_fast and
+# similarity_ann_pq have fresher twins — their *_est rows were
+# witnessed r11 and both carry pytest accuracy contracts — and
+# join_cross is the 125-row dim×dim cartesian, the lowest-information
+# row; all three lead the r13 queue together with the r9-witnessed
+# block). Everything outside
+# the window is still fully self-gated per-round by
 # tools/drive_contract.py.
 _PRIORITY = [
-    # 1-3: NEW round 11 — the probe-battery closure gates (date−date →
-    # BIGINT days, duck-1.0 map-subscript [v] shape, bar(), nested
-    # shims, ^-with-cast; FROM-unnest rendered-expression column name;
-    # #n positional refs + LIMIT n% through the engine path).
-    "dialect_probe_sql",
-    "unnest_tvf_sql",
-    "positional_ref_sql",
-    # 4-6: never driver-witnessed in rounds 1-10 (VERDICT r10 item 1):
-    # the two rows-only estimate plans (their correctness is carried by
-    # gate twins + plan-containment audit; these witness the row-count
-    # side) and the r10 text-similarity gate row.
-    "similarity_ann_pq_est",
-    "dedup_minhash_lsh_fast_est",
-    "scalar_text_similarity",
-    # 7-11: last witnessed r7 — contamination_check FIRST (clears the
-    # r10 bench-bar flag with a fresh correctness witness).
-    "contamination_check",
-    "agg_theta_audience_overlap",
-    "asof_join",
-    "asof_join_sql",
-    "dedup_embedding_cosine",
-    # 12-16: the stalest tail — r1/r4/r6 witnesses.
-    "sample_bernoulli",
-    "dedup_minhash_vectorized",
-    "scalar_array",
-    "similarity_ann_ivf_trained",
-    "streaming_hll_window_distinct",
-    # 17-50: the remaining r7-witnessed rows (34 of 36 fit; the two
-    # window stragglers window_range_frame / window_ranking rotate in
-    # next round with the r8 block).
-    "agg_hll_mergeable_distinct_prod",
-    "agg_theta_audience_overlap_prod",
-    "dedup_minhash_lsh",
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_on_sql",
-    "mixture_domain_upsampling",
-    "pipeline_filter_cascade",
-    "pivot_status",
-    "pivot_stmt_sql",
-    "scalar_binary",
-    "scalar_bits",
-    "scalar_cond_cast",
-    "scalar_date",
-    "scalar_json",
-    "scalar_list_slice",
-    "scalar_math",
-    "scalar_series_unnest",
-    "scalar_string",
-    "similarity_ann_lsh",
-    "similarity_topk_bruteforce",
-    "text_bm25_retrieval",
-    "text_char_jaccard",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "time_bucket_tumbling",
-    "unpivot_prices",
-    "unpivot_stmt_sql",
-    "window_first_last_nth",
-    "window_frames_rows",
-    "window_lag_lead",
+    # 1-2: NEW round 12 — column-typed date − date → BIGINT days via
+    # the FROM-schema probe (VERDICT r11 item 1, the one silent
+    # divergence), and duck's one-level named-window copy resolution
+    # (ADVICE r11 medium: self-ref/cycle hang + comma-list defs).
+    "date_arith_cols_sql",
+    "window_spec_copy_sql",
+    # 3-4: last witnessed r7 — the two window stragglers the r11
+    # comment promised this window.
+    "window_range_frame",
+    "window_ranking",
+    # 5-50: the r8-witnessed block (46 of 48; deferral note above).
+    "agg_approx_count_distinct",
+    "agg_cube",
+    "agg_filter_distinct",
+    "agg_grouping_sets",
+    "agg_minmax_argmax",
+    "agg_rollup",
+    "cte_chain",
+    "dedup_semantic_clusters",
+    "distinct_on",
+    "join_anti",
+    "join_full",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_semi",
+    "join_theta",
+    "join_using",
+    "lateral_join",
+    "qualify",
+    "recursive_cte",
+    "sample_deterministic",
+    "sample_stratified",
+    "scalar_bracket_literals",
+    "scalar_datetime_shims",
+    "scalar_macro_inline",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sort_limit_offset",
+    "sort_nulls_first",
+    "subquery_correlated",
+    "subquery_in",
+    "subquery_scalar",
+    "topk_per_domain",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_parts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q7_volume_shipping",
+    "union_by_name",
+    "values_inline",
 ]
 
 

@@ -1841,6 +1841,39 @@ def _rewrite_ddl_types(q: str) -> str:
     return q[: m.end()] + ", ".join(out) + q[end - 1 :]
 
 
+# plain `ALTER TABLE t ADD COLUMN c VARCHAR` passes through to Spark's
+# native NULL-fill ADD COLUMN, so its duck type spelling must normalize
+# like a CREATE body's (round 12, found by tools/statement_probe.py)
+_ALTER_ADD_COL_TYPE = re.compile(
+    r"^(\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"\w.]+\s+ADD\s+"
+    r"(?!CONSTRAINT\b|PRIMARY\b|UNIQUE\b|FOREIGN\b|CHECK\b)"
+    r"(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?\w+[`\"]?\s+)(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_alter_add_type(q: str) -> str:
+    m = _ALTER_ADD_COL_TYPE.match(q)
+    if m is None:
+        return q
+    return m.group(1) + normalize_type_spec(m.group(2))
+
+
+def blank_comments(q: str) -> str:
+    """Blank SQL comments (outside string literals) with spaces,
+    preserving offsets. The DDL/DML intercept regexes assume whitespace
+    between tokens — `UPDATE t -- note\\n SET …` must hit the same
+    branch as the comment-free spelling (round 12, found by
+    tools/statement_probe.py). Spark parses comments fine in the plain
+    query path; this is for the engine's own statement dispatch."""
+    if "--" not in q and "/*" not in q:
+        return q
+    for s, e, kind in _protected_spans(q):
+        if kind == "comment":
+            q = q[:s] + " " * (e - s) + q[e:]
+    return q
+
+
 def _rewrite_cast_types(q: str) -> str:
     """CAST(x AS TEXT) / TRY_CAST(… AS BLOB[]): normalize the type after
     the cast's top-level AS (the README's own advice to clients is
@@ -3094,6 +3127,7 @@ def rewrite_common(q: str) -> str:
     q = _rewrite_series_unnest(q)  # before the alias pass: the TVF forms
     q = _rewrite_using_sample(q)
     q = _rewrite_ddl_types(q)
+    q = _rewrite_alter_add_type(q)  # ADD COLUMN type spec (round 12)
     q = _rewrite_cast_types(q)
     q = _rewrite_bracket_literals(q)  # after type rewrites: INT[] is gone
     q = _rewrite_brace_literals(q)
@@ -3150,8 +3184,12 @@ _COLLATE_NOCASE = re.compile(r"\bCOLLATE\s+NOCASE\b", re.IGNORECASE)
 # timestamp literal for 1970-01-01 00:00:00 (infinity/-infinity have NO
 # Spark representation and stay loud). Span-walk like the BIT packer:
 # the literal itself is invisible to segment-based passes.
-_EPOCH_POSTFIX = re.compile(r"\s*::\s*timestamp(_ntz)?\b", re.IGNORECASE)
-_EPOCH_CAST_POST = re.compile(r"\s+AS\s+TIMESTAMP(_NTZ)?\s*\)", re.IGNORECASE)
+_EPOCH_POSTFIX = re.compile(
+    r"\s*::\s*timestamp(_ntz|tz)?(\s+with\s+time\s+zone)?\b", re.IGNORECASE
+)
+_EPOCH_CAST_POST = re.compile(
+    r"\s+AS\s+TIMESTAMP(_NTZ|TZ)?(\s+WITH\s+TIME\s+ZONE)?\s*\)", re.IGNORECASE
+)
 _EPOCH_VALUE = "TIMESTAMP '1970-01-01 00:00:00'"
 
 
@@ -3240,32 +3278,81 @@ _NULLS_TREATMENT_IN_CALL = re.compile(
 )
 
 # `OVER (w ROWS …)` — a named-window REFINEMENT (base window + frame).
-# Spark supports named windows (`OVER w`) but not refinements, so the
-# base spec is inlined at bind time (round 11).
+# Spark supports named windows (`OVER w` / `OVER (w)`) but not
+# refinements, and rejects a base-window ref at a DEFINITION site
+# (`WINDOW w2 AS (w1 ROWS …)`), so both are expanded at bind time.
+# Duck's resolution rule (pinned live): a definition's leading base
+# identifier resolves only against TEXTUALLY EARLIER definitions;
+# unknown / self / forward / cyclic refs are silently ignored (no
+# base), while an unknown name in OVER position is an error. Specs are
+# pre-expanded once in textual order, so cycles can't loop (r12).
 _WINDOW_DEF = re.compile(r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+_WINDOW_DEF_SIBLING = re.compile(r",\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+_WINDOW_SPEC_HEAD = re.compile(r"\s*([A-Za-z_]\w*)\b")
+_WINDOW_SPEC_KEYWORDS = frozenset(
+    {"partition", "order", "rows", "range", "groups", "exclude"}
+)
+
+
+_WINDOW_FRAME_KW = re.compile(r"\b(?:ROWS|RANGE|GROUPS)\b", re.IGNORECASE)
 
 
 def _rewrite_named_window_refinement(q: str) -> str:
+    from duck_server_spark.engine.errors import PgError
+
     masked = _mask_literals(q)
     if not _WINDOW_DEF.search(masked):
         return q
-    specs: dict[str, str] = {}
+    # 1. collect definitions in textual order, following comma-separated
+    #    siblings of each WINDOW keyword (`WINDOW a AS (...), b AS (...)`)
+    defs: list[tuple[str, int, int]] = []  # (name, body_start, body_end)
     for wm in _WINDOW_DEF.finditer(masked):
-        end = _scan_balanced(masked, wm.end())
-        specs[wm.group(1).lower()] = q[wm.end() : end - 1]
-    while True:
-        masked = _mask_literals(q)
-        hit = None
-        for om in re.finditer(r"\bOVER\s*\(\s*([A-Za-z_]\w*)\b", masked, re.IGNORECASE):
-            name = om.group(1).lower()
-            rest = masked[om.end() :].lstrip()
-            if name in specs and not rest.startswith(")"):
-                hit = (om, name)
+        name, pos = wm.group(1), wm.end()
+        while True:
+            end = _scan_balanced(masked, pos)
+            defs.append((name.lower(), pos, end - 1))
+            sib = _WINDOW_DEF_SIBLING.match(masked, end)
+            if sib is None:
                 break
-        if hit is None:
-            return q
-        om, name = hit
-        q = q[: om.start(1)] + specs[name] + " " + q[om.end(1) :]
+            name, pos = sib.group(1), sib.end()
+    # 2. every reference copies the referenced def's DIRECT elements only
+    #    (one level, non-recursive — pinned live against duck): a def's
+    #    leading base identifier inlines the base's direct text when the
+    #    base was defined textually earlier, and is dropped otherwise,
+    #    so cycles / self-refs / forward refs can't loop
+    direct: dict[str, str] = {}
+    bodies: list[tuple[int, int, str]] = []
+    for name, s, e in defs:
+        body, mbody = q[s:e], masked[s:e]
+        base = ""
+        hm = _WINDOW_SPEC_HEAD.match(mbody)
+        if hm is not None and hm.group(1).lower() not in _WINDOW_SPEC_KEYWORDS:
+            base = direct.get(hm.group(1).lower(), "")
+            body = body[hm.end() :].lstrip()
+        direct[name] = body.strip()
+        bodies.append((s, e, (base + " " + direct[name]).strip()))
+    # 3. splice: def bodies in place (WINDOW clause becomes Spark-valid,
+    #    bare `OVER name` then resolves the one-level-expanded spec);
+    #    `OVER (name …)` refinements get the direct spec inlined; a bare
+    #    copy `OVER (name)` likewise (duck errors if it has a frame)
+    spans: list[tuple[int, int, str]] = list(bodies)
+    for om in re.finditer(r"\bOVER\s*\(\s*([A-Za-z_]\w*)\b", masked, re.IGNORECASE):
+        name = om.group(1).lower()
+        if name not in direct or any(s <= om.start(1) < e for s, e, _ in bodies):
+            continue
+        rest = masked[om.end() :].lstrip()
+        if rest.startswith(")") and _WINDOW_FRAME_KW.search(
+            _mask_literals(direct[name])
+        ):
+            raise PgError(
+                "42601",
+                f'cannot copy window "{om.group(1)}" because it has a '
+                "frame clause",
+            )
+        spans.append((om.start(1), om.end(1), direct[name] + " "))
+    for s, e, text in sorted(spans, reverse=True):
+        q = q[:s] + text + q[e:]
+    return q
 
 
 # Numeric-LITERAL casts to integer types round HALF AWAY FROM ZERO in

@@ -210,7 +210,7 @@ _TXN_TAGS = {
     "rollback": "ROLLBACK", "abort": "ROLLBACK",
 }
 _WRITE_VERB = re.compile(
-    r"^\s*(insert|update|delete|create|drop|alter|truncate|set|copy|grant|vacuum|analyze|export|import)\b",
+    r"^\s*(insert|update|delete|create|drop|alter|truncate|set|copy|grant|vacuum|analyze|export|import|attach|detach)\b",
     re.IGNORECASE,
 )
 

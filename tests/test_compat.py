@@ -2145,6 +2145,79 @@ def test_pivot_stmt_guards(spark):
     assert ei.value.pgcode == "0A000"
 
 
+def test_attach_detach_use_messages(spark):
+    """VERDICT r11 item 8: ATTACH/DETACH get a specific 0A000 (duck's
+    multi-database model has no counterpart in a single-catalog Spark
+    warehouse) instead of a Spark parse error; USE stays native — it
+    switches schemas like duck's, and an unknown name errors loudly."""
+    from duck_server_spark.engine.errors import PgError
+
+    eng = Engine(spark)
+    for stmt, verb in (
+        ("ATTACH 'other.db' AS other", "ATTACH"),
+        ("DETACH other", "DETACH"),
+    ):
+        with pytest.raises(PgError) as ei:
+            eng.execute(stmt)
+        assert ei.value.pgcode == "0A000"
+        assert f"{verb} is not supported" in str(ei.value)
+    eng.query("USE default").collect()
+    with pytest.raises(Exception) as ei:
+        eng.query("USE nosuch_schema_xyz").collect()
+    assert "SCHEMA_NOT_FOUND" in str(ei.value)
+
+
+def test_pivot_nonmatch_restores_statement_and_views(spark):
+    """ADVICE r11: a PIVOT-prefixed statement that is NOT the duck
+    simplified-PIVOT shape must fall through with the ORIGINAL text
+    (subquery source restored, trailing tail re-attached) and must not
+    leak the materialized source temp view."""
+    eng = Engine(spark)
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    with pytest.raises(Exception) as ei:
+        eng.query("PIVOT (SELECT 1 AS x) NOT_A_PIVOT_SHAPE LIMIT 1").collect()
+    # the error is about the original statement, not a half-mutated one
+    assert "NOT_A_PIVOT_SHAPE" in str(ei.value)
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert not {n for n in after - before if n.startswith("__duck_pivot_src_")}
+
+
+def test_named_window_copy_and_refinement_semantics(spark, duck):
+    """ADVICE r11 (medium): self-referential / cyclic / comma-listed
+    named-window definitions must neither hang the rewriter nor diverge
+    from duck's one-level copy resolution; `OVER (w)` of a frame-bearing
+    def errors like duck."""
+    from duck_server_spark.engine.errors import PgError
+
+    eng = Engine(spark)
+    for sql in (
+        # self-ref def (duck ignores the unknown base) — r11 hang repro
+        "SELECT x, sum(x) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT"
+        " ROW) AS a FROM (VALUES (1), (2), (3)) t(x)"
+        " WINDOW w AS (w ORDER BY x) ORDER BY x",
+        # comma-separated definition list: the SECOND def must resolve
+        "SELECT x, sum(x) OVER (b ROWS BETWEEN 1 PRECEDING AND CURRENT"
+        " ROW) AS a FROM (VALUES (1), (2), (3)) t(x)"
+        " WINDOW a AS (ORDER BY x DESC), b AS (ORDER BY x) ORDER BY x",
+        # mutual cycle — must terminate, b's base resolves one level
+        "SELECT x, sum(x) OVER (a ROWS BETWEEN 1 PRECEDING AND CURRENT"
+        " ROW) AS a FROM (VALUES (1), (2), (3)) t(x)"
+        " WINDOW a AS (b ORDER BY x), b AS (a) ORDER BY x",
+        # OVER (name) copies DIRECT elements only (not the base chain)
+        "SELECT x, sum(x) OVER (b) AS a FROM (VALUES (1), (2), (3))"
+        " t(x) WINDOW a AS (ORDER BY x), b AS (a) ORDER BY x",
+    ):
+        want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+        got = sorted(tuple(r) for r in eng.query(sql).collect())
+        assert got == want, sql
+    with pytest.raises(PgError) as ei:
+        eng.query(
+            "SELECT sum(x) OVER (w) FROM (VALUES (1)) t(x) WINDOW w AS"
+            " (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
+        )
+    assert "cannot copy window" in str(ei.value)
+
+
 def test_unpivot_stmt_rewrite_and_values(spark, duck, sf_dir):
     from duck_server_spark.engine.session import register_views
 

@@ -40,19 +40,22 @@ EXPECTED_DIVERGENCES = {
         "deliberate: ANSI mode raises loudly on float division by zero "
         "where duck returns NULL"
     ),
-    "ident_case_output": (
-        "documented: a case-insensitively matched identifier renders in "
-        "its STORED case in duck's result header (r_name) but keeps the "
-        "TYPED spelling in Spark's (R_NAME) — resolution and values are "
-        "identical, only the header case differs; full stored-case "
-        "rendering would need a schema probe per bare column ref"
+    "ident_case_lower_typed": (
+        "documented (narrowed round 12): stored-case result headers are "
+        "closed for refs typed with any uppercase letter (probe "
+        "ident_case_output PASSES via the FROM-schema probe); an "
+        "all-lowercase typed ref over a mixed-case stored column still "
+        "keeps the typed spelling — probing every lowercase ref would "
+        "add a schema analysis to every statement for a corner duck "
+        "clients essentially never hit"
     ),
-    "col_int_cast_round": (
-        "documented: duck rounds numeric COLUMN casts to integer types "
-        "(tie rule is source-type-dependent: DECIMAL half-away, DOUBLE "
-        "banker's — pinned live); bind-time text cannot know a column's "
-        "type, so column casts keep Spark truncation. LITERAL casts are "
-        "closed (probe lit_int_cast_round)"
+    "expr_int_cast_round": (
+        "documented (narrowed round 12): COLUMN casts to integer types "
+        "now apply duck's source-type tie rule via the FROM-schema "
+        "probe (DECIMAL/VARCHAR half-away, DOUBLE banker's — probes "
+        "col_int_cast_round{,_dbl,_str} PASS); an EXPRESSION-typed "
+        "operand (x + 0.0) keeps Spark truncation — typing arbitrary "
+        "expressions needs full analysis of every cast argument"
     ),
 }
 
@@ -128,6 +131,12 @@ PROBES = [
     # ---- dates/times ----
     ("date_plus_int", "SELECT DATE '2024-01-31' + 1 AS a"),
     ("date_minus_date", "SELECT DATE '2024-02-10' - DATE '2024-02-01' AS a"),
+    ("date_minus_date_col", "SELECT event_id, d2 - d1 AS days FROM (SELECT event_id, CAST(ts AS DATE) AS d1, CAST(ts + INTERVAL 3 DAY AS DATE) AS d2 FROM events) t ORDER BY event_id LIMIT 5"),
+    ("date_minus_date_col_qual", "SELECT t.event_id, t.d2 - t.d1 AS days FROM (SELECT event_id, CAST(ts AS DATE) AS d1, CAST(ts + INTERVAL 10 DAY AS DATE) AS d2 FROM events) t ORDER BY t.event_id LIMIT 5"),
+    ("date_minus_lit_col_mixed", "SELECT event_id, d1 - DATE '2024-01-01' AS days, DATE '2026-01-01' - d1 AS days2 FROM (SELECT event_id, CAST(ts AS DATE) AS d1 FROM events) t ORDER BY event_id LIMIT 5"),
+    ("date_minus_date_col_cte", "WITH c AS (SELECT event_id, CAST(ts AS DATE) AS d1, CAST(ts + INTERVAL 7 DAY AS DATE) AS d2 FROM events) SELECT event_id, d2 - d1 AS days FROM c ORDER BY event_id LIMIT 5"),
+    ("ts_minus_ts_col", "SELECT event_id, (ts + INTERVAL 90 MINUTE) - ts AS iv FROM events ORDER BY event_id LIMIT 3"),
+    ("ts_minus_ts_bare_cols", "SELECT event_id, t2 - t1 AS iv FROM (SELECT event_id, ts AS t1, ts + INTERVAL 90 MINUTE AS t2 FROM events) x ORDER BY event_id LIMIT 3"),
     ("interval_arith", "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS a"),
     ("interval_str", "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '90 minutes' AS a"),
     ("extract_parts", "SELECT extract(epoch FROM TIMESTAMP '2024-01-02 03:04:05') AS a, extract(dow FROM DATE '2024-01-07') AS b, extract(isodow FROM DATE '2024-01-07') AS c"),
@@ -185,6 +194,8 @@ PROBES = [
     ("select_no_from", "SELECT 42 AS a"),
     ("values_from", "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(x, y) ORDER BY x"),
     ("positional_params", "SELECT #1 FROM (SELECT 5 AS x)"),
+    ("positional_in_cte", "WITH a AS (SELECT 5 AS x, 6 AS y), b AS (SELECT #2 FROM a) SELECT * FROM b"),
+    ("positional_in_first_cte", "WITH a AS (SELECT #1 FROM (SELECT 7 AS z)) SELECT * FROM a"),
     ("order_positional", "SELECT r_name, r_regionkey FROM region ORDER BY 2 DESC LIMIT 2"),
     ("group_positional", "SELECT o_orderpriority, count(*) AS c FROM orders GROUP BY 1 ORDER BY 1"),
     ("limit_pct", "SELECT count(*) AS a FROM (SELECT * FROM region LIMIT 40%)"),
@@ -304,7 +315,11 @@ PROBES = [
     # ---- casts & numerics ----
     ("str_to_int_round", "SELECT TRY_CAST('1.9' AS INT) AS a, CAST(' 5 ' AS INT) AS b"),
     ("lit_int_cast_round", "SELECT 2.5::INT AS a, 1.9::INT AS b, CAST(2.45 AS INT) AS c, '-1.5'::INT AS d"),
-    ("col_int_cast_round", "SELECT CAST(x AS INT) AS a FROM (VALUES (1.9), (2.5)) t(x)"),
+    ("col_int_cast_round", "SELECT CAST(x AS INT) AS a FROM (VALUES (1.9), (2.5), (-2.5), (3.5)) t(x)"),
+    ("col_int_cast_round_dbl", "SELECT CAST(x AS INT) AS a, x::BIGINT AS b FROM (VALUES (CAST(2.5 AS DOUBLE)), (CAST(3.5 AS DOUBLE)), (CAST(-2.5 AS DOUBLE)), (CAST(1.9 AS DOUBLE))) t(x)"),
+    ("col_int_cast_round_str", "SELECT CAST(x AS INT) AS a FROM (VALUES ('2.5'), ('1.9'), ('-2.5'), ('7')) t(x)"),
+    ("col_int_cast_round_table", "SELECT o_orderkey, CAST(o_totalprice AS BIGINT) AS p FROM orders WHERE o_orderkey % 211 = 0 ORDER BY o_orderkey LIMIT 5"),
+    ("expr_int_cast_round", "SELECT CAST(x + 0.0 AS INT) AS a FROM (VALUES (CAST(3.5 AS DOUBLE))) t(x)"),
     ("bool_spellings", "SELECT 'true'::BOOL AS a, 't'::BOOL AS b, '0'::BOOL AS c"),
     ("float_specials", "SELECT 'inf'::DOUBLE > 0 AS a, isnan('nan'::DOUBLE) AS b"),
     ("neg_zero", "SELECT -0.0 = 0.0 AS a"),
@@ -326,6 +341,14 @@ PROBES = [
     ("win_lead_default", "SELECT r_regionkey, lead(r_regionkey, 1, -1) OVER (ORDER BY r_regionkey) AS a FROM region ORDER BY r_regionkey"),
     ("win_first_ignore_nulls", "SELECT x, first_value(y IGNORE NULLS) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1, NULL), (2, 'v'), (3, 'w')) t(x, y) ORDER BY x"),
     ("win_named_frame", "SELECT x, sum(x) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW w AS (ORDER BY x) ORDER BY x"),
+    ("win_named_selfref", "SELECT x, sum(x) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW w AS (w ORDER BY x) ORDER BY x"),
+    ("win_named_commalist", "SELECT x, sum(x) OVER (b ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW a AS (ORDER BY x DESC), b AS (ORDER BY x) ORDER BY x"),
+    ("win_named_base_chain", "SELECT x, sum(x) OVER w2 AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW w1 AS (ORDER BY x), w2 AS (w1 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) ORDER BY x"),
+    ("win_named_cycle", "SELECT x, sum(x) OVER (a ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW a AS (b ORDER BY x), b AS (a) ORDER BY x"),
+    ("win_named_paren_ref", "SELECT x, sum(x) OVER (b) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW a AS (ORDER BY x), b AS (a) ORDER BY x"),
+    ("win_named_paren_direct", "SELECT x, sum(x) OVER (a) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW a AS (ORDER BY x) ORDER BY x"),
+    ("win_named_refine_shallow", "SELECT x, sum(x) OVER (b ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1), (2), (3)) t(x) WINDOW a AS (ORDER BY x DESC), b AS (a) ORDER BY x"),
+    ("win_named_copy_droppart", "SELECT x, y, sum(x) OVER (b) AS a FROM (VALUES (1, 1), (2, 1), (3, 2)) t(x, y) WINDOW a AS (PARTITION BY y ORDER BY x), b AS (a) ORDER BY x"),
     # ---- query shapes ----
     ("having_no_group", "SELECT count(*) AS c FROM region HAVING count(*) > 1"),
     ("order_by_all_desc", "SELECT r_regionkey % 2 AS m, r_regionkey FROM region ORDER BY ALL DESC"),
@@ -360,8 +383,11 @@ PROBES = [
     ("negative_array_slice", "SELECT ([1,2,3,4,5])[-3:-2] AS a, ([1,2,3])[-9:-2] AS b, ([1,2,3,4,5])[2:-2] AS c"),
     ("string_neg_slice", "SELECT ('abcde')[-3:-2] AS a, ('abcde')[:-2] AS b, ('abcde')[-3:] AS c"),
     ("epoch_literal", "SELECT 'epoch'::TIMESTAMP AS a, CAST('epoch' AS TIMESTAMP) AS b"),
+    ("epoch_literal_tz", "SELECT 'epoch'::TIMESTAMPTZ AS a, CAST('epoch' AS TIMESTAMPTZ) AS b, 'epoch'::TIMESTAMP WITH TIME ZONE AS c"),
     ("ts_compare_date", "SELECT TIMESTAMP '2024-01-01 05:00:00' > DATE '2024-01-01' AS a"),
     ("ident_case_output", "SELECT R_NAME FROM REGION ORDER BY R_NAME LIMIT 1"),
+    ("ident_case_qualified", "SELECT region.R_NAME FROM region ORDER BY 1 LIMIT 1"),
+    ("ident_case_lower_typed", "SELECT rname FROM (SELECT r_name AS RName FROM region) t ORDER BY 1 LIMIT 1"),
     # ---- round-11 third discovery pass ----
     ("math_family2", "SELECT round(atan2(1, 1), 6) AS a, round(degrees(pi()), 4) AS b, round(radians(180), 6) AS c, sign(-5) AS d, round(cbrt(27), 6) AS e"),
     ("factorial_gcd", "SELECT factorial(5) AS a, gcd(12, 18) AS b, gcd(0, 5) AS c, gcd(-12, 18) AS d, lcm(4, 6) AS e"),

@@ -313,6 +313,18 @@ CHECKS = {
     "positional_ref_sql": [
         ("positional refs resolve to plain column reads", r"WholeStageCodegen"),
     ],
+    # round-12 gates: the FROM-schema-probe rewrites are bind-time text —
+    # column-typed date−date plans as a codegen'd datediff over one
+    # pruned scan; the named-window copy resolution is three frames over
+    # ONE sort (a second Sort/Exchange would mean the expansion broke
+    # frame sharing)
+    "date_arith_cols_sql": [
+        ("date arithmetic under whole-stage codegen", r"WholeStageCodegen"),
+        ("pruned scan reads only the used columns", "ReadSchema: [^\\n]*o_orderdate"),
+    ],
+    "window_spec_copy_sql": [
+        ("expanded specs share one window operator chain", r"Window"),
+    ],
 }
 
 FORBIDDEN = {
@@ -369,6 +381,11 @@ FORBIDDEN = {
         ("one generator, no join", r"Join"),
     ],
     "positional_ref_sql": [("no join anywhere", r"Join")],
+    "date_arith_cols_sql": [("no join anywhere", r"Join")],
+    "window_spec_copy_sql": [
+        ("no join anywhere", r"Join"),
+        ("no cartesian product", r"CartesianProduct"),
+    ],
     # ordered collect must not add a shuffle beyond the group-by's own
     "query_shapes_sql": [("no sort-based extra exchange", r"CartesianProduct")],
     "pivot_stmt_sql": [("no cartesian product", r"CartesianProduct")],

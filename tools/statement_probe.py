@@ -1,0 +1,572 @@
+"""Statement-level differential battery (round 12, VERDICT r11 item 5).
+
+The SELECT-only probe battery (tools/dialect_probe.py) found round 10's
+highest-leverage bug; writes deserve the same sweep. Each probe here is
+a SEQUENCE of DuckDB statements (CREATE/INSERT/UPDATE/DELETE/ALTER/
+transactions) run verbatim on BOTH engines — live DuckDB and this
+engine's execute()/query() path — followed by a comparison of the final
+contents of every table the probe declares. A statement that errors
+must error on BOTH engines (the error text may differ; the step index
+must match), and the surviving table state must match value-for-value.
+
+Usage: python tools/statement_probe.py [filter-substring]
+Prints one line per probe: PASS / MISMATCH / ENGINE_ERR / DUCK_ERR.
+DUCK_ERR rows are sequences the local DuckDB build itself rejects in a
+way the battery cannot express (dropped, out of surface).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+import duckdb  # noqa: E402
+
+# Expected divergences: probe name → pinned reason. Everything else
+# must match; tests/test_statement_gate.py pins the PASS set.
+EXPECTED_STMT_DIVERGENCES: dict[str, str] = {}
+
+# (name, [statements...], [tables to compare at the end])
+# Table names are unique per probe (sp_<short>_<n>) so probes are
+# independent; the harness DROPs them on both engines before and after.
+SEQS: list[tuple[str, list[str], list[str]]] = [
+    # ---- create / insert basics ----
+    ("create_insert_basic", [
+        "CREATE TABLE sp_cib (i INTEGER, s VARCHAR)",
+        "INSERT INTO sp_cib VALUES (1, 'a'), (2, 'b'), (3, NULL)",
+    ], ["sp_cib"]),
+    ("insert_subset_cols", [
+        "CREATE TABLE sp_sub (i INTEGER, s VARCHAR, d DOUBLE)",
+        "INSERT INTO sp_sub (s, i) VALUES ('x', 9), ('y', 8)",
+    ], ["sp_sub"]),
+    ("insert_defaults", [
+        "CREATE TABLE sp_def (i INTEGER DEFAULT 7, s VARCHAR DEFAULT 'dft', d DOUBLE)",
+        "INSERT INTO sp_def (d) VALUES (1.5), (2.5)",
+        "INSERT INTO sp_def VALUES (DEFAULT, 'x', 3.5)",
+    ], ["sp_def"]),
+    ("insert_select", [
+        "CREATE TABLE sp_isa (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_isa VALUES (1, 'a'), (2, 'b')",
+        "CREATE TABLE sp_isb (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_isb SELECT k + 10, upper(v) FROM sp_isa",
+    ], ["sp_isa", "sp_isb"]),
+    ("insert_values_alias", [
+        "CREATE TABLE sp_iva (a INTEGER, b VARCHAR)",
+        "INSERT INTO sp_iva SELECT * FROM (VALUES (1, 'p'), (2, 'q')) v(a, b)",
+    ], ["sp_iva"]),
+    ("insert_by_name", [
+        "CREATE TABLE sp_ibn (i INTEGER, s VARCHAR, d DOUBLE)",
+        "INSERT INTO sp_ibn BY NAME SELECT 'nm' AS s, 4 AS i",
+    ], ["sp_ibn"]),
+    ("ctas_values", [
+        "CREATE TABLE sp_ctas AS SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, v)",
+    ], ["sp_ctas"]),
+    ("ctas_series", [
+        "CREATE TABLE sp_ctsr AS SELECT g AS n, g * g AS sq FROM generate_series(1, 5) t(g)",
+    ], ["sp_ctsr"]),
+    ("create_or_replace_table", [
+        "CREATE TABLE sp_cor (i INTEGER)",
+        "INSERT INTO sp_cor VALUES (1)",
+        "CREATE OR REPLACE TABLE sp_cor (s VARCHAR)",
+        "INSERT INTO sp_cor VALUES ('new')",
+    ], ["sp_cor"]),
+    ("drop_recreate", [
+        "CREATE TABLE sp_drc (i INTEGER)",
+        "INSERT INTO sp_drc VALUES (1)",
+        "DROP TABLE sp_drc",
+        "CREATE TABLE sp_drc (i INTEGER, s VARCHAR)",
+        "INSERT INTO sp_drc VALUES (2, 'b')",
+    ], ["sp_drc"]),
+    ("wide_types_roundtrip", [
+        "CREATE TABLE sp_wt (a SMALLINT, b BIGINT, c DOUBLE, d DECIMAL(9,2), e DATE, f TIMESTAMP, g BOOLEAN, h VARCHAR)",
+        "INSERT INTO sp_wt VALUES (1, 9999999999, 1.25, 12.34, DATE '2024-02-29', TIMESTAMP '2024-01-02 03:04:05', true, 'x')",
+        "INSERT INTO sp_wt VALUES (NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ], ["sp_wt"]),
+    ("insert_string_coercion", [
+        "CREATE TABLE sp_coe (i INTEGER, d DOUBLE, b BOOLEAN)",
+        "INSERT INTO sp_coe VALUES ('5', '1.5', 'true')",
+    ], ["sp_coe"]),
+    ("insert_list_column", [
+        "CREATE TABLE sp_lst (k INTEGER, xs INTEGER[])",
+        "INSERT INTO sp_lst VALUES (1, [1, 2, 3]), (2, []), (3, NULL)",
+    ], ["sp_lst"]),
+    # ---- update ----
+    ("update_where", [
+        "CREATE TABLE sp_upw (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_upw VALUES (1, 10), (2, 20), (3, 30)",
+        "UPDATE sp_upw SET v = v + 1 WHERE k >= 2",
+    ], ["sp_upw"]),
+    ("update_all_rows", [
+        "CREATE TABLE sp_upa (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_upa VALUES (1, 10), (2, 20)",
+        "UPDATE sp_upa SET v = -v",
+    ], ["sp_upa"]),
+    ("update_expr_mix", [
+        "CREATE TABLE sp_upe (k INTEGER, s VARCHAR, v INTEGER)",
+        "INSERT INTO sp_upe VALUES (1, 'ab', 5), (2, 'cdef', 7)",
+        "UPDATE sp_upe SET v = v * 2 + length(s), s = upper(s) || '_x'",
+    ], ["sp_upe"]),
+    ("update_case_expr", [
+        "CREATE TABLE sp_upc (k INTEGER, tier VARCHAR)",
+        "INSERT INTO sp_upc VALUES (5, NULL), (15, NULL), (25, NULL)",
+        "UPDATE sp_upc SET tier = CASE WHEN k < 10 THEN 'lo' WHEN k < 20 THEN 'mid' ELSE 'hi' END",
+    ], ["sp_upc"]),
+    ("update_from_join", [
+        "CREATE TABLE sp_uft (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_uft VALUES (1, 0), (2, 0), (3, 0)",
+        "CREATE TABLE sp_ufs (k INTEGER, nv INTEGER)",
+        "INSERT INTO sp_ufs VALUES (1, 100), (3, 300)",
+        "UPDATE sp_uft SET v = sp_ufs.nv FROM sp_ufs WHERE sp_uft.k = sp_ufs.k",
+    ], ["sp_uft"]),
+    ("update_scalar_subquery", [
+        "CREATE TABLE sp_uss (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_uss VALUES (1, 1), (2, 2)",
+        "CREATE TABLE sp_usq (x INTEGER)",
+        "INSERT INTO sp_usq VALUES (41), (42)",
+        "UPDATE sp_uss SET v = (SELECT max(x) FROM sp_usq) WHERE k = 1",
+    ], ["sp_uss"]),
+    ("update_null_set", [
+        "CREATE TABLE sp_unl (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_unl VALUES (1, 'a'), (2, 'b')",
+        "UPDATE sp_unl SET v = NULL WHERE k = 2",
+    ], ["sp_unl"]),
+    ("update_date_arith_cols", [
+        "CREATE TABLE sp_uda (k INTEGER, d1 DATE, d2 DATE, lag BIGINT)",
+        "INSERT INTO sp_uda VALUES (1, DATE '2024-01-01', DATE '2024-03-01', NULL), (2, DATE '2024-02-10', DATE '2024-02-01', NULL)",
+        "UPDATE sp_uda SET lag = d2 - d1",
+    ], ["sp_uda"]),
+    # ---- delete ----
+    ("delete_where", [
+        "CREATE TABLE sp_dlw (k INTEGER)",
+        "INSERT INTO sp_dlw VALUES (1), (2), (3), (4)",
+        "DELETE FROM sp_dlw WHERE k % 2 = 0",
+    ], ["sp_dlw"]),
+    ("delete_all", [
+        "CREATE TABLE sp_dla (k INTEGER)",
+        "INSERT INTO sp_dla VALUES (1), (2)",
+        "DELETE FROM sp_dla",
+    ], ["sp_dla"]),
+    ("delete_using", [
+        "CREATE TABLE sp_dut (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_dut VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+        "CREATE TABLE sp_dus (k INTEGER)",
+        "INSERT INTO sp_dus VALUES (1), (3)",
+        "DELETE FROM sp_dut USING sp_dus WHERE sp_dut.k = sp_dus.k",
+    ], ["sp_dut"]),
+    ("delete_in_subquery", [
+        "CREATE TABLE sp_dsq (k INTEGER)",
+        "INSERT INTO sp_dsq VALUES (1), (2), (3), (4)",
+        "CREATE TABLE sp_dsk (k INTEGER)",
+        "INSERT INTO sp_dsk VALUES (2), (4)",
+        "DELETE FROM sp_dsq WHERE k IN (SELECT k FROM sp_dsk)",
+    ], ["sp_dsq"]),
+    ("truncate_table", [
+        "CREATE TABLE sp_trc (k INTEGER)",
+        "INSERT INTO sp_trc VALUES (1), (2)",
+        "TRUNCATE sp_trc",
+        "INSERT INTO sp_trc VALUES (9)",
+    ], ["sp_trc"]),
+    ("delete_then_reinsert", [
+        "CREATE TABLE sp_dri (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_dri VALUES (1, 'old')",
+        "DELETE FROM sp_dri WHERE k = 1",
+        "INSERT INTO sp_dri VALUES (1, 'new')",
+    ], ["sp_dri"]),
+    # ---- alter ----
+    ("alter_add_column", [
+        "CREATE TABLE sp_aac (k INTEGER)",
+        "INSERT INTO sp_aac VALUES (1), (2)",
+        "ALTER TABLE sp_aac ADD COLUMN s VARCHAR",
+        "INSERT INTO sp_aac VALUES (3, 'new')",
+    ], ["sp_aac"]),
+    ("alter_add_column_default", [
+        "CREATE TABLE sp_aad (k INTEGER)",
+        "INSERT INTO sp_aad VALUES (1)",
+        "ALTER TABLE sp_aad ADD COLUMN tag VARCHAR DEFAULT 'dft'",
+        "INSERT INTO sp_aad (k) VALUES (2)",
+    ], ["sp_aad"]),
+    ("alter_drop_column", [
+        "CREATE TABLE sp_adc (k INTEGER, junk VARCHAR, v DOUBLE)",
+        "INSERT INTO sp_adc VALUES (1, 'x', 1.5)",
+        "ALTER TABLE sp_adc DROP COLUMN junk",
+        "INSERT INTO sp_adc VALUES (2, 2.5)",
+    ], ["sp_adc"]),
+    ("alter_rename_column", [
+        "CREATE TABLE sp_arc (old_name INTEGER)",
+        "INSERT INTO sp_arc VALUES (1)",
+        "ALTER TABLE sp_arc RENAME COLUMN old_name TO new_name",
+        "INSERT INTO sp_arc (new_name) VALUES (2)",
+        "UPDATE sp_arc SET new_name = new_name * 10 WHERE new_name = 2",
+    ], ["sp_arc"]),
+    ("alter_rename_table", [
+        "CREATE TABLE sp_art_a (k INTEGER)",
+        "INSERT INTO sp_art_a VALUES (1)",
+        "ALTER TABLE sp_art_a RENAME TO sp_art_b",
+        "INSERT INTO sp_art_b VALUES (2)",
+    ], ["sp_art_b"]),
+    ("alter_column_type", [
+        "CREATE TABLE sp_act (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_act VALUES (1, 42)",
+        "ALTER TABLE sp_act ALTER v TYPE VARCHAR",
+        "INSERT INTO sp_act VALUES (2, 'text-now')",
+    ], ["sp_act"]),
+    # ---- constraints: the violating step must error on BOTH engines ----
+    ("not_null_violation", [
+        "CREATE TABLE sp_nnv (k INTEGER NOT NULL, v VARCHAR)",
+        "INSERT INTO sp_nnv VALUES (1, 'ok')",
+        "INSERT INTO sp_nnv VALUES (NULL, 'bad')",
+    ], ["sp_nnv"]),
+    ("pk_duplicate", [
+        "CREATE TABLE sp_pkd (k INTEGER PRIMARY KEY, v VARCHAR)",
+        "INSERT INTO sp_pkd VALUES (1, 'a'), (2, 'b')",
+        "INSERT INTO sp_pkd VALUES (1, 'dup')",
+    ], ["sp_pkd"]),
+    ("unique_violation", [
+        "CREATE TABLE sp_unq (k INTEGER, email VARCHAR UNIQUE)",
+        "INSERT INTO sp_unq VALUES (1, 'a@x'), (2, 'b@x')",
+        "INSERT INTO sp_unq VALUES (3, 'a@x')",
+    ], ["sp_unq"]),
+    ("check_violation", [
+        "CREATE TABLE sp_chk (k INTEGER CHECK (k > 0))",
+        "INSERT INTO sp_chk VALUES (1)",
+        "INSERT INTO sp_chk VALUES (-1)",
+    ], ["sp_chk"]),
+    ("fk_violation", [
+        "CREATE TABLE sp_fkp (k INTEGER PRIMARY KEY)",
+        "INSERT INTO sp_fkp VALUES (1), (2)",
+        "CREATE TABLE sp_fkc (r INTEGER REFERENCES sp_fkp (k))",
+        "INSERT INTO sp_fkc VALUES (1)",
+        "INSERT INTO sp_fkc VALUES (99)",
+    ], ["sp_fkp", "sp_fkc"]),
+    ("update_breaks_check", [
+        "CREATE TABLE sp_ubc (k INTEGER CHECK (k < 100))",
+        "INSERT INTO sp_ubc VALUES (1)",
+        "UPDATE sp_ubc SET k = 500",
+    ], ["sp_ubc"]),
+    ("insert_wrong_arity", [
+        "CREATE TABLE sp_iar (a INTEGER, b INTEGER)",
+        "INSERT INTO sp_iar VALUES (1, 2, 3)",
+        "INSERT INTO sp_iar VALUES (7, 8)",
+    ], ["sp_iar"]),
+    # ---- upsert ----
+    ("on_conflict_do_nothing", [
+        "CREATE TABLE sp_ocn (k INTEGER PRIMARY KEY, v VARCHAR)",
+        "INSERT INTO sp_ocn VALUES (1, 'orig')",
+        "INSERT INTO sp_ocn VALUES (1, 'skip'), (2, 'new') ON CONFLICT DO NOTHING",
+    ], ["sp_ocn"]),
+    ("on_conflict_do_update", [
+        "CREATE TABLE sp_ocu (k INTEGER PRIMARY KEY, v VARCHAR, n INTEGER)",
+        "INSERT INTO sp_ocu VALUES (1, 'orig', 1)",
+        "INSERT INTO sp_ocu VALUES (1, 'upd', 5), (2, 'new', 7) ON CONFLICT (k) DO UPDATE SET v = excluded.v, n = sp_ocu.n + excluded.n",
+    ], ["sp_ocu"]),
+    ("insert_or_ignore", [
+        "CREATE TABLE sp_ioi (k INTEGER PRIMARY KEY, v VARCHAR)",
+        "INSERT INTO sp_ioi VALUES (1, 'a')",
+        "INSERT OR IGNORE INTO sp_ioi VALUES (1, 'dup'), (2, 'b')",
+    ], ["sp_ioi"]),
+    ("insert_or_replace", [
+        "CREATE TABLE sp_ior (k INTEGER PRIMARY KEY, v VARCHAR)",
+        "INSERT INTO sp_ior VALUES (1, 'a')",
+        "INSERT OR REPLACE INTO sp_ior VALUES (1, 'repl'), (2, 'b')",
+    ], ["sp_ior"]),
+    # ---- RETURNING (state after; the clause must not double-apply) ----
+    ("insert_returning_state", [
+        "CREATE TABLE sp_irs (k INTEGER, v INTEGER DEFAULT 9)",
+        "INSERT INTO sp_irs (k) VALUES (1), (2) RETURNING k, v",
+    ], ["sp_irs"]),
+    ("update_returning_state", [
+        "CREATE TABLE sp_urs (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_urs VALUES (1, 10), (2, 20)",
+        "UPDATE sp_urs SET v = v + 5 WHERE k = 2 RETURNING *",
+    ], ["sp_urs"]),
+    ("delete_returning_state", [
+        "CREATE TABLE sp_drs (k INTEGER)",
+        "INSERT INTO sp_drs VALUES (1), (2), (3)",
+        "DELETE FROM sp_drs WHERE k > 1 RETURNING k",
+    ], ["sp_drs"]),
+    # ---- sequences ----
+    ("sequence_nextval_insert", [
+        "CREATE SEQUENCE sp_seq1",
+        "CREATE TABLE sp_sqt (id BIGINT, v VARCHAR)",
+        "INSERT INTO sp_sqt VALUES (nextval('sp_seq1'), 'a'), (nextval('sp_seq1'), 'b')",
+        "INSERT INTO sp_sqt VALUES (nextval('sp_seq1'), 'c')",
+    ], ["sp_sqt"]),
+    ("sequence_default_column", [
+        "CREATE SEQUENCE sp_seq2 START 100",
+        "CREATE TABLE sp_sdc (id BIGINT DEFAULT nextval('sp_seq2'), v VARCHAR)",
+        "INSERT INTO sp_sdc (v) VALUES ('a'), ('b')",
+    ], ["sp_sdc"]),
+    # ---- transactions ----
+    ("txn_commit", [
+        "CREATE TABLE sp_txc (k INTEGER)",
+        "BEGIN",
+        "INSERT INTO sp_txc VALUES (1)",
+        "INSERT INTO sp_txc VALUES (2)",
+        "COMMIT",
+    ], ["sp_txc"]),
+    ("txn_rollback", [
+        "CREATE TABLE sp_txr (k INTEGER)",
+        "INSERT INTO sp_txr VALUES (0)",
+        "BEGIN",
+        "INSERT INTO sp_txr VALUES (1)",
+        "UPDATE sp_txr SET k = 99",
+        "ROLLBACK",
+    ], ["sp_txr"]),
+    ("txn_rollback_ddl", [
+        "CREATE TABLE sp_txd (k INTEGER)",
+        "INSERT INTO sp_txd VALUES (1)",
+        "BEGIN",
+        "DELETE FROM sp_txd",
+        "ROLLBACK",
+    ], ["sp_txd"]),
+    # ---- views over evolving base tables ----
+    ("view_reflects_dml", [
+        "CREATE TABLE sp_vrb (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_vrb VALUES (1, 10)",
+        "CREATE VIEW sp_vrv AS SELECT k, v * 2 AS dbl FROM sp_vrb",
+        "INSERT INTO sp_vrb VALUES (2, 20)",
+        "UPDATE sp_vrb SET v = 99 WHERE k = 1",
+    ], ["sp_vrv"]),
+    ("create_or_replace_view", [
+        "CREATE TABLE sp_crv (k INTEGER)",
+        "INSERT INTO sp_crv VALUES (1), (2)",
+        "CREATE VIEW sp_cvw AS SELECT k FROM sp_crv",
+        "CREATE OR REPLACE VIEW sp_cvw AS SELECT k * 10 AS k FROM sp_crv",
+    ], ["sp_cvw"]),
+    # ---- coercion & rounding on the write path ----
+    ("insert_decimal_to_int", [
+        # duck rounds on the INSERT coercion path too (half away from
+        # zero for DECIMAL literals) — the write-path twin of the
+        # lit_int_cast_round probe
+        "CREATE TABLE sp_dti (i INTEGER)",
+        "INSERT INTO sp_dti VALUES (2.5), (-2.5), (1.4)",
+    ], ["sp_dti"]),
+    ("insert_cast_overflow", [
+        "CREATE TABLE sp_ico (i SMALLINT)",
+        "INSERT INTO sp_ico VALUES (1)",
+        "INSERT INTO sp_ico VALUES (99999)",
+    ], ["sp_ico"]),
+    ("update_type_coercion", [
+        "CREATE TABLE sp_utc (d DOUBLE)",
+        "INSERT INTO sp_utc VALUES (1.0)",
+        "UPDATE sp_utc SET d = '2.5'",
+    ], ["sp_utc"]),
+    # ---- misc statement shapes ----
+    ("comment_hostile_dml", [
+        "CREATE TABLE sp_cmh (k INTEGER, s VARCHAR)",
+        "INSERT /* c1 */ INTO sp_cmh /* c2 */ VALUES (1, 'a-- not a comment'), (2, '/* not */')",
+        "UPDATE sp_cmh -- trailing\n SET s = s || '!' WHERE k = 1",
+        "DELETE FROM sp_cmh /* mid */ WHERE k = 2",
+    ], ["sp_cmh"]),
+    ("quoted_ident_dml", [
+        'CREATE TABLE sp_qid ("Key" INTEGER, "oRder" VARCHAR)',
+        'INSERT INTO sp_qid ("Key", "oRder") VALUES (1, \'a\')',
+        'UPDATE sp_qid SET "oRder" = \'b\' WHERE "Key" = 1',
+    ], ["sp_qid"]),
+    ("from_first_insert", [
+        "CREATE TABLE sp_ffi (k INTEGER, v VARCHAR)",
+        "CREATE TABLE sp_ffs (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_ffs VALUES (1, 'z')",
+        "INSERT INTO sp_ffi FROM sp_ffs SELECT k, v",
+    ], ["sp_ffi"]),
+    ("multi_row_large_insert", [
+        "CREATE TABLE sp_mri (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_mri SELECT g, 'row_' || g FROM generate_series(1, 50) t(g)",
+        "DELETE FROM sp_mri WHERE k % 7 = 0",
+        "UPDATE sp_mri SET v = 'lucky' WHERE k % 13 = 0",
+    ], ["sp_mri"]),
+]
+
+
+def canon_rows(rows, cols):
+    """Order-insensitive canonical form reusing the SELECT battery's
+    cell normalization."""
+    from tools.dialect_probe import canon
+    import pandas as pd
+
+    return canon(pd.DataFrame(rows, columns=cols))
+
+
+_TX_HEAD = re.compile(
+    r"^\s*(begin|start\s+transaction|commit|end|rollback|abort)\b",
+    re.IGNORECASE,
+)
+
+
+class MiniSession:
+    """The wire server's per-connection statement routing, minus the
+    protocol: BEGIN opens a TxnOverlay, in-txn statements go through
+    intercept_ddl/prepare, errors abort the block (status E), COMMIT of
+    a failed block rolls back — wire_server.py:564,722."""
+
+    _next_id = 9000
+
+    def __init__(self, eng):
+        self.eng = eng
+        self.txn = None
+
+    def run(self, stmt: str) -> None:
+        from duck_server_spark.engine.transactions import TxnOverlay
+
+        m = _TX_HEAD.match(stmt)
+        if m:
+            head = m.group(1).split()[0].lower()
+            if head in ("begin", "start"):
+                if self.txn is None:
+                    MiniSession._next_id += 1
+                    self.txn = TxnOverlay(self.eng, MiniSession._next_id)
+                return
+            txn, self.txn = self.txn, None
+            if txn is not None:
+                if head in ("commit", "end") and txn.status != "E":
+                    txn.commit()
+                else:
+                    txn.rollback()
+            return
+        q = stmt
+        try:
+            if self.txn is not None:
+                if self.txn.status == "E":
+                    raise RuntimeError(
+                        "current transaction is aborted, commands ignored"
+                    )
+                tag = self.txn.intercept_ddl(q)
+                if tag is not None:
+                    return
+                q = self.txn.prepare(q)
+            head = re.match(r"\s*(\w+)", q).group(1).lower()
+            if head in ("select", "with", "values", "from", "pivot",
+                        "show", "describe", "summarize"):
+                self.eng.query(q).collect()
+                return
+            r = self.eng.execute_returning(q)
+            if r is not None:
+                r[0].collect()
+                return
+            self.eng.execute(q)
+        except Exception:
+            if self.txn is not None:
+                self.txn.status = "E"
+            raise
+
+    def close(self) -> None:
+        if self.txn is not None:
+            txn, self.txn = self.txn, None
+            txn.rollback()
+
+
+def _cleanup(eng, objs) -> None:
+    for t in sorted(objs):
+        for ddl in (
+            f"DROP TABLE IF EXISTS {t}",
+            f"DROP VIEW IF EXISTS {t}",
+            f"DROP SEQUENCE IF EXISTS {t}",
+        ):
+            try:
+                eng.execute(ddl)
+            except Exception:
+                pass
+
+
+def run_probe(eng, name: str, stmts: list[str], tables: list[str]) -> list[str]:
+    """Run one sequence on BOTH engines; return a list of human-readable
+    problems (empty = PASS). Shared by main() and the pytest gate."""
+    from tools.dialect_probe import canon
+
+    problems: list[str] = []
+    duck = duckdb.connect()
+    objs = set(tables) | {t for s in stmts for t in re.findall(r"\bsp_\w+", s)}
+    _cleanup(eng, objs)
+    try:
+        duck_err = []
+        for i, s in enumerate(stmts):
+            try:
+                duck.execute(s)
+            except Exception as exc:
+                duck_err.append((i, str(exc).splitlines()[0]))
+        sess = MiniSession(eng)
+        eng_err = []
+        for i, s in enumerate(stmts):
+            try:
+                sess.run(s)
+            except Exception as exc:
+                first = str(exc).strip().splitlines()
+                eng_err.append((i, (first[0] if first else repr(exc))[:160]))
+        sess.close()
+        if [i for i, _ in duck_err] != [i for i, _ in eng_err]:
+            problems.append(
+                f"error-step sets differ\n  duck errs : {duck_err}"
+                f"\n  spark errs: {eng_err}"
+            )
+            return problems
+        for t in tables:
+            d = duck.execute(f"SELECT * FROM {t}").fetchdf()
+            g = eng.query(f"SELECT * FROM {t}").toPandas()
+            if sorted(map(str.lower, g.columns)) != sorted(
+                map(str.lower, d.columns)
+            ):
+                problems.append(
+                    f"columns of {t}: duck {sorted(d.columns)}"
+                    f" vs spark {sorted(g.columns)}"
+                )
+                return problems
+            g.columns = [c.lower() for c in g.columns]
+            d.columns = [c.lower() for c in d.columns]
+            if canon(g) != canon(d):
+                problems.append(
+                    f"contents of {t}\n  duck :\n"
+                    f"{d.sort_values(by=list(d.columns)).to_string(max_rows=8)}"
+                    f"\n  spark:\n"
+                    f"{g.sort_values(by=list(g.columns)).to_string(max_rows=8)}"
+                )
+                return problems
+        return problems
+    finally:
+        _cleanup(eng, objs)
+        duck.close()
+
+
+def main() -> None:
+    filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    from duck_server_spark.engine.executor import Engine
+    from duck_server_spark.engine.session import get_session
+
+    spark = get_session("statement_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark)
+
+    results = {"PASS": [], "MISMATCH": [], "ENGINE_ERR": [], "DUCK_ERR": []}
+    for name, stmts, tables in SEQS:
+        if filt and filt not in name:
+            continue
+        try:
+            problems = run_probe(eng, name, stmts, tables)
+        except Exception:
+            results["ENGINE_ERR"].append(name)
+            print(f"ENGINE_ERR {name}")
+            traceback.print_exc(limit=3)
+            continue
+        if problems:
+            results["MISMATCH"].append(name)
+            print(f"MISMATCH   {name}  ({problems[0].splitlines()[0]})")
+            for p in problems:
+                print("  " + p.replace("\n", "\n  "))
+        else:
+            results["PASS"].append(name)
+            print(f"PASS       {name}")
+
+    print("==== SUMMARY ====")
+    for k, v in results.items():
+        print(f"{k}: {len(v)}")
+        for n in v:
+            if k != "PASS":
+                print(f"  {k:<10} {n}")
+
+
+if __name__ == "__main__":
+    main()
