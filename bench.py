@@ -25,7 +25,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # item 3): the builder-session median on an idle r12 host — hash agg ×
 # parquet scan-agg geometric mean. All `normalized` readings divide the
 # current window's blend into this constant.
-R12_REFERENCE_BLEND = 0.55  # provisional; re-pinned from the r12 run below
+# 0.48 = geomean of the best idle-window shape medians observed while
+# pinning (hash agg ~0.50 — consistent with the r9 0.507 single-shape
+# reference — and parquet scan-agg ~0.46). A normalized reading equals
+# the raw reading on a host as fast as that window and corrects slower
+# ones; the raw sum stays the primary cross-round series.
+R12_REFERENCE_BLEND = 0.48
 
 # Headline set: the TPC-H-shaped flagships + one representative of each
 # heavy operator family (windows, as-of, sessionization, dedup/LSH,
@@ -116,27 +121,29 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[1]
 
-    cal_mem = _median3(
-        lambda: run(
+    def _cal_mem_shape():
+        run(
             spark.range(0, 50_000_000, 1, 32)
             .selectExpr("id % 1000 AS k", "id AS v")
             .groupBy("k")
             .agg({"v": "sum", "k": "count"})
         )
-    )
+
     _cal_scan_dir = (
         "/root/testdata/sf0.1"
         if os.path.exists("/root/testdata/sf0.1/lineitem.parquet")
         else SF_DIR
     )
-    cal_scan = _median3(
-        lambda: run(
+
+    def _cal_scan_shape():
+        run(
             spark.read.parquet(f"{_cal_scan_dir}/lineitem.parquet")
             .groupBy("l_returnflag", "l_linestatus")
             .agg({"l_quantity": "sum", "l_extendedprice": "avg"})
         )
-    )
-    cal_blend = (cal_mem * cal_scan) ** 0.5
+
+    cal_mem = _median3(_cal_mem_shape)
+    cal_scan = _median3(_cal_scan_shape)
     # legacy single-shape min-of-2-equivalent kept for cross-round
     # comparison against the r9-r11 series (median-of-3 ≈ min-of-2 for
     # this shape; the key name is unchanged so old artifacts line up)
@@ -144,7 +151,6 @@ def main() -> None:
     calibration = {
         "hash_agg_range_50m": round(cal_mem, 3),
         "parquet_scan_agg_sf01": round(cal_scan, 3),
-        "blend_geomean": round(cal_blend, 3),
     }
 
     # min-of-2 per query: this VM class shows bursty CPU steal (single
@@ -168,6 +174,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
 
+    # END-of-run calibration sample (round 12): this VM's noise is
+    # BURSTY — a window measured only at the start can be 2× off the
+    # window the queries actually ran in (two same-code runs this
+    # session measured start-blends of 0.67 and 1.06). Sampling both
+    # ends and averaging halves the drift the normalization misses.
+    cal_mem_end = _median3(_cal_mem_shape)
+    cal_scan_end = _median3(_cal_scan_shape)
+    cal_mem_avg = (cal_mem + cal_mem_end) / 2
+    cal_scan_avg = (cal_scan + cal_scan_end) / 2
+    cal_blend = (cal_mem_avg * cal_scan_avg) ** 0.5
+    calibration["hash_agg_range_50m_end"] = round(cal_mem_end, 3)
+    calibration["parquet_scan_agg_sf01_end"] = round(cal_scan_end, 3)
+    calibration["blend_geomean"] = round(cal_blend, 3)
+
     # Contamination floor breakdown (round-6 punch list): time the
     # irreducible gram-scan floor on the same host/fixture with the same
     # min-of-2 rule, and report the operator as floor + plan-work split.
@@ -189,7 +209,12 @@ def main() -> None:
     # ≤ max(1.1 × floor_n, 1.0). The relative 1.1×floor term is
     # host-speed-invariant either way; raw values stay in the artifact.
     check = per_query.get("contamination_check")
-    _norm = R12_REFERENCE_BLEND / cal_blend  # reference blend / this host
+    # the contamination plan is hash-join + gram explode — CPU-bound, so
+    # its normalization tracks the MEM shape (r9 reference 0.507), not
+    # the parquet blend (measured round 12: a window with a fast scan
+    # but slow CPU mis-normalized the bar the other way). The headline
+    # `normalized` uses the blend; this bar uses mem + the OR rule.
+    _norm = 0.507 / ((cal_mem + cal_mem_end) / 2)
     check_n = round(check * _norm, 3) if check is not None else None
     floor_n = round(floor_best * _norm, 3)
     _raw_ok = (
@@ -220,7 +245,8 @@ def main() -> None:
         ),
         "contamination_bar_rule": (
             "OR of raw (check <= max(1.1*floor, 1.0)) and normalized "
-            "(check*REF_BLEND/blend <= max(1.1*floor_n, 1.0))"
+            "(check*0.507/mem_cal <= max(1.1*floor_n, 1.0)); mem-shape "
+            "normalizer because the plan is CPU-bound"
         ),
     }
 

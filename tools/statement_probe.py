@@ -380,6 +380,103 @@ SEQS: list[tuple[str, list[str], list[str]]] = [
         "DELETE FROM sp_mri WHERE k % 7 = 0",
         "UPDATE sp_mri SET v = 'lucky' WHERE k % 13 = 0",
     ], ["sp_mri"]),
+    # ---- second authoring pass (round 12) ----
+    ("update_swap_columns", [
+        # all SET right-hand sides read the OLD row (standard SQL)
+        "CREATE TABLE sp_usw (a INTEGER, b INTEGER)",
+        "INSERT INTO sp_usw VALUES (1, 2), (10, 20)",
+        "UPDATE sp_usw SET a = b, b = a",
+    ], ["sp_usw"]),
+    ("update_qualified_refs", [
+        "CREATE TABLE sp_uqr (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_uqr VALUES (1, 0), (2, 0)",
+        "UPDATE sp_uqr SET v = sp_uqr.k * 5 WHERE sp_uqr.k = 2",
+    ], ["sp_uqr"]),
+    ("update_with_exists", [
+        "CREATE TABLE sp_uwe (k INTEGER, seen BOOLEAN)",
+        "INSERT INTO sp_uwe VALUES (1, false), (2, false)",
+        "CREATE TABLE sp_uws (k INTEGER)",
+        "INSERT INTO sp_uws VALUES (2)",
+        "UPDATE sp_uwe SET seen = true WHERE EXISTS (SELECT 1 FROM sp_uws WHERE sp_uws.k = sp_uwe.k)",
+    ], ["sp_uwe"]),
+    ("update_no_match", [
+        "CREATE TABLE sp_unm (k INTEGER)",
+        "INSERT INTO sp_unm VALUES (1)",
+        "UPDATE sp_unm SET k = 99 WHERE k = 12345",
+    ], ["sp_unm"]),
+    ("update_nn_violation", [
+        "CREATE TABLE sp_unn (k INTEGER NOT NULL)",
+        "INSERT INTO sp_unn VALUES (1)",
+        "UPDATE sp_unn SET k = NULL",
+    ], ["sp_unn"]),
+    ("insert_with_cte", [
+        "CREATE TABLE sp_iwc (k INTEGER, sq INTEGER)",
+        "INSERT INTO sp_iwc WITH g AS (SELECT x FROM (VALUES (1), (2), (3)) v(x)) SELECT x, x * x FROM g",
+    ], ["sp_iwc"]),
+    ("insert_from_union", [
+        "CREATE TABLE sp_ifu (k INTEGER)",
+        "INSERT INTO sp_ifu SELECT 1 UNION ALL SELECT 2 UNION SELECT 2",
+    ], ["sp_ifu"]),
+    ("insert_select_empty", [
+        "CREATE TABLE sp_ise (k INTEGER)",
+        "INSERT INTO sp_ise SELECT 1 WHERE false",
+    ], ["sp_ise"]),
+    ("insert_arith_values", [
+        "CREATE TABLE sp_iav (k INTEGER, d DOUBLE)",
+        "INSERT INTO sp_iav VALUES (1 + 2, 10.0 / 4), (-(3), 2 * 0.5)",
+    ], ["sp_iav"]),
+    ("ctas_order_limit", [
+        "CREATE TABLE sp_col AS SELECT g FROM generate_series(1, 10) t(g) ORDER BY g DESC LIMIT 3",
+    ], ["sp_col"]),
+    ("double_create_errors", [
+        "CREATE TABLE sp_dce (k INTEGER)",
+        "CREATE TABLE sp_dce (k INTEGER)",
+    ], ["sp_dce"]),
+    ("create_if_not_exists", [
+        "CREATE TABLE sp_cne (k INTEGER)",
+        "INSERT INTO sp_cne VALUES (1)",
+        "CREATE TABLE IF NOT EXISTS sp_cne (other VARCHAR)",
+        "INSERT INTO sp_cne VALUES (2)",
+    ], ["sp_cne"]),
+    ("drop_missing_errors", [
+        "DROP TABLE sp_dme_nosuch",
+    ], []),
+    ("alter_drop_keeps_other_defaults", [
+        # the rebuild swap must re-register surviving columns' defaults
+        "CREATE TABLE sp_adk (k INTEGER, tag VARCHAR DEFAULT 'dft', junk INTEGER)",
+        "INSERT INTO sp_adk VALUES (1, 'x', 9)",
+        "ALTER TABLE sp_adk DROP COLUMN junk",
+        "INSERT INTO sp_adk (k) VALUES (2)",
+    ], ["sp_adk"]),
+    ("rename_col_keeps_default", [
+        "CREATE TABLE sp_rkd (k INTEGER, tag VARCHAR DEFAULT 'dft')",
+        "INSERT INTO sp_rkd VALUES (1, 'x')",
+        "ALTER TABLE sp_rkd RENAME COLUMN tag TO label",
+        "INSERT INTO sp_rkd (k) VALUES (2)",
+    ], ["sp_rkd"]),
+    ("check_multi_column", [
+        "CREATE TABLE sp_cmc (a INTEGER, b INTEGER, CHECK (a < b))",
+        "INSERT INTO sp_cmc VALUES (1, 2)",
+        "INSERT INTO sp_cmc VALUES (5, 3)",
+        "UPDATE sp_cmc SET b = 0",
+    ], ["sp_cmc"]),
+    ("timestamp_date_string_insert", [
+        "CREATE TABLE sp_tds (t TIMESTAMP, d DATE)",
+        "INSERT INTO sp_tds VALUES ('2024-01-02 03:04:05', '2024-02-29')",
+        "INSERT INTO sp_tds VALUES (TIMESTAMP '2001-01-01 00:00:00', DATE '2001-12-31')",
+    ], ["sp_tds"]),
+    ("delete_between", [
+        "CREATE TABLE sp_dbw (k INTEGER)",
+        "INSERT INTO sp_dbw SELECT g FROM generate_series(1, 10) t(g)",
+        "DELETE FROM sp_dbw WHERE k BETWEEN 3 AND 7",
+    ], ["sp_dbw"]),
+    ("copy_roundtrip_csv", [
+        "CREATE TABLE sp_cpa (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_cpa VALUES (1, 'a'), (2, 'with,comma'), (3, NULL)",
+        "COPY sp_cpa TO '/tmp/sp_copy_rt.csv' (HEADER)",
+        "CREATE TABLE sp_cpb (k INTEGER, v VARCHAR)",
+        "COPY sp_cpb FROM '/tmp/sp_copy_rt.csv' (HEADER)",
+    ], ["sp_cpa", "sp_cpb"]),
 ]
 
 
