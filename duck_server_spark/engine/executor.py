@@ -561,6 +561,54 @@ class Engine:
                 "lgamma", _pudf(_vec(lambda v: _math.lgamma(v)), "double")
             )
             spark.udf.register("strip_accents", _pudf(_vec(_strip_acc), "string"))
+
+            def _merge_patch_pair(a: str, b: str):
+                # RFC 7386 merge patch, duck json_merge_patch semantics
+                # (pinned live: null values DELETE keys; a NULL patch or
+                # target propagates NULL / adopts the patch)
+                import json as _json
+
+                if a is None or b is None:
+                    return None
+
+                def _apply(t, p):
+                    if not isinstance(p, dict):
+                        return p
+                    t = dict(t) if isinstance(t, dict) else {}
+                    for k, v in p.items():
+                        if v is None:
+                            t.pop(k, None)
+                        else:
+                            t[k] = _apply(t.get(k), v)
+                    return t
+
+                try:
+                    return _json.dumps(
+                        _apply(_json.loads(a), _json.loads(b)),
+                        separators=(",", ":"),
+                    )
+                except Exception:
+                    return None
+
+            # duck: json_merge_patch(NULL, y) = y, (x, NULL) = NULL —
+            # asymmetric, pinned live round 12
+            def _merge_patch_duck(sa, sb):
+                import pandas as _pd2
+
+                return _pd2.Series(
+                    [
+                        (None if y is None else
+                         y if x is None else _merge_patch_pair(x, y))
+                        for x, y in zip(sa, sb)
+                    ]
+                )
+
+            _merge_patch_duck.__annotations__ = {
+                "sa": _pd.Series, "sb": _pd.Series, "return": _pd.Series
+            }
+            spark.udf.register(
+                "json_merge_patch", _pudf(_merge_patch_duck, "string")
+            )
             spark.udf.register(
                 "nfc_normalize",
                 _pudf(_vec(lambda v: _ud.normalize("NFC", v)), "string"),
@@ -2012,6 +2060,21 @@ class Engine:
         rf"({_INT_TYPE_NAMES})\s*\)",
         re.IGNORECASE,
     )
+    # duck TRUNCATES a DECIMAL column rescaled to a lower-scale DECIMAL
+    # (toward zero — pinned live round 12); Spark rounds HALF_UP. Same
+    # probe-typing as the int casts; floor/ceil with a scale argument
+    # give exact toward-zero truncation per sign.
+    _DEC_TYPE_NAMES = r"(?:DECIMAL|NUMERIC)\s*\(\s*\d+\s*,\s*(\d+)\s*\)"
+    _COL_DEC_CAST_POSTFIX = re.compile(
+        rf"(?<![\w.'\"`)\]])((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*::\s*"
+        rf"({_DEC_TYPE_NAMES})",
+        re.IGNORECASE,
+    )
+    _COL_DEC_CAST_FN = re.compile(
+        rf"\bCAST\s*\(\s*((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s+AS\s+"
+        rf"({_DEC_TYPE_NAMES})\s*\)",
+        re.IGNORECASE,
+    )
 
     def _retype_int_casts(self, q: str, dialect: str) -> str:
         if "::" not in q and not re.search(r"\bCAST\s*\(", q, re.IGNORECASE):
@@ -2027,9 +2090,11 @@ class Engine:
         for _ in range(64):
             masked = rewrites._mask_literals(q)
             hit = None
-            for rx, fn_form in (
-                (self._COL_INT_CAST_FN, True),
-                (self._COL_INT_CAST_POSTFIX, False),
+            for rx, kind in (
+                (self._COL_INT_CAST_FN, "int"),
+                (self._COL_INT_CAST_POSTFIX, "int"),
+                (self._COL_DEC_CAST_FN, "dec"),
+                (self._COL_DEC_CAST_POSTFIX, "dec"),
             ):
                 for m in rx.finditer(masked):
                     name = _col_name(q[m.start(1) : m.end(1)])
@@ -2044,20 +2109,28 @@ class Engine:
                     if fields is None:
                         continue
                     srcs = {
-                        type(f.dataType)
-                        for f in fields
-                        if f.name.lower() == name
+                        f.dataType for f in fields if f.name.lower() == name
                     }
                     if len(srcs) != 1:
                         continue
                     src = srcs.pop()
                     col = q[m.start(1) : m.end(1)]
                     ty = q[m.start(2) : m.end(2)]
-                    if src is DecimalType:
+                    if kind == "dec":
+                        s = int(m.group(3))
+                        if not (
+                            isinstance(src, DecimalType) and src.scale > s
+                        ):
+                            continue  # no scale reduction: cast is exact
+                        rep = (
+                            f"CAST(CASE WHEN {col} >= 0 THEN floor({col}, {s})"
+                            f" ELSE ceil({col}, {s}) END AS {ty})"
+                        )
+                    elif isinstance(src, DecimalType):
                         rep = f"CAST(round({col}, 0) AS {ty})"
-                    elif src in (DoubleType, FloatType):
+                    elif isinstance(src, (DoubleType, FloatType)):
                         rep = f"CAST(bround({col}, 0) AS {ty})"
-                    elif src is StringType:
+                    elif isinstance(src, StringType):
                         rep = (
                             f"CAST(round(CAST({col} AS DECIMAL(38,9)), 0)"
                             f" AS {ty})"
@@ -2412,8 +2485,34 @@ class Engine:
                                 "No matching columns found that match "
                                 f'regex "{pat}"',
                             )
+                    elif re.fullmatch(
+                        r"[A-Za-z_]\w*\s*->.+", arg, re.DOTALL
+                    ):
+                        # lambda form (round 12): COLUMNS(c -> pred)
+                        # keeps columns whose NAME satisfies pred — the
+                        # duck lambda syntax is Spark's too, so ONE
+                        # analysis-only filter() over the name list
+                        # evaluates it (names are tiny; bind-time)
+                        arr = ", ".join(
+                            "'" + c.replace("'", "''") + "'"
+                            for c in schema_cols
+                        )
+                        kept = self.spark.sql(
+                            self._prepare_sql(
+                                f"SELECT filter(array({arr}), {arg}) AS c",
+                                dialect,
+                                _literals_normalized=True,
+                            )
+                        ).collect()[0][0] or []
+                        cols = [c for c in schema_cols if c in set(kept)]
+                        if not cols:
+                            raise PgError(
+                                "42703",
+                                f'Star expression "COLUMNS({arg})" '
+                                "resulted in an empty set of columns",
+                            )
                     else:
-                        # lambda / dynamic forms: pass through loudly
+                        # dynamic forms: pass through loudly
                         out_items.append(item)
                         continue
                 bare = (

@@ -59,6 +59,10 @@ def get_session(app_name: str = "duck_server_spark", cpus: int | None = None) ->
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and convert in load_table (values are micro-granular).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # duck's TIME type: Spark 4.1 ships it behind a flag — with it
+        # on, TIME literals, CAST('..' AS TIME), and make_time() all
+        # work natively (round 12)
+        .config("spark.sql.timeType.enabled", "true")
         # fixture files are single ~2-10 MB parquets; the 128 MB default
         # gives 1-task scans. 4 MB splits the big tables across cores
         # (row-group granularity). On a real cluster with TB inputs the

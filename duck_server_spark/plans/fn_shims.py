@@ -154,6 +154,13 @@ _LIST_CONCAT_TPL = (
 TEMPLATES: dict[str, dict[int, str]] = {
     # ---- strings ----
     "sha256": {1: "sha2({0}, 256)"},
+    # duck's JSON aggregates (round 12): compact-JSON rendering matches
+    # to_json exactly ('[1,2]' / '{"a":1}'); arrival order preserved by
+    # collect_list → map_from_entries. Group-bounded (dialect tier).
+    "json_group_array": {1: "to_json(collect_list({0}))"},
+    "json_group_object": {
+        2: "to_json(map_from_entries(collect_list(struct({0}, {1}))))"
+    },
     "strpos": {2: "instr({0}, {1})"},
     # to_base(255, 16) = 'FF' — Spark conv is uppercase too (pinned)
     "to_base": {2: "conv(CAST({0} AS STRING), 10, CAST({1} AS INT))"},
@@ -829,7 +836,11 @@ def _date_part(args: list[str]) -> str | None:
             fields.append(f"'{nm}', {_one_part(nm, d)}")
         return "named_struct(" + ", ".join(fields) + ")"
     pm = _PLAIN_STR_LIT.match(args[0])
-    if pm and pm.group(1).lower() in ("dow", "isodow", "isoyear", "dayofweek"):
+    if pm and pm.group(1).lower() in (
+        "dow", "isodow", "isoyear", "dayofweek",
+        "second", "seconds", "millisecond", "milliseconds",
+        "microsecond", "microseconds",
+    ):
         return _one_part(pm.group(1).lower(), d)
     return None  # native date_part covers the rest
 
@@ -841,6 +852,19 @@ def _one_part(name: str, d: str) -> str:
         return f"(weekday({d}) + 1)"
     if name == "isoyear":
         return TEMPLATES["isoyear"][1].replace("{0}", d)
+    # duck's sub-second parts (round 12, pinned live): second TRUNCATES
+    # to BIGINT; milli/microseconds scale the fractional seconds. The
+    # date_part('SECOND', …) spelling on purpose: fn_shims skips past
+    # its own replacements, and the later _rewrite_extract_subsec pass
+    # matches only the EXTRACT keyword — an extract(SECOND …) here
+    # would be double-rewritten (its truncation would eat the fraction
+    # the milli/micro scalers need)
+    if name in ("second", "seconds"):
+        return f"CAST(floor(date_part('SECOND', {d})) AS BIGINT)"
+    if name in ("millisecond", "milliseconds"):
+        return f"CAST(round(date_part('SECOND', {d}) * 1000) AS BIGINT)"
+    if name in ("microsecond", "microseconds"):
+        return f"CAST(round(date_part('SECOND', {d}) * 1000000) AS BIGINT)"
     return f"date_part('{name}', {d})"
 
 
@@ -985,6 +1009,83 @@ def _json_extract_string(args: list[str]) -> str | None:
     return f"get_json_object(CAST({args[0]} AS STRING), '{path}')"
 
 
+def _duck_structure_to_schema(txt: str, all_strings: bool = False) -> str | None:
+    """duck json_transform's STRUCTURE argument ({"n": "INTEGER"}) →
+    a Spark DDL schema string for from_json. Nested objects/arrays
+    recurse; unknown spellings return None (pass through loudly).
+    all_strings swaps every leaf for STRING (same shape) — the read
+    schema behind duck's leaf coercion."""
+    import json as _json
+
+    try:
+        v = _json.loads(txt)
+    except Exception:
+        return None
+    from duck_server_spark.plans.rewrites import normalize_type
+
+    def conv(node):
+        if isinstance(node, dict):
+            inner = []
+            for k, x in node.items():
+                cx = conv(x)
+                if cx is None:
+                    return None
+                inner.append(f"`{k}`: {cx}")
+            return "STRUCT<" + ", ".join(inner) + ">"
+        if isinstance(node, list) and node:
+            cx = conv(node[0])
+            return None if cx is None else f"ARRAY<{cx}>"
+        if isinstance(node, str):
+            return "STRING" if all_strings else normalize_type(node)
+        return None
+
+    return conv(v)
+
+
+def _json_transform(args: list[str]) -> str | None:
+    """duck json_transform(j, structure) casts a JSON document to the
+    given structure → from_json with an all-STRING twin of the schema,
+    then a struct cast to the target (round 12): duck COERCES JSON
+    string leaves to the target type ('"7"' → INTEGER 7) where Spark's
+    from_json strictly nulls them — reading as strings first and
+    casting reproduces the coercion. Only literal structure strings
+    rewrite; dynamic ones are loud."""
+    if len(args) != 2:
+        return None
+    sm = _PLAIN_STR_LIT.match(args[1])
+    if sm is None:
+        return None
+    raw = sm.group(1).replace("''", "'")
+    target = _duck_structure_to_schema(raw)
+    stringly = _duck_structure_to_schema(raw, all_strings=True)
+    if target is None or not target.startswith(("STRUCT", "ARRAY")):
+        return None
+    return (
+        f"CAST(from_json(CAST({args[0]} AS STRING), '{stringly}') "
+        f"AS {target})"
+    )
+
+
+def _bitstring_agg(args: list[str]) -> str | None:
+    """duck bitstring_agg(x[, lo, hi]): a bit per value in [lo, hi]
+    (defaults: the group's min/max), rendered as duck's BIT text
+    ('0101100', leftmost = lo). Composed from built-ins — sequence over
+    the span + a collect_set membership test — so it stays JVM-side;
+    group-bounded like the other collect shims (dialect tier). Pinned:
+    bitstring_agg(x, 0, 6) over {1,3,4} = '0101100'."""
+    if len(args) == 1:
+        x, lo, hi = args[0], f"min({args[0]})", f"max({args[0]})"
+    elif len(args) == 3:
+        x, lo, hi = args
+    else:
+        return None
+    return (
+        f"array_join(transform(sequence(0, CAST(({hi}) - ({lo}) AS INT)), "
+        f"bs_i -> CASE WHEN array_contains(collect_set({x}), "
+        f"bs_i + ({lo})) THEN '1' ELSE '0' END), '')"
+    )
+
+
 def _struct_insert(args: list[str]) -> str | None:
     """struct_insert({…}, name := expr, …) with a BRACE-LITERAL struct:
     merged at bind time into one literal (the later brace pass converts
@@ -1057,6 +1158,9 @@ CALLABLES: dict[str, object] = {
     "json_extract_string": _json_extract_string,
     "json_extract_path_text": _json_extract_string,
     "struct_insert": _struct_insert,
+    "json_transform": _json_transform,
+    "from_json": _json_transform,  # duck aliases from_json to it
+    "bitstring_agg": _bitstring_agg,
     "timezone": _timezone,
     "date_part": _date_part,
     "datepart": _date_part,

@@ -1357,6 +1357,11 @@ def _rewrite_distinct_on(q: str) -> str:
 _PRIMARY_END = re.compile(r"[\w$\"`'\)\]}]")
 _INT_LIT = re.compile(r"^\s*(-?\d+)\s*$")
 _SLICE_LIT = re.compile(r"^\s*(-?\d+|)\s*:\s*(-?\d+|)\s*$")
+# duck's stepped slice `l[a:b:c]` (LISTS only — duck itself rejects the
+# string form, round 12). Nonzero literal step required.
+_SLICE_STEP_LIT = re.compile(
+    r"^\s*(-?\d+|)\s*:\s*(-?\d+|)\s*:\s*(-?[1-9]\d*)\s*$"
+)
 
 
 def _slice_bound(lit: str, default: str, size_expr: str) -> str:
@@ -1556,6 +1561,30 @@ def _rewrite_subscripts(q: str) -> str:
                 continue
             il = _INT_LIT.match(inner)
             sl = _SLICE_LIT.match(inner)
+            st = _SLICE_STEP_LIT.match(inner)
+            if st is not None:
+                # stepped LIST slice: positions a, a+c, … walked with a
+                # lazy sequence + element reads; direction-mismatched
+                # bounds yield [] (duck), and sequence() never sees them
+                size_e = f"size({base})"
+                c = int(st.group(3))
+                if c > 0:
+                    a = f"greatest({_slice_bound(st.group(1), '1', size_e)}, 1)"
+                    b = f"least({_slice_bound(st.group(2), size_e, size_e)}, {size_e})"
+                    cmp_op = "<="
+                else:
+                    a = f"least({_slice_bound(st.group(1), size_e, size_e)}, {size_e})"
+                    b = f"greatest({_slice_bound(st.group(2), '1', size_e)}, 1)"
+                    cmp_op = ">="
+                repl = (
+                    f"(CASE WHEN ({a}) {cmp_op} ({b}) THEN "
+                    f"transform(sequence({a}, {b}, {c}), "
+                    f"sl_i -> try_element_at({base}, sl_i)) "
+                    "ELSE array() END)"
+                )
+                q = q[:base_start] + repl + q[end:]
+                changed = True
+                break
             # a provably-MAP base — map literal (MAP {…} → map(…)) or a
             # map-constructor call — takes duck-1.0 subscript semantics:
             # m[k] is the ONE-ELEMENT LIST [v], missing/NULL key → []
@@ -1709,6 +1738,88 @@ def _rewrite_extract_epoch(q: str) -> str:
         )
 
 
+# duck casts a duck-list-syntax STRING to a typed list:
+# '[1, 2, 3]'::INT[] parses the text ([] → empty; '[a, b]'::VARCHAR[]
+# keeps elements verbatim minus surrounding whitespace — quotes are NOT
+# stripped, pinned live round 12). Literal operands parse at bind time
+# into an array literal; dynamic operands pass through loudly.
+_STR_ARR_POSTFIX = re.compile(
+    r"\s*::\s*([A-Za-z_]\w*)\s*\[\s*\](?!\s*\[)", re.IGNORECASE
+)
+_ARR_ELEM_SAFE = re.compile(r"[-+0-9.eE]+|true|false|null", re.IGNORECASE)
+
+
+def _rewrite_str_list_casts(q: str) -> str:
+    if "::" not in q or "[" not in q:
+        return q
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for s, e, kind in _protected_spans(q):
+            if kind != "quote":
+                continue
+            content = q[s + 1 : e - 1].strip()
+            if not (content.startswith("[") and content.endswith("]")):
+                continue
+            pm = _STR_ARR_POSTFIX.match(masked, e)
+            if pm is None:
+                continue
+            ty = pm.group(1)
+            inner = content[1:-1].strip()
+            elems = (
+                [x.strip() for x in _split_top_level(inner, inner)]
+                if inner
+                else []
+            )
+            sty = normalize_type(f"{ty}[]")
+            if ty.lower() in ("varchar", "text", "string", "bpchar", "char"):
+                body = ", ".join(f"'{x}'" for x in elems)
+            elif all(_ARR_ELEM_SAFE.fullmatch(x) for x in elems):
+                body = ", ".join(elems)
+            else:
+                continue  # unparseable element: loud native error
+            hit = (s, pm.end(), f"CAST(array({body}) AS {sty})")
+            break
+        if hit is None:
+            return q
+        s0, e0, rep = hit
+        q = q[:s0] + rep + q[e0:]
+
+
+# duck's sub-second EXTRACT fields (round 12, pinned live):
+# second/seconds TRUNCATE to a BIGINT (00:00:02.25 → 2) where Spark's
+# SECOND is DECIMAL(8,6); milliseconds/microseconds scale the
+# fractional seconds (2250 / 1500000). Works for TIME and TIMESTAMP
+# operands alike (both extract SECOND as decimal in Spark).
+_EXTRACT_SUBSEC = re.compile(
+    r"\bEXTRACT\s*\(\s*(micro|milli)?seconds?\s+FROM\b", re.IGNORECASE
+)
+# date_part spelling on purpose: an EXTRACT in the template would
+# re-match _EXTRACT_SUBSEC and loop the rewriter
+_SUBSEC_TEMPLATES = {
+    "": "CAST(floor(date_part('SECOND', {0})) AS BIGINT)",
+    "milli": "CAST(round(date_part('SECOND', {0}) * 1000) AS BIGINT)",
+    "micro": "CAST(round(date_part('SECOND', {0}) * 1000000) AS BIGINT)",
+}
+
+
+def _rewrite_extract_subsec(q: str) -> str:
+    while True:
+        masked = _mask_literals(q)
+        m = _EXTRACT_SUBSEC.search(masked)
+        if not m:
+            return q
+        open_paren = masked.index("(", m.start())
+        i = _scan_balanced(masked, open_paren + 1)
+        inner_from = q[m.end() : i - 1].strip()
+        prefix = (m.group(1) or "").lower()
+        q = (
+            q[: m.start()]
+            + _SUBSEC_TEMPLATES[prefix].format(inner_from)
+            + q[i:]
+        )
+
+
 # PG regex-match operator `expr ~ 'pat'` → RLIKE (DuckDB accepts `~`,
 # pg_conn.go delegates it; Spark's `~` is bitwise NOT so the form
 # `~ '<literal>'` is unambiguous). Applied per non-literal segment, so
@@ -1720,6 +1831,11 @@ _DUCK_TO_SPARK_TYPES = {
     "timestamp with time zone": "timestamp",
     "timestamp without time zone": "timestamp_ntz",
     "hugeint": "decimal(38,0)",
+    # duck's default DECIMAL/NUMERIC is (18,3); Spark's bare DECIMAL is
+    # (10,0) — map the bare spelling to duck's default (round 12).
+    # Parameterized DECIMAL(p,s) spellings pass through untouched.
+    "decimal": "decimal(18,3)",
+    "numeric": "decimal(18,3)",
     "timestamptz": "timestamp",
     "varchar": "string",
     "text": "string",
@@ -3111,7 +3227,9 @@ def rewrite_common(q: str) -> str:
         ),
     )
     q = _rewrite_epoch_ts(q)
+    q = _rewrite_str_list_casts(q)  # '[1, 2]'::INT[] (round 12)
     q = _rewrite_literal_int_casts(q)  # duck half-away rounding (r11)
+    q = _rewrite_literal_dec_casts(q)  # duck rescale truncation (r12)
     q = _rewrite_bit_literals(q)  # before bit→string type mapping (r11)
     q = _sub_outside_literals(q, lambda seg: _PG_CAST.sub(_cast_type, seg))
     q = _sub_outside_literals(q, lambda seg: _CURRENT_SCHEMA.sub("current_database()", seg))
@@ -3141,6 +3259,7 @@ def rewrite_common(q: str) -> str:
     )
     q = rewrite_star_replace(q)
     q = _rewrite_extract_epoch(q)
+    q = _rewrite_extract_subsec(q)  # duck sub-second fields (round 12)
     q = _rewrite_string_agg(q)  # 1-arg default sep + ORDER BY-in-args (round 10)
     q = _rewrite_text_similarity(q)  # jaccard/hamming JVM templates (round 10)
     # DuckDB allows FILTER (expr) without the WHERE keyword; Spark
@@ -3164,6 +3283,7 @@ def rewrite_common(q: str) -> str:
     q = _rewrite_date_diff(q)  # boundary-crossing arithmetic (round 8)
     q = _rewrite_date_minus_date(q)  # date − date → BIGINT days (round 11)
     q = rewrite_asof_join(q)
+    q = _rewrite_positional_join(q)  # duck POSITIONAL JOIN (round 12)
     q = rewrite_qualify(q)
     from duck_server_spark.sources.files import rewrite_file_functions
 
@@ -3277,6 +3397,103 @@ _NULLS_TREATMENT_IN_CALL = re.compile(
     r"\s+(IGNORE|RESPECT)\s+NULLS\s*\)", re.IGNORECASE
 )
 
+# duck's POSITIONAL JOIN (pair rows by position, NULL-pad the shorter
+# side): each side gets a per-row ordinal (row_number over the scan
+# order via monotonically_increasing_id — inner ORDER BY subqueries keep
+# their sort, pinned by probe positional_join_probe) and the sides FULL
+# JOIN on it. Dialect tier: the ordinal window is a single-partition
+# pass, the faithful cost of an inherently order-dependent operator —
+# the scale path is operators/relational.py join_positional
+# (zipWithIndex, per-partition offsets). Star-selects would surface the
+# __duck_pos helper; explicit projections (the only sane use) don't.
+_POSITIONAL_JOIN = re.compile(r"\bPOSITIONAL\s+JOIN\b", re.IGNORECASE)
+_PJ_SEQ = [0]
+
+
+def _pj_wrap(rel: str, alias: str | None) -> str:
+    _PJ_SEQ[0] += 1
+    alias = alias or f"__duck_pj{_PJ_SEQ[0]}"
+    return (
+        "(SELECT *, row_number() OVER "
+        "(ORDER BY monotonically_increasing_id()) AS __duck_pos "
+        f"FROM {rel}) {alias}"
+    )
+
+
+_REL_HEAD_KEYWORDS = frozenset(
+    {"from", "join", "on", "using", "where", "select", "lateral",
+     "inner", "left", "right", "full", "cross", "natural", "as"}
+)
+
+
+def _rel_alias_backwards(
+    q: str, masked: str, lend: int
+) -> tuple[int, int, str | None]:
+    """Parse `<relation> [AS] [alias]` ENDING at lend (exclusive),
+    walking backwards. Returns (rel_start, rel_end, alias)."""
+    t_start = _expr_start(masked, lend)
+    tok = q[t_start:lend].strip()
+    before = masked[:t_start].rstrip()
+    if not re.fullmatch(r"[A-Za-z_][\w.]*", tok):
+        return t_start, lend, None  # bare (subquery)
+    if re.search(r"\bAS$", before, re.IGNORECASE):
+        tbl_end = len(before[: len(before) - 2].rstrip())
+        return _expr_start(masked, tbl_end), tbl_end, tok
+    if before.endswith(")"):
+        return _expr_start(masked, len(before)), len(before), tok
+    pm = re.search(r"([A-Za-z_][\w.]*)$", before)
+    if pm is not None and pm.group(1).lower() not in _REL_HEAD_KEYWORDS:
+        return pm.start(1), len(before), tok  # "table alias"
+    return t_start, lend, tok.split(".")[-1]  # tok IS the relation
+
+
+def _rewrite_positional_join(q: str) -> str:
+    while True:
+        masked = _mask_literals(q)
+        m = _POSITIONAL_JOIN.search(masked)
+        if m is None:
+            return q
+        lend = len(masked[: m.start()].rstrip())
+        lstart, lrel_end, lalias = _rel_alias_backwards(q, masked, lend)
+        lrel = q[lstart:lrel_end].strip()
+        if not lrel:
+            return q  # unparseable: loud native error downstream
+        # RIGHT: relation primary + optional [AS] alias
+        i = m.end()
+        while i < len(masked) and masked[i].isspace():
+            i += 1
+        if i < len(masked) and masked[i] == "(":
+            rend = _scan_balanced(masked, i + 1)
+        else:
+            rm = re.match(r"[A-Za-z_][\w.]*", masked[i:])
+            if rm is None:
+                return q
+            rend = i + rm.end()
+        rrel = q[i:rend]
+        ralias = None
+        am = re.match(
+            r"\s+(?:AS\s+)?([A-Za-z_]\w*)", masked[rend:], re.IGNORECASE
+        )
+        tail_kw = (
+            "on", "using", "where", "group", "order", "limit", "join",
+            "inner", "left", "right", "full", "cross", "positional",
+            "union", "intersect", "except", "qualify", "window", "having",
+        )
+        if am and am.group(1).lower() not in tail_kw:
+            ralias = am.group(1)
+            rend += am.end()
+        elif masked[i] != "(":
+            ralias = rrel.split(".")[-1]
+        q = (
+            q[:lstart]
+            + _pj_wrap(lrel, lalias)
+            + " FULL JOIN "
+            + _pj_wrap(rrel, ralias)
+            + " USING (__duck_pos)"
+            + q[rend:]
+        )
+
+
 # `OVER (w ROWS …)` — a named-window REFINEMENT (base window + frame).
 # Spark supports named windows (`OVER w` / `OVER (w)`) but not
 # refinements, and rejects a base-window ref at a DEFINITION site
@@ -3380,6 +3597,47 @@ def _round_half_away(txt: str) -> str:
 
     d = decimal.Decimal(txt.strip())
     return str(d.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP))
+
+
+# duck TRUNCATES a decimal literal rescaled to a lower-scale DECIMAL
+# (toward zero; 2.45::DECIMAL(3,1) = 2.4, 99.99::DECIMAL(3,1) = 99.9 —
+# no overflow where Spark's HALF_UP 100.0 would not fit) while Spark
+# rounds HALF_UP. `::` binds tighter than unary minus, so the matched
+# literal is always the positive spelling. Default DECIMAL = (18,3),
+# duck's. STRING literals rescale by ROUNDING in duck — Spark's HALF_UP
+# already matches those. (round 12, pinned live)
+_DEC_TARGET = r"(?:DECIMAL|NUMERIC)(?:\s*\(\s*(\d+)\s*,\s*(\d+)\s*\))?"
+_LIT_DEC_CAST = re.compile(
+    rf"(?<![\w.'])(\d+\.\d+)\s*::\s*{_DEC_TARGET}(?!\w)", re.IGNORECASE
+)
+_CAST_NUM_DEC = re.compile(
+    rf"(\bCAST\s*\(\s*)(\d+\.\d+)(\s+AS\s+){_DEC_TARGET}(\s*\))",
+    re.IGNORECASE,
+)
+
+
+def _trunc_to_scale(txt: str, scale_grp: str | None) -> str:
+    s = int(scale_grp) if scale_grp is not None else 3
+    whole, _, frac = txt.partition(".")
+    return f"{whole}.{frac[:s]}" if s > 0 and frac[:s] else whole
+
+
+def _rewrite_literal_dec_casts(q: str) -> str:
+    if "." not in q:
+        return q
+    return _sub_outside_literals(
+        q,
+        lambda seg: _CAST_NUM_DEC.sub(
+            lambda m: m.group(1)
+            + _trunc_to_scale(m.group(2), m.group(5))
+            + m.group(0)[m.end(2) - m.start() :],
+            _LIT_DEC_CAST.sub(
+                lambda m: _trunc_to_scale(m.group(1), m.group(3))
+                + m.group(0)[m.end(1) - m.start() :],
+                seg,
+            ),
+        ),
+    )
 
 
 def _rewrite_literal_int_casts(q: str) -> str:

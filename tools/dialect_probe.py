@@ -49,6 +49,15 @@ EXPECTED_DIVERGENCES = {
         "add a schema analysis to every statement for a corner duck "
         "clients essentially never hit"
     ),
+    "list_to_str_cast": (
+        "documented: casting a STRUCT value to VARCHAR renders Spark's "
+        "value-only text ({1}) where duck renders keyed duck-text "
+        "({'k': 1}); list casts match. The wire path renders duck-text "
+        "for RESULT values (engine/types.py) — only the in-plan CAST "
+        "spelling differs, and reproducing duck text for arbitrary "
+        "nested values in-plan needs a per-type codegen templer with "
+        "marginal client value"
+    ),
     "expr_int_cast_round": (
         "documented (narrowed round 12): COLUMN casts to integer types "
         "now apply duck's source-type tie rule via the FROM-schema "
@@ -436,6 +445,49 @@ PROBES = [
     ("in_null_semantics", "SELECT (1 IN (2, NULL)) IS NULL AS a, (1 NOT IN (2, NULL)) IS NULL AS b"),
     ("group_concat_default", "SELECT group_concat(x) AS a FROM (VALUES ('b'), ('a')) t(x)"),
     ("empty_group_aggs", "SELECT sum(x) AS a, count(x) AS b, bool_or(x > 1) AS c FROM (SELECT 1 AS x WHERE false)"),
+    # ---- fifth discovery pass (round 12) ----
+    ("method_chaining", "SELECT 'abc'.upper() AS a, [3,1,2].list_sort() AS b, ('x').length() AS c"),
+    ("method_chain_args", "SELECT 'hello'.replace('l', 'L').left(4) AS a"),
+    ("abs_at_operator", "SELECT @-5 AS a, @(3 - 10) AS b"),
+    ("list_step_slice", "SELECT ([1,2,3,4,5,6])[1:6:2] AS a, ([1,2,3,4,5,6])[6:1:-2] AS b, ([1,2,3])[2:9:3] AS c"),
+    ("str_to_list_cast", "SELECT '[1, 2, 3]'::INT[] AS a, '[a, b]'::VARCHAR[] AS b"),
+    ("list_to_str_cast", "SELECT ([1,2,3])::VARCHAR AS a, ({'k': 1})::VARCHAR AS b"),
+    ("within_group_pct", "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY r_regionkey) AS a, percentile_disc(0.25) WITHIN GROUP (ORDER BY r_regionkey DESC) AS b FROM region"),
+    ("within_group_mode", "SELECT mode() WITHIN GROUP (ORDER BY n_regionkey) AS a FROM nation"),
+    ("filter_where_kw", "SELECT count(*) FILTER (WHERE r_regionkey > 1) AS a, sum(r_regionkey) FILTER (WHERE r_regionkey % 2 = 0) AS b FROM region"),
+    ("semi_anti_join_kw", "SELECT n_name FROM nation SEMI JOIN region ON n_regionkey = r_regionkey AND r_regionkey < 2 ORDER BY n_name LIMIT 3"),
+    ("anti_join_kw", "SELECT r_name FROM region ANTI JOIN nation ON r_regionkey = n_regionkey ORDER BY r_name"),
+    ("asof_left_join", "SELECT e.user_id, e.event_time, p.event_time AS asof_time FROM (SELECT user_id, ts AS event_time FROM events WHERE event_type = 'click' AND user_id % 97 = 0) e ASOF LEFT JOIN (SELECT user_id, ts AS event_time FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND e.event_time >= p.event_time ORDER BY e.user_id, e.event_time LIMIT 20"),
+    ("positional_join_probe", "SELECT a.x, b.y FROM (SELECT r_regionkey AS x FROM region ORDER BY r_regionkey) a POSITIONAL JOIN (SELECT r_name AS y FROM region ORDER BY r_name) b ORDER BY a.x"),
+    ("positional_join_pad", "SELECT a.x, b.y FROM (SELECT r_regionkey AS x FROM region ORDER BY r_regionkey) a POSITIONAL JOIN (SELECT n_name AS y FROM nation ORDER BY n_name) b ORDER BY b.y NULLS FIRST LIMIT 8"),
+    ("positional_join_tables", "SELECT region.r_name, n.n_name FROM region POSITIONAL JOIN nation AS n ORDER BY n.n_name LIMIT 5"),
+    ("json_group_aggs", "SELECT json_group_array(r_regionkey) AS a, json_group_object(r_name, r_regionkey) AS b FROM (SELECT * FROM region ORDER BY r_regionkey)"),
+    ("to_json_shapes", "SELECT to_json([1,2]) AS a, to_json({'k': 'v'}) AS b, to_json(MAP {'m': 1}) AS c"),
+    ("json_merge_patch", "SELECT json_merge_patch('{\"a\":1,\"b\":2}', '{\"b\":3}') AS a"),
+    ("json_transform_fn", "SELECT json_transform('{\"n\": \"7\"}', '{\"n\": \"INTEGER\"}') AS a"),
+    ("bin_int_literal", "SELECT 0b1010 AS a, 0b1 + 0b1 AS b"),
+    ("decimal_scale_round", "SELECT 2.45::DECIMAL(3,1) AS a, 2.55::DECIMAL(3,1) AS b, CAST(1.005 AS DECIMAL(4,2)) AS c, 99.99::DECIMAL(3,1) AS d, -2.456::DECIMAL(3,1) AS e, 2.4567::DECIMAL AS f"),
+    ("decimal_scale_round_col", "SELECT CAST(x AS DECIMAL(4,1)) AS a, x::DECIMAL(10,2) AS b FROM (VALUES (12.349), (0.05), (-2.455)) t(x) ORDER BY 1"),
+    ("decimal_scale_str", "SELECT '2.45'::DECIMAL(3,1) AS a, '-2.55'::DECIMAL(3,1) AS b"),
+    ("like_escape_clause", "SELECT 'a_c' LIKE 'a!_c' ESCAPE '!' AS a, '10%' LIKE '10!%' ESCAPE '!' AS b"),
+    ("trim_leading_trailing", "SELECT trim(LEADING 'x' FROM 'xxaxx') AS a, trim(TRAILING 'x' FROM 'xxaxx') AS b, trim(BOTH 'x' FROM 'xxaxx') AS c"),
+    ("overlay_fn", "SELECT overlay('hello' PLACING 'XX' FROM 2 FOR 3) AS a"),
+    ("starts_ends_with", "SELECT starts_with('abc', 'ab') AS a, ends_with('abc', 'bc') AS b, prefix('abc', 'a') AS c, suffix('abc', 'c') AS d"),
+    ("bitstring_agg_fn", "SELECT bitstring_agg(r_regionkey)::VARCHAR AS a, bitstring_agg(r_regionkey, 0, 6)::VARCHAR AS b FROM region"),
+    ("grouping_in_having", "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY ROLLUP(n_regionkey) HAVING GROUPING(n_regionkey) = 0 ORDER BY n_regionkey"),
+    ("grouping_id_fn", "SELECT n_regionkey, n_nationkey % 2 AS p, GROUPING_ID(n_regionkey, n_nationkey % 2) AS g, count(*) AS c FROM nation GROUP BY CUBE(n_regionkey, n_nationkey % 2) ORDER BY g, n_regionkey NULLS FIRST, p NULLS FIRST"),
+    ("win_order_nulls", "SELECT x, row_number() OVER (ORDER BY y NULLS FIRST, x) AS r FROM (VALUES (1, NULL), (2, 5), (3, NULL)) t(x, y) ORDER BY x"),
+    ("unnest_map", "SELECT * FROM (SELECT unnest(map_entries(MAP {'a': 1, 'b': 2})) AS e) ORDER BY 1"),
+    ("map_concat_fn", "SELECT (map_concat(MAP {'a': 1}, MAP {'b': 2}))['b'][1] AS v, cardinality(map_concat(MAP {'a': 1}, MAP {'b': 2})) AS n"),
+    ("columns_lambda", "SELECT COLUMNS(c -> c LIKE 'r_r%') FROM region ORDER BY 1 LIMIT 2"),
+    ("repeat_list", "SELECT repeat([1, 2], 3) AS a"),
+    ("list_grade_up_fn", "SELECT list_grade_up([30, 10, 20]) AS a"),
+    ("list_select_where", "SELECT list_select([10, 20, 30], [3, 1]) AS a, list_where([10, 20, 30], [true, false, true]) AS b"),
+    ("str_split_aliases", "SELECT string_split('a,b', ',') AS a, str_split('a,b', ',') AS b, string_to_array('a,b', ',') AS c, regexp_split_to_array('a1b', '[0-9]') AS d"),
+    ("between_symmetric", "SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS a"),
+    ("time_edge_casts", "SELECT '15:30:00'::TIME AS a, make_time(1, 2, 3.5) AS b, CAST('01:02:03' AS TIME) AS c"),
+    ("extract_subsecond", "SELECT extract(microseconds FROM TIME '00:00:01.5') AS a, extract(milliseconds FROM TIME '00:00:02.25') AS b, extract(second FROM TIME '00:00:02.25') AS c, extract(seconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS d, date_part('microseconds', TIMESTAMP '2024-01-01 00:00:01.5') AS e"),
+    ("tz_offset_literal", "SELECT '2024-01-01 10:00:00+05:30'::TIMESTAMPTZ AS a"),
 ]
 
 
