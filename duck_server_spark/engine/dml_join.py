@@ -45,7 +45,13 @@ from duck_server_spark.engine.upsert import (
 )
 
 _UPD_HEAD = re.compile(r"^\s*update\s+([\w.]+)\s+set\s+", re.IGNORECASE)
-_DEL_HEAD = re.compile(r"^\s*delete\s+from\s+([\w.]+)\s+using\s+", re.IGNORECASE)
+# optional [AS] alias between target and USING (duck allows it;
+# statement_probe r12: DELETE FROM t a USING s WHERE a.k = s.k)
+_DEL_HEAD = re.compile(
+    r"^\s*delete\s+from\s+([\w.]+)"
+    r"(?:\s+(?:as\s+)?(?!using\b)([A-Za-z_]\w*))?\s+using\s+",
+    re.IGNORECASE,
+)
 _FROM = re.compile(r"\bfrom\b", re.IGNORECASE)
 _WHERE = re.compile(r"\bwhere\b", re.IGNORECASE)
 # trailing alias of a FROM-list item: "tbl a" / "(subquery) AS a" / "tbl"
@@ -93,7 +99,7 @@ def parse_delete_using(q: str):
         raise PgError(
             "0A000", "multiple USING relations in DELETE are not supported; use a join"
         )
-    return h.group(1), using_sql, where
+    return h.group(1), using_sql, where, h.group(2)
 
 
 def _source_df(engine, from_sql: str):
@@ -118,7 +124,9 @@ def _source_df(engine, from_sql: str):
     return df.alias(alias) if alias else df
 
 
-def _stamped_base(engine, table: str, fresh: DataFrame) -> DataFrame:
+def _stamped_base(
+    engine, table: str, fresh: DataFrame, alias: str | None = None
+) -> DataFrame:
     """Row-id-stamped target, aliased under the table's simple BASE name
     (a transaction shadow resolves back, so the user's qualified
     ``t.col`` references keep working against the shadow df).
@@ -127,7 +135,7 @@ def _stamped_base(engine, table: str, fresh: DataFrame) -> DataFrame:
     plan over one file listing."""
     from duck_server_spark.engine.transactions import resolve_shadow
 
-    simple = (resolve_shadow(table) or table).split(".")[-1].strip('`"')
+    simple = alias or (resolve_shadow(table) or table).split(".")[-1].strip('`"')
     return fresh.withColumn("__dmlj_rid", F.monotonically_increasing_id()).alias(simple)
 
 
@@ -202,7 +210,10 @@ def run_update_from(engine, table: str, assigns, from_sql: str, where: str | Non
     )
 
 
-def run_delete_using(engine, table: str, using_sql: str, where: str | None) -> int:
+def run_delete_using(
+    engine, table: str, using_sql: str, where: str | None,
+    alias: str | None = None,
+) -> int:
     from duck_server_spark.engine import constraints as cst
     from duck_server_spark.engine.transactions import resolve_shadow
 
@@ -214,7 +225,7 @@ def run_delete_using(engine, table: str, using_sql: str, where: str | None) -> i
     # FK restrict: children must not reference keys this delete removes
     refs = engine.constraints.referencing(resolve_shadow(table) or table)
     if refs:
-        b = _stamped_base(engine, table, spark.table(table))
+        b = _stamped_base(engine, table, spark.table(table), alias)
         hit_rids = b.join(
             src, F.expr(rewrites.duck_expr_to_spark(cond_sql)) if cond_sql else F.lit(True), "left_semi"
         ).select("__dmlj_rid")
@@ -225,7 +236,7 @@ def run_delete_using(engine, table: str, using_sql: str, where: str | None) -> i
         )
 
     def transform(fresh: DataFrame) -> DataFrame:
-        b = _stamped_base(engine, table, fresh)
+        b = _stamped_base(engine, table, fresh, alias)
         cond = F.expr(rewrites.duck_expr_to_spark(cond_sql)) if cond_sql else F.lit(True)
         hit_rids = b.join(src, cond, "left_semi").select("__dmlj_rid").distinct()
         j = b.join(hit_rids.withColumn("__dmlj_hit", F.lit(1)), on="__dmlj_rid", how="left")

@@ -3067,6 +3067,24 @@ class Engine:
         # error kept for genuinely bad values, and the literal-cast
         # rounding pass then applies duck's half-away tie rule for free.
         q = self._coerce_insert_source(q, dialect)
+        # `INSERT INTO t DEFAULT VALUES` (duck/PG) — Spark has no such
+        # form; expand to a VALUES row of DEFAULT keywords, one per
+        # column (statement_probe r12)
+        mdv = re.match(
+            r"(\s*INSERT\s+INTO\s+(?:TABLE\s+)?)([`\"\w.]+)\s+DEFAULT\s+VALUES\s*;?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if mdv:
+            try:
+                n = len(self.spark.table(mdv.group(2)).schema.fields)
+            except Exception:
+                n = 0  # unknown target: loud native error below
+            if n:
+                q = (
+                    f"{mdv.group(1)}{mdv.group(2)} VALUES "
+                    f"({', '.join(['DEFAULT'] * n)})"
+                )
         # duck accepts `TRUNCATE t` without the TABLE keyword; Spark's
         # parser requires it (statement_probe r12)
         q = re.sub(
@@ -3729,16 +3747,33 @@ class Engine:
         spark = self.spark
         df = spark.table(table)
         assigns: dict[str, str] = {}
+        from duck_server_spark.engine.macros import expand_calls
+
+        field_meta = {f.name: f.metadata for f in df.schema.fields}
         for part in _split_top_level(set_clause, ","):
             col, expr = part.split("=", 1)
+            cname = col.strip().strip("`\"")
+            if expr.strip().upper() == "DEFAULT":
+                # SET col = DEFAULT: the column's declared default, NULL
+                # when none (duck/PG; statement_probe r12)
+                assigns[cname] = field_meta.get(cname, {}).get(
+                    "CURRENT_DEFAULT", "NULL"
+                )
+                continue
             # fragments are raw duck-dialect (sliced before
-            # _prepare_sql): literal semantics + shims, exactly once
-            assigns[col.strip().strip("`\"")] = self._retype_date_arith_fragment(
-                rewrites.duck_expr_to_spark(expr.strip()), df.schema.fields
+            # _prepare_sql): literal semantics + shims, exactly once —
+            # macro calls included (statement_probe r12: UPDATE SET
+            # k = my_macro(k) never reached _prepare_sql's expansion)
+            assigns[cname] = self._retype_date_arith_fragment(
+                rewrites.duck_expr_to_spark(
+                    expand_calls(expr.strip(), self.macros)
+                ),
+                df.schema.fields,
             )
         pred = (
             self._retype_date_arith_fragment(
-                rewrites.duck_expr_to_spark(where), df.schema.fields
+                rewrites.duck_expr_to_spark(expand_calls(where, self.macros)),
+                df.schema.fields,
             )
             if where
             else "TRUE"
@@ -3814,8 +3849,10 @@ class Engine:
         # raw duck-dialect fragment → Spark, exactly once (the converted
         # text flows into validate_delete_restrict's F.expr too)
         if where is not None:
+            from duck_server_spark.engine.macros import expand_calls
+
             where = self._retype_date_arith_fragment(
-                rewrites.duck_expr_to_spark(where),
+                rewrites.duck_expr_to_spark(expand_calls(where, self.macros)),
                 self.spark.table(table).schema.fields,
             )
         # ON DELETE RESTRICT: a child FK referencing this table blocks the

@@ -68,7 +68,13 @@ def run_pivot(
     col = om.group(1).strip().strip('`"')
     tbl_cols = [f.name for f in spark.table(table).schema.fields]
     if col not in tbl_cols:
-        raise PgError("42703", f'column "{col}" not found in "{table}"')
+        # case-insensitive resolution like duck's (round 12, found by
+        # the mutation sweep: an uppercased statement's ON column must
+        # still match the stored-case source column)
+        ci = [c for c in tbl_cols if c.lower() == col.lower()]
+        if len(ci) != 1:
+            raise PgError("42703", f'column "{col}" not found in "{table}"')
+        col = ci[0]
     if om.group(2):
         raw = [v.strip() for v in _split_commas(om.group(2))]
         pairs = [(v, v.strip("'\"")) for v in raw]
@@ -98,11 +104,12 @@ def run_pivot(
         # + the agg expressions' source columns
         gb_cols = [g.strip().strip('`"') for g in group_by.split(",")]
         ident_rx = re.compile(r"[A-Za-z_]\w*")
+        gb_lower = {g.lower() for g in gb_cols}
         src_cols = [
             c
             for c in tbl_cols
-            if c not in gb_cols
-            and c != col
+            if c.lower() not in gb_lower
+            and c.lower() != col.lower()
             and any(
                 c.lower() == t.lower()
                 for it in agg_items

@@ -470,6 +470,93 @@ SEQS: list[tuple[str, list[str], list[str]]] = [
         "INSERT INTO sp_dbw SELECT g FROM generate_series(1, 10) t(g)",
         "DELETE FROM sp_dbw WHERE k BETWEEN 3 AND 7",
     ], ["sp_dbw"]),
+    # ---- third authoring pass (round 12) ----
+    ("schema_qualified_dml", [
+        "CREATE SCHEMA sp_sch",
+        "CREATE TABLE sp_sch.sp_qt (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_sch.sp_qt VALUES (1, 'a'), (2, 'b')",
+        "UPDATE sp_sch.sp_qt SET v = upper(v) WHERE k = 2",
+        "DELETE FROM sp_sch.sp_qt WHERE k = 1",
+    ], ["sp_sch.sp_qt"]),
+    ("insert_default_values_stmt", [
+        "CREATE TABLE sp_idv (k INTEGER DEFAULT 5, v VARCHAR DEFAULT 'd')",
+        "INSERT INTO sp_idv DEFAULT VALUES",
+        "INSERT INTO sp_idv DEFAULT VALUES",
+    ], ["sp_idv"]),
+    ("update_set_default", [
+        "CREATE TABLE sp_usd (k INTEGER, v VARCHAR DEFAULT 'dft')",
+        "INSERT INTO sp_usd VALUES (1, 'x'), (2, 'y')",
+        "UPDATE sp_usd SET v = DEFAULT WHERE k = 1",
+    ], ["sp_usd"]),
+    ("ctas_from_first", [
+        "CREATE TABLE sp_cff_src (k INTEGER)",
+        "INSERT INTO sp_cff_src VALUES (1), (2)",
+        "CREATE TABLE sp_cff AS FROM sp_cff_src SELECT k * 10 AS k10",
+    ], ["sp_cff"]),
+    ("alter_set_drop_not_null", [
+        "CREATE TABLE sp_ann (k INTEGER)",
+        "INSERT INTO sp_ann VALUES (1)",
+        "ALTER TABLE sp_ann ALTER COLUMN k SET NOT NULL",
+        "INSERT INTO sp_ann VALUES (NULL)",
+        "ALTER TABLE sp_ann ALTER COLUMN k DROP NOT NULL",
+        "INSERT INTO sp_ann VALUES (NULL)",
+    ], ["sp_ann"]),
+    ("alter_type_using", [
+        "CREATE TABLE sp_atu (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_atu VALUES (1, '10'), (2, 'x')",
+        "ALTER TABLE sp_atu ALTER v TYPE INTEGER USING CASE WHEN v = 'x' THEN -1 ELSE v::INTEGER END",
+    ], ["sp_atu"]),
+    ("macro_in_dml", [
+        "CREATE MACRO sp_twice(x) AS x * 2",
+        "CREATE TABLE sp_mcd (k INTEGER)",
+        "INSERT INTO sp_mcd VALUES (sp_twice(3)), (sp_twice(5))",
+        "UPDATE sp_mcd SET k = sp_twice(k) WHERE k = 6",
+    ], ["sp_mcd"]),
+    ("sequence_options", [
+        "CREATE SEQUENCE sp_sqo START 10 INCREMENT 5",
+        "CREATE TABLE sp_sot (id BIGINT)",
+        "INSERT INTO sp_sot VALUES (nextval('sp_sqo')), (nextval('sp_sqo')), (nextval('sp_sqo'))",
+    ], ["sp_sot"]),
+    ("view_with_column_list", [
+        "CREATE TABLE sp_vcl_t (a INTEGER, b INTEGER)",
+        "INSERT INTO sp_vcl_t VALUES (1, 2)",
+        "CREATE VIEW sp_vcl (x, y) AS SELECT a, b FROM sp_vcl_t",
+    ], ["sp_vcl"]),
+    ("insert_cols_reordered", [
+        "CREATE TABLE sp_icr (a INTEGER, b VARCHAR, c DOUBLE)",
+        "INSERT INTO sp_icr (c, a, b) VALUES (1.5, 7, 'z'), (2.5, 8, 'w')",
+    ], ["sp_icr"]),
+    ("ctas_null_then_typed", [
+        "CREATE TABLE sp_cnt AS SELECT * FROM (VALUES (NULL), (1), (2)) t(x)",
+    ], ["sp_cnt"]),
+    ("update_self_subquery", [
+        "CREATE TABLE sp_usq2 (k INTEGER, v INTEGER)",
+        "INSERT INTO sp_usq2 VALUES (1, 10), (2, 20), (3, 30)",
+        "UPDATE sp_usq2 SET v = v - (SELECT min(v) FROM sp_usq2)",
+    ], ["sp_usq2"]),
+    ("truncate_missing_errors", [
+        "TRUNCATE sp_tme_nosuch",
+    ], []),
+    ("alter_drop_missing_col", [
+        "CREATE TABLE sp_adm (k INTEGER)",
+        "ALTER TABLE sp_adm DROP COLUMN nosuch",
+    ], ["sp_adm"]),
+    ("rename_to_existing_errors", [
+        "CREATE TABLE sp_rte_a (k INTEGER)",
+        "CREATE TABLE sp_rte_b (k INTEGER)",
+        "ALTER TABLE sp_rte_a RENAME TO sp_rte_b",
+    ], ["sp_rte_a", "sp_rte_b"]),
+    ("delete_using_alias", [
+        "CREATE TABLE sp_dua (k INTEGER, v VARCHAR)",
+        "INSERT INTO sp_dua VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+        "CREATE TABLE sp_dub (k INTEGER)",
+        "INSERT INTO sp_dub VALUES (2)",
+        "DELETE FROM sp_dua t USING sp_dub s WHERE t.k = s.k",
+    ], ["sp_dua"]),
+    ("insert_double_into_decimal", [
+        "CREATE TABLE sp_idd (d DECIMAL(6,2))",
+        "INSERT INTO sp_idd VALUES (CAST(1.255 AS DOUBLE)), (CAST(-1.255 AS DOUBLE))",
+    ], ["sp_idd"]),
     ("copy_roundtrip_csv", [
         "CREATE TABLE sp_cpa (k INTEGER, v VARCHAR)",
         "INSERT INTO sp_cpa VALUES (1, 'a'), (2, 'with,comma'), (3, NULL)",
@@ -558,12 +645,18 @@ class MiniSession:
 
 
 def _cleanup(eng, objs) -> None:
-    for t in sorted(objs):
-        for ddl in (
+    for t in sorted(objs, key=lambda x: ("." not in x, x)):
+        ddls = [
             f"DROP TABLE IF EXISTS {t}",
             f"DROP VIEW IF EXISTS {t}",
             f"DROP SEQUENCE IF EXISTS {t}",
-        ):
+        ]
+        if "." not in t:
+            ddls += [
+                f"DROP MACRO IF EXISTS {t}",
+                f"DROP SCHEMA IF EXISTS {t} CASCADE",
+            ]
+        for ddl in ddls:
             try:
                 eng.execute(ddl)
             except Exception:
@@ -577,7 +670,9 @@ def run_probe(eng, name: str, stmts: list[str], tables: list[str]) -> list[str]:
 
     problems: list[str] = []
     duck = duckdb.connect()
-    objs = set(tables) | {t for s in stmts for t in re.findall(r"\bsp_\w+", s)}
+    objs = set(tables) | {
+        t for s in stmts for t in re.findall(r"\bsp_\w+(?:\.sp_\w+)?", s)
+    }
     _cleanup(eng, objs)
     try:
         duck_err = []
