@@ -1499,6 +1499,105 @@ def _scan_sq_balanced(masked: str, start: int) -> int | None:
     return None
 
 
+# `{…}::VARCHAR` / `({…})::VARCHAR` — duck renders struct duck-text:
+# `{'k': 1, 's': a b}` (keys single-quoted, values raw/unquoted, NULL
+# spelled NULL). Spark's struct→string cast renders values only ({1}).
+# Closed for brace LITERALS (the only bind-time-provable struct shape)
+# by concatenating per-field prefixes with each value cast to STRING;
+# nested brace literals recurse, list values keep Spark's '[1, 2]'
+# rendering which matches duck's. Runs BEFORE the brace→named_struct
+# pass (round 12). Struct-typed COLUMN casts stay documented
+# (probe list_to_str_cast).
+_STRUCT_VARCHAR_POST = re.compile(
+    r"\s*::\s*(?:varchar|text|string)\b", re.IGNORECASE
+)
+
+
+def _scan_brace(masked: str, i: int) -> int | None:
+    """End index (exclusive) of the brace group opening at masked[i]."""
+    depth, j = 1, i + 1
+    while j < len(masked) and depth:
+        if masked[j] == "{":
+            depth += 1
+        elif masked[j] == "}":
+            depth -= 1
+        j += 1
+    return None if depth else j
+
+
+def _brace_to_ducktext(inner: str, inner_masked: str) -> str | None:
+    pieces: list[str] = []
+    items = _split_top_level(inner, inner_masked)
+    if not items:
+        return None
+    for idx, item in enumerate(items):
+        im = _mask_literals(item)
+        ci = im.find(":")
+        if ci < 0:
+            return None
+        key, val = item[:ci].strip(), item[ci + 1 :].strip()
+        km = re.match(r"^'([^']*)'$", key)
+        if km is None:
+            return None
+        prefix = ("{" if idx == 0 else ", ") + f"'{km.group(1)}': "
+        pieces.append("'" + prefix.replace("'", "''") + "'")
+        vm = _mask_literals(val)
+        if val.startswith("{") and _scan_brace(vm, 0) == len(val):
+            nested = _brace_to_ducktext(val[1:-1], vm[1:-1])
+            if nested is None:
+                return None
+            pieces.append(nested)
+        else:
+            pieces.append(f"coalesce(CAST(({val}) AS STRING), 'NULL')")
+    pieces.append("'}'")
+    return "(" + " || ".join(pieces) + ")"
+
+
+def _rewrite_struct_varchar_casts(q: str) -> str:
+    if "{" not in q or "::" not in q:
+        return q
+    while True:
+        masked = _mask_literals(q)
+        hit = None
+        for m in re.finditer(r"\{", masked):
+            i = m.start()
+            j = _scan_brace(masked, i)
+            if j is None:
+                return q
+            # MAP {…} literals keep native map rendering
+            mp = re.search(r"([A-Za-z_]\w*)\s*$", masked[:i].rstrip())
+            if mp is not None and mp.group(1).lower() == "map":
+                continue
+            start, end = i, j
+            # optional single paren wrap: ({…})::VARCHAR
+            before = masked[:i].rstrip()
+            after_ws = j
+            while after_ws < len(masked) and masked[after_ws].isspace():
+                after_ws += 1
+            if (
+                before.endswith("(")
+                and after_ws < len(masked)
+                and masked[after_ws] == ")"
+            ):
+                pm = _STRUCT_VARCHAR_POST.match(masked, after_ws + 1)
+                if pm is not None:
+                    start, end = len(before) - 1, pm.end()
+            if start == i:
+                pm = _STRUCT_VARCHAR_POST.match(masked, j)
+                if pm is None:
+                    continue
+                end = pm.end()
+            text = _brace_to_ducktext(q[i + 1 : j - 1], masked[i + 1 : j - 1])
+            if text is None:
+                continue
+            hit = (start, end, text)
+            break
+        if hit is None:
+            return q
+        s0, e0, rep = hit
+        q = q[:s0] + rep + q[e0:]
+
+
 def _rewrite_brace_literals(q: str) -> str:
     """`{'k': v, …}` → named_struct('k', v, …); `MAP {'k': v}` → map."""
     while True:
@@ -3248,6 +3347,7 @@ def rewrite_common(q: str) -> str:
     q = _rewrite_alter_add_type(q)  # ADD COLUMN type spec (round 12)
     q = _rewrite_cast_types(q)
     q = _rewrite_bracket_literals(q)  # after type rewrites: INT[] is gone
+    q = _rewrite_struct_varchar_casts(q)  # before braces lower (r12)
     q = _rewrite_brace_literals(q)
     q = _rewrite_subscripts(q)
     q = _sub_outside_literals(

@@ -49,14 +49,15 @@ EXPECTED_DIVERGENCES = {
         "add a schema analysis to every statement for a corner duck "
         "clients essentially never hit"
     ),
-    "list_to_str_cast": (
-        "documented: casting a STRUCT value to VARCHAR renders Spark's "
-        "value-only text ({1}) where duck renders keyed duck-text "
-        "({'k': 1}); list casts match. The wire path renders duck-text "
-        "for RESULT values (engine/types.py) — only the in-plan CAST "
-        "spelling differs, and reproducing duck text for arbitrary "
-        "nested values in-plan needs a per-type codegen templer with "
-        "marginal client value"
+    "struct_col_to_str_cast": (
+        "documented (narrowed round 12): struct→VARCHAR duck-text is "
+        "closed for brace LITERALS (probe list_to_str_cast PASSES via "
+        "bind-time field concatenation, nested/NULL included); a "
+        "struct-typed COLUMN cast keeps Spark's value-only rendering — "
+        "reproducing duck text for arbitrary column types in-plan "
+        "needs a per-type codegen templer with marginal client value. "
+        "The wire path renders duck-text for RESULT values either way "
+        "(engine/types.py)"
     ),
     "expr_int_cast_round": (
         "documented (narrowed round 12): COLUMN casts to integer types "
@@ -451,7 +452,8 @@ PROBES = [
     ("abs_at_operator", "SELECT @-5 AS a, @(3 - 10) AS b"),
     ("list_step_slice", "SELECT ([1,2,3,4,5,6])[1:6:2] AS a, ([1,2,3,4,5,6])[6:1:-2] AS b, ([1,2,3])[2:9:3] AS c"),
     ("str_to_list_cast", "SELECT '[1, 2, 3]'::INT[] AS a, '[a, b]'::VARCHAR[] AS b"),
-    ("list_to_str_cast", "SELECT ([1,2,3])::VARCHAR AS a, ({'k': 1})::VARCHAR AS b"),
+    ("list_to_str_cast", "SELECT ([1,2,3])::VARCHAR AS a, ({'k': 1})::VARCHAR AS b, {'k': NULL, 's': 'a b', 'n': {'x': 1.5}}::VARCHAR AS c"),
+    ("struct_col_to_str_cast", "SELECT s::VARCHAR AS a FROM (SELECT {'k': 1} AS s) t"),
     ("within_group_pct", "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY r_regionkey) AS a, percentile_disc(0.25) WITHIN GROUP (ORDER BY r_regionkey DESC) AS b FROM region"),
     ("within_group_mode", "SELECT mode() WITHIN GROUP (ORDER BY n_regionkey) AS a FROM nation"),
     ("filter_where_kw", "SELECT count(*) FILTER (WHERE r_regionkey > 1) AS a, sum(r_regionkey) FILTER (WHERE r_regionkey % 2 = 0) AS b FROM region"),
