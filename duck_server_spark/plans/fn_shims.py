@@ -631,6 +631,37 @@ def _map_fn(args: list[str]) -> str | None:
     return None
 
 
+def _inline_flags(pat: str, opts_arg: str) -> str | None:
+    """duck's regex OPTIONS argument ('i', 's', 'm'/'n', 'c', 'g') →
+    an inline (?ism) prefix on the pattern (round 12). Returns the
+    flagged pattern, or None for non-literal / unknown options."""
+    fm = _PLAIN_STR_LIT.match(opts_arg)
+    if fm is None or not set(fm.group(1)) <= set("gismnc"):
+        return None
+    inline = "".join(
+        ch for ch in fm.group(1).replace("n", "m") if ch in "ism"
+    )
+    if not inline:
+        return pat
+    pm = _PLAIN_STR_LIT.match(pat)
+    if pm is None:
+        return f"concat('(?{inline})', {pat})"
+    return f"'(?{inline}){pm.group(1)}'"
+
+
+def _regexp_matches(args: list[str]) -> str | None:
+    """duck regexp_matches(x, p[, options]) — partial match; the
+    3-arg options form inlines flags (round 12)."""
+    if len(args) == 2:
+        return None  # native regexp_like(x, p) is exact
+    if len(args) == 3:
+        pat = _inline_flags(args[1], args[2])
+        if pat is None:
+            return None
+        return f"regexp_like({args[0]}, {pat})"
+    return None
+
+
 def _regexp_extract(args: list[str]) -> str | None:
     """duck regexp_extract defaults to group 0 (whole match) — Spark
     defaults to group 1 and ERRORS on group-free patterns (pinned).
@@ -655,12 +686,23 @@ def _regexp_extract(args: list[str]) -> str | None:
                     f"'{litm.group(1)}', regexp_extract({args[0]}, {pat}, {i})"
                 )
             return "named_struct(" + ", ".join(fields) + ")"
+    if len(args) == 4:
+        # (x, p, group, options) — options inline as flags (round 12)
+        pat = _inline_flags(args[1], args[3])
+        if pat is None:
+            return None
+        return f"regexp_extract({args[0]}, {pat}, {args[2]})"
     return None
 
 
 def _regexp_extract_all(args: list[str]) -> str | None:
     if len(args) == 2:
         return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+    if len(args) == 4:
+        pat = _inline_flags(args[1], args[3])
+        if pat is None:
+            return None
+        return f"regexp_extract_all({args[0]}, {pat}, {args[2]})"
     return None
 
 
@@ -1144,6 +1186,7 @@ CALLABLES: dict[str, object] = {
     "quantile": _quantile_disc,
     "quantile_cont": _quantile_cont,
     "map": _map_fn,
+    "regexp_matches": _regexp_matches,
     "regexp_extract": _regexp_extract,
     "regexp_extract_all": _regexp_extract_all,
     "regexp_replace": _regexp_replace,

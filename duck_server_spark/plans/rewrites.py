@@ -1919,6 +1919,84 @@ def _rewrite_extract_subsec(q: str) -> str:
         )
 
 
+# duck `DATE + TIME` (either order) → TIMESTAMP (pinned live round 12).
+# Spark has no date+time addition; the time-of-day becomes a day-time
+# interval. date_part spellings on purpose (this runs after fn_shims
+# and the sub-second EXTRACT pass — neither rescans them).
+_TIME_LIT = r"TIME\s*'[^']*'"
+_DATE_PLUS_TIME: re.Pattern | None = None  # compiled lazily: the
+# _DATE_OPERAND alternation it embeds is defined further down the file
+
+
+def _rewrite_date_plus_time(q: str) -> str:
+    if "+" not in q:
+        return q
+    global _DATE_PLUS_TIME
+    if _DATE_PLUS_TIME is None:
+        _DATE_PLUS_TIME = re.compile(
+            rf"(?:({_DATE_OPERAND})\s*\+\s*({_TIME_LIT}))"
+            rf"|(?:({_TIME_LIT})\s*\+\s*({_DATE_OPERAND}))",
+            re.IGNORECASE,
+        )
+    while True:
+        masked = _mask_literals(q)
+        m = _DATE_PLUS_TIME.search(masked)
+        if m is None:
+            return q
+        d = q[m.start(1) : m.end(1)] if m.group(1) else q[m.start(4) : m.end(4)]
+        t = q[m.start(2) : m.end(2)] if m.group(2) else q[m.start(3) : m.end(3)]
+        q = (
+            q[: m.start()]
+            + f"(CAST({d} AS TIMESTAMP) + make_dt_interval(0, "
+            f"date_part('HOUR', {t}), date_part('MINUTE', {t}), "
+            f"date_part('SECOND', {t})))"
+            + q[m.end() :]
+        )
+
+
+# PG/duck starts-with operator `a ^@ b` → startswith(a, b) (round 12).
+# Left operand via the shared backwards primary walk; right operand is
+# one forward primary (quote span / paren group / ident chain with an
+# optional call) — matching how the operator is actually written.
+_PREFIX_OP = re.compile(r"\^@")
+
+
+def _rewrite_prefix_op(q: str) -> str:
+    if "^@" not in q:
+        return q
+    while True:
+        masked = _mask_literals(q)
+        m = _PREFIX_OP.search(masked)
+        if m is None:
+            return q
+        lend = len(masked[: m.start()].rstrip())
+        lstart = _expr_start(masked, lend)
+        left = q[lstart:lend].strip()
+        i = m.end()
+        while i < len(masked) and masked[i].isspace():
+            i += 1
+        if i >= len(masked):
+            return q
+        if masked[i] == "'":
+            j = masked.index("'", i + 1) + 1
+        elif masked[i] == "(":
+            j = _scan_balanced(masked, i + 1)
+        else:
+            rm = re.match(r"[A-Za-z_][\w.]*", masked[i:])
+            if rm is None:
+                return q  # unparseable: loud native error downstream
+            j = i + rm.end()
+            if j < len(masked) and masked[j] == "(":
+                j = _scan_balanced(masked, j + 1)
+        if not left:
+            return q
+        q = (
+            q[:lstart]
+            + f"startswith({left}, {q[i:j]})"
+            + q[j:]
+        )
+
+
 # PG regex-match operator `expr ~ 'pat'` → RLIKE (DuckDB accepts `~`,
 # pg_conn.go delegates it; Spark's `~` is bitwise NOT so the form
 # `~ '<literal>'` is unambiguous). Applied per non-literal segment, so
@@ -3360,6 +3438,8 @@ def rewrite_common(q: str) -> str:
     q = rewrite_star_replace(q)
     q = _rewrite_extract_epoch(q)
     q = _rewrite_extract_subsec(q)  # duck sub-second fields (round 12)
+    q = _rewrite_date_plus_time(q)  # DATE + TIME → TIMESTAMP (round 12)
+    q = _rewrite_prefix_op(q)  # a ^@ b → startswith (round 12)
     q = _rewrite_string_agg(q)  # 1-arg default sep + ORDER BY-in-args (round 10)
     q = _rewrite_text_similarity(q)  # jaccard/hamming JVM templates (round 10)
     # DuckDB allows FILTER (expr) without the WHERE keyword; Spark

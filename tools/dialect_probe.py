@@ -490,6 +490,13 @@ PROBES = [
     ("time_edge_casts", "SELECT '15:30:00'::TIME AS a, make_time(1, 2, 3.5) AS b, CAST('01:02:03' AS TIME) AS c"),
     ("extract_subsecond", "SELECT extract(microseconds FROM TIME '00:00:01.5') AS a, extract(milliseconds FROM TIME '00:00:02.25') AS b, extract(second FROM TIME '00:00:02.25') AS c, extract(seconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS d, date_part('microseconds', TIMESTAMP '2024-01-01 00:00:01.5') AS e"),
     ("tz_offset_literal", "SELECT '2024-01-01 10:00:00+05:30'::TIMESTAMPTZ AS a"),
+    ("list_concat_op", "SELECT [1,2] || [3] AS a, [1] || [] AS b"),
+    ("bit_ops_full", "SELECT 5 & 3 AS a, 5 | 3 AS b, xor(5, 3) AS c, 1 << 3 AS d, 16 >> 2 AS e, ~5 AS f"),
+    ("date_plus_time", "SELECT DATE '2024-01-01' + TIME '10:30:00' AS a"),
+    ("regex_flags", "SELECT regexp_matches('ABC', 'abc', 'i') AS a, regexp_replace('aAa', 'a', 'x', 'gi') AS b, regexp_extract('AB12', '([a-z]+)', 1, 'i') AS c"),
+    ("split_part_neg", "SELECT split_part('a,b,c', ',', -1) AS a, split_part('a,b,c', ',', -2) AS b"),
+    ("similar_quant", "SELECT 'aab' SIMILAR TO 'a{2}b' AS a"),
+    ("prefix_caret_at", "SELECT 'abc' ^@ 'ab' AS a, 'abc' ^@ 'z' AS b"),
 ]
 
 
