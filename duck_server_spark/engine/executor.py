@@ -2953,6 +2953,7 @@ class Engine:
         UPDATE … FROM / DELETE … USING) raise 0A000 loudly."""
         from duck_server_spark.engine.errors import PgError
 
+        q = rewrites.blank_comments(q)  # intercepts assume whitespace (r12)
         q = rewrites.normalize_quoted_idents(q)
         # cheap RETURNING probe FIRST: without it this path returns None
         # and execute() runs — expanding BY NAME here too would analyze

@@ -557,6 +557,11 @@ SEQS: list[tuple[str, list[str], list[str]]] = [
         "CREATE TABLE sp_idd (d DECIMAL(6,2))",
         "INSERT INTO sp_idd VALUES (CAST(1.255 AS DOUBLE)), (CAST(-1.255 AS DOUBLE))",
     ], ["sp_idd"]),
+    ("comment_hostile_returning", [
+        "CREATE TABLE sp_chr2 (k INTEGER, v INTEGER DEFAULT 9)",
+        "INSERT INTO sp_chr2 (k) /* c */ VALUES (1), (2) -- tail\n RETURNING k, v",
+        "UPDATE sp_chr2 -- note\n SET v = v + 1 WHERE k = 2 RETURNING *",
+    ], ["sp_chr2"]),
     ("copy_roundtrip_csv", [
         "CREATE TABLE sp_cpa (k INTEGER, v VARCHAR)",
         "INSERT INTO sp_cpa VALUES (1, 'a'), (2, 'with,comma'), (3, NULL)",
