@@ -1910,18 +1910,17 @@ class Engine:
                     neg = True
         return depth, neg
 
-    def _scope_schema_fields(self, q, masked, pos, dialect, cache):
-        """Schema fields of `SELECT * FROM <tail>` for the select scope
-        enclosing position `pos` — the shared FROM-tail analysis-only
-        probe behind #n refs, COLUMNS(), and (round 12) column-typed
-        date arithmetic. None when pos is not inside a select scope
-        with a FROM clause. Cached per probe text within a statement."""
+    def _scope_from_parts(self, q, masked, pos):
+        """(with_prefix, from_tail_text) of the select scope enclosing
+        `pos`; from_tail_text is None for a FROM-less scope, and the
+        whole result is None when pos is not inside a select scope."""
         sel = None
         for sm in re.finditer(r"\bselect\b", masked[:pos], re.IGNORECASE):
             if not self._paren_scan(masked[sm.end() : pos])[1]:
                 sel = sm
         if sel is None:
             return None
+        prefix = self._with_prefix_for(q, masked, sel.start())
         frm = None
         for fm in re.finditer(r"\bfrom\b", masked, re.IGNORECASE):
             if fm.start() > sel.end() and self._paren_scan(
@@ -1930,7 +1929,7 @@ class Engine:
                 frm = fm
                 break
         if frm is None:
-            return None
+            return (prefix, None)
         end = len(q)
         depth = 0
         for i in range(frm.end(), len(masked)):
@@ -1961,11 +1960,18 @@ class Engine:
                 ):
                     end = i
                     break
-        probe = (
-            self._with_prefix_for(q, masked, sel.start())
-            + " SELECT * FROM "
-            + q[frm.end() : end]
-        )
+        return (prefix, q[frm.end() : end])
+
+    def _scope_schema_fields(self, q, masked, pos, dialect, cache):
+        """Schema fields of `SELECT * FROM <tail>` for the select scope
+        enclosing position `pos` — the shared FROM-tail analysis-only
+        probe behind #n refs, COLUMNS(), and (round 12) column-typed
+        date arithmetic. None when pos is not inside a select scope
+        with a FROM clause. Cached per probe text within a statement."""
+        parts = self._scope_from_parts(q, masked, pos)
+        if parts is None or parts[1] is None:
+            return None
+        probe = parts[0] + " SELECT * FROM " + parts[1]
         fields = cache.get(probe)
         if fields is None:
             fields = list(
@@ -1975,6 +1981,34 @@ class Engine:
             )
             cache[probe] = fields
         return fields
+
+    def _scope_expr_type(self, q, masked, pos, operand, dialect, cache):
+        """Spark-analyzed dataType of `operand` evaluated in the select
+        scope enclosing `pos` — the EXPRESSION generalization of the
+        FROM-schema probe (round 13, VERDICT r12 item 2: close
+        `expr_int_cast_round`). None when the scope or expression can't
+        be analysis-probed (correlated outer refs, lateral aliases):
+        the cast then keeps Spark semantics, documented."""
+        parts = self._scope_from_parts(q, masked, pos)
+        if parts is None:
+            return None
+        tail = f" FROM {parts[1]}" if parts[1] is not None else ""
+        probe = f"{parts[0]} SELECT ({operand}) AS __duck_probe_t{tail}"
+        key = ("__expr_type__", probe)
+        if key not in cache:
+            try:
+                cache[key] = (
+                    self.spark.sql(
+                        self._prepare_sql(
+                            probe, dialect, _literals_normalized=True
+                        )
+                    )
+                    .schema.fields[0]
+                    .dataType
+                )
+            except Exception:
+                cache[key] = None
+        return cache[key]
 
     def _expand_positional_refs(self, q: str, dialect: str) -> str:
         """DuckDB `#n` positional references (round 11): `#1` anywhere
@@ -2085,7 +2119,9 @@ class Engine:
 
         def _col_name(tok: str) -> str:
             tok = tok.rsplit(".", 1)[-1]
-            return tok[1:-1] if tok.startswith("`") else tok.lower()
+            # schema comparison below is lowercase; quoted names must
+            # lowercase too or `MixedCase` never matches (ADVICE r12)
+            return tok[1:-1].lower() if tok.startswith("`") else tok.lower()
 
         for _ in range(64):
             masked = rewrites._mask_literals(q)
@@ -2237,7 +2273,9 @@ class Engine:
 
         def _col_name(tok: str) -> str:
             tok = tok.rsplit(".", 1)[-1]
-            return tok[1:-1] if tok.startswith("`") else tok.lower()
+            # schema comparison below is lowercase; quoted names must
+            # lowercase too or `MixedCase` never matches (ADVICE r12)
+            return tok[1:-1].lower() if tok.startswith("`") else tok.lower()
 
         for _ in range(64):
             masked = rewrites._mask_literals(text)
@@ -2279,7 +2317,9 @@ class Engine:
 
         def _col_name(tok: str) -> str:
             tok = tok.rsplit(".", 1)[-1]
-            return tok[1:-1] if tok.startswith("`") else tok.lower()
+            # schema comparison below is lowercase; quoted names must
+            # lowercase too or `MixedCase` never matches (ADVICE r12)
+            return tok[1:-1].lower() if tok.startswith("`") else tok.lower()
 
         for _ in range(64):
             masked = rewrites._mask_literals(q)

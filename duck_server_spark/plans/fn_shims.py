@@ -157,7 +157,12 @@ TEMPLATES: dict[str, dict[int, str]] = {
     # duck's JSON aggregates (round 12): compact-JSON rendering matches
     # to_json exactly ('[1,2]' / '{"a":1}'); arrival order preserved by
     # collect_list → map_from_entries. Group-bounded (dialect tier).
-    "json_group_array": {1: "to_json(collect_list({0}))"},
+    # NULL elements must survive ('[1,null,2]', pinned live):
+    # collect_list(x) drops NULLs, but struct(x) is non-NULL even when
+    # x is NULL, so carry through a struct and unwrap in a transform
+    "json_group_array": {
+        1: "to_json(transform(collect_list(struct({0} AS jga_v)), jga_s -> jga_s.jga_v))"
+    },
     "json_group_object": {
         2: "to_json(map_from_entries(collect_list(struct({0}, {1}))))"
     },
@@ -903,10 +908,12 @@ def _one_part(name: str, d: str) -> str:
     # the milli/micro scalers need)
     if name in ("second", "seconds"):
         return f"CAST(floor(date_part('SECOND', {d})) AS BIGINT)"
+    # milliseconds TRUNCATE too (pinned live: 01.9996 → 1999, not
+    # 2000); microseconds are exact at µs granularity so floor == round
     if name in ("millisecond", "milliseconds"):
-        return f"CAST(round(date_part('SECOND', {d}) * 1000) AS BIGINT)"
+        return f"CAST(floor(date_part('SECOND', {d}) * 1000) AS BIGINT)"
     if name in ("microsecond", "microseconds"):
-        return f"CAST(round(date_part('SECOND', {d}) * 1000000) AS BIGINT)"
+        return f"CAST(floor(date_part('SECOND', {d}) * 1000000) AS BIGINT)"
     return f"date_part('{name}', {d})"
 
 

@@ -1848,6 +1848,36 @@ _STR_ARR_POSTFIX = re.compile(
 _ARR_ELEM_SAFE = re.compile(r"[-+0-9.eE]+|true|false|null", re.IGNORECASE)
 
 
+def _split_list_text(inner: str) -> list[str]:
+    """Split duck list-literal text on top-level commas. Double-quoted
+    segments are atomic (commas/brackets inside them don't split) but
+    the quotes themselves stay verbatim in the element — pinned live:
+    '["a,b", c]'::VARCHAR[] = ['"a,b"', 'c']."""
+    out, buf, depth, in_dq = [], [], 0, False
+    for ch in inner:
+        if in_dq:
+            buf.append(ch)
+            if ch == '"':
+                in_dq = False
+            continue
+        if ch == '"':
+            in_dq = True
+            buf.append(ch)
+        elif ch in "[{(":
+            depth += 1
+            buf.append(ch)
+        elif ch in "]})":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf).strip())
+    return out
+
+
 def _rewrite_str_list_casts(q: str) -> str:
     if "::" not in q or "[" not in q:
         return q
@@ -1865,11 +1895,7 @@ def _rewrite_str_list_casts(q: str) -> str:
                 continue
             ty = pm.group(1)
             inner = content[1:-1].strip()
-            elems = (
-                [x.strip() for x in _split_top_level(inner, inner)]
-                if inner
-                else []
-            )
+            elems = _split_list_text(inner) if inner else []
             sty = normalize_type(f"{ty}[]")
             if ty.lower() in ("varchar", "text", "string", "bpchar", "char"):
                 body = ", ".join(f"'{x}'" for x in elems)
@@ -1897,8 +1923,10 @@ _EXTRACT_SUBSEC = re.compile(
 # re-match _EXTRACT_SUBSEC and loop the rewriter
 _SUBSEC_TEMPLATES = {
     "": "CAST(floor(date_part('SECOND', {0})) AS BIGINT)",
-    "milli": "CAST(round(date_part('SECOND', {0}) * 1000) AS BIGINT)",
-    "micro": "CAST(round(date_part('SECOND', {0}) * 1000000) AS BIGINT)",
+    # milli TRUNCATES in duck (01.9996 → 1999, pinned live); micro is
+    # exact at µs granularity so floor == round
+    "milli": "CAST(floor(date_part('SECOND', {0}) * 1000) AS BIGINT)",
+    "micro": "CAST(floor(date_part('SECOND', {0}) * 1000000) AS BIGINT)",
 }
 
 

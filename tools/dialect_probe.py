@@ -497,6 +497,16 @@ PROBES = [
     ("split_part_neg", "SELECT split_part('a,b,c', ',', -1) AS a, split_part('a,b,c', ',', -2) AS b"),
     ("similar_quant", "SELECT 'aab' SIMILAR TO 'a{2}b' AS a"),
     ("prefix_caret_at", "SELECT 'abc' ^@ 'ab' AS a, 'abc' ^@ 'z' AS b"),
+    # ---- sixth discovery pass (round 13) ----
+    # ADVICE r12: NULL elements must survive json_group_array
+    ("json_group_array_nulls", "SELECT json_group_array(y) AS a FROM (SELECT x AS y FROM (VALUES (1), (NULL), (2)) t(x) ORDER BY x NULLS LAST)"),
+    # ADVICE r12: milliseconds TRUNCATE (1.9996s → 1999, not 2000)
+    ("extract_subsec_trunc", "SELECT extract(milliseconds FROM TIMESTAMP '2024-01-01 00:00:01.9996') AS a, extract(milliseconds FROM TIME '00:00:01.9996') AS b, extract(seconds FROM TIMESTAMP '2024-01-01 00:00:01.9996') AS c"),
+    # ADVICE r12: double-quoted list-text segments are atomic but verbatim
+    ("str_list_cast_quoted", "SELECT '[\"a,b\", c]'::VARCHAR[] AS a, '[a, \"b]x\", c]'::VARCHAR[] AS b"),
+    # ADVICE r12: quoted mixed-case column ref must still hit the
+    # FROM-schema tie rule (backtick operand lowercased for the match)
+    ("col_int_cast_quoted_ident", "SELECT CAST(\"MixedCase\" AS INT) AS a FROM (VALUES (2.5), (3.5), (-2.5)) t(\"MixedCase\")"),
 ]
 
 
