@@ -1252,13 +1252,20 @@ class Engine:
         # items (round 10) — schema probe like COLUMNS(), before the
         # dialect rewrite aliases scalar unnest → explode
         q = self._expand_unnest_items(q, dialect)
-        q = self._expand_positional_refs(q, dialect)
+        # ONE probe cache per statement, shared by every FROM-schema /
+        # expression-type pass below (round 13, VERDICT r12 item 6): a
+        # probe any pass pays for is free to all later passes — and lets
+        # _restore_stored_case fix all-lowercase refs at zero extra cost
+        probe_cache: dict = {}
+        q = self._expand_positional_refs(q, dialect, probe_cache)
         # column-typed date − date → BIGINT days (round 12): needs the
         # FROM-schema probe, so it lives here rather than in the pure-
         # text rewrite layer (which closes the provable-literal cases)
-        q = self._retype_date_arith(q, dialect)
-        q = self._retype_int_casts(q, dialect)  # column tie rules (r12)
-        q = self._restore_stored_case(q, dialect)  # header case (r12)
+        q = self._retype_date_arith(q, dialect, probe_cache)
+        q = self._retype_int_casts(q, dialect, probe_cache)  # tie rules
+        # struct/list/map column → VARCHAR duck-text (round 13)
+        q = self._retype_complex_str_casts(q, dialect, probe_cache)
+        q = self._restore_stored_case(q, dialect, probe_cache)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
         if _CATALOG_REF.search(q):
             self._refresh_catalog_views()
@@ -2010,7 +2017,9 @@ class Engine:
                 cache[key] = None
         return cache[key]
 
-    def _expand_positional_refs(self, q: str, dialect: str) -> str:
+    def _expand_positional_refs(
+        self, q: str, dialect: str, cache: dict | None = None
+    ) -> str:
         """DuckDB `#n` positional references (round 11): `#1` anywhere
         in a select scope names the FIRST column of that scope's FROM
         relation — NOT the output ordinal (pinned live: `SELECT #1 FROM
@@ -2023,7 +2032,9 @@ class Engine:
             return q
         from duck_server_spark.engine.errors import PgError
 
-        _probe_cache: dict[str, list] = {}  # per-statement (review r11)
+        # per-statement (review r11); shared across the probe passes of
+        # one _prepare_sql so later passes reuse it at zero cost (r13)
+        _probe_cache: dict = {} if cache is None else cache
         for _ in range(64):
             masked = rewrites._mask_literals(q)
             m = self._POS_REF.search(masked)
@@ -2110,12 +2121,14 @@ class Engine:
         re.IGNORECASE,
     )
 
-    def _retype_int_casts(self, q: str, dialect: str) -> str:
+    def _retype_int_casts(
+        self, q: str, dialect: str, cache: dict | None = None
+    ) -> str:
         if "::" not in q and not re.search(r"\bCAST\s*\(", q, re.IGNORECASE):
             return q
         from pyspark.sql.types import DecimalType, DoubleType, FloatType, StringType
 
-        _cache: dict[str, list] = {}
+        _cache: dict = {} if cache is None else cache
 
         def _col_name(tok: str) -> str:
             tok = tok.rsplit(".", 1)[-1]
@@ -2178,23 +2191,306 @@ class Engine:
                 if hit:
                     break
             if hit is None:
+                break
+            s, e, rep = hit
+            q = q[:s] + rep + q[e:]
+        return self._retype_expr_int_casts(q, dialect, _cache)
+
+    # operand shapes the EXPRESSION pass must leave alone: what the
+    # column/expression rewrites themselves emit (integral-valued, so a
+    # plain Spark cast is already exact — and skipping them is what
+    # makes the fixpoint loop terminate)
+    _EXACT_INT_WRAP = re.compile(r"^(?:b?round|floor|ceil|ceiling)\s*\(", re.I)
+    _BARE_COL_OPERAND = re.compile(
+        r"^(?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*$"
+    )
+    _NUM_LIT_OPERAND = re.compile(
+        r"^[-+]?(?:\d[\d_]*\.?\d*|\.\d+)(?:[eE][-+]?\d+)?$"
+    )
+
+    def _expr_cast_exempt(self, op: str) -> bool:
+        """True when the expression pass must not touch this operand:
+        bare columns (column pass owns them), numeric literals (literal
+        tie rules own them), and the integral-valued wrappers our own
+        rewrites emit (round(x,0)/bround(x,0)/floor/ceil — exact under
+        a plain cast, and the loop-termination guard)."""
+        t = op.strip()
+        while (
+            t.startswith("(")
+            and t.endswith(")")
+            and self._paren_scan(t[1:-1]) == (0, False)
+        ):
+            t = t[1:-1].strip()
+        if not t or self._BARE_COL_OPERAND.match(t) or self._NUM_LIT_OPERAND.match(t):
+            return True
+        m = self._EXACT_INT_WRAP.match(t)
+        if m and t.endswith(")"):
+            inner = t[t.index("(", m.start()) + 1 : -1]
+            if self._paren_scan(inner) == (0, False):
+                args = rewrites._split_top_level(
+                    inner, rewrites._mask_literals(inner)
+                )
+                fn = t[: t.index("(")].strip().lower()
+                if fn in ("floor", "ceil", "ceiling") and len(args) == 1:
+                    return True
+                if fn in ("round", "bround") and args and args[-1].strip() == "0":
+                    return True
+        return False
+
+    def _retype_expr_int_casts(self, q: str, dialect: str, cache: dict) -> str:
+        """EXPRESSION-typed casts to integer types (round 13, VERDICT
+        r12 item 2): `CAST(x + 0.0 AS INT)` / `(x + 0.5)::INT` get
+        duck's source-type tie rule by typing the whole operand through
+        the analysis-only expression probe (_scope_expr_type) —
+        DECIMAL/VARCHAR → half away from zero, DOUBLE/FLOAT → banker's
+        (pinned live, probe expr_int_cast_round). Operands the probe
+        can't type (correlated refs, lateral aliases) keep Spark
+        semantics. Analysis-tier only: no execution, cached per probe
+        text within the statement."""
+        from pyspark.sql.types import DecimalType, DoubleType, FloatType, StringType
+
+        int_ty_item = re.compile(
+            rf"^\s*{self._INT_TYPE_NAMES}\s*$", re.IGNORECASE
+        )
+        postfix_rx = re.compile(
+            rf"\)\s*::\s*({self._INT_TYPE_NAMES})\b", re.IGNORECASE
+        )
+
+        def _close_of(masked: str, start: int) -> int:
+            depth = 0
+            for i in range(start, len(masked)):
+                if masked[i] == "(":
+                    depth += 1
+                elif masked[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return i
+            return -1
+
+        def _find_hit(masked: str):
+            # CAST(expr AS INT): last depth-0 AS splits operand/type
+            for m in re.finditer(r"\bCAST\s*\(", masked, re.IGNORECASE):
+                close = _close_of(masked, m.end() - 1)
+                if close < 0:
+                    continue
+                content = masked[m.end() : close]
+                as_m = None
+                for am in re.finditer(r"\bAS\b", content, re.IGNORECASE):
+                    if self._paren_scan(content[: am.start()])[0] == 0:
+                        as_m = am
+                if as_m is None:
+                    continue
+                ty = q[m.end() + as_m.end() : close].strip()
+                if not int_ty_item.match(ty):
+                    continue
+                op = q[m.end() : m.end() + as_m.start()].strip()
+                if self._expr_cast_exempt(op):
+                    continue
+                yield (m.start(), close + 1, op, ty)
+            # (expr)::INT / func(args)::INT: backward-scan to the open
+            for m in postfix_rx.finditer(masked):
+                close = m.start() + masked[m.start() :].index(")")
+                depth, opn = 0, -1
+                for i in range(close, -1, -1):
+                    if masked[i] == ")":
+                        depth += 1
+                    elif masked[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            opn = i
+                            break
+                if opn < 0:
+                    continue
+                start = opn
+                while start > 0 and (masked[start - 1].isalnum() or masked[start - 1] in "_.`"):
+                    start -= 1
+                op = q[start : close + 1].strip()
+                if self._expr_cast_exempt(op):
+                    continue
+                yield (start, m.end(), op, m.group(1))
+
+        for _ in range(64):
+            masked = rewrites._mask_literals(q)
+            hit = None
+            for s, e, op, ty in _find_hit(masked):
+                try:
+                    src = self._scope_expr_type(q, masked, s, op, dialect, cache)
+                except Exception:
+                    src = None
+                if isinstance(src, DecimalType):
+                    rep = f"CAST(round(({op}), 0) AS {ty})"
+                elif isinstance(src, (DoubleType, FloatType)):
+                    rep = f"CAST(bround(({op}), 0) AS {ty})"
+                elif isinstance(src, StringType):
+                    rep = (
+                        f"CAST(round(CAST(({op}) AS DECIMAL(38,9)), 0)"
+                        f" AS {ty})"
+                    )
+                else:
+                    continue  # integral/date/unknown: plain cast is exact
+                hit = (s, e, rep)
+                break
+            if hit is None:
                 return q
             s, e, rep = hit
             q = q[:s] + rep + q[e:]
         return q
 
-    def _restore_stored_case(self, q: str, dialect: str) -> str:
+    _STR_TYPE_NAMES = r"(?:varchar|text|string|bpchar|char)"
+
+    @classmethod
+    def _ducktext_render(cls, e: str, dt, depth: int = 0) -> str | None:
+        """SQL expression rendering `e` (of analyzed type `dt`) as
+        duck's CAST-to-VARCHAR text (pinned live round 13): struct
+        `{'k': v, …}` with single-quoted keys and BARE values, list
+        `[v, v]`, map `{k=v, …}`, NULL fields/elements as the word
+        NULL, a NULL container as SQL NULL. None for leaf types whose
+        scalar rendering differs between engines (DOUBLE/FLOAT sci
+        notation) — the caller then leaves the cast alone, documented."""
+        from pyspark.sql.types import (
+            ArrayType,
+            BinaryType,
+            DoubleType,
+            FloatType,
+            MapType,
+            StructType,
+        )
+
+        if isinstance(dt, (DoubleType, FloatType, BinaryType)):
+            return None  # sci-notation / blob rendering diverges
+        v = f"__dt{depth}"
+        if isinstance(dt, StructType):
+            parts = ["'{'"]
+            for i, f in enumerate(dt.fields):
+                inner = cls._ducktext_render(
+                    f"({e}).`{f.name}`", f.dataType, depth + 1
+                )
+                if inner is None:
+                    return None
+                key = f.name.replace("'", "''")
+                sep = "', " if i else "'"
+                parts.append(f"{sep}''{key}'': '")
+                parts.append(f"coalesce({inner}, 'NULL')")
+            parts.append("'}'")
+            body = "concat(" + ", ".join(parts) + ")"
+        elif isinstance(dt, ArrayType):
+            inner = cls._ducktext_render(v, dt.elementType, depth + 1)
+            if inner is None:
+                return None
+            body = (
+                f"concat('[', array_join(transform({e}, {v} -> "
+                f"coalesce({inner}, 'NULL')), ', '), ']')"
+            )
+        elif isinstance(dt, MapType):
+            kv = cls._ducktext_render(f"{v}.key", dt.keyType, depth + 1)
+            vv = cls._ducktext_render(f"{v}.value", dt.valueType, depth + 1)
+            if kv is None or vv is None:
+                return None
+            body = (
+                f"concat('{{', array_join(transform(map_entries({e}), "
+                f"{v} -> concat(coalesce({kv}, 'NULL'), '=', "
+                f"coalesce({vv}, 'NULL'))), ', '), '}}')"
+            )
+        else:
+            return f"CAST({e} AS STRING)"
+        return f"CASE WHEN ({e}) IS NULL THEN NULL ELSE {body} END"
+
+    def _retype_complex_str_casts(
+        self, q: str, dialect: str, cache: dict
+    ) -> str:
+        """Struct/list/map COLUMN (or expression) casts to VARCHAR get
+        duck's text rendering (round 13, VERDICT r12 item 8): the
+        expression probe types the operand, and a recursive concat
+        template renders duck text in-plan — the generalization of the
+        brace-LITERAL renderer (plans/rewrites.py
+        _rewrite_struct_varchar_casts) to analyzed column types.
+        DOUBLE/FLOAT/BINARY leaves keep Spark rendering (documented:
+        scalar text itself diverges there)."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        str_ty_item = re.compile(
+            rf"^\s*{self._STR_TYPE_NAMES}\s*$", re.IGNORECASE
+        )
+        postfix_rx = re.compile(
+            rf"(?<![\w.'\"`])((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|`[^`]+`)"
+            rf"\s*::\s*({self._STR_TYPE_NAMES})\b",
+            re.IGNORECASE,
+        )
+
+        def _find_hit(masked: str):
+            for m in re.finditer(r"\bCAST\s*\(", masked, re.IGNORECASE):
+                depth, close = 0, -1
+                for i in range(m.end() - 1, len(masked)):
+                    if masked[i] == "(":
+                        depth += 1
+                    elif masked[i] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            close = i
+                            break
+                if close < 0:
+                    continue
+                content = masked[m.end() : close]
+                as_m = None
+                for am in re.finditer(r"\bAS\b", content, re.IGNORECASE):
+                    if self._paren_scan(content[: am.start()])[0] == 0:
+                        as_m = am
+                if as_m is None:
+                    continue
+                ty = q[m.end() + as_m.end() : close].strip()
+                if not str_ty_item.match(ty):
+                    continue
+                op = q[m.end() : m.end() + as_m.start()].strip()
+                yield (m.start(), close + 1, op)
+            for m in postfix_rx.finditer(masked):
+                yield (m.start(1), m.end(), q[m.start(1) : m.end(1)])
+
+        for _ in range(16):
+            masked = rewrites._mask_literals(q)
+            hit = None
+            for s, e, op in _find_hit(masked):
+                if op.lower().startswith(("'", "{", "[")):
+                    continue  # literals: the bind-time renderer owns them
+                if re.search(r"\b__dt\d+\b", op):
+                    continue  # our own render-template lambda vars
+                try:
+                    src = self._scope_expr_type(q, masked, s, op, dialect, cache)
+                except Exception:
+                    src = None
+                if not isinstance(src, (StructType, ArrayType, MapType)):
+                    continue
+                rendered = self._ducktext_render(f"({op})", src)
+                if rendered is None:
+                    continue
+                hit = (s, e, f"({rendered})")
+                break
+            if hit is None:
+                return q
+            s, e, rep = hit
+            q = q[:s] + rep + q[e:]
+        return q
+
+    def _restore_stored_case(
+        self, q: str, dialect: str, cache: dict | None = None
+    ) -> str:
         """duck renders a case-insensitively matched column ref in its
         STORED case in the result header (`SELECT R_NAME FROM region` →
         header `r_name`); Spark keeps the typed spelling. Closed for
         bare/qualified refs typed with any UPPERCASE letter: the cached
         FROM-schema probe supplies the stored spelling, and the ref is
         re-spelled backtick-quoted so Spark's header matches (round 12,
-        VERDICT r11 item 7). All-lowercase refs over mixed-case stored
-        columns stay divergent — see the narrowed probe-battery entry."""
-        if not re.search(r"[A-Z]", q):
+        VERDICT r11 item 7). All-LOWERCASE refs restore too whenever the
+        scope's schema is ALREADY in the shared per-statement probe
+        cache — another pass probed it, or an uppercase ref in the same
+        scope did — at zero added probes (round 13, VERDICT r12 item 6);
+        a lowercase ref in a statement nothing probed stays divergent
+        (see the narrowed probe-battery entry)."""
+        has_upper_stmt = bool(re.search(r"[A-Z]", q))
+        _cache: dict = {} if cache is None else cache
+        if not has_upper_stmt and not any(
+            isinstance(k, str) for k in _cache
+        ):
             return q
-        _cache: dict[str, list] = {}
         masked = rewrites._mask_literals(q)
         edits: list[tuple[int, int, str]] = []
         for sm in re.finditer(
@@ -2232,29 +2528,51 @@ class Engine:
                     item_s = i + 1
             spans.append((item_s, end))
             fields = None
-            for s, e in spans:
-                item = q[s:e].strip()
-                im = self._BARE_REF_ITEM.fullmatch(item)
-                if im is None or not re.search(r"[A-Z]", im.group(1)):
-                    continue
-                if item.rsplit(".", 1)[-1].lower() in self._SQL_KEYWORDS_NONCOL:
-                    continue
-                if fields is None:
-                    try:
-                        fields = self._scope_schema_fields(
-                            q, masked, s, dialect, _cache
-                        ) or []
-                    except Exception:
-                        fields = []
-                stored = [
-                    f.name
-                    for f in fields
-                    if f.name.lower() == im.group(1).lower()
-                ]
-                if len(set(stored)) == 1 and stored[0] != im.group(1):
-                    off = s + (len(q[s:e]) - len(q[s:e].lstrip()))
-                    col_s = off + im.start(1)
-                    edits.append((col_s, off + im.end(1), f"`{stored[0]}`"))
+            # two passes: uppercase refs first (they may PROBE, filling
+            # the scope schema), then lowercase refs (cache-only — free)
+            for want_upper in (True, False):
+                for s, e in spans:
+                    item = q[s:e].strip()
+                    im = self._BARE_REF_ITEM.fullmatch(item)
+                    if im is None:
+                        continue
+                    if bool(re.search(r"[A-Z]", im.group(1))) != want_upper:
+                        continue
+                    if (
+                        item.rsplit(".", 1)[-1].lower()
+                        in self._SQL_KEYWORDS_NONCOL
+                    ):
+                        continue
+                    if fields is None:
+                        if want_upper:
+                            try:
+                                fields = self._scope_schema_fields(
+                                    q, masked, s, dialect, _cache
+                                ) or []
+                            except Exception:
+                                fields = []
+                        else:
+                            # zero-probe path: only a schema some other
+                            # pass (or an uppercase ref) already cached
+                            parts = self._scope_from_parts(q, masked, s)
+                            if parts is None or parts[1] is None:
+                                continue
+                            fields = _cache.get(
+                                parts[0] + " SELECT * FROM " + parts[1]
+                            )
+                            if fields is None:
+                                continue
+                    stored = [
+                        f.name
+                        for f in fields
+                        if f.name.lower() == im.group(1).lower()
+                    ]
+                    if len(set(stored)) == 1 and stored[0] != im.group(1):
+                        off = s + (len(q[s:e]) - len(q[s:e].lstrip()))
+                        col_s = off + im.start(1)
+                        edits.append(
+                            (col_s, off + im.end(1), f"`{stored[0]}`")
+                        )
         for s, e, text in sorted(edits, reverse=True):
             q = q[:s] + text + q[e:]
         return q
@@ -2308,12 +2626,14 @@ class Engine:
             )
         return text
 
-    def _retype_date_arith(self, q: str, dialect: str) -> str:
+    def _retype_date_arith(
+        self, q: str, dialect: str, cache: dict | None = None
+    ) -> str:
         if "-" not in q:
             return q
         from pyspark.sql.types import DateType
 
-        _probe_cache: dict[str, list] = {}
+        _probe_cache: dict = {} if cache is None else cache
 
         def _col_name(tok: str) -> str:
             tok = tok.rsplit(".", 1)[-1]
@@ -3365,9 +3685,25 @@ class Engine:
                 src_df.write.format("parquet").saveAsTable(stg)
                 try:
                     with _COMMIT_MUTEX:
-                        self.spark.sql(
-                            f"{prepared[: mi.end()]} SELECT * FROM {stg}"
-                        ).collect()
+                        ins = f"{prepared[: mi.end()]} SELECT * FROM {stg}"
+                        try:
+                            self.spark.sql(ins).collect()
+                        except Exception as exc:  # noqa: BLE001
+                            # transient listing race (stale shared
+                            # FileStatusCache serving a since-renamed
+                            # part file — seen once under the wire-mode
+                            # battery; on object stores the same class
+                            # of listing staleness is routine): refresh
+                            # both listings and retry ONCE, loud if the
+                            # file is genuinely gone
+                            if "FileNotFoundException" not in str(exc):
+                                raise
+                            self.spark.catalog.refreshTable(stg)
+                            try:
+                                self.spark.catalog.refreshTable(base_name)
+                            except Exception:  # noqa: BLE001
+                                pass
+                            self.spark.sql(ins).collect()
                 finally:
                     self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
             else:

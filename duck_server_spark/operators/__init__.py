@@ -45,74 +45,69 @@ def _modules():
 # ROTATION QUEUE (VERDICT r10 item 8): the registry holds ~200 rows and
 # the window 50, so each oracle-twinned row should get a driver witness
 # at least every ~4 rounds. Last-witnessed round per block is noted
-# below. Round 12 rotates in the then-stalest blocks exactly as the
-# r11 queue ordered: the two r7 window stragglers + 46 of the 49
-# r8-witnessed rows (the three deferred: dedup_minhash_lsh_fast and
-# similarity_ann_pq have fresher twins — their *_est rows were
-# witnessed r11 and both carry pytest accuracy contracts — and
-# join_cross is the 125-row dim×dim cartesian, the lowest-information
-# row; all three lead the r13 queue together with the r9-witnessed
-# block). Everything outside
-# the window is still fully self-gated per-round by
-# tools/drive_contract.py.
+# below. Round 13 rotates in the stalest rows exactly as the r12 queue
+# ordered: the three r12 deferrals (dedup_minhash_lsh_fast,
+# similarity_ann_pq, join_cross — last witnessed r8) plus 47 of the 50
+# r9-witnessed rows. The three r9 rows deferred to lead the r14 queue
+# (scalar_list_aliases, scalar_array_higher_order, scalar_struct_map)
+# are the most redundantly covered outside the driver: each maps onto
+# whole probe families of the 409-row dialect battery (list/lambda/
+# struct/map probes) that run as a pytest gate every round. The r10
+# block (50 rows) follows them in the r14 queue. Everything outside the
+# window is still fully self-gated per-round by tools/drive_contract.py.
 _PRIORITY = [
-    # 1-2: NEW round 12 — column-typed date − date → BIGINT days via
-    # the FROM-schema probe (VERDICT r11 item 1, the one silent
-    # divergence), and duck's one-level named-window copy resolution
-    # (ADVICE r11 medium: self-ref/cycle hang + comma-list defs).
-    "date_arith_cols_sql",
-    "window_spec_copy_sql",
-    # 3-4: last witnessed r7 — the two window stragglers the r11
-    # comment promised this window.
-    "window_range_frame",
-    "window_ranking",
-    # 5-50: the r8-witnessed block (46 of 48; deferral note above).
-    "agg_approx_count_distinct",
-    "agg_cube",
-    "agg_filter_distinct",
-    "agg_grouping_sets",
-    "agg_minmax_argmax",
-    "agg_rollup",
-    "cte_chain",
-    "dedup_semantic_clusters",
-    "distinct_on",
-    "join_anti",
-    "join_full",
-    "join_inner",
-    "join_left",
-    "join_right",
-    "join_semi",
-    "join_theta",
-    "join_using",
-    "lateral_join",
-    "qualify",
-    "recursive_cte",
-    "sample_deterministic",
-    "sample_stratified",
-    "scalar_bracket_literals",
-    "scalar_datetime_shims",
-    "scalar_macro_inline",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sort_limit_offset",
-    "sort_nulls_first",
-    "subquery_correlated",
-    "subquery_in",
-    "subquery_scalar",
-    "topk_per_domain",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_parts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q7_volume_shipping",
-    "union_by_name",
-    "values_inline",
+    # 1-3: last witnessed r8 — the r12 deferrals, honored first.
+    "dedup_minhash_lsh_fast",
+    "similarity_ann_pq",
+    "join_cross",
+    # 4-50: the r9-witnessed block (47 of 50; deferral note above).
+    "agg_kmv_distinct",
+    "agg_regression",
+    "attributed_purchases",
+    "cohort_retention",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_source_matrix",
+    "doc_chunking",
+    "embedding_quantization",
+    "events_funnel",
+    "events_gapfill",
+    "events_outliers",
+    "events_streaks",
+    "from_first_sql",
+    "graph_triangles",
+    "histogram_prices",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "pipeline_corpus_clean",
+    "sample_quality_weighted",
+    "sequence_packing",
+    "spearman_corr",
+    "text_edit_distance",
+    "text_oov_rate",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_signals_fused",
+    "text_tfidf_salience",
+    "text_top_terms",
+    "token_quantiles_per_source",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q14_promo_effect",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "train_valid_test_split",
+    "window_distribution",
+    "window_time_range",
 ]
 
 

@@ -58,7 +58,7 @@ from duck_server_spark.engine.types import (
     spark_type_to_pg_oid,
 )
 from duck_server_spark.plans import rewrites
-from duck_server_spark.sources.ingest import CsvChunkSplitter
+from duck_server_spark.sources.ingest import CsvChunkSplitter, csv_rows_null_aware
 
 PROTO_V3 = 196608
 SSL_REQUEST = 80877103
@@ -832,12 +832,15 @@ class PgConnection:
         splitter = CsvChunkSplitter()
 
         def _parse_into(text: str) -> bool:
+            # PG/duck CSV NULL rule: unquoted empty = NULL, "" = empty
+            # string (csv_rows_null_aware; round-13 wire battery find)
             full = False
-            for cells in csv.reader(io.StringIO(text)):
+            for cells in csv_rows_null_aware(text):
                 if not cells:
                     continue
                 row = tuple(
-                    parse_csv_cell(c, f.dataType) for c, f in zip(cells, schema.fields)
+                    parse_csv_cell(c, f.dataType) if c is not None else None
+                    for c, f in zip(cells, schema.fields)
                 )
                 full = appender.add(row) or full
             return full
@@ -1044,6 +1047,17 @@ class PgConnection:
             if rschema is not None:
                 self.send_row_description(rschema)
                 return
+            # writes/DDL/txn control without RETURNING: NoData — PG
+            # never executes a statement to describe it, and probing a
+            # Spark DDL through engine.query would EXECUTE it eagerly
+            # (round-13 wire battery find: extended-protocol CREATE ran
+            # at Describe, then again at Execute → "already exists")
+            if (
+                _WRITE_VERB.match(probe)
+                and not probe.lstrip().lower().startswith(("select", "with"))
+            ) or _TXN_CTL.match(probe):
+                self._send(b"n")  # NoData
+                return
             schema = await loop.run_in_executor(None, lambda: self.engine.query(probe, "pg").schema)
             self.send_row_description(schema)
         else:
@@ -1062,6 +1076,13 @@ class PgConnection:
             )
             if rschema is not None:
                 self.send_row_description(rschema, portal.result_formats)
+                return
+            # same NoData rule as Describe-statement (round-13 find)
+            if (
+                _WRITE_VERB.match(q)
+                and not q.lstrip().lower().startswith(("select", "with"))
+            ) or _TXN_CTL.match(q):
+                self._send(b"n")  # NoData
                 return
             schema = await loop.run_in_executor(None, lambda: self.engine.query(q, "pg").schema)
             self.send_row_description(schema, portal.result_formats)

@@ -138,6 +138,66 @@ class BatchAppender:
         self.total += len(batch)
 
 
+def csv_rows_null_aware(text: str):
+    """RFC-4180 rows with PG/duck COPY-CSV NULL semantics (round 13,
+    caught by the wire-mode statement battery): an UNQUOTED empty field
+    is SQL NULL, a QUOTED empty field ("") is the empty string —
+    python's csv.reader erases that distinction. Fast path: a chunk
+    with no '""' cannot contain a quoted-empty field (nor an escaped
+    quote), so plain csv.reader + empty→None is exact. Slow path: a
+    char state machine tracking per-field quotedness. Yields lists of
+    str-or-None; a blank line yields [] (skipped by callers), matching
+    csv.reader."""
+    import csv
+    import io
+
+    if '""' not in text:
+        for cells in csv.reader(io.StringIO(text)):
+            yield [c if c != "" else None for c in cells]
+        return
+    row: list = []
+    field: list[str] = []
+    in_q = had_q = False
+    i, n = 0, len(text)
+
+    def _flush() -> None:
+        nonlocal field, had_q
+        s = "".join(field)
+        row.append(s if (s or had_q) else None)
+        field, had_q = [], False
+
+    while i < n:
+        ch = text[i]
+        if in_q:
+            if ch == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    field.append('"')
+                    i += 2
+                    continue
+                in_q = False
+            else:
+                field.append(ch)
+            i += 1
+            continue
+        if ch == '"' and not field:
+            in_q = had_q = True
+        elif ch == ",":
+            _flush()
+        elif ch == "\n":
+            if row or field or had_q:
+                _flush()
+                yield row
+                row = []
+            else:
+                yield []
+        elif ch != "\r":
+            field.append(ch)
+        i += 1
+    if row or field or had_q:
+        _flush()
+        yield row
+
+
 class CsvChunkSplitter:
     """Incremental splitter: feed byte chunks, get back decoded text that
     ends on a record boundary (so a csv.reader can parse it standalone).

@@ -41,31 +41,27 @@ EXPECTED_DIVERGENCES = {
         "where duck returns NULL"
     ),
     "ident_case_lower_typed": (
-        "documented (narrowed round 12): stored-case result headers are "
+        "documented (narrowed round 13): stored-case result headers are "
         "closed for refs typed with any uppercase letter (probe "
-        "ident_case_output PASSES via the FROM-schema probe); an "
-        "all-lowercase typed ref over a mixed-case stored column still "
-        "keeps the typed spelling — probing every lowercase ref would "
-        "add a schema analysis to every statement for a corner duck "
-        "clients essentially never hit"
+        "ident_case_output) AND for all-lowercase refs in any statement "
+        "some pass already schema-probed — the shared per-statement "
+        "probe cache makes that restoration free (probes "
+        "ident_case_lower_cached / ident_case_lower_probed PASS); the "
+        "residue is an all-lowercase ref in a statement NOTHING probed, "
+        "where closing it would add a schema analysis to every bare "
+        "SELECT for a corner duck clients essentially never hit"
     ),
-    "struct_col_to_str_cast": (
-        "documented (narrowed round 12): struct→VARCHAR duck-text is "
-        "closed for brace LITERALS (probe list_to_str_cast PASSES via "
-        "bind-time field concatenation, nested/NULL included); a "
-        "struct-typed COLUMN cast keeps Spark's value-only rendering — "
-        "reproducing duck text for arbitrary column types in-plan "
-        "needs a per-type codegen templer with marginal client value. "
+    "struct_dbl_to_str_cast": (
+        "documented (round 13): struct/list/map COLUMN→VARCHAR duck-"
+        "text is closed for all leaf types whose SCALAR rendering "
+        "already matches (probes struct_col_to_str_cast, "
+        "list_col_to_str_cast, map_col_to_str_cast, nested/NULL "
+        "variants PASS via the expression-type probe + recursive "
+        "concat template); a DOUBLE/FLOAT leaf keeps Spark rendering "
+        "because the scalar text itself diverges (duck 1e-07 vs Spark "
+        "1.0E-7 — same class as the documented scalar float rendering). "
         "The wire path renders duck-text for RESULT values either way "
         "(engine/types.py)"
-    ),
-    "expr_int_cast_round": (
-        "documented (narrowed round 12): COLUMN casts to integer types "
-        "now apply duck's source-type tie rule via the FROM-schema "
-        "probe (DECIMAL/VARCHAR half-away, DOUBLE banker's — probes "
-        "col_int_cast_round{,_dbl,_str} PASS); an EXPRESSION-typed "
-        "operand (x + 0.0) keeps Spark truncation — typing arbitrary "
-        "expressions needs full analysis of every cast argument"
     ),
 }
 
@@ -507,6 +503,26 @@ PROBES = [
     # ADVICE r12: quoted mixed-case column ref must still hit the
     # FROM-schema tie rule (backtick operand lowercased for the match)
     ("col_int_cast_quoted_ident", "SELECT CAST(\"MixedCase\" AS INT) AS a FROM (VALUES (2.5), (3.5), (-2.5)) t(\"MixedCase\")"),
+    # VERDICT r12 item 2: EXPRESSION-typed int casts take duck's
+    # source-type tie rule via the analysis probe (round 13)
+    ("expr_int_cast_postfix", "SELECT (x + 0.5)::INT AS a, (x * 1.0)::INT AS b FROM (VALUES (CAST(2.0 AS DOUBLE)), (CAST(3.0 AS DOUBLE))) t(x)"),
+    ("expr_int_cast_decimal", "SELECT CAST(x + 0.5 AS INT) AS a FROM (VALUES (CAST(2.0 AS DECIMAL(4,1))), (CAST(3.0 AS DECIMAL(4,1))), (CAST(-2.0 AS DECIMAL(4,1)))) t(x)"),
+    ("expr_int_cast_string", "SELECT CAST(x || '.5' AS INT) AS a FROM (VALUES ('2'), ('3'), ('-2')) t(x)"),
+    ("expr_int_cast_agg", "SELECT CAST(avg(x) AS INT) AS a FROM (VALUES (2), (3)) t(x)"),
+    ("expr_int_cast_nested", "SELECT CAST(CAST(x + 0.2 AS INT) + 0.5 AS INT) AS a FROM (VALUES (CAST(3.0 AS DECIMAL(4,1)))) t(x)"),
+    # VERDICT r12 item 6: all-lowercase refs restore stored case when
+    # the scope schema is already probed — by an uppercase ref in the
+    # same scope (…cached) or by another pass, here #n (…probed)
+    ("ident_case_lower_cached", "SELECT rname, NUMCOL FROM (SELECT r_name AS RName, 7 AS NumCol FROM region) t ORDER BY 1 LIMIT 1"),
+    ("ident_case_lower_probed", "SELECT rname, #2 FROM (SELECT r_name AS RName, 7 AS Num FROM region) t ORDER BY 1 LIMIT 1"),
+    # VERDICT r12 item 8: struct/list/map COLUMN → VARCHAR duck-text
+    # via the expression-type probe (round 13); double leaves stay
+    # Spark-rendered (struct_dbl_to_str_cast, documented)
+    ("list_col_to_str_cast", "SELECT l::VARCHAR AS a FROM (SELECT ['a b', NULL, 'c'] AS l) t"),
+    ("map_col_to_str_cast", "SELECT m::VARCHAR AS a FROM (SELECT MAP([1,2],['a','b']) AS m) t"),
+    ("struct_col_nested_str_cast", "SELECT s::VARCHAR AS a FROM (SELECT {'k': [1,2], 'd': DATE '2024-01-02', 'n': {'x': 'it''s'}} AS s) t"),
+    ("struct_col_null_str_cast", "SELECT s::VARCHAR AS a, ({'k': CAST(NULL AS INT)})::VARCHAR AS b FROM (SELECT CASE WHEN 1=0 THEN {'k': 1} END AS s) t"),
+    ("struct_dbl_to_str_cast", "SELECT s::VARCHAR AS a FROM (SELECT {'x': 0.0000001::DOUBLE} AS s) t"),
 ]
 
 

@@ -649,6 +649,88 @@ class MiniSession:
             txn.rollback()
 
 
+class WireSession:
+    """MiniSession's statement contract over a LIVE PG socket (round
+    13, VERDICT r12 item 3): each statement travels as a simple-protocol
+    Query — or through Parse/Bind/Describe/Execute/Sync when
+    extended=True — so the wire layer's framing, per-connection txn
+    status, and error-until-Sync recovery sit inside the differential
+    loop instead of beside it. Errors surface as raised RuntimeError
+    exactly like MiniSession so run_probe's err-step comparison is
+    unchanged."""
+
+    def __init__(self, host: str, port: int, extended: bool = False):
+        from tests.pg_client import PgClient
+
+        self.c = PgClient(host, port)
+        self.extended = extended
+
+    def run(self, stmt: str) -> None:
+        if self.extended and not _TX_HEAD.match(stmt):
+            self.c.parse("", stmt)
+            self.c.bind("", "", [])
+            self.c.describe_portal("")
+            self.c.execute("")
+            self.c.sync_collect()
+        else:
+            self.c.simple_query(stmt)
+
+    def close(self) -> None:
+        try:
+            self.c.simple_query("ROLLBACK")
+        except Exception:
+            pass
+        try:
+            self.c.terminate()
+        except Exception:
+            pass
+
+
+def run_wire_copy_probe(eng, host: str, port: int) -> list[str]:
+    """COPY FROM STDIN end-to-end over the socket (CopyInResponse /
+    CopyData / CopyDone), compared against DuckDB loading the same CSV
+    bytes from a temp file — the one write path the direct battery
+    cannot reach (wire_server.py:811)."""
+    import tempfile
+
+    problems: list[str] = []
+    csv_text = "1,alpha,1.5\n2,\"be,ta\",2.5\n3,,3.25\n"
+    ddl = "CREATE TABLE sp_wcopy (i INTEGER, s VARCHAR, d DOUBLE)"
+    duck = duckdb.connect()
+    _cleanup(eng, {"sp_wcopy"})
+    sess = WireSession(host, port)
+    try:
+        duck.execute(ddl)
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(csv_text)
+            path = f.name
+        duck.execute(f"COPY sp_wcopy FROM '{path}' (FORMAT csv)")
+        sess.run(ddl)
+        # chunk mid-record on purpose: framing must reassemble
+        cols, rows, tag = sess.c.copy_in(
+            "COPY sp_wcopy FROM STDIN (FORMAT csv)",
+            [csv_text[:9], csv_text[9:]],
+        )
+        if tag != "COPY 3":
+            problems.append(f"copy tag: {tag!r} (want 'COPY 3')")
+        d = duck.execute("SELECT * FROM sp_wcopy").fetchdf()
+        g = eng.query("SELECT * FROM sp_wcopy").toPandas()
+        g.columns = [c.lower() for c in g.columns]
+        d.columns = [c.lower() for c in d.columns]
+        if canon_rows(g.values.tolist(), list(g.columns)) != canon_rows(
+            d.values.tolist(), list(d.columns)
+        ):
+            problems.append(
+                f"contents of sp_wcopy\n  duck :\n{d.to_string()}"
+                f"\n  spark:\n{g.to_string()}"
+            )
+        return problems
+    finally:
+        sess.close()
+        _cleanup(eng, {"sp_wcopy"})
+        duck.close()
+
+
 def _cleanup(eng, objs) -> None:
     for t in sorted(objs, key=lambda x: ("." not in x, x)):
         ddls = [
@@ -668,9 +750,17 @@ def _cleanup(eng, objs) -> None:
                 pass
 
 
-def run_probe(eng, name: str, stmts: list[str], tables: list[str]) -> list[str]:
+def run_probe(
+    eng,
+    name: str,
+    stmts: list[str],
+    tables: list[str],
+    session_factory=None,
+) -> list[str]:
     """Run one sequence on BOTH engines; return a list of human-readable
-    problems (empty = PASS). Shared by main() and the pytest gate."""
+    problems (empty = PASS). Shared by main() and the pytest gates.
+    session_factory (round 13) swaps MiniSession for a WireSession so
+    the same sequences drive a live PG socket."""
     from tools.dialect_probe import canon
 
     problems: list[str] = []
@@ -686,7 +776,7 @@ def run_probe(eng, name: str, stmts: list[str], tables: list[str]) -> list[str]:
                 duck.execute(s)
             except Exception as exc:
                 duck_err.append((i, str(exc).splitlines()[0]))
-        sess = MiniSession(eng)
+        sess = session_factory() if session_factory else MiniSession(eng)
         eng_err = []
         for i, s in enumerate(stmts):
             try:
@@ -729,7 +819,10 @@ def run_probe(eng, name: str, stmts: list[str], tables: list[str]) -> list[str]:
 
 
 def main() -> None:
-    filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    wire = "--wire" in sys.argv
+    wire_ext = "--wire-ext" in sys.argv
+    filt = args[0] if args else ""
     from duck_server_spark.engine.executor import Engine
     from duck_server_spark.engine.session import get_session
 
@@ -737,12 +830,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     eng = Engine(spark)
 
+    session_factory = None
+    if wire or wire_ext:
+        import socket
+        import time
+
+        from duck_server_spark.server.pg.wire_server import run_threaded
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        run_threaded(eng, port=port)
+        time.sleep(0.5)
+        session_factory = lambda: WireSession(  # noqa: E731
+            "127.0.0.1", port, extended=wire_ext
+        )
+        print(f"(wire mode{' extended' if wire_ext else ''}, port {port})")
+
     results = {"PASS": [], "MISMATCH": [], "ENGINE_ERR": [], "DUCK_ERR": []}
+    if wire or wire_ext:
+        problems = run_wire_copy_probe(eng, "127.0.0.1", port)
+        key = "PASS" if not problems else "MISMATCH"
+        results[key].append("wire_copy_stdin")
+        print(f"{'PASS      ' if not problems else 'MISMATCH  '} wire_copy_stdin")
+        for p in problems:
+            print("  " + p.replace("\n", "\n  "))
     for name, stmts, tables in SEQS:
         if filt and filt not in name:
             continue
         try:
-            problems = run_probe(eng, name, stmts, tables)
+            problems = run_probe(eng, name, stmts, tables, session_factory)
         except Exception:
             results["ENGINE_ERR"].append(name)
             print(f"ENGINE_ERR {name}")
