@@ -154,12 +154,20 @@ def intercept(engine, q: str) -> str | None:
     return None
 
 
-def _require_column(engine, table: str, col: str) -> None:
-    names = [f.name for f in engine.spark.table(table).schema.fields]
-    if col not in names:
+def _require_column(engine, table: str, col: str) -> str:
+    """Case-insensitive bind like duck's: returns the STORED spelling
+    (round-13 statement mutation sweep: ALTER … DROP COLUMN with a
+    case-flipped name errored where duck binds it)."""
+    by_lower = {
+        f.name.lower(): f.name
+        for f in engine.spark.table(table).schema.fields
+    }
+    stored = by_lower.get(col.lower())
+    if stored is None:
         raise PgError(
             "42703", f'column "{col}" of relation "{table}" does not exist'
         )
+    return stored
 
 
 def _swap_in(engine, table: str, transform) -> None:
@@ -255,9 +263,11 @@ def _rename_table(engine, table: str, new: str) -> str:
 
 def _drop_column(engine, table: str, col: str, if_exists: bool) -> str:
     spark = engine.spark
-    if if_exists and col not in [f.name for f in spark.table(table).schema.fields]:
+    if if_exists and col.lower() not in [
+        f.name.lower() for f in spark.table(table).schema.fields
+    ]:
         return "ALTER TABLE"
-    _require_column(engine, table, col)
+    col = _require_column(engine, table, col)
     cons = engine.constraints.get(table)
     survivors = []
     changed = False
@@ -296,7 +306,7 @@ def _set_not_null(engine, table: str, col: str, set_: bool) -> str:
     """ALTER COLUMN … SET NOT NULL validates the EXISTING data first
     (pinned DuckDB: a stored NULL blocks the alter); DROP NOT NULL just
     deregisters. Registry-only — no data rewrite either way."""
-    _require_column(engine, table, col)
+    col = _require_column(engine, table, col)
     cons = engine.constraints.get(table)
 
     def is_nn(c):
@@ -323,9 +333,9 @@ def _set_not_null(engine, table: str, col: str, set_: bool) -> str:
 
 def _rename_column(engine, table: str, old: str, new: str) -> str:
     spark = engine.spark
-    _require_column(engine, table, old)
+    old = _require_column(engine, table, old)
     names = [f.name for f in spark.table(table).schema.fields]
-    if new in names:
+    if new.lower() in [n.lower() for n in names]:
         raise PgError("42701", f'column "{new}" of relation "{table}" already exists')
     _swap_in(
         engine,
@@ -359,7 +369,7 @@ def _alter_type(engine, table: str, col: str, dt: str, using: str | None) -> str
     from duck_server_spark.plans.rewrites import normalize_type_spec
 
     spark = engine.spark
-    _require_column(engine, table, col)
+    col = _require_column(engine, table, col)
     dt = normalize_type_spec(dt.strip())
     # USING is a raw duck-dialect fragment (ALTER intercepts before
     # _prepare_sql): literal semantics + shims, exactly once (the
@@ -427,8 +437,7 @@ def _create_index(
     spark = engine.spark
     if not spark.catalog.tableExists(table):
         raise PgError("42P01", f'relation "{table}" does not exist')
-    for c in cols:
-        _require_column(engine, table, c)
+    cols = [_require_column(engine, table, c) for c in cols]
     idx = engine.indexes
     if name.lower() in idx:
         if if_not_exists:

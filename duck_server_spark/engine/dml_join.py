@@ -145,9 +145,15 @@ def run_update_from(engine, table: str, assigns, from_sql: str, where: str | Non
     spark = engine.spark
     schema = spark.table(table).schema
     ftype = {f.name: f.dataType.simpleString() for f in schema.fields}
-    for col, _ in assigns:
-        if col not in ftype:
+    # duck binds SET columns case-insensitively (round-13 battery)
+    by_lower = {f.name.lower(): f.name for f in schema.fields}
+    fixed = []
+    for col, e in assigns:
+        stored = by_lower.get(col.lower())
+        if stored is None:
             raise PgError("42703", f'column "{col}" does not exist')
+        fixed.append((stored, e))
+    assigns = fixed
     src = _source_df(engine, from_sql)
 
     def transform(fresh: DataFrame) -> DataFrame:

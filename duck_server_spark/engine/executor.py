@@ -1265,6 +1265,7 @@ class Engine:
         q = self._retype_int_casts(q, dialect, probe_cache)  # tie rules
         # struct/list/map column → VARCHAR duck-text (round 13)
         q = self._retype_complex_str_casts(q, dialect, probe_cache)
+        self._guard_positional_join(q)
         q = self._restore_stored_case(q, dialect, probe_cache)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
         if _CATALOG_REF.search(q):
@@ -2469,6 +2470,51 @@ class Engine:
             s, e, rep = hit
             q = q[:s] + rep + q[e:]
         return q
+
+    def _guard_positional_join(self, q: str) -> None:
+        """Scale guard for the POSITIONAL JOIN SQL shim (round 13,
+        VERDICT r12 watch item 1): the dialect lowering pairs rows with
+        a single-partition ordinal window — faithful for an inherently
+        order-dependent operator, but silently serializing a 100 GB
+        table through one partition would look like a hang. Named base
+        relations are sized from their file listing (no job); past
+        SPARK_GRAFT_POSITIONAL_MAX_BYTES (default 1 GiB) the statement
+        errors 0A000 pointing at the zipWithIndex operator
+        (operators/relational.py join_positional). Subqueries are not
+        sizable here and pass unguarded (documented, SCALE.md)."""
+        if "positional" not in q.lower():
+            return
+        from duck_server_spark.engine.errors import PgError
+
+        rels = rewrites.positional_join_relations(q)
+        if not rels:
+            return
+        limit = float(
+            os.environ.get(
+                "SPARK_GRAFT_POSITIONAL_MAX_BYTES", str(1024**3)
+            )
+        )
+        for rel in dict.fromkeys(rels):
+            try:
+                files = self.spark.table(rel).inputFiles()
+                size = sum(
+                    os.path.getsize(f.removeprefix("file:"))
+                    for f in files
+                    if f.startswith("file:")
+                )
+            except Exception:  # noqa: BLE001 — unknown relation: native error later
+                continue
+            if size > limit:
+                raise PgError(
+                    "0A000",
+                    f"POSITIONAL JOIN over {rel} ({size} bytes) exceeds "
+                    "the single-partition dialect shim's input bound "
+                    f"({int(limit)} bytes; SPARK_GRAFT_POSITIONAL_MAX_"
+                    "BYTES): this operator pairs rows BY POSITION and "
+                    "cannot parallelize in pure SQL — use the "
+                    "zipWithIndex operator (join_positional) for large "
+                    "inputs",
+                )
 
     def _restore_stored_case(
         self, q: str, dialect: str, cache: dict | None = None
@@ -4127,9 +4173,21 @@ class Engine:
         from duck_server_spark.engine.macros import expand_calls
 
         field_meta = {f.name: f.metadata for f in df.schema.fields}
+        by_lower = {f.name.lower(): f.name for f in df.schema.fields}
         for part in _split_top_level(set_clause, ","):
             col, expr = part.split("=", 1)
             cname = col.strip().strip("`\"")
+            # duck binds SET columns case-insensitively and ERRORS on an
+            # unknown name — silently skipping either case loses writes
+            # (round-13 statement battery: err_update_unknown_column)
+            stored = by_lower.get(cname.lower())
+            if stored is None:
+                raise PgError(
+                    "42703",
+                    f"Binder Error: Referenced update column {cname} "
+                    "not found in table!",
+                )
+            cname = stored
             if expr.strip().upper() == "DEFAULT":
                 # SET col = DEFAULT: the column's declared default, NULL
                 # when none (duck/PG; statement_probe r12)

@@ -330,7 +330,13 @@ def rewrite_table_idents(q: str, lookup: Callable[[str], str | None]) -> str:
     the derived table — the inner SELECT clears only the INNER scope's
     state). Quoted identifiers (``"orders"``) resolve by their unquoted
     lowercase name but only in table positions; string literals never
-    match; columns and aliases are never rewritten."""
+    match; columns and aliases are never rewritten. Comments are
+    blanked first — a comment between UPDATE and the table name broke
+    the prev-token table-position detection, so the statement ran on
+    the BASE table inside a transaction (round-13 mutation sweep)."""
+    from duck_server_spark.plans.rewrites import blank_comments
+
+    q = blank_comments(q)
     out: list[str] = []
     prev: str | None = None  # last significant token (bare lowercase)
     prev2: str | None = None
@@ -833,8 +839,15 @@ class TxnOverlay:
         """Stage the statement's DML target (if any), then rewrite all
         staged identifiers. Runs Spark jobs on first touch — call from an
         executor thread, not the event loop."""
+        # match against comment-blanked text: `INSERT /* x */ INTO t`
+        # must stage t exactly like the comment-free spelling — missing
+        # it would write the BASE table inside the txn (round-13
+        # statement mutation sweep: txn_rollback/blockcomment leaked)
+        from duck_server_spark.plans.rewrites import blank_comments
+
+        masked = blank_comments(q)
         for rx in _DML_TARGETS:
-            m = rx.match(q)
+            m = rx.match(masked)
             if m:
                 self.ensure_staged(m.group(1))
                 break
@@ -845,7 +858,12 @@ class TxnOverlay:
     def intercept_ddl(self, q: str) -> str | None:
         """CREATE/DROP TABLE/VIEW inside the transaction → staged catalog
         intent. Returns the command tag when fully handled, None when the
-        statement is not intercepted DDL (caller dispatches normally)."""
+        statement is not intercepted DDL (caller dispatches normally).
+        Matches against comment-blanked text (offset-preserving), same
+        rule as prepare()."""
+        from duck_server_spark.plans.rewrites import blank_comments
+
+        q = blank_comments(q)
         if re.match(
             r"^\s*(alter\s+table|create\s+(unique\s+)?index|drop\s+index)\b",
             q,

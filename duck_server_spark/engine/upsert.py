@@ -355,6 +355,9 @@ def _do_update(engine, up, staged_src: DataFrame, target, all_cst, schema, base)
         ]
         where_sql = None
     else:
+        # duck binds SET columns case-insensitively (round-13 statement
+        # mutation sweep: on_conflict_do_update/case)
+        by_lower = {f.lower(): f for f in field_names}
         assigns = []
         for col, expr in up.assigns:
             if col.lower() in key_cols_all:
@@ -363,9 +366,10 @@ def _do_update(engine, up, staged_src: DataFrame, target, all_cst, schema, base)
                     f"Can not assign to column '{col}' because it has a "
                     "UNIQUE/PRIMARY KEY constraint",
                 )
-            if col not in field_names:
+            stored = by_lower.get(col.lower())
+            if stored is None:
                 raise PgError("42703", f'column "{col}" does not exist')
-            assigns.append((col, _rewrite_refs(expr, up.table, base)))
+            assigns.append((stored, _rewrite_refs(expr, up.table, base)))
         where_sql = (
             _rewrite_refs(up.where, up.table, base) if up.where else None
         )

@@ -3655,6 +3655,29 @@ def _rel_alias_backwards(
     return t_start, lend, tok.split(".")[-1]  # tok IS the relation
 
 
+def positional_join_relations(q: str) -> list[str]:
+    """Named base relations feeding POSITIONAL JOINs — parsed with the
+    same backward/forward scan as the rewrite, no mutation. The
+    executor's size guard (round 13, VERDICT r12 watch item 1) sizes
+    these to refuse single-partitioning a huge input; subqueries return
+    no name and pass unguarded (documented)."""
+    rels: list[str] = []
+    masked = _mask_literals(q)
+    for m in _POSITIONAL_JOIN.finditer(masked):
+        lend = len(masked[: m.start()].rstrip())
+        lstart, lrel_end, _ = _rel_alias_backwards(q, masked, lend)
+        lrel = q[lstart:lrel_end].strip()
+        if re.fullmatch(r"[A-Za-z_][\w.]*", lrel):
+            rels.append(lrel)
+        i = m.end()
+        while i < len(masked) and masked[i].isspace():
+            i += 1
+        rm = re.match(r"[A-Za-z_][\w.]*", masked[i:])
+        if rm is not None:
+            rels.append(q[i : i + rm.end()])
+    return rels
+
+
 def _rewrite_positional_join(q: str) -> str:
     while True:
         masked = _mask_literals(q)

@@ -2505,3 +2505,34 @@ def test_round11_surface_over_wire(pgc, spark, sf_dir):
     cols, rows, _ = c.simple_query("VALUES (2), (1) ORDER BY 1")
     assert [c0[0] for c0 in cols] == ["col0"] and [r[0] for r in rows] == ["1", "2"]
     c.terminate()
+
+
+def test_positional_join_scale_guard(spark, monkeypatch):
+    """VERDICT r12 watch item 1 (round 13): the POSITIONAL JOIN SQL
+    shim single-partitions its inputs (faithful for an order-dependent
+    operator), so past SPARK_GRAFT_POSITIONAL_MAX_BYTES it must error
+    0A000 pointing at the zipWithIndex operator instead of silently
+    serializing — and stay working under the default bound."""
+    from duck_server_spark.engine.errors import PgError
+
+    eng = Engine(spark)
+    eng.execute("DROP TABLE IF EXISTS pjg_a")
+    eng.execute("DROP TABLE IF EXISTS pjg_b")
+    eng.execute("CREATE TABLE pjg_a AS SELECT g AS x FROM generate_series(1, 100) t(g)")
+    eng.execute("CREATE TABLE pjg_b AS SELECT g * 10 AS y FROM generate_series(1, 90) t(g)")
+    try:
+        # default bound (1 GiB): works
+        rows = eng.query(
+            "SELECT x, y FROM pjg_a POSITIONAL JOIN pjg_b ORDER BY x NULLS LAST"
+        ).collect()
+        assert len(rows) == 100 and rows[0][1] == 10 and rows[99][1] is None
+        # tiny bound: loud 0A000 naming the scale path
+        monkeypatch.setenv("SPARK_GRAFT_POSITIONAL_MAX_BYTES", "16")
+        with pytest.raises(PgError) as ei:
+            eng.query("SELECT x, y FROM pjg_a POSITIONAL JOIN pjg_b").collect()
+        assert ei.value.pgcode == "0A000"
+        assert "join_positional" in str(ei.value)
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_POSITIONAL_MAX_BYTES", raising=False)
+        eng.execute("DROP TABLE IF EXISTS pjg_a")
+        eng.execute("DROP TABLE IF EXISTS pjg_b")

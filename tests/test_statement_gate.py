@@ -41,3 +41,36 @@ def test_divergence_list_is_current():
     names = {n for n, _, _ in SEQS}
     stale = [n for n in EXPECTED_STMT_DIVERGENCES if n not in names]
     assert not stale, f"EXPECTED_STMT_DIVERGENCES names dead probes: {stale}"
+
+
+# ---- mutation-sweep regression pins (round 13, VERDICT r12 item 7):
+# the full hostile sweep lives in tools/statement_mutation_sweep.py
+# (~15 min, run per-round); these pin the three bug classes it caught
+# so they can't silently return.
+
+_MUT_PINNED = [
+    # comment between verb and table name must not bypass the txn
+    # overlay (prepare/rewrite were comment-blind -> base-table writes)
+    ("txn_rollback", "blockcomment"),
+    ("err_rollback_after_error", "blockcomment"),
+    # case-flipped SET / ALTER column names must bind like duck's
+    # case-insensitive resolution
+    ("on_conflict_do_update", "case"),
+    ("alter_drop_keeps_other_defaults", "case"),
+    ("rename_col_keeps_default", "case"),
+    ("alter_type_using", "case"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,axis", _MUT_PINNED, ids=[f"{n}-{a}" for n, a in _MUT_PINNED]
+)
+def test_mutated_sequence_matches_duckdb(eng, name, axis):
+    from tools.statement_mutation_sweep import MUTATIONS
+
+    fn = dict(MUTATIONS)[axis]
+    _, stmts, tables = next(x for x in SEQS if x[0] == name)
+    mut = [fn(s) for s in stmts]
+    assert mut != list(stmts), "mutation was a no-op; pin is dead"
+    problems = run_probe(eng, name, mut, tables)
+    assert not problems, f"{name}/{axis}: " + "\n".join(problems)
