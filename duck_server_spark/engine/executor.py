@@ -1265,6 +1265,7 @@ class Engine:
         q = self._retype_int_casts(q, dialect, probe_cache)  # tie rules
         # struct/list/map column → VARCHAR duck-text (round 13)
         q = self._retype_complex_str_casts(q, dialect, probe_cache)
+        q = self._retype_decimal_quantiles(q, dialect, probe_cache)
         self._guard_positional_join(q)
         q = self._restore_stored_case(q, dialect, probe_cache)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
@@ -2106,6 +2107,13 @@ class Engine:
         rf"({_INT_TYPE_NAMES})\s*\)",
         re.IGNORECASE,
     )
+    # duck's TRY_CAST applies the SAME source-type tie rules (pinned
+    # live round 13: TRY_CAST(3.5::DOUBLE AS INT) = 4, failure → NULL)
+    _COL_INT_TRYCAST_FN = re.compile(
+        rf"\bTRY_CAST\s*\(\s*((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s+AS\s+"
+        rf"({_INT_TYPE_NAMES})\s*\)",
+        re.IGNORECASE,
+    )
     # duck TRUNCATES a DECIMAL column rescaled to a lower-scale DECIMAL
     # (toward zero — pinned live round 12); Spark rounds HALF_UP. Same
     # probe-typing as the int casts; floor/ceil with a scale argument
@@ -2125,7 +2133,9 @@ class Engine:
     def _retype_int_casts(
         self, q: str, dialect: str, cache: dict | None = None
     ) -> str:
-        if "::" not in q and not re.search(r"\bCAST\s*\(", q, re.IGNORECASE):
+        if "::" not in q and not re.search(
+            r"\b(?:TRY_)?CAST\s*\(", q, re.IGNORECASE
+        ):
             return q
         from pyspark.sql.types import DecimalType, DoubleType, FloatType, StringType
 
@@ -2142,6 +2152,7 @@ class Engine:
             hit = None
             for rx, kind in (
                 (self._COL_INT_CAST_FN, "int"),
+                (self._COL_INT_TRYCAST_FN, "int_try"),
                 (self._COL_INT_CAST_POSTFIX, "int"),
                 (self._COL_DEC_CAST_FN, "dec"),
                 (self._COL_DEC_CAST_POSTFIX, "dec"),
@@ -2166,6 +2177,7 @@ class Engine:
                     src = srcs.pop()
                     col = q[m.start(1) : m.end(1)]
                     ty = q[m.start(2) : m.end(2)]
+                    verb = "TRY_CAST" if kind.endswith("_try") else "CAST"
                     if kind == "dec":
                         s = int(m.group(3))
                         if not (
@@ -2177,12 +2189,12 @@ class Engine:
                             f" ELSE ceil({col}, {s}) END AS {ty})"
                         )
                     elif isinstance(src, DecimalType):
-                        rep = f"CAST(round({col}, 0) AS {ty})"
+                        rep = f"{verb}(round({col}, 0) AS {ty})"
                     elif isinstance(src, (DoubleType, FloatType)):
-                        rep = f"CAST(bround({col}, 0) AS {ty})"
+                        rep = f"{verb}(bround({col}, 0) AS {ty})"
                     elif isinstance(src, StringType):
                         rep = (
-                            f"CAST(round(CAST({col} AS DECIMAL(38,9)), 0)"
+                            f"{verb}(round({verb}({col} AS DECIMAL(38,9)), 0)"
                             f" AS {ty})"
                         )
                     else:
@@ -2269,8 +2281,10 @@ class Engine:
             return -1
 
         def _find_hit(masked: str):
-            # CAST(expr AS INT): last depth-0 AS splits operand/type
-            for m in re.finditer(r"\bCAST\s*\(", masked, re.IGNORECASE):
+            # [TRY_]CAST(expr AS INT): last depth-0 AS splits operand/type
+            for m in re.finditer(
+                r"\b(TRY_)?CAST\s*\(", masked, re.IGNORECASE
+            ):
                 close = _close_of(masked, m.end() - 1)
                 if close < 0:
                     continue
@@ -2287,7 +2301,8 @@ class Engine:
                 op = q[m.end() : m.end() + as_m.start()].strip()
                 if self._expr_cast_exempt(op):
                     continue
-                yield (m.start(), close + 1, op, ty)
+                verb = "TRY_CAST" if m.group(1) else "CAST"
+                yield (m.start(), close + 1, op, ty, verb)
             # (expr)::INT / func(args)::INT: backward-scan to the open
             for m in postfix_rx.finditer(masked):
                 close = m.start() + masked[m.start() :].index(")")
@@ -2308,23 +2323,23 @@ class Engine:
                 op = q[start : close + 1].strip()
                 if self._expr_cast_exempt(op):
                     continue
-                yield (start, m.end(), op, m.group(1))
+                yield (start, m.end(), op, m.group(1), "CAST")
 
         for _ in range(64):
             masked = rewrites._mask_literals(q)
             hit = None
-            for s, e, op, ty in _find_hit(masked):
+            for s, e, op, ty, verb in _find_hit(masked):
                 try:
                     src = self._scope_expr_type(q, masked, s, op, dialect, cache)
                 except Exception:
                     src = None
                 if isinstance(src, DecimalType):
-                    rep = f"CAST(round(({op}), 0) AS {ty})"
+                    rep = f"{verb}(round(({op}), 0) AS {ty})"
                 elif isinstance(src, (DoubleType, FloatType)):
-                    rep = f"CAST(bround(({op}), 0) AS {ty})"
+                    rep = f"{verb}(bround(({op}), 0) AS {ty})"
                 elif isinstance(src, StringType):
                     rep = (
-                        f"CAST(round(CAST(({op}) AS DECIMAL(38,9)), 0)"
+                        f"{verb}(round({verb}(({op}) AS DECIMAL(38,9)), 0)"
                         f" AS {ty})"
                     )
                 else:
@@ -2445,6 +2460,30 @@ class Engine:
                 yield (m.start(), close + 1, op)
             for m in postfix_rx.finditer(masked):
                 yield (m.start(1), m.end(), q[m.start(1) : m.end(1)])
+            # (expr)::VARCHAR / func(args)::VARCHAR — paren back-scan
+            for m in re.finditer(
+                rf"\)\s*::\s*(?:{self._STR_TYPE_NAMES})\b",
+                masked,
+                re.IGNORECASE,
+            ):
+                close = m.start()
+                depth, opn = 0, -1
+                for i in range(close, -1, -1):
+                    if masked[i] == ")":
+                        depth += 1
+                    elif masked[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            opn = i
+                            break
+                if opn < 0:
+                    continue
+                start = opn
+                while start > 0 and (
+                    masked[start - 1].isalnum() or masked[start - 1] in "_.`"
+                ):
+                    start -= 1
+                yield (start, m.end(), q[start : close + 1].strip())
 
         for _ in range(16):
             masked = rewrites._mask_literals(q)
@@ -2468,6 +2507,77 @@ class Engine:
             if hit is None:
                 return q
             s, e, rep = hit
+            q = q[:s] + rep + q[e:]
+        return q
+
+    _DEC_QUANTILE_CALL = re.compile(
+        r"\b(median|quantile_cont)\s*\(", re.IGNORECASE
+    )
+
+    def _retype_decimal_quantiles(
+        self, q: str, dialect: str, cache: dict
+    ) -> str:
+        """duck's quantile family is TYPE-PRESERVING over DECIMAL
+        columns (pinned live round 13): quantile_cont(DECIMAL(p,s), q)
+        interpolates then TRUNCATES toward zero back to DECIMAL(p,s)
+        (-1.9425 → -1.94), and median(DECIMAL) is the DISCRETE
+        lower-middle element (median(1.0,2.0,4.0,5.0) = 2.0 — NOT the
+        3.0 interpolation!) where median(INT) interpolates to DOUBLE.
+        The expression probe types the first argument; DECIMAL operands
+        rewrite median→quantile_disc and wrap quantile_cont in the
+        truncating rescale; everything else keeps the continuous
+        templates (plans/fn_shims.py)."""
+        if not self._DEC_QUANTILE_CALL.search(q):
+            return q
+        from pyspark.sql.types import DecimalType
+
+        masked = rewrites._mask_literals(q)
+        spans: list[tuple[int, int, str, list[str]]] = []
+        for m in self._DEC_QUANTILE_CALL.finditer(masked):
+            op = masked.index("(", m.end() - 1)
+            end = rewrites._scan_balanced(masked, op + 1)
+            inner = q[op + 1 : end - 1]
+            args = rewrites._split_top_level(inner, masked[op + 1 : end - 1])
+            spans.append((m.start(), end, m.group(1).lower(), args))
+        spans = [
+            s
+            for s in spans
+            if not any(
+                o[0] < s[0] and s[1] <= o[1] for o in spans if o is not s
+            )
+        ]
+        # probe every span BEFORE mutating q: the masked twin goes stale
+        # after the first replacement
+        typed = []
+        for s, e, fn, args in spans:
+            if not args:
+                continue
+            try:
+                src = self._scope_expr_type(
+                    q, masked, s, args[0], dialect, cache
+                )
+            except Exception:  # noqa: BLE001
+                src = None
+            if isinstance(src, DecimalType):
+                typed.append((s, e, fn, args, src))
+        for s, e, fn, args, src in reversed(typed):
+            if fn == "median":
+                rep = f"quantile_disc({args[0]}, 0.5)"
+            else:
+                call = q[s:e]
+                sc, ty = src.scale, f"DECIMAL({src.precision},{src.scale})"
+                trunc = (
+                    f"CAST(CASE WHEN {{v}} >= 0 THEN floor({{v}}, {sc}) "
+                    f"ELSE ceil({{v}}, {sc}) END AS {ty})"
+                )
+                if len(args) > 1 and args[1].strip().startswith("["):
+                    rep = (
+                        f"transform({call}, qdq_v -> "
+                        + trunc.replace("{v}", "qdq_v")
+                        + ")"
+                    )
+                else:
+                    rep = trunc.replace("{v}", call)
             q = q[:s] + rep + q[e:]
         return q
 
@@ -3728,7 +3838,24 @@ class Engine:
                 # analysis, so the staging write reads a consistent
                 # snapshot without holding the gate for the computation
                 src_df = self._gated_sql(prepared[mi.end() :])
-                src_df.write.format("parquet").saveAsTable(stg)
+                try:
+                    src_df.write.format("parquet").saveAsTable(stg)
+                except Exception as exc:  # noqa: BLE001
+                    # transient committer race (_temporary cleanup from
+                    # a zombie task attempt of an earlier failed write —
+                    # seen under the mutation sweep's error-path
+                    # sequences): clear and retry ONCE, loud on repeat
+                    from duck_server_spark.engine.transactions import (
+                        is_file_race,
+                    )
+
+                    if not is_file_race(exc):
+                        raise
+                    self.spark.sql(f"DROP TABLE IF EXISTS {stg}")
+                    shutil.rmtree(
+                        table_dir(self.spark, stg), ignore_errors=True
+                    )
+                    src_df.write.format("parquet").saveAsTable(stg)
                 try:
                     with _COMMIT_MUTEX:
                         ins = f"{prepared[: mi.end()]} SELECT * FROM {stg}"
@@ -3742,7 +3869,11 @@ class Engine:
                             # of listing staleness is routine): refresh
                             # both listings and retry ONCE, loud if the
                             # file is genuinely gone
-                            if "FileNotFoundException" not in str(exc):
+                            from duck_server_spark.engine.transactions import (
+                                is_file_race,
+                            )
+
+                            if not is_file_race(exc):
                                 raise
                             self.spark.catalog.refreshTable(stg)
                             try:

@@ -266,7 +266,15 @@ def is_file_race(exc: Exception) -> bool:
     plain-parquet publishes — catalog visibility is continuous, file
     listing is not). Retry after refreshTable; anything else is real."""
     msg = str(exc)
-    return "FILE_NOT_EXIST" in msg or "FileNotFound" in msg or "REFRESH TABLE" in msg
+    # the chmod/_temporary shape is the local-FS FileOutputCommitter's
+    # task-commit racing a concurrent cleanup (seen under the 32-thread
+    # test load, round 13) — same transient class, same retry remedy
+    return (
+        "FILE_NOT_EXIST" in msg
+        or "FileNotFound" in msg
+        or "REFRESH TABLE" in msg
+        or "_temporary" in msg
+    )
 
 
 def _register_shadow(shadow: str, base: str) -> None:

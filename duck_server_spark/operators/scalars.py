@@ -308,7 +308,7 @@ FROM nation
 _LIST_SLICE_SPARK_TEXT = """
 SELECT vec_id,
        size(list_slice(embedding, 2, 5)) AS slice_len,
-       CAST(floor(element_at(list_slice(embedding, 2, 5), 1) * 1000) AS BIGINT) AS first_mill,
+       CAST(floor(list_slice(embedding, 2, 5)[1] * 1000) AS BIGINT) AS first_mill,
        size(list_slice(embedding, 4, 2)) AS empty_len,
        size(list_slice(embedding, 3, 999)) AS clamped_len
 FROM embeddings

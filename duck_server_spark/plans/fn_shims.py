@@ -477,6 +477,15 @@ TEMPLATES: dict[str, dict[int, str]] = {
             "THEN array(try_element_at({0}, {1})) ELSE array() END"
         )
     },
+    # duck's element_at is MAP-only (Binder Error on lists, pinned
+    # round 13) and returns the same 0/1-element value list as
+    # map_extract — Spark's list element_at never reaches duck clients
+    "element_at": {
+        2: (
+            "CASE WHEN size(filter(map_keys({0}), mk_k -> mk_k <=> ({1}))) > 0 "
+            "THEN array(try_element_at({0}, {1})) ELSE array() END"
+        )
+    },
     # ---- aggregates ----
     # product: NULL elements skipped (collect_list drops them), empty /
     # all-NULL group → NULL (pinned), accumulates in DOUBLE like duck
@@ -758,6 +767,38 @@ def _regexp_replace(args: list[str]) -> str | None:
     return first.replace("{s}", s).replace("{p}", pat).replace("{r}", rep)
 
 
+_FMT_SPEC = re.compile(
+    r"^(?P<idx>\d+)?(?::(?P<fill>[^{}](?=[<>^]))?(?P<align>[<>^])?(?P<sign>[-+ ])?"
+    r"(?P<zero>0)?(?P<width>\d+)?(?:\.(?P<prec>\d+))?(?P<type>[dfsxXeEgGo])?)?$"
+)
+
+
+def _fmt_spec_to_printf(spec: str) -> str | None:
+    """One fmt-style `{...}` spec → printf conversion for format_string
+    (round 13): `{}`→%s, `{N}`→%N$s, `{:.2f}`→%.2f, `{:d}`→%d,
+    `{:>8}`→%8s, `{:05d}`→%05d, `{:x}`→%x. Left-align (<) maps to the
+    printf '-' flag; center (^) and fill chars have no printf twin →
+    None (loud). Pinned live: duck format('{:.2f}', 3.14159)='3.14',
+    format('{:>5}', 'ab')='   ab', format('{:x}', 255)='ff'."""
+    m = _FMT_SPEC.match(spec)
+    if m is None or (m.group("fill") and m.group("fill") != " "):
+        return None
+    if m.group("align") == "^":
+        return None
+    flags = ""
+    if m.group("align") == "<":
+        flags += "-"
+    if m.group("sign") in ("+", " "):
+        flags += m.group("sign")
+    if m.group("zero"):
+        flags += "0"
+    width = m.group("width") or ""
+    prec = f".{m.group('prec')}" if m.group("prec") else ""
+    ty = m.group("type") or ("f" if prec else "s")
+    pos = f"{int(m.group('idx')) + 1}$" if m.group("idx") else ""
+    return f"%{pos}{flags}{width}{prec}{ty}"
+
+
 def _format(args: list[str]) -> str | None:
     """duck format('{} x {}', …) (fmt-style) → format_string (printf).
     Literal formats only; {} auto-indexes, {N} is explicit (mixing the
@@ -770,6 +811,7 @@ def _format(args: list[str]) -> str | None:
         return None
     body = fm.group(1)
     out, i, n = [], 0, len(body)
+    convs: list[tuple[int | None, str]] = []
     while i < n:
         c = body[i]
         if c == "{":
@@ -781,12 +823,15 @@ def _format(args: list[str]) -> str | None:
             if j == -1:
                 return None
             spec = body[i + 1 : j]
-            if spec == "":
-                out.append("%s")
-            elif spec.isdigit():
-                out.append(f"%{int(spec) + 1}$s")
-            else:
-                return None  # format specs: loud pass-through
+            conv = _fmt_spec_to_printf(spec)
+            if conv is None:
+                return None  # exotic format specs: loud pass-through
+            sm = _FMT_SPEC.match(spec)
+            argslot = (
+                int(sm.group("idx")) + 1 if sm.group("idx") else None
+            )
+            convs.append((argslot, conv[-1]))
+            out.append(conv)
             i = j + 1
             continue
         if c == "}":
@@ -802,8 +847,57 @@ def _format(args: list[str]) -> str | None:
         out.append(c)
         i += 1
     fmt = "".join(out).replace("'", "''")
-    rest = ", ".join(args[1:])
+    # Java's String.format is strict about argument CLASSES where duck
+    # coerces (%f on a DECIMAL literal throws) — cast each consumed
+    # argument to the conversion's natural type (round 13, pinned:
+    # format('{:.2f}', 3.0) = '3.00')
+    casts = {"f": "DOUBLE", "e": "DOUBLE", "g": "DOUBLE",
+             "d": "BIGINT", "x": "BIGINT", "X": "BIGINT", "o": "BIGINT"}
+    rest_args = list(args[1:])
+    auto = 0
+    for slot, ty in convs:
+        if slot is None:
+            slot = auto = auto + 1
+        if ty in casts and 1 <= slot <= len(rest_args):
+            rest_args[slot - 1] = (
+                f"CAST(({rest_args[slot - 1]}) AS {casts[ty]})"
+            )
+    rest = ", ".join(rest_args)
     return f"format_string('{fmt}'{', ' + rest if rest else ''})"
+
+
+_PRINTF_CONV = re.compile(r"%(?:(\d+)\$)?[-+ 0#]*\d*(?:\.\d+)?([diufFeEgGxXos%])")
+
+
+def _printf(args: list[str]) -> str | None:
+    """printf passes through to Spark's native printf, but Java's
+    String.format is strict about argument classes where duck coerces
+    (%f rejects a DECIMAL, %d rejects an INT-typed DECIMAL) — for a
+    LITERAL format, cast each consumed argument to the conversion's
+    natural type (round 13, pinned: printf('%5.2f', 3.14159)=' 3.14').
+    Non-literal formats pass through untouched."""
+    if not args:
+        return None
+    fm = _PLAIN_STR_LIT.match(args[0])
+    if fm is None:
+        return None
+    casts = {"f": "DOUBLE", "F": "DOUBLE", "e": "DOUBLE", "E": "DOUBLE",
+             "g": "DOUBLE", "G": "DOUBLE", "d": "BIGINT", "i": "BIGINT",
+             "u": "BIGINT", "x": "BIGINT", "X": "BIGINT", "o": "BIGINT"}
+    rest = list(args[1:])
+    auto = 0
+    for pos, ty in _PRINTF_CONV.findall(fm.group(1)):
+        if ty == "%":
+            continue
+        slot = int(pos) if pos else (auto := auto + 1)
+        if ty in casts and 1 <= slot <= len(rest):
+            rest[slot - 1] = f"CAST(({rest[slot - 1]}) AS {casts[ty]})"
+    # duck's %i/%u aren't Java conversions — normalize to %d
+    body = re.sub(
+        r"(%(?:\d+\$)?[-+ 0#]*\d*(?:\.\d+)?)[iu]", r"\1d", fm.group(1)
+    )
+    lit = "'" + body.replace("'", "''") + "'"
+    return f"printf({', '.join([lit] + rest)})" if rest else f"printf({lit})"
 
 
 def _alias(args: list[str]) -> str | None:
@@ -1184,6 +1278,7 @@ def _null_literal_arg(args: list[str]) -> str | None:
 
 
 CALLABLES: dict[str, object] = {
+    "printf": _printf,
     "list_cosine_similarity": _null_literal_arg,
     "list_inner_product": _null_literal_arg,
     "list_dot_product": _null_literal_arg,

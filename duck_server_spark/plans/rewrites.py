@@ -597,6 +597,12 @@ _STRF_MAP = {
     "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "I": "hh", "M": "mm",
     "S": "ss", "y": "yy", "j": "DDD", "a": "EEE", "A": "EEEE", "b": "MMM",
     "B": "MMMM", "p": "a", "f": "SSSSSS",
+    # %g = milliseconds in duck (pinned: '.123456' → '123'); the
+    # dash-prefixed codes are the no-pad variants (handled as 2-char
+    # codes in _java_pattern, round 13)
+    "g": "SSS",
+    "-d": "d", "-m": "M", "-H": "H", "-I": "h", "-M": "m", "-S": "s",
+    "-j": "D", "-y": "y",
 }
 _PLAIN_STR_LIT = re.compile(r"^\s*'([^']*)'\s*$", re.DOTALL)
 
@@ -619,15 +625,18 @@ def _java_pattern(fmt: str) -> str | None:
             if i + 1 >= len(fmt):
                 return None
             code = fmt[i + 1]
+            # two-char no-pad codes: %-d, %-m, … (round 13)
+            if code == "-" and i + 2 < len(fmt) and ("-" + fmt[i + 2]) in _STRF_MAP:
+                code = "-" + fmt[i + 2]
             if code == "%":
                 lit.append("%")  # literal percent
             else:
                 mapped = _STRF_MAP.get(code)
                 if mapped is None:
-                    return None  # %-d, %G, %V, … — no exact twin: loud
+                    return None  # %G, %V, … — no exact twin: loud
                 flush()
                 out.append(mapped)
-            i += 2
+            i += 1 + len(code)
         elif c == "'":
             return None  # apostrophe quoting corner: stay loud, not clever
         else:
@@ -635,6 +644,71 @@ def _java_pattern(fmt: str) -> str | None:
             i += 1
     flush()
     return "".join(out)
+
+
+_DATE_TRUNC_COARSE = re.compile(
+    r"\bdate_trunc\s*\(\s*'(day|week|month|quarter|year|decade|century|"
+    r"millennium|isoyear)'\s*,",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_date_trunc_coarse(q: str) -> str:
+    """duck's date_trunc returns DATE for day-or-coarser parts — for
+    BOTH date and timestamp inputs (pinned live round 13: typeof
+    week/DATE = DATE, typeof week/TIMESTAMP = DATE, minute/DATE =
+    TIMESTAMP); Spark always returns TIMESTAMP. Wrap coarse-part calls
+    in CAST(… AS DATE) — part names are always literals, so this is
+    pure text. One right-to-left pass: the wrap re-contains the call,
+    so no fixpoint."""
+    if "date_trunc" not in q.lower():
+        return q
+    # match on q (the part literal is masked in the twin); paren scan
+    # on masked; a masked-out match can't occur since 'date_trunc('
+    # itself would be inside a literal then
+    masked = _mask_literals(q)
+    spans: list[tuple[int, int]] = []
+    for m in _DATE_TRUNC_COARSE.finditer(q):
+        if masked[m.start()] != q[m.start()]:
+            continue  # inside a string literal
+        end = _scan_balanced(masked, masked.index("(", m.start()) + 1)
+        spans.append((m.start(), end))
+    # outermost spans only: a nested coarse call's intermediate type
+    # doesn't change the result, and wrapping it would shift the outer
+    # span's offsets
+    spans = [
+        (s, e)
+        for s, e in spans
+        if not any(s2 < s and e <= e2 for s2, e2 in spans if (s2, e2) != (s, e))
+    ]
+    for s, e in reversed(spans):
+        q = q[:s] + f"CAST({q[s:e]} AS DATE)" + q[e:]
+    return q
+
+
+def _composite_strftime(operand: str, fmt: str) -> str | None:
+    """strftime format containing %W → concat of date_format segments
+    around the computed Monday-first week-of-year (C strftime %W:
+    (yday0 + 7 - monday_wday) / 7, zero-padded to 2). None when any
+    surrounding segment is itself unmappable."""
+    wk = (
+        f"lpad(CAST((dayofyear({operand}) - 1 + 7 - "
+        f"((dayofweek({operand}) + 5) % 7)) div 7 AS STRING), 2, '0')"
+    )
+    parts = fmt.split("%W")
+    segs: list[str] = []
+    for k, part in enumerate(parts):
+        if k:
+            segs.append(wk)
+        if part == "":
+            continue
+        jp = _java_pattern(part)
+        if jp is None:
+            return None
+        segs.append(
+            f"date_format({operand}, '{jp.replace(chr(39), chr(39) * 2)}')"
+        )
+    return "concat(" + ", ".join(segs) + ")" if len(segs) > 1 else segs[0]
 
 
 def _rewrite_strftime(q: str) -> str:
@@ -655,10 +729,24 @@ def _rewrite_strftime(q: str) -> str:
         args = _split_top_level(inner, inner_masked)
         litm = _PLAIN_STR_LIT.match(args[1]) if len(args) == 2 else None
         java = _java_pattern(litm.group(1)) if litm else None
+        is_strf = m.group(1).lower() == "strftime"
         if java is None:
-            pos = m.end()  # non-literal / unmappable format: loud error
+            # %W (C-style Monday-first week 00-53) has no Java pattern —
+            # formatting direction only, as a concat of mapped segments
+            # around a computed week number (round 13, pinned live:
+            # strftime(DATE '2024-03-05', '%W') = '10')
+            comp = (
+                _composite_strftime(args[0], litm.group(1))
+                if is_strf and litm and "%W" in litm.group(1)
+                else None
+            )
+            if comp is None:
+                pos = m.end()  # non-literal / unmappable format: loud
+                continue
+            q = q[: m.start()] + comp + q[i:]
+            pos = m.start()
             continue
-        fn = "date_format" if m.group(1).lower() == "strftime" else "to_timestamp"
+        fn = "date_format" if is_strf else "to_timestamp"
         repl = f"{fn}({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
         q = q[: m.start()] + repl + q[i:]
         # rescan from the replacement start: args[0] may itself contain a
@@ -3488,6 +3576,7 @@ def rewrite_common(q: str) -> str:
     q = _rewrite_list_slice(q)
     q = _rewrite_list_fn_shims(q)  # list_reverse_sort/distinct/unique (round 9)
     q = _rewrite_strftime(q)  # %-format translation (round 8)
+    q = _rewrite_date_trunc_coarse(q)  # coarse parts → DATE (round 13)
     q = _rewrite_date_diff(q)  # boundary-crossing arithmetic (round 8)
     q = _rewrite_date_minus_date(q)  # date − date → BIGINT days (round 11)
     q = rewrite_asof_join(q)

@@ -523,6 +523,24 @@ PROBES = [
     ("struct_col_nested_str_cast", "SELECT s::VARCHAR AS a FROM (SELECT {'k': [1,2], 'd': DATE '2024-01-02', 'n': {'x': 'it''s'}} AS s) t"),
     ("struct_col_null_str_cast", "SELECT s::VARCHAR AS a, ({'k': CAST(NULL AS INT)})::VARCHAR AS b FROM (SELECT CASE WHEN 1=0 THEN {'k': 1} END AS s) t"),
     ("struct_dbl_to_str_cast", "SELECT s::VARCHAR AS a FROM (SELECT {'x': 0.0000001::DOUBLE} AS s) t"),
+    # ---- seventh discovery pass (round 13) ----
+    ("try_cast_tie_col", "SELECT TRY_CAST(x AS INT) AS a FROM (VALUES (CAST(2.5 AS DOUBLE)), (CAST(3.5 AS DOUBLE))) t(x)"),
+    ("try_cast_tie_str", "SELECT TRY_CAST(x AS INT) AS a FROM (VALUES ('2.5'), ('3.5'), ('abc')) t(x)"),
+    ("try_cast_tie_expr", "SELECT TRY_CAST(x + 0.5 AS INT) AS a FROM (VALUES (CAST(3.0 AS DOUBLE))) t(x)"),
+    ("element_at_map", "SELECT element_at(MAP([1],['a']), 1) AS a, element_at(MAP([1],['a']), 9) AS b"),
+    ("format_specs", "SELECT format('{} = {:.2f}', 'x', 3.14159) AS a, format('{:d} {:>5} {:x} {:05d} {:<3}|', 7, 'ab', 255, 42, 'z') AS b, format('{1:.1f} {0}', 'a', 2.75) AS c"),
+    ("printf_decimal_args", "SELECT printf('%5.2f|%x|%05d', 3.14159, 255, 42) AS a"),
+    ("strftime_week_nopad", "SELECT strftime(DATE '2024-03-05', '%j %W %-d %a') AS a, strftime(DATE '2024-01-01', 'w%W') AS b, strftime(TIMESTAMP '2024-03-05 07:08:09.123', '%H:%M:%S %g %p %I') AS c"),
+    ("date_trunc_coarse_type", "SELECT date_trunc('week', DATE '2024-01-04') AS a, date_trunc('month', TIMESTAMP '2024-05-06 10:00:00') AS b, date_trunc('minute', TIMESTAMP '2024-05-06 10:07:08') AS c"),
+    ("quantile_decimal_rescale", "SELECT quantile_cont(x, 0.25) AS a, quantile_cont(x, [0.25, 0.75])::VARCHAR AS b FROM (VALUES (1.0),(2.0),(3.0),(4.0)) t(x)"),
+    ("quantile_decimal_negative", "SELECT quantile_cont(x, 0.25) AS a FROM (VALUES (CAST(-1.11 AS DECIMAL(5,2))),(CAST(-2.22 AS DECIMAL(5,2)))) t(x)"),
+    ("median_decimal_discrete", "SELECT median(x) AS a FROM (VALUES (1.0),(2.0),(4.0),(5.0)) t(x)"),
+    ("median_int_interpolates", "SELECT median(x) AS a FROM (VALUES (CAST(1 AS INT)),(2),(4),(5)) t(x)"),
+    ("greatest_least_null_skip", "SELECT greatest(1, NULL, 3) AS a, least(2, NULL) AS b"),
+    ("histogram_to_varchar", "SELECT histogram(x)::VARCHAR AS a FROM (VALUES (1),(2),(2)) t(x)"),
+    ("agg_extras", "SELECT mode(x) AS a, product(x) AS b, bit_and(x) AS c, bit_or(x) AS d, bit_xor(x) AS e, any_value(x) AS f FROM (VALUES (12),(10),(6),(12)) t(x)"),
+    ("entropy_skew_kurt", "SELECT round(entropy(x),6) AS a, round(skewness(x),6) AS b, round(kurtosis(x),6) AS c FROM (VALUES (1.0),(1.0),(2.0),(8.0)) t(x)"),
+    ("win_filter_clause", "SELECT x, count(*) FILTER (x > 1) OVER () AS a FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
 ]
 
 
