@@ -1266,6 +1266,7 @@ class Engine:
         # struct/list/map column → VARCHAR duck-text (round 13)
         q = self._retype_complex_str_casts(q, dialect, probe_cache)
         q = self._retype_decimal_quantiles(q, dialect, probe_cache)
+        q = self._retype_list_sums(q, dialect, probe_cache)
         self._guard_positional_join(q)
         q = self._restore_stored_case(q, dialect, probe_cache)
         q = rewrites.rewrite_ch_query(q) if dialect == "ch" else rewrites.rewrite_pg_query(q)
@@ -2578,6 +2579,88 @@ class Engine:
                     )
                 else:
                     rep = trunc.replace("{v}", call)
+            q = q[:s] + rep + q[e:]
+        return q
+
+    _LIST_SUM_CALL = re.compile(
+        r"\b(list_sum|list_aggregate|list_aggr|array_aggregate)\s*\(",
+        re.IGNORECASE,
+    )
+
+    def _retype_list_sums(self, q: str, dialect: str, cache: dict) -> str:
+        """duck's list_sum / list_aggregate('sum') is TYPE-PRESERVING
+        (HUGEINT for integral elements, DECIMAL(38,s) for DECIMAL(p,s),
+        DOUBLE for floats — pinned live); the text-tier template uses a
+        DOUBLE accumulator because Spark's aggregate() needs a
+        type-stable zero it can't infer from text. With the expression
+        probe the element type IS known: integral lists fold through
+        DECIMAL(38,0), decimal lists through DECIMAL(38,s) — rendering
+        '6' / '4.0' exactly like duck. Float/unknown elements keep the
+        DOUBLE template (plans/rewrites.py _LIST_FN_TPL, round 13)."""
+        if not self._LIST_SUM_CALL.search(q):
+            return q
+        from pyspark.sql.types import (
+            ArrayType,
+            ByteType,
+            DecimalType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        masked = rewrites._mask_literals(q)
+        spans = []
+        for m in self._LIST_SUM_CALL.finditer(masked):
+            op = masked.index("(", m.end() - 1)
+            end = rewrites._scan_balanced(masked, op + 1)
+            args = rewrites._split_top_level(
+                q[op + 1 : end - 1], masked[op + 1 : end - 1]
+            )
+            fn = m.group(1).lower()
+            if fn == "list_sum":
+                # whole inner: _split_top_level is bracket-blind, so a
+                # list literal ([1,2,3]) would shatter across "args"
+                arg = q[op + 1 : end - 1].strip()
+            else:
+                if (
+                    len(args) < 2
+                    or args[-1].strip().strip("'\"").lower() != "sum"
+                ):
+                    continue
+                arg = ", ".join(args[:-1])
+            spans.append((m.start(), end, arg or None))
+        spans = [
+            s
+            for s in spans
+            if not any(
+                o[0] < s[0] and s[1] <= o[1] for o in spans if o is not s
+            )
+        ]
+        typed = []
+        for s, e, arg in spans:
+            if not arg:
+                continue
+            try:
+                src = self._scope_expr_type(q, masked, s, arg, dialect, cache)
+            except Exception:  # noqa: BLE001
+                src = None
+            if not isinstance(src, ArrayType):
+                continue
+            el = src.elementType
+            if isinstance(el, (ByteType, ShortType, IntegerType, LongType)):
+                acc = "DECIMAL(38,0)"
+            elif isinstance(el, DecimalType):
+                acc = f"DECIMAL(38,{el.scale})"
+            else:
+                continue  # float/double/exotic: DOUBLE template stands
+            typed.append((s, e, arg, acc))
+        for s, e, arg, acc in reversed(typed):
+            rep = (
+                f"CASE WHEN cardinality(filter(({arg}), lsz_e -> lsz_e IS "
+                f"NOT NULL)) > 0 THEN aggregate(filter(({arg}), lsz_e -> "
+                f"lsz_e IS NOT NULL), CAST(0 AS {acc}), (lsz_a, lsz_b) -> "
+                f"lsz_a + lsz_b) ELSE NULL END"
+            )
             q = q[:s] + rep + q[e:]
         return q
 

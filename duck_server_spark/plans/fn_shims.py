@@ -241,6 +241,22 @@ TEMPLATES: dict[str, dict[int, str]] = {
         2: "(CAST({0} AS TIMESTAMP) - CAST({1} AS TIMESTAMP))",
         1: "(CAST(current_date() AS TIMESTAMP) - CAST({0} AS TIMESTAMP))",
     },
+    # duck's left/right accept NEGATIVE n = all-but-|n| from the other
+    # end (pinned live round 13: left('hello',-2)='hel'); Spark returns
+    # '' for negative n
+    "left": {
+        2: (
+            "CASE WHEN ({1}) >= 0 THEN left({0}, ({1})) "
+            "ELSE left({0}, greatest(length({0}) + ({1}), 0)) END"
+        )
+    },
+    "right": {
+        2: (
+            "CASE WHEN ({1}) >= 0 THEN right({0}, ({1})) "
+            "ELSE right({0}, greatest(length({0}) + ({1}), 0)) END"
+        )
+    },
+    "regexp_split_to_table": {2: "explode(split({0}, {1}))"},
     # ---- cheap alias tail (round-10 batch 2, all pinned live) ----
     "prefix": {2: "startswith({0}, {1})"},
     "suffix": {2: "endswith({0}, {1})"},
@@ -927,11 +943,13 @@ _TB_ORIGIN = 946857600  # 2000-01-03 00:00:00 UTC — duck's sub-month origin
 
 
 def _time_bucket(args: list[str]) -> str | None:
-    """time_bucket(width, ts): epoch-floor against duck's documented
-    origins (2000-01-03 for sub-month widths — a Monday, so weekly
-    buckets align to ISO weeks; 2000-01-01 for month multiples).
-    Literal widths only; offset/origin variants pass through → loud."""
-    if len(args) != 2:
+    """time_bucket(width, ts[, origin]): epoch-floor against duck's
+    documented origins (2000-01-03 for sub-month widths — a Monday, so
+    weekly buckets align to ISO weeks; 2000-01-01 for month multiples),
+    or the explicit 3rd-arg origin (round 13, pinned live: 10-minute
+    buckets from :02 put :37 in :32). Literal widths only; offset
+    variants pass through → loud."""
+    if len(args) not in (2, 3):
         return None
     m = _INTERVAL_LIT.match(args[0])
     if m is None:
@@ -939,9 +957,14 @@ def _time_bucket(args: list[str]) -> str | None:
     qty = int(m.group(1) or m.group(3))
     unit = (m.group(2) or m.group(4)).lower()
     ts = args[1]
+    origin = args[2] if len(args) == 3 else None
     if unit in _UNIT_SECONDS:
         w = qty * _UNIT_SECONDS[unit]
-        o = _TB_ORIGIN
+        o = (
+            f"unix_timestamp(CAST({origin} AS TIMESTAMP))"
+            if origin
+            else str(_TB_ORIGIN)
+        )
         return (
             f"timestamp_seconds((floor(try_divide(unix_timestamp(CAST({ts} AS "
             f"TIMESTAMP)) - {o}, {w})) * {w}) + {o})"
@@ -950,9 +973,17 @@ def _time_bucket(args: list[str]) -> str | None:
     if months is None:
         return None
     mm = qty * months
+    # month-width origins are month-ALIGNED: duck ignores the origin's
+    # day (pinned live: 2-month buckets from 2024-01-15 put 2024-05-20
+    # in 2024-05-01, from 2024-02-15 in 2024-04-01)
+    od = (
+        f"trunc(CAST({origin} AS DATE), 'MM')"
+        if origin
+        else "DATE '2000-01-01'"
+    )
     return (
-        f"add_months(DATE '2000-01-01', CAST(floor(try_divide("
-        f"months_between(CAST({ts} AS DATE), DATE '2000-01-01'), {mm})) "
+        f"add_months({od}, CAST(floor(try_divide("
+        f"months_between(trunc(CAST({ts} AS DATE), 'MM'), {od}), {mm})) "
         f"* {mm} AS INT))"
     )
 
@@ -1277,8 +1308,18 @@ def _null_literal_arg(args: list[str]) -> str | None:
     return None  # fall through to the template
 
 
+def _generate_subscripts(args: list[str]) -> str | None:
+    """generate_subscripts(l, 1) enumerates 1-based positions (a row
+    generator, pinned live round 13). Only dimension literal 1 — lists
+    have one dimension here; other dims pass through → loud."""
+    if len(args) != 2 or args[1].strip() != "1":
+        return None
+    return f"explode(sequence(1, size({args[0]})))"
+
+
 CALLABLES: dict[str, object] = {
     "printf": _printf,
+    "generate_subscripts": _generate_subscripts,
     "list_cosine_similarity": _null_literal_arg,
     "list_inner_product": _null_literal_arg,
     "list_dot_product": _null_literal_arg,

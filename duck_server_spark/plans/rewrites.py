@@ -214,11 +214,14 @@ _LIST_FN_TPL = {
     # fold accumulates in DOUBLE — Spark's aggregate() demands a
     # type-STABLE accumulator and decimal addition widens precision
     # (DECIMAL(4,1)+e → DECIMAL(5,1), an analysis error), so the typed-
-    # zero trick only works for int/double inputs. Pinned divergence:
-    # DuckDB's list_sum returns HUGEINT/DECIMAL, this returns DOUBLE —
-    # values equal within double range, type differs (documented in
-    # tests). avg is DOUBLE in both; count is the non-NULL element
-    # count (NULL list → NULL).
+    # zero trick only works for int/double inputs AT THE TEXT TIER.
+    # Round 13: the engine's expression-probe pass
+    # (executor._retype_list_sums) preempts this template with a typed
+    # DECIMAL(38,·) accumulator for integral/decimal elements — duck's
+    # HUGEINT/DECIMAL rendering exactly (probe list_sum_typed). This
+    # DOUBLE fallback remains for float elements (DOUBLE in duck too)
+    # and for unprobeable operands. avg is DOUBLE in both; count is the
+    # non-NULL element count (NULL list → NULL).
     "list_sum": (
         "CASE WHEN cardinality(filter({x}, ls_e -> ls_e IS NOT NULL)) > 0 "
         "THEN aggregate(filter({x}, ls_e -> ls_e IS NOT NULL), "
@@ -561,22 +564,38 @@ def _rewrite_list_slice(q: str) -> str:
             pos = m.end()  # 4-arg step variant: pass through (errors loudly)
             continue
         lst, a, b = args
-        if not (
-            _NONNEG_INT.match(a)
-            and _NONNEG_INT.match(b)
-            and int(a) >= 1
-            and int(b) >= 0
-        ):
-            pos = m.end()  # non-literal / zero-start / negative: loud error
+        is_str = bool(re.fullmatch(r"\s*'(?:[^']|'')*'\s*", lst))
+        szfn = "length" if is_str else "size"
+        if _NONNEG_INT.match(a) and _NONNEG_INT.match(b) and int(a) >= 1:
+            an, bn = f"({a})", f"({b})"
+        elif re.fullmatch(r"\s*[-+]?\d+\s*", a) and re.fullmatch(
+            r"\s*[-+]?\d+\s*", b
+        ) and int(a) != 0:
+            # NEGATIVE literal indices count from the end inclusive
+            # (pinned live round 13: [1..5][-3:-1] = [3,4,5], [2:-2] =
+            # [2,3,4], start clamps to 1, end clamps to len)
+            def _norm(v: str, lo: bool) -> str:
+                n = int(v)
+                if n >= 0:
+                    return f"({n})"
+                base = f"{szfn}({lst}) + {n} + 1"
+                return (
+                    f"greatest({base}, 1)" if lo else f"({base})"
+                )
+
+            an, bn = _norm(a, True), _norm(b, False)
+            bn = f"least({bn}, {szfn}({lst}))"
+        else:
+            pos = m.end()  # non-literal / zero-start: loud error
             continue
-        if re.fullmatch(r"\s*'(?:[^']|'')*'\s*", lst):
+        if is_str:
             # duck list_slice/array_slice over a STRING takes 1-based
             # substring semantics (pinned: list_slice('abcde',2,3)='bc')
-            repl = f"substring({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
+            repl = f"substring({lst}, {an}, greatest({bn} - {an} + 1, 0))"
         else:
             # greatest(…, 0): DuckDB yields [] when end < start; Spark's
             # slice errors on a negative length, so the length clamps at 0
-            repl = f"slice({lst}, ({a}), greatest(({b}) - ({a}) + 1, 0))"
+            repl = f"slice({lst}, {an}, greatest({bn} - {an} + 1, 0))"
         q = q[: m.start()] + repl + q[i:]
         pos = m.start()  # rescan the replacement: nested list_slice inside
 

@@ -541,6 +541,23 @@ PROBES = [
     ("agg_extras", "SELECT mode(x) AS a, product(x) AS b, bit_and(x) AS c, bit_or(x) AS d, bit_xor(x) AS e, any_value(x) AS f FROM (VALUES (12),(10),(6),(12)) t(x)"),
     ("entropy_skew_kurt", "SELECT round(entropy(x),6) AS a, round(skewness(x),6) AS b, round(kurtosis(x),6) AS c FROM (VALUES (1.0),(1.0),(2.0),(8.0)) t(x)"),
     ("win_filter_clause", "SELECT x, count(*) FILTER (x > 1) OVER () AS a FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    # list_sum is type-preserving in duck (HUGEINT/DECIMAL(38,s)) —
+    # closed round 13 via the expression probe's typed accumulator
+    ("list_sum_typed", "SELECT list_sum([1,2,3]) AS a, list_aggregate([1,NULL,3], 'sum') AS b, list_sum(x) AS c FROM (VALUES ([1.5, 2.5])) t(x)"),
+    # ---- eighth discovery pass (round 13) ----
+    ("time_bucket_origin", "SELECT time_bucket(INTERVAL '10 minutes', TIMESTAMP '2024-01-01 00:37:00', TIMESTAMP '2024-01-01 00:02:00') AS a, time_bucket(INTERVAL 2 MONTH, DATE '2024-05-20', DATE '2024-02-15') AS b, time_bucket(INTERVAL 3 MONTH, DATE '2024-05-20', DATE '2023-12-10') AS c"),
+    ("array_slice_negative", "SELECT array_slice([1,2,3,4,5], -3, -1) AS a, array_slice([1,2,3,4,5], 2, -2) AS b, array_slice([1,2,3], -9, 2) AS c, array_slice('hello', 2, -2) AS d, array_slice('hello', -3, 5) AS e"),
+    ("left_right_negative", "SELECT left('hello', -2) AS a, right('hello', -2) AS b, left('hello', 2) AS c, right('hi', 9) AS d, left('ab', 0) AS e"),
+    ("generate_subscripts_tvf", "SELECT generate_subscripts([10,20,30], 1) AS a"),
+    ("regexp_split_table", "SELECT regexp_split_to_table('a1b2c', '\\d') AS a"),
+    ("datetime_ctors", "SELECT last_day(DATE '2024-02-05') AS a, make_date(2024, 2, 29) AS b, make_timestamp(2024, 2, 29, 1, 2, 3.5) AS c, epoch_ms(TIMESTAMP '2024-01-01 00:00:01.5') AS d, epoch(TIMESTAMP '2024-01-01 00:00:01.5') AS e"),
+    ("list_membership", "SELECT list_position([10,20,30], 20) AS a, list_position([10],99) AS b, list_contains([1,2],2) AS c, list_has_any([1,2],[2,9]) AS d, list_has_all([1,2,3],[1,3]) AS e"),
+    ("string_normalize", "SELECT strip_accents('café') AS a, nfc_normalize('café') AS b, like_escape('a%c', 'a!%c', '!') AS c, lpad('x', 5, 'ab') AS d, trim('xxaxx', 'x') AS e"),
+    ("float_predicates", "SELECT isnan('nan'::DOUBLE) AS a, isinf('inf'::DOUBLE) AS b, isfinite(1.0::DOUBLE) AS c, signbit(-0.0) AS d, fdiv(7.5, 2.0) AS e, fmod(7.5, 2.0) AS f"),
+    ("window_distribution_fns", "SELECT x, ntile(2) OVER (ORDER BY x) AS a, cume_dist() OVER (ORDER BY x) AS b, percent_rank() OVER (ORDER BY x) AS c FROM (VALUES (1),(2),(3),(4)) t(x) ORDER BY x"),
+    ("grouping_id_sets", "SELECT x, y, grouping_id(x, y) AS g FROM (VALUES (1,2)) t(x,y) GROUP BY GROUPING SETS ((x), (y), (x,y), ()) ORDER BY g, x NULLS LAST, y NULLS LAST"),
+    ("unnest_recursive_flag", "SELECT unnest([[1,2],[3]], recursive := true) AS a"),
+    ("json_misc_fns", "SELECT json_array_length('[1,2,3]') AS a, json_valid('{x}') AS b, json_merge_patch('{\"a\":1}', '{\"b\":2}') AS c"),
 ]
 
 
