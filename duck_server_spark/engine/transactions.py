@@ -1047,6 +1047,9 @@ class TxnOverlay:
         roll an interrupted multi-table commit forward (atomic multi-
         table commit without a journal needs a table format — Delta/
         Iceberg — documented non-goal)."""
+        # the publish applies deferred DDL without passing through
+        # engine.execute — same probe-cache write rule (round 13)
+        self.engine._probe_cache.clear()
         try:
             self._commit_inner()
         finally:
