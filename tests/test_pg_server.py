@@ -1153,3 +1153,26 @@ def test_statement_timeout_timer_never_leaks(pg):
         )
         assert rows == [(str(sum(range(2000000))),)]
     c.terminate()
+
+
+def test_nested_begin_is_pg_warning_noop(pg):
+    """Pinned PG semantics backing EXPECTED_STMT_DIVERGENCES
+    [err_double_begin_noop] (round 13): BEGIN inside an open block
+    keeps the block (duckdb would error and abort); the open txn's
+    staged work commits normally afterwards."""
+    (host, port), engine = pg
+    c = PgClient(host, port)
+    engine.execute("DROP TABLE IF EXISTS pg_dblbegin")
+    engine.execute("CREATE TABLE pg_dblbegin (k INTEGER)")
+    try:
+        c.simple_query("BEGIN")
+        _, _, tag = c.simple_query("BEGIN")  # noop, not an error
+        assert tag == "BEGIN"
+        c.simple_query("INSERT INTO pg_dblbegin VALUES (1)")
+        assert c.last_ready_status == "T"  # still in a txn block
+        c.simple_query("COMMIT")
+        _, rows, _ = c.simple_query("SELECT count(*) FROM pg_dblbegin")
+        assert rows[0][0] == "1"
+    finally:
+        c.terminate()
+        engine.execute("DROP TABLE IF EXISTS pg_dblbegin")
