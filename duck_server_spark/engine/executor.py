@@ -127,6 +127,9 @@ _BOOTSTRAP_VIEW_NAMES = frozenset(
         "system_tables",
         "system_columns",
         "system_functions",
+        "info_schema_tables",
+        "info_schema_columns",
+        "info_schema_schemata",
         "pg_class",
         "pg_namespace",
         "pg_attribute",
@@ -654,6 +657,14 @@ class Engine:
         # p(id). Registry keys are current-database bare names, so only
         # current-db tables carry rows — same scope as enforcement.
         dcon_rows = []
+        # SQL-standard information_schema.tables/columns (round 13):
+        # the previous mapping aliased them to the CH-shaped system.*
+        # views, so standard clients (JDBC metadata, BI tools) got
+        # UNRESOLVED_COLUMN for table_type / column_default /
+        # is_nullable / ordinal_position. Shapes pinned vs live duck:
+        # table_schema='main', table_type 'BASE TABLE'/'VIEW',
+        # is_nullable 'YES'/'NO', column_default as DDL text.
+        ist_rows, isc_rows = [], []
         # ONE catalog sweep builds system.* AND the pg_catalog triple
         # (review finding: two identical walks doubled DDL latency).
         # Schemas come from one QUALIFIED analysis per table (review
@@ -721,8 +732,29 @@ class Engine:
                     if cc["kind"] in ("notnull", "primary")
                     for c in cc["cols"]
                 }
+                ist_rows.append(
+                    Row(
+                        table_catalog=d.name,
+                        table_schema="main",
+                        table_name=t.name,
+                        table_type="BASE TABLE" if is_table else "VIEW",
+                    )
+                )
                 for i, f in enumerate(fields, start=1):
                     notnull = (f.name in nn) or (not f.nullable)
+                    meta = f.metadata if isinstance(f.metadata, dict) else {}
+                    isc_rows.append(
+                        Row(
+                            table_catalog=d.name,
+                            table_schema="main",
+                            table_name=t.name,
+                            column_name=f.name,
+                            ordinal_position=i,
+                            column_default=meta.get("CURRENT_DEFAULT"),
+                            is_nullable="NO" if notnull else "YES",
+                            data_type=_duckdb_type_name(f.dataType),
+                        )
+                    )
                     dc_rows.append(
                         Row(
                             database_name=d.name,
@@ -811,6 +843,22 @@ class Engine:
                             _con_row("NOT NULL", "NOT NULL", [c])
         spark.createDataFrame(tabs or [], "database string, name string, engine string").createOrReplaceTempView("system_tables")
         spark.createDataFrame(cols or [], "database string, table string, name string, type string").createOrReplaceTempView("system_columns")
+        spark.createDataFrame(
+            ist_rows or [],
+            "table_catalog string, table_schema string, table_name string,"
+            " table_type string",
+        ).createOrReplaceTempView("info_schema_tables")
+        spark.createDataFrame(
+            isc_rows or [],
+            "table_catalog string, table_schema string, table_name string,"
+            " column_name string, ordinal_position int,"
+            " column_default string, is_nullable string, data_type string",
+        ).createOrReplaceTempView("info_schema_columns")
+        spark.createDataFrame(
+            [Row(catalog_name=d.name, schema_name="main") for d in databases]
+            or [],
+            "catalog_name string, schema_name string",
+        ).createOrReplaceTempView("info_schema_schemata")
         catalog_fns = spark.catalog.listFunctions()
         funcs = [Row(name=f.name) for f in catalog_fns][:500]
         spark.createDataFrame(funcs or [], "name string").createOrReplaceTempView("system_functions")
@@ -1210,9 +1258,9 @@ class Engine:
                 "system.tables": "system_tables",
                 "system.columns": "system_columns",
                 "system.functions": "system_functions",
-                "information_schema.schemata": "system_databases",
-                "information_schema.tables": "system_tables",
-                "information_schema.columns": "system_columns",
+                "information_schema.schemata": "info_schema_schemata",
+                "information_schema.tables": "info_schema_tables",
+                "information_schema.columns": "info_schema_columns",
                 "information_schema.constraint_column_usage": "constraint_column_usage",
                 "information_schema.table_constraints": "table_constraints",
                 "information_schema.key_column_usage": "key_column_usage",

@@ -591,26 +591,30 @@ def test_list_slice_rewrite_text_shapes():
     assert rw.rewrite_common(lit) == lit
 
 
-def test_list_slice_rewrite_guards_non_positive_bounds():
-    """ADVICE r6: the rewrite is only exact for all-positive LITERAL
-    bounds. Mixed-sign (valid DuckDB: list_slice(l, 2, -2) = drop last
-    two) silently became []; all-negative diverges on the clamp edge
-    (DuckDB clamps list_slice(l,-5,-1) to the whole list, Spark slice
-    yields []). All such shapes now pass through untouched so Spark
-    errors loudly instead of drifting."""
+def test_list_slice_rewrite_guards_non_literal_bounds():
+    """ADVICE r6, narrowed round 13: NEGATIVE literal bounds now
+    rewrite exactly (from-the-end-inclusive with the duck clamps,
+    pinned live in probe array_slice_negative); what still passes
+    through untouched — loud, never drifting — is the 0-start (clamps
+    in DuckDB only) and NON-LITERAL bounds."""
     for q in (
-        "SELECT list_slice(l, 2, -2) FROM t",
-        "SELECT list_slice(l, -3, -1) FROM t",
-        "SELECT list_slice(l, -3, 2) FROM t",
         "SELECT list_slice(l, 0, 2) FROM t",  # 0-start clamps in DuckDB only
         "SELECT list_slice(l, a, b) FROM t",  # non-literal bounds
         "SELECT list_slice(l, g(1), h(2, 3)) FROM t",
     ):
         assert rw.rewrite_common(q) == q, q
+    # negative literals rewrite to end-relative clamped slices now
+    for q in (
+        "SELECT list_slice(l, 2, -2) FROM t",
+        "SELECT list_slice(l, -3, -1) FROM t",
+        "SELECT list_slice(l, -3, 2) FROM t",
+    ):
+        assert rw.rewrite_common(q) != q, q
+        assert "slice(" in rw.rewrite_common(q), q
     # a guarded call earlier in the statement must not stop a LATER
     # rewritable call from being rewritten
-    out = rw.rewrite_common("SELECT list_slice(l, -1, -1), list_slice(l, 1, 2)")
-    assert out == "SELECT list_slice(l, -1, -1), slice(l, (1), greatest((2) - (1) + 1, 0))"
+    out = rw.rewrite_common("SELECT list_slice(l, 0, 2), list_slice(l, 1, 2)")
+    assert out == "SELECT list_slice(l, 0, 2), slice(l, (1), greatest((2) - (1) + 1, 0))"
 
 
 def test_list_slice_rewrite_value_grid(spark, duck):

@@ -558,6 +558,13 @@ PROBES = [
     ("grouping_id_sets", "SELECT x, y, grouping_id(x, y) AS g FROM (VALUES (1,2)) t(x,y) GROUP BY GROUPING SETS ((x), (y), (x,y), ()) ORDER BY g, x NULLS LAST, y NULLS LAST"),
     ("unnest_recursive_flag", "SELECT unnest([[1,2],[3]], recursive := true) AS a"),
     ("json_misc_fns", "SELECT json_array_length('[1,2,3]') AS a, json_valid('{x}') AS b, json_merge_patch('{\"a\":1}', '{\"b\":2}') AS c"),
+    # SQL-standard information_schema shapes (round 13; previously
+    # aliased to CH-shaped system.* views → UNRESOLVED_COLUMN for
+    # standard clients). Schema-qualified data: compare fixed columns
+    # over the shared parquet views' BASE tables is host-dependent, so
+    # probe a CREATEd table via the statement battery instead — here we
+    # pin the column SHAPES resolve and the literal-schema row.
+    ("info_schema_schemata_main", "SELECT DISTINCT schema_name FROM information_schema.schemata WHERE schema_name = 'main'"),
 ]
 
 

@@ -769,6 +769,14 @@ SEQS: list[tuple[str, list[str], list[str]]] = [
         "UPDATE sp_ewea SET k = 1 WHERE k = 2",
         "UPDATE sp_ewea SET v = 99 WHERE k = 2",
     ], ["sp_ewea"]),
+    # SQL-standard information_schema shapes (round 13): snapshot the
+    # rows into a table so the final-state comparison pins column
+    # names, duck type spellings, nullability, and defaults
+    ("info_schema_columns_shape", [
+        "CREATE TABLE sp_isq (k INTEGER PRIMARY KEY, v VARCHAR DEFAULT 'x', d DECIMAL(4,1), n INTEGER NOT NULL)",
+        "CREATE TABLE sp_isc AS SELECT column_name, data_type, is_nullable, column_default, ordinal_position FROM information_schema.columns WHERE table_name = 'sp_isq'",
+        "CREATE TABLE sp_ist AS SELECT table_name, table_type FROM information_schema.tables WHERE table_name = 'sp_isq'",
+    ], ["sp_isc", "sp_ist"]),
     ("err_truncate_then_reuse", [
         "CREATE TABLE sp_etru (k INTEGER PRIMARY KEY)",
         "INSERT INTO sp_etru VALUES (1)",
