@@ -163,6 +163,7 @@ _INTERNAL_TABLE_MARKS = (
     # returned DataFrame is lazy — so hiding, not dropping, is correct)
     "__duck_meta_",
     "__duck_sub_",
+    "__duck_file_",
 )
 # UNION [ALL] BY NAME separators + the trailing clause that applies to
 # the whole set op (round 10)
@@ -311,6 +312,11 @@ class Engine:
         self._users_path = os.path.join(self.data_dir, "duckserver_users.json")
         self._users_lock = threading.Lock()
         self._cancel_lock = threading.Lock()
+        # read_csv/read_json temp-view registry (round 13): one hidden
+        # view per DISTINCT call text, reused across statements and
+        # evicted FIFO past 256 so repeated file queries don't leak
+        # catalog entries
+        self._file_views: dict[tuple, str] = {}
         # cross-statement FROM-schema / expression-type probe cache
         # (round 13): probes are ANALYSIS-only and keyed by exact probe
         # text, so they stay valid until the catalog changes — cleared
@@ -1312,6 +1318,9 @@ class Engine:
         # pays for is free to all later passes — and lets
         # _restore_stored_case fix all-lowercase refs at zero extra
         # cost. Engine-lived across statements, cleared on writes.
+        # duck file table functions with options → hidden temp views,
+        # BEFORE the probe passes so their schemas resolve (round 13)
+        q = self._expand_file_reads(q, dialect)
         probe_cache = self._probe_cache
         if len(probe_cache) > 4096:
             probe_cache.clear()
@@ -2721,6 +2730,208 @@ class Engine:
             )
             q = q[:s] + rep + q[e:]
         return q
+
+    _FILE_READ_CALL = re.compile(
+        r"\b(read_csv_auto|read_csv|read_json_auto|read_json)\s*\(",
+        re.IGNORECASE,
+    )
+    _FILE_VIEW_SEQ = [0]
+
+    def _expand_file_reads(self, q: str, dialect: str) -> str:
+        """duck's read_csv/read_json table functions with OPTIONS and
+        header/type sniffing (round 13). The pure-text tier maps the
+        bare single-path spellings to Spark file relations
+        (sources/files.py), but that loses duck's header detection,
+        type inference, and every named option — `read_csv('f',
+        delim=';')` didn't parse at all. Here the call becomes an
+        eagerly-registered hidden temp view built with the Spark csv/
+        json reader: header sniffed like duck (header iff the first
+        line is not all-numeric), no-header names column0…, options
+        mapped 1:1 (delim/sep, quote, escape, nullstr, all_varchar,
+        ignore_errors, dateformat, timestampformat, names, format) —
+        unknown options raise 0A000 loudly, never silently drift."""
+        # duck's bare file-path relation: FROM '/data/x.csv' (round 13).
+        # Scan the masked twin (a FROM inside a string literal is masked
+        # there); quotes survive masking, so the literal's span is found
+        # on masked and the path sliced from q.
+        if "'" in q and re.search(r"\b(from|join)\b", q, re.IGNORECASE):
+            masked0 = rewrites._mask_literals(q)
+            out, last = [], 0
+            for m in re.finditer(
+                r"\b(FROM|JOIN)\s+'", masked0, re.IGNORECASE
+            ):
+                qs = m.end() - 1
+                qe = masked0.find("'", qs + 1)
+                if qe < 0:
+                    continue
+                path = q[qs + 1 : qe]
+                low = path.lower()
+                if low.endswith((".csv", ".csv.gz")):
+                    rel = f"read_csv('{path}')"
+                elif low.endswith((".json", ".jsonl", ".ndjson", ".json.gz")):
+                    rel = f"read_json('{path}')"
+                elif low.endswith(".parquet"):
+                    rel = f"parquet.`{path}`"
+                else:
+                    continue
+                out.append(q[last : m.start()])
+                out.append(f"{m.group(1)} {rel}")
+                last = qe + 1
+            out.append(q[last:])
+            q = "".join(out)
+        if not self._FILE_READ_CALL.search(q):
+            return q
+        for _ in range(16):
+            masked = rewrites._mask_literals(q)
+            m = self._FILE_READ_CALL.search(masked)
+            if m is None:
+                return q
+            op = masked.index("(", m.end() - 1)
+            end = rewrites._scan_balanced(masked, op + 1)
+            args = rewrites._split_top_level(
+                q[op + 1 : end - 1], masked[op + 1 : end - 1]
+            )
+            view = self._file_read_view(m.group(1).lower(), args)
+            if view is None:
+                return q  # unparseable path: loud native error downstream
+            q = q[: m.start()] + view + q[end:]
+        return q
+
+    def _file_read_view(self, fn: str, args: list[str]) -> str | None:
+        from duck_server_spark.engine.errors import PgError
+
+        key = (fn, tuple(a.strip() for a in args))
+        cached = self._file_views.get(key)
+        if cached is not None:
+            try:
+                if self.spark.catalog.tableExists(cached):
+                    return cached
+            except Exception:  # noqa: BLE001
+                pass
+            self._file_views.pop(key, None)
+        lit = re.compile(r"^\s*'((?:[^']|'')*)'\s*$")
+        paths: list[str] = []
+        if args and lit.match(args[0]):
+            paths = [lit.match(args[0]).group(1)]
+        elif args and args[0].strip().startswith("["):
+            # bracket list of path literals — reassemble across the
+            # bracket-blind arg split
+            joined, rest_i = args[0], 1
+            while not joined.rstrip().endswith("]") and rest_i < len(args):
+                joined += ", " + args[rest_i]
+                rest_i += 1
+            inner = joined.strip()[1:-1]
+            for p in rewrites._split_top_level(inner, inner):
+                pm = lit.match(p)
+                if pm is None:
+                    return None
+                paths.append(pm.group(1))
+            args = [joined] + args[rest_i:]
+        else:
+            return None
+        opts: dict[str, str] = {}
+        for a in args[1:]:
+            om = re.match(r"^\s*(\w+)\s*:?=\s*(.+)$", a, re.DOTALL)
+            if om is None:
+                return None
+            opts[om.group(1).lower()] = om.group(2).strip()
+
+        def _sval(v: str) -> str:
+            vm = lit.match(v)
+            return vm.group(1).replace("''", "'") if vm else v
+
+        def _bval(v: str) -> bool:
+            return _sval(v).strip().lower() in ("true", "1", "t", "yes")
+
+        is_json = "json" in fn
+        reader = self.spark.read
+        rename_noheader = False
+        if is_json:
+            for k, v in opts.items():
+                if k == "format":
+                    if _sval(v).lower() == "array":
+                        reader = reader.option("multiLine", "true")
+                    elif _sval(v).lower() not in ("auto", "newline_delimited", "nd", "unstructured"):
+                        raise PgError("0A000", f"read_json format {_sval(v)!r} is not supported")
+                elif k == "ignore_errors":
+                    reader = reader.option("mode", "DROPMALFORMED" if _bval(v) else "FAILFAST")
+                elif k in ("auto_detect", "sample_size", "maximum_object_size", "records"):
+                    continue
+                else:
+                    raise PgError("0A000", f"read_json option {k!r} is not supported")
+            df = reader.json(paths if len(paths) > 1 else paths[0])
+        else:
+            header: bool | None = None
+            infer = True
+            for k, v in opts.items():
+                if k == "header":
+                    header = _bval(v)
+                elif k in ("delim", "sep"):
+                    reader = reader.option("sep", _sval(v))
+                elif k == "quote":
+                    reader = reader.option("quote", _sval(v))
+                elif k == "escape":
+                    reader = reader.option("escape", _sval(v))
+                elif k == "nullstr":
+                    reader = reader.option("nullValue", _sval(v))
+                elif k == "all_varchar":
+                    infer = not _bval(v)
+                elif k == "ignore_errors":
+                    reader = reader.option("mode", "DROPMALFORMED" if _bval(v) else "FAILFAST")
+                elif k == "dateformat":
+                    reader = reader.option("dateFormat", _sval(v))
+                elif k == "timestampformat":
+                    reader = reader.option("timestampFormat", _sval(v))
+                elif k in ("auto_detect", "sample_size", "compression", "normalize_names", "parallel"):
+                    continue
+                else:
+                    raise PgError("0A000", f"read_csv option {k!r} is not supported")
+            if header is None:
+                # duck's sniffer: header iff line 1 is NOT all-numeric
+                # (pinned live: all-string files get a header; an
+                # all-numeric first line gets column0… names)
+                header = True
+                try:
+                    import csv as _csv
+
+                    with open(paths[0], newline="") as fh:
+                        first = next(_csv.reader(fh, delimiter=_sval(opts.get("delim", opts.get("sep", "','")))))
+
+                    def _numlike(s: str) -> bool:
+                        try:
+                            float(s)
+                            return True
+                        except ValueError:
+                            return False
+
+                    header = not all(_numlike(c) for c in first if c != "")
+                except Exception:  # noqa: BLE001 — unreadable: keep True
+                    pass
+            reader = reader.option("header", str(header).lower()).option(
+                "inferSchema", str(infer).lower()
+            )
+            df = reader.csv(paths if len(paths) > 1 else paths[0])
+            rename_noheader = not header
+        if rename_noheader:
+            df = df.toDF(*[f"column{i}" for i in range(len(df.columns))])
+        if "names" in opts:
+            inner = opts["names"].strip()[1:-1]
+            names = [
+                _sval(x) for x in rewrites._split_top_level(inner, inner)
+            ]
+            df = df.toDF(*(names + df.columns[len(names) :]))
+        with _COW_SEQ_LOCK:
+            self._FILE_VIEW_SEQ[0] += 1
+            name = f"__duck_file_{os.getpid()}_{self._FILE_VIEW_SEQ[0]}"
+        df.createOrReplaceTempView(name)
+        self._file_views[key] = name
+        while len(self._file_views) > 256:
+            old = self._file_views.pop(next(iter(self._file_views)))
+            try:
+                self.spark.catalog.dropTempView(old)
+            except Exception:  # noqa: BLE001
+                pass
+        return name
 
     def _guard_positional_join(self, q: str) -> None:
         """Scale guard for the POSITIONAL JOIN SQL shim (round 13,

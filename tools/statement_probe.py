@@ -769,6 +769,16 @@ SEQS: list[tuple[str, list[str], list[str]]] = [
         "UPDATE sp_ewea SET k = 1 WHERE k = 2",
         "UPDATE sp_ewea SET v = 99 WHERE k = 2",
     ], ["sp_ewea"]),
+    # duck file table-functions with options + the bare-path relation
+    # (round 13): header/type sniffing, explicit options, FROM '…csv'
+    ("file_read_functions", [
+        "CREATE TABLE sp_frf (a INTEGER, b VARCHAR)",
+        "INSERT INTO sp_frf VALUES (1, 'x'), (2, NULL), (3, 'q,z')",
+        "COPY sp_frf TO '/tmp/sp_frf.csv' (HEADER)",
+        "CREATE TABLE sp_frr AS SELECT * FROM read_csv('/tmp/sp_frf.csv')",
+        "CREATE TABLE sp_frb AS SELECT a, b FROM '/tmp/sp_frf.csv'",
+        "CREATE TABLE sp_frh AS SELECT * FROM read_csv('/tmp/sp_frf.csv', header = true)",
+    ], ["sp_frr", "sp_frb", "sp_frh"]),
     # SQL-standard information_schema shapes (round 13): snapshot the
     # rows into a table so the final-state comparison pins column
     # names, duck type spellings, nullability, and defaults
