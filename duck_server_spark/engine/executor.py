@@ -34,6 +34,7 @@ import os
 import re
 import secrets
 import threading
+import time
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -413,6 +414,17 @@ class Engine:
                         continue  # catalog-owned (e.g. restored external)
                 except Exception:  # noqa: BLE001 — catalog probe best-effort
                     pass
+                try:
+                    # a FRESH dir is an in-flight write of a sibling
+                    # engine in this process (staging dirs exist on disk
+                    # before their catalog entries) — crashed-process
+                    # leftovers, the sweep's actual target, are minutes
+                    # old by the time a new engine boots (round 13: the
+                    # sweep reclaimed a mid-write _temporary dir)
+                    if time.time() - os.path.getmtime(path) < 300:
+                        continue
+                except OSError:
+                    continue
                 _sh.rmtree(path, ignore_errors=True)
 
     def _recoverable_create(self, sql: str, original: str) -> None:

@@ -814,9 +814,17 @@ class TxnOverlay:
             # transient and retries on the fresh base
             self.base_versions[key] = _table_fingerprint(spark, table)
             try:
+                # registered BEFORE the clone write (round 13): the
+                # bootstrap janitor of a concurrently-constructed Engine
+                # globs *__txn_* dirs, and an in-flight clone is on disk
+                # but neither registered nor catalog-visible yet — the
+                # sweep reclaimed its _temporary dir mid-write (the
+                # chmod/_temporary flake family)
+                _register_shadow(shadow, table)
                 spark.table(table).write.mode("overwrite").saveAsTable(shadow)
                 break
             except Exception as e:  # noqa: BLE001
+                _unregister_shadow(shadow)
                 if attempt < 2 and is_file_race(e):
                     # the failed write can leave a partial shadow table/
                     # location — clean it or the retry hits 42710
@@ -825,7 +833,6 @@ class TxnOverlay:
                     continue
                 raise
         self.staged[key] = shadow
-        _register_shadow(shadow, table)
 
     # ----------------------------------------------------------- rewrites
 
@@ -921,6 +928,9 @@ class TxnOverlay:
         self._drop_shadow(shadow)
         spark = self.engine.spark
         prepared = self.engine._prepare_sql(ddl, "pg")
+        # register BEFORE the create runs — same sweep race as
+        # ensure_staged (round 13)
+        _register_shadow(shadow, table)
         spark.sql(prepared).collect()
         if "__asof_end_" in prepared:
             # in-txn CTAS over an ASOF star (r7 review): the helper

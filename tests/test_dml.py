@@ -72,18 +72,32 @@ def test_bootstrap_janitor_sweeps_orphan_dirs(spark):
     txn ids mean the reuse-time cleanup never fires)."""
     import os
 
+    import time as _time
+
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     orphans = [
         f"{warehouse}/orph_j1__txn_314159",
         f"{warehouse}/orph_j2__cow_staging",
     ]
-    for p in orphans:
+    fresh = f"{warehouse}/orph_j3__txn_271828"
+    for p in orphans + [fresh]:
         os.makedirs(p, exist_ok=True)
         with open(f"{p}/part-junk", "w") as f:
             f.write("x")
+    # crashed-process leftovers are old by the time a new engine boots;
+    # the sweep's age guard (round 13) protects IN-FLIGHT sibling writes
+    # whose dirs exist before their catalog entries — backdate the real
+    # orphans, leave one fresh to pin that it SURVIVES
+    old = _time.time() - 3600
+    for p in orphans:
+        os.utime(p, (old, old))
     Engine(spark)
     for p in orphans:
         assert not os.path.exists(p), p
+    assert os.path.exists(fresh), "fresh dir must survive the age guard"
+    import shutil
+
+    shutil.rmtree(fresh, ignore_errors=True)
 
 
 def test_create_table_recovers_orphaned_base_location(spark):
