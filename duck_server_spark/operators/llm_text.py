@@ -1196,11 +1196,60 @@ WITH dterms AS (
 """
 
 
+_cooc_cached: list = []
+
+
 def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (guide §2.4/§5): two staged slim checkpoints replace the
+    inlined CTE re-computation — `dterms` (distinct-term explode) feeds
+    both the df aggregate and the ranked join, and `capped` feeds BOTH
+    sides of the pair self-join; as inline CTEs each reference re-ran
+    the explode / the df-join-window chain. Checkpoints carry only
+    (doc_id, term[, c]) — no document text. Identical integer counts,
+    oracle hash unchanged (measured 0.83 -> 0.56 s at sf0.1)."""
     from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators.common import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
 
     register_views(spark, sf_dir)
-    return spark.sql(TEXT_COOC_SPARK)
+    release_checkpoints(spark, _cooc_cached)
+    dterms = tracked_local_checkpoint(
+        spark,
+        spark.sql(f"SELECT doc_id, explode(array_distinct({_TOKS})) AS term FROM documents"),
+        _cooc_cached,
+    )
+    dterms.createOrReplaceTempView("__cooc_dterms")
+    capped = tracked_local_checkpoint(
+        spark,
+        spark.sql(f"""
+WITH dterms AS (SELECT * FROM __cooc_dterms),
+df AS (SELECT term, count(*) AS c FROM dterms GROUP BY term),
+keep AS (SELECT term, c FROM df WHERE c >= {_COOC_DF_LO} AND c <= {_COOC_DF_HI}),
+ranked AS (
+  SELECT d.doc_id, d.term, k.c,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY d.term) AS rk
+  FROM dterms d JOIN keep k ON d.term = k.term
+)
+SELECT doc_id, term, c FROM ranked WHERE rk <= {_COOC_CAP}"""),
+        _cooc_cached,
+    )
+    capped.createOrReplaceTempView("__cooc_capped")
+    return spark.sql(f"""
+WITH pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         max(a.c) AS c_a, max(b.c) AS c_b, count(*) AS c_ab
+  FROM __cooc_capped a JOIN __cooc_capped b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+tot AS (SELECT count(*) AS d_docs FROM documents)
+SELECT term_a, term_b, c_a, c_b, c_ab,
+       CAST(c_ab * d_docs AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+FROM pairs CROSS JOIN tot
+WHERE c_ab >= 3
+ORDER BY lift DESC, term_a ASC, term_b ASC
+LIMIT {_COOC_TOPK}""")
 
 
 QUERIES["text_cooccurrence_lift"] = text_cooccurrence_lift
@@ -1463,9 +1512,7 @@ ORACLE["text_tokenizer_fertility"] = TOKENIZER_FERTILITY_DUCK
 # N/L one-row broadcast, query join broadcasts (5 terms), final per-doc
 # sum map-side combined, TakeOrdered top-20.
 
-_BM25_TEMPLATE = """
-WITH terms AS (SELECT doc_id, {tok_unnest} AS term FROM {doctable}),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+_BM25_TAIL = """
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
 corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
@@ -1508,15 +1555,44 @@ ORDER BY s_e4 DESC, doc_id ASC
 LIMIT 20
 """
 
+_BM25_TEMPLATE = (
+    """
+WITH terms AS (SELECT doc_id, {tok_unnest} AS term FROM {doctable}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),"""
+    + _BM25_TAIL
+)
+
+_bm25_cached: list = []
+
 
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (guide §2.4/§5): the `tf` term-frequency table feeds FOUR
+    downstream consumers (df, dl, toklen, the contrib join) — as an
+    inlined CTE each reference re-ran the token explode + (doc, term)
+    aggregation (32-Exchange initial plan). `tf` is now computed once
+    into a slim eager localCheckpoint (doc_id, term, tf — no document
+    text) and the unchanged tail reads it; identical integer arithmetic,
+    oracle hash unchanged (measured 1.31 -> 1.05 s at sf0.1)."""
     from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators.common import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
 
     register_views(spark, sf_dir)
+    release_checkpoints(spark, _bm25_cached)
+    tf = tracked_local_checkpoint(
+        spark,
+        spark.sql(
+            f"SELECT doc_id, term, count(*) AS tf "
+            f"FROM (SELECT doc_id, explode({_TOKS}) AS term FROM documents) "
+            f"GROUP BY doc_id, term"
+        ),
+        _bm25_cached,
+    )
+    tf.createOrReplaceTempView("__bm25_tf")
     return spark.sql(
-        _BM25_TEMPLATE.format(
-            tok_unnest=f"explode({_TOKS})", div="DIV", doctable="documents"
-        )
+        "WITH tf AS (SELECT * FROM __bm25_tf)," + _BM25_TAIL.format(div="DIV")
     )
 
 

@@ -181,6 +181,11 @@ corpus_scored AS (
 -- assignment as an aggregation, not a window: the broadcast cross join
 -- scores N x K inside each task and the partial min_by collapses to one
 -- row per vector BEFORE the shuffle (a window here would shuffle N x K)
+-- (round-13 note: an assignment-as-projection variant — argmin over a
+-- collected centroid array, no join/agg — MEASURED SLOWER at sf0.1
+-- (1.0 -> 1.1 s; semantic clusters 1.8 -> 2.1 s): the min_by exchange
+-- subtree is canonical-identical across CTE references, so AQE reuses
+-- the shuffle stage, while a projection recomputes per reference)
 assign AS (
   SELECT vec_id, min_by(centroid_id, struct(d2, centroid_id)) AS centroid_id
   FROM corpus_scored GROUP BY vec_id
@@ -489,8 +494,12 @@ ORACLE["similarity_matryoshka_topk"] = SIM_MATRYOSHKA_DUCK
 
 # codebook memo per (session, fixture): training reads a fixed 256-row
 # sample of an immutable fixture (same contract as load_table's memo);
-# production retrains when the corpus sample changes
+# production retrains when the corpus sample changes. Stores the RAW
+# (m, code, centroid) rows: both the SQL view and the vectorized
+# encoder's numpy table are built from the same list.
 _PQ_CB_CACHE: dict = {}
+
+_PQ_SEQ = [0]
 
 
 def similarity_ann_pq(
@@ -504,15 +513,26 @@ def similarity_ann_pq(
     near-random fixture: top-10-in-shortlist recall 0.66 @ 50 → 0.82
     @ 100; code-only ranking without re-rank is 0.16 — asserted in
     tests/test_operators.py). At 100 TB the shortlist is a fixed-size
-    per-query constant while the corpus index stays 8 B/vector."""
+    per-query constant while the corpus index stays 8 B/vector.
+
+    Round 13 (guide §4.2): the corpus ENCODE stage — N·M·K interpreted
+    zip_with/aggregate lambdas, measured as ~75% of the 2.1 s sf0.1
+    query — is now a mapInPandas numpy kernel over the (pruned) 2-column
+    embeddings scan, with the 128-row codebook broadcast to the workers.
+    The float64 arithmetic replays the SQL fold's exact op order
+    (sequential accumulation dim-by-dim; argmin first-hit tie-break ==
+    min_by struct(l2, code)), so the emitted codes are bit-identical —
+    asserted against the SQL encoder in tests/test_scale_paths.py. The
+    query-side ADC table (Q·M·K, tiny) stays in SQL."""
+    import numpy as np
+
     register_views(spark, sf_dir)
     ck = (id(spark), sf_dir)
-    cb = _PQ_CB_CACHE.get(ck)
-    if cb is None:
-        cb = spark.createDataFrame(
-            _train_pq_codebook(spark), "m INT, code INT, centroid ARRAY<DOUBLE>"
-        )
-        _PQ_CB_CACHE[ck] = cb
+    cb_rows = _PQ_CB_CACHE.get(ck)
+    if cb_rows is None:
+        cb_rows = _train_pq_codebook(spark)
+        _PQ_CB_CACHE[ck] = cb_rows
+    cb = spark.createDataFrame(cb_rows, "m INT, code INT, centroid ARRAY<DOUBLE>")
     cb.createOrReplaceTempView("pq_codebook")
     d = _PQ_DIM // _PQ_M
     # STAGED lambdas (the repo-wide rule — Spark evaluates higher-order
@@ -529,30 +549,70 @@ def similarity_ann_pq(
         "greatest(sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
         "0.0D, (acc, v) -> acc + v)), CAST(1e-12 AS DOUBLE))"
     )
+
+    Carr = np.zeros((_PQ_M, _PQ_K, d), dtype=np.float64)
+    for m, k, cent in cb_rows:
+        Carr[m, k] = cent
+    bc = spark.sparkContext.broadcast(Carr)
+
+    def encode(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # sequential dim-by-dim accumulation == the SQL fold's order
+            acc = np.zeros(n)
+            for j in range(E.shape[1]):
+                acc += E[:, j] * E[:, j]
+            ne = E / np.maximum(np.sqrt(acc), 1e-12)[:, None]
+            codes = np.empty((n, _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                smat = ne[:, m * d : (m + 1) * d]
+                l2m = np.empty((n, _PQ_K))
+                for k in range(_PQ_K):
+                    a = np.zeros(n)
+                    for j in range(d):
+                        t = smat[:, j] - C[m, k, j]
+                        a += t * t
+                    l2m[:, k] = a
+                # argmin's first-hit tie-break == min_by struct(l2, code)
+                codes[:, m] = l2m.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _PQ_M),
+                    "m": np.tile(np.arange(_PQ_M, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    _PQ_SEQ[0] += 1
+    codes_view = f"pq_codes_{_PQ_SEQ[0]}"
+    (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id BIGINT, m INT, code INT")
+        .createOrReplaceTempView(codes_view)
+    )
     return spark.sql(f"""
 WITH e AS (
   SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
-  FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)
-),
--- ENCODE: broadcast cross join scores each subvector against its 16
--- centroids inside the task; min_by collapses to one code per (vector,
--- subspace) BEFORE the shuffle — N·M slim rows, the 32x-compressed index
-codes AS (
-  SELECT e.vec_id, b.m, min_by(b.code, struct({l2}, b.code)) AS code
-  FROM e CROSS JOIN pq_codebook b
-  GROUP BY e.vec_id, b.m
+  FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings WHERE vec_id < 5)
 ),
 -- ADC TABLE: per query, distance from each query subvector to every
 -- centroid (Q·M·K rows — tiny, broadcasts)
 adc AS (
   SELECT e.vec_id AS query_id, b.m, b.code, {l2} AS dist
   FROM e CROSS JOIN pq_codebook b
-  WHERE e.vec_id < 5
 ),
 -- SCORE: M table lookups + one map-side-combined sum per candidate
+-- (codes come from the vectorized encoder view — N·M slim rows)
 scored AS (
   SELECT a.query_id, c.vec_id AS cand_id, sum(a.dist) AS approx_d2
-  FROM codes c JOIN adc a ON c.m = a.m AND c.code = a.code
+  FROM {codes_view} c JOIN adc a ON c.m = a.m AND c.code = a.code
   WHERE c.vec_id <> a.query_id
   GROUP BY a.query_id, c.vec_id
 ),

@@ -115,3 +115,94 @@ def test_minhash_vectorized_recall_vs_md5_variant(spark, sf_dir):
     assert len(md5v) > 0
     assert len(vec & md5v) / len(md5v) >= 0.8
     assert len(vec & md5v) / max(len(vec), 1) >= 0.8
+
+
+def test_minhash_sig_batch_matches_per_doc_reference():
+    """The round-13 batch-vectorized signature stage (pd.factorize +
+    np.minimum.reduceat over a padded flat token layout) must be
+    BIT-IDENTICAL to the r12 per-document loop it replaced — same int64
+    op sequence, so every signature matches exactly, including the
+    degenerate zero-padded short-doc windows."""
+    import zlib
+
+    import numpy as np
+
+    from duck_server_spark.operators.dedup import (
+        _MHV_AB,
+        _MHV_C,
+        _MHV_P,
+        _NUM_HASHES,
+        _minhash_sig_batch,
+    )
+
+    C1, C2, C3 = _MHV_C
+    P = _MHV_P
+
+    def ref_one(text):
+        toks = text.strip().split()
+        th = np.fromiter(
+            (zlib.crc32(t.encode()) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        if len(th) < 3:
+            th = np.pad(th, (0, 3 - len(th)))
+        hp = ((th[:-2] * C1) % P + (th[1:-1] * C2) % P + (th[2:] * C3) % P) % P
+        return [int(((hp * a + b) % P).min()) for a, b in _MHV_AB]
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        " ",
+        "one",
+        "one two",
+        "one two three",
+        "a b c d e f g h i j k " * 30,
+        "repeated repeated repeated repeated",
+        "  leading and trailing   whitespace  ",
+        "unicode tökens ünïcode tökens mixed",
+    ]
+    batch = _minhash_sig_batch(texts)
+    assert len(batch) == _NUM_HASHES
+    for i, t in enumerate(texts):
+        assert ref_one(t) == [int(batch[j][i]) for j in range(_NUM_HASHES)], t[:40]
+    # empty batch keeps the schema shape
+    assert all(len(a) == 0 for a in _minhash_sig_batch([]))
+
+
+def test_pq_vectorized_codes_match_sql_encoder(spark, sf_dir):
+    """The round-13 numpy PQ encoder must emit BIT-IDENTICAL codes to
+    the SQL encode stage it replaced (same float64 op order: sequential
+    dim folds, argmin first-hit tie-break == min_by struct(l2, code))."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import similarity as sim
+
+    register_views(spark, sf_dir)
+    # builder registers pq_codes_<seq> from the numpy encoder
+    sim.similarity_ann_pq(spark, sf_dir)
+    fast = {
+        (r.vec_id, r.m): r.code
+        for r in spark.table(f"pq_codes_{sim._PQ_SEQ[0]}").collect()
+    }
+
+    d = sim._PQ_DIM // sim._PQ_M
+    sub = f"slice(e.ne, b.m * {d} + 1, {d})"
+    l2 = (
+        f"aggregate(zip_with({sub}, b.centroid, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "greatest(sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+        "0.0D, (acc, v) -> acc + v)), CAST(1e-12 AS DOUBLE))"
+    )
+    ref = {
+        (r.vec_id, r.m): r.code
+        for r in spark.sql(f"""
+WITH e AS (
+  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+  FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings)
+)
+SELECT e.vec_id, b.m, min_by(b.code, struct({l2}, b.code)) AS code
+FROM e CROSS JOIN pq_codebook b
+GROUP BY e.vec_id, b.m
+""").collect()
+    }
+    assert fast == ref
