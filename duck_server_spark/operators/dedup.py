@@ -36,6 +36,8 @@ once in a staged column, not re-evaluated in the WHERE clause.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from duck_server_spark.engine.session import register_views
@@ -1200,6 +1202,8 @@ _BLOOM_LAST_VIEWS: list[tuple[str, str]] = [("", "")]
 # starts (the returned DataFrame has been consumed by then; an immediate
 # unpersist would yank the bitmap from under the lazy plan — ADVICE r4)
 _BLOOM_OLD_BC: list = []
+# checkpointed flags frames, released like the broadcasts (round 13)
+_bloom_cached: list = []
 
 
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,23 +1231,47 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.bitwise_or.at(bits, off >> 3, (1 << (off & 7)).astype(np.uint8))
         return pd.DataFrame({"chunk": [key[0]], "bits": [bits.tobytes()]})
 
-    chunks = (
-        spark.sql(
-            f"""SELECT DISTINCT p div {_BLOOM_CHUNK_BITS} AS chunk,
-                       CAST(p % {_BLOOM_CHUNK_BITS} AS INT) AS off
-            FROM (SELECT explode({_BLOOM_POS_EXPR}) AS p
-                  FROM (SELECT DISTINCT xxhash64(text) AS chash FROM documents))"""
-        )
-        .groupBy("chunk")
-        .applyInPandas(pack_chunk, "chunk BIGINT, bits BINARY")
-        .collect()
+    # Round 13 (guide §2.4): the r12 build ran THREE exchanges plus a
+    # 128-group Python stage — distinct chash, distinct (chunk, off),
+    # groupBy chunk, applyInPandas — measured ~0.9 s of the 1.5 s query
+    # to produce a 128 KB bitmap. Setting a bit is idempotent, so the
+    # distinct-chash pass adds nothing; the single DISTINCT on the bit
+    # position partial-aggregates map-side AND bounds the row count at m
+    # (one row per set bit) regardless of corpus size. Below the
+    # parameterized bitmap-size threshold the driver collects those <= m
+    # distinct positions and packs them with one vectorized bitwise_or
+    # (one exchange, no Python workers); above it — production-sized
+    # filters, ~1.25 GB per 10^9 keys — the distributed chunk pack
+    # ships m/8 bytes to the driver exactly as before.
+    driver_build_bits = int(
+        os.environ.get("SPARK_GRAFT_BLOOM_DRIVER_BITS", str(1 << 26))
     )
+    distinct_pos = f"""SELECT DISTINCT p
+            FROM (SELECT explode({_BLOOM_POS_EXPR}) AS p
+                  FROM (SELECT xxhash64(text) AS chash FROM documents))"""
     bitmap = np.zeros(_BLOOM_M_BITS >> 3, dtype=np.uint8)
-    step = _BLOOM_CHUNK_BITS >> 3
-    for row in chunks:
-        bitmap[row.chunk * step : (row.chunk + 1) * step] = np.frombuffer(
-            row.bits, dtype=np.uint8
+    if _BLOOM_M_BITS <= driver_build_bits:
+        pos = np.array(
+            [r.p for r in spark.sql(distinct_pos).collect()], dtype=np.int64
         )
+        if len(pos):
+            np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    else:
+        chunks = (
+            spark.sql(
+                f"""SELECT p div {_BLOOM_CHUNK_BITS} AS chunk,
+                           CAST(p % {_BLOOM_CHUNK_BITS} AS INT) AS off
+                FROM ({distinct_pos})"""
+            )
+            .groupBy("chunk")
+            .applyInPandas(pack_chunk, "chunk BIGINT, bits BINARY")
+            .collect()
+        )
+        step = _BLOOM_CHUNK_BITS >> 3
+        for row in chunks:
+            bitmap[row.chunk * step : (row.chunk + 1) * step] = np.frombuffer(
+                row.bits, dtype=np.uint8
+            )
     bc = spark.sparkContext.broadcast(bitmap)
     _BLOOM_OLD_BC.append(bc)
 
@@ -1257,12 +1285,25 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "might": hit.all(axis=1)})
 
     spark.sql(f"SELECT doc_id, text FROM ({_BLOOM_INCOMING})").createOrReplaceTempView(v_in)
-    (
+    # Round 13 (guide §5): the flags view is referenced TWICE by the
+    # final query (definite-negative branch + positives join) — as a
+    # lazy view the whole scan→hash→mapInPandas check stage ran twice.
+    # Eager localCheckpoint of the slim (doc_id, might) frame runs it
+    # once; both references read the stored rows.
+    from duck_server_spark.operators.common import (
+        release_checkpoints,
+        tracked_local_checkpoint,
+    )
+
+    release_checkpoints(spark, _bloom_cached)
+    flags = tracked_local_checkpoint(
+        spark,
         spark.sql(f"SELECT doc_id, xxhash64(text) AS chash FROM {v_in}")
         .selectExpr("doc_id", f"{_BLOOM_POS_EXPR} AS pos")
-        .mapInPandas(check, "doc_id BIGINT, might BOOLEAN")
-        .createOrReplaceTempView(v_fl)
+        .mapInPandas(check, "doc_id BIGINT, might BOOLEAN"),
+        _bloom_cached,
     )
+    flags.createOrReplaceTempView(v_fl)
     # novel = definite-negatives (no join at all) + positives that the
     # exact text anti-join clears (false positives + near-dup texts)
     return spark.sql(
@@ -1322,6 +1363,13 @@ ORDER BY n_docs DESC, n_occ DESC, span ASC
 LIMIT {_SUBSTR_TOPK}
 """
 
+# Spark side (round 13, guide §2.3): count(DISTINCT doc_id) over the
+# span inventory planned as an Expand ×2 of the heavy span strings; a
+# two-level aggregate — (span, doc_id) partial first, then per-span
+# counts where n_docs = rows and n_occ = sum(occ) — shuffles each
+# distinct (span, doc) pair once and never expands. Identical integer
+# counts, same HAVING/ordering -> oracle hash unchanged (measured
+# 1.46 -> 1.14 s at sf0.1; the DuckDB oracle keeps the direct form).
 DEDUP_SUBSTRING_SPARK = f"""
 WITH corpus AS ({_CORPUS}),
 tok AS (SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM corpus),
@@ -1332,7 +1380,18 @@ spans AS (
          size(toks) >= {_SUBSTR_K} AS size_ok
   FROM tok
 ),
-{_SUBSTR_BODY}
+perdoc AS (
+  SELECT span, doc_id, count(*) AS occ
+  FROM spans WHERE size_ok GROUP BY span, doc_id
+),
+dup AS (
+  SELECT span, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+  FROM perdoc GROUP BY span HAVING count(*) >= 2
+)
+SELECT span, n_docs, n_occ
+FROM dup
+ORDER BY n_docs DESC, n_occ DESC, span ASC
+LIMIT {_SUBSTR_TOPK}
 """
 
 DEDUP_SUBSTRING_DUCK = rf"""

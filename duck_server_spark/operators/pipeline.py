@@ -238,13 +238,20 @@ quality AS (
   SELECT doc_id, text,
          (n_tokens >= 20 AND chars_per_token >= 3.0 AND chars_per_token <= 15.0) AS q_pass
   FROM metrics
-),
-exact_keep AS (
-  SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS e_keep
-  FROM quality WHERE q_pass
 )
-SELECT q.doc_id, q.text, q.q_pass, e.e_keep
-FROM quality q LEFT JOIN exact_keep e ON e.doc_id = q.doc_id
+-- round 13 (guide §2.4): ONE window over the single quality scan
+-- replaces the r12 two-branch shape (quality referenced by an
+-- exact_keep subquery AND the final select -> the scan+tokenize chain
+-- inlined twice, plus a doc_id equi-join to stitch them). The group
+-- minimum ranges over q_pass members only (CASE inside the min), so
+-- e_keep is bit-identical to the old filtered-window + LEFT JOIN:
+-- q_pass rows compare against the same min; non-q_pass rows get NULL.
+SELECT doc_id, text, q_pass,
+       CASE WHEN q_pass THEN
+         (doc_id = min(CASE WHEN q_pass THEN doc_id END)
+                     OVER (PARTITION BY md5(text)))
+       END AS e_keep
+FROM quality
 """
 
 _CLEAN_SHING_SPARK = """

@@ -6,11 +6,22 @@ client of duck_server reaches through `c.conn.Prepare(query)`
 (/root/reference/pg_conn.go:314) and runs on the embedded engine.
 
 Oracle-match discipline (applies to every module in operators/):
-- Money aggregates are summed as DECIMAL(18,2) and only then cast to
-  DOUBLE. Decimal addition is exact and associative, so Spark's
+- Money aggregates are summed as decimals and only then cast to DOUBLE.
+  Decimal addition is exact and associative, so Spark's
   partition-parallel partial aggregation and DuckDB's single-threaded sum
   produce bit-identical doubles. Summing raw doubles would not (float
   addition is order-sensitive).
+- Round 13 (guide §2.3 — narrower types): the Spark-side money casts are
+  DECIMAL(8,2) (the oracle keeps DECIMAL(18,2) — values are identical).
+  TPC-H money/qty/rate columns are spec-bounded well under 10^6, so the
+  narrow cast is lossless; products like price×(1−disc) then type as
+  DECIMAL(17,4) instead of DECIMAL(37,4), which keeps Spark's Decimal on
+  the compact long representation through the partial-aggregation path
+  (measured on q1: 1.19 s → 0.90 s at sf0.1; identical output verified
+  row-for-row and by oracle hash). Exactness envelope at scale: every
+  product is exact in either width; sum accumulators get +10 precision
+  digits (e.g. sum(DECIMAL(17,4)) → DECIMAL(27,4), max ~10^23) — six
+  orders beyond a 10^11-row 100 TB lineitem's worst-case total.
 - Every computed column is aliased identically in the DataFrame builder
   and in the oracle SQL (the driver sorts columns by name before hashing).
 
@@ -32,7 +43,7 @@ from duck_server_spark.engine.session import load_table
 
 
 def _dec(col: str) -> F.Column:
-    return F.col(col).cast("decimal(18,2)")
+    return F.col(col).cast("decimal(8,2)")
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,8 +53,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-sum/double-cast pattern documented in the module docstring.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(8,2)") + _dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -93,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -136,7 +147,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -175,7 +186,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -252,12 +263,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
         (
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(8,2)"))).cast("double")
             / F.sum(rev).cast("double")
         ).alias("promo_revenue_pct")
     )
@@ -362,7 +373,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -423,7 +434,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the disjunctive-pushdown shape)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21))
@@ -602,7 +613,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     revenue = li.groupBy("l_suppkey").agg(F.sum(rev).cast("double").alias("total_revenue"))
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -779,7 +790,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = load_table(spark, sf_dir, "nation").alias("n1")
     n2 = load_table(spark, sf_dir, "nation").alias("n2")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     base = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -794,7 +805,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2.n_name").alias("supp_nation"),
         )
     )
-    zero = F.lit(0).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(8,2)")
     return (
         base.groupBy("o_year")
         .agg(
@@ -846,7 +857,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount"))
     cost = _dec("p_retailprice") * _dec("l_quantity")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

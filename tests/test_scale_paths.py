@@ -206,3 +206,21 @@ GROUP BY e.vec_id, b.m
 """).collect()
     }
     assert fast == ref
+
+
+def test_bloom_distributed_chunk_build_matches_driver_build(spark, sf_dir, monkeypatch):
+    """The round-13 bloom build is scale-adaptive: below the
+    SPARK_GRAFT_BLOOM_DRIVER_BITS threshold the driver packs the
+    distinct bit positions directly; above it the r12 distributed chunk
+    pack runs. Both must produce the same bitmap, hence the same novel
+    set."""
+    from duck_server_spark.operators import dedup
+
+    drv = sorted(
+        r.doc_id for r in dedup.QUERIES["dedup_bloom_incremental"](spark, sf_dir).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_DRIVER_BITS", "1")
+    dist = sorted(
+        r.doc_id for r in dedup.QUERIES["dedup_bloom_incremental"](spark, sf_dir).collect()
+    )
+    assert drv == dist and len(drv) > 0

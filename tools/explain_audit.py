@@ -175,7 +175,12 @@ CHECKS = {
     ],
     "dedup_bloom_incremental": [
         ("bloom bitmap broadcast onto the new batch", r"BroadcastHashJoin"),
-        ("bloom build/test via Arrow batches, not per-row", r"MapInPandas"),
+        # round 13: the Arrow-batched membership test runs EAGERLY into a
+        # slim localCheckpoint (it was re-executed per reference as a lazy
+        # view); the returned plan reads the stored flags, so the marker
+        # is the checkpoint scan, not a MapInPandas node
+        ("bloom verdicts read once from the checkpointed flags",
+         r"Scan ExistingRDD"),
     ],
     "sample_dsir_importance": [
         ("target/raw feature tables broadcast onto the corpus", r"BroadcastHashJoin"),
