@@ -131,14 +131,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+_VIEWS_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (name == table name).
 
     Parquet-backed temp views keep predicate pushdown / column pruning —
     Catalyst sees straight through the view to the file scan.
+
+    Memoized per (session, sf_dir) — round 13 (guide §1.2 per-task
+    work): the 10 createOrReplaceTempView py4j round-trips cost ~96 ms
+    warm, and every operator builder calls this, so a 25-query bench
+    paid ~5 s of pure view re-registration. Re-registering is only
+    needed when the SAME session switches fixture dirs (the comparison
+    below); nothing in the engine ever drops or shadows fixture-named
+    temp views (the executor's transient views are all __duck_*-named).
     """
+    if _VIEWS_REGISTERED.get(id(spark)) == sf_dir:
+        return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_REGISTERED[id(spark)] = sf_dir
     # DuckDB-named pandas-UDF scalars (damerau_levenshtein, jaro_*) —
     # registered here too so sessions we didn't build (the verification
     # driver constructs its own) can run the similarity gate rows;

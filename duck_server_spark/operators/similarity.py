@@ -118,8 +118,87 @@ def _sql(spark_sql: str):
     return build
 
 
+_BRUTE_SEQ = [0]
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (guide §4.2): the Q×N cosine scoring — ~700k interpreted
+    zip_with/aggregate lambda evaluations through the broadcast
+    nested-loop join — moves to a mapInPandas numpy kernel over the
+    2-column embeddings scan with the Q=5 query vectors broadcast. The
+    float64 arithmetic replays the SQL fold's exact op order (sequential
+    dim-by-dim dot/norm accumulation from 0.0; denominator multiplied
+    before the division), so every cosine is bit-identical and the
+    oracle hash is unchanged (gate-verified; measured 0.57 -> 0.35 s at
+    sf0.1). Top-k stays the SQL window over the Q·N slim score rows —
+    at 100 TB each task still scores its partition against the broadcast
+    queries and only Q·k rows survive per partition after the window's
+    partial WindowGroupLimit."""
+    import numpy as np
+
+    register_views(spark, sf_dir)
+    q_rows = sorted(
+        spark.sql("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5").collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    nq = np.zeros(len(Q))
+    for j in range(Q.shape[1]):
+        nq += Q[:, j] * Q[:, j]
+    sq = np.sqrt(nq)
+    bq = spark.sparkContext.broadcast((qids, Q, sq))
+
+    def score(batches):
+        import pandas as pd
+
+        qids_, Q_, sq_ = bq.value
+        nqv = len(qids_)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nc = np.zeros(n)
+            for j in range(C.shape[1]):
+                nc += C[:, j] * C[:, j]
+            sc = np.sqrt(nc)
+            acc = np.zeros((n, nqv))
+            for j in range(C.shape[1]):
+                acc += C[:, j][:, None] * Q_[:, j][None, :]
+            cos = acc / (sc[:, None] * sq_[None, :])
+            cid = pdf["vec_id"].to_numpy()
+            out_q = np.tile(qids_, n)
+            out_c = np.repeat(cid, nqv)
+            out_cos = cos.reshape(-1)
+            keep = out_q != out_c
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "cand_id": out_c[keep],
+                    "cosine": out_cos[keep],
+                }
+            )
+
+    _BRUTE_SEQ[0] += 1
+    view = f"brute_scores_{_BRUTE_SEQ[0]}"
+    (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "query_id BIGINT, cand_id BIGINT, cosine DOUBLE")
+        .createOrReplaceTempView(view)
+    )
+    return spark.sql(f"""
+SELECT query_id, cand_id, cosine, rnk FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM {view}
+) WHERE rnk <= 10
+""")
+
+
 QUERIES = {
-    "similarity_topk_bruteforce": _sql(SIM_BRUTE_SPARK),
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": _sql(SIM_LSH_SPARK),
 }
 
