@@ -84,7 +84,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+        # decimal(8,2) Spark-side, oracle keeps (18,2) — see the round-13
+        # narrowing rationale in operators/tpch.py (lossless: qty ≤ 50;
+        # sum accumulator stays a compact-long DECIMAL(18,2))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(8,2)")).cast("double").alias("sum_qty"))
     )
 
 
@@ -296,7 +299,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(8,2)")).cast("double"))
     )
 
 
@@ -334,7 +337,7 @@ def agg_count_star_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(8,2)")).cast("double").alias("total_qty"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )

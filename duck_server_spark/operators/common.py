@@ -70,6 +70,27 @@ def tracked_local_checkpoint(spark: SparkSession, df: DataFrame, registry: list)
     return out
 
 
+def tracked_local_checkpoint_many(
+    spark: SparkSession, dfs: list, registry: list
+) -> list:
+    """Checkpoint several INDEPENDENT frames with their jobs submitted
+    concurrently (guide §2.6 — actions are only sequential because the
+    driver calls them sequentially; overlapping lets the second job's
+    tasks back-fill executors freed by the first job's tail). Wall time
+    is ~max(job times) instead of their sum. The RDD-id bookkeeping is
+    one before/after diff around the whole batch, still under the
+    process-wide lock, so concurrent operators cannot cross-release."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with _CKPT_LOCK:
+        before = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+        with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+            outs = list(pool.map(lambda d: d.localCheckpoint(), dfs))
+        after = {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+        registry.extend(sorted(after - before))
+    return outs
+
+
 def release_checkpoints(spark: SparkSession, registry: list) -> None:
     """Unpersist every RDD id recorded by tracked_local_checkpoint and
     clear the registry. Safe against already-released ids."""

@@ -903,7 +903,7 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (GC-driven cleanup would let generations pile up across bench runs).
     from duck_server_spark.operators.common import (
         release_checkpoints,
-        tracked_local_checkpoint,
+        tracked_local_checkpoint_many,
     )
 
     release_checkpoints(spark, _mhv_cached)
@@ -923,12 +923,11 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was observed to silently miss for multi-referenced view lineages and
     # re-hash the corpus per reference. (On a cluster, checkpoint to
     # reliable storage for fault tolerance.)
-    groups = tracked_local_checkpoint(
-        spark,
-        spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus"),
-        _mhv_cached,
-    )
-    groups.createOrReplaceTempView("mhv_groups")
+    # round 13 (guide §2.6): groups and rep_pairs are INDEPENDENT jobs
+    # (rep_pairs reads only mhv_corpus -> reps -> sigs), so both
+    # checkpoints are submitted concurrently at the end of this builder
+    # via tracked_local_checkpoint_many — the lazy frame is built here.
+    groups_lazy = spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus")
     # reps (one representative doc per content hash) stays LAZY: it is
     # consumed exactly once, as the signature stage's input inside the
     # rep_pairs job below — one min_by group-by shuffle straight off the
@@ -988,7 +987,10 @@ SELECT DISTINCT a.doc_id AS id1, a.chash AS h1, b2.doc_id AS id2, b2.chash AS h2
 FROM long a JOIN long b2
   ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
 """)
-    rep_pairs = tracked_local_checkpoint(spark, rep_pairs, _mhv_cached)
+    groups, rep_pairs = tracked_local_checkpoint_many(
+        spark, [groups_lazy, rep_pairs], _mhv_cached
+    )
+    groups.createOrReplaceTempView("mhv_groups")
     rep_pairs.createOrReplaceTempView("mhv_rep_pairs")
     return spark.sql("""
 WITH cand_ids AS (

@@ -71,7 +71,10 @@ def time_bucket_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            # DECIMAL(8,2) Spark-side (oracle keeps 18,2; round 13, guide
+            # §2.3): event values are generator-bounded well under 10^6,
+            # so the sum accumulator stays on the compact-long decimal.
+            F.sum(F.col("value").cast("decimal(8,2)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
     )

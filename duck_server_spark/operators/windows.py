@@ -90,7 +90,12 @@ def window_frames_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").asc(),
         F.col("l_extendedprice").asc(),
     )
-    qty = F.col("l_quantity").cast("decimal(18,2)")
+    # round 13 (guide §2.3): DECIMAL(8,2) Spark-side (oracle keeps 18,2 —
+    # values identical): l_quantity is spec-bounded ≤ 50, and the window
+    # sum accumulator then types DECIMAL(18,2) — Spark's compact-long
+    # Decimal — instead of the 128-bit DECIMAL(28,2). Envelope: a
+    # running sum would overflow only past 10^14 rows per partition.
+    qty = F.col("l_quantity").cast("decimal(8,2)")
     return li.select(
         "l_suppkey",
         "l_orderkey",

@@ -54,7 +54,13 @@ CHECKS = {
         ("equi-join on band buckets (no cartesian)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     ],
     "similarity_topk_bruteforce": [
-        ("broadcast of the small query side", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        # round 13: the Q×N scoring moved from a BroadcastNestedLoopJoin
+        # + interpreted lambdas to a mapInPandas numpy kernel (the Q=5
+        # query side rides an sc.broadcast into the kernel — still never
+        # shuffled); the plan marker is the Arrow boundary over the
+        # 2-column pruned scan.
+        ("scores via one Arrow kernel (query side sc.broadcast, not joined)", r"MapInPandas|ArrowEvalPython"),
+        ("top-k pruned by the window partial limit", r"WindowGroupLimit"),
     ],
     "asof_join": [
         ("single shuffle window (no range join explosion)", r"Window"),
