@@ -434,7 +434,78 @@ SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {topk}
 """)
 
 
-QUERIES["similarity_ann_ivf"] = _sql(SIM_IVF_SPARK)
+# Round 13 session 3 (guide §4.2): the corpus-assignment subtree of
+# SIM_IVF_SPARK — the N·K·dim interpreted lambda fold through the
+# broadcast cross join, the min_by exchange and the embeddings ⋈ assign
+# join — moves to one mapInPandas numpy kernel (shared replay helpers
+# `_ivf_centroid_matrix`/`_centroid_argmin`, defined with the SemDeDup
+# kernel below): bit-identical assignments, pinned by
+# tests/test_scale_paths.py::test_ivf_kernel_matches_sql_reference.
+# The query-probe stage (Q·K = 80 rows) stays in SQL over a driver-built
+# centroid view — identical doubles, trivial cost.
+
+_IVF_SEQ = [0]
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+    Cmat = _ivf_centroid_matrix(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(Cmat)
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "centroid_id": _centroid_argmin(E, C),
+                }
+            )
+
+    _IVF_SEQ[0] += 1
+    lview = f"ivf_lists_{_IVF_SEQ[0]}"
+    (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id INT")
+        .createOrReplaceTempView(lview)
+    )
+    cview = f"ivf_cents_{_IVF_SEQ[0]}"
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in Cmat[i]]) for i in range(len(Cmat))],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    ).createOrReplaceTempView(cview)
+    return spark.sql(f"""
+WITH qprobe AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, t.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST_S} ASC, t.centroid_id ASC) AS crnk
+    FROM embeddings e CROSS JOIN {cview} t
+    WHERE e.vec_id < 5
+  ) WHERE crnk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_S} AS cosine
+  FROM qprobe q JOIN {lview} c
+    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_IVF_TOPK}
+""")
+
+
+QUERIES["similarity_ann_ivf"] = similarity_ann_ivf
 ORACLE["similarity_ann_ivf"] = SIM_IVF_DUCK
 
 QUERIES["similarity_ann_ivf_trained"] = similarity_ann_ivf_trained
@@ -1087,5 +1158,136 @@ UNION ALL
 SELECT vec_id, kept_by, centroid_id, cosine FROM twin_drops
 """
 
-QUERIES["dedup_semantic_clusters"] = _sql(SEM_DEDUP_SPARK)
+# Round 13 session 3 (guide §4.2): the centroid-assignment fold —
+# N·K·dim ≈ 10M interpreted zip_with/aggregate lambda evaluations
+# through the grp × cents broadcast cross join, plus the assign
+# exchange and the grp ⋈ assign join — moves to one mapInPandas numpy
+# kernel over the grp rows with the 16 centroids broadcast. This is NOT
+# the reverted assignment-as-projection variant (that kept the
+# interpreted per-row lambda cost and recomputed it per CTE reference);
+# the numpy kernel is ~ms per execution, so even recomputed per
+# reference it undercuts the min_by subtree it replaces. The float64
+# arithmetic replays the SQL fold's exact op order (sequential
+# dim-by-dim (x−y)² accumulation from 0.0; argmin first-hit tie-break
+# == min_by struct(d2, centroid_id)), so assignments are bit-identical —
+# pinned by tests/test_scale_paths.py::
+# test_semantic_kernel_matches_sql_reference (full-output equality vs
+# SEM_DEDUP_SPARK). The sign-LSH bucket moves into the same kernel
+# (integer sign bits — trivially exact). The pair scoring, ranking and
+# twin expansion stay in SQL, unchanged.
+
+_SEM_SEQ = [0]
+
+# 16-centroid table memo per (session, fixture): the centroids are a
+# fixed deterministic 16-row sample of an immutable fixture (same
+# contract as the PQ codebook memo above); production re-reads when the
+# corpus changes.
+_SEM_CENT_CACHE: dict = {}
+
+
+def _ivf_centroid_matrix(spark: SparkSession, sf_dir: str):
+    """The deterministic coarse-centroid table of SIM_IVF/SEM_DEDUP as a
+    K×dim float64 matrix. Matches both SQL spellings: SEM_DEDUP's cents
+    filter `vec_id % 3 = 0 AND vec_id < 1000000` over the injected-union
+    corpus equals this query over `embeddings` because every injected id
+    is >= 1000000 by construction and fixture ids are not."""
+    import numpy as np
+
+    ck = (id(spark), sf_dir)
+    C = _SEM_CENT_CACHE.get(ck)
+    if C is None:
+        rows = spark.sql(
+            f"SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0 "
+            f"ORDER BY vec_id LIMIT {_IVF_K}"
+        ).collect()
+        C = np.array([r.embedding for r in rows], dtype=np.float64)
+        _SEM_CENT_CACHE[ck] = C
+    return C
+
+
+def _centroid_argmin(E, C):
+    """argmin_k of the SQL d2 fold, replayed in float64: for each row,
+    acc_k is accumulated dim-by-dim in array order (the zip_with +
+    left-to-right aggregate), and argmin's first-hit tie-break equals
+    min_by struct(d2, centroid_id)."""
+    import numpy as np
+
+    n = E.shape[0]
+    acc = np.zeros((n, C.shape[0]))
+    for j in range(E.shape[1]):
+        dj = E[:, j : j + 1] - C[None, :, j]
+        acc += dj * dj
+    return acc.argmin(1).astype(np.int32)
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(_ivf_centroid_matrix(spark, sf_dir))
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cid = _centroid_argmin(E, C)
+            # sign-LSH bucket: same bits as _BUCKET_S (embedding[j] > 0)
+            bucket = np.zeros(n, dtype=np.int32)
+            for j in range(_BUCKET_BITS):
+                bucket += (E[:, j] > 0).astype(np.int32) << j
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "ids": pdf["ids"],
+                    "centroid_id": cid,
+                    "bucket": bucket,
+                }
+            )
+
+    _SEM_SEQ[0] += 1
+    mview = f"sem_members_{_SEM_SEQ[0]}"
+    (
+        spark.sql(f"""
+            SELECT min(vec_id) AS vec_id, embedding,
+                   sort_array(collect_list(vec_id)) AS ids
+            FROM ({_SEM_CORPUS_S}) GROUP BY embedding
+        """)
+        .mapInPandas(
+            assign,
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, ids ARRAY<BIGINT>, "
+            "centroid_id INT, bucket INT",
+        )
+        .createOrReplaceTempView(mview)
+    )
+    return spark.sql(f"""
+WITH scored AS (
+  SELECT q.vec_id AS drop_id, c.vec_id AS keep_id, q.centroid_id, {_COS_S} AS cosine
+  FROM {mview} q JOIN {mview} c
+    ON q.centroid_id = c.centroid_id AND q.bucket = c.bucket AND q.vec_id > c.vec_id
+),
+ranked AS (
+  SELECT drop_id, keep_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY drop_id ORDER BY cosine DESC, keep_id ASC) AS rnk
+  FROM scored WHERE cosine >= {_SEM_TAU}
+),
+twin_drops AS (
+  SELECT t.vid AS vec_id, m.vec_id AS kept_by, m.centroid_id,
+         CAST(1.0 AS DOUBLE) AS cosine
+  FROM {mview} m
+  LATERAL VIEW explode(m.ids) t AS vid
+  WHERE t.vid > m.vec_id
+)
+SELECT drop_id AS vec_id, keep_id AS kept_by, centroid_id, cosine
+FROM ranked WHERE rnk = 1
+UNION ALL
+SELECT vec_id, kept_by, centroid_id, cosine FROM twin_drops
+""")
+
+
+QUERIES["dedup_semantic_clusters"] = dedup_semantic_clusters
 ORACLE["dedup_semantic_clusters"] = SEM_DEDUP_DUCK

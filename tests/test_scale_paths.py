@@ -208,6 +208,33 @@ GROUP BY e.vec_id, b.m
     assert fast == ref
 
 
+def test_ivf_kernel_matches_sql_reference(spark, sf_dir):
+    """The round-13 numpy assignment kernel behind similarity_ann_ivf
+    must reproduce the full output of the pure-SQL reference spelling
+    (SIM_IVF_SPARK) EXACTLY — the kernel replays the d2 fold's float64
+    op order, so assignments, probe lists and cosines are bit-identical."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import similarity as sim
+
+    register_views(spark, sf_dir)
+    fast = sorted(map(tuple, sim.similarity_ann_ivf(spark, sf_dir).collect()))
+    ref = sorted(map(tuple, spark.sql(sim.SIM_IVF_SPARK).collect()))
+    assert fast == ref and len(fast) > 0
+
+
+def test_semantic_kernel_matches_sql_reference(spark, sf_dir):
+    """The round-13 numpy assignment+bucket kernel behind
+    dedup_semantic_clusters must reproduce the full output of the
+    pure-SQL reference spelling (SEM_DEDUP_SPARK) EXACTLY."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import similarity as sim
+
+    register_views(spark, sf_dir)
+    fast = sorted(map(tuple, sim.dedup_semantic_clusters(spark, sf_dir).collect()))
+    ref = sorted(map(tuple, spark.sql(sim.SEM_DEDUP_SPARK).collect()))
+    assert fast == ref and len(fast) > 0
+
+
 def test_bloom_distributed_chunk_build_matches_driver_build(spark, sf_dir, monkeypatch):
     """The round-13 bloom build is scale-adaptive: below the
     SPARK_GRAFT_BLOOM_DRIVER_BITS threshold the driver packs the

@@ -70,9 +70,12 @@ CHECKS = {
         ("near-dup candidates via equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     ],
     "similarity_ann_ivf": [
-        ("centroid table broadcast for assignment", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
-        ("assignment collapsed by aggregation (min_by), not a full window",
-         r"(?=.*min_by)(?=.*(HashAggregate|ObjectHashAggregate|SortAggregate))"),
+        # round 13 session 3: corpus assignment moved from the broadcast
+        # cross join + min_by aggregate to a mapInPandas numpy kernel
+        # (centroids ride an sc.broadcast); the plan marker is the Arrow
+        # boundary over the 2-column pruned scan.
+        ("assignment via one Arrow kernel (centroids sc.broadcast)", r"MapInPandas|ArrowEvalPython"),
+        ("probe join is an equi-join on centroid_id", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     ],
     "attributed_purchases": [
         ("interval join planned as equi-join on user with time residual",
@@ -207,7 +210,9 @@ CHECKS = {
         ("CASE ladder under whole-stage codegen", r"WholeStageCodegen"),
     ],
     "dedup_semantic_clusters": [
-        ("centroid table broadcast for assignment", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        # round 13 session 3: centroid assignment + sign-bucket moved to
+        # a mapInPandas numpy kernel (centroids ride an sc.broadcast).
+        ("assignment via one Arrow kernel (centroids sc.broadcast)", r"MapInPandas|ArrowEvalPython"),
         ("block pair join is an equi-join", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
         ("keep-strongest pushed into the sort (WindowGroupLimit)", r"WindowGroupLimit"),
     ],
