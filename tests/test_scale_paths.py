@@ -235,6 +235,21 @@ def test_semantic_kernel_matches_sql_reference(spark, sf_dir):
     assert fast == ref and len(fast) > 0
 
 
+def test_substring_kernel_matches_sql_reference(spark, sf_dir):
+    """The round-13 per-document span-Counter kernel behind
+    dedup_substring_spans must reproduce the full ordered output of the
+    pure-SQL reference spelling (DEDUP_SUBSTRING_SPARK) EXACTLY — the
+    (n_docs, n_occ, span) ordering is a total order over span groups,
+    so the top-k list is deterministic."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import dedup as dd
+
+    register_views(spark, sf_dir)
+    fast = [tuple(r) for r in dd.dedup_substring_spans(spark, sf_dir).collect()]
+    ref = [tuple(r) for r in spark.sql(dd.DEDUP_SUBSTRING_SPARK).collect()]
+    assert fast == ref and len(fast) > 0
+
+
 def test_bloom_distributed_chunk_build_matches_driver_build(spark, sf_dir, monkeypatch):
     """The round-13 bloom build is scale-adaptive: below the
     SPARK_GRAFT_BLOOM_DRIVER_BITS threshold the driver packs the

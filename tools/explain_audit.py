@@ -197,7 +197,10 @@ CHECKS = {
         ("resample report is a global top-k", r"TakeOrderedAndProject"),
     ],
     "dedup_substring_spans": [
-        ("span inventory via explode (Generate), linear in tokens", r"Generate"),
+        # round 13 session 3: the explode + level-1 aggregate moved into
+        # a per-document span-Counter Arrow kernel — still linear in
+        # tokens, one row per distinct (span, doc).
+        ("span inventory via one Arrow kernel, linear in tokens", r"MapInPandas|ArrowEvalPython"),
         ("span dup counts map-side combined", r"HashAggregate"),
         ("top spans via TakeOrderedAndProject", r"TakeOrderedAndProject"),
     ],
@@ -371,7 +374,7 @@ FORBIDDEN = {
     "text_cooccurrence_lift": [("no cartesian pair explosion", r"CartesianProduct")],
     "dedup_bloom_incremental": [("no cartesian product", r"CartesianProduct")],
     "dedup_substring_spans": [
-        ("no join anywhere — span inventory is scan+explode only", r"Join"),
+        ("no join anywhere — span inventory is scan+kernel only", r"Join"),
         ("no cartesian product", r"CartesianProduct"),
     ],
     "pipeline_length_buckets": [("no join", r"Join"), ("no explode", r"Generate")],
