@@ -254,6 +254,10 @@ SELECT doc_id, text, q_pass,
 FROM quality
 """
 
+# _CLEAN_SHING_SPARK and _CLEAN_TAIL_SPARK are RETAINED as the pure-SQL
+# reference spelling: tests/test_scale_paths.py::
+# test_clean_sig_kernel_matches_sql_reference pins the kernel pipeline
+# below to their exact output.
 _CLEAN_SHING_SPARK = """
 WITH stok AS (
   SELECT doc_id, split(trim(text), '\\\\s+') AS toks
@@ -306,6 +310,86 @@ LEFT JOIN near_drop nd ON nd.doc_id = a.doc_id
 
 _clean_cached: list = []
 
+# Round 13 session 3 (guide §4.2): the tail's shingle-hash + signature
+# chain — one interpreted md5 transform per shingle plus 8 permutation
+# transforms and array_mins (~250k × 9 lambda evals at sf0.1) — moves
+# into the SAME kernel that builds the shingle arrays, so the
+# checkpointed survivor table now carries (doc_id, sh, mh0..mh7) and
+# the tail SQL starts directly at banding. hashlib.md5 over UTF-8 ==
+# Spark md5 (hex); int(hex[:8], 16) == conv(substring(..),16,10); the
+# (a·h + b) % M permutations replay in int64 (h < 2^32, a ≤ 2^30 →
+# products < 2^62). Pinned by tests/test_scale_paths.py::
+# test_clean_sig_kernel_matches_sql_reference (full-output equality vs
+# the retained SQL spelling); oracle hash unchanged. Interleaved
+# 10-pair A/B at sf0.1: 7/10 wins, median 1.33 → 1.22 s.
+
+_CLEAN_SIG_SCHEMA = "doc_id BIGINT, sh ARRAY<STRING>, " + ", ".join(
+    f"mh{j} BIGINT" for j in range(len(_PERMS))
+)
+
+_CLEAN_TAIL_KERNEL = f"""
+WITH banded AS (
+  SELECT doc_id, {_INT_BAND_SEL} FROM __clean_shing
+),
+long AS (
+  SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM long a JOIN long b2
+    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+),
+joined AS (
+  SELECT id1, id2, s1.sh AS sh1, s2.sh AS sh2
+  FROM pairs JOIN __clean_shing s1 ON s1.doc_id = id1
+             JOIN __clean_shing s2 ON s2.doc_id = id2
+),
+near_drop AS (
+  SELECT DISTINCT id2 AS doc_id FROM joined
+  WHERE CAST(size(array_intersect(sh1, sh2)) AS DOUBLE) / size(array_union(sh1, sh2)) >= 0.5
+)
+SELECT a.doc_id,
+       CASE WHEN NOT a.q_pass THEN 'quality'
+            WHEN NOT a.e_keep THEN 'exact_dup'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM __clean_ann a
+LEFT JOIN near_drop nd ON nd.doc_id = a.doc_id
+"""
+
+
+def _clean_shing_sig_batches(batches):
+    """Shingle arrays + the 8 minhash signatures for the survivor docs,
+    one Arrow batch at a time — the exact arithmetic of the retained
+    _CLEAN_SHING_SPARK + hs/sigs SQL fragments (see note above)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        doc_ids, shs = [], []
+        mh = [[] for _ in _PERMS]
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            toks = t.strip().split()
+            n = max(len(toks) - 2, 1)
+            sh = [" ".join(toks[i : i + 3]) for i in range(n)]
+            hv = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh),
+                dtype=np.int64,
+                count=n,
+            )
+            doc_ids.append(d)
+            shs.append(sh)
+            for j, (a, b) in enumerate(_PERMS):
+                mh[j].append(int(((hv * a + b) % _MERSENNE31).min()))
+        out = {"doc_id": doc_ids, "sh": shs}
+        for j in range(len(_PERMS)):
+            out[f"mh{j}"] = mh[j]
+        yield pd.DataFrame(out)
+
 
 def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline_corpus_clean with the shared stages persisted (see note
@@ -313,7 +397,7 @@ def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     invocations (bench loops, test reruns) hold at most one generation."""
     register_views(spark, sf_dir)
     # localCheckpoint (eager), NOT persist(): the tail SQL references
-    # __clean_ann twice and __clean_shing twice, and persist()'s
+    # __clean_ann twice and __clean_shing three times, and persist()'s
     # cache-plan matching was observed to miss entirely for these
     # view-mediated references (executed plan showed 20 parquet scans, 0
     # InMemoryTableScans — the full scan+tokenize pipeline recomputed per
@@ -329,11 +413,17 @@ def corpus_clean_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     ann = tracked_local_checkpoint(spark, spark.sql(_CLEAN_ANN_SPARK), _clean_cached)
     ann.createOrReplaceTempView("__clean_ann")
+    # round-robin repartition before the Python stage (same rationale as
+    # the minhash signature stage: the survivor set otherwise arrives in
+    # the checkpoint's few partitions and the kernel runs near-serial)
+    surv = spark.sql(
+        "SELECT doc_id, text FROM __clean_ann WHERE q_pass AND e_keep"
+    ).repartition(par)
     shing = tracked_local_checkpoint(
-        spark, spark.sql(_CLEAN_SHING_SPARK).repartition(par, "doc_id"), _clean_cached
+        spark, surv.mapInPandas(_clean_shing_sig_batches, _CLEAN_SIG_SCHEMA), _clean_cached
     )
     shing.createOrReplaceTempView("__clean_shing")
-    return spark.sql(_CLEAN_TAIL_SPARK)
+    return spark.sql(_CLEAN_TAIL_KERNEL)
 
 
 # ---------------------------------------------------------------------------

@@ -250,6 +250,23 @@ def test_substring_kernel_matches_sql_reference(spark, sf_dir):
     assert fast == ref and len(fast) > 0
 
 
+def test_clean_sig_kernel_matches_sql_reference(spark, sf_dir):
+    """The round-13 shingle+signature kernel behind pipeline_corpus_clean
+    must reproduce the full output of the retained SQL spelling
+    (_CLEAN_SHING_SPARK + _CLEAN_TAIL_SPARK over _CLEAN_ANN_SPARK)
+    EXACTLY — hashlib.md5/int(hex,16)/int64 perms replay the SQL
+    arithmetic bit-for-bit."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import pipeline as pl
+
+    fast = sorted(tuple(r) for r in pl.corpus_clean_staged(spark, sf_dir).collect())
+    register_views(spark, sf_dir)
+    spark.sql(pl._CLEAN_ANN_SPARK).createOrReplaceTempView("__clean_ann")
+    spark.sql(pl._CLEAN_SHING_SPARK).createOrReplaceTempView("__clean_shing")
+    ref = sorted(tuple(r) for r in spark.sql(pl._CLEAN_TAIL_SPARK).collect())
+    assert fast == ref and len(fast) > 0
+
+
 def test_bloom_distributed_chunk_build_matches_driver_build(spark, sf_dir, monkeypatch):
     """The round-13 bloom build is scale-adaptive: below the
     SPARK_GRAFT_BLOOM_DRIVER_BITS threshold the driver packs the
