@@ -59,6 +59,7 @@ from duck_server_spark.engine.types import (
 )
 from duck_server_spark.plans import rewrites
 from duck_server_spark.sources.ingest import CsvChunkSplitter, csv_rows_null_aware
+from pyspark.sql.types import StringType, StructField, StructType
 
 PROTO_V3 = 196608
 SSL_REQUEST = 80877103
@@ -339,6 +340,20 @@ class PgConnection:
 
     def send_command_complete(self, tag: str) -> None:
         self._send(b"C", tag.encode() + b"\x00")
+
+    def send_local_result(self, cols: list[str], rows: list[tuple]) -> None:
+        """Settings results served straight from the wire layer — same
+        T/D/C bytes as the engine path (all-VARCHAR schema, the shared
+        `(n row)` tag), but no rewrite pipeline, no Spark job, no
+        statement timer. A SHOW of a known GUC is a dictionary read;
+        routing it through a distributed query costs ~100 ms of pure
+        overhead per call and lets an armed sub-second
+        statement_timeout cancel its own bookkeeping query."""
+        schema = StructType([StructField(c, StringType()) for c in cols])
+        self.send_row_description(schema)
+        for r in rows:
+            self.send_data_row(r)
+        self.send_command_complete(f"({len(rows)} row)")  # pg_conn.go:271
 
     # ----------------------------------------------------------- startup
 
@@ -622,17 +637,9 @@ class PgConnection:
             rows = {k: (v[0], v[1]) for k, v in _gucs.ALL_GUCS.items()}
             for k, v in self.session_gucs.items():
                 rows[k] = (v, rows.get(k, ("", "Session-defined setting."))[1])
-            values = ", ".join(
-                "('{}', '{}', '{}')".format(
-                    _gucs.sql_str(k, "duck"),
-                    _gucs.sql_str(s, "duck"),
-                    _gucs.sql_str(d, "duck"),
-                )
-                for k, (s, d) in sorted(rows.items())
-            )
-            await self._run_query(
-                f"SELECT * FROM (VALUES {values}) AS t(name, setting, description)",
-                send_row_desc=True,
+            self.send_local_result(
+                ["name", "setting", "description"],
+                [(k, s, d) for k, (s, d) in sorted(rows.items())],
             )
             return
         if m:
@@ -643,10 +650,7 @@ class PgConnection:
                 else _gucs.guc_value(name)
             )
             if val is not None:
-                await self._run_query(
-                    f"SELECT '{_gucs.sql_str(val, 'duck')}' AS `{name}`",
-                    send_row_desc=True,
-                )
+                self.send_local_result([name], [(val,)])
                 return
             if "." in name and not name.startswith("spark."):
                 # custom-namespace GUC that was never SET in this
