@@ -835,6 +835,23 @@ ORACLE["dedup_connected_components"] = DEDUP_CC_ORACLE
 # pairing; the quadratic verify work drops from O(sum m_i^2) candidate
 # pairs to O(distinct-rep candidate pairs).
 
+def _scan_is_narrow(spark: SparkSession, sf_dir: str, table: str = "documents") -> bool:
+    """True when the fixture file scans as fewer splits than cores (the
+    local small-file case that would serialize a mapInPandas kernel).
+    Decided by an os-stat against cores × the session's 4 MB local split
+    size — NOT df.rdd.getNumPartitions(): the RDD conversion re-plans
+    the whole query on the driver and measured 0.7-1.2 s of pure
+    analysis PER CALL at sf0.1 (guide §5 — driver work is part of the
+    query's wall). Same rule as llm_text._contam_docs. On a real
+    cluster the input is far past the threshold and the widening
+    repartition never fires."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet")) < par * 4 << 20
+    except OSError:
+        return False
+
+
 _mhv_cached: list = []
 
 # (a, b) permutation pairs and window-combination constants for the
@@ -928,19 +945,6 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints are submitted concurrently at the end of this builder
     # via tracked_local_checkpoint_many — the lazy frame is built here.
     groups_lazy = spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus")
-    # reps (one representative doc per content hash) stays LAZY: it is
-    # consumed exactly once, as the signature stage's input inside the
-    # rep_pairs job below — one min_by group-by shuffle straight off the
-    # corpus scan (independent of the groups checkpoint, and one shuffle
-    # cheaper than a rep-id semi-join). chash rides along so the banded
-    # pairs can emit hash pairs directly — the final query then skips the
-    # rep-id -> chash mapping joins entirely.
-    reps = spark.sql("""
-        SELECT chash, min(doc_id) AS doc_id, min_by(text, doc_id) AS text
-        FROM (SELECT doc_id, text, xxhash64(text) AS chash FROM mhv_corpus)
-        GROUP BY chash
-    """)
-    reps.createOrReplaceTempView("mhv_reps")
 
     # Signature stage: one numpy pipeline per Arrow batch (guide §4.2;
     # see _minhash_sig_batch — bit-equal to the r12 per-doc loop, which
@@ -956,16 +960,34 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_schema = "doc_id BIGINT, chash BIGINT, " + ", ".join(
         f"mh{j} BIGINT" for j in range(_NUM_HASHES)
     )
-    # signatures over representatives only — dup-heavy corpora send a
-    # fraction of the rows through the Python/Arrow stage. The explicit
-    # repartition before mapInPandas buys full parallelism for the
-    # Python stage: the min_by agg's output otherwise arrives in a few
-    # AQE-coalesced partitions (or the scan's small-file partitioning)
-    # and the per-doc hashing loop would run nearly single-threaded —
-    # one extra shuffle of rep text for a #cores-wide compute stage.
-    reps.select("doc_id", "chash", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(sigs, sig_schema).createOrReplaceTempView("minhash_vec_sigs")
+    # Round-13 session 5 (guide §2.3/§8: decide with slim rows, move the
+    # payload zero extra times): the kernel runs straight off the corpus
+    # scan, so document text reaches the Python boundary on the scan's
+    # own partitioning and never crosses an exchange. A slim groupBy on
+    # chash (9 bigints ≈ 72 B/row) then collapses each duplicate group
+    # to its representative: signatures are a pure function of the text,
+    # so every member of a chash group carries the same mh vector and
+    # min() selects it unchanged (min(doc_id) is the same rep the old
+    # min_by(text, doc_id) shape picked). The previous shape aggregated
+    # min_by(text) FIRST and then repartitioned the rep text for kernel
+    # parallelism — full text through TWO exchanges; this one shuffles
+    # none (the vectorized kernel is cheap enough that hashing dup
+    # members too costs less than shipping their text — interleaved A/B
+    # below in OPTIMIZATION_r13.md).
+    corpus_sig_in = spark.sql(
+        "SELECT doc_id, xxhash64(text) AS chash, text FROM mhv_corpus"
+    )
+    # Scale-adaptive parallelism for the Python stage (same rule as
+    # dedup_substring_spans): widen the local 1-2 split fixture scan to
+    # all cores; a multi-TB corpus already arrives in thousands of
+    # splits and skips the shuffle.
+    if _scan_is_narrow(spark, sf_dir):
+        corpus_sig_in = corpus_sig_in.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    corpus_sig_in.mapInPandas(sigs, sig_schema).createOrReplaceTempView(
+        "minhash_vec_sigs"
+    )
     # Banding + candidate self-join materialized eagerly (tiny: one row
     # per colliding rep pair). Two reasons: (a) the verify stage below
     # references the candidate set three times (s1 ids, s2 ids, the pair
@@ -975,10 +997,16 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every rep — at 100 TB the verify stage reads just the candidates'
     # text.
     rep_pairs = spark.sql("""
-WITH banded AS (
+WITH rep_sigs AS (
+  SELECT chash, min(doc_id) AS doc_id,
+         min(mh0) AS mh0, min(mh1) AS mh1, min(mh2) AS mh2, min(mh3) AS mh3,
+         min(mh4) AS mh4, min(mh5) AS mh5, min(mh6) AS mh6, min(mh7) AS mh7
+  FROM minhash_vec_sigs GROUP BY chash
+),
+banded AS (
   SELECT doc_id, chash, concat(mh0, '|', mh1, '|', mh2, '|', mh3) AS band0,
                         concat(mh4, '|', mh5, '|', mh6, '|', mh7) AS band1
-  FROM minhash_vec_sigs
+  FROM rep_sigs
 ),
 long AS (
   SELECT doc_id, chash, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
@@ -1458,7 +1486,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-text shuffle would be pure cost. Repartition ONLY when the
     # scan is narrower than the core count (measured locally: 1.15 ->
     # 0.99 s; at-scale path adds nothing).
-    if corpus.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    if _scan_is_narrow(spark, sf_dir):
         corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     corpus.mapInPandas(
         _span_counts_batches, "span STRING, doc_id BIGINT, occ BIGINT"
