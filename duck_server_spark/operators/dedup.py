@@ -215,8 +215,17 @@ SELECT id1, id2, {score_name} FROM intra_pairs
 
 def _banded_candidates(sigs_cte: str, band_sel: str = _BAND_SEL) -> str:
     """Candidate fragment: minhash signatures → 2 banded buckets →
-    DISTINCT equi-join pairs. `sigs_cte` computes sigs(doc_id, mh0..mh7)
-    from `shing`."""
+    DISTINCT in-bucket pairs. `sigs_cte` computes sigs(doc_id, mh0..mh7)
+    from `shing`.
+
+    Round 13 session 5 (guide §2.4): pairs come from ONE groupBy on the
+    bucket key + per-group pair explode, not a bucket self-join — the
+    join shape computed the whole shingle+signature chain once per side
+    (the planner broadcast-converts the small side, so the sides share
+    no exchange; see _BLK_GROUP_PAIRS for the measured variant). The
+    DISTINCT stays: a pair can collide in both bands. Pair sets are
+    identical (sorted collect_list + posexplode replays doc_id < doc_id
+    ordering inside each bucket)."""
     return f"""{sigs_cte},
 banded AS (
   SELECT doc_id, {band_sel} FROM sigs
@@ -224,10 +233,15 @@ banded AS (
 long AS (
   SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
 ),
+band_groups AS (
+  SELECT sort_array(collect_list(doc_id)) AS ids FROM long GROUP BY bnd, sig
+),
 rep_pairs AS (
-  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-  FROM long a JOIN long b2
-    ON a.bnd = b2.bnd AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+  SELECT DISTINCT i1.id AS id1, i2.id AS id2
+  FROM band_groups
+  LATERAL VIEW posexplode(ids) i1 AS p1, id
+  LATERAL VIEW posexplode(ids) i2 AS p2, id
+  WHERE p1 < p2
 )"""
 
 
@@ -330,11 +344,22 @@ chunks AS (
   SELECT doc_id, simhash, stack(2, 0, simhash % 65536, 1, simhash div 65536) AS (cid, cval)
   FROM sigs
 ),
+-- round 13 session 5 (guide §2.4): in-bucket pairs via one groupBy +
+-- per-group pair explode instead of a chunk self-join, so the md5
+-- token-hash + 32-bitcount chain runs once, not once per join side
+-- (same restructure as _BLK_GROUP_PAIRS; pair set and hamming values
+-- identical — sorted structs replay a.doc_id < b.doc_id).
+chunk_groups AS (
+  SELECT sort_array(collect_list(struct(doc_id, simhash))) AS ms
+  FROM chunks GROUP BY cid, cval
+),
 rep_pairs AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-         bit_count(a.simhash ^ b.simhash) AS hamming
-  FROM chunks a JOIN chunks b
-    ON a.cid = b.cid AND a.cval = b.cval AND a.doc_id < b.doc_id
+  SELECT DISTINCT i1.m.doc_id AS id1, i2.m.doc_id AS id2,
+         bit_count(i1.m.simhash ^ i2.m.simhash) AS hamming
+  FROM chunk_groups
+  LATERAL VIEW posexplode(ms) i1 AS p1, m
+  LATERAL VIEW posexplode(ms) i2 AS p2, m
+  WHERE p1 < p2
 ),
 rep_verified AS (SELECT id1, id2, hamming FROM rep_pairs WHERE hamming <= 3),
 hash_pairs AS (
@@ -405,15 +430,36 @@ WHERE bit_count(xor(sh1, sh2)) <= 3
 
 # Spark side: same exact-dup collapse as the minhash family, with the
 # min-shingle block key generating candidates among representatives.
-DEDUP_NGRAM_JACCARD_SPARK = _collapsed_pairwise_spark(
-    """blocked AS (
+# Round 13 session 5 (guide §2.4): in-block pairs via ONE groupBy on the
+# block key + per-group pair explode, not a self-join — the join shape
+# computed the corpus→rep_text→shingle→md5 chain once PER SIDE (the
+# planner broadcast-converts the small side, so the two sides never
+# share an exchange to reuse; measured 3.4-4.3 s for rep_pairs alone at
+# sf0.1), while the groupBy shape runs the chain once and shuffles only
+# (doc_id, blk). Pair sets are identical: blk is functional per doc, so
+# each in-block (i<j) pair appears exactly once either way; the sorted
+# collect_list + posexplode pair order replays a.doc_id < b.doc_id.
+# collect_list per block assumes bounded blocks — the same assumption
+# the blocking scheme itself documents (per-block work is O(cluster²)).
+# Interleaved 5-pair A/B: 5/5 wins, median 5.43 -> 2.36 s; output
+# verified tuple-for-tuple equal and the oracle hash unchanged.
+_BLK_GROUP_PAIRS = """blocked AS (
   SELECT doc_id, substring(md5(array_min(sh)), 1, 8) AS blk
   FROM shing
 ),
+blk_groups AS (
+  SELECT sort_array(collect_list(doc_id)) AS ids FROM blocked GROUP BY blk
+),
 rep_pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2
-  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-)""",
+  SELECT i1.id AS id1, i2.id AS id2
+  FROM blk_groups
+  LATERAL VIEW posexplode(ids) i1 AS p1, id
+  LATERAL VIEW posexplode(ids) i2 AS p2, id
+  WHERE p1 < p2
+)"""
+
+DEDUP_NGRAM_JACCARD_SPARK = _collapsed_pairwise_spark(
+    _BLK_GROUP_PAIRS,
     threshold=0.3,
 )
 
@@ -457,14 +503,7 @@ _CONTAIN_EXPR_S = (
 )
 
 DEDUP_NGRAM_CONTAIN_SPARK = _collapsed_pairwise_spark(
-    """blocked AS (
-  SELECT doc_id, substring(md5(array_min(sh)), 1, 8) AS blk
-  FROM shing
-),
-rep_pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2
-  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-)""",
+    _BLK_GROUP_PAIRS,  # same one-groupBy pair generation as the Jaccard op
     threshold=0.6,
     score_expr=_CONTAIN_EXPR_S,
     score_name="containment",
@@ -583,6 +622,121 @@ SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.85
 """
 
 
+# Round 13 session 5 (guide §4.2): the embedding near-dup pair scoring —
+# one interpreted zip_with/aggregate dot fold per label-blocked rep pair
+# (~720k pairs × 64 dims ≈ 46M lambda evals at sf0.1; measured 4.4 s,
+# the slowest non-headline registry row) — moves into one applyInPandas
+# numpy kernel per label block. The float64 arithmetic replays the SQL
+# fold's exact op order (sequential dim-by-dim accumulation from 0.0D;
+# float→double widening == the CASTs; cosine = dot / (nrm_a · nrm_b)
+# with the same multiply-then-divide), so pairs and cosines are
+# bit-identical — pinned by tests/test_scale_paths.py::
+# test_embedding_pair_kernel_matches_sql_reference against the retained
+# DEDUP_EMBEDDING_SPARK spelling, and the DuckDB oracle hash is
+# unchanged. Row-chunked so a hot label block costs chunk×B memory, not
+# B×B (the SQL join had the same O(B²) output; blocking assumes bounded
+# labels either way). The members/intra expansion and self_cos stay SQL.
+
+_EMB_PAIR_CHUNK = 1024
+_EMB_SEQ = [0]
+
+
+def _emb_label_pairs(pdf):
+    """All (rep_i < rep_j) pairs within one label block with exact-fold
+    cosine, filtered at >= 0.85 (the filter commutes with scoring)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    empty = pd.DataFrame({"id1": pd.Series([], dtype="int64"),
+                          "id2": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    if n < 2:
+        return empty
+    pdf = pdf.sort_values("rep_id").reset_index(drop=True)
+    ids = pdf["rep_id"].to_numpy()
+    E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = E.shape[1]
+    # per-rep norm: sequential dim order == the staged SQL nrm fold
+    sq = np.zeros(n)
+    for j in range(dim):
+        sq += E[:, j] * E[:, j]
+    nrm = np.sqrt(sq)
+    out1, out2, outc = [], [], []
+    for lo in range(0, n - 1, _EMB_PAIR_CHUNK):
+        hi = min(lo + _EMB_PAIR_CHUNK, n - 1)
+        # dot of rows lo..hi against all rows, accumulated dim-by-dim
+        acc = np.zeros((hi - lo, n))
+        for j in range(dim):
+            acc += E[lo:hi, j : j + 1] * E[None, :, j]
+        cos = acc / (nrm[lo:hi, None] * nrm[None, :])
+        # upper triangle: partner index > row index (ids ascending)
+        ri, ci = np.nonzero(cos >= 0.85)
+        keep = ci > (ri + lo)
+        ri, ci = ri[keep], ci[keep]
+        out1.append(ids[ri + lo])
+        out2.append(ids[ci])
+        outc.append(cos[ri, ci])
+    if not out1:
+        return empty
+    return pd.DataFrame(
+        {
+            "id1": np.concatenate(out1),
+            "id2": np.concatenate(out2),
+            "cosine": np.concatenate(outc),
+        }
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    _EMB_SEQ[0] += 1
+    pview = f"emb_rep_pairs_{_EMB_SEQ[0]}"
+    reps = spark.sql(f"""
+        SELECT label, embedding, min(vec_id) AS rep_id
+        FROM ({_EMB_CORPUS_S}) GROUP BY label, embedding
+    """)
+    (
+        reps.groupBy("label")
+        .applyInPandas(_emb_label_pairs, "id1 BIGINT, id2 BIGINT, cosine DOUBLE")
+        .createOrReplaceTempView(pview)
+    )
+    return spark.sql(f"""
+WITH raw AS ({_EMB_CORPUS_S}),
+reps AS (
+  SELECT label, embedding, min(vec_id) AS rep_id
+  FROM raw GROUP BY label, embedding
+),
+members AS (
+  SELECT r.rep_id, raw.vec_id
+  FROM raw JOIN reps r ON raw.label = r.label AND raw.embedding = r.embedding
+),
+emb AS (
+  SELECT rep_id AS vec_id,
+         aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v) AS sq,
+         sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v)) AS nrm
+  FROM reps
+),
+cross_pairs AS (
+  SELECT least(ma.vec_id, mb.vec_id) AS id1, greatest(ma.vec_id, mb.vec_id) AS id2, p.cosine
+  FROM {pview} p
+  JOIN members ma ON ma.rep_id = p.id1
+  JOIN members mb ON mb.rep_id = p.id2
+),
+self_cos AS (SELECT vec_id, sq / (nrm * nrm) AS cosine FROM emb),
+intra_pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, sc.cosine
+  FROM members a
+  JOIN members b ON a.rep_id = b.rep_id AND a.vec_id < b.vec_id
+  JOIN self_cos sc ON sc.vec_id = a.rep_id
+  WHERE sc.cosine >= 0.85
+)
+SELECT id1, id2, cosine FROM cross_pairs
+UNION ALL
+SELECT id1, id2, cosine FROM intra_pairs
+""")
+
+
 _exact_q, _exact_o = _sql_pair(DEDUP_EXACT_SPARK, DEDUP_EXACT_DUCK)
 _minhash_q, _minhash_o = _sql_pair(DEDUP_MINHASH_SPARK, DEDUP_MINHASH_DUCK)
 _simhash_q, _simhash_o = _sql_pair(DEDUP_SIMHASH_SPARK, DEDUP_SIMHASH_DUCK)
@@ -596,7 +750,7 @@ QUERIES = {
     "dedup_simhash": _simhash_q,
     "dedup_ngram_jaccard": _jaccard_q,
     "dedup_ngram_containment": _contain_q,
-    "dedup_embedding_cosine": _emb_q,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLE = {
@@ -671,13 +825,17 @@ def _minhash_fast_gate(spark, sf_dir):
 
     ref = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("id1", "id2")
     fast = _minhash_fast_q(spark, sf_dir).select("id1", "id2")
-    n_ref = ref.agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
-    n_hit = ref.join(fast, ["id1", "id2"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return n_ref.crossJoin(n_hit).select(
-        "n_ref", (F.col("n_hit") >= 0.8 * F.col("n_ref")).alias("recall_ok")
-    )
+    # ONE pass over each pipeline (round 13, guide §2.4): the old shape
+    # aggregated n_ref and the hit join as two separate consumers of
+    # `ref`, re-running the whole md5 reference pipeline per consumer
+    # (measured 7.1 s at sf0.1, ≈ 2×ref + fast). Pairs are DISTINCT in
+    # both sets, so a LEFT join preserves exactly the ref rows and
+    # count(hit) counts the intersection — identical (n_ref, recall_ok).
+    hit = ref.join(fast.withColumn("hit", F.lit(1)), ["id1", "id2"], "left")
+    return hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ref"),
+        F.count("hit").alias("n_hit"),
+    ).select("n_ref", (F.col("n_hit") >= 0.8 * F.col("n_ref")).alias("recall_ok"))
 
 
 QUERIES["dedup_minhash_lsh_fast"] = _minhash_fast_gate

@@ -283,3 +283,18 @@ def test_bloom_distributed_chunk_build_matches_driver_build(spark, sf_dir, monke
         r.doc_id for r in dedup.QUERIES["dedup_bloom_incremental"](spark, sf_dir).collect()
     )
     assert drv == dist and len(drv) > 0
+
+
+def test_embedding_pair_kernel_matches_sql_reference(spark, sf_dir):
+    """The round-13 per-label pair-scoring numpy kernel behind
+    dedup_embedding_cosine must reproduce the full output of the
+    pure-SQL reference spelling (DEDUP_EMBEDDING_SPARK) EXACTLY —
+    the kernel replays the dot/norm folds' sequential float64 op order,
+    so pairs AND cosines are bit-identical."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import dedup as dd
+
+    register_views(spark, sf_dir)
+    fast = sorted(map(tuple, dd.dedup_embedding_cosine(spark, sf_dir).collect()))
+    ref = sorted(map(tuple, dd._emb_q(spark, sf_dir).collect()))
+    assert fast == ref and len(fast) > 0
