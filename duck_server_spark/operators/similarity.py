@@ -813,25 +813,30 @@ def similarity_ann_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _sql(SIM_BRUTE_SPARK)(spark, sf_dir).where("rnk <= 10")
     from pyspark.sql import functions as F
 
-    exact_agg = exact.groupBy("query_id").agg(
-        F.array_join(F.sort_array(F.collect_list("cand_id")), ",").alias("exact_top"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    hits = (
-        exact.select("query_id", "cand_id")
-        .join(ann.select("query_id", "cand_id"), ["query_id", "cand_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # ONE pass over the exact pipeline (round 13 session 5, guide §2.4):
+    # the old shape consumed `exact` twice (the top-10 aggregate AND the
+    # hit join), re-running the whole brute-force scoring per consumer.
+    # (query_id, cand_id) is unique in both sides, so a LEFT join
+    # preserves exactly the exact rows; count(hit) is the old
+    # coalesce(n_hit, 0) and the sorted collect_list is order-insensitive.
+    marked = exact.select("query_id", "cand_id").join(
+        ann.select("query_id", "cand_id").withColumn("hit", F.lit(1)),
+        ["query_id", "cand_id"],
+        "left",
     )
     return (
-        exact_agg.join(hits, "query_id", "left")
+        marked.groupBy("query_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("cand_id")), ",").alias(
+                "exact_top"
+            ),
+            F.count(F.lit(1)).alias("k"),
+            F.count("hit").alias("n_hit"),
+        )
         .select(
             "query_id",
             "exact_top",
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0))
-                >= 0.5 * F.col("k")
-            ).alias("recall_ok"),
+            (F.col("n_hit") >= 0.5 * F.col("k")).alias("recall_ok"),
         )
         .orderBy("query_id")
     )
