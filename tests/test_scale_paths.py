@@ -298,3 +298,44 @@ def test_embedding_pair_kernel_matches_sql_reference(spark, sf_dir):
     fast = sorted(map(tuple, dd.dedup_embedding_cosine(spark, sf_dir).collect()))
     ref = sorted(map(tuple, dd._emb_q(spark, sf_dir).collect()))
     assert fast == ref and len(fast) > 0
+
+
+def test_plan_memo_denylist_covers_every_materializing_builder():
+    """The all_queries() lazy-plan memo must NEVER wrap a builder that
+    materializes state at build time (eager localCheckpoints, stream
+    replays) — memoizing one would carry computed results across
+    invocations, which the bench contract forbids. Pin the invariant:
+    every registry builder whose source touches tracked_local_checkpoint
+    is in the denylist, and streaming builders come back unwrapped."""
+    import importlib
+    import inspect
+
+    from duck_server_spark.operators import (
+        _MODULES,
+        _STATEFUL_BUILDERS,
+        all_queries,
+    )
+
+    streaming = set(
+        importlib.import_module("duck_server_spark.operators.streaming_ops").QUERIES
+    )
+    for mname in _MODULES:
+        mod = importlib.import_module(f"duck_server_spark.operators.{mname}")
+        for name, fn in mod.QUERIES.items():
+            try:
+                src = inspect.getsource(fn)
+            except (OSError, TypeError):
+                continue
+            if "tracked_local_checkpoint" in src and "def test" not in src:
+                assert name in _STATEFUL_BUILDERS, (
+                    f"{name} materializes checkpoints at build time but is "
+                    "not in _STATEFUL_BUILDERS — the plan memo would cache "
+                    "its materialized state across invocations"
+                )
+    wrapped = all_queries()
+    for name in _STATEFUL_BUILDERS | streaming:
+        assert not hasattr(wrapped[name], "__wrapped__"), (
+            f"{name} must not be plan-memoized"
+        )
+    # and a stateless row IS memoized (the optimization actually applies)
+    assert hasattr(wrapped["tpch_q1_pricing_summary"], "__wrapped__")
