@@ -1090,16 +1090,16 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column-pruned parquet scan — each is consumed exactly once, so
     # nothing Python-side ever recomputes.)
     #
-    # groups: doc_id -> content-hash, referenced ~7x downstream (rep-id
-    # derivation, rep->hash mapping r1/r2, pair expansion a/b, intra-group
-    # emission a/b). Eager localCheckpoint rather than persist(): it
-    # TRUNCATES the lineage, so every reference physically scans the slim
-    # stored partitions — persist() relies on cache-plan matching, which
-    # was observed to silently miss for multi-referenced view lineages and
-    # re-hash the corpus per reference. (On a cluster, checkpoint to
-    # reliable storage for fault tolerance.)
+    # groups: doc_id -> content-hash, referenced 4x downstream (pair
+    # expansion a/b, intra-group emission a/b). Eager localCheckpoint
+    # rather than persist(): it TRUNCATES the lineage, so every
+    # reference physically scans the slim stored partitions — persist()
+    # relies on cache-plan matching, which was observed to silently miss
+    # for multi-referenced view lineages and re-hash the corpus per
+    # reference. (On a cluster, checkpoint to reliable storage for fault
+    # tolerance.)
     # round 13 (guide §2.6): groups and rep_pairs are INDEPENDENT jobs
-    # (rep_pairs reads only mhv_corpus -> reps -> sigs), so both
+    # (rep_pairs reads only mhv_corpus -> sigs -> rep_sigs), so both
     # checkpoints are submitted concurrently at the end of this builder
     # via tracked_local_checkpoint_many — the lazy frame is built here.
     groups_lazy = spark.sql("SELECT doc_id, xxhash64(text) AS chash FROM mhv_corpus")
