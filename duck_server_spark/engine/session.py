@@ -79,19 +79,41 @@ def get_session(app_name: str = "duck_server_spark", cpus: int | None = None) ->
     return spark
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+import weakref
+
+# Per-session scratch store for the engine's plan-handle memos
+# (load_table relations, register_views state, the operator plan memo,
+# the contamination eval index). Round 14 (ADVICE r13): the old dicts
+# keyed on id(spark) never evicted — a stopped session's id() can be
+# reused by a NEW session, which would then be served DataFrames bound
+# to the dead session, and the strong refs grew unboundedly. A
+# WeakKeyDictionary keyed on the LIVE session object fixes both: entries
+# die with the session, and id reuse is impossible while the key is
+# alive.
+_SESSION_STORES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def session_store(spark: SparkSession) -> dict:
+    store = _SESSION_STORES.get(spark)
+    if store is None:
+        store = {}
+        _SESSION_STORES[spark] = store
+    return store
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized per (session, dir, table): repeated builders reuse the
     analyzed relation instead of re-listing files and re-reading footers
     (~100-200 ms per call). The fixture dirs are immutable."""
-    key = (id(spark), sf_dir, name)
-    hit = _TABLE_CACHE.get(key)
+    store = session_store(spark)
+    key = ("table", sf_dir, name)
+    hit = store.get(key)
     if hit is not None:
         return hit
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_CACHE[key] = df
+    store[key] = df
     return df
 
 
@@ -131,9 +153,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-_VIEWS_REGISTERED: dict[int, str] = {}
-
-
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (name == table name).
 
@@ -148,11 +167,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     below); nothing in the engine ever drops or shadows fixture-named
     temp views (the executor's transient views are all __duck_*-named).
     """
-    if _VIEWS_REGISTERED.get(id(spark)) == sf_dir:
+    store = session_store(spark)
+    if store.get("views_dir") == sf_dir:
         return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    _VIEWS_REGISTERED[id(spark)] = sf_dir
+    store["views_dir"] = sf_dir
     # DuckDB-named pandas-UDF scalars (damerau_levenshtein, jaro_*) —
     # registered here too so sessions we didn't build (the verification
     # driver constructs its own) can run the similarity gate rows;

@@ -45,69 +45,69 @@ def _modules():
 # ROTATION QUEUE (VERDICT r10 item 8): the registry holds ~200 rows and
 # the window 50, so each oracle-twinned row should get a driver witness
 # at least every ~4 rounds. Last-witnessed round per block is noted
-# below. Round 13 rotates in the stalest rows exactly as the r12 queue
-# ordered: the three r12 deferrals (dedup_minhash_lsh_fast,
-# similarity_ann_pq, join_cross — last witnessed r8) plus 47 of the 50
-# r9-witnessed rows. The three r9 rows deferred to lead the r14 queue
-# (scalar_list_aliases, scalar_array_higher_order, scalar_struct_map)
+# below. Round 14 rotates exactly as the r13 queue ordered (VERDICT r13
+# item 9): the three r9 deferrals lead (scalar_list_aliases,
+# scalar_array_higher_order, scalar_struct_map — last witnessed r9),
+# then 47 of the 50 r10-witnessed rows. The three r10 rows deferred to
+# lead the r15 queue (raw_literal_sql, infix_ops_sql, quoted_idents_sql)
 # are the most redundantly covered outside the driver: each maps onto
-# whole probe families of the 409-row dialect battery (list/lambda/
-# struct/map probes) that run as a pytest gate every round. The r10
-# block (50 rows) follows them in the r14 queue. Everything outside the
-# window is still fully self-gated per-round by tools/drive_contract.py.
+# whole probe families of the dialect battery (literal/operator/quoting
+# probes) that run as a pytest gate every round. The r11 block follows
+# them in the r15 queue. Everything outside the window is still fully
+# self-gated per-round by tools/drive_contract.py.
 _PRIORITY = [
-    # 1-3: last witnessed r8 — the r12 deferrals, honored first.
-    "dedup_minhash_lsh_fast",
-    "similarity_ann_pq",
-    "join_cross",
-    # 4-50: the r9-witnessed block (47 of 50; deferral note above).
-    "agg_kmv_distinct",
-    "agg_regression",
-    "attributed_purchases",
-    "cohort_retention",
-    "dedup_connected_components",
-    "dedup_exact",
-    "dedup_source_matrix",
-    "doc_chunking",
-    "embedding_quantization",
-    "events_funnel",
-    "events_gapfill",
-    "events_outliers",
-    "events_streaks",
-    "from_first_sql",
-    "graph_triangles",
-    "histogram_prices",
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    "pipeline_corpus_clean",
-    "sample_quality_weighted",
-    "sequence_packing",
-    "spearman_corr",
-    "text_edit_distance",
-    "text_oov_rate",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_signals_fused",
-    "text_tfidf_salience",
-    "text_top_terms",
-    "token_quantiles_per_source",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_lines",
-    "tpch_q14_promo_effect",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_excess_suppliers",
-    "tpch_q22_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "train_valid_test_split",
-    "window_distribution",
-    "window_time_range",
+    # 1-3: last witnessed r9 — the r13 deferrals, honored first.
+    "scalar_list_aliases",
+    "scalar_array_higher_order",
+    "scalar_struct_map",
+    # 4-50: the r10-witnessed block (47 of 50; deferral note above).
+    "fn_shim_embedding_sql",
+    "fn_shim_scalars_sql",
+    "fn_shim_aggs_sql",
+    "query_shapes_sql",
+    "window_shapes_sql",
+    "scalar_struct_range_list",
+    "agg_collect_sorted",
+    "agg_incremental_merge",
+    "dedup_bloom_incremental",
+    "dedup_canonical_docs",
+    "dedup_line_level",
+    "dedup_substring_spans",
+    "embedding_centroids",
+    "graph_pagerank",
+    "inverted_index",
+    "join_positional",
+    "mixture_sampling_quotas",
+    "multimodal_audio_features",
+    "multimodal_phash_dedup",
+    "multimodal_resize",
+    "pipeline_dataset_card",
+    "pipeline_file_sizing",
+    "pipeline_global_shuffle",
+    "pipeline_length_buckets",
+    "pipeline_skew_report",
+    "pipeline_token_drift",
+    "sample_dsir_importance",
+    "sessionize",
+    "similarity_ann_ivf",
+    "similarity_matryoshka_topk",
+    "streaming_click_attribution",
+    "streaming_click_attribution_outer",
+    "streaming_dedup_watermark",
+    "streaming_quality_gate",
+    "streaming_running_totals",
+    "streaming_session_windows",
+    "streaming_tumbling_counts",
+    "text_cooccurrence_lift",
+    "text_tokenizer_fertility",
+    "text_unigram_score",
+    "text_winnowing_fingerprints",
+    "zorder_layout",
+    "agg_bool_any_every",
+    "agg_count_star_global",
+    "agg_hll_mergeable_distinct",
+    "agg_median_quantile",
+    "agg_stats_moments",
 ]
 
 
@@ -121,23 +121,52 @@ _PRIORITY = [
 # guide §1.2 per-task/driver work, same contract as load_table /
 # register_views' memos and the engine's bind-time probe cache).
 _STATEFUL_BUILDERS = {
+    # tracked_local_checkpoint at build time
     "dedup_minhash_vectorized",
     "dedup_bloom_incremental",
     "text_cooccurrence_lift",
     "text_bm25_retrieval",
     "pipeline_corpus_clean",
+    # round 14 (VERDICT r13 item 1): builders that materialize through
+    # OTHER means — raw localCheckpoint (eager=True runs the job at
+    # build; eager=False pins partitions on first action), persist
+    # loops, or build-time actions. Memoizing any of these would serve
+    # stored partitions on a second same-session invocation.
+    "agg_hll_mergeable_distinct",            # localCheckpoint(eager=False)
+    "agg_hll_mergeable_distinct_prod",       # localCheckpoint(eager=True)
+    "agg_theta_audience_overlap",            # localCheckpoint(eager=False)
+    "agg_theta_audience_overlap_prod",       # localCheckpoint(eager=True)
+    "dedup_connected_components",            # persist/checkpoint loop + counts
+    "graph_triangles",                       # edge localCheckpoint(eager=True)
+    "dedup_source_matrix",                   # pair localCheckpoint(eager=True)
+    "graph_pagerank",                        # edge localCheckpoint(eager=True)
 }
 
-_PLAN_MEMO: dict = {}
-
+# Builders whose build-time materialization is ITSELF memoized per
+# (session, fixture) by a disclosed domain cache, making the build
+# idempotent: the plan memo adds no state a re-build would not reuse
+# anyway. contamination_check's eval-gram index (llm_text.py
+# _eval_gram_index) is the bar-adjudicated design — the bench gives it a
+# cold-cache extra rep. Listed explicitly so the guard test's source
+# scan stays exhaustive without denylisting them.
+_IDEMPOTENT_MATERIALIZERS = {
+    "contamination_check",
+}
 
 def _memoized(name: str, fn: Callable) -> Callable:
+    # memo entries live in the per-session store (engine/session.py):
+    # keyed on the LIVE session object, so a recycled id() can never be
+    # served a dead session's plan and entries are GC'd with the session
+    # (round 14, ADVICE r13)
+    from duck_server_spark.engine.session import session_store
+
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (name, id(spark), sf_dir)
-        df = _PLAN_MEMO.get(key)
+        store = session_store(spark)
+        key = ("plan", name, sf_dir)
+        df = store.get(key)
         if df is None:
             df = fn(spark, sf_dir)
-            _PLAN_MEMO[key] = df
+            store[key] = df
         return df
 
     build.__name__ = getattr(fn, "__name__", name)

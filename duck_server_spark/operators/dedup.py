@@ -213,7 +213,62 @@ SELECT id1, id2, {score_name} FROM intra_pairs
 """
 
 
-def _banded_candidates(sigs_cte: str, band_sel: str = _BAND_SEL) -> str:
+# Bucket-size cap for the groupBy pair-generation paths (round 14,
+# VERDICT r13 item 2 — skew-proofing). The r13 groupBy restructure put
+# an ENTIRE bucket into one collect_list row and one task emitted its
+# O(b²) pairs: at 100 TB a degenerate bucket (boilerplate docs sharing a
+# band signature / block key) is an unbounded array + a single-task
+# quadratic explosion. Fix: SALTED TRIANGLE REGROUP, one linear
+# pipeline — a window over the bucket key counts the bucket, each doc
+# is salted into ns = ceil(bsz/cap) chunks (deterministic
+# pmod(xxhash64(doc_id), ns) — guide §2.5 forbids rand here) and
+# replicated to its ns chunk-PAIR groups (least/greatest(salt, t)); a
+# REPARTITION on (key, s_lo, s_hi) spreads those groups across tasks,
+# and each group's collect_list is bounded at ~2·cap elements. Pair
+# sets are identical: group (i,i) emits salt-i's internal (i<j by
+# doc_id) pairs, group (i,j) emits exactly the cross-salt pairs, so
+# every in-bucket pair appears exactly once. With bsz ≤ cap this
+# DEGENERATES to the r13 shape (ns=1, one row per doc, one group per
+# bucket) — no branches, so nothing references the expensive
+# corpus→shingle chain twice (measured: a join-fallback branch costs
+# ~3 s/query here because this engine does not reuse the chain exchange
+# across self-join sides even when forced to SMJ; the salted regroup
+# measures ≈ r13 + one slim exchange, interleaved A/B in
+# OPTIMIZATION_r14.md). Replication cost at scale is ns rows/doc =
+# O(bsz²/cap) slim rows per degenerate bucket — strictly below the
+# O(bsz²) pair output any correct algorithm must emit. Env-tunable;
+# every local fixture bucket stays at ns=1.
+_PAIR_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_PAIR_BUCKET_CAP", "1024"))
+
+
+def _salted_groups(key_cols: str, src: str, payload: str, cap: int) -> str:
+    """Shared salted-triangle regroup fragment: `src`(doc_id, {key_cols})
+    → `salted_groups`({key_cols}, s_lo, s_hi, ms sorted array of
+    struct(doc_id, salt[, payload...]))."""
+    return f"""sized AS (
+  SELECT *, greatest(CAST(ceil(count(*) OVER (PARTITION BY {key_cols}) / CAST({cap} AS DOUBLE)) AS INT), 1) AS ns
+  FROM {src}
+),
+salted AS (
+  SELECT /*+ REPARTITION({key_cols}, s_lo, s_hi) */
+         *, least(salt, t.t) AS s_lo, greatest(salt, t.t) AS s_hi
+  FROM (SELECT *, CAST(pmod(xxhash64(doc_id), ns) AS INT) AS salt FROM sized)
+  LATERAL VIEW explode(sequence(0, ns - 1)) t AS t
+),
+salted_groups AS (
+  SELECT s_lo, s_hi, sort_array(collect_list(struct(doc_id, salt{payload}))) AS ms
+  FROM salted GROUP BY {key_cols}, s_lo, s_hi
+)"""
+
+
+# each in-bucket (i < j by doc_id) pair exactly once: intra-salt pairs
+# come from the (i,i) group, cross-salt pairs from the (i,j) group
+_SALTED_PAIR_COND = "p1 < p2 AND (s_lo = s_hi OR i1.m.salt <> i2.m.salt)"
+
+
+def _banded_candidates(
+    sigs_cte: str, band_sel: str = _BAND_SEL, cap: int = _PAIR_BUCKET_CAP
+) -> str:
     """Candidate fragment: minhash signatures → 2 banded buckets →
     DISTINCT in-bucket pairs. `sigs_cte` computes sigs(doc_id, mh0..mh7)
     from `shing`.
@@ -222,10 +277,12 @@ def _banded_candidates(sigs_cte: str, band_sel: str = _BAND_SEL) -> str:
     bucket key + per-group pair explode, not a bucket self-join — the
     join shape computed the whole shingle+signature chain once per side
     (the planner broadcast-converts the small side, so the sides share
-    no exchange; see _BLK_GROUP_PAIRS for the measured variant). The
+    no exchange; see _blk_group_pairs for the measured variant). The
     DISTINCT stays: a pair can collide in both bands. Pair sets are
     identical (sorted collect_list + posexplode replays doc_id < doc_id
-    ordering inside each bucket)."""
+    ordering inside each bucket). Round 14: salted triangle regroup
+    bounds bucket arrays and parallelizes hot-bucket emission (see
+    _PAIR_BUCKET_CAP)."""
     return f"""{sigs_cte},
 banded AS (
   SELECT doc_id, {band_sel} FROM sigs
@@ -233,15 +290,13 @@ banded AS (
 long AS (
   SELECT doc_id, stack(2, 0, band0, 1, band1) AS (bnd, sig) FROM banded
 ),
-band_groups AS (
-  SELECT sort_array(collect_list(doc_id)) AS ids FROM long GROUP BY bnd, sig
-),
+{_salted_groups("bnd, sig", "long", "", cap)},
 rep_pairs AS (
-  SELECT DISTINCT i1.id AS id1, i2.id AS id2
-  FROM band_groups
-  LATERAL VIEW posexplode(ids) i1 AS p1, id
-  LATERAL VIEW posexplode(ids) i2 AS p2, id
-  WHERE p1 < p2
+  SELECT DISTINCT i1.m.doc_id AS id1, i2.m.doc_id AS id2
+  FROM salted_groups
+  LATERAL VIEW posexplode(ms) i1 AS p1, m
+  LATERAL VIEW posexplode(ms) i2 AS p2, m
+  WHERE {_SALTED_PAIR_COND}
 )"""
 
 
@@ -316,7 +371,8 @@ def _bitcounts_duck() -> str:
 # on one representative per md5(text) group; intra-group pairs have
 # hamming 0 by construction (identical text → identical signature) and
 # cross pairs carry the reps' hamming.
-DEDUP_SIMHASH_SPARK = f"""
+def _simhash_spark_sql(cap: int = _PAIR_BUCKET_CAP) -> str:
+    return f"""
 WITH corpus AS ({_CORPUS}),
 grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
 rep_text AS (
@@ -347,19 +403,18 @@ chunks AS (
 -- round 13 session 5 (guide §2.4): in-bucket pairs via one groupBy +
 -- per-group pair explode instead of a chunk self-join, so the md5
 -- token-hash + 32-bitcount chain runs once, not once per join side
--- (same restructure as _BLK_GROUP_PAIRS; pair set and hamming values
--- identical — sorted structs replay a.doc_id < b.doc_id).
-chunk_groups AS (
-  SELECT sort_array(collect_list(struct(doc_id, simhash))) AS ms
-  FROM chunks GROUP BY cid, cval
-),
+-- (same restructure as _blk_group_pairs; pair set and hamming values
+-- identical — sorted structs replay a.doc_id < b.doc_id). Round 14:
+-- salted triangle regroup bounds bucket arrays and parallelizes
+-- hot-bucket emission (see _PAIR_BUCKET_CAP; simhash rides as payload).
+{_salted_groups("cid, cval", "chunks", ", simhash", cap)},
 rep_pairs AS (
   SELECT DISTINCT i1.m.doc_id AS id1, i2.m.doc_id AS id2,
          bit_count(i1.m.simhash ^ i2.m.simhash) AS hamming
-  FROM chunk_groups
+  FROM salted_groups
   LATERAL VIEW posexplode(ms) i1 AS p1, m
   LATERAL VIEW posexplode(ms) i2 AS p2, m
-  WHERE p1 < p2
+  WHERE {_SALTED_PAIR_COND}
 ),
 rep_verified AS (SELECT id1, id2, hamming FROM rep_pairs WHERE hamming <= 3),
 hash_pairs AS (
@@ -382,6 +437,9 @@ SELECT id1, id2, hamming FROM cross_pairs
 UNION ALL
 SELECT id1, id2, hamming FROM intra_pairs
 """
+
+
+DEDUP_SIMHASH_SPARK = _simhash_spark_sql()
 
 DEDUP_SIMHASH_DUCK = rf"""
 WITH corpus AS ({_CORPUS}),
@@ -439,24 +497,30 @@ WHERE bit_count(xor(sh1, sh2)) <= 3
 # (doc_id, blk). Pair sets are identical: blk is functional per doc, so
 # each in-block (i<j) pair appears exactly once either way; the sorted
 # collect_list + posexplode pair order replays a.doc_id < b.doc_id.
-# collect_list per block assumes bounded blocks — the same assumption
-# the blocking scheme itself documents (per-block work is O(cluster²)).
 # Interleaved 5-pair A/B: 5/5 wins, median 5.43 -> 2.36 s; output
 # verified tuple-for-tuple equal and the oracle hash unchanged.
-_BLK_GROUP_PAIRS = """blocked AS (
+# Round 14: salted triangle regroup (see _PAIR_BUCKET_CAP) — the r13
+# note's bounded-block ASSUMPTION is now an enforced bound. No DISTINCT
+# needed: blk is functional per doc and each (i,j) pair comes from
+# exactly one salt group.
+
+
+def _blk_group_pairs(cap: int = _PAIR_BUCKET_CAP) -> str:
+    return f"""blocked AS (
   SELECT doc_id, substring(md5(array_min(sh)), 1, 8) AS blk
   FROM shing
 ),
-blk_groups AS (
-  SELECT sort_array(collect_list(doc_id)) AS ids FROM blocked GROUP BY blk
-),
+{_salted_groups("blk", "blocked", "", cap)},
 rep_pairs AS (
-  SELECT i1.id AS id1, i2.id AS id2
-  FROM blk_groups
-  LATERAL VIEW posexplode(ids) i1 AS p1, id
-  LATERAL VIEW posexplode(ids) i2 AS p2, id
-  WHERE p1 < p2
+  SELECT i1.m.doc_id AS id1, i2.m.doc_id AS id2
+  FROM salted_groups
+  LATERAL VIEW posexplode(ms) i1 AS p1, m
+  LATERAL VIEW posexplode(ms) i2 AS p2, m
+  WHERE {_SALTED_PAIR_COND}
 )"""
+
+
+_BLK_GROUP_PAIRS = _blk_group_pairs()
 
 DEDUP_NGRAM_JACCARD_SPARK = _collapsed_pairwise_spark(
     _BLK_GROUP_PAIRS,
@@ -643,7 +707,20 @@ _EMB_SEQ = [0]
 
 def _emb_label_pairs(pdf):
     """All (rep_i < rep_j) pairs within one label block with exact-fold
-    cosine, filtered at >= 0.85 (the filter commutes with scoring)."""
+    cosine, filtered at >= 0.85 (the filter commutes with scoring).
+
+    Zero-norm edge (round 14, ADVICE r13): this engine runs ANSI mode
+    (Spark 4 default, relied on elsewhere for overflow guarantees), and
+    under ANSI a double division by zero raises DIVIDE_BY_ZERO — probed
+    directly against the retained SQL spelling's fold: an all-zero
+    vector makes `dot / (nrm_a * nrm_b)` ERROR, not produce a NaN that
+    passes `>= 0.85` (the non-ANSI/DuckDB behavior ADVICE r13 assumed).
+    numpy's silent NaN-drop would therefore diverge from the reference
+    by silently DROPPING pairs the SQL spelling refuses to score; the
+    kernel instead raises the same loud error on zero norms, keeping the
+    bit-identical-equivalence claim exact for degenerate input too
+    (pinned by tests/test_scale_paths.py::
+    test_embedding_kernel_zero_norm_matches_ansi_sql)."""
     import numpy as np
     import pandas as pd
 
@@ -662,6 +739,13 @@ def _emb_label_pairs(pdf):
     for j in range(dim):
         sq += E[:, j] * E[:, j]
     nrm = np.sqrt(sq)
+    if (nrm == 0.0).any():
+        # match the SQL spelling's ANSI DIVIDE_BY_ZERO (see docstring)
+        bad = ids[nrm == 0.0][:3]
+        raise ArithmeticError(
+            f"[DIVIDE_BY_ZERO] zero-norm embedding(s) {bad.tolist()} — the "
+            "ANSI SQL reference errors on these; clean the corpus first"
+        )
     out1, out2, outc = [], [], []
     for lo in range(0, n - 1, _EMB_PAIR_CHUNK):
         hi = min(lo + _EMB_PAIR_CHUNK, n - 1)

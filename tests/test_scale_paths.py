@@ -300,17 +300,70 @@ def test_embedding_pair_kernel_matches_sql_reference(spark, sf_dir):
     assert fast == ref and len(fast) > 0
 
 
+# Materializing-call markers for the plan-memo guard below. `.collect(`
+# and `.count()` are build-time Spark ACTIONS; the others pin partitions
+# either at build (eager=True / persist+count loops) or on first action
+# (eager=False, .persist(, .cache() — the memo would then serve the
+# pinned partitions to every later invocation.
+_MATERIALIZING_MARKERS = (
+    "tracked_local_checkpoint",
+    ".localCheckpoint(",
+    ".persist(",
+    ".cache()",
+    ".collect()",
+    ".count()",
+    ".toPandas()",
+)
+
+
+def _expand_builder_source(fn, seen=None):
+    """Source of fn PLUS (recursively) every same-package function it
+    references by name — so a builder that materializes through a helper
+    (e.g. llm_text._eval_gram_index) is caught, not just direct calls."""
+    import inspect
+    import re
+
+    if seen is None:
+        seen = set()
+    key = getattr(fn, "__qualname__", repr(fn))
+    if key in seen:
+        return ""
+    seen.add(key)
+    fn = getattr(fn, "__wrapped__", fn)
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return ""
+    out = [src]
+    names: dict = dict(getattr(fn, "__globals__", {}))
+    try:
+        cv = inspect.getclosurevars(fn)
+        names.update(cv.nonlocals)
+    except TypeError:
+        pass
+    for ident in set(re.findall(r"\b\w+\b", src)):
+        ref = names.get(ident)
+        if (
+            inspect.isfunction(ref)
+            and getattr(ref, "__module__", "").startswith("duck_server_spark")
+        ):
+            out.append(_expand_builder_source(ref, seen))
+    return "\n".join(out)
+
+
 def test_plan_memo_denylist_covers_every_materializing_builder():
     """The all_queries() lazy-plan memo must NEVER wrap a builder that
-    materializes state at build time (eager localCheckpoints, stream
-    replays) — memoizing one would carry computed results across
-    invocations, which the bench contract forbids. Pin the invariant:
-    every registry builder whose source touches tracked_local_checkpoint
-    is in the denylist, and streaming builders come back unwrapped."""
+    materializes state at build time (checkpoints — tracked, raw eager,
+    or pin-on-first-action —, persist/cache, or build-time actions like
+    collect/count) — memoizing one would carry computed results across
+    invocations, which the bench contract forbids. Round 14 (VERDICT r13
+    item 1): the scan is now TRANSITIVE over same-package helpers and
+    matches every materializing spelling, not just
+    tracked_local_checkpoint."""
     import importlib
-    import inspect
 
     from duck_server_spark.operators import (
+        _IDEMPOTENT_MATERIALIZERS,
         _MODULES,
         _STATEFUL_BUILDERS,
         all_queries,
@@ -320,15 +373,15 @@ def test_plan_memo_denylist_covers_every_materializing_builder():
         importlib.import_module("duck_server_spark.operators.streaming_ops").QUERIES
     )
     for mname in _MODULES:
+        if mname == "streaming_ops":
+            continue  # excluded wholesale from the memo already
         mod = importlib.import_module(f"duck_server_spark.operators.{mname}")
         for name, fn in mod.QUERIES.items():
-            try:
-                src = inspect.getsource(fn)
-            except (OSError, TypeError):
-                continue
-            if "tracked_local_checkpoint" in src and "def test" not in src:
+            src = _expand_builder_source(fn)
+            hits = [m for m in _MATERIALIZING_MARKERS if m in src]
+            if hits and name not in _IDEMPOTENT_MATERIALIZERS:
                 assert name in _STATEFUL_BUILDERS, (
-                    f"{name} materializes checkpoints at build time but is "
+                    f"{name} materializes at build time ({hits}) but is "
                     "not in _STATEFUL_BUILDERS — the plan memo would cache "
                     "its materialized state across invocations"
                 )
@@ -339,3 +392,203 @@ def test_plan_memo_denylist_covers_every_materializing_builder():
         )
     # and a stateless row IS memoized (the optimization actually applies)
     assert hasattr(wrapped["tpch_q1_pricing_summary"], "__wrapped__")
+
+
+def test_plan_memo_scan_flags_synthetic_violator():
+    """The transitive source scan must actually catch a builder that
+    materializes through a helper — the failure mode VERDICT r13 found
+    in the round-13 test (direct-source grep only)."""
+
+    def _sneaky_helper(df):
+        return df.persist()
+
+    # emulate a module-level helper in the operators package (real
+    # helpers live there; the scanner filters on the package prefix)
+    _sneaky_helper.__module__ = "duck_server_spark.operators.synthetic"
+
+    def synthetic_builder(spark, sf_dir):
+        return _sneaky_helper(spark.range(1))
+
+    src = _expand_builder_source(synthetic_builder)
+    assert any(m in src for m in _MATERIALIZING_MARKERS), (
+        "transitive scan failed to flag a helper-mediated .persist()"
+    )
+
+    def clean_builder(spark, sf_dir):
+        return spark.range(1)
+
+    src = _expand_builder_source(clean_builder)
+    assert not any(m in src for m in _MATERIALIZING_MARKERS)
+
+
+def test_fixture_sample_matches_spark_collect(spark, sf_dir):
+    """Round 14 (VERDICT r13 items 1/2): the similarity builders derive
+    their tiny plan parameters (query vectors, coarse centroids, trainer
+    sample) from a driver-side pyarrow read of the fixture parquet
+    instead of build-time Spark collects — so the lazy-plan memo never
+    carries a collected Spark result across invocations. Pin that the
+    pyarrow read is bit-identical to the SQL spelling it replaced."""
+    import numpy as np
+
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import similarity as sim
+
+    register_views(spark, sf_dir)
+    vid, mat = sim._fixture_embeddings(sf_dir)
+    # unique, sorted ids; fixed-width matrix
+    assert np.all(np.diff(vid) > 0) and mat.shape[1] == sim._EMB_DIM
+
+    # query vectors (vec_id < 5) == the old collect
+    q_rows = sorted(
+        spark.sql(
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"
+        ).collect(),
+        key=lambda r: r.vec_id,
+    )
+    sel = vid < 5
+    assert list(vid[sel]) == [r.vec_id for r in q_rows]
+    assert np.array_equal(
+        mat[sel], np.array([r.embedding for r in q_rows], dtype=np.float64)
+    )
+
+    # trainer sample (vec_id % 3 = 0 ORDER BY vec_id LIMIT 256) == collect
+    s_rows = spark.sql(
+        "SELECT embedding FROM embeddings WHERE vec_id % 3 = 0 "
+        "ORDER BY vec_id LIMIT 256"
+    ).collect()
+    X = sim._train_sample_matrix(sf_dir)
+    assert np.array_equal(X, np.array([r.embedding for r in s_rows], dtype=np.float64))
+
+    # coarse centroids are the sample's first K rows
+    assert np.array_equal(sim._ivf_centroid_matrix(sf_dir), X[: sim._IVF_K])
+
+    # parquet-footer row count == the old build-time .count()
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    assert n == spark.table("embeddings").count()
+
+
+def test_embedding_kernel_zero_norm_matches_ansi_sql(spark):
+    """Round 14 (ADVICE r13, adjudicated by measurement): ADVICE assumed
+    a zero-norm pair scores NaN and silently passes `cosine >= 0.85` in
+    Spark SQL. Under this engine's ANSI mode (Spark 4 default) the SQL
+    fold actually RAISES DIVIDE_BY_ZERO — pin (a) that reference
+    behavior, and (b) that the numpy kernel raises the same loud error
+    instead of silently dropping the pair."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from duck_server_spark.operators.dedup import _emb_label_pairs
+
+    # (a) the ANSI SQL reference errors on a zero-norm divisor
+    df = spark.sql(
+        "SELECT aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS "
+        "DOUBLE)), 0.0D, (acc, v) -> acc + v)) * "
+        "sqrt(aggregate(transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS "
+        "DOUBLE)), 0.0D, (acc, v) -> acc + v))) AS cos "
+        "FROM VALUES (array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) "
+        "t(a, b)"
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.collect()
+
+    # (b) the kernel raises the matching error, not a silent drop
+    z = np.zeros(4, dtype=np.float32)
+    v = np.array([1.0, 0.0, 0.0, 0.0], dtype=np.float32)
+    pdf = pd.DataFrame(
+        {"label": [1, 1], "rep_id": [10, 20], "embedding": [z, v]}
+    )
+    with pytest.raises(ArithmeticError, match="DIVIDE_BY_ZERO"):
+        _emb_label_pairs(pdf)
+
+
+def test_pair_bucket_cap_skew_fixture(spark, tmp_path):
+    """VERDICT r13 item 2 'done' bar: a deliberately skewed fixture (one
+    block key / band signature shared by many docs) must complete
+    through the salted-triangle pair-generation path, and the pair sets
+    must be IDENTICAL across cap settings: cap=1 salts maximally (ns =
+    bucket size, every pair from a cross- or single-salt group), cap=8
+    splits the hot bucket into several salt groups while cold buckets
+    stay ns=1, and cap=10**9 degenerates everything to the r13
+    one-group-per-bucket shape."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import dedup as dd
+
+    # fixture dir: sf0.001 tables with a skewed documents.parquet —
+    # 60 docs sharing their minimum shingle ("aaa aaa aaa") hence one
+    # block key, plus 30 docs with distinct min shingles (small buckets)
+    src = "/root/testdata/sf0.001"
+    fdir = str(tmp_path / "skewfix")
+    os.makedirs(fdir)
+    for f in os.listdir(src):
+        if f != "documents.parquet":
+            shutil.copy(os.path.join(src, f), os.path.join(fdir, f))
+    # 4 tokens → shingles {"aaa aaa aaa", "aaa aaa zzz<i>"}: every hot
+    # pair scores jaccard 1/3 ≥ 0.3, so the whole O(b²) bucket reaches
+    # the output
+    hot = [f"aaa aaa aaa zzz{i:05d}" for i in range(60)]
+    cold = [f"bbb{i:05d} ccc{i:05d} ddd{i:05d} eee{i:05d}" for i in range(30)]
+    texts = hot + cold
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["src1"] * n),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        os.path.join(fdir, "documents.parquet"),
+    )
+    register_views(spark, fdir)
+
+    # the hot block really is oversized for the small cap
+    hot_bsz = spark.sql(f"""
+        WITH {dd._STAGED_SHINGLES_S},
+        blocked AS (SELECT doc_id, substring(md5(array_min(sh)), 1, 8) AS blk FROM shing)
+        SELECT max(cnt) AS m FROM (SELECT blk, count(*) AS cnt FROM blocked GROUP BY blk)
+    """).collect()[0].m
+    assert hot_bsz > 8, hot_bsz
+
+    def run(sql):
+        return sorted(map(tuple, spark.sql(sql).collect()))
+
+    # ngram-jaccard (block-key) shape
+    outs = [
+        run(dd._collapsed_pairwise_spark(dd._blk_group_pairs(cap), threshold=0.3))
+        for cap in (1, 8, 10**9)
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 1500
+
+    # banded-minhash shape (md5 twin's sigs CTE)
+    sigs_cte = f"""sigs AS (
+  SELECT doc_id,
+         {dd._minhash_cols("array_min", "transform")}
+  FROM shing
+)"""
+    bouts = [
+        run(dd._collapsed_pairwise_spark(dd._banded_candidates(sigs_cte, cap=cap)))
+        for cap in (1, 8, 10**9)
+    ]
+    assert bouts[0] == bouts[1] == bouts[2] and len(bouts[0]) > 0
+
+    # simhash (chunk-key, struct payload) shape
+    souts = [run(dd._simhash_spark_sql(cap)) for cap in (1, 8, 10**9)]
+    assert souts[0] == souts[1] == souts[2] and len(souts[0]) > 0
+
+    # leave the shared session back on the standard fixture
+    register_views(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))

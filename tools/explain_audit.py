@@ -461,18 +461,19 @@ def plan_fingerprint(plan: str) -> dict[str, int]:
     return counts
 
 
-def main() -> None:
-    from duck_server_spark.engine.session import get_session
+def run_audit(spark, sf: str = SF) -> list:
+    """Run every plan assertion; returns the failure list (empty = all
+    pass). Factored out of main() so tests/test_explain_audit.py gates
+    the same checks every round in pytest (round 14, VERDICT r13 item
+    8 — previously builder-run only)."""
     from duck_server_spark.operators import all_queries
 
-    spark = get_session("explain_audit")
-    spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     failures = []
     # union: a query with only FORBIDDEN assertions must still be audited
     audited = {name: CHECKS.get(name, []) for name in CHECKS | FORBIDDEN.keys()}
     for name, checks in audited.items():
-        df = queries[name](spark, SF)
+        df = queries[name](spark, sf)
         import contextlib
         import io
 
@@ -500,7 +501,7 @@ def main() -> None:
         for n in (est_name, twin_name):
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                queries[n](spark, SF).explain("formatted")
+                queries[n](spark, sf).explain("formatted")
             plans[n] = plan_fingerprint(buf.getvalue())
         est_fp, twin_fp = plans[est_name], plans[twin_name]
         missing = {
@@ -521,6 +522,15 @@ def main() -> None:
                     f"est={est_fp}\ntwin={twin_fp}",
                 )
             )
+    return failures
+
+
+def main() -> None:
+    from duck_server_spark.engine.session import get_session
+
+    spark = get_session("explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = run_audit(spark)
     if failures:
         print(f"\n{len(failures)} FAILURES; first plan:\n")
         print(failures[0][2][:4000])

@@ -1,13 +1,13 @@
 #!/usr/bin/env python3
-"""Round-13 optimization profiler: time individual registry queries with
+"""Optimization profiler (rounds 13/14): time individual registry queries with
 the noop sink (bench.py methodology, min-of-N) and optionally dump
-`.explain("formatted")` to plans/r13/.
+`.explain("formatted")` to plans/r14/ (override with OPT_PLAN_DIR).
 
 Usage:
   python tools/opt_profile.py [--reps N] [--explain SUFFIX] [query ...]
 
 With no query names, profiles the bench.py HEADLINE set. --explain before
-writes plans/r13/<query>_before.txt (after: _after.txt).
+writes plans/r14/<query>_before.txt (after: _after.txt).
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLAN_DIR = "/root/repo/plans/r13"
+PLAN_DIR = os.environ.get("OPT_PLAN_DIR", "/root/repo/plans/r14")
 
 
 def main() -> None:
