@@ -56,6 +56,18 @@ _CORPUS = """
               ELSE substring(text, instr(text, ' ') + 1) END AS text
   FROM documents WHERE doc_id % 25 = 0
 """
+# Round 14 (VERDICT r13 item 4): the one-scan LATERAL VIEW twin-emission
+# rewrite (each row emits its 0/1 perturbed twin from ONE scan) was
+# re-measured on an 8-split documents fixture, the condition the r13
+# negative result deferred to. Multiset equality verified; plan scans
+# halve (56 -> 28 in minhash_lsh). Interleaved 6-rep A/B at sf0.1×8
+# splits: the bare hash chain wins (med 0.38 -> 0.30) but every REAL
+# consumer still loses — minhash_lsh med 2.16 -> 2.75 (+27%): the
+# per-row Generate + CASE machinery sits under every corpus reference
+# and costs more than the saved scan at this input size. Still NEGATIVE
+# on multi-split input; the union also stays because _PAIRS_SQL shares
+# this text with the DuckDB oracle. Revisit only with genuinely
+# TB-scale inputs where scan I/O dominates per-row CPU.
 
 # corpus → toks → sh (word-3-gram shingles), each stage a materialized
 # projection so downstream lambdas reference a column, not a recomputation.
@@ -306,6 +318,103 @@ DEDUP_MINHASH_SPARK = _collapsed_pairwise_spark(_banded_candidates(f"""sigs AS (
   FROM shing
 )"""))
 
+
+def _md5_minhash_sig_batch(texts):
+    """The 8 md5-minhash hex-string signatures per text, replaying
+    _minhash_cols exactly (round 14, VERDICT r13 item 5 — guide §4.2):
+    shingles = 3-gram concat_ws(' ') windows over split(trim(text)),
+    greatest(n-2, 1) windows (short docs produce the same single
+    partial shingle the SQL slice emits); mh_j = array_min over
+    md5('<j>|' || shingle) hex strings. Fixed-width lowercase-hex
+    strings order exactly like their 128-bit digest values, so the
+    lexicographic min is computed numerically on big-endian (hi64,
+    lo64) pairs via one lexsort per permutation — md5 runs once per
+    DISTINCT shingle (pd.factorize). Pinned bit-identical to the SQL
+    spelling by tests/test_scale_paths.py::
+    test_md5_minhash_kernel_matches_sql_reference."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n = len(texts)
+    cols = [np.empty(n, dtype=object) for _ in range(_NUM_HASHES)]
+    if n == 0:
+        return cols
+    shing_lists = []
+    for t in texts:
+        toks = t.strip().split()
+        m = max(len(toks) - 2, 1)
+        shing_lists.append([" ".join(toks[i : i + 3]) for i in range(m)])
+    lens = np.fromiter((len(s) for s in shing_lists), dtype=np.int64, count=n)
+    flat = [s for sh in shing_lists for s in sh]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    doc_idx = np.repeat(np.arange(n), lens)
+    for j in range(_NUM_HASHES):
+        prefix = f"{j}|".encode()
+        hexes = np.empty(len(uniques), dtype=object)
+        digs = bytearray()
+        for k, u in enumerate(uniques):
+            d = hashlib.md5(prefix + u.encode()).digest()
+            digs += d
+            hexes[k] = d.hex()
+        words = np.frombuffer(bytes(digs), dtype=">u8").reshape(-1, 2)
+        hi, lo = words[codes, 0], words[codes, 1]
+        order = np.lexsort((lo, hi, doc_idx))
+        doc_sorted = doc_idx[order]
+        first = np.concatenate(([True], doc_sorted[1:] != doc_sorted[:-1]))
+        # winners arrive in ascending doc order because lexsort's last
+        # key is doc_idx
+        cols[j][:] = hexes[codes[order[first]]]
+    return cols
+
+
+_MD5_LSH_SEQ = [0]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5 reference twin with its signature stage vectorized
+    (round 14, guide §4.2): the 8 interpreted md5-per-shingle transform
+    lambdas (~2M lambda evals at sf0.1) move into one mapInPandas numpy
+    kernel over rep_text (see _md5_minhash_sig_batch). Banding, salted
+    pair generation and the exact-Jaccard verify stay the retained SQL
+    (DEDUP_MINHASH_SPARK is the reference spelling the kernel is pinned
+    against; the DuckDB oracle is unchanged)."""
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def kern(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            mhs = _md5_minhash_sig_batch(list(pdf["text"]))
+            for j in range(_NUM_HASHES):
+                out[f"mh{j}"] = mhs[j]
+            yield pd.DataFrame(out)
+
+    _MD5_LSH_SEQ[0] += 1
+    sview = f"md5_lsh_sigs_{_MD5_LSH_SEQ[0]}"
+    rep = spark.sql(f"""
+WITH corpus AS ({_CORPUS}),
+grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
+rep_text AS (
+  SELECT r.chash, c.doc_id, c.text
+  FROM (SELECT chash, min(doc_id) AS doc_id FROM grp GROUP BY chash) r
+  JOIN corpus c ON c.doc_id = r.doc_id
+)
+SELECT doc_id, text FROM rep_text""")
+    if _scan_is_narrow(spark, sf_dir):
+        rep = rep.repartition(spark.sparkContext.defaultParallelism)
+    sig_schema = "doc_id BIGINT, " + ", ".join(
+        f"mh{j} STRING" for j in range(_NUM_HASHES)
+    )
+    rep.mapInPandas(kern, sig_schema).createOrReplaceTempView(sview)
+    return spark.sql(
+        _collapsed_pairwise_spark(
+            _banded_candidates(f"sigs AS (SELECT * FROM {sview})")
+        )
+    )
+
 DEDUP_MINHASH_DUCK = f"""
 WITH {_STAGED_SHINGLES_D},
 sigs AS (
@@ -440,6 +549,126 @@ SELECT id1, id2, hamming FROM intra_pairs
 
 
 DEDUP_SIMHASH_SPARK = _simhash_spark_sql()
+
+
+def _simhash_sig_batch(texts):
+    """int64 simhash per text, replaying the SQL spelling exactly
+    (round 14, VERDICT r13 item 5 — the md5 reference twin's per-token
+    interpreted md5 + 32 bitcount filter lambdas were the last
+    interpreted hot loop in this family; guide §4.2):
+    toks = split(trim(text), '\\\\s+') == .strip().split() (tokenization
+    parity fixture-verified, the _minhash_sig_batch discipline);
+    th = CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) ==
+    int(hexdigest[:8], 16) (the corpus_clean kernel identity);
+    bit j set iff 2·|{th: bit j}| > n_toks — integer comparisons, so
+    equality is exact, pinned by tests/test_scale_paths.py::
+    test_simhash_kernel_matches_sql_reference. md5 runs once per
+    DISTINCT token (pd.factorize), bit counts via per-bit bincount."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    tok_lists = [t.strip().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    flat = [tok for toks in tok_lists for tok in toks]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) for u in uniques),
+        dtype=np.int64,
+        count=len(uniques),
+    )
+    th = uh[codes] if len(flat) else np.zeros(0, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), lens)
+    sim = np.zeros(n, dtype=np.int64)
+    for j in range(_SIMHASH_BITS):
+        nj = np.bincount(doc_idx, weights=(th >> j) & 1, minlength=n)
+        sim += ((2 * nj) > lens).astype(np.int64) << j
+    return sim
+
+
+_SIMHASH_SEQ = [0]
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the signature stage vectorized
+    (round 14, guide §4.2): the tok→th→bits→sigs SQL chain — one
+    interpreted md5 lambda per token plus 32 interpreted filter passes
+    per document — moves into one mapInPandas numpy kernel over the
+    rep_text rows (see _simhash_sig_batch; bit-identical, pinned). The
+    chunk banding, salted pair generation, hamming verify and
+    exact-dup expansion stay the retained SQL (_simhash_spark_sql is
+    the reference spelling the kernel is pinned against; the DuckDB
+    oracle is unchanged)."""
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def kern(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": _simhash_sig_batch(list(pdf["text"]))}
+            )
+
+    _SIMHASH_SEQ[0] += 1
+    sview = f"simhash_sigs_{_SIMHASH_SEQ[0]}"
+    rep = spark.sql(f"""
+WITH corpus AS ({_CORPUS}),
+grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
+rep_text AS (
+  SELECT r.chash, c.doc_id, c.text
+  FROM (SELECT chash, min(doc_id) AS doc_id FROM grp GROUP BY chash) r
+  JOIN corpus c ON c.doc_id = r.doc_id
+)
+SELECT doc_id, text FROM rep_text""")
+    if _scan_is_narrow(spark, sf_dir):
+        rep = rep.repartition(spark.sparkContext.defaultParallelism)
+    rep.mapInPandas(kern, "doc_id BIGINT, simhash BIGINT").createOrReplaceTempView(sview)
+    return spark.sql(f"""
+WITH corpus AS ({_CORPUS}),
+grp AS (SELECT doc_id, md5(text) AS chash FROM corpus),
+rep_text AS (
+  SELECT r.chash, c.doc_id, c.text
+  FROM (SELECT chash, min(doc_id) AS doc_id FROM grp GROUP BY chash) r
+  JOIN corpus c ON c.doc_id = r.doc_id
+),
+sigs AS (SELECT doc_id, simhash FROM {sview}),
+chunks AS (
+  SELECT doc_id, simhash, stack(2, 0, simhash % 65536, 1, simhash div 65536) AS (cid, cval)
+  FROM sigs
+),
+{_salted_groups("cid, cval", "chunks", ", simhash", _PAIR_BUCKET_CAP)},
+rep_pairs AS (
+  SELECT DISTINCT i1.m.doc_id AS id1, i2.m.doc_id AS id2,
+         bit_count(i1.m.simhash ^ i2.m.simhash) AS hamming
+  FROM salted_groups
+  LATERAL VIEW posexplode(ms) i1 AS p1, m
+  LATERAL VIEW posexplode(ms) i2 AS p2, m
+  WHERE {_SALTED_PAIR_COND}
+),
+rep_verified AS (SELECT id1, id2, hamming FROM rep_pairs WHERE hamming <= 3),
+hash_pairs AS (
+  SELECT r1.chash AS h1, r2.chash AS h2, v.hamming
+  FROM rep_verified v
+  JOIN rep_text r1 ON r1.doc_id = v.id1
+  JOIN rep_text r2 ON r2.doc_id = v.id2
+),
+cross_pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2, hp.hamming
+  FROM hash_pairs hp
+  JOIN grp a ON a.chash = hp.h1
+  JOIN grp b ON b.chash = hp.h2
+),
+intra_pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INT) AS hamming
+  FROM grp a JOIN grp b ON a.chash = b.chash AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, hamming FROM cross_pairs
+UNION ALL
+SELECT id1, id2, hamming FROM intra_pairs""")
 
 DEDUP_SIMHASH_DUCK = rf"""
 WITH corpus AS ({_CORPUS}),
@@ -830,8 +1059,8 @@ _emb_q, _emb_o = _sql_pair(DEDUP_EMBEDDING_SPARK, DEDUP_EMBEDDING_DUCK)
 
 QUERIES = {
     "dedup_exact": _exact_q,
-    "dedup_minhash_lsh": _minhash_q,
-    "dedup_simhash": _simhash_q,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": _jaccard_q,
     "dedup_ngram_containment": _contain_q,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1162,6 +1391,7 @@ def dedup_minhash_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (GC-driven cleanup would let generations pile up across bench runs).
     from duck_server_spark.operators.common import (
         release_checkpoints,
+        tracked_local_checkpoint,
         tracked_local_checkpoint_many,
     )
 
@@ -1262,23 +1492,34 @@ FROM long a JOIN long b2
     )
     groups.createOrReplaceTempView("mhv_groups")
     rep_pairs.createOrReplaceTempView("mhv_rep_pairs")
-    return spark.sql("""
+    # Round 14 (VERDICT r13 item 6): the final verify joins `shing`
+    # once per pair side, and the broadcast-converted small side defeats
+    # exchange reuse — the candidate tokenize+shingle chain ran TWICE
+    # (the ngram mechanism). A third slim checkpoint (doc_id + sh,
+    # candidates only — bounded by the banding collision count, never
+    # the corpus) computes it once. Interleaved 8-pair A/B: 7/8 wins,
+    # med 1.533 -> 1.414 s, min 1.386 -> 1.116; output tuple-identical.
+    shing = tracked_local_checkpoint(
+        spark,
+        spark.sql("""
 WITH cand_ids AS (
   SELECT id1 AS doc_id FROM mhv_rep_pairs UNION SELECT id2 FROM mhv_rep_pairs
 ),
 rep_tok AS (
   SELECT b.doc_id, split(trim(b.text), '\\\\s+') AS toks
   FROM mhv_corpus b JOIN cand_ids USING (doc_id)
-),
-shing AS (
-  SELECT doc_id,
-         transform(sequence(1, greatest(size(toks) - 2, 1)),
-                   i -> concat_ws(' ', slice(toks, i, 3))) AS sh
-  FROM rep_tok
-),
-joined AS (
+)
+SELECT doc_id,
+       transform(sequence(1, greatest(size(toks) - 2, 1)),
+                 i -> concat_ws(' ', slice(toks, i, 3))) AS sh
+FROM rep_tok"""),
+        _mhv_cached,
+    )
+    shing.createOrReplaceTempView("mhv_shing")
+    return spark.sql("""
+WITH joined AS (
   SELECT id1, id2, h1, h2, s1.sh AS sh1, s2.sh AS sh2
-  FROM mhv_rep_pairs JOIN shing s1 ON s1.doc_id = id1 JOIN shing s2 ON s2.doc_id = id2
+  FROM mhv_rep_pairs JOIN mhv_shing s1 ON s1.doc_id = id1 JOIN mhv_shing s2 ON s2.doc_id = id2
 ),
 jac AS (
   SELECT id1, id2, h1, h2,

@@ -592,3 +592,31 @@ def test_pair_bucket_cap_skew_fixture(spark, tmp_path):
 
     # leave the shared session back on the standard fixture
     register_views(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+
+
+def test_simhash_kernel_matches_sql_reference(spark, sf_dir):
+    """Round 14 (guide §4.2): the vectorized simhash signature kernel
+    must reproduce the full output of the retained SQL spelling
+    (_simhash_spark_sql) EXACTLY — integer signatures, so pairs AND
+    hamming values are identical."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import dedup as dd
+
+    register_views(spark, sf_dir)
+    fast = sorted(map(tuple, dd.dedup_simhash(spark, sf_dir).collect()))
+    ref = sorted(map(tuple, spark.sql(dd._simhash_spark_sql()).collect()))
+    assert fast == ref and len(fast) > 0
+
+
+def test_md5_minhash_kernel_matches_sql_reference(spark, sf_dir):
+    """Round 14 (guide §4.2): the vectorized md5-minhash signature
+    kernel must reproduce the full output of the retained SQL spelling
+    (DEDUP_MINHASH_SPARK) EXACTLY — hex-string signatures feed the same
+    banding, so pairs AND jaccards are identical."""
+    from duck_server_spark.engine.session import register_views
+    from duck_server_spark.operators import dedup as dd
+
+    register_views(spark, sf_dir)
+    fast = sorted(map(tuple, dd.dedup_minhash_lsh(spark, sf_dir).collect()))
+    ref = sorted(map(tuple, spark.sql(dd.DEDUP_MINHASH_SPARK).collect()))
+    assert fast == ref and len(fast) > 0
