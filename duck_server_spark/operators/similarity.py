@@ -845,7 +845,11 @@ def similarity_ann_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reps ≥ 2; the footer row count is the same number with no job.
     import pyarrow.parquet as pq
 
-    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        n = pq.ParquetFile(path).metadata.num_rows
+    except (OSError, IsADirectoryError):  # multi-file fixture copies
+        n = pq.read_table(path, columns=["vec_id"]).num_rows
     ann = similarity_ann_pq(spark, sf_dir, shortlist=max(100, n // 5))
     exact = _sql(SIM_BRUTE_SPARK)(spark, sf_dir).where("rnk <= 10")
     from pyspark.sql import functions as F
